@@ -1,0 +1,70 @@
+"""Per-round benchmark: run headline queries at $SPARK_GRAFT_SF_DIR.
+
+Prints ONE JSON line:
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Protocol (BASELINE.md): warm SparkSession, each query materialized via
+count-collect; value = total wall-clock across headline queries (median of
+R runs per query, R=1 by default for driver speed; set BENCH_REPS).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from flink_tutorial_broadcast_spark import load_all_queries  # noqa: E402
+from flink_tutorial_broadcast_spark.session import get_spark  # noqa: E402
+
+# Headline set: the flagship + the most load-bearing operator families.
+HEADLINE = [
+    "q_broadcast_rule_join",
+    "q_join_inner",
+    "q_star_join",
+    "q_agg_basic",
+    "q_window_tumbling",
+    "q_rank",
+    "q_dedup_exact",
+    "q_knn_bruteforce",
+    "q_token_counts",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    reps = int(os.environ.get("BENCH_REPS", "1"))
+    queries = load_all_queries()
+    names = [n for n in HEADLINE if n in queries]
+    spark = get_spark("bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # warm the JVM + parquet footers once so we measure queries, not startup
+    if names:
+        queries[names[0]](spark, sf_dir).count()
+
+    per_query: dict[str, float] = {}
+    for name in names:
+        times = []
+        for _ in range(reps):
+            t0 = time.time()
+            queries[name](spark, sf_dir).count()
+            times.append(time.time() - t0)
+        times.sort()
+        per_query[name] = round(times[len(times) // 2], 3)
+
+    sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0)
+    print(json.dumps({
+        "metric": "headline_queries_total_wall_clock",
+        "value": round(sum(per_query.values()), 3),
+        "unit": "sec",
+        "queries": per_query,
+        "sf": sf,
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,73 @@
+"""SparkSession builder with the engine's execution defaults.
+
+Design notes (SURVEY.md §4): the reference (Flink DataStream tutorial) has
+no optimizer — its user program IS the plan. Here we lean on Catalyst and
+fix only the knobs that matter for oracle parity and 100 TB posture:
+
+- AQE on (runtime re-plan, skew-join split, shuffle-partition coalescing).
+- ``spark.sql.session.timeZone=UTC`` — fixture timestamps are tz-naive;
+  DuckDB reads them as-is, so UTC pinning prevents value-hash divergence.
+- Arrow on for pandas UDF / toPandas transfer (vectorized Py<->JVM).
+- ``spark.sql.shuffle.partitions`` sized for local[32]; on a real cluster
+  AQE coalescing makes the initial number mostly irrelevant.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# At 100 TB these would be set per-cluster; they are safe local defaults and
+# every one of them scales (AQE re-plans with runtime stats).
+ENGINE_CONF: dict[str, str] = {
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.sql.shuffle.partitions": "32",
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    "spark.sql.execution.arrow.maxRecordsPerBatch": "10000",
+    # fixtures' events.ts is timestamp[ns] — an illegal parquet type for
+    # Spark's reader; read the raw int64 nanos and convert in io.load()
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    "spark.sql.parquet.inferTimestampNTZ.enabled": "false",
+    "spark.sql.autoBroadcastJoinThreshold": str(32 * 1024 * 1024),
+    "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
+}
+
+
+def get_spark(app_name: str = "flink-tutorial-broadcast-spark",
+              master: str | None = None,
+              extra_conf: dict[str, str] | None = None) -> SparkSession:
+    """Build (or reuse) the engine SparkSession.
+
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` (env, default ``*``)
+    so tests/bench share one code path with the driver harness.
+    """
+    if master is None:
+        cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+        master = f"local[{cpus}]"
+    builder = SparkSession.builder.appName(app_name).master(master)
+    conf = dict(ENGINE_CONF)
+    if extra_conf:
+        conf.update(extra_conf)
+    for k, v in conf.items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()
+
+
+def tune_session(spark: SparkSession) -> SparkSession:
+    """Apply runtime-settable engine confs to an externally-created session.
+
+    The driver passes its own SparkSession to ``entry``/``queries`` — we
+    cannot rebuild it, but session-level confs (timezone, AQE, Arrow) are
+    settable post-hoc and are required for oracle hash parity.
+    """
+    for k, v in ENGINE_CONF.items():
+        if k.startswith(("spark.sql.",)):
+            try:
+                spark.conf.set(k, v)
+            except Exception:  # immutable conf on this build — best effort
+                pass
+    return spark
