@@ -1,1 +1,176 @@
-"""Placeholder — populated in SURVEY.md §7 build order."""
+"""Aggregations (SURVEY.md §2.D).
+
+Flink anchors: ``KeyedStream#sum/min/max/reduce`` and custom
+``AggregateFunction`` accumulators. Spark: hash aggregate with automatic
+partial (map-side) + final phases — the shuffle carries only
+|groups|×|partitions| pre-aggregated rows, which is what makes these
+queries scale-independent of the fact row count.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from flink_tutorial_broadcast_spark.io import load
+from flink_tutorial_broadcast_spark.registry import query
+
+
+@query(
+    "q_agg_basic",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           COUNT(*) AS n_rows,
+           ROUND(SUM(l_quantity), 2) AS sum_qty,
+           ROUND(SUM(l_extendedprice), 2) AS sum_price,
+           ROUND(AVG(l_discount), 6) AS avg_disc,
+           ROUND(MIN(l_extendedprice), 2) AS min_price,
+           ROUND(MAX(l_extendedprice), 2) AS max_price
+    FROM lineitem GROUP BY 1, 2
+    """,
+)
+def q_agg_basic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D1: the TPC-H Q1-shaped keyed rollup (sum/min/max/avg/count)."""
+    return (
+        load(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.round(F.min("l_extendedprice"), 2).alias("min_price"),
+            F.round(F.max("l_extendedprice"), 2).alias("max_price"),
+        )
+    )
+
+
+@query(
+    "q_agg_custom",
+    oracle="""
+    SELECT event_type,
+           ROUND(SUM(value * value) / COUNT(*)
+                 - (SUM(value) / COUNT(*)) * (SUM(value) / COUNT(*)), 4)
+               AS variance_pop,
+           ROUND(SUM(CASE WHEN value > 50.0 THEN value ELSE 0.0 END), 2)
+               AS sum_over_50
+    FROM events GROUP BY 1
+    """,
+)
+def q_agg_custom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D2 custom accumulator (Flink ``AggregateFunction`` analogue):
+    population variance built from (Σx², Σx, n) partial aggregates —
+    the same partial/merge/finish shape Flink accumulators declare,
+    expressed so Catalyst runs it as three partial-aggregatable sums.
+    """
+    ev = load(spark, sf_dir, "events")
+    sx2 = F.sum(F.col("value") * F.col("value"))
+    sx = F.sum("value")
+    n = F.count("*")
+    return ev.groupBy("event_type").agg(
+        F.round(sx2 / n - (sx / n) * (sx / n), 4).alias("variance_pop"),
+        F.round(
+            F.sum(F.when(F.col("value") > 50.0, F.col("value")).otherwise(0.0)),
+            2,
+        ).alias("sum_over_50"),
+    )
+
+
+@query(
+    "q_count_distinct",
+    oracle="""
+    SELECT event_type,
+           COUNT(DISTINCT user_id) AS n_users,
+           COUNT(*) AS n_events
+    FROM events GROUP BY 1
+    """,
+)
+def q_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D3 exact count-distinct (expand + two-phase aggregate)."""
+    return (
+        load(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            F.countDistinct("user_id").alias("n_users"),
+            F.count("*").alias("n_events"),
+        )
+    )
+
+
+@query("q_approx_distinct")  # rows-only: HLL value differs from exact by design
+def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D4 approximate count-distinct (HyperLogLog++, rsd=2%).
+
+    The 100 TB path: exact COUNT(DISTINCT) over a high-cardinality key
+    explodes the shuffle; HLL sketches merge in constant space. Rows-only
+    check (±2% of exact asserted in tests/test_aggregates.py).
+    """
+    return (
+        load(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.approx_count_distinct("user_id", 0.02).alias("approx_users"))
+    )
+
+
+@query(
+    "q_rollup",
+    oracle="""
+    SELECT n.n_name AS nation_name, c.c_mktsegment AS mktsegment,
+           COUNT(*) AS n_cust,
+           ROUND(SUM(c.c_acctbal), 2) AS sum_bal
+    FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY ROLLUP (1, 2)
+    """,
+)
+def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D5 rollup: hierarchical subtotals (nation → segment → grand total)."""
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .select(F.col("n_name").alias("nation_name"),
+                F.col("c_mktsegment").alias("mktsegment"), "c_acctbal")
+        .rollup("nation_name", "mktsegment")
+        .agg(F.count("*").alias("n_cust"),
+             F.round(F.sum("c_acctbal"), 2).alias("sum_bal"))
+    )
+
+
+@query(
+    "q_cube",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           COUNT(*) AS n_orders,
+           ROUND(SUM(o_totalprice), 2) AS revenue
+    FROM orders GROUP BY CUBE (1, 2)
+    """,
+)
+def q_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D5 cube: all grouping-set combinations of (status, priority)."""
+    return (
+        load(spark, sf_dir, "orders")
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(F.count("*").alias("n_orders"),
+             F.round(F.sum("o_totalprice"), 2).alias("revenue"))
+    )
+
+
+@query(
+    "q_having",
+    oracle="""
+    SELECT user_id, COUNT(*) AS n_events, ROUND(SUM(value), 2) AS total_value
+    FROM events GROUP BY 1
+    HAVING COUNT(*) > 50 AND SUM(value) > 1000.0
+    """,
+)
+def q_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D6 having: post-aggregation filter."""
+    return (
+        load(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n_events"),
+             F.round(F.sum("value"), 2).alias("total_value"),
+             F.sum("value").alias("_raw_total"))
+        .filter((F.col("n_events") > 50) & (F.col("_raw_total") > 1000.0))
+        .drop("_raw_total")
+    )

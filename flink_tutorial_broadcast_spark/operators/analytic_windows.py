@@ -1,1 +1,117 @@
-"""Placeholder — populated in SURVEY.md §7 build order."""
+"""Batch analytic window functions (SURVEY.md §2.F).
+
+Engine surface for the harness (the reference's keyed-state per-record
+computations map to these in batch). All deterministic: every ORDER BY
+carries a unique tiebreak column so both engines rank identically.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from flink_tutorial_broadcast_spark.io import load
+from flink_tutorial_broadcast_spark.registry import query
+
+
+@query(
+    "q_rank",
+    oracle="""
+    SELECT c_custkey, c_nationkey,
+           row_number() OVER w AS rn,
+           rank()       OVER w AS rnk,
+           dense_rank() OVER w AS drnk,
+           ntile(4)     OVER w AS quartile
+    FROM customer
+    WINDOW w AS (PARTITION BY c_nationkey
+                 ORDER BY c_acctbal DESC, c_custkey)
+    """,
+)
+def q_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1 ranking family within nation by account balance."""
+    w = Window.partitionBy("c_nationkey").orderBy(
+        F.col("c_acctbal").desc(), F.col("c_custkey"))
+    return load(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey",
+        F.row_number().over(w).alias("rn"),
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+        F.ntile(4).over(w).alias("quartile"),
+    )
+
+
+@query(
+    "q_lag_lead",
+    oracle="""
+    SELECT event_id, user_id, value,
+           lag(value)  OVER w AS prev_value,
+           lead(value) OVER w AS next_value,
+           first_value(value) OVER w AS first_value_in_key
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def q_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F2 analytic lag/lead/first per user in event-time order."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return load(spark, sf_dir, "events").select(
+        "event_id", "user_id", "value",
+        F.lag("value").over(w).alias("prev_value"),
+        F.lead("value").over(w).alias("next_value"),
+        F.first("value").over(w).alias("first_value_in_key"),
+    )
+
+
+@query(
+    "q_running_sum",
+    oracle="""
+    SELECT o_orderkey, o_custkey,
+           ROUND(SUM(o_totalprice) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
+           AS running_total,
+           COUNT(*) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS n_last3
+    FROM orders
+    """,
+)
+def q_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F3 frames: running total + sliding 3-row count per customer."""
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    running = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    last3 = w.rowsBetween(-2, Window.currentRow)
+    return load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey",
+        F.round(F.sum("o_totalprice").over(running), 2)
+        .alias("running_total"),
+        F.count("*").over(last3).alias("n_last3"),
+    )
+
+
+@query(
+    "q_topk_per_group",
+    oracle="""
+    WITH ranked AS (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             row_number() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      FROM orders
+    )
+    SELECT o_custkey, o_orderkey, o_totalprice, rn
+    FROM ranked WHERE rn <= 3
+    """,
+)
+def q_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F4 top-3 orders per customer — rank-filter pattern; at scale this
+    beats a global sort because the window shuffles once on the group key
+    and the filter prunes before any further exchange."""
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey"))
+    return (
+        load(spark, sf_dir, "orders")
+        .select("o_custkey", "o_orderkey", "o_totalprice",
+                F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") <= 3)
+    )
