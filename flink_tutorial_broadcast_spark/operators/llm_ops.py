@@ -1,1 +1,589 @@
-"""Placeholder — populated in SURVEY.md §7 build order."""
+"""LLM-data-pipeline operators (SURVEY.md §2.K; driver mandate
+BASELINE.json north_star): dedup (exact / near / minhash-LSH / simhash),
+embedding similarity search (brute-force + IVF), and text analysis
+(token stats, language-ID, quality scoring, fingerprinting).
+
+Scale posture is per-op; the shared rules:
+- Everything token-level goes explode→groupBy (shuffle on token/doc key),
+  never collect().
+- Pairwise ops are NEVER all-pairs at corpus scale: the oracle-checked
+  near-dup runs on shingle-blocked candidates; the 100 TB path is
+  MinHash+LSH banding (q_dedup_minhash) where candidate generation is a
+  band-bucket equi-join — linear in corpus size for fixed band width.
+- Embedding search: brute-force top-k is the correctness baseline
+  (broadcast probes × corpus, no corpus shuffle); the scale path is IVF
+  bucketing (q_knn_ivf) which prunes the corpus to nprobe clusters.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.window import Window
+
+from flink_tutorial_broadcast_spark.io import load
+from flink_tutorial_broadcast_spark.registry import query
+
+# --- exact dedup ------------------------------------------------------------
+
+
+@query(
+    "q_dedup_exact",
+    oracle="""
+    SELECT md5(text) AS content_hash,
+           MIN(doc_id) AS keep_doc_id,
+           COUNT(*) AS n_copies
+    FROM documents GROUP BY 1
+    """,
+)
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K1 exact dedup by content hash: one survivor (min doc_id) per
+    distinct text. Hash-groupBy — the shuffle carries (hash → id) pairs
+    only, never the documents themselves; at 100 TB this is the cheapest
+    possible dedup pass."""
+    return (
+        load(spark, sf_dir, "documents")
+        .groupBy(F.md5("text").alias("content_hash"))
+        .agg(F.min("doc_id").alias("keep_doc_id"),
+             F.count("*").alias("n_copies"))
+    )
+
+
+@query(
+    "q_distinct",
+    oracle="SELECT DISTINCT lang, source FROM documents",
+)
+def q_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K1/D3 dropDuplicates on a column subset."""
+    return load(spark, sf_dir, "documents").select("lang", "source").distinct()
+
+
+# --- near dedup (shingle jaccard — oracle-checked candidate formulation) ----
+
+_NEAR_DUP_LIMIT = 200  # bounded candidate subset for the oracle-checked form
+
+
+def _bigrams(col):
+    """Adjacent-token bigram shingles of a space-tokenized text column."""
+    toks = F.split(col, " ")
+    idx = F.sequence(F.lit(1), F.size(toks) - 1)
+    return F.transform(
+        idx, lambda i: F.concat_ws("_", F.element_at(toks, i),
+                                   F.element_at(toks, i + 1)))
+
+
+@query(
+    "q_dedup_near",
+    oracle=f"""
+    WITH docs AS (
+      SELECT doc_id, string_split(text, ' ') AS toks
+      FROM documents WHERE doc_id < {_NEAR_DUP_LIMIT}
+    ), shingled AS (
+      SELECT doc_id,
+             list_distinct(list_transform(range(1, len(toks)),
+                           i -> toks[i] || '_' || toks[i + 1])) AS shingles
+      FROM docs
+    ), exploded AS (
+      SELECT doc_id, unnest(shingles) AS shingle FROM shingled
+    ), sizes AS (
+      SELECT doc_id, len(shingles) AS n_shingles FROM shingled
+    ), common AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+      FROM exploded a JOIN exploded b
+        ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT c.doc_a, c.doc_b,
+           ROUND(CAST(c.n_common AS DOUBLE)
+                 / (sa.n_shingles + sb.n_shingles - c.n_common), 6)
+               AS jaccard
+    FROM common c
+    JOIN sizes sa ON sa.doc_id = c.doc_a
+    JOIN sizes sb ON sb.doc_id = c.doc_b
+    WHERE CAST(c.n_common AS DOUBLE)
+          / (sa.n_shingles + sb.n_shingles - c.n_common) >= 0.5
+    """,
+)
+def q_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K2 near-dup: bigram-shingle Jaccard ≥ 0.5 over a bounded candidate
+    subset (the oracle-checkable formulation; candidate generation via
+    shared-shingle join). The unbounded-corpus path is q_dedup_minhash."""
+    docs = (
+        load(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < _NEAR_DUP_LIMIT)
+        .select("doc_id",
+                F.array_distinct(_bigrams(F.col("text"))).alias("shingles"))
+    )
+    sizes = docs.select("doc_id", F.size("shingles").alias("n_shingles"))
+    expl = docs.select("doc_id", F.explode("shingles").alias("shingle"))
+    a = expl.alias("a")
+    b = expl.alias("b")
+    common = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"),
+                 F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("n_common"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    jac = (F.col("n_common").cast("double")
+           / (F.col("sa.n_shingles") + F.col("sb.n_shingles")
+              - F.col("n_common")))
+    return (
+        common
+        .join(sa, F.col("sa.doc_id") == F.col("doc_a"))
+        .join(sb, F.col("sb.doc_id") == F.col("doc_b"))
+        .filter(jac >= 0.5)
+        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+    )
+
+
+# --- MinHash + LSH (the 100 TB near-dup path; rows-only) --------------------
+
+_N_HASHES = 16
+_N_BANDS = 4  # 4 rows per band
+
+
+@query("q_dedup_minhash")  # rows-only: xxhash64 signatures are Spark-internal
+def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K2 MinHash+LSH near-dup at corpus scale.
+
+    shingle → 16 minhashes (xxhash64 with per-hash salt) → 4 bands of 4 →
+    band-bucket equi-join generates candidates (linear-ish in corpus size),
+    exact shingle-Jaccard verifies them. Output: verified pairs ≥ 0.5.
+    Rows-only check (hash-dependent candidate set); properties asserted in
+    tests/test_llm_ops.py against the exact q_dedup_near result.
+    """
+    docs = (
+        load(spark, sf_dir, "documents")
+        .select("doc_id",
+                F.array_distinct(_bigrams(F.col("text"))).alias("shingles"))
+    )
+    expl = docs.select("doc_id", F.explode("shingles").alias("shingle"))
+
+    # 16 minhashes per doc: min over shingles of xxhash64(salt || shingle)
+    seeds = spark.range(_N_HASHES).select(F.col("id").alias("seed"))
+    sig = (
+        expl.crossJoin(F.broadcast(seeds))
+        .groupBy("doc_id", "seed")
+        .agg(F.min(F.xxhash64(F.concat_ws("#", F.col("seed"), "shingle")))
+             .alias("minhash"))
+    )
+    # bands: hash 4 consecutive minhashes together
+    bands = (
+        sig.withColumn("band", (F.col("seed") / (_N_HASHES // _N_BANDS))
+                       .cast("int"))
+        .groupBy("doc_id", "band")
+        .agg(F.xxhash64(F.concat_ws(",", F.sort_array(
+            F.collect_list(F.concat_ws(":", "seed", "minhash")))))
+             .alias("band_hash"))
+    )
+    l, r = bands.alias("l"), bands.alias("r")
+    candidates = (
+        l.join(r, (F.col("l.band") == F.col("r.band"))
+               & (F.col("l.band_hash") == F.col("r.band_hash"))
+               & (F.col("l.doc_id") < F.col("r.doc_id")))
+        .select(F.col("l.doc_id").alias("doc_a"),
+                F.col("r.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    # exact-Jaccard verification of the candidate pairs only
+    da = docs.select(F.col("doc_id").alias("doc_a"),
+                     F.col("shingles").alias("sh_a"))
+    db = docs.select(F.col("doc_id").alias("doc_b"),
+                     F.col("shingles").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+    union = F.size(F.array_union("sh_a", "sh_b")).cast("double")
+    return (
+        candidates.join(da, "doc_a").join(db, "doc_b")
+        .withColumn("jaccard", F.round(inter / union, 6))
+        .filter(F.col("jaccard") >= 0.5)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+@query("q_simhash")  # rows-only: engine-side 64-bit fingerprints
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K2 SimHash 64-bit fingerprints via Arrow-batched pandas UDF
+    (md5-derived per-token hashes → bitwise majority vote), deterministic
+    across runs. Near-dup = small Hamming distance (tests assert the
+    dup pairs from q_dedup_near collide within distance 8)."""
+    @pandas_udf("long")
+    def simhash64(texts: pd.Series) -> pd.Series:
+        def one(text: str) -> int:
+            acc = [0] * 64
+            for tok in text.split(" "):
+                h = int.from_bytes(
+                    hashlib.md5(tok.encode()).digest()[:8], "big")
+                for i in range(64):
+                    acc[i] += 1 if (h >> i) & 1 else -1
+            v = 0
+            for i in range(64):
+                if acc[i] > 0:
+                    v |= 1 << i
+            # fold to signed 64-bit for LongType
+            return v - (1 << 64) if v >= (1 << 63) else v
+        return texts.map(one)
+
+    return (
+        load(spark, sf_dir, "documents")
+        .select("doc_id", simhash64("text").alias("simhash"))
+    )
+
+
+# --- embedding similarity search (K3) ---------------------------------------
+
+_N_PROBES = 10
+_TOP_K = 5
+
+
+def _dot(a, b):
+    """Sequential double-precision dot product of two float arrays — the
+    same left-fold order DuckDB's list loop uses, so values are
+    bit-identical across engines."""
+    pairs = F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double"))
+    return F.aggregate(pairs, F.lit(0.0), lambda acc, x: acc + x)
+
+
+def _cosine(a, b):
+    return _dot(a, b) / (F.sqrt(_dot(a, a)) * F.sqrt(_dot(b, b)))
+
+
+@query(
+    "q_knn_bruteforce",
+    oracle=f"""
+    WITH dbl AS (
+      SELECT vec_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+      FROM embeddings
+    ), probes AS (
+      SELECT vec_id AS p_id, emb AS p_emb FROM dbl WHERE vec_id < {_N_PROBES}
+    ), pairs AS (
+      SELECT p.p_id, e.vec_id,
+             list_dot_product(e.emb, p.p_emb)
+               / (sqrt(list_dot_product(e.emb, e.emb))
+                  * sqrt(list_dot_product(p.p_emb, p.p_emb))) AS cos
+      FROM probes p CROSS JOIN dbl e
+      WHERE e.vec_id <> p.p_id
+    ), ranked AS (
+      SELECT p_id, vec_id, cos,
+             row_number() OVER (PARTITION BY p_id
+                                ORDER BY cos DESC, vec_id) AS rn
+      FROM pairs
+    )
+    SELECT p_id, vec_id, ROUND(cos, 6) AS cos_sim, rn
+    FROM ranked WHERE rn <= {_TOP_K}
+    """,
+)
+def q_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K3 brute-force cosine top-k: 10 probe vectors × full corpus.
+
+    The probe side broadcasts (corpus never shuffles); cosine runs as a
+    codegen'd array fold, top-k via rank-filter per probe. This is the
+    exact baseline the IVF/LSH paths are measured against. At 100 TB the
+    corpus stays partition-local — cost is one scan per probe batch.
+    """
+    emb = load(spark, sf_dir, "embeddings")
+    probes = (
+        emb.filter(F.col("vec_id") < _N_PROBES)
+        .select(F.col("vec_id").alias("p_id"),
+                F.col("embedding").alias("p_emb"))
+    )
+    pairs = (
+        emb.crossJoin(F.broadcast(probes))
+        .filter(F.col("vec_id") != F.col("p_id"))
+        .select("p_id", "vec_id",
+                _cosine(F.col("embedding"), F.col("p_emb")).alias("cos"))
+    )
+    w = Window.partitionBy("p_id").orderBy(F.col("cos").desc(), F.col("vec_id"))
+    return (
+        pairs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _TOP_K)
+        .select("p_id", "vec_id", F.round("cos", 6).alias("cos_sim"), "rn")
+    )
+
+
+_IVF_K = 8       # number of centroids
+_IVF_NPROBE = 2  # clusters searched per probe
+
+
+@query("q_knn_ivf")  # rows-only: the ANN scale path (recall tested vs exact)
+def q_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K3 IVF-style ANN: bucket the corpus by nearest of 8 fixed centroids
+    (deterministically the first 8 vectors), search only the nprobe=2
+    closest buckets per probe.
+
+    The scale story: corpus partitioned by centroid_id; a probe touches
+    nprobe/K of the data. Recall@5 vs q_knn_bruteforce asserted in tests.
+    """
+    emb = load(spark, sf_dir, "embeddings")
+    cents = (
+        emb.filter(F.col("vec_id") < _IVF_K)
+        .select(F.col("vec_id").alias("c_id"),
+                F.col("embedding").alias("c_emb"))
+    )
+    # assign every vector to its nearest centroid (broadcast centroids)
+    ass_w = Window.partitionBy("vec_id").orderBy(
+        F.col("c_cos").desc(), F.col("c_id"))
+    assigned = (
+        emb.crossJoin(F.broadcast(cents))
+        .select("vec_id", "embedding", "c_id",
+                _cosine(F.col("embedding"), F.col("c_emb")).alias("c_cos"))
+        .withColumn("arn", F.row_number().over(ass_w))
+        .filter(F.col("arn") == 1)
+        .select("vec_id", "embedding", F.col("c_id").alias("cluster"))
+    )
+    # probes search their nprobe nearest clusters
+    probes = assigned.filter(F.col("vec_id") < _N_PROBES).select(
+        F.col("vec_id").alias("p_id"), F.col("embedding").alias("p_emb"))
+    pw = Window.partitionBy("p_id").orderBy(F.col("pc_cos").desc(),
+                                            F.col("c_id"))
+    probe_clusters = (
+        probes.crossJoin(F.broadcast(cents))
+        .select("p_id", "p_emb", "c_id",
+                _cosine(F.col("p_emb"), F.col("c_emb")).alias("pc_cos"))
+        .withColumn("prn", F.row_number().over(pw))
+        .filter(F.col("prn") <= _IVF_NPROBE)
+        .select("p_id", "p_emb", F.col("c_id").alias("cluster"))
+    )
+    pairs = (
+        probe_clusters.join(assigned, "cluster")
+        .filter(F.col("vec_id") != F.col("p_id"))
+        .select("p_id", "vec_id",
+                _cosine(F.col("embedding"), F.col("p_emb")).alias("cos"))
+    )
+    w = Window.partitionBy("p_id").orderBy(F.col("cos").desc(), F.col("vec_id"))
+    return (
+        pairs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _TOP_K)
+        .select("p_id", "vec_id", F.round("cos", 6).alias("cos_sim"), "rn")
+    )
+
+
+@query(
+    "q_embed_norm_stats",
+    oracle="""
+    WITH dbl AS (
+      SELECT label,
+             sqrt(list_dot_product(
+               list_transform(embedding, x -> CAST(x AS DOUBLE)),
+               list_transform(embedding, x -> CAST(x AS DOUBLE)))) AS norm
+      FROM embeddings
+    )
+    SELECT label, COUNT(*) AS n_vecs,
+           ROUND(AVG(norm), 6) AS avg_norm,
+           ROUND(MIN(norm), 6) AS min_norm,
+           ROUND(MAX(norm), 6) AS max_norm
+    FROM dbl GROUP BY 1
+    """,
+)
+def q_embed_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K3/K5 multimodal-column stats: L2-norm distribution per label."""
+    emb = load(spark, sf_dir, "embeddings")
+    norm = F.sqrt(_dot(F.col("embedding"), F.col("embedding")))
+    return (
+        emb.select("label", norm.alias("norm"))
+        .groupBy("label")
+        .agg(F.count("*").alias("n_vecs"),
+             F.round(F.avg("norm"), 6).alias("avg_norm"),
+             F.round(F.min("norm"), 6).alias("min_norm"),
+             F.round(F.max("norm"), 6).alias("max_norm"))
+    )
+
+
+# --- text analysis (K4) -----------------------------------------------------
+
+
+@query(
+    "q_token_counts",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+    )
+    SELECT token, COUNT(*) AS n_total, COUNT(DISTINCT doc_id) AS n_docs
+    FROM toks GROUP BY 1
+    """,
+)
+def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K4 corpus token frequencies (term + document frequency)."""
+    return (
+        load(spark, sf_dir, "documents")
+        .select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("n_total"),
+             F.countDistinct("doc_id").alias("n_docs"))
+    )
+
+
+@query(
+    "q_token_counts_regex",
+    oracle="""
+    SELECT doc_id,
+           len(regexp_extract_all(text, '[a-z]+')) AS n_word_tokens,
+           len(regexp_extract_all(text, '[0-9]+')) AS n_num_tokens
+    FROM documents
+    """,
+)
+def q_token_counts_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K4 BPE-ish regex token counting (word-ish / numeric-ish classes)."""
+    d = load(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.size(F.regexp_extract_all("text", F.lit("[a-z]+"), 0))
+        .alias("n_word_tokens"),
+        F.size(F.regexp_extract_all("text", F.lit("[0-9]+"), 0))
+        .alias("n_num_tokens"),
+    )
+
+
+@query(
+    "q_lang_stats",
+    oracle="""
+    SELECT lang, COUNT(*) AS n_docs,
+           ROUND(AVG(CAST(n_chars AS DOUBLE)), 4) AS avg_chars,
+           COUNT(DISTINCT source) AS n_sources
+    FROM documents GROUP BY 1
+    """,
+)
+def q_lang_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K4 per-language corpus stats."""
+    return (
+        load(spark, sf_dir, "documents")
+        .groupBy("lang")
+        .agg(F.count("*").alias("n_docs"),
+             F.round(F.avg(F.col("n_chars").cast("double")), 4)
+             .alias("avg_chars"),
+             F.countDistinct("source").alias("n_sources"))
+    )
+
+
+@query(
+    "q_quality_score",
+    oracle="""
+    WITH stats AS (
+      SELECT doc_id, n_chars,
+             len(string_split(text, ' ')) AS n_tokens,
+             len(list_distinct(string_split(text, ' '))) AS n_uniq,
+             len(list_filter(string_split(text, ' '),
+                 t -> t IN ('a', 'the'))) AS n_stop
+      FROM documents
+    )
+    SELECT doc_id, n_tokens, n_uniq,
+           ROUND(CAST(n_uniq AS DOUBLE) / n_tokens, 6) AS uniq_ratio,
+           ROUND(CAST(n_stop AS DOUBLE) / n_tokens, 6) AS stop_ratio,
+           ROUND(CAST(n_chars AS DOUBLE) / n_tokens, 6) AS avg_token_len
+    FROM stats
+    """,
+)
+def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K4 document quality scoring: token counts, lexical diversity,
+    stopword ratio, mean token length — the standard pre-training filters."""
+    d = load(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    n_tokens = F.size(toks)
+    n_uniq = F.size(F.array_distinct(toks))
+    n_stop = F.size(F.filter(toks, lambda t: t.isin("a", "the")))
+    return d.select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        n_uniq.alias("n_uniq"),
+        F.round(n_uniq.cast("double") / n_tokens, 6).alias("uniq_ratio"),
+        F.round(n_stop.cast("double") / n_tokens, 6).alias("stop_ratio"),
+        F.round(F.col("n_chars").cast("double") / n_tokens, 6)
+        .alias("avg_token_len"),
+    )
+
+
+# Marker lexicons for the language-ID heuristic. The fixture vocabulary is
+# shared across langs (verified), so accuracy is not the point — the
+# operator IS the point: inline lexicon broadcast-joined against exploded
+# tokens, argmax per doc with deterministic tiebreak.
+_LANG_MARKERS: list[tuple[str, str]] = [
+    ("en", "the"), ("en", "a"), ("en", "value"), ("en", "fast"),
+    ("de", "der"), ("de", "und"), ("de", "table"), ("de", "merge"),
+    ("es", "el"), ("es", "la"), ("es", "data"), ("es", "row"),
+    ("fr", "le"), ("fr", "et"), ("fr", "query"), ("fr", "scan"),
+    ("zh", "zh"), ("zh", "window"), ("zh", "batch"), ("zh", "join"),
+]
+
+_MARKERS_SQL = (
+    "(VALUES " + ", ".join(f"('{lg}', '{tok}')" for lg, tok in _LANG_MARKERS)
+    + ") AS markers(m_lang, m_token)"
+)
+
+
+@query(
+    "q_lang_id",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+    ), scores AS (
+      SELECT t.doc_id, markers.m_lang AS m_lang, COUNT(*) AS score
+      FROM toks t JOIN {_MARKERS_SQL} ON t.token = markers.m_token
+      GROUP BY 1, 2
+    ), ranked AS (
+      SELECT doc_id, m_lang, score,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY score DESC, m_lang) AS rn
+      FROM scores
+    )
+    SELECT d.doc_id,
+           coalesce(r.m_lang, 'unknown') AS predicted_lang,
+           coalesce(r.score, 0) AS marker_hits
+    FROM documents d
+    LEFT JOIN ranked r ON r.doc_id = d.doc_id AND r.rn = 1
+    """,
+)
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K4 language-ID by marker-lexicon vote: explode tokens, broadcast-join
+    the lexicon, argmax marker hits per doc (ties broken by lang code).
+    Docs with zero marker hits classify as 'unknown'."""
+    d = load(spark, sf_dir, "documents")
+    markers = spark.createDataFrame(_LANG_MARKERS, "m_lang string, m_token string")
+    toks = d.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+    scores = (
+        toks.join(F.broadcast(markers), toks.token == markers.m_token)
+        .groupBy("doc_id", "m_lang")
+        .agg(F.count("*").alias("score"))
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), "m_lang")
+    best = (
+        scores.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "m_lang", "score")
+    )
+    return (
+        d.select("doc_id")
+        .join(best, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("m_lang", F.lit("unknown")).alias("predicted_lang"),
+            F.coalesce("score", F.lit(0)).cast("bigint").alias("marker_hits"),
+        )
+    )
+
+
+@query(
+    "q_doc_fingerprint",
+    oracle="""
+    SELECT doc_id,
+           md5(array_to_string(list_sort(list_distinct(
+               string_split(text, ' '))), ' ')) AS fingerprint
+    FROM documents
+    """,
+)
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K4 document fingerprint: md5 over the sorted distinct token set —
+    an order-insensitive content signature (catches shuffled duplicates
+    that exact-hash dedup misses)."""
+    toks = F.array_sort(F.array_distinct(F.split("text", " ")))
+    return (
+        load(spark, sf_dir, "documents")
+        .select("doc_id",
+                F.md5(F.concat_ws(" ", toks)).alias("fingerprint"))
+    )

@@ -1,1 +1,265 @@
-"""Placeholder — populated in SURVEY.md §7 build order."""
+"""Scalar function surface (SURVEY.md §2.I).
+
+The reference's "functions" are arbitrary Scala bodies inside
+``MapFunction``/``FilterFunction``; the engine's equivalent is the built-in
+``pyspark.sql.functions`` families — JVM-side, codegen'd, never Python.
+Each query exercises one family end-to-end against the fixtures with a
+DuckDB-parity formulation (dialect deltas noted inline).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from flink_tutorial_broadcast_spark.io import load
+from flink_tutorial_broadcast_spark.registry import query
+
+
+@query(
+    "q_string_funcs",
+    oracle="""
+    SELECT p_partkey,
+           upper(p_name) AS name_u,
+           lower(p_brand) AS brand_l,
+           length(p_name) AS name_len,
+           concat_ws('|', p_brand, p_type) AS brand_type,
+           substr(p_name, 1, 6) AS name_pfx,
+           trim(p_name) AS name_trim,
+           regexp_extract(p_name, '^[a-z]+', 0) AS first_word,
+           len(string_split(p_name, ' ')) AS n_words,
+           replace(p_name, ' ', '_') AS name_snake,
+           CASE WHEN p_name LIKE '%red%' THEN 1 ELSE 0 END AS is_red
+    FROM part
+    """,
+)
+def q_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """I1 string family: case/length/concat/substr/trim/regex/split/replace."""
+    p = load(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.upper("p_name").alias("name_u"),
+        F.lower("p_brand").alias("brand_l"),
+        F.length("p_name").alias("name_len"),
+        F.concat_ws("|", "p_brand", "p_type").alias("brand_type"),
+        F.substring("p_name", 1, 6).alias("name_pfx"),
+        F.trim(F.col("p_name")).alias("name_trim"),
+        F.regexp_extract("p_name", "^[a-z]+", 0).alias("first_word"),
+        F.size(F.split("p_name", " ")).alias("n_words"),
+        F.regexp_replace("p_name", " ", "_").alias("name_snake"),
+        F.when(F.col("p_name").like("%red%"), 1).otherwise(0).alias("is_red"),
+    )
+
+
+@query(
+    "q_date_funcs",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           year(l_shipdate) AS ship_year,
+           month(l_shipdate) AS ship_month,
+           day(l_shipdate) AS ship_day,
+           dayofweek(l_shipdate) + 1 AS ship_dow,
+           date_trunc('day', l_shipdate) AS ship_day_ts,
+           datediff('day', CAST(l_shipdate AS DATE), DATE '1998-12-31')
+               AS days_to_eoy,
+           CAST(epoch(l_shipdate) AS BIGINT) AS ship_epoch
+    FROM lineitem WHERE l_linenumber = 1
+    """,
+)
+def q_date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """I2 date/time family. Dialect deltas handled oracle-side: DuckDB
+    dayofweek is 0=Sunday (Spark 1=Sunday → +1); epoch() vs unix_timestamp
+    (both UTC because the session timezone is pinned)."""
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_linenumber") == 1)
+    return li.select(
+        "l_orderkey", "l_linenumber",
+        F.year("l_shipdate").alias("ship_year"),
+        F.month("l_shipdate").alias("ship_month"),
+        F.dayofmonth("l_shipdate").alias("ship_day"),
+        F.dayofweek("l_shipdate").alias("ship_dow"),
+        F.date_trunc("day", "l_shipdate").alias("ship_day_ts"),
+        F.datediff(F.lit("1998-12-31").cast("date"),
+                   F.col("l_shipdate").cast("date")).alias("days_to_eoy"),
+        F.unix_timestamp("l_shipdate").alias("ship_epoch"),
+    )
+
+
+@query(
+    "q_math_funcs",
+    oracle="""
+    SELECT s_suppkey,
+           ROUND(abs(s_acctbal), 2) AS abs_bal,
+           CAST(floor(s_acctbal) AS BIGINT) AS floor_bal,
+           CAST(ceil(s_acctbal) AS BIGINT) AS ceil_bal,
+           ROUND(sqrt(abs(s_acctbal)), 6) AS sqrt_bal,
+           ROUND(ln(abs(s_acctbal) + 1.0), 6) AS ln_bal,
+           ROUND(log10(abs(s_acctbal) + 1.0), 6) AS log10_bal,
+           ROUND(pow(s_acctbal / 1000.0, 2), 6) AS pow_bal,
+           s_suppkey % 7 AS key_mod,
+           CAST(sign(s_acctbal) AS BIGINT) AS bal_sign
+    FROM supplier
+    """,
+)
+def q_math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """I3 math family (round/floor/ceil/sqrt/ln/log10/pow/mod/sign).
+
+    pmod == % for the non-negative key domain; both engines' libm-backed
+    sqrt/ln/log10 are correctly-rounded doubles, so ROUND(…,6) is safe.
+    """
+    s = load(spark, sf_dir, "supplier")
+    bal = F.col("s_acctbal")
+    return s.select(
+        "s_suppkey",
+        F.round(F.abs(bal), 2).alias("abs_bal"),
+        F.floor(bal).alias("floor_bal"),
+        F.ceil(bal).alias("ceil_bal"),
+        F.round(F.sqrt(F.abs(bal)), 6).alias("sqrt_bal"),
+        F.round(F.log(F.abs(bal) + 1.0), 6).alias("ln_bal"),
+        F.round(F.log10(F.abs(bal) + 1.0), 6).alias("log10_bal"),
+        F.round(F.pow(bal / 1000.0, 2), 6).alias("pow_bal"),
+        F.pmod("s_suppkey", F.lit(7)).alias("key_mod"),
+        F.signum(bal).cast("bigint").alias("bal_sign"),
+    )
+
+
+@query(
+    "q_case_when",
+    oracle="""
+    SELECT event_id,
+           CASE WHEN value >= 100.0 THEN 'high'
+                WHEN value >= 30.0 THEN 'mid'
+                ELSE 'low' END AS tier,
+           coalesce(nullif(event_type, 'view'), 'filtered') AS type_or_flag,
+           ROUND(greatest(value, 50.0), 2) AS val_floor50,
+           ROUND(least(value, 200.0), 2) AS val_cap200
+    FROM events
+    """,
+)
+def q_case_when(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """I4 conditional/null family: CASE, coalesce∘nullif, greatest/least."""
+    ev = load(spark, sf_dir, "events")
+    v = F.col("value")
+    return ev.select(
+        "event_id",
+        F.when(v >= 100.0, "high").when(v >= 30.0, "mid").otherwise("low")
+        .alias("tier"),
+        F.coalesce(F.nullif(F.col("event_type"), F.lit("view")),
+                   F.lit("filtered")).alias("type_or_flag"),
+        F.round(F.greatest(v, F.lit(50.0)), 2).alias("val_floor50"),
+        F.round(F.least(v, F.lit(200.0)), 2).alias("val_cap200"),
+    )
+
+
+@query(
+    "q_array_funcs",
+    oracle="""
+    SELECT vec_id,
+           len(embedding) AS n_dims,
+           ROUND(CAST(embedding[1] AS DOUBLE), 6) AS first_val,
+           ROUND(CAST(list_max(embedding) AS DOUBLE), 6) AS max_val,
+           ROUND(CAST(list_min(embedding) AS DOUBLE), 6) AS min_val,
+           len(list_filter(embedding, x -> x > 0)) AS n_pos,
+           ROUND(list_sum(list_transform(embedding,
+                 x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), 6) AS sq_norm
+    FROM embeddings
+    """,
+)
+def q_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """I5 array family over the 64-dim embedding column: size/index/minmax/
+    filter/transform/aggregate. float32 elements are cast to double BEFORE
+    arithmetic on both sides so the products are bit-identical."""
+    e = load(spark, sf_dir, "embeddings")
+    emb = F.col("embedding")
+    dbl = F.transform(emb, lambda x: x.cast("double"))
+    return e.select(
+        "vec_id",
+        F.size(emb).alias("n_dims"),
+        F.round(F.element_at(emb, 1).cast("double"), 6).alias("first_val"),
+        F.round(F.array_max(emb).cast("double"), 6).alias("max_val"),
+        F.round(F.array_min(emb).cast("double"), 6).alias("min_val"),
+        F.size(F.filter(emb, lambda x: x > 0)).alias("n_pos"),
+        F.round(
+            F.aggregate(dbl, F.lit(0.0), lambda acc, x: acc + x * x), 6
+        ).alias("sq_norm"),
+    )
+
+
+@query(
+    "q_map_funcs",
+    oracle="""
+    SELECT event_id,
+           map(['type', 'tier'],
+               [event_type, CASE WHEN value > 50.0 THEN 'hi' ELSE 'lo' END]
+              )['type'][1] AS m_type,
+           2 AS n_keys
+    FROM events WHERE event_id < 1000
+    """,
+)
+def q_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """I6 map family: construct a map column, then extract scalars from it
+    (raw map output is avoided — engines serialize maps differently, so the
+    oracle compares the element_at/size results instead)."""
+    ev = load(spark, sf_dir, "events").filter(F.col("event_id") < 1000)
+    m = F.create_map(
+        F.lit("type"), F.col("event_type"),
+        F.lit("tier"), F.when(F.col("value") > 50.0, "hi").otherwise("lo"),
+    )
+    return ev.select(
+        "event_id",
+        F.element_at(m, "type").alias("m_type"),
+        F.size(F.map_keys(m)).alias("n_keys"),
+    )
+
+
+@query(
+    "q_json_extract",
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_val,
+           json_extract_string(props, '$.k') AS k_str,
+           CASE WHEN json_extract_string(props, '$.k') IS NOT NULL
+                THEN 1 ELSE 0 END AS has_k,
+           CAST(json_extract_string(props, '$.missing') AS INTEGER)
+               AS missing_val
+    FROM events
+    """,
+)
+def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """I7 JSON family over events.props (verified JSON strings):
+    get_json_object / from_json / existence / missing-path null."""
+    ev = load(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k")
+    return ev.select(
+        "event_id",
+        F.from_json("props", "k INT").getField("k").alias("k_val"),
+        k.alias("k_str"),
+        F.when(k.isNotNull(), 1).otherwise(0).alias("has_k"),
+        F.get_json_object("props", "$.missing").cast("int")
+        .alias("missing_val"),
+    )
+
+
+@query(
+    "q_hash_funcs",
+    oracle="""
+    SELECT doc_id,
+           md5(text) AS text_md5,
+           sha256(text) AS text_sha256,
+           length(md5(text)) AS md5_len
+    FROM documents
+    """,
+)
+def q_hash_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """I8 hash family with cross-engine-stable digests (md5/sha256).
+
+    Engine-specific hashes (xxhash64, hash, monotonically_increasing_id)
+    are exercised in the minhash/simhash operators (rows-only checks) —
+    their values are Spark-internal by definition.
+    """
+    d = load(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.md5("text").alias("text_md5"),
+        F.sha2("text", 256).alias("text_sha256"),
+        F.length(F.md5("text")).alias("md5_len"),
+    )

@@ -1,1 +1,161 @@
-"""Placeholder — populated in SURVEY.md §7 build order."""
+"""UDF / UDAF / UDTF surface (SURVEY.md §2.J).
+
+The reference's user functions are arbitrary Scala bodies
+(``MapFunction``/``ProcessFunction``). Engine policy: built-ins first
+(everything in scalar_funcs/relational is pure Catalyst); when Python is
+genuinely needed, Arrow-batched pandas UDFs — the row-at-a-time UDF (J1)
+exists as a single demonstration and is deliberately NOT used elsewhere.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf, udtf
+from pyspark.sql.types import StringType
+
+from flink_tutorial_broadcast_spark.io import load
+from flink_tutorial_broadcast_spark.registry import query
+
+# deterministic probe for the cosine demo: the all-ones direction
+_PROBE = [1.0] * 64
+_PROBE_SQL = "[" + ", ".join("1.0" for _ in range(64)) + "]"
+
+
+@query(
+    "q_py_udf",
+    oracle="""
+    SELECT event_id,
+           CASE WHEN value >= 100.0 THEN 'HIGH'
+                WHEN value >= 30.0 THEN 'MID'
+                ELSE 'LOW' END AS tier
+    FROM events WHERE event_id < 2000
+    """,
+)
+def q_py_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1 row-at-a-time Python UDF (the slow path, kept as a demo).
+
+    Identical logic to a CASE expression so the oracle can check it; the
+    real engine rule is in q_case_when — this exists to cover the surface.
+    """
+    @F.udf(returnType=StringType())
+    def tier(v: float) -> str:
+        if v >= 100.0:
+            return "HIGH"
+        return "MID" if v >= 30.0 else "LOW"
+
+    ev = load(spark, sf_dir, "events").filter(F.col("event_id") < 2000)
+    return ev.select("event_id", tier("value").alias("tier"))
+
+
+@query(
+    "q_pandas_udf_cosine",
+    oracle=f"""
+    SELECT vec_id,
+           ROUND(list_cosine_similarity(
+               list_transform(embedding, x -> CAST(x AS DOUBLE)),
+               {_PROBE_SQL}), 4) AS cos_sim
+    FROM embeddings
+    """,
+)
+def q_pandas_udf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2 vectorized scalar pandas UDF: cosine(embedding, probe) over Arrow
+    batches — the kernel the K3 similarity ops reuse. ~10-100× the J1 path.
+    """
+    import numpy as np
+
+    @pandas_udf("double")
+    def cos_probe(embs: pd.Series) -> pd.Series:
+        mat = np.stack(embs.to_numpy()).astype("float64")  # (batch, 64)
+        probe = np.asarray(_PROBE)
+        dots = mat @ probe
+        norms = np.linalg.norm(mat, axis=1) * np.linalg.norm(probe)
+        return pd.Series(dots / norms)
+
+    e = load(spark, sf_dir, "embeddings")
+    return e.select(
+        "vec_id", F.round(cos_probe("embedding"), 4).alias("cos_sim"))
+
+
+@query(
+    "q_udaf_grouped",
+    oracle="""
+    SELECT event_type, ROUND(median(value), 4) AS median_value
+    FROM events GROUP BY 1
+    """,
+)
+def q_udaf_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3 UDAF via GROUPED_AGG pandas UDF: exact median per key (a
+    non-partial-aggregatable statistic — the case where a custom
+    accumulator is genuinely required; cf. q_agg_custom for the
+    partial-aggregatable formulation)."""
+    @pandas_udf("double")
+    def median_udaf(v: pd.Series) -> float:
+        return float(v.median())
+
+    return (
+        load(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.round(median_udaf("value"), 4).alias("median_value"))
+    )
+
+
+@udtf(returnType="token string, token_len int")
+class SplitTokensUDTF:
+    """J4 UDTF: 1 text row → N (token, len) rows (Flink flatMap-with-schema)."""
+
+    def eval(self, text: str):
+        if text:
+            for t in text.split(" "):
+                yield t, len(t)
+
+
+@query(
+    "q_udtf_split",
+    oracle="""
+    SELECT d.doc_id, t.token AS token, length(t.token) AS token_len
+    FROM documents d, unnest(string_split(d.text, ' ')) AS t(token)
+    WHERE d.doc_id < 50
+    """,
+)
+def q_udtf_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4 Python UDTF applied via LATERAL join."""
+    docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    docs.createOrReplaceTempView("udtf_docs_in")
+    spark.udtf.register("split_tokens", SplitTokensUDTF)
+    return spark.sql(
+        "SELECT d.doc_id, s.token, s.token_len "
+        "FROM udtf_docs_in d, LATERAL split_tokens(d.text) s"
+    )
+
+
+@query(
+    "q_grouped_map",
+    oracle="""
+    SELECT event_id, user_id,
+           ROUND(value - AVG(value) OVER (PARTITION BY user_id), 8)
+               AS centered
+    FROM events
+    """,
+)
+def q_grouped_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J5 grouped-map applyInPandas — the ``ProcessFunction`` analogue:
+    arbitrary per-key pandas logic (here mean-centering each user's values,
+    re-expressible in SQL so the oracle can verify the plumbing)."""
+    def center(pdf: pd.DataFrame) -> pd.DataFrame:
+        out = pdf[["event_id", "user_id"]].copy()
+        # no pandas .round() here — numpy rounds half-to-even, DuckDB/Spark
+        # round half-away; final rounding happens JVM-side below. Precision 8:
+        # group means terminate at ~5 decimals (2-decimal sums / group count),
+        # so 4-decimal rounding would sit exactly on half boundaries
+        out["centered"] = pdf["value"] - pdf["value"].mean()
+        return out
+
+    return (
+        load(spark, sf_dir, "events")
+        .select("event_id", "user_id", "value")
+        .groupBy("user_id")
+        .applyInPandas(center, "event_id long, user_id long, centered double")
+        .withColumn("centered", F.round("centered", 8))
+    )

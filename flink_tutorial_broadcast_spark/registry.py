@@ -36,6 +36,7 @@ _QUERY_MODULES = (
     "flink_tutorial_broadcast_spark.operators.scalar_funcs",
     "flink_tutorial_broadcast_spark.operators.udf_surface",
     "flink_tutorial_broadcast_spark.operators.llm_ops",
+    "flink_tutorial_broadcast_spark.operators.multimodal",
 )
 
 
