@@ -1,0 +1,296 @@
+"""Streaming jobs — the reference's dataflow shapes on micro-batch execution.
+
+Each job runs a bounded demo (``trigger(availableNow=True)`` over the
+fixture stream) and returns the materialized result so tests can assert
+streaming ≡ batch. The same code runs unbounded by dropping the trigger.
+
+Reference anchors (SURVEY.md §0 canonical program):
+- tumbling/sliding/session window aggs  ← TumblingEventTimeWindows et al.
+- watermarking                          ← WatermarkStrategy.forBoundedOutOfOrderness
+- stateful dedup                        ← KeyedProcessFunction + ValueState
+- broadcast rule refresh per batch      ← KeyedBroadcastProcessFunction
+                                          .processBroadcastElement (§7 hard part 1:
+                                          per-micro-batch consistency, documented
+                                          divergence from per-record)
+- keyed state + timers                  ← transformWithStateInPandas (E7)
+"""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from flink_tutorial_broadcast_spark.sources.rules import rules_df
+from flink_tutorial_broadcast_spark.streaming.sources import (
+    checkpoint_dir,
+    stream_events,
+)
+
+
+def _run_to_memory(sdf: DataFrame, output_mode: str = "append") -> DataFrame:
+    """Execute a bounded streaming query into a memory sink; return result."""
+    name = f"mem_{uuid.uuid4().hex[:8]}"
+    q = (
+        sdf.writeStream.format("memory").queryName(name)
+        .outputMode(output_mode)
+        .option("checkpointLocation", checkpoint_dir())
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return sdf.sparkSession.sql(f"SELECT * FROM {name}")
+
+
+def tumbling_window_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E1+E5: watermarked tumbling 1h window counts (streaming form of
+    q_window_tumbling; append mode emits only watermark-finalized windows)."""
+    ev = stream_events(spark, sf_dir).withWatermark("ts", "10 minutes")
+    agg = (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n_events"),
+             F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(F.col("w.start").alias("window_start"), "event_type",
+                "n_events", "sum_value")
+    )
+    return _run_to_memory(agg, "append")
+
+
+def session_window_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E3 streaming session windows (30min gap) per user."""
+    ev = stream_events(spark, sf_dir).withWatermark("ts", "10 minutes")
+    agg = (
+        ev.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select("user_id", F.col("w.start").alias("session_start"),
+                "n_events")
+    )
+    return _run_to_memory(agg, "append")
+
+
+def streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E8: keyed stateful dedup — keep the first (user_id, event_type) event
+    within the watermark horizon (``dropDuplicatesWithinWatermark``), the
+    engine-native form of Flink's ValueState keep-first ProcessFunction."""
+    ev = stream_events(spark, sf_dir).withWatermark("ts", "1 hour")
+    dedup = ev.dropDuplicatesWithinWatermark(["user_id", "event_type"])
+    return _run_to_memory(dedup.select("event_id", "user_id", "event_type"))
+
+
+def broadcast_rules_stream(
+    spark: SparkSession, sf_dir: str, rules_source=None
+) -> DataFrame:
+    """E9 — THE reference pattern: keyed event stream ⋈ mutable broadcast
+    rule set.
+
+    Flink replicates a rule stream into per-subtask broadcast state and
+    mutates it per record (``processBroadcastElement``). Spark has no
+    writable broadcast state; the idiomatic emulation is ``foreachBatch``:
+    every micro-batch re-evaluates ``rules_source()`` (a table read in
+    production — here any callable returning the current rules DataFrame)
+    and broadcast-joins it. Consistency is per-micro-batch, not per-record
+    — the documented divergence (SURVEY.md §7 hard part 1).
+    """
+    if rules_source is None:
+        rules_source = lambda: rules_df(spark)  # noqa: E731
+    ev = stream_events(spark, sf_dir)
+    name = f"mem_{uuid.uuid4().hex[:8]}"
+    spark.createDataFrame(
+        [], "event_id long, event_type string, value double, severity string"
+    ).createOrReplaceTempView(name)
+    sink: list = []
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        rules = rules_source()  # re-read → picks up rule mutations
+        matched = batch_df.join(
+            F.broadcast(rules),
+            (batch_df.event_type == rules.rule_event_type)
+            & (batch_df.value > rules.threshold),
+        ).select("event_id", "event_type", "value", "severity")
+        sink.extend(matched.collect())
+
+    q = (
+        ev.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir())
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.createDataFrame(
+        sink, "event_id long, event_type string, value double, severity string"
+    )
+
+
+def late_data_dlq_stream(spark: SparkSession, sf_dir: str,
+                         watermark: str = "10 minutes") -> tuple[DataFrame, DataFrame]:
+    """E6 late-data side output emulation: Spark silently drops rows later
+    than the watermark; the DLQ pattern splits each micro-batch against the
+    current watermark bound inside foreachBatch (Flink's
+    ``sideOutputLateData`` analogue; demo-grade)."""
+    ev = stream_events(spark, sf_dir).withWatermark("ts", watermark)
+    on_time: list = []
+    late: list = []
+
+    horizon: list = [None]  # watermark bound as of the PREVIOUS batch
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        # Spark semantics: a row is late when it arrives BELOW the watermark
+        # established by earlier batches — the first batch is never late.
+        bound = horizon[0]
+        if bound is None:
+            on_time.extend(batch_df.select("event_id").collect())
+        else:
+            on_time.extend(
+                batch_df.filter(F.col("ts") >= bound)
+                .select("event_id").collect())
+            late.extend(
+                batch_df.filter(F.col("ts") < bound)
+                .select("event_id").collect())
+        new_max = batch_df.agg(
+            F.max("ts") - F.expr(f"INTERVAL {watermark}")).collect()[0][0]
+        if new_max is not None and (bound is None or new_max > bound):
+            horizon[0] = new_max
+
+    q = (
+        ev.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir())
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    mk = lambda rows: spark.createDataFrame(rows, "event_id long")  # noqa: E731
+    return mk(on_time or []), mk(late or [])
+
+
+def keyed_state_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E7/E8 arbitrary keyed state via ``applyInPandasWithState``: a
+    per-user running (count, sum, max) state tuple updated each micro-batch
+    — the ``KeyedProcessFunction`` + ``ValueState`` analogue.
+
+    Spark 4's ``transformWithStateInPandas`` (typed ValueState/MapState/
+    ListState + timers — the closer Flink analogue) is implemented in
+    ``keyed_state_stream_tws`` but requires google.protobuf, which this
+    container lacks; ``applyInPandasWithState`` is the engine's portable
+    path and carries identical semantics for this state shape.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update(key, pdf_iter, state: GroupState):
+        if state.exists:
+            n, total, vmax = state.get
+        else:
+            n, total, vmax = 0, 0.0, float("-inf")
+        for pdf in pdf_iter:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+            vmax = max(vmax, float(pdf["value"].max()))
+        state.update((n, total, vmax))
+        yield pd.DataFrame({
+            "user_id": [key[0]], "n_events": [n],
+            "total_value": [round(total, 2)], "max_value": [vmax],
+        })
+
+    ev = stream_events(spark, sf_dir).select("user_id", "value")
+    out = ev.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=(
+            "user_id long, n_events long, total_value double, "
+            "max_value double"),
+        stateStructType="n long, total double, vmax double",
+        outputMode="Update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    return _run_to_memory(out, "update")
+
+
+def keyed_state_stream_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E7 keyed state + timers via ``transformWithStateInPandas``
+    (Spark ≥4.0 typed-state API; the closest ``KeyedProcessFunction``
+    analogue). Requires google.protobuf at runtime — unavailable in this
+    container, so this path is import-gated and exercised only where the
+    dependency exists."""
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+    except ImportError as exc:  # pragma: no cover - env-dependent
+        raise NotImplementedError(
+            "transformWithStateInPandas needs google.protobuf; use "
+            "keyed_state_stream (applyInPandasWithState) instead") from exc
+
+    import pandas as pd
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+    from pyspark.sql.types import (
+        DoubleType, LongType, StructField, StructType,
+    )
+
+    state_schema = StructType([
+        StructField("n", LongType()),
+        StructField("total", DoubleType()),
+        StructField("vmax", DoubleType()),
+    ])
+
+    class RunningAgg(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState("agg", state_schema)
+
+        def handleInputRows(self, key, rows, timerValues):
+            n, total, vmax = 0, 0.0, float("-inf")
+            if self._state.exists():
+                n, total, vmax = self._state.get()
+            for pdf in rows:
+                n += len(pdf)
+                total += float(pdf["value"].sum())
+                vmax = max(vmax, float(pdf["value"].max()))
+            self._state.update((n, total, vmax))
+            yield pd.DataFrame({
+                "user_id": [key[0]], "n_events": [n],
+                "total_value": [round(total, 2)], "max_value": [vmax],
+            })
+
+        def close(self) -> None:
+            pass
+
+    ev = stream_events(spark, sf_dir).select("user_id", "value")
+    out = (
+        ev.groupBy("user_id")
+        .transformWithStateInPandas(
+            RunningAgg(),
+            outputStructType=(
+                "user_id long, n_events long, total_value double, "
+                "max_value double"),
+            outputMode="Update",
+            timeMode="None",
+        )
+    )
+    return _run_to_memory(out, "update")
+
+
+def interval_join_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C7 streaming form: stream-stream interval join with watermarks —
+    errors within ±5 minutes of a purchase by the same user (matches
+    q_interval_join's batch semantics for fully-arrived data)."""
+    ev = stream_events(spark, sf_dir)
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(F.col("event_id").alias("purchase_id"),
+                F.col("user_id"), F.col("ts").alias("p_ts"))
+        .withWatermark("p_ts", "10 minutes")
+    )
+    e = (
+        ev.filter(F.col("event_type") == "error")
+        .select(F.col("event_id").alias("error_id"),
+                F.col("user_id").alias("e_user_id"),
+                F.col("ts").alias("e_ts"))
+        .withWatermark("e_ts", "10 minutes")
+    )
+    joined = p.join(
+        e,
+        (p.user_id == e.e_user_id)
+        & (e.e_ts >= p.p_ts - F.expr("INTERVAL 5 MINUTES"))
+        & (e.e_ts <= p.p_ts + F.expr("INTERVAL 5 MINUTES")),
+    ).select("purchase_id", "error_id", "user_id")
+    return _run_to_memory(joined)

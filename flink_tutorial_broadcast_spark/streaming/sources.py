@@ -1,0 +1,69 @@
+"""Streaming sources (SURVEY.md §2.A streaming rows).
+
+The fixtures are single parquet files; Spark's file stream source lists a
+directory, so we expose each table through a per-session symlink directory
+(zero copy — the read-only fixture is never touched). A rate-source shaper
+covers the custom-``SourceFunction`` analogue.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from flink_tutorial_broadcast_spark.io import SCHEMAS
+
+_STREAM_DIRS: dict[str, str] = {}
+
+
+def _stream_dir(sf_dir: str, table: str) -> str:
+    """Symlink directory wrapping one fixture parquet file (cached)."""
+    key = f"{sf_dir}:{table}"
+    if key not in _STREAM_DIRS:
+        d = tempfile.mkdtemp(prefix=f"stream_{table}_")
+        os.symlink(os.path.join(sf_dir, f"{table}.parquet"),
+                   os.path.join(d, f"{table}.parquet"))
+        _STREAM_DIRS[key] = d
+    return _STREAM_DIRS[key]
+
+
+def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The mainStream analogue: events as a file-source stream.
+
+    Mirrors io.load("events"): scans the timestamp[ns] column as int64
+    nanos and converts to µs TimestampType, so streaming and batch
+    formulations see byte-identical data.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    sdf = (
+        spark.readStream.schema(SCHEMAS["events"])
+        .parquet(_stream_dir(sf_dir, "events"))
+    )
+    return sdf.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+
+
+def rate_events(spark: SparkSession, rows_per_second: int = 100) -> DataFrame:
+    """Custom-SourceFunction analogue (Flink ``SourceFunction``):
+    the rate source shaped into the events schema — an endless synthetic
+    event feed for soak/demo runs."""
+    rate = spark.readStream.format("rate") \
+        .option("rowsPerSecond", rows_per_second).load()
+    return rate.select(
+        F.col("value").alias("event_id"),
+        F.col("timestamp").alias("ts"),
+        (F.col("value") % 100).alias("user_id"),
+        F.element_at(
+            F.array(*[F.lit(t) for t in
+                      ("click", "view", "purchase", "signup", "error")]),
+            (F.col("value") % 5 + 1).cast("int")).alias("event_type"),
+        (F.pmod(F.col("value") * 37, F.lit(500)) / F.lit(1.0)).alias("value"),
+        F.to_json(F.struct((F.col("value") % 100).alias("k"))).alias("props"),
+    )
+
+
+def checkpoint_dir() -> str:
+    """Fresh checkpoint location (offset/commit logs + state store)."""
+    return tempfile.mkdtemp(prefix="ckpt_")

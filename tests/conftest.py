@@ -1,0 +1,41 @@
+"""Shared pytest fixtures: one engine SparkSession for the whole run."""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SF_SMOKE = "/root/testdata/sf0.001"
+SF_CHECK = "/root/testdata/sf0.01"
+
+
+@pytest.fixture(scope="session")
+def spark():
+    from flink_tutorial_broadcast_spark.session import get_spark
+    s = get_spark("pytest", master="local[8]")
+    s.sparkContext.setLogLevel("ERROR")
+    yield s
+
+
+@pytest.fixture(scope="session")
+def queries():
+    from flink_tutorial_broadcast_spark import load_all_queries
+    return load_all_queries()
+
+
+@pytest.fixture(scope="session")
+def duck():
+    import duckdb
+
+    from flink_tutorial_broadcast_spark.io import TABLES
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{SF_SMOKE}/{t}.parquet')"
+        )
+    return con

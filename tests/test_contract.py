@@ -1,0 +1,42 @@
+"""Driver-contract tests: entry smoke, registry shape, oracle alignment."""
+
+from __future__ import annotations
+
+import pytest
+
+from tests.conftest import SF_SMOKE
+
+
+def test_entry_returns_rows(spark):
+    import __spark_entry__ as e
+    df = e.entry(spark)
+    assert df.count() > 0
+    assert set(df.columns) == {
+        "event_type", "severity", "window_start", "n_matches",
+        "sum_value", "n_users"}
+
+
+def test_oracle_keys_subset_of_queries():
+    import __spark_entry__ as e
+    q, o = e.queries(), e.oracle_sql()
+    assert set(o) <= set(q)
+    # every oracle-less query is an intentional rows-only op
+    rows_only = set(q) - set(o)
+    assert rows_only == {
+        "q_approx_distinct", "q_dedup_minhash", "q_simhash",
+        "q_knn_ivf", "q_media_features"}
+
+
+def test_query_columns_match_oracle_columns(spark, queries, duck):
+    """The driver sorts columns by name before hashing — a name mismatch
+    fails every value comparison. Assert alignment for every oracle pair."""
+    import __spark_entry__ as e
+    for name, sql in e.oracle_sql().items():
+        sdf = queries[name](spark, SF_SMOKE)
+        ocols = [d[0] for d in duck.execute(sql).description]
+        assert sorted(sdf.columns) == sorted(ocols), name
+
+
+def test_all_queries_run_at_smoke_sf(spark, queries):
+    for name, fn in queries.items():
+        assert fn(spark, SF_SMOKE).count() >= 0, name

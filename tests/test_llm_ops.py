@@ -1,0 +1,83 @@
+"""Property tests for the hash-dependent LLM-pipeline ops (rows-only in the
+driver check — these tests are their real correctness gate)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_CHECK, SF_SMOKE
+
+
+def _pairs(df):
+    return {(r["doc_a"], r["doc_b"]) for r in df.collect()}
+
+
+def test_minhash_recalls_exact_neardups(spark, queries):
+    """Every verified-output pair is a true ≥0.5-jaccard pair, and LSH
+    recall over the exact pair set is high (16 hashes / 4 bands)."""
+    exact = _pairs(queries["q_dedup_near"](spark, SF_CHECK))
+    lsh = _pairs(queries["q_dedup_minhash"](spark, SF_CHECK))
+    exact_subset = {p for p in exact}  # q_dedup_near limited to doc_id < 200
+    lsh_subset = {(a, b) for a, b in lsh if a < 200 and b < 200}
+    # precision: minhash output is verified by exact jaccard → no false pairs
+    assert lsh_subset <= exact_subset
+    if exact_subset:
+        recall = len(lsh_subset & exact_subset) / len(exact_subset)
+        assert recall >= 0.6, (recall, exact_subset, lsh_subset)
+
+
+def test_simhash_deterministic_and_close_for_neardups(spark, queries):
+    sh = {r["doc_id"]: r["simhash"]
+          for r in queries["q_simhash"](spark, SF_CHECK).collect()}
+    sh2 = {r["doc_id"]: r["simhash"]
+           for r in queries["q_simhash"](spark, SF_CHECK).collect()}
+    assert sh == sh2  # deterministic across runs
+    near = _pairs(queries["q_dedup_near"](spark, SF_CHECK))
+    for a, b in near:
+        dist = bin((sh[a] ^ sh[b]) & ((1 << 64) - 1)).count("1")
+        assert dist <= 16, (a, b, dist)
+
+
+def test_ivf_recall_vs_bruteforce(spark, queries):
+    exact = {(r["p_id"], r["vec_id"])
+             for r in queries["q_knn_bruteforce"](spark, SF_CHECK).collect()}
+    ivf = {(r["p_id"], r["vec_id"])
+           for r in queries["q_knn_ivf"](spark, SF_CHECK).collect()}
+    recall = len(exact & ivf) / len(exact)
+    # nprobe=2 of 8 clusters → partial recall by design; must beat chance
+    assert recall >= 0.4, recall
+
+
+def test_knn_excludes_self_and_is_topk(spark, queries):
+    rows = queries["q_knn_bruteforce"](spark, SF_CHECK).collect()
+    assert all(r["p_id"] != r["vec_id"] for r in rows)
+    per_probe = {}
+    for r in rows:
+        per_probe.setdefault(r["p_id"], []).append(r)
+    for p, rs in per_probe.items():
+        assert len(rs) == 5
+        sims = [r["cos_sim"] for r in sorted(rs, key=lambda r: r["rn"])]
+        assert sims == sorted(sims, reverse=True), p
+
+
+def test_dedup_exact_survivors_unique(spark, queries):
+    df = queries["q_dedup_exact"](spark, SF_SMOKE)
+    assert df.select("content_hash").distinct().count() == df.count()
+    assert df.agg(F.sum("n_copies")).collect()[0][0] == 500
+
+
+def test_media_features_deterministic_schema_and_values(spark, queries):
+    df = queries["q_media_features"](spark, SF_SMOKE)
+    assert df.columns == ["doc_id", "width", "height", "channels", "mean_byte"]
+    rows = {r["doc_id"]: (r["width"], r["height"]) for r in df.collect()}
+    rows2 = {r["doc_id"]: (r["width"], r["height"]) for r in
+             queries["q_media_features"](spark, SF_SMOKE).collect()}
+    assert rows == rows2
+    assert all(64 <= w < 641 and 64 <= h < 483 for w, h in rows.values())
+
+
+def test_lang_id_covers_all_docs(spark, queries):
+    df = queries["q_lang_id"](spark, SF_SMOKE)
+    assert df.count() == 500
+    assert df.filter(F.col("predicted_lang").isNull()).count() == 0

@@ -1,0 +1,111 @@
+"""Streaming ≡ batch equivalence tests (SURVEY.md §5.3 streaming strategy).
+
+Bounded streams (availableNow) over the same fixture must reproduce the
+batch operators' results — the micro-batch model's window/watermark
+semantics match the batch formulations for fully-arrived data.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from flink_tutorial_broadcast_spark.streaming import jobs
+from tests.conftest import SF_SMOKE
+
+
+def _kv(df, keys, val):
+    return {tuple(r[k] for k in keys): r[val] for r in df.collect()}
+
+
+def test_streaming_tumbling_equals_batch(spark, queries):
+    batch = queries["q_window_tumbling"](spark, SF_SMOKE)
+    stream = jobs.tumbling_window_stream(spark, SF_SMOKE)
+    bk = _kv(batch, ("window_start", "event_type"), "n_events")
+    sk = _kv(stream, ("window_start", "event_type"), "n_events")
+    # append mode emits only watermark-finalized windows; every emitted
+    # window must match the batch result exactly, and nearly all must emit
+    assert sk
+    for k, v in sk.items():
+        assert bk[k] == v, k
+    assert len(sk) >= len(bk) - 10  # tail windows may stay open
+
+
+def test_streaming_session_equals_batch(spark, queries):
+    batch = queries["q_window_session"](spark, SF_SMOKE)
+    stream = jobs.session_window_stream(spark, SF_SMOKE)
+    bk = _kv(batch, ("user_id", "session_start"), "n_events")
+    sk = _kv(stream, ("user_id", "session_start"), "n_events")
+    assert sk
+    for k, v in sk.items():
+        assert bk[k] == v, k
+
+
+def test_streaming_dedup_matches_batch_keyspace(spark, queries):
+    stream = jobs.streaming_dedup(spark, SF_SMOKE)
+    batch = queries["q_dedup_first_event"](spark, SF_SMOKE)
+    # one survivor per (user, type); same key set as the batch form
+    skeys = {(r["user_id"], r["event_type"]) for r in stream.collect()}
+    bkeys = {(r["user_id"], r["event_type"]) for r in batch.collect()}
+    assert skeys == bkeys
+
+
+def test_broadcast_rules_stream_equals_batch_join(spark):
+    from flink_tutorial_broadcast_spark.operators.flagship import (
+        broadcast_rule_matches,
+    )
+    stream = jobs.broadcast_rules_stream(spark, SF_SMOKE)
+    batch = broadcast_rule_matches(spark, SF_SMOKE)
+    assert stream.count() == batch.count()
+    s_ids = {r["event_id"] for r in stream.select("event_id").collect()}
+    b_ids = {r["event_id"] for r in batch.select("event_id").collect()}
+    assert s_ids == b_ids
+
+
+def test_broadcast_rules_stream_sees_mutated_rules(spark):
+    """E9: mutating the rule source changes matching — the foreachBatch
+    re-read picks up the new rule set (per-micro-batch consistency)."""
+    from flink_tutorial_broadcast_spark.sources.rules import RULES_SCHEMA
+    strict = spark.createDataFrame(
+        [(t, 1e9, s) for t, _th, s in
+         [("click", 0, "low"), ("view", 0, "low"), ("purchase", 0, "high"),
+          ("signup", 0, "medium"), ("error", 0, "high")]], RULES_SCHEMA)
+    out = jobs.broadcast_rules_stream(spark, SF_SMOKE,
+                                      rules_source=lambda: strict)
+    assert out.count() == 0  # thresholds of 1e9 → nothing fires
+
+
+def test_keyed_state_stream_totals_match_batch(spark):
+    stream = jobs.keyed_state_stream(spark, SF_SMOKE)
+    from flink_tutorial_broadcast_spark.io import load
+    batch = (
+        load(spark, SF_SMOKE, "events")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n_events"),
+             F.round(F.sum("value"), 2).alias("total_value"),
+             F.max("value").alias("max_value"))
+    )
+    sk = _kv(stream, ("user_id",), "n_events")
+    bk = _kv(batch, ("user_id",), "n_events")
+    assert sk == bk
+    st = _kv(stream, ("user_id",), "total_value")
+    bt = _kv(batch, ("user_id",), "total_value")
+    for k in bt:
+        assert abs(st[k] - bt[k]) < 0.05, k
+
+
+def test_interval_join_stream_matches_batch(spark, queries):
+    stream = jobs.interval_join_stream(spark, SF_SMOKE)
+    batch = queries["q_interval_join"](spark, SF_SMOKE)
+    spairs = {(r["purchase_id"], r["error_id"]) for r in stream.collect()}
+    bpairs = {(r["purchase_id"], r["error_id"]) for r in batch.collect()}
+    # stream-stream join may hold back rows near the watermark frontier;
+    # everything emitted must be a true batch pair
+    assert spairs <= bpairs
+    assert len(spairs) >= len(bpairs) - 2
+
+
+def test_late_data_dlq_single_batch_all_on_time(spark):
+    on_time, late = jobs.late_data_dlq_stream(spark, SF_SMOKE)
+    assert on_time.count() == 1000
+    assert late.count() == 0
