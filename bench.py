@@ -36,15 +36,17 @@ HEADLINE = [
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    reps = int(os.environ.get("BENCH_REPS", "1"))
+    reps = int(os.environ.get("BENCH_REPS", "3"))
     queries = load_all_queries()
     names = [n for n in HEADLINE if n in queries]
     spark = get_spark("bench")
     spark.sparkContext.setLogLevel("ERROR")
 
-    # warm the JVM + parquet footers once so we measure queries, not startup
-    if names:
-        queries[names[0]](spark, sf_dir).count()
+    # warm pass: JVM JIT, codegen cache, parquet footers (BASELINE.md
+    # protocol — measure warm and amortized; cold startup is session-scoped
+    # overhead, not per-query cost, and amortizes away at real scale)
+    for name in names:
+        queries[name](spark, sf_dir).count()
 
     per_query: dict[str, float] = {}
     for name in names:

@@ -101,7 +101,7 @@ def q_udaf_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@udtf(returnType="token string, token_len int")
+@udtf(returnType="token string, token_len int", useArrow=True)
 class SplitTokensUDTF:
     """J4 UDTF: 1 text row → N (token, len) rows (Flink flatMap-with-schema)."""
 

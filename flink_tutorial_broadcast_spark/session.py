@@ -28,6 +28,10 @@ ENGINE_CONF: dict[str, str] = {
     "spark.sql.shuffle.partitions": "32",
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     "spark.sql.execution.arrow.maxRecordsPerBatch": "10000",
+    # Arrow-vectorize Python UDF/UDTF evaluation (row-pickling is the slow
+    # path; these move even the J1/J4 demos onto Arrow batches)
+    "spark.sql.execution.pythonUDF.arrow.enabled": "true",
+    "spark.sql.execution.pythonUDTF.arrow.enabled": "true",
     # fixtures' events.ts is timestamp[ns] — an illegal parquet type for
     # Spark's reader; read the raw int64 nanos and convert in io.load()
     "spark.sql.legacy.parquet.nanosAsLong": "true",
