@@ -30,7 +30,9 @@ HEADLINE = [
     "q_rank",
     "q_dedup_exact",
     "q_knn_bruteforce",
+    "q_knn_vectorized",
     "q_token_counts",
+    "q_tfidf",
 ]
 
 

@@ -61,6 +61,38 @@ def test_knn_excludes_self_and_is_topk(spark, queries):
         assert sims == sorted(sims, reverse=True), p
 
 
+def test_embed_lsh_precision_and_recall(spark, queries):
+    """Sign-LSH candidates verify against the exact cosine predicate
+    (precision 1 by construction); banding recall must beat the ~0.45
+    theoretical floor for cos≈0.35 pairs under 4 bands of 4 bits."""
+    exact = {(r["vec_a"], r["vec_b"])
+             for r in queries["q_dedup_embed"](spark, SF_CHECK).collect()}
+    lsh = {(r["vec_a"], r["vec_b"])
+           for r in queries["q_dedup_embed_lsh"](spark, SF_CHECK).collect()}
+    assert lsh <= exact
+    assert exact, "threshold produced no exact pairs — recalibrate"
+    assert len(lsh) / len(exact) >= 0.3, (len(lsh), len(exact))
+
+
+def test_knn_vectorized_matches_bruteforce(spark, queries):
+    """Two exact algorithms, two physical strategies (array fold vs Arrow
+    numpy matmul) → identical top-k sets and 6-decimal cosines."""
+    bf = {(r["p_id"], r["vec_id"]): r["cos_sim"]
+          for r in queries["q_knn_bruteforce"](spark, SF_CHECK).collect()}
+    vec = {(r["p_id"], r["vec_id"]): r["cos_sim"]
+           for r in queries["q_knn_vectorized"](spark, SF_CHECK).collect()}
+    assert bf.keys() == vec.keys()
+    assert all(abs(bf[k] - vec[k]) < 2e-6 for k in bf)
+
+
+def test_tfidf_idf_floor(spark, queries):
+    """tf-idf of a token present in every document is exactly 0."""
+    df = queries["q_tfidf"](spark, SF_SMOKE)
+    n_docs = df.select("doc_id").distinct().count()
+    everywhere = df.filter(F.col("df") == n_docs)
+    assert everywhere.filter(F.col("tfidf") != 0.0).count() == 0
+
+
 def test_dedup_exact_survivors_unique(spark, queries):
     df = queries["q_dedup_exact"](spark, SF_SMOKE)
     assert df.select("content_hash").distinct().count() == df.count()
