@@ -1,0 +1,231 @@
+"""Extended OLAP surface: pivot, deterministic sampling, exact quantiles,
+statistical aggregates, fuzzy matching, and SQL-entry subqueries.
+
+These round out the engine beyond the reference's streaming operators
+(SURVEY.md §2 engine-surface rows): the ops a 100 TB training-data
+pipeline leans on for rebalancing (stratified sampling), corpus audits
+(quantiles/corr), and fuzzy joins. All are pure Catalyst — no Python in
+any hot path — and every one is oracle-checked.
+
+Sampling note: Spark's native ``df.sample``/``TABLESAMPLE`` is
+seed-dependent and engine-specific, so it cannot hash-match an oracle.
+The portable-and-reproducible form used below — filter on a slice of
+``md5(key)`` — is also the RIGHT tool for training pipelines: the sample
+is stable across engines, re-runs, and cluster sizes, which makes
+dataset versions reproducible. (Spark's ``sample`` remains available;
+it is exercised rows-only in tests/test_operators.py.)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from flink_tutorial_broadcast_spark.io import load
+from flink_tutorial_broadcast_spark.registry import query
+
+_EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+@query(
+    "q_pivot",
+    oracle="""
+    SELECT date_trunc('day', ts) AS day,
+           COUNT(*) FILTER (event_type = 'click')    AS n_click,
+           COUNT(*) FILTER (event_type = 'error')    AS n_error,
+           COUNT(*) FILTER (event_type = 'purchase') AS n_purchase,
+           COUNT(*) FILTER (event_type = 'signup')   AS n_signup,
+           COUNT(*) FILTER (event_type = 'view')     AS n_view
+    FROM events GROUP BY 1
+    """,
+)
+def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (wide aggregation): day × event_type counts as columns.
+
+    Explicit value list ⇒ single-pass hash aggregate (no extra job to
+    discover pivot values, no second shuffle) — the only pivot shape that
+    is sane at 100 TB."""
+    ev = load(spark, sf_dir, "events")
+    piv = (
+        ev.withColumn("day", F.date_trunc("day", "ts"))
+        .groupBy("day")
+        .pivot("event_type", _EVENT_TYPES)
+        .count()
+    )
+    return piv.select(
+        "day", *[F.coalesce(F.col(t), F.lit(0)).alias(f"n_{t}")
+                 for t in _EVENT_TYPES])
+
+
+@query(
+    "q_sample_deterministic",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders
+    WHERE substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 2) < '1a'
+    """,
+)
+def q_sample_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic ~10% sample: keep rows whose md5(key) prefix falls in
+    the first 0x1a/0x100 of hash space. Engine-portable, seed-free, and
+    stable under re-partitioning — the reproducible-dataset sampler."""
+    o = load(spark, sf_dir, "orders")
+    bucket = F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 2)
+    return (
+        o.filter(bucket < "1a")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+    )
+
+
+@query(
+    "q_stratified_sample",
+    oracle="""
+    SELECT event_id, event_type, user_id
+    FROM events
+    WHERE substr(md5(CAST(event_id AS VARCHAR)), 1, 2)
+          < CASE WHEN event_type = 'view' THEN '0d' ELSE 'cd' END
+    """,
+)
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified deterministic sampling: downsample the dominant 'view'
+    class to ~5% while keeping ~80% of everything else — the
+    class-rebalancing pass of a training-data pipeline, as a pure
+    codegen'd filter (no shuffle at all)."""
+    ev = load(spark, sf_dir, "events")
+    bucket = F.substring(F.md5(F.col("event_id").cast("string")), 1, 2)
+    rate = F.when(F.col("event_type") == "view", "0d").otherwise("cd")
+    return (
+        ev.filter(bucket < rate)
+        .select("event_id", "event_type", "user_id")
+    )
+
+
+@query(
+    "q_quantiles",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(quantile_cont(l_extendedprice, 0.25), 4) AS p25,
+           ROUND(quantile_cont(l_extendedprice, 0.50), 4) AS p50,
+           ROUND(quantile_cont(l_extendedprice, 0.75), 4) AS p75,
+           ROUND(quantile_cont(l_extendedprice, 0.99), 4) AS p99
+    FROM lineitem GROUP BY 1
+    """,
+)
+def q_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated quantiles per group (`percentile`, the sort-based
+    exact form; `approx_percentile` is the 100 TB drop-in with the same
+    call shape when exactness can be traded for a single pass)."""
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(*[F.round(F.percentile("l_extendedprice", F.lit(p)), 4)
+               .alias(name)
+               for p, name in [(0.25, "p25"), (0.50, "p50"),
+                               (0.75, "p75"), (0.99, "p99")]])
+    )
+
+
+@query(
+    "q_corr_stats",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+           ROUND(covar_samp(l_quantity, l_extendedprice), 2) AS covar_qp,
+           ROUND(stddev_samp(l_extendedprice), 2) AS sd_price,
+           ROUND(var_samp(l_quantity), 6) AS var_qty
+    FROM lineitem GROUP BY 1
+    """,
+)
+def q_corr_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregates (corr/covar/stddev/variance) per group —
+    single-pass, partial-aggregable, so they scale like any hash agg."""
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(F.round(F.corr("l_quantity", "l_extendedprice"), 6)
+             .alias("corr_qty_price"),
+             F.round(F.covar_samp("l_quantity", "l_extendedprice"), 2)
+             .alias("covar_qp"),
+             F.round(F.stddev_samp("l_extendedprice"), 2).alias("sd_price"),
+             F.round(F.var_samp("l_quantity"), 6).alias("var_qty"))
+    )
+
+
+_FUZZY_LIMIT = 60  # bounded block for the all-pairs oracle form
+
+
+@query(
+    "q_edit_distance",
+    oracle=f"""
+    SELECT a.p_partkey AS key_a, b.p_partkey AS key_b,
+           levenshtein(a.p_name, b.p_name) AS edit_dist
+    FROM part a JOIN part b ON a.p_partkey < b.p_partkey
+    WHERE a.p_partkey < {_FUZZY_LIMIT} AND b.p_partkey < {_FUZZY_LIMIT}
+      AND levenshtein(a.p_name, b.p_name) <= 12
+    """,
+)
+def q_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy matching: Levenshtein pairs within a bounded block (JVM
+    builtin, no Python). At corpus scale the block is a blocking key
+    (e.g. first token / simhash band) instead of a key range — same plan,
+    linear candidate generation."""
+    p = (load(spark, sf_dir, "part")
+         .filter(F.col("p_partkey") < _FUZZY_LIMIT)
+         .select("p_partkey", "p_name"))
+    a = p.select(F.col("p_partkey").alias("key_a"),
+                 F.col("p_name").alias("name_a"))
+    b = p.select(F.col("p_partkey").alias("key_b"),
+                 F.col("p_name").alias("name_b"))
+    dist = F.levenshtein("name_a", "name_b")
+    return (
+        a.join(F.broadcast(b), F.col("key_a") < F.col("key_b"))
+        .filter(dist <= 12)
+        .select("key_a", "key_b", dist.alias("edit_dist"))
+    )
+
+
+@query(
+    "q_scalar_subquery",
+    oracle="""
+    SELECT c_custkey, c_name, ROUND(c_acctbal, 2) AS acctbal
+    FROM customer
+    WHERE c_acctbal > (SELECT AVG(c_acctbal) FROM customer)
+    """,
+)
+def q_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-entry scalar subquery (lifecycle B, SURVEY.md §3.3): Catalyst
+    plans the inner AVG once and broadcasts the scalar — identical to the
+    hand-written two-job form, written declaratively."""
+    load(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    return spark.sql("""
+        SELECT c_custkey, c_name, ROUND(c_acctbal, 2) AS acctbal
+        FROM customer
+        WHERE c_acctbal > (SELECT AVG(c_acctbal) FROM customer)
+    """)
+
+
+@query(
+    "q_exists_correlated",
+    oracle="""
+    SELECT s_suppkey, s_name
+    FROM supplier s
+    WHERE EXISTS (
+      SELECT 1 FROM lineitem l
+      WHERE l.l_suppkey = s.s_suppkey AND l.l_quantity > 49
+    )
+    """,
+)
+def q_exists_correlated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-entry correlated EXISTS: Catalyst decorrelates to a left-semi
+    join (RewriteCorrelatedScalarSubquery/RewritePredicateSubquery) — the
+    declarative twin of q_join_semi, proving the SQL lifecycle end-to-end."""
+    load(spark, sf_dir, "supplier").createOrReplaceTempView("supplier")
+    load(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql("""
+        SELECT s_suppkey, s_name
+        FROM supplier s
+        WHERE EXISTS (
+          SELECT 1 FROM lineitem l
+          WHERE l.l_suppkey = s.s_suppkey AND l.l_quantity > 49
+        )
+    """)

@@ -37,6 +37,7 @@ _QUERY_MODULES = (
     "flink_tutorial_broadcast_spark.operators.udf_surface",
     "flink_tutorial_broadcast_spark.operators.llm_ops",
     "flink_tutorial_broadcast_spark.operators.multimodal",
+    "flink_tutorial_broadcast_spark.operators.olap_ext",
 )
 
 

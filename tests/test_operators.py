@@ -87,3 +87,69 @@ def test_scan_parquet_pushdown(spark, queries):
     "GreaterThan(o_totalprice,400000.0)]" in plan or "PushedFilters" in plan
     # projection pruned to the 3 selected columns
     assert "o_orderdate" not in plan.split("ReadSchema")[1][:200]
+
+
+# --- olap_ext (pivot / sampling / quantiles / fuzzy / subqueries) -----------
+
+
+def test_pivot_row_sums_match_daily_counts(spark, queries):
+    """Pivoted per-type counts must re-sum to the plain daily counts."""
+    piv = queries["q_pivot"](spark, SF_SMOKE)
+    total_from_pivot = piv.select(
+        (F.col("n_click") + F.col("n_error") + F.col("n_purchase")
+         + F.col("n_signup") + F.col("n_view")).alias("n")
+    ).agg(F.sum("n")).collect()[0][0]
+    assert total_from_pivot == load(spark, SF_SMOKE, "events").count()
+
+
+def test_deterministic_sample_stable_and_sized(spark, queries):
+    """Hash sampling: identical output across runs; rate ≈ 0x1a/0x100."""
+    a = {r["o_orderkey"]
+         for r in queries["q_sample_deterministic"](spark, SF_SMOKE).collect()}
+    b = {r["o_orderkey"]
+        for r in queries["q_sample_deterministic"](spark, SF_SMOKE).collect()}
+    assert a == b
+    n = load(spark, SF_SMOKE, "orders").count()
+    assert 0.06 * n < len(a) < 0.15 * n, (len(a), n)
+
+
+def test_stratified_sample_rebalances_views(spark, queries):
+    s = queries["q_stratified_sample"](spark, SF_SMOKE)
+    rates = {
+        r["event_type"]: r["n"]
+        for r in s.groupBy("event_type").agg(F.count("*").alias("n")).collect()
+    }
+    base = {
+        r["event_type"]: r["n"]
+        for r in load(spark, SF_SMOKE, "events")
+        .groupBy("event_type").agg(F.count("*").alias("n")).collect()
+    }
+    view_rate = rates.get("view", 0) / base["view"]
+    click_rate = rates["click"] / base["click"]
+    assert view_rate < 0.12 and click_rate > 0.6, (view_rate, click_rate)
+
+
+def test_native_sample_rows_bounded(spark):
+    """Spark's native seed-dependent sampler (rows-only; not oracle-able)."""
+    o = load(spark, SF_SMOKE, "orders")
+    n = o.count()
+    s = o.sample(fraction=0.1, seed=42).count()
+    assert s == o.sample(fraction=0.1, seed=42).count()  # seed-stable
+    assert 0.05 * n < s < 0.2 * n
+
+
+def test_quantiles_ordered(spark, queries):
+    for r in queries["q_quantiles"](spark, SF_SMOKE).collect():
+        assert r["p25"] <= r["p50"] <= r["p75"] <= r["p99"]
+
+
+def test_exists_correlated_equals_semi_join(spark, queries):
+    """Catalyst's decorrelated EXISTS ≡ the explicit left-semi formulation."""
+    sql_keys = {r["s_suppkey"]
+                for r in queries["q_exists_correlated"](spark, SF_SMOKE).collect()}
+    li = load(spark, SF_SMOKE, "lineitem").filter(F.col("l_quantity") > 49)
+    sup = load(spark, SF_SMOKE, "supplier")
+    df_keys = {r["s_suppkey"]
+               for r in sup.join(li, sup.s_suppkey == li.l_suppkey,
+                                 "left_semi").collect()}
+    assert sql_keys == df_keys
