@@ -69,6 +69,32 @@ def q_broadcast_rule_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q_broadcast_theta_join",
+    oracle=f"""
+    SELECT e.event_id, e.event_type, ROUND(e.value, 2) AS value,
+           rules.severity AS severity
+    FROM events e
+    JOIN {RULES_SQL}
+      ON e.event_type = rules.rule_event_type
+     AND e.value > rules.threshold
+    WHERE e.event_id < 20000
+    """,
+)
+def q_broadcast_theta_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C2 standalone: the broadcast theta join at row granularity (the
+    per-record rule-match output a Flink KeyedBroadcastProcessFunction
+    emits, before any windowing). The equi key rides the broadcast hash
+    table; the `value > threshold` theta predicate evaluates post-probe —
+    the fact side never shuffles."""
+    matched = broadcast_rule_matches(spark, sf_dir)
+    return (
+        matched.filter(F.col("event_id") < 20000)
+        .select("event_id", "event_type",
+                F.round("value", 2).alias("value"), "severity")
+    )
+
+
 def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> DataFrame:
     """Entry-point flagship for the driver's t1 smoke check."""
     return q_broadcast_rule_join(spark, sf_dir)

@@ -154,6 +154,27 @@ def q_join_left(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_join_right",
+    oracle="""
+    SELECT o.o_orderkey, o.o_orderstatus, c.c_name
+    FROM customer c RIGHT JOIN orders o ON c.c_custkey = o.o_custkey
+    WHERE o.o_orderkey < 5000
+    """,
+)
+def q_join_right(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 right outer join: every order survives even without a customer
+    row (mirror of q_join_left; Catalyst plans it as the mirrored outer
+    hash join, broadcast when the preserved side's build fits)."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "right")
+        .filter(F.col("o_orderkey") < 5000)
+        .select("o_orderkey", "o_orderstatus", "c_name")
+    )
+
+
+@query(
     "q_join_full",
     oracle="""
     WITH bignation AS (
