@@ -84,7 +84,7 @@ def q_window_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
              CASE WHEN lag(CAST(ts AS TIMESTAMP)) OVER w IS NULL
                     OR CAST(ts AS TIMESTAMP)
                        - lag(CAST(ts AS TIMESTAMP)) OVER w
-                       >= INTERVAL 30 MINUTE
+                       > INTERVAL 30 MINUTE
                   THEN 1 ELSE 0 END AS new_session
       FROM events
       WINDOW w AS (PARTITION BY user_id ORDER BY ts)
@@ -101,8 +101,9 @@ def q_window_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_window_session(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E3 session window (30min gap) per user — Flink
     ``EventTimeSessionWindows.withGap``. Spark's ``session_window`` merges
-    events closer than the gap; the oracle is the classic gaps-and-islands
-    rewrite (lag + cumulative flag sum)."""
+    events up to AND INCLUDING exactly gap apart (boundary pinned by
+    tests/test_properties.py); the oracle is the gaps-and-islands rewrite
+    (lag + cumulative flag sum) with the matching strict-> comparison."""
     return (
         load(spark, sf_dir, "events")
         .groupBy(F.session_window("ts", "30 minutes").alias("w"),
