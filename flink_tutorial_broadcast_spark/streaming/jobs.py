@@ -294,3 +294,76 @@ def interval_join_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (e.e_ts <= p.p_ts + F.expr("INTERVAL 5 MINUTES")),
     ).select("purchase_id", "error_id", "user_id")
     return _run_to_memory(joined)
+
+
+def session_close_timer_stream(spark: SparkSession, sf_dir: str,
+                               gap_minutes: int = 30) -> DataFrame:
+    """E7 event-time TIMERS — the ``KeyedProcessFunction.onTimer`` analogue,
+    runnable on this container via ``applyInPandasWithState`` +
+    ``GroupStateTimeout.EventTimeTimeout``.
+
+    Per-user session tracking: every event extends the session and re-arms
+    an event-time timeout at ``last_ts + gap``; when the watermark passes
+    the armed timestamp with no new events, the timeout FIRES (exactly
+    Flink's timer callback) and the closed session is emitted, state
+    cleared. To make timers observable in a bounded demo the fixture is
+    split into two time-ordered files and streamed one file per
+    micro-batch — the watermark advances between batches, firing timers
+    for users idle across the split.
+    """
+    import os
+    import tempfile
+
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from flink_tutorial_broadcast_spark.io import load
+
+    # two time-ordered files => two micro-batches => watermark movement
+    ev_batch = load(spark, sf_dir, "events").select("user_id", "ts")
+    split_ts = ev_batch.agg(
+        F.percentile_approx("ts", 0.5).alias("m")).collect()[0]["m"]
+    d = tempfile.mkdtemp(prefix="timer_demo_")
+    (ev_batch.filter(F.col("ts") <= F.lit(split_ts))
+     .coalesce(1).write.parquet(os.path.join(d, "f=0")))
+    (ev_batch.filter(F.col("ts") > F.lit(split_ts))
+     .coalesce(1).write.parquet(os.path.join(d, "f=1")))
+
+    gap_ms = gap_minutes * 60 * 1000
+
+    def track(key, pdf_iter, state: GroupState):
+        if state.hasTimedOut:  # the onTimer() path
+            n, first_ms, last_ms = state.get
+            state.remove()
+            yield pd.DataFrame({
+                "user_id": [key[0]], "n_events": [n],
+                "session_ms": [last_ms - first_ms],
+            })
+            return
+        n, first_ms, last_ms = (state.get if state.exists
+                                else (0, None, None))
+        for pdf in pdf_iter:
+            ms = (pdf["ts"].astype("int64") // 1_000_000)
+            n += len(pdf)
+            first_ms = min(first_ms, int(ms.min())) if first_ms else int(ms.min())
+            last_ms = max(last_ms, int(ms.max())) if last_ms else int(ms.max())
+        state.update((n, first_ms, last_ms))
+        state.setTimeoutTimestamp(last_ms + gap_ms)  # arm the timer
+        return
+        yield  # noqa: unreachable - marks this branch a generator
+
+    sdf = (
+        spark.readStream.schema("user_id long, ts timestamp")
+        .option("maxFilesPerTrigger", "1")
+        .option("recursiveFileLookup", "true")
+        .parquet(d)
+        .withWatermark("ts", "1 minute")
+    )
+    closed = sdf.groupBy("user_id").applyInPandasWithState(
+        track,
+        outputStructType="user_id long, n_events long, session_ms long",
+        stateStructType="n long, first_ms long, last_ms long",
+        outputMode="Append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
+    return _run_to_memory(closed, "append")

@@ -109,3 +109,18 @@ def test_late_data_dlq_single_batch_all_on_time(spark):
     on_time, late = jobs.late_data_dlq_stream(spark, SF_SMOKE)
     assert on_time.count() == 1000
     assert late.count() == 0
+
+
+def test_event_time_timer_closes_sessions(spark):
+    """E7 timers: the EventTimeTimeout path (Flink onTimer analogue) must
+    fire for users idle across the watermark advance, emit exactly one
+    closed session per user, and clear state."""
+    from flink_tutorial_broadcast_spark.streaming.jobs import (
+        session_close_timer_stream,
+    )
+    df = session_close_timer_stream(spark, SF_SMOKE)
+    rows = df.collect()
+    assert len(rows) > 0
+    users = [r["user_id"] for r in rows]
+    assert len(users) == len(set(users))  # one close per user (state cleared)
+    assert all(r["n_events"] > 0 and r["session_ms"] >= 0 for r in rows)
