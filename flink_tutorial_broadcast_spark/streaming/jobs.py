@@ -367,3 +367,49 @@ def session_close_timer_stream(spark: SparkSession, sf_dir: str,
         timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )
     return _run_to_memory(closed, "append")
+
+
+def file_sink_exactly_once(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7 file sink + checkpoint-recovery proof (StreamingFileSink
+    analogue): the same (checkpoint, output) pair is driven by TWO
+    sequential bounded runs — the second run starts from the first's
+    offset log, reads only the file added in between, and the committed
+    output holds every input row exactly once. This is the micro-batch
+    equivalent of Flink's checkpoint-based exactly-once file sink.
+    """
+    import os
+    import tempfile
+
+    from flink_tutorial_broadcast_spark.io import load
+
+    src = tempfile.mkdtemp(prefix="eo_src_")
+    out = tempfile.mkdtemp(prefix="eo_out_")
+    ckpt = checkpoint_dir()
+
+    ev = load(spark, sf_dir, "events").select("event_id", "user_id", "value")
+    half = ev.agg(F.percentile_approx("event_id", 0.5).alias("m")) \
+             .collect()[0]["m"]
+
+    def run_once() -> None:
+        q = (
+            spark.readStream
+            .schema("event_id long, user_id long, value double")
+            .option("recursiveFileLookup", "true")
+            .parquet(src)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    # run 1: first half committed; run 2: resumes from the offset log and
+    # must pick up ONLY the second file
+    ev.filter(F.col("event_id") <= half).coalesce(1) \
+      .write.mode("append").parquet(os.path.join(src, "f0"))
+    run_once()
+    ev.filter(F.col("event_id") > half).coalesce(1) \
+      .write.mode("append").parquet(os.path.join(src, "f1"))
+    run_once()
+    return spark.read.parquet(out)

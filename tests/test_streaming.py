@@ -124,3 +124,17 @@ def test_event_time_timer_closes_sessions(spark):
     users = [r["user_id"] for r in rows]
     assert len(users) == len(set(users))  # one close per user (state cleared)
     assert all(r["n_events"] > 0 and r["session_ms"] >= 0 for r in rows)
+
+
+def test_file_sink_exactly_once_across_restart(spark):
+    """A7: two sequential runs over one checkpoint — the committed parquet
+    output contains every source row exactly once (no loss on restart,
+    no reprocessing of batch-1 files)."""
+    from flink_tutorial_broadcast_spark.io import load
+    from flink_tutorial_broadcast_spark.streaming.jobs import (
+        file_sink_exactly_once,
+    )
+    got = file_sink_exactly_once(spark, SF_SMOKE)
+    want = load(spark, SF_SMOKE, "events")
+    assert got.count() == want.count()
+    assert got.select("event_id").distinct().count() == want.count()
