@@ -33,6 +33,7 @@ HEADLINE = [
     "q_knn_vectorized",
     "q_token_counts",
     "q_tfidf",
+    "q_tpch_q3",
 ]
 
 

@@ -38,6 +38,7 @@ _QUERY_MODULES = (
     "flink_tutorial_broadcast_spark.operators.llm_ops",
     "flink_tutorial_broadcast_spark.operators.multimodal",
     "flink_tutorial_broadcast_spark.operators.olap_ext",
+    "flink_tutorial_broadcast_spark.operators.composite",
 )
 
 
