@@ -103,3 +103,47 @@ def test_interval_join_matches_reference(spark, rows):
         .collect()
     }
     assert got == _interval_reference(rows)
+
+
+versions_strategy = st.lists(
+    st.tuples(st.integers(0, 2), st.integers(0, 300), st.integers(0, 99)),
+    min_size=1, max_size=10,
+    unique_by=lambda t: (t[0], t[1]))  # one version per (key, ts)
+
+
+@settings(max_examples=12, deadline=None)
+@given(rows=events_strategy, versions=versions_strategy)
+def test_asof_join_matches_merge_asof(spark, rows, versions):
+    """The engine's as-of pattern (join + latest-version window filter,
+    q_asof_join's shape) must agree with pandas.merge_asof — inclusive
+    <= boundary, latest version wins — on random inputs."""
+    import pandas as pd
+
+    ev = spark.createDataFrame(
+        [(i, u, BASE + dt.timedelta(minutes=m))
+         for i, (u, m, _) in enumerate(rows)],
+        "id int, user_id int, ts timestamp")
+    rv = spark.createDataFrame(
+        [(u, BASE + dt.timedelta(minutes=m), v) for u, m, v in versions],
+        "r_user int, valid_from timestamp, val int")
+
+    from pyspark.sql.window import Window
+    j = ev.join(F.broadcast(rv),
+                (ev.user_id == rv.r_user) & (rv.valid_from <= ev.ts))
+    w = Window.partitionBy("id").orderBy(F.col("valid_from").desc())
+    got = {r["id"]: r["val"]
+           for r in j.withColumn("rn", F.row_number().over(w))
+           .filter(F.col("rn") == 1).select("id", "val").collect()}
+
+    left = pd.DataFrame(
+        [(i, u, BASE + dt.timedelta(minutes=m))
+         for i, (u, m, _) in enumerate(rows)],
+        columns=["id", "user_id", "ts"]).sort_values("ts", kind="stable")
+    right = pd.DataFrame(
+        [(u, BASE + dt.timedelta(minutes=m), v) for u, m, v in versions],
+        columns=["user_id", "valid_from", "val"]).sort_values("valid_from")
+    merged = pd.merge_asof(left, right, left_on="ts", right_on="valid_from",
+                           by="user_id", direction="backward")
+    want = {int(r.id): int(r.val) for r in merged.itertuples()
+            if pd.notna(r.val)}
+    assert got == want

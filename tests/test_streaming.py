@@ -138,3 +138,23 @@ def test_file_sink_exactly_once_across_restart(spark):
     want = load(spark, SF_SMOKE, "events")
     assert got.count() == want.count()
     assert got.select("event_id").distinct().count() == want.count()
+
+
+def test_stateful_job_on_rocksdb_state_store(spark):
+    """The state-store provider swap docs/scale.md prescribes for 100 TB
+    state is a config change only: the same stateful job produces the
+    same result on RocksDB as on the default HDFS-backed store."""
+    from flink_tutorial_broadcast_spark.streaming.jobs import streaming_dedup
+    key = "spark.sql.streaming.stateStore.providerClass"
+    rocks = ("org.apache.spark.sql.execution.streaming.state."
+             "RocksDBStateStoreProvider")
+    default_rows = {r["user_id"]: r["event_id"]
+                    for r in streaming_dedup(spark, SF_SMOKE).collect()}
+    prev = spark.conf.get(key)
+    try:
+        spark.conf.set(key, rocks)
+        rocks_rows = {r["user_id"]: r["event_id"]
+                      for r in streaming_dedup(spark, SF_SMOKE).collect()}
+    finally:
+        spark.conf.set(key, prev)
+    assert rocks_rows == default_rows
