@@ -1,0 +1,71 @@
+"""Full side-by-side benchmark: EVERY oracle-checked query, Spark vs
+DuckDB, at $SPARK_GRAFT_SF_DIR (default sf0.1). Warm single session for
+each engine; one timed run per query (these are stable at this scale —
+see tools/scaling.py). Prints a markdown table + summary JSON.
+
+Usage: python tools/bench_full.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import duckdb  # noqa: E402
+
+from flink_tutorial_broadcast_spark import load_all_queries  # noqa: E402
+from flink_tutorial_broadcast_spark.session import get_spark  # noqa: E402
+
+TABLES = ("region nation customer supplier part orders lineitem events "
+          "documents embeddings").split()
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else os.environ.get(
+        "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    import __spark_entry__ as entry_mod
+    queries = load_all_queries()
+    oracles = entry_mod.oracle_sql()
+    names = sorted(oracles)
+
+    spark = get_spark("bench-full")
+    spark.sparkContext.setLogLevel("ERROR")
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
+                    f"read_parquet('{sf_dir}/{t}.parquet')")
+
+    rows = []
+    for name in names:
+        queries[name](spark, sf_dir).count()       # warm spark
+        con.execute(oracles[name]).fetchall()      # warm duck
+        t0 = time.time()
+        queries[name](spark, sf_dir).count()
+        t_spark = time.time() - t0
+        t0 = time.time()
+        con.execute(oracles[name]).fetchall()
+        t_duck = time.time() - t0
+        rows.append((name, t_spark, t_duck))
+
+    print(f"\n| query | spark (s) | duckdb (s) | ratio |  ({sf_dir})")
+    print("|---|---|---|---|")
+    for name, ts, td in rows:
+        print(f"| {name} | {ts:.3f} | {td:.3f} | "
+              f"{ts / max(td, 1e-9):.1f}x |")
+    t_spark_total = sum(r[1] for r in rows)
+    t_duck_total = sum(r[2] for r in rows)
+    print(json.dumps({
+        "n_queries": len(rows),
+        "spark_total_s": round(t_spark_total, 2),
+        "duckdb_total_s": round(t_duck_total, 2),
+        "ratio": round(t_spark_total / t_duck_total, 2),
+        "spark_median_s": round(sorted(r[1] for r in rows)[len(rows) // 2], 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()
