@@ -67,3 +67,20 @@ def rate_events(spark: SparkSession, rows_per_second: int = 100) -> DataFrame:
 def checkpoint_dir() -> str:
     """Fresh checkpoint location (offset/commit logs + state store)."""
     return tempfile.mkdtemp(prefix="ckpt_")
+
+
+def socket_events(spark: SparkSession, host: str = "127.0.0.1",
+                  port: int = 9999) -> DataFrame:
+    """A2 socket text source (Flink ``socketTextStream`` analogue): lines
+    of ``event_id,user_id,event_type,value`` parsed into typed columns.
+    Demo-grade (sockets give no replay → at-most-once), exactly like the
+    reference's tutorial usage."""
+    raw = (spark.readStream.format("socket")
+           .option("host", host).option("port", port).load())
+    parts = F.split(F.col("value"), ",")
+    return raw.select(
+        parts.getItem(0).cast("long").alias("event_id"),
+        parts.getItem(1).cast("long").alias("user_id"),
+        parts.getItem(2).alias("event_type"),
+        parts.getItem(3).cast("double").alias("value"),
+    )

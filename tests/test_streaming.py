@@ -158,3 +158,51 @@ def test_stateful_job_on_rocksdb_state_store(spark):
     finally:
         spark.conf.set(key, prev)
     assert rocks_rows == default_rows
+
+
+def test_socket_source_parses_lines(spark):
+    """A2: a real TCP server feeds the socket source; the parsed stream
+    must deliver typed rows (at-most-once demo semantics)."""
+    import socket
+    import threading
+    import time as _time
+
+    from flink_tutorial_broadcast_spark.streaming.sources import (
+        checkpoint_dir, socket_events,
+    )
+
+    lines = [f"{i},{i % 3},click,{i * 1.5}" for i in range(20)]
+    srv = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
+    srv.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
+    srv.bind(("127.0.0.1", 0))
+    srv.listen(1)
+    port = srv.getsockname()[1]
+
+    def serve():
+        conn, _ = srv.accept()
+        with conn:
+            conn.sendall(("\n".join(lines) + "\n").encode())
+            _time.sleep(3)  # keep the pipe open while batches drain
+
+    t = threading.Thread(target=serve, daemon=True)
+    t.start()
+
+    sdf = socket_events(spark, port=port)
+    q = (sdf.writeStream.format("memory").queryName("socket_demo")
+         .outputMode("append")
+         .option("checkpointLocation", checkpoint_dir())
+         .start())
+    try:
+        deadline = _time.time() + 30
+        while _time.time() < deadline:
+            got = spark.sql("SELECT * FROM socket_demo").count()
+            if got >= len(lines):
+                break
+            _time.sleep(0.5)
+        rows = {r["event_id"]: (r["user_id"], r["event_type"], r["value"])
+                for r in spark.sql("SELECT * FROM socket_demo").collect()}
+    finally:
+        q.stop()
+        srv.close()
+    assert len(rows) == len(lines)
+    assert rows[7] == (1, "click", 10.5)
