@@ -79,7 +79,7 @@ def streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def broadcast_rules_stream(
-    spark: SparkSession, sf_dir: str, rules_source=None
+    spark: SparkSession, sf_dir: str, rules_source=None, events_stream=None
 ) -> DataFrame:
     """E9 — THE reference pattern: keyed event stream ⋈ mutable broadcast
     rule set.
@@ -94,7 +94,8 @@ def broadcast_rules_stream(
     """
     if rules_source is None:
         rules_source = lambda: rules_df(spark)  # noqa: E731
-    ev = stream_events(spark, sf_dir)
+    ev = events_stream if events_stream is not None \
+        else stream_events(spark, sf_dir)
     name = f"mem_{uuid.uuid4().hex[:8]}"
     spark.createDataFrame(
         [], "event_id long, event_type string, value double, severity string"

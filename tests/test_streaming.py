@@ -206,3 +206,55 @@ def test_socket_source_parses_lines(spark):
         srv.close()
     assert len(rows) == len(lines)
     assert rows[7] == (1, "click", 10.5)
+
+
+def test_broadcast_rules_mutate_between_micro_batches(spark):
+    """E9 full semantics: the rule set CHANGES between micro-batches and
+    each batch matches against its own rule snapshot (Flink's
+    processBroadcastElement at per-batch granularity). Two time-ordered
+    files stream one per trigger; the rule source disables all rules
+    after its first read, so only batch-1 events may match."""
+    import os
+    import tempfile
+
+    from flink_tutorial_broadcast_spark.io import load
+    from flink_tutorial_broadcast_spark.sources.rules import (
+        RULES_SCHEMA, rules_df,
+    )
+
+    ev = load(spark, SF_SMOKE, "events").select(
+        "event_id", "ts", "event_type", "value")
+    split = ev.agg(F.percentile_approx("ts", 0.5).alias("m")) \
+              .collect()[0]["m"]
+    d = tempfile.mkdtemp(prefix="rule_mut_")
+    ev.filter(F.col("ts") <= F.lit(split)).coalesce(1) \
+      .write.parquet(os.path.join(d, "f0"))
+    ev.filter(F.col("ts") > F.lit(split)).coalesce(1) \
+      .write.parquet(os.path.join(d, "f1"))
+    stream = (
+        spark.readStream
+        .schema("event_id long, ts timestamp, event_type string, value double")
+        .option("maxFilesPerTrigger", "1")
+        .option("recursiveFileLookup", "true")
+        .parquet(d)
+    )
+
+    calls = {"n": 0}
+    off = spark.createDataFrame(
+        [(t, 1e9, "off") for t in
+         ("click", "view", "purchase", "signup", "error")], RULES_SCHEMA)
+
+    def mutating_rules():
+        calls["n"] += 1
+        return rules_df(spark) if calls["n"] == 1 else off
+
+    out = jobs.broadcast_rules_stream(
+        spark, SF_SMOKE, rules_source=mutating_rules, events_stream=stream)
+
+    assert calls["n"] >= 2  # the rule source was re-read per batch
+    batch1_ids = {r["event_id"] for r in
+                  ev.filter(F.col("ts") <= F.lit(split))
+                  .select("event_id").collect()}
+    matched = {r["event_id"] for r in out.select("event_id").collect()}
+    assert matched, "batch 1 must match under the initial rules"
+    assert matched <= batch1_ids  # batch 2 saw only disabled rules
