@@ -1,0 +1,88 @@
+"""pyspark.ml-backed LSH operators — the library alternative to the
+hand-rolled scale paths in llm_ops.py (SURVEY.md §2.K2/K3).
+
+Both formulations ship on purpose:
+- llm_ops' hand-rolled MinHash banding / sign-LSH are transparent
+  (every shuffle visible, tunable banding, no vector UDT overhead);
+- these ml-lib versions are the one-liner production path with the same
+  asymptotics (band-bucket candidate join), and prove the engine
+  interoperates with pyspark.ml pipelines.
+
+Rows-only in the oracle (hash-seeded candidate sets); recall/precision
+asserted against the exact operators in tests/test_llm_ops.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from flink_tutorial_broadcast_spark.io import load
+from flink_tutorial_broadcast_spark.operators.llm_ops import (
+    _EMBED_DUP_LIMIT,
+    _NEAR_DUP_LIMIT,
+    _bigrams,
+)
+from flink_tutorial_broadcast_spark.registry import query
+
+
+@query("q_dedup_minhash_ml")  # rows-only: seeded-hash candidate set
+def q_dedup_minhash_ml(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K2 near-dup via pyspark.ml MinHashLSH: bigram shingles →
+    CountVectorizer(binary) → MinHashLSH.approxSimilarityJoin at Jaccard
+    distance ≤ 0.5. Same candidate-generation asymptotics as the
+    hand-rolled q_dedup_minhash (band-bucket equi-join under the hood)."""
+    from pyspark.ml.feature import CountVectorizer, MinHashLSH
+
+    docs = (
+        load(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < _NEAR_DUP_LIMIT)
+        .select("doc_id",
+                F.array_distinct(_bigrams(F.col("text"))).alias("shingles"))
+    )
+    cv = CountVectorizer(inputCol="shingles", outputCol="vec",
+                         binary=True).fit(docs)
+    vecs = cv.transform(docs)
+    mh = MinHashLSH(inputCol="vec", outputCol="hashes",
+                    numHashTables=8, seed=7).fit(vecs)
+    pairs = mh.approxSimilarityJoin(vecs, vecs, 0.5, distCol="jdist")
+    return (
+        pairs.filter(F.col("datasetA.doc_id") < F.col("datasetB.doc_id"))
+        .select(F.col("datasetA.doc_id").alias("doc_a"),
+                F.col("datasetB.doc_id").alias("doc_b"),
+                F.round(1 - F.col("jdist"), 6).alias("jaccard"))
+    )
+
+
+@query("q_dedup_embed_lsh_ml")  # rows-only: seeded-hyperplane candidates
+def q_dedup_embed_lsh_ml(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K2/K3 embedding near-dup via BucketedRandomProjectionLSH over
+    L2-NORMALIZED vectors: for unit vectors ||a-b||² = 2(1-cos), so the
+    cosine ≥ 0.35 predicate becomes euclidean distance ≤ sqrt(1.3).
+    The library path mirroring the hand-rolled q_dedup_embed_lsh."""
+    from pyspark.ml.feature import BucketedRandomProjectionLSH, Normalizer
+    from pyspark.ml.functions import array_to_vector
+
+    import math
+
+    emb = (
+        load(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") < _EMBED_DUP_LIMIT)
+        .select("vec_id",
+                array_to_vector(F.col("embedding").cast("array<double>"))
+                .alias("raw"))
+    )
+    unit = Normalizer(inputCol="raw", outputCol="vec", p=2.0).transform(emb)
+    brp = BucketedRandomProjectionLSH(
+        inputCol="vec", outputCol="hashes", numHashTables=4,
+        bucketLength=0.5, seed=7).fit(unit)
+    thresh = math.sqrt(2 * (1 - 0.35))
+    pairs = brp.approxSimilarityJoin(unit, unit, thresh, distCol="edist")
+    # for unit vectors: cos = 1 - d²/2
+    cos = 1 - F.pow(F.col("edist"), 2) / 2
+    return (
+        pairs.filter(F.col("datasetA.vec_id") < F.col("datasetB.vec_id"))
+        .select(F.col("datasetA.vec_id").alias("vec_a"),
+                F.col("datasetB.vec_id").alias("vec_b"),
+                F.round(cos, 6).alias("cos_sim"))
+    )

@@ -39,6 +39,7 @@ _QUERY_MODULES = (
     "flink_tutorial_broadcast_spark.operators.multimodal",
     "flink_tutorial_broadcast_spark.operators.olap_ext",
     "flink_tutorial_broadcast_spark.operators.composite",
+    "flink_tutorial_broadcast_spark.operators.ml_ops",
 )
 
 

@@ -113,3 +113,26 @@ def test_lang_id_covers_all_docs(spark, queries):
     df = queries["q_lang_id"](spark, SF_SMOKE)
     assert df.count() == 500
     assert df.filter(F.col("predicted_lang").isNull()).count() == 0
+
+
+def test_minhash_ml_agrees_with_exact(spark, queries):
+    """pyspark.ml MinHashLSH path: candidates at jaccard >= 0.5 must be a
+    subset of the exact pair set with high recall (OR-amplified 8 tables
+    at s=0.5 -> expected recall ~1-(1-0.5)^8)."""
+    exact = _pairs(queries["q_dedup_near"](spark, SF_CHECK))
+    ml = _pairs(queries["q_dedup_minhash_ml"](spark, SF_CHECK))
+    assert ml <= exact
+    if exact:
+        assert len(ml) / len(exact) >= 0.6, (ml, exact)
+
+
+def test_embed_lsh_ml_agrees_with_exact(spark, queries):
+    """BucketedRandomProjectionLSH over unit vectors: same subset/recall
+    contract against the exact cosine pair set."""
+    exact = {(r["vec_a"], r["vec_b"])
+             for r in queries["q_dedup_embed"](spark, SF_CHECK).collect()}
+    ml = {(r["vec_a"], r["vec_b"])
+          for r in queries["q_dedup_embed_lsh_ml"](spark, SF_CHECK).collect()}
+    assert ml <= exact
+    assert exact
+    assert len(ml) / len(exact) >= 0.6, (len(ml), len(exact))
