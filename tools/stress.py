@@ -1,0 +1,89 @@
+"""Stress harness: run engine shapes at ~16× the largest fixture
+(≈9.6M lineitem rows, ≈1.6M events) to show headroom beyond sf0.1 and
+report per-row throughput. Input is the read-only sf0.1 fixture unioned
+k× with perturbed keys — no fixture files are created or modified.
+
+Usage: python tools/stress.py [k]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from flink_tutorial_broadcast_spark.io import load  # noqa: E402
+from flink_tutorial_broadcast_spark.session import get_spark  # noqa: E402
+from flink_tutorial_broadcast_spark.sources.rules import rules_df  # noqa: E402
+
+SF_DIR = "/root/testdata/sf0.1"
+
+
+def amplify(df, key_cols, k: int):
+    """k copies with shifted keys so join/group cardinalities scale too."""
+    rep = df.crossJoin(F.broadcast(
+        df.sparkSession.range(k).select(F.col("id").alias("__rep"))))
+    out = rep
+    for c in key_cols:
+        out = out.withColumn(c, F.col(c) + F.col("__rep") * 10_000_000)
+    return out.drop("__rep")
+
+
+def main() -> None:
+    k = int(sys.argv[1]) if len(sys.argv) > 1 else 16
+    spark = get_spark("stress")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    li = amplify(load(spark, SF_DIR, "lineitem"), ["l_orderkey"], k)
+    o = amplify(load(spark, SF_DIR, "orders"), ["o_orderkey"], k)
+    ev = amplify(load(spark, SF_DIR, "events"), ["event_id"], k)
+    n_li, n_ev = li.count(), ev.count()
+
+    results = {}
+
+    t0 = time.time()
+    (li.join(o, li.l_orderkey == o.o_orderkey)
+     .groupBy("o_orderstatus")
+     .agg(F.count("*").alias("n"), F.sum("l_extendedprice").alias("s"))
+     ).count()
+    results["join_agg"] = {
+        "rows": n_li, "sec": round(time.time() - t0, 2),
+        "mrows_per_s": round(n_li / (time.time() - t0) / 1e6, 1)}
+
+    t0 = time.time()
+    rules = rules_df(spark)
+    (ev.join(F.broadcast(rules),
+             (ev.event_type == rules.rule_event_type)
+             & (ev.value > rules.threshold))
+     .groupBy(F.date_trunc("hour", "ts"), "event_type")
+     .agg(F.count("*"), F.sum("value"))
+     ).count()
+    results["broadcast_rule_join"] = {
+        "rows": n_ev, "sec": round(time.time() - t0, 2),
+        "mrows_per_s": round(n_ev / (time.time() - t0) / 1e6, 1)}
+
+    t0 = time.time()
+    li.groupBy(F.md5(F.concat_ws("|", "l_orderkey", "l_linenumber"))
+               .alias("h")).agg(F.min("l_partkey")).count()
+    results["exact_dedup_md5"] = {
+        "rows": n_li, "sec": round(time.time() - t0, 2),
+        "mrows_per_s": round(n_li / (time.time() - t0) / 1e6, 1)}
+
+    # engine-path keying (q_dedup_exact_fast): long keys, one-pass hash
+    t0 = time.time()
+    li.groupBy(F.xxhash64("l_orderkey", "l_linenumber").alias("h")) \
+      .agg(F.min("l_partkey")).count()
+    results["exact_dedup_xxhash"] = {
+        "rows": n_li, "sec": round(time.time() - t0, 2),
+        "mrows_per_s": round(n_li / (time.time() - t0) / 1e6, 1)}
+
+    print(json.dumps({"k": k, "results": results}))
+
+
+if __name__ == "__main__":
+    main()
