@@ -263,3 +263,52 @@ def q_hash_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sha2("text", 256).alias("text_sha256"),
         F.length(F.md5("text")).alias("md5_len"),
     )
+
+
+@query(
+    "q_null_semantics",
+    oracle="""
+    WITH nulled AS (
+      SELECT event_id,
+             CASE WHEN event_id % 7 = 0 THEN NULL ELSE event_type END AS et,
+             CASE WHEN event_id % 5 = 0 THEN NULL ELSE value END AS v
+      FROM events WHERE event_id < 2000
+    )
+    SELECT et,
+           COUNT(*) AS n_rows,
+           COUNT(v) AS n_nonnull_v,
+           ROUND(coalesce(SUM(v), 0), 2) AS sum_v,
+           SUM(CASE WHEN v IS NULL THEN 1 ELSE 0 END) AS n_null_v,
+           SUM(CASE WHEN et IS NOT DISTINCT FROM 'click'
+                    THEN 1 ELSE 0 END) AS nullsafe_click
+    FROM nulled GROUP BY et
+    """,
+)
+def q_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """I4/B4 null discipline, pinned cross-engine: NULL group keys form
+    their own group, COUNT(col) skips nulls while COUNT(*) doesn't,
+    SUM over all-null is NULL (coalesced), and null-safe equality
+    (`eqNullSafe` ≡ IS NOT DISTINCT FROM) treats NULL as a value. These
+    are exactly the semantics a 100 TB pipeline silently corrupts when an
+    engine disagrees."""
+    ev = (
+        load(spark, sf_dir, "events")
+        .filter(F.col("event_id") < 2000)
+        .select(
+            "event_id",
+            F.when(F.col("event_id") % 7 == 0, None)
+            .otherwise(F.col("event_type")).alias("et"),
+            F.when(F.col("event_id") % 5 == 0, None)
+            .otherwise(F.col("value")).alias("v"),
+        )
+    )
+    return (
+        ev.groupBy("et")
+        .agg(F.count("*").alias("n_rows"),
+             F.count("v").alias("n_nonnull_v"),
+             F.round(F.coalesce(F.sum("v"), F.lit(0.0)), 2).alias("sum_v"),
+             F.sum(F.when(F.col("v").isNull(), 1).otherwise(0))
+             .alias("n_null_v"),
+             F.sum(F.when(F.col("et").eqNullSafe("click"), 1).otherwise(0))
+             .alias("nullsafe_click"))
+    )

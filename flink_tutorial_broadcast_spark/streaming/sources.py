@@ -84,3 +84,18 @@ def socket_events(spark: SparkSession, host: str = "127.0.0.1",
         parts.getItem(2).alias("event_type"),
         parts.getItem(3).cast("double").alias("value"),
     )
+
+
+def stream_document_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3 text-file source (Flink ``readTextFile`` analogue): document
+    texts as a line stream. The fixture's text column is materialized once
+    per session into a temp text dir (the reference's input format), then
+    streamed with the `text` file source."""
+    key = f"{sf_dir}:__text__"
+    if key not in _STREAM_DIRS:
+        from flink_tutorial_broadcast_spark.io import load
+        d = tempfile.mkdtemp(prefix="stream_text_")
+        (load(spark, sf_dir, "documents")
+         .select("text").coalesce(1).write.mode("overwrite").text(d))
+        _STREAM_DIRS[key] = d
+    return spark.readStream.format("text").load(_STREAM_DIRS[key])

@@ -258,3 +258,25 @@ def test_broadcast_rules_mutate_between_micro_batches(spark):
     matched = {r["event_id"] for r in out.select("event_id").collect()}
     assert matched, "batch 1 must match under the initial rules"
     assert matched <= batch1_ids  # batch 2 saw only disabled rules
+
+
+def test_text_file_source_token_counts_match_batch(spark):
+    """A3 + B2 streaming: text-file source → tokenize (flatMap) → counts
+    must equal the batch q_token_counts totals."""
+    from flink_tutorial_broadcast_spark.streaming.jobs import _run_to_memory
+    from flink_tutorial_broadcast_spark.streaming.sources import (
+        stream_document_text,
+    )
+
+    lines = stream_document_text(spark, SF_SMOKE)
+    toks = (lines.select(F.explode(F.split("value", " ")).alias("token"))
+            .groupBy("token").agg(F.count("*").alias("n_total")))
+    got = {r["token"]: r["n_total"]
+           for r in _run_to_memory(toks, "complete").collect()}
+
+    from flink_tutorial_broadcast_spark.io import load
+    want = {r["token"]: r["n_total"] for r in
+            load(spark, SF_SMOKE, "documents")
+            .select(F.explode(F.split("text", " ")).alias("token"))
+            .groupBy("token").agg(F.count("*").alias("n_total")).collect()}
+    assert got == want
