@@ -115,3 +115,39 @@ def q_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.row_number().over(w).alias("rn"))
         .filter(F.col("rn") <= 3)
     )
+
+
+@query(
+    "q_range_frame",
+    oracle="""
+    SELECT o_orderkey, o_custkey,
+           ROUND(SUM(o_totalprice) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate
+             RANGE BETWEEN INTERVAL 30 DAYS PRECEDING AND CURRENT ROW),
+             2) AS sum_30d,
+           COUNT(*) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate
+             RANGE BETWEEN INTERVAL 30 DAYS PRECEDING AND CURRENT ROW)
+             AS n_30d
+    FROM orders WHERE o_custkey < 500
+    """,
+)
+def q_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F3 RANGE frame with a time interval: per-customer trailing-30-day
+    order total — value-based frames (all peers of equal order date
+    included), distinct from row-count frames. Expressed via the SQL
+    entry (lifecycle B) because interval RANGE frames are SQL-only in
+    Spark's window API."""
+    load(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql("""
+        SELECT o_orderkey, o_custkey,
+               ROUND(SUM(o_totalprice) OVER (
+                 PARTITION BY o_custkey ORDER BY o_orderdate
+                 RANGE BETWEEN INTERVAL 30 DAYS PRECEDING AND CURRENT ROW),
+                 2) AS sum_30d,
+               COUNT(*) OVER (
+                 PARTITION BY o_custkey ORDER BY o_orderdate
+                 RANGE BETWEEN INTERVAL 30 DAYS PRECEDING AND CURRENT ROW)
+                 AS n_30d
+        FROM orders WHERE o_custkey < 500
+    """)
