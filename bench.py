@@ -34,6 +34,7 @@ HEADLINE = [
     "q_token_counts",
     "q_tfidf",
     "q_tpch_q3",
+    "q_pipeline_e2e",
 ]
 
 

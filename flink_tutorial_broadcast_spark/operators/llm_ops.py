@@ -833,3 +833,63 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id",
                 F.md5(F.concat_ws(" ", toks)).alias("fingerprint"))
     )
+
+
+@query(
+    "q_pipeline_e2e",
+    oracle="""
+    WITH scored AS (
+      SELECT doc_id, lang, source, text, n_chars,
+             len(string_split(text, ' ')) AS n_tokens,
+             CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+               / len(string_split(text, ' ')) AS uniq_ratio
+      FROM documents
+    ), quality AS (
+      SELECT * FROM scored
+      WHERE n_tokens >= 5 AND uniq_ratio >= 0.3 AND lang IN ('en', 'de', 'es')
+    ), deduped AS (
+      SELECT * FROM (
+        SELECT *, row_number() OVER (PARTITION BY md5(text)
+                                     ORDER BY doc_id) AS rn
+        FROM quality
+      ) WHERE rn = 1
+    ), sampled AS (
+      SELECT * FROM deduped
+      WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cd'
+    )
+    SELECT lang, source,
+           COUNT(*) AS n_docs,
+           SUM(n_tokens) AS total_tokens,
+           ROUND(AVG(uniq_ratio), 6) AS avg_uniq_ratio
+    FROM sampled GROUP BY lang, source
+    """,
+)
+def q_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full training-data pipeline as ONE Catalyst plan: quality
+    scoring → quality+language filter → exact dedup (first survivor per
+    content hash) → deterministic ~80% sample → per-(lang, source) corpus
+    stats. Every stage is a narrow transformation or a single keyed
+    shuffle; nothing materializes in between — at 100 TB this runs as one
+    pipelined job with two exchanges (dedup window, final agg)."""
+    d = load(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    scored = d.select(
+        "doc_id", "lang", "source", "text", "n_chars",
+        F.size(toks).alias("n_tokens"),
+        (F.size(F.array_distinct(toks)).cast("double") / F.size(toks))
+        .alias("uniq_ratio"),
+    )
+    quality = scored.filter(
+        (F.col("n_tokens") >= 5) & (F.col("uniq_ratio") >= 0.3)
+        & F.col("lang").isin("en", "de", "es"))
+    w = Window.partitionBy(F.md5("text")).orderBy("doc_id")
+    deduped = (quality.withColumn("rn", F.row_number().over(w))
+               .filter(F.col("rn") == 1))
+    sampled = deduped.filter(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2) < "cd")
+    return (
+        sampled.groupBy("lang", "source")
+        .agg(F.count("*").alias("n_docs"),
+             F.sum("n_tokens").alias("total_tokens"),
+             F.round(F.avg("uniq_ratio"), 6).alias("avg_uniq_ratio"))
+    )
