@@ -40,6 +40,7 @@ _QUERY_MODULES = (
     "flink_tutorial_broadcast_spark.operators.olap_ext",
     "flink_tutorial_broadcast_spark.operators.composite",
     "flink_tutorial_broadcast_spark.operators.ml_ops",
+    "flink_tutorial_broadcast_spark.operators.iterative",
 )
 
 

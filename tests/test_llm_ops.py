@@ -136,3 +136,18 @@ def test_embed_lsh_ml_agrees_with_exact(spark, queries):
     assert ml <= exact
     assert exact
     assert len(ml) / len(exact) >= 0.6, (len(ml), len(exact))
+
+
+def test_dup_clusters_are_consistent_components(spark, queries):
+    """Connected components invariants: both endpoints of every dup pair
+    share a cluster; each cluster id is its own smallest member."""
+    pairs = _pairs(queries["q_dedup_near"](spark, SF_CHECK))
+    clusters = {r["doc_id"]: r["cluster"]
+                for r in queries["q_dup_clusters"](spark, SF_CHECK).collect()}
+    for a, b in pairs:
+        assert clusters[a] == clusters[b], (a, b)
+    by_cluster = {}
+    for doc, c in clusters.items():
+        by_cluster.setdefault(c, []).append(doc)
+    for c, members in by_cluster.items():
+        assert c == min(members), (c, members)
