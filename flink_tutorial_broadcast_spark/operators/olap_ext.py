@@ -229,3 +229,61 @@ def q_exists_correlated(spark: SparkSession, sf_dir: str) -> DataFrame:
           WHERE l.l_suppkey = s.s_suppkey AND l.l_quantity > 49
         )
     """)
+
+
+@query(
+    "q_unpivot",
+    oracle="""
+    WITH daily AS (
+      SELECT date_trunc('day', ts) AS day,
+             COUNT(*) FILTER (event_type = 'click')    AS n_click,
+             COUNT(*) FILTER (event_type = 'purchase') AS n_purchase
+      FROM events GROUP BY 1
+    )
+    SELECT day, 'n_click' AS metric, n_click AS n FROM daily
+    UNION ALL
+    SELECT day, 'n_purchase' AS metric, n_purchase AS n FROM daily
+    """,
+)
+def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (melt) — the inverse of q_pivot: wide per-day metric
+    columns back to (day, metric, value) rows via the native `unpivot`
+    operator (pure Generate, no shuffle beyond the source agg)."""
+    ev = load(spark, sf_dir, "events")
+    daily = (
+        ev.withColumn("day", F.date_trunc("day", "ts"))
+        .groupBy("day")
+        .agg(F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0))
+             .alias("n_click"),
+             F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+             .alias("n_purchase"))
+    )
+    return daily.unpivot("day", ["n_click", "n_purchase"], "metric", "n")
+
+
+@query(
+    "q_lateral_join",
+    oracle="""
+    SELECT c.c_custkey, t.o_orderkey, ROUND(t.o_totalprice, 2) AS totalprice
+    FROM customer c,
+         LATERAL (SELECT o_orderkey, o_totalprice
+                  FROM orders o WHERE o.o_custkey = c.c_custkey
+                  ORDER BY o_totalprice DESC, o_orderkey LIMIT 3) t
+    WHERE c.c_custkey < 200
+    """,
+)
+def q_lateral_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL LATERAL correlated subquery (lifecycle B): top-3 orders per
+    customer via a per-row dependent subquery. Catalyst decorrelates
+    LATERAL + LIMIT into a window-ranked join — same physical shape as
+    q_topk_per_group, written in the SQL idiom."""
+    load(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    load(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql("""
+        SELECT c.c_custkey, t.o_orderkey, ROUND(t.o_totalprice, 2) AS totalprice
+        FROM customer c,
+             LATERAL (SELECT o_orderkey, o_totalprice
+                      FROM orders o WHERE o.o_custkey = c.c_custkey
+                      ORDER BY o_totalprice DESC, o_orderkey LIMIT 3) t
+        WHERE c.c_custkey < 200
+    """)
