@@ -25,7 +25,8 @@ def test_oracle_keys_subset_of_queries():
     assert rows_only == {
         "q_approx_distinct", "q_dedup_minhash", "q_simhash",
         "q_knn_ivf", "q_media_features", "q_dedup_embed_lsh",
-        "q_media_resize", "q_dedup_minhash_ml", "q_dedup_embed_lsh_ml"}
+        "q_media_resize", "q_dedup_minhash_ml", "q_dedup_embed_lsh_ml",
+        "q_dedup_simhash"}
 
 
 def test_query_columns_match_oracle_columns(spark, queries, duck):

@@ -151,3 +151,24 @@ def test_dup_clusters_are_consistent_components(spark, queries):
         by_cluster.setdefault(c, []).append(doc)
     for c, members in by_cluster.items():
         assert c == min(members), (c, members)
+
+
+def test_dedup_simhash_banding_correct_and_high_recall(spark, queries):
+    """Banded simhash dedup: every emitted pair truly has Hamming <= 8,
+    and banding recalls most of the brute-force <=8 ground truth."""
+    sh = {r["doc_id"]: r["simhash"]
+          for r in queries["q_simhash"](spark, SF_CHECK).collect()}
+    got = {(r["doc_a"], r["doc_b"]): r["hamming"]
+           for r in queries["q_dedup_simhash"](spark, SF_CHECK).collect()}
+
+    def ham(a, b):
+        return bin((sh[a] ^ sh[b]) & ((1 << 64) - 1)).count("1")
+
+    for (a, b), h in got.items():
+        assert ham(a, b) == h and h <= 8, (a, b, h)
+    ids = sorted(sh)
+    truth = {(a, b) for i, a in enumerate(ids) for b in ids[i + 1:]
+             if ham(a, b) <= 8}
+    assert truth, "fixture produced no close fingerprints"
+    recall = len(set(got) & truth) / len(truth)
+    assert recall >= 0.7, recall
