@@ -932,3 +932,54 @@ def q_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
              F.sum("n_tokens").alias("total_tokens"),
              F.round(F.avg("uniq_ratio"), 6).alias("avg_uniq_ratio"))
     )
+
+
+@query(
+    "q_ngram_counts",
+    oracle="""
+    WITH docs AS (
+      SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+    ), grams AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, len(toks) - 1),
+                    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
+               AS trigram
+      FROM docs WHERE len(toks) >= 3
+    )
+    SELECT trigram, COUNT(*) AS n_total, COUNT(DISTINCT doc_id) AS n_docs
+    FROM grams GROUP BY 1 HAVING COUNT(*) >= 3
+    """,
+)
+def q_ngram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K4 corpus n-gram statistics: trigram term+document frequencies
+    (floor 3) — the n-gram LM / contamination-check primitive. Same
+    explode→groupBy shape as token counts; the shuffle carries grams."""
+    toks = F.split("text", " ")
+    idx = F.sequence(F.lit(1), F.size(toks) - 2)
+    tri = F.transform(
+        idx, lambda i: F.concat_ws(" ", F.element_at(toks, i),
+                                   F.element_at(toks, i + 1),
+                                   F.element_at(toks, i + 2)))
+    return (
+        load(spark, sf_dir, "documents")
+        .filter(F.size(toks) >= 3)
+        .select("doc_id", F.explode(tri).alias("trigram"))
+        .groupBy("trigram")
+        .agg(F.count("*").alias("n_total"),
+             F.countDistinct("doc_id").alias("n_docs"))
+        .filter(F.col("n_total") >= 3)
+    )
+
+
+@query("q_approx_quantiles")  # rows-only: sketch values are engine-specific
+def q_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D4-adjacent: approx_percentile — the single-pass mergeable-sketch
+    quantile for 100 TB (exact q_quantiles is the oracle-checked twin).
+    Tolerance vs exact asserted in tests/test_operators.py."""
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(F.approx_percentile("l_extendedprice", F.array(
+            F.lit(0.25), F.lit(0.5), F.lit(0.75)), F.lit(10000))
+             .alias("approx_p"))
+    )

@@ -153,3 +153,14 @@ def test_exists_correlated_equals_semi_join(spark, queries):
                for r in sup.join(li, sup.s_suppkey == li.l_suppkey,
                                  "left_semi").collect()}
     assert sql_keys == df_keys
+
+
+def test_approx_quantiles_within_tolerance(spark, queries):
+    """Sketch quantiles track the exact ones within 1% relative error."""
+    exact = {r["l_returnflag"]: (r["p25"], r["p50"], r["p75"])
+             for r in queries["q_quantiles"](spark, SF_SMOKE).collect()}
+    approx = {r["l_returnflag"]: r["approx_p"]
+              for r in queries["q_approx_quantiles"](spark, SF_SMOKE).collect()}
+    for k, (p25, p50, p75) in exact.items():
+        for want, got in zip((p25, p50, p75), approx[k]):
+            assert abs(got - want) / want < 0.01, (k, want, got)
