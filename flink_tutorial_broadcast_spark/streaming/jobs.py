@@ -57,6 +57,20 @@ def tumbling_window_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run_to_memory(agg, "append")
 
 
+def sliding_window_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E2+E5: watermarked sliding 1h/15min window counts (streaming form
+    of q_window_sliding; each event lands in 4 overlapping windows)."""
+    ev = stream_events(spark, sf_dir).withWatermark("ts", "10 minutes")
+    agg = (
+        ev.groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"),
+                   "event_type")
+        .agg(F.count("*").alias("n_events"))
+        .select(F.col("w.start").alias("window_start"), "event_type",
+                "n_events")
+    )
+    return _run_to_memory(agg, "append")
+
+
 def session_window_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E3 streaming session windows (30min gap) per user."""
     ev = stream_events(spark, sf_dir).withWatermark("ts", "10 minutes")

@@ -280,3 +280,30 @@ def test_text_file_source_token_counts_match_batch(spark):
             .select(F.explode(F.split("text", " ")).alias("token"))
             .groupBy("token").agg(F.count("*").alias("n_total")).collect()}
     assert got == want
+
+
+def test_sliding_window_stream_matches_batch(spark, queries):
+    """E2 streaming ≡ batch: sliding-window streaming counts equal the
+    oracle-checked batch formulation for fully-arrived data."""
+    from flink_tutorial_broadcast_spark.streaming.jobs import (
+        sliding_window_stream,
+    )
+    import datetime as dt
+    from collections import Counter
+
+    from flink_tutorial_broadcast_spark.io import load
+
+    per_window = Counter()
+    for r in sliding_window_stream(spark, SF_SMOKE).collect():
+        per_window[r["window_start"]] += r["n_events"]
+    # append mode finalizes a window only once the watermark passes its
+    # end: windows still open at end-of-stream are correctly withheld
+    max_ts = load(spark, SF_SMOKE, "events").agg(
+        F.max("ts")).collect()[0][0]
+    horizon = max_ts - dt.timedelta(minutes=10)
+    batch = {r["window_start"]: r["n_events"]
+             for r in queries["q_window_sliding"](spark, SF_SMOKE)
+             .select("window_start", "n_events").collect()
+             if r["window_start"] + dt.timedelta(hours=1) <= horizon
+             and r["n_events"] > 0}
+    assert dict(per_window) == batch
