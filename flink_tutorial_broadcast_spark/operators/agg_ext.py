@@ -1,0 +1,209 @@
+"""Extended aggregate surface: GROUPING SETS, arg-min/max, ordered string
+aggregation, conditional/boolean aggregates, fixed-width histograms, and a
+Datasketches-compatible HLL sketch.
+
+These extend SURVEY.md §2.D (the reference's keyed-aggregation family —
+[FLINK-API `KeyedStream#sum/min/max/reduce`] generalizes to arbitrary
+accumulator shapes via `AggregateFunction`) with the aggregate forms a
+100 TB corpus-audit pipeline leans on. All but the HLL sketch are pure
+Catalyst single-pass hash aggregates — partial (map-side) + final, one
+shuffle on the group key, no Python anywhere.
+
+Scale notes:
+- GROUPING SETS expands to an `Expand` node (one input row → one row per
+  grouping set) BEFORE the shuffle; with 3 sets the shuffle triples. That
+  is still one pass over the fact table — strictly better than 3 queries.
+- `min_by`/`max_by` are single-accumulator aggregates (no sort, no
+  window): the right tool for "row with the extreme value per group" at
+  scale — contrast `q_topk_per_group`, which pays a full partition sort.
+- The HLL sketch (`hll_sketch_agg`) is mergeable state: partial sketches
+  combine associatively across partitions/days, which is what makes
+  distinct-count rollups over 100 TB feasible (store sketches, not IDs).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from flink_tutorial_broadcast_spark.io import load
+from flink_tutorial_broadcast_spark.registry import query
+
+
+@query(
+    "q_grouping_sets",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(grouping(l_returnflag) AS INT) AS g_rf,
+           CAST(grouping(l_linestatus) AS INT) AS g_ls,
+           COUNT(*) AS n,
+           ROUND(SUM(l_quantity), 2) AS sum_qty
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+    """,
+)
+def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS with grouping() flags (D5 beyond rollup/cube).
+
+    SQL entry (lifecycle B): parser → Expand node → single hash aggregate.
+    The grouping() flags disambiguate "NULL because super-aggregate row"
+    from "NULL because the data had NULL" — required for correct rollup
+    consumers downstream.
+    """
+    load(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql("""
+        SELECT l_returnflag, l_linestatus,
+               CAST(grouping(l_returnflag) AS INT) AS g_rf,
+               CAST(grouping(l_linestatus) AS INT) AS g_ls,
+               COUNT(*) AS n,
+               ROUND(SUM(l_quantity), 2) AS sum_qty
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+                                (l_returnflag), ())
+    """)
+
+
+@query(
+    "q_minmax_by",
+    oracle="""
+    SELECT c_nationkey,
+           arg_min(c_name, lpad(CAST(CAST(ROUND((c_acctbal + 1000) * 100)
+                                          AS BIGINT) AS VARCHAR), 10, '0')
+                           || lpad(CAST(c_custkey AS VARCHAR), 10, '0'))
+             AS poorest,
+           arg_max(c_name, lpad(CAST(CAST(ROUND((c_acctbal + 1000) * 100)
+                                          AS BIGINT) AS VARCHAR), 10, '0')
+                           || lpad(CAST(c_custkey AS VARCHAR), 10, '0'))
+             AS richest,
+           ROUND(MIN(c_acctbal), 2) AS min_bal,
+           ROUND(MAX(c_acctbal), 2) AS max_bal
+    FROM customer GROUP BY c_nationkey
+    """,
+)
+def q_minmax_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """arg-min/arg-max: the customer holding each nation's extreme balance.
+
+    One hash aggregate, no sort, no window — the scalable form of "row
+    with the extreme value per group". The ordering value is a fixed-width
+    sortable string (cents-scaled balance offset to non-negative, then
+    custkey as tiebreaker) because (a) ties on raw c_acctbal exist at
+    sf0.1, making bare min_by nondeterministic, and (b) DuckDB 1.0's
+    arg_min lacks struct-valued orderings — lexicographic-equals-numeric
+    encoding is the portable composite-key idiom.
+    """
+    c = load(spark, sf_dir, "customer")
+    sort_key = F.concat(
+        F.lpad(F.round((F.col("c_acctbal") + 1000) * 100)
+               .cast("long").cast("string"), 10, "0"),
+        F.lpad(F.col("c_custkey").cast("string"), 10, "0"),
+    )
+    return c.groupBy("c_nationkey").agg(
+        F.min_by("c_name", sort_key).alias("poorest"),
+        F.max_by("c_name", sort_key).alias("richest"),
+        F.round(F.min("c_acctbal"), 2).alias("min_bal"),
+        F.round(F.max("c_acctbal"), 2).alias("max_bal"),
+    )
+
+
+@query(
+    "q_string_agg",
+    oracle="""
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           string_agg(lpad(CAST(doc_id AS VARCHAR), 8, '0'), ','
+                      ORDER BY lpad(CAST(doc_id AS VARCHAR), 8, '0'))
+             AS doc_ids
+    FROM documents GROUP BY lang
+    """,
+)
+def q_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation (listagg) per language.
+
+    zero-padded ids make lexicographic order == numeric order, so
+    `array_sort(collect_list(...))` here and `ORDER BY` in the oracle
+    produce byte-identical strings. collect_list is bounded by group
+    cardinality — fine for per-lang rollups, NOT for unbounded groups.
+    """
+    d = load(spark, sf_dir, "documents")
+    padded = F.lpad(F.col("doc_id").cast("string"), 8, "0")
+    return d.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.concat_ws(",", F.array_sort(F.collect_list(padded)))
+         .alias("doc_ids"),
+    )
+
+
+@query(
+    "q_count_if_bool",
+    oracle="""
+    SELECT event_type,
+           count_if(value > 500)  AS n_high,
+           bool_and(value >= 0)   AS all_nonneg,
+           bool_or(value > 990)   AS any_extreme,
+           COUNT(*) AS n
+    FROM events GROUP BY event_type
+    """,
+)
+def q_count_if_bool(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional and boolean aggregates: count_if / bool_and / bool_or.
+
+    The corpus-audit workhorses ("how many docs violate X", "does every
+    shard satisfy Y") as single-pass aggregates instead of N filtered
+    sub-queries.
+    """
+    ev = load(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.count_if(F.col("value") > 500).alias("n_high"),
+        F.bool_and(F.col("value") >= 0).alias("all_nonneg"),
+        F.bool_or(F.col("value") > 990).alias("any_extreme"),
+        F.count("*").alias("n"),
+    )
+
+
+@query(
+    "q_histogram",
+    oracle="""
+    SELECT CAST(FLOOR(value / 100) AS INT) AS bucket,
+           COUNT(*) AS n,
+           ROUND(MIN(value), 2) AS lo,
+           ROUND(MAX(value), 2) AS hi
+    FROM events GROUP BY 1
+    """,
+)
+def q_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram of event values (width-100 buckets).
+
+    floor-division bucketing instead of `width_bucket` for engine
+    portability (DuckDB 1.0 lacks width_bucket). One hash aggregate;
+    bucket count is bounded by the value range, not the row count, so the
+    result stays tiny at any scale.
+    """
+    ev = load(spark, sf_dir, "events")
+    return ev.groupBy(
+        F.floor(F.col("value") / 100).cast("int").alias("bucket")
+    ).agg(
+        F.count("*").alias("n"),
+        F.round(F.min("value"), 2).alias("lo"),
+        F.round(F.max("value"), 2).alias("hi"),
+    )
+
+
+@query("q_hll_sketch")  # rows-only: sketch estimate differs from exact by design
+def q_hll_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apache Datasketches HLL distinct-user sketch per event type.
+
+    Unlike `approx_count_distinct` (HyperLogLog++ fused into one agg),
+    `hll_sketch_agg` exposes the SKETCH as a mergeable binary value: at
+    100 TB you persist per-partition/per-day sketches and fold them with
+    `hll_union_agg` for any rollup without re-touching raw data. Estimate
+    accuracy is property-tested (±5% vs exact) in tests/test_operators.py.
+    """
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(F.hll_sketch_agg("user_id", F.lit(12)).alias("sketch"))
+        .select(
+            "event_type",
+            F.hll_sketch_estimate("sketch").cast("long").alias("approx_users"),
+        )
+    )

@@ -1,0 +1,187 @@
+"""Behavioral / sequence analytics over the event stream: conversion
+funnel, cohort retention, distribution ranks, and ignore-nulls carry-
+forward.
+
+These are the batch forms of what the reference's keyed process functions
+compute imperatively — per-key ordered-state walks over an event stream
+([FLINK-API `KeyedProcessFunction` + `ValueState`], the same machinery the
+broadcast tutorial's `processElement` uses). Spark-first, each is a
+declarative plan: stage joins co-partitioned on `user_id`, window
+functions over (ts, event_id) orderings, no Python in any hot path.
+
+Scale notes:
+- The funnel's stage tables shrink monotonically (view ⊇ click ⊇
+  purchase survivors); every join keys on `user_id`, so AQE reuses the
+  hash partitioning across stages instead of re-shuffling the fact table.
+- Retention's `DISTINCT (user, offset)` happens AFTER projecting two
+  narrow columns — the wide event row never crosses the shuffle.
+- Ordered-window queries use the verified-unique (user_id, ts) ordering
+  (ties would make any engine's window output nondeterministic).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from flink_tutorial_broadcast_spark.io import load
+from flink_tutorial_broadcast_spark.registry import query
+
+
+@query(
+    "q_funnel",
+    oracle="""
+    WITH v AS (
+      SELECT user_id, MIN(ts) AS t_view
+      FROM events WHERE event_type = 'view' GROUP BY user_id
+    ), c AS (
+      SELECT e.user_id, MIN(e.ts) AS t_click
+      FROM events e JOIN v ON e.user_id = v.user_id AND e.ts > v.t_view
+      WHERE e.event_type = 'click' GROUP BY e.user_id
+    ), p AS (
+      SELECT e.user_id, MIN(e.ts) AS t_purchase
+      FROM events e JOIN c ON e.user_id = c.user_id AND e.ts > c.t_click
+      WHERE e.event_type = 'purchase' GROUP BY e.user_id
+    )
+    SELECT (SELECT COUNT(*) FROM v) AS n_view,
+           (SELECT COUNT(*) FROM c) AS n_click,
+           (SELECT COUNT(*) FROM p) AS n_purchase
+    """,
+)
+def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel: view → click (after view) → purchase
+    (after click); one row of per-stage survivor counts.
+
+    The streaming formulation of this is exactly the reference's keyed-
+    state pattern (store the stage reached per user in ValueState); the
+    batch form is two shrinking user_id-keyed joins, which Catalyst
+    co-partitions — the fact table is scanned once per stage filter and
+    only (user_id, ts) pairs shuffle.
+    """
+    ev = load(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+
+    v = (ev.filter(F.col("event_type") == "view")
+         .groupBy("user_id").agg(F.min("ts").alias("t_view")))
+    c = (ev.filter(F.col("event_type") == "click")
+         .join(v, "user_id")
+         .filter(F.col("ts") > F.col("t_view"))
+         .groupBy("user_id").agg(F.min("ts").alias("t_click")))
+    p = (ev.filter(F.col("event_type") == "purchase")
+         .join(c, "user_id")
+         .filter(F.col("ts") > F.col("t_click"))
+         .groupBy("user_id").agg(F.min("ts").alias("t_purchase")))
+
+    return (
+        v.agg(F.count("*").alias("n_view"))
+        .crossJoin(c.agg(F.count("*").alias("n_click")))
+        .crossJoin(p.agg(F.count("*").alias("n_purchase")))
+    )
+
+
+@query(
+    "q_retention",
+    oracle="""
+    WITH first AS (
+      SELECT user_id, MIN(CAST(ts AS DATE)) AS d0 FROM events GROUP BY user_id
+    ), act AS (
+      SELECT DISTINCT e.user_id, f.d0,
+             datediff('day', f.d0, CAST(e.ts AS DATE)) AS off
+      FROM events e JOIN first f ON e.user_id = f.user_id
+    )
+    SELECT CAST(d0 AS TIMESTAMP) AS cohort_day,
+           COUNT(DISTINCT user_id) AS n_users,
+           COUNT(DISTINCT CASE WHEN off = 1 THEN user_id END) AS ret_d1,
+           COUNT(DISTINCT CASE WHEN off = 7 THEN user_id END) AS ret_d7
+    FROM act GROUP BY d0
+    """,
+)
+def q_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention: users grouped by first-activity day; how many
+    return exactly 1 and 7 days later.
+
+    The (user, day-offset) pairs are projected to two narrow columns
+    before DISTINCT, so the shuffle carries ~16 bytes/row regardless of
+    event width — the property that keeps this viable at 100 TB.
+    """
+    ev = (load(spark, sf_dir, "events")
+          .select("user_id", F.to_date("ts").alias("d")))
+    first = ev.groupBy("user_id").agg(F.min("d").alias("d0"))
+    act = (ev.join(first, "user_id")
+           .select("user_id", "d0", F.datediff("d", "d0").alias("off"))
+           .distinct())
+    return (
+        act.groupBy("d0")
+        .agg(
+            F.count_distinct("user_id").alias("n_users"),
+            F.count_distinct(
+                F.when(F.col("off") == 1, F.col("user_id"))).alias("ret_d1"),
+            F.count_distinct(
+                F.when(F.col("off") == 7, F.col("user_id"))).alias("ret_d7"),
+        )
+        .select(
+            F.col("d0").cast("timestamp").alias("cohort_day"),
+            "n_users", "ret_d1", "ret_d7",
+        )
+    )
+
+
+@query(
+    "q_cume_dist",
+    oracle="""
+    SELECT c_custkey, c_nationkey,
+           CAST(FLOOR(percent_rank() OVER w * 1000000) AS BIGINT) AS pr_ppm,
+           CAST(FLOOR(cume_dist() OVER w * 1000000) AS BIGINT) AS cd_ppm,
+           ntile(4) OVER w AS quartile
+    FROM customer
+    WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey)
+    """,
+)
+def q_cume_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution ranks: percent_rank / cume_dist / ntile quartiles of
+    customers by balance within nation (F1 family beyond rank/dense_rank).
+
+    Ordering includes c_custkey as tiebreaker — a unique ordering is what
+    makes ntile deterministic on ANY data; never ship a window query
+    without one. Ranks are emitted as floor-scaled parts-per-million
+    integers: percent_rank yields exact binary fractions like 0.0640625
+    whose ROUND(x, 6) differs between Spark (half-up) and DuckDB
+    (half-even); FLOOR sidesteps the rounding-mode divergence.
+    """
+    w = Window.partitionBy("c_nationkey").orderBy("c_acctbal", "c_custkey")
+    return load(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey",
+        F.floor(F.percent_rank().over(w) * 1000000).alias("pr_ppm"),
+        F.floor(F.cume_dist().over(w) * 1000000).alias("cd_ppm"),
+        F.ntile(4).over(w).alias("quartile"),
+    )
+
+
+@query(
+    "q_last_ignore_nulls",
+    oracle="""
+    SELECT event_id, user_id,
+           ROUND(last_value(CASE WHEN event_type = 'purchase' THEN value END
+                            IGNORE NULLS)
+                 OVER (PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
+             AS last_purchase_value
+    FROM events
+    """,
+)
+def q_last_ignore_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IGNORE NULLS carry-forward: each event annotated with the value of
+    the user's most recent purchase so far (NULL before the first one).
+
+    This is the declarative form of the reference's per-key ValueState
+    ("remember the last X per key" in `processElement`) — one window
+    function instead of imperative state. Explicit ROWS frame + unique
+    (ts, event_id) ordering keeps both engines byte-identical.
+    """
+    w = (Window.partitionBy("user_id").orderBy("ts", "event_id")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    purchase_val = F.when(F.col("event_type") == "purchase", F.col("value"))
+    return load(spark, sf_dir, "events").select(
+        "event_id", "user_id",
+        F.round(F.last(purchase_val, ignorenulls=True).over(w), 2)
+         .alias("last_purchase_value"),
+    )

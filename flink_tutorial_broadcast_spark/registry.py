@@ -41,6 +41,8 @@ _QUERY_MODULES = (
     "flink_tutorial_broadcast_spark.operators.composite",
     "flink_tutorial_broadcast_spark.operators.ml_ops",
     "flink_tutorial_broadcast_spark.operators.iterative",
+    "flink_tutorial_broadcast_spark.operators.agg_ext",
+    "flink_tutorial_broadcast_spark.operators.behavioral",
 )
 
 
