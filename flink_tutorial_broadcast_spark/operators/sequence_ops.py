@@ -1,0 +1,234 @@
+"""Sequence / time-series / data-quality operators: CEP-style pattern
+matching, calendar gap-fill, z-score anomaly detection, and percentile-
+band filtering.
+
+The pattern matcher is the batch analogue of Flink CEP — the event-
+pattern library that sits beside the reference's broadcast-state API
+([FLINK-API `org.apache.flink.cep.CEP#pattern`], `Pattern.begin("v")
+.next("c").next("p")` strict contiguity). Spark has no MATCH_RECOGNIZE,
+so the Spark-first formulation is: order each key's events into a path
+string (one ordered collect per key — exactly the state CEP's NFA keeps)
+and run the pattern as a regex count. The others are the audit/repair
+ops a 100 TB training pipeline runs nightly.
+
+Scale notes:
+- Pattern paths: one shuffle on user_id; per-user path strings are
+  bounded by events-per-user, not corpus size. For unbounded keys, bound
+  the collect with a time window first (same as CEP's within()).
+- Gap-fill generates the calendar spine with `sequence()` — O(days), not
+  O(rows) — and left-joins counts onto it; the big side never re-shuffles.
+- The z-score pass computes per-group moments ONCE (tiny agg, broadcast
+  back) instead of a window over the fact table: two scans, zero sorts,
+  versus a window's full partition sort — the right trade when groups
+  are few and rows are many.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from flink_tutorial_broadcast_spark.io import load
+from flink_tutorial_broadcast_spark.registry import query
+
+
+@query(
+    "q_sequence_pattern",
+    oracle="""
+    WITH paths AS (
+      SELECT user_id,
+             string_agg(event_type, '>' ORDER BY ts, event_id) AS path
+      FROM events GROUP BY user_id
+    )
+    SELECT user_id,
+           CAST(len(regexp_extract_all(path, '(view>click>purchase)', 1))
+                AS BIGINT) AS n_matches
+    FROM paths
+    WHERE len(regexp_extract_all(path, '(view>click>purchase)', 1)) > 0
+    """,
+)
+def q_sequence_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CEP strict-contiguity pattern: users whose event stream contains
+    view NEXT click NEXT purchase (Flink CEP ``begin.next.next``), with
+    the non-overlapping match count.
+
+    Path construction sorts each user's events by the verified-unique
+    (ts, event_id) ordering via array_sort over structs — deterministic
+    on any engine. Strict contiguity (CEP `next`) maps to a plain
+    substring scan; relaxed contiguity (`followedBy`) would be
+    '(>[a-z]+)*?>' gaps, deliberately avoided because lazy-quantifier
+    semantics differ across regex engines.
+    """
+    ev = load(spark, sf_dir, "events")
+    paths = (
+        ev.groupBy("user_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct("ts", "event_id", "event_type"))),
+                    lambda x: x["event_type"],
+                ),
+                ">",
+            ).alias("path")
+        )
+    )
+    n = F.size(F.regexp_extract_all(
+        "path", F.lit("(view>click>purchase)"), 1))
+    return (
+        paths.select("user_id", n.cast("long").alias("n_matches"))
+        .filter(F.col("n_matches") > 0)
+    )
+
+
+@query(
+    "q_gap_fill",
+    oracle="""
+    WITH bounds AS (
+      SELECT CAST(MIN(ts) AS DATE) AS d_lo, CAST(MAX(ts) AS DATE) AS d_hi
+      FROM events
+    ), days AS (
+      SELECT unnest(generate_series(d_lo, d_hi, INTERVAL 1 DAY)) AS day
+      FROM bounds
+    ), spine AS (
+      SELECT d.day, et.event_type
+      FROM days d, (SELECT DISTINCT event_type FROM events) et
+    ), counts AS (
+      SELECT date_trunc('day', ts) AS day, event_type, COUNT(*) AS n
+      FROM events GROUP BY 1, 2
+    )
+    SELECT s.day, s.event_type, COALESCE(c.n, 0) AS n
+    FROM spine s LEFT JOIN counts c
+      ON s.day = c.day AND s.event_type = c.event_type
+    """,
+)
+def q_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar gap-fill: dense (day × event_type) grid with zero-filled
+    missing combinations — the time-series repair every downstream
+    windowed model assumes has already happened.
+
+    The spine is generated from the data's own min/max (`sequence()` on
+    the driver side of a broadcast), so the plan is: tiny agg → sequence
+    explode → broadcast left join onto the grouped counts. The fact
+    table is scanned once.
+    """
+    ev = load(spark, sf_dir, "events")
+    bounds = ev.agg(
+        F.to_date(F.min("ts")).alias("d_lo"),
+        F.to_date(F.max("ts")).alias("d_hi"),
+    )
+    spine = (
+        bounds.select(
+            F.explode(
+                F.sequence("d_lo", "d_hi", F.expr("interval 1 day"))
+            ).alias("d")
+        )
+        .select(F.col("d").cast("timestamp").alias("day"))
+        .crossJoin(ev.select("event_type").distinct())
+    )
+    counts = (
+        ev.groupBy(
+            F.date_trunc("day", "ts").alias("day"), "event_type"
+        ).agg(F.count("*").alias("n"))
+    )
+    return (
+        spine.join(counts, ["day", "event_type"], "left")
+        .select("day", "event_type", F.coalesce("n", F.lit(0)).alias("n"))
+    )
+
+
+@query(
+    "q_anomaly_zscore",
+    oracle="""
+    WITH stats AS (
+      SELECT o_orderpriority AS prio,
+             AVG(o_totalprice) AS m,
+             stddev_samp(o_totalprice) AS sd
+      FROM orders GROUP BY 1
+    )
+    SELECT o.o_orderkey, o.o_orderpriority,
+           ROUND(o.o_totalprice, 2) AS price,
+           CAST(FLOOR(ABS(o.o_totalprice - s.m) / s.sd * 100) AS BIGINT)
+             AS z_x100
+    FROM orders o JOIN stats s ON o.o_orderpriority = s.prio
+    WHERE ABS(o.o_totalprice - s.m) / s.sd > 1.7
+    """,
+)
+def q_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-score anomaly flags: orders whose total price sits >1.7σ from
+    their priority class's mean.
+
+    Two-pass moments-then-broadcast instead of a window function: the
+    stats side is 5 rows, so pass 2 is a broadcast hash join with zero
+    sort — a window formulation would sort the entire fact table per
+    partition. z is emitted floor-scaled (×100) to dodge cross-engine
+    rounding modes; the 1.7 cut has ≥5e-6 margin to the nearest z on all fixture
+    SFs (verified) — six orders above cross-engine stddev float noise —
+    so the flag set is hash-stable. (o_totalprice is near-uniform: |z|
+    tops out ~1.9, which is why the classic 2.5σ cut would be empty.)
+    """
+    o = load(spark, sf_dir, "orders")
+    stats = o.groupBy(F.col("o_orderpriority").alias("prio")).agg(
+        F.avg("o_totalprice").alias("m"),
+        F.stddev_samp("o_totalprice").alias("sd"),
+    )
+    z = F.abs(F.col("o_totalprice") - F.col("m")) / F.col("sd")
+    return (
+        o.join(F.broadcast(stats), o.o_orderpriority == stats.prio)
+        .filter(z > 1.7)
+        .select(
+            "o_orderkey", "o_orderpriority",
+            F.round("o_totalprice", 2).alias("price"),
+            F.floor(z * 100).cast("long").alias("z_x100"),
+        )
+    )
+
+
+@query(
+    "q_length_band_filter",
+    oracle="""
+    WITH bands AS (
+      SELECT lang,
+             quantile_cont(n_chars, 0.05) AS p05,
+             quantile_cont(n_chars, 0.95) AS p95
+      FROM documents GROUP BY lang
+    )
+    SELECT d.lang,
+           COUNT(*) AS n_kept,
+           ROUND(AVG(d.n_chars), 2) AS avg_chars,
+           CAST(FLOOR(MIN(b.p05)) AS BIGINT) AS lo_band,
+           CAST(FLOOR(MIN(b.p95)) AS BIGINT) AS hi_band
+    FROM documents d JOIN bands b ON d.lang = b.lang
+    WHERE d.n_chars >= b.p05 AND d.n_chars <= b.p95
+    GROUP BY d.lang
+    """,
+)
+def q_length_band_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percentile-band quality filter: keep documents whose length falls
+    inside their language's [p05, p95] band — the standard outlier trim
+    before LLM training (drops truncated fragments and concatenation
+    blowups in one pass).
+
+    Interpolated percentiles (`F.percentile` ≡ DuckDB quantile_cont) are
+    computed per lang on a tiny agg and broadcast back; the documents
+    scan itself never sorts. Band edges are floor-cast for hash
+    stability.
+    """
+    d = load(spark, sf_dir, "documents")
+    bands = d.groupBy(F.col("lang").alias("b_lang")).agg(
+        F.percentile("n_chars", F.lit(0.05)).alias("p05"),
+        F.percentile("n_chars", F.lit(0.95)).alias("p95"),
+    )
+    return (
+        d.join(F.broadcast(bands), d.lang == bands.b_lang)
+        .filter((F.col("n_chars") >= F.col("p05"))
+                & (F.col("n_chars") <= F.col("p95")))
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_kept"),
+            F.round(F.avg("n_chars"), 2).alias("avg_chars"),
+            F.floor(F.min("p05")).cast("long").alias("lo_band"),
+            F.floor(F.min("p95")).cast("long").alias("hi_band"),
+        )
+    )

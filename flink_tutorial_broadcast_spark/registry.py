@@ -43,6 +43,7 @@ _QUERY_MODULES = (
     "flink_tutorial_broadcast_spark.operators.iterative",
     "flink_tutorial_broadcast_spark.operators.agg_ext",
     "flink_tutorial_broadcast_spark.operators.behavioral",
+    "flink_tutorial_broadcast_spark.operators.sequence_ops",
 )
 
 
