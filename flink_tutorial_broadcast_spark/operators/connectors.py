@@ -1,0 +1,180 @@
+"""Source/sink format connectors beyond parquet: CSV, JSONL, partitioned
+parquet with pruning, and a MERGE-style upsert.
+
+The reference's source surface is collection / socket / text-file inputs
+([FLINK-API `StreamExecutionEnvironment#fromElements/#socketTextStream/
+#readTextFile`] — SURVEY.md §2.A); an engine replacing it needs the
+batch-format matrix too. Every scan here uses an EXPLICIT StructType —
+`inferSchema` costs an extra full pass and can drift between runs, so it
+never appears in the engine path (SURVEY §1.1 D7).
+
+Scale notes:
+- CSV/JSONL are demo-scale interchange formats; the round-trips here
+  prove the connector path (writer → files → schema-pinned reader), not
+  a recommendation — at 100 TB you land columnar.
+- The partitioned-write query proves partition PRUNING: filtering on the
+  partition column turns a full-directory scan into a single-directory
+  listing (PartitionFilters in the scan node) — the single most
+  important layout decision for a date-organized 100 TB lake.
+- The upsert is the Delta/Iceberg MERGE shape expressed as a pure
+  full-outer join + coalesce — shuffle on the key once, no table format
+  required. At real scale the update side is tiny → broadcast.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from flink_tutorial_broadcast_spark.io import load
+from flink_tutorial_broadcast_spark.registry import query
+
+
+def _tmp(tag: str, sf_dir: str) -> str:
+    sf = os.path.basename(sf_dir.rstrip("/"))
+    return os.path.join(tempfile.gettempdir(), f"ftbs_{tag}_{sf}")
+
+
+_NATION_SCHEMA = T.StructType([
+    T.StructField("n_nationkey", T.LongType()),
+    T.StructField("n_name", T.StringType()),
+    T.StructField("n_regionkey", T.LongType()),
+])
+
+_SUPPLIER_SCHEMA = T.StructType([
+    T.StructField("s_suppkey", T.LongType()),
+    T.StructField("s_name", T.StringType()),
+    T.StructField("s_nationkey", T.LongType()),
+    T.StructField("s_acctbal", T.DoubleType()),
+])
+
+
+@query(
+    "q_scan_csv",
+    oracle="""
+    SELECT n_nationkey, n_name, n_regionkey FROM nation
+    """,
+)
+def q_scan_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV connector round-trip: write nation as headered CSV, read it
+    back with a pinned schema (no inferSchema — one pass, stable types).
+    """
+    path = _tmp("csv_nation", sf_dir)
+    (load(spark, sf_dir, "nation")
+     .select("n_nationkey", "n_name", "n_regionkey")
+     .coalesce(1)
+     .write.mode("overwrite").option("header", True).csv(path))
+    return spark.read.schema(_NATION_SCHEMA).option("header", True).csv(path)
+
+
+@query(
+    "q_scan_jsonl",
+    oracle="""
+    SELECT s_suppkey, s_name, s_nationkey, ROUND(s_acctbal, 2) AS acctbal
+    FROM supplier
+    """,
+)
+def q_scan_jsonl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-lines connector round-trip on supplier, schema-pinned reader.
+
+    JSONL is the lingua franca of LLM corpus interchange; the engine
+    must read it with explicit types (doubles stay doubles — inference
+    would produce DecimalType for some locales' numbers).
+    """
+    path = _tmp("jsonl_supplier", sf_dir)
+    (load(spark, sf_dir, "supplier")
+     .select("s_suppkey", "s_name", "s_nationkey", "s_acctbal")
+     .coalesce(1)
+     .write.mode("overwrite").json(path))
+    return (
+        spark.read.schema(_SUPPLIER_SCHEMA).json(path)
+        .select("s_suppkey", "s_name", "s_nationkey",
+                F.round("s_acctbal", 2).alias("acctbal"))
+    )
+
+
+@query(
+    "q_partitioned_prune",
+    oracle="""
+    SELECT event_type, COUNT(*) AS n, ROUND(SUM(value), 2) AS sum_value
+    FROM events
+    WHERE CAST(ts AS DATE) = DATE '2024-01-05'
+    GROUP BY event_type
+    """,
+)
+def q_partitioned_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive-partitioned sink + partition-pruned scan: events land
+    partitioned by day; the day-filtered read touches ONE directory.
+
+    `.explain` on the read shows PartitionFilters=[day = 2024-01-05] and
+    a file listing limited to that partition — the layout contract that
+    makes date-ranged queries O(day) instead of O(lake) at 100 TB.
+    """
+    path = _tmp("part_events", sf_dir)
+    ev = load(spark, sf_dir, "events")
+    (ev.withColumn("day", F.date_format("ts", "yyyy-MM-dd"))
+     .write.mode("overwrite").partitionBy("day").parquet(path))
+    back = spark.read.parquet(path).filter(F.col("day") == "2024-01-05")
+    return back.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+    )
+
+
+@query(
+    "q_merge_upsert",
+    oracle="""
+    WITH updates AS (
+      SELECT c_custkey AS k, c_name AS name, c_acctbal + 100 AS bal
+      FROM customer WHERE c_custkey % 10 = 0
+      UNION ALL
+      SELECT c_custkey + 1000000 AS k, 'NEW#' || CAST(c_custkey AS VARCHAR),
+             0.0 AS bal
+      FROM customer WHERE c_custkey % 17 = 0
+    )
+    SELECT COALESCE(u.k, c.c_custkey) AS c_custkey,
+           COALESCE(u.name, c.c_name) AS c_name,
+           ROUND(COALESCE(u.bal, c.c_acctbal), 2) AS c_acctbal
+    FROM customer c FULL OUTER JOIN updates u ON c.c_custkey = u.k
+    """,
+)
+def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE-style upsert without a table format: matched rows take the
+    update's values, unmatched updates insert, untouched base rows pass
+    through — one full-outer join + coalesce per column.
+
+    The update set is derived deterministically from the base (every
+    10th customer gets +100 balance; every 17th spawns a new row) so the
+    oracle can reproduce it. At production scale the updates side is a
+    trickle vs the base → broadcast the updates and the "merge" is a
+    map-side operation.
+    """
+    c = load(spark, sf_dir, "customer")
+    upd = (
+        c.filter(F.col("c_custkey") % 10 == 0)
+        .select(
+            F.col("c_custkey").alias("k"),
+            F.col("c_name").alias("name"),
+            (F.col("c_acctbal") + 100).alias("bal"),
+        )
+        .unionByName(
+            c.filter(F.col("c_custkey") % 17 == 0).select(
+                (F.col("c_custkey") + 1000000).alias("k"),
+                F.concat(F.lit("NEW#"),
+                         F.col("c_custkey").cast("string")).alias("name"),
+                F.lit(0.0).alias("bal"),
+            )
+        )
+    )
+    return (
+        c.join(upd, c.c_custkey == upd.k, "full_outer")
+        .select(
+            F.coalesce(upd.k, c.c_custkey).alias("c_custkey"),
+            F.coalesce(upd.name, c.c_name).alias("c_name"),
+            F.round(F.coalesce(upd.bal, c.c_acctbal), 2).alias("c_acctbal"),
+        )
+    )

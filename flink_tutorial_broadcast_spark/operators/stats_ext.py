@@ -1,0 +1,148 @@
+"""Statistical / vector aggregate extensions: nth_value windows, linear
+regression aggregates, per-key Shannon entropy, and per-label embedding
+centroids.
+
+These extend SURVEY.md §2.D/F with the audit statistics a training-data
+pipeline computes fleet-wide: regression aggregates for drift checks,
+entropy for behavioral-diversity scoring, and centroids as the training
+step of IVF-style ANN partitioning (the scale path behind `q_knn_ivf`).
+All pure Catalyst; the centroid op turns the array column into long form
+with `posexplode` — shuffle rows = vectors × dims, but each row is 20
+bytes, and the result is bounded by labels × dims regardless of corpus
+size.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from flink_tutorial_broadcast_spark.io import load
+from flink_tutorial_broadcast_spark.registry import query
+
+
+@query(
+    "q_nth_value",
+    oracle="""
+    SELECT o_orderkey, o_custkey,
+           ROUND(nth_value(o_totalprice, 3)
+                 OVER (PARTITION BY o_custkey
+                       ORDER BY o_orderdate, o_orderkey
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND UNBOUNDED FOLLOWING), 2)
+             AS third_order_price
+    FROM orders
+    """,
+)
+def q_nth_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """nth_value window: each order annotated with its customer's 3rd
+    order total (NULL for customers with <3 orders).
+
+    Full-partition ROWS frame spelled out on both engines — nth_value
+    under the default RANGE frame can't see rows after the current one,
+    which silently NULLs early rows; the explicit frame is the portable
+    spelling. Ordering (o_orderdate, o_orderkey) is unique.
+    """
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey",
+        F.round(F.nth_value("o_totalprice", 3).over(w), 2)
+         .alias("third_order_price"),
+    )
+
+
+@query(
+    "q_linreg",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(regr_slope(l_extendedprice, l_quantity), 4) AS slope,
+           ROUND(regr_intercept(l_extendedprice, l_quantity), 4)
+             AS intercept,
+           COUNT(*) AS n
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q_linreg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear-regression aggregates: price-vs-quantity slope/intercept
+    per return flag — single-pass, partial-aggregatable moments (the
+    same accumulator shape as a Flink `AggregateFunction`, SURVEY §2.D2,
+    but fused into Catalyst's hash aggregate).
+    """
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.regr_slope("l_extendedprice", "l_quantity"), 4)
+         .alias("slope"),
+        F.round(F.regr_intercept("l_extendedprice", "l_quantity"), 4)
+         .alias("intercept"),
+        F.count("*").alias("n"),
+    )
+
+
+@query(
+    "q_entropy",
+    oracle="""
+    WITH c AS (
+      SELECT user_id, event_type, COUNT(*) AS k
+      FROM events GROUP BY 1, 2
+    ), t AS (
+      SELECT user_id, SUM(k) AS n FROM c GROUP BY 1
+    )
+    SELECT c.user_id,
+           ROUND(-SUM((c.k * 1.0 / t.n) * ln(c.k * 1.0 / t.n)), 4)
+             AS entropy,
+           CAST(MIN(t.n) AS BIGINT) AS n_events
+    FROM c JOIN t ON c.user_id = t.user_id
+    GROUP BY c.user_id
+    """,
+)
+def q_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy of each user's event-type mix — the behavioral-
+    diversity score (bots ≈ 0; uniform browsers ≈ ln 5).
+
+    Two narrow aggregates joined on user_id (counts, then totals) —
+    both shuffles carry (key, long) pairs only. The same shape scores
+    token-distribution diversity per document at corpus scale.
+    """
+    ev = load(spark, sf_dir, "events")
+    c = ev.groupBy("user_id", "event_type").agg(F.count("*").alias("k"))
+    t = c.groupBy("user_id").agg(F.sum("k").alias("n"))
+    p = F.col("k") / F.col("n")
+    return (
+        c.join(t, "user_id")
+        .groupBy("user_id")
+        .agg(
+            F.round(-F.sum(p * F.log(p)), 4).alias("entropy"),
+            F.min("n").cast("long").alias("n_events"),
+        )
+    )
+
+
+@query(
+    "q_embed_centroid",
+    oracle="""
+    SELECT label,
+           CAST(i.range AS INT) AS pos,
+           ROUND(AVG(embedding[CAST(i.range AS INT) + 1]), 4) AS centroid
+    FROM embeddings, range(64) i
+    GROUP BY label, i.range
+    """,
+)
+def q_embed_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding centroids in long form (label, dim, mean) —
+    the training step of IVF partitioning: centroids define the coarse
+    cells that `q_knn_ivf` probes, and the long-form groupBy is how you
+    compute them without ever materializing a dense matrix per executor.
+
+    posexplode ≡ DuckDB's range-subscript join (1-based there, 0-based
+    here — the oracle shifts the index, both emit 0-based `pos`).
+    """
+    e = load(spark, sf_dir, "embeddings")
+    return (
+        e.select("label", F.posexplode("embedding").alias("pos", "x"))
+        .groupBy("label", "pos")
+        .agg(F.round(F.avg("x"), 4).alias("centroid"))
+    )

@@ -44,6 +44,8 @@ _QUERY_MODULES = (
     "flink_tutorial_broadcast_spark.operators.agg_ext",
     "flink_tutorial_broadcast_spark.operators.behavioral",
     "flink_tutorial_broadcast_spark.operators.sequence_ops",
+    "flink_tutorial_broadcast_spark.operators.connectors",
+    "flink_tutorial_broadcast_spark.operators.stats_ext",
 )
 
 
