@@ -1,0 +1,166 @@
+"""Layout-aware join strategies as oracle-checked queries: salted skew
+join, bucketed exchange-free join, and policy-driven dedup.
+
+Elevates the utilities that were previously test-only (SURVEY.md §2 L15,
+layout proofs in plans/layout_demo.py) into first-class `queries()`
+entries: each strategy must produce EXACTLY the rows of its naive
+formulation — the oracle SQL is the naive join — while its plan carries
+the scale property (salt-spread shuffle keys, no Exchange before the
+join, single agg pass).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from flink_tutorial_broadcast_spark.io import load
+from flink_tutorial_broadcast_spark.operators.skew import salted_join
+from flink_tutorial_broadcast_spark.registry import query
+from flink_tutorial_broadcast_spark.sources.rules import RULES_SQL, rules_df
+
+
+@query(
+    "q_join_salted",
+    oracle=f"""
+    SELECT e.event_type, COUNT(*) AS n, ROUND(SUM(e.value), 2) AS sum_value
+    FROM events e JOIN {RULES_SQL}
+      ON e.event_type = rules.rule_event_type
+    WHERE e.value > rules.threshold
+    GROUP BY e.event_type
+    """,
+)
+def q_join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted skew join, semantics-checked against the plain join.
+
+    `events.event_type` is the pathological shuffle key (5 distinct
+    values → 5 tasks do all the work in a naive shuffle join). Salting
+    spreads each hot key across 16 (key, salt) shuffle partitions; the
+    oracle is the UNSALTED join, so the hash check IS the proof that
+    salting preserves semantics. At 100 TB this is the fallback when
+    AQE's skew split can't break one mega-key.
+    """
+    ev = load(spark, sf_dir, "events")
+    joined = salted_join(ev, rules_df(spark), "event_type",
+                         "rule_event_type", n_salts=16)
+    return (
+        joined.filter(F.col("value") > F.col("threshold"))
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n"),
+             F.round(F.sum("value"), 2).alias("sum_value"))
+    )
+
+
+@query(
+    "q_join_bucketed",
+    oracle="""
+    SELECT o.o_orderpriority,
+           COUNT(*) AS n,
+           ROUND(SUM(o.o_totalprice), 2) AS sum_price
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY o.o_orderpriority
+    """,
+)
+def q_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucket-bucket join: both sides pre-bucketed 8 ways on the join
+    key, so the sort-merge join runs with NO shuffle Exchange on either
+    side (asserted on the physical plan in tests/test_layout_ops.py).
+
+    This is the co-located-join layout for repeated big⋈big joins at
+    100 TB: pay the bucketing shuffle ONCE at write time, then every
+    subsequent join on that key is exchange-free. The oracle is the
+    plain unbucketed join — identical rows, different physics. The
+    bucketed write repartitions on the key first (one file per bucket);
+    Spark still inserts partition-LOCAL Sort nodes under the SMJ (the
+    reader does not exploit sortBy metadata — long-open SPARK-19256),
+    which cost O(bucket) with no network — the Exchange elimination is
+    the property that matters.
+    """
+    spark.sql("CREATE DATABASE IF NOT EXISTS bucketed_ops")
+    sf_tag = sf_dir.rstrip("/").rsplit("/", 1)[-1].replace(".", "_")
+    ord_t = f"bucketed_ops.orders_b_{sf_tag}"
+    cust_t = f"bucketed_ops.customer_b_{sf_tag}"
+
+    def _write_bucketed(df: DataFrame, table: str, key: str) -> None:
+        # External table in /tmp: a fresh session's catalog may not know
+        # the table while its old location survives on disk, which makes
+        # managed-table overwrite fail with LOCATION_ALREADY_EXISTS.
+        loc = os.path.join(tempfile.gettempdir(),
+                           f"ftbs_{table.replace('.', '_')}")
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+        shutil.rmtree(loc, ignore_errors=True)
+        # repartition on the bucket key first → exactly ONE file per
+        # bucket (repartition and bucketBy share the Murmur3 hash), which
+        # is the precondition for the reader to trust sortBy order and
+        # drop the per-partition Sort under the merge join.
+        (df.repartition(8, F.col(key))
+         .write.mode("overwrite").bucketBy(8, key).sortBy(key)
+         .option("path", loc).format("parquet").saveAsTable(table))
+
+    _write_bucketed(
+        load(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_orderpriority", "o_totalprice"),
+        ord_t, "o_custkey")
+    _write_bucketed(
+        load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey"),
+        cust_t, "c_custkey")
+    o = spark.table(ord_t)
+    c = spark.table(cust_t)
+    # Pin sort-merge: at demo SFs the dim side is under the broadcast
+    # threshold and the planner would pick BHJ, hiding the property this
+    # query exists to prove — bucket-aligned SMJ with zero Exchange and
+    # zero Sort on either side.
+    return (
+        o.join(c.hint("merge"), o.o_custkey == c.c_custkey)
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n"),
+             F.round(F.sum("o_totalprice"), 2).alias("sum_price"))
+    )
+
+
+@query(
+    "q_dedup_keep_best",
+    oracle="""
+    WITH keyed AS (
+      SELECT md5(text) AS h, doc_id, n_chars,
+             lpad(CAST(n_chars AS VARCHAR), 10, '0')
+               || lpad(CAST(9999999999 - doc_id AS VARCHAR), 10, '0')
+               AS pref
+      FROM documents
+    )
+    SELECT arg_max(doc_id, pref) AS kept_doc_id,
+           MAX(n_chars) AS best_chars,
+           COUNT(*) AS group_size
+    FROM keyed GROUP BY h
+    """,
+)
+def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Policy-driven exact dedup: one survivor per content hash, chosen
+    by quality policy (longest doc wins; ties → lowest doc_id) — the
+    LLM-corpus dedup shape where you keep the BEST duplicate, not an
+    arbitrary first row.
+
+    Single hash aggregate via arg-max over a composite preference key
+    (fixed-width sortable string: n_chars desc-dominant, inverted doc_id
+    tiebreak) — no window, no sort, one shuffle on the content hash.
+    """
+    d = load(spark, sf_dir, "documents")
+    pref = F.concat(
+        F.lpad(F.col("n_chars").cast("string"), 10, "0"),
+        F.lpad((F.lit(9999999999) - F.col("doc_id")).cast("string"), 10, "0"),
+    )
+    return (
+        d.select(F.md5("text").alias("h"), "doc_id", "n_chars",
+                 pref.alias("pref"))
+        .groupBy("h")
+        .agg(
+            F.max_by("doc_id", "pref").alias("kept_doc_id"),
+            F.max("n_chars").alias("best_chars"),
+            F.count("*").alias("group_size"),
+        )
+        .drop("h")
+    )

@@ -46,6 +46,7 @@ _QUERY_MODULES = (
     "flink_tutorial_broadcast_spark.operators.sequence_ops",
     "flink_tutorial_broadcast_spark.operators.connectors",
     "flink_tutorial_broadcast_spark.operators.stats_ext",
+    "flink_tutorial_broadcast_spark.operators.layout_ops",
 )
 
 

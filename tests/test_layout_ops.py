@@ -1,0 +1,42 @@
+"""Plan-shape and semantics tests for the layout-aware join queries."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from flink_tutorial_broadcast_spark.io import load
+from tests.conftest import SF_SMOKE
+
+
+def test_salted_join_plan_has_composite_shuffle_keys(spark, queries):
+    df = queries["q_join_salted"](spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "__salt__" in plan  # shuffle spreads (key, salt), not key
+
+
+def test_bucketed_join_is_exchange_free(spark, queries):
+    df = queries["q_join_bucketed"](spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" in plan
+    # the ONLY exchange is the post-join aggregation on o_orderpriority;
+    # neither join input re-shuffles on the join key
+    join_key_exchanges = [
+        line for line in plan.splitlines()
+        if "Exchange hashpartitioning" in line
+        and ("o_custkey" in line or "c_custkey" in line)
+    ]
+    assert join_key_exchanges == []
+
+
+def test_dedup_keep_best_prefers_longest_then_lowest_id(spark, queries):
+    df = queries["q_dedup_keep_best"](spark, SF_SMOKE)
+    docs = load(spark, SF_SMOKE, "documents")
+    # survivor count equals distinct content count
+    assert df.count() == docs.select(F.md5("text")).distinct().count()
+    # each kept doc really has its group's max length
+    kept = df.join(
+        docs.select(F.col("doc_id").alias("kept_doc_id"), "n_chars"),
+        "kept_doc_id")
+    assert kept.filter(F.col("n_chars") != F.col("best_chars")).count() == 0
+    # total group sizes account for every document
+    assert df.agg(F.sum("group_size")).collect()[0][0] == docs.count()
