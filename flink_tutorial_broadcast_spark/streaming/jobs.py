@@ -428,3 +428,63 @@ def file_sink_exactly_once(spark: SparkSession, sf_dir: str) -> DataFrame:
       .write.mode("append").parquet(os.path.join(src, "f1"))
     run_once()
     return spark.read.parquet(out)
+
+
+def outer_join_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4/C7 streaming form: stream-stream LEFT OUTER interval join with
+    watermark-driven state eviction — every purchase emits, paired with
+    same-user errors within ±5 minutes or null-extended once the
+    watermark proves no match can still arrive.
+
+    This is the Flink outer window join / ``coGroup`` shape: Flink emits
+    the unmatched side when the window closes; Structured Streaming
+    emits it when BOTH watermarks pass the join-condition bound, at
+    which point the buffered row's state is evicted. The fixture is
+    split into two time-ordered files (one per micro-batch) so the
+    watermark actually advances mid-query and null-extension fires for
+    batch-1 purchases; rows near the end-of-stream frontier legitimately
+    stay buffered (asserted ⊆ batch oracle in tests).
+    """
+    import os
+    import tempfile
+
+    from flink_tutorial_broadcast_spark.io import load
+
+    ev_batch = load(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "ts")
+    split_ts = ev_batch.agg(
+        F.percentile_approx("ts", 0.5).alias("m")).collect()[0]["m"]
+    d = tempfile.mkdtemp(prefix="outer_join_")
+    (ev_batch.filter(F.col("ts") <= F.lit(split_ts))
+     .coalesce(1).write.parquet(os.path.join(d, "f=0")))
+    (ev_batch.filter(F.col("ts") > F.lit(split_ts))
+     .coalesce(1).write.parquet(os.path.join(d, "f=1")))
+
+    sdf = (
+        spark.readStream
+        .schema("event_id long, user_id long, event_type string, ts timestamp")
+        .option("maxFilesPerTrigger", "1")
+        .option("recursiveFileLookup", "true")
+        .parquet(d)
+    )
+    p = (
+        sdf.filter(F.col("event_type") == "purchase")
+        .select(F.col("event_id").alias("purchase_id"),
+                F.col("user_id"), F.col("ts").alias("p_ts"))
+        .withWatermark("p_ts", "1 minute")
+    )
+    e = (
+        sdf.filter(F.col("event_type") == "error")
+        .select(F.col("event_id").alias("error_id"),
+                F.col("user_id").alias("e_user_id"),
+                F.col("ts").alias("e_ts"))
+        .withWatermark("e_ts", "1 minute")
+    )
+    joined = p.join(
+        e,
+        (p.user_id == e.e_user_id)
+        & (e.e_ts >= p.p_ts - F.expr("INTERVAL 5 MINUTES"))
+        & (e.e_ts <= p.p_ts + F.expr("INTERVAL 5 MINUTES")),
+        "leftOuter",
+    ).select("purchase_id", "user_id", "error_id")
+    return _run_to_memory(joined)

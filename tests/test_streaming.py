@@ -307,3 +307,21 @@ def test_sliding_window_stream_matches_batch(spark, queries):
              if r["window_start"] + dt.timedelta(hours=1) <= horizon
              and r["n_events"] > 0}
     assert dict(per_window) == batch
+
+
+def test_outer_join_stream_null_extends_correctly(spark, queries):
+    stream = jobs.outer_join_stream(spark, SF_SMOKE)
+    batch = queries["q_interval_join"](spark, SF_SMOKE)
+    bpairs = {(r["purchase_id"], r["error_id"]) for r in batch.collect()}
+    matched_purchases = {p for p, _ in bpairs}
+    rows = stream.collect()
+    assert len(rows) > 0
+    for r in rows:
+        if r["error_id"] is not None:
+            # matched rows must be true batch-join pairs
+            assert (r["purchase_id"], r["error_id"]) in bpairs
+        else:
+            # null-extension only for purchases the batch join cannot match
+            assert r["purchase_id"] not in matched_purchases
+    # watermark-driven null extension actually fired for early purchases
+    assert any(r["error_id"] is None for r in rows)
