@@ -32,6 +32,7 @@ from pyspark.sql import types as T
 
 from flink_tutorial_broadcast_spark.io import load
 from flink_tutorial_broadcast_spark.registry import query
+from flink_tutorial_broadcast_spark.sources.rules import RULES_SQL
 
 
 def _tmp(tag: str, sf_dir: str) -> str:
@@ -178,3 +179,24 @@ def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.coalesce(upd.bal, c.c_acctbal), 2).alias("c_acctbal"),
         )
     )
+
+
+@query(
+    "q_scan_custom_source",
+    oracle=f"""
+    SELECT rule_event_type, threshold, severity
+    FROM {RULES_SQL}
+    """,
+)
+def q_scan_custom_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 Python Data Source scan — the custom `SourceFunction`
+    analogue (SURVEY §2.A4): rule rows generated by user code behind a
+    planner-integrated format, one task per partition (one per rule).
+
+    The oracle mirrors the generator's constant output as inline VALUES;
+    the hash match proves the custom source is deterministic and
+    schema-faithful.
+    """
+    from flink_tutorial_broadcast_spark.sources.custom_source import register
+    register(spark)
+    return spark.read.format("ftbs_rules").load()

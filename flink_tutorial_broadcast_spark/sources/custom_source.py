@@ -1,0 +1,64 @@
+"""Custom Python Data Source (Spark 4 `pyspark.sql.datasource`) — the
+engine's analogue of Flink's user-defined `SourceFunction`
+([FLINK-API `o.a.f.streaming.api.functions.source.SourceFunction`],
+SURVEY.md §2.A4: the tutorial family's hand-rolled rule/event emitters).
+
+Where Flink gives you `run(SourceContext)` + a cancel flag, Spark 4's
+Python Data Source API gives you a planner-integrated source: you
+declare a schema and a PARTITION LIST, and each partition's `read()`
+runs as an independent task — so a custom generator is parallel,
+retryable, and pruneable by Catalyst like any built-in source, instead
+of a single-threaded emitter.
+
+The generator below deterministically synthesizes the engine's rule
+dimension (sources/rules.py RULES), sharded one rule per partition, so
+the oracle can mirror it as an inline VALUES relation. It is
+deliberately tiny — the point is the mechanism: swap `read()` for a
+Kafka-offset range, an HTTP page range, or a synthetic-bench generator
+and the parallelism story is unchanged.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+
+from flink_tutorial_broadcast_spark.sources.rules import RULES
+
+
+class _RulePartition(InputPartition):
+    def __init__(self, index: int) -> None:
+        self.index = index
+
+
+class RulesSourceReader(DataSourceReader):
+    def partitions(self) -> list[InputPartition]:
+        # one partition per rule: proves task-parallel custom generation
+        return [_RulePartition(i) for i in range(len(RULES))]
+
+    def read(self, partition: _RulePartition) -> Iterator[tuple]:
+        event_type, threshold, severity = RULES[partition.index]
+        yield (event_type, float(threshold), severity)
+
+
+class RulesDataSource(DataSource):
+    """`spark.read.format("ftbs_rules")` — custom-generated rule rows."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "ftbs_rules"
+
+    def schema(self) -> str:
+        return "rule_event_type string, threshold double, severity string"
+
+    def reader(self, schema) -> RulesSourceReader:
+        return RulesSourceReader()
+
+
+def register(spark) -> None:
+    """Idempotently register the custom format on this session."""
+    try:
+        spark.dataSource.register(RulesDataSource)
+    except Exception:
+        pass  # already registered on this session

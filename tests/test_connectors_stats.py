@@ -79,3 +79,12 @@ def test_embed_centroid_dense_grid(spark, queries):
     assert df.count() == labels * 64
     assert df.groupBy("label").count().filter(
         F.col("count") != 64).count() == 0
+
+
+def test_custom_source_parallelism_and_rows(spark, queries):
+    df = queries["q_scan_custom_source"](spark, SF_SMOKE)
+    from flink_tutorial_broadcast_spark.sources.rules import RULES
+    assert df.rdd.getNumPartitions() == len(RULES)
+    got = {(r["rule_event_type"], r["threshold"], r["severity"])
+           for r in df.collect()}
+    assert got == set(RULES)
