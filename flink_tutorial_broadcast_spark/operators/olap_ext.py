@@ -287,3 +287,33 @@ def q_lateral_join(spark: SparkSession, sf_dir: str) -> DataFrame:
                       ORDER BY o_totalprice DESC, o_orderkey LIMIT 3) t
         WHERE c.c_custkey < 200
     """)
+
+
+_RECURSIVE_DEPTH_SQL = """
+    WITH RECURSIVE walk(custkey, node, depth) AS (
+      SELECT c_custkey AS custkey, c_custkey AS node, 0 AS depth
+      FROM customer
+      UNION ALL
+      SELECT custkey, CAST(FLOOR(node / 2) AS BIGINT) AS node, depth + 1 AS depth
+      FROM walk WHERE node > 1
+    )
+    SELECT custkey, MAX(depth) AS depth_to_root
+    FROM walk GROUP BY custkey
+"""
+
+
+@query("q_recursive_cte", oracle=_RECURSIVE_DEPTH_SQL)
+def q_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive CTE (Spark 4.x `WITH RECURSIVE`): pointer-chase depth in
+    the implicit binary hierarchy parent(k) = k/2 — the BOM-explosion /
+    org-chart traversal shape, run from the IDENTICAL SQL text on both
+    engines.
+
+    Spark executes the recursion as an iterated union with a loop-
+    invariant plan per step (bounded here at ~log2(max key) ≈ 17
+    iterations); contrast `q_dup_clusters`, which hand-rolls the same
+    fixpoint as a driver loop with localCheckpoint — WITH RECURSIVE is
+    the declarative replacement when the step relation is SQL-shaped.
+    """
+    load(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    return spark.sql(_RECURSIVE_DEPTH_SQL)

@@ -26,7 +26,7 @@ def test_oracle_keys_subset_of_queries():
         "q_approx_distinct", "q_dedup_minhash", "q_simhash",
         "q_knn_ivf", "q_media_features", "q_dedup_embed_lsh",
         "q_media_resize", "q_dedup_minhash_ml", "q_dedup_embed_lsh_ml",
-        "q_dedup_simhash", "q_approx_quantiles"}
+        "q_dedup_simhash", "q_approx_quantiles", "q_hll_sketch"}
 
 
 def test_query_columns_match_oracle_columns(spark, queries, duck):
