@@ -159,3 +159,74 @@ def q_grouped_map(spark: SparkSession, sf_dir: str) -> DataFrame:
         .applyInPandas(center, "event_id long, user_id long, centered double")
         .withColumn("centered", F.round("centered", 8))
     )
+
+
+@query(
+    "q_cogroup",
+    oracle="""
+    WITH p AS (
+      SELECT user_id, COUNT(*) AS n_purchases, MIN(ts) AS first_p
+      FROM events WHERE event_type = 'purchase' GROUP BY user_id
+    ), er AS (
+      SELECT user_id, COUNT(*) AS n_errors, MIN(ts) AS first_e
+      FROM events WHERE event_type = 'error' GROUP BY user_id
+    )
+    SELECT COALESCE(p.user_id, er.user_id) AS user_id,
+           COALESCE(p.n_purchases, 0) AS n_purchases,
+           COALESCE(er.n_errors, 0) AS n_errors,
+           LEAST(COALESCE(p.first_p, TIMESTAMP '9999-01-01'),
+                 COALESCE(er.first_e, TIMESTAMP '9999-01-01')) AS first_ts
+    FROM p FULL OUTER JOIN er ON p.user_id = er.user_id
+    """,
+)
+def q_cogroup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-input keyed operator: `cogroup().applyInPandas` — the engine
+    analogue of Flink's `connect`/`coGroup` ([FLINK-API
+    `ConnectedStreams#process(CoProcessFunction)`], the SAME two-input
+    machinery `KeyedBroadcastProcessFunction` specializes): both inputs
+    hash-partition on the key and one user function sees each key's two
+    row groups side by side.
+
+    Here: purchases × errors per user → counts + earliest activity.
+    Re-expressible as FULL OUTER aggs (the oracle), which is exactly the
+    point — the plumbing under a custom CoProcessFunction is verified by
+    a declarative twin. Both sides arrive Arrow-batched; per-key pandas
+    work stays O(user's rows).
+
+    The two inputs are loaded INDEPENDENTLY and the right side renamed:
+    deriving both from one scan makes this a self-cogroup, and Catalyst
+    then resolves the UDF's right-side inputs to the left's attribute
+    ids — under some plans (e.g. a bare `.count()`) the right child's
+    projection collapses to the grouping key alone and the UDF receives
+    a one-column frame. Distinct lineage + distinct names sidestep the
+    ambiguity deterministically.
+    """
+    p = (load(spark, sf_dir, "events")
+         .filter(F.col("event_type") == "purchase")
+         .select("user_id", "ts"))
+    er = (load(spark, sf_dir, "events")
+          .filter(F.col("event_type") == "error")
+          .select(F.col("user_id").alias("r_user_id"),
+                  F.col("ts").alias("r_ts")))
+
+    def merge(key, lpdf: pd.DataFrame, rpdf: pd.DataFrame) -> pd.DataFrame:
+        firsts = []
+        if len(lpdf):
+            firsts.append(lpdf["ts"].min())
+        if len(rpdf):
+            firsts.append(rpdf["r_ts"].min())
+        return pd.DataFrame({
+            "user_id": [key[0]],
+            "n_purchases": [len(lpdf)],
+            "n_errors": [len(rpdf)],
+            "first_ts": [min(firsts)],
+        })
+
+    return (
+        p.groupBy("user_id")
+        .cogroup(er.groupBy("r_user_id"))
+        .applyInPandas(
+            merge,
+            "user_id long, n_purchases long, n_errors long, first_ts timestamp",
+        )
+    )
