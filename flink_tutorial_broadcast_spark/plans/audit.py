@@ -29,7 +29,9 @@ ALLOW = {
     "py_row": {"q_py_udf"},
     # Spark cannot broadcast either side of a FULL OUTER hash join;
     # sort-merge is the correct physical choice there
-    "smj_ok": {"q_join_full"},
+    "smj_ok": {"q_join_full", "q_join_bucketed"},
+    # pure format-connector scans emit no compute, hence no codegen span
+    "scan_only": {"q_scan_csv", "q_scan_custom_source"},
 }
 
 
@@ -58,7 +60,8 @@ def audit_one(name: str, df: DataFrame) -> list[str]:
     # means AQE proved the result empty at runtime — nothing left to codegen
     if "*(" not in plan and "WholeStageCodegen" not in plan \
             and "EvalPython" not in plan and "InPandas" not in plan \
-            and "EmptyRelation" not in plan:
+            and "EmptyRelation" not in plan \
+            and name not in ALLOW["scan_only"]:
         flags.append("no codegen span")
     return flags
 
