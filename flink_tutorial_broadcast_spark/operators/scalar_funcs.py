@@ -375,3 +375,37 @@ def q_try_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.try_divide(F.col("value"), F.lit(0.0)).isNull()
          .alias("div_zero_is_null"),
     )
+
+
+@query(
+    "q_xml_extract",
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_back,
+           event_id AS id_back
+    FROM events
+    """,
+)
+def q_xml_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML ingestion surface (`from_xml`, Spark 4 built-in): each event's
+    payload is rendered to an XML envelope and parsed back with a typed
+    schema — the synthesis+parse round-trip makes the oracle exact (the
+    parsed values must equal the originals) without needing an XML
+    engine on the DuckDB side.
+
+    The same `from_xml(col, schema)` call is the ingestion path for
+    feed-style XML corpora; schema-pinned like every other connector.
+    """
+    ev = load(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    xml = F.concat(
+        F.lit("<e><id>"), F.col("event_id").cast("string"),
+        F.lit("</id><k>"), F.coalesce(k.cast("string"), F.lit("")),
+        F.lit("</k></e>"),
+    )
+    parsed = F.from_xml(xml, "id BIGINT, k INT")
+    return ev.select(
+        "event_id",
+        parsed.getField("k").alias("k_back"),
+        parsed.getField("id").alias("id_back"),
+    )
