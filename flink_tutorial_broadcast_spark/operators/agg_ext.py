@@ -207,3 +207,40 @@ def q_hll_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.hll_sketch_estimate("sketch").cast("long").alias("approx_users"),
         )
     )
+
+
+@query(
+    "q_incremental_agg",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n,
+           ROUND(SUM(value), 2) AS sum_value
+    FROM events GROUP BY event_type
+    """,
+)
+def q_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-view-maintenance pattern: per-day PARTIAL aggregates
+    merged into the final result — proved identical (by the oracle hash)
+    to the direct one-shot aggregate.
+
+    This is how a 100 TB rollup actually runs: each day's partition
+    computes (key, count, sum) partials once at ingest; any later query
+    folds partials instead of re-touching raw events. COUNT/SUM merge as
+    SUM-of-partials (associative+commutative); the same shape carries
+    avg (sum,count), variance (n, Σx, Σx²), and HLL sketches
+    (q_hll_sketch) — every accumulator the engine exposes is mergeable,
+    which is the property that makes incremental maintenance exact, not
+    approximate.
+    """
+    ev = load(spark, sf_dir, "events")
+    daily = (
+        ev.groupBy(F.to_date("ts").alias("day"), "event_type")
+        .agg(F.count("*").alias("pn"), F.sum("value").alias("psum"))
+    )
+    return (
+        daily.groupBy("event_type")
+        .agg(
+            F.sum("pn").alias("n"),
+            F.round(F.sum("psum"), 2).alias("sum_value"),
+        )
+    )

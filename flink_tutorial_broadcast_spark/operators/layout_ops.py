@@ -164,3 +164,65 @@ def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .drop("h")
     )
+
+
+_BLOOM_CONFS = {
+    # inject for small creation sides / tiny scans (defaults target
+    # cluster-scale sizes; the MECHANISM is what this query pins)
+    "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+    "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+    # InjectRuntimeFilter skips joins that could plan as broadcast-hash
+    # (no shuffle to save); at test SF everything broadcasts, so disable
+    "spark.sql.autoBroadcastJoinThreshold": "-1",
+}
+
+
+def _bloom_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lineitem ⋈ σ(orders) as a shuffle join, eligible for runtime
+    bloom-filter injection (exposed unmaterialized for the plan test)."""
+    o = (load(spark, sf_dir, "orders")
+         .filter(F.col("o_orderpriority") == "1-URGENT")
+         .select("o_orderkey", "o_orderpriority"))
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    return (
+        li.join(o.hint("merge"), li.l_orderkey == o.o_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n"),
+             F.round(F.sum("l_quantity"), 2).alias("sum_qty"))
+    )
+
+
+@query(
+    "q_bloom_filter_join",
+    oracle="""
+    SELECT o.o_orderpriority,
+           COUNT(*) AS n,
+           ROUND(SUM(l.l_quantity), 2) AS sum_qty
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_orderpriority = '1-URGENT'
+    GROUP BY o.o_orderpriority
+    """,
+)
+def q_bloom_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Runtime bloom-filter join pruning (Catalyst InjectRuntimeFilter):
+    the selective dimension side builds a bloom filter that is pushed
+    into the fact-side SCAN, so most non-matching lineitem rows die
+    before the shuffle — at 100 TB this is the difference between
+    shuffling the whole fact table and shuffling ~1/5 of it.
+
+    The oracle is the plain join (identical rows — the filter is
+    semantics-free pruning). Confs are scoped: set → eager
+    localCheckpoint materialization under bloom planning → restored, so
+    later queries on the shared session see default thresholds.
+    """
+    old = {k: spark.conf.get(k, None) for k in _BLOOM_CONFS}
+    for k, v in _BLOOM_CONFS.items():
+        spark.conf.set(k, v)
+    try:
+        return _bloom_join(spark, sf_dir).localCheckpoint(eager=True)
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)

@@ -40,3 +40,24 @@ def test_dedup_keep_best_prefers_longest_then_lowest_id(spark, queries):
     assert kept.filter(F.col("n_chars") != F.col("best_chars")).count() == 0
     # total group sizes account for every document
     assert df.agg(F.sum("group_size")).collect()[0][0] == docs.count()
+
+
+def test_bloom_filter_injected_under_scoped_confs(spark, queries):
+    from flink_tutorial_broadcast_spark.operators.layout_ops import (
+        _BLOOM_CONFS, _bloom_join)
+    old = {k: spark.conf.get(k, None) for k in _BLOOM_CONFS}
+    for k, v in _BLOOM_CONFS.items():
+        spark.conf.set(k, v)
+    try:
+        df = _bloom_join(spark, SF_SMOKE)
+        df.collect()
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "bloom" in plan.lower()
+    finally:
+        for k, v in old.items():
+            spark.conf.set(k, v) if v is not None else spark.conf.unset(k)
+    # the public query restores thresholds after materializing
+    queries["q_bloom_filter_join"](spark, SF_SMOKE).count()
+    assert spark.conf.get(
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold"
+    ) != "0"
