@@ -25,6 +25,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from flink_tutorial_broadcast_spark.io import load
 from flink_tutorial_broadcast_spark.registry import query
@@ -243,4 +244,97 @@ def q_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("pn").alias("n"),
             F.round(F.sum("psum"), 2).alias("sum_value"),
         )
+    )
+
+
+@query(
+    "q_median_mode",
+    oracle="""
+    WITH c AS (
+      SELECT l_returnflag AS rf, l_quantity AS q, COUNT(*) AS n
+      FROM lineitem GROUP BY 1, 2
+    ),
+    r AS (
+      SELECT rf, q,
+             row_number() OVER (PARTITION BY rf ORDER BY n DESC, q) AS rn
+      FROM c
+    ),
+    m AS (
+      SELECT l_returnflag AS rf, median(l_quantity) AS median_qty
+      FROM lineitem GROUP BY 1
+    )
+    SELECT m.rf, m.median_qty, r.q AS mode_qty
+    FROM m JOIN r ON m.rf = r.rf AND r.rn = 1
+    """,
+)
+def q_median_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact median + DETERMINISTIC mode per group.
+
+    Bare `mode()` is nondeterministic under frequency ties in both Spark
+    and DuckDB, so the mode here is pinned as "smallest most-frequent
+    value": count per (group, value), then row_number over
+    (n DESC, value ASC). Median interpolates (a+b)/2 on an even count —
+    exact in doubles for integral quantities, so no rounding is needed.
+
+    Scale: the mode path aggregates to |group|x|distinct values| rows
+    BEFORE any sort — the window runs on the tiny counted relation, never
+    on the fact table. Exact median is the expensive one (full sort per
+    group under the hood); q_approx_quantiles is the 100 TB substitute.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    counts = (li.groupBy(F.col("l_returnflag").alias("rf"),
+                         F.col("l_quantity").alias("q"))
+              .agg(F.count("*").alias("n")))
+    w = Window.partitionBy("rf").orderBy(F.col("n").desc(), F.col("q"))
+    modes = (counts.withColumn("rn", F.row_number().over(w))
+             .filter(F.col("rn") == 1)
+             .select("rf", F.col("q").alias("mode_qty")))
+    medians = (li.groupBy(F.col("l_returnflag").alias("rf"))
+               .agg(F.median("l_quantity").alias("median_qty")))
+    return medians.join(modes, "rf")
+
+
+@query(
+    "q_bit_aggs",
+    oracle="""
+    SELECT l_returnflag,
+           bit_and(l_suppkey)    AS and_supp,
+           bit_or(l_linenumber)  AS or_line,
+           bit_xor(l_partkey)    AS xor_part
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q_bit_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise AND/OR/XOR aggregates — order-independent, mergeable
+    single-word accumulators (commutative+associative like SUM), so they
+    combine map-side with zero extra shuffle cost; XOR over a key column
+    doubles as a cheap set-symmetric-difference fingerprint.
+    """
+    return (
+        load(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(F.bit_and("l_suppkey").alias("and_supp"),
+             F.bit_or("l_linenumber").alias("or_line"),
+             F.bit_xor("l_partkey").alias("xor_part"))
+    )
+
+
+@query(
+    "q_weighted_avg",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(SUM(l_extendedprice * l_quantity) / SUM(l_quantity), 2)
+             AS w_avg_price
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantity-weighted average price: SUM(x*w)/SUM(w) — two ordinary
+    SUM accumulators, one map-side-combined shuffle; the division happens
+    once per group AFTER aggregation (never per row)."""
+    return (
+        load(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * F.col("l_quantity"))
+                     / F.sum("l_quantity"), 2).alias("w_avg_price"))
     )

@@ -226,3 +226,41 @@ def q_bloom_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+@query(
+    "q_skew_stats",
+    oracle="""
+    WITH c AS (
+      SELECT user_id, COUNT(*) AS n FROM events GROUP BY user_id
+    )
+    SELECT COUNT(*)  AS n_keys,
+           MIN(n)    AS min_n,
+           MAX(n)    AS max_n,
+           median(n) AS median_n,
+           CAST(FLOOR(MAX(n) * 1e6 / SUM(n)) AS BIGINT) AS top_key_ppm
+    FROM c
+    """,
+)
+def q_skew_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-planning diagnostic: per-key row-count distribution for the
+    events.user_id join/agg key — min/max/median group size and the hot
+    key's share in parts-per-million.
+
+    This is the measurement that DECIDES the layout strategy: top_key_ppm
+    near 10^6/n_tasks means one task owns the key -> salt it
+    (q_join_salted) or rely on AQE skew split; a flat distribution means
+    plain hash partitioning is fine. Two aggregations, both tiny after
+    the first map-side combine; max*1e6/sum divides exact integers in
+    doubles, so FLOOR is engine-stable.
+    """
+    counts = (load(spark, sf_dir, "events")
+              .groupBy("user_id").agg(F.count("*").alias("n")))
+    return counts.agg(
+        F.count("*").alias("n_keys"),
+        F.min("n").alias("min_n"),
+        F.max("n").alias("max_n"),
+        F.median("n").alias("median_n"),
+        F.floor(F.max("n") * F.lit(1000000.0) / F.sum("n"))
+        .cast("long").alias("top_key_ppm"),
+    )

@@ -983,3 +983,47 @@ def q_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(0.25), F.lit(0.5), F.lit(0.75)), F.lit(10000))
              .alias("approx_p"))
     )
+
+
+@query(
+    "q_inverted_index",
+    oracle="""
+    WITH pairs AS (
+      SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS token
+      FROM documents
+    )
+    SELECT token,
+           COUNT(*) AS df,
+           string_agg(doc_id, ',' ORDER BY doc_id) AS postings
+    FROM pairs GROUP BY token
+    HAVING COUNT(*) <= 0.5 * (SELECT COUNT(*) FROM documents)
+    """,
+)
+def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K4 inverted index: token -> sorted posting list of doc_ids, kept
+    for RARE tokens (document frequency <= 50% of the corpus — the ones
+    band search and exact-dup lookup actually use; stopword-frequency
+    tokens are noise and would dominate the output). The threshold is
+    relative so the query is non-degenerate at every SF.
+
+    Scale: one explode + distinct + groupBy(token) — a single shuffle on
+    the token key; the corpus size joins in as a broadcast scalar. The
+    df cap bounds every materialized posting array; the full-corpus
+    variant would range-partition tokens and write postings as bucketed
+    parquet instead of collecting arrays.
+    """
+    docs = load(spark, sf_dir, "documents")
+    total = docs.agg(F.count("*").alias("n_docs"))
+    pairs = (
+        docs.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+        .distinct()
+    )
+    return (
+        pairs.groupBy("token")
+        .agg(F.count("*").alias("df"),
+             F.array_join(F.sort_array(F.collect_list("doc_id")), ",")
+             .alias("postings"))
+        .crossJoin(F.broadcast(total))
+        .filter(F.col("df") <= 0.5 * F.col("n_docs"))
+        .drop("n_docs")
+    )
