@@ -19,6 +19,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from flink_tutorial_broadcast_spark.io import load
 from flink_tutorial_broadcast_spark.operators.llm_ops import q_dedup_near
 from flink_tutorial_broadcast_spark.registry import query
 
@@ -107,3 +108,82 @@ def q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
                           F.col("label").alias("cluster"))
             .withColumn("cluster_size",
                         F.count("*").over(Window.partitionBy("cluster"))))
+
+
+_PAGERANK_ORACLE = """
+    WITH e AS (
+      SELECT c.c_nationkey AS src, s.s_nationkey AS dst, COUNT(*) AS w
+      FROM lineitem l
+      JOIN orders   o ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey  = c.c_custkey
+      JOIN supplier s ON l.l_suppkey  = s.s_suppkey
+      GROUP BY 1, 2
+    ),
+    outw AS (SELECT src, SUM(w) AS tw FROM e GROUP BY src),
+    t AS (SELECT e.src, e.dst, e.w / outw.tw AS p
+          FROM e JOIN outw ON e.src = outw.src),
+    nodes AS (SELECT n_nationkey AS node FROM nation),
+    r0 AS (SELECT node, 1.0 / 25 AS r FROM nodes),
+    {iters}
+    SELECT node AS nationkey, ROUND(r, 6) AS rank FROM r5
+"""
+
+_PAGERANK_ITER = """
+    r{k} AS (
+      SELECT n.node,
+             0.15 / 25 + 0.85 * COALESCE(SUM(p.r * t.p), 0) AS r
+      FROM nodes n
+      LEFT JOIN t ON t.dst = n.node
+      LEFT JOIN r{km1} p ON p.node = t.src
+      GROUP BY n.node
+    )"""
+
+
+@query(
+    "q_pagerank",
+    oracle=_PAGERANK_ORACLE.format(iters=",".join(
+        _PAGERANK_ITER.format(k=k, km1=k - 1) for k in range(1, 6))),
+)
+def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted PageRank (5 iterations, damping 0.85) over the
+    nation-level trade graph: edge src→dst weighted by how many lineitems
+    customers of nation src bought from suppliers of nation dst.
+
+    The canonical fixed-point iteration as a driver loop of join+agg
+    rounds — the oracle is the SAME recurrence unrolled into 5 chained
+    CTEs, so the hash check covers every iteration's arithmetic. Scale:
+    the edge list (≤ N² nation pairs) and rank vector (N rows) are tiny
+    FOREVER regardless of fact-table size — the only big work is the one
+    edge-building join pass, after which iteration cost is independent of
+    corpus scale. `localCheckpoint` truncates lineage per round (same
+    pattern as q_dup_clusters); the transition matrix is checkpointed
+    once and reused by all 5 rounds instead of re-running the 4-way join.
+    """
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    s = load(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    e = (li.join(o, li.l_orderkey == o.o_orderkey)
+         .join(c, o.o_custkey == c.c_custkey)
+         .join(s, li.l_suppkey == s.s_suppkey)
+         .groupBy(F.col("c_nationkey").alias("src"),
+                  F.col("s_nationkey").alias("dst"))
+         .agg(F.count("*").alias("w")))
+    outw = e.groupBy("src").agg(F.sum("w").alias("tw"))
+    t = (e.join(outw, "src")
+         .select("src", "dst", (F.col("w") / F.col("tw")).alias("p"))
+         .localCheckpoint(eager=True))
+    nodes = load(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("node"))
+    r = nodes.withColumn("r", F.lit(1.0 / 25))
+    for _ in range(5):
+        contrib = (t.join(r.withColumnRenamed("node", "src"), "src")
+                   .groupBy(F.col("dst").alias("node"))
+                   .agg(F.sum(F.col("p") * F.col("r")).alias("m")))
+        r = (nodes.join(contrib, "node", "left")
+             .select("node",
+                     (F.lit(0.15 / 25)
+                      + 0.85 * F.coalesce(F.col("m"), F.lit(0.0))).alias("r"))
+             .localCheckpoint(eager=True))
+    return r.select(F.col("node").alias("nationkey"),
+                    F.round("r", 6).alias("rank"))

@@ -232,3 +232,48 @@ def q_length_band_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.floor(F.min("p95")).cast("long").alias("hi_band"),
         )
     )
+
+
+@query(
+    "q_ewma",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, value,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS i,
+             COUNT(*) OVER (PARTITION BY user_id) AS n
+      FROM events
+    )
+    SELECT user_id,
+           ROUND(SUM(CASE WHEN i = 1 THEN pow(0.7, n - 1) * value
+                          ELSE 0.3 * pow(0.7, n - i) * value END), 4)
+             AS ewma
+    FROM ordered GROUP BY user_id
+    """,
+)
+def q_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user exponentially-weighted moving average of event values
+    (alpha = 0.3), the classic stream-smoothing recurrence
+    e_i = 0.3*x_i + 0.7*e_{i-1}, e_1 = x_1 — a true sequential fold that
+    plain window SUMs cannot express.
+
+    Spark runs the RECURRENCE: sort_array(collect_list(struct)) per user,
+    then `F.aggregate` folds the ordered array inside codegen — no Python,
+    no UDF, one shuffle on user_id. The oracle is the algebraically
+    expanded closed form (geometric weights via pow), so the hash match
+    proves fold ≡ closed form to 4 decimals. Order is pinned by the
+    unique (ts, event_id) struct prefix. Scale: per-user arrays are
+    bounded by session length; an unbounded-history variant belongs in
+    transformWithStateInPandas (streaming/jobs.py) where state carries
+    only the scalar e_i.
+    """
+    ev = load(spark, sf_dir, "events")
+    arr = F.sort_array(F.collect_list(F.struct("ts", "event_id", "value")))
+    fold = F.aggregate(
+        arr,
+        F.lit(None).cast("double"),
+        lambda acc, x: F.coalesce(F.lit(0.3) * x["value"]
+                                  + F.lit(0.7) * acc, x["value"]),
+    )
+    return (ev.groupBy("user_id")
+            .agg(F.round(fold, 4).alias("ewma")))

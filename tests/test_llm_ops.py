@@ -172,3 +172,13 @@ def test_dedup_simhash_banding_correct_and_high_recall(spark, queries):
     assert truth, "fixture produced no close fingerprints"
     recall = len(set(got) & truth) / len(truth)
     assert recall >= 0.7, recall
+
+
+def test_pagerank_mass_conserved_and_positive(spark, queries):
+    df = queries["q_pagerank"](spark, SF_SMOKE)
+    rows = df.collect()
+    assert len(rows) == 25
+    total = sum(r["rank"] for r in rows)
+    # no dangling nations in the trade graph -> total mass stays 1
+    assert abs(total - 1.0) < 1e-3
+    assert all(r["rank"] > 0 for r in rows)

@@ -53,3 +53,15 @@ def test_length_band_filter_keeps_interior_mass(spark, queries):
         # p05..p95 band keeps ~90% of each language
         assert 0.7 * totals[r["lang"]] <= r["n_kept"] <= totals[r["lang"]]
         assert r["lo_band"] <= r["avg_chars"] <= r["hi_band"] + 1
+
+
+def test_ewma_bounded_by_min_max_of_user_values(spark, queries):
+    df = queries["q_ewma"](spark, SF_SMOKE)
+    ev = load(spark, SF_SMOKE, "events")
+    bounds = ev.groupBy("user_id").agg(F.min("value").alias("lo"),
+                                       F.max("value").alias("hi"))
+    # a convex combination of the inputs can never leave their range
+    bad = (df.join(bounds, "user_id")
+           .filter((F.col("ewma") < F.col("lo") - 1e-3)
+                   | (F.col("ewma") > F.col("hi") + 1e-3)))
+    assert bad.count() == 0
