@@ -338,3 +338,75 @@ def q_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.round(F.sum(F.col("l_extendedprice") * F.col("l_quantity"))
                      / F.sum("l_quantity"), 2).alias("w_avg_price"))
     )
+
+
+@query(
+    "q_profile",
+    oracle="""
+    SELECT COUNT(*) AS n_rows,
+           COUNT(DISTINCT lang)   AS n_langs,
+           COUNT(DISTINCT source) AS n_sources,
+           SUM(CASE WHEN text IS NULL OR text = '' THEN 1 ELSE 0 END)
+             AS n_empty_text,
+           MIN(n_chars) AS min_chars,
+           MAX(n_chars) AS max_chars,
+           CAST(FLOOR(AVG(n_chars) * 100) AS BIGINT) AS avg_chars_c
+    FROM documents
+    """,
+)
+def q_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-pass data-profiling summary of the documents table: row
+    count, per-column cardinalities, empty-text count, and n_chars
+    range/mean — the DESCRIBE/summary() shape as an oracle-checked query.
+
+    One scan, one scalar aggregate; the COUNT(DISTINCT)s expand to a
+    two-phase distinct-agg but stay map-side-partial. At 100 TB the
+    distinct counts swap to HLL sketches (q_hll_sketch) — same shape,
+    mergeable state. AVG of exact ints is floored at 2 dp via the
+    engine-stable FLOOR-on-exact-division trick.
+    """
+    d = load(spark, sf_dir, "documents")
+    return d.agg(
+        F.count("*").alias("n_rows"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.countDistinct("source").alias("n_sources"),
+        F.sum(F.when(F.col("text").isNull() | (F.col("text") == ""), 1)
+              .otherwise(0)).alias("n_empty_text"),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+        F.floor(F.avg("n_chars") * 100).cast("long").alias("avg_chars_c"),
+    )
+
+
+@query(
+    "q_histogram_equidepth",
+    oracle="""
+    WITH t AS (
+      SELECT o_totalprice AS v,
+             ntile(10) OVER (ORDER BY o_totalprice, o_orderkey) AS bucket
+      FROM orders
+    )
+    SELECT bucket, COUNT(*) AS n,
+           ROUND(MIN(v), 2) AS lo, ROUND(MAX(v), 2) AS hi
+    FROM t GROUP BY bucket
+    """,
+)
+def q_histogram_equidepth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-DEPTH histogram (decile buckets of o_totalprice): every
+    bucket holds the same row count and reports its value range —
+    complements the fixed-width q_histogram. Order is pinned by the
+    unique (price, orderkey) pair so bucket boundaries are deterministic.
+
+    Scale caveat (by design): a global ntile is a single-partition sort —
+    correct for profiling samples, wrong for the full fact table; the
+    100 TB path computes approx bucket EDGES via approx_percentile
+    (q_approx_quantiles) and bins with width_bucket semantics instead.
+    """
+    w = Window.orderBy(F.col("v"), F.col("o_orderkey"))
+    t = (load(spark, sf_dir, "orders")
+         .select(F.col("o_totalprice").alias("v"), "o_orderkey")
+         .withColumn("bucket", F.ntile(10).over(w)))
+    return (t.groupBy("bucket")
+            .agg(F.count("*").alias("n"),
+                 F.round(F.min("v"), 2).alias("lo"),
+                 F.round(F.max("v"), 2).alias("hi")))

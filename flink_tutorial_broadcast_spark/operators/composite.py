@@ -145,3 +145,78 @@ def q_tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("revenue").desc(), "c_custkey")
         .limit(20)
     )
+
+
+@query(
+    "q_tpch_q18",
+    oracle="""
+    SELECT c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate,
+           o.o_totalprice, ROUND(SUM(l.l_quantity), 2) AS sum_qty
+    FROM customer c
+    JOIN orders   o ON c.c_custkey  = o.o_custkey
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    GROUP BY 1, 2, 3, 4, 5
+    HAVING SUM(l.l_quantity) > 200
+    """,
+)
+def q_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 (Large Volume Customer), threshold adapted to the
+    fixture's order-size distribution (>200 keeps ~1% of orders at every
+    SF). Since each group IS one order, the classic IN-subquery collapses
+    to a HAVING on the joined aggregate — one fewer pass than the
+    textbook form, same rows.
+
+    Scale: lineitem⋈orders shuffles on orderkey; the customer dim joins
+    broadcast. The HAVING filters after the partial-agg, so the shuffle
+    carries per-order partial sums, not raw lineitems.
+    """
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice")
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate",
+                 "o_totalprice")
+        .agg(F.sum("l_quantity").alias("raw_sum"))
+        .filter(F.col("raw_sum") > 200)
+        .select("c_name", "c_custkey", "o_orderkey", "o_orderdate",
+                "o_totalprice", F.round("raw_sum", 2).alias("sum_qty"))
+    )
+
+
+@query(
+    "q_tpch_q14",
+    oracle="""
+    SELECT ROUND(
+             100.0 * SUM(CASE WHEN p.p_type LIKE 'PROMO%'
+                              THEN l.l_extendedprice * (1 - l.l_discount)
+                              ELSE 0 END)
+             / SUM(l.l_extendedprice * (1 - l.l_discount)), 4)
+           AS promo_revenue_pct
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE l.l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l.l_shipdate <  TIMESTAMP '1997-01-01'
+    """,
+)
+def q_tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 (Promotion Effect): share of 1996 revenue from PROMO
+    parts. Two conditional SUM accumulators over one broadcast join —
+    the date filter pushes down to the lineitem scan, and the part dim
+    broadcasts, so the whole query is one scan + one local join + a
+    scalar agg (no shuffle of fact rows at all beyond the final 1-row
+    reduce)."""
+    li = (load(spark, sf_dir, "lineitem")
+          .filter((F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+                  & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp")))
+          .select("l_partkey", "l_extendedprice", "l_discount"))
+    p = load(spark, sf_dir, "part").select("p_partkey", "p_type")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .agg(F.round(
+            100.0 * F.sum(F.when(F.col("p_type").startswith("PROMO"), rev)
+                          .otherwise(0.0)) / F.sum(rev), 4)
+            .alias("promo_revenue_pct"))
+    )
