@@ -264,3 +264,33 @@ def q_skew_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(F.max("n") * F.lit(1000000.0) / F.sum("n"))
         .cast("long").alias("top_key_ppm"),
     )
+
+
+@query(
+    "q_compact_small_files",
+    oracle="SELECT doc_id, lang, n_chars FROM documents",
+)
+def q_compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction: fragment the documents table into 64 tiny
+    parquet files (simulating streaming/hourly ingest), compact 64 → 4
+    with a shuffle-free `coalesce`, and return the compacted copy's
+    rows — the oracle is the ORIGINAL table, so the hash check proves
+    compaction is content-preserving. tests/test_layout_ops.py asserts
+    the file count actually shrank.
+
+    At 100 TB the small-files problem kills scan throughput (one task +
+    one footer-read per file; NameNode/listing pressure). The production
+    shape: `coalesce(ceil(bytes / maxPartitionBytes))` when only merging
+    (narrow, no shuffle), `repartition` + `maxRecordsPerFile` when
+    re-clustering too; AQE's advisoryPartitionSizeInBytes does the same
+    for shuffle outputs automatically.
+    """
+    sf_tag = sf_dir.rstrip("/").rsplit("/", 1)[-1].replace(".", "_")
+    base = os.path.join(tempfile.gettempdir(), f"ftbs_compact_{sf_tag}")
+    frag, compact = os.path.join(base, "frag"), os.path.join(base, "compact")
+    shutil.rmtree(base, ignore_errors=True)
+    d = load(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    d.repartition(64).write.mode("overwrite").parquet(frag)
+    spark.read.parquet(frag).coalesce(4) \
+        .write.mode("overwrite").parquet(compact)
+    return spark.read.parquet(compact)

@@ -61,3 +61,19 @@ def test_bloom_filter_injected_under_scoped_confs(spark, queries):
     assert spark.conf.get(
         "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold"
     ) != "0"
+
+
+def test_compact_small_files_reduces_file_count(spark, queries):
+    import glob
+    import tempfile
+
+    df = queries["q_compact_small_files"](spark, SF_SMOKE)
+    tag = SF_SMOKE.rstrip("/").rsplit("/", 1)[-1].replace(".", "_")
+    base = f"{tempfile.gettempdir()}/ftbs_compact_{tag}"
+    n_frag = len(glob.glob(f"{base}/frag/part-*.parquet"))
+    n_compact = len(glob.glob(f"{base}/compact/part-*.parquet"))
+    assert n_frag > n_compact
+    assert n_compact <= 4
+    # content preserved
+    from flink_tutorial_broadcast_spark.io import load
+    assert df.count() == load(spark, SF_SMOKE, "documents").count()
