@@ -200,3 +200,29 @@ def q_scan_custom_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     from flink_tutorial_broadcast_spark.sources.custom_source import register
     register(spark)
     return spark.read.format("ftbs_rules").load()
+
+
+@query(
+    "q_scan_orc",
+    oracle="""
+    SELECT c_custkey, c_name, c_nationkey, ROUND(c_acctbal, 2) AS acctbal
+    FROM customer
+    """,
+)
+def q_scan_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC connector round-trip on customer — the other columnar format
+    Spark ships natively (Hive-ecosystem interchange). Exact round-trip:
+    ORC stores the same physical types parquet does, so values hash-match
+    the source table. Like parquet, ORC carries column stats + predicate
+    pushdown; at 100 TB the choice between the two is ecosystem, not
+    performance.
+    """
+    path = _tmp("orc_customer", sf_dir)
+    (load(spark, sf_dir, "customer")
+     .select("c_custkey", "c_name", "c_nationkey", "c_acctbal")
+     .write.mode("overwrite").orc(path))
+    return (
+        spark.read.orc(path)
+        .select("c_custkey", "c_name", "c_nationkey",
+                F.round("c_acctbal", 2).alias("acctbal"))
+    )

@@ -243,3 +243,63 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("fired"),
         )
     )
+
+
+@query(
+    "q_asof_merge_pandas",
+    oracle=f"""
+    WITH candidates AS (
+      SELECT e.event_id, e.event_type, e.value, rv.threshold,
+             row_number() OVER (PARTITION BY e.event_id
+                                ORDER BY rv.valid_from DESC) AS rn
+      FROM events e
+      JOIN {_VERSIONS_SQL}
+        ON e.event_type = rv.rule_event_type
+       AND rv.valid_from <= CAST(e.ts AS TIMESTAMP)
+    )
+    SELECT event_id, event_type, threshold,
+           CASE WHEN value > threshold THEN 1 ELSE 0 END AS fired
+    FROM candidates WHERE rn = 1
+    """,
+)
+def q_asof_merge_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C8 as-of join, scale-path formulation: the SAME temporal semantics
+    as q_asof_join (latest version with valid_from <= ts, inner — events
+    before the first version drop), but via cogrouped `pd.merge_asof`
+    instead of broadcast+window. Identical oracle SQL ⇒ the two plans are
+    hash-proven equivalent.
+
+    This is the right shape when the version history is too big to
+    broadcast: both sides hash-shuffle ONCE on the join key, each key
+    group lands in one Arrow batch, and merge_asof is a linear two-
+    pointer scan over the per-key sorted frames — O(n log n) per group
+    versus the broadcast plan's O(n · versions) candidate blow-up.
+    """
+    ev = load(spark, sf_dir, "events").select(
+        "event_id", "event_type", "ts", "value")
+    rv = spark.createDataFrame(
+        [(t, v, th) for t, v, th in RULE_VERSIONS],
+        "rule_event_type string, valid_from string, threshold double",
+    ).withColumn("valid_from", F.to_timestamp("valid_from"))
+
+    cols = ["event_id", "event_type", "threshold", "fired"]
+
+    def merge(evs, vers):
+        import pandas as pd
+        if evs.empty or vers.empty:
+            return pd.DataFrame({c: [] for c in cols})
+        m = pd.merge_asof(
+            evs.sort_values("ts"),
+            vers.sort_values("valid_from"),
+            left_on="ts", right_on="valid_from", direction="backward")
+        m = m.dropna(subset=["threshold"])
+        m["fired"] = (m["value"] > m["threshold"]).astype("int32")
+        return m[cols]
+
+    return (
+        ev.groupBy("event_type")
+        .cogroup(rv.groupBy("rule_event_type"))
+        .applyInPandas(
+            merge,
+            "event_id bigint, event_type string, threshold double, fired int")
+    )
