@@ -82,6 +82,39 @@ def main() -> None:
         "rows": n_li, "sec": round(time.time() - t0, 2),
         "mrows_per_s": round(n_li / (time.time() - t0) / 1e6, 1)}
 
+    # EWMA fold (q_ewma): per-key sorted-array aggregate, all codegen
+    t0 = time.time()
+    arr = F.sort_array(F.collect_list(F.struct("ts", "event_id", "value")))
+    fold = F.aggregate(
+        arr, F.lit(None).cast("double"),
+        lambda acc, x: F.coalesce(F.lit(0.3) * x["value"]
+                                  + F.lit(0.7) * acc, x["value"]))
+    ev.groupBy("user_id").agg(fold.alias("ewma")).count()
+    results["ewma_fold"] = {
+        "rows": n_ev, "sec": round(time.time() - t0, 2),
+        "mrows_per_s": round(n_ev / (time.time() - t0) / 1e6, 1)}
+
+    # incremental partial-agg merge (q_incremental_agg): two-level agg
+    t0 = time.time()
+    (ev.groupBy(F.to_date("ts").alias("day"), "event_type")
+     .agg(F.count("*").alias("pn"), F.sum("value").alias("psum"))
+     .groupBy("event_type")
+     .agg(F.sum("pn"), F.sum("psum"))).count()
+    results["incremental_agg"] = {
+        "rows": n_ev, "sec": round(time.time() - t0, 2),
+        "mrows_per_s": round(n_ev / (time.time() - t0) / 1e6, 1)}
+
+    # per-key window rank over the amplified fact (q_rank shape)
+    t0 = time.time()
+    from pyspark.sql.window import Window
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey"))
+    o.withColumn("rn", F.row_number().over(w)) \
+     .filter(F.col("rn") <= 3).count()
+    results["window_topn"] = {
+        "rows": o.count(), "sec": round(time.time() - t0, 2),
+        "mrows_per_s": round(o.count() / (time.time() - t0) / 1e6, 1)}
+
     print(json.dumps({"k": k, "results": results}))
 
 
