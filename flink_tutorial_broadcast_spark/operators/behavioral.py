@@ -185,3 +185,55 @@ def q_last_ignore_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.last(purchase_val, ignorenulls=True).over(w), 2)
          .alias("last_purchase_value"),
     )
+
+
+@query(
+    "q_sessionize",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, event_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR date_diff('second', lag(ts) OVER w, ts) > 21600
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    numbered AS (
+      SELECT user_id, ts,
+             SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS session_no
+      FROM flagged
+    )
+    SELECT user_id, session_no,
+           COUNT(*) AS n_events,
+           date_diff('second', MIN(ts), MAX(ts)) AS duration_sec
+    FROM numbered GROUP BY user_id, session_no
+    """,
+)
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization with explicit SESSION IDs: a new session
+    starts after a >6h silence; session_no is the running sum of
+    session-start flags — the batch equivalent of Flink's
+    EventTimeSessionWindows, but keeping the assignment (which event is
+    in which session) instead of only the windowed aggregate
+    (q_window_session).
+
+    Scale: two windows + one agg, ALL over the same (user_id) partitioning
+    — Catalyst plans a single Exchange; the sort is reused by the lag, the
+    cumulative sum, and the final group. Order pinned by (ts, event_id).
+    """
+    ev = load(spark, sf_dir, "events").select("user_id", "event_id", "ts")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    flagged = ev.withColumn(
+        "new_sess",
+        F.when(F.lag("ts").over(w).isNull() | (gap > 21600), 1).otherwise(0))
+    numbered = flagged.withColumn(
+        "session_no",
+        F.sum("new_sess").over(w.rowsBetween(Window.unboundedPreceding, 0)))
+    return (
+        numbered.groupBy("user_id", "session_no")
+        .agg(F.count("*").alias("n_events"),
+             (F.max(F.unix_timestamp("ts")) - F.min(F.unix_timestamp("ts")))
+             .alias("duration_sec"))
+    )
