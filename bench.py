@@ -34,6 +34,8 @@ HEADLINE = [
     "q_token_counts",
     "q_tfidf",
     "q_tpch_q3",
+    "q_tpch_q1",
+    "q_tpch_q9",
     "q_pipeline_e2e",
 ]
 

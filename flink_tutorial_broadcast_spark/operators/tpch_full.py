@@ -582,3 +582,267 @@ def q_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("numcust"),
              F.round(F.sum("c_acctbal"), 2).alias("totacctbal"))
     )
+
+
+# ---------------------------------------------------------------------------
+# The five partsupp-dependent queries. The fixture has no partsupp table, so
+# the part–supplier relation is DERIVED from lineitem: which supplier ever
+# shipped which part, with MIN(l_extendedprice / l_quantity) standing in for
+# ps_supplycost (a deterministic exact-arithmetic surrogate — min of the
+# same doubles on both engines, no summation-order sensitivity).
+# ---------------------------------------------------------------------------
+
+
+def _partsupp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Derived partsupp: one row per (partkey, suppkey) ever traded, with
+    the minimum observed unit price as the supply cost."""
+    li = load(spark, sf_dir, "lineitem")
+    return (li.groupBy("l_partkey", "l_suppkey")
+            .agg(F.min(F.col("l_extendedprice") / F.col("l_quantity"))
+                 .alias("supplycost")))
+
+
+_PS_CTE = """
+      SELECT l_partkey, l_suppkey,
+             MIN(l_extendedprice / l_quantity) AS supplycost
+      FROM lineitem GROUP BY 1, 2
+"""
+
+
+@query(
+    "q_tpch_q2",
+    oracle=f"""
+    WITH ps AS ({_PS_CTE})
+    SELECT ROUND(s.s_acctbal, 2) AS s_acctbal, s.s_name, n.n_name,
+           p.p_partkey
+    FROM part p
+    JOIN ps ON p.p_partkey = ps.l_partkey
+    JOIN supplier s ON s.s_suppkey = ps.l_suppkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    WHERE p.p_size = 15 AND p.p_type = 'STANDARD' AND r.r_name = 'EUROPE'
+      AND ps.supplycost = (
+        SELECT MIN(ps2.supplycost)
+        FROM ps ps2
+        JOIN supplier s2 ON s2.s_suppkey = ps2.l_suppkey
+        JOIN nation n2 ON s2.s_nationkey = n2.n_nationkey
+        JOIN region r2 ON n2.n_regionkey = r2.r_regionkey
+        WHERE ps2.l_partkey = p.p_partkey AND r2.r_name = 'EUROPE')
+    """,
+)
+def q_tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 (minimum cost supplier): for STANDARD parts of size 15,
+    the EUROPE supplier(s) quoting the per-part minimum cost. The
+    correlated MIN decorrelates to a per-partkey aggregate over the
+    region-filtered derived partsupp, equality-joined back (double MIN
+    is order-insensitive, so the argmin equality is engine-stable). The
+    spec's ORDER BY/LIMIT 100 is dropped: the fixture result set is
+    under 100 rows at checked SFs and the comparator is order-blind.
+
+    Scale: region→nation→supplier is a broadcast chain; the derived ps
+    shuffles lineitem once on (partkey, suppkey); the per-part min and
+    the join back reuse the partkey partitioning. The selective part
+    filter (size ∧ type ≈ 1/300) broadcasts into everything."""
+    ps = _partsupp(spark, sf_dir)
+    p = load(spark, sf_dir, "part").filter(
+        (F.col("p_size") == 15) & (F.col("p_type") == "STANDARD")
+    ).select("p_partkey")
+    s = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    euro_supp = (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name"))
+    euro_ps = ps.join(F.broadcast(euro_supp),
+                      ps.l_suppkey == euro_supp.s_suppkey)
+    min_cost = (euro_ps.groupBy(F.col("l_partkey").alias("mc_key"))
+                .agg(F.min("supplycost").alias("min_cost")))
+    return (
+        euro_ps.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(min_cost, (F.col("l_partkey") == F.col("mc_key"))
+              & (F.col("supplycost") == F.col("min_cost")))
+        .select(F.round("s_acctbal", 2).alias("s_acctbal"), "s_name",
+                "n_name", "p_partkey")
+    )
+
+
+@query(
+    "q_tpch_q9",
+    oracle=f"""
+    WITH ps AS ({_PS_CTE})
+    SELECT n.n_name AS nation, date_part('year', o.o_orderdate) AS o_year,
+           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)
+                     - ps.supplycost * l.l_quantity), 2) AS sum_profit
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey AND p.p_name LIKE '%red%'
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN ps ON ps.l_partkey = l.l_partkey AND ps.l_suppkey = l.l_suppkey
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    GROUP BY 1, 2
+    """,
+)
+def q_tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 (product type profit): profit on red-named parts per
+    supplier nation per order year, profit = revenue − cost·quantity
+    with the derived supply cost.
+
+    Scale: the part-name filter broadcasts into lineitem; the derived
+    ps joins on (partkey, suppkey) — at 100 TB this is the second big
+    shuffle after orders⋈lineitem on orderkey (ps itself is |distinct
+    pairs|, far smaller than lineitem). nation/supplier broadcast; the
+    (25 × years) group collapses map-side."""
+    li = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part").filter(
+        F.col("p_name").like("%red%")).select("p_partkey")
+    s = load(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = load(spark, sf_dir, "nation")
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    ps = _partsupp(spark, sf_dir).withColumnsRenamed(
+        {"l_partkey": "ps_partkey", "l_suppkey": "ps_suppkey"})
+    profit = (_revenue()
+              - F.col("supplycost") * F.col("l_quantity"))
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(ps, (li.l_partkey == ps.ps_partkey)
+              & (li.l_suppkey == ps.ps_suppkey))
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"),
+                 F.year("o_orderdate").alias("o_year"))
+        .agg(F.round(F.sum(profit), 2).alias("sum_profit"))
+    )
+
+
+@query(
+    "q_tpch_q11",
+    oracle="""
+    WITH ps AS (
+      SELECT l.l_partkey,
+             SUM(l.l_extendedprice * l.l_quantity) AS val
+      FROM lineitem l
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      WHERE s.s_nationkey % 5 = 2
+      GROUP BY 1
+    )
+    SELECT l_partkey AS ps_partkey, ROUND(val, 2) AS stock_value
+    FROM ps
+    WHERE val > (SELECT 2.0 * AVG(val) FROM ps)
+    """,
+)
+def q_tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 (important stock identification): parts whose traded
+    value through one supplier-nation bucket exceeds a global threshold.
+    No ps_availqty in the fixture, so value = Σ price·quantity from
+    lineitem, and the spec's fixed fraction (0.0001/SF, which
+    degenerates to empty as part count grows) becomes the scale-free
+    '2× the average part value' — still the HAVING-against-scalar-
+    subquery shape over the same relation.
+
+    Scale: one partkey shuffle builds ps; the scalar AVG is a 1-row
+    broadcast back into the same cached relation (Spark reuses the
+    shuffle output for both consumers under AQE reuse)."""
+    li = load(spark, sf_dir, "lineitem")
+    s = load(spark, sf_dir, "supplier").filter(
+        F.col("s_nationkey") % 5 == 2).select("s_suppkey")
+    ps = (li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+          .groupBy("l_partkey")
+          .agg(F.sum(F.col("l_extendedprice") * F.col("l_quantity"))
+               .alias("val")))
+    thresh = ps.agg((2.0 * F.avg("val")).alias("t"))
+    return (
+        ps.join(F.broadcast(thresh), F.col("val") > F.col("t"))
+        .select(F.col("l_partkey").alias("ps_partkey"),
+                F.round("val", 2).alias("stock_value"))
+    )
+
+
+@query(
+    "q_tpch_q16",
+    oracle="""
+    SELECT p.p_brand, p.p_type, p.p_size,
+           COUNT(DISTINCT l.l_suppkey) AS supplier_cnt
+    FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_brand <> 'Brand#1' AND p.p_type <> 'PROMO'
+      AND p.p_size IN (1, 9, 14, 23, 45)
+      AND l.l_suppkey NOT IN
+            (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY 1, 2, 3
+    """,
+)
+def q_tpch_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 (parts/supplier relationship): how many distinct
+    suppliers can deliver each (brand, type, size) class, excluding one
+    brand, one type class, and blacklisted suppliers. The supplier
+    blacklist (spec: complaint comments) becomes negative account
+    balance; the part–supplier relation derives from lineitem.
+
+    Scale: the NOT IN is a LEFT ANTI broadcast join (blacklist is tiny);
+    the distinct pairs need the (partkey, suppkey) shuffle; the count-
+    distinct re-shuffles on the 3-column group key — two exchanges
+    total, both after heavy reduction."""
+    pairs = (load(spark, sf_dir, "lineitem")
+             .select("l_partkey", "l_suppkey").distinct())
+    p = load(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#1") & (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(1, 9, 14, 23, 45))
+    bad = load(spark, sf_dir, "supplier").filter(
+        F.col("s_acctbal") < 0).select("s_suppkey")
+    return (
+        pairs.join(F.broadcast(bad), pairs.l_suppkey == bad.s_suppkey,
+                   "left_anti")
+        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+@query(
+    "q_tpch_q20",
+    oracle="""
+    SELECT s.s_name, s.s_nationkey
+    FROM supplier s
+    WHERE s.s_nationkey % 5 = 0
+      AND s.s_suppkey IN (
+        SELECT l.l_suppkey
+        FROM lineitem l
+        JOIN part p ON p.p_partkey = l.l_partkey
+        WHERE p.p_name LIKE 'red%'
+          AND l.l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l.l_shipdate <  TIMESTAMP '1997-01-01'
+        GROUP BY 1
+        HAVING SUM(l.l_quantity) > 100)
+    """,
+)
+def q_tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 (potential part promotion): suppliers in one nation
+    bucket who moved serious volume of red-named parts in 1996 — the
+    spec's nested-IN chain (nation ← supplier ← qualified partsupp ←
+    part + lineitem threshold), with the availqty comparison adapted to
+    a shipped-quantity HAVING (no partsupp.availqty in the fixture).
+
+    Scale: the inner aggregate filters lineitem by a broadcast part
+    list and the pushed-down ship-year, then groups by suppkey (heavy
+    map-side reduction: |suppliers| rows out); the outer IN is a LEFT
+    SEMI broadcast join into the nation-filtered supplier dim."""
+    s = load(spark, sf_dir, "supplier").filter(
+        F.col("s_nationkey") % 5 == 0)
+    p = load(spark, sf_dir, "part").filter(
+        F.col("p_name").like("red%")).select("p_partkey")
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp")))
+    qualified = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("l_suppkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+        .filter(F.col("qty") > 100)
+        .select("l_suppkey"))
+    return (
+        s.join(F.broadcast(qualified), s.s_suppkey == qualified.l_suppkey,
+               "left_semi")
+        .select("s_name", "s_nationkey")
+    )
