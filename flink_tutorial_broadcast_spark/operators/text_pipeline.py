@@ -1,0 +1,164 @@
+"""Training-data text pipeline, stage 2: chunking, benchmark
+decontamination, and corpus readability profiling over the `documents`
+fixture — the preprocessing steps between raw ingestion (scans) and
+dedup/quality filtering (llm_ops) in an LLM data pipeline.
+
+All three are pure built-in-function plans (split / slice / sequence /
+explode — JVM-side, whole-stage-codegen) with DuckDB oracles; no Python
+UDFs anywhere in the hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from flink_tutorial_broadcast_spark.io import load
+from flink_tutorial_broadcast_spark.registry import query
+
+
+@query(
+    "q_chunk_documents",
+    oracle="""
+    WITH words AS (
+      SELECT doc_id, string_split(text, ' ') AS w FROM documents
+    ),
+    chunks AS (
+      SELECT doc_id, w,
+             unnest(generate_series(
+               0, CAST(floor((len(w) - 1) / 30) AS INT))) AS chunk_no
+      FROM words
+    )
+    SELECT doc_id, CAST(chunk_no AS BIGINT) AS chunk_no,
+           array_to_string(w[chunk_no*30 + 1 : chunk_no*30 + 40], ' ')
+             AS chunk_text,
+           CAST(len(w[chunk_no*30 + 1 : chunk_no*30 + 40]) AS BIGINT)
+             AS n_words
+    FROM chunks
+    """,
+)
+def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window document chunking: 40-word chunks on a 30-word
+    stride (10-word overlap), the standard shape for slicing long
+    documents into training/context windows. Every word lands in ≥1
+    chunk; the final chunk may be short (kept, like real pipelines
+    keep tail chunks).
+
+    Scale: embarrassingly parallel — split + sequence + posexplode are
+    narrow per-row ops inside one codegen stage, no shuffle at all. The
+    ~1.8× row/byte amplification (overlap) happens AFTER the scan, so
+    input IO stays 1×; at 100 TB the only knob is output partition
+    sizing (maxRecordsPerFile on the write)."""
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("w"))
+    n_chunks = F.floor((F.size("w") - 1) / 30)
+    chunk = F.expr("slice(w, chunk_no*30 + 1, 40)")
+    return (
+        docs.select(
+            "doc_id", "w",
+            F.explode(F.sequence(F.lit(0), n_chunks)).alias("chunk_no"))
+        .select("doc_id",
+                F.col("chunk_no").cast("bigint").alias("chunk_no"),
+                F.array_join(chunk, " ").alias("chunk_text"),
+                F.size(chunk).cast("bigint").alias("n_words"))
+    )
+
+
+@query(
+    "q_decontaminate",
+    oracle="""
+    WITH words AS (
+      SELECT doc_id, source, string_split(text, ' ') AS w FROM documents
+      WHERE len(string_split(text, ' ')) >= 4
+    ),
+    grams AS (
+      SELECT doc_id, source,
+             array_to_string(
+               w[i : i + 3], ' ') AS g
+      FROM (SELECT doc_id, source, w,
+                   unnest(generate_series(1, len(w) - 3)) AS i
+            FROM words)
+    ),
+    bench AS (SELECT DISTINCT g FROM grams WHERE source = 'src0')
+    SELECT doc_id, COUNT(DISTINCT g) AS n_shared_grams
+    FROM grams
+    WHERE source <> 'src0' AND g IN (SELECT g FROM bench)
+    GROUP BY 1
+    """,
+)
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination by n-gram overlap: treat source `src0`
+    as the held-out benchmark and flag every other document sharing at
+    least one 4-gram with it, with the count of distinct shared grams
+    (the downstream pipeline drops or audits these). 4-grams because the
+    fixture's 31-token vocabulary makes longer shingles near-unique to
+    exact duplicates; real corpora use 8–13.
+
+    Scale: gram explosion is a narrow in-stage op; the benchmark gram
+    set aggregates to DISTINCT and (being a tiny fraction of the corpus)
+    BROADCASTs into the candidate gram stream — the big side never
+    shuffles. The final per-doc COUNT(DISTINCT) groups on doc_id. For a
+    benchmark too large to broadcast, the same plan degrades gracefully
+    to a shuffled semi-join on the gram hash."""
+    docs = (load(spark, sf_dir, "documents")
+            .select("doc_id", "source", F.split("text", " ").alias("w"))
+            .filter(F.size("w") >= 4))
+    grams = docs.select(
+        "doc_id", "source",
+        F.explode(F.expr(
+            "transform(sequence(1, size(w) - 3),"
+            " i -> array_join(slice(w, i, 4), ' '))")).alias("g"))
+    bench = (grams.filter(F.col("source") == "src0")
+             .select("g").distinct())
+    return (
+        grams.filter(F.col("source") != "src0")
+        .join(F.broadcast(bench), "g")
+        .groupBy("doc_id")
+        .agg(F.countDistinct("g").alias("n_shared_grams"))
+    )
+
+
+@query(
+    "q_readability",
+    oracle="""
+    WITH per_doc AS (
+      SELECT source,
+             len(string_split(text, ' ')) AS n_words,
+             len(list_distinct(string_split(text, ' '))) AS n_unique,
+             (len(text) - (len(string_split(text, ' ')) - 1))
+               / CAST(len(string_split(text, ' ')) AS DOUBLE) AS awl
+      FROM documents
+    )
+    SELECT source,
+           COUNT(*) AS n_docs,
+           ROUND(AVG(CAST(n_unique AS DOUBLE) / n_words), 4) AS avg_ttr,
+           ROUND(AVG(awl), 4) AS avg_word_len
+    FROM per_doc GROUP BY 1
+    """,
+)
+def q_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus readability profile per source: average type-token ratio
+    (vocabulary richness) and average word length. Word length is
+    derived arithmetically — (chars − spaces) / words — exact on the
+    single-space-joined fixture, so both engines divide identical
+    integers (no per-word explode needed).
+
+    Scale: one narrow projection per doc + a 20-group aggregate; the
+    map-side partial collapses everything before the exchange. This is
+    the cheap full-corpus statistics pass that runs before expensive
+    dedup stages."""
+    docs = load(spark, sf_dir, "documents")
+    w = F.split("text", " ")
+    n_words = F.size(w)
+    n_unique = F.size(F.array_distinct(w))
+    awl = (F.length("text") - (n_words - 1)) / n_words.cast("double")
+    per_doc = docs.select(
+        "source", n_words.alias("n_words"), n_unique.alias("n_unique"),
+        awl.alias("awl"))
+    return (
+        per_doc.groupBy("source")
+        .agg(F.count("*").alias("n_docs"),
+             F.round(F.avg(F.col("n_unique").cast("double")
+                           / F.col("n_words")), 4).alias("avg_ttr"),
+             F.round(F.avg("awl"), 4).alias("avg_word_len"))
+    )

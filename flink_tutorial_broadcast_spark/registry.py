@@ -48,6 +48,7 @@ _QUERY_MODULES = (
     "flink_tutorial_broadcast_spark.operators.stats_ext",
     "flink_tutorial_broadcast_spark.operators.layout_ops",
     "flink_tutorial_broadcast_spark.operators.tpch_full",
+    "flink_tutorial_broadcast_spark.operators.text_pipeline",
 )
 
 

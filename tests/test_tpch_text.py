@@ -1,0 +1,168 @@
+"""Edge-case tests for the TPC-H completion suite and the text
+pipeline — the constructed cases the sf fixtures can't guarantee to
+cover (Q21's sole-max-holder windows, chunk coverage/overlap laws)."""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_SMOKE
+
+
+def _q21_expected(rows):
+    """Reference implementation of the adapted Q21 waiting predicate:
+    line qualifies iff its order has another supplier and no OTHER
+    supplier ships strictly later."""
+    out = []
+    for ok, sk, ship in rows:
+        others = [s2 for o2, s2, _ in rows if o2 == ok and s2 != sk]
+        if not others:
+            continue
+        later = [1 for o2, s2, sh2 in rows
+                 if o2 == ok and s2 != sk and sh2 > ship]
+        if not later:
+            out.append((ok, sk, ship))
+    return sorted(out)
+
+
+def test_q21_waiting_predicate_edge_cases(spark):
+    """The window formulation must match the correlated-subquery
+    semantics on: sole-max holder with own earlier lines (the earlier
+    lines DO qualify — only own lines ship later), tied max across
+    suppliers, and single-supplier orders (excluded)."""
+    d = [
+        # order 1: supplier 10 holds the max; its own earlier line at
+        # day 1 also qualifies (only supplier 10 ships after it... no —
+        # supplier 20 ships at day 2 > day 1, so day-1 line does NOT
+        # qualify; day-3 line does).
+        (1, 10, datetime(2024, 1, 1)),
+        (1, 20, datetime(2024, 1, 2)),
+        (1, 10, datetime(2024, 1, 3)),
+        # order 2: suppliers tie at the max — both qualify.
+        (2, 10, datetime(2024, 2, 1)),
+        (2, 20, datetime(2024, 2, 1)),
+        # order 3: single supplier — excluded entirely.
+        (3, 30, datetime(2024, 3, 1)),
+        (3, 30, datetime(2024, 3, 2)),
+        # order 4: supplier 40's max line qualifies (nobody else ships
+        # after Apr 9); supplier 50's Apr-7 line does NOT (other-supplier
+        # 40 ships Apr 9 > Apr 7); 40's own Apr-5 line does NOT either
+        # (other-supplier 50 ships Apr 7 > Apr 5).
+        (4, 40, datetime(2024, 4, 5)),
+        (4, 40, datetime(2024, 4, 9)),
+        (4, 50, datetime(2024, 4, 7)),
+    ]
+    li = spark.createDataFrame(
+        d, "l_orderkey long, l_suppkey long, l_shipdate timestamp")
+
+    # Re-run the exact production window logic on the constructed data.
+    from pyspark.sql import Window
+    per_supp = (li.groupBy("l_orderkey", "l_suppkey")
+                .agg(F.max("l_shipdate").alias("s_max")))
+    w = Window.partitionBy("l_orderkey")
+    ranked = (
+        per_supp
+        .withColumn("n_supp", F.count("*").over(w))
+        .withColumn("m1", F.max("s_max").over(w))
+        .withColumn("n_at_m1", F.sum(
+            F.when(F.col("s_max") == F.col("m1"), 1).otherwise(0)).over(w))
+        .withColumn("m2", F.max(
+            F.when(F.col("s_max") < F.col("m1"), F.col("s_max"))).over(w))
+        .withColumn("others_max", F.when(
+            (F.col("s_max") < F.col("m1")) | (F.col("n_at_m1") > 1),
+            F.col("m1")).otherwise(F.col("m2")))
+    )
+    waiting = (
+        li.join(ranked.select("l_orderkey", "l_suppkey", "n_supp",
+                              "others_max"),
+                ["l_orderkey", "l_suppkey"])
+        .filter((F.col("n_supp") > 1)
+                & (F.col("l_shipdate") >= F.col("others_max")))
+        .select("l_orderkey", "l_suppkey", "l_shipdate")
+    )
+    got = sorted((r.l_orderkey, r.l_suppkey, r.l_shipdate)
+                 for r in waiting.collect())
+    assert got == _q21_expected(d)
+    # Spot-check the scenarios by name.
+    assert (1, 10, datetime(2024, 1, 3)) in got
+    assert (1, 10, datetime(2024, 1, 1)) not in got
+    assert (2, 10, datetime(2024, 2, 1)) in got
+    assert (2, 20, datetime(2024, 2, 1)) in got
+    assert all(ok != 3 for ok, _, _ in got)
+    assert (4, 40, datetime(2024, 4, 9)) in got
+    assert (4, 50, datetime(2024, 4, 7)) not in got
+    assert (4, 40, datetime(2024, 4, 5)) not in got
+
+
+def test_chunking_covers_every_word_once_per_stride(queries, spark):
+    """Chunking laws on real data: every chunk except a doc's last has
+    exactly 40 words; consecutive chunks overlap by 10; the union of
+    stride-aligned prefixes reconstructs the document."""
+    chunks = queries["q_chunk_documents"](spark, SF_SMOKE)
+    docs = (spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+            .select("doc_id", F.size(F.split("text", " ")).alias("n")))
+    per_doc = (chunks.groupBy("doc_id")
+               .agg(F.count("*").alias("n_chunks"),
+                    F.max("chunk_no").alias("last_no"),
+                    F.min("n_words").alias("min_w"),
+                    F.max("n_words").alias("max_w"))
+               .join(docs, "doc_id"))
+    bad = per_doc.filter(
+        (F.col("n_chunks") != F.col("last_no") + 1)
+        | (F.col("n_chunks") != F.floor((F.col("n") - 1) / 30) + 1)
+        | (F.col("max_w") > 40)).count()
+    assert bad == 0
+    # Reconstruction: first 30 words of every non-final chunk,
+    # concatenated in order, plus the whole final chunk == the doc.
+    rebuilt = (
+        chunks.withColumn(
+            "is_last",
+            F.col("chunk_no")
+            == F.max("chunk_no").over(Window.partitionBy("doc_id")))
+        .withColumn("piece", F.when(
+            F.col("is_last"), F.col("chunk_text")).otherwise(
+            F.array_join(F.slice(F.split("chunk_text", " "), 1, 30), " ")))
+        .groupBy("doc_id")
+        .agg(F.array_join(F.array_sort(F.collect_list(
+            F.struct("chunk_no", "piece"))).piece, " ").alias("rebuilt"))
+    )
+    orig = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").select(
+        "doc_id", "text")
+    mismatch = (rebuilt.join(orig, "doc_id")
+                .filter(F.col("rebuilt") != F.col("text")).count())
+    assert mismatch == 0
+
+
+def test_decontaminate_flags_known_duplicate(queries, spark):
+    """Exact duplicates of a src0 document must always be flagged (they
+    share every 4-gram), and src0 docs never appear in the output."""
+    out = queries["q_decontaminate"](spark, SF_SMOKE)
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    src0_texts = {r.text for r in
+                  docs.filter(F.col("source") == "src0").collect()}
+    dup_ids = {r.doc_id for r in docs.filter(
+        (F.col("source") != "src0")).collect()
+        if r.text in src0_texts and len(r.text.split()) >= 4}
+    flagged = {r.doc_id for r in out.collect()}
+    assert dup_ids <= flagged
+    src0_ids = {r.doc_id for r in
+                docs.filter(F.col("source") == "src0").collect()}
+    assert not (flagged & src0_ids)
+
+
+def test_tpch_q2_argmin_is_regional(queries, spark):
+    """Q2 must pick the minimum over EUROPE suppliers only — a cheaper
+    non-EUROPE supplier for the same part must not drag the threshold
+    down (guards against computing the min before the region filter)."""
+    df = queries["q_tpch_q2"](spark, SF_SMOKE)
+    rows = df.collect()
+    # Every returned supplier must actually be in EUROPE.
+    nations = (spark.read.parquet(f"{SF_SMOKE}/nation.parquet")
+               .join(spark.read.parquet(f"{SF_SMOKE}/region.parquet"),
+                     F.col("n_regionkey") == F.col("r_regionkey"))
+               .filter(F.col("r_name") == "EUROPE"))
+    euro_names = {r.n_name for r in nations.collect()}
+    assert all(r.n_name in euro_names for r in rows)
