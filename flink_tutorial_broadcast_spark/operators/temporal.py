@@ -1,0 +1,254 @@
+"""Temporal/time-series operators: versioned-dimension (SCD2) temporal
+join, OHLC downsampling, watermark-lateness audit, and event-transition
+matrix.
+
+The temporal join is the batch form of Flink's temporal table join
+([FLINK-API `TemporalTableFunction` /
+`KeyedBroadcastProcessFunction`]): each event matches the dimension
+version whose validity interval covers the event's timestamp — exactly
+how the reference's broadcast rule state answers "which rule was active
+when this event arrived". The lateness audit quantifies what a
+watermark would drop ([FLINK-API
+`WatermarkStrategy.forBoundedOutOfOrderness`]), turning the streaming
+E5/E6 semantics into an oracle-checkable batch diagnostic.
+
+Scale notes:
+- Temporal join: the versioned dimension derives from the low-volume
+  change stream (broadcast side by construction) — the probe side never
+  shuffles; Spark plans BroadcastHashJoin on the equi key with the
+  interval predicate as a post-join filter.
+- OHLC: single hash aggregate, no window/sort — open/close use
+  fixed-width-string arg-min/max keys (the engine's portable composite
+  ordering idiom), so partial aggregation (map-side combine) applies.
+- Lateness audit: running max is per-user (Flink watermarks are
+  per-source-partition), so the window sort partitions cleanly; the
+  global-watermark figure is the min over partitions of the same state.
+- Transition matrix: lag over (user_id) windows reuses one Exchange;
+  the ppm probabilities use integer arithmetic for cross-engine hashes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from flink_tutorial_broadcast_spark.io import load
+from flink_tutorial_broadcast_spark.registry import query
+
+
+def _scd2_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Purchase events as a versioned per-user dimension (see
+    governance.q_scd2_build): each purchase opens a version carrying its
+    value; lead(ts) closes the previous one."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        load(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("d_user_id"),
+            F.row_number().over(w).alias("version"),
+            F.col("ts").alias("valid_from"),
+            F.lead("ts").over(w).alias("valid_to"),
+            F.round("value", 2).alias("rule_value"),
+        )
+    )
+
+
+@query(
+    "q_temporal_join",
+    oracle="""
+    WITH dim AS (
+      SELECT user_id AS d_user_id, ts AS valid_from,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS version,
+             lead(ts) OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS valid_to,
+             ROUND(value, 2) AS rule_value
+      FROM events WHERE event_type = 'purchase'
+    )
+    SELECT e.event_id, e.user_id, e.event_type,
+           d.version, d.rule_value
+    FROM events e
+    LEFT JOIN dim d
+      ON d.d_user_id = e.user_id
+     AND e.ts >= d.valid_from
+     AND (d.valid_to IS NULL OR e.ts < d.valid_to)
+    WHERE e.event_type IN ('view', 'click')
+    """,
+)
+def q_temporal_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal (versioned-dimension) join: each view/click event picks
+    up the purchase-version active at its event time — Flink's temporal
+    table join, and the point-in-time-correct feature lookup every
+    training pipeline needs (no future leakage: versions opened after
+    the event can't match).
+
+    LEFT join keeps events before the user's first purchase
+    (version NULL). SCD2 intervals are disjoint per user, so the join
+    is at-most-one-match by construction — row count equals the probe
+    count (asserted in tests). The dimension derives from the low-volume
+    change stream: Spark broadcast-joins it against the never-shuffled
+    probe side.
+    """
+    e = (
+        load(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin("view", "click"))
+        .select("event_id", "user_id", "event_type", "ts")
+    )
+    d = _scd2_dim(spark, sf_dir)
+    return (
+        e.join(
+            F.broadcast(d),
+            (F.col("d_user_id") == F.col("user_id"))
+            & (F.col("ts") >= F.col("valid_from"))
+            & (F.col("valid_to").isNull() | (F.col("ts") < F.col("valid_to"))),
+            "left",
+        )
+        .select("event_id", "user_id", "event_type", "version", "rule_value")
+    )
+
+
+@query(
+    "q_ohlc",
+    oracle="""
+    WITH e AS (
+      SELECT event_type, date_trunc('day', ts) AS day,
+             value,
+             lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0')
+               || lpad(CAST(event_id AS VARCHAR), 10, '0') AS ord
+      FROM events
+    )
+    SELECT event_type, day,
+           ROUND(arg_min(value, ord), 2) AS open,
+           ROUND(MAX(value), 2)          AS high,
+           ROUND(MIN(value), 2)          AS low,
+           ROUND(arg_max(value, ord), 2) AS close,
+           COUNT(*)                      AS volume
+    FROM e GROUP BY event_type, day
+    """,
+)
+def q_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC downsampling: daily open/high/low/close/volume bars per
+    event_type — the canonical time-series resample.
+
+    Single partial+final aggregate, no per-row window: open/close are
+    arg-min/arg-max over a fixed-width string key (epoch-µs then
+    event_id tiebreak — total order, so deterministic under ties). The
+    string buffer makes Spark pick SortAggregate over HashAggregate,
+    but the sort is on the (type, day) group key within each task and
+    map-side combine still collapses each bar to one row per task
+    before the single shuffle — the scalable shape either way.
+    """
+    e = load(spark, sf_dir, "events").select(
+        "event_type",
+        F.date_trunc("day", "ts").alias("day"),
+        "value",
+        F.concat(
+            F.lpad(F.unix_micros("ts").cast("string"), 20, "0"),
+            F.lpad(F.col("event_id").cast("string"), 10, "0"),
+        ).alias("ord"),
+    )
+    return e.groupBy("event_type", "day").agg(
+        F.round(F.min_by("value", F.col("ord")), 2).alias("open"),
+        F.round(F.max("value"), 2).alias("high"),
+        F.round(F.min("value"), 2).alias("low"),
+        F.round(F.max_by("value", F.col("ord")), 2).alias("close"),
+        F.count("*").alias("volume"),
+    )
+
+
+@query(
+    "q_lateness_audit",
+    oracle="""
+    WITH a AS (
+      SELECT event_type,
+             (MAX(epoch_us(ts)) OVER (PARTITION BY user_id
+                                      ORDER BY event_id
+                                      ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND CURRENT ROW)
+              - epoch_us(ts)) AS late_us
+      FROM events
+    )
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           SUM(CASE WHEN late_us > 600000000 THEN 1 ELSE 0 END)
+             AS n_dropped_10m,
+           MAX(late_us) AS max_late_us
+    FROM a GROUP BY event_type
+    """,
+)
+def q_lateness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark-lateness audit: with arrival order = event_id (ingest
+    sequence) and a per-user running max of event time as the watermark
+    state, how many events would a 10-minute
+    bounded-out-of-orderness watermark drop, and how late is the worst
+    straggler? This is the batch diagnostic for choosing the E5/E6
+    watermark Δ — run it before picking `withWatermark`'s threshold.
+
+    Per-user watermark mirrors Flink's per-source-partition watermarks
+    and makes the running-max window partition cleanly (no global sort);
+    µs-integer arithmetic keeps hashes engine-exact.
+    """
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    a = load(spark, sf_dir, "events").select(
+        "event_type",
+        (F.max(F.unix_micros("ts")).over(w) - F.unix_micros("ts"))
+        .alias("late_us"),
+    )
+    return a.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.count_if(F.col("late_us") > 600_000_000).alias("n_dropped_10m"),
+        F.max("late_us").alias("max_late_us"),
+    )
+
+
+@query(
+    "q_transition_matrix",
+    oracle="""
+    WITH s AS (
+      SELECT user_id, event_type,
+             lead(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS next_type
+      FROM events
+    ), t AS (
+      SELECT event_type AS from_type, next_type AS to_type,
+             COUNT(*) AS n
+      FROM s WHERE next_type IS NOT NULL
+      GROUP BY 1, 2
+    )
+    SELECT from_type, to_type, n,
+           (1000000 * n) // SUM(n) OVER (PARTITION BY from_type) AS p_ppm
+    FROM t
+    """,
+)
+def q_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    sequences: counts and row-normalized probabilities (integer ppm) for
+    each (from_type → to_type) pair — the behavioral-analytics
+    complement to the CEP pattern match (q_sequence_pattern).
+
+    One shuffle on user_id for the lead(); the count aggregate reduces
+    to 25 cells before the tiny normalization window. ppm via integer
+    div keeps the result float-free.
+    """
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    s = load(spark, sf_dir, "events").select(
+        "user_id", "event_type",
+        F.lead("event_type").over(w).alias("next_type"),
+    )
+    t = (
+        s.filter(F.col("next_type").isNotNull())
+        .groupBy(F.col("event_type").alias("from_type"),
+                 F.col("next_type").alias("to_type"))
+        .agg(F.count("*").alias("n"))
+    )
+    wn = Window.partitionBy("from_type")
+    return t.select(
+        "from_type", "to_type", "n",
+        F.expr("(1000000 * n) div sum(n) OVER (PARTITION BY from_type)")
+        .alias("p_ppm"),
+    )

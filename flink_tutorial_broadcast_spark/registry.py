@@ -49,6 +49,9 @@ _QUERY_MODULES = (
     "flink_tutorial_broadcast_spark.operators.layout_ops",
     "flink_tutorial_broadcast_spark.operators.tpch_full",
     "flink_tutorial_broadcast_spark.operators.text_pipeline",
+    "flink_tutorial_broadcast_spark.operators.governance",
+    "flink_tutorial_broadcast_spark.operators.graph_setsim",
+    "flink_tutorial_broadcast_spark.operators.temporal",
 )
 
 

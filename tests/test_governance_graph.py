@@ -1,0 +1,95 @@
+"""Semantics tests for the governance and graph/set-similarity operators."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from flink_tutorial_broadcast_spark.io import load
+from tests.conftest import SF_SMOKE
+
+
+def test_scd2_intervals_chain_per_key(spark, queries):
+    df = queries["q_scd2_build"](spark, SF_SMOKE).cache()
+    # exactly one current version per key
+    cur = df.filter(F.col("is_current") == 1).groupBy("user_id").count()
+    assert cur.filter(F.col("count") != 1).count() == 0
+    # valid_to of version v equals valid_from of version v+1 (interval chain)
+    nxt = df.select(
+        "user_id",
+        (F.col("version") - 1).alias("version"),
+        F.col("valid_from").alias("next_from"),
+    )
+    joined = df.join(nxt, ["user_id", "version"])
+    assert joined.filter(F.col("valid_to") != F.col("next_from")).count() == 0
+    # closed versions are exactly the non-current ones
+    assert (
+        df.filter(F.col("valid_to").isNull() != (F.col("is_current") == 1))
+        .count() == 0
+    )
+    df.unpersist()
+
+
+def test_dq_checks_cover_all_constraints_and_are_clean(spark, queries):
+    rows = {r.check_name: r.n_bad
+            for r in queries["q_dq_checks"](spark, SF_SMOKE).collect()}
+    assert len(rows) == 6
+    # the driver fixtures are referentially intact and in-domain
+    assert rows["orders_orphan_custkey"] == 0
+    assert rows["lineitem_orphan_orderkey"] == 0
+    assert rows["orders_dup_orderkey"] == 0
+
+
+def test_group_sample_cap_bounds_every_stratum(spark, queries):
+    df = queries["q_group_sample_cap"](spark, SF_SMOKE)
+    per = df.groupBy("lang", "source").count()
+    assert per.filter(F.col("count") > 5).count() == 0
+    # strata smaller than the cap are kept whole
+    docs = load(spark, SF_SMOKE, "documents")
+    small = (docs.groupBy("lang", "source").count()
+             .filter(F.col("count") <= 5)
+             .withColumnRenamed("count", "n_all"))
+    kept_small = per.join(small, ["lang", "source"])
+    assert kept_small.filter(F.col("count") != F.col("n_all")).count() == 0
+
+
+def test_zorder_buckets_are_locality_boxes(spark, queries):
+    rows = queries["q_zorder_cluster"](spark, SF_SMOKE).collect()
+    assert sum(r.n for r in rows) == load(spark, SF_SMOKE, "orders").count()
+    for r in rows:
+        # top-6 Morton bits fix 3 high bits of each 8-bit dimension:
+        # every bucket spans a single 32-wide aligned range in x AND y
+        assert r.x_lo >> 5 == r.x_hi >> 5
+        assert r.y_lo >> 5 == r.y_hi >> 5
+
+
+def test_triangles_are_ordered_and_really_closed(spark, queries):
+    df = queries["q_triangle_count"](spark, SF_SMOKE).cache()
+    assert df.filter(~((F.col("n1") < F.col("n2"))
+                       & (F.col("n2") < F.col("n3")))).count() == 0
+    assert df.count() == df.distinct().count()
+    df.unpersist()
+
+
+def test_setsim_prefix_filter_is_lossless_vs_naive(spark, queries):
+    """The prefix-filtered join returns EXACTLY the naive all-pairs result."""
+    df = queries["q_setsim_join"](spark, SF_SMOKE).cache()
+    d = (load(spark, SF_SMOKE, "documents")
+         .select("doc_id", F.array_distinct(F.split("text", " ")).alias("t")))
+    a = d.select(F.col("doc_id").alias("doc_a"), F.col("t").alias("ta"))
+    b = d.select(F.col("doc_id").alias("doc_b"), F.col("t").alias("tb"))
+    naive = (
+        a.crossJoin(b)
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select(
+            "doc_a", "doc_b",
+            F.size(F.array_intersect("ta", "tb")).cast("long").alias("i"),
+            F.size("ta").cast("long").alias("na"),
+            F.size("tb").cast("long").alias("nb"))
+        .filter(F.col("i") * 10 >= (F.col("na") + F.col("nb") - F.col("i")) * 6)
+    )
+    assert df.count() == naive.count()
+    missing = naive.join(df, ["doc_a", "doc_b"], "left_anti")
+    assert missing.count() == 0
+    # jaccard bound respected: ppm >= 600000 for every survivor
+    assert df.filter(F.col("jacc_ppm") < 600000).count() == 0
+    df.unpersist()
