@@ -162,3 +162,129 @@ def q_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
                            / F.col("n_words")), 4).alias("avg_ttr"),
              F.round(F.avg("awl"), 4).alias("avg_word_len"))
     )
+
+
+@query(
+    "q_pack_sequences",
+    oracle="""
+    WITH w AS (
+      SELECT doc_id, lang, len(string_split(text, ' ')) AS n_words
+      FROM documents
+    ), c AS (
+      SELECT doc_id, lang, n_words,
+             SUM(n_words) OVER (PARTITION BY lang ORDER BY doc_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW) AS cum_end
+      FROM w
+    )
+    SELECT doc_id, lang, n_words,
+           cum_end - n_words AS tok_start,
+           (cum_end - n_words) // 256 AS seq_start,
+           (cum_end - 1) // 256 AS seq_end,
+           (cum_end - 1) // 256 - (cum_end - n_words) // 256 + 1
+             AS n_seqs_spanned
+    FROM c
+    """,
+)
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-sequence packing (concat-and-chunk): concatenate each
+    language shard's token stream in doc_id order and cut it into
+    fixed 256-token sequences; emit, per document, its token offset and
+    the sequence range it lands in. This is the GPT-style packing step
+    that turns a deduped corpus into fixed-length training rows —
+    documents spanning a boundary continue into the next sequence
+    (no padding waste).
+
+    Per-lang partitioning keeps the running-sum window fully parallel
+    (one shuffle on lang; production shards are exactly this: pack
+    within a shard, never globally). All offsets are integer-exact, so
+    the assignment is reproducible on any engine — the property a
+    resumable data pipeline needs.
+    """
+    from pyspark.sql import Window
+    w = (
+        load(spark, sf_dir, "documents")
+        .select("doc_id", "lang", F.size(F.split("text", " ")).alias("n_words"))
+    )
+    win = (Window.partitionBy("lang").orderBy("doc_id")
+           .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    c = w.withColumn("cum_end", F.sum("n_words").over(win))
+    return c.select(
+        "doc_id", "lang", "n_words",
+        (F.col("cum_end") - F.col("n_words")).alias("tok_start"),
+        F.expr("(cum_end - n_words) div 256").alias("seq_start"),
+        F.expr("(cum_end - 1) div 256").alias("seq_end"),
+        F.expr("(cum_end - 1) div 256 - (cum_end - n_words) div 256 + 1")
+        .alias("n_seqs_spanned"),
+    )
+
+
+@query(
+    "q_repetition_profile",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS w FROM documents
+    ), idx AS (
+      SELECT doc_id, w,
+             unnest(generate_series(1, len(w) - 1)) AS i
+      FROM toks
+    ), bg AS (
+      SELECT doc_id, w[i] || ' ' || w[i + 1] AS bigram FROM idx
+    ), bc AS (
+      SELECT doc_id, bigram, COUNT(*) AS c FROM bg GROUP BY 1, 2
+    ), prof AS (
+      SELECT doc_id, SUM(c) AS n_bigrams, COUNT(*) AS n_distinct,
+             MAX(c) AS top_count
+      FROM bc GROUP BY doc_id
+    )
+    SELECT doc_id, n_bigrams, n_distinct,
+           (1000000 * (n_bigrams - n_distinct)) // n_bigrams AS dup_ppm,
+           (1000000 * top_count) // n_bigrams AS top_ppm,
+           CASE WHEN (1000000 * (n_bigrams - n_distinct)) // n_bigrams
+                     < 200000
+                 AND (1000000 * top_count) // n_bigrams < 100000
+                THEN 1 ELSE 0 END AS keep
+    FROM prof
+    """,
+)
+def q_repetition_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document repetition profile (Gopher-style quality rule):
+    per-doc duplicate-bigram fraction and the share of the single most
+    frequent bigram, plus the keep/drop gate (dup < 20%, top < 10%).
+    Complements q_quality_score's unigram diversity — n-gram repetition
+    catches boilerplate and degenerate loops that unigram stats miss.
+
+    Bigrams are built in one narrow codegen pass (indexed `transform`
+    over the split array — no self-join); the two-level aggregate
+    (doc_id,bigram) → doc_id shuffles on doc_id once with map-side
+    partials. Integer-ppm arithmetic keeps the gate engine-exact.
+    Documents under two words have no bigrams and are excluded on both
+    engines (nothing to score).
+    """
+    toks = (
+        load(spark, sf_dir, "documents")
+        .select("doc_id", F.split("text", " ").alias("w"))
+    )
+    bg = toks.select(
+        "doc_id",
+        F.explode(
+            F.expr("transform(slice(w, 1, size(w) - 1),"
+                   " (x, i) -> concat(x, ' ', w[i + 1]))")
+        ).alias("bigram"),
+    )
+    prof = (
+        bg.groupBy("doc_id", "bigram").agg(F.count("*").alias("c"))
+        .groupBy("doc_id")
+        .agg(F.sum("c").alias("n_bigrams"),
+             F.count("*").alias("n_distinct"),
+             F.max("c").alias("top_count"))
+    )
+    dup_ppm = F.expr("(1000000 * (n_bigrams - n_distinct)) div n_bigrams")
+    top_ppm = F.expr("(1000000 * top_count) div n_bigrams")
+    return prof.select(
+        "doc_id", "n_bigrams", "n_distinct",
+        dup_ppm.alias("dup_ppm"),
+        top_ppm.alias("top_ppm"),
+        F.when((dup_ppm < 200_000) & (top_ppm < 100_000), 1)
+        .otherwise(0).alias("keep"),
+    )

@@ -166,3 +166,39 @@ def test_tpch_q2_argmin_is_regional(queries, spark):
                .filter(F.col("r_name") == "EUROPE"))
     euro_names = {r.n_name for r in nations.collect()}
     assert all(r.n_name in euro_names for r in rows)
+
+
+def test_pack_sequences_is_gapless_within_lang(queries, spark):
+    df = queries["q_pack_sequences"](spark, SF_SMOKE).cache()
+    # offsets tile the shard exactly: next doc starts where this one ends
+    w = Window.partitionBy("lang").orderBy("doc_id")
+    chained = df.withColumn(
+        "prev_end", F.lag(F.col("tok_start") + F.col("n_words")).over(w))
+    bad = chained.filter(
+        F.col("prev_end").isNotNull()
+        & (F.col("prev_end") != F.col("tok_start")))
+    assert bad.count() == 0
+    # span arithmetic: a doc spans ceil over the boundaries it crosses
+    assert df.filter(F.col("n_seqs_spanned")
+                     != (F.col("seq_end") - F.col("seq_start") + 1)).count() == 0
+    assert df.filter(F.col("seq_end") < F.col("seq_start")).count() == 0
+    df.unpersist()
+
+
+def test_repetition_profile_detects_degenerate_doc(queries, spark):
+    # a doc that is one phrase repeated must be gated out; a
+    # all-distinct doc must be kept — build both inline and run the same
+    # operator logic through a temp view of the documents shape
+    rows = [
+        (1, "spam ham " * 50, "en", "srcX", 0),
+        (2, " ".join(f"w{i}" for i in range(100)), "en", "srcX", 0),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long")
+    import tempfile
+    with tempfile.TemporaryDirectory() as td:
+        df.write.mode("overwrite").parquet(f"{td}/documents.parquet")
+        out = {r.doc_id: r for r in
+               queries["q_repetition_profile"](spark, td).collect()}
+    assert out[1].keep == 0 and out[1].dup_ppm > 900_000
+    assert out[2].keep == 1 and out[2].dup_ppm == 0
