@@ -52,6 +52,7 @@ _QUERY_MODULES = (
     "flink_tutorial_broadcast_spark.operators.governance",
     "flink_tutorial_broadcast_spark.operators.graph_setsim",
     "flink_tutorial_broadcast_spark.operators.temporal",
+    "flink_tutorial_broadcast_spark.operators.vector_compress",
 )
 
 
