@@ -688,25 +688,29 @@ def q_tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
     supplier nation per order year, profit = revenue − cost·quantity
     with the derived supply cost.
 
-    Scale: the part-name filter broadcasts into lineitem; the derived
-    ps joins on (partkey, suppkey) — at 100 TB this is the second big
-    shuffle after orders⋈lineitem on orderkey (ps itself is |distinct
-    pairs|, far smaller than lineitem). nation/supplier broadcast; the
-    (25 × years) group collapses map-side."""
+    Scale: the derived-ps self-join is rewritten as a window MIN — the
+    ps join key IS lineitem's own (partkey, suppkey), and the red-part
+    filter constrains partkeys only, so every row of a surviving pair
+    survives with it and min-over-window ≡ the pair's global supply
+    cost. That turns (full lineitem agg + sort-merge self-join, two
+    scans) into ONE scan with one (partkey, suppkey) shuffle on the
+    red-filtered ~10% subset; orders then joins on orderkey,
+    supplier/nation broadcast, and the (25 × years) group collapses
+    map-side."""
     li = load(spark, sf_dir, "lineitem")
     p = load(spark, sf_dir, "part").filter(
         F.col("p_name").like("%red%")).select("p_partkey")
     s = load(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
     n = load(spark, sf_dir, "nation")
     o = load(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
-    ps = _partsupp(spark, sf_dir).withColumnsRenamed(
-        {"l_partkey": "ps_partkey", "l_suppkey": "ps_suppkey"})
+    w = Window.partitionBy("l_partkey", "l_suppkey")
     profit = (_revenue()
               - F.col("supplycost") * F.col("l_quantity"))
     return (
         li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
-        .join(ps, (li.l_partkey == ps.ps_partkey)
-              & (li.l_suppkey == ps.ps_suppkey))
+        .withColumn(
+            "supplycost",
+            F.min(F.col("l_extendedprice") / F.col("l_quantity")).over(w))
         .join(o, li.l_orderkey == o.o_orderkey)
         .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
