@@ -283,3 +283,61 @@ def q_zorder_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("yq").alias("y_lo"), F.max("yq").alias("y_hi"),
         )
     )
+
+
+@query(
+    "q_domain_mixture",
+    oracle="""
+    WITH target AS (
+      SELECT source, COUNT(*) AS n_avail,
+             10 * (CAST(SUBSTR(source, 4) AS INT) % 4 + 1) AS n_target
+      FROM documents GROUP BY source
+    ), capped AS (
+      SELECT source, n_avail, n_target,
+             LEAST(n_avail, n_target) AS n_taken
+      FROM target
+    ), ranked AS (
+      SELECT d.doc_id, d.source,
+             row_number() OVER (
+               PARTITION BY d.source
+               ORDER BY md5(CAST(d.doc_id AS VARCHAR)), d.doc_id) AS rn,
+             c.n_taken
+      FROM documents d JOIN capped c ON d.source = c.source
+    )
+    SELECT doc_id, source, rn, n_taken
+    FROM ranked WHERE rn <= n_taken
+    """,
+)
+def q_domain_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset mixture construction: each source gets a target share of
+    the training budget (here a per-source formula standing in for the
+    mixture-weights table), capped by availability, and the selection is
+    an md5-ranked deterministic draw — the "data recipe" step that turns
+    a deduped corpus into a weighted training mix.
+
+    Two phases in one plan: a tiny per-source planning aggregate
+    (availability × target → quota) broadcast back into the md5-ranked
+    window selection. Everything is integer/hash deterministic, so the
+    same recipe reproduces bit-identically on any engine or cluster —
+    rerunning a data mix must never silently change the training set.
+    At scale the window sort is per-source-bounded and the quota join
+    is a broadcast; swapping the formula for a real weights table keeps
+    the plan identical (it stays the broadcast side).
+    """
+    d = load(spark, sf_dir, "documents")
+    capped = (
+        d.groupBy("source").agg(F.count("*").alias("n_avail"))
+        .withColumn(
+            "n_target",
+            10 * (F.substring("source", 4, 10).cast("int") % 4 + 1))
+        .withColumn("n_taken", F.least("n_avail", "n_target"))
+        .select("source", "n_taken")
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id")
+    return (
+        d.select("doc_id", "source", F.row_number().over(w).alias("rn"))
+        .join(F.broadcast(capped), "source")
+        .filter(F.col("rn") <= F.col("n_taken"))
+        .select("doc_id", "source", "rn", "n_taken")
+    )

@@ -93,3 +93,21 @@ def test_setsim_prefix_filter_is_lossless_vs_naive(spark, queries):
     # jaccard bound respected: ppm >= 600000 for every survivor
     assert df.filter(F.col("jacc_ppm") < 600000).count() == 0
     df.unpersist()
+
+
+def test_domain_mixture_hits_quota_or_exhausts_source(spark, queries):
+    df = queries["q_domain_mixture"](spark, SF_SMOKE).cache()
+    docs = load(spark, SF_SMOKE, "documents")
+    avail = docs.groupBy("source").count().withColumnRenamed("count", "n_avail")
+    per = (df.groupBy("source", "n_taken").count()
+           .join(avail, "source"))
+    # taken count equals the declared quota, and the quota is
+    # min(target, availability)
+    bad = per.filter(
+        (F.col("count") != F.col("n_taken"))
+        | (F.col("n_taken") > F.col("n_avail")))
+    assert bad.count() == 0
+    # determinism: re-running yields the identical selection
+    again = queries["q_domain_mixture"](spark, SF_SMOKE)
+    assert df.exceptAll(again).count() == 0
+    df.unpersist()
