@@ -226,3 +226,43 @@ def q_scan_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("c_custkey", "c_name", "c_nationkey",
                 F.round("c_acctbal", 2).alias("acctbal"))
     )
+
+
+@query(
+    "q_schema_evolution",
+    oracle="""
+    SELECT c_custkey, c_name, ROUND(c_acctbal, 2) AS acctbal,
+           CASE WHEN c_custkey % 2 = 1 THEN c_nationkey END AS c_nationkey,
+           CASE WHEN c_custkey % 2 = 0 THEN 1 ELSE 2 END AS gen
+    FROM customer
+    """,
+)
+def q_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution across parquet generations: generation 1 lacks a
+    column that generation 2 added (`c_nationkey`); a single
+    mergeSchema read unifies both file sets, null-filling the missing
+    column in old files — the contract that lets a 100 TB lake add
+    columns without rewriting history.
+
+    The two generations are written disjointly (even keys → gen 1, odd
+    → gen 2) so the oracle can reconstruct exactly which rows must
+    carry NULLs. Production note: pin `mergeSchema` off by default and
+    resolve the union schema once at table-registration time (schema
+    merging lists every footer) — here it IS the thing under test.
+    """
+    c = load(spark, sf_dir, "customer")
+    p1 = _tmp("evo_gen1", sf_dir)
+    p2 = _tmp("evo_gen2", sf_dir)
+    (c.filter(F.col("c_custkey") % 2 == 0)
+     .select("c_custkey", "c_name", "c_acctbal")
+     .write.mode("overwrite").parquet(p1))
+    (c.filter(F.col("c_custkey") % 2 == 1)
+     .select("c_custkey", "c_name", "c_acctbal", "c_nationkey")
+     .write.mode("overwrite").parquet(p2))
+    merged = spark.read.option("mergeSchema", "true").parquet(p1, p2)
+    return merged.select(
+        "c_custkey", "c_name",
+        F.round("c_acctbal", 2).alias("acctbal"),
+        "c_nationkey",
+        F.when(F.col("c_custkey") % 2 == 0, 1).otherwise(2).alias("gen"),
+    )

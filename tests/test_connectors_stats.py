@@ -88,3 +88,16 @@ def test_custom_source_parallelism_and_rows(spark, queries):
     got = {(r["rule_event_type"], r["threshold"], r["severity"])
            for r in df.collect()}
     assert got == set(RULES)
+
+
+def test_schema_evolution_null_fills_old_generation(spark, queries):
+    df = queries["q_schema_evolution"](spark, SF_SMOKE).cache()
+    from flink_tutorial_broadcast_spark.io import load
+    assert df.count() == load(spark, SF_SMOKE, "customer").count()
+    # gen-1 rows (written without the column) read back as NULL;
+    # gen-2 rows keep their value
+    assert df.filter((F.col("gen") == 1)
+                     & F.col("c_nationkey").isNotNull()).count() == 0
+    assert df.filter((F.col("gen") == 2)
+                     & F.col("c_nationkey").isNull()).count() == 0
+    df.unpersist()
