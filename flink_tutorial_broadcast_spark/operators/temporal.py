@@ -252,3 +252,54 @@ def q_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("(1000000 * n) div sum(n) OVER (PARTITION BY from_type)")
         .alias("p_ppm"),
     )
+
+
+@query(
+    "q_time_weighted_avg",
+    oracle="""
+    WITH s AS (
+      SELECT user_id, value,
+             lead(epoch_us(ts)) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id)
+               - epoch_us(ts) AS dur_us
+      FROM events
+    )
+    SELECT user_id,
+           COUNT(*) AS n_intervals,
+           SUM(dur_us) AS total_us,
+           ROUND(SUM(value * dur_us) / SUM(dur_us), 4) AS twa_value
+    FROM s WHERE dur_us IS NOT NULL
+    GROUP BY user_id HAVING SUM(dur_us) > 0
+    """,
+)
+def q_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average of `value` per user: each observation is
+    weighted by how long it was current (until the user's next event) —
+    the correct mean for irregularly-sampled series, where the
+    arithmetic mean over-weights bursts. This is the batch form of the
+    piecewise-constant state a Flink keyed ValueState holds between
+    events.
+
+    One user_id shuffle; lead() and the aggregate share the same
+    partitioning (single Exchange under AQE). Durations are integer µs
+    (engine-exact); the single float division happens once per user at
+    the end, rounded like every float aggregate in the engine. Users
+    with one event (no interval) drop on both engines.
+    """
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    s = load(spark, sf_dir, "events").select(
+        "user_id", "value",
+        (F.lead(F.unix_micros("ts")).over(w) - F.unix_micros("ts"))
+        .alias("dur_us"),
+    )
+    return (
+        s.filter(F.col("dur_us").isNotNull())
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_intervals"),
+            F.sum("dur_us").alias("total_us"),
+            F.round(F.sum(F.col("value") * F.col("dur_us"))
+                    / F.sum("dur_us"), 4).alias("twa_value"),
+        )
+        .filter(F.col("total_us") > 0)
+    )

@@ -70,3 +70,18 @@ def test_transition_matrix_rows_normalize(spark, queries):
     ev = load(spark, SF_SMOKE, "events")
     expect = ev.count() - ev.select("user_id").distinct().count()
     assert df.agg(F.sum("n")).collect()[0][0] == expect
+
+
+def test_time_weighted_avg_lies_within_value_range(spark, queries):
+    df = queries["q_time_weighted_avg"](spark, SF_SMOKE).cache()
+    ev = load(spark, SF_SMOKE, "events")
+    rng = (ev.groupBy("user_id")
+           .agg(F.min("value").alias("lo"), F.max("value").alias("hi"),
+                F.count("*").alias("n")))
+    j = df.join(rng, "user_id")
+    # a weighted mean can never leave [min, max]
+    assert j.filter((F.col("twa_value") < F.col("lo") - 1e-9)
+                    | (F.col("twa_value") > F.col("hi") + 1e-9)).count() == 0
+    # intervals = events - 1 per surviving user
+    assert j.filter(F.col("n_intervals") != F.col("n") - 1).count() == 0
+    df.unpersist()
