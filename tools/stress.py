@@ -115,6 +115,106 @@ def main() -> None:
         "rows": o.count(), "sec": round(time.time() - t0, 2),
         "mrows_per_s": round(o.count() / (time.time() - t0) / 1e6, 1)}
 
+    # OHLC bars (q_ohlc shape): single partial+final agg, arg-min/max keys
+    t0 = time.time()
+    ord_key = F.concat(
+        F.lpad(F.unix_micros("ts").cast("string"), 20, "0"),
+        F.lpad(F.col("event_id").cast("string"), 10, "0"))
+    (ev.select("event_type", F.date_trunc("day", "ts").alias("day"),
+               "value", ord_key.alias("ord"))
+     .groupBy("event_type", "day")
+     .agg(F.min_by("value", F.col("ord")), F.max("value"),
+          F.min("value"), F.max_by("value", F.col("ord")),
+          F.count("*"))).count()
+    results["ohlc_bars"] = {
+        "rows": n_ev, "sec": round(time.time() - t0, 2),
+        "mrows_per_s": round(n_ev / (time.time() - t0) / 1e6, 1)}
+
+    # int8 quantization (q_embed_quantize shape): long-form codes
+    emb = amplify(load(spark, SF_DIR, "embeddings"), ["vec_id"], k)
+    n_cells = emb.count() * 64
+    t0 = time.time()
+    x = (emb.select("vec_id", F.posexplode("embedding").alias("pos", "vf"))
+         .select("vec_id", "pos", F.col("vf").cast("double").alias("v")))
+    stats = x.groupBy("pos").agg(F.min("v").alias("mn"), F.max("v").alias("mx"))
+    (x.join(F.broadcast(stats), "pos")
+     .select(F.least(F.floor((F.col("v") - F.col("mn")) * 256
+                             / (F.col("mx") - F.col("mn"))), F.lit(255))
+             .alias("code"))
+     .agg(F.sum("code"))).count()
+    results["embed_quantize"] = {
+        "rows": n_cells, "sec": round(time.time() - t0, 2),
+        "mrows_per_s": round(n_cells / (time.time() - t0) / 1e6, 1)}
+
+    # documents: dedup exact texts FIRST (the fixture has duplicate
+    # groups by design; amplifying them k× would grow true-duplicate
+    # PAIRS k²× and measure that blowup, not the operator), then
+    # amplify with a per-replica suffix on EVERY token so the k copies
+    # share zero vocabulary — near-dup pairs stay within-replica and
+    # candidate counts scale k×, not k²×
+    docs = (load(spark, SF_DIR, "documents")
+            .dropDuplicates(["text"]))
+    dr = (docs.crossJoin(F.broadcast(
+            spark.range(k).select(F.col("id").alias("__rep"))))
+          .select((F.col("doc_id") + F.col("__rep") * 10_000_000)
+                  .alias("doc_id"),
+                  F.array_join(F.transform(
+                      F.split("text", " "),
+                      lambda x: F.concat(
+                          x, F.lit("#"), F.col("__rep").cast("string"))),
+                      " ").alias("text"),
+                  "lang"))
+    n_docs = dr.count()
+
+    # sequence packing (q_pack_sequences shape)
+    t0 = time.time()
+    from pyspark.sql.window import Window as W2
+    win = (W2.partitionBy("lang").orderBy("doc_id")
+           .rowsBetween(W2.unboundedPreceding, W2.currentRow))
+    (dr.select("doc_id", "lang", F.size(F.split("text", " ")).alias("nw"))
+     .withColumn("cum", F.sum("nw").over(win))
+     .select(F.expr("(cum - 1) div 256").alias("seq_end"))
+     .agg(F.max("seq_end"))).count()
+    results["pack_sequences"] = {
+        "rows": n_docs, "sec": round(time.time() - t0, 2),
+        "mrows_per_s": round(n_docs / (time.time() - t0) / 1e6, 1)}
+
+    # bigram repetition profile (q_repetition_profile shape)
+    t0 = time.time()
+    bg = dr.select(
+        "doc_id",
+        F.explode(F.expr(
+            "transform(slice(split(text, ' '), 1, size(split(text, ' ')) - 1),"
+            " (x, i) -> concat(x, ' ', split(text, ' ')[i + 1]))")).alias("b"))
+    (bg.groupBy("doc_id", "b").agg(F.count("*").alias("c"))
+     .groupBy("doc_id").agg(F.sum("c"), F.count("*"), F.max("c"))).count()
+    results["repetition_bigrams"] = {
+        "rows": n_docs, "sec": round(time.time() - t0, 2),
+        "mrows_per_s": round(n_docs / (time.time() - t0) / 1e6, 1)}
+
+    # prefix-filtered set-similarity self-join (q_setsim_join shape)
+    t0 = time.time()
+    d = dr.select("doc_id", F.array_distinct(F.split("text", " ")).alias("t"))
+    tok = d.select("doc_id", F.explode("t").alias("tok"))
+    dfreq = tok.groupBy("tok").agg(F.count("*").alias("df"))
+    prefix = (
+        tok.join(dfreq, "tok")
+        .groupBy("doc_id")
+        .agg(F.array_sort(F.collect_list(F.struct("df", "tok"))).alias("o"),
+             F.count("*").alias("n"))
+        .select("doc_id", F.explode(F.expr(
+            "slice(transform(o, x -> x.tok), 1,"
+            " CAST(n - ((6 * n + 9) div 10) + 1 AS INT))")).alias("tok")))
+    cand = (prefix.alias("pa").join(prefix.alias("pb"), "tok")
+            .filter(F.col("pa.doc_id") < F.col("pb.doc_id"))
+            .select(F.col("pa.doc_id").alias("a"),
+                    F.col("pb.doc_id").alias("b")).distinct())
+    n_cand = cand.count()
+    results["setsim_prefix_join"] = {
+        "rows": n_docs, "candidates": n_cand,
+        "sec": round(time.time() - t0, 2),
+        "mrows_per_s": round(n_docs / (time.time() - t0) / 1e6, 2)}
+
     print(json.dumps({"k": k, "results": results}))
 
 
