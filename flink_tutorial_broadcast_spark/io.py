@@ -73,11 +73,14 @@ SCHEMAS: dict[str, StructType] = {
         ("l_returnflag", StringType()), ("l_linestatus", StringType()),
         ("l_shipdate", TimestampType()),
     ),
-    # ts is timestamp[ns] in the file — illegal for Spark's parquet reader;
-    # with spark.sql.legacy.parquet.nanosAsLong we scan it as raw int64
-    # nanos and load() converts to µs TimestampType (ts div 1000, integer
-    # division — float division would lose precision at ~1.7e18 ns).
+    # ts unit differs across fixture generations (timestamp[ns] vs [us]);
+    # load() inspects the file footer and picks the right read path.
     "events": _st(
+        ("event_id", LongType()), ("ts", TimestampType()),
+        ("user_id", LongType()), ("event_type", StringType()),
+        ("value", DoubleType()), ("props", StringType()),
+    ),
+    "events_ns": _st(
         ("event_id", LongType()), ("ts", LongType()),
         ("user_id", LongType()), ("event_type", StringType()),
         ("value", DoubleType()), ("props", StringType()),
@@ -94,23 +97,37 @@ SCHEMAS: dict[str, StructType] = {
 }
 
 
+_EVENTS_TS_IS_NANOS: dict[str, bool] = {}
+
+
+def _events_ts_is_nanos(path: str) -> bool:
+    """True when events.ts is parquet timestamp[ns] (older fixture gens)."""
+    if path not in _EVENTS_TS_IS_NANOS:
+        import pyarrow.parquet as pq
+
+        unit = pq.read_schema(path).field("ts").type.unit
+        _EVENTS_TS_IS_NANOS[path] = unit == "ns"
+    return _EVENTS_TS_IS_NANOS[path]
+
+
 def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     """Load one fixture table with its pinned schema.
 
     The explicit schema keeps column pruning + predicate pushdown intact
-    (the reader plans against it directly) and coerces events.ts from the
-    file's timestamp[ns] to Spark's µs TimestampType deterministically.
+    (the reader plans against it directly). events.ts handling is
+    unit-aware: fixture generations have shipped it as both timestamp[us]
+    (read directly) and timestamp[ns] (illegal for Spark's parquet reader;
+    scanned as int64 via spark.sql.legacy.parquet.nanosAsLong, then
+    floored to µs with integer division — float division would lose
+    precision at ~1.7e18 ns).
     """
     path = os.path.join(sf_dir, f"{table}.parquet")
-    if table == "events":
-        # required to scan the file's timestamp[ns] column as int64 nanos;
-        # set here too in case the caller's session lacks engine confs
+    if table == "events" and _events_ts_is_nanos(path):
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = spark.read.schema(SCHEMAS[table]).parquet(path)
-    if table == "events":
+        df = spark.read.schema(SCHEMAS["events_ns"]).parquet(path)
         # ns→µs like DuckDB's CAST(ts_ns AS TIMESTAMP): floor to microsecond
-        df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
-    return df
+        return df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return spark.read.schema(SCHEMAS[table]).parquet(path)
 
 
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

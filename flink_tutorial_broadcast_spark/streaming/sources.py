@@ -14,7 +14,7 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from flink_tutorial_broadcast_spark.io import SCHEMAS
+from flink_tutorial_broadcast_spark.io import SCHEMAS, _events_ts_is_nanos
 
 _STREAM_DIRS: dict[str, str] = {}
 
@@ -33,16 +33,21 @@ def _stream_dir(sf_dir: str, table: str) -> str:
 def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The mainStream analogue: events as a file-source stream.
 
-    Mirrors io.load("events"): scans the timestamp[ns] column as int64
-    nanos and converts to µs TimestampType, so streaming and batch
-    formulations see byte-identical data.
+    Mirrors io.load("events") including its ts-unit detection, so
+    streaming and batch formulations see byte-identical data.
     """
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    sdf = (
+    path = os.path.join(sf_dir, "events.parquet")
+    if _events_ts_is_nanos(path):
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        sdf = (
+            spark.readStream.schema(SCHEMAS["events_ns"])
+            .parquet(_stream_dir(sf_dir, "events"))
+        )
+        return sdf.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return (
         spark.readStream.schema(SCHEMAS["events"])
         .parquet(_stream_dir(sf_dir, "events"))
     )
-    return sdf.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
 
 
 def rate_events(spark: SparkSession, rows_per_second: int = 100) -> DataFrame:
