@@ -1,0 +1,412 @@
+"""Dataset-construction operators for training-data pipelines.
+
+The ops that turn a cleaned corpus into a training set: deterministic
+split assignment, CDC snapshot diffing, outlier winsorization, negative
+sampling, class rebalancing, PII redaction, plus two scale-path join
+rewrites (bucketed range join, trailing-window distinct). All are pure
+built-in DataFrame ops — zero Python in the hot path — and all eight
+hash-match a DuckDB oracle.
+
+Scale notes (100 TB):
+- Split/redact/negative-sampling are embarrassingly parallel map-side ops
+  (no shuffle beyond the final small agg or FK join; the FK join
+  broadcasts the dimension).
+- q_snapshot_diff is one full-outer shuffle join keyed on the PK — the
+  canonical CDC plan; at scale both snapshots would be bucketed on the
+  PK so the join is exchange-free.
+- q_range_join_bucketed turns an O(n·m) theta range join into an
+  equi-join on a time bucket (3× duplication of one side), the standard
+  rewrite when the naive interval join's BNLJ would never finish.
+- q_windowed_distinct pre-shrinks to distinct (day,user) pairs BEFORE
+  the window expansion, so the 7× duplication applies to the deduped
+  relation, not the raw events.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from flink_tutorial_broadcast_spark.io import load
+from flink_tutorial_broadcast_spark.registry import query
+
+
+@query(
+    "q_dataset_split",
+    oracle="""
+    SELECT lang,
+           CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cc'
+                  THEN 'train'
+                WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6'
+                  THEN 'val'
+                ELSE 'test' END AS split,
+           COUNT(*) AS n, SUM(n_chars) AS chars
+    FROM documents
+    GROUP BY 1, 2
+    """,
+)
+def q_dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test assignment (~80/10/10) by md5(doc_id)
+    prefix — seed-free, engine-portable, stable under repartitioning, so
+    the same document lands in the same split on every engine and every
+    rerun. Map-side only; the tiny per-(lang,split) agg is the one
+    shuffle."""
+    bucket = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+    return (
+        load(spark, sf_dir, "documents")
+        .withColumn(
+            "split",
+            F.when(bucket < "cc", "train")
+            .when(bucket < "e6", "val")
+            .otherwise("test"),
+        )
+        .groupBy("lang", "split")
+        .agg(F.count("*").alias("n"), F.sum("n_chars").alias("chars"))
+    )
+
+
+@query(
+    "q_snapshot_diff",
+    oracle="""
+    WITH new AS (
+      SELECT c_custkey,
+             c_acctbal + CASE WHEN c_custkey % 10 = 0 THEN 100.0
+                              ELSE 0.0 END AS c_acctbal
+      FROM customer WHERE c_custkey % 13 <> 0
+      UNION ALL
+      SELECT c_custkey + 10000000 AS c_custkey, c_acctbal
+      FROM customer WHERE c_custkey % 17 = 0
+    )
+    SELECT CASE WHEN o.c_custkey IS NULL THEN 'insert'
+                WHEN n.c_custkey IS NULL THEN 'delete'
+                WHEN o.c_acctbal <> n.c_acctbal THEN 'update'
+                ELSE 'unchanged' END AS change_type,
+           COUNT(*) AS n,
+           SUM(COALESCE(o.c_custkey, n.c_custkey)) AS key_checksum,
+           ROUND(SUM(COALESCE(n.c_acctbal, 0) - COALESCE(o.c_acctbal, 0)),
+                 2) AS bal_delta
+    FROM customer o FULL OUTER JOIN new n ON o.c_custkey = n.c_custkey
+    GROUP BY 1
+    """,
+)
+def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC snapshot diff: classify every PK as insert/update/delete/
+    unchanged between two table generations (the batch analogue of a
+    changelog stream — what processBroadcastElement consumes as its rule
+    updates, derived here from state rather than received as events).
+
+    The new snapshot is simulated deterministically from the base so
+    both engines derive identical generations: %13 keys deleted, %10
+    balances +100, %17 keys re-inserted under a shifted PK. One
+    full-outer shuffle join on the PK; at 100 TB both snapshots are
+    bucketed on the PK and the join is exchange-free.
+    """
+    base = load(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
+    new = (
+        base.filter(F.col("c_custkey") % 13 != 0)
+        .withColumn(
+            "c_acctbal",
+            F.col("c_acctbal")
+            + F.when(F.col("c_custkey") % 10 == 0, 100.0).otherwise(0.0),
+        )
+        .unionByName(
+            base.filter(F.col("c_custkey") % 17 == 0)
+            .withColumn("c_custkey", F.col("c_custkey") + 10000000)
+        )
+    )
+    o, n = base.alias("o"), new.alias("n")
+    joined = o.join(n, F.col("o.c_custkey") == F.col("n.c_custkey"), "full")
+    return (
+        joined.select(
+            F.when(F.col("o.c_custkey").isNull(), "insert")
+            .when(F.col("n.c_custkey").isNull(), "delete")
+            .when(F.col("o.c_acctbal") != F.col("n.c_acctbal"), "update")
+            .otherwise("unchanged")
+            .alias("change_type"),
+            F.coalesce(F.col("o.c_custkey"), F.col("n.c_custkey"))
+            .alias("key"),
+            (
+                F.coalesce(F.col("n.c_acctbal"), F.lit(0.0))
+                - F.coalesce(F.col("o.c_acctbal"), F.lit(0.0))
+            ).alias("delta"),
+        )
+        .groupBy("change_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("key").alias("key_checksum"),
+            F.round(F.sum("delta"), 2).alias("bal_delta"),
+        )
+    )
+
+
+@query(
+    "q_winsorize",
+    oracle="""
+    WITH q AS (
+      SELECT c_mktsegment AS segment,
+             quantile_cont(c_acctbal, 0.05) AS q05,
+             quantile_cont(c_acctbal, 0.95) AS q95
+      FROM customer GROUP BY 1
+    )
+    SELECT q.segment, COUNT(*) AS n,
+           ROUND(AVG(c.c_acctbal), 2) AS avg_raw,
+           ROUND(AVG(LEAST(GREATEST(c.c_acctbal, q.q05), q.q95)), 2)
+             AS avg_wins,
+           ROUND(MIN(q.q05), 2) AS p05, ROUND(MAX(q.q95), 2) AS p95
+    FROM customer c JOIN q ON c.c_mktsegment = q.segment
+    GROUP BY q.segment
+    """,
+)
+def q_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group winsorization: clamp c_acctbal to its segment's
+    [p05, p95] band (exact interpolated quantiles, ≡ DuckDB
+    quantile_cont) — the standard outlier treatment before computing
+    quality statistics. Two passes: a tiny per-segment quantile agg
+    broadcast back onto the fact, then the clamped re-aggregate. At
+    100 TB pass 1 switches to approx_percentile (sketch-mergeable,
+    single pass) — noted, not done here, to keep the exact oracle."""
+    cust = load(spark, sf_dir, "customer")
+    q = cust.groupBy(F.col("c_mktsegment").alias("segment")).agg(
+        F.percentile("c_acctbal", F.lit(0.05)).alias("q05"),
+        F.percentile("c_acctbal", F.lit(0.95)).alias("q95"),
+    )
+    clamped = cust.join(
+        F.broadcast(q), cust.c_mktsegment == q.segment
+    ).withColumn(
+        "wins",
+        F.least(F.greatest(F.col("c_acctbal"), F.col("q05")), F.col("q95")),
+    )
+    return clamped.groupBy("segment").agg(
+        F.count("*").alias("n"),
+        F.round(F.avg("c_acctbal"), 2).alias("avg_raw"),
+        F.round(F.avg("wins"), 2).alias("avg_wins"),
+        F.round(F.min("q05"), 2).alias("p05"),
+        F.round(F.max("q95"), 2).alias("p95"),
+    )
+
+
+@query(
+    "q_negative_sampling",
+    oracle="""
+    WITH np AS (SELECT COUNT(*) AS n_parts FROM part),
+    anchors AS (
+      SELECT event_id FROM events WHERE event_type = 'purchase'
+    )
+    SELECT a.event_id AS event_id, i.neg_rank AS neg_rank,
+           p.p_partkey AS neg_partkey, p.p_name AS p_name
+    FROM anchors a
+    CROSS JOIN (SELECT UNNEST([0, 1, 2]) AS neg_rank) i
+    CROSS JOIN np
+    JOIN part p
+      ON p.p_partkey =
+         ((a.event_id % 1000003) * 31 + i.neg_rank * 7001) % np.n_parts
+    """,
+)
+def q_negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic negative sampling for contrastive training: each
+    purchase event draws k=3 pseudo-random catalog parts via pure
+    integer hashing (no RNG state — reproducible on any engine, any
+    partitioning). The corpus size enters as a broadcast scalar; the
+    part lookup is a broadcast FK join, so the anchor side never
+    shuffles."""
+    ev = load(spark, sf_dir, "events")
+    part = load(spark, sf_dir, "part")
+    n_parts = part.agg(F.count("*").alias("n_parts"))
+    anchors = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select("event_id")
+        .withColumn("neg_rank", F.explode(F.array(F.lit(0), F.lit(1), F.lit(2))))
+        .crossJoin(F.broadcast(n_parts))
+        .withColumn(
+            "neg_key",
+            ((F.col("event_id") % 1000003) * 31 + F.col("neg_rank") * 7001)
+            % F.col("n_parts"),
+        )
+    )
+    return anchors.join(
+        F.broadcast(part), anchors.neg_key == part.p_partkey
+    ).select(
+        "event_id",
+        "neg_rank",
+        F.col("p_partkey").alias("neg_partkey"),
+        "p_name",
+    )
+
+
+@query(
+    "q_class_upsample",
+    oracle="""
+    WITH c AS (
+      SELECT lang, COUNT(*) AS n_orig FROM documents GROUP BY lang
+    ),
+    r AS (
+      SELECT lang, n_orig,
+             GREATEST(1, MAX(n_orig) OVER () // n_orig) AS rep
+      FROM c
+    )
+    SELECT lang, n_orig, rep, n_orig * rep AS n_upsampled FROM r
+    """,
+)
+def q_class_upsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Class-balanced upsampling: replicate each language's documents
+    floor(max_class/n) times so minority classes approach the majority
+    count. The Spark side REALLY materializes the replication
+    (explode(sequence(1, rep))) and counts the result, proving the
+    operator; the oracle states the arithmetic identity the output must
+    satisfy. Replication factors are data-derived and integer-exact.
+    At scale the explode is map-side (no shuffle) and the rep table is
+    a broadcast."""
+    docs = load(spark, sf_dir, "documents")
+    counts = docs.groupBy("lang").agg(F.count("*").alias("n_orig"))
+    max_n = counts.agg(F.max("n_orig").alias("max_n"))
+    rep = (
+        counts.crossJoin(F.broadcast(max_n))
+        .withColumn(
+            "rep",
+            F.greatest(F.lit(1), F.floor(F.col("max_n") / F.col("n_orig"))),
+        )
+        .select("lang", "n_orig", "rep")
+    )
+    exploded = (
+        docs.join(F.broadcast(rep), "lang")
+        .withColumn("copy", F.explode(F.sequence(F.lit(1), F.col("rep"))))
+    )
+    return (
+        exploded.groupBy("lang")
+        .agg(F.count("*").alias("n_upsampled"))
+        .join(F.broadcast(rep), "lang")
+        .select("lang", "n_orig", "rep", "n_upsampled")
+    )
+
+
+@query(
+    "q_pii_redact",
+    oracle="""
+    WITH m AS (
+      SELECT c_custkey,
+             'user ' || CAST(c_custkey AS VARCHAR) || ' contact '
+               || lower(replace(c_name, ' ', '.')) || '@example.com'
+               || ' re order' AS msg
+      FROM customer
+    )
+    SELECT c_custkey,
+           regexp_replace(msg, '[a-z0-9.#]+@[a-z0-9.]+', '<EMAIL>') AS redacted,
+           regexp_extract(msg, '@([a-z0-9.]+)', 1) AS domain
+    FROM m
+    """,
+)
+def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction: strip email addresses from free text with a
+    regex rewrite, keeping the domain as an aggregatable audit column.
+    The emails are synthesized deterministically from customer names
+    (the fixtures carry no real PII), so both engines see identical
+    inputs; the regex uses only portable character-class syntax (Java
+    regex ≡ RE2 here). Pure map-side — the 100 TB plan is scan→rewrite
+    →write with no exchange."""
+    cust = load(spark, sf_dir, "customer")
+    email = F.concat(
+        F.lower(F.replace(F.col("c_name"), F.lit(" "), F.lit("."))),
+        F.lit("@example.com"),
+    )
+    msg = F.concat(
+        F.lit("user "),
+        F.col("c_custkey").cast("string"),
+        F.lit(" contact "),
+        email,
+        F.lit(" re order"),
+    )
+    return cust.select(
+        "c_custkey",
+        F.regexp_replace(msg, "[a-z0-9.#]+@[a-z0-9.]+", "<EMAIL>")
+        .alias("redacted"),
+        F.regexp_extract(msg, "@([a-z0-9.]+)", 1).alias("domain"),
+    )
+
+
+@query(
+    "q_range_join_bucketed",
+    oracle="""
+    SELECT p.user_id AS user_id, COUNT(*) AS n_pairs
+    FROM events p JOIN events e
+      ON p.user_id = e.user_id
+     AND e.ts BETWEEN p.ts - INTERVAL 5 MINUTE AND p.ts + INTERVAL 5 MINUTE
+    WHERE p.event_type = 'purchase' AND e.event_type = 'error'
+    GROUP BY p.user_id
+    """,
+)
+def q_range_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale-path rewrite of the interval join (C7): quantize time into
+    width-Δ buckets, explode the probe side into {b-1, b, b+1}, equi-join
+    on (user_id, bucket), then apply the exact range predicate. Same
+    semantics as q_interval_join (the oracle IS the naive formulation),
+    but the plan is a shuffled hash/SMJ equi-join — O(n+m) with 3×
+    duplication of one side — instead of a per-key nested loop. Because
+    Δ equals the join half-width, any pair within ±Δ differs by at most
+    one bucket, so each qualifying pair is found exactly once (e keeps
+    its single true bucket; only p explodes)."""
+    ev = load(spark, sf_dir, "events")
+    bucket = (F.unix_timestamp("ts") / 300).cast("long")
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id"),
+            F.col("ts").alias("p_ts"),
+            F.explode(
+                F.array(bucket - 1, bucket, bucket + 1)
+            ).alias("jb"),
+        )
+    )
+    e = ev.filter(F.col("event_type") == "error").select(
+        F.col("user_id").alias("e_user_id"),
+        F.col("ts").alias("e_ts"),
+        bucket.alias("eb"),
+    )
+    pairs = p.join(
+        e,
+        (p.user_id == e.e_user_id)
+        & (p.jb == e.eb)
+        & (e.e_ts >= p.p_ts - F.expr("INTERVAL 5 MINUTES"))
+        & (e.e_ts <= p.p_ts + F.expr("INTERVAL 5 MINUTES")),
+    )
+    return pairs.groupBy("user_id").agg(F.count("*").alias("n_pairs"))
+
+
+@query(
+    "q_windowed_distinct",
+    oracle="""
+    WITH du AS (
+      SELECT DISTINCT CAST(ts AS DATE) AS d, user_id FROM events
+    ),
+    spine AS (SELECT DISTINCT d FROM du)
+    SELECT CAST(s.d AS DATE) AS day, COUNT(DISTINCT du.user_id) AS n_users
+    FROM spine s JOIN du
+      ON du.d BETWEEN s.d - 6 AND s.d
+    GROUP BY s.d
+    """,
+)
+def q_windowed_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 7-day distinct users per day (rolling actives — the
+    metric COUNT(DISTINCT) OVER a range frame can't express on either
+    engine). Rewrite: dedupe to (day,user) FIRST (shrinks the fact
+    before the 7× window duplication), broadcast the tiny day spine,
+    range-join, then count distinct per day. At 100 TB the dedup is the
+    only big shuffle; the spine join stays a broadcast nested loop over
+    ~365 rows."""
+    ev = load(spark, sf_dir, "events")
+    du = ev.select(
+        F.to_date("ts").alias("d"), "user_id"
+    ).distinct()
+    spine = du.select(F.col("d").alias("day")).distinct()
+    joined = du.join(
+        F.broadcast(spine),
+        (F.col("d") <= F.col("day"))
+        & (F.col("d") >= F.date_sub(F.col("day"), 6)),
+    )
+    return joined.groupBy("day").agg(
+        F.countDistinct("user_id").alias("n_users")
+    ).select(
+        # day → timestamp: pandas reads DuckDB DATE as midnight Timestamp,
+        # so both engines must canonicalize to the same isoformat string
+        F.col("day").cast("timestamp").alias("day"),
+        "n_users",
+    )

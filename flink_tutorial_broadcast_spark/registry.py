@@ -53,6 +53,7 @@ _QUERY_MODULES = (
     "flink_tutorial_broadcast_spark.operators.graph_setsim",
     "flink_tutorial_broadcast_spark.operators.temporal",
     "flink_tutorial_broadcast_spark.operators.vector_compress",
+    "flink_tutorial_broadcast_spark.operators.dataset_ops",
 )
 
 

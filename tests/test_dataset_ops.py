@@ -1,0 +1,109 @@
+"""Property tests for the dataset-construction operators."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from flink_tutorial_broadcast_spark.io import load
+from tests.conftest import SF_SMOKE
+
+
+def test_dataset_split_partitions_the_corpus(spark, queries):
+    out = queries["q_dataset_split"](spark, SF_SMOKE).collect()
+    n_docs = load(spark, SF_SMOKE, "documents").count()
+    assert sum(r.n for r in out) == n_docs
+    splits = {r.split for r in out}
+    assert splits <= {"train", "val", "test"}
+    n_train = sum(r.n for r in out if r.split == "train")
+    # md5 prefix < 'cc' ≈ 204/256 ≈ 80% — loose band for small sf
+    assert 0.6 * n_docs < n_train < 0.95 * n_docs
+
+
+def test_dataset_split_is_deterministic(spark, queries):
+    a = sorted(map(tuple, queries["q_dataset_split"](spark, SF_SMOKE).collect()))
+    b = sorted(map(tuple, queries["q_dataset_split"](spark, SF_SMOKE).collect()))
+    assert a == b
+
+
+def test_snapshot_diff_counts_match_simulation(spark, queries):
+    out = {r.change_type: r for r in
+           queries["q_snapshot_diff"](spark, SF_SMOKE).collect()}
+    base = load(spark, SF_SMOKE, "customer")
+    n_del = base.filter(F.col("c_custkey") % 13 == 0).count()
+    n_ins = base.filter(F.col("c_custkey") % 17 == 0).count()
+    n_upd = base.filter(
+        (F.col("c_custkey") % 13 != 0) & (F.col("c_custkey") % 10 == 0)
+    ).count()
+    assert out["delete"].n == n_del
+    assert out["insert"].n == n_ins
+    assert out["update"].n == n_upd
+    # every update adds exactly +100
+    assert abs(out["update"].bal_delta - 100.0 * n_upd) < 1e-6
+
+
+def test_winsorize_tightens_the_mean_spread(spark, queries):
+    rows = queries["q_winsorize"](spark, SF_SMOKE).collect()
+    for r in rows:
+        assert r.p05 <= r.p95
+        # winsorized mean lies within the clamp band
+        assert r.p05 - 0.01 <= r.avg_wins <= r.p95 + 0.01
+
+
+def test_negative_sampling_three_valid_parts_per_anchor(spark, queries):
+    out = queries["q_negative_sampling"](spark, SF_SMOKE)
+    n_anchors = (
+        load(spark, SF_SMOKE, "events")
+        .filter(F.col("event_type") == "purchase").count()
+    )
+    assert out.count() == 3 * n_anchors
+    # all sampled keys are real catalog parts (inner join already enforces
+    # this; assert the rank domain too)
+    ranks = {r.neg_rank for r in out.select("neg_rank").distinct().collect()}
+    assert ranks == {0, 1, 2}
+
+
+def test_class_upsample_balances_minority_langs(spark, queries):
+    rows = queries["q_class_upsample"](spark, SF_SMOKE).collect()
+    max_orig = max(r.n_orig for r in rows)
+    for r in rows:
+        assert r.n_upsampled == r.n_orig * r.rep
+        assert r.rep >= 1
+        # replicated class never overshoots 2× the majority
+        assert r.n_upsampled <= 2 * max_orig
+
+
+def test_pii_redact_strips_every_email(spark, queries):
+    out = queries["q_pii_redact"](spark, SF_SMOKE)
+    assert out.filter(F.col("redacted").contains("@")).count() == 0
+    assert out.filter(F.col("redacted").contains("<EMAIL>")).count() \
+        == out.count()
+    assert out.filter(F.col("domain") != "example.com").count() == 0
+
+
+def test_bucketed_range_join_equals_naive_interval_join(spark, queries):
+    # two independent plans, same semantics: bucketed equi-join rewrite
+    # must reproduce the naive theta join pair-for-pair
+    naive = (
+        queries["q_interval_join"](spark, SF_SMOKE)
+        .groupBy("user_id").agg(F.count("*").alias("n_pairs"))
+    )
+    bucketed = queries["q_range_join_bucketed"](spark, SF_SMOKE)
+    assert naive.exceptAll(bucketed).count() == 0
+    assert bucketed.exceptAll(naive).count() == 0
+
+
+def test_windowed_distinct_dominates_daily_distinct(spark, queries):
+    out = {r.day: r.n_users for r in
+           queries["q_windowed_distinct"](spark, SF_SMOKE).collect()}
+    daily = {
+        r.day: r.n for r in (
+            load(spark, SF_SMOKE, "events")
+            .groupBy(F.to_date("ts").cast("timestamp").alias("day"))
+            .agg(F.countDistinct("user_id").alias("n"))
+            .collect()
+        )
+    }
+    assert set(daily) == set(out)
+    for day, n in daily.items():
+        # a 7-day trailing window can only see MORE distinct users
+        assert out[day] >= n
