@@ -294,3 +294,48 @@ def q_compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark.read.parquet(frag).coalesce(4) \
         .write.mode("overwrite").parquet(compact)
     return spark.read.parquet(compact)
+
+
+@query(
+    "q_agg_pushdown_join",
+    oracle="""
+    SELECT n.n_name AS nation,
+           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           COUNT(*) AS n_items
+    FROM lineitem l
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    GROUP BY n.n_name
+    """,
+)
+def q_agg_pushdown_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Manual partial-aggregation pushdown: revenue per nation computed
+    by aggregating lineitem to (suppkey, partial revenue) BEFORE the
+    dimension joins, then re-aggregating per nation. The oracle is the
+    naive join-then-aggregate formulation — same result by agg/join
+    associativity (every lineitem matches exactly one supplier).
+
+    This is the rewrite Catalyst does NOT do for you (partial agg
+    pushdown below joins is not in the optimizer): at 100 TB it shrinks
+    the join input from |lineitem| rows to |supplier| rows, after which
+    both dimension joins broadcast. The float caveat: regrouping changes
+    summation order, so revenue is rounded like every float aggregate.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    per_supp = li.groupBy("l_suppkey").agg(
+        F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+         .alias("rev_part"),
+        F.count("*").alias("n_part"),
+    )
+    s = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation")
+    return (
+        per_supp.join(F.broadcast(s),
+                      per_supp.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.round(F.sum("rev_part"), 2).alias("revenue"),
+            F.sum("n_part").alias("n_items"),
+        )
+    )

@@ -451,3 +451,30 @@ def q_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load(spark, sf_dir, "orders").select(
         F.col("o_custkey").alias("c_custkey"))
     return c.subtract(o)
+
+
+@query(
+    "q_explode_outer",
+    oracle="""
+    SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+    FROM documents WHERE lang = 'en'
+    UNION ALL
+    SELECT doc_id, NULL AS tok FROM documents WHERE lang <> 'en'
+    """,
+)
+def q_explode_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B2 completion: null-preserving 1:N expansion (``explode_outer``).
+    English documents fan out to one row per token; every other document
+    survives as a single NULL-token row instead of disappearing — the
+    LEFT JOIN LATERAL semantics a plain explode silently breaks. The
+    oracle spells the same contract as a two-branch union.
+
+    Map-side only (no shuffle); at scale this is the safe default for
+    enrichment explodes where dropping parentless rows would corrupt
+    downstream counts.
+    """
+    docs = load(spark, sf_dir, "documents")
+    toks = F.when(F.col("lang") == "en", F.split("text", " "))
+    return docs.select(
+        "doc_id", F.explode_outer(toks).alias("tok")
+    )

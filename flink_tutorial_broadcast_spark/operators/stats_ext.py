@@ -146,3 +146,45 @@ def q_embed_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("label", "pos")
         .agg(F.round(F.avg("x"), 4).alias("centroid"))
     )
+
+
+@query(
+    "q_embed_quantile_norm",
+    oracle="""
+    WITH long AS (
+      SELECT label, CAST(i.range AS INT) AS dim,
+             embedding[CAST(i.range AS INT) + 1] AS val
+      FROM embeddings, range(8) i
+    ), r AS (
+      SELECT label, dim,
+             percent_rank() OVER (PARTITION BY dim ORDER BY val) AS pr
+      FROM long
+    )
+    SELECT label, dim, ROUND(AVG(pr), 4) AS avg_rank
+    FROM r GROUP BY label, dim
+    """,
+)
+def q_embed_quantile_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile (rank) normalization of embedding dimensions: replace
+    each raw value by its percent_rank within the dimension, then report
+    the per-label mean rank for the first 8 dims — the distribution-free
+    check for label separation, robust to per-dimension scale drift.
+
+    Long-form posexplode ≡ the oracle's range-subscript join; the rank
+    needs one sort per dimension (PARTITION BY dim), which at 100 TB
+    becomes a repartitionByRange on (dim, val) — 64 independent sorts,
+    no global order. percent_rank is a pure rank ratio (k-1)/(n-1), so
+    equal float inputs give identical ranks on both engines regardless
+    of tie order.
+    """
+    e = load(spark, sf_dir, "embeddings")
+    long = (
+        e.select("label", F.posexplode("embedding").alias("dim", "val"))
+        .filter(F.col("dim") < 8)
+    )
+    w = Window.partitionBy("dim").orderBy("val")
+    return (
+        long.withColumn("pr", F.percent_rank().over(w))
+        .groupBy("label", "dim")
+        .agg(F.round(F.avg("pr"), 4).alias("avg_rank"))
+    )

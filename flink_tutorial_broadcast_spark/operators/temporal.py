@@ -303,3 +303,89 @@ def q_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("total_us") > 0)
     )
+
+
+@query(
+    "q_resample_interp",
+    oracle="""
+    WITH s AS (
+      SELECT user_id, value,
+             lead(value) OVER w AS nval,
+             epoch_us(ts) AS t0,
+             epoch_us(lead(ts) OVER w) AS t1
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), seg AS (
+      SELECT user_id, value, nval, t0, t1,
+             ((t0 + 43199999999) // 43200000000) * 43200000000 AS g0
+      FROM s WHERE t1 IS NOT NULL AND t1 > t0
+    ), grid AS (
+      SELECT user_id, value, nval, t0, t1,
+             unnest(generate_series(make_timestamp(g0), make_timestamp(t1),
+                                    INTERVAL 12 HOUR)) AS grid_ts
+      FROM seg WHERE g0 <= t1
+    )
+    SELECT user_id, grid_ts,
+           ROUND(value + (nval - value)
+                 * (CAST(epoch_us(grid_ts) - t0 AS DOUBLE) / (t1 - t0)),
+                 4) AS interp_value
+    FROM grid
+    WHERE epoch_us(grid_ts) < t1
+    """,
+)
+def q_resample_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resample each user's irregular event series onto a 12-hour grid by
+    linear interpolation between the surrounding observations — the other
+    half of time-series repair next to gap-fill (q_gap_fill fills a dense
+    grid with zeros; this one estimates BETWEEN observations).
+
+    Grid alignment is integer-exact (ceil to the 12 h boundary in µs);
+    the one float expression — the interpolation fraction — is written
+    with identical operand order on both engines, so IEEE doubles match
+    bit-for-bit before the final ROUND. Per-user lead() and the segment
+    explode share one user_id Exchange; the sequence() explode is
+    map-side. Grid points falling exactly on an observation return that
+    observation (fraction 0); the right endpoint belongs to the next
+    segment (half-open intervals), so each grid point is emitted exactly
+    once.
+    """
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    step = 43_200_000_000  # 12 h in µs
+    s = load(spark, sf_dir, "events").select(
+        "user_id",
+        "value",
+        F.lead("value").over(w).alias("nval"),
+        F.unix_micros("ts").alias("t0"),
+        F.unix_micros(F.lead("ts").over(w)).alias("t1"),
+    )
+    seg = (
+        s.filter(F.col("t1").isNotNull() & (F.col("t1") > F.col("t0")))
+        .withColumn(
+            # integer ceil-division (div, not /): float division + cast
+            # could land one µs off near grid boundaries at large epochs
+            "g0",
+            F.expr(f"((t0 + {step - 1}) div {step}) * {step}"),
+        )
+        .filter(F.col("g0") <= F.col("t1"))
+    )
+    grid = seg.select(
+        "user_id", "value", "nval", "t0", "t1",
+        F.explode(
+            F.sequence(
+                F.timestamp_micros(F.col("g0")),
+                F.timestamp_micros(F.col("t1")),
+                F.expr("INTERVAL 12 HOURS"),
+            )
+        ).alias("grid_ts"),
+    ).filter(F.unix_micros("grid_ts") < F.col("t1"))
+    frac = (
+        (F.unix_micros("grid_ts") - F.col("t0")).cast("double")
+        / (F.col("t1") - F.col("t0"))
+    )
+    return grid.select(
+        "user_id",
+        "grid_ts",
+        F.round(
+            F.col("value") + (F.col("nval") - F.col("value")) * frac, 4
+        ).alias("interp_value"),
+    )

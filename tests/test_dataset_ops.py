@@ -107,3 +107,70 @@ def test_windowed_distinct_dominates_daily_distinct(spark, queries):
     for day, n in daily.items():
         # a 7-day trailing window can only see MORE distinct users
         assert out[day] >= n
+
+
+def test_resample_interp_brackets_between_neighbors(spark, queries):
+    out = queries["q_resample_interp"](spark, SF_SMOKE)
+    ev = load(spark, SF_SMOKE, "events")
+    lo, hi = ev.agg(F.min("value"), F.max("value")).first()
+    # linear interpolation can never escape the observed value range
+    bad = out.filter(
+        (F.col("interp_value") < lo - 0.001)
+        | (F.col("interp_value") > hi + 0.001)
+    ).count()
+    assert bad == 0
+    # grid timestamps are 12h-aligned
+    misaligned = out.filter(
+        F.unix_micros("grid_ts") % 43_200_000_000 != 0
+    ).count()
+    assert misaligned == 0
+
+
+def test_embed_quantile_norm_rank_space(spark, queries):
+    rows = queries["q_embed_quantile_norm"](spark, SF_SMOKE).collect()
+    assert all(0.0 <= r.avg_rank <= 1.0 for r in rows)
+    dims = {r.dim for r in rows}
+    assert dims == set(range(8))
+
+
+def test_agg_pushdown_join_matches_naive_plan(spark, queries):
+    pushed = queries["q_agg_pushdown_join"](spark, SF_SMOKE)
+    li = load(spark, SF_SMOKE, "lineitem")
+    s = load(spark, SF_SMOKE, "supplier")
+    n = load(spark, SF_SMOKE, "nation")
+    naive = (
+        li.join(s, li.l_suppkey == s.s_suppkey)
+        .join(n, s.s_nationkey == n.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+             .alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )
+    j = pushed.alias("p").join(naive.alias("v"), "nation")
+    assert j.count() == pushed.count() == naive.count()
+    # float tolerance: regrouped summation order differs
+    bad = j.filter(
+        (F.abs(F.col("p.revenue") - F.col("v.revenue")) > 0.01)
+        | (F.col("p.n_items") != F.col("v.n_items"))
+    ).count()
+    assert bad == 0
+    # the whole point: the lineitem aggregate sits BELOW the joins
+    plan = pushed._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+
+
+def test_explode_outer_preserves_non_english_docs(spark, queries):
+    out = queries["q_explode_outer"](spark, SF_SMOKE)
+    docs = load(spark, SF_SMOKE, "documents")
+    n_other = docs.filter(F.col("lang") != "en").count()
+    assert out.filter(F.col("tok").isNull()).count() == n_other
+    assert out.select("doc_id").distinct().count() == docs.count()
+
+
+def test_range_join_bucketed_plan_has_no_nested_loop(spark, queries):
+    df = queries["q_range_join_bucketed"](spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
