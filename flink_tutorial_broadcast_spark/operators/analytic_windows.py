@@ -151,3 +151,36 @@ def q_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
                  AS n_30d
         FROM orders WHERE o_custkey < 500
     """)
+
+
+@query(
+    "q_rolling_median",
+    oracle="""
+    SELECT event_id, user_id,
+           ROUND(quantile_cont(value, 0.5)
+                 OVER (PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN 4 PRECEDING AND CURRENT ROW),
+                 4) AS med5
+    FROM events
+    """,
+)
+def q_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling median over each user's last 5 observations — the
+    robust-smoothing twin of a moving average (one outlier can't drag
+    it). `percentile` as a WINDOW aggregate ≡ DuckDB's quantile_cont
+    window: both interpolate over the same ≤5 doubles, so the floats
+    match before ROUND. One user_id Exchange + sort; the ROWS frame is
+    bounded, so state per key is O(5) — the same bounded-buffer shape a
+    Flink keyed ProcessFunction would hold.
+    """
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-4, 0)
+    )
+    return load(spark, sf_dir, "events").select(
+        "event_id", "user_id",
+        F.round(
+            F.expr("percentile(value, 0.5)").over(w), 4
+        ).alias("med5"),
+    )

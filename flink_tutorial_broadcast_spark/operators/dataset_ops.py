@@ -345,7 +345,7 @@ def q_range_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     one bucket, so each qualifying pair is found exactly once (e keeps
     its single true bucket; only p explodes)."""
     ev = load(spark, sf_dir, "events")
-    bucket = (F.unix_timestamp("ts") / 300).cast("long")
+    bucket = F.expr("unix_micros(ts) div 300000000")
     p = (
         ev.filter(F.col("event_type") == "purchase")
         .select(

@@ -409,3 +409,80 @@ def q_xml_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         parsed.getField("k").alias("k_back"),
         parsed.getField("id").alias("id_back"),
     )
+
+
+@query(
+    "q_array_setops",
+    oracle="""
+    WITH tok AS (
+      SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok
+      FROM documents
+    ), sizes AS (
+      SELECT doc_id, COUNT(*) AS n FROM tok GROUP BY doc_id
+    ), inter AS (
+      SELECT a.doc_id, COUNT(*) AS n_inter
+      FROM tok a JOIN tok b ON b.doc_id = a.doc_id + 1 AND b.tok = a.tok
+      GROUP BY a.doc_id
+    )
+    SELECT a.doc_id,
+           COALESCE(i.n_inter, 0) AS n_inter,
+           sa.n + sb.n - COALESCE(i.n_inter, 0) AS n_union,
+           sa.n - COALESCE(i.n_inter, 0) AS n_except
+    FROM documents a
+    JOIN documents b ON b.doc_id = a.doc_id + 1
+    JOIN sizes sa ON sa.doc_id = a.doc_id
+    JOIN sizes sb ON sb.doc_id = b.doc_id
+    LEFT JOIN inter i ON i.doc_id = a.doc_id
+    """,
+)
+def q_array_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """I5 completion: array set algebra (`array_intersect` /
+    `array_union` / `array_except`) proven against a fully relational
+    oracle — consecutive documents compared as token SETS, reporting
+    intersection/union/difference cardinalities (the building block of
+    Jaccard similarity, here as exact array kernels instead of
+    explode+join).
+
+    The Spark side stays in array land (one self-join carrying two
+    ~50-element arrays); the oracle recomputes the same cardinalities
+    via DISTINCT unnest + equi-joins. Both sides dedupe tokens first,
+    so bag-vs-set drift can't creep in.
+    """
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.array_distinct(F.split("text", " ")).alias("toks"),
+    )
+    a, b = docs.alias("a"), docs.alias("b")
+    pairs = a.join(b, F.col("b.doc_id") == F.col("a.doc_id") + 1)
+    return pairs.select(
+        F.col("a.doc_id").alias("doc_id"),
+        F.size(F.array_intersect("a.toks", "b.toks")).alias("n_inter"),
+        F.size(F.array_union("a.toks", "b.toks")).alias("n_union"),
+        F.size(F.array_except("a.toks", "b.toks")).alias("n_except"),
+    )
+
+
+@query(
+    "q_regexp_extract_all",
+    oracle="""
+    SELECT doc_id,
+           len(regexp_extract_all(text, '[a-z]{6,}')) AS n_long,
+           COALESCE(regexp_extract_all(text, '[a-z]{6,}')[1], '')
+             AS first_long
+    FROM documents
+    """,
+)
+def q_regexp_extract_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """I1 completion: `regexp_extract_all` — all matches, not just the
+    first. Counts 6+-letter tokens per document and carries the first
+    match (empty string when none — COALESCE'd identically on both
+    engines). Pattern uses only portable character-class syntax, so the
+    Java and RE2 engines agree. Pure map-side."""
+    docs = load(spark, sf_dir, "documents")
+    matches = F.regexp_extract_all("text", F.lit("[a-z]{6,}"), 0)
+    return docs.select(
+        "doc_id",
+        F.size(matches).alias("n_long"),
+        # F.get (0-based) returns NULL past the end; ANSI element_at throws
+        F.coalesce(F.get(matches, 0), F.lit("")).alias("first_long"),
+    )

@@ -188,3 +188,40 @@ def q_embed_quantile_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("label", "dim")
         .agg(F.round(F.avg("pr"), 4).alias("avg_rank"))
     )
+
+
+@query(
+    "q_autocorr",
+    oracle="""
+    WITH s AS (
+      SELECT user_id, value,
+             lag(value) OVER (PARTITION BY user_id
+                              ORDER BY ts, event_id) AS pv
+      FROM events
+    )
+    SELECT user_id, ROUND(corr(value, pv), 4) AS ac1,
+           COUNT(pv) AS n_pairs
+    FROM s GROUP BY user_id
+    HAVING COUNT(pv) >= 10
+    """,
+)
+def q_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-1 autocorrelation of each user's value series — the
+    is-this-series-random diagnostic (≈0 for independent draws). lag()
+    and the corr aggregate share one user_id Exchange; corr is a
+    single-pass moment aggregate (partial-mergeable, same accumulator
+    family as q_linreg). Users with <10 pairs are dropped on both
+    engines — tiny samples make corr numerically touchy AND
+    statistically meaningless."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    s = load(spark, sf_dir, "events").select(
+        "user_id", "value", F.lag("value").over(w).alias("pv")
+    )
+    return (
+        s.groupBy("user_id")
+        .agg(
+            F.round(F.corr("value", "pv"), 4).alias("ac1"),
+            F.count("pv").alias("n_pairs"),
+        )
+        .filter(F.col("n_pairs") >= 10)
+    )

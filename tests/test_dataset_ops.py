@@ -174,3 +174,40 @@ def test_range_join_bucketed_plan_has_no_nested_loop(spark, queries):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_rolling_median_is_bounded_by_window_extremes(spark, queries):
+    out = queries["q_rolling_median"](spark, SF_SMOKE)
+    ev = load(spark, SF_SMOKE, "events")
+    lo, hi = ev.agg(F.min("value"), F.max("value")).first()
+    assert out.filter(
+        (F.col("med5") < lo - 1e-9) | (F.col("med5") > hi + 1e-9)
+    ).count() == 0
+    assert out.count() == ev.count()
+
+
+def test_autocorr_in_valid_range(spark, queries):
+    rows = queries["q_autocorr"](spark, SF_SMOKE).collect()
+    assert rows, "expected users with >=10 consecutive pairs"
+    assert all(r.ac1 is None or -1.0001 <= r.ac1 <= 1.0001 for r in rows)
+
+
+def test_array_setops_identities(spark, queries):
+    rows = queries["q_array_setops"](spark, SF_SMOKE).collect()
+    for r in rows:
+        # |A∪B| = |A| + |B| - |A∩B| rearranged: union >= max side
+        assert r.n_union >= r.n_inter
+        assert r.n_except >= 0
+        # |A| = except + inter, and union = |A| + |B| - inter >= |A|
+        assert r.n_union >= r.n_except + r.n_inter
+
+
+def test_regexp_extract_all_counts(spark, queries):
+    out = queries["q_regexp_extract_all"](spark, SF_SMOKE)
+    # first_long is empty iff no match
+    assert out.filter(
+        (F.col("n_long") == 0) & (F.col("first_long") != "")
+    ).count() == 0
+    assert out.filter(
+        (F.col("n_long") > 0) & (F.length("first_long") < 6)
+    ).count() == 0
