@@ -266,3 +266,63 @@ def q_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_nationkey",
         F.when(F.col("c_custkey") % 2 == 0, 1).otherwise(2).alias("gen"),
     )
+
+
+@query(
+    "q_nested_struct",
+    oracle="""
+    SELECT o.o_orderkey AS order_key,
+           c.c_name AS cust_name,
+           n.n_name AS nation,
+           ROUND(o.o_totalprice, 2) AS total
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    WHERE o.o_orderstatus = 'F'
+    """,
+)
+def q_nested_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nested-STRUCT type surface: denormalize order→customer→nation
+    into a nested struct column, round-trip it through parquet (real
+    nested schema on disk), then read back and extract dotted paths.
+    The oracle is the flat relational equivalent, proving the
+    nest → persist → unnest cycle is lossless.
+
+    At 100 TB this is the document-style layout choice (nested structs
+    co-locate the dimension with the fact, trading storage for zero-join
+    reads); parquet stores each leaf as its own column chain, so dotted
+    projection still prunes to exactly the leaves read (ReadSchema shows
+    the nested subset).
+    """
+    path = _tmp("nested", sf_dir)
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        o = load(spark, sf_dir, "orders")
+        c = load(spark, sf_dir, "customer")
+        n = load(spark, sf_dir, "nation")
+        nested = (
+            o.join(c, o.o_custkey == c.c_custkey)
+            .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+            .select(
+                F.col("o_orderkey").alias("order_key"),
+                F.col("o_orderstatus").alias("status"),
+                F.struct(
+                    F.col("c_name").alias("name"),
+                    F.struct(
+                        F.col("n_name").alias("nation"),
+                        F.col("n_nationkey").alias("nation_key"),
+                    ).alias("geo"),
+                ).alias("cust"),
+                F.struct(
+                    F.col("o_totalprice").alias("total"),
+                    F.col("o_orderdate").alias("odate"),
+                ).alias("money"),
+            )
+        )
+        nested.write.mode("overwrite").parquet(path)
+    back = spark.read.parquet(path)
+    return back.filter(F.col("status") == "F").select(
+        "order_key",
+        F.col("cust.name").alias("cust_name"),
+        F.col("cust.geo.nation").alias("nation"),
+        F.round(F.col("money.total"), 2).alias("total"),
+    )

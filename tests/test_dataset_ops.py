@@ -211,3 +211,15 @@ def test_regexp_extract_all_counts(spark, queries):
     assert out.filter(
         (F.col("n_long") > 0) & (F.length("first_long") < 6)
     ).count() == 0
+
+
+def test_nested_struct_scan_prunes_to_read_leaves(spark, queries):
+    df = queries["q_nested_struct"](spark, SF_SMOKE)
+    ev = load(spark, SF_SMOKE, "events")  # noqa: F841 (keep import used)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # the round-trip read must prune to the projected nested leaves:
+    # money.odate and cust.geo.nation_key are never read back
+    scan = [ln for ln in plan.splitlines() if "FileScan parquet" in ln]
+    assert scan, plan
+    assert "odate" not in scan[0]
+    assert "nation_key" not in scan[0]
