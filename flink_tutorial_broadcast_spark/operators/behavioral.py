@@ -237,3 +237,115 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
              (F.max(F.unix_timestamp("ts")) - F.min(F.unix_timestamp("ts")))
              .alias("duration_sec"))
     )
+
+
+@query(
+    "q_attribution",
+    oracle="""
+    WITH j AS (
+      SELECT p.event_id AS purchase_id, p.user_id AS user_id,
+             c.event_id AS click_id,
+             row_number() OVER (PARTITION BY p.event_id
+                                ORDER BY c.ts DESC, c.event_id DESC) AS rn
+      FROM events p LEFT JOIN events c
+        ON c.user_id = p.user_id AND c.event_type = 'click'
+       AND c.ts <= p.ts AND c.ts >= p.ts - INTERVAL 1 DAY
+      WHERE p.event_type = 'purchase'
+    )
+    SELECT purchase_id, user_id, click_id FROM j WHERE rn = 1
+    """,
+)
+def q_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch attribution: each purchase credits the user's LATEST
+    click in the preceding 24 h (NULL when organic). The other classic
+    as-of-join shape — pointing backward from conversions instead of
+    forward from rules — kept as a LEFT join so unattributed purchases
+    survive.
+
+    One user_id shuffle joins both event roles; the per-purchase
+    row_number needs no extra Exchange (purchase_id is user-local).
+    At 100 TB the 24 h bound makes this the bucketed-range-join shape
+    (q_range_join_bucketed) — here the naive form IS the oracle.
+    """
+    ev = load(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts").alias("p_ts"),
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("c_user_id"),
+        F.col("ts").alias("c_ts"),
+    )
+    j = p.join(
+        c,
+        (p.user_id == c.c_user_id)
+        & (c.c_ts <= p.p_ts)
+        & (c.c_ts >= p.p_ts - F.expr("INTERVAL 1 DAY")),
+        "left",
+    )
+    w = Window.partitionBy("purchase_id").orderBy(
+        F.col("c_ts").desc(), F.col("click_id").desc()
+    )
+    return (
+        j.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("purchase_id", "user_id", "click_id")
+    )
+
+
+@query(
+    "q_rfm",
+    oracle="""
+    WITH base AS (
+      SELECT user_id,
+             MAX(ts) AS last_ts,
+             COUNT(*) AS n_events,
+             SUM(CASE WHEN event_type = 'purchase' THEN value
+                      ELSE 0 END) AS monetary
+      FROM events GROUP BY user_id
+    )
+    SELECT user_id,
+           ntile(5) OVER (ORDER BY last_ts DESC, user_id) AS r_q,
+           ntile(5) OVER (ORDER BY n_events DESC, user_id) AS f_q,
+           ntile(5) OVER (ORDER BY monetary DESC, user_id) AS m_q,
+           n_events
+    FROM base
+    """,
+)
+def q_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation: quintile each user on Recency (latest event),
+    Frequency (event count), Monetary (purchase value sum) — quintile 1
+    is best on every axis. The canonical marketing-segmentation query:
+    one keyed aggregate, then three global ntiles.
+
+    Every ntile ordering carries user_id as the unique tiebreak, so
+    quintile assignment is deterministic on both engines (ntile is
+    row-order-dependent — an un-tiebroken ORDER BY would hash-diverge).
+    The global sorts are single-reducer here; at 100 TB each becomes a
+    percent_rank over a range-partitioned sort, or approx-quantile
+    boundaries broadcast back (noted in docs/scale.md).
+    """
+    ev = load(spark, sf_dir, "events")
+    base = ev.groupBy("user_id").agg(
+        F.max("ts").alias("last_ts"),
+        F.count("*").alias("n_events"),
+        F.sum(
+            F.when(F.col("event_type") == "purchase", F.col("value"))
+            .otherwise(0.0)
+        ).alias("monetary"),
+    )
+    return base.select(
+        "user_id",
+        F.ntile(5).over(
+            Window.orderBy(F.col("last_ts").desc(), F.col("user_id"))
+        ).alias("r_q"),
+        F.ntile(5).over(
+            Window.orderBy(F.col("n_events").desc(), F.col("user_id"))
+        ).alias("f_q"),
+        F.ntile(5).over(
+            Window.orderBy(F.col("monetary").desc(), F.col("user_id"))
+        ).alias("m_q"),
+        "n_events",
+    )

@@ -488,3 +488,26 @@ def outer_join_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         "leftOuter",
     ).select("purchase_id", "user_id", "error_id")
     return _run_to_memory(joined)
+
+
+def enrich_stream_static(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream–static broadcast enrichment: the streaming event feed
+    joined directly to a STATIC dimension DataFrame inside the streaming
+    plan — no foreachBatch, no re-read. This is the fixed-rules half of
+    the reference pattern ([FLINK-API broadcast state], rules known at
+    job start): Catalyst plans a BroadcastHashJoin per micro-batch
+    against the same broadcast table.
+
+    Contrast with broadcast_rules_stream (E9), which re-reads the rules
+    every micro-batch to emulate MUTABLE broadcast state. Static join =
+    cheaper and exactly-once trivially; rebroadcast = fresh rules at
+    batch granularity. Both are production shapes.
+    """
+    ev = stream_events(spark, sf_dir)
+    rules = rules_df(spark)  # static: evaluated once, broadcast per batch
+    matched = ev.join(
+        F.broadcast(rules),
+        (ev.event_type == rules.rule_event_type)
+        & (ev.value > rules.threshold),
+    ).select("event_id", "event_type", "value", "severity")
+    return _run_to_memory(matched)

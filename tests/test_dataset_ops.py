@@ -223,3 +223,44 @@ def test_nested_struct_scan_prunes_to_read_leaves(spark, queries):
     assert scan, plan
     assert "odate" not in scan[0]
     assert "nation_key" not in scan[0]
+
+
+def test_attribution_click_precedes_purchase(spark, queries):
+    out = queries["q_attribution"](spark, SF_SMOKE)
+    ev = load(spark, SF_SMOKE, "events")
+    n_purch = ev.filter(F.col("event_type") == "purchase").count()
+    # exactly one attribution row per purchase (NULL = organic)
+    assert out.count() == n_purch
+    assert out.select("purchase_id").distinct().count() == n_purch
+    # attributed click really is a click of the same user, ≤24h before
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("cu"),
+        F.col("ts").alias("c_ts"),
+    )
+    purch = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), F.col("ts").alias("p_ts"),
+    )
+    j = (
+        out.filter(F.col("click_id").isNotNull())
+        .join(clicks, "click_id").join(purch, "purchase_id")
+    )
+    assert j.filter(
+        (F.col("cu") != F.col("user_id"))
+        | (F.col("c_ts") > F.col("p_ts"))
+        | (F.col("c_ts") < F.col("p_ts") - F.expr("INTERVAL 1 DAY"))
+    ).count() == 0
+
+
+def test_rfm_quintiles_are_balanced(spark, queries):
+    rows = queries["q_rfm"](spark, SF_SMOKE).collect()
+    n = len(rows)
+    for col in ("r_q", "f_q", "m_q"):
+        counts = {}
+        for r in rows:
+            v = getattr(r, col)
+            assert 1 <= v <= 5
+            counts[v] = counts.get(v, 0) + 1
+        # ntile balance: bucket sizes differ by at most 1
+        assert max(counts.values()) - min(counts.values()) <= 1
+        assert sum(counts.values()) == n

@@ -325,3 +325,18 @@ def test_outer_join_stream_null_extends_correctly(spark, queries):
             assert r["purchase_id"] not in matched_purchases
     # watermark-driven null extension actually fired for early purchases
     assert any(r["error_id"] is None for r in rows)
+
+
+def test_enrich_stream_static_equals_batch_join(spark):
+    from flink_tutorial_broadcast_spark.operators.flagship import (
+        broadcast_rule_matches,
+    )
+    from flink_tutorial_broadcast_spark.streaming.jobs import (
+        enrich_stream_static,
+    )
+    got = enrich_stream_static(spark, SF_SMOKE).select(
+        "event_id", "severity")
+    want = broadcast_rule_matches(spark, SF_SMOKE).select(
+        "event_id", "severity")
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
