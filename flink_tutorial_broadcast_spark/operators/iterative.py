@@ -187,3 +187,111 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
              .localCheckpoint(eager=True))
     return r.select(F.col("node").alias("nationkey"),
                     F.round("r", 6).alias("rank"))
+
+
+_KMEANS_ASSIGN_SQL = """
+      SELECT vec_id, cid FROM (
+        SELECT d.vec_id, d.cid,
+               row_number() OVER (PARTITION BY d.vec_id
+                                  ORDER BY d.dist, d.cid) AS rn
+        FROM (
+          SELECT l.vec_id, c.cid,
+                 SUM((l.q - c.c) * (l.q - c.c)) AS dist
+          FROM long l JOIN {cent} c ON c.dim = l.dim
+          GROUP BY 1, 2
+        ) d
+      ) WHERE rn = 1
+"""
+
+
+@query(
+    "q_kmeans_quantized",
+    oracle=f"""
+    WITH long AS (
+      SELECT vec_id, CAST(i.range AS INT) AS dim,
+             CAST(FLOOR(embedding[CAST(i.range AS INT) + 1] * 32) AS BIGINT)
+               AS q
+      FROM embeddings, range(64) i
+    ), c0 AS (
+      SELECT vec_id AS cid, dim, q AS c FROM long WHERE vec_id < 8
+    ), a1 AS (
+      {_KMEANS_ASSIGN_SQL.format(cent="c0")}
+    ), c1 AS (
+      SELECT a1.cid, l.dim,
+             CAST(FLOOR(CAST(SUM(l.q) AS DOUBLE) / COUNT(*)) AS BIGINT) AS c
+      FROM long l JOIN a1 ON a1.vec_id = l.vec_id
+      GROUP BY 1, 2
+    ), a2 AS (
+      {_KMEANS_ASSIGN_SQL.format(cent="c1")}
+    )
+    SELECT cid AS cluster, COUNT(*) AS n_members,
+           SUM(vec_id) AS id_checksum
+    FROM a2 GROUP BY cid
+    """,
+)
+def q_kmeans_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lloyd's k-means (k=8, 2 rounds) over int-quantized embeddings —
+    iterative ML with a bit-exact oracle. Every arithmetic step is
+    engine-deterministic: codes are floor(x·32) (×32 is an exact IEEE
+    scaling, so the floor is unambiguous), distances are INTEGER sums of
+    squares (order-free), argmin tie-breaks on centroid id, and centroid
+    updates floor an exactly-representable double ratio. The float
+    pitfalls of k-means (summation-order-dependent distances flipping
+    near-tie assignments) are engineered out rather than tolerated —
+    the same trick production pipelines use to make clustering runs
+    reproducible across partitionings.
+
+    Spark shape: long-form codes (vec, dim, q); per round one join
+    against the ≤8×64-row broadcast centroid table, a (vec, cid)
+    aggregate, an argmin window, and the centroid re-aggregate;
+    `localCheckpoint()` truncates lineage between rounds (the 100 TB
+    iteration pattern, same as PageRank/components above).
+    """
+    e = load(spark, sf_dir, "embeddings")
+    long = e.select(
+        "vec_id",
+        F.posexplode("embedding").alias("dim", "x"),
+    ).select(
+        "vec_id", "dim",
+        F.floor(F.col("x") * 32).cast("long").alias("q"),
+    )
+    long = long.localCheckpoint()
+
+    cent = (
+        long.filter(F.col("vec_id") < 8)
+        .select(F.col("vec_id").alias("cid"), "dim", F.col("q").alias("c"))
+    )
+
+    def assign(cent_df: DataFrame) -> DataFrame:
+        d = (
+            long.join(F.broadcast(cent_df), "dim")
+            .groupBy("vec_id", "cid")
+            .agg(
+                F.sum(
+                    (F.col("q") - F.col("c")) * (F.col("q") - F.col("c"))
+                ).alias("dist")
+            )
+        )
+        w = Window.partitionBy("vec_id").orderBy("dist", "cid")
+        return (
+            d.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("vec_id", "cid")
+        )
+
+    for _ in range(1):  # one update round → assignments a2 (2 assigns total)
+        a = assign(cent)
+        cent = (
+            long.join(a, "vec_id")
+            .groupBy("cid", "dim")
+            .agg(
+                F.floor(
+                    F.sum("q").cast("double") / F.count("*")
+                ).cast("long").alias("c")
+            )
+        ).localCheckpoint()
+    a_final = assign(cent)
+    return a_final.groupBy(F.col("cid").alias("cluster")).agg(
+        F.count("*").alias("n_members"),
+        F.sum("vec_id").alias("id_checksum"),
+    )

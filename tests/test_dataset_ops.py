@@ -264,3 +264,14 @@ def test_rfm_quintiles_are_balanced(spark, queries):
         # ntile balance: bucket sizes differ by at most 1
         assert max(counts.values()) - min(counts.values()) <= 1
         assert sum(counts.values()) == n
+
+
+def test_kmeans_quantized_partitions_corpus_deterministically(spark, queries):
+    out = queries["q_kmeans_quantized"](spark, SF_SMOKE)
+    rows = out.collect()
+    n_vecs = load(spark, SF_SMOKE, "embeddings").count()
+    assert sum(r.n_members for r in rows) == n_vecs
+    assert len(rows) <= 8
+    assert all(0 <= r.cluster < 8 for r in rows)
+    again = queries["q_kmeans_quantized"](spark, SF_SMOKE).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
