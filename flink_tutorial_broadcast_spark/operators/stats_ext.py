@@ -225,3 +225,69 @@ def q_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_pairs") >= 10)
     )
+
+
+@query(
+    "q_mad_outliers",
+    oracle="""
+    WITH med AS (
+      SELECT event_type, quantile_cont(value, 0.5) AS m
+      FROM events GROUP BY event_type
+    ), dev AS (
+      SELECT e.event_type,
+             quantile_cont(ABS(e.value - med.m), 0.5) AS mad
+      FROM events e JOIN med ON e.event_type = med.event_type
+      GROUP BY e.event_type
+    )
+    SELECT e.event_type,
+           COUNT(*) AS n,
+           SUM(CASE WHEN ABS(e.value - med.m) > 3 * dev.mad
+                    THEN 1 ELSE 0 END) AS n_outliers,
+           ROUND(MIN(med.m), 4) AS median_value,
+           ROUND(MIN(dev.mad), 4) AS mad
+    FROM events e
+    JOIN med ON e.event_type = med.event_type
+    JOIN dev ON e.event_type = dev.event_type
+    GROUP BY e.event_type
+    """,
+)
+def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier detection via Median Absolute Deviation: flag
+    values > 3·MAD from their group median. Unlike the z-score gate
+    (q_anomaly_zscore), MAD doesn't let the outliers inflate their own
+    threshold — the robust-statistics twin the data-quality audit
+    reaches for on heavy-tailed columns.
+
+    Three passes over the fact (median → MAD → flag-count), each a tiny
+    per-type aggregate broadcast back. Exact interpolated medians keep
+    the oracle exact; at 100 TB both medians switch to
+    approx_percentile sketches (single pass each, mergeable)."""
+    ev = load(spark, sf_dir, "events")
+    med = ev.groupBy("event_type").agg(
+        F.percentile("value", F.lit(0.5)).alias("m")
+    )
+    dev = (
+        ev.join(F.broadcast(med), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.percentile(F.abs(F.col("value") - F.col("m")), F.lit(0.5))
+            .alias("mad")
+        )
+    )
+    return (
+        ev.join(F.broadcast(med), "event_type")
+        .join(F.broadcast(dev), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(
+                F.when(
+                    F.abs(F.col("value") - F.col("m"))
+                    > 3 * F.col("mad"),
+                    1,
+                ).otherwise(0)
+            ).alias("n_outliers"),
+            F.round(F.min("m"), 4).alias("median_value"),
+            F.round(F.min("mad"), 4).alias("mad"),
+        )
+    )

@@ -288,3 +288,96 @@ def q_repetition_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when((dup_ppm < 200_000) & (top_ppm < 100_000), 1)
         .otherwise(0).alias("keep"),
     )
+
+
+@query(
+    "q_text_normalize",
+    oracle="""
+    SELECT doc_id,
+           trim(regexp_replace(
+             regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+             ' +', ' ', 'g')) AS norm_text,
+           length(trim(regexp_replace(
+             regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+             ' +', ' ', 'g'))) AS n_chars_norm
+    FROM documents
+    """,
+)
+def q_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical text normalization before exact/near dedup: casefold,
+    strip non-alphanumerics to spaces, collapse whitespace runs, trim.
+    Running this BEFORE q_dedup_exact/minhash is what turns
+    byte-identical dedup into semantically-identical dedup — the first
+    stage of every corpus pipeline.
+
+    Pure map-side regex rewrites (portable character-class syntax; the
+    DuckDB side needs the 'g' flag where Spark's regexp_replace is
+    global by default). Zero shuffles."""
+    docs = load(spark, sf_dir, "documents")
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", " "),
+            " +", " ",
+        )
+    )
+    return docs.select(
+        "doc_id",
+        norm.alias("norm_text"),
+        F.length(norm).alias("n_chars_norm"),
+    )
+
+
+@query(
+    "q_split_leakage",
+    oracle="""
+    WITH tagged AS (
+      SELECT md5(text) AS fp,
+             CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cc'
+                    THEN 'train'
+                  WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6'
+                    THEN 'val'
+                  ELSE 'test' END AS split
+      FROM documents
+    ), fps AS (
+      SELECT fp, COUNT(DISTINCT split) AS n_splits, COUNT(*) AS n_docs
+      FROM tagged GROUP BY fp
+    )
+    SELECT CAST(SUM(CASE WHEN n_splits > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_leaked_fps,
+           CAST(SUM(CASE WHEN n_splits > 1 THEN n_docs ELSE 0 END)
+                AS BIGINT) AS n_leaked_docs,
+           COUNT(*) AS n_distinct_texts
+    FROM fps
+    """,
+)
+def q_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/test leakage audit: count content fingerprints that appear
+    in MORE THAN ONE split of q_dataset_split — the check that catches
+    exact-duplicate contamination across train/val/test before a single
+    GPU-hour is spent. Composes the deterministic split with md5 content
+    fingerprinting; one (fp) aggregate, result is three numbers.
+
+    At 100 TB: the same two-level aggregate, with the fingerprint
+    shuffle being the only big exchange — and it's the SAME shuffle the
+    exact-dedup pass already runs, so production pipelines fuse the two.
+    """
+    docs = load(spark, sf_dir, "documents")
+    bucket = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+    tagged = docs.select(
+        F.md5("text").alias("fp"),
+        F.when(bucket < "cc", "train")
+        .when(bucket < "e6", "val")
+        .otherwise("test")
+        .alias("split"),
+    )
+    fps = tagged.groupBy("fp").agg(
+        F.countDistinct("split").alias("n_splits"),
+        F.count("*").alias("n_docs"),
+    )
+    return fps.agg(
+        F.sum(F.when(F.col("n_splits") > 1, 1).otherwise(0))
+        .cast("long").alias("n_leaked_fps"),
+        F.sum(F.when(F.col("n_splits") > 1, F.col("n_docs")).otherwise(0))
+        .cast("long").alias("n_leaked_docs"),
+        F.count("*").alias("n_distinct_texts"),
+    )

@@ -275,3 +275,29 @@ def test_kmeans_quantized_partitions_corpus_deterministically(spark, queries):
     assert all(0 <= r.cluster < 8 for r in rows)
     again = queries["q_kmeans_quantized"](spark, SF_SMOKE).collect()
     assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+
+
+def test_mad_outliers_bounded_fraction(spark, queries):
+    rows = queries["q_mad_outliers"](spark, SF_SMOKE).collect()
+    for r in rows:
+        assert r.mad >= 0
+        # >3 MAD outliers are by construction a small minority
+        assert r.n_outliers <= 0.3 * r.n
+
+
+def test_text_normalize_is_clean(spark, queries):
+    out = queries["q_text_normalize"](spark, SF_SMOKE)
+    assert out.filter(F.col("norm_text").rlike("[^a-z0-9 ]")).count() == 0
+    assert out.filter(F.col("norm_text").contains("  ")).count() == 0
+    assert out.filter(
+        F.length("norm_text") != F.col("n_chars_norm")
+    ).count() == 0
+
+
+def test_split_leakage_consistent_with_dedup(spark, queries):
+    r = queries["q_split_leakage"](spark, SF_SMOKE).first()
+    docs = load(spark, SF_SMOKE, "documents")
+    n_texts = docs.select("text").distinct().count()
+    assert r.n_distinct_texts == n_texts
+    assert 0 <= r.n_leaked_fps <= n_texts
+    assert r.n_leaked_docs >= 2 * r.n_leaked_fps or r.n_leaked_fps == 0
