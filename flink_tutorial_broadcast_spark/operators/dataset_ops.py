@@ -410,3 +410,63 @@ def q_windowed_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("day").cast("timestamp").alias("day"),
         "n_users",
     )
+
+
+@query(
+    "q_cdc_apply",
+    oracle="""
+    WITH log AS (
+      SELECT c_custkey AS k, 'D' AS op, CAST(NULL AS DOUBLE) AS bal
+      FROM customer WHERE c_custkey % 13 = 0
+      UNION ALL
+      SELECT c_custkey AS k, 'U' AS op, c_acctbal + 100.0 AS bal
+      FROM customer WHERE c_custkey % 13 <> 0 AND c_custkey % 10 = 0
+      UNION ALL
+      SELECT c_custkey + 10000000 AS k, 'I' AS op, c_acctbal AS bal
+      FROM customer WHERE c_custkey % 17 = 0
+    )
+    SELECT COALESCE(b.c_custkey, l.k) AS c_custkey,
+           ROUND(COALESCE(l.bal, b.c_acctbal), 2) AS c_acctbal
+    FROM customer b FULL OUTER JOIN log l ON b.c_custkey = l.k
+    WHERE l.op IS NULL OR l.op <> 'D'
+    """,
+)
+def q_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC APPLY — the inverse of q_snapshot_diff: fold an
+    insert/update/delete changelog into a base snapshot to materialize
+    the next table generation. This is the delete-aware MERGE (Delta's
+    WHEN MATCHED AND op='D' THEN DELETE) expressed as one full-outer PK
+    join + coalesce + anti-filter — no table format required, and the
+    batch materialization of consuming a Flink retract/changelog stream.
+
+    The changelog derives deterministically from the base (same %13/%10/
+    %17 families as q_snapshot_diff), so diff(apply(base, log)) ≡ log —
+    the round-trip property the test pins. One PK shuffle; at 100 TB the
+    changelog side is small by nature → broadcast, base never shuffles.
+    """
+    base = load(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
+    k = F.col("c_custkey")
+    log = (
+        base.filter(k % 13 == 0)
+        .select(k.alias("k"), F.lit("D").alias("op"),
+                F.lit(None).cast("double").alias("bal"))
+        .unionByName(
+            base.filter((k % 13 != 0) & (k % 10 == 0))
+            .select(k.alias("k"), F.lit("U").alias("op"),
+                    (F.col("c_acctbal") + 100.0).alias("bal"))
+        )
+        .unionByName(
+            base.filter(k % 17 == 0)
+            .select((k + 10000000).alias("k"), F.lit("I").alias("op"),
+                    F.col("c_acctbal").alias("bal"))
+        )
+    )
+    j = base.join(log, base.c_custkey == log.k, "full")
+    return (
+        j.filter(F.col("op").isNull() | (F.col("op") != "D"))
+        .select(
+            F.coalesce(base.c_custkey, log.k).alias("c_custkey"),
+            F.round(F.coalesce(log.bal, base.c_acctbal), 2)
+            .alias("c_acctbal"),
+        )
+    )

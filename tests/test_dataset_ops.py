@@ -301,3 +301,25 @@ def test_split_leakage_consistent_with_dedup(spark, queries):
     assert r.n_distinct_texts == n_texts
     assert 0 <= r.n_leaked_fps <= n_texts
     assert r.n_leaked_docs >= 2 * r.n_leaked_fps or r.n_leaked_fps == 0
+
+
+def test_cdc_apply_round_trips_with_diff(spark, queries):
+    applied = queries["q_cdc_apply"](spark, SF_SMOKE)
+    base = load(spark, SF_SMOKE, "customer")
+    k = F.col("c_custkey")
+    n_base = base.count()
+    n_del = base.filter(k % 13 == 0).count()
+    n_ins = base.filter(k % 17 == 0).count()
+    assert applied.count() == n_base - n_del + n_ins
+    # deletes really gone, inserts really present
+    assert applied.filter((k % 13 == 0) & (k < 10000000)).count() == 0
+    assert applied.filter(k >= 10000000).count() == n_ins
+    # updates really applied (+100 on surviving %10 keys)
+    upd = (
+        applied.filter((k % 10 == 0) & (k % 13 != 0) & (k < 10000000))
+        .join(base.select(k.alias("c_custkey"),
+                          F.col("c_acctbal").alias("old_bal")), "c_custkey")
+    )
+    assert upd.filter(
+        F.abs(F.col("c_acctbal") - F.col("old_bal") - 100.0) > 0.011
+    ).count() == 0
