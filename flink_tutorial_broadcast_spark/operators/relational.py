@@ -478,3 +478,34 @@ def q_explode_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select(
         "doc_id", F.explode_outer(toks).alias("tok")
     )
+
+
+@query(
+    "q_union_evolve",
+    oracle="""
+    SELECT event_id, user_id, event_type,
+           ROUND(value, 2) AS value, CAST(NULL AS VARCHAR) AS props
+    FROM events WHERE event_type = 'click'
+    UNION ALL
+    SELECT event_id, user_id, event_type,
+           CAST(NULL AS DOUBLE) AS value, props
+    FROM events WHERE event_type = 'error'
+    """,
+)
+def q_union_evolve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H1 completion: union across SCHEMA GENERATIONS —
+    ``unionByName(allowMissingColumns=True)`` null-pads columns the other
+    side lacks, by NAME not position (positional UNION on drifted
+    schemas silently mismatches columns; by-name is the engine rule).
+    Here a clicks feed carrying `value` merges with an errors feed
+    carrying `props` — the multi-source ingest shape where feeds evolve
+    independently. Map-side only."""
+    ev = load(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "event_type",
+        F.round("value", 2).alias("value"),
+    )
+    errors = ev.filter(F.col("event_type") == "error").select(
+        "event_id", "user_id", "event_type", "props",
+    )
+    return clicks.unionByName(errors, allowMissingColumns=True)

@@ -17,6 +17,8 @@ Reference anchors (SURVEY.md §0 canonical program):
 
 from __future__ import annotations
 
+import os
+import tempfile
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
@@ -511,3 +513,43 @@ def enrich_stream_static(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (ev.value > rules.threshold),
     ).select("event_id", "event_type", "value", "severity")
     return _run_to_memory(matched)
+
+
+def rollup_sink_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming incremental-view maintenance: each micro-batch appends
+    its PARTIAL aggregate (per event_type count/sum) to a parquet partials
+    table; reading the table back and merging partials reproduces the
+    exact batch aggregate. This is q_incremental_agg's streaming twin and
+    the production shape for 100 TB rollups: the stream only ever writes
+    bounded partials (|groups| rows per batch), never updates in place,
+    and the merge is associative so ANY subset of partials is a valid
+    partial view. Append-only parquet + availableNow trigger keeps it
+    exactly-once (same idempotent-sink argument as file_sink_exactly_once).
+    """
+    out_dir = os.path.join(
+        tempfile.mkdtemp(prefix="rollup_sink_"), "partials")
+    ev = stream_events(spark, sf_dir)
+
+    def write_partial(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            batch_df.groupBy("event_type")
+            .agg(F.count("*").alias("pn"), F.sum("value").alias("psum"))
+            .withColumn("batch_id", F.lit(batch_id))
+            .write.mode("append").parquet(out_dir)
+        )
+
+    q = (
+        ev.writeStream.foreachBatch(write_partial)
+        .option("checkpointLocation", checkpoint_dir())
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        spark.read.parquet(out_dir)
+        .groupBy("event_type")
+        .agg(
+            F.sum("pn").alias("n"),
+            F.round(F.sum("psum"), 2).alias("sum_value"),
+        )
+    )

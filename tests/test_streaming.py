@@ -340,3 +340,25 @@ def test_enrich_stream_static_equals_batch_join(spark):
         "event_id", "severity")
     assert got.exceptAll(want).count() == 0
     assert want.exceptAll(got).count() == 0
+
+
+def test_rollup_sink_stream_merges_to_batch_aggregate(spark):
+    from flink_tutorial_broadcast_spark.io import load
+    from flink_tutorial_broadcast_spark.streaming.jobs import (
+        rollup_sink_stream,
+    )
+    got = {r.event_type: r for r in
+           rollup_sink_stream(spark, SF_SMOKE).collect()}
+    want = {
+        r.event_type: r for r in (
+            load(spark, SF_SMOKE, "events")
+            .groupBy("event_type")
+            .agg(F.count("*").alias("n"),
+                 F.round(F.sum("value"), 2).alias("sum_value"))
+            .collect()
+        )
+    }
+    assert set(got) == set(want)
+    for t, w in want.items():
+        assert got[t].n == w.n
+        assert abs(got[t].sum_value - w.sum_value) < 0.02
