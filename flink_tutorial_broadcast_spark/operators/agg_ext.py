@@ -410,3 +410,33 @@ def q_histogram_equidepth(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count("*").alias("n"),
                  F.round(F.min("v"), 2).alias("lo"),
                  F.round(F.max("v"), 2).alias("hi")))
+
+
+@query(
+    "q_collect_set",
+    oracle="""
+    SELECT user_id,
+           array_to_string(list_sort(list(DISTINCT event_type)), ',')
+             AS types,
+           COUNT(DISTINCT event_type) AS n_types
+    FROM events GROUP BY user_id
+    """,
+)
+def q_collect_set(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set-valued aggregate: each user's distinct event types collected,
+    SORTED, and serialized — collect_set's nondeterministic order is
+    pinned with sort_array, and the array is string-joined because
+    array-valued result columns don't canonicalize identically across
+    engine client libraries (same discipline as the ordered inverted-
+    index postings, L35). Single hash aggregate; set size is bounded by
+    the type domain, not the row count."""
+    return (
+        load(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.array_join(
+                F.sort_array(F.collect_set("event_type")), ","
+            ).alias("types"),
+            F.countDistinct("event_type").alias("n_types"),
+        )
+    )

@@ -349,3 +349,40 @@ def q_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("m_q"),
         "n_events",
     )
+
+
+@query(
+    "q_cumulative_distinct",
+    oracle="""
+    WITH first_seen AS (
+      SELECT user_id, MIN(CAST(ts AS DATE)) AS d0 FROM events
+      GROUP BY user_id
+    ), per_day AS (
+      SELECT d0, COUNT(*) AS n_new FROM first_seen GROUP BY d0
+    )
+    SELECT CAST(d0 AS TIMESTAMP) AS day, n_new,
+           SUM(n_new) OVER (ORDER BY d0
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND CURRENT ROW) AS n_cum
+    FROM per_day
+    """,
+)
+def q_cumulative_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative distinct users to date (and new-vs-returning): a
+    running COUNT(DISTINCT) can't be windowed on either engine; the
+    rewrite assigns each user their FIRST-SEEN day (one keyed agg) and
+    takes a running sum of the per-day first-seen counts — exact, one
+    user_id shuffle plus a tiny day-level window. The trailing-window
+    twin is q_windowed_distinct; this one is monotone to-date actives.
+    """
+    ev = load(spark, sf_dir, "events")
+    first_seen = ev.groupBy("user_id").agg(
+        F.to_date(F.min("ts")).alias("d0")
+    )
+    per_day = first_seen.groupBy("d0").agg(F.count("*").alias("n_new"))
+    w = Window.orderBy("d0").rowsBetween(Window.unboundedPreceding, 0)
+    return per_day.select(
+        F.col("d0").cast("timestamp").alias("day"),
+        "n_new",
+        F.sum("n_new").over(w).alias("n_cum"),
+    )
