@@ -326,3 +326,65 @@ def q_nested_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cust.geo.nation").alias("nation"),
         F.round(F.col("money.total"), 2).alias("total"),
     )
+
+
+@query(
+    "q_join_dpp",
+    oracle="""
+    SELECT CAST(CAST(e.ts AS DATE) AS VARCHAR) AS event_date,
+           COUNT(*) AS n, ROUND(SUM(e.value), 2) AS sum_value
+    FROM events e
+    WHERE CAST(CAST(e.ts AS DATE) AS VARCHAR) IN
+          ('2024-01-03', '2024-01-10', '2024-01-17')
+    GROUP BY 1
+    """,
+)
+def q_join_dpp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition pruning: the fact is laid out partitioned by
+    event_date; the join's dim side (a 3-day calendar slice) is only
+    known at runtime, and Catalyst injects its values as a partition
+    filter into the fact scan (DynamicPruningExpression) — so the scan
+    reads 3 directories out of 30 WITHOUT a static filter in the query
+    text. THE mechanism that makes dim-filtered fact queries feasible on
+    a date-partitioned 100 TB lake (partition pruning decided by a
+    runtime subquery, not by the author).
+
+    The oracle states the equivalent static-filter aggregate; a plan
+    test asserts the dynamic filter actually reached the scan.
+    """
+    path = _tmp("dpp_fact", sf_dir)
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        (
+            load(spark, sf_dir, "events")
+            .withColumn("event_date", F.to_date("ts").cast("string"))
+            .write.mode("overwrite")
+            .partitionBy("event_date")
+            .parquet(path)
+        )
+    # keep the partition column a STRING (inference would make it DATE,
+    # inserting a cast that blocks the pruning-key match)
+    spark.conf.set(
+        "spark.sql.sources.partitionColumnTypeInference.enabled", "false")
+    fact = spark.read.parquet(path)
+    # the dim must carry a SELECTIVE filter for Catalyst to judge pruning
+    # beneficial (a bare LocalRelation doesn't qualify): derive the 3-day
+    # calendar slice from a real scan + pushed filter
+    dim = (
+        load(spark, sf_dir, "events")
+        .select(F.to_date("ts").cast("string").alias("d"))
+        .filter(
+            F.col("d").isin("2024-01-03", "2024-01-10", "2024-01-17")
+        )
+        .distinct()
+    )
+    # broadcast the DIM explicitly: DPP reuses the dim's broadcast as the
+    # fact-side partition filter; letting AQE broadcast the (locally tiny)
+    # FACT instead would optimize the demo away
+    return (
+        fact.join(F.broadcast(dim), fact.event_date == dim.d)
+        .groupBy("event_date")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+    )

@@ -323,3 +323,12 @@ def test_cdc_apply_round_trips_with_diff(spark, queries):
     assert upd.filter(
         F.abs(F.col("c_acctbal") - F.col("old_bal") - 100.0) > 0.011
     ).count() == 0
+
+
+def test_dpp_dynamic_filter_reaches_fact_scan(spark, queries):
+    df = queries["q_join_dpp"](spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower(), plan[:2000]
+    # and the result only contains the three dim days
+    days = {r.event_date for r in df.collect()}
+    assert days <= {"2024-01-03", "2024-01-10", "2024-01-17"}
