@@ -388,3 +388,33 @@ def q_join_dpp(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("value"), 2).alias("sum_value"),
         )
     )
+
+
+@query(
+    "q_scan_zstd",
+    oracle="""
+    SELECT l_returnflag, COUNT(*) AS n,
+           ROUND(SUM(l_extendedprice), 2) AS sum_price
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q_scan_zstd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compression-codec control: lineitem re-landed as zstd parquet
+    (the 100 TB default — ~30% smaller than snappy at comparable scan
+    speed), read back and aggregated; the oracle runs on the original
+    table, so the codec round-trip is proven lossless. Codec is a pure
+    writer knob (per-column chunk codec in the parquet footer); the
+    vectorized reader decodes transparently."""
+    path = _tmp("zstd_lineitem", sf_dir)
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        (
+            load(spark, sf_dir, "lineitem")
+            .write.mode("overwrite")
+            .option("compression", "zstd")
+            .parquet(path)
+        )
+    back = spark.read.parquet(path)
+    return back.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+    )

@@ -332,3 +332,33 @@ def test_dpp_dynamic_filter_reaches_fact_scan(spark, queries):
     # and the result only contains the three dim days
     days = {r.event_date for r in df.collect()}
     assert days <= {"2024-01-03", "2024-01-10", "2024-01-17"}
+
+
+def test_analyze_table_feeds_cbo_statistics(spark):
+    # CBO surface: ANALYZE TABLE writes catalog stats that the optimizer
+    # reads back into plan cost estimates (rowCount in plan stats)
+    import shutil
+    from urllib.parse import urlparse
+
+    spark.sql("DROP TABLE IF EXISTS nation_stats")
+    # a crashed run can leave the location behind without a catalog entry,
+    # and CREATE refuses to reuse it — clear the orphan explicitly
+    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    shutil.rmtree(f"{wh}/nation_stats", ignore_errors=True)
+    load(spark, SF_SMOKE, "nation").write.saveAsTable("nation_stats")
+    spark.sql(
+        "ANALYZE TABLE nation_stats COMPUTE STATISTICS FOR ALL COLUMNS")
+    n = load(spark, SF_SMOKE, "nation").count()
+    spark.conf.set("spark.sql.cbo.enabled", "true")
+    try:
+        stats = (
+            spark.table("nation_stats")
+            ._jdf.queryExecution().optimizedPlan().stats()
+        )
+        # plan-level rowCount comes from the ANALYZE'd catalog stats and
+        # is only exposed with CBO on
+        assert stats.rowCount().isDefined()
+        assert int(str(stats.rowCount().get())) == n
+    finally:
+        spark.conf.set("spark.sql.cbo.enabled", "false")
+        spark.sql("DROP TABLE IF EXISTS nation_stats")
