@@ -10,7 +10,7 @@ UDFs anywhere in the hot path.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from flink_tutorial_broadcast_spark.io import load
@@ -380,4 +380,49 @@ def q_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("n_splits") > 1, F.col("n_docs")).otherwise(0))
         .cast("long").alias("n_leaked_docs"),
         F.count("*").alias("n_distinct_texts"),
+    )
+
+
+@query(
+    "q_zipf_fit",
+    oracle="""
+    WITH tok AS (
+      SELECT lang, unnest(string_split(text, ' ')) AS tok FROM documents
+    ), freq AS (
+      SELECT lang, tok, COUNT(*) AS f FROM tok GROUP BY lang, tok
+    ), ranked AS (
+      SELECT lang, f,
+             row_number() OVER (PARTITION BY lang
+                                ORDER BY f DESC, tok) AS r
+      FROM freq
+    )
+    SELECT lang,
+           ROUND(regr_slope(ln(f), ln(r)), 4) AS zipf_slope,
+           COUNT(*) AS n_types
+    FROM ranked GROUP BY lang
+    """,
+)
+def q_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law fit per language: slope of log(frequency) vs log(rank)
+    over the token vocabulary (natural corpora sit near −1; synthetic or
+    deduplicated text drifts) — the corpus-health diagnostic that catches
+    template spam and boilerplate floods at a glance.
+
+    token count → rank (unique tiebreak on the token string) →
+    regression moments; two keyed shuffles and a per-lang sort of the
+    VOCABULARY (types, not tokens — bounded by distinct words). ln() can
+    differ by 1 ulp across libm implementations; the regression
+    aggregates over thousands of terms wash that out well below the
+    4-dp rounding."""
+    docs = load(spark, sf_dir, "documents")
+    tok = docs.select(
+        "lang", F.explode(F.split("text", " ")).alias("tok")
+    )
+    freq = tok.groupBy("lang", "tok").agg(F.count("*").alias("f"))
+    w = Window.partitionBy("lang").orderBy(F.col("f").desc(), "tok")
+    ranked = freq.withColumn("r", F.row_number().over(w))
+    return ranked.groupBy("lang").agg(
+        F.round(F.regr_slope(F.log("f"), F.log("r")), 4)
+        .alias("zipf_slope"),
+        F.count("*").alias("n_types"),
     )

@@ -362,3 +362,10 @@ def test_analyze_table_feeds_cbo_statistics(spark):
     finally:
         spark.conf.set("spark.sql.cbo.enabled", "false")
         spark.sql("DROP TABLE IF EXISTS nation_stats")
+
+
+def test_zipf_slope_is_negative(spark, queries):
+    rows = queries["q_zipf_fit"](spark, SF_SMOKE).collect()
+    assert {r.lang for r in rows} == {"en", "de", "es", "fr", "zh"}
+    # frequency must fall with rank: slope strictly negative everywhere
+    assert all(r.zipf_slope < 0 for r in rows)
