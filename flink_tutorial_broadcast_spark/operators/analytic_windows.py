@@ -184,3 +184,50 @@ def q_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("percentile(value, 0.5)").over(w), 4
         ).alias("med5"),
     )
+
+
+@query(
+    "q_share_of_total",
+    oracle="""
+    WITH rev AS (
+      SELECT n.n_regionkey AS region_key, n.n_name AS nation,
+             SUM(o.o_totalprice) AS revenue
+      FROM orders o
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n ON c.c_nationkey = n.n_nationkey
+      GROUP BY 1, 2
+    )
+    SELECT region_key, nation,
+           ROUND(revenue, 2) AS revenue,
+           CAST(FLOOR(revenue * 1000000 /
+                      SUM(revenue) OVER (PARTITION BY region_key))
+                AS BIGINT) AS share_ppm
+    FROM rev
+    """,
+)
+def q_share_of_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ratio-to-report: each nation's revenue share within its region as
+    integer parts-per-million (FLOOR on the exact double ratio — the
+    engine's portable percentage idiom, same as the Markov ppm rows).
+    A window aggregate with no ORDER BY: whole-partition sum, no sort
+    needed beyond the partition Exchange. The denominator never leaves
+    the executor — no second pass, no driver round-trip."""
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    rev = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy(
+            F.col("n_regionkey").alias("region_key"),
+            F.col("n_name").alias("nation"),
+        )
+        .agg(F.sum("o_totalprice").alias("revenue"))
+    )
+    w = Window.partitionBy("region_key")
+    return rev.select(
+        "region_key", "nation",
+        F.round("revenue", 2).alias("revenue"),
+        F.floor(F.col("revenue") * 1000000 / F.sum("revenue").over(w))
+        .cast("long").alias("share_ppm"),
+    )

@@ -386,3 +386,82 @@ def q_cumulative_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_new",
         F.sum("n_new").over(w).alias("n_cum"),
     )
+
+
+@query(
+    "q_time_to_convert",
+    oracle="""
+    WITH firsts AS (
+      SELECT user_id,
+             MIN(CASE WHEN event_type = 'signup' THEN ts END) AS t_signup,
+             MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS t_buy
+      FROM events GROUP BY user_id
+    )
+    SELECT user_id,
+           CAST(epoch_us(t_buy) - epoch_us(t_signup) AS BIGINT)
+             AS convert_us
+    FROM firsts
+    WHERE t_signup IS NOT NULL AND t_buy IS NOT NULL
+      AND t_buy >= t_signup
+    """,
+)
+def q_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-convert: µs between each user's first signup and first
+    subsequent purchase — the activation-latency metric behind every
+    funnel dashboard. ONE conditional-min aggregate extracts both
+    timestamps (no self-join, no window): the same single-pass
+    accumulator shape as OHLC. Durations are integer µs (engine-exact).
+    """
+    ev = load(spark, sf_dir, "events")
+    firsts = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "signup", F.col("ts")))
+        .alias("t_signup"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts")))
+        .alias("t_buy"),
+    )
+    return (
+        firsts.filter(
+            F.col("t_signup").isNotNull()
+            & F.col("t_buy").isNotNull()
+            & (F.col("t_buy") >= F.col("t_signup"))
+        )
+        .select(
+            "user_id",
+            (F.unix_micros("t_buy") - F.unix_micros("t_signup"))
+            .alias("convert_us"),
+        )
+    )
+
+
+@query(
+    "q_growth_mom",
+    oracle="""
+    WITH m AS (
+      SELECT date_trunc('month', o_orderdate) AS month,
+             SUM(o_totalprice) AS revenue
+      FROM orders GROUP BY 1
+    )
+    SELECT month, ROUND(revenue, 2) AS revenue,
+           CAST(FLOOR((revenue - lag(revenue) OVER (ORDER BY month))
+                      * 10000 / lag(revenue) OVER (ORDER BY month))
+                AS BIGINT) AS growth_bps
+    FROM m
+    """,
+)
+def q_growth_mom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-over-month revenue growth in integer basis points (FLOOR on
+    the exact double ratio; first month NULL) — the lag-ratio report
+    every finance rollup runs. Month-level window is tiny by
+    construction; the only real shuffle is the month aggregate."""
+    o = load(spark, sf_dir, "orders")
+    m = o.groupBy(
+        F.date_trunc("month", "o_orderdate").alias("month")
+    ).agg(F.sum("o_totalprice").alias("revenue"))
+    w = Window.orderBy("month")
+    prev = F.lag("revenue").over(w)
+    return m.select(
+        "month",
+        F.round("revenue", 2).alias("revenue"),
+        F.floor((F.col("revenue") - prev) * 10000 / prev)
+        .cast("long").alias("growth_bps"),
+    )

@@ -369,3 +369,27 @@ def test_zipf_slope_is_negative(spark, queries):
     assert {r.lang for r in rows} == {"en", "de", "es", "fr", "zh"}
     # frequency must fall with rank: slope strictly negative everywhere
     assert all(r.zipf_slope < 0 for r in rows)
+
+
+def test_share_of_total_sums_to_one_million_per_region(spark, queries):
+    rows = queries["q_share_of_total"](spark, SF_SMOKE).collect()
+    by_region = {}
+    for r in rows:
+        by_region.setdefault(r.region_key, []).append(r.share_ppm)
+    for region, shares in by_region.items():
+        # FLOOR'd ppm shares: total in (1e6 - parts, 1e6]
+        assert 1_000_000 - len(shares) < sum(shares) <= 1_000_000
+
+
+def test_time_to_convert_nonnegative_and_bounded(spark, queries):
+    rows = queries["q_time_to_convert"](spark, SF_SMOKE).collect()
+    month_us = 31 * 24 * 3600 * 1_000_000
+    for r in rows:
+        assert 0 <= r.convert_us <= month_us  # fixture spans one month
+
+
+def test_growth_mom_first_month_null(spark, queries):
+    rows = sorted(queries["q_growth_mom"](spark, SF_SMOKE).collect(),
+                  key=lambda r: r.month)
+    assert rows[0].growth_bps is None
+    assert all(r.growth_bps is not None for r in rows[1:])
