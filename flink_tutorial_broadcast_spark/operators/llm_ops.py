@@ -1027,3 +1027,62 @@ def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("df") <= 0.5 * F.col("n_docs"))
         .drop("n_docs")
     )
+
+
+@query(
+    "q_knn_filtered",
+    oracle=f"""
+    WITH dbl AS (
+      SELECT vec_id, label,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+      FROM embeddings
+    ), probes AS (
+      SELECT vec_id AS p_id, label AS p_label, emb AS p_emb
+      FROM dbl WHERE vec_id < {_N_PROBES}
+    ), pairs AS (
+      SELECT p.p_id, e.vec_id,
+             list_dot_product(e.emb, p.p_emb)
+               / (sqrt(list_dot_product(e.emb, e.emb))
+                  * sqrt(list_dot_product(p.p_emb, p.p_emb))) AS cos
+      FROM probes p JOIN dbl e ON e.label = p.p_label
+      WHERE e.vec_id <> p.p_id
+    ), ranked AS (
+      SELECT p_id, vec_id, cos,
+             row_number() OVER (PARTITION BY p_id
+                                ORDER BY cos DESC, vec_id) AS rn
+      FROM pairs
+    )
+    SELECT p_id, vec_id, ROUND(cos, 6) AS cos_sim, rn
+    FROM ranked WHERE rn <= {_TOP_K}
+    """,
+)
+def q_knn_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FILTERED similarity search: top-k among vectors sharing the
+    probe's label (metadata-constrained ANN — "nearest neighbors WHERE
+    label = X", the shape every production vector store must serve).
+    The constraint enters as the JOIN KEY, so the filter prunes BEFORE
+    any distance is computed — pre-filtering, not post-filtering, which
+    at 100 TB is the difference between scanning one label's partition
+    and scanning the corpus then discarding 90% of the arithmetic.
+    Layout twin: partition the corpus BY label and this is a
+    partition-pruned local scan per probe."""
+    emb = load(spark, sf_dir, "embeddings")
+    probes = (
+        emb.filter(F.col("vec_id") < _N_PROBES)
+        .select(F.col("vec_id").alias("p_id"),
+                F.col("label").alias("p_label"),
+                F.col("embedding").alias("p_emb"))
+    )
+    pairs = (
+        emb.join(F.broadcast(probes), emb.label == probes.p_label)
+        .filter(F.col("vec_id") != F.col("p_id"))
+        .select("p_id", "vec_id",
+                _cosine(F.col("embedding"), F.col("p_emb")).alias("cos"))
+    )
+    w = Window.partitionBy("p_id").orderBy(
+        F.col("cos").desc(), F.col("vec_id"))
+    return (
+        pairs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _TOP_K)
+        .select("p_id", "vec_id", F.round("cos", 6).alias("cos_sim"), "rn")
+    )

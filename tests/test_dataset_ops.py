@@ -393,3 +393,18 @@ def test_growth_mom_first_month_null(spark, queries):
                   key=lambda r: r.month)
     assert rows[0].growth_bps is None
     assert all(r.growth_bps is not None for r in rows[1:])
+
+
+def test_knn_filtered_respects_label_constraint(spark, queries):
+    out = queries["q_knn_filtered"](spark, SF_SMOKE)
+    emb = load(spark, SF_SMOKE, "embeddings").select("vec_id", "label")
+    probes = emb.withColumnRenamed("vec_id", "p_id") \
+                .withColumnRenamed("label", "p_label")
+    j = (
+        out.join(probes, "p_id")
+        .join(emb, "vec_id")
+    )
+    # every neighbor shares its probe's label, and k<=5 per probe
+    assert j.filter(F.col("label") != F.col("p_label")).count() == 0
+    per_probe = out.groupBy("p_id").count().collect()
+    assert all(r["count"] <= 5 for r in per_probe)
