@@ -1086,3 +1086,51 @@ def q_knn_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= _TOP_K)
         .select("p_id", "vec_id", F.round("cos", 6).alias("cos_sim"), "rn")
     )
+
+
+@query(
+    "q_dedup_snm",
+    oracle="""
+    WITH sorted_parts AS (
+      SELECT p_partkey, p_name,
+             row_number() OVER (ORDER BY p_name, p_partkey) AS rn
+      FROM part
+    ), pairs AS (
+      SELECT a.p_partkey AS key_a, b.p_partkey AS key_b,
+             levenshtein(a.p_name, b.p_name) AS dist
+      FROM sorted_parts a JOIN sorted_parts b
+        ON b.rn BETWEEN a.rn + 1 AND a.rn + 2
+    )
+    SELECT key_a, key_b, dist FROM pairs WHERE dist <= 3
+    """,
+)
+def q_dedup_snm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sorted-Neighborhood dedup (SNM): sort records by a blocking key,
+    compare each record only to its w=2 successors, keep pairs within
+    edit distance 3. The third classic near-dup family next to LSH
+    (probabilistic) and blocked all-pairs (q_edit_distance): O(n·w)
+    comparisons after one sort instead of O(n²) — at 100 TB the sort is
+    a repartitionByRange and each window stays partition-local (overlap
+    handled by a boundary-rows exchange of 2·w rows per partition).
+
+    Expressed as rank self-join (rn+1..rn+2) rather than lead() columns
+    so the pair relation stays first-class; Catalyst plans the rank
+    range as a broadcast-able equi-ish join on this scale."""
+    w = Window.orderBy("p_name", "p_partkey")
+    sp = (
+        load(spark, sf_dir, "part")
+        .select("p_partkey", "p_name")
+        .withColumn("rn", F.row_number().over(w))
+    )
+    a = sp.alias("a")
+    b = sp.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("b.rn") >= F.col("a.rn") + 1)
+        & (F.col("b.rn") <= F.col("a.rn") + 2),
+    ).select(
+        F.col("a.p_partkey").alias("key_a"),
+        F.col("b.p_partkey").alias("key_b"),
+        F.levenshtein(F.col("a.p_name"), F.col("b.p_name")).alias("dist"),
+    )
+    return pairs.filter(F.col("dist") <= 3)

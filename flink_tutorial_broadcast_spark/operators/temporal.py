@@ -389,3 +389,53 @@ def q_resample_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("value") + (F.col("nval") - F.col("value")) * frac, 4
         ).alias("interp_value"),
     )
+
+
+@query(
+    "q_open_orders",
+    oracle="""
+    WITH ship AS (
+      SELECT l_orderkey, MAX(CAST(l_shipdate AS DATE)) AS shipped
+      FROM lineitem GROUP BY l_orderkey
+    ), deltas AS (
+      SELECT CAST(o.o_orderdate AS DATE) AS d, 1 AS delta
+      FROM orders o JOIN ship s ON o.o_orderkey = s.l_orderkey
+      UNION ALL
+      SELECT s.shipped AS d, -1 AS delta
+      FROM orders o JOIN ship s ON o.o_orderkey = s.l_orderkey
+    ), per_day AS (
+      SELECT d, SUM(delta) AS net FROM deltas GROUP BY d
+    )
+    SELECT CAST(d AS TIMESTAMP) AS day, net,
+           SUM(net) OVER (ORDER BY d
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND CURRENT ROW) AS n_open
+    FROM per_day
+    """,
+)
+def q_open_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sweep-line interval counting: orders in flight per day (placed
+    but not yet fully shipped). Each order contributes +1 at its order
+    date and −1 at its LAST ship date; the running sum of per-day nets
+    IS the concurrent-interval count — O(n) instead of the O(n·days)
+    day-spine range join, THE rewrite for "how many X were active at
+    time t" at 100 TB. Boundary deltas aggregate per day before the
+    (tiny, day-level) cumulative window."""
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+    ship = li.groupBy("l_orderkey").agg(
+        F.to_date(F.max("l_shipdate")).alias("shipped")
+    )
+    base = o.join(ship, o.o_orderkey == ship.l_orderkey)
+    deltas = base.select(
+        F.to_date("o_orderdate").alias("d"), F.lit(1).alias("delta")
+    ).unionByName(
+        base.select(F.col("shipped").alias("d"), F.lit(-1).alias("delta"))
+    )
+    per_day = deltas.groupBy("d").agg(F.sum("delta").alias("net"))
+    w = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
+    return per_day.select(
+        F.col("d").cast("timestamp").alias("day"),
+        "net",
+        F.sum("net").over(w).alias("n_open"),
+    )

@@ -408,3 +408,21 @@ def test_knn_filtered_respects_label_constraint(spark, queries):
     assert j.filter(F.col("label") != F.col("p_label")).count() == 0
     per_probe = out.groupBy("p_id").count().collect()
     assert all(r["count"] <= 5 for r in per_probe)
+
+
+def test_snm_pairs_are_adjacent_and_close(spark, queries):
+    out = queries["q_dedup_snm"](spark, SF_SMOKE)
+    assert out.filter(F.col("dist") > 3).count() == 0
+    # SNM with w=2 emits at most 2 pairs per left record
+    per_left = out.groupBy("key_a").count().collect()
+    assert all(r["count"] <= 2 for r in per_left)
+
+
+def test_open_orders_sweep_line_conserves(spark, queries):
+    rows = sorted(queries["q_open_orders"](spark, SF_SMOKE).collect(),
+                  key=lambda r: r.day)
+    # net deltas over all days sum to zero (every order opens and closes)
+    assert sum(r.net for r in rows) == 0
+    # running count is never negative and ends at zero
+    assert all(r.n_open >= 0 for r in rows)
+    assert rows[-1].n_open == 0
