@@ -18,7 +18,7 @@ it is exercised rows-only in tests/test_operators.py.)
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from flink_tutorial_broadcast_spark.io import load
@@ -317,3 +317,83 @@ def q_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     load(spark, sf_dir, "customer").createOrReplaceTempView("customer")
     return spark.sql(_RECURSIVE_DEPTH_SQL)
+
+
+@query(
+    "q_allocate_proration",
+    oracle="""
+    WITH li AS (
+      SELECT l_orderkey, l_linenumber,
+             SUM(CAST(l_quantity AS BIGINT)) AS qty
+      FROM lineitem GROUP BY 1, 2
+    ), tot AS (
+      SELECT o.o_orderkey,
+             CAST(FLOOR(o.o_totalprice * 100) AS BIGINT) AS cents,
+             SUM(li.qty) AS qty_sum, COUNT(*) AS n_items
+      FROM orders o JOIN li ON li.l_orderkey = o.o_orderkey
+      GROUP BY 1, 2
+    ), base AS (
+      SELECT li.l_orderkey, li.l_linenumber, t.cents, t.qty_sum,
+             (t.cents * li.qty) // t.qty_sum AS alloc_floor,
+             (t.cents * li.qty) % t.qty_sum AS rem,
+             t.cents - SUM((t.cents * li.qty) // t.qty_sum)
+               OVER (PARTITION BY li.l_orderkey) AS shortfall
+      FROM li JOIN tot t ON li.l_orderkey = t.o_orderkey
+    ), ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY l_orderkey
+                                   ORDER BY rem DESC, l_linenumber)
+                  AS rk
+      FROM base
+    )
+    SELECT l_orderkey, l_linenumber,
+           alloc_floor + CASE WHEN rk <= shortfall THEN 1 ELSE 0 END
+             AS alloc_cents
+    FROM ranked
+    """,
+)
+def q_allocate_proration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Largest-remainder proration: split each order's total (in integer
+    cents) across its lineitems proportionally to quantity, with the
+    rounding shortfall distributed one cent at a time to the largest
+    fractional remainders — allocations per order sum EXACTLY to the
+    order total (test-pinned), the invariant every billing/cost-
+    attribution pipeline must hold. Entirely int64 arithmetic (floor
+    division + modulus; no float enters after the one cents conversion),
+    so the result is bit-identical on any engine and any partitioning.
+    One orderkey shuffle; both windows share its sort."""
+    li = (
+        load(spark, sf_dir, "lineitem")
+        # duplicate (orderkey, linenumber) pairs exist in the fixture —
+        # collapse them so the remainder-rank tiebreak is a total order
+        .groupBy("l_orderkey", "l_linenumber")
+        .agg(F.sum(F.col("l_quantity").cast("long")).alias("qty"))
+    )
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.floor(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    tot = li.join(o, li.l_orderkey == o.o_orderkey).groupBy(
+        "l_orderkey", "cents"
+    ).agg(F.sum("qty").alias("qty_sum"))
+    base = (
+        li.join(tot, "l_orderkey")
+        .withColumn("alloc_floor",
+                    F.expr("(cents * qty) div qty_sum"))
+        .withColumn("rem", (F.col("cents") * F.col("qty")) % F.col("qty_sum"))
+    )
+    w_order = Window.partitionBy("l_orderkey")
+    w_rank = Window.partitionBy("l_orderkey").orderBy(
+        F.col("rem").desc(), "l_linenumber")
+    return (
+        base.withColumn(
+            "shortfall",
+            F.col("cents") - F.sum("alloc_floor").over(w_order),
+        )
+        .withColumn("rk", F.row_number().over(w_rank))
+        .select(
+            "l_orderkey", "l_linenumber",
+            (F.col("alloc_floor")
+             + F.when(F.col("rk") <= F.col("shortfall"), 1).otherwise(0))
+            .alias("alloc_cents"),
+        )
+    )

@@ -426,3 +426,17 @@ def test_open_orders_sweep_line_conserves(spark, queries):
     # running count is never negative and ends at zero
     assert all(r.n_open >= 0 for r in rows)
     assert rows[-1].n_open == 0
+
+
+def test_proration_sums_exactly_to_order_cents(spark, queries):
+    out = queries["q_allocate_proration"](spark, SF_SMOKE)
+    o = load(spark, SF_SMOKE, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"),
+        F.floor(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    sums = out.groupBy("l_orderkey").agg(
+        F.sum("alloc_cents").alias("total_alloc"))
+    j = sums.join(o, "l_orderkey")
+    # the invariant: allocations reconstruct the order total EXACTLY
+    assert j.filter(F.col("total_alloc") != F.col("cents")).count() == 0
+    assert out.filter(F.col("alloc_cents") < 0).count() == 0
