@@ -291,3 +291,39 @@ def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.min("mad"), 4).alias("mad"),
         )
     )
+
+
+@query(
+    "q_benford",
+    oracle="""
+    WITH d AS (
+      SELECT substr(CAST(CAST(FLOOR(o_totalprice) AS BIGINT) AS VARCHAR),
+                    1, 1) AS digit
+      FROM orders WHERE o_totalprice >= 1
+    )
+    SELECT digit, COUNT(*) AS n,
+           CAST(FLOOR(COUNT(*) * 1000000.0
+                      / SUM(COUNT(*)) OVER ()) AS BIGINT) AS share_ppm
+    FROM d GROUP BY digit
+    """,
+)
+def q_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-digit audit: the distribution of leading digits of
+    order totals — the classic forensic screen for fabricated or
+    re-scaled monetary data (natural multi-scale amounts follow
+    log10(1+1/d); uniform digits scream synthetic). One digit-extract
+    map + tiny aggregate; shares as FLOOR'd integer ppm over a
+    whole-relation window sum."""
+    o = load(spark, sf_dir, "orders").filter(F.col("o_totalprice") >= 1)
+    d = o.select(
+        F.substring(
+            F.floor("o_totalprice").cast("long").cast("string"), 1, 1
+        ).alias("digit")
+    )
+    counts = d.groupBy("digit").agg(F.count("*").alias("n"))
+    w = Window.partitionBy()
+    return counts.select(
+        "digit", "n",
+        F.floor(F.col("n") * 1000000.0 / F.sum("n").over(w))
+        .cast("long").alias("share_ppm"),
+    )

@@ -303,3 +303,32 @@ def q_asof_merge_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
             merge,
             "event_id bigint, event_type string, threshold double, fired int")
     )
+
+
+@query(
+    "q_seasonality",
+    oracle="""
+    SELECT CAST(dayofweek(ts) + 1 AS INT) AS dow,
+           CAST(hour(ts) AS INT) AS hod,
+           COUNT(*) AS n,
+           COUNT(DISTINCT user_id) AS n_users
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def q_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonality profile: the hour-of-day × day-of-week activity
+    matrix (the heatmap behind every traffic dashboard, and the input
+    to cyclic time features for training). Date-part extraction is
+    map-side; the aggregate is bounded at 7×24 groups regardless of
+    data size. Convention trap: Spark dayofweek is 1=Sunday..7 but
+    DuckDB's is 0=Sunday..6 — the oracle shifts by +1 to align.
+    """
+    ev = load(spark, sf_dir, "events")
+    return ev.groupBy(
+        F.dayofweek("ts").alias("dow"),
+        F.hour("ts").alias("hod"),
+    ).agg(
+        F.count("*").alias("n"),
+        F.countDistinct("user_id").alias("n_users"),
+    )

@@ -440,3 +440,18 @@ def test_proration_sums_exactly_to_order_cents(spark, queries):
     # the invariant: allocations reconstruct the order total EXACTLY
     assert j.filter(F.col("total_alloc") != F.col("cents")).count() == 0
     assert out.filter(F.col("alloc_cents") < 0).count() == 0
+
+
+def test_benford_low_digits_dominate(spark, queries):
+    rows = {r.digit: r for r in queries["q_benford"](spark, SF_SMOKE).collect()}
+    total_ppm = sum(r.share_ppm for r in rows.values())
+    assert 1_000_000 - 9 < total_ppm <= 1_000_000
+    assert set(rows) <= set("123456789")
+
+
+def test_seasonality_covers_full_grid(spark, queries):
+    rows = queries["q_seasonality"](spark, SF_SMOKE).collect()
+    assert all(1 <= r.dow <= 7 for r in rows)
+    assert all(0 <= r.hod <= 23 for r in rows)
+    n_events = load(spark, SF_SMOKE, "events").count()
+    assert sum(r.n for r in rows) == n_events
