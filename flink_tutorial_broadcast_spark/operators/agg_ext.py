@@ -440,3 +440,118 @@ def q_collect_set(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("event_type").alias("n_types"),
         )
     )
+
+
+@query(
+    "q_weighted_median",
+    oracle="""
+    WITH w AS (
+      SELECT l_returnflag, l_extendedprice AS price,
+             CAST(l_quantity AS BIGINT) AS wt,
+             SUM(CAST(l_quantity AS BIGINT))
+               OVER (PARTITION BY l_returnflag
+                     ORDER BY l_extendedprice, l_orderkey, l_linenumber
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cum_wt,
+             SUM(CAST(l_quantity AS BIGINT))
+               OVER (PARTITION BY l_returnflag) AS tot_wt
+      FROM lineitem
+    )
+    SELECT l_returnflag, ROUND(MIN(price), 2) AS weighted_median,
+           MIN(tot_wt) AS total_weight
+    FROM w
+    WHERE 2 * cum_wt >= tot_wt
+    GROUP BY l_returnflag
+    """,
+)
+def q_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted median (lower): the price at which half the total
+    QUANTITY sits at-or-below — robust central price where each row
+    counts by its weight, not once. Cumulative-weight window over a
+    totally-ordered sort (price, orderkey, linenumber), then the first
+    row crossing half the integer weight total. Weights are int64, so
+    the crossing point is engine-exact; only the reported price is
+    float (rounded). Same single Exchange serves both windows."""
+    li = load(spark, sf_dir, "lineitem")
+    wsort = Window.partitionBy("l_returnflag").orderBy(
+        "l_extendedprice", "l_orderkey", "l_linenumber"
+    ).rowsBetween(Window.unboundedPreceding, 0)
+    wall = Window.partitionBy("l_returnflag")
+    w = li.select(
+        "l_returnflag",
+        F.col("l_extendedprice").alias("price"),
+        F.sum(F.col("l_quantity").cast("long")).over(wsort).alias("cum_wt"),
+        F.sum(F.col("l_quantity").cast("long")).over(wall).alias("tot_wt"),
+    )
+    return (
+        w.filter(2 * F.col("cum_wt") >= F.col("tot_wt"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.round(F.min("price"), 2).alias("weighted_median"),
+            F.min("tot_wt").alias("total_weight"),
+        )
+    )
+
+
+@query(
+    "q_pareto_abc",
+    oracle="""
+    WITH rev AS (
+      SELECT l_partkey,
+             SUM(CAST(FLOOR(l_extendedprice * 100) AS BIGINT)) AS cents
+      FROM lineitem GROUP BY l_partkey
+    ), ranked AS (
+      SELECT l_partkey, cents,
+             SUM(cents) OVER (ORDER BY cents DESC, l_partkey
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                                       AND CURRENT ROW) AS cum_cents,
+             SUM(cents) OVER () AS tot_cents
+      FROM rev
+    )
+    SELECT CASE WHEN cum_cents * 100 <= tot_cents * 70 THEN 'A'
+                WHEN cum_cents * 100 <= tot_cents * 90 THEN 'B'
+                ELSE 'C' END AS abc_class,
+           COUNT(*) AS n_parts,
+           SUM(cents) AS class_cents
+    FROM ranked GROUP BY 1
+    """,
+)
+def q_pareto_abc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto / ABC inventory classification: rank parts by revenue and
+    split at 70% / 90% of cumulative revenue — the 80/20 report behind
+    catalog pruning and hot-set caching decisions. Exactness trick:
+    per-row revenue floors to integer CENTS before summing, so per-part
+    totals, the ranking order, and the class thresholds (compared via
+    integer cross-multiplication, never division) are all int64 — a
+    float sum here could flip the order of two near-equal parts and
+    shift every downstream class boundary. One partkey aggregate + one
+    bounded global-rank window."""
+    li = load(spark, sf_dir, "lineitem")
+    rev = li.groupBy("l_partkey").agg(
+        F.sum(F.floor(F.col("l_extendedprice") * 100).cast("long"))
+        .alias("cents")
+    )
+    wcum = Window.orderBy(F.col("cents").desc(), "l_partkey").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    wall = Window.partitionBy()
+    ranked = rev.select(
+        "l_partkey", "cents",
+        F.sum("cents").over(wcum).alias("cum_cents"),
+        F.sum("cents").over(wall).alias("tot_cents"),
+    )
+    return (
+        ranked.select(
+            F.when(
+                F.col("cum_cents") * 100 <= F.col("tot_cents") * 70, "A"
+            ).when(
+                F.col("cum_cents") * 100 <= F.col("tot_cents") * 90, "B"
+            ).otherwise("C").alias("abc_class"),
+            "cents",
+        )
+        .groupBy("abc_class")
+        .agg(
+            F.count("*").alias("n_parts"),
+            F.sum("cents").alias("class_cents"),
+        )
+    )

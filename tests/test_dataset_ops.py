@@ -455,3 +455,32 @@ def test_seasonality_covers_full_grid(spark, queries):
     assert all(0 <= r.hod <= 23 for r in rows)
     n_events = load(spark, SF_SMOKE, "events").count()
     assert sum(r.n for r in rows) == n_events
+
+
+def test_weighted_median_splits_weight_mass(spark, queries):
+    out = {r.l_returnflag: r for r in
+           queries["q_weighted_median"](spark, SF_SMOKE).collect()}
+    li = load(spark, SF_SMOKE, "lineitem")
+    for flag, r in out.items():
+        below = li.filter(
+            (F.col("l_returnflag") == flag)
+            & (F.col("l_extendedprice") <= r.weighted_median + 0.011)
+        ).agg(F.sum(F.col("l_quantity").cast("long"))).first()[0]
+        # at least half the weight sits at or below the weighted median
+        assert 2 * below >= r.total_weight
+
+
+def test_pareto_abc_class_shares(spark, queries):
+    rows = {r.abc_class: r for r in
+            queries["q_pareto_abc"](spark, SF_SMOKE).collect()}
+    assert set(rows) == {"A", "B", "C"}
+    total = sum(r.class_cents for r in rows.values())
+    # threshold semantics: A stops at 70% of cumulative revenue and A+B
+    # at 90%, each within one part's revenue of the boundary (the last
+    # part before the cut may stop short of it)
+    a = rows["A"].class_cents
+    ab = a + rows["B"].class_cents
+    assert a <= 0.70 * total
+    assert ab <= 0.90 * total
+    assert ab + rows["C"].class_cents == total
+    # note: fixture revenue is near-uniform, so no 80/20 skew to assert
