@@ -465,3 +465,134 @@ def q_growth_mom(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor((F.col("revenue") - prev) * 10000 / prev)
         .cast("long").alias("growth_bps"),
     )
+
+
+@query(
+    "q_audience_overlap",
+    oracle="""
+    WITH tu AS (
+      SELECT DISTINCT event_type, user_id FROM events
+    ), sizes AS (
+      SELECT event_type, COUNT(*) AS n FROM tu GROUP BY event_type
+    )
+    SELECT a.event_type AS type_a, b.event_type AS type_b,
+           COUNT(*) AS n_both,
+           MIN(sa.n) AS n_a, MIN(sb.n) AS n_b,
+           CAST(FLOOR(COUNT(*) * 1000000.0
+                      / (MIN(sa.n) + MIN(sb.n) - COUNT(*))) AS BIGINT)
+             AS jaccard_ppm
+    FROM tu a
+    JOIN tu b ON a.user_id = b.user_id AND a.event_type < b.event_type
+    JOIN sizes sa ON sa.event_type = a.event_type
+    JOIN sizes sb ON sb.event_type = b.event_type
+    GROUP BY a.event_type, b.event_type
+    """,
+)
+def q_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audience-overlap matrix: for every pair of event types, how many
+    users do both, and the Jaccard similarity of the two audiences
+    (integer ppm) — the segment-overlap report behind campaign targeting
+    and cannibalization analysis. Dedup to (type, user) FIRST (the same
+    shrink-before-expand rule as the rolling distinct), then one
+    user-keyed self-join; sizes broadcast back. Output is bounded at
+    |types|² rows."""
+    ev = load(spark, sf_dir, "events")
+    tu = ev.select("event_type", "user_id").distinct()
+    sizes = tu.groupBy("event_type").agg(F.count("*").alias("n"))
+    a = tu.select(F.col("event_type").alias("type_a"), "user_id")
+    b = tu.select(F.col("event_type").alias("type_b"),
+                  F.col("user_id").alias("user_b"))
+    pairs = a.join(
+        b,
+        (a.user_id == b.user_b) & (F.col("type_a") < F.col("type_b")),
+    )
+    sa = sizes.select(F.col("event_type").alias("type_a"),
+                      F.col("n").alias("na"))
+    sb = sizes.select(F.col("event_type").alias("type_b"),
+                      F.col("n").alias("nb"))
+    return (
+        pairs.groupBy("type_a", "type_b")
+        .agg(F.count("*").alias("n_both"))
+        .join(F.broadcast(sa), "type_a")
+        .join(F.broadcast(sb), "type_b")
+        .select(
+            "type_a", "type_b", "n_both",
+            F.col("na").alias("n_a"), F.col("nb").alias("n_b"),
+            F.floor(
+                F.col("n_both") * 1000000.0
+                / (F.col("na") + F.col("nb") - F.col("n_both"))
+            ).cast("long").alias("jaccard_ppm"),
+        )
+    )
+
+
+@query(
+    "q_revenue_bridge",
+    oracle="""
+    WITH m AS (
+      SELECT o_custkey,
+             date_trunc('month', o_orderdate) AS month,
+             SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS cents
+      FROM orders GROUP BY 1, 2
+    ), bounds AS (
+      SELECT MAX(month) AS m1 FROM m
+    ), prev AS (
+      SELECT o_custkey, cents FROM m, bounds
+      WHERE month = m1 - INTERVAL 1 MONTH
+    ), curr AS (
+      SELECT o_custkey, cents FROM m, bounds WHERE month = m1
+    )
+    SELECT CASE WHEN p.o_custkey IS NULL THEN 'new'
+                WHEN c.o_custkey IS NULL THEN 'churned'
+                WHEN c.cents > p.cents THEN 'expanded'
+                WHEN c.cents < p.cents THEN 'contracted'
+                ELSE 'flat' END AS segment,
+           COUNT(*) AS n_customers,
+           SUM(COALESCE(c.cents, 0) - COALESCE(p.cents, 0)) AS delta_cents
+    FROM prev p FULL OUTER JOIN curr c ON p.o_custkey = c.o_custkey
+    GROUP BY 1
+    """,
+)
+def q_revenue_bridge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue bridge: decompose the latest month's revenue change vs
+    the prior month into new / churned / expanded / contracted customer
+    segments — the waterfall chart every finance review opens with. The
+    segment deltas sum EXACTLY to the total month-over-month change
+    (integer cents; test-pinned conservation). One month-keyed
+    aggregate, then a full-outer join of two month slices on the
+    customer key."""
+    o = load(spark, sf_dir, "orders")
+    m = o.groupBy(
+        "o_custkey", F.date_trunc("month", "o_orderdate").alias("month")
+    ).agg(
+        F.sum(F.floor(F.col("o_totalprice") * 100).cast("long"))
+        .alias("cents")
+    )
+    m1 = m.agg(F.max("month").alias("m1"))
+    prev = (
+        m.join(F.broadcast(m1),
+               m.month == F.col("m1") - F.expr("INTERVAL 1 MONTH"))
+        .select(F.col("o_custkey").alias("pk"), F.col("cents").alias("pc"))
+    )
+    curr = (
+        m.join(F.broadcast(m1), m.month == F.col("m1"))
+        .select(F.col("o_custkey").alias("ck"), F.col("cents").alias("cc"))
+    )
+    j = prev.join(curr, prev.pk == curr.ck, "full")
+    return (
+        j.select(
+            F.when(F.col("pk").isNull(), "new")
+            .when(F.col("ck").isNull(), "churned")
+            .when(F.col("cc") > F.col("pc"), "expanded")
+            .when(F.col("cc") < F.col("pc"), "contracted")
+            .otherwise("flat")
+            .alias("segment"),
+            (F.coalesce(F.col("cc"), F.lit(0))
+             - F.coalesce(F.col("pc"), F.lit(0))).alias("delta"),
+        )
+        .groupBy("segment")
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.sum("delta").alias("delta_cents"),
+        )
+    )

@@ -484,3 +484,27 @@ def test_pareto_abc_class_shares(spark, queries):
     assert ab <= 0.90 * total
     assert ab + rows["C"].class_cents == total
     # note: fixture revenue is near-uniform, so no 80/20 skew to assert
+
+
+def test_audience_overlap_jaccard_bounds(spark, queries):
+    rows = queries["q_audience_overlap"](spark, SF_SMOKE).collect()
+    assert rows
+    for r in rows:
+        assert r.type_a < r.type_b
+        assert 0 < r.n_both <= min(r.n_a, r.n_b)
+        assert 0 <= r.jaccard_ppm <= 1_000_000
+
+
+def test_revenue_bridge_conserves_delta(spark, queries):
+    rows = queries["q_revenue_bridge"](spark, SF_SMOKE).collect()
+    ev = load(spark, SF_SMOKE, "orders")
+    m = ev.groupBy(
+        F.date_trunc("month", "o_orderdate").alias("month")
+    ).agg(F.sum(F.floor(F.col("o_totalprice") * 100).cast("long"))
+          .alias("cents")).collect()
+    by_month = {r.month: r.cents for r in m}
+    months = sorted(by_month)
+    m1, m0 = months[-1], months[-2]
+    want = by_month[m1] - by_month.get(m0, 0)
+    # the bridge must decompose the month-over-month change exactly
+    assert sum(r.delta_cents for r in rows) == want
