@@ -230,3 +230,55 @@ def q_cogroup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "user_id long, n_purchases long, n_errors long, first_ts timestamp",
         )
     )
+
+
+@query(
+    "q_batched_lookup_enrich",
+    oracle="""
+    SELECT e.event_id, e.event_type,
+           CASE e.event_type
+             WHEN 'click' THEN 'engagement' WHEN 'view' THEN 'engagement'
+             WHEN 'purchase' THEN 'revenue'  WHEN 'signup' THEN 'growth'
+             ELSE 'ops' END AS category
+    FROM events e WHERE e.event_id < 2000
+    """,
+)
+def q_batched_lookup_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flink ``AsyncFunction`` analogue: per-batch external-service
+    enrichment through ``mapInPandas`` — one "service call" per ARROW
+    BATCH (not per row), connection established once per partition,
+    results joined back in pandas. The external service is stubbed with
+    a deterministic dict so the oracle (the equivalent relational CASE)
+    hash-proves the plumbing.
+
+    Policy note: when the lookup table CAN be materialized, a broadcast
+    join beats this (and that is the engine's default — C1); this shape
+    exists for the genuinely-external case (auth'd API, feature store)
+    where the batch granularity is the knob that amortizes RPC latency.
+    """
+    _SERVICE = {
+        "click": "engagement", "view": "engagement",
+        "purchase": "revenue", "signup": "growth", "error": "ops",
+    }
+
+    def enrich(batches):
+        import pandas as pd  # re-import inside the worker
+
+        # "connect" once per partition (the AsyncFunction open())
+        service = dict(_SERVICE)
+        for pdf in batches:  # one lookup round-trip per Arrow batch
+            out = pd.DataFrame({
+                "event_id": pdf["event_id"],
+                "event_type": pdf["event_type"],
+                "category": pdf["event_type"].map(service).fillna("ops"),
+            })
+            yield out
+
+    ev = (
+        load(spark, sf_dir, "events")
+        .filter(F.col("event_id") < 2000)
+        .select("event_id", "event_type")
+    )
+    return ev.mapInPandas(
+        enrich, "event_id long, event_type string, category string"
+    )
