@@ -426,3 +426,72 @@ def q_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("zipf_slope"),
         F.count("*").alias("n_types"),
     )
+
+
+@query(
+    "q_text_pipeline_e2e",
+    oracle="""
+    WITH norm AS (
+      SELECT doc_id, lang,
+             trim(regexp_replace(
+               regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+               ' +', ' ', 'g')) AS norm_text
+      FROM documents
+    ), deduped AS (
+      SELECT lang, md5(norm_text) AS fp,
+             MIN(doc_id) AS keeper_id, COUNT(*) AS n_copies
+      FROM norm GROUP BY lang, md5(norm_text)
+    ), tagged AS (
+      SELECT lang,
+             CASE WHEN substr(md5(CAST(keeper_id AS VARCHAR)), 1, 2) < 'cc'
+                    THEN 'train'
+                  WHEN substr(md5(CAST(keeper_id AS VARCHAR)), 1, 2) < 'e6'
+                    THEN 'val'
+                  ELSE 'test' END AS split,
+             n_copies
+      FROM deduped
+    )
+    SELECT lang, split,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_copies - 1) AS BIGINT) AS n_dropped_dups
+    FROM tagged GROUP BY lang, split
+    """,
+)
+def q_text_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end text corpus pipeline in ONE Catalyst plan:
+    normalize (casefold/punct/whitespace) → content-fingerprint dedup
+    (survivor = smallest doc_id per normalized text) → deterministic
+    split assignment → per-(lang, split) corpus accounting, including
+    how many duplicates each cell dropped. The composition proof that
+    the individual stages (q_text_normalize, q_dedup_exact,
+    q_dataset_split) fuse without materialization barriers: one scan,
+    one fingerprint shuffle, one tiny final aggregate — the whole
+    corpus pipeline is two exchanges at any scale."""
+    docs = load(spark, sf_dir, "documents")
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", " "),
+            " +", " ",
+        )
+    )
+    deduped = (
+        docs.select("doc_id", "lang", F.md5(norm).alias("fp"))
+        .groupBy("lang", "fp")
+        .agg(
+            F.min("doc_id").alias("keeper_id"),
+            F.count("*").alias("n_copies"),
+        )
+    )
+    bucket = F.substring(F.md5(F.col("keeper_id").cast("string")), 1, 2)
+    tagged = deduped.select(
+        "lang",
+        F.when(bucket < "cc", "train")
+        .when(bucket < "e6", "val")
+        .otherwise("test")
+        .alias("split"),
+        "n_copies",
+    )
+    return tagged.groupBy("lang", "split").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.col("n_copies") - 1).cast("long").alias("n_dropped_dups"),
+    )

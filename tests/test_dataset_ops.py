@@ -508,3 +508,14 @@ def test_revenue_bridge_conserves_delta(spark, queries):
     want = by_month[m1] - by_month.get(m0, 0)
     # the bridge must decompose the month-over-month change exactly
     assert sum(r.delta_cents for r in rows) == want
+
+
+def test_text_pipeline_e2e_consistent_with_stages(spark, queries):
+    out = queries["q_text_pipeline_e2e"](spark, SF_SMOKE).collect()
+    docs = load(spark, SF_SMOKE, "documents")
+    n_docs = docs.count()
+    # survivors + dropped duplicates account for every document
+    total = sum(r.n_docs + r.n_dropped_dups for r in out)
+    assert total == n_docs
+    assert all(r.n_dropped_dups >= 0 for r in out)
+    assert {r.split for r in out} <= {"train", "val", "test"}
