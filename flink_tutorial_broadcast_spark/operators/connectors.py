@@ -418,3 +418,84 @@ def q_scan_zstd(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n"),
         F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
     )
+
+
+@query(
+    "q_scan_csv_malformed",
+    oracle="""
+    SELECT n_nationkey, n_name, n_regionkey FROM nation
+    WHERE n_nationkey % 5 <> 0
+    """,
+)
+def q_scan_csv_malformed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bad-record tolerance: a CSV landing where every 5th row is
+    corrupted (wrong arity / non-numeric key) is read back under
+    DROPMALFORMED — the schema-pinned reader silently sheds rows that
+    don't parse, keeping ingestion running. The oracle states exactly
+    which rows must survive. The production alternatives are PERMISSIVE
+    + columnNameOfCorruptRecord (quarantine column → DLQ table) or
+    FAILFAST (halt); DROPMALFORMED is the lossy-but-live middle."""
+    path = _tmp("csv_malformed", sf_dir)
+    marker = os.path.join(path, "_WRITTEN")
+    if not os.path.exists(marker):
+        rows = (
+            load(spark, sf_dir, "nation")
+            .select("n_nationkey", "n_name", "n_regionkey")
+            .orderBy("n_nationkey")
+            .collect()
+        )
+        os.makedirs(path, exist_ok=True)
+        with open(os.path.join(path, "part-0.csv"), "w") as f:
+            for r in rows:
+                if r.n_nationkey % 5 == 0:
+                    # corrupt: non-numeric key AND wrong column arity
+                    f.write(f"XX,{r.n_name}\n")
+                else:
+                    f.write(f"{r.n_nationkey},{r.n_name},{r.n_regionkey}\n")
+        with open(marker, "w") as f:
+            f.write("ok")
+    return (
+        spark.read.schema(_NATION_SCHEMA)
+        .option("mode", "DROPMALFORMED")
+        .csv(os.path.join(path, "part-0.csv"))
+    )
+
+
+@query(
+    "q_from_csv",
+    oracle="""
+    WITH lines AS (
+      SELECT s_suppkey,
+             CAST(s_suppkey AS VARCHAR) || ','
+               || CAST(s_nationkey AS VARCHAR) || ','
+               || CAST(ROUND(s_acctbal, 2) AS VARCHAR) AS line
+      FROM supplier
+    )
+    SELECT s_suppkey,
+           CAST(string_split(line, ',')[2] AS INT) AS nation_key,
+           CAST(string_split(line, ',')[3] AS DOUBLE) AS acctbal
+    FROM lines
+    """,
+)
+def q_from_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inline CSV parsing (`from_csv` scalar function): delimited
+    STRINGS inside a column — the embedded-payload little sibling of the
+    file connector, common when upstream systems smuggle records through
+    message fields. Schema-pinned parse, typed extracts; the round-trip
+    is synthesized from supplier so the oracle can re-derive it with
+    string arithmetic."""
+    s = load(spark, sf_dir, "supplier")
+    line = F.concat_ws(
+        ",",
+        F.col("s_suppkey").cast("string"),
+        F.col("s_nationkey").cast("string"),
+        F.round("s_acctbal", 2).cast("string"),
+    )
+    parsed = F.from_csv(
+        line, "k INT, nation_key INT, acctbal DOUBLE"
+    )
+    return s.select(
+        "s_suppkey",
+        parsed.getField("nation_key").alias("nation_key"),
+        parsed.getField("acctbal").alias("acctbal"),
+    )
