@@ -15,7 +15,7 @@ import os
 import shutil
 import tempfile
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from flink_tutorial_broadcast_spark.io import load
@@ -337,5 +337,49 @@ def q_agg_pushdown_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.round(F.sum("rev_part"), 2).alias("revenue"),
             F.sum("n_part").alias("n_items"),
+        )
+    )
+
+
+@query(
+    "q_dim_encode",
+    oracle="""
+    WITH dim AS (
+      SELECT lang, source,
+             dense_rank() OVER (ORDER BY lang, source) AS sk
+      FROM (SELECT DISTINCT lang, source FROM documents)
+    )
+    SELECT d.sk, MIN(dim.lang) AS lang, MIN(dim.source) AS source,
+           COUNT(*) AS n_docs, SUM(doc.n_chars) AS chars
+    FROM documents doc
+    JOIN dim ON dim.lang = doc.lang AND dim.source = doc.source
+    JOIN dim d ON d.sk = dim.sk
+    GROUP BY d.sk
+    """,
+)
+def q_dim_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dimension encoding / surrogate-key assignment: distinct
+    (lang, source) pairs get DENSE, DETERMINISTIC integer keys (ordered
+    dense_rank — NOT monotonically_increasing_id, whose values depend on
+    partition layout), and the fact is rewritten to carry the surrogate.
+    This is the dictionary-building step of star-schema construction and
+    of categorical feature encoding for training. The dim is tiny by
+    definition → broadcast back onto the fact; the only big shuffle is
+    the final per-key aggregate."""
+    docs = load(spark, sf_dir, "documents")
+    dim = (
+        docs.select("lang", "source").distinct()
+        .withColumn(
+            "sk", F.dense_rank().over(Window.orderBy("lang", "source"))
+        )
+    )
+    return (
+        docs.join(F.broadcast(dim), ["lang", "source"])
+        .groupBy("sk")
+        .agg(
+            F.min("lang").alias("lang"),
+            F.min("source").alias("source"),
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("chars"),
         )
     )
