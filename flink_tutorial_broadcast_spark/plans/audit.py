@@ -31,7 +31,8 @@ ALLOW = {
     # sort-merge is the correct physical choice there
     "smj_ok": {"q_join_full", "q_join_bucketed"},
     # pure format-connector scans emit no compute, hence no codegen span
-    "scan_only": {"q_scan_csv", "q_scan_custom_source"},
+    "scan_only": {"q_scan_csv", "q_scan_csv_malformed",
+                  "q_scan_custom_source"},
 }
 
 
