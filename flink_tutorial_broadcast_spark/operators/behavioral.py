@@ -596,3 +596,53 @@ def q_revenue_bridge(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("delta").alias("delta_cents"),
         )
     )
+
+
+@query(
+    "q_stickiness",
+    oracle="""
+    WITH du AS (
+      SELECT DISTINCT CAST(ts AS DATE) AS d, user_id FROM events
+    ), spine AS (SELECT DISTINCT d FROM du),
+    dau AS (
+      SELECT d, COUNT(*) AS dau FROM du GROUP BY d
+    ), mau AS (
+      SELECT s.d, COUNT(DISTINCT du.user_id) AS mau
+      FROM spine s JOIN du ON du.d BETWEEN s.d - 27 AND s.d
+      GROUP BY s.d
+    )
+    SELECT CAST(dau.d AS TIMESTAMP) AS day, dau.dau AS dau, mau.mau AS mau,
+           CAST(FLOOR(dau.dau * 1000000.0 / mau.mau) AS BIGINT)
+             AS stickiness_ppm
+    FROM dau JOIN mau ON dau.d = mau.d
+    """,
+)
+def q_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU/MAU stickiness: daily actives over trailing-28-day actives,
+    as integer ppm — THE engagement ratio product teams track. Composes
+    the dedup-then-expand rewrite at two window widths from ONE
+    (day, user) dedup: the expensive shuffle happens once and both
+    window scales reuse it."""
+    ev = load(spark, sf_dir, "events")
+    du = ev.select(F.to_date("ts").alias("d"), "user_id").distinct()
+    spine = du.select(F.col("d").alias("day")).distinct()
+    dau = du.groupBy(F.col("d").alias("day")).agg(
+        F.count("*").alias("dau"))
+    mau = (
+        du.join(
+            F.broadcast(spine),
+            (F.col("d") <= F.col("day"))
+            & (F.col("d") >= F.date_sub(F.col("day"), 27)),
+        )
+        .groupBy("day")
+        .agg(F.countDistinct("user_id").alias("mau"))
+    )
+    return (
+        dau.join(mau, "day")
+        .select(
+            F.col("day").cast("timestamp").alias("day"),
+            "dau", "mau",
+            F.floor(F.col("dau") * 1000000.0 / F.col("mau"))
+            .cast("long").alias("stickiness_ppm"),
+        )
+    )

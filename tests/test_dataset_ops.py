@@ -519,3 +519,10 @@ def test_text_pipeline_e2e_consistent_with_stages(spark, queries):
     assert total == n_docs
     assert all(r.n_dropped_dups >= 0 for r in out)
     assert {r.split for r in out} <= {"train", "val", "test"}
+
+
+def test_stickiness_ratio_bounds(spark, queries):
+    rows = queries["q_stickiness"](spark, SF_SMOKE).collect()
+    for r in rows:
+        assert r.dau <= r.mau
+        assert 0 < r.stickiness_ppm <= 1_000_000
