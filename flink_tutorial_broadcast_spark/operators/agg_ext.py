@@ -555,3 +555,52 @@ def q_pareto_abc(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("cents").alias("class_cents"),
         )
     )
+
+
+@query(
+    "q_percentile_disc",
+    oracle="""
+    WITH ranked AS (
+      SELECT event_type, value,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY value, event_id) AS rn,
+             COUNT(*) OVER (PARTITION BY event_type) AS n
+      FROM events
+    )
+    SELECT event_type,
+           ROUND(MIN(CASE WHEN rn = CAST(CEIL(0.5 * n) AS BIGINT)
+                          THEN value END), 2) AS p50_disc,
+           ROUND(MIN(CASE WHEN rn = CAST(CEIL(0.9 * n) AS BIGINT)
+                          THEN value END), 2) AS p90_disc,
+           MIN(n) AS n
+    FROM ranked GROUP BY event_type
+    """,
+)
+def q_percentile_disc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DISCRETE percentiles (type-1 quantile): the value at row
+    ceil(p·n) of the sorted group — always an actual data point, never
+    an interpolation (the right choice for latency SLOs and any column
+    where "a value that never occurred" is meaningless). Engine quantile
+    functions disagree on discrete definitions, so both sides spell the
+    SAME row-pick formula: rank over a total order, select rank
+    ceil(p·n) — integer arithmetic end to end, value reported as-is."""
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    wn = Window.partitionBy("event_type")
+    ranked = load(spark, sf_dir, "events").select(
+        "event_type", "value",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(wn).alias("n"),
+    )
+    pick = lambda p: F.round(  # noqa: E731
+        F.min(
+            F.when(
+                F.col("rn") == F.ceil(F.lit(p) * F.col("n")).cast("long"),
+                F.col("value"),
+            )
+        ), 2,
+    )
+    return ranked.groupBy("event_type").agg(
+        pick(0.5).alias("p50_disc"),
+        pick(0.9).alias("p90_disc"),
+        F.min("n").alias("n"),
+    )

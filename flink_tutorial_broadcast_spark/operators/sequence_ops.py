@@ -25,7 +25,7 @@ Scale notes:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from flink_tutorial_broadcast_spark.io import load
@@ -277,3 +277,80 @@ def q_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (ev.groupBy("user_id")
             .agg(F.round(fold, 4).alias("ewma")))
+
+
+@query(
+    "q_local_maxima",
+    oracle="""
+    WITH s AS (
+      SELECT user_id, event_id, value,
+             lag(value)  OVER w AS pv,
+             lead(value) OVER w AS nv
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT user_id, event_id, ROUND(value, 2) AS value
+    FROM s WHERE pv IS NOT NULL AND nv IS NOT NULL
+      AND value > pv AND value > nv
+    """,
+)
+def q_local_maxima(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local-extremum detection: events whose value strictly exceeds
+    both temporal neighbors in the user's series — peak detection, the
+    primitive under spike alerting and turning-point features. lag and
+    lead share one window sort; series endpoints are excluded on both
+    engines (no one-sided peaks)."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    s = load(spark, sf_dir, "events").select(
+        "user_id", "event_id", "value",
+        F.lag("value").over(w).alias("pv"),
+        F.lead("value").over(w).alias("nv"),
+    )
+    return (
+        s.filter(
+            F.col("pv").isNotNull() & F.col("nv").isNotNull()
+            & (F.col("value") > F.col("pv"))
+            & (F.col("value") > F.col("nv"))
+        )
+        .select("user_id", "event_id", F.round("value", 2).alias("value"))
+    )
+
+
+@query(
+    "q_activity_streaks",
+    oracle="""
+    WITH du AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+    ), grp AS (
+      SELECT user_id, d,
+             d - CAST(row_number() OVER (PARTITION BY user_id ORDER BY d)
+                      AS INT) AS island
+      FROM du
+    ), streaks AS (
+      SELECT user_id, island, COUNT(*) AS len FROM grp
+      GROUP BY user_id, island
+    )
+    SELECT user_id, MAX(len) AS longest_streak,
+           COUNT(*) AS n_streaks
+    FROM streaks GROUP BY user_id
+    """,
+)
+def q_activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest consecutive-day activity streak per user — the
+    gaps-and-islands classic: on distinct active days, (day −
+    row_number) is constant exactly within a run of consecutive days,
+    so grouping by that difference splits streaks without any
+    self-join. One user-keyed dedup + one window + two tiny aggregates.
+    """
+    ev = load(spark, sf_dir, "events")
+    du = ev.select("user_id", F.to_date("ts").alias("d")).distinct()
+    w = Window.partitionBy("user_id").orderBy("d")
+    grp = du.withColumn(
+        "island", F.date_sub("d", F.row_number().over(w))
+    )
+    streaks = grp.groupBy("user_id", "island").agg(
+        F.count("*").alias("len"))
+    return streaks.groupBy("user_id").agg(
+        F.max("len").alias("longest_streak"),
+        F.count("*").alias("n_streaks"),
+    )

@@ -526,3 +526,39 @@ def test_stickiness_ratio_bounds(spark, queries):
     for r in rows:
         assert r.dau <= r.mau
         assert 0 < r.stickiness_ppm <= 1_000_000
+
+
+def test_percentile_disc_values_are_actual_data_points(spark, queries):
+    rows = queries["q_percentile_disc"](spark, SF_SMOKE).collect()
+    ev = load(spark, SF_SMOKE, "events")
+    for r in rows:
+        for v in (r.p50_disc, r.p90_disc):
+            assert ev.filter(
+                (F.col("event_type") == r.event_type)
+                & (F.round("value", 2) == v)
+            ).count() > 0, f"{v} is not an observed value"
+        assert r.p50_disc <= r.p90_disc
+
+
+def test_local_maxima_really_dominate_neighbors(spark, queries):
+    out = queries["q_local_maxima"](spark, SF_SMOKE)
+    n = out.count()
+    ev_n = load(spark, SF_SMOKE, "events").count()
+    # strict peaks are a minority of any non-monotone series
+    assert 0 < n < ev_n / 2
+
+
+def test_activity_streaks_bounded_by_active_days(spark, queries):
+    rows = {r.user_id: r for r in
+            queries["q_activity_streaks"](spark, SF_SMOKE).collect()}
+    du = (
+        load(spark, SF_SMOKE, "events")
+        .select("user_id", F.to_date("ts").alias("d")).distinct()
+        .groupBy("user_id").agg(F.count("*").alias("n_days")).collect()
+    )
+    for r in du:
+        s = rows[r.user_id]
+        assert 1 <= s.longest_streak <= r.n_days
+        assert s.n_streaks >= 1
+        # streak lengths sum to active days: longest <= days - (n_streaks-1)
+        assert s.longest_streak <= r.n_days - (s.n_streaks - 1)
