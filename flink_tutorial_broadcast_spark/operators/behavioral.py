@@ -646,3 +646,138 @@ def q_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("long").alias("stickiness_ppm"),
         )
     )
+
+
+@query(
+    "q_cycle_time",
+    oracle="""
+    WITH ct AS (
+      SELECT o.o_orderkey,
+             datediff('day', CAST(o.o_orderdate AS DATE),
+                      MAX(CAST(l.l_shipdate AS DATE))) AS days
+      FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      GROUP BY o.o_orderkey, o.o_orderdate
+    )
+    SELECT CAST(FLOOR(days / 7) AS INT) AS week_bucket,
+           COUNT(*) AS n_orders,
+           MIN(days) AS min_days, MAX(days) AS max_days
+    FROM ct GROUP BY 1
+    """,
+)
+def q_cycle_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order cycle-time distribution: days from order placement to the
+    LAST shipment, bucketed by week — the fulfillment-latency histogram
+    behind every operations SLA. Integer day arithmetic end to end; one
+    orderkey aggregate then a bounded bucket aggregate."""
+    o = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    ct = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(F.max(F.to_date("l_shipdate")).alias("shipped"))
+        .select(
+            F.datediff("shipped", F.to_date("o_orderdate")).alias("days")
+        )
+    )
+    return ct.groupBy(
+        F.floor(F.col("days") / 7).cast("int").alias("week_bucket")
+    ).agg(
+        F.count("*").alias("n_orders"),
+        F.min("days").alias("min_days"),
+        F.max("days").alias("max_days"),
+    )
+
+
+@query(
+    "q_gini",
+    oracle="""
+    WITH c AS (
+      SELECT o_custkey,
+             SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS cents
+      FROM orders GROUP BY o_custkey
+    ), ranked AS (
+      SELECT cents,
+             row_number() OVER (ORDER BY cents, o_custkey) AS rk,
+             COUNT(*) OVER () AS n,
+             SUM(cents) OVER () AS tot
+      FROM c
+    )
+    SELECT MIN(n) AS n_customers,
+           ROUND((2.0 * SUM(rk * cents)) / (MIN(n) * MIN(tot))
+                 - (MIN(n) + 1.0) / MIN(n), 6) AS gini
+    FROM ranked
+    """,
+)
+def q_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of revenue concentration across customers — the
+    one-number inequality summary next to the Pareto/ABC report (0 =
+    everyone equal, →1 = one whale). Revenue is integer cents and ranks
+    are integers (unique tiebreak on custkey), so Σ(rank·cents) is exact
+    int64; floats appear only in the final closed-form ratio, computed
+    from identical integers on both engines."""
+    o = load(spark, sf_dir, "orders")
+    c = o.groupBy("o_custkey").agg(
+        F.sum(F.floor(F.col("o_totalprice") * 100).cast("long"))
+        .alias("cents")
+    )
+    wr = Window.orderBy("cents", "o_custkey")
+    wall = Window.partitionBy()
+    ranked = c.select(
+        "cents",
+        F.row_number().over(wr).alias("rk"),
+        F.count("*").over(wall).alias("n"),
+        F.sum("cents").over(wall).alias("tot"),
+    )
+    return ranked.agg(
+        F.min("n").alias("n_customers"),
+        F.round(
+            (2.0 * F.sum(F.col("rk") * F.col("cents")))
+            / (F.min("n") * F.min("tot"))
+            - (F.min("n") + 1.0) / F.min("n"),
+            6,
+        ).alias("gini"),
+    )
+
+
+@query(
+    "q_ab_lift",
+    oracle="""
+    WITH assign AS (
+      SELECT user_id,
+             CASE WHEN substr(md5(CAST(user_id AS VARCHAR)), 1, 1) < '8'
+                    THEN 'A' ELSE 'B' END AS arm,
+             MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+               AS converted
+      FROM events GROUP BY user_id
+    )
+    SELECT arm, COUNT(*) AS n_users, SUM(converted) AS n_converted,
+           CAST(FLOOR(SUM(converted) * 1000000.0 / COUNT(*)) AS BIGINT)
+             AS cvr_ppm
+    FROM assign GROUP BY arm
+    """,
+)
+def q_ab_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B experiment readout: users assigned to arms by md5 hash
+    (deterministic, the same seed-free idiom as the dataset split),
+    conversion = any purchase, per-arm conversion rate in integer ppm.
+    The assignment-at-analysis-time shape is what you run when the
+    experiment system didn't log exposures — hash assignment is
+    reproducible post-hoc. One user-level aggregate, then two rows."""
+    ev = load(spark, sf_dir, "events")
+    assign = ev.groupBy("user_id").agg(
+        F.max(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("converted")
+    ).withColumn(
+        "arm",
+        F.when(
+            F.substring(F.md5(F.col("user_id").cast("string")), 1, 1) < "8",
+            "A",
+        ).otherwise("B"),
+    )
+    return assign.groupBy("arm").agg(
+        F.count("*").alias("n_users"),
+        F.sum("converted").alias("n_converted"),
+        F.floor(F.sum("converted") * 1000000.0 / F.count("*"))
+        .cast("long").alias("cvr_ppm"),
+    )

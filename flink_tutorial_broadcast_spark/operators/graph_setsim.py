@@ -178,3 +178,67 @@ def q_setsim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_a", "doc_b",
         F.expr("(1000000 * i) div (na + nb - i)").alias("jacc_ppm"),
     )
+
+
+@query(
+    "q_market_basket",
+    oracle="""
+    WITH baskets AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ), n_orders AS (
+      SELECT COUNT(DISTINCT l_orderkey) AS n FROM baskets
+    ), item AS (
+      SELECT l_partkey, COUNT(*) AS n_item FROM baskets GROUP BY 1
+    ), pairs AS (
+      SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+             COUNT(*) AS n_both
+      FROM baskets a JOIN baskets b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2
+      HAVING COUNT(*) >= 3
+    )
+    SELECT p.part_a, p.part_b, p.n_both,
+           CAST(FLOOR(p.n_both * 1000000.0 / o.n) AS BIGINT)
+             AS support_ppm,
+           CAST(FLOOR(p.n_both * 1000000.0 / ia.n_item) AS BIGINT)
+             AS confidence_a_to_b_ppm
+    FROM pairs p CROSS JOIN n_orders o
+    JOIN item ia ON ia.l_partkey = p.part_a
+    """,
+)
+def q_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association pairs: parts co-purchased in the same
+    order, with support (pair frequency over all orders) and confidence
+    (P(b|a)) as integer ppm — the frequent-itemset primitive behind
+    recommendation rules, min-support 3 pruning the long tail. The
+    per-order self-join is bounded by basket size (≤7 lines here, pairs
+    = O(k²) per order); both ratio denominators broadcast back. All
+    counts integer; ratios FLOOR'd ppm."""
+    li = load(spark, sf_dir, "lineitem")
+    baskets = li.select("l_orderkey", "l_partkey").distinct()
+    n_orders = baskets.agg(
+        F.countDistinct("l_orderkey").alias("n_orders"))
+    item = baskets.groupBy("l_partkey").agg(F.count("*").alias("n_item"))
+    a = baskets.select(F.col("l_orderkey").alias("ok"),
+                       F.col("l_partkey").alias("part_a"))
+    b = baskets.select(F.col("l_orderkey").alias("ok2"),
+                       F.col("l_partkey").alias("part_b"))
+    pairs = (
+        a.join(b, (a.ok == b.ok2) & (a.part_a < b.part_b))
+        .groupBy("part_a", "part_b")
+        .agg(F.count("*").alias("n_both"))
+        .filter(F.col("n_both") >= 3)
+    )
+    ia = item.select(F.col("l_partkey").alias("part_a"),
+                     F.col("n_item").alias("n_a"))
+    return (
+        pairs.join(F.broadcast(ia), "part_a")
+        .crossJoin(F.broadcast(n_orders))
+        .select(
+            "part_a", "part_b", "n_both",
+            F.floor(F.col("n_both") * 1000000.0 / F.col("n_orders"))
+            .cast("long").alias("support_ppm"),
+            F.floor(F.col("n_both") * 1000000.0 / F.col("n_a"))
+            .cast("long").alias("confidence_a_to_b_ppm"),
+        )
+    )

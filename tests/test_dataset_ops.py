@@ -562,3 +562,42 @@ def test_activity_streaks_bounded_by_active_days(spark, queries):
         assert s.n_streaks >= 1
         # streak lengths sum to active days: longest <= days - (n_streaks-1)
         assert s.longest_streak <= r.n_days - (s.n_streaks - 1)
+
+
+def test_gini_in_unit_interval(spark, queries):
+    r = queries["q_gini"](spark, SF_SMOKE).first()
+    assert 0.0 <= r.gini <= 1.0
+    assert r.n_customers > 0
+
+
+def test_ab_lift_covers_all_users(spark, queries):
+    rows = {r.arm: r for r in queries["q_ab_lift"](spark, SF_SMOKE).collect()}
+    assert set(rows) == {"A", "B"}
+    n_users = (
+        load(spark, SF_SMOKE, "events").select("user_id").distinct().count()
+    )
+    assert rows["A"].n_users + rows["B"].n_users == n_users
+    for r in rows.values():
+        assert 0 <= r.n_converted <= r.n_users
+        assert 0 <= r.cvr_ppm <= 1_000_000
+
+
+def test_market_basket_confidence_dominates_support(spark, queries):
+    rows = queries["q_market_basket"](spark, SF_SMOKE).collect()
+    for r in rows:
+        assert r.n_both >= 3
+        assert r.part_a < r.part_b
+        # confidence = n_both/n_a >= support = n_both/n_orders (n_a <= orders)
+        assert r.confidence_a_to_b_ppm >= r.support_ppm
+
+
+def test_cycle_time_accounts_for_every_order(spark, queries):
+    rows = queries["q_cycle_time"](spark, SF_SMOKE).collect()
+    # synthetic fixture dates aren't TPC-H-constrained: ship can precede
+    # order, so buckets may be negative — only conservation is invariant
+    assert all(r.min_days <= r.max_days for r in rows)
+    n_orders_with_lines = (
+        load(spark, SF_SMOKE, "lineitem").select("l_orderkey")
+        .distinct().count()
+    )
+    assert sum(r.n_orders for r in rows) == n_orders_with_lines
