@@ -29,6 +29,10 @@ FLOAT_SENSITIVE = [
     "q_resample_interp",
     "q_ewma",
     "q_mad_outliers",
+    "q_gini",
+    "q_weighted_median",
+    "q_rolling_median",
+    "q_winsorize",
 ]
 
 
