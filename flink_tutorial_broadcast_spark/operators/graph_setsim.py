@@ -99,9 +99,14 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q_setsim_join",
     oracle="""
-    WITH toks AS (
-      SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok
-      FROM documents
+    WITH w AS (
+      SELECT doc_id, string_split(text, ' ') AS wl FROM documents
+      WHERE len(string_split(text, ' ')) >= 2
+    ), toks AS (
+      SELECT doc_id,
+             unnest(list_distinct(list_transform(range(1, len(wl)),
+                    i -> wl[i] || '_' || wl[i + 1]))) AS tok
+      FROM w
     ), sizes AS (
       SELECT doc_id, COUNT(*) AS n FROM toks GROUP BY doc_id
     ), pairs AS (
@@ -119,9 +124,14 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_setsim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact set-similarity self-join (token-set Jaccard ≥ 0.6) with
-    AllPairs/PPJoin prefix filtering — the scale path for exact near-dup
-    that needs no LSH and loses no pairs.
+    """Exact set-similarity self-join (bigram-shingle Jaccard ≥ 0.6)
+    with AllPairs/PPJoin prefix + length + positional filtering — the
+    scale path for exact near-dup that needs no LSH and loses no pairs.
+    Sets are 2-gram shingles, not unigrams: order-sensitive (the right
+    near-dup signal) and high-cardinality, which is what makes prefix
+    filtering effective — the fixture's 31-word vocabulary makes
+    unigram sets degenerate (nearly every doc pair passes τ, measured
+    7.1M result pairs at sf0.1, quadratic by construction).
 
     Candidate generation: tokens are globally ordered by (document
     frequency, token); a size-n set can only match a τ=0.6 partner
@@ -134,8 +144,16 @@ def q_setsim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     d = (
         load(spark, sf_dir, "documents")
-        .select("doc_id",
-                F.array_distinct(F.split("text", " ")).alias("toks"))
+        .select("doc_id", F.split("text", " ").alias("wl"))
+        .filter(F.size("wl") >= 2)
+        .select(
+            "doc_id",
+            F.expr(
+                "array_distinct(transform(sequence(1, size(wl) - 1), "
+                "i -> concat(element_at(wl, i), '_', "
+                "element_at(wl, i + 1))))"
+            ).alias("toks"),
+        )
     )
     tok = d.select("doc_id", F.explode("toks").alias("tok"))
     dfreq = tok.groupBy("tok").agg(F.count("*").alias("df"))
@@ -148,16 +166,36 @@ def q_setsim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(
             "doc_id",
-            F.explode(
+            F.col("n"),
+            F.posexplode(
                 F.expr("slice(transform(ord, x -> x.tok), 1, "
                        "CAST(n - ((6 * n + 9) div 10) + 1 AS INT))")
-            ).alias("tok"),
+            ).alias("pos", "tok"),  # pos 0-based within the FULL order
         )
     )
+    pa, pb = prefix.alias("pa"), prefix.alias("pb")
+    # PPJoin pruning on the candidate stream, BEFORE the distinct+verify:
+    # (1) length filter: J>=0.6 forces 10*min(n) >= 6*max(n);
+    # (2) positional filter: tokens shared by a qualifying pair all sit
+    #     at-or-after this occurrence in both orders, so the intersection
+    #     is bounded by 1+min(remaining) — prune when even that bound
+    #     misses minreq = ceil(0.6/1.6*(na+nb)) = (3(na+nb)+7) div 8.
+    # Both are ANY-pass per pair (the first shared prefix token carries
+    # the loosest bound), so no qualifying pair is lost.
     cand = (
-        prefix.alias("pa")
-        .join(prefix.alias("pb"), "tok")
+        pa.join(pb, "tok")
         .filter(F.col("pa.doc_id") < F.col("pb.doc_id"))
+        .filter(
+            F.least(F.col("pa.n"), F.col("pb.n")) * 10
+            >= F.greatest(F.col("pa.n"), F.col("pb.n")) * 6
+        )
+        .filter(
+            1 + F.least(
+                F.col("pa.n") - F.col("pa.pos") - 1,
+                F.col("pb.n") - F.col("pb.pos") - 1,
+            )
+            >= F.expr("(3 * (pa.n + pb.n) + 7) div 8")
+        )
         .select(F.col("pa.doc_id").alias("doc_a"),
                 F.col("pb.doc_id").alias("doc_b"))
         .distinct()

@@ -73,8 +73,15 @@ def test_triangles_are_ordered_and_really_closed(spark, queries):
 def test_setsim_prefix_filter_is_lossless_vs_naive(spark, queries):
     """The prefix-filtered join returns EXACTLY the naive all-pairs result."""
     df = queries["q_setsim_join"](spark, SF_SMOKE).cache()
-    d = (load(spark, SF_SMOKE, "documents")
-         .select("doc_id", F.array_distinct(F.split("text", " ")).alias("t")))
+    d = (
+        load(spark, SF_SMOKE, "documents")
+        .select("doc_id", F.split("text", " ").alias("wl"))
+        .filter(F.size("wl") >= 2)
+        .select("doc_id", F.expr(
+            "array_distinct(transform(sequence(1, size(wl) - 1), "
+            "i -> concat(element_at(wl, i), '_', element_at(wl, i + 1))))"
+        ).alias("t"))
+    )
     a = d.select(F.col("doc_id").alias("doc_a"), F.col("t").alias("ta"))
     b = d.select(F.col("doc_id").alias("doc_b"), F.col("t").alias("tb"))
     naive = (
