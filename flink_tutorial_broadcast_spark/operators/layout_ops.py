@@ -383,3 +383,32 @@ def q_dim_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_chars").alias("chars"),
         )
     )
+
+
+@query(
+    "q_join_shuffle_hash",
+    oracle="""
+    SELECT c.c_mktsegment, COUNT(*) AS n,
+           ROUND(SUM(o.o_totalprice), 2) AS sum_price
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_mktsegment
+    """,
+)
+def q_join_shuffle_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-strategy control surface: the SHUFFLE_HASH hint pins a
+    ShuffledHashJoin — no sort on either side, build a hash table per
+    partition from the smaller side. The right call when both sides are
+    too big to broadcast but the build side fits per-partition memory
+    and the output needn't be sort-ordered: skips SMJ's two sorts. Same
+    rows as the unhinted join (the oracle); the plan shape is the point
+    (asserted in tests)."""
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    return (
+        o.join(c.hint("shuffle_hash"), o.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+        )
+    )

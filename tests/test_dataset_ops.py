@@ -601,3 +601,10 @@ def test_cycle_time_accounts_for_every_order(spark, queries):
         .distinct().count()
     )
     assert sum(r.n_orders for r in rows) == n_orders_with_lines
+
+
+def test_shuffle_hash_hint_pins_plan(spark, queries):
+    df = queries["q_join_shuffle_hash"](spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "ShuffledHashJoin" in plan
+    assert "SortMergeJoin" not in plan
