@@ -130,3 +130,36 @@ def q_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
         signed.groupBy("vec_id", "out_dim")
         .agg(F.round(F.sum("sv") / 8.0, 4).alias("y"))
     )
+
+
+@query(
+    "q_dedup_vectors",
+    oracle="""
+    WITH g AS (
+      SELECT MIN(vec_id) AS keeper, COUNT(*) AS n
+      FROM embeddings GROUP BY embedding
+    )
+    SELECT COUNT(*) AS n_unique_vectors,
+           CAST(SUM(n - 1) AS BIGINT) AS n_exact_dupes,
+           SUM(keeper) AS keeper_checksum
+    FROM g
+    """,
+)
+def q_dedup_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact vector dedup: GROUP BY the embedding ARRAY itself —
+    byte-identical float32 vectors collapse to one keeper (min vec_id).
+    Proves the engine's complex-type grouping path (array columns as
+    hash-aggregate keys, no serialization detour) — the cheapest dedup
+    tier for embedding stores, run before any approximate near-dup. At
+    100 TB, group instead by xxhash64 of the vector bytes first and
+    verify within hash buckets (same two-tier shape as exact text
+    dedup)."""
+    e = load(spark, sf_dir, "embeddings")
+    g = e.groupBy("embedding").agg(
+        F.min("vec_id").alias("keeper"), F.count("*").alias("n")
+    )
+    return g.agg(
+        F.count("*").alias("n_unique_vectors"),
+        F.sum(F.col("n") - 1).cast("long").alias("n_exact_dupes"),
+        F.sum("keeper").alias("keeper_checksum"),
+    )
