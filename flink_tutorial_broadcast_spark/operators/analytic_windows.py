@@ -231,3 +231,40 @@ def q_share_of_total(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(F.col("revenue") * 1000000 / F.sum("revenue").over(w))
         .cast("long").alias("share_ppm"),
     )
+
+
+@query(
+    "q_topn_with_ties",
+    oracle="""
+    SELECT c_mktsegment AS segment, c_custkey,
+           ROUND(c_acctbal, 2) AS acctbal, rnk
+    FROM (
+      SELECT c_mktsegment, c_custkey, c_acctbal,
+             rank() OVER (PARTITION BY c_mktsegment
+                          ORDER BY ROUND(c_acctbal, 2) DESC) AS rnk
+      FROM customer
+    )
+    WHERE rnk <= 3
+    """,
+)
+def q_topn_with_ties(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-N WITH TIES (rank() ≤ 3, vs q_topk_per_group's row_number):
+    every customer tied at a podium balance is kept, so group result
+    sizes vary — the SQL:2008 FETCH WITH TIES semantics. Ranking on the
+    ROUNDED balance makes tie groups themselves deterministic across
+    engines (raw float ties are engine-stable here, but the rounded key
+    removes any doubt and creates real ties to exercise the semantics).
+    """
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.round("c_acctbal", 2).desc()
+    )
+    return (
+        load(spark, sf_dir, "customer")
+        .select(
+            F.col("c_mktsegment").alias("segment"),
+            "c_custkey",
+            F.round("c_acctbal", 2).alias("acctbal"),
+            F.rank().over(w).alias("rnk"),
+        )
+        .filter(F.col("rnk") <= 3)
+    )

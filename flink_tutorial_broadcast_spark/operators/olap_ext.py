@@ -397,3 +397,58 @@ def q_allocate_proration(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("alloc_cents"),
         )
     )
+
+
+@query(
+    "q_quartile_banding",
+    oracle="""
+    WITH cuts AS (
+      SELECT c_mktsegment AS segment,
+             quantile_cont(o_totalprice, 0.25) AS q1,
+             quantile_cont(o_totalprice, 0.50) AS q2,
+             quantile_cont(o_totalprice, 0.75) AS q3
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      GROUP BY 1
+    )
+    SELECT cuts.segment,
+           CASE WHEN o.o_totalprice <= cuts.q1 THEN 'Q1'
+                WHEN o.o_totalprice <= cuts.q2 THEN 'Q2'
+                WHEN o.o_totalprice <= cuts.q3 THEN 'Q3'
+                ELSE 'Q4' END AS band,
+           COUNT(*) AS n,
+           ROUND(SUM(o.o_totalprice), 2) AS band_total
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN cuts ON cuts.segment = c.c_mktsegment
+    GROUP BY 1, 2
+    """,
+)
+def q_quartile_banding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile banding: classify each order into its customer segment's
+    price quartile (group-relative binning — Q1 in BUILDING ≠ Q1 in
+    MACHINERY). Two passes: exact per-segment quartile cuts broadcast
+    back, then a CASE classifier + aggregate. Cut values are identical
+    doubles on both engines (same interpolated quantile over the same
+    floats), so band membership is deterministic. The 100 TB variant
+    swaps pass 1 for approx_percentile sketches."""
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    oc = o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+    cuts = oc.groupBy(F.col("c_mktsegment").alias("segment")).agg(
+        F.percentile("o_totalprice", F.lit(0.25)).alias("q1"),
+        F.percentile("o_totalprice", F.lit(0.50)).alias("q2"),
+        F.percentile("o_totalprice", F.lit(0.75)).alias("q3"),
+    )
+    banded = oc.join(
+        F.broadcast(cuts), oc.c_mktsegment == cuts.segment
+    ).withColumn(
+        "band",
+        F.when(F.col("o_totalprice") <= F.col("q1"), "Q1")
+        .when(F.col("o_totalprice") <= F.col("q2"), "Q2")
+        .when(F.col("o_totalprice") <= F.col("q3"), "Q3")
+        .otherwise("Q4"),
+    )
+    return banded.groupBy("segment", "band").agg(
+        F.count("*").alias("n"),
+        F.round(F.sum("o_totalprice"), 2).alias("band_total"),
+    )

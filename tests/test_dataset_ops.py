@@ -608,3 +608,28 @@ def test_shuffle_hash_hint_pins_plan(spark, queries):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "ShuffledHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_quartile_banding_partitions_each_segment(spark, queries):
+    rows = queries["q_quartile_banding"](spark, SF_SMOKE).collect()
+    by_seg = {}
+    for r in rows:
+        by_seg.setdefault(r.segment, {})[r.band] = r.n
+    o = load(spark, SF_SMOKE, "orders")
+    c = load(spark, SF_SMOKE, "customer")
+    n_orders = o.join(c, o.o_custkey == c.c_custkey).count()
+    assert sum(sum(b.values()) for b in by_seg.values()) == n_orders
+    for seg, bands in by_seg.items():
+        # quartiles: each band holds roughly a quarter (±half, small sf)
+        total = sum(bands.values())
+        for band, n in bands.items():
+            assert n <= 0.6 * total, (seg, band, n, total)
+
+
+def test_topn_with_ties_keeps_all_podium_rows(spark, queries):
+    out = queries["q_topn_with_ties"](spark, SF_SMOKE)
+    rows = out.collect()
+    assert all(1 <= r.rnk <= 3 for r in rows)
+    # with-ties: every group has AT LEAST 3 rows (row_number would cap at 3)
+    sizes = out.groupBy("segment").count().collect()
+    assert all(r["count"] >= 3 for r in sizes)
