@@ -97,17 +97,21 @@ SCHEMAS: dict[str, StructType] = {
 }
 
 
-_EVENTS_TS_IS_NANOS: dict[str, bool] = {}
+# keyed on (path, mtime, size): fixtures regenerate between rounds, and a
+# long-lived session must not serve a stale unit for a rewritten file
+_EVENTS_TS_IS_NANOS: dict[tuple[str, float, int], bool] = {}
 
 
 def _events_ts_is_nanos(path: str) -> bool:
     """True when events.ts is parquet timestamp[ns] (older fixture gens)."""
-    if path not in _EVENTS_TS_IS_NANOS:
+    st = os.stat(path)
+    key = (path, st.st_mtime, st.st_size)
+    if key not in _EVENTS_TS_IS_NANOS:
         import pyarrow.parquet as pq
 
         unit = pq.read_schema(path).field("ts").type.unit
-        _EVENTS_TS_IS_NANOS[path] = unit == "ns"
-    return _EVENTS_TS_IS_NANOS[path]
+        _EVENTS_TS_IS_NANOS[key] = unit == "ns"
+    return _EVENTS_TS_IS_NANOS[key]
 
 
 def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:

@@ -362,10 +362,17 @@ def q_join_dpp(spark: SparkSession, sf_dir: str) -> DataFrame:
             .parquet(path)
         )
     # keep the partition column a STRING (inference would make it DATE,
-    # inserting a cast that blocks the pruning-key match)
-    spark.conf.set(
-        "spark.sql.sources.partitionColumnTypeInference.enabled", "false")
-    fact = spark.read.parquet(path)
+    # inserting a cast that blocks the pruning-key match); the conf is
+    # session-wide, so restore the caller's value once the DataFrame is
+    # DEFINED — the read's schema (incl. the string partition column) is
+    # resolved eagerly at .parquet(), not at action time
+    conf_key = "spark.sql.sources.partitionColumnTypeInference.enabled"
+    prev = spark.conf.get(conf_key, "true")
+    try:
+        spark.conf.set(conf_key, "false")
+        fact = spark.read.parquet(path)
+    finally:
+        spark.conf.set(conf_key, prev)
     # the dim must carry a SELECTIVE filter for Catalyst to judge pruning
     # beneficial (a bare LocalRelation doesn't qualify): derive the 3-day
     # calendar slice from a real scan + pushed filter

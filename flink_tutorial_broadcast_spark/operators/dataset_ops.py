@@ -208,7 +208,13 @@ def q_negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer hashing (no RNG state — reproducible on any engine, any
     partitioning). The corpus size enters as a broadcast scalar; the
     part lookup is a broadcast FK join, so the anchor side never
-    shuffles."""
+    shuffles. Domain note: the fixture's p_partkey is 0-BASED and dense
+    ([0, n_parts-1], verified against the parquet), so ``h % n_parts``
+    lands on a real part for every (anchor, rank) pair and the k=3
+    guarantee holds for ALL anchors — pinned per-anchor (not just in
+    aggregate) by tests/test_dataset_ops.py. A 1-based catalog would
+    need ``1 + h % n_parts`` in BOTH the Spark expression and the
+    oracle."""
     ev = load(spark, sf_dir, "events")
     part = load(spark, sf_dir, "part")
     n_parts = part.agg(F.count("*").alias("n_parts"))

@@ -523,8 +523,15 @@ def rollup_sink_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     the production shape for 100 TB rollups: the stream only ever writes
     bounded partials (|groups| rows per batch), never updates in place,
     and the merge is associative so ANY subset of partials is a valid
-    partial view. Append-only parquet + availableNow trigger keeps it
-    exactly-once (same idempotent-sink argument as file_sink_exactly_once).
+    partial view.
+
+    Delivery: foreachBatch is AT-LEAST-ONCE — a micro-batch retried after
+    its append succeeded but before the checkpoint committed lands twice.
+    The sink is made effectively exactly-once at READ time: partials are
+    keyed by (batch_id, event_type) and a batch's partial is deterministic
+    (same input rows → identical row), so the merge first deduplicates on
+    that key and duplicated appends collapse before summation. That is the
+    standard idempotent-consumer shape for append-only partial stores.
     """
     out_dir = os.path.join(
         tempfile.mkdtemp(prefix="rollup_sink_"), "partials")
@@ -547,6 +554,8 @@ def rollup_sink_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     q.awaitTermination()
     return (
         spark.read.parquet(out_dir)
+        # collapse replayed micro-batches: one partial per (batch, group)
+        .dropDuplicates(["batch_id", "event_type"])
         .groupBy("event_type")
         .agg(
             F.sum("pn").alias("n"),

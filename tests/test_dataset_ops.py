@@ -56,6 +56,11 @@ def test_negative_sampling_three_valid_parts_per_anchor(spark, queries):
         .filter(F.col("event_type") == "purchase").count()
     )
     assert out.count() == 3 * n_anchors
+    # the k=3 guarantee is PER ANCHOR, not just in aggregate: the hash must
+    # land in p_partkey's 1-based domain for every (anchor, rank) pair
+    per_anchor = out.groupBy("event_id").count()
+    assert per_anchor.filter(F.col("count") != 3).count() == 0
+    assert per_anchor.count() == n_anchors
     # all sampled keys are real catalog parts (inner join already enforces
     # this; assert the rank domain too)
     ranks = {r.neg_rank for r in out.select("neg_rank").distinct().collect()}
