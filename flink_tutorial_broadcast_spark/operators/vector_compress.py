@@ -163,3 +163,41 @@ def q_dedup_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("n") - 1).cast("long").alias("n_exact_dupes"),
         F.sum("keeper").alias("keeper_checksum"),
     )
+
+
+@query(
+    "q_dedup_vectors_bucketed",
+    oracle="""
+    WITH g AS (
+      SELECT MIN(vec_id) AS keeper, COUNT(*) AS n
+      FROM embeddings GROUP BY embedding
+    )
+    SELECT COUNT(*) AS n_unique_vectors,
+           CAST(SUM(n - 1) AS BIGINT) AS n_exact_dupes,
+           SUM(keeper) AS keeper_checksum
+    FROM g
+    """,
+)
+def q_dedup_vectors_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-tier exact vector dedup — the 100 TB shape promised by
+    q_dedup_vectors' docstring, now a first-class operator. Tier 1
+    computes an 8-byte ``xxhash64(embedding)`` bucket; tier 2 groups by
+    (bucket, embedding), so identical vectors collapse exactly and a
+    hash COLLISION (two different vectors, same bucket) still yields
+    two distinct groups — correctness never depends on the hash being
+    injective. The aggregate comparator gets a cheap fast path: rows in
+    different buckets short-circuit on the first 8 bytes instead of
+    comparing 256-byte float arrays, and the sort/shuffle ordering keys
+    lead with the long. Oracle is the direct group-by-vector SQL; a
+    pytest case additionally pins bucket-tier ≡ direct-group row for
+    row (tests/test_vector_compress.py)."""
+    e = load(spark, sf_dir, "embeddings")
+    bucketed = e.withColumn("bucket", F.xxhash64("embedding"))
+    g = bucketed.groupBy("bucket", "embedding").agg(
+        F.min("vec_id").alias("keeper"), F.count("*").alias("n")
+    )
+    return g.agg(
+        F.count("*").alias("n_unique_vectors"),
+        F.sum(F.col("n") - 1).cast("long").alias("n_exact_dupes"),
+        F.sum("keeper").alias("keeper_checksum"),
+    )

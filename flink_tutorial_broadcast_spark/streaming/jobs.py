@@ -73,6 +73,28 @@ def sliding_window_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run_to_memory(agg, "append")
 
 
+def sliding_window_stream_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E2 in UPDATE output mode: every micro-batch emits the CURRENT
+    value of each changed (window, event_type) row instead of waiting
+    for the watermark to finalize the window (append's behavior). Late
+    rows inside the watermark horizon re-emit their window with the
+    corrected count — the Flink early-fire/ContinuousEventTimeTrigger
+    analogue, and the mode a live dashboard sink wants. The memory sink
+    then holds one row per (key, emission); the FINAL state per key is
+    the last emission, which for monotone counts is the max —
+    tests/test_streaming.py pins that this final state equals the batch
+    q_window_sliding oracle for every non-empty window, late or not."""
+    ev = stream_events(spark, sf_dir).withWatermark("ts", "10 minutes")
+    agg = (
+        ev.groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"),
+                   "event_type")
+        .agg(F.count("*").alias("n_events"))
+        .select(F.col("w.start").alias("window_start"), "event_type",
+                "n_events")
+    )
+    return _run_to_memory(agg, "update")
+
+
 def session_window_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E3 streaming session windows (30min gap) per user."""
     ev = stream_events(spark, sf_dir).withWatermark("ts", "10 minutes")
@@ -386,13 +408,22 @@ def session_close_timer_stream(spark: SparkSession, sf_dir: str,
     return _run_to_memory(closed, "append")
 
 
-def file_sink_exactly_once(spark: SparkSession, sf_dir: str) -> DataFrame:
+def file_sink_exactly_once(spark: SparkSession, sf_dir: str,
+                           replay_runs: int = 0) -> DataFrame:
     """A7 file sink + checkpoint-recovery proof (StreamingFileSink
     analogue): the same (checkpoint, output) pair is driven by TWO
     sequential bounded runs — the second run starts from the first's
     offset log, reads only the file added in between, and the committed
     output holds every input row exactly once. This is the micro-batch
     equivalent of Flink's checkpoint-based exactly-once file sink.
+
+    ``replay_runs`` drives N ADDITIONAL restarts with no new input after
+    the two ingest runs: each must replay from the committed offset log
+    and append nothing — the offset-replay semantics a Kafka-class
+    replayable log gives (docs/kafka.md maps the options 1:1); the file
+    source's offset is its listed-files log, Kafka's is (topic,
+    partition, offset). Exactly-once across crash/restart holds
+    identically for both.
     """
     import os
     import tempfile
@@ -429,6 +460,8 @@ def file_sink_exactly_once(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev.filter(F.col("event_id") > half).coalesce(1) \
       .write.mode("append").parquet(os.path.join(src, "f1"))
     run_once()
+    for _ in range(replay_runs):
+        run_once()  # no new input: must commit zero rows
     return spark.read.parquet(out)
 
 

@@ -140,6 +140,22 @@ def test_file_sink_exactly_once_across_restart(spark):
     assert got.select("event_id").distinct().count() == want.count()
 
 
+def test_file_source_replay_is_idempotent(spark):
+    """Offset-replay parity with a replayable log (Kafka-class source,
+    docs/kafka.md): restarting the SAME (checkpoint, sink) pair with NO
+    new input must replay from the committed offset and append NOTHING —
+    no duplicates, no loss. Four runs total: two ingest runs + two
+    no-new-data restarts."""
+    from flink_tutorial_broadcast_spark.io import load
+    from flink_tutorial_broadcast_spark.streaming.jobs import (
+        file_sink_exactly_once,
+    )
+    got = file_sink_exactly_once(spark, SF_SMOKE, replay_runs=2)
+    want = load(spark, SF_SMOKE, "events").count()
+    assert got.count() == want
+    assert got.select("event_id").distinct().count() == want
+
+
 def test_stateful_job_on_rocksdb_state_store(spark):
     """The state-store provider swap docs/scale.md prescribes for 100 TB
     state is a config change only: the same stateful job produces the
@@ -307,6 +323,31 @@ def test_sliding_window_stream_matches_batch(spark, queries):
              if r["window_start"] + dt.timedelta(hours=1) <= horizon
              and r["n_events"] > 0}
     assert dict(per_window) == batch
+
+
+def test_sliding_window_stream_update_mode_final_state_matches_batch(
+        spark, queries):
+    """E2 in update mode: unlike append, EVERY window emits (early fires
+    included); the final emission per (window, event_type) key must equal
+    the oracle-checked batch aggregate for all non-empty windows — late
+    rows inside the watermark horizon may re-fire a window, but its last
+    emitted count is the true total."""
+    from flink_tutorial_broadcast_spark.streaming.jobs import (
+        sliding_window_stream_update,
+    )
+    final = {}
+    for r in sliding_window_stream_update(spark, SF_SMOKE).collect():
+        key = (r["window_start"], r["event_type"])
+        # counts are monotone across re-fires: max == last emission
+        final[key] = max(final.get(key, 0), r["n_events"])
+    per_window = {}
+    for (ws, _), n in final.items():
+        per_window[ws] = per_window.get(ws, 0) + n
+    batch = {r["window_start"]: r["n_events"]
+             for r in queries["q_window_sliding"](spark, SF_SMOKE)
+             .select("window_start", "n_events").collect()
+             if r["n_events"] > 0}
+    assert per_window == batch
 
 
 def test_outer_join_stream_null_extends_correctly(spark, queries):

@@ -59,3 +59,13 @@ def test_random_projection_preserves_norms_on_average(spark, queries):
     # exactly 16 output dims per vector
     shape = proj.groupBy("vec_id").count()
     assert shape.filter(F.col("count") != 16).count() == 0
+
+
+def test_bucketed_vector_dedup_equals_direct_group(spark, queries):
+    """Tier-1 hash bucketing must be a pure prefix: (bucket, embedding)
+    grouping yields exactly the groups of GROUP BY embedding."""
+    direct = queries["q_dedup_vectors"](spark, SF_SMOKE).collect()[0]
+    tiered = queries["q_dedup_vectors_bucketed"](spark, SF_SMOKE).collect()[0]
+    assert tiered.n_unique_vectors == direct.n_unique_vectors
+    assert tiered.n_exact_dupes == direct.n_exact_dupes
+    assert tiered.keeper_checksum == direct.keeper_checksum
