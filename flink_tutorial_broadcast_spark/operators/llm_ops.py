@@ -1146,3 +1146,181 @@ def q_dedup_snm(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return pairs.filter(F.col("dist") <= 3)
+
+
+@query(
+    "q_unigram_lm_score",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+    ),
+    vocab AS (SELECT token, COUNT(*) AS cnt FROM toks GROUP BY 1),
+    n AS (SELECT COUNT(*) AS total FROM toks)
+    SELECT t.doc_id AS doc_id, COUNT(*) AS n_tokens,
+           ROUND(AVG(ln(v.cnt) - ln(n.total)), 4) AS avg_logprob
+    FROM toks t JOIN vocab v USING (token) CROSS JOIN n
+    GROUP BY 1
+    """,
+)
+def q_unigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K4+ unigram language-model scoring — the CCNet-style quality
+    signal: train a unigram LM on the corpus itself (token → ln p) and
+    score each document by its mean token log-probability (a monotone
+    transform of perplexity). Low scorers are boilerplate/garbage, high
+    scorers are stereotyped text; both tails get filtered or
+    down-weighted in training-data curation.
+
+    Plan: one tokenize scan feeds BOTH the vocab aggregate and the
+    scoring join (Catalyst reuses the exchange); the corpus total enters
+    as a broadcast 1-row aggregate, so ln(total) is a literal-like
+    column, never a driver-side collect. The scoring join is token-keyed
+    (same shuffle family as q_tfidf). At 100 TB the vocab is
+    Zipf-bounded: broadcast the head (covers ~95 % of token mass) and
+    shuffle-join only the rare tail — same two-tier shape as the dedup
+    family."""
+    toks = (
+        load(spark, sf_dir, "documents")
+        .select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+    )
+    vocab = toks.groupBy("token").agg(F.count("*").alias("cnt"))
+    total = toks.agg(F.count("*").alias("total"))
+    return (
+        toks.join(vocab, "token")
+        .crossJoin(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.round(F.avg(F.log("cnt") - F.log("total")), 4)
+            .alias("avg_logprob"),
+        )
+    )
+
+
+@query(
+    "q_vocab_coverage",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+    ),
+    vocab AS (
+      SELECT token FROM (
+        SELECT token, COUNT(*) AS cnt FROM toks GROUP BY 1
+      ) ORDER BY cnt DESC, token ASC LIMIT 1000
+    )
+    SELECT t.doc_id AS doc_id, COUNT(*) AS n_tokens,
+           CAST(SUM(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_oov,
+           ROUND(CAST(SUM(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END)
+                      AS DOUBLE) / COUNT(*), 6) AS oov_rate
+    FROM toks t LEFT JOIN vocab v ON t.token = v.token
+    GROUP BY 1
+    """,
+)
+def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-vocabulary coverage audit: fix the top-1000 corpus
+    tokens as the vocabulary (deterministic tie-break: count DESC, token
+    ASC) and measure each document's out-of-vocabulary rate — the
+    standard pre-flight check before committing a tokenizer/vocab to a
+    training run (high-OOV slices inflate token counts and degrade
+    compression). The 1000-row vocab is an F.broadcast LEFT join, so the
+    exploded fact side never shuffles for the membership test; the only
+    wide ops are the vocab top-k (tiny) and the per-doc re-aggregation,
+    which reuses the tokenize scan."""
+    toks = (
+        load(spark, sf_dir, "documents")
+        .select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+    )
+    from pyspark.sql import Window
+    vocab = (
+        toks.groupBy("token").agg(F.count("*").alias("cnt"))
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                Window.orderBy(F.col("cnt").desc(), F.col("token").asc())),
+        )
+        .filter(F.col("rk") <= 1000)
+        .select("token", F.lit(True).alias("in_vocab"))
+    )
+    return (
+        toks.join(F.broadcast(vocab), "token", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.sum(F.when(F.col("in_vocab").isNull(), 1).otherwise(0))
+            .cast("long").alias("n_oov"),
+            F.round(
+                F.sum(F.when(F.col("in_vocab").isNull(), 1).otherwise(0))
+                .cast("double") / F.count("*"), 6).alias("oov_rate"),
+        )
+    )
+
+
+@query(
+    "q_lm_quality_bucket",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+    ),
+    vocab AS (SELECT token, COUNT(*) AS cnt FROM toks GROUP BY 1),
+    n AS (SELECT COUNT(*) AS total FROM toks),
+    scored AS (
+      SELECT t.doc_id, ROUND(AVG(ln(v.cnt) - ln(n.total)), 4) AS lp
+      FROM toks t JOIN vocab v USING (token) CROSS JOIN n
+      GROUP BY 1
+    ),
+    bucketed AS (
+      SELECT d.lang, s.lp,
+             NTILE(3) OVER (PARTITION BY d.lang
+                            ORDER BY s.lp DESC, s.doc_id ASC) AS b
+      FROM scored s JOIN documents d USING (doc_id)
+    )
+    SELECT lang,
+           CASE b WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END
+             AS bucket,
+           COUNT(*) AS n_docs,
+           ROUND(AVG(lp), 4) AS avg_lp
+    FROM bucketed GROUP BY 1, 2
+    """,
+)
+def q_lm_quality_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style head/middle/tail quality partitioning: per language,
+    rank documents by unigram-LM score and cut into terciles — 'head' is
+    the most-fluent third that curation pipelines keep at full weight,
+    'tail' gets aggressively filtered. Determinism is engineered:
+    the LM score is rounded BEFORE ranking and ties break on doc_id, so
+    NTILE assigns identically on any engine/partitioning. Builds on
+    q_unigram_lm_score's plan (tokenize scan reused for vocab + scoring)
+    plus one per-lang window and a tiny final aggregate."""
+    toks = (
+        load(spark, sf_dir, "documents")
+        .select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+    )
+    vocab = toks.groupBy("token").agg(F.count("*").alias("cnt"))
+    total = toks.agg(F.count("*").alias("total"))
+    scored = (
+        toks.join(vocab, "token")
+        .crossJoin(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(F.round(F.avg(F.log("cnt") - F.log("total")), 4).alias("lp"))
+    )
+    from pyspark.sql import Window
+    docs = load(spark, sf_dir, "documents").select("doc_id", "lang")
+    bucketed = (
+        scored.join(docs, "doc_id")
+        .withColumn(
+            "b",
+            F.ntile(3).over(
+                Window.partitionBy("lang")
+                .orderBy(F.col("lp").desc(), F.col("doc_id").asc())),
+        )
+    )
+    return (
+        bucketed.groupBy(
+            "lang",
+            F.when(F.col("b") == 1, "head")
+            .when(F.col("b") == 2, "middle")
+            .otherwise("tail").alias("bucket"),
+        )
+        .agg(F.count("*").alias("n_docs"),
+             F.round(F.avg("lp"), 4).alias("avg_lp"))
+    )

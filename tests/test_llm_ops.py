@@ -182,3 +182,40 @@ def test_pagerank_mass_conserved_and_positive(spark, queries):
     # no dangling nations in the trade graph -> total mass stays 1
     assert abs(total - 1.0) < 1e-3
     assert all(r["rank"] > 0 for r in rows)
+
+
+def test_unigram_lm_score_is_negative_log_mass(spark, queries):
+    rows = queries["q_unigram_lm_score"](spark, SF_SMOKE).collect()
+    assert len(rows) > 0
+    # ln p ≤ 0 always; a token can at most be the whole corpus (p=1)
+    assert all(r.avg_logprob <= 0.0 for r in rows)
+    assert all(r.n_tokens > 0 for r in rows)
+    # token conservation vs the corpus term-frequency table
+    total = sum(r.n_tokens for r in rows)
+    tf = queries["q_token_counts"](spark, SF_SMOKE) \
+        .agg(F.sum("n_total")).collect()[0][0]
+    assert total == tf
+
+
+def test_vocab_coverage_bounds_and_conservation(spark, queries):
+    rows = queries["q_vocab_coverage"](spark, SF_SMOKE).collect()
+    assert len(rows) > 0
+    for r in rows:
+        assert 0 <= r.n_oov <= r.n_tokens
+        assert 0.0 <= r.oov_rate <= 1.0
+    tf = queries["q_token_counts"](spark, SF_SMOKE) \
+        .agg(F.sum("n_total")).collect()[0][0]
+    assert sum(r.n_tokens for r in rows) == tf
+
+
+def test_lm_quality_buckets_are_balanced_and_ordered(spark, queries):
+    rows = queries["q_lm_quality_bucket"](spark, SF_SMOKE).collect()
+    by_lang = {}
+    for r in rows:
+        by_lang.setdefault(r.lang, {})[r.bucket] = r
+    for lang, b in by_lang.items():
+        assert set(b) == {"head", "middle", "tail"}, lang
+        sizes = [b[k].n_docs for k in ("head", "middle", "tail")]
+        assert max(sizes) - min(sizes) <= 1, (lang, sizes)  # NTILE balance
+        # quality is ordered: head ≥ middle ≥ tail mean LM score
+        assert b["head"].avg_lp >= b["middle"].avg_lp >= b["tail"].avg_lp
