@@ -341,3 +341,82 @@ def q_domain_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= F.col("n_taken"))
         .select("doc_id", "source", "rn", "n_taken")
     )
+
+
+@query(
+    "q_table_reconcile",
+    oracle="""
+    WITH b AS (
+      SELECT o_orderkey,
+             o_orderkey * 31
+             + CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cs
+      FROM orders
+    ),
+    remote AS (
+      SELECT o_orderkey,
+             o_orderkey * 31
+             + CAST(ROUND((o_totalprice
+                           + CASE WHEN o_orderkey % 89 = 0 THEN 10.0
+                                  ELSE 0.0 END) * 100) AS BIGINT) AS cs
+      FROM orders WHERE o_orderkey % 97 <> 0
+    ),
+    ba AS (SELECT o_orderkey % 256 AS bucket, COUNT(*) AS n_local,
+                  SUM(cs) AS cs_local FROM b GROUP BY 1),
+    bb AS (SELECT o_orderkey % 256 AS bucket, COUNT(*) AS n_remote,
+                  SUM(cs) AS cs_remote FROM remote GROUP BY 1)
+    SELECT COALESCE(ba.bucket, bb.bucket) AS bucket,
+           COALESCE(n_local, 0) AS n_local,
+           COALESCE(n_remote, 0) AS n_remote,
+           COALESCE(cs_local, 0) - COALESCE(cs_remote, 0) AS cs_delta
+    FROM ba FULL OUTER JOIN bb ON ba.bucket = bb.bucket
+    WHERE COALESCE(n_local, 0) <> COALESCE(n_remote, 0)
+       OR COALESCE(cs_local, 0) <> COALESCE(cs_remote, 0)
+    """,
+)
+def q_table_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merkle-style anti-entropy reconciliation: compare two copies of a
+    100 TB table WITHOUT shipping rows — each side reduces to 256 bucket
+    digests (count + additive row checksum keyed by pk % buckets), and
+    only buckets whose digests disagree are emitted for row-level repair
+    (the q_snapshot_diff step, now scoped to ~1/256 of the data per bad
+    bucket). Network cost is O(buckets), not O(rows) — the replica-repair
+    shape used by Cassandra/Dynamo-class systems, expressed as two
+    partial aggregates + a tiny full-outer join. The demo's 'remote' copy
+    injects deletes (pk % 97) and in-place updates (pk % 89); the row
+    checksum is integer-exact arithmetic (key*31 + cents) so the oracle
+    matches bit-for-bit — production would use xxhash64(struct(*)) per
+    row, which is the same plan with a different leaf expression.
+    Additive (commutative) digests are what make the per-bucket SUM
+    partition-order-independent and partial+final aggregable."""
+    o = load(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    local = o.select(
+        (F.col("o_orderkey") % 256).alias("bucket"),
+        (F.col("o_orderkey") * 31 + cents).alias("cs"),
+    )
+    remote_price = F.col("o_totalprice") + F.when(
+        F.col("o_orderkey") % 89 == 0, 10.0).otherwise(0.0)
+    remote = (
+        o.filter(F.col("o_orderkey") % 97 != 0)
+        .select(
+            (F.col("o_orderkey") % 256).alias("bucket"),
+            (F.col("o_orderkey") * 31
+             + F.round(remote_price * 100).cast("long")).alias("cs"),
+        )
+    )
+    da = local.groupBy("bucket").agg(
+        F.count("*").alias("n_local"), F.sum("cs").alias("cs_local"))
+    db = remote.groupBy("bucket").agg(
+        F.count("*").alias("n_remote"), F.sum("cs").alias("cs_remote"))
+    j = da.join(db, "bucket", "full_outer")
+    return (
+        j.select(
+            "bucket",
+            F.coalesce("n_local", F.lit(0)).alias("n_local"),
+            F.coalesce("n_remote", F.lit(0)).alias("n_remote"),
+            (F.coalesce("cs_local", F.lit(0))
+             - F.coalesce("cs_remote", F.lit(0))).alias("cs_delta"),
+        )
+        .filter((F.col("n_local") != F.col("n_remote"))
+                | (F.col("cs_delta") != 0))
+    )

@@ -1324,3 +1324,71 @@ def q_lm_quality_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_docs"),
              F.round(F.avg("lp"), 4).alias("avg_lp"))
     )
+
+
+@query(
+    "q_heavy_hitters",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+    ),
+    sample_toks AS (
+      SELECT token FROM toks
+      WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < '4'
+    ),
+    st AS (SELECT COUNT(*) AS n_sample FROM sample_toks),
+    cand AS (
+      SELECT token FROM sample_toks CROSS JOIN st
+      GROUP BY token, n_sample
+      HAVING COUNT(*) >= 0.001 * n_sample
+    ),
+    total AS (SELECT COUNT(*) AS n_corpus FROM toks)
+    SELECT t.token AS token, COUNT(*) AS n_total,
+           ROUND(CAST(COUNT(*) AS DOUBLE) / total.n_corpus, 6) AS share
+    FROM toks t JOIN cand USING (token) CROSS JOIN total
+    GROUP BY t.token, total.n_corpus
+    HAVING CAST(COUNT(*) AS DOUBLE) / total.n_corpus >= 0.002
+    """,
+)
+def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy-hitter mining by sample-then-verify — the two-tier shape
+    that replaces a full-vocabulary groupBy when the key space is huge
+    (URLs, n-grams, user agents at 100 TB): tier 1 counts tokens in a
+    deterministic 25 % document sample (md5-prefix, same idiom as
+    q_dataset_split — seed-free, partition-stable) and keeps candidates
+    above HALF the final threshold (0.1 % of sample mass vs 0.2 % final
+    — the safety margin that makes a miss require 2× sample
+    under-representation); tier 2 exactly counts ONLY the candidate set
+    over the full corpus and applies the real threshold. The candidate
+    list is small by construction (≤ 1000 tokens can each hold ≥0.1 %),
+    so tier 2's semi-join is a broadcast and the full corpus never
+    shuffles on token. Oracle runs the identical two-tier algorithm, so
+    the check is exact."""
+    toks = (
+        load(spark, sf_dir, "documents")
+        .select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+    )
+    sample = toks.filter(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1) < "4"
+    )
+    n_sample = sample.agg(F.count("*").alias("n_sample"))
+    cand = (
+        sample.crossJoin(F.broadcast(n_sample))
+        .groupBy("token", "n_sample")
+        .agg(F.count("*").alias("c"))
+        .filter(F.col("c") >= 0.001 * F.col("n_sample"))
+        .select("token")
+    )
+    total = toks.agg(F.count("*").alias("n_corpus"))
+    return (
+        toks.join(F.broadcast(cand), "token")
+        .crossJoin(F.broadcast(total))
+        .groupBy("token", "n_corpus")
+        .agg(F.count("*").alias("n_total"))
+        .filter(F.col("n_total").cast("double") / F.col("n_corpus") >= 0.002)
+        .select(
+            "token", "n_total",
+            F.round(F.col("n_total").cast("double") / F.col("n_corpus"), 6)
+            .alias("share"),
+        )
+    )

@@ -118,3 +118,27 @@ def test_domain_mixture_hits_quota_or_exhausts_source(spark, queries):
     again = queries["q_domain_mixture"](spark, SF_SMOKE)
     assert df.exceptAll(again).count() == 0
     df.unpersist()
+
+
+def test_table_reconcile_flags_exactly_the_mutated_buckets(spark, queries):
+    """Every emitted bucket must contain at least one injected mutation,
+    every mutated bucket must be emitted, and the count delta per bucket
+    must equal the number of injected deletes in that bucket."""
+    out = {r.bucket: r for r in
+           queries["q_table_reconcile"](spark, SF_SMOKE).collect()}
+    o = load(spark, SF_SMOKE, "orders").select(
+        (F.col("o_orderkey") % 256).alias("bucket"),
+        (F.col("o_orderkey") % 97 == 0).alias("deleted"),
+        (F.col("o_orderkey") % 89 == 0).alias("updated"),
+    )
+    per_bucket = (o.groupBy("bucket")
+                  .agg(F.sum(F.col("deleted").cast("int")).alias("n_del"),
+                       F.sum(F.col("updated").cast("int")).alias("n_upd"))
+                  .collect())
+    mutated = {r.bucket for r in per_bucket if r.n_del or r.n_upd}
+    deletes = {r.bucket: r.n_del for r in per_bucket}
+    assert set(out) == mutated
+    for b, r in out.items():
+        assert r.n_local - r.n_remote == deletes[b]
+        # updated-only buckets still differ via the checksum digest
+        assert r.n_local != r.n_remote or r.cs_delta != 0

@@ -219,3 +219,21 @@ def test_lm_quality_buckets_are_balanced_and_ordered(spark, queries):
         assert max(sizes) - min(sizes) <= 1, (lang, sizes)  # NTILE balance
         # quality is ordered: head ≥ middle ≥ tail mean LM score
         assert b["head"].avg_lp >= b["middle"].avg_lp >= b["tail"].avg_lp
+
+
+def test_heavy_hitters_sound_and_high_recall(spark, queries):
+    out = {r.token: r for r in
+           queries["q_heavy_hitters"](spark, SF_SMOKE).collect()}
+    exact = queries["q_token_counts"](spark, SF_SMOKE)
+    n_corpus = exact.agg(F.sum("n_total")).collect()[0][0]
+    truth = {r.token: r.n_total for r in exact.collect()
+             if r.n_total / n_corpus >= 0.002}
+    # soundness: tier-2 verification is exact, so no false positives and
+    # exact counts for everything returned
+    for tok, r in out.items():
+        assert tok in truth
+        assert r.n_total == truth[tok]
+        assert r.share >= 0.002
+    # recall: the 2x sample-threshold safety margin should catch nearly
+    # all true heavy hitters on this fixture
+    assert len(out) >= 0.9 * len(truth), (len(out), len(truth))
