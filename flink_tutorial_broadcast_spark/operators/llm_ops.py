@@ -1392,3 +1392,136 @@ def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("share"),
         )
     )
+
+
+@query(
+    "q_bm25",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+    ), tf AS (
+      SELECT doc_id, token, COUNT(*) AS tf FROM toks GROUP BY 1, 2
+    ), df AS (
+      SELECT token, COUNT(DISTINCT doc_id) AS df FROM toks GROUP BY 1
+    ), dl AS (
+      SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY 1
+    ), corp AS (
+      SELECT COUNT(*) AS n_docs,
+             (SELECT AVG(CAST(dl AS DOUBLE)) FROM dl) AS avgdl
+      FROM documents
+    )
+    SELECT tf.doc_id AS doc_id, tf.token AS token, tf.tf AS tf, df.df AS df,
+           ROUND(
+             ln(1.0 + (CAST(corp.n_docs AS DOUBLE) - df.df + 0.5)
+                      / (df.df + 0.5))
+             * ((tf.tf * 2.2)
+                / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / corp.avgdl))),
+             6) AS bm25
+    FROM tf
+    JOIN df ON tf.token = df.token
+    JOIN dl ON tf.doc_id = dl.doc_id
+    CROSS JOIN corp
+    """,
+)
+def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K4 BM25 (Okapi, k1=1.2, b=0.75) — the retrieval-grade upgrade of
+    q_tfidf: term saturation (tf no longer linear) and document-length
+    normalization against the corpus average. Same plan family as tf-idf
+    — one tokenize scan feeding tf / df / dl aggregates — plus a 1-row
+    broadcast corpus dimension (n_docs, avgdl); the df and dl sides are
+    vocabulary- and doc-count-sized, ≪ the posting list, so AQE
+    broadcasts them at scale. The arithmetic is written in the identical
+    operation order on both engines, so IEEE doubles agree and the
+    oracle hash-matches at 6 decimals."""
+    toks = (
+        load(spark, sf_dir, "documents")
+        .select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+    )
+    tf = toks.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
+    df = toks.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
+    dl = toks.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    corp = (
+        load(spark, sf_dir, "documents").agg(F.count("*").alias("n_docs"))
+        .crossJoin(F.broadcast(dl.agg(
+            F.avg(F.col("dl").cast("double")).alias("avgdl"))))
+    )
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs").cast("double") - F.col("df") + 0.5)
+        / (F.col("df") + 0.5)
+    )
+    sat = (F.col("tf") * 2.2) / (
+        F.col("tf")
+        + 1.2 * (0.25 + 0.75 * F.col("dl") / F.col("avgdl"))
+    )
+    return (
+        tf.join(df, "token")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(corp))
+        .select("doc_id", "token", "tf", "df",
+                F.round(idf * sat, 6).alias("bm25"))
+    )
+
+
+@query(
+    "q_lang_confusion",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+    ), scores AS (
+      SELECT t.doc_id, markers.m_lang AS m_lang, COUNT(*) AS score
+      FROM toks t JOIN {_MARKERS_SQL} ON t.token = markers.m_token
+      GROUP BY 1, 2
+    ), ranked AS (
+      SELECT doc_id, m_lang, score,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY score DESC, m_lang) AS rn
+      FROM scores
+    ), pred AS (
+      SELECT d.doc_id, d.lang AS gold,
+             coalesce(r.m_lang, 'unknown') AS predicted
+      FROM documents d
+      LEFT JOIN ranked r ON r.doc_id = d.doc_id AND r.rn = 1
+    )
+    SELECT gold, predicted, COUNT(*) AS n,
+           ROUND(CAST(COUNT(*) AS DOUBLE)
+                 / SUM(COUNT(*)) OVER (PARTITION BY gold), 6) AS row_share
+    FROM pred GROUP BY 1, 2
+    """,
+)
+def q_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """In-engine classifier evaluation: confusion matrix of the marker
+    language-ID predictor (q_lang_id) against the fixture's gold lang
+    label, with per-gold-row shares (recall lives on the diagonal).
+    Model-eval-as-a-query is a first-class pipeline need — grading a
+    cheap classifier's drift per corpus slice without exporting data.
+    Plan: q_lang_id's broadcast-lexicon vote + one (gold, predicted)
+    aggregate and a per-gold window; output is |langs|² rows, driver-safe
+    at any scale."""
+    d = load(spark, sf_dir, "documents")
+    markers = spark.createDataFrame(
+        _LANG_MARKERS, "m_lang string, m_token string")
+    toks = d.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+    scores = (
+        toks.join(F.broadcast(markers), toks.token == markers.m_token)
+        .groupBy("doc_id", "m_lang")
+        .agg(F.count("*").alias("score"))
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), "m_lang")
+    best = (
+        scores.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", F.col("m_lang").alias("predicted"))
+    )
+    pred = (
+        d.select("doc_id", F.col("lang").alias("gold"))
+        .join(best, "doc_id", "left")
+        .withColumn("predicted", F.coalesce("predicted", F.lit("unknown")))
+    )
+    counts = pred.groupBy("gold", "predicted").agg(F.count("*").alias("n"))
+    wg = Window.partitionBy("gold")
+    return counts.select(
+        "gold", "predicted", "n",
+        F.round(F.col("n").cast("double") / F.sum("n").over(wg), 6)
+        .alias("row_share"),
+    )

@@ -327,3 +327,63 @@ def q_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(F.col("n") * 1000000.0 / F.sum("n").over(w))
         .cast("long").alias("share_ppm"),
     )
+
+
+@query(
+    "q_psi_drift",
+    oracle="""
+    WITH binned AS (
+      SELECT LEAST(9, GREATEST(0, CAST(FLOOR(value / 50.0) AS INTEGER)))
+               AS bin,
+             substr(md5(CAST(event_id AS VARCHAR)), 1, 1) < '8' AS is_a
+      FROM events
+    ),
+    counts AS (
+      SELECT bin,
+             CAST(SUM(CASE WHEN is_a THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+             CAST(SUM(CASE WHEN is_a THEN 0 ELSE 1 END) AS BIGINT) AS n_b
+      FROM binned GROUP BY 1
+    ),
+    tot AS (SELECT SUM(n_a) AS ta, SUM(n_b) AS tb FROM counts)
+    SELECT bin, n_a, n_b,
+           ROUND((CAST(n_a + 1 AS DOUBLE) / (ta + 10)
+                  - CAST(n_b + 1 AS DOUBLE) / (tb + 10))
+                 * ln((CAST(n_a + 1 AS DOUBLE) / (ta + 10))
+                      / (CAST(n_b + 1 AS DOUBLE) / (tb + 10))), 6)
+             AS psi_term
+    FROM counts CROSS JOIN tot
+    """,
+)
+def q_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index between two deterministic md5 halves
+    of events.value — the standard train/serve (or week-over-week)
+    drift monitor for feature pipelines: bin the feature on FIXED edges
+    (10 × width-50 bins, clamped — edges must never be data-dependent or
+    the two populations bin differently), Laplace-smooth (+1 per bin) so
+    empty bins stay finite, and emit each bin's signed PSI contribution;
+    Σ|psi_term| < 0.1 is the usual 'stable' gate. One scan, one 10-row
+    aggregate, totals as a broadcast 1-row dimension — nothing here
+    scales with row count except the first partial aggregate. The md5
+    split stands in for the real-world 'two snapshots' input and makes
+    the oracle exactly reproducible."""
+    ev = load(spark, sf_dir, "events")
+    binned = ev.select(
+        F.least(F.lit(9), F.greatest(F.lit(0), F.floor(
+            F.col("value") / 50.0).cast("int"))).alias("bin"),
+        (F.substring(F.md5(F.col("event_id").cast("string")), 1, 1) < "8")
+        .alias("is_a"),
+    )
+    counts = binned.groupBy("bin").agg(
+        F.sum(F.when(F.col("is_a"), 1).otherwise(0)).cast("long")
+        .alias("n_a"),
+        F.sum(F.when(F.col("is_a"), 0).otherwise(1)).cast("long")
+        .alias("n_b"),
+    )
+    tot = counts.agg(F.sum("n_a").alias("ta"), F.sum("n_b").alias("tb"))
+    pa = (F.col("n_a") + 1).cast("double") / (F.col("ta") + 10)
+    pb = (F.col("n_b") + 1).cast("double") / (F.col("tb") + 10)
+    return (
+        counts.crossJoin(F.broadcast(tot))
+        .select("bin", "n_a", "n_b",
+                F.round((pa - pb) * F.log(pa / pb), 6).alias("psi_term"))
+    )

@@ -101,3 +101,12 @@ def test_schema_evolution_null_fills_old_generation(spark, queries):
     assert df.filter((F.col("gen") == 2)
                      & F.col("c_nationkey").isNull()).count() == 0
     df.unpersist()
+
+
+def test_psi_drift_small_for_identically_distributed_halves(spark, queries):
+    rows = queries["q_psi_drift"](spark, SF_SMOKE).collect()
+    assert 1 <= len(rows) <= 10
+    n_events = load(spark, SF_SMOKE, "events").count()
+    assert sum(r.n_a + r.n_b for r in rows) == n_events
+    # both halves draw from the same distribution: PSI must read 'stable'
+    assert sum(abs(r.psi_term) for r in rows) < 0.05

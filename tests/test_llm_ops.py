@@ -6,6 +6,7 @@ from __future__ import annotations
 import pytest
 from pyspark.sql import functions as F
 
+from flink_tutorial_broadcast_spark.io import load
 from tests.conftest import SF_CHECK, SF_SMOKE
 
 
@@ -237,3 +238,27 @@ def test_heavy_hitters_sound_and_high_recall(spark, queries):
     # recall: the 2x sample-threshold safety margin should catch nearly
     # all true heavy hitters on this fixture
     assert len(out) >= 0.9 * len(truth), (len(out), len(truth))
+
+
+def test_bm25_positive_and_saturating(spark, queries):
+    import math
+    rows = queries["q_bm25"](spark, SF_SMOKE).collect()
+    assert len(rows) > 0
+    n_docs = load(spark, SF_SMOKE, "documents").count()
+    for r in rows:
+        assert r.bm25 > 0.0
+        assert 1 <= r.df <= n_docs
+        # term-frequency saturation: score can never exceed idf * (k1+1)
+        idf = math.log(1.0 + (n_docs - r.df + 0.5) / (r.df + 0.5))
+        assert r.bm25 <= idf * 2.2 + 1e-9
+
+
+def test_lang_confusion_is_a_partition_of_the_corpus(spark, queries):
+    rows = queries["q_lang_confusion"](spark, SF_SMOKE).collect()
+    n_docs = load(spark, SF_SMOKE, "documents").count()
+    assert sum(r.n for r in rows) == n_docs
+    by_gold = {}
+    for r in rows:
+        by_gold.setdefault(r.gold, []).append(r)
+    for gold, rs in by_gold.items():
+        assert abs(sum(r.row_share for r in rs) - 1.0) < 1e-4, gold
