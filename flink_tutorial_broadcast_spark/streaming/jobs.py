@@ -595,3 +595,92 @@ def rollup_sink_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("psum"), 2).alias("sum_value"),
         )
     )
+
+
+def cdc_merge_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming CDC materializer — q_cdc_apply's streaming twin and the
+    Delta-Lake `MERGE`-per-micro-batch production shape: a changelog
+    stream (op ∈ I/U/D rows) is folded into a base snapshot by a
+    foreachBatch delete-aware merge, each batch writing a NEW immutable
+    table version (copy-on-write; the poor-man's table format —
+    versioned parquet dirs with the highest version as current). The
+    merge itself is the same full-outer PK join + coalesce + anti-filter
+    as q_cdc_apply, so batch and streaming share one semantics
+    definition; `maxFilesPerTrigger=1` forces each changelog file
+    through its own micro-batch, proving multi-batch convergence.
+    Final state ≡ one-shot q_cdc_apply (pinned in
+    tests/test_streaming.py) because the U-family (pk%10, excluding
+    deletes) and the D/I families touch disjoint-or-delete-dominated
+    keys — per-key changes commute here; a real pipeline orders by
+    changelog offset within key, which micro-batch sequencing provides.
+
+    At 100 TB: copy-on-write rewrites only touched files in a real table
+    format (Delta/Iceberg data-skipping on PK ranges); the changelog
+    side of each merge is small by nature → broadcast, the base never
+    shuffles.
+    """
+    import shutil
+
+    from flink_tutorial_broadcast_spark.io import load
+
+    base = load(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
+    k = F.col("c_custkey")
+
+    root = tempfile.mkdtemp(prefix="cdc_stream_")
+    src = os.path.join(root, "changelog")
+    os.makedirs(src)
+    state = os.path.join(root, "state")
+    base.write.parquet(os.path.join(state, "v0"))
+
+    # changelog file 1: updates; file 2: deletes + inserts (same %13/%10/
+    # %17 families as q_cdc_apply, so the converged state must match it)
+    (base.filter((k % 13 != 0) & (k % 10 == 0))
+     .select(k.alias("k"), F.lit("U").alias("op"),
+             (F.col("c_acctbal") + 100.0).alias("bal"))
+     .coalesce(1).write.parquet(os.path.join(src, "c0")))
+    (base.filter(k % 13 == 0)
+     .select(k.alias("k"), F.lit("D").alias("op"),
+             F.lit(None).cast("double").alias("bal"))
+     .unionByName(
+         base.filter(k % 17 == 0)
+         .select((k + 10000000).alias("k"), F.lit("I").alias("op"),
+                 F.col("c_acctbal").alias("bal")))
+     .coalesce(1).write.parquet(os.path.join(src, "c1")))
+
+    def current_version() -> str:
+        vs = sorted(int(d[1:]) for d in os.listdir(state))
+        return os.path.join(state, f"v{vs[-1]}")
+
+    def merge(batch_df: DataFrame, batch_id: int) -> None:
+        cur = spark.read.parquet(current_version())
+        log = batch_df
+        j = cur.join(log, cur.c_custkey == log.k, "full")
+        nxt = (
+            j.filter(F.col("op").isNull() | (F.col("op") != "D"))
+            .select(
+                F.coalesce(cur.c_custkey, log.k).alias("c_custkey"),
+                F.coalesce(log.bal, cur.c_acctbal).alias("c_acctbal"),
+            )
+        )
+        # copy-on-write: land the new version, never touch the old one
+        tgt = os.path.join(state, f"v{batch_id + 1}")
+        nxt.write.mode("overwrite").parquet(tgt)
+
+    q = (
+        spark.readStream
+        .schema("k long, op string, bal double")
+        .option("recursiveFileLookup", "true")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .writeStream.foreachBatch(merge)
+        .option("checkpointLocation", checkpoint_dir())
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    out = spark.read.parquet(current_version())
+    result = out.select("c_custkey", F.round("c_acctbal", 2).alias("c_acctbal"))
+    result = result.cache()
+    result.count()  # materialize before the temp state is torn down
+    shutil.rmtree(root, ignore_errors=True)
+    return result

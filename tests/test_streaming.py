@@ -403,3 +403,12 @@ def test_rollup_sink_stream_merges_to_batch_aggregate(spark):
     for t, w in want.items():
         assert got[t].n == w.n
         assert abs(got[t].sum_value - w.sum_value) < 0.02
+
+
+def test_cdc_merge_stream_converges_to_batch_apply(spark, queries):
+    """Streaming foreachBatch MERGE over a two-file changelog must
+    converge to exactly the one-shot batch CDC apply."""
+    from flink_tutorial_broadcast_spark.streaming.jobs import cdc_merge_stream
+    got = sorted(map(tuple, cdc_merge_stream(spark, SF_SMOKE).collect()))
+    want = sorted(map(tuple, queries["q_cdc_apply"](spark, SF_SMOKE).collect()))
+    assert got == want
