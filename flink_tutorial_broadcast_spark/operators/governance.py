@@ -420,3 +420,60 @@ def q_table_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter((F.col("n_local") != F.col("n_remote"))
                 | (F.col("cs_delta") != 0))
     )
+
+
+@query(
+    "q_mixture_temperature",
+    oracle="""
+    WITH c AS (
+      SELECT source, COUNT(*) AS n_docs, SUM(n_chars) AS n_chars
+      FROM documents GROUP BY 1
+    ),
+    t AS (SELECT SUM(n_docs) AS total FROM c),
+    w AS (
+      SELECT source, n_docs, n_chars,
+             CAST(n_docs AS DOUBLE) / t.total AS p,
+             sqrt(CAST(n_docs AS DOUBLE) / t.total) AS u
+      FROM c CROSS JOIN t
+    ),
+    z AS (SELECT SUM(u) AS zsum FROM w)
+    SELECT source, n_docs,
+           ROUND(p, 6) AS p_raw,
+           ROUND(u / z.zsum, 6) AS w_temp,
+           ROUND((u / z.zsum) / p, 6) AS upsample_factor
+    FROM w CROSS JOIN z
+    """,
+)
+def q_mixture_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled mixture reweighting (τ=2, i.e. w_i ∝ p_i^(1/τ)
+    = √p_i) — the multilingual/multi-domain rebalancing rule (mT5/XLM-R
+    style): raw corpus shares are flattened toward uniform so
+    low-resource sources are seen more often than their byte share,
+    without fully equalizing. Emits per source the raw share, the
+    tempered sampling weight, and the implied upsample factor (>1 =
+    oversample). Two 1-row broadcast dimensions (corpus total,
+    normalizer Σ√p) around a |sources|-row aggregate — driver-safe at
+    any scale; composes with q_domain_mixture (which consumes a weights
+    table) and q_class_upsample (which materializes the replication)."""
+    c = (
+        load(spark, sf_dir, "documents")
+        .groupBy("source")
+        .agg(F.count("*").alias("n_docs"), F.sum("n_chars").alias("n_chars"))
+    )
+    t = c.agg(F.sum("n_docs").alias("total"))
+    w = (
+        c.crossJoin(F.broadcast(t))
+        .withColumn("p", F.col("n_docs").cast("double") / F.col("total"))
+        .withColumn("u", F.sqrt(F.col("p")))
+    )
+    z = w.agg(F.sum("u").alias("zsum"))
+    return (
+        w.crossJoin(F.broadcast(z))
+        .select(
+            "source", "n_docs",
+            F.round("p", 6).alias("p_raw"),
+            F.round(F.col("u") / F.col("zsum"), 6).alias("w_temp"),
+            F.round((F.col("u") / F.col("zsum")) / F.col("p"), 6)
+            .alias("upsample_factor"),
+        )
+    )

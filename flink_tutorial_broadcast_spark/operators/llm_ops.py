@@ -1525,3 +1525,64 @@ def q_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("n").cast("double") / F.sum("n").over(wg), 6)
         .alias("row_share"),
     )
+
+
+@query(
+    "q_hard_negatives",
+    oracle=f"""
+    WITH dbl AS (
+      SELECT vec_id, label,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+      FROM embeddings
+    ), probes AS (
+      SELECT vec_id AS p_id, label AS p_label, emb AS p_emb
+      FROM dbl WHERE vec_id < {_N_PROBES}
+    ), pairs AS (
+      SELECT p.p_id, e.vec_id, e.label,
+             list_dot_product(e.emb, p.p_emb)
+               / (sqrt(list_dot_product(e.emb, e.emb))
+                  * sqrt(list_dot_product(p.p_emb, p.p_emb))) AS cos
+      FROM probes p CROSS JOIN dbl e
+      WHERE e.label <> p.p_label
+    ), ranked AS (
+      SELECT p_id, vec_id, label, cos,
+             row_number() OVER (PARTITION BY p_id
+                                ORDER BY cos DESC, vec_id) AS rn
+      FROM pairs
+    )
+    SELECT p_id, vec_id, label AS neg_label, ROUND(cos, 6) AS cos_sim, rn
+    FROM ranked WHERE rn <= 3
+    """,
+)
+def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive hard-negative mining: for each anchor embedding, the
+    top-3 most-similar vectors carrying a DIFFERENT label — the
+    near-miss negatives that make contrastive/embedding training
+    converge (random negatives are too easy; hard negatives sit near
+    the decision boundary by construction). Same physical family as
+    q_knn_bruteforce — anchors broadcast, corpus never shuffles, cosine
+    as a codegen'd array fold, per-anchor rank-filter — with the label
+    INEQUALITY evaluated before the distance so same-class rows drop at
+    the join, not after scoring. The 100 TB path swaps the scan for the
+    IVF/LSH candidate stream exactly as q_knn_ivf does for plain kNN."""
+    emb = load(spark, sf_dir, "embeddings")
+    probes = (
+        emb.filter(F.col("vec_id") < _N_PROBES)
+        .select(F.col("vec_id").alias("p_id"),
+                F.col("label").alias("p_label"),
+                F.col("embedding").alias("p_emb"))
+    )
+    pairs = (
+        emb.crossJoin(F.broadcast(probes))
+        .filter(F.col("label") != F.col("p_label"))
+        .select("p_id", "vec_id", "label",
+                _cosine(F.col("embedding"), F.col("p_emb")).alias("cos"))
+    )
+    w = Window.partitionBy("p_id").orderBy(F.col("cos").desc(),
+                                           F.col("vec_id"))
+    return (
+        pairs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("p_id", "vec_id", F.col("label").alias("neg_label"),
+                F.round("cos", 6).alias("cos_sim"), "rn")
+    )

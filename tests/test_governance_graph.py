@@ -142,3 +142,22 @@ def test_table_reconcile_flags_exactly_the_mutated_buckets(spark, queries):
         assert r.n_local - r.n_remote == deletes[b]
         # updated-only buckets still differ via the checksum digest
         assert r.n_local != r.n_remote or r.cs_delta != 0
+
+
+def test_mixture_temperature_flattens_toward_uniform(spark, queries):
+    rows = queries["q_mixture_temperature"](spark, SF_SMOKE).collect()
+    assert len(rows) >= 2
+    assert abs(sum(r.p_raw for r in rows) - 1.0) < 1e-3
+    assert abs(sum(r.w_temp for r in rows) - 1.0) < 1e-3
+    # temperature flattening: every minority source gains weight,
+    # every majority source loses it (strictly, unless already uniform)
+    n_src = len(rows)
+    for r in rows:
+        if r.p_raw < 1.0 / n_src:
+            assert r.upsample_factor > 1.0, r.source
+        elif r.p_raw > 1.0 / n_src:
+            assert r.upsample_factor < 1.0, r.source
+    # order preserved: tempering never inverts source ranking
+    by_p = sorted(rows, key=lambda r: r.p_raw)
+    by_w = sorted(rows, key=lambda r: r.w_temp)
+    assert [r.source for r in by_p] == [r.source for r in by_w]

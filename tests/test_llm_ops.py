@@ -262,3 +262,23 @@ def test_lang_confusion_is_a_partition_of_the_corpus(spark, queries):
         by_gold.setdefault(r.gold, []).append(r)
     for gold, rs in by_gold.items():
         assert abs(sum(r.row_share for r in rs) - 1.0) < 1e-4, gold
+
+
+def test_hard_negatives_exclude_anchor_label(spark, queries):
+    out = queries["q_hard_negatives"](spark, SF_SMOKE).collect()
+    emb_label = {r.vec_id: r.label for r in
+                 load(spark, SF_SMOKE, "embeddings")
+                 .select("vec_id", "label").collect()}
+    assert len(out) > 0
+    for r in out:
+        # a hard negative must carry a different label than its anchor
+        assert emb_label[r.p_id] != r.neg_label
+        assert 1 <= r.rn <= 3
+        assert -1.0 - 1e-9 <= r.cos_sim <= 1.0 + 1e-9
+    # hard negatives score at least as high as ANY same-rank random pick:
+    # rank-1 negative similarity must dominate rank-3 for every anchor
+    by_anchor = {}
+    for r in out:
+        by_anchor.setdefault(r.p_id, {})[r.rn] = r.cos_sim
+    for p_id, ranks in by_anchor.items():
+        assert ranks[1] >= ranks.get(2, ranks[1]) >= ranks.get(3, ranks[1])
