@@ -215,6 +215,56 @@ def main() -> None:
         "sec": round(time.time() - t0, 2),
         "mrows_per_s": round(n_docs / (time.time() - t0) / 1e6, 2)}
 
+    # unigram-LM scoring (q_unigram_lm_score shape, round 2): tokenize
+    # scan shared by vocab + scoring join; rows = exploded token count
+    t0 = time.time()
+    toks = dr.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+    vocab = toks.groupBy("token").agg(F.count("*").alias("cnt"))
+    total = toks.agg(F.count("*").alias("total"))
+    (toks.join(vocab, "token").crossJoin(F.broadcast(total))
+     .groupBy("doc_id")
+     .agg(F.avg(F.log("cnt") - F.log("total")))).count()
+    n_toks = toks.count()
+    results["unigram_lm_score"] = {
+        "rows": n_toks, "sec": round(time.time() - t0, 2),
+        "mrows_per_s": round(n_toks / (time.time() - t0) / 1e6, 1)}
+
+    # sample-then-verify heavy hitters (q_heavy_hitters shape, round 2)
+    t0 = time.time()
+    sample = toks.filter(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1) < "4")
+    ns = sample.agg(F.count("*").alias("n_sample"))
+    cand_hh = (sample.crossJoin(F.broadcast(ns))
+               .groupBy("token", "n_sample").agg(F.count("*").alias("c"))
+               .filter(F.col("c") >= 0.001 * F.col("n_sample"))
+               .select("token"))
+    toks.join(F.broadcast(cand_hh), "token") \
+        .groupBy("token").agg(F.count("*")).count()
+    results["heavy_hitters"] = {
+        "rows": n_toks, "sec": round(time.time() - t0, 2),
+        "mrows_per_s": round(n_toks / (time.time() - t0) / 1e6, 1)}
+
+    # anti-entropy bucket digests (q_table_reconcile shape, round 2):
+    # both copies digested + compared; rows = 2× the table
+    t0 = time.time()
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    digest = (o.select((F.col("o_orderkey") % 4096).alias("bucket"),
+                       (F.col("o_orderkey") * 31 + cents).alias("cs"))
+              .groupBy("bucket")
+              .agg(F.count("*").alias("n"), F.sum("cs").alias("cs_sum")))
+    d2 = (o.filter(F.col("o_orderkey") % 97 != 0)
+          .select((F.col("o_orderkey") % 4096).alias("bucket"),
+                  (F.col("o_orderkey") * 31 + cents).alias("cs"))
+          .groupBy("bucket")
+          .agg(F.count("*").alias("n2"), F.sum("cs").alias("cs2")))
+    digest.join(d2, "bucket", "full_outer") \
+          .filter((F.col("n") != F.col("n2"))
+                  | (F.col("cs_sum") != F.col("cs2"))).count()
+    n_ord = o.count()
+    results["reconcile_digests"] = {
+        "rows": 2 * n_ord, "sec": round(time.time() - t0, 2),
+        "mrows_per_s": round(2 * n_ord / (time.time() - t0) / 1e6, 1)}
+
     print(json.dumps({"k": k, "results": results}))
 
 
