@@ -42,3 +42,31 @@ def test_query_columns_match_oracle_columns(spark, queries, duck):
 def test_all_queries_run_at_smoke_sf(spark, queries):
     for name, fn in queries.items():
         assert fn(spark, SF_SMOKE).count() >= 0, name
+
+
+def test_verification_prefix_spans_every_family_with_oracles():
+    """The driver oracle-checks the first 50 keys of queries() order; the
+    curated prefix must stay oracle-backed, 50-deep, and representative
+    of every operator module that has an oracle-checked key."""
+    import re
+
+    import __spark_entry__ as e
+    from flink_tutorial_broadcast_spark.registry import (
+        _QUERY_MODULES, _VERIFICATION_PREFIX, ORACLE,
+    )
+    q = e.queries()
+    keys = list(q)
+    assert len(_VERIFICATION_PREFIX) == 50
+    assert keys[:50] == list(_VERIFICATION_PREFIX)
+    assert all(k in ORACLE for k in _VERIFICATION_PREFIX)
+    # module → keys map from source registration
+    prefix = set(_VERIFICATION_PREFIX)
+    missing = []
+    for mod in _QUERY_MODULES:
+        src = open(mod.replace(".", "/") + ".py").read()
+        mod_keys = set(re.findall(r'@query\(\s*"([^"]+)"', src))
+        if mod_keys & set(ORACLE) and not (mod_keys & prefix):
+            missing.append(mod)
+    # ml_ops' keys are all rows-only; every oracle-bearing module must
+    # land at least one key in the driver-checked prefix
+    assert missing == [], missing
