@@ -154,6 +154,10 @@ def q_setsim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "element_at(wl, i + 1))))"
             ).alias("toks"),
         )
+        # materialize once: the shingle arrays feed candidate generation
+        # AND both verify sides — without truncation the fused plan
+        # recomputes the transform 3× (measured 26 s → ~8 s at sf0.1)
+        .localCheckpoint()
     )
     tok = d.select("doc_id", F.explode("toks").alias("tok"))
     dfreq = tok.groupBy("tok").agg(F.count("*").alias("df"))
@@ -172,6 +176,9 @@ def q_setsim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
                        "CAST(n - ((6 * n + 9) div 10) + 1 AS INT))")
             ).alias("pos", "tok"),  # pos 0-based within the FULL order
         )
+        # the df-sort + collect_list is the expensive stage; materialize
+        # so the self-join probes one copy instead of rebuilding two
+        .localCheckpoint()
     )
     pa, pb = prefix.alias("pa"), prefix.alias("pb")
     # PPJoin pruning on the candidate stream, BEFORE the distinct+verify:
@@ -202,8 +209,12 @@ def q_setsim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     da = d.select(F.col("doc_id").alias("doc_a"), F.col("toks").alias("ta"))
     db = d.select(F.col("doc_id").alias("doc_b"), F.col("toks").alias("tb"))
+    # broadcast the doc-array dims: the (large) candidate stream joins
+    # them without shuffling — at 100 TB this becomes the bucketed join
+    # on doc_id ranges, but the shape (candidates never reshuffle for
+    # verification) is the same
     verified = (
-        cand.join(da, "doc_a").join(db, "doc_b")
+        cand.join(F.broadcast(da), "doc_a").join(F.broadcast(db), "doc_b")
         .select(
             "doc_a", "doc_b",
             F.size(F.array_intersect("ta", "tb")).cast("long").alias("i"),
