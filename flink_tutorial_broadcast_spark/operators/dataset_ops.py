@@ -24,7 +24,7 @@ Scale notes (100 TB):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from flink_tutorial_broadcast_spark.io import load
@@ -474,5 +474,66 @@ def q_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(base.c_custkey, log.k).alias("c_custkey"),
             F.round(F.coalesce(log.bal, base.c_acctbal), 2)
             .alias("c_acctbal"),
+        )
+    )
+
+
+@query(
+    "q_epoch_shuffle",
+    oracle="""
+    WITH keyed AS (
+      SELECT doc_id,
+             md5(CAST(doc_id AS VARCHAR) || ':epoch1') AS k1,
+             md5(CAST(doc_id AS VARCHAR) || ':epoch2') AS k2
+      FROM documents
+    ),
+    pos AS (
+      SELECT doc_id,
+             row_number() OVER (ORDER BY k1, doc_id) - 1 AS pos1,
+             row_number() OVER (ORDER BY k2, doc_id) - 1 AS pos2
+      FROM keyed
+    )
+    SELECT pos1 // 64 AS shard, COUNT(*) AS n_docs,
+           SUM(doc_id) AS id_checksum,
+           CAST(SUM(CASE WHEN pos2 // 64 = pos1 // 64
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_same_shard
+    FROM pos GROUP BY 1
+    """,
+)
+def q_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic epoch reshuffling + sharding: each epoch e permutes
+    the corpus by md5(doc_id || ':epoch<e>') — seed-free, reproducible on
+    any engine/partitioning, and a DIFFERENT permutation per epoch (the
+    training-loader requirement: same data, fresh order, no RNG state to
+    checkpoint). Documents then shard into fixed 64-doc chunks by
+    position. Emits per-shard counts, an id checksum (proves the
+    partition property: every doc lands in exactly one shard), and the
+    epoch-1↔epoch-2 shard collision count — low collisions show the
+    permutations are effectively independent. At 100 TB the global
+    row_number becomes repartitionByRange(k) + per-range offsets from a
+    broadcast prefix-sum of range counts — same two-phase shape as
+    q_pack_sequences."""
+    d = load(spark, sf_dir, "documents").select("doc_id")
+    keyed = d.select(
+        "doc_id",
+        F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":epoch1")))
+        .alias("k1"),
+        F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":epoch2")))
+        .alias("k2"),
+    )
+    w1 = Window.orderBy("k1", "doc_id")
+    w2 = Window.orderBy("k2", "doc_id")
+    pos = keyed.select(
+        "doc_id",
+        (F.row_number().over(w1) - 1).alias("pos1"),
+        (F.row_number().over(w2) - 1).alias("pos2"),
+    )
+    return (
+        pos.groupBy(F.expr("pos1 div 64").alias("shard"))
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("doc_id").alias("id_checksum"),
+            F.sum(F.when(F.expr("pos2 div 64") == F.expr("pos1 div 64"), 1)
+                  .otherwise(0)).cast("long").alias("n_same_shard"),
         )
     )

@@ -638,3 +638,20 @@ def test_topn_with_ties_keeps_all_podium_rows(spark, queries):
     # with-ties: every group has AT LEAST 3 rows (row_number would cap at 3)
     sizes = out.groupBy("segment").count().collect()
     assert all(r["count"] >= 3 for r in sizes)
+
+
+def test_epoch_shuffle_partitions_and_reshuffles(spark, queries):
+    rows = queries["q_epoch_shuffle"](spark, SF_SMOKE).collect()
+    docs = load(spark, SF_SMOKE, "documents")
+    n_docs = docs.count()
+    # shards partition the corpus: counts and id-checksums conserve
+    assert sum(r.n_docs for r in rows) == n_docs
+    total_ids = docs.agg(F.sum("doc_id")).collect()[0][0]
+    assert sum(r.id_checksum for r in rows) == total_ids
+    # every shard full (64) except possibly the last
+    sizes = sorted((r.shard, r.n_docs) for r in rows)
+    assert all(n == 64 for _, n in sizes[:-1])
+    # epoch-2 is a genuinely different permutation: same-shard collisions
+    # stay near the 64/n_docs expectation, far below identity
+    same = sum(r.n_same_shard for r in rows)
+    assert same < 0.5 * n_docs, same
