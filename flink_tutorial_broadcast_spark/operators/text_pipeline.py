@@ -495,3 +495,144 @@ def q_text_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_docs"),
         F.sum(F.col("n_copies") - 1).cast("long").alias("n_dropped_dups"),
     )
+
+
+@query(
+    "q_ngram_novelty",
+    oracle="""
+    WITH docs AS (
+      SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+    ), grams AS (
+      SELECT doc_id,
+             unnest(list_distinct(list_transform(range(1, len(toks) - 1),
+                    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])))
+               AS g
+      FROM docs WHERE len(toks) >= 3
+    ), firsts AS (
+      SELECT g, MIN(doc_id) AS first_doc FROM grams GROUP BY 1
+    )
+    SELECT gr.doc_id AS doc_id, COUNT(*) AS n_grams,
+           CAST(SUM(CASE WHEN f.first_doc = gr.doc_id THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_novel,
+           ROUND(CAST(SUM(CASE WHEN f.first_doc = gr.doc_id
+                               THEN 1 ELSE 0 END) AS DOUBLE)
+                 / COUNT(*), 6) AS novelty
+    FROM grams gr JOIN firsts f ON gr.g = f.g
+    GROUP BY 1
+    """,
+)
+def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-gram novelty scoring — the curation signal for repetitive or
+    template-generated content: a document's novelty is the fraction of
+    its distinct trigrams whose FIRST corpus occurrence (min doc_id, a
+    stand-in for ingestion order) is the document itself. Boilerplate
+    re-ingests score near 0, fresh text near 1; the same statistic run
+    incrementally gates what a crawl round adds to the training pool.
+    Plan: one tokenize scan → distinct per-doc trigrams → a
+    trigram-keyed MIN aggregate (the 'first seen' index, vocabulary-
+    sized ≪ corpus) joined back on the same key — two shuffles on the
+    gram key, both partial-aggregated map-side. The re-join is
+    AQE-broadcast at real scale exactly like q_tfidf's df side."""
+    words = (
+        load(spark, sf_dir, "documents")
+        .select("doc_id", F.split("text", " ").alias("w"))
+        .filter(F.size("w") >= 3)
+    )
+    idx = F.sequence(F.lit(1), F.size("w") - 2)
+    tri = F.transform(
+        idx, lambda i: F.concat_ws(" ", F.element_at("w", i),
+                                   F.element_at("w", i + 1),
+                                   F.element_at("w", i + 2)))
+    grams = words.select(
+        "doc_id", F.explode(F.array_distinct(tri)).alias("g"))
+    firsts = grams.groupBy("g").agg(F.min("doc_id").alias("first_doc"))
+    return (
+        grams.join(firsts, "g")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.sum(F.when(F.col("first_doc") == F.col("doc_id"), 1)
+                  .otherwise(0)).cast("long").alias("n_novel"),
+            F.round(
+                F.sum(F.when(F.col("first_doc") == F.col("doc_id"), 1)
+                      .otherwise(0)).cast("double") / F.count("*"), 6)
+            .alias("novelty"),
+        )
+    )
+
+
+@query(
+    "q_filter_funnel",
+    oracle="""
+    WITH staged AS (
+      SELECT doc_id,
+             len(string_split(text, ' ')) AS n_tokens,
+             lang,
+             CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+               / len(string_split(text, ' ')) AS uniq_ratio
+      FROM documents
+    ),
+    flags AS (
+      SELECT doc_id,
+             (n_tokens >= 10)                          AS pass_len,
+             (n_tokens >= 10 AND lang <> 'unknown')    AS pass_lang,
+             (n_tokens >= 10 AND lang <> 'unknown'
+              AND uniq_ratio >= 0.3)                   AS pass_quality
+      FROM staged
+    )
+    SELECT stage, n_docs FROM (
+      SELECT 'stage0_ingested' AS stage, COUNT(*) AS n_docs, 0 AS ord
+      FROM flags
+      UNION ALL
+      SELECT 'stage1_length', CAST(SUM(CASE WHEN pass_len THEN 1 ELSE 0 END)
+                                   AS BIGINT), 1
+      FROM flags
+      UNION ALL
+      SELECT 'stage2_lang', CAST(SUM(CASE WHEN pass_lang THEN 1 ELSE 0 END)
+                                 AS BIGINT), 2
+      FROM flags
+      UNION ALL
+      SELECT 'stage3_quality',
+             CAST(SUM(CASE WHEN pass_quality THEN 1 ELSE 0 END) AS BIGINT), 3
+      FROM flags
+    ) ORDER BY ord
+    """,
+)
+def q_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curation filter funnel — the waterfall report every training-data
+    pipeline publishes: how many documents survive each successive gate
+    (length ≥ 10 tokens → known language → lexical-diversity ≥ 0.3).
+    Gates are CUMULATIVE (a doc must pass all earlier stages), so the
+    counts are monotone non-increasing and each step's drop is
+    attributable to exactly one predicate. ONE scan computes every flag
+    as a column; the funnel is a 4-row conditional aggregate — no
+    per-stage rescans, which is the difference between one pass and K
+    passes over 100 TB. Stage predicates are pure column expressions, so
+    swapping in production gates (perplexity bands, PII hits, dedup
+    survivors) keeps the plan shape identical."""
+    toks = F.split("text", " ")
+    staged = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        "lang",
+        (F.size(F.array_distinct(toks)).cast("double")
+         / F.size(toks)).alias("uniq_ratio"),
+    )
+    flags = staged.select(
+        (F.col("n_tokens") >= 10).alias("pass_len"),
+        ((F.col("n_tokens") >= 10) & (F.col("lang") != "unknown"))
+        .alias("pass_lang"),
+        ((F.col("n_tokens") >= 10) & (F.col("lang") != "unknown")
+         & (F.col("uniq_ratio") >= 0.3)).alias("pass_quality"),
+    )
+    agg = flags.agg(
+        F.count("*").alias("stage0_ingested"),
+        F.sum(F.col("pass_len").cast("long")).alias("stage1_length"),
+        F.sum(F.col("pass_lang").cast("long")).alias("stage2_lang"),
+        F.sum(F.col("pass_quality").cast("long")).alias("stage3_quality"),
+    )
+    unpivoted = agg.unpivot(
+        [], ["stage0_ingested", "stage1_length", "stage2_lang",
+             "stage3_quality"],
+        "stage", "n_docs")
+    return unpivoted.orderBy("stage")

@@ -202,3 +202,28 @@ def test_repetition_profile_detects_degenerate_doc(queries, spark):
                queries["q_repetition_profile"](spark, td).collect()}
     assert out[1].keep == 0 and out[1].dup_ppm > 900_000
     assert out[2].keep == 1 and out[2].dup_ppm == 0
+
+
+def test_ngram_novelty_first_doc_is_fully_novel(spark, queries):
+    rows = {r.doc_id: r for r in
+            queries["q_ngram_novelty"](spark, SF_SMOKE).collect()}
+    assert rows, "no docs scored"
+    # the smallest doc_id can only contain first-occurrence trigrams
+    first = min(rows)
+    assert rows[first].novelty == 1.0
+    for r in rows.values():
+        assert 0.0 <= r.novelty <= 1.0
+        assert 0 <= r.n_novel <= r.n_grams
+
+
+def test_filter_funnel_is_monotone(spark, queries):
+    rows = {r.stage: r.n_docs for r in
+            queries["q_filter_funnel"](spark, SF_SMOKE).collect()}
+    assert set(rows) == {"stage0_ingested", "stage1_length",
+                         "stage2_lang", "stage3_quality"}
+    assert (rows["stage0_ingested"] >= rows["stage1_length"]
+            >= rows["stage2_lang"] >= rows["stage3_quality"])
+    from flink_tutorial_broadcast_spark.io import load
+    assert rows["stage0_ingested"] == load(spark, SF_SMOKE,
+                                           "documents").count()
+    assert rows["stage3_quality"] > 0  # gates calibrated to the fixture
