@@ -62,3 +62,68 @@ def register(spark) -> None:
         spark.dataSource.register(RulesDataSource)
     except Exception:
         pass  # already registered on this session
+
+
+# --- Streaming form (A4's unbounded half) -----------------------------------
+# Flink's SourceFunction.run() loop with checkpointed state maps to Spark 4's
+# SimpleDataSourceStreamReader: the OFFSET ({"index": n}) is the checkpointed
+# state, read(start) emits the next deterministic slice and advances it, and
+# readBetweenOffsets(start, end) REGENERATES a committed slice on replay —
+# which is exactly the replayability contract a Kafka-class source satisfies
+# with (partition, offset) ranges (docs/kafka.md).
+
+from pyspark.sql.datasource import SimpleDataSourceStreamReader  # noqa: E402
+
+_STREAM_BATCH = 500
+_STREAM_MAX = 2000  # bounded demo horizon; production sources are unbounded
+_EVENT_TYPES = ("click", "view", "purchase", "signup", "error")
+
+
+def _synth_row(i: int) -> tuple:
+    """Deterministic event i — pure function of the offset, any replica
+    or replay regenerates it bit-identically (no RNG state)."""
+    return (
+        i,
+        i % 100,
+        _EVENT_TYPES[i % 5],
+        float((i * 37) % 500),
+    )
+
+
+class EventStreamReader(SimpleDataSourceStreamReader):
+    def initialOffset(self) -> dict:
+        return {"index": 0}
+
+    def read(self, start: dict):
+        lo = start["index"]
+        hi = min(lo + _STREAM_BATCH, _STREAM_MAX)
+        # list iterator, not a generator: the engine's prefetch cache
+        # copy.copy()s the iterator (generators aren't copyable)
+        return iter([_synth_row(i) for i in range(lo, hi)]), {"index": hi}
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        # replay path: regenerate the committed range deterministically
+        return iter([_synth_row(i)
+                     for i in range(start["index"], end["index"])])
+
+    def commit(self, end: dict) -> None:
+        pass  # nothing external to acknowledge; offsets live in the checkpoint
+
+
+class EventStreamDataSource(DataSource):
+    """`readStream.format("synthetic_events")` — custom streaming source."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "synthetic_events"
+
+    def schema(self) -> str:
+        return ("event_id long, user_id long, event_type string, "
+                "value double")
+
+    def simpleStreamReader(self, schema) -> EventStreamReader:
+        return EventStreamReader()
+
+
+def register_streaming(spark) -> None:
+    spark.dataSource.register(EventStreamDataSource)

@@ -684,3 +684,43 @@ def cdc_merge_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     result.count()  # materialize before the temp state is torn down
     shutil.rmtree(root, ignore_errors=True)
     return result
+
+
+def custom_source_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4 streaming: the custom Python Data Source's UNBOUNDED half —
+    sources/custom_source.py's EventStreamReader drives a real
+    readStream with checkpointed integer offsets; the bounded demo
+    horizon (2000 rows) lets the run terminate. Exactly-once falls out
+    of deterministic regeneration (readBetweenOffsets) + the offset log,
+    the same argument as the file source and Kafka (docs/kafka.md);
+    tests pin row-exactness against the generator formula."""
+    from flink_tutorial_broadcast_spark.sources.custom_source import (
+        _STREAM_MAX, register_streaming,
+    )
+    register_streaming(spark)
+    out = tempfile.mkdtemp(prefix="synth_out_")
+    ckpt = checkpoint_dir()
+
+    def run_once() -> None:
+        q = (
+            spark.readStream.format("synthetic_events").load()
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    # availableNow consumes one prefetched slice per run; restarting over
+    # the SAME checkpoint resumes from the committed offset — the loop IS
+    # the restart-recovery demonstration. Terminates when the bounded
+    # horizon stops the offset advancing (one extra no-op run).
+    n_prev = -1
+    while True:
+        run_once()
+        n_now = spark.read.parquet(out).count()
+        if n_now == n_prev or n_now >= _STREAM_MAX:
+            break
+        n_prev = n_now
+    return spark.read.parquet(out)

@@ -412,3 +412,21 @@ def test_cdc_merge_stream_converges_to_batch_apply(spark, queries):
     got = sorted(map(tuple, cdc_merge_stream(spark, SF_SMOKE).collect()))
     want = sorted(map(tuple, queries["q_cdc_apply"](spark, SF_SMOKE).collect()))
     assert got == want
+
+
+def test_custom_streaming_source_exactly_once_rows(spark):
+    """A4 streaming half: the Python Data Source stream must deliver the
+    full deterministic horizon exactly once, matching the generator."""
+    from flink_tutorial_broadcast_spark.sources.custom_source import (
+        _STREAM_MAX, _synth_row,
+    )
+    from flink_tutorial_broadcast_spark.streaming.jobs import (
+        custom_source_stream,
+    )
+    rows = custom_source_stream(spark, SF_SMOKE).collect()
+    assert len(rows) == _STREAM_MAX
+    got = {(r.event_id, r.user_id, r.event_type, round(r.value, 3))
+           for r in rows}
+    want = {(i, i % 100, _synth_row(i)[2], round(_synth_row(i)[3], 3))
+            for i in range(_STREAM_MAX)}
+    assert got == want
