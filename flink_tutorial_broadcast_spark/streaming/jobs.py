@@ -548,7 +548,8 @@ def enrich_stream_static(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run_to_memory(matched)
 
 
-def rollup_sink_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+def rollup_sink_stream(spark: SparkSession, sf_dir: str,
+                       inject_replay: bool = False) -> DataFrame:
     """Streaming incremental-view maintenance: each micro-batch appends
     its PARTIAL aggregate (per event_type count/sum) to a parquet partials
     table; reading the table back and merging partials reproduces the
@@ -585,6 +586,16 @@ def rollup_sink_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
     )
     q.awaitTermination()
+    if inject_replay:
+        # simulate the at-least-once failure mode: one micro-batch's
+        # partial lands a SECOND time (append succeeded, checkpoint
+        # commit lost, batch retried). A batch's partial is
+        # deterministic, so the duplicate rows are byte-identical and
+        # the (batch_id, event_type) dedupe below must absorb them.
+        partials = spark.read.parquet(out_dir)
+        first_batch = partials.agg(F.min("batch_id")).collect()[0][0]
+        (partials.filter(F.col("batch_id") == first_batch)
+         .write.mode("append").parquet(out_dir))
     return (
         spark.read.parquet(out_dir)
         # collapse replayed micro-batches: one partial per (batch, group)

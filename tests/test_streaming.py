@@ -430,3 +430,25 @@ def test_custom_streaming_source_exactly_once_rows(spark):
     want = {(i, i % 100, _synth_row(i)[2], round(_synth_row(i)[3], 3))
             for i in range(_STREAM_MAX)}
     assert got == want
+
+
+def test_rollup_sink_absorbs_replayed_micro_batch(spark):
+    """The at-least-once failure mode made harmless: a partial appended
+    twice (retry after sink write, before checkpoint commit) must not
+    double-count — (batch_id, group) dedupe collapses the replica."""
+    from flink_tutorial_broadcast_spark.io import load
+    from flink_tutorial_broadcast_spark.streaming.jobs import (
+        rollup_sink_stream,
+    )
+    got = {r.event_type: r for r in
+           rollup_sink_stream(spark, SF_SMOKE, inject_replay=True).collect()}
+    want = {r.event_type: r for r in (
+        load(spark, SF_SMOKE, "events")
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n"),
+             F.round(F.sum("value"), 2).alias("sum_value"))
+        .collect())}
+    assert set(got) == set(want)
+    for t, w in want.items():
+        assert got[t].n == w.n, t
+        assert abs(got[t].sum_value - w.sum_value) < 0.02, t
