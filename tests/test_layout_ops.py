@@ -77,3 +77,17 @@ def test_compact_small_files_reduces_file_count(spark, queries):
     # content preserved
     from flink_tutorial_broadcast_spark.io import load
     assert df.count() == load(spark, SF_SMOKE, "documents").count()
+
+
+def test_join_dpp_restores_session_conf(spark, queries):
+    """The partition-type-inference conf is scoped to the partitioned
+    read inside q_join_dpp — after the query runs, the session value
+    must be back to what the caller had (order-independence for any
+    later partitioned-parquet reads)."""
+    key = "spark.sql.sources.partitionColumnTypeInference.enabled"
+    before = spark.conf.get(key)
+    queries["q_join_dpp"](spark, SF_SMOKE).count()
+    assert spark.conf.get(key) == before
+    # and a subsequent partitioned read still behaves (types inferred
+    # per the restored conf, rows correct)
+    assert queries["q_partitioned_prune"](spark, SF_SMOKE).count() > 0
