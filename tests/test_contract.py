@@ -70,3 +70,35 @@ def test_verification_prefix_spans_every_family_with_oracles():
     # ml_ops' keys are all rows-only; every oracle-bearing module must
     # land at least one key in the driver-checked prefix
     assert missing == [], missing
+
+
+def test_events_ts_unit_detection_tracks_file_rewrites(tmp_path):
+    """Regenerated fixtures must not be served a stale ts unit: the
+    footer-unit cache is keyed on (path, mtime, size), so overwriting
+    events.parquet with a different timestamp unit re-detects."""
+    import os
+    import time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from flink_tutorial_broadcast_spark.io import _events_ts_is_nanos
+
+    p = str(tmp_path / "events.parquet")
+
+    def write(unit: str, n: int) -> None:
+        t = pa.table({
+            "event_id": pa.array(range(n), pa.int64()),
+            "ts": pa.array([1_700_000_000_000_000] * n).cast(
+                pa.timestamp(unit)),
+        })
+        pq.write_table(t, p)
+
+    write("us", 4)
+    assert _events_ts_is_nanos(p) is False
+    time.sleep(0.01)
+    write("ns", 5)  # different unit AND size; mtime also advances
+    assert _events_ts_is_nanos(p) is True
+    # unchanged file keeps hitting the cache (same answer, no re-read)
+    assert _events_ts_is_nanos(p) is True
+    os.remove(p)
