@@ -123,3 +123,25 @@ def test_last_ignore_nulls_carry_forward_semantics(spark, queries):
         .filter(F.round(F.col("value"), 2) != F.col("last_purchase_value"))
     )
     assert own.count() == 0
+
+
+def test_hll_sketches_merge_exactly_like_direct(spark):
+    """The 100 TB rollup property, pinned: per-day sketches folded with
+    hll_union_agg give the IDENTICAL estimate as sketching the whole
+    corpus directly (the sketch algorithm is deterministic — merge is
+    lossless with the same lgK)."""
+    from flink_tutorial_broadcast_spark.io import load
+    ev = load(spark, SF_SMOKE, "events")
+    direct = {r.event_type: r.est for r in (
+        ev.groupBy("event_type")
+        .agg(F.hll_sketch_estimate(
+            F.hll_sketch_agg("user_id", F.lit(12))).cast("long").alias("est"))
+        .collect())}
+    merged = {r.event_type: r.est for r in (
+        ev.groupBy("event_type", F.to_date("ts").alias("day"))
+        .agg(F.hll_sketch_agg("user_id", F.lit(12)).alias("sk"))
+        .groupBy("event_type")
+        .agg(F.hll_sketch_estimate(
+            F.hll_union_agg("sk")).cast("long").alias("est"))
+        .collect())}
+    assert merged == direct
