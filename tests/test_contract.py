@@ -102,3 +102,18 @@ def test_events_ts_unit_detection_tracks_file_rewrites(tmp_path):
     # unchanged file keeps hitting the cache (same answer, no re-read)
     assert _events_ts_is_nanos(p) is True
     os.remove(p)
+
+
+def test_headline_plans_stay_audit_clean(spark, queries):
+    """Plan-shape regression guard for the benchmarked set: no stray
+    cartesian products, no row-Python, pushdown intact — the same rules
+    plans/audit.py enforces repo-wide, pinned in CI for the queries
+    whose latency the driver records every round."""
+    from bench import HEADLINE
+    from flink_tutorial_broadcast_spark.plans.audit import audit_one
+    problems = {}
+    for name in HEADLINE:
+        issues = audit_one(name, queries[name](spark, SF_SMOKE))
+        if issues:
+            problems[name] = issues
+    assert problems == {}
