@@ -1620,3 +1620,79 @@ def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("p_id", "vec_id", F.col("label").alias("neg_label"),
                 F.round("cos", 6).alias("cos_sim"), "rn")
     )
+
+
+@query(
+    "q_dedup_containment",
+    oracle=f"""
+    WITH docs AS (
+      SELECT doc_id, string_split(text, ' ') AS toks
+      FROM documents WHERE doc_id < {_NEAR_DUP_LIMIT}
+    ), shingled AS (
+      SELECT doc_id,
+             list_distinct(list_transform(range(1, len(toks)),
+                           i -> toks[i] || '_' || toks[i + 1])) AS sh
+      FROM docs
+    ), exploded AS (
+      SELECT doc_id, unnest(sh) AS shingle FROM shingled
+    ), sizes AS (
+      SELECT doc_id, len(sh) AS n FROM shingled
+    ), common AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
+      FROM exploded a JOIN exploded b
+        ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT c.doc_a, c.doc_b,
+           CASE WHEN sa.n <= sb.n THEN c.doc_a ELSE c.doc_b END
+             AS contained_doc,
+           (1000000 * c.i) // LEAST(sa.n, sb.n) AS containment_ppm
+    FROM common c
+    JOIN sizes sa ON sa.doc_id = c.doc_a
+    JOIN sizes sb ON sb.doc_id = c.doc_b
+    WHERE 10 * c.i >= 9 * LEAST(sa.n, sb.n)
+    """,
+)
+def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Containment (asymmetric near-dup) detection: flag pairs where the
+    SMALLER document's shingle set is ≥90 % inside the larger one's —
+    the quoted-reply / subset-document / boilerplate-wrapper case that
+    symmetric Jaccard misses entirely (a 40-word doc fully quoted inside
+    a 400-word doc has Jaccard ≈ 0.1 but containment 1.0). Same bounded
+    candidate generation as q_dedup_near (shared-shingle join), but the
+    verify divides the intersection by min(|A|,|B|); threshold and ppm
+    are integer-exact so the oracle hash-matches. The unbounded-corpus
+    path reuses the MinHash band index with the containment estimator —
+    same candidate stream, different verifier."""
+    docs = (
+        load(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < _NEAR_DUP_LIMIT)
+        .select("doc_id",
+                F.array_distinct(_bigrams(F.col("text"))).alias("sh"))
+        .localCheckpoint()
+    )
+    sizes = docs.select("doc_id", F.size("sh").alias("n"))
+    expl = docs.select("doc_id", F.explode("sh").alias("shingle"))
+    a, b = expl.alias("a"), expl.alias("b")
+    common = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"),
+                 F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("i"))
+    )
+    sa, sb = sizes.alias("sa"), sizes.alias("sb")
+    mn = F.least(F.col("sa.n"), F.col("sb.n"))
+    return (
+        common
+        .join(sa, F.col("sa.doc_id") == F.col("doc_a"))
+        .join(sb, F.col("sb.doc_id") == F.col("doc_b"))
+        .filter(F.col("i") * 10 >= mn * 9)
+        .select(
+            "doc_a", "doc_b",
+            F.when(F.col("sa.n") <= F.col("sb.n"), F.col("doc_a"))
+            .otherwise(F.col("doc_b")).alias("contained_doc"),
+            F.expr("(1000000 * i) div least(sa.n, sb.n)")
+            .alias("containment_ppm"),
+        )
+    )

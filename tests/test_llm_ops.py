@@ -282,3 +282,21 @@ def test_hard_negatives_exclude_anchor_label(spark, queries):
         by_anchor.setdefault(r.p_id, {})[r.rn] = r.cos_sim
     for p_id, ranks in by_anchor.items():
         assert ranks[1] >= ranks.get(2, ranks[1]) >= ranks.get(3, ranks[1])
+
+
+def test_containment_catches_what_jaccard_misses(spark, queries):
+    """Containment is the superset relation of near-dup: every Jaccard
+    >=0.5 pair also has containment >=0.5 of the smaller set, and the
+    containment ppm always dominates the Jaccard ppm for the same
+    pair (|A∩B|/min >= |A∩B|/|A∪B|)."""
+    cont = {(r.doc_a, r.doc_b): r.containment_ppm for r in
+            queries["q_dedup_containment"](spark, SF_CHECK).collect()}
+    near = {(r.doc_a, r.doc_b): r.jaccard for r in
+            queries["q_dedup_near"](spark, SF_CHECK).collect()}
+    for pair, j in near.items():
+        if j >= 0.9:  # containment >= jaccard, so these must be flagged
+            assert pair in cont, pair
+    for pair, c in cont.items():
+        assert c >= 900000
+        if pair in near:
+            assert c >= near[pair] * 1e6 - 1
