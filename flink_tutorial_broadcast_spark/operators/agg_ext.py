@@ -138,7 +138,7 @@ def q_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_count_if_bool",
     oracle="""
     SELECT event_type,
-           count_if(value > 500)  AS n_high,
+           CAST(count_if(value > 500) AS BIGINT) AS n_high,
            bool_and(value >= 0)   AS all_nonneg,
            bool_or(value > 990)   AS any_extreme,
            COUNT(*) AS n
@@ -346,8 +346,8 @@ def q_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT COUNT(*) AS n_rows,
            COUNT(DISTINCT lang)   AS n_langs,
            COUNT(DISTINCT source) AS n_sources,
-           SUM(CASE WHEN text IS NULL OR text = '' THEN 1 ELSE 0 END)
-             AS n_empty_text,
+           CAST(SUM(CASE WHEN text IS NULL OR text = '' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_empty_text,
            MIN(n_chars) AS min_chars,
            MAX(n_chars) AS max_chars,
            CAST(FLOOR(AVG(n_chars) * 100) AS BIGINT) AS avg_chars_c
@@ -458,7 +458,7 @@ def q_collect_set(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM lineitem
     )
     SELECT l_returnflag, ROUND(MIN(price), 2) AS weighted_median,
-           MIN(tot_wt) AS total_weight
+           CAST(MIN(tot_wt) AS BIGINT) AS total_weight
     FROM w
     WHERE 2 * cum_wt >= tot_wt
     GROUP BY l_returnflag
@@ -512,7 +512,7 @@ def q_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
                 WHEN cum_cents * 100 <= tot_cents * 90 THEN 'B'
                 ELSE 'C' END AS abc_class,
            COUNT(*) AS n_parts,
-           SUM(cents) AS class_cents
+           CAST(SUM(cents) AS BIGINT) AS class_cents
     FROM ranked GROUP BY 1
     """,
 )

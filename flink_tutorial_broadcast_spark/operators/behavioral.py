@@ -200,8 +200,10 @@ def q_last_ignore_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     numbered AS (
       SELECT user_id, ts,
-             SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                                 ROWS UNBOUNDED PRECEDING) AS session_no
+             CAST(SUM(new_sess) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id
+                                      ROWS UNBOUNDED PRECEDING)
+                  AS BIGINT) AS session_no
       FROM flagged
     )
     SELECT user_id, session_no,
@@ -361,9 +363,10 @@ def q_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT d0, COUNT(*) AS n_new FROM first_seen GROUP BY d0
     )
     SELECT CAST(d0 AS TIMESTAMP) AS day, n_new,
-           SUM(n_new) OVER (ORDER BY d0
-                            ROWS BETWEEN UNBOUNDED PRECEDING
-                                     AND CURRENT ROW) AS n_cum
+           CAST(SUM(n_new) OVER (ORDER BY d0
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                          AND CURRENT ROW)
+                AS BIGINT) AS n_cum
     FROM per_day
     """,
 )
@@ -548,7 +551,8 @@ def q_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
                 WHEN c.cents < p.cents THEN 'contracted'
                 ELSE 'flat' END AS segment,
            COUNT(*) AS n_customers,
-           SUM(COALESCE(c.cents, 0) - COALESCE(p.cents, 0)) AS delta_cents
+           CAST(SUM(COALESCE(c.cents, 0) - COALESCE(p.cents, 0))
+                AS BIGINT) AS delta_cents
     FROM prev p FULL OUTER JOIN curr c ON p.o_custkey = c.o_custkey
     GROUP BY 1
     """,
@@ -750,7 +754,8 @@ def q_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
                AS converted
       FROM events GROUP BY user_id
     )
-    SELECT arm, COUNT(*) AS n_users, SUM(converted) AS n_converted,
+    SELECT arm, COUNT(*) AS n_users,
+           CAST(SUM(converted) AS BIGINT) AS n_converted,
            CAST(FLOOR(SUM(converted) * 1000000.0 / COUNT(*)) AS BIGINT)
              AS cvr_ppm
     FROM assign GROUP BY arm

@@ -40,7 +40,7 @@ from flink_tutorial_broadcast_spark.registry import query
                 WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6'
                   THEN 'val'
                 ELSE 'test' END AS split,
-           COUNT(*) AS n, SUM(n_chars) AS chars
+           COUNT(*) AS n, CAST(SUM(n_chars) AS BIGINT) AS chars
     FROM documents
     GROUP BY 1, 2
     """,
@@ -82,7 +82,8 @@ def q_dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
                 WHEN o.c_acctbal <> n.c_acctbal THEN 'update'
                 ELSE 'unchanged' END AS change_type,
            COUNT(*) AS n,
-           SUM(COALESCE(o.c_custkey, n.c_custkey)) AS key_checksum,
+           CAST(SUM(COALESCE(o.c_custkey, n.c_custkey)) AS BIGINT)
+             AS key_checksum,
            ROUND(SUM(COALESCE(n.c_acctbal, 0) - COALESCE(o.c_acctbal, 0)),
                  2) AS bal_delta
     FROM customer o FULL OUTER JOIN new n ON o.c_custkey = n.c_custkey
@@ -494,7 +495,7 @@ def q_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM keyed
     )
     SELECT pos1 // 64 AS shard, COUNT(*) AS n_docs,
-           SUM(doc_id) AS id_checksum,
+           CAST(SUM(doc_id) AS BIGINT) AS id_checksum,
            CAST(SUM(CASE WHEN pos2 // 64 = pos1 // 64
                          THEN 1 ELSE 0 END) AS BIGINT) AS n_same_shard
     FROM pos GROUP BY 1

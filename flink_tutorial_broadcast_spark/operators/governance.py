@@ -367,7 +367,8 @@ def q_domain_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT COALESCE(ba.bucket, bb.bucket) AS bucket,
            COALESCE(n_local, 0) AS n_local,
            COALESCE(n_remote, 0) AS n_remote,
-           COALESCE(cs_local, 0) - COALESCE(cs_remote, 0) AS cs_delta
+           CAST(COALESCE(cs_local, 0) - COALESCE(cs_remote, 0)
+                AS BIGINT) AS cs_delta
     FROM ba FULL OUTER JOIN bb ON ba.bucket = bb.bucket
     WHERE COALESCE(n_local, 0) <> COALESCE(n_remote, 0)
        OR COALESCE(cs_local, 0) <> COALESCE(cs_remote, 0)

@@ -225,7 +225,7 @@ _KMEANS_ASSIGN_SQL = """
       {_KMEANS_ASSIGN_SQL.format(cent="c1")}
     )
     SELECT cid AS cluster, COUNT(*) AS n_members,
-           SUM(vec_id) AS id_checksum
+           CAST(SUM(vec_id) AS BIGINT) AS id_checksum
     FROM a2 GROUP BY cid
     """,
 )

@@ -350,7 +350,7 @@ def q_agg_pushdown_join(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM (SELECT DISTINCT lang, source FROM documents)
     )
     SELECT d.sk, MIN(dim.lang) AS lang, MIN(dim.source) AS source,
-           COUNT(*) AS n_docs, SUM(doc.n_chars) AS chars
+           COUNT(*) AS n_docs, CAST(SUM(doc.n_chars) AS BIGINT) AS chars
     FROM documents doc
     JOIN dim ON dim.lang = doc.lang AND dim.source = doc.source
     JOIN dim d ON d.sk = dim.sk

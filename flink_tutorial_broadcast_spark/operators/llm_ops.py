@@ -918,7 +918,7 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT lang, source,
            COUNT(*) AS n_docs,
-           SUM(n_tokens) AS total_tokens,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
            ROUND(AVG(uniq_ratio), 6) AS avg_uniq_ratio
     FROM sampled GROUP BY lang, source
     """,

@@ -346,8 +346,8 @@ def q_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM base
     )
     SELECT l_orderkey, l_linenumber,
-           alloc_floor + CASE WHEN rk <= shortfall THEN 1 ELSE 0 END
-             AS alloc_cents
+           CAST(alloc_floor + CASE WHEN rk <= shortfall THEN 1 ELSE 0 END
+                AS BIGINT) AS alloc_cents
     FROM ranked
     """,
 )

@@ -278,9 +278,10 @@ def q_hash_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
            COUNT(*) AS n_rows,
            COUNT(v) AS n_nonnull_v,
            ROUND(coalesce(SUM(v), 0), 2) AS sum_v,
-           SUM(CASE WHEN v IS NULL THEN 1 ELSE 0 END) AS n_null_v,
-           SUM(CASE WHEN et IS NOT DISTINCT FROM 'click'
-                    THEN 1 ELSE 0 END) AS nullsafe_click
+           CAST(SUM(CASE WHEN v IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_null_v,
+           CAST(SUM(CASE WHEN et IS NOT DISTINCT FROM 'click'
+                         THEN 1 ELSE 0 END) AS BIGINT) AS nullsafe_click
     FROM nulled GROUP BY et
     """,
 )
@@ -319,7 +320,8 @@ def q_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT event_type,
            COUNT(json_extract(props, '$.k')) AS n_with_k,
-           SUM(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS sum_k,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS INTEGER))
+                AS BIGINT) AS sum_k,
            MAX(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS max_k
     FROM events GROUP BY event_type
     """,

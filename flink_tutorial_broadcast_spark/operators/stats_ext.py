@@ -241,8 +241,8 @@ def q_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT e.event_type,
            COUNT(*) AS n,
-           SUM(CASE WHEN ABS(e.value - med.m) > 3 * dev.mad
-                    THEN 1 ELSE 0 END) AS n_outliers,
+           CAST(SUM(CASE WHEN ABS(e.value - med.m) > 3 * dev.mad
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
            ROUND(MIN(med.m), 4) AS median_value,
            ROUND(MIN(dev.mad), 4) AS mad
     FROM events e

@@ -171,8 +171,8 @@ def q_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT event_type,
            COUNT(*) AS n_events,
-           SUM(CASE WHEN late_us > 600000000 THEN 1 ELSE 0 END)
-             AS n_dropped_10m,
+           CAST(SUM(CASE WHEN late_us > 600000000 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_dropped_10m,
            MAX(late_us) AS max_late_us
     FROM a GROUP BY event_type
     """,
@@ -221,7 +221,8 @@ def q_lateness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
       GROUP BY 1, 2
     )
     SELECT from_type, to_type, n,
-           (1000000 * n) // SUM(n) OVER (PARTITION BY from_type) AS p_ppm
+           CAST((1000000 * n) // SUM(n) OVER (PARTITION BY from_type)
+                AS BIGINT) AS p_ppm
     FROM t
     """,
 )
@@ -266,7 +267,7 @@ def q_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT user_id,
            COUNT(*) AS n_intervals,
-           SUM(dur_us) AS total_us,
+           CAST(SUM(dur_us) AS BIGINT) AS total_us,
            ROUND(SUM(value * dur_us) / SUM(dur_us), 4) AS twa_value
     FROM s WHERE dur_us IS NOT NULL
     GROUP BY user_id HAVING SUM(dur_us) > 0
@@ -404,12 +405,13 @@ def q_resample_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT s.shipped AS d, -1 AS delta
       FROM orders o JOIN ship s ON o.o_orderkey = s.l_orderkey
     ), per_day AS (
-      SELECT d, SUM(delta) AS net FROM deltas GROUP BY d
+      SELECT d, CAST(SUM(delta) AS BIGINT) AS net FROM deltas GROUP BY d
     )
     SELECT CAST(d AS TIMESTAMP) AS day, net,
-           SUM(net) OVER (ORDER BY d
-                          ROWS BETWEEN UNBOUNDED PRECEDING
-                                   AND CURRENT ROW) AS n_open
+           CAST(SUM(net) OVER (ORDER BY d
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                                        AND CURRENT ROW)
+                AS BIGINT) AS n_open
     FROM per_day
     """,
 )

@@ -178,11 +178,11 @@ def q_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM w
     )
     SELECT doc_id, lang, n_words,
-           cum_end - n_words AS tok_start,
-           (cum_end - n_words) // 256 AS seq_start,
-           (cum_end - 1) // 256 AS seq_end,
-           (cum_end - 1) // 256 - (cum_end - n_words) // 256 + 1
-             AS n_seqs_spanned
+           CAST(cum_end - n_words AS BIGINT) AS tok_start,
+           CAST((cum_end - n_words) // 256 AS BIGINT) AS seq_start,
+           CAST((cum_end - 1) // 256 AS BIGINT) AS seq_end,
+           CAST((cum_end - 1) // 256 - (cum_end - n_words) // 256 + 1
+                AS BIGINT) AS n_seqs_spanned
     FROM c
     """,
 )
@@ -233,13 +233,15 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     ), bc AS (
       SELECT doc_id, bigram, COUNT(*) AS c FROM bg GROUP BY 1, 2
     ), prof AS (
-      SELECT doc_id, SUM(c) AS n_bigrams, COUNT(*) AS n_distinct,
+      SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_bigrams,
+             COUNT(*) AS n_distinct,
              MAX(c) AS top_count
       FROM bc GROUP BY doc_id
     )
     SELECT doc_id, n_bigrams, n_distinct,
-           (1000000 * (n_bigrams - n_distinct)) // n_bigrams AS dup_ppm,
-           (1000000 * top_count) // n_bigrams AS top_ppm,
+           CAST((1000000 * (n_bigrams - n_distinct)) // n_bigrams
+                AS BIGINT) AS dup_ppm,
+           CAST((1000000 * top_count) // n_bigrams AS BIGINT) AS top_ppm,
            CASE WHEN (1000000 * (n_bigrams - n_distinct)) // n_bigrams
                      < 200000
                  AND (1000000 * top_count) // n_bigrams < 100000

@@ -141,7 +141,7 @@ def q_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT COUNT(*) AS n_unique_vectors,
            CAST(SUM(n - 1) AS BIGINT) AS n_exact_dupes,
-           SUM(keeper) AS keeper_checksum
+           CAST(SUM(keeper) AS BIGINT) AS keeper_checksum
     FROM g
     """,
 )
@@ -174,7 +174,7 @@ def q_dedup_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT COUNT(*) AS n_unique_vectors,
            CAST(SUM(n - 1) AS BIGINT) AS n_exact_dupes,
-           SUM(keeper) AS keeper_checksum
+           CAST(SUM(keeper) AS BIGINT) AS keeper_checksum
     FROM g
     """,
 )

@@ -23,26 +23,35 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import duckdb  # noqa: E402
+import numpy as np  # noqa: E402
 import pandas as pd  # noqa: E402
 
 
 def canon_cell(v) -> str:
-    """Canonical string for one cell, shared by both engines' outputs."""
+    """Canonical string for one cell, shared by both engines' outputs.
+
+    Driver-strict: floats are NOT folded to ints (`3.0` ≢ `3` — DuckDB's
+    HUGEINT-from-integer-SUM renders float64 and the driver's hash sees the
+    difference; the oracle SQL must CAST instead). NULL ≡ NaN is kept: both
+    engines' pandas conversions promote nullable int64 to float64-with-NaN,
+    so the driver never sees a None-vs-NaN split for matching results.
+    """
     if v is None:
         return "∅"
-    if isinstance(v, float):
+    if isinstance(v, float):  # np.float64 subclasses float
         if math.isnan(v):
             return "∅"
-        if v == int(v) and abs(v) < 1e15:
-            return str(int(v))  # 3.0 ≡ 3 across engines
-        return repr(v)
+        return repr(float(v))
     if isinstance(v, pd.Timestamp):
         return v.isoformat()
     if hasattr(v, "isoformat"):
         return v.isoformat()
-    if isinstance(v, (list, tuple)):
+    if isinstance(v, (list, tuple, np.ndarray)):
         return "[" + ",".join(canon_cell(x) for x in v) + "]"
-    if isinstance(v, bool):
+    if isinstance(v, dict):
+        return ("{" + ",".join(f"{k}:{canon_cell(v[k])}"
+                               for k in sorted(v)) + "}")
+    if isinstance(v, (bool, np.bool_)):
         return str(bool(v)).lower()
     return str(v)
 
@@ -75,9 +84,28 @@ def duckdb_con(sf_dir: str) -> duckdb.DuckDBPyConnection:
 
 
 def spark_to_pandas(sdf) -> pd.DataFrame:
-    rows = sdf.collect()
-    return pd.DataFrame([r.asDict(recursive=True) for r in rows],
-                        columns=sdf.columns)
+    # toPandas(), not collect(): the driver converts via Arrow, which
+    # promotes nullable int64 to float64 — the comparison must see the
+    # same dtypes the driver's hash sees.
+    return sdf.toPandas()
+
+
+def dtype_kind(dtype) -> str:
+    k = dtype.kind  # i/u/f/O/b/M/m
+    return {"u": "i", "m": "M"}.get(k, k)
+
+
+def kind_problems(spdf: pd.DataFrame, odf: pd.DataFrame) -> list[str]:
+    """Driver-visible dtype divergences: int on one side, float on the
+    other hashes `5` vs `5.0` even when values are semantically equal."""
+    out = []
+    for c in spdf.columns:
+        if c not in odf.columns:
+            continue
+        sk, ok = dtype_kind(spdf[c].dtype), dtype_kind(odf[c].dtype)
+        if sk != ok and {sk, ok} == {"i", "f"}:
+            out.append(f"dtype[{c}] spark={spdf[c].dtype} duckdb={odf[c].dtype}")
+    return out
 
 
 def main(argv: list[str]) -> int:
@@ -121,6 +149,8 @@ def main(argv: list[str]) -> int:
         if sorted(spdf.columns) != sorted(odf.columns):
             problems.append(
                 f"schema spark={sorted(spdf.columns)} duckdb={sorted(odf.columns)}")
+        if not problems:
+            problems.extend(kind_problems(spdf, odf))
         if not problems:
             srows, orows = canon_rows(spdf), canon_rows(odf)
             if value_hash(srows) != value_hash(orows):
