@@ -479,6 +479,36 @@ def q_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _md5_prefix_positions(keyed: DataFrame, key: str, out: str) -> DataFrame:
+    """0-based global position under ORDER BY (key, doc_id), two-phase.
+
+    md5 keys are uniform hex, so the first two hex chars are a
+    DETERMINISTIC range bucket (256 near-equal ranges — no sampling, so
+    recomputation can't drift the way repartitionByRange boundaries can).
+    Phase 1 collects the ≤256-row per-bucket count aggregate to the
+    driver (bounded broadcast analogue, like the kNN probe dim) and
+    prefix-sums it into per-bucket offsets. Phase 2 takes a
+    bucket-PARTITIONED row_number — 256-way parallel, never a
+    single-partition WindowExec — and adds the broadcast offset. At
+    100 TB raise the prefix to 3–4 hex chars (4096/65536 ranges)."""
+    b = f"__b_{out}"
+    bucketed = keyed.withColumn(b, F.substring(key, 1, 2))
+    counts = (bucketed.groupBy(b).count()
+              .orderBy(b).collect())  # ≤256 rows, bounded by construction
+    offsets, acc = [], 0
+    for r in counts:
+        offsets.append((r[b], acc))
+        acc += r["count"]
+    spark = keyed.sparkSession
+    off_df = spark.createDataFrame(offsets, schema=f"{b} string, __off long")
+    w = Window.partitionBy(b).orderBy(key, "doc_id")
+    return (
+        bucketed.join(F.broadcast(off_df), b)
+        .withColumn(out, F.col("__off") + F.row_number().over(w) - 1)
+        .drop(b, "__off")
+    )
+
+
 @query(
     "q_epoch_shuffle",
     oracle="""
@@ -510,10 +540,11 @@ def q_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     position. Emits per-shard counts, an id checksum (proves the
     partition property: every doc lands in exactly one shard), and the
     epoch-1↔epoch-2 shard collision count — low collisions show the
-    permutations are effectively independent. At 100 TB the global
-    row_number becomes repartitionByRange(k) + per-range offsets from a
-    broadcast prefix-sum of range counts — same two-phase shape as
-    q_pack_sequences."""
+    permutations are effectively independent. The global row_number is
+    EXECUTED two-phase (see _md5_prefix_positions): deterministic
+    md5-prefix range buckets + broadcast prefix-sum offsets +
+    bucket-partitioned row_number — the plan contains no unpartitioned
+    WindowExec (CI-guarded in plans/audit.py)."""
     d = load(spark, sf_dir, "documents").select("doc_id")
     keyed = d.select(
         "doc_id",
@@ -522,13 +553,8 @@ def q_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":epoch2")))
         .alias("k2"),
     )
-    w1 = Window.orderBy("k1", "doc_id")
-    w2 = Window.orderBy("k2", "doc_id")
-    pos = keyed.select(
-        "doc_id",
-        (F.row_number().over(w1) - 1).alias("pos1"),
-        (F.row_number().over(w2) - 1).alias("pos2"),
-    )
+    pos = _md5_prefix_positions(
+        _md5_prefix_positions(keyed, "k1", "pos1"), "k2", "pos2")
     return (
         pos.groupBy(F.expr("pos1 div 64").alias("shard"))
         .agg(

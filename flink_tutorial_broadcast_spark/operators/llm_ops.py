@@ -1145,29 +1145,37 @@ def q_dedup_snm(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Implementation note: the naive rank self-join (rn BETWEEN rn+1 AND
     rn+2) plans as a nested loop — O(n²) pairs, measured 270 s at sf0.1.
-    The O(n·w) form used here takes the w successors as lead() columns
-    over the SAME sort and explodes them into the pair relation: one
-    range sort, zero joins, 2n comparisons (0.3 s at sf0.1)."""
-    w = Window.orderBy("p_name", "p_partkey")
-    sp = load(spark, sf_dir, "part").select("p_partkey", "p_name")
+    The O(n·w) form takes the w successors as lead() columns over the
+    sort and explodes them into the pair relation: zero joins, 2n
+    comparisons (0.3 s at sf0.1).
+
+    The sort itself is EXECUTED two-phase (no single-partition
+    WindowExec, CI-guarded in plans/audit.py): the first character of
+    the blocking key is a deterministic, sort-prefix-preserving bucket
+    (ordering by (bucket, name) ≡ ordering by name), the lead() window
+    is bucket-PARTITIONED, and the w-row bucket boundaries are a
+    BOUNDED set (≤2·w rows per bucket, alphabet-capped bucket count)
+    collected to the driver — same bounded-collect pattern as the kNN
+    probe dim — where the cross-bucket successor pairs are rebuilt. At
+    100 TB widen the prefix (or sample explicit range boundaries) so
+    each bucket fits a partition."""
+    wid = 2  # SNM window: compare each record to its 2 successors
+    sp = (load(spark, sf_dir, "part")
+          .select("p_partkey", "p_name")
+          .withColumn("b", F.substring("p_name", 1, 1)))
+    wloc = Window.partitionBy("b").orderBy("p_name", "p_partkey")
     with_next = sp.select(
         F.col("p_partkey").alias("key_a"),
         F.col("p_name").alias("name_a"),
-        F.array(
+        F.array(*[
             F.struct(
-                F.lead("p_partkey", 1).over(w).alias("key_b"),
-                F.lead("p_name", 1).over(w).alias("name_b"),
-            ),
-            F.struct(
-                F.lead("p_partkey", 2).over(w).alias("key_b"),
-                F.lead("p_name", 2).over(w).alias("name_b"),
-            ),
-        ).alias("succ"),
+                F.lead("p_partkey", i).over(wloc).alias("key_b"),
+                F.lead("p_name", i).over(wloc).alias("name_b"),
+            ) for i in range(1, wid + 1)
+        ]).alias("succ"),
     )
-    pairs = (
-        with_next.select(
-            "key_a", "name_a", F.explode("succ").alias("s")
-        )
+    within = (
+        with_next.select("key_a", "name_a", F.explode("succ").alias("s"))
         .filter(F.col("s.key_b").isNotNull())
         .select(
             "key_a",
@@ -1175,7 +1183,33 @@ def q_dedup_snm(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.levenshtein(F.col("name_a"), F.col("s.name_b")).alias("dist"),
         )
     )
-    return pairs.filter(F.col("dist") <= 3)
+    # Bucket-boundary rows: first/last `wid` of each bucket. Their global
+    # successors at distance ≤ wid are exactly their successors WITHIN
+    # this bounded set, so the cross-bucket pairs rebuild exactly.
+    wdesc = Window.partitionBy("b").orderBy(
+        F.desc("p_name"), F.desc("p_partkey"))
+    edge_rows = (
+        sp.withColumn("ra", F.row_number().over(wloc))
+        .withColumn("rd", F.row_number().over(wdesc))
+        .filter((F.col("ra") <= wid) | (F.col("rd") <= wid))
+        .select("p_partkey", "p_name", "b")
+        .collect()  # bounded: ≤ 2·wid rows per bucket, ≤256 buckets
+    )
+    edge_rows.sort(key=lambda r: (r["p_name"], r["p_partkey"]))
+    cross = [
+        (a["p_partkey"], a["p_name"],
+         edge_rows[j]["p_partkey"], edge_rows[j]["p_name"])
+        for i, a in enumerate(edge_rows)
+        for j in range(i + 1, min(i + 1 + wid, len(edge_rows)))
+        if edge_rows[j]["b"] != a["b"]
+    ]
+    cross_df = spark.createDataFrame(
+        cross, schema="key_a long, name_a string, key_b long, name_b string"
+    ).select(
+        "key_a", "key_b",
+        F.levenshtein("name_a", "name_b").alias("dist"),
+    )
+    return within.unionAll(cross_df).filter(F.col("dist") <= 3)
 
 
 @query(
