@@ -18,7 +18,9 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from flink_tutorial_broadcast_spark import load_all_queries  # noqa: E402
-from flink_tutorial_broadcast_spark.session import get_spark  # noqa: E402
+from flink_tutorial_broadcast_spark.session import (  # noqa: E402
+    get_spark, release_cached_blocks,
+)
 
 # Headline set: the flagship + the most load-bearing operator families.
 HEADLINE = [
@@ -56,6 +58,10 @@ def main() -> None:
 
     per_query: dict[str, float] = {}
     for name in names:
+        # drop the previous query's localCheckpoint/cache blocks outside
+        # the timed region (each rep rebuilds its own checkpoints; the
+        # cost of doing so is already inside every rep's wall-clock)
+        release_cached_blocks(spark)
         times = []
         for _ in range(reps):
             t0 = time.time()

@@ -97,21 +97,25 @@ SCHEMAS: dict[str, StructType] = {
 }
 
 
-# keyed on (path, mtime, size): fixtures regenerate between rounds, and a
-# long-lived session must not serve a stale unit for a rewritten file
-_EVENTS_TS_IS_NANOS: dict[tuple[str, float, int], bool] = {}
+# keyed by PATH, storing the (mtime, size) stamp alongside the answer:
+# fixtures regenerate between rounds, and a long-lived session must not
+# serve a stale unit for a rewritten file — inserting a new stamp for a
+# path REPLACES the superseded entry, so the cache is bounded by the
+# number of distinct fixture paths, not the number of rewrites
+_EVENTS_TS_IS_NANOS: dict[str, tuple[float, int, bool]] = {}
 
 
 def _events_ts_is_nanos(path: str) -> bool:
     """True when events.ts is parquet timestamp[ns] (older fixture gens)."""
     st = os.stat(path)
-    key = (path, st.st_mtime, st.st_size)
-    if key not in _EVENTS_TS_IS_NANOS:
+    stamp = (st.st_mtime, st.st_size)
+    hit = _EVENTS_TS_IS_NANOS.get(path)
+    if hit is None or hit[:2] != stamp:
         import pyarrow.parquet as pq
 
         unit = pq.read_schema(path).field("ts").type.unit
-        _EVENTS_TS_IS_NANOS[key] = unit == "ns"
-    return _EVENTS_TS_IS_NANOS[key]
+        _EVENTS_TS_IS_NANOS[path] = (*stamp, unit == "ns")
+    return _EVENTS_TS_IS_NANOS[path][2]
 
 
 def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:

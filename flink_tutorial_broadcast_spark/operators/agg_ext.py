@@ -397,16 +397,24 @@ def q_histogram_equidepth(spark: SparkSession, sf_dir: str) -> DataFrame:
     complements the fixed-width q_histogram. Order is pinned by the
     unique (price, orderkey) pair so bucket boundaries are deterministic.
 
-    Scale caveat (by design): a global ntile is a single-partition sort —
-    correct for profiling samples, wrong for the full fact table; the
-    100 TB path computes approx bucket EDGES via approx_percentile
-    (q_approx_quantiles) and bins with width_bucket semantics instead.
-    """
-    w = Window.orderBy(F.col("v"), F.col("o_orderkey"))
+    The global ntile is EXECUTED two-phase (two_phase.global_order for
+    the exact global row number, then ntile_from_rn arithmetic against
+    the broadcast row count) — the ntile here runs over the FULL fact
+    table, so the unpartitioned-sort form would be the canonical 100 TB
+    scale-killer; this plan has no unpartitioned WindowExec (CI-guarded
+    in plans/audit.py). The approximate sibling (approx_percentile
+    edges + width_bucket) remains q_approx_quantiles."""
+    from .two_phase import global_order, ntile_from_rn
+
     t = (load(spark, sf_dir, "orders")
-         .select(F.col("o_totalprice").alias("v"), "o_orderkey")
-         .withColumn("bucket", F.ntile(10).over(w)))
-    return (t.groupBy("bucket")
+         .select(F.col("o_totalprice").alias("v"), "o_orderkey"))
+    ranked = global_order(t, F.col("v"), ["o_orderkey"])
+    n_rows = t.agg(F.count("*").alias("__n"))
+    bucketed = (
+        ranked.crossJoin(F.broadcast(n_rows))
+        .withColumn("bucket", ntile_from_rn(F.col("rn"), F.col("__n"), 10))
+    )
+    return (bucketed.groupBy("bucket")
             .agg(F.count("*").alias("n"),
                  F.round(F.min("v"), 2).alias("lo"),
                  F.round(F.max("v"), 2).alias("hi")))
@@ -524,22 +532,26 @@ def q_pareto_abc(spark: SparkSession, sf_dir: str) -> DataFrame:
     totals, the ranking order, and the class thresholds (compared via
     integer cross-multiplication, never division) are all int64 — a
     float sum here could flip the order of two near-equal parts and
-    shift every downstream class boundary. One partkey aggregate + one
-    bounded global-rank window."""
+    shift every downstream class boundary. One partkey aggregate, then
+    the cumulative revenue is EXECUTED two-phase
+    (two_phase.global_order with a running sum: deterministic value
+    buckets + broadcast prefix-sum of per-bucket cents + bucket-local
+    cumulative window) — no unpartitioned WindowExec (CI-guarded in
+    plans/audit.py); the integer offsets keep the sum exact int64. The
+    grand total is a broadcast 1-row dim, not a global window."""
+    from .two_phase import global_order
+
     li = load(spark, sf_dir, "lineitem")
     rev = li.groupBy("l_partkey").agg(
         F.sum(F.floor(F.col("l_extendedprice") * 100).cast("long"))
         .alias("cents")
     )
-    wcum = Window.orderBy(F.col("cents").desc(), "l_partkey").rowsBetween(
-        Window.unboundedPreceding, 0
+    cum = global_order(
+        rev, -F.col("cents"), ["l_partkey"],
+        running_sums={"cum_cents": F.col("cents")},
     )
-    wall = Window.partitionBy()
-    ranked = rev.select(
-        "l_partkey", "cents",
-        F.sum("cents").over(wcum).alias("cum_cents"),
-        F.sum("cents").over(wall).alias("tot_cents"),
-    )
+    tot = rev.agg(F.sum("cents").alias("tot_cents"))
+    ranked = cum.crossJoin(F.broadcast(tot))
     return (
         ranked.select(
             F.when(

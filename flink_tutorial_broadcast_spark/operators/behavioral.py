@@ -325,10 +325,14 @@ def q_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
     Every ntile ordering carries user_id as the unique tiebreak, so
     quintile assignment is deterministic on both engines (ntile is
     row-order-dependent — an un-tiebroken ORDER BY would hash-diverge).
-    The global sorts are single-reducer here; at 100 TB each becomes a
-    percent_rank over a range-partitioned sort, or approx-quantile
-    boundaries broadcast back (noted in docs/scale.md).
-    """
+
+    Each global ntile is EXECUTED two-phase (two_phase.global_order on
+    the NEGATED measure for the DESC orderings, then ntile_from_rn
+    arithmetic on the exact global row number and the broadcast user
+    count) — three bucket-partitioned windows, no unpartitioned
+    WindowExec (CI-guarded in plans/audit.py)."""
+    from .two_phase import global_order, ntile_from_rn
+
     ev = load(spark, sf_dir, "events")
     base = ev.groupBy("user_id").agg(
         F.max("ts").alias("last_ts"),
@@ -338,18 +342,27 @@ def q_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
             .otherwise(0.0)
         ).alias("monetary"),
     )
-    return base.select(
-        "user_id",
-        F.ntile(5).over(
-            Window.orderBy(F.col("last_ts").desc(), F.col("user_id"))
-        ).alias("r_q"),
-        F.ntile(5).over(
-            Window.orderBy(F.col("n_events").desc(), F.col("user_id"))
-        ).alias("f_q"),
-        F.ntile(5).over(
-            Window.orderBy(F.col("monetary").desc(), F.col("user_id"))
-        ).alias("m_q"),
-        "n_events",
+    # DESC orderings rank ascending on the negated measure; user_id
+    # stays the ASC tiebreak in all three, matching the oracle exactly
+    ranked = global_order(
+        base, -F.unix_micros("last_ts"), ["user_id"], out_rn="rn_r")
+    ranked = global_order(
+        ranked, -F.col("n_events"), ["user_id"], out_rn="rn_f")
+    ranked = global_order(
+        ranked, -F.col("monetary"), ["user_id"], out_rn="rn_m")
+    n_users = base.agg(F.count("*").alias("__n_users"))
+    return (
+        ranked.crossJoin(F.broadcast(n_users))
+        .select(
+            "user_id",
+            ntile_from_rn(F.col("rn_r"), F.col("__n_users"), 5)
+            .alias("r_q"),
+            ntile_from_rn(F.col("rn_f"), F.col("__n_users"), 5)
+            .alias("f_q"),
+            ntile_from_rn(F.col("rn_m"), F.col("__n_users"), 5)
+            .alias("m_q"),
+            "n_events",
+        )
     )
 
 
@@ -718,26 +731,27 @@ def q_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     everyone equal, →1 = one whale). Revenue is integer cents and ranks
     are integers (unique tiebreak on custkey), so Σ(rank·cents) is exact
     int64; floats appear only in the final closed-form ratio, computed
-    from identical integers on both engines."""
+    from identical integers on both engines.
+
+    The global rank over the per-customer aggregate is EXECUTED
+    two-phase (two_phase.global_order: deterministic equal-width value
+    buckets + broadcast prefix-sum offsets + bucket-partitioned
+    row_number) — no unpartitioned WindowExec, CI-guarded in
+    plans/audit.py; n and Σcents fold into the final 1-row aggregate."""
+    from .two_phase import global_order
+
     o = load(spark, sf_dir, "orders")
     c = o.groupBy("o_custkey").agg(
         F.sum(F.floor(F.col("o_totalprice") * 100).cast("long"))
         .alias("cents")
     )
-    wr = Window.orderBy("cents", "o_custkey")
-    wall = Window.partitionBy()
-    ranked = c.select(
-        "cents",
-        F.row_number().over(wr).alias("rk"),
-        F.count("*").over(wall).alias("n"),
-        F.sum("cents").over(wall).alias("tot"),
-    )
+    ranked = global_order(c, F.col("cents"), ["o_custkey"], out_rn="rk")
     return ranked.agg(
-        F.min("n").alias("n_customers"),
+        F.count("*").alias("n_customers"),
         F.round(
             (2.0 * F.sum(F.col("rk") * F.col("cents")))
-            / (F.min("n") * F.min("tot"))
-            - (F.min("n") + 1.0) / F.min("n"),
+            / (F.count("*") * F.sum("cents"))
+            - (F.count("*") + 1.0) / F.count("*"),
             6,
         ).alias("gini"),
     )

@@ -1287,22 +1287,20 @@ def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     standard pre-flight check before committing a tokenizer/vocab to a
     training run (high-OOV slices inflate token counts and degrade
     compression). The 1000-row vocab is an F.broadcast LEFT join, so the
-    exploded fact side never shuffles for the membership test; the only
-    wide ops are the vocab top-k (tiny) and the per-doc re-aggregation,
-    which reuses the tokenize scan."""
+    exploded fact side never shuffles for the membership test. The vocab
+    top-k is sort+limit, which Spark executes as TakeOrderedAndProject —
+    a TWO-PHASE top-k (per-partition top-1000, then a top-1000 of the
+    candidates), never funneling the whole vocabulary through one
+    partition; determinism comes from the same (cnt DESC, token ASC)
+    key."""
     toks = (
         load(spark, sf_dir, "documents")
         .select("doc_id", F.explode(F.split("text", " ")).alias("token"))
     )
-    from pyspark.sql import Window
     vocab = (
         toks.groupBy("token").agg(F.count("*").alias("cnt"))
-        .withColumn(
-            "rk",
-            F.row_number().over(
-                Window.orderBy(F.col("cnt").desc(), F.col("token").asc())),
-        )
-        .filter(F.col("rk") <= 1000)
+        .orderBy(F.col("cnt").desc(), F.col("token").asc())
+        .limit(1000)
         .select("token", F.lit(True).alias("in_vocab"))
     )
     return (

@@ -27,6 +27,21 @@ ALLOW = {
     "cartesian": {"q_cross_join", "q_knn_bruteforce", "q_knn_ivf",
                   "q_dedup_minhash"},
     "py_row": {"q_py_udf"},
+    # Unpartitioned WindowExec funnels the whole relation through ONE
+    # partition — allowed ONLY where the window input is provably
+    # BOUNDED by something other than the fact-table row count (the
+    # written bound lives in each query's docstring; docs/scale.md
+    # §global-order records the family). Fact-scale global orders use
+    # two_phase.global_order instead (q_gini / q_pareto_abc / q_rfm /
+    # q_histogram_equidepth) or sort+limit → TakeOrderedAndProject
+    # (q_vocab_coverage).
+    "global_window_bounded": {
+        "q_benford",              # 9 rows: one per leading digit
+        "q_cumulative_distinct",  # per-DAY first-seen counts (calendar)
+        "q_dim_encode",           # distinct (lang, source) dim pairs
+        "q_growth_mom",           # per-MONTH revenue (calendar)
+        "q_open_orders",          # per-DAY net open deltas (calendar)
+    },
     # Spark cannot broadcast either side of a FULL OUTER hash join;
     # sort-merge is the correct physical choice there
     "smj_ok": {"q_join_full", "q_join_bucketed"},
@@ -34,6 +49,57 @@ ALLOW = {
     "scan_only": {"q_scan_csv", "q_scan_csv_malformed",
                   "q_scan_custom_source"},
 }
+
+
+def _bracket_groups(s: str) -> list[str]:
+    """Top-level [...] group contents in a plan-operator argument list."""
+    depth = 0
+    groups: list[str] = []
+    buf: list[str] = []
+    for ch in s:
+        if ch == "[":
+            if depth == 0:
+                buf = []
+            else:
+                buf.append(ch)
+            depth += 1
+        elif ch == "]":
+            depth = max(0, depth - 1)
+            if depth == 0:
+                groups.append("".join(buf))
+            else:
+                buf.append(ch)
+        elif depth > 0:
+            buf.append(ch)
+    return groups
+
+
+def unpartitioned_windows(plan: str) -> list[str]:
+    """Lines where a WindowExec runs with an EMPTY partition spec.
+
+    Spark prints `Window [exprs], [partSpec], [orderSpec]` when both are
+    present; with an empty partition spec the line collapses to
+    `Window [exprs], [orderSpec]` — distinguishable from the harmless
+    partitioned-unordered form `Window [exprs], [partCols]` because an
+    order spec carries `ASC`/`DESC` sort directions and a partition
+    column list does not. Same for WindowInPandas. An unpartitioned
+    ordered window moves the ENTIRE input to one partition (WindowExec
+    requiresChildDistribution = AllTuples), the canonical 100 TB
+    scale-killer.
+    """
+    hits = []
+    for line in plan.splitlines():
+        stripped = line.lstrip(" +-:*()0123456789")
+        for op in ("Window ", "WindowInPandas "):
+            if stripped.startswith(op):
+                groups = _bracket_groups(stripped[len(op):])
+                if len(groups) >= 3:
+                    continue  # partitioned AND ordered
+                if len(groups) == 2 and not (
+                        " ASC" in groups[1] or " DESC" in groups[1]):
+                    continue  # partitioned, no order — stays parallel
+                hits.append(stripped[:120])
+    return hits
 
 
 def physical_plan(df: DataFrame) -> str:
@@ -51,6 +117,10 @@ def audit_one(name: str, df: DataFrame) -> list[str]:
         flags.append("CartesianProduct in plan")
     if "BatchEvalPython" in plan and name not in ALLOW["py_row"]:
         flags.append("row-at-a-time Python in hot path")
+    if name not in ALLOW["global_window_bounded"]:
+        upw = unpartitioned_windows(plan)
+        if upw:
+            flags.append(f"unpartitioned WindowExec ({len(upw)}): {upw[0]}")
     if "SortMergeJoin" in plan and name not in ALLOW["smj_ok"]:
         # SMJ is correct for big-big joins; flag only when NO broadcast join
         # exists although a tiny side (inline rules/dims) is present

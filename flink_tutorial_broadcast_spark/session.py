@@ -61,6 +61,29 @@ def get_spark(app_name: str = "flink-tutorial-broadcast-spark",
     return builder.getOrCreate()
 
 
+def release_cached_blocks(spark: SparkSession) -> int:
+    """Unpersist every persistent RDD (localCheckpoint blocks, stray
+    caches) plus the DataFrame cache; returns how many RDDs were freed.
+
+    Some query builders eagerly ``localCheckpoint()`` shared subplans (a
+    measured 3× win where ReusedExchange can't dedupe them — see
+    graph_setsim/llm_ops). Those blocks live until the JVM reference is
+    GC'd, so a long-lived session that builds thousands of DataFrames
+    (bench warm passes, the oracle sweep, pytest) accumulates executor
+    storage. Harness loops call this BETWEEN queries: each builder call
+    constructs and re-checkpoints its own DataFrames, so freeing the
+    previous query's blocks never invalidates live results — only
+    DataFrames the caller is still holding onto would recompute.
+    """
+    rdds = spark.sparkContext._jsc.getPersistentRDDs()  # py4j MapConverter
+    n = 0
+    for rdd in list(rdds.values()):
+        rdd.unpersist(False)
+        n += 1
+    spark.catalog.clearCache()
+    return n
+
+
 def tune_session(spark: SparkSession) -> SparkSession:
     """Apply runtime-settable engine confs to an externally-created session.
 

@@ -663,7 +663,14 @@ def cdc_merge_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         return os.path.join(state, f"v{vs[-1]}")
 
     def merge(batch_df: DataFrame, batch_id: int) -> None:
-        cur = spark.read.parquet(current_version())
+        # Read the version KEYED TO THIS BATCH (v{batch_id}), never the
+        # max: under at-least-once replay (write succeeded, checkpoint
+        # commit didn't) the max is already v{batch_id+1} — the write
+        # target itself — and reading it would self-overwrite ("Cannot
+        # overwrite a path that is also being read from"). Reading
+        # v{batch_id} makes a replay deterministically recompute
+        # v{batch_id+1} from unchanged input instead.
+        cur = spark.read.parquet(os.path.join(state, f"v{batch_id}"))
         log = batch_df
         j = cur.join(log, cur.c_custkey == log.k, "full")
         nxt = (
@@ -721,7 +728,14 @@ def custom_source_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(120)
+        # a timed-out run must not fall through: the next run_once()
+        # would start a SECOND query on the same checkpoint/sink
+        # (concurrent-stream failure / double-write). Stop and raise.
+        if not q.awaitTermination(120):
+            q.stop()
+            raise RuntimeError(
+                "synthetic_events availableNow run exceeded 120s; "
+                "stopped before starting a concurrent query")
 
     # availableNow consumes one prefetched slice per run; restarting over
     # the SAME checkpoint resumes from the committed offset — the loop IS

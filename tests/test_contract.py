@@ -104,6 +104,40 @@ def test_events_ts_unit_detection_tracks_file_rewrites(tmp_path):
     os.remove(p)
 
 
+def test_unpartitioned_window_detector():
+    """The audit's scale-killer detector must separate the three Window
+    print shapes: unpartitioned-ordered (flag), partitioned-ordered
+    (ok), partitioned-unordered (ok), global-frame (flag)."""
+    from flink_tutorial_broadcast_spark.plans.audit import (
+        unpartitioned_windows,
+    )
+    flag_up = "   +- Window [row_number() windowspecdefinition(...)]," \
+        " [id#0L ASC NULLS FIRST]"
+    ok_part = "   +- Window [row_number() windowspecdefinition(...)]," \
+        " [g#1L], [id#0L ASC NULLS FIRST]"
+    ok_noord = "   +- Window [sum(x#2) windowspecdefinition(...)], [g#1L]"
+    flag_glob = "   Window [count(1) windowspecdefinition(...)]"
+    assert unpartitioned_windows(flag_up)
+    assert unpartitioned_windows(flag_glob)
+    assert not unpartitioned_windows(ok_part)
+    assert not unpartitioned_windows(ok_noord)
+    assert not unpartitioned_windows("WindowGroupLimit [a], [b ASC]")
+
+
+def test_global_order_family_has_no_unpartitioned_window(spark, queries):
+    """The two-phase rewrites (VERDICT r2 items 3/4/6 + ADVICE vocab
+    top-k) must keep their scale-safe plans: no unpartitioned ordered
+    WindowExec may reappear in any of them."""
+    from flink_tutorial_broadcast_spark.plans.audit import (
+        physical_plan, unpartitioned_windows,
+    )
+    for name in ["q_gini", "q_rfm", "q_pareto_abc",
+                 "q_histogram_equidepth", "q_vocab_coverage",
+                 "q_epoch_shuffle", "q_dedup_snm"]:
+        plan = physical_plan(queries[name](spark, SF_SMOKE))
+        assert not unpartitioned_windows(plan), name
+
+
 def test_headline_plans_stay_audit_clean(spark, queries):
     """Plan-shape regression guard for the benchmarked set: no stray
     cartesian products, no row-Python, pushdown intact — the same rules

@@ -110,7 +110,9 @@ def kind_problems(spdf: pd.DataFrame, odf: pd.DataFrame) -> list[str]:
 
 def main(argv: list[str]) -> int:
     from flink_tutorial_broadcast_spark import ORACLE, load_all_queries
-    from flink_tutorial_broadcast_spark.session import get_spark
+    from flink_tutorial_broadcast_spark.session import (
+        get_spark, release_cached_blocks,
+    )
 
     sf_dir = os.environ.get("SPARK_GRAFT_CHECK_SF", "/root/testdata/sf0.01")
     queries = load_all_queries()
@@ -120,6 +122,10 @@ def main(argv: list[str]) -> int:
 
     n_pass = n_fail = n_rows_only = 0
     for name in names:
+        # free the previous query's localCheckpoint/cache blocks — the
+        # sweep builds hundreds of DataFrames in one session and eagerly
+        # checkpointed subplans otherwise accumulate executor storage
+        release_cached_blocks(spark)
         if name not in queries:
             print(f"  ?? {name}: not registered")
             n_fail += 1
