@@ -18,6 +18,7 @@ Reference anchors (SURVEY.md §0 canonical program):
 from __future__ import annotations
 
 import os
+import shutil
 import tempfile
 import uuid
 
@@ -242,6 +243,93 @@ def keyed_state_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
     return _run_to_memory(out, "update")
+
+
+def keyed_state_restart_rocksdb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E7 on the RocksDB state store, surviving a RESTART: the per-user
+    running-count state is built in run 1 (first half of the events),
+    the query stops, and run 2 (second half only) resumes over the SAME
+    checkpoint — its emissions carry the full-corpus counts, which is
+    only possible if run 1's state was durably persisted and reloaded.
+
+    ``spark.sql.streaming.stateStore.providerClass`` is set to
+    ``RocksDBStateStoreProvider`` for both runs (ships in-box with
+    Spark 4): state lives in RocksDB SST files under the checkpoint,
+    the provider docs/scale.md prescribes once keyed state outgrows the
+    default HDFS-backed in-memory map. Returns run 2's final emission
+    per user (update mode: last row per user wins).
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from flink_tutorial_broadcast_spark.io import load
+
+    key_conf = "spark.sql.streaming.stateStore.providerClass"
+    rocks = ("org.apache.spark.sql.execution.streaming.state."
+             "RocksDBStateStoreProvider")
+
+    root = tempfile.mkdtemp(prefix="rocks_restart_")
+    src = os.path.join(root, "src")
+    os.makedirs(src)
+    ckpt = checkpoint_dir()
+    ev = load(spark, sf_dir, "events").select("event_id", "user_id")
+    half1 = ev.filter(F.col("event_id") % 2 == 0)
+    half2 = ev.filter(F.col("event_id") % 2 == 1)
+
+    def update(key, pdf_iter, state: GroupState):
+        n = state.get[0] if state.exists else 0
+        for pdf in pdf_iter:
+            n += len(pdf)
+        state.update((n,))
+        yield pd.DataFrame({"user_id": [key[0]], "n_events": [n]})
+
+    def run_once(sink: str) -> None:
+        sdf = (
+            spark.readStream.schema("event_id long, user_id long")
+            .parquet(src)
+            .groupBy("user_id")
+            .applyInPandasWithState(
+                update,
+                outputStructType="user_id long, n_events long",
+                stateStructType="n long",
+                outputMode="Update",
+                timeoutConf=GroupStateTimeout.NoTimeout,
+            )
+        )
+        # foreachBatch, not the memory sink: checkpoint RECOVERY is the
+        # point of this job, and the memory sink refuses to resume one
+        q = (
+            sdf.writeStream.foreachBatch(
+                lambda bdf, bid: bdf.write.mode("append").parquet(sink))
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    out1 = os.path.join(root, "out1")
+    out2 = os.path.join(root, "out2")
+    prev = spark.conf.get(key_conf)
+    try:
+        spark.conf.set(key_conf, rocks)
+        half1.coalesce(1).write.mode("append").parquet(src)
+        run_once(out1)
+        # the restart: new files land, a NEW query resumes the checkpoint
+        half2.coalesce(1).write.mode("append").parquet(src)
+        run_once(out2)
+    finally:
+        spark.conf.set(key_conf, prev)
+    # last (max — counts are monotone) emission per user in run 2 = the
+    # resumed count; cache before the temp dirs are torn down
+    out = (
+        spark.read.parquet(out2)
+        .groupBy("user_id").agg(F.max("n_events").alias("n_events"))
+    )
+    out = out.cache()
+    out.count()
+    shutil.rmtree(root, ignore_errors=True)
+    return out
 
 
 def keyed_state_stream_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
