@@ -478,3 +478,128 @@ def q_mixture_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("upsample_factor"),
         )
     )
+
+
+@query(
+    "q_pseudonymize",
+    oracle="""
+    WITH s AS (
+      SELECT c_custkey,
+             sha256(CAST(c_custkey AS VARCHAR) || ':' || c_name) AS sid,
+             c_mktsegment
+      FROM customer
+    ), j AS (
+      SELECT s.c_mktsegment, s.sid
+      FROM orders o JOIN s ON o.o_custkey = s.c_custkey
+    )
+    SELECT s.c_mktsegment AS segment,
+           COUNT(*) AS n_customers,
+           COUNT(DISTINCT s.sid) AS n_sids,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM j
+            WHERE j.c_mktsegment = s.c_mktsegment) AS n_orders,
+           MIN(s.sid) AS spot_sid
+    FROM s GROUP BY 1
+    """,
+)
+def q_pseudonymize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII pseudonymization with referential integrity: customers get a
+    deterministic sha-256 surrogate id (salt = natural key + name, so
+    re-runs and other tables derive the SAME surrogate without a shared
+    mapping table), and orders join through the surrogate. Per segment:
+    n_sids == n_customers proves collision-freedom at this scale, and
+    n_orders matches the natural-key join — the property a training
+    pipeline needs before dropping the raw identifiers. The hash is a
+    per-row projection (no shuffle added); the orders join keeps the
+    same custkey equi-join shape Catalyst already plans, so
+    pseudonymizing changes NOTHING about the physical plan at 100 TB."""
+    c = load(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.sha2(F.concat(F.col("c_custkey").cast("string"),
+                        F.lit(":"), F.col("c_name")), 256).alias("sid"),
+        "c_mktsegment",
+    )
+    o = load(spark, sf_dir, "orders").select("o_custkey")
+    j = o.join(c, o.o_custkey == c.c_custkey).groupBy("c_mktsegment").agg(
+        F.count("*").alias("n_orders"))
+    return (
+        c.groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.countDistinct("sid").alias("n_sids"),
+            F.min("sid").alias("spot_sid"),
+        )
+        .join(j, "c_mktsegment")
+        .select(
+            F.col("c_mktsegment").alias("segment"),
+            "n_customers", "n_sids", "n_orders", "spot_sid",
+        )
+    )
+
+
+@query(
+    "q_k_anonymity",
+    oracle="""
+    WITH g AS (
+      SELECT c_nationkey, c_mktsegment, COUNT(*) AS n
+      FROM customer GROUP BY 1, 2
+    )
+    SELECT c_nationkey, c_mktsegment,
+           CASE WHEN n >= 5 THEN n END AS n_released,
+           CASE WHEN n < 5 THEN 'suppressed' ELSE 'released' END AS status
+    FROM g
+    """,
+)
+def q_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity cell suppression (k = 5) over the quasi-identifier
+    pair (nation, segment): groups smaller than k have their count
+    withheld (NULL) and are marked suppressed — the standard privacy
+    gate before releasing grouped statistics of a training corpus. One
+    partial+final hash aggregate; the suppression predicate is a per-row
+    projection on the |nations|×|segments| aggregate, so the release
+    table is dimension-bounded regardless of corpus size."""
+    g = (
+        load(spark, sf_dir, "customer")
+        .groupBy("c_nationkey", "c_mktsegment")
+        .agg(F.count("*").alias("n"))
+    )
+    return g.select(
+        "c_nationkey", "c_mktsegment",
+        F.when(F.col("n") >= 5, F.col("n")).alias("n_released"),
+        F.when(F.col("n") < 5, F.lit("suppressed"))
+        .otherwise("released").alias("status"),
+    )
+
+
+@query(
+    "q_term_redact",
+    oracle="""
+    WITH r AS (
+      SELECT doc_id,
+             len(regexp_extract_all(text,
+                 '\\b(customer|key|value)\\b')) AS n_redacted,
+             regexp_replace(text, '\\b(customer|key|value)\\b',
+                            '[MASK]', 'g') AS red
+      FROM documents
+    )
+    SELECT doc_id, CAST(n_redacted AS BIGINT) AS n_redacted,
+           md5(red) AS red_fp
+    FROM r WHERE n_redacted > 0
+    """,
+)
+def q_term_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocklist term redaction: occurrences of governed terms (here a
+    3-word demo lexicon; production swaps in the compliance blocklist)
+    are replaced with [MASK], emitting per-document hit counts and a
+    fingerprint of the redacted text for downstream verification. The
+    lexicon compiles into ONE alternation regex evaluated per row in
+    codegen — no join, no shuffle, no Python; at 100 TB a large lexicon
+    becomes an Aho-Corasick pandas UDF or a broadcast token join, but
+    the regex form covers compliance lists (10²–10³ terms) as-is."""
+    pat = r"\b(customer|key|value)\b"
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.size(F.regexp_extract_all("text", F.lit(pat), 0))
+        .cast("long").alias("n_redacted"),
+        F.md5(F.regexp_replace("text", pat, "[MASK]")).alias("red_fp"),
+    )
+    return d.filter(F.col("n_redacted") > 0)

@@ -161,3 +161,53 @@ def test_mixture_temperature_flattens_toward_uniform(spark, queries):
     by_p = sorted(rows, key=lambda r: r.p_raw)
     by_w = sorted(rows, key=lambda r: r.w_temp)
     assert [r.source for r in by_p] == [r.source for r in by_w]
+
+
+def test_pseudonymize_preserves_referential_integrity(spark, queries):
+    """Surrogate ids must be collision-free and the surrogate-joined
+    order counts must equal the natural-key join counts."""
+    from flink_tutorial_broadcast_spark.io import load
+    rows = queries["q_pseudonymize"](spark, SF_SMOKE).collect()
+    assert rows
+    for r in rows:
+        assert r.n_sids == r.n_customers, r.segment
+        assert len(r.spot_sid) == 64  # sha-256 hex
+    want = {
+        r["c_mktsegment"]: r["n"]
+        for r in load(spark, SF_SMOKE, "orders")
+        .join(load(spark, SF_SMOKE, "customer"),
+              F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("c_mktsegment").agg(F.count("*").alias("n")).collect()
+    }
+    assert {r.segment: r.n_orders for r in rows} == want
+
+
+def test_k_anonymity_suppresses_small_cells(spark, queries):
+    rows = queries["q_k_anonymity"](spark, SF_SMOKE).collect()
+    assert rows
+    for r in rows:
+        if r.status == "suppressed":
+            assert r.n_released is None
+        else:
+            assert r.n_released >= 5
+
+
+def test_term_redact_masks_every_blocklist_hit(spark, queries):
+    """No redacted fingerprint may equal the original text's fingerprint,
+    and hit counts must match a direct recount."""
+    from flink_tutorial_broadcast_spark.io import load
+    out = {r.doc_id: r for r in
+           queries["q_term_redact"](spark, SF_SMOKE).collect()}
+    assert out
+    docs = load(spark, SF_SMOKE, "documents").select(
+        "doc_id", "text",
+        F.md5("text").alias("orig_fp")).collect()
+    import re
+    pat = re.compile(r"\b(customer|key|value)\b")
+    for d in docs:
+        hits = len(pat.findall(d.text))
+        if hits:
+            assert out[d.doc_id].n_redacted == hits
+            assert out[d.doc_id].red_fp != d.orig_fp
+        else:
+            assert d.doc_id not in out
