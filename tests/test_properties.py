@@ -147,3 +147,48 @@ def test_asof_join_matches_merge_asof(spark, rows, versions):
     want = {int(r.id): int(r.val) for r in merged.itertuples()
             if pd.notna(r.val)}
     assert got == want
+
+
+# (value, weight) pairs with heavy ties and negatives for two-phase ranking
+rank_rows_strategy = st.lists(
+    st.tuples(st.integers(-50, 50), st.integers(0, 9)),
+    min_size=1, max_size=60)
+
+
+@given(rank_rows_strategy)
+@settings(max_examples=12, deadline=None)
+def test_two_phase_global_order_matches_brute_force(spark, rows):
+    """two_phase.global_order must equal the single-partition reference:
+    exact 1-based global row numbers and inclusive running sums under
+    ORDER BY (v ASC, id ASC), for any value distribution (ties,
+    negatives, constant columns, single row)."""
+    from flink_tutorial_broadcast_spark.operators.two_phase import (
+        global_order, ntile_from_rn,
+    )
+    data = [(i, v, w) for i, (v, w) in enumerate(rows)]
+    df = spark.createDataFrame(data, "id long, v long, w long")
+    got = {
+        r["id"]: (r["rn"], r["cum_w"])
+        for r in global_order(
+            df, F.col("v"), ["id"], n_buckets=7,
+            running_sums={"cum_w": F.col("w")},
+        ).collect()
+    }
+    ref = sorted(data, key=lambda t: (t[1], t[0]))
+    acc = 0
+    for rn0, (i, v, w) in enumerate(ref):
+        acc += w
+        assert got[i] == (rn0 + 1, acc), (i, got[i], rn0 + 1, acc)
+    # ntile arithmetic vs SQL-standard assignment on the same order
+    n = len(ref)
+    k = 4
+    tile = {
+        r["id"]: r["t"]
+        for r in global_order(df, F.col("v"), ["id"], n_buckets=7)
+        .withColumn("t", ntile_from_rn(F.col("rn"), F.lit(n), k))
+        .collect()
+    }
+    base, rem = divmod(n, k)
+    want_tiles = [t for t in range(1, k + 1)
+                  for _ in range(base + (1 if t <= rem else 0))]
+    assert [tile[i] for i, _, _ in ref] == want_tiles[:n]
