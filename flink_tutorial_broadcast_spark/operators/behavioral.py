@@ -330,8 +330,10 @@ def q_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
     the NEGATED measure for the DESC orderings, then ntile_from_rn
     arithmetic on the exact global row number and the broadcast user
     count) — three bucket-partitioned windows, no unpartitioned
-    WindowExec (CI-guarded in plans/audit.py)."""
-    from .two_phase import global_order, ntile_from_rn
+    WindowExec (CI-guarded in plans/audit.py). The multi-spec form
+    shares ONE stats pass and ONE bucket-histogram pass across all
+    three orderings."""
+    from .two_phase import global_order_multi, ntile_from_rn
 
     ev = load(spark, sf_dir, "events")
     base = ev.groupBy("user_id").agg(
@@ -344,12 +346,11 @@ def q_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # DESC orderings rank ascending on the negated measure; user_id
     # stays the ASC tiebreak in all three, matching the oracle exactly
-    ranked = global_order(
-        base, -F.unix_micros("last_ts"), ["user_id"], out_rn="rn_r")
-    ranked = global_order(
-        ranked, -F.col("n_events"), ["user_id"], out_rn="rn_f")
-    ranked = global_order(
-        ranked, -F.col("monetary"), ["user_id"], out_rn="rn_m")
+    ranked = global_order_multi(base, [
+        (-F.unix_micros("last_ts"), ["user_id"], "rn_r"),
+        (-F.col("n_events"), ["user_id"], "rn_f"),
+        (-F.col("monetary"), ["user_id"], "rn_m"),
+    ])
     n_users = base.agg(F.count("*").alias("__n_users"))
     return (
         ranked.crossJoin(F.broadcast(n_users))

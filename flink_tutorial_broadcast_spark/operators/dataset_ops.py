@@ -492,7 +492,11 @@ def _md5_prefix_positions(keyed: DataFrame, key: str, out: str) -> DataFrame:
     single-partition WindowExec — and adds the broadcast offset. At
     100 TB raise the prefix to 3–4 hex chars (4096/65536 ranges)."""
     b = f"__b_{out}"
-    bucketed = keyed.withColumn(b, F.substring(key, 1, 2))
+    # two consumers (count collect + final window join) — checkpoint
+    # lazily so the upstream md5 projection materializes once; blocks
+    # are freed by session.release_cached_blocks in harness loops
+    bucketed = keyed.withColumn(b, F.substring(key, 1, 2)) \
+        .localCheckpoint(eager=False)
     counts = (bucketed.groupBy(b).count()
               .orderBy(b).collect())  # ≤256 rows, bounded by construction
     offsets, acc = [], 0

@@ -260,20 +260,33 @@ def q_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
     order, with support (pair frequency over all orders) and confidence
     (P(b|a)) as integer ppm — the frequent-itemset primitive behind
     recommendation rules, min-support 3 pruning the long tail. The
-    per-order self-join is bounded by basket size (≤7 lines here, pairs
-    = O(k²) per order); both ratio denominators broadcast back. All
-    counts integer; ratios FLOOR'd ppm."""
+    pair generation is bounded by basket size (≤7 lines here, pairs =
+    O(k²) per order) and runs INSIDE one row — ONE order-keyed shuffle
+    (collect_set folds the dedup in) replaces the distinct + self-join
+    + pair-shuffle chain: the sorted basket array explodes its ordered
+    pairs directly, so no join and no skew surface exists at any scale.
+    Both ratio denominators broadcast back. All counts integer; ratios
+    FLOOR'd ppm. The basket relation feeds three consumers
+    (denominator, item counts, pairs) — checkpointed lazily, freed via
+    session.release_cached_blocks."""
     li = load(spark, sf_dir, "lineitem")
-    baskets = li.select("l_orderkey", "l_partkey").distinct()
-    n_orders = baskets.agg(
-        F.countDistinct("l_orderkey").alias("n_orders"))
-    item = baskets.groupBy("l_partkey").agg(F.count("*").alias("n_item"))
-    a = baskets.select(F.col("l_orderkey").alias("ok"),
-                       F.col("l_partkey").alias("part_a"))
-    b = baskets.select(F.col("l_orderkey").alias("ok2"),
-                       F.col("l_partkey").alias("part_b"))
+    per_order = (
+        li.groupBy("l_orderkey")
+        .agg(F.array_sort(F.collect_set("l_partkey")).alias("ps"))
+        .localCheckpoint(eager=False)
+    )
+    n_orders = per_order.agg(F.count("*").alias("n_orders"))
+    item = (
+        per_order.select(F.explode("ps").alias("l_partkey"))
+        .groupBy("l_partkey").agg(F.count("*").alias("n_item"))
+    )
     pairs = (
-        a.join(b, (a.ok == b.ok2) & (a.part_a < b.part_b))
+        per_order.select(F.explode(F.expr(
+            "flatten(transform(ps, (x, i) -> "
+            "transform(slice(ps, i + 2, size(ps)), "
+            "y -> struct(x AS part_a, y AS part_b))))"
+        )).alias("p"))
+        .select("p.part_a", "p.part_b")
         .groupBy("part_a", "part_b")
         .agg(F.count("*").alias("n_both"))
         .filter(F.col("n_both") >= 3)

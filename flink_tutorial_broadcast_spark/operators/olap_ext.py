@@ -430,10 +430,18 @@ def q_quartile_banding(spark: SparkSession, sf_dir: str) -> DataFrame:
     back, then a CASE classifier + aggregate. Cut values are identical
     doubles on both engines (same interpolated quantile over the same
     floats), so band membership is deterministic. The 100 TB variant
-    swaps pass 1 for approx_percentile sketches."""
+    swaps pass 1 for approx_percentile sketches.
+
+    The (segment, price) projection of the enrich join feeds BOTH the
+    cut pass and the banding pass — checkpoint it lazily so the join
+    runs once (blocks freed by session.release_cached_blocks)."""
     o = load(spark, sf_dir, "orders")
     c = load(spark, sf_dir, "customer")
-    oc = o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+    oc = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .select("c_mktsegment", "o_totalprice")
+        .localCheckpoint(eager=False)
+    )
     cuts = oc.groupBy(F.col("c_mktsegment").alias("segment")).agg(
         F.percentile("o_totalprice", F.lit(0.25)).alias("q1"),
         F.percentile("o_totalprice", F.lit(0.50)).alias("q2"),

@@ -52,58 +52,111 @@ def global_order(
     resolved by `tiebreaks`, which must make the order total for the
     result to be deterministic.
     """
+    return global_order_multi(
+        df, [(sort_value, tiebreaks, out_rn)],
+        running_sums=running_sums, n_buckets=n_buckets)
+
+
+def global_order_multi(
+    df: DataFrame,
+    specs: list[tuple[Column, list[str], str]],
+    *,
+    running_sums: dict[str, Column] | None = None,
+    n_buckets: int = 256,
+) -> DataFrame:
+    """N independent global orderings over ONE input in a fixed number
+    of extra jobs: one (min, max) stats pass + one exploded per-measure
+    bucket-count pass, regardless of how many orderings are requested —
+    the three RFM ntiles cost the same two bounded collects as one.
+
+    ``specs`` is ``[(sort_value, tiebreaks, out_rn), ...]``;
+    ``running_sums`` (inclusive global running sums) attach to the FIRST
+    spec's ordering.
+    """
     running_sums = running_sums or {}
-    v, b = "__tp_v", "__tp_b"
-    keyed = df.withColumn(v, sort_value.cast("double"))
+    n = len(specs)
+    vcols = [f"__tp_v{i}" for i in range(n)]
+    bcols = [f"__tp_b{i}" for i in range(n)]
+    # every consumer (stats, counts, the final windowed joins) re-reads
+    # the input — checkpoint it LAZILY so the upstream plan (often a
+    # full fact-table aggregate) materializes once, not 2+N×. Blocks
+    # are freed by session.release_cached_blocks in harness loops.
+    keyed = df
+    for v, (sv, _, _) in zip(vcols, specs):
+        keyed = keyed.withColumn(v, sv.cast("double"))
+    keyed = keyed.localCheckpoint(eager=False)
 
-    lo, hi = keyed.agg(F.min(v), F.max(v)).first()
-    if lo is None or hi is None or hi <= lo:
-        bucket = F.lit(0)
-    else:
-        span = hi - lo
-        # float conversion and floor are monotone non-decreasing in v, so
-        # the bucket id is order-consistent even under rounding
-        bucket = F.least(
-            F.lit(n_buckets - 1),
-            F.floor((F.col(v) - F.lit(lo)) / F.lit(span) * n_buckets),
-        ).cast("int")
-    bucketed = keyed.withColumn(b, bucket)
+    stats = keyed.agg(*[f for v in vcols
+                        for f in (F.min(v), F.max(v))]).first()
+    buckets = []
+    for i, v in enumerate(vcols):
+        lo, hi = stats[2 * i], stats[2 * i + 1]
+        if lo is None or hi is None or hi <= lo:
+            buckets.append(F.lit(0))
+        else:
+            # float conversion and floor are monotone non-decreasing in
+            # v, so the bucket id is order-consistent under rounding
+            buckets.append(F.least(
+                F.lit(n_buckets - 1),
+                F.floor((F.col(v) - F.lit(lo))
+                        / F.lit(hi - lo) * n_buckets),
+            ).cast("int"))
+    bucketed = keyed
+    for b, bk in zip(bcols, buckets):
+        bucketed = bucketed.withColumn(b, bk)
 
-    aggs = [F.count("*").alias("__n")] + [
-        F.sum(expr).alias(f"__s_{name}")
-        for name, expr in running_sums.items()
-    ]
-    counts = bucketed.groupBy(b).agg(*aggs).orderBy(b).collect()
-    offsets, acc_n = [], 0
-    acc_s = {name: 0 for name in running_sums}
-    for r in counts:
-        offsets.append((r[b], acc_n, *[acc_s[k] for k in running_sums]))
-        acc_n += r["__n"]
-        for k in running_sums:
-            acc_s[k] += r[f"__s_{k}"] or 0
-
-    # integer measures (e.g. exact cents) keep int64 exactness end-to-end
-    off_cols = ", ".join(
-        f"__o_{k} " + ("long" if isinstance(acc_s[k], int) else "double")
-        for k in running_sums
+    # ONE shuffle for every measure's bucket histogram: explode to
+    # (measure, bucket) pairs — ≤ N·n_buckets result rows
+    sum_aggs = [F.sum(F.when(F.col("__m") == 0, expr))
+                .alias(f"__s_{name}")
+                for name, expr in running_sums.items()]
+    counts = (
+        bucketed.select(
+            *[F.col(c) for c in bucketed.columns],
+            F.explode(F.array(*[
+                F.struct(F.lit(i).alias("__m"), F.col(b).alias("__b"))
+                for i, b in enumerate(bcols)])).alias("__mb"))
+        .select("*", F.col("__mb.__m").alias("__m"),
+                F.col("__mb.__b").alias("__b"))
+        .groupBy("__m", "__b")
+        .agg(F.count("*").alias("__n"), *sum_aggs)
+        .collect()
     )
-    off_schema = f"{b} int, __off long" + (f", {off_cols}" if off_cols else "")
-    off_df = df.sparkSession.createDataFrame(offsets, schema=off_schema)
 
-    # rank on the ORIGINAL (exact) sort expression; only the bucket id
-    # goes through the double cast (monotone, so bucket-consistent)
-    w = Window.partitionBy(b).orderBy(sort_value.asc(), *tiebreaks)
-    out = (
-        bucketed.join(F.broadcast(off_df), b)
-        .withColumn(out_rn, F.col("__off") + F.row_number().over(w))
-    )
-    drop = [v, b, "__off"]
-    for name, expr in running_sums.items():
-        wsum = w.rowsBetween(Window.unboundedPreceding, 0)
-        out = out.withColumn(
-            name, F.col(f"__o_{name}") + F.sum(expr).over(wsum)
+    out = bucketed
+    drop = list(vcols) + list(bcols)
+    for i, (sv, tiebreaks, out_rn) in enumerate(specs):
+        rows = sorted((r for r in counts if r["__m"] == i),
+                      key=lambda r: r["__b"])
+        offsets, acc_n = [], 0
+        acc_s = {name: 0 for name in running_sums} if i == 0 else {}
+        for r in rows:
+            offsets.append((r["__b"], acc_n,
+                            *[acc_s[k] for k in acc_s]))
+            acc_n += r["__n"]
+            for k in acc_s:
+                acc_s[k] += r[f"__s_{k}"] or 0
+        # integer measures (e.g. exact cents) keep int64 end-to-end
+        off_cols = ", ".join(
+            f"__o_{k} " + ("long" if isinstance(acc_s[k], int)
+                           else "double")
+            for k in acc_s)
+        off_schema = f"{bcols[i]} int, __off{i} long" + (
+            f", {off_cols}" if off_cols else "")
+        off_df = df.sparkSession.createDataFrame(offsets, off_schema)
+        # rank on the ORIGINAL (exact) sort expression; only the bucket
+        # id goes through the double cast (monotone, bucket-consistent)
+        w = Window.partitionBy(bcols[i]).orderBy(sv.asc(), *tiebreaks)
+        out = (
+            out.join(F.broadcast(off_df), bcols[i])
+            .withColumn(out_rn, F.col(f"__off{i}") + F.row_number().over(w))
         )
-        drop.append(f"__o_{name}")
+        drop.append(f"__off{i}")
+        for name, expr in (running_sums.items() if i == 0 else ()):
+            wsum = w.rowsBetween(Window.unboundedPreceding, 0)
+            out = out.withColumn(
+                name, F.col(f"__o_{name}") + F.sum(expr).over(wsum))
+            drop.append(f"__o_{name}")
     return out.drop(*drop)
 
 
