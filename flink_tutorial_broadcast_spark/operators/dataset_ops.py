@@ -568,3 +568,162 @@ def q_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
                   .otherwise(0)).cast("long").alias("n_same_shard"),
         )
     )
+
+
+@query(
+    "q_domain_token_cap",
+    oracle="""
+    WITH toks AS (
+      SELECT source, doc_id, len(string_split(text, ' ')) AS n_tokens
+      FROM documents
+    ),
+    capped AS (
+      SELECT source, doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+             CAST(SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+      FROM toks
+    )
+    SELECT source, doc_id, n_tokens, cum_tokens
+    FROM capped WHERE cum_tokens <= 800
+    """,
+)
+def q_domain_token_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain token-budget cap — the standard pretraining-mixture
+    guard against any one source dominating the corpus: within each
+    source, documents accumulate (deterministic doc_id order) until the
+    source's token budget (800) is exhausted; later documents are
+    dropped. Seed-free and engine-portable, unlike sampled caps. The
+    running sum is a window PARTITIONED by source (parallel across
+    sources; no unpartitioned WindowExec). A pathologically heavy single
+    source at 100 TB would shard that one window's partition — the
+    mitigation is the same two-phase prefix-sum as q_epoch_shuffle,
+    keyed (source, bucket), but per-source inputs here are
+    budget-bounded consumers: the window can short-circuit after the
+    budget, so the practical cost is ~budget rows per source."""
+    w = (Window.partitionBy("source").orderBy("doc_id")
+         .rowsBetween(Window.unboundedPreceding, 0))
+    return (
+        load(spark, sf_dir, "documents")
+        .select("source", "doc_id",
+                F.size(F.split("text", " ")).cast("long").alias("n_tokens"))
+        .withColumn("cum_tokens", F.sum("n_tokens").over(w))
+        .filter(F.col("cum_tokens") <= 800)
+    )
+
+
+@query(
+    "q_curriculum_interleave",
+    oracle="""
+    WITH r AS (
+      SELECT doc_id, source,
+             row_number() OVER (PARTITION BY source ORDER BY doc_id)
+               AS rank_in_source
+      FROM documents
+    )
+    SELECT CAST(row_number() OVER (ORDER BY rank_in_source, source, doc_id)
+                AS BIGINT) AS position,
+           doc_id, source, rank_in_source
+    FROM r
+    """,
+)
+def q_curriculum_interleave(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic round-robin domain interleave — the training-order
+    construction that keeps every mini-batch mixture-balanced: take each
+    source's documents in order, deal them out round-robin (all sources'
+    1st docs, then all 2nd docs, ...), yielding a total order where any
+    contiguous window of ~n_sources docs touches every domain once.
+    Within-source rank is a source-PARTITIONED window (parallel); the
+    global position over (rank_in_source, source) is EXECUTED two-phase
+    via global_order (bounded bucket-histogram collect + broadcast
+    offsets + bucket-partitioned row_number) — no unpartitioned
+    WindowExec anywhere in the plan."""
+    from flink_tutorial_broadcast_spark.operators.two_phase import global_order
+
+    r = (
+        load(spark, sf_dir, "documents")
+        .select("doc_id", "source")
+        .withColumn(
+            "rank_in_source",
+            F.row_number().over(
+                Window.partitionBy("source").orderBy("doc_id")),
+        )
+    )
+    return global_order(
+        r, F.col("rank_in_source"), ["source", "doc_id"],
+        out_rn="position",
+    ).select("position", "doc_id", "source", "rank_in_source")
+
+
+@query(
+    "q_cms_frequency",
+    oracle="""
+    WITH toks AS (
+      SELECT unnest(string_split(text, ' ')) AS token FROM documents
+    ),
+    exact AS (SELECT token, COUNT(*) AS exact_cnt FROM toks GROUP BY 1),
+    top AS (
+      SELECT token, exact_cnt FROM exact
+      ORDER BY exact_cnt DESC, token LIMIT 20
+    ),
+    hashed AS (
+      SELECT token, s.seed,
+             ('0x' || substr(md5(s.seed || token), 1, 8))::BIGINT % 64
+               AS bucket
+      FROM toks
+      CROSS JOIN (SELECT UNNEST(['s1', 's2', 's3']) AS seed) s
+    ),
+    sketch AS (
+      SELECT seed, bucket, COUNT(*) AS cnt FROM hashed GROUP BY 1, 2
+    ),
+    est AS (
+      SELECT h.token, MIN(sk.cnt) AS cms_est
+      FROM (SELECT DISTINCT token, seed, bucket FROM hashed) h
+      JOIN sketch sk USING (seed, bucket) GROUP BY 1
+    )
+    SELECT t.token AS token, t.exact_cnt AS exact_cnt, e.cms_est AS cms_est,
+           e.cms_est >= t.exact_cnt AS is_overestimate
+    FROM top t JOIN est e ON t.token = e.token
+    """,
+)
+def q_cms_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min-sketch token frequencies, built RELATIONALLY so the
+    sketch itself is an engine-portable table: d=3 seeded hash rows ×
+    w=64 buckets, bucket = first-8-hex-chars of md5(seed||token) mod w
+    (identical arithmetic on both engines — Spark conv(hex,16,10) ≡
+    DuckDB '0x'-cast). The sketch is a 192-row aggregate whose size is
+    INDEPENDENT of corpus size — the entire 100 TB token stream partial-
+    aggregates map-side into ≤192 rows per partition before one tiny
+    shuffle; estimates then come from a broadcast join against it.
+    Emits the top-20 exact-vs-estimate comparison with the CMS
+    guarantee surfaced as a column: est ≥ exact always (one-sided
+    error), with collisions inflating small counts. The exact side is
+    vocab-sized and exists only as the audit twin; at 100 TB you keep
+    the sketch and drop the exact branch."""
+    toks = (
+        load(spark, sf_dir, "documents")
+        .select(F.explode(F.split("text", " ")).alias("token"))
+    )
+    seeds = F.array(F.lit("s1"), F.lit("s2"), F.lit("s3"))
+    hashed = toks.select(
+        "token", F.explode(seeds).alias("seed")
+    ).withColumn(
+        "bucket",
+        F.conv(F.substring(F.md5(F.concat("seed", "token")), 1, 8), 16, 10)
+        .cast("long") % 64,
+    )
+    sketch = hashed.groupBy("seed", "bucket").agg(F.count("*").alias("cnt"))
+    est = (
+        hashed.select("token", "seed", "bucket").distinct()
+        .join(F.broadcast(sketch), ["seed", "bucket"])
+        .groupBy("token").agg(F.min("cnt").alias("cms_est"))
+    )
+    top = (
+        toks.groupBy("token").agg(F.count("*").alias("exact_cnt"))
+        .orderBy(F.col("exact_cnt").desc(), "token").limit(20)
+    )
+    return (
+        F.broadcast(top).join(est, "token")
+        .select("token", "exact_cnt", "cms_est",
+                (F.col("cms_est") >= F.col("exact_cnt"))
+                .alias("is_overestimate"))
+    )

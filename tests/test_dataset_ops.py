@@ -655,3 +655,57 @@ def test_epoch_shuffle_partitions_and_reshuffles(spark, queries):
     # stay near the 64/n_docs expectation, far below identity
     same = sum(r.n_same_shard for r in rows)
     assert same < 0.5 * n_docs, same
+
+
+def test_domain_token_cap_keeps_ordered_prefix_per_source(spark, queries):
+    out = queries["q_domain_token_cap"](spark, SF_SMOKE).collect()
+    by_src: dict[str, list] = {}
+    for r in out:
+        by_src.setdefault(r.source, []).append(r)
+    docs = (load(spark, SF_SMOKE, "documents")
+            .select("source", "doc_id",
+                    F.size(F.split("text", " ")).alias("n_tokens"))
+            .collect())
+    all_by_src: dict[str, list] = {}
+    for r in docs:
+        all_by_src.setdefault(r.source, []).append(r)
+    for src, kept in by_src.items():
+        kept.sort(key=lambda r: r.doc_id)
+        # budget respected and cum matches a running sum
+        cum = 0
+        for r in kept:
+            cum += r.n_tokens
+            assert r.cum_tokens == cum <= 800
+        # kept set is exactly the maximal doc_id-ordered prefix
+        full = sorted(all_by_src[src], key=lambda r: r.doc_id)
+        cum, prefix = 0, []
+        for r in full:
+            cum += r.n_tokens
+            if cum > 800:
+                break
+            prefix.append(r.doc_id)
+        assert [r.doc_id for r in kept] == prefix
+
+
+def test_curriculum_interleave_is_round_robin(spark, queries):
+    out = sorted(queries["q_curriculum_interleave"](spark, SF_SMOKE).collect(),
+                 key=lambda r: r.position)
+    n = len(out)
+    n_src = len({r.source for r in out})
+    # positions are a 1..n permutation
+    assert [r.position for r in out] == list(range(1, n + 1))
+    # the first full round touches every source exactly once, in order
+    first_round = out[:n_src]
+    assert {r.source for r in first_round} == {r.source for r in out}
+    assert all(r.rank_in_source == 1 for r in first_round)
+    # rank_in_source is non-decreasing along the curriculum
+    ranks = [r.rank_in_source for r in out]
+    assert ranks == sorted(ranks)
+
+
+def test_cms_estimates_never_undercount(spark, queries):
+    rows = queries["q_cms_frequency"](spark, SF_SMOKE).collect()
+    assert len(rows) == 20
+    for r in rows:
+        assert r.cms_est >= r.exact_cnt
+        assert r.is_overestimate
