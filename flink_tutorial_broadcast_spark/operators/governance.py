@@ -603,3 +603,46 @@ def q_term_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5(F.regexp_replace("text", pat, "[MASK]")).alias("red_fp"),
     )
     return d.filter(F.col("n_redacted") > 0)
+
+
+def observed_quality_gate(spark: SparkSession, sf_dir: str):
+    """Single-pass pipeline instrumentation via ``DataFrame.observe``:
+    gate-level counters (rows seen, rows passing each gate) accumulate
+    INSIDE the filtering job itself — CollectMetricsExec folds them per
+    task and merges on the driver, so the funnel report costs ZERO extra
+    scans/jobs, unlike the q_filter_funnel audit query which is itself a
+    (single-scan) aggregate job. This is how a 100 TB curation run
+    reports its own selectivity for free. Returns (result_df, Observation);
+    ``obs.get`` blocks until the first action on the result executes."""
+    from pyspark.sql import Observation
+
+    obs = Observation("quality_gate")
+    pass_len = F.col("n_chars") >= 100
+    pass_lang = F.col("lang").isin("en", "de")
+    gated = (
+        load(spark, sf_dir, "documents")
+        .select("doc_id", "lang", "n_chars")
+        .observe(
+            obs,
+            F.count(F.lit(1)).alias("n_seen"),
+            F.sum(pass_len.cast("long")).alias("n_pass_len"),
+            F.sum((pass_len & pass_lang).cast("long")).alias("n_pass_both"),
+        )
+    )
+    return gated.filter(pass_len & pass_lang), obs
+
+
+@query(
+    "q_observed_gate",
+    oracle="""
+    SELECT doc_id, lang, n_chars FROM documents
+    WHERE n_chars >= 100 AND lang IN ('en', 'de')
+    """,
+)
+def q_observed_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The observed quality gate's result relation (oracle-checked); the
+    observe() metrics side-channel — per-gate pass counts collected in
+    the same job, no extra scan — is pinned by
+    tests/test_governance_graph.py::test_observed_gate_metrics."""
+    out, _ = observed_quality_gate(spark, sf_dir)
+    return out

@@ -460,3 +460,35 @@ def q_quartile_banding(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n"),
         F.round(F.sum("o_totalprice"), 2).alias("band_total"),
     )
+
+
+@query(
+    "q_sql_pipe_syntax",
+    oracle="""
+    SELECT o_orderpriority,
+           COUNT(*) AS n_orders,
+           ROUND(SUM(o_totalprice), 2) AS revenue
+    FROM orders
+    WHERE o_orderstatus = 'O'
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def q_sql_pipe_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-entry pipe syntax (Spark 4's `|>` operator chaining — the
+    linear FROM-first form of the same relational algebra): each `|>`
+    stage parses to exactly the node the keyword names, and Catalyst
+    plans the chain identically to the nested-SELECT twin the oracle
+    runs — one scan with the filter pushed down, partial+final agg, then
+    a sort. Proves the third SQL entry surface (after the scalar-subquery
+    and correlated-EXISTS lifecycles) end-to-end against an engine that
+    has no pipe syntax at all."""
+    load(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql("""
+        FROM orders
+        |> WHERE o_orderstatus = 'O'
+        |> AGGREGATE COUNT(*) AS n_orders,
+                     ROUND(SUM(o_totalprice), 2) AS revenue
+           GROUP BY o_orderpriority
+        |> ORDER BY o_orderpriority
+    """)

@@ -211,3 +211,22 @@ def test_term_redact_masks_every_blocklist_hit(spark, queries):
             assert out[d.doc_id].red_fp != d.orig_fp
         else:
             assert d.doc_id not in out
+
+
+def test_observed_gate_metrics_match_exact_counts(spark):
+    from flink_tutorial_broadcast_spark.operators.governance import (
+        observed_quality_gate,
+    )
+    from flink_tutorial_broadcast_spark.io import load
+    from tests.conftest import SF_SMOKE
+
+    out, obs = observed_quality_gate(spark, SF_SMOKE)
+    n_out = out.count()  # one job; metrics ride along, no extra scan
+    m = obs.get
+    docs = load(spark, SF_SMOKE, "documents")
+    n_docs = docs.count()
+    n_len = docs.filter(F.col("n_chars") >= 100).count()
+    assert m["n_seen"] == n_docs
+    assert m["n_pass_len"] == n_len
+    assert m["n_pass_both"] == n_out
+    assert m["n_seen"] >= m["n_pass_len"] >= m["n_pass_both"]
