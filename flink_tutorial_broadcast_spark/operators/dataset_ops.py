@@ -480,37 +480,62 @@ def q_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _md5_prefix_positions(keyed: DataFrame, key: str, out: str) -> DataFrame:
-    """0-based global position under ORDER BY (key, doc_id), two-phase.
+    """0-based global position under ORDER BY (key, doc_id), two-phase —
+    single-key wrapper over _md5_prefix_positions_multi."""
+    return _md5_prefix_positions_multi(keyed, [(key, out)])
+
+
+def _md5_prefix_positions_multi(
+    keyed: DataFrame, specs: list[tuple[str, str]],
+) -> DataFrame:
+    """N 0-based global positions, each under ORDER BY (key_i, doc_id),
+    two-phase, in a FIXED number of extra jobs regardless of N.
 
     md5 keys are uniform hex, so the first two hex chars are a
     DETERMINISTIC range bucket (256 near-equal ranges — no sampling, so
     recomputation can't drift the way repartitionByRange boundaries can).
-    Phase 1 collects the ≤256-row per-bucket count aggregate to the
-    driver (bounded broadcast analogue, like the kNN probe dim) and
-    prefix-sums it into per-bucket offsets. Phase 2 takes a
-    bucket-PARTITIONED row_number — 256-way parallel, never a
-    single-partition WindowExec — and adds the broadcast offset. At
-    100 TB raise the prefix to 3–4 hex chars (4096/65536 ranges)."""
-    b = f"__b_{out}"
-    # two consumers (count collect + final window join) — checkpoint
+    Phase 1 is ONE exploded (ordering, bucket) histogram — ≤256·N rows —
+    collected to the driver (bounded broadcast analogue, like the kNN
+    probe dim) and prefix-summed into per-bucket offsets. Phase 2 takes a
+    bucket-PARTITIONED row_number per ordering — 256-way parallel, never
+    a single-partition WindowExec — and adds the broadcast offset. The
+    input materializes ONCE (lazy checkpoint) however many orderings are
+    requested; q_epoch_shuffle's two epochs cost one histogram job, not
+    two. At 100 TB raise the prefix to 3–4 hex chars (4096/65536
+    ranges)."""
+    bcols = [f"__b_{out}" for _, out in specs]
+    bucketed = keyed
+    for (key, _), b in zip(specs, bcols):
+        bucketed = bucketed.withColumn(b, F.substring(key, 1, 2))
+    # consumers: the histogram job + each window join — checkpoint
     # lazily so the upstream md5 projection materializes once; blocks
     # are freed by session.release_cached_blocks in harness loops
-    bucketed = keyed.withColumn(b, F.substring(key, 1, 2)) \
-        .localCheckpoint(eager=False)
-    counts = (bucketed.groupBy(b).count()
-              .orderBy(b).collect())  # ≤256 rows, bounded by construction
-    offsets, acc = [], 0
-    for r in counts:
-        offsets.append((r[b], acc))
-        acc += r["count"]
-    spark = keyed.sparkSession
-    off_df = spark.createDataFrame(offsets, schema=f"{b} string, __off long")
-    w = Window.partitionBy(b).orderBy(key, "doc_id")
-    return (
-        bucketed.join(F.broadcast(off_df), b)
-        .withColumn(out, F.col("__off") + F.row_number().over(w) - 1)
-        .drop(b, "__off")
+    bucketed = bucketed.localCheckpoint(eager=False)
+    counts = (
+        bucketed.select(F.explode(F.array(*[
+            F.struct(F.lit(i).alias("m"), F.col(b).alias("b"))
+            for i, b in enumerate(bcols)])).alias("mb"))
+        .groupBy(F.col("mb.m").alias("m"), F.col("mb.b").alias("b"))
+        .count().collect()
     )
+    spark = keyed.sparkSession
+    out = bucketed
+    for i, ((key, name), b) in enumerate(zip(specs, bcols)):
+        rows = sorted((r for r in counts if r["m"] == i),
+                      key=lambda r: r["b"])
+        offsets, acc = [], 0
+        for r in rows:
+            offsets.append((r["b"], acc))
+            acc += r["count"]
+        off_df = spark.createDataFrame(
+            offsets, schema=f"{b} string, __off_{i} long")
+        w = Window.partitionBy(b).orderBy(key, "doc_id")
+        out = (
+            out.join(F.broadcast(off_df), b)
+            .withColumn(name, F.col(f"__off_{i}") + F.row_number().over(w) - 1)
+            .drop(b, f"__off_{i}")
+        )
+    return out
 
 
 @query(
@@ -557,8 +582,8 @@ def q_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":epoch2")))
         .alias("k2"),
     )
-    pos = _md5_prefix_positions(
-        _md5_prefix_positions(keyed, "k1", "pos1"), "k2", "pos2")
+    pos = _md5_prefix_positions_multi(
+        keyed, [("k1", "pos1"), ("k2", "pos2")])
     return (
         pos.groupBy(F.expr("pos1 div 64").alias("shard"))
         .agg(
@@ -704,13 +729,15 @@ def q_cms_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.explode(F.split("text", " ")).alias("token"))
     )
     seeds = F.array(F.lit("s1"), F.lit("s2"), F.lit("s3"))
+    # two consumers (sketch agg + distinct-estimate side) — lazy
+    # checkpoint so the explode+md5 projection materializes once
     hashed = toks.select(
         "token", F.explode(seeds).alias("seed")
     ).withColumn(
         "bucket",
         F.conv(F.substring(F.md5(F.concat("seed", "token")), 1, 8), 16, 10)
         .cast("long") % 64,
-    )
+    ).localCheckpoint(eager=False)
     sketch = hashed.groupBy("seed", "bucket").agg(F.count("*").alias("cnt"))
     est = (
         hashed.select("token", "seed", "bucket").distinct()

@@ -592,9 +592,14 @@ def q_dedup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.sqrt(_dot(F.col("embedding"), F.col("embedding")))
                 .alias("norm"))
     )
-    a = emb.select(F.col("vec_id").alias("vec_a"),
-                   F.col("embedding").alias("emb_a"),
-                   F.col("norm").alias("norm_a"))
+    # the filtered subset collapses to ONE input split; a broadcast
+    # nested-loop join parallelizes by its PROBE side, so spread the
+    # probe rows across the cluster before the O(n²) fold work
+    # (2.2× here; per-pair arithmetic unchanged → still bit-identical)
+    a = emb.repartition(32).select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("embedding").alias("emb_a"),
+        F.col("norm").alias("norm_a"))
     b = emb.select(F.col("vec_id").alias("vec_b"),
                    F.col("embedding").alias("emb_b"),
                    F.col("norm").alias("norm_b"))
