@@ -1431,9 +1431,14 @@ def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     so tier 2's semi-join is a broadcast and the full corpus never
     shuffles on token. Oracle runs the identical two-tier algorithm, so
     the check is exact."""
+    # three consumers (sample count, corpus total, final verify join) —
+    # materialize the tokenize scan once (lazy checkpoint). At 100 TB
+    # trade cache for recompute per cluster memory; the algorithm is
+    # unchanged either way.
     toks = (
         load(spark, sf_dir, "documents")
         .select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+        .localCheckpoint(eager=False)
     )
     sample = toks.filter(
         F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1) < "4"
