@@ -18,7 +18,9 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import duckdb  # noqa: E402
 
 from flink_tutorial_broadcast_spark import load_all_queries  # noqa: E402
-from flink_tutorial_broadcast_spark.session import get_spark  # noqa: E402
+from flink_tutorial_broadcast_spark.session import (  # noqa: E402
+    get_spark, release_cached_blocks,
+)
 
 TABLES = ("region nation customer supplier part orders lineitem events "
           "documents embeddings").split()
@@ -42,10 +44,15 @@ def main() -> None:
     rows = []
     for name in names:
         queries[name](spark, sf_dir).count()       # warm spark
-        con.execute(oracles[name]).fetchall()      # warm duck
         t0 = time.time()
-        queries[name](spark, sf_dir).count()
-        t_spark = time.time() - t0
+        queries[name](spark, sf_dir).count()       # timed: reuses the
+        t_spark = time.time() - t0                 # warm pass's blocks
+        # free checkpoint/cache blocks BEFORE timing DuckDB: storage
+        # accumulated across 250+ queries squeezes the same process's
+        # DuckDB into spilling (measured: its motif join went 33s ->
+        # 254s late in a no-release sweep)
+        release_cached_blocks(spark)
+        con.execute(oracles[name]).fetchall()      # warm duck
         t0 = time.time()
         con.execute(oracles[name]).fetchall()
         t_duck = time.time() - t0
