@@ -571,6 +571,53 @@ def q_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_l_diversity",
+    oracle="""
+    WITH g AS (
+      SELECT c_nationkey, c_mktsegment, COUNT(*) AS n,
+             COUNT(DISTINCT CAST(FLOOR(c_acctbal / 2000) AS BIGINT))
+               AS n_sensitive
+      FROM customer GROUP BY 1, 2
+    )
+    SELECT c_nationkey, c_mktsegment,
+           CASE WHEN n >= 5 AND n_sensitive >= 3 THEN n END AS n_released,
+           CASE WHEN n < 5 THEN 'suppressed_k'
+                WHEN n_sensitive < 3 THEN 'suppressed_l'
+                ELSE 'released' END AS status
+    FROM g
+    """,
+)
+def q_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity on top of k-anonymity (k = 5, l = 3): a
+    quasi-identifier cell is releasable only if it ALSO contains ≥ l
+    distinct values of the sensitive attribute (here the account-balance
+    band) — the guard against homogeneity attacks, where a k-anonymous
+    cell still leaks because every member shares the sensitive value.
+    Cells failing each criterion are marked separately (suppressed_k vs
+    suppressed_l) so the privacy audit shows WHICH gate fired. One
+    partial+final aggregate with a distinct-count (Expand) — still
+    dimension-bounded output regardless of corpus size."""
+    g = (
+        load(spark, sf_dir, "customer")
+        .groupBy("c_nationkey", "c_mktsegment")
+        .agg(
+            F.count("*").alias("n"),
+            F.countDistinct(
+                F.floor(F.col("c_acctbal") / 2000).cast("long"))
+            .alias("n_sensitive"),
+        )
+    )
+    return g.select(
+        "c_nationkey", "c_mktsegment",
+        F.when((F.col("n") >= 5) & (F.col("n_sensitive") >= 3), F.col("n"))
+        .alias("n_released"),
+        F.when(F.col("n") < 5, F.lit("suppressed_k"))
+        .when(F.col("n_sensitive") < 3, F.lit("suppressed_l"))
+        .otherwise("released").alias("status"),
+    )
+
+
+@query(
     "q_term_redact",
     oracle="""
     WITH r AS (

@@ -900,6 +900,84 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_winnow_fingerprint",
+    oracle="""
+    WITH docs AS (
+      SELECT doc_id, string_split(text, ' ') AS w FROM documents
+      WHERE len(string_split(text, ' ')) >= 6
+    ),
+    g AS (
+      SELECT doc_id, len(w) - 2 AS n_grams,
+             unnest(generate_series(1, len(w) - 2)) AS pos,
+             unnest(list_transform(generate_series(1, len(w) - 2),
+                    i -> ('0x' || substr(md5(w[i] || ' ' || w[i+1] || ' '
+                          || w[i+2]), 1, 12))::BIGINT)) AS h
+      FROM docs
+    ),
+    wins AS (
+      SELECT doc_id, n_grams, pos,
+             MIN(h) OVER (PARTITION BY doc_id ORDER BY pos
+                          ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp
+      FROM g
+    ),
+    sel AS (
+      SELECT DISTINCT doc_id, n_grams, fp
+      FROM wins WHERE pos <= n_grams - 3
+    )
+    SELECT doc_id, CAST(n_grams AS BIGINT) AS n_grams,
+           COUNT(*) AS n_fp, CAST(SUM(fp) AS BIGINT) AS fp_checksum
+    FROM sel GROUP BY 1, 2
+    """,
+)
+def q_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K4 winnowing fingerprints (Schleimer/Wilkerson/Aiken, the MOSS
+    algorithm): hash every word trigram, slide a w=4 window over the
+    per-document hash sequence, select each window's MINIMUM — the
+    positional fingerprint set that GUARANTEES any shared run of
+    ≥ w+k-1 tokens between two documents shares at least one selected
+    fingerprint (the detection property shingle sampling lacks). Hash is
+    the portable md5-hex-prefix (48-bit) used by q_cms_frequency, so
+    both engines select identical fingerprints; ties are broken by
+    value (distinct-min variant — fixture hashes are collision-free at
+    48 bits). Emits per-doc fingerprint count + integer checksum. Plan:
+    one tokenize scan → posexplode → a doc-PARTITIONED ordered window
+    (parallel across docs, no unpartitioned WindowExec) → per-doc
+    distinct+agg; docs shorter than k+w-1 grams have no full window and
+    are excluded up front on both engines."""
+    docs = (
+        load(spark, sf_dir, "documents")
+        .select("doc_id", F.split("text", " ").alias("w"))
+        .filter(F.size("w") >= 6)
+        .select("doc_id", "w", (F.size("w") - 2).alias("n_grams"))
+    )
+    idx = F.sequence(F.lit(1), F.col("n_grams"))
+    tri = F.transform(
+        idx, lambda i: F.concat_ws(" ", F.element_at("w", i),
+                                   F.element_at("w", i + 1),
+                                   F.element_at("w", i + 2)))
+    hashes = F.transform(
+        tri, lambda gstr: F.conv(F.substring(F.md5(gstr), 1, 12), 16, 10)
+        .cast("long"))
+    g = docs.select(
+        "doc_id", "n_grams",
+        F.posexplode(hashes).alias("pos0", "h"),
+    ).select("doc_id", "n_grams", (F.col("pos0") + 1).alias("pos"), "h")
+    win = (Window.partitionBy("doc_id").orderBy("pos")
+           .rowsBetween(Window.currentRow, 3))
+    sel = (
+        g.withColumn("fp", F.min("h").over(win))
+        .filter(F.col("pos") <= F.col("n_grams") - 3)
+        .select("doc_id", "n_grams", "fp").distinct()
+    )
+    return (
+        sel.groupBy("doc_id", F.col("n_grams").cast("long").alias("n_grams"))
+        .agg(F.count("*").alias("n_fp"),
+             F.sum("fp").cast("long").alias("fp_checksum"))
+        .select("doc_id", "n_grams", "n_fp", "fp_checksum")
+    )
+
+
+@query(
     "q_pipeline_e2e",
     oracle="""
     WITH scored AS (

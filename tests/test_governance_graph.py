@@ -230,3 +230,26 @@ def test_observed_gate_metrics_match_exact_counts(spark):
     assert m["n_pass_len"] == n_len
     assert m["n_pass_both"] == n_out
     assert m["n_seen"] >= m["n_pass_len"] >= m["n_pass_both"]
+
+
+def test_l_diversity_gates_fire_in_order(spark, queries):
+    from flink_tutorial_broadcast_spark.io import load
+    from tests.conftest import SF_SMOKE
+
+    rows = queries["q_l_diversity"](spark, SF_SMOKE).collect()
+    base = (load(spark, SF_SMOKE, "customer")
+            .groupBy("c_nationkey", "c_mktsegment")
+            .agg(F.count("*").alias("n"),
+                 F.countDistinct(
+                     F.floor(F.col("c_acctbal") / 2000).cast("long"))
+                 .alias("l")).collect())
+    exact = {(r.c_nationkey, r.c_mktsegment): (r.n, r.l) for r in base}
+    assert len(rows) == len(exact)
+    for r in rows:
+        n, l = exact[(r.c_nationkey, r.c_mktsegment)]
+        if n < 5:
+            assert r.status == "suppressed_k" and r.n_released is None
+        elif l < 3:
+            assert r.status == "suppressed_l" and r.n_released is None
+        else:
+            assert r.status == "released" and r.n_released == n

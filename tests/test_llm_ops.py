@@ -300,3 +300,33 @@ def test_containment_catches_what_jaccard_misses(spark, queries):
         assert c >= 900000
         if pair in near:
             assert c >= near[pair] * 1e6 - 1
+
+
+def test_winnow_fingerprints_match_reference_and_cover_windows(spark, queries):
+    """Recompute winnowing in pure Python for every doc and pin both the
+    selected set and the coverage guarantee (every w-window of the gram
+    hash sequence contains a selected fingerprint)."""
+    import hashlib
+
+    out = {r.doc_id: r for r in
+           queries["q_winnow_fingerprint"](spark, SF_SMOKE).collect()}
+    docs = load(spark, SF_SMOKE, "documents").collect()
+    checked = 0
+    for d in docs:
+        w = d.text.split(" ")
+        if len(w) < 6:
+            assert d.doc_id not in out
+            continue
+        grams = [" ".join(w[i:i + 3]) for i in range(len(w) - 2)]
+        hs = [int(hashlib.md5(g.encode()).hexdigest()[:12], 16)
+              for g in grams]
+        sel = {min(hs[i:i + 4]) for i in range(len(hs) - 3)}
+        r = out[d.doc_id]
+        assert r.n_grams == len(grams)
+        assert r.n_fp == len(sel)
+        assert r.fp_checksum == sum(sel)
+        # coverage: every full window contains a selected fingerprint
+        for i in range(len(hs) - 3):
+            assert sel & set(hs[i:i + 4])
+        checked += 1
+    assert checked > 0

@@ -265,6 +265,54 @@ def main() -> None:
         "rows": 2 * n_ord, "sec": round(time.time() - t0, 2),
         "mrows_per_s": round(2 * n_ord / (time.time() - t0) / 1e6, 1)}
 
+    # --- round-3 shapes -------------------------------------------------
+    docs = amplify(load(spark, SF_DIR, "documents"), ["doc_id"], k)
+    n_docs = docs.count()
+
+    # count-min sketch over the k×-amplified token stream: the sketch agg
+    # stays 192 rows no matter how large the corpus grows
+    t0 = time.time()
+    toks = docs.select(F.explode(F.split("text", " ")).alias("token"))
+    seeds = F.array(F.lit("s1"), F.lit("s2"), F.lit("s3"))
+    (toks.select("token", F.explode(seeds).alias("seed"))
+     .withColumn("bucket",
+                 F.conv(F.substring(F.md5(F.concat("seed", "token")), 1, 8),
+                        16, 10).cast("long") % 64)
+     .groupBy("seed", "bucket").agg(F.count("*").alias("cnt"))).count()
+    n_tok = 3 * toks.count()
+    results["cms_sketch"] = {
+        "rows": n_tok, "sec": round(time.time() - t0, 2),
+        "mrows_per_s": round(n_tok / (time.time() - t0) / 1e6, 1)}
+
+    # two-phase global ordering (curriculum interleave) on the amplified
+    # corpus: within-source rank + bucket-histogram global position
+    from pyspark.sql import Window
+
+    from flink_tutorial_broadcast_spark.operators.two_phase import (
+        global_order,
+    )
+    t0 = time.time()
+    r = docs.select("doc_id", "source").withColumn(
+        "rank_in_source",
+        F.row_number().over(Window.partitionBy("source").orderBy("doc_id")))
+    global_order(r, F.col("rank_in_source"), ["source", "doc_id"],
+                 out_rn="position").count()
+    results["curriculum_two_phase"] = {
+        "rows": n_docs, "sec": round(time.time() - t0, 2),
+        "mrows_per_s": round(n_docs / (time.time() - t0) / 1e6, 1)}
+
+    # per-source token-budget cap: source-partitioned running sum
+    t0 = time.time()
+    wcap = (Window.partitionBy("source").orderBy("doc_id")
+            .rowsBetween(Window.unboundedPreceding, 0))
+    (docs.select("source", "doc_id",
+                 F.size(F.split("text", " ")).cast("long").alias("n_tokens"))
+     .withColumn("cum", F.sum("n_tokens").over(wcap))
+     .filter(F.col("cum") <= 800)).count()
+    results["domain_token_cap"] = {
+        "rows": n_docs, "sec": round(time.time() - t0, 2),
+        "mrows_per_s": round(n_docs / (time.time() - t0) / 1e6, 1)}
+
     print(json.dumps({"k": k, "results": results}))
 
 
