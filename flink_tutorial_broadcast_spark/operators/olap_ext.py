@@ -492,3 +492,42 @@ def q_sql_pipe_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
            GROUP BY o_orderpriority
         |> ORDER BY o_orderpriority
     """)
+
+
+@query(
+    "q_weighted_sample",
+    oracle="""
+    WITH keyed AS (
+      SELECT doc_id, source, n_chars,
+             -ln((('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 13))
+                  ::BIGINT + 1.0) / 4503599627370497.0)
+               / n_chars AS es_key
+      FROM documents WHERE n_chars > 0
+    )
+    SELECT doc_id, source, n_chars
+    FROM keyed ORDER BY es_key, doc_id LIMIT 20
+    """,
+)
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling WITHOUT replacement (Efraimidis–Spirakis A-ES):
+    each row draws key = -ln(u)/w with u uniform and w its weight (here
+    n_chars as a quality-mass stand-in); the k smallest keys are exactly
+    a weighted sample without replacement — the quality-weighted subset
+    selection used to downsample a corpus while preserving high-value
+    documents. u derives from md5(doc_id) (13 hex chars → uniform in
+    (0,1]) so the draw is seed-free, engine-portable, and stable under
+    repartitioning; both engines evaluate the identical double
+    expression, so the selected set matches exactly. The top-k is
+    sort+limit — TakeOrderedAndProject, a two-phase per-partition top-k,
+    never a global sort — so the plan scales to any corpus size with
+    O(partitions·k) driver traffic."""
+    u = (F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 13),
+                16, 10).cast("double") + F.lit(1.0)) / F.lit(4503599627370497.0)
+    return (
+        load(spark, sf_dir, "documents")
+        .filter(F.col("n_chars") > 0)
+        .withColumn("es_key", -F.log(u) / F.col("n_chars"))
+        .orderBy("es_key", "doc_id")
+        .limit(20)
+        .select("doc_id", "source", "n_chars")
+    )

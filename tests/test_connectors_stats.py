@@ -110,3 +110,21 @@ def test_psi_drift_small_for_identically_distributed_halves(spark, queries):
     assert sum(r.n_a + r.n_b for r in rows) == n_events
     # both halves draw from the same distribution: PSI must read 'stable'
     assert sum(abs(r.psi_term) for r in rows) < 0.05
+
+
+def test_weighted_sample_favors_heavy_docs(spark, queries):
+    """A-ES weighted sampling: selection is deterministic, k=20, and the
+    selected docs' mean weight exceeds the corpus mean (P(select) ∝ w)."""
+    from flink_tutorial_broadcast_spark.io import load
+    from tests.conftest import SF_SMOKE
+
+    a = sorted(r.doc_id for r in
+               queries["q_weighted_sample"](spark, SF_SMOKE).collect())
+    b = sorted(r.doc_id for r in
+               queries["q_weighted_sample"](spark, SF_SMOKE).collect())
+    assert a == b and len(a) == 20
+    docs = load(spark, SF_SMOKE, "documents").collect()
+    mean_all = sum(d.n_chars for d in docs) / len(docs)
+    sel = {d.doc_id: d.n_chars for d in docs if d.doc_id in set(a)}
+    mean_sel = sum(sel.values()) / len(sel)
+    assert mean_sel > mean_all
