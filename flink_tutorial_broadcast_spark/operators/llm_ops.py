@@ -1816,3 +1816,148 @@ def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("containment_ppm"),
         )
     )
+
+
+_INCR_CORPUS_LIMIT = 400   # existing corpus tier (bounded oracle twin)
+_INCR_BATCH_LIMIT = 500    # batch = [400, 500): the new crawl round
+
+
+@query(
+    "q_dedup_incremental",
+    oracle=f"""
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents WHERE doc_id < {_INCR_CORPUS_LIMIT}
+    ),
+    batch AS (
+      SELECT doc_id, text FROM documents
+      WHERE doc_id >= {_INCR_CORPUS_LIMIT} AND doc_id < {_INCR_BATCH_LIMIT}
+    ),
+    exact AS (
+      SELECT b.doc_id AS batch_doc, MIN(c.doc_id) AS matched_doc
+      FROM batch b JOIN corpus c ON md5(b.text) = md5(c.text)
+      GROUP BY 1
+    ),
+    bsh AS (
+      SELECT doc_id, list_distinct(list_transform(
+               range(1, len(string_split(text, ' '))),
+               i -> string_split(text, ' ')[i] || '_'
+                    || string_split(text, ' ')[i + 1])) AS sh
+      FROM batch WHERE doc_id NOT IN (SELECT batch_doc FROM exact)
+    ),
+    csh AS (
+      SELECT doc_id, list_distinct(list_transform(
+               range(1, len(string_split(text, ' '))),
+               i -> string_split(text, ' ')[i] || '_'
+                    || string_split(text, ' ')[i + 1])) AS sh
+      FROM corpus
+    ),
+    be AS (SELECT doc_id, len(sh) AS n, unnest(sh) AS s FROM bsh),
+    ce AS (SELECT doc_id, len(sh) AS n, unnest(sh) AS s FROM csh),
+    common AS (
+      SELECT be.doc_id AS batch_doc, ce.doc_id AS matched_doc,
+             MAX(be.n) AS nb, MAX(ce.n) AS nc, COUNT(*) AS n_common
+      FROM be JOIN ce ON be.s = ce.s
+      GROUP BY 1, 2
+    ),
+    near AS (
+      SELECT batch_doc, matched_doc,
+             CAST(n_common AS DOUBLE) / (nb + nc - n_common) AS jac,
+             row_number() OVER (
+               PARTITION BY batch_doc
+               ORDER BY CAST(n_common AS DOUBLE) / (nb + nc - n_common)
+                 DESC, matched_doc) AS rn
+      FROM common
+      WHERE CAST(n_common AS DOUBLE) / (nb + nc - n_common) >= 0.5
+    )
+    SELECT batch_doc, 'exact_dup' AS verdict, matched_doc,
+           CAST(NULL AS DOUBLE) AS jaccard
+    FROM exact
+    UNION ALL
+    SELECT batch_doc, 'near_dup' AS verdict, matched_doc,
+           ROUND(jac, 6) AS jaccard
+    FROM near WHERE rn = 1
+    UNION ALL
+    SELECT b.doc_id AS batch_doc, 'new' AS verdict,
+           CAST(NULL AS BIGINT) AS matched_doc, CAST(NULL AS DOUBLE) AS jaccard
+    FROM batch b
+    WHERE b.doc_id NOT IN (SELECT batch_doc FROM exact)
+      AND b.doc_id NOT IN (SELECT batch_doc FROM near WHERE rn = 1)
+    """,
+)
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K2 INCREMENTAL dedup — the crawl-round shape: a new batch is
+    deduplicated AGAINST the existing corpus without re-deduplicating
+    the corpus itself. Tier 1 drops exact duplicates by content hash
+    (batch ⋈ corpus on md5(text), a broadcast-able hash join — the
+    corpus side would be a bucketed hash index at 100 TB). Tier 2 runs
+    shingle-Jaccard ONLY on surviving batch docs × corpus (new×old
+    pairs — never old×old, which is the entire point: corpus pairs were
+    settled in previous rounds), keeping each batch doc's best corpus
+    match (jaccard DESC, doc ASC). Verdicts: exact_dup / near_dup / new,
+    with the matched corpus doc for dups. Bounded oracle twin like
+    q_dedup_near; the unbounded path swaps tier 2's candidate join for
+    the MinHash band-bucket join with the SAME new×old restriction."""
+    docs = load(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") < _INCR_CORPUS_LIMIT)
+    batch = docs.filter((F.col("doc_id") >= _INCR_CORPUS_LIMIT)
+                        & (F.col("doc_id") < _INCR_BATCH_LIMIT))
+
+    exact = (
+        batch.select(F.col("doc_id").alias("batch_doc"),
+                     F.md5("text").alias("h"))
+        .join(corpus.select(F.col("doc_id").alias("c_doc"),
+                            F.md5("text").alias("h")), "h")
+        .groupBy("batch_doc").agg(F.min("c_doc").alias("matched_doc"))
+        .localCheckpoint(eager=False)  # reused by tiers 2 and 3
+    )
+
+    def shingled(df, out):
+        return df.select(
+            F.col("doc_id").alias(out),
+            F.array_distinct(_bigrams(F.col("text"))).alias("sh"))
+
+    bsh = (
+        shingled(batch, "batch_doc")
+        .join(exact.select("batch_doc"), "batch_doc", "left_anti")
+        .localCheckpoint(eager=False)  # both explode side and size dim
+    )
+    csh = shingled(corpus, "matched_doc").localCheckpoint(eager=False)
+    be = bsh.select("batch_doc", F.size("sh").alias("nb"),
+                    F.explode("sh").alias("s"))
+    ce = csh.select("matched_doc", F.size("sh").alias("nc"),
+                    F.explode("sh").alias("s"))
+    common = (
+        be.join(ce, "s")
+        .groupBy("batch_doc", "matched_doc")
+        .agg(F.max("nb").alias("nb"), F.max("nc").alias("nc"),
+             F.count("*").alias("n_common"))
+    )
+    jac = (F.col("n_common").cast("double")
+           / (F.col("nb") + F.col("nc") - F.col("n_common")))
+    near = (
+        common.withColumn("jac", jac)
+        .filter(F.col("jac") >= 0.5)
+        .withColumn("rn", F.row_number().over(
+            Window.partitionBy("batch_doc")
+            .orderBy(F.col("jac").desc(), "matched_doc")))
+        .filter(F.col("rn") == 1)
+        .select("batch_doc", "matched_doc", "jac")
+        .localCheckpoint(eager=False)  # reused by tier 3's anti-join
+    )
+    new_docs = (
+        batch.select(F.col("doc_id").alias("batch_doc"))
+        .join(exact.select("batch_doc"), "batch_doc", "left_anti")
+        .join(near.select("batch_doc"), "batch_doc", "left_anti")
+    )
+    return (
+        exact.select("batch_doc", F.lit("exact_dup").alias("verdict"),
+                     "matched_doc", F.lit(None).cast("double").alias("jaccard"))
+        .unionByName(near.select(
+            "batch_doc", F.lit("near_dup").alias("verdict"), "matched_doc",
+            F.round("jac", 6).alias("jaccard")))
+        .unionByName(new_docs.select(
+            "batch_doc", F.lit("new").alias("verdict"),
+            F.lit(None).cast("long").alias("matched_doc"),
+            F.lit(None).cast("double").alias("jaccard")))
+    )
+

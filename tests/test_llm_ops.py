@@ -330,3 +330,37 @@ def test_winnow_fingerprints_match_reference_and_cover_windows(spark, queries):
             assert sel & set(hs[i:i + 4])
         checked += 1
     assert checked > 0
+
+
+def test_incremental_dedup_covers_batch_and_matches_bruteforce(spark, queries):
+    from flink_tutorial_broadcast_spark.operators.llm_ops import (
+        _INCR_BATCH_LIMIT, _INCR_CORPUS_LIMIT,
+    )
+
+    rows = queries["q_dedup_incremental"](spark, SF_SMOKE).collect()
+    docs = {d.doc_id: d.text for d in
+            load(spark, SF_SMOKE, "documents").collect()}
+    batch_ids = {i for i in docs
+                 if _INCR_CORPUS_LIMIT <= i < _INCR_BATCH_LIMIT}
+    # every batch doc classified exactly once
+    assert sorted(r.batch_doc for r in rows) == sorted(batch_ids)
+
+    def shingles(text):
+        t = text.split(" ")
+        return {f"{a}_{b}" for a, b in zip(t, t[1:])}
+
+    for r in rows:
+        if r.verdict == "near_dup":
+            assert r.matched_doc < _INCR_CORPUS_LIMIT
+            sa, sb = shingles(docs[r.batch_doc]), shingles(docs[r.matched_doc])
+            jac = len(sa & sb) / len(sa | sb)
+            assert abs(jac - r.jaccard) < 1e-6 and jac >= 0.5
+            # best-match: no corpus doc beats the reported jaccard
+            best = max(
+                (len(sa & shingles(docs[c])) / len(sa | shingles(docs[c])))
+                for c in docs if c < _INCR_CORPUS_LIMIT)
+            assert best <= jac + 1e-12
+        elif r.verdict == "exact_dup":
+            assert docs[r.batch_doc] == docs[r.matched_doc]
+        else:
+            assert r.matched_doc is None and r.jaccard is None
