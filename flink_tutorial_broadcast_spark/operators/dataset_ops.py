@@ -754,3 +754,74 @@ def q_cms_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
                 (F.col("cms_est") >= F.col("exact_cnt"))
                 .alias("is_overestimate"))
     )
+
+
+@query(
+    "q_mixture_pipeline",
+    oracle="""
+    WITH toks AS (
+      SELECT source, doc_id, len(string_split(text, ' ')) AS n_tokens
+      FROM documents
+    ),
+    capped AS (
+      SELECT source, doc_id, n_tokens
+      FROM (
+        SELECT source, doc_id, n_tokens,
+               SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                    ROWS UNBOUNDED PRECEDING) AS cum
+        FROM toks
+      ) WHERE cum <= 800
+    ),
+    ranked AS (
+      SELECT source, doc_id, n_tokens,
+             row_number() OVER (PARTITION BY source ORDER BY doc_id)
+               AS rank_in_source
+      FROM capped
+    ),
+    ordered AS (
+      SELECT doc_id, n_tokens,
+             row_number() OVER (ORDER BY rank_in_source, source, doc_id)
+               AS position
+      FROM ranked
+    )
+    SELECT (position - 1) // 16 AS shard, COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS tok_sum,
+           CAST(SUM(doc_id) AS BIGINT) AS id_checksum
+    FROM ordered GROUP BY 1
+    """,
+)
+def q_mixture_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixture-construction pipeline END TO END — the round-3 ops
+    composed as one lazy plan: per-domain token-budget cap (source-
+    partitioned running sum) → within-source rank → round-robin
+    curriculum position (two-phase global_order — no unpartitioned
+    WindowExec) → fixed 16-doc training shards with conservation
+    checksums. Each stage feeds the next without materialization
+    boundaries beyond global_order's bounded histogram collect; the
+    whole chain is the real shape of a mixture-balanced dataloader
+    manifest build."""
+    from flink_tutorial_broadcast_spark.operators.two_phase import global_order
+
+    w_cap = (Window.partitionBy("source").orderBy("doc_id")
+             .rowsBetween(Window.unboundedPreceding, 0))
+    capped = (
+        load(spark, sf_dir, "documents")
+        .select("source", "doc_id",
+                F.size(F.split("text", " ")).cast("long").alias("n_tokens"))
+        .withColumn("cum", F.sum("n_tokens").over(w_cap))
+        .filter(F.col("cum") <= 800)
+        .drop("cum")
+    )
+    ranked = capped.withColumn(
+        "rank_in_source",
+        F.row_number().over(Window.partitionBy("source").orderBy("doc_id")))
+    ordered = global_order(
+        ranked, F.col("rank_in_source"), ["source", "doc_id"],
+        out_rn="position")
+    return (
+        ordered.groupBy(
+            ((F.col("position") - 1) / 16).cast("long").alias("shard"))
+        .agg(F.count("*").alias("n_docs"),
+             F.sum("n_tokens").alias("tok_sum"),
+             F.sum("doc_id").alias("id_checksum"))
+    )

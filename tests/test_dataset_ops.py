@@ -709,3 +709,18 @@ def test_cms_estimates_never_undercount(spark, queries):
     for r in rows:
         assert r.cms_est >= r.exact_cnt
         assert r.is_overestimate
+
+
+def test_mixture_pipeline_conserves_capped_docs(spark, queries):
+    """The shard manifest must partition exactly the capped subset:
+    doc/token totals equal q_domain_token_cap's, every shard but the
+    last holds exactly 16 docs."""
+    shards = sorted(queries["q_mixture_pipeline"](spark, SF_SMOKE).collect(),
+                    key=lambda r: r.shard)
+    capped = queries["q_domain_token_cap"](spark, SF_SMOKE).collect()
+    assert sum(r.n_docs for r in shards) == len(capped)
+    assert sum(r.tok_sum for r in shards) == sum(r.n_tokens for r in capped)
+    assert (sum(r.id_checksum for r in shards)
+            == sum(r.doc_id for r in capped))
+    assert [r.shard for r in shards] == list(range(len(shards)))
+    assert all(r.n_docs == 16 for r in shards[:-1])
