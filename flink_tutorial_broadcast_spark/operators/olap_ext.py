@@ -360,7 +360,10 @@ def q_allocate_proration(spark: SparkSession, sf_dir: str) -> DataFrame:
     attribution pipeline must hold. Entirely int64 arithmetic (floor
     division + modulus; no float enters after the one cents conversion),
     so the result is bit-identical on any engine and any partitioning.
-    One orderkey shuffle; both windows share its sort."""
+    The per-order total quantity is a WINDOW sum over the same
+    l_orderkey partitioning the proration windows already need — one
+    branch, no separate aggregate-and-rejoin of the deduped lineitems
+    (which executed the dedup twice; 1.02 s → 0.70 s at sf0.1)."""
     li = (
         load(spark, sf_dir, "lineitem")
         # duplicate (orderkey, linenumber) pairs exist in the fixture —
@@ -372,16 +375,14 @@ def q_allocate_proration(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey",
         F.floor(F.col("o_totalprice") * 100).cast("long").alias("cents"),
     )
-    tot = li.join(o, li.l_orderkey == o.o_orderkey).groupBy(
-        "l_orderkey", "cents"
-    ).agg(F.sum("qty").alias("qty_sum"))
+    w_order = Window.partitionBy("l_orderkey")
     base = (
-        li.join(tot, "l_orderkey")
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .withColumn("qty_sum", F.sum("qty").over(w_order))
         .withColumn("alloc_floor",
                     F.expr("(cents * qty) div qty_sum"))
         .withColumn("rem", (F.col("cents") * F.col("qty")) % F.col("qty_sum"))
     )
-    w_order = Window.partitionBy("l_orderkey")
     w_rank = Window.partitionBy("l_orderkey").orderBy(
         F.col("rem").desc(), "l_linenumber")
     return (
