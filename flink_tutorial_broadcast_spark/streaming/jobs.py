@@ -22,7 +22,7 @@ import shutil
 import tempfile
 import uuid
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from flink_tutorial_broadcast_spark.sources.rules import rules_df
@@ -837,3 +837,89 @@ def custom_source_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
             break
         n_prev = n_now
     return spark.read.parquet(out)
+
+
+def incremental_dedup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q_dedup_incremental's STREAMING twin — the production crawl-round
+    dedup loop: each micro-batch of incoming documents is admitted only
+    if its content hash is absent from the persistent digest index,
+    which the batch then extends (copy-on-write, version keyed to the
+    batch id exactly like cdc_merge_stream so an at-least-once replay
+    recomputes v{batch_id+1} from unchanged input instead of
+    self-overwriting). Within-batch duplicates collapse first
+    (dropDuplicates on the hash); accepted docs land in a per-batch
+    output dir with mode=overwrite, so a replayed batch rewrites the
+    identical file set — admission is exactly-once end to end.
+    `maxFilesPerTrigger=1` forces each crawl file through its own
+    micro-batch, proving CROSS-batch dedup: batch 1 re-sends batch 0's
+    texts under fresh doc_ids and every one is rejected against the
+    index batch 0 just built. At 100 TB the digest index is a bucketed
+    table (or the RocksDB state store via dropDuplicates on the stream)
+    and the anti-join broadcasts the batch digest, never the corpus.
+    """
+    from flink_tutorial_broadcast_spark.io import load
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    root = tempfile.mkdtemp(prefix="incr_dedup_")
+    src = os.path.join(root, "crawl")
+    os.makedirs(src)
+    state = os.path.join(root, "digests")
+    accepted_root = os.path.join(root, "accepted")
+
+    # digest index v0 = the settled corpus (doc_id < 400)
+    corpus = docs.filter(F.col("doc_id") < 400)
+    corpus.select(F.md5("text").alias("h")).distinct() \
+        .write.parquet(os.path.join(state, "v0"))
+
+    # crawl file 0: genuinely-new docs [400, 450) + re-crawls of 10
+    # corpus texts under fresh ids (must be rejected against v0)
+    fresh0 = docs.filter((F.col("doc_id") >= 400) & (F.col("doc_id") < 450))
+    recrawl_corpus = (corpus.filter(F.col("doc_id") < 10)
+                      .select((F.col("doc_id") + 10000).alias("doc_id"),
+                              "text"))
+    fresh0.unionByName(recrawl_corpus).coalesce(1) \
+        .write.parquet(os.path.join(src, "c0"))
+    # crawl file 1: new docs [450, 500) + re-sends of 5 of file 0's
+    # texts under fresh ids (must be rejected against v1 — the index
+    # file 0's batch just built)
+    fresh1 = docs.filter((F.col("doc_id") >= 450) & (F.col("doc_id") < 500))
+    resend_batch0 = (docs.filter((F.col("doc_id") >= 400)
+                                 & (F.col("doc_id") < 405))
+                     .select((F.col("doc_id") + 20000).alias("doc_id"),
+                             "text"))
+    fresh1.unionByName(resend_batch0).coalesce(1) \
+        .write.parquet(os.path.join(src, "c1"))
+
+    def admit(batch_df: DataFrame, batch_id: int) -> None:
+        index = spark.read.parquet(os.path.join(state, f"v{batch_id}"))
+        cand = (batch_df.withColumn("h", F.md5("text"))
+                # within-batch dups collapse deterministically (min id)
+                .withColumn("rn", F.row_number().over(
+                    Window.partitionBy("h").orderBy("doc_id")))
+                .filter(F.col("rn") == 1).drop("rn"))
+        new = cand.join(index, "h", "left_anti")
+        new = new.localCheckpoint()  # two consumers: output + index
+        new.select("doc_id", "text", "h").write.mode("overwrite") \
+            .parquet(os.path.join(accepted_root, f"b{batch_id}"))
+        index.unionByName(new.select("h")).distinct() \
+            .write.mode("overwrite") \
+            .parquet(os.path.join(state, f"v{batch_id + 1}"))
+
+    q = (
+        spark.readStream
+        .schema("doc_id long, text string")
+        .option("recursiveFileLookup", "true")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .writeStream.foreachBatch(admit)
+        .option("checkpointLocation", checkpoint_dir())
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    out = spark.read.option("recursiveFileLookup", "true") \
+        .parquet(accepted_root).select("doc_id", "text", "h")
+    out = out.cache()
+    out.count()  # materialize before the temp state is torn down
+    shutil.rmtree(root, ignore_errors=True)
+    return out

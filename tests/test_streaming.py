@@ -482,3 +482,22 @@ def test_rollup_sink_absorbs_replayed_micro_batch(spark):
     for t, w in want.items():
         assert got[t].n == w.n, t
         assert abs(got[t].sum_value - w.sum_value) < 0.02, t
+
+
+def test_incremental_dedup_stream_rejects_cross_batch_resends(spark):
+    from flink_tutorial_broadcast_spark.io import load
+    from flink_tutorial_broadcast_spark.streaming.jobs import (
+        incremental_dedup_stream,
+    )
+    from tests.conftest import SF_SMOKE
+
+    out = incremental_dedup_stream(spark, SF_SMOKE).collect()
+    admitted = {r.doc_id for r in out}
+    # every genuinely-new doc admitted exactly once
+    assert {i for i in range(400, 500)} <= admitted
+    # corpus re-crawls (ids 10000+) and batch-0 re-sends (ids 20000+)
+    # all rejected — the second family proves the index grew batch-over-batch
+    assert not {i for i in admitted if i >= 10000}
+    # no content hash admitted twice
+    hashes = [r.h for r in out]
+    assert len(hashes) == len(set(hashes))
