@@ -509,3 +509,46 @@ def q_union_evolve(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id", "user_id", "event_type", "props",
     )
     return clicks.unionByName(errors, allowMissingColumns=True)
+
+
+@query(
+    "q_join_null_safe",
+    oracle="""
+    WITH ev AS (
+      SELECT event_id, NULLIF(event_type, 'click') AS et, value
+      FROM events
+    ),
+    dim AS (
+      SELECT DISTINCT NULLIF(event_type, 'click') AS et,
+             COALESCE(NULLIF(event_type, 'click'), 'was_click') AS label
+      FROM events
+    )
+    SELECT d.label, COUNT(*) AS n, ROUND(SUM(ev.value), 2) AS sum_value
+    FROM ev JOIN dim d ON ev.et IS NOT DISTINCT FROM d.et
+    GROUP BY 1
+    """,
+)
+def q_join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equi-join (`eqNullSafe` ≡ IS NOT DISTINCT FROM as a JOIN
+    key): NULL keys match each other instead of vanishing — the shape
+    every dimension join with an 'unknown' member needs. Physically this
+    stays a HASH join (Catalyst canonicalizes <=> into the join key, so
+    no nested-loop penalty for admitting NULLs); the dim side is
+    broadcast. The scalar-expression twin is q_null_semantics; this is
+    the join-operator form."""
+    ev = load(spark, sf_dir, "events").select(
+        "event_id",
+        F.nullif(F.col("event_type"), F.lit("click")).alias("et"),
+        "value")
+    dim = (
+        load(spark, sf_dir, "events")
+        .select(F.nullif(F.col("event_type"), F.lit("click")).alias("et"))
+        .distinct()
+        .withColumn("label", F.coalesce(F.col("et"), F.lit("was_click")))
+    )
+    return (
+        ev.join(F.broadcast(dim), ev.et.eqNullSafe(dim.et))
+        .groupBy("label")
+        .agg(F.count("*").alias("n"),
+             F.round(F.sum("value"), 2).alias("sum_value"))
+    )

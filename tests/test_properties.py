@@ -192,3 +192,53 @@ def test_two_phase_global_order_matches_brute_force(spark, rows):
     want_tiles = [t for t in range(1, k + 1)
                   for _ in range(base + (1 if t <= rem else 0))]
     assert [tile[i] for i, _, _ in ref] == want_tiles[:n]
+
+
+texts_strategy = st.lists(
+    st.lists(st.sampled_from(["a", "b", "c", "d", "e"]),
+             min_size=6, max_size=20).map(lambda ws: " ".join(ws)),
+    min_size=1, max_size=6)
+
+
+@given(texts_strategy)
+@settings(max_examples=10, deadline=None)
+def test_winnowing_selection_matches_reference_on_random_texts(
+        spark, texts):
+    """Winnowing (k=3, w=4) on randomized low-vocab texts — high shingle
+    collision rates stress the distinct-min selection — must match the
+    pure-Python reference per document."""
+    import hashlib
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string")
+    docs = (df.select("doc_id", F.split("text", " ").alias("w"))
+            .filter(F.size("w") >= 6)
+            .select("doc_id", "w", (F.size("w") - 2).alias("n_grams")))
+    idx = F.sequence(F.lit(1), F.col("n_grams"))
+    tri = F.transform(idx, lambda i: F.concat_ws(
+        " ", F.element_at("w", i), F.element_at("w", i + 1),
+        F.element_at("w", i + 2)))
+    hashes = F.transform(tri, lambda g: F.conv(
+        F.substring(F.md5(g), 1, 12), 16, 10).cast("long"))
+    g = docs.select("doc_id", "n_grams",
+                    F.posexplode(hashes).alias("pos0", "h")) \
+        .select("doc_id", "n_grams", (F.col("pos0") + 1).alias("pos"), "h")
+    win = (Window.partitionBy("doc_id").orderBy("pos")
+           .rowsBetween(Window.currentRow, 3))
+    got = {}
+    rows = (g.withColumn("fp", F.min("h").over(win))
+            .filter(F.col("pos") <= F.col("n_grams") - 3)
+            .select("doc_id", "fp").distinct().collect())
+    for r in rows:
+        got.setdefault(r.doc_id, set()).add(r.fp)
+    for i, t in enumerate(texts):
+        w = t.split(" ")
+        grams = [" ".join(w[j:j + 3]) for j in range(len(w) - 2)]
+        hs = [int(hashlib.md5(x.encode()).hexdigest()[:12], 16)
+              for x in grams]
+        exp = ({min(hs[j:j + 4]) for j in range(len(hs) - 3)}
+               if len(hs) >= 4 else None)
+        assert got.get(i) == exp
