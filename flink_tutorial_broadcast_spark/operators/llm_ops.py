@@ -1961,3 +1961,111 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(None).cast("double").alias("jaccard")))
     )
 
+
+
+_MH_N, _MH_BANDS, _MH_R = 16, 4, 4  # 16 portable hashes, 4 bands of 4
+
+_MH_SIG_SQL = ",\n             ".join(
+    f"list_min(list_transform(sh, s -> ('0x' || substr(md5('{i}|' || s),"
+    f" 1, 12))::BIGINT)) AS h{i}"
+    for i in range(_MH_N))
+_MH_BAND_SQL = ",\n        ".join(
+    "{" + f"'band': {b}, 'k1': h{b*_MH_R}, 'k2': h{b*_MH_R+1}, "
+    f"'k3': h{b*_MH_R+2}, 'k4': h{b*_MH_R+3}" + "}"
+    for b in range(_MH_BANDS))
+
+
+@query(
+    "q_dedup_minhash_portable",
+    oracle=f"""
+    WITH docs AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               range(1, len(string_split(text, ' '))),
+               i -> string_split(text, ' ')[i] || '_'
+                    || string_split(text, ' ')[i + 1])) AS sh
+      FROM documents WHERE doc_id < {_NEAR_DUP_LIMIT}
+    ),
+    sigs AS (
+      SELECT doc_id, sh,
+             {_MH_SIG_SQL}
+      FROM docs
+    ),
+    bands AS (
+      SELECT doc_id, unnest([
+        {_MH_BAND_SQL}
+      ]) AS b
+      FROM sigs
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, c.doc_id AS doc_b
+      FROM bands a JOIN bands c
+        ON a.b = c.b AND a.doc_id < c.doc_id
+    )
+    SELECT p.doc_a, p.doc_b,
+           ROUND(CAST(len(list_intersect(da.sh, db.sh)) AS DOUBLE)
+                 / (len(da.sh) + len(db.sh)
+                    - len(list_intersect(da.sh, db.sh))), 6) AS jaccard
+    FROM cand p
+    JOIN docs da ON da.doc_id = p.doc_a
+    JOIN docs db ON db.doc_id = p.doc_b
+    WHERE CAST(len(list_intersect(da.sh, db.sh)) AS DOUBLE)
+          / (len(da.sh) + len(db.sh) - len(list_intersect(da.sh, db.sh)))
+          >= 0.5
+    """,
+)
+def q_dedup_minhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash + LSH banding with FULL oracle backing — the 100 TB
+    near-dup path promoted from rows-only to exact hash-match: the
+    portable 48-bit md5-prefix hash (same family as q_cms_frequency)
+    makes both engines compute IDENTICAL 16-hash signatures, band them
+    identically (4 bands × 4 rows, banded as 4-tuple join keys — no
+    band-digest string to diverge), generate identical candidate pairs,
+    and verify identical shingle-Jaccard ≥ 0.5. Signature computation is
+    map-side (array_min over a transform — no shuffle); candidates come
+    from ONE band-key self-join; only candidate pairs ever pay the exact
+    intersection. q_dedup_minhash (xxhash64) remains the faster-hash
+    engine path; THIS key proves the algorithm end to end against an
+    independent engine. Bounded oracle twin like q_dedup_near."""
+    docs = (
+        load(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < _NEAR_DUP_LIMIT)
+        .select("doc_id",
+                F.array_distinct(_bigrams(F.col("text"))).alias("sh"))
+        .localCheckpoint(eager=False)  # bands + two verify sides
+    )
+
+    def mh(i):
+        return F.array_min(F.transform(
+            F.col("sh"),
+            lambda s, i=i: F.conv(
+                F.substring(F.md5(F.concat(F.lit(f"{i}|"), s)), 1, 12),
+                16, 10).cast("long")))
+
+    sigs = docs.withColumn("sig", F.array(*[mh(i) for i in range(_MH_N)]))
+    bands = sigs.select("doc_id", F.explode(F.array(*[
+        F.struct(
+            F.lit(b).alias("band"),
+            F.col("sig")[b * _MH_R].alias("k1"),
+            F.col("sig")[b * _MH_R + 1].alias("k2"),
+            F.col("sig")[b * _MH_R + 2].alias("k3"),
+            F.col("sig")[b * _MH_R + 3].alias("k4"),
+        ) for b in range(_MH_BANDS)])).alias("b"))
+    a, c = bands.alias("a"), bands.alias("c")
+    cand = (
+        a.join(c, (F.col("a.b") == F.col("c.b"))
+               & (F.col("a.doc_id") < F.col("c.doc_id")))
+        .select(F.col("a.doc_id").alias("doc_a"),
+                F.col("c.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    da = docs.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sa"))
+    db = docs.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sb"))
+    inter = F.size(F.array_intersect("sa", "sb"))
+    jac = (inter.cast("double")
+           / (F.size("sa") + F.size("sb") - inter))
+    return (
+        cand.join(da, "doc_a").join(db, "doc_b")
+        .filter(jac >= 0.5)
+        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+    )

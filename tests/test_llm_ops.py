@@ -364,3 +364,19 @@ def test_incremental_dedup_covers_batch_and_matches_bruteforce(spark, queries):
             assert docs[r.batch_doc] == docs[r.matched_doc]
         else:
             assert r.matched_doc is None and r.jaccard is None
+
+
+def test_minhash_portable_recall_vs_exact_near_dup(spark, queries):
+    """Banding is recall<=1 vs the exhaustive shingle-Jaccard op: every
+    pair the banded form emits must appear in q_dedup_near with the
+    IDENTICAL jaccard, and on the fixture the 16x4 banding at tau=0.5
+    achieves full recall (pairs at >=0.95 similarity collide in some
+    band with near-certainty)."""
+    banded = {(r.doc_a, r.doc_b): r.jaccard for r in
+              queries["q_dedup_minhash_portable"](spark, SF_SMOKE).collect()}
+    exact = {(r.doc_a, r.doc_b): r.jaccard for r in
+             queries["q_dedup_near"](spark, SF_SMOKE).collect()}
+    assert set(banded) <= set(exact)
+    for k, v in banded.items():
+        assert v == exact[k]
+    assert banded == exact  # full recall on the fixture
