@@ -2069,3 +2069,118 @@ def q_dedup_minhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(jac >= 0.5)
         .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
     )
+
+
+_SLSH_PLANES, _SLSH_BANDS, _SLSH_R = 16, 4, 4
+_SLSH_SCALE = 140737488355328.0  # 2^47: hash48/2^47 - 1 spans [-1, 1)
+
+_SLSH_BITS_SQL = """
+      list_transform(generate_series(0, 15), p ->
+        list_reduce(list_prepend(0.0, list_transform(generate_series(1, 64),
+          d -> e[d] * ((('0x' || substr(md5(p || '_' || d), 1, 12))::BIGINT
+                        / 140737488355328.0) - 1.0))),
+          (a, b) -> a + b) >= 0)"""
+_SLSH_BAND_SQL = ",\n        ".join(
+    "{" + f"'band': {b}, 'b1': bits[{b*_SLSH_R+1}], "
+    f"'b2': bits[{b*_SLSH_R+2}], 'b3': bits[{b*_SLSH_R+3}], "
+    f"'b4': bits[{b*_SLSH_R+4}]" + "}"
+    for b in range(_SLSH_BANDS))
+
+
+@query(
+    "q_dedup_embed_lsh_portable",
+    oracle=f"""
+    WITH emb AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+      FROM embeddings WHERE vec_id < {_EMBED_DUP_LIMIT}
+    ),
+    proj AS (
+      SELECT vec_id, e, {_SLSH_BITS_SQL} AS bits
+      FROM emb
+    ),
+    bands AS (
+      SELECT vec_id, unnest([
+        {_SLSH_BAND_SQL}
+      ]) AS b
+      FROM proj
+    ),
+    cand AS (
+      SELECT DISTINCT a.vec_id AS vec_a, c.vec_id AS vec_b
+      FROM bands a JOIN bands c ON a.b = c.b AND a.vec_id < c.vec_id
+    )
+    SELECT p.vec_a, p.vec_b,
+           ROUND(list_dot_product(ea.e, eb.e)
+                 / (sqrt(list_dot_product(ea.e, ea.e))
+                    * sqrt(list_dot_product(eb.e, eb.e))), 6) AS cos_sim
+    FROM cand p
+    JOIN emb ea ON ea.vec_id = p.vec_a
+    JOIN emb eb ON eb.vec_id = p.vec_b
+    WHERE list_dot_product(ea.e, eb.e)
+          / (sqrt(list_dot_product(ea.e, ea.e))
+             * sqrt(list_dot_product(eb.e, eb.e)))
+          >= {_EMBED_DUP_THRESHOLD}
+    """,
+)
+def q_dedup_embed_lsh_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign-LSH (hyperplane) embedding near-dup with FULL oracle
+    backing — q_dedup_embed_lsh promoted from rows-only the same way
+    q_dedup_minhash_portable was: the 16 hyperplanes derive from the
+    portable md5-prefix hash (w(p,d) = hash48(p,d)/2^47 − 1 ∈ [−1,1)),
+    projections fold sequentially (left fold, init 0.0 — DuckDB
+    list_reduce ≡ Spark F.aggregate, bit-identical doubles), sign bits
+    band 4×4 into boolean 4-tuple join keys, and candidates verify with
+    the exact sequential cosine (the q_dedup_embed predicate). Both
+    engines therefore select IDENTICAL candidates and emit identical
+    pairs. Projection is map-side; only band collisions pay the exact
+    cosine. Bounded oracle twin; unbounded = same plan, more planes."""
+    emb = (
+        load(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") < _EMBED_DUP_LIMIT)
+        .select("vec_id", "embedding",
+                F.sqrt(_dot(F.col("embedding"), F.col("embedding")))
+                .alias("norm"))
+        .localCheckpoint(eager=False)  # bands + two verify sides
+    )
+
+    def proj_bit(p):
+        prefix = F.lit(f"{p}_")
+
+        def step(acc, d):
+            w = (F.conv(F.substring(
+                F.md5(F.concat(prefix, d.cast("string"))), 1, 12), 16, 10)
+                .cast("double") / F.lit(_SLSH_SCALE) - F.lit(1.0))
+            return acc + F.element_at("embedding", d).cast("double") * w
+
+        return F.aggregate(
+            F.sequence(F.lit(1), F.lit(64)), F.lit(0.0), step) >= 0
+    bits = emb.withColumn(
+        "bits", F.array(*[proj_bit(p) for p in range(_SLSH_PLANES)]))
+    bands = bits.select("vec_id", F.explode(F.array(*[
+        F.struct(
+            F.lit(b).alias("band"),
+            F.col("bits")[b * _SLSH_R].alias("b1"),
+            F.col("bits")[b * _SLSH_R + 1].alias("b2"),
+            F.col("bits")[b * _SLSH_R + 2].alias("b3"),
+            F.col("bits")[b * _SLSH_R + 3].alias("b4"),
+        ) for b in range(_SLSH_BANDS)])).alias("b"))
+    a, c = bands.alias("a"), bands.alias("c")
+    cand = (
+        a.join(c, (F.col("a.b") == F.col("c.b"))
+               & (F.col("a.vec_id") < F.col("c.vec_id")))
+        .select(F.col("a.vec_id").alias("vec_a"),
+                F.col("c.vec_id").alias("vec_b"))
+        .distinct()
+    )
+    ea = emb.select(F.col("vec_id").alias("vec_a"),
+                    F.col("embedding").alias("emb_a"),
+                    F.col("norm").alias("norm_a"))
+    eb = emb.select(F.col("vec_id").alias("vec_b"),
+                    F.col("embedding").alias("emb_b"),
+                    F.col("norm").alias("norm_b"))
+    cos = (_dot(F.col("emb_a"), F.col("emb_b"))
+           / (F.col("norm_a") * F.col("norm_b")))
+    return (
+        cand.join(ea, "vec_a").join(eb, "vec_b")
+        .filter(cos >= _EMBED_DUP_THRESHOLD)
+        .select("vec_a", "vec_b", F.round(cos, 6).alias("cos_sim"))
+    )

@@ -380,3 +380,17 @@ def test_minhash_portable_recall_vs_exact_near_dup(spark, queries):
     for k, v in banded.items():
         assert v == exact[k]
     assert banded == exact  # full recall on the fixture
+
+
+def test_sign_lsh_portable_is_subset_of_exact_with_equal_cosines(
+        spark, queries):
+    banded = {(r.vec_a, r.vec_b): r.cos_sim for r in
+              queries["q_dedup_embed_lsh_portable"](spark, SF_SMOKE)
+              .collect()}
+    exact = {(r.vec_a, r.vec_b): r.cos_sim for r in
+             queries["q_dedup_embed"](spark, SF_SMOKE).collect()}
+    assert banded and set(banded) <= set(exact)
+    for k, v in banded.items():
+        assert v == exact[k]
+    # recall: sign-LSH at these similarity levels should keep most pairs
+    assert len(banded) >= 0.3 * len(exact)
