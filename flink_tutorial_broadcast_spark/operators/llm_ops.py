@@ -18,6 +18,7 @@ Scale posture is per-op; the shared rules:
 from __future__ import annotations
 
 import hashlib
+from functools import reduce
 
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
@@ -2183,4 +2184,101 @@ def q_dedup_embed_lsh_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
         cand.join(ea, "vec_a").join(eb, "vec_b")
         .filter(cos >= _EMBED_DUP_THRESHOLD)
         .select("vec_a", "vec_b", F.round(cos, 6).alias("cos_sim"))
+    )
+
+
+_PSH_BITS, _PSH_BANDS, _PSH_BB = 16, 4, 4  # 16-bit simhash, 4 bands of 4 bits
+_PSH_HAMMING_MAX = 1  # fixture texts share one 31-word vocab → 16-bit
+# fingerprints are dense; ≤1 keeps the near-identical tier (≤3 admits 26%
+# of ALL pairs here — real corpora use 64 bits and a wider radius)
+
+_PSH_BIT_SQL = " + ".join(
+    f"(CASE WHEN CAST(SUM(cnt * (CASE WHEN (h >> {b}) & 1 = 1 THEN 1 "
+    f"ELSE -1 END)) AS BIGINT) > 0 THEN {1 << b} ELSE 0 END)"
+    for b in range(_PSH_BITS))
+_PSH_BAND_SQL = ",\n        ".join(
+    f"{{'band': {b}, 'k': (fp >> {b * _PSH_BB}) & {(1 << _PSH_BB) - 1}}}"
+    for b in range(_PSH_BANDS))
+
+
+@query(
+    "q_dedup_simhash_portable",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, token, COUNT(*) AS cnt,
+             ('0x' || substr(md5(token), 1, 12))::BIGINT AS h
+      FROM (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS token
+        FROM documents WHERE doc_id < {_NEAR_DUP_LIMIT}
+      ) GROUP BY 1, 2
+    ),
+    fps AS (
+      SELECT doc_id, {_PSH_BIT_SQL} AS fp
+      FROM toks GROUP BY doc_id
+    ),
+    bands AS (
+      SELECT doc_id, fp, unnest([
+        {_PSH_BAND_SQL}
+      ]) AS b
+      FROM fps
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, a.fp AS fp_a,
+             c.doc_id AS doc_b, c.fp AS fp_b
+      FROM bands a JOIN bands c ON a.b = c.b AND a.doc_id < c.doc_id
+    )
+    SELECT doc_a, doc_b,
+           CAST(bit_count(xor(fp_a, fp_b)) AS BIGINT) AS hamming
+    FROM cand
+    WHERE bit_count(xor(fp_a, fp_b)) <= {_PSH_HAMMING_MAX}
+    """,
+)
+def q_dedup_simhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup with FULL oracle backing — the third portable
+    LSH promotion (after MinHash and sign-LSH), and the INTEGER-EXACT
+    one: per-token 48-bit md5-prefix hashes vote ±cnt on each of 16
+    fingerprint bits, fingerprints band 4×4 bits for candidates, and
+    candidates verify by popcount(xor) ≤ 3 — every step is integer
+    arithmetic, so cross-engine equality is exact by construction, not
+    by IEEE-order discipline. Fingerprinting is one (doc, token)
+    aggregate (map-side partial) + one per-doc aggregate; candidates
+    come from ONE band-key self-join. The 64-bit xxhash64 engine path
+    stays q_simhash/q_dedup_simhash; this key proves the algorithm
+    against an independent engine. Bounded oracle twin."""
+    toks = (
+        load(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < _NEAR_DUP_LIMIT)
+        .select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+        .groupBy("doc_id", "token")
+        .agg(F.count("*").alias("cnt"))
+        .withColumn("h", F.conv(
+            F.substring(F.md5("token"), 1, 12), 16, 10).cast("long"))
+    )
+    votes = [
+        (F.sum(F.col("cnt") * F.when(
+            F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1,
+            F.lit(1)).otherwise(F.lit(-1))).cast("long") > 0)
+        for b in range(_PSH_BITS)]
+    fp = reduce(
+        lambda acc, bv: acc + bv[1].cast("long") * F.lit(1 << bv[0]),
+        enumerate(votes), F.lit(0).cast("long"))
+    fps = toks.groupBy("doc_id").agg(fp.alias("fp"))
+    bands = fps.select("doc_id", "fp", F.explode(F.array(*[
+        F.struct(
+            F.lit(b).alias("band"),
+            F.shiftright(F.col("fp"), b * _PSH_BB)
+            .bitwiseAND(F.lit((1 << _PSH_BB) - 1)).alias("k"),
+        ) for b in range(_PSH_BANDS)])).alias("b"))
+    a, c = bands.alias("a"), bands.alias("c")
+    hamming = F.bit_count(
+        F.col("fp_a").bitwiseXOR(F.col("fp_b"))).cast("long")
+    return (
+        a.join(c, (F.col("a.b") == F.col("c.b"))
+               & (F.col("a.doc_id") < F.col("c.doc_id")))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("a.fp").alias("fp_a"),
+                F.col("c.doc_id").alias("doc_b"), F.col("c.fp").alias("fp_b"))
+        .distinct()
+        .filter(F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b")))
+                <= _PSH_HAMMING_MAX)
+        .select("doc_a", "doc_b", hamming.alias("hamming"))
     )

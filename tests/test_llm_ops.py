@@ -394,3 +394,34 @@ def test_sign_lsh_portable_is_subset_of_exact_with_equal_cosines(
         assert v == exact[k]
     # recall: sign-LSH at these similarity levels should keep most pairs
     assert len(banded) >= 0.3 * len(exact)
+
+
+def test_simhash_portable_fingerprint_matches_reference(spark, queries):
+    import hashlib
+    from collections import Counter
+
+    from flink_tutorial_broadcast_spark.operators.llm_ops import (
+        _NEAR_DUP_LIMIT, _PSH_BITS,
+    )
+
+    rows = queries["q_dedup_simhash_portable"](spark, SF_SMOKE).collect()
+    docs = {d.doc_id: d.text for d in
+            load(spark, SF_SMOKE, "documents").collect()
+            if d.doc_id < _NEAR_DUP_LIMIT}
+
+    def fingerprint(text):
+        votes = [0] * _PSH_BITS
+        for tok, cnt in Counter(text.split(" ")).items():
+            h = int(hashlib.md5(tok.encode()).hexdigest()[:12], 16)
+            for b in range(_PSH_BITS):
+                votes[b] += cnt if (h >> b) & 1 else -cnt
+        return sum(1 << b for b in range(_PSH_BITS) if votes[b] > 0)
+
+    fps = {i: fingerprint(t) for i, t in docs.items()}
+    for r in rows:
+        assert r.hamming == bin(fps[r.doc_a] ^ fps[r.doc_b]).count("1") <= 1
+    # banding at 4x4 bits guarantees every hamming<=1 pair collides in
+    # >=3 bands, so recall over the bounded subset is total
+    expected = {(a, b) for a in fps for b in fps if a < b
+                and bin(fps[a] ^ fps[b]).count("1") <= 1}
+    assert {(r.doc_a, r.doc_b) for r in rows} == expected
