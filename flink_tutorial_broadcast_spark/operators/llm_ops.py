@@ -468,7 +468,59 @@ _IVF_K = 8       # number of centroids
 _IVF_NPROBE = 2  # clusters searched per probe
 
 
-@query("q_knn_ivf")  # rows-only: the ANN scale path (recall tested vs exact)
+_IVF_COS = ("list_dot_product({a}, {b}) / (sqrt(list_dot_product({a}, {a}))"
+            " * sqrt(list_dot_product({b}, {b})))")
+
+
+@query(
+    "q_knn_ivf",
+    # round-3 promotion from rows-only: every step (cosine folds, argmax
+    # by identical doubles, integer routing) is engine-portable, so the
+    # full IVF pipeline hash-matches an independent engine
+    oracle=f"""
+    WITH emb AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+      FROM embeddings
+    ),
+    cents AS (
+      SELECT vec_id AS c_id, e AS c FROM emb WHERE vec_id < 8
+    ),
+    assigned AS (
+      SELECT vec_id, e, cluster FROM (
+        SELECT m.vec_id, m.e, ct.c_id AS cluster,
+               row_number() OVER (PARTITION BY m.vec_id
+                 ORDER BY {_IVF_COS.format(a='m.e', b='ct.c')} DESC,
+                          ct.c_id) AS arn
+        FROM emb m CROSS JOIN cents ct
+      ) WHERE arn = 1
+    ),
+    probes AS (
+      SELECT vec_id AS p_id, e AS p_emb FROM assigned WHERE vec_id < 10
+    ),
+    probe_clusters AS (
+      SELECT p_id, p_emb, cluster FROM (
+        SELECT p.p_id, p.p_emb, ct.c_id AS cluster,
+               row_number() OVER (PARTITION BY p.p_id
+                 ORDER BY {_IVF_COS.format(a='p.p_emb', b='ct.c')} DESC,
+                          ct.c_id) AS prn
+        FROM probes p CROSS JOIN cents ct
+      ) WHERE prn <= 2
+    ),
+    pairs AS (
+      SELECT pc.p_id, a.vec_id,
+             {_IVF_COS.format(a='a.e', b='pc.p_emb')} AS cos
+      FROM probe_clusters pc JOIN assigned a ON a.cluster = pc.cluster
+      WHERE a.vec_id <> pc.p_id
+    )
+    SELECT p_id, vec_id, ROUND(cos, 6) AS cos_sim, rn
+    FROM (
+      SELECT p_id, vec_id, cos,
+             row_number() OVER (PARTITION BY p_id
+               ORDER BY cos DESC, vec_id) AS rn
+      FROM pairs
+    ) WHERE rn <= 5
+    """,
+)
 def q_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """K3 IVF-style ANN: bucket the corpus by nearest of 8 fixed centroids
     (deterministically the first 8 vectors), search only the nprobe=2
