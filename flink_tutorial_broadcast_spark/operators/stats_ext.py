@@ -126,7 +126,8 @@ def q_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT label,
            CAST(i.range AS INT) AS pos,
-           ROUND(AVG(embedding[CAST(i.range AS INT) + 1]), 4) AS centroid
+           ROUND(AVG(embedding[CAST(i.range AS INT) + 1]), 4) + 0.0
+             AS centroid
     FROM embeddings, range(64) i
     GROUP BY label, i.range
     """,

@@ -96,7 +96,7 @@ def q_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM x, range(16) j
       GROUP BY 1, 2
     )
-    SELECT vec_id, out_dim, ROUND(s / 8.0, 4) AS y
+    SELECT vec_id, out_dim, ROUND(s / 8.0, 4) + 0.0 AS y
     FROM proj
     """,
 )
