@@ -2334,3 +2334,103 @@ def q_dedup_simhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
                 <= _PSH_HAMMING_MAX)
         .select("doc_a", "doc_b", hamming.alias("hamming"))
     )
+
+
+@query(
+    "q_winnow_crossdoc",
+    oracle=f"""
+    WITH docs AS (
+      SELECT doc_id, string_split(text, ' ') AS w FROM documents
+      WHERE doc_id < {_NEAR_DUP_LIMIT}
+        AND len(string_split(text, ' ')) >= 6
+    ),
+    g AS (
+      SELECT doc_id, len(w) - 2 AS n_grams,
+             unnest(generate_series(1, len(w) - 2)) AS pos,
+             unnest(list_transform(generate_series(1, len(w) - 2),
+                    i -> ('0x' || substr(md5(w[i] || ' ' || w[i+1] || ' '
+                          || w[i+2]), 1, 12))::BIGINT)) AS h
+      FROM docs
+    ),
+    sel AS (
+      SELECT DISTINCT doc_id, fp FROM (
+        SELECT doc_id, pos, n_grams,
+               MIN(h) OVER (PARTITION BY doc_id ORDER BY pos
+                            ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp
+        FROM g
+      ) WHERE pos <= n_grams - 3
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_fp FROM sel GROUP BY 1),
+    shared AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared
+      FROM sel a JOIN sel b ON a.fp = b.fp AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT s.doc_a, s.doc_b, s.n_shared,
+           ROUND(CAST(s.n_shared AS DOUBLE)
+                 / LEAST(sa.n_fp, sb.n_fp), 6) AS overlap
+    FROM shared s
+    JOIN sizes sa ON sa.doc_id = s.doc_a
+    JOIN sizes sb ON sb.doc_id = s.doc_b
+    WHERE s.n_shared >= 3
+    """,
+)
+def q_winnow_crossdoc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document near-dup detection over winnowing fingerprints —
+    the MOSS detection step that q_winnow_fingerprint's selection
+    exists for: documents sharing ≥ 3 selected fingerprints are
+    reported with their containment-style overlap (shared / smaller
+    fingerprint set). Because winnowing guarantees any shared token run
+    of ≥ w+k−1 survives into both documents' fingerprint sets, recall
+    for long verbatim overlaps is structural, while the fingerprint
+    stream the join touches is only ~2/(w+1) the size of the full
+    shingle stream — the index-size advantage over shingle-Jaccard
+    candidate generation. One fingerprint-keyed self-join (shared-key
+    candidates, never all pairs) + two broadcast size dims. Bounded
+    oracle twin like q_dedup_near."""
+    docs = (
+        load(spark, sf_dir, "documents")
+        .filter((F.col("doc_id") < _NEAR_DUP_LIMIT)
+                & (F.size(F.split("text", " ")) >= 6))
+        .select("doc_id", F.split("text", " ").alias("w"))
+        .select("doc_id", "w", (F.size("w") - 2).alias("n_grams"))
+    )
+    idx = F.sequence(F.lit(1), F.col("n_grams"))
+    tri = F.transform(
+        idx, lambda i: F.concat_ws(" ", F.element_at("w", i),
+                                   F.element_at("w", i + 1),
+                                   F.element_at("w", i + 2)))
+    hashes = F.transform(
+        tri, lambda gstr: F.conv(F.substring(F.md5(gstr), 1, 12), 16, 10)
+        .cast("long"))
+    g = docs.select(
+        "doc_id", "n_grams", F.posexplode(hashes).alias("pos0", "h"),
+    ).select("doc_id", "n_grams", (F.col("pos0") + 1).alias("pos"), "h")
+    win = (Window.partitionBy("doc_id").orderBy("pos")
+           .rowsBetween(Window.currentRow, 3))
+    sel = (
+        g.withColumn("fp", F.min("h").over(win))
+        .filter(F.col("pos") <= F.col("n_grams") - 3)
+        .select("doc_id", "fp").distinct()
+        .localCheckpoint(eager=False)  # join sides + size dim
+    )
+    sizes = sel.groupBy("doc_id").agg(F.count("*").alias("n_fp"))
+    a, b = sel.alias("a"), sel.alias("b")
+    shared = (
+        a.join(b, (F.col("a.fp") == F.col("b.fp"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"),
+                 F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("n_shared"))
+        .filter(F.col("n_shared") >= 3)
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"),
+                      F.col("n_fp").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"),
+                      F.col("n_fp").alias("nb"))
+    return (
+        shared.join(F.broadcast(sa), "doc_a").join(F.broadcast(sb), "doc_b")
+        .select("doc_a", "doc_b", "n_shared",
+                F.round(F.col("n_shared").cast("double")
+                        / F.least("na", "nb"), 6).alias("overlap"))
+    )

@@ -425,3 +425,29 @@ def test_simhash_portable_fingerprint_matches_reference(spark, queries):
     expected = {(a, b) for a in fps for b in fps if a < b
                 and bin(fps[a] ^ fps[b]).count("1") <= 1}
     assert {(r.doc_a, r.doc_b) for r in rows} == expected
+
+
+def test_winnow_crossdoc_overlap_matches_reference(spark, queries):
+    import hashlib
+
+    from flink_tutorial_broadcast_spark.operators.llm_ops import (
+        _NEAR_DUP_LIMIT,
+    )
+
+    rows = queries["q_winnow_crossdoc"](spark, SF_SMOKE).collect()
+    docs = {d.doc_id: d.text for d in
+            load(spark, SF_SMOKE, "documents").collect()
+            if d.doc_id < _NEAR_DUP_LIMIT}
+
+    def fps(text):
+        w = text.split(" ")
+        hs = [int(hashlib.md5(" ".join(w[i:i + 3]).encode())
+                  .hexdigest()[:12], 16) for i in range(len(w) - 2)]
+        return {min(hs[i:i + 4]) for i in range(len(hs) - 3)}
+
+    assert rows, "fixture contains near-dup pairs the op must find"
+    for r in rows:
+        fa, fb = fps(docs[r.doc_a]), fps(docs[r.doc_b])
+        shared = len(fa & fb)
+        assert r.n_shared == shared >= 3
+        assert abs(r.overlap - shared / min(len(fa), len(fb))) < 1e-6
