@@ -2290,7 +2290,7 @@ def q_dedup_simhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     LSH promotion (after MinHash and sign-LSH), and the INTEGER-EXACT
     one: per-token 48-bit md5-prefix hashes vote ±cnt on each of 16
     fingerprint bits, fingerprints band 4×4 bits for candidates, and
-    candidates verify by popcount(xor) ≤ 3 — every step is integer
+    candidates verify by popcount(xor) ≤ _PSH_HAMMING_MAX (= 1) — every step is integer
     arithmetic, so cross-engine equality is exact by construction, not
     by IEEE-order discipline. Fingerprinting is one (doc, token)
     aggregate (map-side partial) + one per-doc aggregate; candidates

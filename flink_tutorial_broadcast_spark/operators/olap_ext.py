@@ -500,9 +500,9 @@ def q_sql_pipe_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH keyed AS (
       SELECT doc_id, source, n_chars,
-             -ln((('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 13))
-                  ::BIGINT + 1.0) / 4503599627370497.0)
-               / n_chars AS es_key
+             ROUND(-ln((('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 13))
+                        ::BIGINT + 1.0) / 4503599627370497.0)
+                   / n_chars, 12) AS es_key
       FROM documents WHERE n_chars > 0
     )
     SELECT doc_id, source, n_chars
@@ -527,7 +527,10 @@ def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         load(spark, sf_dir, "documents")
         .filter(F.col("n_chars") > 0)
-        .withColumn("es_key", -F.log(u) / F.col("n_chars"))
+        # rounded to 12 dp before the ORDER BY: natural log is not
+        # IEEE-guaranteed correctly rounded, so a 1-ulp libm/JVM
+        # divergence must not be able to flip the top-20 boundary
+        .withColumn("es_key", F.round(-F.log(u) / F.col("n_chars"), 12))
         .orderBy("es_key", "doc_id")
         .limit(20)
         .select("doc_id", "source", "n_chars")

@@ -20,6 +20,7 @@ from __future__ import annotations
 import os
 import shutil
 import tempfile
+import time
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -889,6 +890,16 @@ def incremental_dedup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
                              "text"))
     fresh1.unionByName(resend_batch0).coalesce(1) \
         .write.parquet(os.path.join(src, "c1"))
+
+    # FileStreamSource orders pending files by modification time; equal
+    # mtimes could let c1 beat c0 into batch 0 (reading index v0 and
+    # wrongly admitting the re-sends). Force strictly increasing mtimes
+    # so c0 is always batch 0 and c1 batch 1.
+    stamp = int(time.time())
+    for i, crawl_dir in enumerate(("c0", "c1")):
+        for fname in os.listdir(os.path.join(src, crawl_dir)):
+            fpath = os.path.join(src, crawl_dir, fname)
+            os.utime(fpath, (stamp + 10 * i, stamp + 10 * i))
 
     def admit(batch_df: DataFrame, batch_id: int) -> None:
         index = spark.read.parquet(os.path.join(state, f"v{batch_id}"))
