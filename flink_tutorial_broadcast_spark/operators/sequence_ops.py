@@ -83,6 +83,232 @@ def q_sequence_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_cep_followed_by",
+    oracle="""
+    WITH RECURSIVE codes AS (
+      SELECT user_id,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS i,
+             CASE event_type WHEN 'view' THEN 1 WHEN 'click' THEN 2
+                  WHEN 'purchase' THEN 3 ELSE 0 END AS c
+      FROM events
+    ), n AS (
+      SELECT user_id, COUNT(*) AS n_ev FROM codes GROUP BY user_id
+    ), run AS (
+      SELECT user_id, 0 AS i, 0 AS acc FROM n
+      UNION ALL
+      SELECT r.user_id, r.i + 1,
+             CASE WHEN c.c = r.acc % 10 + 1 THEN
+               CASE WHEN r.acc % 10 = 2 THEN r.acc + 8 ELSE r.acc + 1 END
+             ELSE r.acc END
+      FROM run r JOIN codes c ON c.user_id = r.user_id AND c.i = r.i + 1
+    )
+    SELECT r.user_id, CAST(r.acc // 10 AS BIGINT) AS n_matches
+    FROM run r JOIN n ON r.user_id = n.user_id AND r.i = n.n_ev
+    WHERE r.acc // 10 > 0
+    """,
+)
+def q_cep_followed_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CEP relaxed contiguity (Flink ``begin("v").followedBy("c")
+    .followedBy("p")`` [FLINK-API `Pattern#followedBy`]): view …
+    click … purchase with arbitrary events between stages, counted
+    under AFTER MATCH SKIP PAST LAST EVENT (each event binds to at
+    most one match; earliest-match greedy — exactly the NFA run Flink
+    executes with that skip strategy, and SQL MATCH_RECOGNIZE's
+    default).
+
+    Both engines run the IDENTICAL integer stage machine as an ordered
+    fold: acc = 10*completed_matches + stage, advance on the awaited
+    code, +8 closes a match (count+1, stage reset). Spark folds with
+    ``F.aggregate`` inside codegen — no Python, one shuffle on
+    user_id; per-user state is one int, the same O(1) state the CEP
+    NFA keeps. The oracle runs the same machine as a recursive-CTE
+    step relation (one row per (user, position)), so the hash match
+    proves the automaton, not just the row counts. (A list_reduce
+    oracle was rejected: DuckDB 1.0's vectorized lambda mis-folds one
+    of 150 lists in full-batch runs — verified against a Python
+    reference — while per-user filtered runs are correct.)
+    """
+    ev = load(spark, sf_dir, "events")
+    codes = F.transform(
+        F.array_sort(F.collect_list(F.struct("ts", "event_id", "event_type"))),
+        lambda x: F.when(x["event_type"] == "view", 1)
+                   .when(x["event_type"] == "click", 2)
+                   .when(x["event_type"] == "purchase", 3)
+                   .otherwise(0),
+    )
+    fold = F.aggregate(
+        codes,
+        F.lit(0),
+        lambda acc, x: F.when(
+            x == acc % 10 + 1,
+            F.when(acc % 10 == 2, acc + 8).otherwise(acc + 1),
+        ).otherwise(acc),
+    )
+    return (
+        ev.groupBy("user_id")
+        .agg(F.floor(fold / 10).cast("long").alias("n_matches"))
+        .filter(F.col("n_matches") > 0)
+    )
+
+
+_CEP_WITHIN_US = 43_200 * 1_000_000  # 12 h, in integer microseconds
+
+
+@query(
+    "q_cep_within",
+    oracle=f"""
+    WITH j AS (
+      SELECT v.user_id, v.event_id AS view_id, p.event_id AS purchase_id,
+             epoch_us(p.ts) - epoch_us(v.ts) AS delay_us,
+             row_number() OVER (PARTITION BY v.event_id
+                                ORDER BY epoch_us(p.ts), p.event_id) AS rn
+      FROM (SELECT * FROM events WHERE event_type = 'view') v
+      JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+        ON v.user_id = p.user_id
+       AND p.ts > v.ts
+       AND epoch_us(p.ts) <= epoch_us(v.ts) + {_CEP_WITHIN_US}
+    )
+    SELECT user_id, view_id, purchase_id, delay_us FROM j WHERE rn = 1
+    """,
+)
+def q_cep_within(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CEP time-bounded pattern (Flink ``begin("v").followedBy("p")
+    .within(Time.hours(12))`` [FLINK-API `Pattern#within`]): for every
+    view, the EARLIEST purchase by the same user inside the 12-hour
+    horizon — the window that makes CEP state bounded, expressed as a
+    user-keyed interval join.
+
+    Time arithmetic is integer microseconds (unix_micros/epoch_us) so
+    the bound and the delay are exact on both engines — no float epoch.
+    The earliest-match argmin is a min-struct aggregate (map-side
+    partial, no per-partition sort). Scale: shuffles on user_id only;
+    for horizons ≫ per-key density, bucket both sides by (user_id,
+    ts_bucket) first — the q_range_join_bucketed rewrite
+    (relational.py) applies unchanged.
+    """
+    ev = load(spark, sf_dir, "events")
+    v = (ev.filter(F.col("event_type") == "view")
+         .select("user_id", F.col("event_id").alias("view_id"),
+                 F.unix_micros("ts").alias("v_us")))
+    p = (ev.filter(F.col("event_type") == "purchase")
+         .select(F.col("user_id").alias("p_user"),
+                 F.col("event_id").alias("purchase_id"),
+                 F.unix_micros("ts").alias("p_us")))
+    j = v.join(
+        p,
+        (v.user_id == p.p_user)
+        & (F.col("p_us") > F.col("v_us"))
+        & (F.col("p_us") <= F.col("v_us") + F.lit(_CEP_WITHIN_US)),
+    ).select("user_id", "view_id", "purchase_id",
+             (F.col("p_us") - F.col("v_us")).alias("delay_us"))
+    first = (j.groupBy("user_id", "view_id")
+             .agg(F.min(F.struct("delay_us", "purchase_id")).alias("m")))
+    return first.select(
+        "user_id", "view_id",
+        F.col("m.purchase_id").alias("purchase_id"),
+        F.col("m.delay_us").alias("delay_us"),
+    )
+
+
+@query(
+    "q_cep_one_or_more",
+    oracle="""
+    WITH paths AS (
+      SELECT user_id,
+             string_agg(event_type, '>' ORDER BY ts, event_id) AS path
+      FROM events GROUP BY user_id
+    )
+    SELECT user_id,
+           CAST(len(regexp_extract_all(path, '(view(>click)+>purchase)', 1))
+                AS BIGINT) AS n_matches
+    FROM paths
+    WHERE len(regexp_extract_all(path, '(view(>click)+>purchase)', 1)) > 0
+    """,
+)
+def q_cep_one_or_more(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CEP quantified pattern (Flink ``begin("v").next("c").oneOrMore()
+    .next("p")`` [FLINK-API `Pattern#oneOrMore`]): view, then ONE OR
+    MORE contiguous clicks, then purchase — non-overlapping greedy
+    match count over the ordered per-user path.
+
+    Same path construction as q_sequence_pattern (array_sort over the
+    unique (ts, event_id) prefix). The `(>click)+` quantifier is safe
+    cross-engine: the follow-set of the quantified element ('>click')
+    is disjoint from the closer ('>purchase'), so backtracking (Java)
+    and leftmost-longest DFA (RE2/DuckDB) produce identical matches —
+    the same discipline that kept q_sequence_pattern's regex portable.
+    """
+    ev = load(spark, sf_dir, "events")
+    paths = (
+        ev.groupBy("user_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct("ts", "event_id", "event_type"))),
+                    lambda x: x["event_type"],
+                ),
+                ">",
+            ).alias("path")
+        )
+    )
+    n = F.size(F.regexp_extract_all(
+        "path", F.lit("(view(>click)+>purchase)"), 1))
+    return (
+        paths.select("user_id", n.cast("long").alias("n_matches"))
+        .filter(F.col("n_matches") > 0)
+    )
+
+
+@query(
+    "q_cep_times",
+    oracle="""
+    WITH paths AS (
+      SELECT user_id,
+             string_agg(event_type, '>' ORDER BY ts, event_id) AS path
+      FROM events GROUP BY user_id
+    )
+    SELECT user_id,
+           CAST(len(regexp_extract_all(path, '(view(>click){2}>purchase)', 1))
+                AS BIGINT) AS n_matches
+    FROM paths
+    WHERE len(regexp_extract_all(path, '(view(>click){2}>purchase)', 1)) > 0
+    """,
+)
+def q_cep_times(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CEP exact-count quantifier (Flink ``begin("v").next("c").times(2)
+    .next("p")`` [FLINK-API `Pattern#times`]): view, EXACTLY two
+    contiguous clicks, then purchase. A fixed `{2}` count has no
+    backtracking freedom, so Java and RE2 agree by construction; a
+    third contiguous click correctly kills the match on both engines
+    (strict contiguity — `times` under `next` semantics).
+    """
+    ev = load(spark, sf_dir, "events")
+    paths = (
+        ev.groupBy("user_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct("ts", "event_id", "event_type"))),
+                    lambda x: x["event_type"],
+                ),
+                ">",
+            ).alias("path")
+        )
+    )
+    n = F.size(F.regexp_extract_all(
+        "path", F.lit("(view(>click){2}>purchase)"), 1))
+    return (
+        paths.select("user_id", n.cast("long").alias("n_matches"))
+        .filter(F.col("n_matches") > 0)
+    )
+
+
+@query(
     "q_gap_fill",
     oracle="""
     WITH bounds AS (

@@ -23,6 +23,74 @@ def test_sequence_pattern_users_have_all_three_stages(spark, queries):
     assert missing.count() == 0
 
 
+def test_cep_followed_by_matches_python_nfa(spark, queries):
+    """The engine's codegen fold must equal a driver-side reference run
+    of the same skip-past-last-event stage machine, user by user."""
+    ev = (load(spark, SF_SMOKE, "events")
+          .select("user_id", "ts", "event_id", "event_type").collect())
+    code = {"view": 1, "click": 2, "purchase": 3}
+    per_user: dict[int, list] = {}
+    for r in ev:
+        per_user.setdefault(r["user_id"], []).append(
+            (r["ts"], r["event_id"], code.get(r["event_type"], 0)))
+    expect = {}
+    for uid, rows in per_user.items():
+        acc = 0
+        for _, _, c in sorted(rows):
+            if c == acc % 10 + 1:
+                acc = acc + 8 if acc % 10 == 2 else acc + 1
+        if acc // 10 > 0:
+            expect[uid] = acc // 10
+    got = {r["user_id"]: r["n_matches"]
+           for r in queries["q_cep_followed_by"](spark, SF_SMOKE).collect()}
+    assert got == expect
+
+
+def test_cep_relaxed_count_dominates_strict(spark, queries):
+    """Relaxed contiguity (followedBy) admits every strict-contiguity
+    match as a subsequence, and the greedy earliest-match scan is
+    maximal for chain patterns — so per user relaxed ≥ strict."""
+    strict = {r["user_id"]: r["n_matches"] for r in
+              queries["q_sequence_pattern"](spark, SF_SMOKE).collect()}
+    relaxed = {r["user_id"]: r["n_matches"] for r in
+               queries["q_cep_followed_by"](spark, SF_SMOKE).collect()}
+    for uid, n in strict.items():
+        assert relaxed.get(uid, 0) >= n
+
+
+def test_cep_within_bounds_and_pairing(spark, queries):
+    df = queries["q_cep_within"](spark, SF_SMOKE)
+    rows = df.collect()
+    assert len(rows) > 0
+    for r in rows:
+        assert 0 < r["delay_us"] <= 43_200 * 1_000_000
+    # one row per view (earliest purchase only), and ids really are
+    # view/purchase events of the same user
+    assert df.select("view_id").distinct().count() == df.count()
+    ev = load(spark, SF_SMOKE, "events")
+    v = ev.filter(F.col("event_type") == "view") \
+        .select(F.col("event_id").alias("view_id"),
+                F.col("user_id").alias("vu"))
+    p = ev.filter(F.col("event_type") == "purchase") \
+        .select(F.col("event_id").alias("purchase_id"),
+                F.col("user_id").alias("pu"))
+    joined = df.join(v, "view_id").join(p, "purchase_id")
+    assert joined.filter((F.col("vu") != F.col("user_id"))
+                         | (F.col("pu") != F.col("user_id"))).count() == 0
+
+
+def test_cep_quantifier_containment(spark, queries):
+    """times(2) matches are oneOrMore matches are followedBy matches —
+    user-set containment down the quantifier ladder."""
+    times = {r["user_id"] for r in
+             queries["q_cep_times"](spark, SF_SMOKE).collect()}
+    plus = {r["user_id"] for r in
+            queries["q_cep_one_or_more"](spark, SF_SMOKE).collect()}
+    relaxed = {r["user_id"] for r in
+               queries["q_cep_followed_by"](spark, SF_SMOKE).collect()}
+    assert times <= plus <= relaxed
+
+
 def test_gap_fill_grid_is_dense_and_total_preserving(spark, queries):
     df = queries["q_gap_fill"](spark, SF_SMOKE)
     ev = load(spark, SF_SMOKE, "events")
