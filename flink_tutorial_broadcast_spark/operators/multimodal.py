@@ -43,88 +43,168 @@ def q_multimodal_bytes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def fake_decode_image(payload: bytes) -> tuple[int, int, int, float]:
-    """STUB decoder — deterministic fake standing in for PIL/ffmpeg.
-
-    A real deployment replaces this body with e.g.::
-
-        img = PIL.Image.open(io.BytesIO(payload))   # not in this container
-        return img.width, img.height, len(img.getbands()), ...
-
-    The fake derives (width, height, channels, mean_byte) purely from the
-    payload bytes so results are stable for tests.
-    """
-    n = len(payload)
-    width = 64 + (n % 577)
-    height = 64 + ((n * 7) % 419)
-    channels = 3
-    mean_byte = round(sum(payload[:256]) / max(1, min(n, 256)), 4)
-    return width, height, channels, mean_byte
+# ---------------------------------------------------------------------------
+# Real media decode (round 4 — replaces the round-3 deterministic stubs).
+#
+# The container has no PIL/ffmpeg, so the BYTES are synthesized, but the
+# decode is REAL: binary PPM (P6) images — a published uncompressed format —
+# are built into the binary column and then parsed back byte-for-byte
+# (magic check, ASCII header, pixel plane), resized with an integer 2×2
+# box filter, and summarized. Every output is integer arithmetic, so the
+# DuckDB oracle recomputes the same numbers from the generating formula in
+# closed form — the hash match proves the parser and the filter are exact,
+# not merely that the plumbing runs. A production deployment swaps
+# synth_ppm for `spark.read.format("binaryFile")` and decode_ppm's body
+# for the PIL/ffmpeg call — every Spark-side shape (schema, Arrow
+# batching, no-shuffle partitioning) is unchanged.
+# ---------------------------------------------------------------------------
 
 
-@query("q_media_features")  # rows-only: decode is stubbed (see fake_decode_image)
+def synth_ppm(doc_id: int) -> bytes:
+    """Deterministic PPM (P6) image for a document: dims derive from the
+    id (w ∈ {6..18} even, h ∈ {4..12} even) and pixel byte *i* is
+    (doc_id·7 + i·13) mod 256 — the closed form the oracle re-evaluates."""
+    w = 6 + (doc_id % 7) * 2
+    h = 4 + (doc_id % 5) * 2
+    import numpy as np
+    pixels = ((doc_id * 7 + 13 * np.arange(w * h * 3, dtype=np.int64))
+              % 256).astype(np.uint8)
+    return b"P6\n" + f"{w} {h}\n255\n".encode("ascii") + pixels.tobytes()
+
+
+def decode_ppm(payload: bytes):
+    """REAL binary-PPM parser: validates the P6 magic, reads the ASCII
+    `width height maxval` header, and returns (w, h, uint8 pixel array).
+    Raises ValueError on malformed input — nothing here knows how the
+    bytes were produced."""
+    import re
+
+    import numpy as np
+    m = re.match(rb"P6\n(\d+) (\d+)\n255\n", payload)
+    if not m:
+        raise ValueError("not a P6 PPM payload")
+    w, h = int(m.group(1)), int(m.group(2))
+    pixels = np.frombuffer(payload, dtype=np.uint8, offset=m.end())
+    if pixels.size != w * h * 3:
+        raise ValueError(f"truncated pixel plane: {pixels.size} != {w*h*3}")
+    return w, h, pixels
+
+
+def _media_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """doc_id + synthesized PPM payload as a true BinaryType column —
+    the stand-in for `spark.read.format("binaryFile")` over an image
+    bucket. One Arrow-batched pass, no shuffle."""
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"],
+                "payload": [synth_ppm(int(i)) for i in pdf["doc_id"]],
+            })
+
+    return (load(spark, sf_dir, "documents")
+            .select("doc_id")
+            .mapInPandas(synth, "doc_id long, payload binary"))
+
+
+@query(
+    "q_media_features",
+    oracle="""
+    WITH dims AS (
+      SELECT doc_id,
+             6 + (doc_id % 7) * 2 AS width,
+             4 + (doc_id % 5) * 2 AS height
+      FROM documents
+    ), px AS (
+      SELECT doc_id, width, height,
+             unnest(range(0, width * height * 3)) AS i
+      FROM dims
+    )
+    SELECT doc_id,
+           CAST(width AS INTEGER) AS width,
+           CAST(height AS INTEGER) AS height,
+           3 AS channels,
+           CAST(9 + length(CAST(width AS VARCHAR))
+                  + length(CAST(height AS VARCHAR))
+                  + width * height * 3 AS INTEGER) AS n_bytes,
+           CAST(SUM((doc_id * 7 + i * 13) % 256) AS BIGINT) AS sum_pixels
+    FROM px GROUP BY doc_id, width, height
+    """,
+)
 def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """K5 media feature extraction over mapInPandas: binary payload →
-    (width, height, channels, mean_byte) with an Arrow-batched iterator —
-    the exact shape a real image/audio decoder plugs into. Batches stream
-    through Python with bounded memory (maxRecordsPerBatch), partitioning
-    untouched — at 100 TB this runs one Python worker per core with no
-    shuffle."""
+    """K5 media feature extraction, REAL decode: binary PPM payloads are
+    parsed (magic, header, pixel plane) inside an Arrow-batched
+    mapInPandas and reduced to (width, height, channels, n_bytes,
+    sum_pixels). The oracle recomputes every value from the pixel
+    generating formula in closed form, so the hash match proves the
+    parser reads back exactly the bytes that were written. Batches
+    stream through Python with bounded memory, partitioning untouched —
+    at 100 TB this runs one Python worker per core with no shuffle."""
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            feats = pdf["payload"].map(fake_decode_image)
-            yield pd.DataFrame({
-                "doc_id": pdf["doc_id"],
-                "width": feats.map(lambda t: t[0]),
-                "height": feats.map(lambda t: t[1]),
-                "channels": feats.map(lambda t: t[2]),
-                "mean_byte": feats.map(lambda t: t[3]),
-            })
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                w, h, px = decode_ppm(bytes(payload))
+                rows.append((int(doc_id), w, h, 3, len(payload),
+                             int(px.sum(dtype="int64"))))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "width", "height", "channels",
+                               "n_bytes", "sum_pixels"])
 
-    d = (
-        load(spark, sf_dir, "documents")
-        .select("doc_id", F.encode(F.col("text"), "UTF-8").alias("payload"))
-    )
-    return d.mapInPandas(
+    return _media_corpus(spark, sf_dir).mapInPandas(
         extract,
-        "doc_id long, width int, height int, channels int, mean_byte double",
+        "doc_id long, width int, height int, channels int, "
+        "n_bytes int, sum_pixels long",
     )
 
 
-_TARGET_W, _TARGET_H = 224, 224  # the classic vision-model input size
-
-
-def fake_resize_image(payload: bytes, w: int, h: int) -> tuple[int, int, int]:
-    """STUB resize — deterministic fake standing in for
-    ``PIL.Image.resize((w, h))``; returns (out_w, out_h, out_n_bytes) with
-    byte size scaled by the area ratio of the fake-decoded dims."""
-    src_w, src_h, channels, _ = fake_decode_image(payload)
-    scale = (w * h) / (src_w * src_h)
-    return w, h, max(1, int(len(payload) * scale))
-
-
-@query("q_media_resize")  # rows-only: decode/resize are stubbed
+@query(
+    "q_media_resize",
+    oracle="""
+    WITH dims AS (
+      SELECT doc_id, 6 + (doc_id % 7) * 2 AS w, 4 + (doc_id % 5) * 2 AS h
+      FROM documents
+    ), ys AS (
+      SELECT doc_id, w, h, unnest(range(0, h // 2)) AS oy FROM dims
+    ), xs AS (
+      SELECT doc_id, w, h, oy, unnest(range(0, w // 2)) AS ox FROM ys
+    ), cs AS (
+      SELECT doc_id, w, h, oy, ox, unnest([0, 1, 2]) AS c FROM xs
+    )
+    SELECT doc_id,
+           CAST(w // 2 AS INTEGER) AS out_w,
+           CAST(h // 2 AS INTEGER) AS out_h,
+           CAST(SUM((  (doc_id*7 + (((2*oy  )*w + 2*ox  )*3 + c)*13) % 256
+                     + (doc_id*7 + (((2*oy  )*w + 2*ox+1)*3 + c)*13) % 256
+                     + (doc_id*7 + (((2*oy+1)*w + 2*ox  )*3 + c)*13) % 256
+                     + (doc_id*7 + (((2*oy+1)*w + 2*ox+1)*3 + c)*13) % 256
+                    ) // 4) AS BIGINT) AS sum_resized
+    FROM cs GROUP BY doc_id, w, h
+    """,
+)
 def q_media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """K5 batch resize plumbing: binary payload → fixed 224×224 target,
-    Arrow-batched over mapInPandas. Same no-shuffle scale posture as
-    q_media_features; a real deployment swaps fake_resize_image for PIL."""
+    """K5 media resize, REAL decode + integer 2×2 box filter: each PPM
+    payload is parsed, reshaped to (h, w, 3), and downsampled by exact
+    integer block averaging (floor of the 4-pixel sum — dims are even by
+    construction). The oracle evaluates the identical filter over the
+    generating formula per output pixel, so the hash match pins the
+    whole decode→filter→reduce path bit-for-bit. Same no-shuffle scale
+    posture as q_media_features; swapping the box filter for a real
+    PIL/ffmpeg resample changes only decode-side Python."""
     def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
         for pdf in batches:
-            out = pdf["payload"].map(
-                lambda p: fake_resize_image(p, _TARGET_W, _TARGET_H))
-            yield pd.DataFrame({
-                "doc_id": pdf["doc_id"],
-                "out_w": out.map(lambda t: t[0]),
-                "out_h": out.map(lambda t: t[1]),
-                "out_n_bytes": out.map(lambda t: t[2]),
-            })
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                w, h, px = decode_ppm(bytes(payload))
+                a = px.reshape(h, w, 3).astype(np.int64)
+                out = (a[0::2, 0::2] + a[0::2, 1::2]
+                       + a[1::2, 0::2] + a[1::2, 1::2]) // 4
+                rows.append((int(doc_id), w // 2, h // 2, int(out.sum())))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "out_w", "out_h", "sum_resized"])
 
-    d = (
-        load(spark, sf_dir, "documents")
-        .select("doc_id", F.encode(F.col("text"), "UTF-8").alias("payload"))
-    )
-    return d.mapInPandas(
-        resize, "doc_id long, out_w int, out_h int, out_n_bytes int")
+    return _media_corpus(spark, sf_dir).mapInPandas(
+        resize, "doc_id long, out_w int, out_h int, sum_resized long")
 
 
 _FRAME_LEN = 64   # chars per "frame"

@@ -23,12 +23,14 @@ def test_oracle_keys_subset_of_queries():
     # every oracle-less query is an intentional rows-only op
     rows_only = set(q) - set(o)
     # round 3 promoted q_knn_ivf (portable cosine folds) out of this
-    # set; the remainder are inherently engine-specific (sketch
-    # internals, xxhash64 fingerprints, pyspark.ml interop, media stubs)
+    # set; round 4 promoted q_media_features/q_media_resize (real PPM
+    # decode with closed-form oracles); the remainder are inherently
+    # engine-specific (sketch internals, xxhash64 fingerprints,
+    # pyspark.ml interop)
     assert rows_only == {
         "q_approx_distinct", "q_dedup_minhash", "q_simhash",
-        "q_media_features", "q_dedup_embed_lsh",
-        "q_media_resize", "q_dedup_minhash_ml", "q_dedup_embed_lsh_ml",
+        "q_dedup_embed_lsh",
+        "q_dedup_minhash_ml", "q_dedup_embed_lsh_ml",
         "q_dedup_simhash", "q_approx_quantiles", "q_hll_sketch"}
 
 

@@ -100,14 +100,48 @@ def test_dedup_exact_survivors_unique(spark, queries):
     assert df.agg(F.sum("n_copies")).collect()[0][0] == 500
 
 
-def test_media_features_deterministic_schema_and_values(spark, queries):
+def test_media_features_real_ppm_decode(spark, queries):
+    """The round-4 decode is real: parse the synthesized P6 payloads in
+    the test process too and demand byte-exact agreement, plus a
+    malformed-input rejection check on the parser itself."""
+    import pytest
+
+    from flink_tutorial_broadcast_spark.operators.multimodal import (
+        decode_ppm, synth_ppm)
+
     df = queries["q_media_features"](spark, SF_SMOKE)
-    assert df.columns == ["doc_id", "width", "height", "channels", "mean_byte"]
-    rows = {r["doc_id"]: (r["width"], r["height"]) for r in df.collect()}
-    rows2 = {r["doc_id"]: (r["width"], r["height"]) for r in
-             queries["q_media_features"](spark, SF_SMOKE).collect()}
-    assert rows == rows2
-    assert all(64 <= w < 641 and 64 <= h < 483 for w, h in rows.values())
+    assert df.columns == ["doc_id", "width", "height", "channels",
+                          "n_bytes", "sum_pixels"]
+    for r in df.collect():
+        payload = synth_ppm(r["doc_id"])
+        w, h, px = decode_ppm(payload)
+        assert (w, h) == (r["width"], r["height"])
+        assert r["channels"] == 3
+        assert r["n_bytes"] == len(payload)
+        assert r["sum_pixels"] == int(px.sum(dtype="int64"))
+    with pytest.raises(ValueError):
+        decode_ppm(b"P5\n4 4\n255\n" + b"\x00" * 48)
+    with pytest.raises(ValueError):
+        decode_ppm(synth_ppm(7)[:-1])
+
+
+def test_media_resize_is_exact_box_filter(spark, queries):
+    """2x2 integer box filter: re-derive one doc's resized sum from the
+    raw pixels and check halved dimensions everywhere."""
+    import numpy as np
+
+    from flink_tutorial_broadcast_spark.operators.multimodal import (
+        decode_ppm, synth_ppm)
+
+    rows = queries["q_media_resize"](spark, SF_SMOKE).collect()
+    assert len(rows) == 500
+    for r in rows[:25]:
+        w, h, px = decode_ppm(synth_ppm(r["doc_id"]))
+        assert (r["out_w"], r["out_h"]) == (w // 2, h // 2)
+        a = px.reshape(h, w, 3).astype(np.int64)
+        out = (a[0::2, 0::2] + a[0::2, 1::2]
+               + a[1::2, 0::2] + a[1::2, 1::2]) // 4
+        assert r["sum_resized"] == int(out.sum())
 
 
 def test_lang_id_covers_all_docs(spark, queries):
