@@ -456,6 +456,13 @@ def session_close_timer_stream(spark: SparkSession, sf_dir: str,
      .coalesce(1).write.parquet(os.path.join(d, "f=0")))
     (ev_batch.filter(F.col("ts") > F.lit(split_ts))
      .coalesce(1).write.parquet(os.path.join(d, "f=1")))
+    # mtime ordering decides batch order (see incremental_dedup_stream);
+    # make f=0 strictly older so the watermark advances f0 -> f1
+    stamp = int(time.time())
+    for i, part in enumerate(("f=0", "f=1")):
+        for fname in os.listdir(os.path.join(d, part)):
+            os.utime(os.path.join(d, part, fname),
+                     (stamp + 10 * i, stamp + 10 * i))
 
     gap_ms = gap_minutes * 60 * 1000
 

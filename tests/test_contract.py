@@ -143,6 +143,41 @@ def test_global_order_family_has_no_unpartitioned_window(spark, queries):
         assert not unpartitioned_windows(plan), name
 
 
+def test_headline_plan_snapshots(spark, queries):
+    """Plan-feature snapshots for the benchmarked set (VERDICT r3 item 4:
+    the q_broadcast_rule_join BENCH drift had no plan change — pin that
+    so a future drift CAN be attributed). Assertions are scale-robust
+    features (hint-forced broadcasts, agg partial modes, Arrow-vs-row
+    Python), not full plan text, so AQE remains free to adapt."""
+    import re
+
+    from flink_tutorial_broadcast_spark.plans.audit import physical_plan
+    # name -> (min BroadcastHashJoin, max SortMergeJoin,
+    #          needs partial_ agg, forbidden substrings)
+    SNAP = {
+        "q_broadcast_rule_join": (1, 0, True, ["BatchEvalPython"]),
+        "q_tpch_q9": (1, 0, True, ["BatchEvalPython"]),
+        "q_tfidf": (1, 0, True, ["BatchEvalPython"]),
+        "q_agg_basic": (0, 0, True, ["BatchEvalPython"]),
+        "q_tpch_q1": (0, 0, True, ["BatchEvalPython"]),
+        "q_dedup_exact": (0, 0, True, ["BatchEvalPython"]),
+        "q_token_counts": (0, 0, True, ["BatchEvalPython"]),
+        "q_pipeline_e2e": (0, 0, True, ["BatchEvalPython"]),
+        "q_knn_vectorized": (0, 0, False, ["BatchEvalPython"]),
+    }
+    for name, (min_bhj, max_smj, needs_partial, forbidden) in SNAP.items():
+        plan = physical_plan(queries[name](spark, SF_SMOKE))
+        assert plan.count("BroadcastHashJoin") >= min_bhj, name
+        assert plan.count("SortMergeJoin") <= max_smj, name
+        if needs_partial:
+            assert re.search(r"partial_", plan), name
+        for bad in forbidden:
+            assert bad not in plan, f"{name}: {bad}"
+    # the vectorized kNN must stay Arrow-batched Python
+    plan = physical_plan(queries["q_knn_vectorized"](spark, SF_SMOKE))
+    assert "MapInPandas" in plan
+
+
 def test_headline_plans_stay_audit_clean(spark, queries):
     """Plan-shape regression guard for the benchmarked set: no stray
     cartesian products, no row-Python, pushdown intact — the same rules

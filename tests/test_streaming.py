@@ -126,6 +126,91 @@ def test_event_time_timer_closes_sessions(spark):
     assert all(r["n_events"] > 0 and r["session_ms"] >= 0 for r in rows)
 
 
+def test_tws_gate_contract(spark):
+    """E7 typed-state path (transformWithStateInPandas): in a container
+    without google.protobuf the branch must fail FAST with a
+    NotImplementedError that names the working fallback; where the
+    dependency exists, the branch must actually run and its converged
+    per-user aggregates must equal the batch groupBy. Either way the
+    gate is executed, not dead code."""
+    import pytest
+
+    from flink_tutorial_broadcast_spark.io import load
+    from flink_tutorial_broadcast_spark.streaming.jobs import (
+        keyed_state_stream_tws,
+    )
+    try:
+        import google.protobuf  # noqa: F401
+        has_protobuf = True
+    except ImportError:
+        has_protobuf = False
+
+    if not has_protobuf:
+        with pytest.raises(NotImplementedError, match="keyed_state_stream"):
+            keyed_state_stream_tws(spark, SF_SMOKE)
+        return
+
+    got = {r["user_id"]: (r["n_events"], r["total_value"])
+           for r in keyed_state_stream_tws(spark, SF_SMOKE)
+           .groupBy("user_id")
+           .agg(F.max("n_events").alias("n_events"),
+                F.max("total_value").alias("total_value")).collect()}
+    want = {r["user_id"]: (r["n"], r["t"])
+            for r in load(spark, SF_SMOKE, "events")
+            .groupBy("user_id")
+            .agg(F.count("*").alias("n"),
+                 F.round(F.sum("value"), 2).alias("t")).collect()}
+    assert got == want
+
+
+def test_event_time_timer_exact_fire_set_and_payloads(spark):
+    """E7 timers, exact semantics: re-derive from the fixture WHICH keys
+    must time out (armed timestamp < the batch-1 watermark AND no new
+    data in batch 1 — Spark invokes hasTimedOut only for keys without
+    input) and WHAT they must emit (count + span of their batch-0
+    events). The stream must produce exactly that set — this pins
+    event-time fire eligibility and state content, not just 'some
+    timers fired'."""
+    from flink_tutorial_broadcast_spark.io import load
+    from flink_tutorial_broadcast_spark.streaming.jobs import (
+        session_close_timer_stream,
+    )
+    gap_min = 30
+    gap_ms = gap_min * 60_000
+    ev = load(spark, SF_SMOKE, "events").select("user_id", "ts")
+    split_ts = ev.agg(
+        F.percentile_approx("ts", 0.5).alias("m")).collect()[0]["m"]
+    rows = [(r["user_id"], r["ts"], r["ts"] <= split_ts)
+            for r in ev.collect()]
+    to_ms = lambda t: int(t.timestamp() * 1000)  # noqa: E731
+    f0: dict[int, list[int]] = {}
+    allev: dict[int, list[int]] = {}
+    for uid, ts, in_f0 in rows:
+        ms = to_ms(ts)
+        allev.setdefault(uid, []).append(ms)
+        if in_f0:
+            f0.setdefault(uid, []).append(ms)
+    # watermark after batch 0 (file f=0) and after the last batch
+    wm0 = max(ms for uid in f0 for ms in f0[uid]) - 60_000
+    wm_final = max(ms for uid in allev for ms in allev[uid]) - 60_000
+    f1_users = {uid for uid, msl in allev.items()
+                if max(msl) > max(f0.get(uid, [-1]))}
+    expect = {}
+    for uid, msl in allev.items():
+        if uid not in f1_users and max(msl) + gap_ms < wm0:
+            # timer armed in batch 0 fires during batch 1 (no new data
+            # for this key); payload is the batch-0 state
+            expect[uid] = (len(f0[uid]), max(f0[uid]) - min(f0[uid]))
+        elif max(msl) + gap_ms < wm_final:
+            # fires in the terminal timeout-only batch, full state
+            expect[uid] = (len(msl), max(msl) - min(msl))
+    got = {r["user_id"]: (r["n_events"], r["session_ms"])
+           for r in session_close_timer_stream(
+               spark, SF_SMOKE, gap_minutes=gap_min).collect()}
+    assert got == expect
+    assert len(got) > 0  # the fixture genuinely exercises the fire path
+
+
 def test_file_sink_exactly_once_across_restart(spark):
     """A7: two sequential runs over one checkpoint — the committed parquet
     output contains every source row exactly once (no loss on restart,
