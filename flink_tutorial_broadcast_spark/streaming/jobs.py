@@ -109,6 +109,76 @@ def session_window_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run_to_memory(agg, "append")
 
 
+def session_window_stream_snapshots(spark: SparkSession, sf_dir: str,
+                                    gap_minutes: int = 30) -> DataFrame:
+    """E3 early-fire visibility for MERGING session windows (the L78
+    sliding-window treatment, round-4 completion): Spark refuses
+    outputMode("update") for session aggregations (windows merge, so a
+    changed-rows contract is ill-defined — AnalysisException
+    STREAMING_OUTPUT_MODE.UNSUPPORTED_OPERATION, pinned in tests), so
+    the Flink accumulating-early-fire analogue is complete mode +
+    foreachBatch: every micro-batch snapshots the ENTIRE current session
+    state, batch_id-stamped — a session alive at the batch boundary is
+    visible small in snapshot 0 and grown in snapshot 1.
+
+    The fixture streams as TWO time-ordered files (median split,
+    strictly increasing mtimes). Returns (batch_id, user_id,
+    session_start, n_events) across all snapshots; the last batch's
+    snapshot is the converged state, which tests pin against the batch
+    session aggregate exactly. The per-snapshot collect is bounded by
+    the session-aggregate size (never raw fact rows) — demo/test
+    surface, same caveat as the other bounded sinks.
+    """
+    from flink_tutorial_broadcast_spark.io import load
+
+    ev_batch = load(spark, sf_dir, "events").select("user_id", "ts")
+    split_ts = ev_batch.agg(
+        F.percentile_approx("ts", 0.5).alias("m")).collect()[0]["m"]
+    d = tempfile.mkdtemp(prefix="sess_update_")
+    (ev_batch.filter(F.col("ts") <= F.lit(split_ts))
+     .coalesce(1).write.parquet(os.path.join(d, "f=0")))
+    (ev_batch.filter(F.col("ts") > F.lit(split_ts))
+     .coalesce(1).write.parquet(os.path.join(d, "f=1")))
+    stamp = int(time.time())
+    for i, part in enumerate(("f=0", "f=1")):
+        for fname in os.listdir(os.path.join(d, part)):
+            os.utime(os.path.join(d, part, fname),
+                     (stamp + 10 * i, stamp + 10 * i))
+
+    sdf = (
+        spark.readStream.schema("user_id long, ts timestamp")
+        .option("maxFilesPerTrigger", "1")
+        .option("recursiveFileLookup", "true")
+        .parquet(d)
+        .withWatermark("ts", "10 minutes")
+    )
+    agg = (
+        sdf.groupBy(
+            F.session_window("ts", f"{gap_minutes} minutes").alias("w"),
+            "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select("user_id", F.col("w.start").alias("session_start"),
+                "n_events")
+    )
+
+    snapshots: list[tuple] = []
+
+    def snap(batch_df: DataFrame, batch_id: int) -> None:
+        for r in batch_df.collect():  # bounded: the session aggregate
+            snapshots.append((int(batch_id), r["user_id"],
+                              r["session_start"], r["n_events"]))
+
+    q = (agg.writeStream.outputMode("complete")
+         .foreachBatch(snap)
+         .option("checkpointLocation", checkpoint_dir())
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    return spark.createDataFrame(
+        snapshots,
+        "batch_id long, user_id long, session_start timestamp, "
+        "n_events long")
+
+
 def streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E8: keyed stateful dedup — keep the first (user_id, event_type) event
     within the watermark horizon (``dropDuplicatesWithinWatermark``), the

@@ -465,6 +465,67 @@ def test_sliding_window_stream_update_mode_final_state_matches_batch(
     assert per_window == batch
 
 
+def test_session_window_snapshots_converge_to_batch(spark, queries):
+    """E3 early-fire snapshots (VERDICT r3 item 7 — the L78 treatment
+    for session windows): the LAST complete-mode snapshot must equal the
+    oracle-checked batch q_window_session exactly, and Spark's rejection
+    of update mode for merging windows is pinned as the documented
+    reason for the complete+foreachBatch formulation."""
+    import pytest
+    from pyspark.sql.utils import AnalysisException
+
+    from flink_tutorial_broadcast_spark.streaming import jobs as J
+    from flink_tutorial_broadcast_spark.streaming.sources import (
+        stream_events,
+    )
+
+    snaps = J.session_window_stream_snapshots(spark, SF_SMOKE).collect()
+    last = max(r["batch_id"] for r in snaps)
+    final = {(r["user_id"], r["session_start"]): r["n_events"]
+             for r in snaps if r["batch_id"] == last}
+    batch = _kv(queries["q_window_session"](spark, SF_SMOKE),
+                ("user_id", "session_start"), "n_events")
+    assert final == batch
+
+    # the documented Spark limitation that motivates the snapshot form
+    ev = stream_events(spark, SF_SMOKE).withWatermark("ts", "10 minutes")
+    agg = (ev.groupBy(F.session_window("ts", "30 minutes"), "user_id")
+           .agg(F.count("*").alias("n")))
+    with pytest.raises(AnalysisException, match="STREAMING_OUTPUT_MODE"):
+        (agg.writeStream.outputMode("update").format("memory")
+         .queryName("sess_update_reject")
+         .trigger(availableNow=True).start())
+
+
+def test_session_window_snapshots_show_growth(spark):
+    """With a 12h gap, sessions straddle the median split: some session
+    must be visible SMALLER in snapshot 0 than in the final snapshot
+    (accumulating early fire), and the final snapshot must equal a batch
+    session aggregate with the same gap."""
+    from flink_tutorial_broadcast_spark.io import load
+    from flink_tutorial_broadcast_spark.streaming.jobs import (
+        session_window_stream_snapshots,
+    )
+    snaps = session_window_stream_snapshots(
+        spark, SF_SMOKE, gap_minutes=720).collect()
+    last = max(r["batch_id"] for r in snaps)
+    first = {(r["user_id"], r["session_start"]): r["n_events"]
+             for r in snaps if r["batch_id"] == 0}
+    final = {(r["user_id"], r["session_start"]): r["n_events"]
+             for r in snaps if r["batch_id"] == last}
+    assert last >= 1
+    grown = [k for k, n in first.items() if final.get(k, 0) > n]
+    assert grown  # at least one session grew across the boundary
+    batch = {(r["user_id"], r["session_start"]): r["n_events"]
+             for r in load(spark, SF_SMOKE, "events")
+             .groupBy(F.session_window("ts", "720 minutes").alias("w"),
+                      "user_id")
+             .agg(F.count("*").alias("n_events"))
+             .select("user_id", F.col("w.start").alias("session_start"),
+                     "n_events").collect()}
+    assert final == batch
+
+
 def test_outer_join_stream_null_extends_correctly(spark, queries):
     stream = jobs.outer_join_stream(spark, SF_SMOKE)
     batch = queries["q_interval_join"](spark, SF_SMOKE)
