@@ -50,6 +50,37 @@ def test_salt_actually_spreads_hot_key(spark):
     assert n_buckets == 8
 
 
+def test_aqe_skew_split_fires_and_matches_salted(spark):
+    """Round-4 completion of the skew story: with mapper fan-out restored
+    (round-robin repartition standing in for a cluster's thousands of
+    mappers) and thresholds scaled to local volume, AQE must actually
+    SPLIT the hot partition — the executed plan's shuffle read carries
+    the skew marker — and the plain / AQE-split / salted variants must
+    agree exactly. tools/skew_demo.py runs the same comparison at stress
+    scale for BASELINE.md."""
+    import os
+    import sys
+    sys.path.insert(0, os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "tools"))
+    import skew_demo as D
+
+    fact, dim = D.skewed_frames(spark, SF_SMOKE, k=32)
+    tiny = dict(D.SKEW_ON, **{
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "32k",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "16k",
+    })
+    tiny_off = dict(tiny,
+                    **{"spark.sql.adaptive.skewJoin.enabled": "false"})
+    plain, _ = D.run_variant(spark, fact, dim, tiny_off, salted=False)
+    skewed, plan = D.run_variant(spark, fact, dim, tiny, salted=False)
+    salted, _ = D.run_variant(spark, fact, dim, tiny_off, salted=True)
+    assert skewed["skew_marker"] > 0, plan[:2000]
+    assert plain["n"] == skewed["n"] == salted["n"]
+    assert abs(plain["s"] - skewed["s"]) < 1e-6
+    assert abs(plain["s"] - salted["s"]) < 1e-6
+
+
 def test_aqe_runtime_replan_coalesces_shuffle(spark):
     """AQE's runtime re-plan is live: a shuffle join over the fixtures gets
     its 32 shuffle partitions coalesced from runtime statistics (the same

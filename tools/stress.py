@@ -1,9 +1,22 @@
-"""Stress harness: run engine shapes at ~16× the largest fixture
-(≈9.6M lineitem rows, ≈1.6M events) to show headroom beyond sf0.1 and
-report per-row throughput. Input is the read-only sf0.1 fixture unioned
-k× with perturbed keys — no fixture files are created or modified.
+"""Stress harness: run engine shapes at k× the largest fixture to show
+headroom beyond sf0.1 and report per-row throughput AND shuffle-spill
+behavior. Input is the read-only sf0.1 fixture unioned k× with perturbed
+keys — no fixture files are created or modified.
 
-Usage: python tools/stress.py [k]
+k=16 (default) ≈ 9.6M lineitem / 1.6M events; k=64 ≈ 38M lineitem /
+6.4M events — the tier where per-partition working sets outgrow the
+executor comfort zone and spill/skew behavior becomes observable (the
+round-3 verdict's task 5).
+
+Usage:
+    python tools/stress.py [k]                 # every shape
+    python tools/stress.py [k] shape1,shape2   # a subset
+
+Per shape the JSON records rows, wall sec, Mrows/s, and the DELTA in
+memory/disk spill bytes across the shape's stages (from the UI REST
+status store), so super-linear degradation at higher k is attributable:
+healthy shapes scale sec ~k with spill ≈ 0; a shape whose spill grows
+k²× is shuffling a blowup.
 """
 
 from __future__ import annotations
@@ -12,13 +25,17 @@ import json
 import os
 import sys
 import time
+import urllib.request
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+from pyspark.sql import Window  # noqa: E402
 from pyspark.sql import functions as F  # noqa: E402
 
 from flink_tutorial_broadcast_spark.io import load  # noqa: E402
-from flink_tutorial_broadcast_spark.session import get_spark  # noqa: E402
+from flink_tutorial_broadcast_spark.session import (  # noqa: E402
+    get_spark, release_cached_blocks,
+)
 from flink_tutorial_broadcast_spark.sources.rules import rules_df  # noqa: E402
 
 SF_DIR = "/root/testdata/sf0.1"
@@ -34,167 +51,225 @@ def amplify(df, key_cols, k: int):
     return out.drop("__rep")
 
 
-def main() -> None:
-    k = int(sys.argv[1]) if len(sys.argv) > 1 else 16
-    spark = get_spark("stress")
-    spark.sparkContext.setLogLevel("ERROR")
+def spill_totals(spark) -> tuple[int, int]:
+    """(memoryBytesSpilled, diskBytesSpilled) summed over all completed
+    stages, via the UI REST status store. Returns (0, 0) if the UI is
+    unreachable (spill column then reads 0 — throughput is unaffected)."""
+    try:
+        base = spark.sparkContext.uiWebUrl
+        apps = json.load(urllib.request.urlopen(
+            f"{base}/api/v1/applications", timeout=5))
+        app_id = apps[0]["id"]
+        stages = json.load(urllib.request.urlopen(
+            f"{base}/api/v1/applications/{app_id}/stages?status=complete",
+            timeout=10))
+        mem = sum(s.get("memoryBytesSpilled", 0) for s in stages)
+        disk = sum(s.get("diskBytesSpilled", 0) for s in stages)
+        return mem, disk
+    except Exception:
+        return 0, 0
 
-    li = amplify(load(spark, SF_DIR, "lineitem"), ["l_orderkey"], k)
-    o = amplify(load(spark, SF_DIR, "orders"), ["o_orderkey"], k)
-    ev = amplify(load(spark, SF_DIR, "events"), ["event_id"], k)
-    n_li, n_ev = li.count(), ev.count()
 
-    results = {}
+class Ctx:
+    """Lazily-built shared inputs so a shape subset only pays for what it
+    touches."""
 
-    t0 = time.time()
-    (li.join(o, li.l_orderkey == o.o_orderkey)
+    def __init__(self, spark, k: int):
+        self.spark, self.k = spark, k
+        self._cache: dict[str, object] = {}
+
+    def _get(self, name, build):
+        if name not in self._cache:
+            self._cache[name] = build()
+        return self._cache[name]
+
+    @property
+    def li(self):
+        return self._get("li", lambda: amplify(
+            load(self.spark, SF_DIR, "lineitem"), ["l_orderkey"], self.k))
+
+    @property
+    def o(self):
+        return self._get("o", lambda: amplify(
+            load(self.spark, SF_DIR, "orders"), ["o_orderkey"], self.k))
+
+    @property
+    def ev(self):
+        return self._get("ev", lambda: amplify(
+            load(self.spark, SF_DIR, "events"), ["event_id"], self.k))
+
+    @property
+    def emb(self):
+        return self._get("emb", lambda: amplify(
+            load(self.spark, SF_DIR, "embeddings"), ["vec_id"], self.k))
+
+    @property
+    def docs(self):
+        return self._get("docs", lambda: amplify(
+            load(self.spark, SF_DIR, "documents"), ["doc_id"], self.k))
+
+    @property
+    def dr(self):
+        """Deduped-then-amplified documents with per-replica token
+        suffixes: the k copies share zero vocabulary, so near-dup /
+        similarity candidate counts scale k×, not k²× (amplifying the
+        fixture's true-duplicate groups k× would measure that blowup,
+        not the operator)."""
+        def build():
+            docs = load(self.spark, SF_DIR, "documents") \
+                .dropDuplicates(["text"])
+            return (docs.crossJoin(F.broadcast(
+                        self.spark.range(self.k)
+                        .select(F.col("id").alias("__rep"))))
+                    .select((F.col("doc_id") + F.col("__rep") * 10_000_000)
+                            .alias("doc_id"),
+                            F.array_join(F.transform(
+                                F.split("text", " "),
+                                lambda x: F.concat(
+                                    x, F.lit("#"),
+                                    F.col("__rep").cast("string"))),
+                                " ").alias("text"),
+                            "lang", "source"))
+        return self._get("dr", build)
+
+    @property
+    def dr_toks(self):
+        return self._get("dr_toks", lambda: self.dr.select(
+            "doc_id", F.explode(F.split("text", " ")).alias("token")))
+
+
+SHAPES: dict[str, callable] = {}
+
+
+def shape(name):
+    def deco(fn):
+        SHAPES[name] = fn
+        return fn
+    return deco
+
+
+# Each shape returns the processed-row count (the throughput denominator).
+
+@shape("join_agg")
+def s_join_agg(c: Ctx) -> int:
+    (c.li.join(c.o, c.li.l_orderkey == c.o.o_orderkey)
      .groupBy("o_orderstatus")
      .agg(F.count("*").alias("n"), F.sum("l_extendedprice").alias("s"))
      ).count()
-    results["join_agg"] = {
-        "rows": n_li, "sec": round(time.time() - t0, 2),
-        "mrows_per_s": round(n_li / (time.time() - t0) / 1e6, 1)}
+    return c.li.count()
 
-    t0 = time.time()
-    rules = rules_df(spark)
-    (ev.join(F.broadcast(rules),
-             (ev.event_type == rules.rule_event_type)
-             & (ev.value > rules.threshold))
+
+@shape("broadcast_rule_join")
+def s_broadcast_rule_join(c: Ctx) -> int:
+    rules = rules_df(c.spark)
+    (c.ev.join(F.broadcast(rules),
+               (c.ev.event_type == rules.rule_event_type)
+               & (c.ev.value > rules.threshold))
      .groupBy(F.date_trunc("hour", "ts"), "event_type")
      .agg(F.count("*"), F.sum("value"))
      ).count()
-    results["broadcast_rule_join"] = {
-        "rows": n_ev, "sec": round(time.time() - t0, 2),
-        "mrows_per_s": round(n_ev / (time.time() - t0) / 1e6, 1)}
+    return c.ev.count()
 
-    t0 = time.time()
-    li.groupBy(F.md5(F.concat_ws("|", "l_orderkey", "l_linenumber"))
-               .alias("h")).agg(F.min("l_partkey")).count()
-    results["exact_dedup_md5"] = {
-        "rows": n_li, "sec": round(time.time() - t0, 2),
-        "mrows_per_s": round(n_li / (time.time() - t0) / 1e6, 1)}
 
-    # engine-path keying (q_dedup_exact_fast): long keys, one-pass hash
-    t0 = time.time()
-    li.groupBy(F.xxhash64("l_orderkey", "l_linenumber").alias("h")) \
-      .agg(F.min("l_partkey")).count()
-    results["exact_dedup_xxhash"] = {
-        "rows": n_li, "sec": round(time.time() - t0, 2),
-        "mrows_per_s": round(n_li / (time.time() - t0) / 1e6, 1)}
+@shape("exact_dedup_md5")
+def s_exact_dedup_md5(c: Ctx) -> int:
+    c.li.groupBy(F.md5(F.concat_ws("|", "l_orderkey", "l_linenumber"))
+                 .alias("h")).agg(F.min("l_partkey")).count()
+    return c.li.count()
 
-    # EWMA fold (q_ewma): per-key sorted-array aggregate, all codegen
-    t0 = time.time()
+
+@shape("exact_dedup_xxhash")
+def s_exact_dedup_xxhash(c: Ctx) -> int:
+    c.li.groupBy(F.xxhash64("l_orderkey", "l_linenumber").alias("h")) \
+        .agg(F.min("l_partkey")).count()
+    return c.li.count()
+
+
+@shape("ewma_fold")
+def s_ewma_fold(c: Ctx) -> int:
     arr = F.sort_array(F.collect_list(F.struct("ts", "event_id", "value")))
     fold = F.aggregate(
         arr, F.lit(None).cast("double"),
         lambda acc, x: F.coalesce(F.lit(0.3) * x["value"]
                                   + F.lit(0.7) * acc, x["value"]))
-    ev.groupBy("user_id").agg(fold.alias("ewma")).count()
-    results["ewma_fold"] = {
-        "rows": n_ev, "sec": round(time.time() - t0, 2),
-        "mrows_per_s": round(n_ev / (time.time() - t0) / 1e6, 1)}
+    c.ev.groupBy("user_id").agg(fold.alias("ewma")).count()
+    return c.ev.count()
 
-    # incremental partial-agg merge (q_incremental_agg): two-level agg
-    t0 = time.time()
-    (ev.groupBy(F.to_date("ts").alias("day"), "event_type")
+
+@shape("incremental_agg")
+def s_incremental_agg(c: Ctx) -> int:
+    (c.ev.groupBy(F.to_date("ts").alias("day"), "event_type")
      .agg(F.count("*").alias("pn"), F.sum("value").alias("psum"))
      .groupBy("event_type")
      .agg(F.sum("pn"), F.sum("psum"))).count()
-    results["incremental_agg"] = {
-        "rows": n_ev, "sec": round(time.time() - t0, 2),
-        "mrows_per_s": round(n_ev / (time.time() - t0) / 1e6, 1)}
+    return c.ev.count()
 
-    # per-key window rank over the amplified fact (q_rank shape)
-    t0 = time.time()
-    from pyspark.sql.window import Window
+
+@shape("window_topn")
+def s_window_topn(c: Ctx) -> int:
     w = Window.partitionBy("o_custkey").orderBy(
         F.col("o_totalprice").desc(), F.col("o_orderkey"))
-    o.withColumn("rn", F.row_number().over(w)) \
-     .filter(F.col("rn") <= 3).count()
-    results["window_topn"] = {
-        "rows": o.count(), "sec": round(time.time() - t0, 2),
-        "mrows_per_s": round(o.count() / (time.time() - t0) / 1e6, 1)}
+    c.o.withColumn("rn", F.row_number().over(w)) \
+       .filter(F.col("rn") <= 3).count()
+    return c.o.count()
 
-    # OHLC bars (q_ohlc shape): single partial+final agg, arg-min/max keys
-    t0 = time.time()
+
+@shape("ohlc_bars")
+def s_ohlc_bars(c: Ctx) -> int:
     ord_key = F.concat(
         F.lpad(F.unix_micros("ts").cast("string"), 20, "0"),
         F.lpad(F.col("event_id").cast("string"), 10, "0"))
-    (ev.select("event_type", F.date_trunc("day", "ts").alias("day"),
-               "value", ord_key.alias("ord"))
+    (c.ev.select("event_type", F.date_trunc("day", "ts").alias("day"),
+                 "value", ord_key.alias("ord"))
      .groupBy("event_type", "day")
      .agg(F.min_by("value", F.col("ord")), F.max("value"),
           F.min("value"), F.max_by("value", F.col("ord")),
           F.count("*"))).count()
-    results["ohlc_bars"] = {
-        "rows": n_ev, "sec": round(time.time() - t0, 2),
-        "mrows_per_s": round(n_ev / (time.time() - t0) / 1e6, 1)}
+    return c.ev.count()
 
-    # int8 quantization (q_embed_quantize shape): long-form codes
-    emb = amplify(load(spark, SF_DIR, "embeddings"), ["vec_id"], k)
-    n_cells = emb.count() * 64
-    t0 = time.time()
-    x = (emb.select("vec_id", F.posexplode("embedding").alias("pos", "vf"))
+
+@shape("embed_quantize")
+def s_embed_quantize(c: Ctx) -> int:
+    x = (c.emb.select("vec_id", F.posexplode("embedding").alias("pos", "vf"))
          .select("vec_id", "pos", F.col("vf").cast("double").alias("v")))
-    stats = x.groupBy("pos").agg(F.min("v").alias("mn"), F.max("v").alias("mx"))
+    stats = x.groupBy("pos").agg(F.min("v").alias("mn"),
+                                 F.max("v").alias("mx"))
     (x.join(F.broadcast(stats), "pos")
      .select(F.least(F.floor((F.col("v") - F.col("mn")) * 256
                              / (F.col("mx") - F.col("mn"))), F.lit(255))
              .alias("code"))
      .agg(F.sum("code"))).count()
-    results["embed_quantize"] = {
-        "rows": n_cells, "sec": round(time.time() - t0, 2),
-        "mrows_per_s": round(n_cells / (time.time() - t0) / 1e6, 1)}
+    return c.emb.count() * 64
 
-    # documents: dedup exact texts FIRST (the fixture has duplicate
-    # groups by design; amplifying them k× would grow true-duplicate
-    # PAIRS k²× and measure that blowup, not the operator), then
-    # amplify with a per-replica suffix on EVERY token so the k copies
-    # share zero vocabulary — near-dup pairs stay within-replica and
-    # candidate counts scale k×, not k²×
-    docs = (load(spark, SF_DIR, "documents")
-            .dropDuplicates(["text"]))
-    dr = (docs.crossJoin(F.broadcast(
-            spark.range(k).select(F.col("id").alias("__rep"))))
-          .select((F.col("doc_id") + F.col("__rep") * 10_000_000)
-                  .alias("doc_id"),
-                  F.array_join(F.transform(
-                      F.split("text", " "),
-                      lambda x: F.concat(
-                          x, F.lit("#"), F.col("__rep").cast("string"))),
-                      " ").alias("text"),
-                  "lang"))
-    n_docs = dr.count()
 
-    # sequence packing (q_pack_sequences shape)
-    t0 = time.time()
-    from pyspark.sql.window import Window as W2
-    win = (W2.partitionBy("lang").orderBy("doc_id")
-           .rowsBetween(W2.unboundedPreceding, W2.currentRow))
-    (dr.select("doc_id", "lang", F.size(F.split("text", " ")).alias("nw"))
+@shape("pack_sequences")
+def s_pack_sequences(c: Ctx) -> int:
+    win = (Window.partitionBy("lang").orderBy("doc_id")
+           .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    (c.dr.select("doc_id", "lang",
+                 F.size(F.split("text", " ")).alias("nw"))
      .withColumn("cum", F.sum("nw").over(win))
      .select(F.expr("(cum - 1) div 256").alias("seq_end"))
      .agg(F.max("seq_end"))).count()
-    results["pack_sequences"] = {
-        "rows": n_docs, "sec": round(time.time() - t0, 2),
-        "mrows_per_s": round(n_docs / (time.time() - t0) / 1e6, 1)}
+    return c.dr.count()
 
-    # bigram repetition profile (q_repetition_profile shape)
-    t0 = time.time()
-    bg = dr.select(
+
+@shape("repetition_bigrams")
+def s_repetition_bigrams(c: Ctx) -> int:
+    bg = c.dr.select(
         "doc_id",
         F.explode(F.expr(
             "transform(slice(split(text, ' '), 1, size(split(text, ' ')) - 1),"
             " (x, i) -> concat(x, ' ', split(text, ' ')[i + 1]))")).alias("b"))
-    (bg.groupBy("doc_id", "b").agg(F.count("*").alias("c"))
-     .groupBy("doc_id").agg(F.sum("c"), F.count("*"), F.max("c"))).count()
-    results["repetition_bigrams"] = {
-        "rows": n_docs, "sec": round(time.time() - t0, 2),
-        "mrows_per_s": round(n_docs / (time.time() - t0) / 1e6, 1)}
+    (bg.groupBy("doc_id", "b").agg(F.count("*").alias("cnt"))
+     .groupBy("doc_id").agg(F.sum("cnt"), F.count("*"), F.max("cnt"))).count()
+    return c.dr.count()
 
-    # prefix-filtered set-similarity self-join (q_setsim_join shape)
-    t0 = time.time()
-    d = dr.select("doc_id", F.array_distinct(F.split("text", " ")).alias("t"))
+
+@shape("setsim_prefix_join")
+def s_setsim_prefix_join(c: Ctx) -> int:
+    d = c.dr.select("doc_id",
+                    F.array_distinct(F.split("text", " ")).alias("t"))
     tok = d.select("doc_id", F.explode("t").alias("tok"))
     dfreq = tok.groupBy("tok").agg(F.count("*").alias("df"))
     prefix = (
@@ -209,50 +284,44 @@ def main() -> None:
             .filter(F.col("pa.doc_id") < F.col("pb.doc_id"))
             .select(F.col("pa.doc_id").alias("a"),
                     F.col("pb.doc_id").alias("b")).distinct())
-    n_cand = cand.count()
-    results["setsim_prefix_join"] = {
-        "rows": n_docs, "candidates": n_cand,
-        "sec": round(time.time() - t0, 2),
-        "mrows_per_s": round(n_docs / (time.time() - t0) / 1e6, 2)}
+    cand.count()
+    return c.dr.count()
 
-    # unigram-LM scoring (q_unigram_lm_score shape, round 2): tokenize
-    # scan shared by vocab + scoring join; rows = exploded token count
-    t0 = time.time()
-    toks = dr.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+
+@shape("unigram_lm_score")
+def s_unigram_lm_score(c: Ctx) -> int:
+    toks = c.dr_toks
     vocab = toks.groupBy("token").agg(F.count("*").alias("cnt"))
     total = toks.agg(F.count("*").alias("total"))
     (toks.join(vocab, "token").crossJoin(F.broadcast(total))
      .groupBy("doc_id")
      .agg(F.avg(F.log("cnt") - F.log("total")))).count()
-    n_toks = toks.count()
-    results["unigram_lm_score"] = {
-        "rows": n_toks, "sec": round(time.time() - t0, 2),
-        "mrows_per_s": round(n_toks / (time.time() - t0) / 1e6, 1)}
+    return toks.count()
 
-    # sample-then-verify heavy hitters (q_heavy_hitters shape, round 2)
-    t0 = time.time()
+
+@shape("heavy_hitters")
+def s_heavy_hitters(c: Ctx) -> int:
+    toks = c.dr_toks
     sample = toks.filter(
         F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1) < "4")
     ns = sample.agg(F.count("*").alias("n_sample"))
     cand_hh = (sample.crossJoin(F.broadcast(ns))
-               .groupBy("token", "n_sample").agg(F.count("*").alias("c"))
-               .filter(F.col("c") >= 0.001 * F.col("n_sample"))
+               .groupBy("token", "n_sample").agg(F.count("*").alias("cnt"))
+               .filter(F.col("cnt") >= 0.001 * F.col("n_sample"))
                .select("token"))
     toks.join(F.broadcast(cand_hh), "token") \
         .groupBy("token").agg(F.count("*")).count()
-    results["heavy_hitters"] = {
-        "rows": n_toks, "sec": round(time.time() - t0, 2),
-        "mrows_per_s": round(n_toks / (time.time() - t0) / 1e6, 1)}
+    return toks.count()
 
-    # anti-entropy bucket digests (q_table_reconcile shape, round 2):
-    # both copies digested + compared; rows = 2× the table
-    t0 = time.time()
+
+@shape("reconcile_digests")
+def s_reconcile_digests(c: Ctx) -> int:
     cents = F.round(F.col("o_totalprice") * 100).cast("long")
-    digest = (o.select((F.col("o_orderkey") % 4096).alias("bucket"),
-                       (F.col("o_orderkey") * 31 + cents).alias("cs"))
+    digest = (c.o.select((F.col("o_orderkey") % 4096).alias("bucket"),
+                         (F.col("o_orderkey") * 31 + cents).alias("cs"))
               .groupBy("bucket")
               .agg(F.count("*").alias("n"), F.sum("cs").alias("cs_sum")))
-    d2 = (o.filter(F.col("o_orderkey") % 97 != 0)
+    d2 = (c.o.filter(F.col("o_orderkey") % 97 != 0)
           .select((F.col("o_orderkey") % 4096).alias("bucket"),
                   (F.col("o_orderkey") * 31 + cents).alias("cs"))
           .groupBy("bucket")
@@ -260,58 +329,73 @@ def main() -> None:
     digest.join(d2, "bucket", "full_outer") \
           .filter((F.col("n") != F.col("n2"))
                   | (F.col("cs_sum") != F.col("cs2"))).count()
-    n_ord = o.count()
-    results["reconcile_digests"] = {
-        "rows": 2 * n_ord, "sec": round(time.time() - t0, 2),
-        "mrows_per_s": round(2 * n_ord / (time.time() - t0) / 1e6, 1)}
+    return 2 * c.o.count()
 
-    # --- round-3 shapes -------------------------------------------------
-    docs = amplify(load(spark, SF_DIR, "documents"), ["doc_id"], k)
-    n_docs = docs.count()
 
-    # count-min sketch over the k×-amplified token stream: the sketch agg
-    # stays 192 rows no matter how large the corpus grows
-    t0 = time.time()
-    toks = docs.select(F.explode(F.split("text", " ")).alias("token"))
+@shape("cms_sketch")
+def s_cms_sketch(c: Ctx) -> int:
+    toks = c.docs.select(F.explode(F.split("text", " ")).alias("token"))
     seeds = F.array(F.lit("s1"), F.lit("s2"), F.lit("s3"))
     (toks.select("token", F.explode(seeds).alias("seed"))
      .withColumn("bucket",
                  F.conv(F.substring(F.md5(F.concat("seed", "token")), 1, 8),
                         16, 10).cast("long") % 64)
      .groupBy("seed", "bucket").agg(F.count("*").alias("cnt"))).count()
-    n_tok = 3 * toks.count()
-    results["cms_sketch"] = {
-        "rows": n_tok, "sec": round(time.time() - t0, 2),
-        "mrows_per_s": round(n_tok / (time.time() - t0) / 1e6, 1)}
+    return 3 * toks.count()
 
-    # two-phase global ordering (curriculum interleave) on the amplified
-    # corpus: within-source rank + bucket-histogram global position
-    from pyspark.sql import Window
 
+@shape("curriculum_two_phase")
+def s_curriculum_two_phase(c: Ctx) -> int:
     from flink_tutorial_broadcast_spark.operators.two_phase import (
         global_order,
     )
-    t0 = time.time()
-    r = docs.select("doc_id", "source").withColumn(
+    r = c.docs.select("doc_id", "source").withColumn(
         "rank_in_source",
         F.row_number().over(Window.partitionBy("source").orderBy("doc_id")))
     global_order(r, F.col("rank_in_source"), ["source", "doc_id"],
                  out_rn="position").count()
-    results["curriculum_two_phase"] = {
-        "rows": n_docs, "sec": round(time.time() - t0, 2),
-        "mrows_per_s": round(n_docs / (time.time() - t0) / 1e6, 1)}
+    return c.docs.count()
 
-    # per-source token-budget cap: source-partitioned running sum
-    t0 = time.time()
+
+@shape("domain_token_cap")
+def s_domain_token_cap(c: Ctx) -> int:
     wcap = (Window.partitionBy("source").orderBy("doc_id")
             .rowsBetween(Window.unboundedPreceding, 0))
-    (docs.select("source", "doc_id",
-                 F.size(F.split("text", " ")).cast("long").alias("n_tokens"))
+    (c.docs.select("source", "doc_id",
+                   F.size(F.split("text", " ")).cast("long")
+                   .alias("n_tokens"))
      .withColumn("cum", F.sum("n_tokens").over(wcap))
      .filter(F.col("cum") <= 800)).count()
-    results["domain_token_cap"] = {
-        "rows": n_docs, "sec": round(time.time() - t0, 2),
-        "mrows_per_s": round(n_docs / (time.time() - t0) / 1e6, 1)}
+    return c.docs.count()
+
+
+def main() -> None:
+    k = int(sys.argv[1]) if len(sys.argv) > 1 else 16
+    wanted = (sys.argv[2].split(",") if len(sys.argv) > 2
+              else list(SHAPES))
+    unknown = [w for w in wanted if w not in SHAPES]
+    if unknown:
+        sys.exit(f"unknown shapes: {unknown}; have {list(SHAPES)}")
+
+    spark = get_spark("stress")
+    spark.sparkContext.setLogLevel("ERROR")
+    ctx = Ctx(spark, k)
+
+    results = {}
+    for name in wanted:
+        release_cached_blocks(spark)
+        m0, d0 = spill_totals(spark)
+        t0 = time.time()
+        rows = SHAPES[name](ctx)
+        sec = time.time() - t0
+        m1, d1 = spill_totals(spark)
+        results[name] = {
+            "rows": rows, "sec": round(sec, 2),
+            "mrows_per_s": round(rows / sec / 1e6, 2),
+            "spill_mem_mb": round((m1 - m0) / 1e6, 1),
+            "spill_disk_mb": round((d1 - d0) / 1e6, 1),
+        }
+        print(f"# {name}: {results[name]}", file=sys.stderr)
 
     print(json.dumps({"k": k, "results": results}))
 
