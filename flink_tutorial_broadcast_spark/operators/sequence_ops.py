@@ -212,6 +212,149 @@ def q_cep_within(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_cep_not_followed_by",
+    oracle=f"""
+    SELECT v.user_id, v.event_id AS view_id
+    FROM events v
+    WHERE v.event_type = 'view'
+      AND NOT EXISTS (
+        SELECT 1 FROM events p
+        WHERE p.event_type = 'purchase'
+          AND p.user_id = v.user_id
+          AND p.ts > v.ts
+          AND epoch_us(p.ts) <= epoch_us(v.ts) + {_CEP_WITHIN_US}
+      )
+    """,
+)
+def q_cep_not_followed_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CEP absence pattern (Flink ``begin("v").notFollowedBy("p")
+    .within(...)`` [FLINK-API `Pattern#notFollowedBy`]): views with NO
+    purchase by the same user inside the 12-hour horizon — cart
+    abandonment, the canonical negative pattern. By construction this is
+    the exact complement of q_cep_within's view set (same bound, same
+    universe — test-pinned partition property).
+
+    Spark-first: a LEFT ANTI join on (user, time-band) — the absence
+    NFA state is just 'no match found', which the anti-join computes
+    with one user-keyed shuffle and no window sort. Same bucketed-range
+    rewrite applies at horizon ≫ key density.
+    """
+    ev = load(spark, sf_dir, "events")
+    v = (ev.filter(F.col("event_type") == "view")
+         .select("user_id", F.col("event_id").alias("view_id"),
+                 F.unix_micros("ts").alias("v_us")))
+    p = (ev.filter(F.col("event_type") == "purchase")
+         .select(F.col("user_id").alias("p_user"),
+                 F.unix_micros("ts").alias("p_us")))
+    return (
+        v.join(
+            p,
+            (v.user_id == p.p_user)
+            & (F.col("p_us") > F.col("v_us"))
+            & (F.col("p_us") <= F.col("v_us") + F.lit(_CEP_WITHIN_US)),
+            "left_anti",
+        )
+        .select("user_id", "view_id")
+    )
+
+
+_CEP_FBW_US = 48 * 3600 * 1_000_000  # followedBy+within horizon: 48 h
+
+
+@query(
+    "q_cep_followed_by_within",
+    oracle=f"""
+    WITH RECURSIVE codes AS (
+      SELECT user_id,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS i,
+             CASE event_type WHEN 'view' THEN 1 WHEN 'click' THEN 2
+                  WHEN 'purchase' THEN 3 ELSE 0 END AS c,
+             epoch_us(ts) AS t
+      FROM events
+    ), n AS (
+      SELECT user_id, COUNT(*) AS n_ev FROM codes GROUP BY user_id
+    ), run AS (
+      SELECT user_id, 0 AS i, 0 AS cnt, 0 AS stage,
+             CAST(0 AS BIGINT) AS anchor
+      FROM n
+      UNION ALL
+      SELECT r.user_id, r.i + 1,
+             CASE WHEN s.stage = 2 AND c.c = 3 THEN r.cnt + 1
+                  ELSE r.cnt END,
+             CASE WHEN s.stage = 0 AND c.c = 1 THEN 1
+                  WHEN s.stage = 1 AND c.c = 2 THEN 2
+                  WHEN s.stage = 2 AND c.c = 3 THEN 0
+                  ELSE s.stage END,
+             CASE WHEN s.stage = 0 AND c.c = 1 THEN c.t
+                  ELSE r.anchor END
+      FROM run r
+      JOIN codes c ON c.user_id = r.user_id AND c.i = r.i + 1
+      CROSS JOIN LATERAL (
+        SELECT CASE WHEN r.stage > 0
+                         AND c.t - r.anchor > {_CEP_FBW_US}
+                    THEN 0 ELSE r.stage END AS stage) s
+    )
+    SELECT r.user_id, CAST(r.cnt AS BIGINT) AS n_matches
+    FROM run r JOIN n ON r.user_id = n.user_id AND r.i = n.n_ev
+    WHERE r.cnt > 0
+    """,
+)
+def q_cep_followed_by_within(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CEP relaxed contiguity WITH a time bound (Flink ``begin("v")
+    .followedBy("c").followedBy("p").within(Time.hours(48))`` — the
+    combination real Flink patterns ship with, since unbounded
+    followedBy state grows forever): a match must complete within 48 h
+    of its anchoring view, else the partial match is pruned.
+
+    Semantics: the single-anchor greedy automaton — O(1) state
+    (count, stage, anchor_ts); on every event an expired partial resets
+    BEFORE the event is considered, so the event that kills a partial
+    can itself anchor a new one. This is the bounded-state variant of
+    Flink's NFA with skip-past-last-event: where Flink would fork an
+    alternative partial on an intermediate view, this machine keeps one
+    anchor — the deterministic trade documented here and pinned by the
+    Python-reference test. Both engines run the IDENTICAL machine
+    (Spark: struct-accumulator fold in codegen; oracle: recursive-CTE
+    step relation with the expiry applied via LATERAL before the
+    transition), integer-microsecond time arithmetic throughout.
+    """
+    ev = load(spark, sf_dir, "events")
+    seq = F.array_sort(F.collect_list(F.struct(
+        F.unix_micros("ts").alias("t"),
+        F.col("event_id").alias("eid"),
+        F.when(F.col("event_type") == "view", 1)
+         .when(F.col("event_type") == "click", 2)
+         .when(F.col("event_type") == "purchase", 3)
+         .otherwise(0).alias("c"))))
+    init = F.struct(F.lit(0).alias("cnt"), F.lit(0).alias("stage"),
+                    F.lit(0).cast("long").alias("anchor"))
+
+    def step(acc, x):
+        stage = F.when(
+            (acc["stage"] > 0) & (x["t"] - acc["anchor"] > _CEP_FBW_US),
+            F.lit(0)).otherwise(acc["stage"])
+        new_cnt = F.when((stage == 2) & (x["c"] == 3),
+                         acc["cnt"] + 1).otherwise(acc["cnt"])
+        new_stage = (
+            F.when((stage == 0) & (x["c"] == 1), F.lit(1))
+            .when((stage == 1) & (x["c"] == 2), F.lit(2))
+            .when((stage == 2) & (x["c"] == 3), F.lit(0))
+            .otherwise(stage))
+        new_anchor = F.when((stage == 0) & (x["c"] == 1),
+                            x["t"]).otherwise(acc["anchor"])
+        return F.struct(new_cnt.alias("cnt"), new_stage.alias("stage"),
+                        new_anchor.alias("anchor"))
+
+    fold = F.aggregate(seq, init, step)
+    return (
+        ev.groupBy("user_id")
+        .agg(fold["cnt"].cast("long").alias("n_matches"))
+        .filter(F.col("n_matches") > 0)
+    )
+
+
+@query(
     "q_cep_one_or_more",
     oracle="""
     WITH paths AS (
@@ -259,6 +402,113 @@ def q_cep_one_or_more(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         paths.select("user_id", n.cast("long").alias("n_matches"))
         .filter(F.col("n_matches") > 0)
+    )
+
+
+@query(
+    "q_cep_match_measures",
+    oracle="""
+    WITH RECURSIVE codes AS (
+      SELECT user_id, event_id,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS i,
+             CASE event_type WHEN 'view' THEN 1 WHEN 'click' THEN 2
+                  WHEN 'purchase' THEN 3 ELSE 0 END AS c,
+             epoch_us(ts) AS t
+      FROM events
+    ), n AS (
+      SELECT user_id, COUNT(*) AS n_ev FROM codes GROUP BY user_id
+    ), run AS (
+      SELECT user_id, 0 AS i, 0 AS stage,
+             CAST(0 AS BIGINT) AS anchor_id, CAST(0 AS BIGINT) AS anchor_t,
+             0 AS cnt, FALSE AS completed,
+             CAST(NULL AS BIGINT) AS start_id,
+             CAST(NULL AS BIGINT) AS end_id,
+             CAST(NULL AS BIGINT) AS span_us
+      FROM n
+      UNION ALL
+      SELECT r.user_id, r.i + 1,
+             CASE WHEN r.stage = 0 AND c.c = 1 THEN 1
+                  WHEN r.stage = 1 AND c.c = 2 THEN 2
+                  WHEN r.stage = 2 AND c.c = 3 THEN 0
+                  ELSE r.stage END,
+             CASE WHEN r.stage = 0 AND c.c = 1 THEN c.event_id
+                  ELSE r.anchor_id END,
+             CASE WHEN r.stage = 0 AND c.c = 1 THEN c.t
+                  ELSE r.anchor_t END,
+             r.cnt + CASE WHEN r.stage = 2 AND c.c = 3 THEN 1 ELSE 0 END,
+             r.stage = 2 AND c.c = 3,
+             CASE WHEN r.stage = 2 AND c.c = 3 THEN r.anchor_id END,
+             CASE WHEN r.stage = 2 AND c.c = 3 THEN c.event_id END,
+             CASE WHEN r.stage = 2 AND c.c = 3 THEN c.t - r.anchor_t END
+      FROM run r JOIN codes c ON c.user_id = r.user_id AND c.i = r.i + 1
+    )
+    SELECT user_id, CAST(cnt AS BIGINT) AS match_no,
+           start_id AS start_event_id, end_id AS end_event_id, span_us
+    FROM run WHERE completed
+    """,
+)
+def q_cep_match_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CEP match extraction (Flink ``PatternStream.select`` / SQL
+    MATCH_RECOGNIZE MEASURES): not just HOW MANY view…click…purchase
+    matches, but each match's bindings — anchoring view id, closing
+    purchase id, and span — one output row per completed match, numbered
+    per user.
+
+    Same skip-past-last-event automaton as q_cep_followed_by, with the
+    accumulator widened to carry the anchor bindings and an array of
+    completed matches; Spark folds it in codegen and posexplodes the
+    array (rows = matches, never events²), the oracle replays the
+    machine as a recursive CTE and emits the completion steps. Hash
+    equality therefore pins the full per-match BINDINGS cross-engine,
+    strictly stronger than the count check.
+    """
+    ev = load(spark, sf_dir, "events")
+    seq = F.array_sort(F.collect_list(F.struct(
+        F.unix_micros("ts").alias("t"),
+        F.col("event_id").alias("eid"),
+        F.when(F.col("event_type") == "view", 1)
+         .when(F.col("event_type") == "click", 2)
+         .when(F.col("event_type") == "purchase", 3)
+         .otherwise(0).alias("c"))))
+    empty = F.expr(
+        "CAST(array() AS array<struct<start_id:bigint,end_id:bigint,"
+        "span_us:bigint>>)")
+    init = F.struct(F.lit(0).alias("stage"),
+                    F.lit(0).cast("long").alias("anchor_id"),
+                    F.lit(0).cast("long").alias("anchor_t"),
+                    empty.alias("matches"))
+
+    def step(acc, x):
+        done = (acc["stage"] == 2) & (x["c"] == 3)
+        new_stage = (
+            F.when((acc["stage"] == 0) & (x["c"] == 1), F.lit(1))
+            .when((acc["stage"] == 1) & (x["c"] == 2), F.lit(2))
+            .when(done, F.lit(0))
+            .otherwise(acc["stage"]))
+        new_anchor_id = F.when((acc["stage"] == 0) & (x["c"] == 1),
+                               x["eid"]).otherwise(acc["anchor_id"])
+        new_anchor_t = F.when((acc["stage"] == 0) & (x["c"] == 1),
+                              x["t"]).otherwise(acc["anchor_t"])
+        m = F.struct(acc["anchor_id"].alias("start_id"),
+                     x["eid"].alias("end_id"),
+                     (x["t"] - acc["anchor_t"]).alias("span_us"))
+        new_matches = F.when(done, F.concat(acc["matches"], F.array(m))) \
+                       .otherwise(acc["matches"])
+        return F.struct(new_stage.alias("stage"),
+                        new_anchor_id.alias("anchor_id"),
+                        new_anchor_t.alias("anchor_t"),
+                        new_matches.alias("matches"))
+
+    folded = ev.groupBy("user_id").agg(
+        F.aggregate(seq, init, step)["matches"].alias("matches"))
+    return (
+        folded.select("user_id", F.posexplode("matches"))
+        .select("user_id",
+                (F.col("pos") + 1).cast("long").alias("match_no"),
+                F.col("col.start_id").alias("start_event_id"),
+                F.col("col.end_id").alias("end_event_id"),
+                F.col("col.span_us").alias("span_us"))
     )
 
 

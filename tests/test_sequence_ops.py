@@ -79,6 +79,83 @@ def test_cep_within_bounds_and_pairing(spark, queries):
                          | (F.col("pu") != F.col("user_id"))).count() == 0
 
 
+def test_cep_not_followed_by_partitions_views(spark, queries):
+    """Same 12h bound, same universe: every view is either followed by a
+    purchase (q_cep_within) or not (q_cep_not_followed_by) — exact
+    disjoint partition of the view set."""
+    followed = {r["view_id"] for r in
+                queries["q_cep_within"](spark, SF_SMOKE).collect()}
+    absent = {r["view_id"] for r in
+              queries["q_cep_not_followed_by"](spark, SF_SMOKE).collect()}
+    all_views = {r["event_id"] for r in
+                 load(spark, SF_SMOKE, "events")
+                 .filter(F.col("event_type") == "view").collect()}
+    assert followed & absent == set()
+    assert followed | absent == all_views
+
+
+def test_cep_followed_by_within_matches_python_machine(spark, queries):
+    """The time-bounded automaton must equal a driver-side reference run
+    (expiry applied before the transition), and the bounded count can
+    never exceed the unbounded one."""
+    ev = (load(spark, SF_SMOKE, "events")
+          .select("user_id", F.unix_micros("ts").alias("t"),
+                  "event_id", "event_type").collect())
+    code = {"view": 1, "click": 2, "purchase": 3}
+    per_user: dict[int, list] = {}
+    for r in ev:
+        per_user.setdefault(r["user_id"], []).append(
+            (r["t"], r["event_id"], code.get(r["event_type"], 0)))
+    w_us = 48 * 3600 * 1_000_000
+    expect = {}
+    for uid, rows in per_user.items():
+        cnt, stage, anchor = 0, 0, 0
+        for t, _, c in sorted(rows):
+            if stage > 0 and t - anchor > w_us:
+                stage = 0
+            if stage == 0 and c == 1:
+                stage, anchor = 1, t
+            elif stage == 1 and c == 2:
+                stage = 2
+            elif stage == 2 and c == 3:
+                stage = 0
+                cnt += 1
+        if cnt:
+            expect[uid] = cnt
+    got = {r["user_id"]: r["n_matches"] for r in
+           queries["q_cep_followed_by_within"](spark, SF_SMOKE).collect()}
+    assert got == expect
+    unbounded = {r["user_id"]: r["n_matches"] for r in
+                 queries["q_cep_followed_by"](spark, SF_SMOKE).collect()}
+    for uid, n in got.items():
+        assert n <= unbounded.get(uid, 0)
+
+
+def test_cep_match_measures_bindings(spark, queries):
+    """Per-match bindings: counts agree with q_cep_followed_by, starts
+    are views, ends are purchases, numbering is contiguous, spans are
+    positive and consistent with the bound event timestamps."""
+    rows = queries["q_cep_match_measures"](spark, SF_SMOKE).collect()
+    assert rows
+    by_user: dict[int, list] = {}
+    for r in rows:
+        by_user.setdefault(r["user_id"], []).append(r)
+    counts = {r["user_id"]: r["n_matches"] for r in
+              queries["q_cep_followed_by"](spark, SF_SMOKE).collect()}
+    assert {u: len(ms) for u, ms in by_user.items()} == counts
+    ev = {r["event_id"]: (r["event_type"], r["ts"]) for r in
+          load(spark, SF_SMOKE, "events").collect()}
+    for u, ms in by_user.items():
+        assert sorted(m["match_no"] for m in ms) == list(
+            range(1, len(ms) + 1))
+        for m in ms:
+            st, et = ev[m["start_event_id"]], ev[m["end_event_id"]]
+            assert st[0] == "view" and et[0] == "purchase"
+            assert m["span_us"] > 0
+            assert int((et[1] - st[1]).total_seconds() * 1e6) \
+                == m["span_us"]
+
+
 def test_cep_quantifier_containment(spark, queries):
     """times(2) matches are oneOrMore matches are followedBy matches —
     user-set containment down the quantifier ladder."""
