@@ -227,6 +227,48 @@ def q_scan_custom_source(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_scan_eventlog",
+    oracle="""
+    SELECT event_type, COUNT(*) AS n, ROUND(SUM(value), 2) AS sum_value
+    FROM events GROUP BY event_type
+    """,
+)
+def q_scan_eventlog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kafka-shape log connector, BATCH half (docs/kafka.md made
+    runnable): the events fixture is produced into the file-backed
+    partitioned log (keyed partitioning, append-only segments —
+    sources/eventlog.py), then read back through the custom
+    `ftbs_eventlog` format with one task per log partition and
+    aggregated. The oracle aggregates the fixture directly, so the hash
+    match proves the produce→partition→segment→parallel-read path loses
+    and duplicates nothing. The streaming half (per-partition offset
+    map, range partitions, checkpoint resume) is pinned in
+    tests/test_streaming.py.
+
+    (The driver-side collect is the DEMO PRODUCER writing the bounded
+    fixture into the log — the documented connector-fixture pattern; a
+    production producer is an external system, and the read path under
+    test never touches the driver.)
+    """
+    import tempfile as _tf
+
+    from flink_tutorial_broadcast_spark.sources import eventlog
+
+    rows = [(r["event_id"], r["user_id"], r["event_type"], r["value"])
+            for r in load(spark, sf_dir, "events")
+            .select("event_id", "user_id", "event_type", "value").collect()]
+    root = _tf.mkdtemp(prefix="ftbs_eventlog_")
+    eventlog.log_write(root, rows, n_partitions=4)
+    eventlog.register(spark)
+    return (
+        spark.read.format("ftbs_eventlog").option("path", root).load()
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n"),
+             F.round(F.sum("value"), 2).alias("sum_value"))
+    )
+
+
+@query(
     "q_scan_orc",
     oracle="""
     SELECT c_custkey, c_name, c_nationkey, ROUND(c_acctbal, 2) AS acctbal

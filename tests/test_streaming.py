@@ -126,6 +126,84 @@ def test_event_time_timer_closes_sessions(spark):
     assert all(r["n_events"] > 0 and r["session_ms"] >= 0 for r in rows)
 
 
+def test_eventlog_stream_per_partition_offsets_and_resume(spark):
+    """Kafka-shape streaming contract on the file-backed partitioned log
+    (sources/eventlog.py): run 1 drains the initial segments, more
+    records are produced, run 2 resumes from the SAME checkpoint and
+    must read only the new range — exactly-once across the restart —
+    and the committed offset file must carry the per-partition map
+    {"0": n0, "1": n1} (the Kafka offset shape), advancing between
+    runs."""
+    import glob
+    import json as _json
+    import os
+    import tempfile
+
+    from flink_tutorial_broadcast_spark.sources import eventlog
+
+    root = tempfile.mkdtemp(prefix="evlog_src_")
+    out = tempfile.mkdtemp(prefix="evlog_out_")
+    ckpt = tempfile.mkdtemp(prefix="evlog_ckpt_")
+
+    rows1 = [(i, i % 3, "view", float(i)) for i in range(100)]
+    eventlog.log_write(root, rows1, n_partitions=3)
+    eventlog.register(spark)
+
+    def run_once():
+        sdf = (spark.readStream.format("ftbs_eventlog")
+               .option("path", root).load())
+        q = (sdf.writeStream.format("parquet")
+             .option("path", out).option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        q.awaitTermination()
+
+    run_once()
+    got1 = {r["event_id"] for r in spark.read.parquet(out).collect()}
+    assert got1 == set(range(100))
+
+    offset_files = sorted(glob.glob(os.path.join(ckpt, "offsets", "*")))
+    with open(offset_files[-1]) as fh:
+        last = fh.read().strip().splitlines()[-1]
+    off1 = _json.loads(_json.loads(last)["offset"]) \
+        if "offset" in last else _json.loads(last)
+    # per-partition map, keyed by partition id, counting that run's rows
+    assert {k: int(v) for k, v in off1.items()} \
+        == {"0": 34, "1": 33, "2": 33}
+
+    rows2 = [(i, i % 3, "purchase", float(i)) for i in range(100, 150)]
+    eventlog.log_write(root, rows2, n_partitions=3)
+    run_once()
+    got2 = [r["event_id"] for r in spark.read.parquet(out).collect()]
+    assert len(got2) == 150          # no re-read of the committed range
+    assert set(got2) == set(range(150))
+
+    offset_files = sorted(glob.glob(os.path.join(ckpt, "offsets", "*")))
+    with open(offset_files[-1]) as fh:
+        last = fh.read().strip().splitlines()[-1]
+    off2 = _json.loads(_json.loads(last)["offset"]) \
+        if "offset" in last else _json.loads(last)
+    assert {k: int(v) for k, v in off2.items()} \
+        == {"0": 50, "1": 50, "2": 50}
+
+
+def test_eventlog_preserves_per_key_order(spark):
+    """Keyed partitioning: a key's records must come back in append
+    order within its partition (the Kafka producer-key guarantee)."""
+    import tempfile
+
+    from flink_tutorial_broadcast_spark.sources import eventlog
+
+    root = tempfile.mkdtemp(prefix="evlog_ord_")
+    rows = [(i, i % 2, "view", float(i)) for i in range(40)]
+    eventlog.log_write(root, rows, n_partitions=2)
+    eventlog.register(spark)
+    # partition-local read order is offset order; verify per partition
+    for p in (0, 1):
+        ids = [r[0] for r in eventlog._read_range(root, p, 0, 10**6)]
+        assert ids == sorted(ids)
+        assert all(i % 2 == p for i in ids)
+
+
 def test_tws_gate_contract(spark):
     """E7 typed-state path (transformWithStateInPandas): in a container
     without google.protobuf the branch must fail FAST with a
