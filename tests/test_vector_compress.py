@@ -69,3 +69,46 @@ def test_bucketed_vector_dedup_equals_direct_group(spark, queries):
     assert tiered.n_unique_vectors == direct.n_unique_vectors
     assert tiered.n_exact_dupes == direct.n_exact_dupes
     assert tiered.keeper_checksum == direct.keeper_checksum
+
+
+def test_pq_structure_and_recall_floor(spark, queries):
+    """q_knn_pq: per-probe ranks are contiguous 1..5 with non-decreasing
+    integer distances and no self matches; ADC recall@5 against exact
+    int-code L2 stays above the pinned floor (the synthetic near-random
+    fixture is PQ's worst case — the floor documents it)."""
+    from pyspark.sql import Window
+
+    rows = queries["q_knn_pq"](spark, SF_SMOKE).collect()
+    by_probe: dict[int, list] = {}
+    for r in rows:
+        assert r["probe_id"] != r["vec_id"]
+        by_probe.setdefault(r["probe_id"], []).append(r)
+    assert set(by_probe) == set(range(5))
+    for ms in by_probe.values():
+        ms.sort(key=lambda r: r["rank"])
+        assert [m["rank"] for m in ms] == [1, 2, 3, 4, 5]
+        dists = [m["pq_dist"] for m in ms]
+        assert dists == sorted(dists)
+        assert all(isinstance(d, int) and d >= 0 for d in dists)
+
+    # exact top-5 on the same integer codes (ADC's ground truth space)
+    x = (load(spark, SF_SMOKE, "embeddings")
+         .select("vec_id", F.posexplode("embedding").alias("pos", "vf"))
+         .select("vec_id", "pos", F.col("vf").cast("double").alias("v")))
+    st = x.groupBy("pos").agg(F.min("v").alias("mn"), F.max("v").alias("mx"))
+    codes = (x.join(F.broadcast(st), "pos")
+             .select("vec_id", "pos",
+                     F.least(F.floor((F.col("v") - F.col("mn")) * 256
+                                     / (F.col("mx") - F.col("mn"))),
+                             F.lit(255)).cast("long").alias("code")))
+    probes = codes.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("p"), "pos", F.col("code").alias("pc"))
+    d = (codes.join(probes, "pos").filter(F.col("vec_id") != F.col("p"))
+         .groupBy("p", "vec_id")
+         .agg(F.sum((F.col("code") - F.col("pc")) ** 2).alias("d")))
+    w = Window.partitionBy("p").orderBy("d", "vec_id")
+    exact = {(r["p"], r["vec_id"]) for r in
+             d.withColumn("rn", F.row_number().over(w))
+             .filter(F.col("rn") <= 5).collect()}
+    got = {(r["probe_id"], r["vec_id"]) for r in rows}
+    assert len(got & exact) >= 4  # measured 6/25 with the trained codebook
