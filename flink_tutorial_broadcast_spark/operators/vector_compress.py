@@ -372,3 +372,197 @@ def q_knn_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("probe_id", "vec_id",
                     F.col("pq_dist").cast("long").alias("pq_dist"),
                     F.col("rank").cast("long").alias("rank")))
+
+
+_IVFPQ_C = 8        # coarse cells (centroids = int-code vectors 16..23)
+_IVFPQ_NPROBE = 2
+
+
+@query(
+    "q_knn_ivfpq",
+    oracle=f"""
+    WITH x AS (
+      SELECT vec_id, i.range AS pos,
+             CAST(embedding[CAST(i.range AS INT) + 1] AS DOUBLE) AS v
+      FROM embeddings, range(64) i
+    ), stats AS (
+      SELECT pos, MIN(v) AS mn, MAX(v) AS mx FROM x GROUP BY pos
+    ), codes AS (
+      SELECT x.vec_id, x.pos,
+             CAST(LEAST(FLOOR((x.v - s.mn) * 256 / (s.mx - s.mn)), 255)
+                  AS BIGINT) AS code
+      FROM x JOIN stats s ON x.pos = s.pos
+    ), cents0 AS (
+      SELECT vec_id AS cid, pos // {_PQ_SUBDIM} AS m,
+             pos % {_PQ_SUBDIM} AS j, code AS ccode
+      FROM codes WHERE vec_id < {_PQ_K}
+    ), sub AS (
+      SELECT vec_id, pos // {_PQ_SUBDIM} AS m,
+             pos % {_PQ_SUBDIM} AS j, code
+      FROM codes
+    ), asg0_dist AS (
+      SELECT s.vec_id, s.m, c.cid,
+             SUM((s.code - c.ccode) * (s.code - c.ccode)) AS d
+      FROM sub s JOIN cents0 c ON s.m = c.m AND s.j = c.j
+      GROUP BY 1, 2, 3
+    ), asg0 AS (
+      SELECT vec_id, m, cid FROM (
+        SELECT vec_id, m, cid,
+               row_number() OVER (PARTITION BY vec_id, m
+                                  ORDER BY d, cid) AS rn
+        FROM asg0_dist) WHERE rn = 1
+    ), upd AS (
+      SELECT a.m, a.cid, s.j, SUM(s.code) // COUNT(*) AS ccode
+      FROM asg0 a JOIN sub s ON s.vec_id = a.vec_id AND s.m = a.m
+      GROUP BY 1, 2, 3
+    ), cents AS (
+      SELECT c0.cid, c0.m, c0.j,
+             COALESCE(u.ccode, c0.ccode) AS ccode
+      FROM cents0 c0 LEFT JOIN upd u
+        ON u.m = c0.m AND u.cid = c0.cid AND u.j = c0.j
+    ), asg_dist AS (
+      SELECT s.vec_id, s.m, c.cid,
+             SUM((s.code - c.ccode) * (s.code - c.ccode)) AS d
+      FROM sub s JOIN cents c ON s.m = c.m AND s.j = c.j
+      GROUP BY 1, 2, 3
+    ), pq AS (
+      SELECT vec_id, m, cid FROM (
+        SELECT vec_id, m, cid,
+               row_number() OVER (PARTITION BY vec_id, m
+                                  ORDER BY d, cid) AS rn
+        FROM asg_dist) WHERE rn = 1
+    ), coarse AS (
+      SELECT vec_id - {_PQ_K} AS ccid, pos, code AS kcode
+      FROM codes
+      WHERE vec_id >= {_PQ_K} AND vec_id < {_PQ_K} + {_IVFPQ_C}
+    ), route_rn AS (
+      SELECT vec_id, ccid,
+             row_number() OVER (PARTITION BY vec_id
+                                ORDER BY d, ccid) AS rn
+      FROM (
+        SELECT c.vec_id, k.ccid,
+               SUM((c.code - k.kcode) * (c.code - k.kcode)) AS d
+        FROM codes c JOIN coarse k ON c.pos = k.pos
+        GROUP BY 1, 2)
+    ), route AS (
+      SELECT vec_id, ccid FROM route_rn WHERE rn = 1
+    ), probe_cells AS (
+      SELECT vec_id AS probe_id, ccid
+      FROM route_rn
+      WHERE vec_id < {_PQ_PROBES} AND rn <= {_IVFPQ_NPROBE}
+    ), dtab AS (
+      SELECT s.vec_id AS probe_id, s.m, c.cid,
+             SUM((s.code - c.ccode) * (s.code - c.ccode)) AS d
+      FROM sub s JOIN cents c ON s.m = c.m AND s.j = c.j
+      WHERE s.vec_id < {_PQ_PROBES}
+      GROUP BY 1, 2, 3
+    ), cand AS (
+      SELECT pc.probe_id, r.vec_id
+      FROM probe_cells pc JOIN route r ON pc.ccid = r.ccid
+      WHERE r.vec_id <> pc.probe_id
+    ), adc AS (
+      SELECT cd.probe_id, cd.vec_id, SUM(t.d) AS pq_dist
+      FROM cand cd
+      JOIN pq p ON p.vec_id = cd.vec_id
+      JOIN dtab t ON t.probe_id = cd.probe_id
+                 AND t.m = p.m AND t.cid = p.cid
+      GROUP BY 1, 2
+    )
+    SELECT probe_id, vec_id, CAST(pq_dist AS BIGINT) AS pq_dist,
+           CAST(rnk AS BIGINT) AS rank
+    FROM (
+      SELECT probe_id, vec_id, pq_dist,
+             row_number() OVER (PARTITION BY probe_id
+                                ORDER BY pq_dist, vec_id) AS rnk
+      FROM adc) WHERE rnk <= {_PQ_TOPK}
+    """,
+)
+def q_knn_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ — the production ANN layout the PQ docstring promises,
+    actually shipped: a coarse quantizer (8 cells, centroids = the
+    integer-code vectors 16..23, disjoint from the PQ seeds) routes
+    every vector to its nearest cell; queries probe their nprobe=2
+    nearest cells and run ADC (the q_knn_pq trained codebook + distance
+    tables) ONLY over vectors in those cells. Search cost drops from
+    O(corpus) to O(corpus × nprobe / cells) — the pruning is test-
+    asserted, as is ADC-distance agreement with the unpruned q_knn_pq
+    on shared pairs.
+
+    Everything stays integer (routing argmin, ADC sums, tie-breaks on
+    ids) so the whole composed index hash-matches DuckDB. Scale: the
+    route pass is one broadcast join + argmin over the corpus (linear,
+    shuffle-free on the fact side); cells become partition keys at
+    100 TB — probing nprobe cells reads nprobe/cells of the data, the
+    partition-pruning story every IVF deployment relies on.
+    """
+    x = (load(spark, sf_dir, "embeddings")
+         .select("vec_id", F.posexplode("embedding").alias("pos", "vf"))
+         .select("vec_id", "pos", F.col("vf").cast("double").alias("v")))
+    stats = x.groupBy("pos").agg(F.min("v").alias("mn"),
+                                 F.max("v").alias("mx"))
+    codes = (x.join(F.broadcast(stats), "pos")
+             .select("vec_id", "pos",
+                     F.least(F.floor((F.col("v") - F.col("mn")) * 256
+                                     / (F.col("mx") - F.col("mn"))),
+                             F.lit(255)).cast("long").alias("code")))
+    sub = codes.select(
+        "vec_id",
+        (F.col("pos") / _PQ_SUBDIM).cast("int").alias("m"),
+        (F.col("pos") % _PQ_SUBDIM).alias("j"), "code")
+    cents0 = (sub.filter(F.col("vec_id") < _PQ_K)
+              .select(F.col("vec_id").alias("cid"), "m", "j",
+                      F.col("code").alias("ccode")))
+    sqdiff = (F.col("code") - F.col("ccode")) ** 2
+    asg0_dist = (sub.join(F.broadcast(cents0), ["m", "j"])
+                 .groupBy("vec_id", "m", "cid")
+                 .agg(F.sum(sqdiff).cast("long").alias("d")))
+    asg0 = (asg0_dist.groupBy("vec_id", "m")
+            .agg(F.min(F.struct("d", "cid")).alias("best"))
+            .select("vec_id", "m", F.col("best.cid").alias("cid")))
+    upd = (asg0.join(sub, ["vec_id", "m"])
+           .groupBy("m", "cid", "j")
+           .agg(F.expr("sum(code) div count(*)").alias("ccode1")))
+    cents = (cents0.join(upd, ["m", "cid", "j"], "left")
+             .select("cid", "m", "j",
+                     F.coalesce("ccode1", "ccode").alias("ccode")))
+    asg_dist = (sub.join(F.broadcast(cents), ["m", "j"])
+                .groupBy("vec_id", "m", "cid")
+                .agg(F.sum(sqdiff).cast("long").alias("d")))
+    pq = (asg_dist.groupBy("vec_id", "m")
+          .agg(F.min(F.struct("d", "cid")).alias("best"))
+          .select("vec_id", "m", F.col("best.cid").alias("cid")))
+
+    coarse = (codes.filter((F.col("vec_id") >= _PQ_K)
+                           & (F.col("vec_id") < _PQ_K + _IVFPQ_C))
+              .select((F.col("vec_id") - _PQ_K).alias("ccid"), "pos",
+                      F.col("code").alias("kcode")))
+    route_dist = (codes.join(F.broadcast(coarse), "pos")
+                  .groupBy("vec_id", "ccid")
+                  .agg(F.sum((F.col("code") - F.col("kcode")) ** 2)
+                       .cast("long").alias("d")))
+    from pyspark.sql import Window
+    wr = Window.partitionBy("vec_id").orderBy("d", "ccid")
+    route_rn = route_dist.withColumn("rn", F.row_number().over(wr))
+    route = route_rn.filter(F.col("rn") == 1).select("vec_id", "ccid")
+    probe_cells = (route_rn
+                   .filter((F.col("vec_id") < _PQ_PROBES)
+                           & (F.col("rn") <= _IVFPQ_NPROBE))
+                   .select(F.col("vec_id").alias("probe_id"), "ccid"))
+
+    dtab = (sub.filter(F.col("vec_id") < _PQ_PROBES)
+            .join(F.broadcast(cents), ["m", "j"])
+            .groupBy(F.col("vec_id").alias("probe_id"), "m", "cid")
+            .agg(F.sum(sqdiff).cast("long").alias("d")))
+    cand = (route.join(F.broadcast(probe_cells), "ccid")
+            .filter(F.col("vec_id") != F.col("probe_id"))
+            .select("probe_id", "vec_id"))
+    adc = (cand.join(pq, "vec_id")
+           .join(F.broadcast(dtab), ["probe_id", "m", "cid"])
+           .groupBy("probe_id", "vec_id")
+           .agg(F.sum("d").alias("pq_dist")))
+    wk = Window.partitionBy("probe_id").orderBy("pq_dist", "vec_id")
+    return (adc.withColumn("rank", F.row_number().over(wk))
+            .filter(F.col("rank") <= _PQ_TOPK)
+            .select("probe_id", "vec_id",
+                    F.col("pq_dist").cast("long").alias("pq_dist"),
+                    F.col("rank").cast("long").alias("rank")))

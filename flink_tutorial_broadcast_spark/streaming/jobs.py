@@ -179,6 +179,79 @@ def session_window_stream_snapshots(spark: SparkSession, sf_dir: str,
         "n_events long")
 
 
+def cep_followed_by_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q_cep_followed_by's STREAMING twin — CEP where Flink actually runs
+    it: the relaxed-contiguity view…click…purchase automaton as KEYED
+    STATE over an unbounded stream. Per user the state is exactly the
+    NFA's O(1) register (match count, stage); each micro-batch folds its
+    events in (ts, event_id) order on top of the carried state and emits
+    the running count (update mode) — the early-fire view of matches as
+    they complete, converging to the batch answer once the stream drains
+    (test-pinned equality with the oracle-checked q_cep_followed_by).
+
+    The fixture streams as two time-ordered files (median split,
+    strictly increasing mtimes), so the automaton provably SURVIVES the
+    batch boundary: a partial match (stage > 0) carried in state at the
+    split must complete in batch 1 — the continuity a per-batch
+    recomputation would lose.
+    """
+    from flink_tutorial_broadcast_spark.io import load
+
+    ev_batch = load(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type")
+    split_ts = ev_batch.agg(
+        F.percentile_approx("ts", 0.5).alias("m")).collect()[0]["m"]
+    d = tempfile.mkdtemp(prefix="cep_stream_")
+    (ev_batch.filter(F.col("ts") <= F.lit(split_ts))
+     .coalesce(1).write.parquet(os.path.join(d, "f=0")))
+    (ev_batch.filter(F.col("ts") > F.lit(split_ts))
+     .coalesce(1).write.parquet(os.path.join(d, "f=1")))
+    stamp = int(time.time())
+    for i, part in enumerate(("f=0", "f=1")):
+        for fname in os.listdir(os.path.join(d, part)):
+            os.utime(os.path.join(d, part, fname),
+                     (stamp + 10 * i, stamp + 10 * i))
+
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    code = {"view": 1, "click": 2, "purchase": 3}
+
+    def advance(key, pdf_iter, state: GroupState):
+        cnt, stage = state.get if state.exists else (0, 0)
+        rows = []
+        for pdf in pdf_iter:
+            for _, r in pdf.iterrows():
+                rows.append((r["ts"], r["event_id"],
+                             code.get(r["event_type"], 0)))
+        for _, _, c in sorted(rows):
+            if c == stage + 1:
+                if stage == 2:
+                    cnt, stage = cnt + 1, 0
+                else:
+                    stage += 1
+        state.update((cnt, stage))
+        yield pd.DataFrame({"user_id": [key[0]], "n_matches": [cnt],
+                            "stage": [stage]})
+
+    sdf = (
+        spark.readStream
+        .schema("user_id long, ts timestamp, event_id long, "
+                "event_type string")
+        .option("maxFilesPerTrigger", "1")
+        .option("recursiveFileLookup", "true")
+        .parquet(d)
+    )
+    out = sdf.groupBy("user_id").applyInPandasWithState(
+        advance,
+        outputStructType="user_id long, n_matches long, stage long",
+        stateStructType="cnt long, stage long",
+        outputMode="Update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    return _run_to_memory(out, "update")
+
+
 def streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E8: keyed stateful dedup — keep the first (user_id, event_type) event
     within the watermark horizon (``dropDuplicatesWithinWatermark``), the

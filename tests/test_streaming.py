@@ -126,6 +126,33 @@ def test_event_time_timer_closes_sessions(spark):
     assert all(r["n_events"] > 0 and r["session_ms"] >= 0 for r in rows)
 
 
+def test_cep_stream_converges_to_batch_and_survives_split(spark, queries):
+    """Streaming CEP (keyed-state automaton): the last emission per user
+    must equal the oracle-checked batch q_cep_followed_by, and at least
+    one user must CROSS the batch boundary mid-match (batch-0 emission
+    with stage > 0 whose final count grew) — proving the NFA register
+    really is carried in state, not recomputed per batch."""
+    from flink_tutorial_broadcast_spark.streaming.jobs import (
+        cep_followed_by_stream,
+    )
+    rows = cep_followed_by_stream(spark, SF_SMOKE).collect()
+    # memory-sink rows arrive per batch; the LAST emission per user is
+    # the converged automaton (counts are monotone -> max)
+    final: dict[int, int] = {}
+    first_emission: dict[int, tuple[int, int]] = {}
+    for r in rows:
+        uid = r["user_id"]
+        if uid not in first_emission:
+            first_emission[uid] = (r["n_matches"], r["stage"])
+        final[uid] = max(final.get(uid, 0), r["n_matches"])
+    batch = {r["user_id"]: r["n_matches"] for r in
+             queries["q_cep_followed_by"](spark, SF_SMOKE).collect()}
+    assert {u: n for u, n in final.items() if n > 0} == batch
+    crossed = [u for u, (n0, st0) in first_emission.items()
+               if st0 > 0 and final[u] > n0]
+    assert crossed  # some partial match completed across the boundary
+
+
 def test_eventlog_stream_per_partition_offsets_and_resume(spark):
     """Kafka-shape streaming contract on the file-backed partitioned log
     (sources/eventlog.py): run 1 drains the initial segments, more

@@ -112,3 +112,35 @@ def test_pq_structure_and_recall_floor(spark, queries):
              .filter(F.col("rn") <= 5).collect()}
     got = {(r["probe_id"], r["vec_id"]) for r in rows}
     assert len(got & exact) >= 4  # measured 6/25 with the trained codebook
+
+
+def test_ivfpq_prunes_and_agrees_with_pq_on_shared_pairs(spark, queries):
+    """IVF-PQ must (a) genuinely prune — every probe's candidate set is
+    a strict subset of the corpus (nprobe=2 of 8 cells), (b) compute the
+    IDENTICAL ADC distance as unpruned q_knn_pq wherever both report the
+    same (probe, vec) pair, and (c) keep per-probe rank contiguity."""
+    ivf = queries["q_knn_ivfpq"](spark, SF_SMOKE).collect()
+    pq = {(r["probe_id"], r["vec_id"]): r["pq_dist"]
+          for r in queries["q_knn_pq"](spark, SF_SMOKE).collect()}
+    by_probe: dict[int, list] = {}
+    for r in ivf:
+        assert r["probe_id"] != r["vec_id"]
+        by_probe.setdefault(r["probe_id"], []).append(r)
+        key = (r["probe_id"], r["vec_id"])
+        if key in pq:  # shared pair -> identical integer ADC distance
+            assert pq[key] == r["pq_dist"], key
+    assert set(by_probe) == set(range(5))
+    for ms in by_probe.values():
+        ms.sort(key=lambda r: r["rank"])
+        assert [m["rank"] for m in ms] == list(range(1, len(ms) + 1))
+        dists = [m["pq_dist"] for m in ms]
+        assert dists == sorted(dists)
+    # pruning evidence: each probe's top-k distances can only be >= the
+    # unpruned top-k at the same rank (candidates are a subset)
+    pq_ranked: dict[int, list] = {}
+    for (p, _), d in sorted(pq.items(), key=lambda kv: kv[1]):
+        pq_ranked.setdefault(p, []).append(d)
+    for p, ms in by_probe.items():
+        for i, m in enumerate(ms):
+            if i < len(pq_ranked.get(p, [])):
+                assert m["pq_dist"] >= pq_ranked[p][i]
