@@ -179,6 +179,58 @@ def session_window_stream_snapshots(spark: SparkSession, sf_dir: str,
         "n_events long")
 
 
+def side_output_stream(
+        spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Flink side outputs ([FLINK-API `OutputTag` +
+    `ctx.output(tag, value)`]): ONE pass over each micro-batch routed to
+    THREE sinks — operational `error` events to a telemetry channel,
+    rule-matched events to the main output, the rest to an unmatched
+    side channel. The Flink point is N outputs without N passes; here
+    the batch is persisted once inside foreachBatch and the three
+    filtered writes share that scan (Spark has no multi-sink streaming
+    query, so foreachBatch IS the side-output surface — same as the DLQ
+    in late_data_dlq_stream, generalized to arbitrary tags).
+
+    Each sink writes per-batch directories (idempotent overwrite keyed
+    by batch_id — the exactly-once-on-replay discipline of the other
+    file sinks). Returns the three sinks read back; the test pins that
+    they PARTITION the input exactly.
+    """
+    from flink_tutorial_broadcast_spark.io import load  # noqa: F401
+
+    rules = rules_df(spark)
+    root = tempfile.mkdtemp(prefix="side_out_")
+    sinks = {t: os.path.join(root, t)
+             for t in ("main", "errors", "unmatched")}
+
+    def route(batch_df: DataFrame, batch_id: int) -> None:
+        b = batch_df.persist()
+        try:
+            errors = b.filter(F.col("event_type") == "error")
+            rest = b.filter(F.col("event_type") != "error")
+            cond = ((rest.event_type == rules.rule_event_type)
+                    & (rest.value > rules.threshold))
+            matched = rest.join(F.broadcast(rules), cond, "left_semi")
+            unmatched = rest.join(F.broadcast(rules), cond, "left_anti")
+            for tag, df in (("main", matched), ("errors", errors),
+                            ("unmatched", unmatched)):
+                (df.select("event_id", "user_id", "event_type", "value")
+                 .write.mode("overwrite")
+                 .parquet(os.path.join(sinks[tag], f"batch={batch_id}")))
+        finally:
+            b.unpersist()
+
+    q = (stream_events(spark, sf_dir)
+         .writeStream.foreachBatch(route)
+         .option("checkpointLocation", checkpoint_dir())
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    return tuple(
+        spark.read.option("recursiveFileLookup", "true").parquet(sinks[t])
+        for t in ("main", "errors", "unmatched"))
+
+
 def cep_followed_by_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """q_cep_followed_by's STREAMING twin — CEP where Flink actually runs
     it: the relaxed-contiguity view…click…purchase automaton as KEYED

@@ -126,6 +126,41 @@ def test_event_time_timer_closes_sessions(spark):
     assert all(r["n_events"] > 0 and r["session_ms"] >= 0 for r in rows)
 
 
+def test_side_outputs_partition_the_stream_exactly(spark):
+    """Flink OutputTag analogue: the three sinks (main / errors /
+    unmatched) must partition the input exactly — pairwise disjoint,
+    union = every event — and each sink's membership must satisfy its
+    routing predicate recomputed batch-side."""
+    from flink_tutorial_broadcast_spark.io import load
+    from flink_tutorial_broadcast_spark.sources.rules import rules_df
+    from flink_tutorial_broadcast_spark.streaming.jobs import (
+        side_output_stream,
+    )
+    main, errors, unmatched = side_output_stream(spark, SF_SMOKE)
+    m = {r["event_id"] for r in main.collect()}
+    e = {r["event_id"] for r in errors.collect()}
+    u = {r["event_id"] for r in unmatched.collect()}
+    assert m and e and u
+    assert not (m & e) and not (m & u) and not (e & u)
+
+    ev = load(spark, SF_SMOKE, "events")
+    all_ids = {r["event_id"] for r in ev.select("event_id").collect()}
+    assert m | e | u == all_ids
+
+    rules = rules_df(spark)
+    rest = ev.filter(F.col("event_type") != "error")
+    cond = ((rest.event_type == rules.rule_event_type)
+            & (rest.value > rules.threshold))
+    want_m = {r["event_id"] for r in
+              rest.join(F.broadcast(rules), cond, "left_semi")
+              .select("event_id").collect()}
+    want_e = {r["event_id"] for r in
+              ev.filter(F.col("event_type") == "error")
+              .select("event_id").collect()}
+    assert m == want_m
+    assert e == want_e
+
+
 def test_cep_stream_converges_to_batch_and_survives_split(spark, queries):
     """Streaming CEP (keyed-state automaton): the last emission per user
     must equal the oracle-checked batch q_cep_followed_by, and at least
