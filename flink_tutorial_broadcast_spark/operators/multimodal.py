@@ -2,10 +2,15 @@
 
 Real pipelines carry image/audio/video as opaque ``binary`` columns with
 typed metadata and run decode/feature-extract as Arrow-batched Python over
-``mapInPandas``. The decode libraries are not in this container, so the
-decode step is STUBBED behind a deterministic fake (clearly marked below);
-the Spark-side plumbing — schema, batch iteration, UDF signatures,
-partition behavior — is real and tested.
+``mapInPandas``. The media libraries (PIL/ffmpeg/soundfile) are not in
+this container, so the BYTES are synthesized — but as of round 4 the
+decode is REAL for two published uncompressed formats: binary PPM (P6)
+images and canonical PCM16 WAV audio are parsed byte-for-byte (magic
+checks, headers, sample/pixel planes) and every derived number is
+integer-exact, so closed-form DuckDB oracles hash-match the full
+decode → transform → reduce path. Swapping a real codec in changes only
+the Python decode body; schema, Arrow batching, and the no-shuffle
+partitioning are identical.
 """
 
 from __future__ import annotations
@@ -251,3 +256,174 @@ def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
                               F.col("frame_idx") * _FRAME_LEN + 1,
                               _FRAME_LEN)).alias("frame_md5"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Audio: PCM WAV — the second real decoder (round 4). Same discipline as
+# PPM: bytes are synthesized (no audio libs in the container) but the
+# decode is REAL — RIFF/fmt/data chunk parsing, int16 PCM samples — and
+# every output is integer arithmetic the oracle recomputes in closed form.
+# ---------------------------------------------------------------------------
+
+_WAV_RATE = 8000
+
+
+def _wav_n_samples(doc_id: int) -> int:
+    return 256 + (doc_id % 17) * 64     # 256..1280 samples
+
+
+def _wav_sample(doc_id: int, i: int) -> int:
+    return ((doc_id * 11 + i * 17) % 65536) - 32768  # int16 range
+
+
+def synth_wav(doc_id: int) -> bytes:
+    """Deterministic 16-bit mono PCM WAV: canonical 44-byte RIFF header
+    + n samples with sample i = (doc_id·11 + i·17) mod 2^16 − 2^15."""
+    import struct
+
+    import numpy as np
+    n = _wav_n_samples(doc_id)
+    samples = ((doc_id * 11 + 17 * np.arange(n, dtype=np.int64))
+               % 65536 - 32768).astype("<i2")
+    data = samples.tobytes()
+    hdr = (b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
+           + b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, _WAV_RATE,
+                                   _WAV_RATE * 2, 2, 16)
+           + b"data" + struct.pack("<I", len(data)))
+    return hdr + data
+
+
+def decode_wav(payload: bytes):
+    """REAL canonical-PCM WAV parser: validates RIFF/WAVE magics, reads
+    the fmt chunk (must be PCM16 mono), locates the data chunk, and
+    returns (sample_rate, int16 sample array). Raises ValueError on
+    malformed input."""
+    import struct
+
+    import numpy as np
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    if payload[12:16] != b"fmt ":
+        raise ValueError("missing fmt chunk")
+    (fmt_size, audio_fmt, channels, rate, _byte_rate, _align,
+     bits) = struct.unpack("<IHHIIHH", payload[16:36])
+    if (fmt_size, audio_fmt, channels, bits) != (16, 1, 1, 16):
+        raise ValueError("not canonical PCM16 mono")
+    if payload[36:40] != b"data":
+        raise ValueError("missing data chunk")
+    (data_len,) = struct.unpack("<I", payload[40:44])
+    samples = np.frombuffer(payload, dtype="<i2", offset=44)
+    if samples.size * 2 != data_len:
+        raise ValueError("truncated data chunk")
+    return rate, samples
+
+
+@query(
+    "q_audio_features",
+    oracle=f"""
+    WITH dims AS (
+      SELECT doc_id, 256 + (doc_id % 17) * 64 AS n_samples
+      FROM documents
+    ), sm AS (
+      SELECT doc_id, n_samples,
+             unnest(range(0, n_samples)) AS i
+      FROM dims
+    ), vals AS (
+      SELECT doc_id, n_samples,
+             (doc_id * 11 + i * 17) % 65536 - 32768 AS s
+      FROM sm
+    )
+    SELECT doc_id,
+           {_WAV_RATE} AS sample_rate,
+           CAST(n_samples AS BIGINT) AS n_samples,
+           CAST(SUM(ABS(s)) AS BIGINT) AS sum_abs,
+           CAST(MAX(ABS(s)) AS BIGINT) AS peak
+    FROM vals GROUP BY doc_id, n_samples
+    """,
+)
+def q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K5 audio feature extraction, REAL decode: canonical PCM WAV
+    payloads (synthesized — no audio libs in the container) are parsed
+    chunk by chunk inside Arrow-batched mapInPandas and reduced to
+    (sample_rate, n_samples, sum|s|, peak). Integer outputs only; the
+    oracle recomputes them from the sample generating formula, so the
+    hash match proves the RIFF parser reads back exactly the samples
+    written. Same no-shuffle posture as the image path; a real
+    deployment swaps synth for `binaryFile` ingest and the body of
+    decode_wav for soundfile/ffmpeg."""
+    import numpy as np
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                payload = synth_wav(int(doc_id))
+                rate, s = decode_wav(payload)
+                a = np.abs(s.astype(np.int64))
+                rows.append((int(doc_id), rate, s.size,
+                             int(a.sum()), int(a.max())))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "sample_rate", "n_samples",
+                               "sum_abs", "peak"])
+
+    return (load(spark, sf_dir, "documents").select("doc_id")
+            .mapInPandas(extract,
+                         "doc_id long, sample_rate int, n_samples long, "
+                         "sum_abs long, peak long"))
+
+
+_AUDIO_FRAME = 256  # samples per analysis window
+
+
+@query(
+    "q_audio_frame_energy",
+    oracle=f"""
+    WITH dims AS (
+      SELECT doc_id, 256 + (doc_id % 17) * 64 AS n_samples
+      FROM documents
+    ), fr AS (
+      SELECT doc_id, n_samples,
+             unnest(range(0, n_samples // {_AUDIO_FRAME}))
+               AS frame_idx
+      FROM dims
+    ), sm AS (
+      SELECT doc_id, frame_idx,
+             unnest(range(0, {_AUDIO_FRAME})) AS k
+      FROM fr
+    ), vals AS (
+      SELECT doc_id, frame_idx,
+             (doc_id * 11 + (frame_idx * {_AUDIO_FRAME} + k) * 17)
+               % 65536 - 32768 AS s
+      FROM sm
+    )
+    SELECT doc_id, CAST(frame_idx AS BIGINT) AS frame_idx,
+           CAST(SUM(s * s) // {_AUDIO_FRAME} AS BIGINT) AS mean_energy
+    FROM vals GROUP BY doc_id, frame_idx
+    """,
+)
+def q_audio_frame_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K5 windowed audio analysis: per 256-sample frame, integer mean
+    energy (Σs²//frame) — the framing every VAD / loudness gate runs
+    before a model sees audio. Full frames only (trailing remainder
+    dropped, both engines). Decode is the same real WAV parser;
+    arithmetic is integer ⇒ bit-exact cross-engine."""
+    import numpy as np
+
+    def frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                _, s = decode_wav(synth_wav(int(doc_id)))
+                n_fr = s.size // _AUDIO_FRAME
+                a = s[:n_fr * _AUDIO_FRAME].astype(np.int64) \
+                    .reshape(n_fr, _AUDIO_FRAME)
+                energy = (a * a).sum(axis=1) // _AUDIO_FRAME
+                rows.extend((int(doc_id), f, int(e))
+                            for f, e in enumerate(energy))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "frame_idx", "mean_energy"])
+
+    return (load(spark, sf_dir, "documents").select("doc_id")
+            .mapInPandas(
+                frames,
+                "doc_id long, frame_idx long, mean_energy long"))

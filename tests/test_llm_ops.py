@@ -485,3 +485,48 @@ def test_winnow_crossdoc_overlap_matches_reference(spark, queries):
         shared = len(fa & fb)
         assert r.n_shared == shared >= 3
         assert abs(r.overlap - shared / min(len(fa), len(fb))) < 1e-6
+
+
+def test_audio_wav_decode_is_real_and_rejects_malformed(spark, queries):
+    """q_audio_features: re-decode the synthesized WAVs in the test
+    process and demand byte-exact agreement; the parser must reject
+    non-RIFF, non-PCM and truncated payloads."""
+    import numpy as np
+    import pytest
+
+    from flink_tutorial_broadcast_spark.operators.multimodal import (
+        decode_wav, synth_wav)
+
+    rows = queries["q_audio_features"](spark, SF_SMOKE).collect()
+    assert len(rows) == 500
+    for r in rows[:50]:
+        rate, s = decode_wav(synth_wav(r["doc_id"]))
+        a = np.abs(s.astype(np.int64))
+        assert (rate, s.size) == (r["sample_rate"], r["n_samples"])
+        assert (int(a.sum()), int(a.max())) == (r["sum_abs"], r["peak"])
+    good = synth_wav(3)
+    with pytest.raises(ValueError):
+        decode_wav(b"RIFX" + good[4:])
+    with pytest.raises(ValueError):
+        decode_wav(good[:-2])
+    stereo = bytearray(good)
+    stereo[22] = 2  # channels=2 -> not canonical mono
+    with pytest.raises(ValueError):
+        decode_wav(bytes(stereo))
+
+
+def test_audio_frame_energy_consistent_with_features(spark, queries):
+    """Frames are full 256-sample windows: per doc the frame count is
+    n_samples // 256 with contiguous indices, and each mean energy is a
+    non-negative integer bounded by the int16 square ceiling."""
+    feats = {r["doc_id"]: r["n_samples"] for r in
+             queries["q_audio_features"](spark, SF_SMOKE).collect()}
+    by_doc: dict[int, list] = {}
+    for r in queries["q_audio_frame_energy"](spark, SF_SMOKE).collect():
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    for doc_id, frames in by_doc.items():
+        assert len(frames) == feats[doc_id] // 256
+        idxs = sorted(f["frame_idx"] for f in frames)
+        assert idxs == list(range(len(frames)))
+        for f in frames:
+            assert 0 <= f["mean_energy"] <= 32768 * 32768
