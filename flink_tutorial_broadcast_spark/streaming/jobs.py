@@ -179,6 +179,81 @@ def session_window_stream_snapshots(spark: SparkSession, sf_dir: str,
         "n_events long")
 
 
+def count_window_stream(spark: SparkSession, sf_dir: str,
+                        size: int = 50) -> DataFrame:
+    """E4 STREAMING count windows (Flink ``keyBy(...).countWindow(50)``)
+    — the form SURVEY §2.E4 previously scoped to batch-only, now carried
+    by keyed state: per user the state is (current bucket index, events
+    in bucket, running sum); each micro-batch folds its events in
+    (ts, event_id) order, rolls the bucket every ``size`` events, and
+    emits every bucket it touched with its end-of-batch totals (update
+    mode). A bucket that straddles the batch boundary is emitted twice —
+    partial then final — and the LAST emission per (user, bucket) equals
+    the deterministic batch q_window_count exactly (test-pinned).
+
+    Same two-time-ordered-file source as the other keyed-state twins, so
+    in-order per-key arrival (Flink's keyed-stream guarantee) holds
+    across batches.
+    """
+    from flink_tutorial_broadcast_spark.io import load
+
+    ev_batch = load(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "value")
+    split_ts = ev_batch.agg(
+        F.percentile_approx("ts", 0.5).alias("m")).collect()[0]["m"]
+    d = tempfile.mkdtemp(prefix="cntwin_stream_")
+    (ev_batch.filter(F.col("ts") <= F.lit(split_ts))
+     .coalesce(1).write.parquet(os.path.join(d, "f=0")))
+    (ev_batch.filter(F.col("ts") > F.lit(split_ts))
+     .coalesce(1).write.parquet(os.path.join(d, "f=1")))
+    stamp = int(time.time())
+    for i, part in enumerate(("f=0", "f=1")):
+        for fname in os.listdir(os.path.join(d, part)):
+            os.utime(os.path.join(d, part, fname),
+                     (stamp + 10 * i, stamp + 10 * i))
+
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def roll(key, pdf_iter, state: GroupState):
+        bucket, n, s = state.get if state.exists else (0, 0, 0.0)
+        rows = []
+        for pdf in pdf_iter:
+            for _, r in pdf.iterrows():
+                rows.append((r["ts"], r["event_id"], r["value"]))
+        touched: dict[int, tuple[int, float]] = {}
+        for _, _, v in sorted(rows):
+            if n == size:
+                bucket, n, s = bucket + 1, 0, 0.0
+            n += 1
+            s += float(v)
+            touched[bucket] = (n, s)
+        state.update((bucket, n, s))
+        yield pd.DataFrame({
+            "user_id": [key[0]] * len(touched),
+            "bucket": list(touched),
+            "n_events": [t[0] for t in touched.values()],
+            "sum_value": [round(t[1], 2) for t in touched.values()],
+        })
+
+    sdf = (
+        spark.readStream
+        .schema("user_id long, ts timestamp, event_id long, value double")
+        .option("maxFilesPerTrigger", "1")
+        .option("recursiveFileLookup", "true")
+        .parquet(d)
+    )
+    out = sdf.groupBy("user_id").applyInPandasWithState(
+        roll,
+        outputStructType=("user_id long, bucket long, n_events long, "
+                          "sum_value double"),
+        stateStructType="bucket long, n long, s double",
+        outputMode="Update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    return _run_to_memory(out, "update")
+
+
 def side_output_stream(
         spark: SparkSession, sf_dir: str
 ) -> tuple[DataFrame, DataFrame, DataFrame]:

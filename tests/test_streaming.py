@@ -126,6 +126,34 @@ def test_event_time_timer_closes_sessions(spark):
     assert all(r["n_events"] > 0 and r["session_ms"] >= 0 for r in rows)
 
 
+def test_count_window_stream_converges_to_batch(spark, queries):
+    """E4 streaming count windows: the last emission per (user, bucket)
+    must equal the oracle-checked batch q_window_count — counts exactly,
+    sums to float tolerance (addition order differs) — and a bucket
+    straddling the batch split must have been emitted partial-then-final
+    (the keyed-state continuity evidence)."""
+    from flink_tutorial_broadcast_spark.streaming.jobs import (
+        count_window_stream,
+    )
+    rows = count_window_stream(spark, SF_SMOKE).collect()
+    # a bucket's n is monotone across its emissions, so its final state
+    # is the max-n emission (no reliance on sink row order)
+    final: dict[tuple, tuple] = {}
+    emissions: dict[tuple, int] = {}
+    for r in rows:
+        key = (r["user_id"], r["bucket"])
+        emissions[key] = emissions.get(key, 0) + 1
+        if key not in final or r["n_events"] > final[key][0]:
+            final[key] = (r["n_events"], r["sum_value"])
+    batch = {(r["user_id"], r["bucket"]): (r["n_events"], r["sum_value"])
+             for r in queries["q_window_count"](spark, SF_SMOKE).collect()}
+    assert final.keys() == batch.keys()
+    for k, (n, s) in final.items():
+        assert n == batch[k][0], k
+        assert abs(s - batch[k][1]) < 1e-6, k
+    assert any(c > 1 for c in emissions.values())  # straddling bucket
+
+
 def test_side_outputs_partition_the_stream_exactly(spark):
     """Flink OutputTag analogue: the three sinks (main / errors /
     unmatched) must partition the input exactly — pairwise disjoint,
