@@ -122,7 +122,7 @@ _VERIFICATION_PREFIX = (
     "q_grouping_sets",                  # agg_ext
     "q_sessionize",                     # behavioral (L24)
     "q_merge_upsert",                   # connectors (L27)
-    "q_join_bucketed",                  # layout_ops (L28)
+    "q_mad_outliers",                   # stats_ext (L54)
     "q_tpch_q1", "q_tpch_q9",           # tpch_full
     "q_decontaminate",                  # text_pipeline (L46)
     "q_setsim_join",                    # graph_setsim (L44)
