@@ -242,23 +242,34 @@ def q_scan_eventlog(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregated. The oracle aggregates the fixture directly, so the hash
     match proves the produce→partition→segment→parallel-read path loses
     and duplicates nothing. The streaming half (per-partition offset
-    map, range partitions, checkpoint resume) is pinned in
-    tests/test_streaming.py.
+    map, range partitions, checkpoint resume, startingOffsets seek) is
+    pinned in tests/test_streaming.py.
 
-    (The driver-side collect is the DEMO PRODUCER writing the bounded
-    fixture into the log — the documented connector-fixture pattern; a
-    production producer is an external system, and the read path under
-    test never touches the driver.)
+    The demo producer runs EXECUTOR-side (`foreachPartition` after a
+    repartition on the log-partition key, so each log partition is owned
+    by one task and segment numbering is race-free) — no fixture row
+    ever visits the driver. The produced log dir is stamped with the
+    source fixture's mtime+size and reused while current (the
+    q_partitioned_prune pattern), so repeated runs neither leak tempdirs
+    nor re-produce.
     """
-    import tempfile as _tf
+    import functools as _ft
+    import shutil as _sh
 
     from flink_tutorial_broadcast_spark.sources import eventlog
 
-    rows = [(r["event_id"], r["user_id"], r["event_type"], r["value"])
-            for r in load(spark, sf_dir, "events")
-            .select("event_id", "user_id", "event_type", "value").collect()]
-    root = _tf.mkdtemp(prefix="ftbs_eventlog_")
-    eventlog.log_write(root, rows, n_partitions=4)
+    n_log_parts = 4
+    root = _tmp("eventlog", sf_dir)
+    stamp = _source_stamp(sf_dir, "events")
+    if not _is_current(root, stamp):
+        _sh.rmtree(root, ignore_errors=True)
+        os.makedirs(root, exist_ok=True)
+        (load(spark, sf_dir, "events")
+         .select("event_id", "user_id", "event_type", "value")
+         .repartition(n_log_parts, F.col("user_id") % n_log_parts)
+         .foreachPartition(
+             _ft.partial(eventlog.producer_task, root, n_log_parts)))
+        _mark_current(root, stamp)
     eventlog.register(spark)
     return (
         spark.read.format("ftbs_eventlog").option("path", root).load()

@@ -57,11 +57,14 @@ class RulesDataSource(DataSource):
 
 
 def register(spark) -> None:
-    """Idempotently register the custom format on this session."""
-    try:
-        spark.dataSource.register(RulesDataSource)
-    except Exception:
-        pass  # already registered on this session
+    """Register the custom format on this session.
+
+    `spark.dataSource.register` is itself idempotent (re-registering the
+    same class silently replaces the prior registration), so a genuine
+    failure — missing Python Data Source API, serialization error — must
+    propagate here rather than resurface later as a confusing
+    "format ftbs_rules not found" at read time."""
+    spark.dataSource.register(RulesDataSource)
 
 
 # --- Streaming form (A4's unbounded half) -----------------------------------

@@ -52,6 +52,16 @@ SCHEMA = "event_id long, user_id long, event_type string, value double"
 # writer (the "producer")
 # --------------------------------------------------------------------------
 
+def _append_segment(root: str, p: int, part_rows: list[tuple]) -> None:
+    pdir = os.path.join(root, f"p={p}")
+    os.makedirs(pdir, exist_ok=True)
+    n_seg = len([f for f in os.listdir(pdir) if f.startswith("seg-")])
+    seg = os.path.join(pdir, f"seg-{n_seg:06d}.jsonl")
+    with open(seg, "w") as fh:
+        for r in part_rows:
+            fh.write(json.dumps(dict(zip(_FIELDS, r))) + "\n")
+
+
 def log_write(root: str, rows: list[tuple], n_partitions: int) -> None:
     """Append `rows` (event_id, user_id, event_type, value) as ONE new
     immutable segment per affected partition. Partition = user_id hash —
@@ -60,13 +70,22 @@ def log_write(root: str, rows: list[tuple], n_partitions: int) -> None:
     for r in rows:
         by_part.setdefault(int(r[1]) % n_partitions, []).append(r)
     for p, part_rows in by_part.items():
-        pdir = os.path.join(root, f"p={p}")
-        os.makedirs(pdir, exist_ok=True)
-        n_seg = len([f for f in os.listdir(pdir) if f.startswith("seg-")])
-        seg = os.path.join(pdir, f"seg-{n_seg:06d}.jsonl")
-        with open(seg, "w") as fh:
-            for r in part_rows:
-                fh.write(json.dumps(dict(zip(_FIELDS, r))) + "\n")
+        _append_segment(root, p, part_rows)
+
+
+def producer_task(root: str, n_partitions: int, rows) -> None:
+    """Executor-side producer for `df.foreachPartition` — rows never visit
+    the driver. The caller must repartition the DataFrame on
+    `user_id % n_partitions` first, so each log partition is wholly owned
+    by exactly ONE task and the append-segment numbering is race-free.
+    (Local-mode tasks share one filesystem; on a real cluster this demo
+    producer would target a shared FS or, in production, a broker.)"""
+    by_part: dict[int, list[tuple]] = {}
+    for r in rows:
+        by_part.setdefault(int(r["user_id"]) % n_partitions, []).append(
+            (r["event_id"], r["user_id"], r["event_type"], r["value"]))
+    for p, part_rows in by_part.items():
+        _append_segment(root, p, part_rows)
 
 
 def _partition_ids(root: str) -> list[int]:
@@ -102,6 +121,37 @@ def _latest(root: str, p: int) -> int:
     return n
 
 
+def _resolve_offsets(root: str, spec: str, default_sentinel: int) -> dict:
+    """Kafka-parity offset spec → `{partition(str): offset}` (the seek
+    surface of `startingOffsets` / `endingOffsets`, docs/kafka.md).
+
+    `spec` is `"earliest"`, `"latest"`, or a JSON per-partition map like
+    `{"0": 5, "1": -1}` where Kafka's sentinels apply: -2 = earliest,
+    -1 = latest. Partitions missing from an explicit map fall back to
+    `default_sentinel` (-2 for a starting spec, -1 for an ending spec —
+    Spark's Kafka source rule). An offset beyond the partition's end
+    raises, mirroring failOnDataLoss=true."""
+    pids = _partition_ids(root)
+    if spec == "earliest":
+        return {str(p): 0 for p in pids}
+    if spec == "latest":
+        return {str(p): _latest(root, p) for p in pids}
+    m = json.loads(spec)
+    out = {}
+    for p in pids:
+        v = int(m.get(str(p), default_sentinel))
+        hi = _latest(root, p)
+        if v == -2:
+            v = 0
+        elif v == -1:
+            v = hi
+        if v < 0 or v > hi:
+            raise ValueError(
+                f"offset {v} out of range [0, {hi}] for partition {p}")
+        out[str(p)] = v
+    return out
+
+
 # --------------------------------------------------------------------------
 # batch reader
 # --------------------------------------------------------------------------
@@ -114,11 +164,17 @@ class _LogRange(InputPartition):
 class EventLogBatchReader(DataSourceReader):
     def __init__(self, options: dict) -> None:
         self.root = options["path"]
+        # Kafka batch-read seek surface (option keys arrive lowercased)
+        self.start_spec = options.get("startingoffsets", "earliest")
+        self.end_spec = options.get("endingoffsets", "latest")
 
     def partitions(self) -> Sequence[InputPartition]:
         # one task per log partition — the consumer-group layout
-        return [_LogRange(self.root, p, 0, _latest(self.root, p))
-                for p in _partition_ids(self.root)]
+        start = _resolve_offsets(self.root, self.start_spec, -2)
+        end = _resolve_offsets(self.root, self.end_spec, -1)
+        return [_LogRange(self.root, p, start[str(p)], end[str(p)])
+                for p in _partition_ids(self.root)
+                if end[str(p)] > start[str(p)]]
 
     def read(self, part: _LogRange) -> Iterator[tuple]:
         return _read_range(part.root, part.p, part.lo, part.hi)
@@ -131,9 +187,12 @@ class EventLogBatchReader(DataSourceReader):
 class EventLogStreamReader(DataSourceStreamReader):
     def __init__(self, options: dict) -> None:
         self.root = options["path"]
+        self.start_spec = options.get("startingoffsets", "earliest")
 
     def initialOffset(self) -> dict:
-        return {str(p): 0 for p in _partition_ids(self.root)}
+        # consulted only on a FRESH checkpoint — seek semantics identical
+        # to Kafka's startingOffsets (resume always wins over seek)
+        return _resolve_offsets(self.root, self.start_spec, -2)
 
     def latestOffset(self) -> dict:
         return {str(p): _latest(self.root, p)
@@ -176,7 +235,11 @@ class EventLogDataSource(DataSource):
 
 
 def register(spark) -> None:
-    try:
-        spark.dataSource.register(EventLogDataSource)
-    except Exception:
-        pass  # already registered on this session
+    """Register the format on this session.
+
+    `spark.dataSource.register` is itself idempotent (re-registering the
+    same class silently replaces the prior registration), so a genuine
+    failure — missing Python Data Source API, serialization error — must
+    propagate here rather than resurface later as a confusing
+    "format ftbs_eventlog not found" at read time."""
+    spark.dataSource.register(EventLogDataSource)

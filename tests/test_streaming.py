@@ -294,6 +294,149 @@ def test_eventlog_preserves_per_key_order(spark):
         assert all(i % 2 == p for i in ids)
 
 
+def test_eventlog_seek_starting_offsets(spark):
+    """Kafka seek parity (startingOffsets): an explicit per-partition JSON
+    map positions a FRESH stream mid-log (with -2/-1 sentinels for
+    earliest/latest), "latest" skips the whole backlog, and an existing
+    checkpoint always wins over the seek option (Kafka's resume rule)."""
+    import tempfile
+
+    from flink_tutorial_broadcast_spark.sources import eventlog
+
+    root = tempfile.mkdtemp(prefix="evlog_seek_")
+    rows = [(i, i % 2, "view", float(i)) for i in range(60)]
+    eventlog.log_write(root, rows, n_partitions=2)  # p0: evens, p1: odds
+    eventlog.register(spark)
+
+    def drain(starting, ckpt, out):
+        sdf = (spark.readStream.format("ftbs_eventlog")
+               .option("path", root).option("startingOffsets", starting)
+               .load())
+        q = (sdf.writeStream.format("parquet")
+             .option("path", out).option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        q.awaitTermination()
+        return {r["event_id"] for r in spark.read.parquet(out).collect()}
+
+    # explicit map: skip p0's first 10 records, take p1 from earliest
+    got = drain('{"0": 10, "1": -2}',
+                tempfile.mkdtemp(prefix="evlog_seek_ck1_"),
+                tempfile.mkdtemp(prefix="evlog_seek_o1_"))
+    evens, odds = sorted(i for i in range(60) if i % 2 == 0), \
+        sorted(i for i in range(60) if i % 2 == 1)
+    assert got == set(evens[10:]) | set(odds)
+
+    # "latest" on a fresh checkpoint: backlog skipped, later appends read
+    ck2 = tempfile.mkdtemp(prefix="evlog_seek_ck2_")
+    o2 = tempfile.mkdtemp(prefix="evlog_seek_o2_")
+    sdf = (spark.readStream.format("ftbs_eventlog")
+           .option("path", root).option("startingOffsets", "latest").load())
+    q = (sdf.writeStream.format("parquet")
+         .option("path", o2).option("checkpointLocation", ck2)
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    eventlog.log_write(root, [(100 + i, i % 2, "late", 0.0)
+                              for i in range(6)], n_partitions=2)
+    got2 = drain("latest", ck2, o2)  # resumes ck2 → only the new rows
+    assert got2 == {100 + i for i in range(6)}
+
+
+def test_eventlog_seek_resume_beats_seek(spark):
+    """A checkpoint resume ignores startingOffsets entirely — rerunning
+    with "earliest" after a seeked first run must NOT re-deliver the
+    records the seek skipped."""
+    import tempfile
+
+    from flink_tutorial_broadcast_spark.sources import eventlog
+
+    root = tempfile.mkdtemp(prefix="evlog_rs_")
+    eventlog.log_write(root, [(i, i % 2, "view", float(i))
+                              for i in range(40)], n_partitions=2)
+    eventlog.register(spark)
+    ckpt = tempfile.mkdtemp(prefix="evlog_rs_ck_")
+    out = tempfile.mkdtemp(prefix="evlog_rs_out_")
+
+    def run(starting):
+        sdf = (spark.readStream.format("ftbs_eventlog")
+               .option("path", root).option("startingOffsets", starting)
+               .load())
+        q = (sdf.writeStream.format("parquet")
+             .option("path", out).option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        q.awaitTermination()
+        return [r["event_id"] for r in spark.read.parquet(out).collect()]
+
+    run('{"0": 15, "1": 15}')          # seeked first run: 5 + 5 records
+    got = run("earliest")              # resume: seek option must be inert
+    assert len(got) == 10              # nothing re-read, nothing added
+    assert set(got) == set(range(30, 40))  # evens[15:] ∪ odds[15:]
+
+
+def test_eventlog_batch_offset_range_and_oor(spark):
+    """Batch seek parity (startingOffsets/endingOffsets on read): an
+    explicit [start, end) range reads exactly that slice per partition;
+    an out-of-range offset raises (failOnDataLoss=true behavior)."""
+    import tempfile
+
+    import pytest as _pytest
+
+    from flink_tutorial_broadcast_spark.sources import eventlog
+
+    root = tempfile.mkdtemp(prefix="evlog_bseek_")
+    eventlog.log_write(root, [(i, i % 2, "view", float(i))
+                              for i in range(40)], n_partitions=2)
+    eventlog.register(spark)
+
+    df = (spark.read.format("ftbs_eventlog").option("path", root)
+          .option("startingOffsets", '{"0": 5, "1": 5}')
+          .option("endingOffsets", '{"0": 10, "1": -1}').load())
+    got = {r["event_id"] for r in df.collect()}
+    evens = [i for i in range(40) if i % 2 == 0]
+    odds = [i for i in range(40) if i % 2 == 1]
+    assert got == set(evens[5:10]) | set(odds[5:])
+
+    bad = (spark.read.format("ftbs_eventlog").option("path", root)
+           .option("startingOffsets", '{"0": 999}').load())
+    with _pytest.raises(Exception, match="out of range"):
+        bad.collect()
+
+
+def test_eventlog_executor_side_producer(spark):
+    """The q_scan_eventlog demo producer runs on executors
+    (foreachPartition after repartitioning on the log-partition key) —
+    the produced log must be record-identical in content AND per-key
+    order to the driver-side log_write reference."""
+    import functools
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from flink_tutorial_broadcast_spark.sources import eventlog
+
+    n_parts = 3
+    root = tempfile.mkdtemp(prefix="evlog_exec_")
+    df = (spark.range(90)
+          .select(F.col("id").alias("event_id"),
+                  (F.col("id") % 7).alias("user_id"),
+                  F.lit("view").alias("event_type"),
+                  (F.col("id") * 1.5).alias("value")))
+    (df.repartition(n_parts, F.col("user_id") % n_parts)
+       .foreachPartition(
+           functools.partial(eventlog.producer_task, root, n_parts)))
+
+    eventlog.register(spark)
+    back = (spark.read.format("ftbs_eventlog").option("path", root).load())
+    assert {r["event_id"] for r in back.collect()} == set(range(90))
+    # per-key order within each log partition (producer-key guarantee)
+    for p in range(n_parts):
+        seen: dict[int, list[int]] = {}
+        for r in eventlog._read_range(root, p, 0, 10**6):
+            assert int(r[1]) % n_parts == p
+            seen.setdefault(int(r[1]), []).append(int(r[0]))
+        for ids in seen.values():
+            assert ids == sorted(ids)
+
+
 def test_tws_gate_contract(spark):
     """E7 typed-state path (transformWithStateInPandas): in a container
     without google.protobuf the branch must fail FAST with a
