@@ -47,6 +47,11 @@ def main() -> None:
     reps = int(os.environ.get("BENCH_REPS", "3"))
     queries = load_all_queries()
     names = [n for n in HEADLINE if n in queries]
+    # Noise provenance (VERDICT r4 task 4): two consecutive driver-bench
+    # rises were adjudicated "environment, not plans" only by forensic
+    # re-measurement. Record host load at start AND end so a third rise is
+    # attributable (or not) from the artifact alone.
+    load_start = os.getloadavg()
     spark = get_spark("bench")
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -71,12 +76,21 @@ def main() -> None:
         per_query[name] = round(times[len(times) // 2], 3)
 
     sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0)
+    load_end = os.getloadavg()
     print(json.dumps({
         "metric": "headline_queries_total_wall_clock",
         "value": round(sum(per_query.values()), 3),
         "unit": "sec",
         "queries": per_query,
         "sf": sf,
+        # provenance fields — identify a noisy host from the artifact:
+        # loadavg_start is pre-JVM (ambient competition), loadavg_end
+        # includes this bench's own 32 local threads (expected high)
+        "loadavg_start": [round(x, 2) for x in load_start],
+        "loadavg_end": [round(x, 2) for x in load_end],
+        "cpus": os.cpu_count(),
+        "reps_per_query": reps,
+        "warmup": "one untimed pass per query (warm protocol)",
     }))
 
 

@@ -301,6 +301,11 @@ def decode_wav(payload: bytes):
     import struct
 
     import numpy as np
+    # bytes slices never raise, so a short payload could otherwise sneak
+    # past the magic checks into struct.unpack (struct.error, not the
+    # promised ValueError) — guard the fixed 44-byte header first
+    if len(payload) < 44:
+        raise ValueError("payload shorter than canonical 44-byte header")
     if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
         raise ValueError("not a RIFF/WAVE payload")
     if payload[12:16] != b"fmt ":
@@ -312,6 +317,10 @@ def decode_wav(payload: bytes):
     if payload[36:40] != b"data":
         raise ValueError("missing data chunk")
     (data_len,) = struct.unpack("<I", payload[40:44])
+    if (len(payload) - 44) % 2 != 0:
+        # np.frombuffer would silently drop the odd tail byte, making a
+        # truncated payload look one sample shorter instead of invalid
+        raise ValueError("odd-length sample plane")
     samples = np.frombuffer(payload, dtype="<i2", offset=44)
     if samples.size * 2 != data_len:
         raise ValueError("truncated data chunk")

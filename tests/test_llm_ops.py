@@ -513,6 +513,14 @@ def test_audio_wav_decode_is_real_and_rejects_malformed(spark, queries):
     stereo[22] = 2  # channels=2 -> not canonical mono
     with pytest.raises(ValueError):
         decode_wav(bytes(stereo))
+    # header-truncated payload that still passes the magic slices must
+    # raise ValueError, not struct.error (slices never raise)
+    with pytest.raises(ValueError, match="44-byte header"):
+        decode_wav(good[:20])
+    # odd-length sample plane: np.frombuffer would silently drop the
+    # tail byte — must be rejected as invalid instead
+    with pytest.raises(ValueError, match="odd-length"):
+        decode_wav(good + b"\x00")
 
 
 def test_audio_frame_energy_consistent_with_features(spark, queries):

@@ -83,6 +83,18 @@ class Ctx:
             self._cache[name] = build()
         return self._cache[name]
 
+    def nrows(self, name: str) -> int:
+        """Memoized row count of a named shared input — the throughput
+        denominator. main() evaluates this BEFORE starting each shape's
+        timer, so neither the lazy input build nor the denominator count
+        job pollutes the measured window (ADVICE r4: the r4 harness
+        counted inside the timed region, deflating Mrows/s vs earlier
+        rounds)."""
+        key = f"__n_{name}"
+        if key not in self._cache:
+            self._cache[key] = getattr(self, name).count()
+        return self._cache[key]
+
     @property
     def li(self):
         return self._get("li", lambda: amplify(
@@ -137,30 +149,36 @@ class Ctx:
         return self._get("dr_toks", lambda: self.dr.select(
             "doc_id", F.explode(F.split("text", " ")).alias("token")))
 
+    @property
+    def docs_toks(self):
+        return self._get("docs_toks", lambda: self.docs.select(
+            F.explode(F.split("text", " ")).alias("token")))
 
-SHAPES: dict[str, callable] = {}
+
+SHAPES: dict[str, tuple] = {}
 
 
-def shape(name):
+def shape(name, denom):
+    """Register a stress shape. `denom(ctx) -> int` yields the
+    processed-row throughput denominator; main() evaluates it outside
+    the timed window (Ctx.nrows memoizes, so repeated shapes share
+    counts)."""
     def deco(fn):
-        SHAPES[name] = fn
+        SHAPES[name] = (fn, denom)
         return fn
     return deco
 
 
-# Each shape returns the processed-row count (the throughput denominator).
-
-@shape("join_agg")
-def s_join_agg(c: Ctx) -> int:
+@shape("join_agg", lambda c: c.nrows("li"))
+def s_join_agg(c: Ctx) -> None:
     (c.li.join(c.o, c.li.l_orderkey == c.o.o_orderkey)
      .groupBy("o_orderstatus")
      .agg(F.count("*").alias("n"), F.sum("l_extendedprice").alias("s"))
      ).count()
-    return c.li.count()
 
 
-@shape("broadcast_rule_join")
-def s_broadcast_rule_join(c: Ctx) -> int:
+@shape("broadcast_rule_join", lambda c: c.nrows("ev"))
+def s_broadcast_rule_join(c: Ctx) -> None:
     rules = rules_df(c.spark)
     (c.ev.join(F.broadcast(rules),
                (c.ev.event_type == rules.rule_event_type)
@@ -168,54 +186,48 @@ def s_broadcast_rule_join(c: Ctx) -> int:
      .groupBy(F.date_trunc("hour", "ts"), "event_type")
      .agg(F.count("*"), F.sum("value"))
      ).count()
-    return c.ev.count()
 
 
-@shape("exact_dedup_md5")
-def s_exact_dedup_md5(c: Ctx) -> int:
+@shape("exact_dedup_md5", lambda c: c.nrows("li"))
+def s_exact_dedup_md5(c: Ctx) -> None:
     c.li.groupBy(F.md5(F.concat_ws("|", "l_orderkey", "l_linenumber"))
                  .alias("h")).agg(F.min("l_partkey")).count()
-    return c.li.count()
 
 
-@shape("exact_dedup_xxhash")
-def s_exact_dedup_xxhash(c: Ctx) -> int:
+@shape("exact_dedup_xxhash", lambda c: c.nrows("li"))
+def s_exact_dedup_xxhash(c: Ctx) -> None:
     c.li.groupBy(F.xxhash64("l_orderkey", "l_linenumber").alias("h")) \
         .agg(F.min("l_partkey")).count()
-    return c.li.count()
 
 
-@shape("ewma_fold")
-def s_ewma_fold(c: Ctx) -> int:
+@shape("ewma_fold", lambda c: c.nrows("ev"))
+def s_ewma_fold(c: Ctx) -> None:
     arr = F.sort_array(F.collect_list(F.struct("ts", "event_id", "value")))
     fold = F.aggregate(
         arr, F.lit(None).cast("double"),
         lambda acc, x: F.coalesce(F.lit(0.3) * x["value"]
                                   + F.lit(0.7) * acc, x["value"]))
     c.ev.groupBy("user_id").agg(fold.alias("ewma")).count()
-    return c.ev.count()
 
 
-@shape("incremental_agg")
-def s_incremental_agg(c: Ctx) -> int:
+@shape("incremental_agg", lambda c: c.nrows("ev"))
+def s_incremental_agg(c: Ctx) -> None:
     (c.ev.groupBy(F.to_date("ts").alias("day"), "event_type")
      .agg(F.count("*").alias("pn"), F.sum("value").alias("psum"))
      .groupBy("event_type")
      .agg(F.sum("pn"), F.sum("psum"))).count()
-    return c.ev.count()
 
 
-@shape("window_topn")
-def s_window_topn(c: Ctx) -> int:
+@shape("window_topn", lambda c: c.nrows("o"))
+def s_window_topn(c: Ctx) -> None:
     w = Window.partitionBy("o_custkey").orderBy(
         F.col("o_totalprice").desc(), F.col("o_orderkey"))
     c.o.withColumn("rn", F.row_number().over(w)) \
        .filter(F.col("rn") <= 3).count()
-    return c.o.count()
 
 
-@shape("ohlc_bars")
-def s_ohlc_bars(c: Ctx) -> int:
+@shape("ohlc_bars", lambda c: c.nrows("ev"))
+def s_ohlc_bars(c: Ctx) -> None:
     ord_key = F.concat(
         F.lpad(F.unix_micros("ts").cast("string"), 20, "0"),
         F.lpad(F.col("event_id").cast("string"), 10, "0"))
@@ -225,11 +237,10 @@ def s_ohlc_bars(c: Ctx) -> int:
      .agg(F.min_by("value", F.col("ord")), F.max("value"),
           F.min("value"), F.max_by("value", F.col("ord")),
           F.count("*"))).count()
-    return c.ev.count()
 
 
-@shape("embed_quantize")
-def s_embed_quantize(c: Ctx) -> int:
+@shape("embed_quantize", lambda c: c.nrows("emb") * 64)
+def s_embed_quantize(c: Ctx) -> None:
     x = (c.emb.select("vec_id", F.posexplode("embedding").alias("pos", "vf"))
          .select("vec_id", "pos", F.col("vf").cast("double").alias("v")))
     stats = x.groupBy("pos").agg(F.min("v").alias("mn"),
@@ -239,11 +250,10 @@ def s_embed_quantize(c: Ctx) -> int:
                              / (F.col("mx") - F.col("mn"))), F.lit(255))
              .alias("code"))
      .agg(F.sum("code"))).count()
-    return c.emb.count() * 64
 
 
-@shape("pack_sequences")
-def s_pack_sequences(c: Ctx) -> int:
+@shape("pack_sequences", lambda c: c.nrows("dr"))
+def s_pack_sequences(c: Ctx) -> None:
     win = (Window.partitionBy("lang").orderBy("doc_id")
            .rowsBetween(Window.unboundedPreceding, Window.currentRow))
     (c.dr.select("doc_id", "lang",
@@ -251,11 +261,10 @@ def s_pack_sequences(c: Ctx) -> int:
      .withColumn("cum", F.sum("nw").over(win))
      .select(F.expr("(cum - 1) div 256").alias("seq_end"))
      .agg(F.max("seq_end"))).count()
-    return c.dr.count()
 
 
-@shape("repetition_bigrams")
-def s_repetition_bigrams(c: Ctx) -> int:
+@shape("repetition_bigrams", lambda c: c.nrows("dr"))
+def s_repetition_bigrams(c: Ctx) -> None:
     bg = c.dr.select(
         "doc_id",
         F.explode(F.expr(
@@ -263,11 +272,10 @@ def s_repetition_bigrams(c: Ctx) -> int:
             " (x, i) -> concat(x, ' ', split(text, ' ')[i + 1]))")).alias("b"))
     (bg.groupBy("doc_id", "b").agg(F.count("*").alias("cnt"))
      .groupBy("doc_id").agg(F.sum("cnt"), F.count("*"), F.max("cnt"))).count()
-    return c.dr.count()
 
 
-@shape("setsim_prefix_join")
-def s_setsim_prefix_join(c: Ctx) -> int:
+@shape("setsim_prefix_join", lambda c: c.nrows("dr"))
+def s_setsim_prefix_join(c: Ctx) -> None:
     d = c.dr.select("doc_id",
                     F.array_distinct(F.split("text", " ")).alias("t"))
     tok = d.select("doc_id", F.explode("t").alias("tok"))
@@ -285,22 +293,20 @@ def s_setsim_prefix_join(c: Ctx) -> int:
             .select(F.col("pa.doc_id").alias("a"),
                     F.col("pb.doc_id").alias("b")).distinct())
     cand.count()
-    return c.dr.count()
 
 
-@shape("unigram_lm_score")
-def s_unigram_lm_score(c: Ctx) -> int:
+@shape("unigram_lm_score", lambda c: c.nrows("dr_toks"))
+def s_unigram_lm_score(c: Ctx) -> None:
     toks = c.dr_toks
     vocab = toks.groupBy("token").agg(F.count("*").alias("cnt"))
     total = toks.agg(F.count("*").alias("total"))
     (toks.join(vocab, "token").crossJoin(F.broadcast(total))
      .groupBy("doc_id")
      .agg(F.avg(F.log("cnt") - F.log("total")))).count()
-    return toks.count()
 
 
-@shape("heavy_hitters")
-def s_heavy_hitters(c: Ctx) -> int:
+@shape("heavy_hitters", lambda c: c.nrows("dr_toks"))
+def s_heavy_hitters(c: Ctx) -> None:
     toks = c.dr_toks
     sample = toks.filter(
         F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1) < "4")
@@ -311,11 +317,10 @@ def s_heavy_hitters(c: Ctx) -> int:
                .select("token"))
     toks.join(F.broadcast(cand_hh), "token") \
         .groupBy("token").agg(F.count("*")).count()
-    return toks.count()
 
 
-@shape("reconcile_digests")
-def s_reconcile_digests(c: Ctx) -> int:
+@shape("reconcile_digests", lambda c: 2 * c.nrows("o"))
+def s_reconcile_digests(c: Ctx) -> None:
     cents = F.round(F.col("o_totalprice") * 100).cast("long")
     digest = (c.o.select((F.col("o_orderkey") % 4096).alias("bucket"),
                          (F.col("o_orderkey") * 31 + cents).alias("cs"))
@@ -329,11 +334,10 @@ def s_reconcile_digests(c: Ctx) -> int:
     digest.join(d2, "bucket", "full_outer") \
           .filter((F.col("n") != F.col("n2"))
                   | (F.col("cs_sum") != F.col("cs2"))).count()
-    return 2 * c.o.count()
 
 
-@shape("cms_sketch")
-def s_cms_sketch(c: Ctx) -> int:
+@shape("cms_sketch", lambda c: 3 * c.nrows("docs_toks"))
+def s_cms_sketch(c: Ctx) -> None:
     toks = c.docs.select(F.explode(F.split("text", " ")).alias("token"))
     seeds = F.array(F.lit("s1"), F.lit("s2"), F.lit("s3"))
     (toks.select("token", F.explode(seeds).alias("seed"))
@@ -341,11 +345,10 @@ def s_cms_sketch(c: Ctx) -> int:
                  F.conv(F.substring(F.md5(F.concat("seed", "token")), 1, 8),
                         16, 10).cast("long") % 64)
      .groupBy("seed", "bucket").agg(F.count("*").alias("cnt"))).count()
-    return 3 * toks.count()
 
 
-@shape("curriculum_two_phase")
-def s_curriculum_two_phase(c: Ctx) -> int:
+@shape("curriculum_two_phase", lambda c: c.nrows("docs"))
+def s_curriculum_two_phase(c: Ctx) -> None:
     from flink_tutorial_broadcast_spark.operators.two_phase import (
         global_order,
     )
@@ -354,11 +357,10 @@ def s_curriculum_two_phase(c: Ctx) -> int:
         F.row_number().over(Window.partitionBy("source").orderBy("doc_id")))
     global_order(r, F.col("rank_in_source"), ["source", "doc_id"],
                  out_rn="position").count()
-    return c.docs.count()
 
 
-@shape("domain_token_cap")
-def s_domain_token_cap(c: Ctx) -> int:
+@shape("domain_token_cap", lambda c: c.nrows("docs"))
+def s_domain_token_cap(c: Ctx) -> None:
     wcap = (Window.partitionBy("source").orderBy("doc_id")
             .rowsBetween(Window.unboundedPreceding, 0))
     (c.docs.select("source", "doc_id",
@@ -366,7 +368,6 @@ def s_domain_token_cap(c: Ctx) -> int:
                    .alias("n_tokens"))
      .withColumn("cum", F.sum("n_tokens").over(wcap))
      .filter(F.col("cum") <= 800)).count()
-    return c.docs.count()
 
 
 def main() -> None:
@@ -383,10 +384,14 @@ def main() -> None:
 
     results = {}
     for name in wanted:
+        fn, denom = SHAPES[name]
         release_cached_blocks(spark)
+        # denominator (and any lazy input build it forces) runs OUTSIDE
+        # the timed window — the round-1..3 harness convention
+        rows = denom(ctx)
         m0, d0 = spill_totals(spark)
         t0 = time.time()
-        rows = SHAPES[name](ctx)
+        fn(ctx)
         sec = time.time() - t0
         m1, d1 = spill_totals(spark)
         results[name] = {
