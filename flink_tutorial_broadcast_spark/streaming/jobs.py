@@ -33,16 +33,22 @@ from flink_tutorial_broadcast_spark.streaming.sources import (
 )
 
 
-def _run_to_memory(sdf: DataFrame, output_mode: str = "append") -> DataFrame:
-    """Execute a bounded streaming query into a memory sink; return result."""
+def _run_to_memory(sdf: DataFrame, output_mode: str = "append",
+                   once: bool = False) -> DataFrame:
+    """Execute a bounded streaming query into a memory sink; return result.
+
+    ``once=True`` swaps availableNow for the one-batch Trigger.Once:
+    needed for transformWithState in ProcessingTime mode, where
+    availableNow keeps scheduling empty batches indefinitely even with
+    no pending timers (observed on Spark 4.1.2)."""
     name = f"mem_{uuid.uuid4().hex[:8]}"
-    q = (
+    w = (
         sdf.writeStream.format("memory").queryName(name)
         .outputMode(output_mode)
         .option("checkpointLocation", checkpoint_dir())
-        .trigger(availableNow=True)
-        .start()
     )
+    w = w.trigger(once=True) if once else w.trigger(availableNow=True)
+    q = w.start()
     q.awaitTermination()
     return sdf.sparkSession.sql(f"SELECT * FROM {name}")
 
@@ -606,9 +612,15 @@ def keyed_state_restart_rocksdb(spark: SparkSession, sf_dir: str) -> DataFrame:
 def keyed_state_stream_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E7 keyed state + timers via ``transformWithStateInPandas``
     (Spark ≥4.0 typed-state API; the closest ``KeyedProcessFunction``
-    analogue). Requires google.protobuf at runtime — unavailable in this
-    container, so this path is import-gated and exercised only where the
-    dependency exists."""
+    analogue). The state protocol needs google.protobuf inside the
+    Python WORKER; when the real wheel is absent the vendored
+    wire-compatible mini runtime (protoshim.ensure_protoshim) is put on
+    the worker PYTHONPATH, so this branch executes for real in this
+    container (round-5 completion of the round-4 gate-contract task).
+    Only if neither the wheel nor the vendor tree is usable does the
+    gate fall back to naming the applyInPandasWithState twin."""
+    from flink_tutorial_broadcast_spark.protoshim import ensure_protoshim
+    ensure_protoshim(spark)
     try:
         from google.protobuf import descriptor  # noqa: F401
     except ImportError as exc:  # pragma: no cover - env-dependent
@@ -664,7 +676,115 @@ def keyed_state_stream_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
             timeMode="None",
         )
     )
-    return _run_to_memory(out, "update")
+    # transformWithState keeps each state variable in its own column
+    # family — only the RocksDB provider supports that (the HDFS-backed
+    # map refuses); scope the provider to this query's start
+    key_conf = "spark.sql.streaming.stateStore.providerClass"
+    rocks = ("org.apache.spark.sql.execution.streaming.state."
+             "RocksDBStateStoreProvider")
+    prev = spark.conf.get(key_conf, None)
+    try:
+        spark.conf.set(key_conf, rocks)
+        return _run_to_memory(out, "update")
+    finally:
+        if prev is None:
+            spark.conf.unset(key_conf)
+        else:
+            spark.conf.set(key_conf, prev)
+
+
+def tws_typed_state_surface_stream(spark: SparkSession,
+                                   sf_dir: str) -> DataFrame:
+    """E7, full typed-state surface on the REAL
+    ``transformWithStateInPandas``: ListState (appendList + iterator
+    get), MapState (updateValue / getValue / keys iterator) and the
+    timer registration surface (registerTimer → listTimers →
+    deleteTimer round-trip, processing-time mode) in one processor —
+    together with keyed_state_stream_tws this drives every
+    state-protocol message family of the mini protobuf runtime
+    (vendor/google/protobuf/_mini.py) through the JVM's real parser.
+    Per user the final emission must equal the batch
+    (count, countDistinct(event_type), round(sum(value),2))."""
+    from flink_tutorial_broadcast_spark.protoshim import ensure_protoshim
+    ensure_protoshim(spark)
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+    except ImportError as exc:  # pragma: no cover - env-dependent
+        raise NotImplementedError(
+            "transformWithStateInPandas needs google.protobuf; use "
+            "keyed_state_stream (applyInPandasWithState) instead") from exc
+
+    import pandas as pd
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class TypedSurface(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._vals = handle.getListState("vals", "v double")
+            self._by_type = handle.getMapState(
+                "by_type", "event_type string", "cnt long")
+            self._handle = handle
+
+        def handleInputRows(self, key, rows, timerValues):
+            new = []
+            for pdf in rows:
+                for et, v in zip(pdf["event_type"], pdf["value"]):
+                    new.append((float(v),))
+                    prev = self._by_type.getValue((str(et),))
+                    cnt = (int(prev[0]) if prev is not None else 0) + 1
+                    self._by_type.updateValue((str(et),), (cnt,))
+            if new:
+                self._vals.appendList(new)
+            # timer wire round-trip (no expiry needed): register a
+            # far-future processing-time timer, observe it, delete it
+            far = timerValues.getCurrentProcessingTimeInMs() + 3_600_000
+            self._handle.registerTimer(far)
+            if far not in list(self._handle.listTimers()):
+                raise ValueError("registered timer missing from listTimers")
+            self._handle.deleteTimer(far)
+            total, n = 0.0, 0
+            for (v,) in self._vals.get():
+                total += float(v)
+                n += 1
+            n_types = sum(1 for _ in self._by_type.keys())
+            yield pd.DataFrame({
+                "user_id": [key[0]], "n_events": [n],
+                "n_types": [n_types], "total_value": [round(total, 2)],
+            })
+
+        def close(self) -> None:
+            pass
+
+    ev = stream_events(spark, sf_dir).select("user_id", "event_type",
+                                             "value")
+    out = (
+        ev.groupBy("user_id")
+        .transformWithStateInPandas(
+            TypedSurface(),
+            outputStructType=(
+                "user_id long, n_events long, n_types long, "
+                "total_value double"),
+            outputMode="Update",
+            timeMode="ProcessingTime",
+        )
+    )
+    key_conf = "spark.sql.streaming.stateStore.providerClass"
+    rocks = ("org.apache.spark.sql.execution.streaming.state."
+             "RocksDBStateStoreProvider")
+    prev = spark.conf.get(key_conf, None)
+    try:
+        spark.conf.set(key_conf, rocks)
+        # Trigger.Once, not availableNow: in ProcessingTime mode
+        # availableNow schedules empty batches forever (no pending
+        # timers required — observed on Spark 4.1.2)
+        return _run_to_memory(out, "update", once=True)
+    finally:
+        if prev is None:
+            spark.conf.unset(key_conf)
+        else:
+            spark.conf.set(key_conf, prev)
 
 
 def interval_join_stream(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -437,29 +437,18 @@ def test_eventlog_executor_side_producer(spark):
             assert ids == sorted(ids)
 
 
-def test_tws_gate_contract(spark):
-    """E7 typed-state path (transformWithStateInPandas): in a container
-    without google.protobuf the branch must fail FAST with a
-    NotImplementedError that names the working fallback; where the
-    dependency exists, the branch must actually run and its converged
-    per-user aggregates must equal the batch groupBy. Either way the
-    gate is executed, not dead code."""
-    import pytest
-
+def test_tws_runs_for_real_via_protoshim(spark):
+    """E7 typed-state path: transformWithStateInPandas must EXECUTE in
+    this container — the vendored mini protobuf runtime
+    (protoshim.ensure_protoshim) supplies the worker-side state
+    protocol when the real wheel is absent — and its converged per-user
+    aggregates must equal the batch groupBy. This is a true JVM
+    differential for the mini runtime's wire format: every state
+    request the worker sends is parsed by the JVM's real protobuf."""
     from flink_tutorial_broadcast_spark.io import load
     from flink_tutorial_broadcast_spark.streaming.jobs import (
         keyed_state_stream_tws,
     )
-    try:
-        import google.protobuf  # noqa: F401
-        has_protobuf = True
-    except ImportError:
-        has_protobuf = False
-
-    if not has_protobuf:
-        with pytest.raises(NotImplementedError, match="keyed_state_stream"):
-            keyed_state_stream_tws(spark, SF_SMOKE)
-        return
 
     got = {r["user_id"]: (r["n_events"], r["total_value"])
            for r in keyed_state_stream_tws(spark, SF_SMOKE)
@@ -472,6 +461,61 @@ def test_tws_gate_contract(spark):
             .agg(F.count("*").alias("n"),
                  F.round(F.sum("value"), 2).alias("t")).collect()}
     assert got == want
+
+
+def test_tws_typed_state_surface_list_map_timers(spark):
+    """ListState + MapState + timer registration over the real
+    transformWithStateInPandas: final per-user emissions must equal the
+    batch (count, countDistinct(event_type), sum(value)) — and the
+    processor itself asserts the registerTimer→listTimers→deleteTimer
+    round-trip inside the worker (a wire failure fails the query)."""
+    from flink_tutorial_broadcast_spark.io import load
+    from flink_tutorial_broadcast_spark.streaming.jobs import (
+        tws_typed_state_surface_stream,
+    )
+
+    res = tws_typed_state_surface_stream(spark, SF_SMOKE)
+    got = {r["user_id"]: (r["n_events"], r["n_types"], r["total_value"])
+           for r in res.groupBy("user_id")
+           .agg(F.max("n_events").alias("n_events"),
+                F.max("n_types").alias("n_types"),
+                F.max("total_value").alias("total_value")).collect()}
+    want = {r["user_id"]: (r["n"], r["d"], r["t"])
+            for r in load(spark, SF_SMOKE, "events")
+            .groupBy("user_id")
+            .agg(F.count("*").alias("n"),
+                 F.countDistinct("event_type").alias("d"),
+                 F.round(F.sum("value"), 2).alias("t")).collect()}
+    assert got == want
+
+
+def test_tws_gate_contract_without_any_protobuf(spark, monkeypatch):
+    """When NEITHER the real protobuf nor the vendor tree is usable, the
+    branch must still fail FAST with a NotImplementedError naming the
+    applyInPandasWithState fallback (the original gate contract)."""
+    import sys
+
+    import pytest
+
+    from flink_tutorial_broadcast_spark import protoshim
+    from flink_tutorial_broadcast_spark.streaming.jobs import (
+        keyed_state_stream_tws,
+    )
+
+    # simulate "no protobuf anywhere": the shim reports mini but places
+    # nothing on sys.path, and any previously imported google modules
+    # are hidden from this process
+    monkeypatch.setattr(protoshim, "ensure_protoshim",
+                        lambda spark=None: "mini")
+    for mod in list(sys.modules):
+        if mod == "google" or mod.startswith("google."):
+            monkeypatch.delitem(sys.modules, mod)
+    monkeypatch.setattr(
+        sys, "path",
+        [p for p in sys.path if protoshim.VENDOR_DIR not in p])
+
+    with pytest.raises(NotImplementedError, match="keyed_state_stream"):
+        keyed_state_stream_tws(spark, SF_SMOKE)
 
 
 def test_event_time_timer_exact_fire_set_and_payloads(spark):
