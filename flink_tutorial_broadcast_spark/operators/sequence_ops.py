@@ -314,7 +314,9 @@ def q_cep_followed_by_within(spark: SparkSession, sf_dir: str) -> DataFrame:
     Flink's NFA with skip-past-last-event: where Flink would fork an
     alternative partial on an intermediate view, this machine keeps one
     anchor — the deterministic trade documented here and pinned by the
-    Python-reference test. Both engines run the IDENTICAL machine
+    Python-reference test (the forking multi-anchor semantics are the
+    separate oracle-backed key q_cep_followed_by_all). Both engines run
+    the IDENTICAL machine
     (Spark: struct-accumulator fold in codegen; oracle: recursive-CTE
     step relation with the expiry applied via LATERAL before the
     transition), integer-microsecond time arithmetic throughout.
@@ -350,6 +352,101 @@ def q_cep_followed_by_within(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         ev.groupBy("user_id")
         .agg(fold["cnt"].cast("long").alias("n_matches"))
+        .filter(F.col("n_matches") > 0)
+    )
+
+
+@query(
+    "q_cep_followed_by_all",
+    oracle=f"""
+    WITH RECURSIVE codes AS (
+      SELECT user_id,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS i,
+             CASE event_type WHEN 'view' THEN 1 WHEN 'click' THEN 2
+                  WHEN 'purchase' THEN 3 ELSE 0 END AS c,
+             epoch_us(ts) AS t
+      FROM events
+    ), n AS (
+      SELECT user_id, COUNT(*) AS n_ev FROM codes GROUP BY user_id
+    ), run AS (
+      SELECT user_id, 0 AS i, CAST(0 AS BIGINT) AS cnt,
+             CAST([] AS BIGINT[]) AS s1, CAST([] AS BIGINT[]) AS s2
+      FROM n
+      UNION ALL
+      SELECT r.user_id, r.i + 1,
+             CASE WHEN c.c = 3 THEN r.cnt + len(f.s2f) ELSE r.cnt END,
+             CASE WHEN c.c = 1 THEN list_append(f.s1f, c.t)
+                  WHEN c.c = 2 THEN CAST([] AS BIGINT[])
+                  ELSE f.s1f END,
+             CASE WHEN c.c = 2 THEN list_concat(f.s2f, f.s1f)
+                  WHEN c.c = 3 THEN CAST([] AS BIGINT[])
+                  ELSE f.s2f END
+      FROM run r
+      JOIN codes c ON c.user_id = r.user_id AND c.i = r.i + 1
+      CROSS JOIN LATERAL (
+        SELECT list_filter(r.s1, a -> c.t - a <= {_CEP_FBW_US}) AS s1f,
+               list_filter(r.s2, a -> c.t - a <= {_CEP_FBW_US}) AS s2f) f
+    )
+    SELECT r.user_id, r.cnt AS n_matches
+    FROM run r JOIN n ON r.user_id = n.user_id AND r.i = n.n_ev
+    WHERE r.cnt > 0
+    """,
+)
+def q_cep_followed_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CEP relaxed contiguity, Flink's DEFAULT forking-NFA semantics
+    (``begin("v").followedBy("c").followedBy("p")
+    .within(Time.hours(48))`` with NO skip strategy [FLINK-API
+    `AfterMatchSkipStrategy#noSkip`]): EVERY view starts its own
+    pending match; distinct anchors may share the same click/purchase
+    events, so one purchase can complete several overlapping matches —
+    the multi-anchor behavior the single-anchor greedy keys
+    (q_cep_followed_by / q_cep_followed_by_within) deliberately trade
+    away, closing that documented divergence.
+
+    State is the open-anchor sets: `s1` = anchor timestamps awaiting a
+    click, `s2` = anchors awaiting a purchase (followedBy binds each
+    partial to the FIRST qualifying next event, so every stage-1 anchor
+    transitions on the same click). Per event: expire anchors older
+    than `within` FIRST (exactly the pruning that keeps Flink NFA state
+    bounded — without `within` the anchor set grows forever), then
+    view→append to s1, click→s1 drains into s2, purchase→count += |s2|.
+    Both engines run this identical machine: Spark as a codegen'd
+    `F.aggregate` fold whose accumulator holds the two anchor ARRAYS
+    (bounded by per-user event density inside 48 h), the oracle as a
+    recursive-CTE step relation with LIST-typed state columns, expiry
+    applied via LATERAL before the transition. A brute-force Python NFA
+    pins parity in tests.
+    """
+    ev = load(spark, sf_dir, "events")
+    seq = F.array_sort(F.collect_list(F.struct(
+        F.unix_micros("ts").alias("t"),
+        F.col("event_id").alias("eid"),
+        F.when(F.col("event_type") == "view", 1)
+         .when(F.col("event_type") == "click", 2)
+         .when(F.col("event_type") == "purchase", 3)
+         .otherwise(0).alias("c"))))
+    empty = F.array().cast("array<long>")
+    init = F.struct(F.lit(0).cast("long").alias("cnt"),
+                    empty.alias("s1"), empty.alias("s2"))
+
+    def step(acc, x):
+        s1f = F.filter(acc["s1"], lambda a: x["t"] - a <= _CEP_FBW_US)
+        s2f = F.filter(acc["s2"], lambda a: x["t"] - a <= _CEP_FBW_US)
+        new_cnt = F.when(x["c"] == 3,
+                         acc["cnt"] + F.size(s2f).cast("long")) \
+                   .otherwise(acc["cnt"])
+        new_s1 = (F.when(x["c"] == 1, F.concat(s1f, F.array(x["t"])))
+                  .when(x["c"] == 2, empty).otherwise(s1f))
+        new_s2 = (F.when(x["c"] == 2, F.concat(s2f, s1f))
+                  .when(x["c"] == 3, empty).otherwise(s2f))
+        return F.struct(new_cnt.alias("cnt"), new_s1.alias("s1"),
+                        new_s2.alias("s2"))
+
+    fold = F.aggregate(seq, init, step)
+    return (
+        ev.groupBy("user_id")
+        .agg(fold["cnt"].alias("n_matches"))
         .filter(F.col("n_matches") > 0)
     )
 

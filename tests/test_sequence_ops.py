@@ -131,6 +131,46 @@ def test_cep_followed_by_within_matches_python_machine(spark, queries):
         assert n <= unbounded.get(uid, 0)
 
 
+def test_cep_followed_by_all_matches_python_forking_nfa(spark, queries):
+    """Multi-anchor forking NFA (Flink default, NO_SKIP): the engine's
+    array-state fold must equal a driver-side reference that keeps the
+    literal set of open anchors per stage (expiry before transition);
+    and since every single-anchor match is also a forking-NFA match
+    inside the same window, per user forking >= single-anchor."""
+    ev = (load(spark, SF_SMOKE, "events")
+          .select("user_id", F.unix_micros("ts").alias("t"),
+                  "event_id", "event_type").collect())
+    code = {"view": 1, "click": 2, "purchase": 3}
+    per_user: dict[int, list] = {}
+    for r in ev:
+        per_user.setdefault(r["user_id"], []).append(
+            (r["t"], r["event_id"], code.get(r["event_type"], 0)))
+    w_us = 48 * 3600 * 1_000_000
+    expect = {}
+    for uid, rows in per_user.items():
+        cnt, s1, s2 = 0, [], []
+        for t, _, c in sorted(rows):
+            s1 = [a for a in s1 if t - a <= w_us]
+            s2 = [a for a in s2 if t - a <= w_us]
+            if c == 1:
+                s1.append(t)
+            elif c == 2:
+                s2, s1 = s2 + s1, []
+            elif c == 3:
+                cnt += len(s2)
+                s2 = []
+        if cnt:
+            expect[uid] = cnt
+    got = {r["user_id"]: r["n_matches"] for r in
+           queries["q_cep_followed_by_all"](spark, SF_SMOKE).collect()}
+    assert got == expect
+    single = {r["user_id"]: r["n_matches"] for r in
+              queries["q_cep_followed_by_within"](spark, SF_SMOKE)
+              .collect()}
+    for uid, n in single.items():
+        assert got.get(uid, 0) >= n
+
+
 def test_cep_match_measures_bindings(spark, queries):
     """Per-match bindings: counts agree with q_cep_followed_by, starts
     are views, ends are purchases, numbering is contiguous, spans are
