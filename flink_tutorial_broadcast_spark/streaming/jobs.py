@@ -185,6 +185,64 @@ def session_window_stream_snapshots(spark: SparkSession, sf_dir: str,
         "n_events long")
 
 
+def _count_window_roll(size: int):
+    """Keyed-state count-window processor (module-level so the streaming
+    twin AND the restart job run the identical fold): state =
+    (current bucket, events in bucket, running sum); events folded in
+    (ts, event_id) order, bucket rolls every `size` events, every
+    touched bucket emitted with end-of-batch totals."""
+    import pandas as pd
+
+    def roll(key, pdf_iter, state):
+        bucket, n, s = state.get if state.exists else (0, 0, 0.0)
+        rows = []
+        for pdf in pdf_iter:
+            for _, r in pdf.iterrows():
+                rows.append((r["ts"], r["event_id"], r["value"]))
+        touched: dict[int, tuple[int, float]] = {}
+        for _, _, v in sorted(rows):
+            if n == size:
+                bucket, n, s = bucket + 1, 0, 0.0
+            n += 1
+            s += float(v)
+            touched[bucket] = (n, s)
+        state.update((bucket, n, s))
+        yield pd.DataFrame({
+            "user_id": [key[0]] * len(touched),
+            "bucket": list(touched),
+            "n_events": [t[0] for t in touched.values()],
+            "sum_value": [round(t[1], 2) for t in touched.values()],
+        })
+
+    return roll
+
+
+_CEP_STREAM_CODE = {"view": 1, "click": 2, "purchase": 3}
+
+
+def _cep_advance(key, pdf_iter, state):
+    """Keyed-state CEP automaton step (module-level so the streaming
+    twin AND the restart job run the identical machine): state = the
+    NFA's O(1) register (match count, stage)."""
+    import pandas as pd
+
+    cnt, stage = state.get if state.exists else (0, 0)
+    rows = []
+    for pdf in pdf_iter:
+        for _, r in pdf.iterrows():
+            rows.append((r["ts"], r["event_id"],
+                         _CEP_STREAM_CODE.get(r["event_type"], 0)))
+    for _, _, c in sorted(rows):
+        if c == stage + 1:
+            if stage == 2:
+                cnt, stage = cnt + 1, 0
+            else:
+                stage += 1
+    state.update((cnt, stage))
+    yield pd.DataFrame({"user_id": [key[0]], "n_matches": [cnt],
+                        "stage": [stage]})
+
+
 def count_window_stream(spark: SparkSession, sf_dir: str,
                         size: int = 50) -> DataFrame:
     """E4 STREAMING count windows (Flink ``keyBy(...).countWindow(50)``)
@@ -218,29 +276,7 @@ def count_window_stream(spark: SparkSession, sf_dir: str,
             os.utime(os.path.join(d, part, fname),
                      (stamp + 10 * i, stamp + 10 * i))
 
-    import pandas as pd
-    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
-
-    def roll(key, pdf_iter, state: GroupState):
-        bucket, n, s = state.get if state.exists else (0, 0, 0.0)
-        rows = []
-        for pdf in pdf_iter:
-            for _, r in pdf.iterrows():
-                rows.append((r["ts"], r["event_id"], r["value"]))
-        touched: dict[int, tuple[int, float]] = {}
-        for _, _, v in sorted(rows):
-            if n == size:
-                bucket, n, s = bucket + 1, 0, 0.0
-            n += 1
-            s += float(v)
-            touched[bucket] = (n, s)
-        state.update((bucket, n, s))
-        yield pd.DataFrame({
-            "user_id": [key[0]] * len(touched),
-            "bucket": list(touched),
-            "n_events": [t[0] for t in touched.values()],
-            "sum_value": [round(t[1], 2) for t in touched.values()],
-        })
+    from pyspark.sql.streaming.state import GroupStateTimeout
 
     sdf = (
         spark.readStream
@@ -250,7 +286,7 @@ def count_window_stream(spark: SparkSession, sf_dir: str,
         .parquet(d)
     )
     out = sdf.groupBy("user_id").applyInPandasWithState(
-        roll,
+        _count_window_roll(size),
         outputStructType=("user_id long, bucket long, n_events long, "
                           "sum_value double"),
         stateStructType="bucket long, n long, s double",
@@ -345,27 +381,7 @@ def cep_followed_by_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
             os.utime(os.path.join(d, part, fname),
                      (stamp + 10 * i, stamp + 10 * i))
 
-    import pandas as pd
-    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
-
-    code = {"view": 1, "click": 2, "purchase": 3}
-
-    def advance(key, pdf_iter, state: GroupState):
-        cnt, stage = state.get if state.exists else (0, 0)
-        rows = []
-        for pdf in pdf_iter:
-            for _, r in pdf.iterrows():
-                rows.append((r["ts"], r["event_id"],
-                             code.get(r["event_type"], 0)))
-        for _, _, c in sorted(rows):
-            if c == stage + 1:
-                if stage == 2:
-                    cnt, stage = cnt + 1, 0
-                else:
-                    stage += 1
-        state.update((cnt, stage))
-        yield pd.DataFrame({"user_id": [key[0]], "n_matches": [cnt],
-                            "stage": [stage]})
+    from pyspark.sql.streaming.state import GroupStateTimeout
 
     sdf = (
         spark.readStream
@@ -376,7 +392,7 @@ def cep_followed_by_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .parquet(d)
     )
     out = sdf.groupBy("user_id").applyInPandasWithState(
-        advance,
+        _cep_advance,
         outputStructType="user_id long, n_matches long, stage long",
         stateStructType="cnt long, stage long",
         outputMode="Update",
@@ -607,6 +623,118 @@ def keyed_state_restart_rocksdb(spark: SparkSession, sf_dir: str) -> DataFrame:
     out.count()
     shutil.rmtree(root, ignore_errors=True)
     return out
+
+
+def _restart_two_halves_rocksdb(spark, src_schema: str, half1, half2,
+                                make_stream):
+    """Shared restart harness (the keyed_state_restart_rocksdb pattern):
+    write half 1 → run a query to drain it → write half 2 → a NEW query
+    resumes the SAME checkpoint on the RocksDB provider. Returns the two
+    runs' emissions as cached DataFrames (run 1, run 2)."""
+    key_conf = "spark.sql.streaming.stateStore.providerClass"
+    rocks = ("org.apache.spark.sql.execution.streaming.state."
+             "RocksDBStateStoreProvider")
+    root = tempfile.mkdtemp(prefix="restart2_")
+    src = os.path.join(root, "src")
+    os.makedirs(src)
+    ckpt = checkpoint_dir()
+
+    def run_once(sink: str) -> None:
+        sdf = spark.readStream.schema(src_schema).parquet(src)
+        q = (
+            make_stream(sdf)
+            .writeStream.foreachBatch(
+                lambda bdf, bid: bdf.write.mode("append").parquet(sink))
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    out1 = os.path.join(root, "out1")
+    out2 = os.path.join(root, "out2")
+    prev = spark.conf.get(key_conf)
+    try:
+        spark.conf.set(key_conf, rocks)
+        half1.coalesce(1).write.mode("append").parquet(src)
+        run_once(out1)
+        half2.coalesce(1).write.mode("append").parquet(src)
+        run_once(out2)
+    finally:
+        spark.conf.set(key_conf, prev)
+    r1 = spark.read.parquet(out1).cache()
+    r1.count()
+    r2 = spark.read.parquet(out2).cache()
+    r2.count()
+    shutil.rmtree(root, ignore_errors=True)
+    return r1, r2
+
+
+def count_window_restart_rocksdb(spark: SparkSession, sf_dir: str,
+                                 size: int = 50):
+    """E4 count windows surviving a RESTART (the round-4 twin's missing
+    durability pin): run 1 folds the first time-ordered half of the
+    events, the query STOPS, run 2 — a brand-new query — resumes the
+    same checkpoint on RocksDB with the second half. A bucket straddling
+    the restart must complete with its run-1 events included, which is
+    only possible if the (bucket, n, sum) register was durably persisted
+    and reloaded. Returns (run-1 emissions, run-2 emissions)."""
+    from flink_tutorial_broadcast_spark.io import load
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "value")
+    split_ts = ev.agg(
+        F.percentile_approx("ts", 0.5).alias("m")).collect()[0]["m"]
+
+    def make(sdf):
+        return sdf.groupBy("user_id").applyInPandasWithState(
+            _count_window_roll(size),
+            outputStructType=("user_id long, bucket long, n_events long, "
+                              "sum_value double"),
+            stateStructType="bucket long, n long, s double",
+            outputMode="Update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+
+    return _restart_two_halves_rocksdb(
+        spark, "user_id long, ts timestamp, event_id long, value double",
+        ev.filter(F.col("ts") <= F.lit(split_ts)),
+        ev.filter(F.col("ts") > F.lit(split_ts)),
+        make)
+
+
+def cep_followed_by_restart_rocksdb(spark: SparkSession, sf_dir: str):
+    """Streaming CEP surviving a RESTART (the round-4 twin's missing
+    durability pin): run 1 advances the per-user NFA register over the
+    first time-ordered half, run 2 resumes the same checkpoint on
+    RocksDB with the second half — a partial match open at the restart
+    (stage > 0) must complete in run 2, which a recomputation-per-query
+    would lose. Returns (run-1 emissions, run-2 emissions)."""
+    from flink_tutorial_broadcast_spark.io import load
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type")
+    split_ts = ev.agg(
+        F.percentile_approx("ts", 0.5).alias("m")).collect()[0]["m"]
+
+    def make(sdf):
+        return sdf.groupBy("user_id").applyInPandasWithState(
+            _cep_advance,
+            outputStructType="user_id long, n_matches long, stage long",
+            stateStructType="cnt long, stage long",
+            outputMode="Update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+
+    return _restart_two_halves_rocksdb(
+        spark, "user_id long, ts timestamp, event_id long, "
+               "event_type string",
+        ev.filter(F.col("ts") <= F.lit(split_ts)),
+        ev.filter(F.col("ts") > F.lit(split_ts)),
+        make)
 
 
 def keyed_state_stream_tws(spark: SparkSession, sf_dir: str) -> DataFrame:

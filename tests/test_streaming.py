@@ -437,6 +437,64 @@ def test_eventlog_executor_side_producer(spark):
             assert ids == sorted(ids)
 
 
+def test_count_window_restart_rocksdb(spark, queries):
+    """Count-window keyed state survives a query RESTART on RocksDB:
+    run 2 (second half only, same checkpoint, new query) must finish
+    every bucket with the batch-exact totals — including at least one
+    bucket left PARTIAL at the restart, whose completion needs run-1
+    events reloaded from the checkpoint."""
+    from flink_tutorial_broadcast_spark.streaming.jobs import (
+        count_window_restart_rocksdb,
+    )
+
+    r1, r2 = count_window_restart_rocksdb(spark, SF_SMOKE)
+    batch = {(r["user_id"], r["bucket"]): (r["n_events"], r["sum_value"])
+             for r in queries["q_window_count"](spark, SF_SMOKE).collect()}
+    # final emission per (user, bucket): run 2 overrides run 1
+    final = {(r["user_id"], r["bucket"]): (r["n_events"], r["sum_value"])
+             for r in r1.collect()}
+    final.update({(r["user_id"], r["bucket"]):
+                  (r["n_events"], r["sum_value"]) for r in r2.collect()})
+    assert final == batch
+    # a bucket partial at the restart must have been completed in run 2
+    # from carried state (its run-2 totals include run-1 events)
+    r1_last = {}
+    for r in r1.collect():
+        k = r["user_id"]
+        if k not in r1_last or r["bucket"] > r1_last[k][0]:
+            r1_last[k] = (r["bucket"], r["n_events"], r["sum_value"])
+    r2_rows = {(r["user_id"], r["bucket"]): (r["n_events"], r["sum_value"])
+               for r in r2.collect()}
+    carried = [
+        u for u, (b, n, s) in r1_last.items()
+        if 0 < n < 50 and (u, b) in r2_rows
+        and r2_rows[(u, b)][0] > n]
+    assert carried, "no bucket straddled the restart"
+
+
+def test_cep_restart_rocksdb_completes_partial_match(spark, queries):
+    """The CEP NFA register survives a query RESTART on RocksDB: run-2
+    final counts equal the oracle-checked batch q_cep_followed_by, and
+    at least one user whose register was mid-match at the restart
+    (stage > 0 in run 1's last emission) completed that match in run 2
+    — continuity a per-query recomputation would lose."""
+    from flink_tutorial_broadcast_spark.streaming.jobs import (
+        cep_followed_by_restart_rocksdb,
+    )
+
+    r1, r2 = cep_followed_by_restart_rocksdb(spark, SF_SMOKE)
+    r1_final = {r["user_id"]: (r["n_matches"], r["stage"])
+                for r in r1.collect()}
+    final = {u: n for u, (n, _) in r1_final.items()}
+    final.update({r["user_id"]: r["n_matches"] for r in r2.collect()})
+    batch = {r["user_id"]: r["n_matches"] for r in
+             queries["q_cep_followed_by"](spark, SF_SMOKE).collect()}
+    assert {u: n for u, n in final.items() if n > 0} == batch
+    carried = [u for u, (n, st) in r1_final.items()
+               if st > 0 and final[u] > n]
+    assert carried, "no partial match crossed the restart"
+
+
 def test_tws_runs_for_real_via_protoshim(spark):
     """E7 typed-state path: transformWithStateInPandas must EXECUTE in
     this container — the vendored mini protobuf runtime
