@@ -35,7 +35,10 @@ _QUERY_MODULES = (
     "flink_tutorial_broadcast_spark.operators.analytic_windows",
     "flink_tutorial_broadcast_spark.operators.scalar_funcs",
     "flink_tutorial_broadcast_spark.operators.udf_surface",
-    "flink_tutorial_broadcast_spark.operators.llm_ops",
+    # llm_ops was split in round 5 (keys unchanged): dedup / knn / scoring
+    "flink_tutorial_broadcast_spark.operators.llm_knn",
+    "flink_tutorial_broadcast_spark.operators.llm_dedup",
+    "flink_tutorial_broadcast_spark.operators.llm_scoring",
     "flink_tutorial_broadcast_spark.operators.multimodal",
     "flink_tutorial_broadcast_spark.operators.olap_ext",
     "flink_tutorial_broadcast_spark.operators.composite",
