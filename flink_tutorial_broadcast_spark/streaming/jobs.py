@@ -915,6 +915,124 @@ def tws_typed_state_surface_stream(spark: SparkSession,
             spark.conf.set(key_conf, prev)
 
 
+def tws_event_time_timer_stream(spark: SparkSession, sf_dir: str,
+                                gap_minutes: int = 30) -> DataFrame:
+    """E7 event-time TIMERS actually FIRING through the real
+    ``transformWithStateInPandas`` (``handleExpiredTimer`` — Flink's
+    ``KeyedProcessFunction.onTimer`` on the typed-state API, runnable
+    here via the mini protobuf runtime): per-user session tracking where
+    every event extends the session and re-arms a timer at
+    ``last_ts + gap``; when the watermark passes an armed timer with no
+    re-arm, ``handleExpiredTimer`` emits the closed session and clears
+    state.
+
+    Exact semantics pinned by the test (Spark processes a batch's input
+    BEFORE its timers, so an armed timer deleted/re-armed by new input
+    never fires mid-stream for users active in every batch): with the
+    two-file time-split source, a user's single merged session fires iff
+    ``last_ts + gap <= terminal watermark`` (the fixture's max ts at 0 s
+    delay), with ``fired_at = last_ts + gap`` and ``n_events`` = the
+    user's total — and the argmax-ts user(s) never fire. EventTime mode
+    terminates cleanly under availableNow (unlike ProcessingTime)."""
+    import pandas as pd
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    from flink_tutorial_broadcast_spark.io import load
+    from flink_tutorial_broadcast_spark.protoshim import ensure_protoshim
+    ensure_protoshim(spark)
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+    except ImportError as exc:  # pragma: no cover - env-dependent
+        raise NotImplementedError(
+            "transformWithStateInPandas needs google.protobuf; use "
+            "session_close_timer_stream (applyInPandasWithState) "
+            "instead") from exc
+
+    gap_ms = gap_minutes * 60_000
+
+    ev_batch = load(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id")
+    split_ts = ev_batch.agg(
+        F.percentile_approx("ts", 0.5).alias("m")).collect()[0]["m"]
+    d = tempfile.mkdtemp(prefix="tws_timer_")
+    (ev_batch.filter(F.col("ts") <= F.lit(split_ts))
+     .coalesce(1).write.parquet(os.path.join(d, "f=0")))
+    (ev_batch.filter(F.col("ts") > F.lit(split_ts))
+     .coalesce(1).write.parquet(os.path.join(d, "f=1")))
+    stamp = int(time.time())
+    for i, part in enumerate(("f=0", "f=1")):
+        for fname in os.listdir(os.path.join(d, part)):
+            os.utime(os.path.join(d, part, fname),
+                     (stamp + 10 * i, stamp + 10 * i))
+
+    class SessionTimer(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._h = handle
+            self._s = handle.getValueState(
+                "sess", "start long, last long, n long")
+
+        def handleInputRows(self, key, rows, timerValues):
+            start, last, n = (self._s.get() if self._s.exists()
+                              else (None, None, 0))
+            ts_list = []
+            for pdf in rows:
+                ts_list += [int(t.timestamp() * 1000)
+                            for t in pdf["ts"]]
+            for t in sorted(ts_list):
+                if start is None:
+                    start = t
+                last = t if last is None else max(last, t)
+                n += 1
+            if last is not None:
+                for old in list(self._h.listTimers()):
+                    self._h.deleteTimer(old)
+                self._h.registerTimer(last + gap_ms)
+            self._s.update((start, last, n))
+            return iter([])
+
+        def handleExpiredTimer(self, key, timerValues, expiredTimerInfo):
+            if self._s.exists():
+                _start, _last, n = self._s.get()
+                self._s.clear()
+                yield pd.DataFrame({
+                    "user_id": [key[0]], "n_events": [n],
+                    "fired_at": [expiredTimerInfo.getExpiryTimeInMs()],
+                })
+
+        def close(self) -> None:
+            pass
+
+    sdf = (
+        spark.readStream.schema("user_id long, ts timestamp, "
+                                "event_id long")
+        .option("maxFilesPerTrigger", "1")
+        .option("recursiveFileLookup", "true")
+        .parquet(d)
+        .withWatermark("ts", "0 seconds")
+    )
+    out = sdf.groupBy("user_id").transformWithStateInPandas(
+        SessionTimer(),
+        outputStructType="user_id long, n_events long, fired_at long",
+        outputMode="Append",
+        timeMode="EventTime",
+    )
+    key_conf = "spark.sql.streaming.stateStore.providerClass"
+    rocks = ("org.apache.spark.sql.execution.streaming.state."
+             "RocksDBStateStoreProvider")
+    prev = spark.conf.get(key_conf, None)
+    try:
+        spark.conf.set(key_conf, rocks)
+        return _run_to_memory(out, "append")
+    finally:
+        if prev is None:
+            spark.conf.unset(key_conf)
+        else:
+            spark.conf.set(key_conf, prev)
+
+
 def interval_join_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C7 streaming form: stream-stream interval join with watermarks —
     errors within ±5 minutes of a purchase by the same user (matches

@@ -547,6 +547,38 @@ def test_tws_typed_state_surface_list_map_timers(spark):
     assert got == want
 
 
+def test_tws_event_time_timers_fire_exactly(spark):
+    """handleExpiredTimer on the REAL transformWithStateInPandas: the
+    fire set, payloads, and fire timestamps are re-derived from the
+    fixture — a user's merged session fires iff last_ts + gap <= the
+    terminal watermark (max ts, 0s delay), with fired_at exactly
+    last_ts + gap and n_events = the user's total; the argmax-ts
+    user(s) must never fire."""
+    from flink_tutorial_broadcast_spark.io import load
+    from flink_tutorial_broadcast_spark.streaming.jobs import (
+        tws_event_time_timer_stream,
+    )
+
+    gap_ms = 30 * 60_000
+    rows = tws_event_time_timer_stream(spark, SF_SMOKE).collect()
+    got = {r["user_id"]: (r["n_events"], r["fired_at"]) for r in rows}
+    assert len(got) == len(rows)  # one closed session per fired user
+
+    per_user = {}
+    for r in load(spark, SF_SMOKE, "events") \
+            .select("user_id", "ts").collect():
+        ms = int(r["ts"].timestamp() * 1000)
+        n, last = per_user.get(r["user_id"], (0, 0))
+        per_user[r["user_id"]] = (n + 1, max(last, ms))
+    terminal_wm = max(last for _n, last in per_user.values())
+    want = {u: (n, last + gap_ms) for u, (n, last) in per_user.items()
+            if last + gap_ms <= terminal_wm}
+    assert got == want
+    unfired = set(per_user) - set(want)
+    assert unfired  # the argmax-ts user's timer sits past the watermark
+    assert all(per_user[u][1] + gap_ms > terminal_wm for u in unfired)
+
+
 def test_tws_gate_contract_without_any_protobuf(spark, monkeypatch):
     """When NEITHER the real protobuf nor the vendor tree is usable, the
     branch must still fail FAST with a NotImplementedError naming the
