@@ -260,7 +260,9 @@ def q_scan_eventlog(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     n_log_parts = 4
     root = _tmp("eventlog", sf_dir)
-    stamp = _source_stamp(sf_dir, "events")
+    # ":v2" invalidates caches produced before records carried explicit
+    # offsets (round-5 compaction support)
+    stamp = _source_stamp(sf_dir, "events") + ":v2"
     if not _is_current(root, stamp):
         _sh.rmtree(root, ignore_errors=True)
         os.makedirs(root, exist_ok=True)
@@ -276,6 +278,60 @@ def q_scan_eventlog(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type")
         .agg(F.count("*").alias("n"),
              F.round(F.sum("value"), 2).alias("sum_value"))
+    )
+
+
+@query(
+    "q_scan_eventlog_compacted",
+    oracle="""
+    WITH latest AS (
+      SELECT user_id, MAX(event_id) AS event_id
+      FROM events GROUP BY user_id
+    )
+    SELECT e.event_id, e.user_id, e.event_type,
+           ROUND(e.value, 2) AS value
+    FROM events e
+    JOIN latest l
+      ON e.user_id = l.user_id AND e.event_id = l.event_id
+    """,
+)
+def q_scan_eventlog_compacted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kafka LOG COMPACTION (``cleanup.policy=compact``) made runnable:
+    the events fixture is produced into the partitioned log (explicit
+    per-record offsets, event_id append order), `log_compact` rewrites
+    each partition keeping only the highest-offset record per key
+    (user_id — the producer's message key) with offsets PRESERVED, and
+    the compacted log is read back through the same `ftbs_eventlog`
+    format. The oracle derives the same latest-record-per-user set from
+    the fixture directly (offset order ≡ event_id order by the
+    producer's sort), so the hash match proves compaction keeps exactly
+    Kafka's contract: latest value per key, nothing else, offsets with
+    gaps. Checkpoint validity across compaction is pinned in
+    tests/test_streaming.py.
+    """
+    import functools as _ft
+    import shutil as _sh
+
+    from flink_tutorial_broadcast_spark.sources import eventlog
+
+    n_log_parts = 4
+    root = _tmp("eventlog_compact", sf_dir)
+    stamp = _source_stamp(sf_dir, "events") + ":v2"
+    if not _is_current(root, stamp):
+        _sh.rmtree(root, ignore_errors=True)
+        os.makedirs(root, exist_ok=True)
+        (load(spark, sf_dir, "events")
+         .select("event_id", "user_id", "event_type", "value")
+         .repartition(n_log_parts, F.col("user_id") % n_log_parts)
+         .foreachPartition(
+             _ft.partial(eventlog.producer_task, root, n_log_parts)))
+        eventlog.log_compact(root)
+        _mark_current(root, stamp)
+    eventlog.register(spark)
+    return (
+        spark.read.format("ftbs_eventlog").option("path", root).load()
+        .select("event_id", "user_id", "event_type",
+                F.round("value", 2).alias("value"))
     )
 
 

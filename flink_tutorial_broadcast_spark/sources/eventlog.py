@@ -53,13 +53,22 @@ SCHEMA = "event_id long, user_id long, event_type string, value double"
 # --------------------------------------------------------------------------
 
 def _append_segment(root: str, p: int, part_rows: list[tuple]) -> None:
+    """One new immutable segment. Each record carries its EXPLICIT log
+    offset (Kafka's model): offsets are assigned once at append time
+    and survive segment rewrites, which is what makes compaction
+    checkpoint-safe. Rows are appended in event_id order, so offset
+    order ≡ event_id order within a partition for a single produce
+    pass (the determinism the compacted-scan oracle relies on)."""
     pdir = os.path.join(root, f"p={p}")
     os.makedirs(pdir, exist_ok=True)
     n_seg = len([f for f in os.listdir(pdir) if f.startswith("seg-")])
+    next_off = _latest(root, p)
     seg = os.path.join(pdir, f"seg-{n_seg:06d}.jsonl")
     with open(seg, "w") as fh:
-        for r in part_rows:
-            fh.write(json.dumps(dict(zip(_FIELDS, r))) + "\n")
+        for i, r in enumerate(sorted(part_rows, key=lambda x: x[0])):
+            rec = dict(zip(_FIELDS, r))
+            rec["offset"] = next_off + i
+            fh.write(json.dumps(rec) + "\n")
 
 
 def log_write(root: str, rows: list[tuple], n_partitions: int) -> None:
@@ -100,25 +109,74 @@ def _segments(root: str, p: int) -> list[str]:
 
 
 def _read_range(root: str, p: int, lo: int, hi: int) -> Iterator[tuple]:
-    """Records [lo, hi) of partition p, in append order (offset order)."""
+    """Records with offset in [lo, hi) of partition p, in offset order.
+    Offsets are the EXPLICIT per-record values (falling back to the
+    running index for pre-offset segments), so a compacted log — whose
+    offset sequence has gaps — replays a committed range with exactly
+    the surviving records, never shifted ones."""
     i = 0
     for seg in _segments(root, p):
         with open(seg) as fh:
             for line in fh:
-                if i >= hi:
-                    return
-                if i >= lo:
-                    d = json.loads(line)
-                    yield tuple(d[f] for f in _FIELDS)
+                d = json.loads(line)
+                off = d.get("offset", i)
                 i += 1
+                if off >= hi:
+                    return
+                if off >= lo:
+                    yield tuple(d[f] for f in _FIELDS)
 
 
 def _latest(root: str, p: int) -> int:
-    n = 0
+    """Next offset to assign = max stored offset + 1 (count fallback for
+    pre-offset segments). Unchanged by compaction: the partition's
+    last record always survives (it is trivially the latest for its
+    key), exactly Kafka's high-watermark behavior."""
+    last = -1
+    i = 0
     for seg in _segments(root, p):
         with open(seg) as fh:
-            n += sum(1 for _ in fh)
-    return n
+            for line in fh:
+                d = json.loads(line)
+                last = max(last, d.get("offset", i))
+                i += 1
+    return last + 1
+
+
+def log_compact(root: str) -> dict:
+    """Kafka log compaction (``cleanup.policy=compact``): per partition,
+    keep only the HIGHEST-offset record per key (user_id — the
+    producer's partitioning key, Kafka's message key) and rewrite the
+    partition as one compacted segment. Record offsets are PRESERVED
+    (the offset sequence simply gains gaps), so committed streaming
+    checkpoints stay valid and `_latest` is unchanged — the two
+    invariants that make Kafka compaction transparent to consumers.
+    Returns {partition: records_removed}."""
+    removed = {}
+    for p in _partition_ids(root):
+        by_key: dict[int, dict] = {}
+        n = 0
+        i = 0
+        for seg in _segments(root, p):
+            with open(seg) as fh:
+                for line in fh:
+                    d = json.loads(line)
+                    d.setdefault("offset", i)
+                    i += 1
+                    n += 1
+                    k = int(d["user_id"])
+                    if (k not in by_key
+                            or d["offset"] > by_key[k]["offset"]):
+                        by_key[k] = d
+        survivors = sorted(by_key.values(), key=lambda d: d["offset"])
+        pdir = os.path.join(root, f"p={p}")
+        for seg in _segments(root, p):
+            os.remove(seg)
+        with open(os.path.join(pdir, "seg-000000.jsonl"), "w") as fh:
+            for d in survivors:
+                fh.write(json.dumps(d) + "\n")
+        removed[p] = n - len(survivors)
+    return removed
 
 
 def _resolve_offsets(root: str, spec: str, default_sentinel: int) -> dict:

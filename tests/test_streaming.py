@@ -401,6 +401,54 @@ def test_eventlog_batch_offset_range_and_oor(spark):
         bad.collect()
 
 
+def test_eventlog_compaction_preserves_offsets_and_checkpoints(spark):
+    """Kafka compaction contract: log_compact keeps the highest-offset
+    record per key with offsets PRESERVED (gaps, not renumbering), the
+    high watermark is unchanged, and a streaming checkpoint committed
+    BEFORE compaction resumes cleanly AFTER it — reading only newly
+    appended records, never re-reading or shifting."""
+    import tempfile
+
+    from flink_tutorial_broadcast_spark.sources import eventlog
+
+    root = tempfile.mkdtemp(prefix="evlog_cmp_")
+    out = tempfile.mkdtemp(prefix="evlog_cmp_out_")
+    ckpt = tempfile.mkdtemp(prefix="evlog_cmp_ck_")
+    # 90 rows, 30 users, 3 log partitions -> 3 records per user
+    rows = [(i, i % 30, "view", float(i)) for i in range(90)]
+    eventlog.log_write(root, rows, n_partitions=3)
+    eventlog.register(spark)
+
+    def drain():
+        sdf = (spark.readStream.format("ftbs_eventlog")
+               .option("path", root).load())
+        q = (sdf.writeStream.format("parquet")
+             .option("path", out).option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        q.awaitTermination()
+        return sorted(r["event_id"]
+                      for r in spark.read.parquet(out).collect())
+
+    assert drain() == list(range(90))
+    hw_before = {p: eventlog._latest(root, p) for p in (0, 1, 2)}
+
+    removed = eventlog.log_compact(root)
+    assert sum(removed.values()) == 60  # 2 of each user's 3 records
+    # high watermark unchanged; survivors = the highest event per user
+    # (offset order == event_id order) with ORIGINAL offsets
+    assert {p: eventlog._latest(root, p) for p in (0, 1, 2)} == hw_before
+    surviving = [r[0] for p in (0, 1, 2)
+                 for r in eventlog._read_range(root, p, 0, 10**6)]
+    assert sorted(surviving) == list(range(60, 90))  # last third wins
+
+    # checkpoint committed pre-compaction resumes post-compaction:
+    # append new records, drain — ONLY the new ones arrive
+    eventlog.log_write(root, [(200 + i, i % 30, "late", 0.0)
+                              for i in range(12)], n_partitions=3)
+    got = drain()
+    assert got == list(range(90)) + [200 + i for i in range(12)]
+
+
 def test_eventlog_executor_side_producer(spark):
     """The q_scan_eventlog demo producer runs on executors
     (foreachPartition after repartitioning on the log-partition key) —
