@@ -401,6 +401,87 @@ def cep_followed_by_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run_to_memory(out, "update")
 
 
+_CEP_FORK_W_MS = 48 * 3600 * 1000  # the q_cep_followed_by_all horizon
+
+
+def _cep_fork_advance(key, pdf_iter, state):
+    """Forking-NFA step as keyed state: the state IS the open-anchor
+    timestamp arrays per stage (exactly the partial-match set Flink's
+    default NFA keeps, bounded by `within` expiry) plus the completed
+    count — identical machine to the batch q_cep_followed_by_all fold
+    and its recursive-CTE oracle, in milliseconds."""
+    import pandas as pd
+
+    code = {"view": 1, "click": 2, "purchase": 3}
+    cnt, s1, s2 = state.get if state.exists else (0, [], [])
+    s1, s2 = list(s1), list(s2)
+    rows = []
+    for pdf in pdf_iter:
+        for _, r in pdf.iterrows():
+            rows.append((int(r["ts"].timestamp() * 1000), r["event_id"],
+                         code.get(r["event_type"], 0)))
+    for t, _, c in sorted(rows):
+        s1 = [a for a in s1 if t - a <= _CEP_FORK_W_MS]
+        s2 = [a for a in s2 if t - a <= _CEP_FORK_W_MS]
+        if c == 1:
+            s1.append(t)
+        elif c == 2:
+            s2, s1 = s2 + s1, []
+        elif c == 3:
+            cnt += len(s2)
+            s2 = []
+    state.update((cnt, s1, s2))
+    yield pd.DataFrame({"user_id": [key[0]], "n_matches": [cnt],
+                        "open_s1": [len(s1)], "open_s2": [len(s2)]})
+
+
+def cep_followed_by_all_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q_cep_followed_by_all's STREAMING twin — the FORKING NFA as keyed
+    state (Flink's default multi-anchor semantics where it actually
+    runs): per user the state carries the open-anchor timestamp ARRAYS
+    per stage plus the completed count; each micro-batch folds its
+    events in (ts, event_id) order on the carried anchor sets. Same
+    two-time-ordered-file source as the single-anchor twin, so anchors
+    provably SURVIVE the batch boundary: a pending anchor set carried
+    in state at the split completes matches in batch 1 (test-pinned
+    convergence to the oracle-checked batch key + continuity)."""
+    from flink_tutorial_broadcast_spark.io import load
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    ev_batch = load(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type")
+    split_ts = ev_batch.agg(
+        F.percentile_approx("ts", 0.5).alias("m")).collect()[0]["m"]
+    d = tempfile.mkdtemp(prefix="cepfork_stream_")
+    (ev_batch.filter(F.col("ts") <= F.lit(split_ts))
+     .coalesce(1).write.parquet(os.path.join(d, "f=0")))
+    (ev_batch.filter(F.col("ts") > F.lit(split_ts))
+     .coalesce(1).write.parquet(os.path.join(d, "f=1")))
+    stamp = int(time.time())
+    for i, part in enumerate(("f=0", "f=1")):
+        for fname in os.listdir(os.path.join(d, part)):
+            os.utime(os.path.join(d, part, fname),
+                     (stamp + 10 * i, stamp + 10 * i))
+
+    sdf = (
+        spark.readStream
+        .schema("user_id long, ts timestamp, event_id long, "
+                "event_type string")
+        .option("maxFilesPerTrigger", "1")
+        .option("recursiveFileLookup", "true")
+        .parquet(d)
+    )
+    out = sdf.groupBy("user_id").applyInPandasWithState(
+        _cep_fork_advance,
+        outputStructType=("user_id long, n_matches long, open_s1 long, "
+                          "open_s2 long"),
+        stateStructType="cnt long, s1 array<long>, s2 array<long>",
+        outputMode="Update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    return _run_to_memory(out, "update")
+
+
 def streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E8: keyed stateful dedup — keep the first (user_id, event_type) event
     within the watermark horizon (``dropDuplicatesWithinWatermark``), the

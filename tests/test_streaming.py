@@ -216,6 +216,33 @@ def test_cep_stream_converges_to_batch_and_survives_split(spark, queries):
     assert crossed  # some partial match completed across the boundary
 
 
+def test_cep_fork_stream_converges_and_carries_anchor_sets(spark, queries):
+    """Streaming forking NFA (anchor-set keyed state): the last emission
+    per user must equal the oracle-checked batch q_cep_followed_by_all,
+    and at least one user must cross the batch boundary with OPEN
+    anchors (batch-0 emission with open_s1 + open_s2 > 0 whose final
+    count grew) — proving the partial-match SET is carried in state."""
+    from flink_tutorial_broadcast_spark.streaming.jobs import (
+        cep_followed_by_all_stream,
+    )
+
+    rows = cep_followed_by_all_stream(spark, SF_SMOKE).collect()
+    final: dict[int, int] = {}
+    first_emission: dict[int, tuple[int, int]] = {}
+    for r in rows:
+        uid = r["user_id"]
+        if uid not in first_emission:
+            first_emission[uid] = (r["n_matches"],
+                                   r["open_s1"] + r["open_s2"])
+        final[uid] = max(final.get(uid, 0), r["n_matches"])
+    batch = {r["user_id"]: r["n_matches"] for r in
+             queries["q_cep_followed_by_all"](spark, SF_SMOKE).collect()}
+    assert {u: n for u, n in final.items() if n > 0} == batch
+    crossed = [u for u, (n0, open0) in first_emission.items()
+               if open0 > 0 and final[u] > n0]
+    assert crossed  # open anchors completed matches across the boundary
+
+
 def test_eventlog_stream_per_partition_offsets_and_resume(spark):
     """Kafka-shape streaming contract on the file-backed partitioned log
     (sources/eventlog.py): run 1 drains the initial segments, more
