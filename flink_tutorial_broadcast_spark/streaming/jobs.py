@@ -786,6 +786,38 @@ def count_window_restart_rocksdb(spark: SparkSession, sf_dir: str,
         make)
 
 
+def cep_fork_restart_rocksdb(spark: SparkSession, sf_dir: str):
+    """Forking-NFA ANCHOR SETS surviving a RESTART on RocksDB: the
+    array-typed state columns (open anchors per stage) built in run 1
+    must reload in run 2's brand-new query and complete their matches —
+    the partial-match-SET durability on top of L119's scalar-register
+    pins. Returns (run-1 emissions, run-2 emissions)."""
+    from flink_tutorial_broadcast_spark.io import load
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type")
+    split_ts = ev.agg(
+        F.percentile_approx("ts", 0.5).alias("m")).collect()[0]["m"]
+
+    def make(sdf):
+        return sdf.groupBy("user_id").applyInPandasWithState(
+            _cep_fork_advance,
+            outputStructType=("user_id long, n_matches long, "
+                              "open_s1 long, open_s2 long"),
+            stateStructType="cnt long, s1 array<long>, s2 array<long>",
+            outputMode="Update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+
+    return _restart_two_halves_rocksdb(
+        spark, "user_id long, ts timestamp, event_id long, "
+               "event_type string",
+        ev.filter(F.col("ts") <= F.lit(split_ts)),
+        ev.filter(F.col("ts") > F.lit(split_ts)),
+        make)
+
+
 def cep_followed_by_restart_rocksdb(spark: SparkSession, sf_dir: str):
     """Streaming CEP surviving a RESTART (the round-4 twin's missing
     durability pin): run 1 advances the per-user NFA register over the

@@ -570,6 +570,29 @@ def test_cep_restart_rocksdb_completes_partial_match(spark, queries):
     assert carried, "no partial match crossed the restart"
 
 
+def test_cep_fork_restart_rocksdb_reloads_anchor_sets(spark, queries):
+    """The forking NFA's ARRAY-typed anchor-set state survives a query
+    restart on RocksDB: run-2 final counts equal the batch oracle, and
+    at least one user with open anchors at the end of run 1 completed
+    matches in run 2 — set-valued state reloaded, not recomputed."""
+    from flink_tutorial_broadcast_spark.streaming.jobs import (
+        cep_fork_restart_rocksdb,
+    )
+
+    r1, r2 = cep_fork_restart_rocksdb(spark, SF_SMOKE)
+    r1_final = {r["user_id"]: (r["n_matches"],
+                               r["open_s1"] + r["open_s2"])
+                for r in r1.collect()}
+    final = {u: n for u, (n, _) in r1_final.items()}
+    final.update({r["user_id"]: r["n_matches"] for r in r2.collect()})
+    batch = {r["user_id"]: r["n_matches"] for r in
+             queries["q_cep_followed_by_all"](spark, SF_SMOKE).collect()}
+    assert {u: n for u, n in final.items() if n > 0} == batch
+    carried = [u for u, (n, open_) in r1_final.items()
+               if open_ > 0 and final[u] > n]
+    assert carried, "no anchor set crossed the restart"
+
+
 def test_tws_runs_for_real_via_protoshim(spark):
     """E7 typed-state path: transformWithStateInPandas must EXECUTE in
     this container — the vendored mini protobuf runtime
