@@ -1028,6 +1028,63 @@ def tws_typed_state_surface_stream(spark: SparkSession,
             spark.conf.set(key_conf, prev)
 
 
+def tws_restart_rocksdb(spark: SparkSession, sf_dir: str):
+    """Typed-state (transformWithStateInPandas) VALUE STATE surviving a
+    RESTART: run 1 counts the even-event half per user, the query
+    stops, run 2 — a new query resuming the same RocksDB checkpoint —
+    processes the odd half and must emit FULL-corpus counts, which
+    requires the worker to reload persisted state through the state
+    protocol (Exists/Get over the mini protobuf runtime when the real
+    wheel is absent). Returns (run-1 emissions, run-2 emissions)."""
+    import pandas as pd
+
+    from flink_tutorial_broadcast_spark.io import load
+    from flink_tutorial_broadcast_spark.protoshim import ensure_protoshim
+    ensure_protoshim(spark)
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+    except ImportError as exc:  # pragma: no cover - env-dependent
+        raise NotImplementedError(
+            "transformWithStateInPandas needs google.protobuf; use "
+            "keyed_state_restart_rocksdb (applyInPandasWithState) "
+            "instead") from exc
+
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class Counter(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._s = handle.getValueState("n", "n long")
+
+        def handleInputRows(self, key, rows, timerValues):
+            n = self._s.get()[0] if self._s.exists() else 0
+            for pdf in rows:
+                n += len(pdf)
+            self._s.update((n,))
+            yield pd.DataFrame({"user_id": [key[0]], "n_events": [n]})
+
+        def close(self) -> None:
+            pass
+
+    ev = load(spark, sf_dir, "events").select("event_id", "user_id")
+
+    def make(sdf):
+        return sdf.groupBy("user_id").transformWithStateInPandas(
+            Counter(),
+            outputStructType="user_id long, n_events long",
+            outputMode="Update",
+            timeMode="None",
+        )
+
+    return _restart_two_halves_rocksdb(
+        spark, "event_id long, user_id long",
+        ev.filter(F.col("event_id") % 2 == 0),
+        ev.filter(F.col("event_id") % 2 == 1),
+        make)
+
+
 def tws_event_time_timer_stream(spark: SparkSession, sf_dir: str,
                                 gap_minutes: int = 30) -> DataFrame:
     """E7 event-time TIMERS actually FIRING through the real
