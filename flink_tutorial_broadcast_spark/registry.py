@@ -111,9 +111,10 @@ _VERIFICATION_PREFIX = (
     "q_knn_pq", "q_knn_ivfpq",          # K3 — PQ / IVF-PQ ANN (r4)
     "q_media_features",                 # K5 — real PPM image decode (r4)
     "q_audio_features",                 # K5 — real PCM WAV decode (r4)
-    "q_cep_followed_by",                # CEP followed-by fold (r3)
+    "q_cep_followed_by_all",            # CEP forking NFA (r5)
     "q_cep_match_measures",             # CEP MATCH_RECOGNIZE measures (r4)
     "q_scan_eventlog",                  # Kafka-shape log source (r4)
+    "q_scan_eventlog_compacted",        # Kafka log compaction (r5)
     "q_cms_frequency",                  # Count-Min sketch freq (r3)
     "q_table_reconcile",                # governance reconcile (r3)
     "q_l_diversity",                    # governance l-diversity (r4)
@@ -124,7 +125,6 @@ _VERIFICATION_PREFIX = (
     "q_kmeans_quantized",               # iterative (L53)
     "q_grouping_sets",                  # agg_ext
     "q_sessionize",                     # behavioral (L24)
-    "q_merge_upsert",                   # connectors (L27)
     "q_mad_outliers",                   # stats_ext (L54)
     "q_tpch_q1", "q_tpch_q9",           # tpch_full
     "q_decontaminate",                  # text_pipeline (L46)
