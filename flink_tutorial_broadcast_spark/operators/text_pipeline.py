@@ -642,3 +642,206 @@ def q_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
              "stage3_quality"],
         "stage", "n_docs")
     return unpivoted.orderBy("stage")
+
+
+# ---------------------------------------------------------------------------
+# BPE tokenizer training (round 5): the map-reduce BPE layout.
+#
+# Flink parity: the reference's text pipeline stops at whitespace/regex
+# tokenization [FLINK-API: DataSet/DataStream flatMap tokenizers]; training a
+# subword vocabulary is the natural next stage of an LLM ingest pipeline, so
+# it is included in the §2.L extension surface. The implementation is the
+# standard distributed-BPE shape (the one used by map-reduce subword
+# trainers): the corpus is read ONCE into a (word, count) vocabulary table,
+# and each merge round is (a) a pair-count shuffle over the VOCABULARY (not
+# the corpus), partial-aggregated map-side, (b) a 1-row argmax collect to the
+# driver (bounded — this is the merge rule, the only driver-side state), and
+# (c) a broadcast-literal merge fold applied map-side with zero shuffle.
+# k merge rounds cost k vocabulary passes; the 100-TB corpus is touched once.
+# ---------------------------------------------------------------------------
+
+_BPE_ROUNDS = 3
+
+# Shared oracle prefix: unrolled merge rounds as CTEs. Each sN is the
+# vocabulary after N merges; each bN is the N-th learned rule. list_reduce
+# seeds the accumulator with the first symbol, so the Spark fold's '' seed
+# plus acc='' branch produces identical output; the '|' delimiter cannot
+# collide because the word filter admits only ^[a-z]+$.
+_BPE_CTES = """
+    WITH toks AS (
+      SELECT unnest(string_split(text, ' ')) AS word FROM documents
+    ),
+    w0 AS (
+      SELECT word, COUNT(*) AS cnt FROM toks
+      WHERE regexp_matches(word, '^[a-z]+$') GROUP BY 1
+    ),
+    s0 AS (
+      SELECT word, cnt,
+             list_transform(range(1, length(word) + 1), i -> word[i]) AS syms
+      FROM w0
+    ),
+    p1 AS (
+      SELECT syms[i] AS lhs, syms[i + 1] AS rhs,
+             CAST(SUM(cnt) AS BIGINT) AS pair_count
+      FROM s0, UNNEST(range(1, len(syms))) AS t(i)
+      GROUP BY 1, 2
+    ),
+    b1 AS (SELECT lhs, rhs, pair_count FROM p1
+           ORDER BY pair_count DESC, lhs, rhs LIMIT 1),
+    s1 AS (
+      SELECT word, cnt,
+             string_split(list_reduce(syms, (acc, x) -> CASE
+               WHEN (acc = lhs OR acc LIKE '%|' || lhs) AND x = rhs
+               THEN substr(acc, 1, length(acc) - length(lhs)) || lhs || rhs
+               ELSE acc || '|' || x END), '|') AS syms
+      FROM s0, b1
+    ),
+    p2 AS (
+      SELECT syms[i] AS lhs, syms[i + 1] AS rhs,
+             CAST(SUM(cnt) AS BIGINT) AS pair_count
+      FROM s1, UNNEST(range(1, len(syms))) AS t(i)
+      GROUP BY 1, 2
+    ),
+    b2 AS (SELECT lhs, rhs, pair_count FROM p2
+           ORDER BY pair_count DESC, lhs, rhs LIMIT 1),
+    s2 AS (
+      SELECT word, cnt,
+             string_split(list_reduce(syms, (acc, x) -> CASE
+               WHEN (acc = lhs OR acc LIKE '%|' || lhs) AND x = rhs
+               THEN substr(acc, 1, length(acc) - length(lhs)) || lhs || rhs
+               ELSE acc || '|' || x END), '|') AS syms
+      FROM s1, b2
+    ),
+    p3 AS (
+      SELECT syms[i] AS lhs, syms[i + 1] AS rhs,
+             CAST(SUM(cnt) AS BIGINT) AS pair_count
+      FROM s2, UNNEST(range(1, len(syms))) AS t(i)
+      GROUP BY 1, 2
+    ),
+    b3 AS (SELECT lhs, rhs, pair_count FROM p3
+           ORDER BY pair_count DESC, lhs, rhs LIMIT 1),
+    s3 AS (
+      SELECT word, cnt,
+             string_split(list_reduce(syms, (acc, x) -> CASE
+               WHEN (acc = lhs OR acc LIKE '%|' || lhs) AND x = rhs
+               THEN substr(acc, 1, length(acc) - length(lhs)) || lhs || rhs
+               ELSE acc || '|' || x END), '|') AS syms
+      FROM s2, b3
+    )
+"""
+
+
+def _bpe_word_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus → (word, cnt, syms) vocabulary table. The one corpus pass."""
+    return (
+        load(spark, sf_dir, "documents")
+        .select(F.explode(F.split("text", " ")).alias("word"))
+        .filter(F.col("word").rlike("^[a-z]+$"))
+        .groupBy("word")
+        .agg(F.count("*").alias("cnt"))
+        .withColumn("syms", F.expr("filter(split(word, ''), c -> c <> '')"))
+    )
+
+
+def _bpe_pair_counts(words: DataFrame) -> DataFrame:
+    """Adjacent-symbol pair frequencies, weighted by word count.
+
+    One shuffle on (lhs, rhs) with map-side partial aggregation — the
+    reduce step of each BPE round.
+    """
+    return (
+        words.select(
+            F.explode(F.expr(
+                "transform(slice(syms, 1, size(syms) - 1), (c, i) -> "
+                "struct(c AS lhs, element_at(syms, i + 2) AS rhs))"
+            )).alias("p"),
+            "cnt",
+        )
+        .groupBy("p.lhs", "p.rhs")
+        .agg(F.sum("cnt").alias("pair_count"))
+    )
+
+
+def _bpe_apply(words: DataFrame, lhs: str, rhs: str) -> DataFrame:
+    """Apply one merge rule map-side via a left-fold over the symbol array.
+
+    Greedy left-to-right non-overlapping — reference BPE semantics (the
+    merged token does not re-serve as the fold's right element). The rule
+    arrives as broadcast literals, so this is a pure projection: no
+    shuffle, no Python. localCheckpoint truncates the per-round lineage
+    (same rule as iterative.py's rounds).
+    """
+    fold = (
+        "filter(split(aggregate(syms, '', (acc, x) -> CASE "
+        "WHEN acc = '' THEN x "
+        f"WHEN (acc = '{lhs}' OR acc LIKE '%|{lhs}') AND x = '{rhs}' "
+        f"THEN concat(substr(acc, 1, length(acc) - {len(lhs)}), "
+        f"'{lhs}{rhs}') "
+        "ELSE concat(acc, '|', x) END), '[|]'), c -> c <> '')"
+    )
+    return words.withColumn("syms", F.expr(fold)).localCheckpoint()
+
+
+def _bpe_train(spark: SparkSession, sf_dir: str,
+               rounds: int = _BPE_ROUNDS,
+               apply_last: bool = False) -> tuple[list, DataFrame]:
+    """Run `rounds` merge rounds; return (rules, vocabulary-after)."""
+    # Materialize the vocabulary once: every subsequent round operates on
+    # the checkpointed (word, cnt, syms) table, so the corpus itself is
+    # scanned exactly once regardless of the number of merge rounds.
+    words = _bpe_word_table(spark, sf_dir).localCheckpoint()
+    rules = []
+    for step in range(1, rounds + 1):
+        best = (
+            _bpe_pair_counts(words)
+            .orderBy(F.desc("pair_count"), F.asc("lhs"), F.asc("rhs"))
+            .limit(1)
+            .collect()[0]  # bounded: ONE row — the learned merge rule
+        )
+        rules.append((step, best["lhs"], best["rhs"],
+                      best["lhs"] + best["rhs"], best["pair_count"]))
+        if step < rounds or apply_last:
+            words = _bpe_apply(words, best["lhs"], best["rhs"])
+    return rules, words
+
+
+@query(
+    "q_bpe_merges",
+    oracle=_BPE_CTES + """
+    SELECT CAST(1 AS INT) AS step, lhs, rhs, lhs || rhs AS merged,
+           pair_count FROM b1
+    UNION ALL SELECT 2, lhs, rhs, lhs || rhs, pair_count FROM b2
+    UNION ALL SELECT 3, lhs, rhs, lhs || rhs, pair_count FROM b3
+    """,
+)
+def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.L: BPE merge-table training — 3 rounds of (pair-count shuffle →
+    1-row argmax → broadcast merge fold) over the vocabulary table.
+
+    Ties break (count DESC, lhs ASC, rhs ASC) identically on both
+    engines, so the learned rules are deterministic and hash-comparable.
+    """
+    rules, _ = _bpe_train(spark, sf_dir)
+    return spark.createDataFrame(
+        rules,
+        "step INT, lhs STRING, rhs STRING, merged STRING, pair_count LONG",
+    )
+
+
+@query(
+    "q_bpe_tokenize",
+    oracle=_BPE_CTES + """
+    SELECT token, CAST(SUM(cnt) AS BIGINT) AS n_occurrences
+    FROM (SELECT unnest(syms) AS token, cnt FROM s3)
+    GROUP BY 1
+    """,
+)
+def q_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.L: corpus subword frequencies under the 3 learned BPE merges —
+    the apply side of the trainer, weighted back by word frequency."""
+    _, words = _bpe_train(spark, sf_dir, apply_last=True)
+    return (
+        words.select(F.explode("syms").alias("token"), "cnt")
+        .groupBy("token")
+        .agg(F.sum("cnt").alias("n_occurrences"))
+    )

@@ -227,3 +227,49 @@ def test_filter_funnel_is_monotone(spark, queries):
     assert rows["stage0_ingested"] == load(spark, SF_SMOKE,
                                            "documents").count()
     assert rows["stage3_quality"] > 0  # gates calibrated to the fixture
+
+
+def _bpe_reference(texts: list[str], rounds: int = 3):
+    """Pure-Python BPE trainer: the parity oracle for q_bpe_merges."""
+    import re
+    from collections import Counter
+
+    vocab = Counter(w for t in texts for w in t.split(" ")
+                    if re.fullmatch(r"[a-z]+", w))
+    words = {w: list(w) for w in vocab}
+    rules = []
+    for step in range(1, rounds + 1):
+        pairs = Counter()
+        for w, syms in words.items():
+            for a, b in zip(syms, syms[1:]):
+                pairs[(a, b)] += vocab[w]
+        (lhs, rhs), cnt = min(
+            pairs.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1]))
+        rules.append((step, lhs, rhs, lhs + rhs, cnt))
+        for w, syms in words.items():  # greedy left-to-right fold
+            out = []
+            for x in syms:
+                if out and out[-1] == lhs and x == rhs:
+                    out[-1] = lhs + rhs
+                else:
+                    out.append(x)
+            words[w] = out
+    tokens = Counter()
+    for w, syms in words.items():
+        for s in syms:
+            tokens[s] += vocab[w]
+    return rules, tokens
+
+
+def test_bpe_merges_match_python_reference(queries, spark):
+    texts = [r.text for r in
+             spark.read.parquet(f"{SF_SMOKE}/documents.parquet").collect()]
+    want_rules, want_tokens = _bpe_reference(texts)
+    got = [(r.step, r.lhs, r.rhs, r.merged, r.pair_count)
+           for r in queries["q_bpe_merges"](spark, SF_SMOKE)
+           .orderBy("step").collect()]
+    assert got == want_rules
+    got_tokens = {r.token: r.n_occurrences
+                  for r in queries["q_bpe_tokenize"](spark, SF_SMOKE)
+                  .collect()}
+    assert got_tokens == dict(want_tokens)
