@@ -97,7 +97,8 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 _VERIFICATION_PREFIX = (
     "q_broadcast_rule_join",            # flagship (C1)
     "q_scan_parquet",                   # scans (A5)
-    "q_join_inner", "q_join_full", "q_join_anti", "q_star_join",  # C3-C6
+    "q_join_inner", "q_join_anti", "q_star_join",  # C3, C5, C6
+    "q_bpe_merges",                     # text_pipeline — BPE trainer (r5)
     "q_agg_basic", "q_rollup",          # aggregates (D1, D5)
     "q_window_tumbling", "q_window_session", "q_asof_join",  # E1, E3, C8
     "q_rank", "q_topk_per_group",       # analytic windows (F1, F4)
