@@ -1747,3 +1747,48 @@ def incremental_dedup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     out.count()  # materialize before the temp state is torn down
     shutil.rmtree(root, ignore_errors=True)
     return out
+
+
+def continuous_map_stream(spark: SparkSession, sf_dir: str,
+                          runtime_s: float = 6.0) -> DataFrame:
+    """SURVEY §3.4's accepted divergence, partially lifted: Spark's
+    CONTINUOUS trigger runs this stateless map/filter pipeline per-record
+    (epoch-based checkpointing, millisecond-floor latency), not in
+    micro-batches — the same execution shape as the reference's push-based
+    per-record pipeline [FLINK-API: DataStream map/filter task chain].
+
+    The contract mirrors Flink's slot model exactly: continuous mode
+    launches ONE long-running task per source partition that never
+    returns — a standing topology, so source parallelism = reserved cores
+    for the lifetime of the query (numPartitions=2 here; on a cluster,
+    size partitions to the cores you dedicate). Only stateless
+    projections/filters are supported — Spark's per-record pipeline stops
+    at shuffle boundaries, where the reference's continues; aggregations
+    under this trigger raise at analysis time (test-pinned), which keeps
+    the micro-batch jobs above the right home for stateful shapes.
+
+    Runs for `runtime_s` wall-clock, then returns the memory-sink table
+    (readable WHILE the query runs — asserted before stop so the rows
+    observably arrived mid-flight, not on query teardown).
+    """
+    name = f"cont_map_{uuid.uuid4().hex[:8]}"
+    sdf = (
+        spark.readStream.format("rate")
+        .option("rowsPerSecond", 200)
+        .option("numPartitions", 2)  # 2 standing tasks; leave slots free
+        .load()
+        .withColumn("doubled", F.col("value") * 2)
+        .filter(F.col("value") % 2 == 0)
+        .select("timestamp", "value", "doubled")
+    )
+    q = (sdf.writeStream.format("memory").queryName(name)
+         .trigger(continuous="1 second").start())
+    try:
+        time.sleep(runtime_s)
+        # Materialize while the continuous query is live.
+        out = spark.table(name).where(F.col("value") >= 0)
+        out.count()
+        assert q.isActive
+    finally:
+        q.stop()
+    return spark.table(name)

@@ -1290,3 +1290,29 @@ def test_incremental_dedup_stream_rejects_cross_batch_resends(spark):
     # no content hash admitted twice
     hashes = [r.h for r in out]
     assert len(hashes) == len(set(hashes))
+
+
+def test_continuous_trigger_runs_per_record_pipeline(spark):
+    from flink_tutorial_broadcast_spark.streaming.jobs import (
+        continuous_map_stream,
+    )
+    out = continuous_map_stream(spark, SF_SMOKE, runtime_s=6.0).cache()
+    rows = out.collect()
+    assert len(rows) > 0  # records flowed through the continuous epochs
+    assert all(r.value % 2 == 0 for r in rows)          # filter applied
+    assert all(r.doubled == 2 * r.value for r in rows)  # map applied
+    out.unpersist()
+
+
+def test_continuous_trigger_rejects_stateful_shapes(spark):
+    import uuid as _uuid
+    from pyspark.errors.exceptions.captured import AnalysisException
+    import pytest as _pytest
+    sdf = (spark.readStream.format("rate")
+           .option("rowsPerSecond", 10).option("numPartitions", 2).load()
+           .groupBy().count())
+    with _pytest.raises(AnalysisException):
+        (sdf.writeStream.format("memory")
+         .queryName(f"cont_bad_{_uuid.uuid4().hex[:8]}")
+         .outputMode("complete")
+         .trigger(continuous="1 second").start())
