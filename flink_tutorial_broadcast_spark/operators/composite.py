@@ -166,21 +166,23 @@ def q_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
     to a HAVING on the joined aggregate — one fewer pass than the
     textbook form, same rows.
 
-    Scale: lineitem⋈orders shuffles on orderkey; the customer dim joins
-    broadcast. The HAVING filters after the partial-agg, so the shuffle
-    carries per-order partial sums, not raw lineitems.
+    Scale: the per-order quantity sum and its >200 filter run BEFORE any
+    join (o_orderkey determines every other output column, so the
+    agg-then-join rewrite is exact): lineitem's shuffle carries map-side
+    partial sums, the HAVING prunes ~99 % of orderkeys before orders is
+    touched, and AQE broadcast-converts the surviving-sums⋈orders join
+    when the filtered side fits. The customer dim always broadcasts.
     """
     c = load(spark, sf_dir, "customer").select("c_custkey", "c_name")
     o = load(spark, sf_dir, "orders").select(
         "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice")
     li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    sums = (li.groupBy("l_orderkey")
+            .agg(F.sum("l_quantity").alias("raw_sum"))
+            .filter(F.col("raw_sum") > 200))
     return (
-        li.join(o, li.l_orderkey == o.o_orderkey)
+        sums.join(o, sums.l_orderkey == o.o_orderkey)
         .join(F.broadcast(c), o.o_custkey == c.c_custkey)
-        .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate",
-                 "o_totalprice")
-        .agg(F.sum("l_quantity").alias("raw_sum"))
-        .filter(F.col("raw_sum") > 200)
         .select("c_name", "c_custkey", "o_orderkey", "o_orderdate",
                 "o_totalprice", F.round("raw_sum", 2).alias("sum_qty"))
     )

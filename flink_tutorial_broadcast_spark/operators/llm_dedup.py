@@ -916,13 +916,20 @@ def q_dedup_embed_lsh_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def proj_bit(p):
-        prefix = F.lit(f"{p}_")
+        # The hyperplane weights w(p,d) = hash48(p,d)/2^47 − 1 depend only
+        # on (plane, dim) — plan constants, so they are precomputed ONCE
+        # here with the same md5-prefix arithmetic (IEEE-identical to the
+        # oracle's inline conv(md5)/2^47 − 1) and shipped as a 64-double
+        # literal array instead of re-deriving 16×64 md5s per row.
+        import hashlib
+        weights = F.array(*[
+            F.lit(int(hashlib.md5(f"{p}_{d}".encode()).hexdigest()[:12],
+                      16) / _SLSH_SCALE - 1.0)
+            for d in range(1, 65)])
 
         def step(acc, d):
-            w = (F.conv(F.substring(
-                F.md5(F.concat(prefix, d.cast("string"))), 1, 12), 16, 10)
-                .cast("double") / F.lit(_SLSH_SCALE) - F.lit(1.0))
-            return acc + F.element_at("embedding", d).cast("double") * w
+            return (acc + F.element_at("embedding", d).cast("double")
+                    * F.element_at(weights, d))
 
         return F.aggregate(
             F.sequence(F.lit(1), F.lit(64)), F.lit(0.0), step) >= 0

@@ -323,7 +323,12 @@ def q_knn_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
              .select("vec_id", "pos",
                      F.least(F.floor((F.col("v") - F.col("mn")) * 256
                                      / (F.col("mx") - F.col("mn"))),
-                             F.lit(255)).cast("long").alias("code")))
+                             F.lit(255)).cast("long").alias("code"))
+             .localCheckpoint())
+    # codes feeds every downstream branch (seeding, Lloyd assign,
+    # recenter, final assign, ADC tables, coarse routing); ReusedExchange
+    # cannot dedupe the differing joins, so materialize it once — each
+    # branch then re-derives its projection map-side from the checkpoint.
     sub = codes.select(
         "vec_id",
         (F.col("pos") / _PQ_SUBDIM).cast("int").alias("m"),
@@ -345,9 +350,12 @@ def q_knn_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     upd = (asg0.join(sub, ["vec_id", "m"])
            .groupBy("m", "cid", "j")
            .agg(F.expr("sum(code) div count(*)").alias("ccode1")))
+    # 128-row codebook behind the whole Lloyd lineage; reused by the
+    # final assignment AND the ADC distance tables — materialize.
     cents = (cents0.join(upd, ["m", "cid", "j"], "left")
              .select("cid", "m", "j",
-                     F.coalesce("ccode1", "ccode").alias("ccode")))
+                     F.coalesce("ccode1", "ccode").alias("ccode"))
+             .localCheckpoint())
 
     asg_dist = (sub.join(F.broadcast(cents), ["m", "j"])
                 .groupBy("vec_id", "m", "cid")
@@ -504,7 +512,12 @@ def q_knn_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
              .select("vec_id", "pos",
                      F.least(F.floor((F.col("v") - F.col("mn")) * 256
                                      / (F.col("mx") - F.col("mn"))),
-                             F.lit(255)).cast("long").alias("code")))
+                             F.lit(255)).cast("long").alias("code"))
+             .localCheckpoint())
+    # codes feeds every downstream branch (seeding, Lloyd assign,
+    # recenter, final assign, ADC tables, coarse routing); ReusedExchange
+    # cannot dedupe the differing joins, so materialize it once — each
+    # branch then re-derives its projection map-side from the checkpoint.
     sub = codes.select(
         "vec_id",
         (F.col("pos") / _PQ_SUBDIM).cast("int").alias("m"),
@@ -522,9 +535,12 @@ def q_knn_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     upd = (asg0.join(sub, ["vec_id", "m"])
            .groupBy("m", "cid", "j")
            .agg(F.expr("sum(code) div count(*)").alias("ccode1")))
+    # 128-row codebook behind the whole Lloyd lineage; reused by the
+    # final assignment AND the ADC distance tables — materialize.
     cents = (cents0.join(upd, ["m", "cid", "j"], "left")
              .select("cid", "m", "j",
-                     F.coalesce("ccode1", "ccode").alias("ccode")))
+                     F.coalesce("ccode1", "ccode").alias("ccode"))
+             .localCheckpoint())
     asg_dist = (sub.join(F.broadcast(cents), ["m", "j"])
                 .groupBy("vec_id", "m", "cid")
                 .agg(F.sum(sqdiff).cast("long").alias("d")))
