@@ -252,32 +252,40 @@ def q_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     # assign every vector to its nearest centroid (broadcast centroids)
     ass_w = Window.partitionBy("vec_id").orderBy(
         F.col("c_cos").desc(), F.col("c_id"))
+    # Per-vector norm hoisted out of the per-pair cosine (same fold on the
+    # same data -> bit-identical doubles); assignment materialized once —
+    # it feeds both the probe derivation and the candidate join.
     assigned = (
         emb.crossJoin(F.broadcast(cents))
         .select("vec_id", "embedding", "c_id",
                 _cosine(F.col("embedding"), F.col("c_emb")).alias("c_cos"))
         .withColumn("arn", F.row_number().over(ass_w))
         .filter(F.col("arn") == 1)
-        .select("vec_id", "embedding", F.col("c_id").alias("cluster"))
+        .select("vec_id", "embedding", F.col("c_id").alias("cluster"),
+                F.sqrt(_dot(F.col("embedding"), F.col("embedding")))
+                .alias("norm"))
+        .localCheckpoint()
     )
     # probes search their nprobe nearest clusters
     probes = assigned.filter(F.col("vec_id") < _N_PROBES).select(
-        F.col("vec_id").alias("p_id"), F.col("embedding").alias("p_emb"))
+        F.col("vec_id").alias("p_id"), F.col("embedding").alias("p_emb"),
+        F.col("norm").alias("p_norm"))
     pw = Window.partitionBy("p_id").orderBy(F.col("pc_cos").desc(),
                                             F.col("c_id"))
     probe_clusters = (
         probes.crossJoin(F.broadcast(cents))
-        .select("p_id", "p_emb", "c_id",
+        .select("p_id", "p_emb", "p_norm", "c_id",
                 _cosine(F.col("p_emb"), F.col("c_emb")).alias("pc_cos"))
         .withColumn("prn", F.row_number().over(pw))
         .filter(F.col("prn") <= _IVF_NPROBE)
-        .select("p_id", "p_emb", F.col("c_id").alias("cluster"))
+        .select("p_id", "p_emb", "p_norm", F.col("c_id").alias("cluster"))
     )
     pairs = (
         probe_clusters.join(assigned, "cluster")
         .filter(F.col("vec_id") != F.col("p_id"))
         .select("p_id", "vec_id",
-                _cosine(F.col("embedding"), F.col("p_emb")).alias("cos"))
+                (_dot(F.col("embedding"), F.col("p_emb"))
+                 / (F.col("norm") * F.col("p_norm"))).alias("cos"))
     )
     w = Window.partitionBy("p_id").orderBy(F.col("cos").desc(), F.col("vec_id"))
     return (
