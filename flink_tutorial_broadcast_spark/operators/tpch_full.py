@@ -639,14 +639,21 @@ def q_tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
     spec's ORDER BY/LIMIT 100 is dropped: the fixture result set is
     under 100 rows at checked SFs and the comparator is order-blind.
 
-    Scale: region→nation→supplier is a broadcast chain; the derived ps
-    shuffles lineitem once on (partkey, suppkey); the per-part min and
-    the join back reuse the partkey partitioning. The selective part
-    filter (size ∧ type ≈ 1/300) broadcasts into everything."""
-    ps = _partsupp(spark, sf_dir)
+    Scale: the selective part filter (size ∧ type ≈ 1/300) broadcasts
+    BELOW the derived-partsupp aggregate, so lineitem's one
+    (partkey, suppkey) shuffle carries only qualifying parts (a partkey
+    filter cannot change any surviving group's MIN); region→nation→
+    supplier is a broadcast chain; and the correlated per-part MIN is a
+    partkey-PARTITIONED window over the same partitioning — no second
+    shuffle, no join-back."""
     p = load(spark, sf_dir, "part").filter(
         (F.col("p_size") == 15) & (F.col("p_type") == "STANDARD")
     ).select("p_partkey")
+    li = load(spark, sf_dir, "lineitem")
+    ps = (li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+          .groupBy("l_partkey", "l_suppkey")
+          .agg(F.min(F.col("l_extendedprice") / F.col("l_quantity"))
+               .alias("supplycost")))
     s = load(spark, sf_dir, "supplier")
     n = load(spark, sf_dir, "nation")
     r = load(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
@@ -656,14 +663,12 @@ def q_tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("s_suppkey", "s_name", "s_acctbal", "n_name"))
     euro_ps = ps.join(F.broadcast(euro_supp),
                       ps.l_suppkey == euro_supp.s_suppkey)
-    min_cost = (euro_ps.groupBy(F.col("l_partkey").alias("mc_key"))
-                .agg(F.min("supplycost").alias("min_cost")))
+    w = Window.partitionBy("l_partkey")
     return (
-        euro_ps.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
-        .join(min_cost, (F.col("l_partkey") == F.col("mc_key"))
-              & (F.col("supplycost") == F.col("min_cost")))
+        euro_ps.withColumn("min_cost", F.min("supplycost").over(w))
+        .filter(F.col("supplycost") == F.col("min_cost"))
         .select(F.round("s_acctbal", 2).alias("s_acctbal"), "s_name",
-                "n_name", "p_partkey")
+                "n_name", F.col("l_partkey").alias("p_partkey"))
     )
 
 
