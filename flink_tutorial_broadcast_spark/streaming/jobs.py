@@ -1792,3 +1792,53 @@ def continuous_map_stream(spark: SparkSession, sf_dir: str,
     finally:
         q.stop()
     return spark.table(name)
+
+
+def eventlog_pipeline_exactly_once(spark: SparkSession,
+                                   sf_dir: str) -> DataFrame:
+    """The full Kafka-shape pipeline, end-to-end across a restart:
+    partitioned replayable log (sources/eventlog.py — per-partition
+    offset map in the checkpoint) → keyed aggregation → idempotent
+    partial-store sink (the rollup_sink_stream consumer shape). Run 1
+    drains the initial segments and stops; more records are produced;
+    run 2 RESUMES from the committed offset map and must process only
+    the delta. Because each run's micro-batches get fresh batch_ids from
+    the same checkpoint, any re-read of the committed range would land
+    as NEW (batch_id, user_id) partials and inflate the merged counts —
+    so the test's exact-aggregate assertion proves exactly-once through
+    source offsets, state, and sink together, which is the property a
+    user migrating a checkpointed Flink→Kafka pipeline actually needs.
+    """
+    from flink_tutorial_broadcast_spark.sources import eventlog
+
+    root = tempfile.mkdtemp(prefix="evpipe_src_")
+    out = os.path.join(tempfile.mkdtemp(prefix="evpipe_sink_"), "partials")
+    ckpt = tempfile.mkdtemp(prefix="evpipe_ckpt_")
+    eventlog.register(spark)
+
+    def run_once() -> None:
+        sdf = (spark.readStream.format("ftbs_eventlog")
+               .option("path", root).load())
+
+        def write_partial(batch_df: DataFrame, batch_id: int) -> None:
+            (batch_df.groupBy("user_id")
+             .agg(F.count("*").alias("pn"), F.sum("value").alias("psum"))
+             .withColumn("batch_id", F.lit(batch_id))
+             .write.mode("append").parquet(out))
+
+        q = (sdf.writeStream.foreachBatch(write_partial)
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        q.awaitTermination()
+
+    rows1 = [(i, i % 5, "view", float(i)) for i in range(120)]
+    eventlog.log_write(root, rows1, n_partitions=3)
+    run_once()
+    rows2 = [(i, i % 5, "purchase", float(i)) for i in range(120, 200)]
+    eventlog.log_write(root, rows2, n_partitions=3)
+    run_once()
+    return (spark.read.parquet(out)
+            .dropDuplicates(["batch_id", "user_id"])
+            .groupBy("user_id")
+            .agg(F.sum("pn").alias("n"),
+                 F.round(F.sum("psum"), 2).alias("sum_value")))

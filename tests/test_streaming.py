@@ -1316,3 +1316,22 @@ def test_continuous_trigger_rejects_stateful_shapes(spark):
          .queryName(f"cont_bad_{_uuid.uuid4().hex[:8]}")
          .outputMode("complete")
          .trigger(continuous="1 second").start())
+
+
+def test_eventlog_pipeline_exactly_once_across_restart(spark):
+    """Source offsets + aggregation + sink, exactly-once as a WHOLE:
+    the merged partial store must equal the batch aggregate over all
+    200 produced records — any replay of the committed range in run 2
+    would inflate the per-user counts (fresh batch_ids defeat the
+    dedupe on purpose)."""
+    from flink_tutorial_broadcast_spark.streaming.jobs import (
+        eventlog_pipeline_exactly_once,
+    )
+    got = {r.user_id: (r.n, r.sum_value)
+           for r in eventlog_pipeline_exactly_once(spark, SF_SMOKE)
+           .collect()}
+    want = {}
+    for u in range(5):
+        vals = [float(i) for i in range(200) if i % 5 == u]
+        want[u] = (len(vals), round(sum(vals), 2))
+    assert got == want
