@@ -1062,3 +1062,100 @@ def q_dedup_simhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_a", "doc_b", hamming.alias("hamming"))
     )
 
+
+
+_SEM_CELLS = 8  # SemDeDup coarse clusters (centroids = vectors 0..7)
+
+
+@query(
+    "q_dedup_semantic",
+    oracle=f"""
+    WITH emb AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+      FROM embeddings WHERE vec_id < {_EMBED_DUP_LIMIT}
+    ),
+    cents AS (
+      SELECT vec_id AS c_id, e AS ce FROM emb WHERE vec_id < {_SEM_CELLS}
+    ),
+    assigned AS (
+      SELECT vec_id, e, c_id AS cell FROM (
+        SELECT emb.vec_id, emb.e, c.c_id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY emb.vec_id
+                 ORDER BY list_dot_product(emb.e, c.ce)
+                          / (sqrt(list_dot_product(emb.e, emb.e))
+                             * sqrt(list_dot_product(c.ce, c.ce))) DESC,
+                          c.c_id) AS rn
+        FROM emb, cents c) WHERE rn = 1
+    ),
+    dup AS (
+      SELECT DISTINCT b.vec_id
+      FROM assigned a JOIN assigned b
+        ON a.cell = b.cell AND a.vec_id < b.vec_id
+      WHERE list_dot_product(a.e, b.e)
+            / (sqrt(list_dot_product(a.e, a.e))
+               * sqrt(list_dot_product(b.e, b.e)))
+            >= {_EMBED_DUP_THRESHOLD}
+    )
+    SELECT s.vec_id, CAST(s.cell AS BIGINT) AS cell,
+           (d.vec_id IS NOT NULL) AS removed
+    FROM assigned s LEFT JOIN dup d ON s.vec_id = d.vec_id
+    """,
+)
+def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K2 semantic dedup, the SemDeDup shape (cluster-then-dedup): route
+    every vector to its nearest of 8 fixed centroids (deterministically
+    vectors 0..7 — the q_knn_ivf discipline), then run the exact cosine
+    near-dup predicate ONLY within each cell; a vector is removed when a
+    lower-id same-cell vector sits above the threshold (the keep-first
+    rule, deterministic on both engines).
+
+    Scale: the centroid table broadcasts; assignment is map-side + a
+    vec_id-partitioned argmax window; the quadratic verify is bounded by
+    the largest CELL, not the corpus (cells shrink as K grows — at
+    100 TB, K ~ sqrt(N) keeps cells constant-sized and the whole dedup
+    linear-ish, which is exactly why SemDeDup clusters first). Per-vector
+    norms are hoisted once into the assignment. Bounded oracle twin;
+    unbounded = same plan, more cells."""
+    emb = (
+        load(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") < _EMBED_DUP_LIMIT)
+        .select("vec_id", "embedding",
+                F.sqrt(_dot(F.col("embedding"), F.col("embedding")))
+                .alias("norm"))
+    )
+    cents = emb.filter(F.col("vec_id") < _SEM_CELLS).select(
+        F.col("vec_id").alias("c_id"),
+        F.col("embedding").alias("c_emb"),
+        F.col("norm").alias("c_norm"))
+    w = Window.partitionBy("vec_id").orderBy(F.col("cc").desc(), "c_id")
+    assigned = (
+        emb.crossJoin(F.broadcast(cents))
+        .select("vec_id", "embedding", "norm", "c_id",
+                (_dot(F.col("embedding"), F.col("c_emb"))
+                 / (F.col("norm") * F.col("c_norm"))).alias("cc"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "embedding", "norm", F.col("c_id").alias("cell"))
+        .localCheckpoint()  # both sides of the in-cell pair join
+    )
+    a = assigned.select(F.col("vec_id").alias("a_id"),
+                        F.col("embedding").alias("a_emb"),
+                        F.col("norm").alias("a_norm"), "cell")
+    b = assigned.select(F.col("vec_id").alias("b_id"),
+                        F.col("embedding").alias("b_emb"),
+                        F.col("norm").alias("b_norm"), "cell")
+    dup = (
+        a.join(b, "cell")
+        .filter(F.col("a_id") < F.col("b_id"))
+        .filter((_dot(F.col("a_emb"), F.col("b_emb"))
+                 / (F.col("a_norm") * F.col("b_norm")))
+                >= _EMBED_DUP_THRESHOLD)
+        .select(F.col("b_id").alias("vec_id")).distinct()
+        .withColumn("__dup", F.lit(True))
+    )
+    return (
+        assigned.join(dup, "vec_id", "left")
+        .select("vec_id", F.col("cell").cast("long").alias("cell"),
+                F.coalesce("__dup", F.lit(False)).alias("removed"))
+    )

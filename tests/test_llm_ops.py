@@ -538,3 +538,22 @@ def test_audio_frame_energy_consistent_with_features(spark, queries):
         assert idxs == list(range(len(frames)))
         for f in frames:
             assert 0 <= f["mean_energy"] <= 32768 * 32768
+
+
+def test_semantic_dedup_consistent_with_exact_pairs(spark, queries):
+    """SemDeDup removals must be sound w.r.t. the exact cosine near-dup
+    pairs: every removed vector has a lower-id neighbor >= threshold in
+    the FULL pair set (cluster routing can only miss cross-cell pairs,
+    never invent in-cell ones), and centroids (ids 0..7) are never
+    removed unless a lower-id centroid matches them."""
+    sem = {r.vec_id: (r.cell, r.removed)
+           for r in queries["q_dedup_semantic"](spark, SF_SMOKE).collect()}
+    pairs = queries["q_dedup_embed"](spark, SF_SMOKE)
+    dup_targets = {r.vec_b for r in pairs.collect()}
+    removed = {v for v, (_, rm) in sem.items() if rm}
+    # soundness: a removed vector must be a b-side of SOME exact pair
+    assert removed <= dup_targets
+    # vector 0 leads every ordering — it can never be removed
+    assert sem[0][1] is False
+    # every vector is assigned to exactly one of the 8 cells
+    assert {c for c, _ in sem.values()} <= set(range(8))
