@@ -1842,3 +1842,62 @@ def eventlog_pipeline_exactly_once(spark: SparkSession,
             .groupBy("user_id")
             .agg(F.sum("pn").alias("n"),
                  F.round(F.sum("psum"), 2).alias("sum_value")))
+
+
+def vector_ingest_stream(spark: SparkSession, sf_dir: str,
+                         n_chunks: int = 3) -> DataFrame:
+    """Streaming ANN index ingest — the online half of the K3 ladder:
+    embedding vectors arrive as a stream (chunked file source,
+    maxFilesPerTrigger=1 forces one micro-batch per chunk), each batch is
+    routed to its nearest of 8 pretrained centroids (broadcast dim; the
+    q_knn_ivf assignment rule with the same deterministic tie on cell
+    id), and the routed vectors land APPEND-ONLY in a cell-PARTITIONED
+    parquet index — exactly the layout the IVF queries prune on
+    (`cell=` partition directories → partition pruning at probe time).
+
+    Per-cell writes are tiny per batch and the routing is stateless, so
+    the job scales as pure map + broadcast; the index grows without ever
+    rewriting committed cells — the standard streaming-ingest IVF design.
+    """
+    from flink_tutorial_broadcast_spark.io import SCHEMAS, load
+    from flink_tutorial_broadcast_spark.operators.llm_knn import _dot
+
+    emb = (load(spark, sf_dir, "embeddings")
+           .filter(F.col("vec_id") < 2000))
+    src = tempfile.mkdtemp(prefix="vecing_src_")
+    out = os.path.join(tempfile.mkdtemp(prefix="vecing_idx_"), "index")
+    for k in range(n_chunks):
+        (emb.filter(F.col("vec_id") % n_chunks == k).coalesce(1)
+         .write.mode("append").parquet(os.path.join(src, f"chunk{k}")))
+    cents = (emb.filter(F.col("vec_id") < 8)
+             .select(F.col("vec_id").alias("c_id"),
+                     F.col("embedding").alias("c_emb"),
+                     F.sqrt(_dot(F.col("embedding"), F.col("embedding")))
+                     .alias("c_norm"))
+             .localCheckpoint())
+
+    def route(batch_df: DataFrame, batch_id: int) -> None:
+        scored = (
+            batch_df
+            .withColumn("norm",
+                        F.sqrt(_dot(F.col("embedding"), F.col("embedding"))))
+            .crossJoin(F.broadcast(cents))
+            .withColumn("cc", _dot(F.col("embedding"), F.col("c_emb"))
+                        / (F.col("norm") * F.col("c_norm")))
+        )
+        best = (scored.groupBy("vec_id")
+                .agg(F.min(F.struct((-F.col("cc")).alias("nc"),
+                                    F.col("c_id").alias("cid"))).alias("b"))
+                .select("vec_id", F.col("b.cid").alias("cell")))
+        (batch_df.join(best, "vec_id")
+         .write.mode("append").partitionBy("cell").parquet(out))
+
+    sdf = (spark.readStream.schema(SCHEMAS["embeddings"])
+           .option("recursiveFileLookup", "true")
+           .option("maxFilesPerTrigger", 1)
+           .parquet(src))
+    q = (sdf.writeStream.foreachBatch(route)
+         .option("checkpointLocation", checkpoint_dir())
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    return spark.read.parquet(out)

@@ -1335,3 +1335,47 @@ def test_eventlog_pipeline_exactly_once_across_restart(spark):
         vals = [float(i) for i in range(200) if i % 5 == u]
         want[u] = (len(vals), round(sum(vals), 2))
     assert got == want
+
+
+def test_vector_ingest_stream_builds_partitioned_ivf_index(spark):
+    """The streamed index must (a) hold every vector exactly once,
+    (b) route identically to the batch assignment rule, and (c) land in
+    cell= partition directories that probe-time scans prune on."""
+    from flink_tutorial_broadcast_spark.io import load
+    from flink_tutorial_broadcast_spark.operators.llm_knn import _dot
+    from flink_tutorial_broadcast_spark.streaming.jobs import (
+        vector_ingest_stream,
+    )
+    idx_raw = vector_ingest_stream(spark, SF_SMOKE)
+    idx_files = idx_raw.inputFiles()
+    idx = idx_raw.cache()
+    emb = load(spark, SF_SMOKE, "embeddings").filter(F.col("vec_id") < 2000)
+    n = emb.count()
+    assert idx.count() == n
+    assert idx.select("vec_id").distinct().count() == n  # exactly once
+    # batch reference: same rule, straight over the batch table
+    cents = (emb.filter(F.col("vec_id") < 8)
+             .select(F.col("vec_id").alias("c_id"),
+                     F.col("embedding").alias("c_emb"),
+                     F.sqrt(_dot(F.col("embedding"), F.col("embedding")))
+                     .alias("c_norm")))
+    scored = (emb.withColumn(
+        "norm", F.sqrt(_dot(F.col("embedding"), F.col("embedding"))))
+        .crossJoin(F.broadcast(cents))
+        .withColumn("cc", _dot(F.col("embedding"), F.col("c_emb"))
+                    / (F.col("norm") * F.col("c_norm"))))
+    want = {r.vec_id: r.cell for r in
+            (scored.groupBy("vec_id")
+             .agg(F.min(F.struct((-F.col("cc")).alias("nc"),
+                                 F.col("c_id").alias("cid"))).alias("b"))
+             .select("vec_id", F.col("b.cid").alias("cell"))).collect()}
+    got = {r.vec_id: r.cell for r in idx.select("vec_id", "cell").collect()}
+    assert got == want
+    # partition pruning: a single-cell probe reads only that directory
+    some_cell = next(iter(got.values()))
+    plan = (idx.sparkSession.read.parquet(idx_files[0]
+            .rsplit("/cell=", 1)[0])
+            .filter(F.col("cell") == int(some_cell))
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "PartitionFilters" in plan and "cell" in plan
+    idx.unpersist()
