@@ -370,6 +370,52 @@ def s_domain_token_cap(c: Ctx) -> None:
      .filter(F.col("cum") <= 800)).count()
 
 
+@shape("bpe_pair_count", lambda c: c.nrows("dr_toks"))
+def s_bpe_pair_count(c: Ctx) -> None:
+    """One BPE merge round at corpus scale (q_bpe_merges' inner loop):
+    token stream -> vocabulary table -> adjacent-pair counts -> 1-row
+    argmax. The corpus cost is the vocabulary build; the pair shuffle is
+    over the VOCABULARY (k-scaled here because dr suffixes make replica
+    vocabularies disjoint -- the honest worst case)."""
+    words = (c.dr_toks.filter(F.col("token").rlike("^[a-z0-9#]+$"))
+             .groupBy("token").agg(F.count("*").alias("cnt"))
+             .withColumn("syms",
+                         F.expr("filter(split(token, ''), x -> x <> '')")))
+    pairs = (words.select(F.explode(F.expr(
+        "transform(slice(syms, 1, size(syms) - 1), (ch, i) -> "
+        "struct(ch AS lhs, element_at(syms, i + 2) AS rhs))")).alias("p"),
+        "cnt")
+        .groupBy("p.lhs", "p.rhs").agg(F.sum("cnt").alias("pc")))
+    pairs.orderBy(F.desc("pc"), "lhs", "rhs").limit(1).collect()
+
+
+@shape("semantic_route", lambda c: c.nrows("emb"))
+def s_semantic_route(c: Ctx) -> None:
+    """SemDeDup's linear half at scale: route k-scaled vectors to 64
+    broadcast centroids (argmax via min-struct, no window) and emit the
+    per-cell histogram. The quadratic in-cell verify is excluded on
+    purpose: amplified vectors are exact copies, so in-cell pairs would
+    measure the k^2 duplicate blowup, not the operator; the design bounds
+    that term by cell size (K ~ sqrt(N))."""
+    from flink_tutorial_broadcast_spark.operators.llm_knn import _dot
+    emb = c.emb
+    cents = (emb.filter(F.col("vec_id") < 64)
+             .select(F.col("vec_id").alias("c_id"),
+                     F.col("embedding").alias("c_emb"),
+                     F.sqrt(_dot(F.col("embedding"), F.col("embedding")))
+                     .alias("c_norm")))
+    scored = (emb.withColumn(
+        "norm", F.sqrt(_dot(F.col("embedding"), F.col("embedding"))))
+        .crossJoin(F.broadcast(cents))
+        .withColumn("cc", _dot(F.col("embedding"), F.col("c_emb"))
+                    / (F.col("norm") * F.col("c_norm"))))
+    (scored.groupBy("vec_id")
+     .agg(F.min(F.struct((-F.col("cc")).alias("nc"),
+                         F.col("c_id").alias("cid"))).alias("b"))
+     .groupBy(F.col("b.cid").alias("cell"))
+     .agg(F.count("*").alias("n"))).count()
+
+
 def main() -> None:
     k = int(sys.argv[1]) if len(sys.argv) > 1 else 16
     wanted = (sys.argv[2].split(",") if len(sys.argv) > 2
