@@ -557,3 +557,34 @@ def test_semantic_dedup_consistent_with_exact_pairs(spark, queries):
     assert sem[0][1] is False
     # every vector is assigned to exactly one of the 8 cells
     assert {c for c, _ in sem.values()} <= set(range(8))
+
+
+def test_y4m_decoder_is_a_real_parser():
+    """The Y4M decoder must round-trip the synthesizer and reject
+    malformed containers — wrong magic, a stray byte where a FRAME
+    marker belongs, a truncated final plane, an empty stream."""
+    import numpy as np
+    import pytest
+    from flink_tutorial_broadcast_spark.operators.multimodal import (
+        decode_y4m, synth_y4m)
+
+    for doc_id in (0, 3, 7, 11):
+        payload = synth_y4m(doc_id)
+        w, h, frames = decode_y4m(payload)
+        assert (w, h) == (4 + (doc_id % 4) * 2, 4 + (doc_id % 3) * 2)
+        assert len(frames) == 2 + doc_id % 4
+        idx = np.arange(w * h * 3, dtype=np.int64)
+        for f, plane in enumerate(frames):
+            want = ((doc_id * 5 + f * 17 + idx * 11) % 256)
+            assert (plane == want.astype(np.uint8)).all()
+
+    good = synth_y4m(5)
+    with pytest.raises(ValueError):
+        decode_y4m(b"YUV4MPEG2 W4 H4 F25:1 Ip A1:1 C420\n" + good[36:])
+    with pytest.raises(ValueError):
+        decode_y4m(good[:-1])            # truncated last plane
+    with pytest.raises(ValueError):
+        decode_y4m(good + b"X")          # stray byte, not a FRAME marker
+    header_only = good[:good.index(b"FRAME\n")]
+    with pytest.raises(ValueError):
+        decode_y4m(header_only)          # zero frames
