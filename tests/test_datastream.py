@@ -1,0 +1,84 @@
+"""The Flink-DataStream facade must produce the SAME results (and the
+same plan family) as the oracle-backed operator keys — the program-shape
+migration contract for reference users."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from flink_tutorial_broadcast_spark.datastream import (
+    StreamExecutionEnvironment,
+)
+from flink_tutorial_broadcast_spark.io import load
+from flink_tutorial_broadcast_spark.sources.rules import rules_df
+from tests.conftest import SF_SMOKE
+
+
+def test_facade_reproduces_the_flagship_broadcast_rule_join(spark, queries):
+    """The reference's canonical program — events connected to a
+    broadcast rule stream, keyed, windowed, aggregated — written in the
+    facade's fluent style, must equal q_broadcast_rule_join exactly."""
+    env = StreamExecutionEnvironment.get_execution_environment(spark)
+    out = (
+        env.from_dataframe(load(spark, SF_SMOKE, "events"))
+        .connect_broadcast(
+            rules_df(spark),
+            on="event_type = rule_event_type AND value > threshold")
+        .key_by("event_type", "severity")
+        .window_tumbling("ts", "hour")
+        .aggregate(n_matches="count(*)",
+                   sum_value="round(sum(value), 2)",
+                   n_users="count(distinct user_id)")
+        .to_df()
+    )
+    want = {tuple(r[k] for k in ("event_type", "severity", "window_start"))
+            : (r["n_matches"], r["sum_value"], r["n_users"])
+            for r in queries["q_broadcast_rule_join"](
+                spark, SF_SMOKE).collect()}
+    got = {tuple(r[k] for k in ("event_type", "severity", "window_start"))
+           : (r["n_matches"], r["sum_value"], r["n_users"])
+           for r in out.collect()}
+    assert got == want
+    # and it is the SAME physical strategy: broadcast join, fact side
+    # never shuffles before the join
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+
+
+def test_facade_map_filter_flatmap_expression_path(spark, queries):
+    """Expression-style map/filter/flat_map stay JVM-side and match the
+    operator keys built directly on DataFrames."""
+    env = StreamExecutionEnvironment.get_execution_environment(spark)
+    toks = (
+        env.from_dataframe(load(spark, SF_SMOKE, "documents"))
+        .filter("lang = 'en'")
+        .flat_map("token", "split(text, ' ')")
+        .key_by("token")
+        .count()
+        .to_df()
+    )
+    want = {r["token"]: r["n"] for r in
+            (load(spark, SF_SMOKE, "documents")
+             .filter(F.col("lang") == "en")
+             .select(F.explode(F.split("text", " ")).alias("token"))
+             .groupBy("token").agg(F.count("*").alias("n"))).collect()}
+    got = {r["token"]: r["n"] for r in toks.collect()}
+    assert got == want
+    plan = toks._jdf.queryExecution().executedPlan().toString()
+    assert "mapInPandas" not in plan.lower()  # pure JVM path
+
+
+def test_facade_python_lambda_slow_path_works_and_is_arrow_batched(spark):
+    """Callable map/filter (the ported-Flink-lambda look) must be
+    correct through mapInPandas."""
+    env = StreamExecutionEnvironment.get_execution_environment(spark)
+    out = (
+        env.from_collection([(1, 10.0), (2, 25.0), (3, 40.0)],
+                            "id long, value double")
+        .filter(lambda r: r["value"] > 15)
+        .map(lambda r: {"id": r["id"], "doubled": r["value"] * 2},
+             output_schema="id long, doubled double")
+        .to_df()
+    )
+    assert {(r.id, r.doubled) for r in out.collect()} \
+        == {(2, 50.0), (3, 80.0)}
