@@ -82,3 +82,48 @@ def test_facade_python_lambda_slow_path_works_and_is_arrow_batched(spark):
     )
     assert {(r.id, r.doubled) for r in out.collect()} \
         == {(2, 50.0), (3, 80.0)}
+
+
+def test_facade_runs_unchanged_on_a_streaming_source(spark):
+    """The same fluent program body works when the underlying DataFrame
+    is a STREAM — the declarative-plan premise: facade code written for
+    batch runs on readStream with only source/sink swapped."""
+    import tempfile
+    import uuid
+
+    from flink_tutorial_broadcast_spark.sources import eventlog
+
+    root = tempfile.mkdtemp(prefix="ds_facade_src_")
+    rows = [(i, i % 4, "view" if i % 3 else "purchase", float(i))
+            for i in range(90)]
+    eventlog.log_write(root, rows, n_partitions=2)
+    eventlog.register(spark)
+
+    def program(stream: "DataStream"):
+        return (stream
+                .filter("event_type = 'purchase'")
+                .key_by("user_id")
+                .aggregate(n="count(*)", total="round(sum(value), 2)"))
+
+    from flink_tutorial_broadcast_spark.datastream import (
+        StreamExecutionEnvironment,
+    )
+    env = StreamExecutionEnvironment.get_execution_environment(spark)
+
+    # batch run of the identical program body
+    batch_src = env.from_dataframe(
+        spark.read.format("ftbs_eventlog").option("path", root).load())
+    want = {(r.user_id): (r.n, r.total)
+            for r in program(batch_src).to_df().collect()}
+
+    # streaming run: same body, streaming source, complete-mode sink
+    name = f"ds_facade_{uuid.uuid4().hex[:8]}"
+    stream_src = env.from_dataframe(
+        spark.readStream.format("ftbs_eventlog").option("path", root).load())
+    q = (program(stream_src).to_df()
+         .writeStream.format("memory").queryName(name)
+         .outputMode("complete").trigger(availableNow=True).start())
+    q.awaitTermination()
+    got = {(r.user_id): (r.n, r.total)
+           for r in spark.table(name).collect()}
+    assert got == want and got
