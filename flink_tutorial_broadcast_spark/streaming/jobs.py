@@ -1901,3 +1901,38 @@ def vector_ingest_stream(spark: SparkSession, sf_dir: str,
          .trigger(availableNow=True).start())
     q.awaitTermination()
     return spark.read.parquet(out)
+
+
+def queryable_state_read(spark: SparkSession, sf_dir: str):
+    """Flink queryable-state / State-Processor-API parity: a keyed
+    streaming aggregate runs against a checkpoint, then the CHECKPOINTED
+    STATE ITSELF is read back offline as a DataFrame through Spark 4's
+    state data source (`spark.read.format("statestore")`) — no query
+    running, no sink involved; the store is the source of truth. Returns
+    (sink_df, state_df): the memory-sink result and the per-key state
+    rows read from the store. At scale the state read is one task per
+    store shard — the same parallelism the job ran with — which is how
+    state inspection, repair, and bootstrap tooling (Flink's state
+    processor) operate on Spark."""
+    import os
+
+    from flink_tutorial_broadcast_spark.io import load
+
+    ckpt = checkpoint_dir()
+    src = tempfile.mkdtemp(prefix="qstate_src_")
+    ev = (load(spark, sf_dir, "events")
+          .select("event_id", "user_id", "value"))
+    ev.coalesce(1).write.mode("append").parquet(os.path.join(src, "f0"))
+    name = f"qstate_{uuid.uuid4().hex[:8]}"
+    sdf = (spark.readStream
+           .schema("event_id long, user_id long, value double")
+           .option("recursiveFileLookup", "true").parquet(src)
+           .groupBy("user_id").agg(F.count("*").alias("n")))
+    q = (sdf.writeStream.format("memory").queryName(name)
+         .outputMode("complete").option("checkpointLocation", ckpt)
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    state = (spark.read.format("statestore").load(ckpt)
+             .select(F.col("key.user_id").alias("user_id"),
+                     F.col("value.count").alias("n_state")))
+    return spark.table(name), state

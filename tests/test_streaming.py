@@ -1379,3 +1379,20 @@ def test_vector_ingest_stream_builds_partitioned_ivf_index(spark):
             ._jdf.queryExecution().executedPlan().toString())
     assert "PartitionFilters" in plan and "cell" in plan
     idx.unpersist()
+
+
+def test_state_store_reads_back_as_the_batch_aggregate(spark):
+    """Queryable-state parity: the per-key rows read OFFLINE from the
+    checkpointed state store must equal both the sink result and the
+    batch groupBy over the same fixture — state is a first-class,
+    independently readable artifact, not a black box."""
+    from flink_tutorial_broadcast_spark.io import load
+    from flink_tutorial_broadcast_spark.streaming.jobs import (
+        queryable_state_read,
+    )
+    sink, state = queryable_state_read(spark, SF_SMOKE)
+    want = {r.user_id: r.n for r in
+            (load(spark, SF_SMOKE, "events")
+             .groupBy("user_id").agg(F.count("*").alias("n"))).collect()}
+    assert {r.user_id: r.n for r in sink.collect()} == want
+    assert {r.user_id: r.n_state for r in state.collect()} == want
