@@ -102,7 +102,8 @@ _VERIFICATION_PREFIX = (
     "q_agg_basic", "q_rollup",          # aggregates (D1, D5)
     "q_window_tumbling", "q_window_session", "q_asof_join",  # E1, E3, C8
     "q_rank", "q_topk_per_group",       # analytic windows (F1, F4)
-    "q_string_funcs", "q_json_extract",  # scalar funcs (I1, I7)
+    "q_string_funcs",                   # scalar funcs (I1)
+    "q_video_features",                 # K5 — real Y4M video decode (r5)
     "q_pandas_udf_cosine", "q_grouped_map",  # udf surface (J2, J5)
     "q_dedup_exact_fast", "q_dedup_near", "q_knn_vectorized",  # K1-K3
     "q_tfidf", "q_lang_id",             # K4

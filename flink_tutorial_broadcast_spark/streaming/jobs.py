@@ -1935,4 +1935,7 @@ def queryable_state_read(spark: SparkSession, sf_dir: str):
     state = (spark.read.format("statestore").load(ckpt)
              .select(F.col("key.user_id").alias("user_id"),
                      F.col("value.count").alias("n_state")))
-    return spark.table(name), state
+    # checkpoint self-description: which operators hold which stores over
+    # which batch range — the discovery half of state tooling
+    meta = spark.read.format("state-metadata").load(ckpt)
+    return spark.table(name), state, meta

@@ -1390,7 +1390,10 @@ def test_state_store_reads_back_as_the_batch_aggregate(spark):
     from flink_tutorial_broadcast_spark.streaming.jobs import (
         queryable_state_read,
     )
-    sink, state = queryable_state_read(spark, SF_SMOKE)
+    sink, state, meta = queryable_state_read(spark, SF_SMOKE)
+    md = meta.collect()
+    assert len(md) == 1 and md[0].operatorName == "stateStoreSave"
+    assert md[0].numPartitions > 0 and md[0].maxBatchId >= 0
     want = {r.user_id: r.n for r in
             (load(spark, SF_SMOKE, "events")
              .groupBy("user_id").agg(F.count("*").alias("n"))).collect()}
