@@ -145,3 +145,15 @@ class KeyedStream:
 
     def count(self) -> DataStream:
         return self.aggregate(n="count(*)")
+
+    def process(self, fn: Callable, output_schema: str) -> DataStream:
+        """KeyedProcessFunction analogue: `fn(key_tuple, pandas_df) ->
+        pandas_df` runs once per key group via applyInPandas — arbitrary
+        per-key logic (custom folds, order-dependent state machines) on
+        the Arrow slow path. Prefer `aggregate()` expressions when the
+        logic is expressible; this exists for ports whose per-key code
+        resists relational rewrite (the same rule udf_surface.py's
+        grouped-map key documents: bucket hot keys if groups are tiny).
+        """
+        return DataStream(
+            self.df.groupBy(*self.keys).applyInPandas(fn, output_schema))

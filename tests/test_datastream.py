@@ -127,3 +127,41 @@ def test_facade_runs_unchanged_on_a_streaming_source(spark):
     got = {(r.user_id): (r.n, r.total)
            for r in spark.table(name).collect()}
     assert got == want and got
+
+
+def test_facade_keyed_process_function_per_key_fold(spark):
+    """KeyedProcessFunction analogue: an order-dependent per-key fold
+    (running max drawdown of value in event_id order) via process(),
+    checked against an independent Python fold over the same fixture."""
+    from flink_tutorial_broadcast_spark.datastream import (
+        StreamExecutionEnvironment,
+    )
+    from flink_tutorial_broadcast_spark.io import load
+
+    def drawdown(key, pdf):
+        import pandas as pd
+        pdf = pdf.sort_values("event_id")
+        peak = pdf["value"].cummax()
+        return pd.DataFrame({
+            "user_id": [int(key[0])],
+            "max_drawdown": [float((peak - pdf["value"]).max())],
+        })
+
+    env = StreamExecutionEnvironment.get_execution_environment(spark)
+    got = {r.user_id: r.max_drawdown for r in (
+        env.from_dataframe(load(spark, SF_SMOKE, "events"))
+        .key_by("user_id")
+        .process(drawdown, "user_id long, max_drawdown double")
+        .to_df().collect())}
+
+    rows = (load(spark, SF_SMOKE, "events")
+            .select("user_id", "event_id", "value").collect())
+    per_key = {}
+    for r in sorted(rows, key=lambda r: (r.user_id, r.event_id)):
+        peak, dd = per_key.get(r.user_id, (float("-inf"), 0.0))
+        peak = max(peak, r.value)
+        per_key[r.user_id] = (peak, max(dd, peak - r.value))
+    want = {u: dd for u, (_, dd) in per_key.items()}
+    assert set(got) == set(want)
+    for u in want:
+        assert abs(got[u] - want[u]) < 1e-9, u
