@@ -966,3 +966,94 @@ def q_winnow_crossdoc(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.round(F.col("n_shared").cast("double")
                         / F.least("na", "nb"), 6).alias("overlap"))
     )
+
+
+_RETRIEVE_TERMS = ("spark", "table", "window", "hash")
+_RETRIEVE_TERMS_SQL = "(VALUES " + ", ".join(
+    f"('{t}')" for t in _RETRIEVE_TERMS) + ") AS qt(token)"
+
+
+@query(
+    "q_retrieve_bm25",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+    ), qtoks AS (
+      SELECT t.doc_id, t.token FROM toks t
+      JOIN {_RETRIEVE_TERMS_SQL} ON t.token = qt.token
+    ), tf AS (
+      SELECT doc_id, token, COUNT(*) AS tf FROM qtoks GROUP BY 1, 2
+    ), df AS (
+      SELECT token, COUNT(DISTINCT doc_id) AS df FROM qtoks GROUP BY 1
+    ), dl AS (
+      SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY 1
+    ), corp AS (
+      SELECT COUNT(*) AS n_docs,
+             (SELECT AVG(CAST(dl AS DOUBLE)) FROM dl) AS avgdl
+      FROM documents
+    ), scored AS (
+      SELECT tf.doc_id,
+             COUNT(*) AS n_terms,
+             CAST(SUM(CAST(FLOOR(
+               ln(1.0 + (CAST(corp.n_docs AS DOUBLE) - df.df + 0.5)
+                        / (df.df + 0.5))
+               * ((tf.tf * 2.2)
+                  / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / corp.avgdl)))
+               * 1000000.0) AS BIGINT)) AS BIGINT) AS score_ppm
+      FROM tf
+      JOIN df ON tf.token = df.token
+      JOIN dl ON tf.doc_id = dl.doc_id
+      CROSS JOIN corp
+      GROUP BY tf.doc_id
+    )
+    SELECT doc_id, CAST(n_terms AS BIGINT) AS n_terms, score_ppm
+    FROM scored ORDER BY score_ppm DESC, doc_id LIMIT 10
+    """,
+)
+def q_retrieve_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K4 ranked retrieval — the query-serving half of q_bm25: a fixed
+    multi-term query is scored against the corpus and the top-10 docs
+    returned. The retrieval pruning happens FIRST: the broadcast
+    query-term join cuts the posting stream to query terms before any
+    tf/df aggregation (the inverted-index access path — at 100 TB only
+    the query terms' postings are ever shuffled; dl/avgdl come from the
+    shared tokenize scan). Per-term BM25 contributions are floored to
+    integer ppm BEFORE summation, so the doc score is an
+    order-insensitive integer sum — cross-engine exact, no float-sum
+    ordering hazard — and the top-10 cut (score DESC, doc_id) is
+    deterministic. Global top-k plans as TakeOrderedAndProject."""
+    qterms = spark.createDataFrame(
+        [(t,) for t in _RETRIEVE_TERMS], "token string")
+    toks = (
+        load(spark, sf_dir, "documents")
+        .select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+    )
+    qtoks = toks.join(F.broadcast(qterms), "token")
+    tf = qtoks.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
+    df = qtoks.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
+    dl = toks.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    corp = (
+        load(spark, sf_dir, "documents").agg(F.count("*").alias("n_docs"))
+        .crossJoin(F.broadcast(dl.agg(
+            F.avg(F.col("dl").cast("double")).alias("avgdl"))))
+    )
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs").cast("double") - F.col("df") + 0.5)
+        / (F.col("df") + 0.5)
+    )
+    sat = (F.col("tf") * 2.2) / (
+        F.col("tf")
+        + 1.2 * (0.25 + 0.75 * F.col("dl") / F.col("avgdl"))
+    )
+    return (
+        tf.join(df, "token")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(corp))
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_terms"),
+             F.sum(F.floor(idf * sat * 1000000.0).cast("long"))
+             .alias("score_ppm"))
+        .orderBy(F.desc("score_ppm"), F.asc("doc_id"))
+        .limit(10)
+    )
