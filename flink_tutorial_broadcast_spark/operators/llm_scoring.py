@@ -1057,3 +1057,81 @@ def q_retrieve_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("score_ppm"), F.asc("doc_id"))
         .limit(10)
     )
+
+
+@query(
+    "q_bigram_lm_score",
+    oracle="""
+    WITH docs AS (
+      SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+    ), big AS (
+      SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2
+      FROM docs, UNNEST(range(1, len(toks))) AS t(i)
+    ), c2 AS (
+      SELECT w1, w2, COUNT(*) AS c12 FROM big GROUP BY 1, 2
+    ), c1 AS (
+      SELECT w1, COUNT(*) AS c1 FROM big GROUP BY 1
+    ), vocab AS (
+      SELECT COUNT(DISTINCT token) AS v
+      FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+    ), scored AS (
+      SELECT b.doc_id,
+             COUNT(*) AS n_bigrams,
+             CAST(SUM(CAST(FLOOR(
+               -ln((CAST(c2.c12 AS DOUBLE) + 1.0) / (c1.c1 + vocab.v))
+               * 1000000.0) AS BIGINT)) AS BIGINT) AS nll_sum_ppm
+      FROM big b
+      JOIN c2 ON b.w1 = c2.w1 AND b.w2 = c2.w2
+      JOIN c1 ON b.w1 = c1.w1
+      CROSS JOIN vocab
+      GROUP BY b.doc_id
+    )
+    SELECT doc_id, n_bigrams, nll_sum_ppm,
+           nll_sum_ppm // n_bigrams AS mean_nll_ppm
+    FROM scored
+    """,
+)
+def q_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K4 bigram LM scoring — the perplexity-filter signal one order up
+    from q_unigram_lm_score: P(w2|w1) = (C(w1,w2)+1)/(C(w1)+V) (add-1
+    smoothing, corpus-trained), each document scored by its mean
+    per-bigram negative log-probability. Per-bigram −ln P is floored to
+    integer ppm BEFORE summation, so the doc score is an
+    order-insensitive integer (the q_retrieve_bm25 discipline) and the
+    integer-div mean is exact cross-engine.
+
+    Scale: the bigram stream shuffles once on (w1, w2) for counts and
+    once back for scoring; both count dims are vocabulary-bounded (≪
+    corpus) so AQE broadcasts them; V is a 1-row broadcast. The same
+    plan trains on one corpus and scores another by swapping the count
+    inputs — the held-out-perplexity gate of a real quality pipeline."""
+    docs = (
+        load(spark, sf_dir, "documents")
+        .select("doc_id", F.split("text", " ").alias("toks"))
+    )
+    big = docs.select(
+        "doc_id",
+        F.explode(F.expr(
+            "transform(slice(toks, 1, size(toks) - 1), (w, i) -> "
+            "struct(w AS w1, element_at(toks, i + 2) AS w2))")).alias("b")
+    ).select("doc_id", "b.w1", "b.w2")
+    c2 = big.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
+    c1 = big.groupBy("w1").agg(F.count("*").alias("c1"))
+    vocab = (
+        load(spark, sf_dir, "documents")
+        .select(F.explode(F.split("text", " ")).alias("token"))
+        .agg(F.countDistinct("token").alias("v"))
+    )
+    nll = -F.log((F.col("c12").cast("double") + 1.0)
+                 / (F.col("c1") + F.col("v")))
+    return (
+        big.join(c2, ["w1", "w2"])
+        .join(c1, "w1")
+        .crossJoin(F.broadcast(vocab))
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_bigrams"),
+             F.sum(F.floor(nll * 1000000.0).cast("long"))
+             .alias("nll_sum_ppm"))
+        .select("doc_id", "n_bigrams", "nll_sum_ppm",
+                F.expr("nll_sum_ppm div n_bigrams").alias("mean_nll_ppm"))
+    )
