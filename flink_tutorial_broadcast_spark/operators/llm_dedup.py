@@ -1073,6 +1073,7 @@ _SEM_CELLS = 8  # SemDeDup coarse clusters (centroids = vectors 0..7)
     WITH emb AS (
       SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
       FROM embeddings WHERE vec_id < {_EMBED_DUP_LIMIT}
+        AND list_dot_product(embedding, embedding) > 0
     ),
     cents AS (
       SELECT vec_id AS c_id, e AS ce FROM emb WHERE vec_id < {_SEM_CELLS}
@@ -1123,6 +1124,10 @@ def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", "embedding",
                 F.sqrt(_dot(F.col("embedding"), F.col("embedding")))
                 .alias("norm"))
+        # Zero-norm vectors have no cosine direction: exclude them loudly
+        # (mirrored in the oracle) instead of letting NaN cosines silently
+        # mis-route them to an arbitrary cell.
+        .filter(F.col("norm") > 0)
     )
     cents = emb.filter(F.col("vec_id") < _SEM_CELLS).select(
         F.col("vec_id").alias("c_id"),

@@ -792,12 +792,17 @@ def _bpe_train(spark: SparkSession, sf_dir: str,
     words = _bpe_word_table(spark, sf_dir).localCheckpoint()
     rules = []
     for step in range(1, rounds + 1):
-        best = (
+        top = (
             _bpe_pair_counts(words)
             .orderBy(F.desc("pair_count"), F.asc("lhs"), F.asc("rhs"))
             .limit(1)
-            .collect()[0]  # bounded: ONE row — the learned merge rule
+            .collect()  # bounded: at most ONE row — the learned merge rule
         )
+        if not top:
+            # Vocabulary exhausted (only single-symbol words remain): no
+            # adjacent pair exists, so there is nothing left to merge.
+            break
+        best = top[0]
         rules.append((step, best["lhs"], best["rhs"],
                       best["lhs"] + best["rhs"], best["pair_count"]))
         if step < rounds or apply_last:

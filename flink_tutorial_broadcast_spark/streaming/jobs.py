@@ -1767,9 +1767,11 @@ def continuous_map_stream(spark: SparkSession, sf_dir: str,
     under this trigger raise at analysis time (test-pinned), which keeps
     the micro-batch jobs above the right home for stateful shapes.
 
-    Runs for `runtime_s` wall-clock, then returns the memory-sink table
-    (readable WHILE the query runs — asserted before stop so the rows
-    observably arrived mid-flight, not on query teardown).
+    Polls up to `runtime_s` (plus a loaded-host grace) until rows land,
+    then returns the memory-sink table (readable WHILE the query runs —
+    checked before stop so the rows observably arrived mid-flight, not on
+    query teardown). `sf_dir` is accepted for the uniform job signature
+    only; the rate source reads no input tables.
     """
     name = f"cont_map_{uuid.uuid4().hex[:8]}"
     sdf = (
@@ -1784,11 +1786,20 @@ def continuous_map_stream(spark: SparkSession, sf_dir: str,
     q = (sdf.writeStream.format("memory").queryName(name)
          .trigger(continuous="1 second").start())
     try:
-        time.sleep(runtime_s)
-        # Materialize while the continuous query is live.
-        out = spark.table(name).where(F.col("value") >= 0)
-        out.count()
-        assert q.isActive
+        # Poll until rows observably arrive mid-flight (bounded by
+        # runtime_s plus a loaded-host grace) instead of a fixed sleep:
+        # on a busy box the rate source may emit nothing for seconds.
+        deadline = time.monotonic() + max(runtime_s, 2.0) + 24.0
+        while time.monotonic() < deadline:
+            if spark.table(name).where(F.col("value") >= 0).count() > 0:
+                break
+            time.sleep(0.5)
+        else:
+            raise RuntimeError(
+                "continuous query produced no rows before deadline")
+        if not q.isActive:
+            raise RuntimeError(
+                "continuous query died while rows were being read")
     finally:
         q.stop()
     return spark.table(name)
@@ -1881,6 +1892,9 @@ def vector_ingest_stream(spark: SparkSession, sf_dir: str,
             batch_df
             .withColumn("norm",
                         F.sqrt(_dot(F.col("embedding"), F.col("embedding"))))
+            # zero-norm vectors have no cosine direction — drop them here
+            # rather than NaN-routing them to an arbitrary cell
+            .filter(F.col("norm") > 0)
             .crossJoin(F.broadcast(cents))
             .withColumn("cc", _dot(F.col("embedding"), F.col("c_emb"))
                         / (F.col("norm") * F.col("c_norm")))
@@ -1909,8 +1923,9 @@ def queryable_state_read(spark: SparkSession, sf_dir: str):
     STATE ITSELF is read back offline as a DataFrame through Spark 4's
     state data source (`spark.read.format("statestore")`) — no query
     running, no sink involved; the store is the source of truth. Returns
-    (sink_df, state_df): the memory-sink result and the per-key state
-    rows read from the store. At scale the state read is one task per
+    (sink_df, state_df, metadata_df): the memory-sink result, the
+    per-key state rows read from the store, and the checkpoint's
+    state-metadata self-description. At scale the state read is one task per
     store shard — the same parallelism the job ran with — which is how
     state inspection, repair, and bootstrap tooling (Flink's state
     processor) operate on Spark."""

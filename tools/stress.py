@@ -406,6 +406,7 @@ def s_semantic_route(c: Ctx) -> None:
                      .alias("c_norm")))
     scored = (emb.withColumn(
         "norm", F.sqrt(_dot(F.col("embedding"), F.col("embedding"))))
+        .filter(F.col("norm") > 0)  # zero-norm vectors have no direction
         .crossJoin(F.broadcast(cents))
         .withColumn("cc", _dot(F.col("embedding"), F.col("c_emb"))
                     / (F.col("norm") * F.col("c_norm"))))
