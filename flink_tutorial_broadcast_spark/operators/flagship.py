@@ -15,12 +15,17 @@ to ~|groups|×|partitions| rows. The fact scan prunes to 3 columns.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from flink_tutorial_broadcast_spark.io import load
 from flink_tutorial_broadcast_spark.registry import query
-from flink_tutorial_broadcast_spark.sources.rules import RULES_SQL, rules_df
+from flink_tutorial_broadcast_spark.sources.rules import (
+    RULES_SQL,
+    rule_waves_df,
+    rule_waves_sql,
+    rules_df,
+)
 
 
 def broadcast_rule_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -93,6 +98,81 @@ def q_broadcast_theta_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_id", "event_type",
                 F.round("value", 2).alias("value"), "severity")
     )
+
+
+def rule_mutation_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Events matched against the MUTABLE rule stream (E9's batch twin,
+    unrounded): the per-record `processBroadcastElement` semantics —
+    each event sees exactly the rule version in effect at its position
+    on the shared (events ∪ rule-waves) total order.
+
+    Scale shape: the rule stream is tiny, so its versions are turned
+    into validity intervals [valid_from, valid_to) with one LEAD window
+    over 10 rows, then BROADCAST range-joined to the fact — the fact
+    side never shuffles and never runs a window; this is the SCD2 /
+    temporal-join layout, not a fact-scale last-value window.
+    """
+    ev = load(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value",
+        (F.col("event_id") * 2 + 1).alias("seq"))
+    med = int(ev.agg(
+        F.floor(F.expr("percentile(event_id, 0.5)")).cast("long")
+        .alias("m")).collect()[0]["m"])  # bounded: ONE row
+    wr = Window.partitionBy("rule_id").orderBy("valid_from")
+    versions = (
+        rule_waves_df(spark, med)
+        .withColumnRenamed("seq", "valid_from")
+        .withColumn("valid_to", F.lead("valid_from").over(wr))
+    )
+    cond = (
+        (ev.event_type == versions.rule_event_type)
+        & (versions.valid_from < ev.seq)
+        & (versions.valid_to.isNull() | (ev.seq < versions.valid_to))
+        & (ev.value > versions.threshold)
+    )
+    return ev.join(F.broadcast(versions), cond, "inner").select(
+        "event_id", "event_type", "value", "threshold", "severity")
+
+
+@query(
+    "q_broadcast_rule_mutation",
+    oracle=f"""
+    WITH med AS (
+      SELECT CAST(FLOOR(MEDIAN(event_id)) AS BIGINT) AS m FROM events
+    ),
+    rw AS ({rule_waves_sql("med")}),
+    versions AS (
+      SELECT rule_id, rule_event_type, threshold, severity,
+             seq AS valid_from,
+             LEAD(seq) OVER (PARTITION BY rule_id ORDER BY seq) AS valid_to
+      FROM rw
+    ),
+    ev AS (
+      SELECT event_id, event_type, value, 2 * event_id + 1 AS seq
+      FROM events
+    )
+    SELECT e.event_id, e.event_type, ROUND(e.value, 2) AS value,
+           v.threshold AS threshold, v.severity AS severity
+    FROM ev e JOIN versions v
+      ON e.event_type = v.rule_event_type
+     AND v.valid_from < e.seq
+     AND (v.valid_to IS NULL OR e.seq < v.valid_to)
+     AND e.value > v.threshold
+    """,
+)
+def q_broadcast_rule_mutation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E9 with the reference's PER-RECORD rule-update semantics, batch
+    form: rules arrive as a sequenced upsert stream interleaved with the
+    events; an event matches the rule version in effect AT ITS SEQUENCE
+    POSITION (wave 1 before the median event, the doubled-threshold
+    "v2-" wave after). The streaming twin
+    (streaming/jobs.broadcast_rules_union_tws) runs the identical
+    semantics as a tagged union through one transformWithStateInPandas
+    processor with the rules in MapState, and is test-pinned equal."""
+    m = rule_mutation_matches(spark, sf_dir)
+    return m.select(
+        "event_id", "event_type", F.round("value", 2).alias("value"),
+        "threshold", "severity")
 
 
 def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> DataFrame:

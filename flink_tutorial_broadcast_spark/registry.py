@@ -88,12 +88,14 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # Keys not listed keep their registration order after the prefix; no key is
 # ever removed or renamed (the inventory is monotone).
 #
-# Round 5 rotation: ~15 slots swapped toward the newest families (CEP NFA,
-# PQ / IVF-PQ vector compression, real image+audio decode, the Kafka-shape
-# eventlog source, portable MinHash-LSH, winnowing, CMS, governance,
-# curriculum mixing, compaction) so the driver's capped sample finally
-# exercises round-3/4 operators while keeping one representative per A-K
-# family. Rotated-out keys stay registered right after the prefix.
+# Round 6 rotation: 12 slots swapped toward keys the driver has NEVER
+# sampled — the round-5 session-2 additions (BM25 retrieval, bigram-LM
+# gate, SemDeDup, BPE tokenize), the new per-record broadcast-rule
+# MUTATION twin (E9, round 6), and long-registered sweep-only
+# representatives (IVF, portable SimHash, bucketed range join, window
+# join, UDAF) — while keeping one-or-more representatives per A-K family
+# AND per oracle-bearing module (test_contract guards both). Rotated-out
+# keys stay registered right after the prefix.
 _VERIFICATION_PREFIX = (
     "q_broadcast_rule_join",            # flagship (C1)
     "q_scan_parquet",                   # scans (A5)
@@ -108,19 +110,19 @@ _VERIFICATION_PREFIX = (
     "q_dedup_exact_fast", "q_dedup_near", "q_knn_vectorized",  # K1-K3
     "q_tfidf", "q_lang_id",             # K4
     "q_multimodal_bytes",               # K5
-    "q_dedup_minhash_portable",         # K2 — portable MinHash+LSH (r3)
-    "q_winnow_crossdoc",                # K4 — winnowing fingerprints (r3)
-    "q_knn_pq", "q_knn_ivfpq",          # K3 — PQ / IVF-PQ ANN (r4)
-    "q_media_features",                 # K5 — real PPM image decode (r4)
+    "q_dedup_semantic",                 # K2 — SemDeDup cluster-routed (r5)
+    "q_retrieve_bm25",                  # K4 — top-k BM25 serving (r5)
+    "q_knn_ivf", "q_knn_ivfpq",         # K3 — IVF / IVF-PQ ANN (r4)
+    "q_bigram_lm_score",                # K4 — bigram-LM quality gate (r5)
     "q_audio_features",                 # K5 — real PCM WAV decode (r4)
     "q_cep_followed_by_all",            # CEP forking NFA (r5)
-    "q_cep_match_measures",             # CEP MATCH_RECOGNIZE measures (r4)
+    "q_bpe_tokenize",                   # K4 — BPE apply-merges (r5)
     "q_scan_eventlog",                  # Kafka-shape log source (r4)
-    "q_scan_eventlog_compacted",        # Kafka log compaction (r5)
-    "q_cms_frequency",                  # Count-Min sketch freq (r3)
-    "q_table_reconcile",                # governance reconcile (r3)
+    "q_broadcast_rule_mutation",        # E9 per-record rule mutation (r6)
+    "q_dedup_simhash_portable",         # K2 — portable SimHash dedup (r3)
+    "q_range_join_bucketed",            # C7 — bucketed interval join (r4)
     "q_l_diversity",                    # governance l-diversity (r4)
-    "q_curriculum_interleave",          # dataset mixture curriculum (r3)
+    "q_window_join",                    # C9 — window join (r1)
     "q_compact_small_files",            # layout compaction (r3)
     "q_pivot",                          # olap_ext (L1)
     "q_tpch_q3",                        # composite
@@ -132,7 +134,7 @@ _VERIFICATION_PREFIX = (
     "q_decontaminate",                  # text_pipeline (L46)
     "q_setsim_join",                    # graph_setsim (L44)
     "q_temporal_join",                  # temporal (L45)
-    "q_dedup_vectors",                  # vector_compress (L76)
+    "q_udaf_grouped",                   # J3 — pandas UDAF (r1)
 )
 
 

@@ -49,3 +49,60 @@ RULES_SQL = (
 def rules_df(spark: SparkSession) -> DataFrame:
     """The rule dimension as an inline DataFrame (A1 collection source)."""
     return spark.createDataFrame(RULES, RULES_SCHEMA)
+
+
+# --- Mutable-rule-stream constants (the processBroadcastElement story) ---
+#
+# The reference's rule stream is not static: `processBroadcastElement`
+# UPSERTS the per-type rule while events flow. The engine models that as
+# two deterministic rule WAVES on a total order shared with the events
+# (events sit at odd sequence numbers 2*event_id+1; rules at even ones,
+# so "rule before event" is never a tie):
+#   wave 1 (seq -100..-96): the initial RULES, before every event;
+#   wave 2 (seq 2*(floor(median(event_id)) + i)): the mutation — same
+#     rule_id per type, doubled threshold, severity prefixed "v2-" —
+#     landing mid-stream so roughly half the events match under each
+#     version. Both engines derive the wave-2 seq from the data
+#     identically (floored interpolated median), keeping the oracle pure
+#     SQL.
+RULES_V2: list[tuple[str, float, str]] = [
+    (t, th * 2, "v2-" + sev) for (t, th, sev) in RULES
+]
+
+RULE_WAVE1_SEQ_BASE = -100  # wave-1 rule i sits at seq BASE + i
+
+
+def rule_waves_df(spark: SparkSession, med: int) -> DataFrame:
+    """Both rule waves as one sequenced upsert stream:
+    (seq, rule_id, rule_event_type, threshold, severity)."""
+    rows = [
+        (RULE_WAVE1_SEQ_BASE + i, "rule-" + t, t, th, sev)
+        for i, (t, th, sev) in enumerate(RULES)
+    ] + [
+        (2 * (med + i), "rule-" + t, t, th, sev)
+        for i, (t, th, sev) in enumerate(RULES_V2)
+    ]
+    return spark.createDataFrame(
+        rows, "seq long, rule_id string, rule_event_type string, "
+              "threshold double, severity string")
+
+
+def rule_waves_sql(med_cte: str = "med") -> str:
+    """DuckDB mirror of ``rule_waves_df``: a CTE body selecting both
+    waves, with wave-2 seqs referencing ``{med_cte}(m)``."""
+    w1 = ", ".join(
+        f"({RULE_WAVE1_SEQ_BASE + i}, 'rule-{t}', '{t}', {th!r}, '{sev}')"
+        for i, (t, th, sev) in enumerate(RULES))
+    w2 = ", ".join(
+        f"({i}, 'rule-{t}', '{t}', {th!r}, '{sev}')"
+        for i, (t, th, sev) in enumerate(RULES_V2))
+    return (
+        f"SELECT seq, rule_id, rule_event_type, threshold, severity "
+        f"FROM (VALUES {w1}) "
+        f"AS w1(seq, rule_id, rule_event_type, threshold, severity) "
+        f"UNION ALL "
+        f"SELECT 2 * (m.m + i), rule_id, rule_event_type, threshold, "
+        f"severity FROM (VALUES {w2}) "
+        f"AS w2(i, rule_id, rule_event_type, threshold, severity), "
+        f"{med_cte} m"
+    )

@@ -934,6 +934,189 @@ def keyed_state_stream_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
             spark.conf.set(key_conf, prev)
 
 
+_RULE_UNION_SCHEMA = ("kind string, seq long, event_id long, "
+                      "event_type string, value double, rule_id string, "
+                      "threshold double, severity string")
+
+
+def _rule_union_df(spark: SparkSession, sf_dir: str):
+    """The tagged union (events ∪ rule waves) on one total order.
+
+    Events sit at odd seq 2*event_id+1; rule upserts at even seqs (wave
+    1 before every event, the doubled-threshold "v2-" wave at the
+    median) — the exact fixture `operators/flagship.rule_mutation_matches`
+    evaluates in batch. Returns (union_df, med)."""
+    from flink_tutorial_broadcast_spark.io import load
+    from flink_tutorial_broadcast_spark.sources.rules import rule_waves_df
+
+    ev = load(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value",
+        (F.col("event_id") * 2 + 1).alias("seq"))
+    med = int(ev.agg(
+        F.floor(F.expr("percentile(event_id, 0.5)")).cast("long")
+        .alias("m")).collect()[0]["m"])  # bounded: ONE row
+    evs = ev.select(
+        F.lit("event").alias("kind"), "seq", "event_id", "event_type",
+        "value",
+        F.lit(None).cast("string").alias("rule_id"),
+        F.lit(None).cast("double").alias("threshold"),
+        F.lit(None).cast("string").alias("severity"))
+    rls = rule_waves_df(spark, med).select(
+        F.lit("rule").alias("kind"), "seq",
+        F.lit(None).cast("long").alias("event_id"),
+        F.col("rule_event_type").alias("event_type"),
+        F.lit(None).cast("double").alias("value"),
+        "rule_id", "threshold", "severity")
+    return evs.unionByName(rls), med
+
+
+def _make_rule_matcher_tws(sdf: DataFrame) -> DataFrame:
+    """Key the tagged union by event_type and run the
+    KeyedBroadcastProcessFunction analogue: ONE StatefulProcessor whose
+    handleInputRows folds the batch's rows in seq order — rule rows take
+    the `processBroadcastElement` path (MapState upsert), event rows the
+    `processElement` path (match against the rules CURRENTLY in the
+    map). A rule update therefore lands BETWEEN two events of the same
+    micro-batch — the per-record interleaving foreachBatch rebroadcast
+    cannot express.
+
+    The rule map is read from MapState once per (key, batch) into a
+    local dict and written back only on rule rows, so state-protocol
+    round-trips are O(rules), not O(events). Keying by event_type is
+    semantics-preserving for the tutorial's type→rule map (matching only
+    ever consults the event's own type); a genuinely global rule would
+    instead be exploded across key partitions at the source."""
+    import pandas as pd
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class RuleMatcher(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._rules = handle.getMapState(
+                "rules", "rule_id string", "threshold double, severity string")
+
+        def handleInputRows(self, key, rows, timerValues):
+            pdf = pd.concat(list(rows), ignore_index=True)
+            pdf = pdf.sort_values("seq", kind="mergesort")
+            cur = ({k[0]: (float(v[0]), str(v[1]))
+                    for k, v in self._rules.iterator()}
+                   if self._rules.exists() else {})
+            out: dict = {"event_id": [], "event_type": [], "value": [],
+                         "threshold": [], "severity": []}
+            for r in pdf.itertuples(index=False):
+                if r.kind == "rule":
+                    cur[r.rule_id] = (float(r.threshold), str(r.severity))
+                    self._rules.updateValue((r.rule_id,), cur[r.rule_id])
+                else:
+                    for th, sev in cur.values():
+                        if r.value > th:
+                            out["event_id"].append(int(r.event_id))
+                            out["event_type"].append(str(r.event_type))
+                            out["value"].append(float(r.value))
+                            out["threshold"].append(th)
+                            out["severity"].append(sev)
+            yield pd.DataFrame(out)
+
+        def close(self) -> None:
+            pass
+
+    return sdf.groupBy("event_type").transformWithStateInPandas(
+        RuleMatcher(),
+        outputStructType=("event_id long, event_type string, value double, "
+                          "threshold double, severity string"),
+        outputMode="Update",
+        timeMode="None",
+    )
+
+
+def _require_tws_protobuf(spark: SparkSession) -> None:
+    from flink_tutorial_broadcast_spark.protoshim import ensure_protoshim
+    ensure_protoshim(spark)
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+    except ImportError as exc:  # pragma: no cover - env-dependent
+        raise NotImplementedError(
+            "transformWithStateInPandas needs google.protobuf; use "
+            "broadcast_rules_stream (foreachBatch rebroadcast) "
+            "instead") from exc
+
+
+def broadcast_rules_union_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E9 / SURVEY §7 hard part 1 with the reference's ACTUAL semantics:
+    broadcast-state MUTATION at per-record granularity. The rule stream
+    is unioned into the event stream with a side tag and the merged
+    stream runs through ONE transformWithStateInPandas processor holding
+    the rules in MapState (`_make_rule_matcher_tws`) — rule upserts
+    interleave with event matches INSIDE a micro-batch, unlike the
+    foreachBatch rebroadcast (broadcast_rules_stream), whose rule set is
+    frozen per batch. Converges to the oracle-checked batch twin
+    q_broadcast_rule_mutation (test-pinned, including a mid-batch flip).
+
+    The stream arrives as two seq-ordered files (maxFilesPerTrigger=1 →
+    two micro-batches) split ABOVE the mutation point, so the v1→v2 rule
+    flip provably happens inside micro-batch 0 AND the v2 map survives
+    into micro-batch 1 via MapState."""
+    _require_tws_protobuf(spark)
+
+    un, med = _rule_union_df(spark, sf_dir)
+    cut = un.filter(F.col("kind") == "event").agg(
+        F.expr("percentile(seq, 0.75)").cast("long").alias("c")
+    ).collect()[0]["c"]  # bounded: ONE row
+    d = tempfile.mkdtemp(prefix="rule_union_")
+    (un.filter(F.col("seq") <= F.lit(cut))
+     .coalesce(1).write.parquet(os.path.join(d, "f=0")))
+    (un.filter(F.col("seq") > F.lit(cut))
+     .coalesce(1).write.parquet(os.path.join(d, "f=1")))
+    stamp = int(time.time())
+    for i, part in enumerate(("f=0", "f=1")):
+        for fname in os.listdir(os.path.join(d, part)):
+            os.utime(os.path.join(d, part, fname),
+                     (stamp + i, stamp + i))
+    sdf = (spark.readStream.schema(_RULE_UNION_SCHEMA)
+           .option("recursiveFileLookup", "true")
+           .option("maxFilesPerTrigger", 1)
+           .parquet(d))
+    out = _make_rule_matcher_tws(sdf)
+    key_conf = "spark.sql.streaming.stateStore.providerClass"
+    rocks = ("org.apache.spark.sql.execution.streaming.state."
+             "RocksDBStateStoreProvider")
+    prev = spark.conf.get(key_conf, None)
+    try:
+        spark.conf.set(key_conf, rocks)
+        res = _run_to_memory(out, "update")
+        res = res.cache()
+        res.count()
+        return res
+    finally:
+        if prev is None:
+            spark.conf.unset(key_conf)
+        else:
+            spark.conf.set(key_conf, prev)
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def broadcast_rules_union_tws_restart(spark: SparkSession, sf_dir: str):
+    """The union-of-streams rule matcher surviving a RESTART: half 1
+    carries BOTH rule waves plus the early events; half 2 is pure
+    events. Run 2 (new query, same RocksDB checkpoint) can only match
+    correctly if the v2 rule MAP was durably persisted and reloaded —
+    there is no rule row left to rebuild it from. Returns (run-1
+    emissions, run-2 emissions)."""
+    _require_tws_protobuf(spark)
+
+    from flink_tutorial_broadcast_spark.sources.rules import RULES
+
+    un, med = _rule_union_df(spark, sf_dir)
+    cut = 2 * (med + len(RULES))  # just above the last wave-2 upsert
+    return _restart_two_halves_rocksdb(
+        spark, _RULE_UNION_SCHEMA,
+        un.filter(F.col("seq") <= F.lit(cut)),
+        un.filter(F.col("seq") > F.lit(cut)),
+        _make_rule_matcher_tws)
+
+
 def tws_typed_state_surface_stream(spark: SparkSession,
                                    sf_dir: str) -> DataFrame:
     """E7, full typed-state surface on the REAL

@@ -1399,3 +1399,81 @@ def test_state_store_reads_back_as_the_batch_aggregate(spark):
              .groupBy("user_id").agg(F.count("*").alias("n"))).collect()}
     assert {r.user_id: r.n for r in sink.collect()} == want
     assert {r.user_id: r.n_state for r in state.collect()} == want
+
+
+def _mutation_batch_key(spark, queries, sf_dir):
+    """(event_id, severity) -> (value, threshold) for the batch twin."""
+    return {(r["event_id"], r["severity"]): (r["value"], r["threshold"])
+            for r in queries["q_broadcast_rule_mutation"](
+                spark, sf_dir).collect()}
+
+
+def test_rules_union_tws_equals_batch_and_flips_mid_batch(spark, queries):
+    """E9 with the reference's PER-RECORD broadcast-state-mutation
+    semantics (SURVEY §7 hard part 1): the tagged (events ∪ rule-waves)
+    union through ONE transformWithStateInPandas processor with the
+    rules in MapState must (a) converge exactly to the oracle-checked
+    batch twin q_broadcast_rule_mutation, and (b) flip the rule version
+    INSIDE micro-batch 0 — the stream is split at the 75th-percentile
+    event seq, strictly ABOVE the median-seq mutation point, so batch 0
+    provably contains v1 matches, the v2 upserts, and v2 matches in one
+    partition pass. foreachBatch rebroadcast (broadcast_rules_stream)
+    cannot express (b): its rule set is frozen per micro-batch."""
+    from flink_tutorial_broadcast_spark.io import load
+    from flink_tutorial_broadcast_spark.streaming.jobs import (
+        broadcast_rules_union_tws,
+    )
+
+    got = {(r["event_id"], r["severity"]): (round(r["value"], 2),
+                                            r["threshold"])
+           for r in broadcast_rules_union_tws(spark, SF_SMOKE).collect()}
+    want = _mutation_batch_key(spark, queries, SF_SMOKE)
+    assert got == want
+
+    # recompute the job's deterministic cut points from the fixture
+    ev = load(spark, SF_SMOKE, "events")
+    med = int(ev.agg(
+        F.floor(F.expr("percentile(event_id, 0.5)")).cast("long")
+        .alias("m")).collect()[0]["m"])
+    cut = int(ev.select((F.col("event_id") * 2 + 1).alias("seq")).agg(
+        F.expr("percentile(seq, 0.75)").cast("long").alias("c"))
+        .collect()[0]["c"])
+    assert 2 * med < cut  # the flip point sits inside micro-batch 0
+    in_b0 = {k for k in got if 2 * k[0] + 1 <= cut}
+    v1_b0 = {k for k in in_b0 if not k[1].startswith("v2-")}
+    v2_b0 = {k for k in in_b0 if k[1].startswith("v2-")}
+    assert v1_b0 and v2_b0, (
+        "rule flip did not land between two events of micro-batch 0")
+    # and every batch-1 event (no rule rows left) matched under v2 only
+    in_b1 = {k for k in got if 2 * k[0] + 1 > cut}
+    assert in_b1 and all(k[1].startswith("v2-") for k in in_b1)
+
+
+def test_rules_union_tws_restart_reloads_rule_map(spark, queries):
+    """Durability of the MUTATED rule map: half 1 carries BOTH rule
+    waves + early events; half 2 is pure events. Run 2 (a NEW query on
+    the same RocksDB checkpoint) has no rule row to rebuild from, so its
+    matches are correct only if the v2 MapState was persisted and
+    reloaded. Union of the two runs must equal the batch twin."""
+    from flink_tutorial_broadcast_spark.sources.rules import RULES
+    from flink_tutorial_broadcast_spark.io import load
+    from flink_tutorial_broadcast_spark.streaming.jobs import (
+        broadcast_rules_union_tws_restart,
+    )
+
+    r1, r2 = broadcast_rules_union_tws_restart(spark, SF_SMOKE)
+    k1 = {(r["event_id"], r["severity"]): (round(r["value"], 2),
+                                           r["threshold"])
+          for r in r1.collect()}
+    k2 = {(r["event_id"], r["severity"]): (round(r["value"], 2),
+                                           r["threshold"])
+          for r in r2.collect()}
+    assert k2, "run 2 emitted nothing — state did not survive"
+    assert all(k[1].startswith("v2-") for k in k2)
+    med = int(load(spark, SF_SMOKE, "events").agg(
+        F.floor(F.expr("percentile(event_id, 0.5)")).cast("long")
+        .alias("m")).collect()[0]["m"])
+    cut = 2 * (med + len(RULES))
+    want = _mutation_batch_key(spark, queries, SF_SMOKE)
+    assert {**k1, **k2} == want
+    assert k2 == {k: v for k, v in want.items() if 2 * k[0] + 1 > cut}
