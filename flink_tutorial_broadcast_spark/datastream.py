@@ -24,10 +24,21 @@ operators/ modules ship (test-asserted against the oracle-backed keys).
 """
 from __future__ import annotations
 
+import os
+import shutil
+import tempfile
 from collections.abc import Callable, Iterator
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+
+
+class OutputTag:
+    """Flink's side-output handle [FLINK-API: o.a.f.util.OutputTag]: a
+    named route a process step can emit to besides the main output."""
+
+    def __init__(self, name: str):
+        self.name = name
 
 
 class StreamExecutionEnvironment:
@@ -112,6 +123,40 @@ class DataStream:
         fact side never shuffles."""
         return DataStream(self.df.join(F.broadcast(rules), F.expr(on)))
 
+    def connect(self, other: "DataStream") -> "ConnectedStreams":
+        """Two-input NON-broadcast connect [FLINK-API:
+        DataStream.connect(DataStream) + CoProcessFunction]: key both
+        sides, then `process()` sees each key's rows from BOTH inputs."""
+        return ConnectedStreams(self, other)
+
+    def split(self, tags: dict[str, str],
+              main_tag: str = "main") -> "SideOutputs":
+        """Side outputs [FLINK-API: OutputTag + ctx.output]: ONE tagged
+        pass over the input — each row gets the FIRST matching tag's
+        name (order of `tags` wins ties), unmatched rows go to the main
+        output. The filtered reads downstream share this single
+        projection (N outputs without N source passes — the L113
+        side_output_stream layout, here as a facade verb)."""
+        tag = F.lit(main_tag)
+        for name, pred in reversed(list(tags.items())):
+            tag = F.when(F.expr(pred), F.lit(name)).otherwise(tag)
+        return SideOutputs(self.df.withColumn("__tag", tag), main_tag)
+
+    def iterate(self, step: Callable[[DataFrame], DataFrame],
+                n_rounds: int,
+                checkpoint_every: int = 1) -> "DataStream":
+        """Bounded iteration [FLINK-API: DataStream.iterate()]: apply
+        `step` (DataFrame → DataFrame) `n_rounds` times as a driver
+        loop, truncating lineage with localCheckpoint every
+        `checkpoint_every` rounds — the iterative.py pattern (plans
+        otherwise grow exponentially and re-execute prior rounds)."""
+        cur = self.df
+        for i in range(1, n_rounds + 1):
+            cur = step(cur)
+            if i % checkpoint_every == 0 or i == n_rounds:
+                cur = cur.localCheckpoint()
+        return DataStream(cur)
+
     # -- sinks / escape hatches -----------------------------------------
     def to_df(self) -> DataFrame:
         return self.df
@@ -120,10 +165,62 @@ class DataStream:
         self.df.show(n, truncate=False)
 
 
+class SideOutputs:
+    """Result of `DataStream.split()`: the main stream plus named side
+    outputs, all views over ONE tagged projection."""
+
+    def __init__(self, tagged_df: DataFrame, main_tag: str):
+        self._df = tagged_df
+        self._main = main_tag
+
+    def main(self) -> DataStream:
+        return self.get_side_output(self._main)
+
+    def get_side_output(self, tag: "OutputTag | str") -> DataStream:
+        name = tag.name if isinstance(tag, OutputTag) else tag
+        return DataStream(
+            self._df.filter(F.col("__tag") == name).drop("__tag"))
+
+
+class ConnectedStreams:
+    """Two keyed inputs awaiting a CoProcessFunction [FLINK-API:
+    ConnectedStreams.keyBy(k1, k2).process(...)]."""
+
+    def __init__(self, left: DataStream, right: DataStream):
+        self._left = left
+        self._right = right
+
+    def key_by(self, left_keys: list[str] | str,
+               right_keys: list[str] | str) -> "KeyedConnectedStreams":
+        lk = [left_keys] if isinstance(left_keys, str) else list(left_keys)
+        rk = [right_keys] if isinstance(right_keys, str) else list(right_keys)
+        return KeyedConnectedStreams(self._left.df, lk, self._right.df, rk)
+
+
+class KeyedConnectedStreams:
+    def __init__(self, ldf: DataFrame, lkeys: list[str],
+                 rdf: DataFrame, rkeys: list[str]):
+        self._ldf, self._lkeys = ldf, lkeys
+        self._rdf, self._rkeys = rdf, rkeys
+
+    def process(self, fn: Callable, output_schema: str) -> DataStream:
+        """CoProcessFunction analogue: `fn(key_tuple, left_pdf,
+        right_pdf) -> pandas_df` runs once per key with BOTH sides'
+        rows, Arrow-batched, via cogroup().applyInPandas — one shuffle
+        per side on its key, no driver materialization (the L31
+        two-input keyed operator, as a facade verb)."""
+        return DataStream(
+            self._ldf.groupBy(*self._lkeys)
+            .cogroup(self._rdf.groupBy(*self._rkeys))
+            .applyInPandas(fn, output_schema))
+
+
 class KeyedStream:
-    def __init__(self, df: DataFrame, keys: list[str]):
+    def __init__(self, df: DataFrame, keys: list[str], win=None):
         self.df = df
         self.keys = keys
+        # optional (grouping Column, [output Columns]) from a window verb
+        self._win = win
 
     def window_tumbling(self, time_col: str, unit: str) -> "KeyedStream":
         """Tumbling event-time window as an extra grouping column
@@ -134,11 +231,51 @@ class KeyedStream:
         return KeyedStream(self.df.withColumn("window_start", bucket),
                            self.keys + ["window_start"])
 
+    def window_sliding(self, time_col: str, size: str,
+                       slide: str) -> "KeyedStream":
+        """Sliding event-time window [FLINK-API:
+        SlidingEventTimeWindows.of(size, slide)]: Spark's F.window
+        assigns each row its size/slide epoch-aligned windows — the
+        q_window_sliding plan, reachable from the fluent API."""
+        return KeyedStream(
+            self.df, self.keys,
+            win=(F.window(time_col, size, slide).alias("__w"),
+                 [F.col("__w.start").alias("window_start")]))
+
+    def window_session(self, time_col: str, gap: str) -> "KeyedStream":
+        """Session window with gap [FLINK-API:
+        EventTimeSessionWindows.withGap]: F.session_window merges
+        per-key runs up to `gap` apart — the q_window_session plan."""
+        return KeyedStream(
+            self.df, self.keys,
+            win=(F.session_window(time_col, gap).alias("__w"),
+                 [F.col("__w.start").alias("session_start")]))
+
+    def count_window(self, size: int,
+                     order_cols: tuple[str, ...] = ("ts", "event_id"),
+                     ) -> "KeyedStream":
+        """Count window [FLINK-API: KeyedStream.countWindow(size)]:
+        deterministic batch form — per-key buckets of `size` rows in
+        `order_cols` order (the q_window_count plan; the window is
+        PARTITIONED by the keys, so no single-partition global sort).
+        The streaming twin with true arrival-order state lives in
+        streaming/jobs.count_window_stream."""
+        w = Window.partitionBy(*self.keys).orderBy(*order_cols)
+        df = (self.df.withColumn("__rn", F.row_number().over(w))
+              .withColumn("bucket", F.floor((F.col("__rn") - 1) / size)
+                          .cast("bigint"))
+              .drop("__rn"))
+        return KeyedStream(df, self.keys + ["bucket"])
+
     def aggregate(self, **aggs: str) -> DataStream:
         """Named SQL aggregate expressions over the keyed (windowed)
         groups: `aggregate(n_matches="count(*)", sum_value="round(sum(value), 2)")`."""
         exprs = [F.expr(e).alias(n) for n, e in aggs.items()]
-        return DataStream(self.df.groupBy(*self.keys).agg(*exprs))
+        if self._win is None:
+            return DataStream(self.df.groupBy(*self.keys).agg(*exprs))
+        wcol, wout = self._win
+        out = self.df.groupBy(*[F.col(k) for k in self.keys], wcol).agg(*exprs)
+        return DataStream(out.select(*self.keys, *wout, *list(aggs)))
 
     def reduce_sum(self, col: str) -> DataStream:
         return self.aggregate(**{f"sum_{col}": f"sum({col})"})
@@ -157,3 +294,68 @@ class KeyedStream:
         """
         return DataStream(
             self.df.groupBy(*self.keys).applyInPandas(fn, output_schema))
+
+    def process_stateful(self, processor, output_schema: str,
+                         output_mode: str = "Update",
+                         time_mode: str = "None",
+                         watermark: tuple[str, str] | None = None,
+                         ) -> DataStream:
+        """The FULL KeyedProcessFunction surface [FLINK-API:
+        KeyedProcessFunction + ValueState/ListState/MapState + timers]:
+        `processor` is a pyspark StatefulProcessor (getValueState /
+        getMapState / registerTimer / handleExpiredTimer) run through
+        the real `transformWithStateInPandas` on the RocksDB provider
+        (the protoshim supplies the worker-side state protocol when the
+        protobuf wheel is absent).
+
+        On a STREAMING input: returns the transformed streaming
+        DataStream — attach your own sink. On a BATCH input: the rows
+        are replayed as one availableNow file stream and the converged
+        emissions come back materialized (the streaming/jobs.py replay
+        pattern), so one program body serves both modes.
+
+        `time_mode`: "None" | "ProcessingTime" | "EventTime" — event
+        time requires `watermark=(ts_col, delay)` so timers have a
+        watermark to fire against."""
+        from flink_tutorial_broadcast_spark.streaming.jobs import (
+            _require_tws_protobuf, _run_to_memory,
+        )
+        spark = self.df.sparkSession
+        _require_tws_protobuf(spark)
+
+        def build(sdf: DataFrame) -> DataFrame:
+            if watermark is not None:
+                sdf = sdf.withWatermark(*watermark)
+            return sdf.groupBy(*self.keys).transformWithStateInPandas(
+                processor, outputStructType=output_schema,
+                outputMode=output_mode, timeMode=time_mode,
+            )
+
+        if self.df.isStreaming:
+            return DataStream(build(self.df))
+
+        # batch input: replay through one bounded micro-batch stream
+        tmp = tempfile.mkdtemp(prefix="ds_tws_")
+        key_conf = "spark.sql.streaming.stateStore.providerClass"
+        rocks = ("org.apache.spark.sql.execution.streaming.state."
+                 "RocksDBStateStoreProvider")
+        prev = spark.conf.get(key_conf, None)
+        try:
+            self.df.write.parquet(os.path.join(tmp, "replay"))
+            sdf = (spark.readStream.schema(self.df.schema)
+                   .parquet(os.path.join(tmp, "replay")))
+            spark.conf.set(key_conf, rocks)
+            # ProcessingTime mode must run Trigger.Once: availableNow
+            # keeps scheduling empty batches indefinitely in that mode
+            # (observed on Spark 4.1.2 — see jobs._run_to_memory)
+            res = _run_to_memory(build(sdf), output_mode.lower(),
+                                 once=(time_mode == "ProcessingTime"))
+            res = res.cache()
+            res.count()
+            return DataStream(res)
+        finally:
+            if prev is None:
+                spark.conf.unset(key_conf)
+            else:
+                spark.conf.set(key_conf, prev)
+            shutil.rmtree(tmp, ignore_errors=True)

@@ -165,3 +165,354 @@ def test_facade_keyed_process_function_per_key_fold(spark):
     assert set(got) == set(want)
     for u in want:
         assert abs(got[u] - want[u]) < 1e-9, u
+
+
+def test_facade_sliding_window_matches_registered_key(spark, queries):
+    """window_sliding on an unkeyed stream must equal q_window_sliding
+    (E2) exactly — the fluent verb produces the same F.window plan."""
+    env = StreamExecutionEnvironment.get_execution_environment(spark)
+    out = (
+        env.from_dataframe(load(spark, SF_SMOKE, "events"))
+        .key_by()
+        .window_sliding("ts", "1 hour", "15 minutes")
+        .aggregate(n_events="count(*)",
+                   sum_value="round(sum(value), 2)")
+        .to_df()
+    )
+    want = {r["window_start"]: (r["n_events"], r["sum_value"])
+            for r in queries["q_window_sliding"](spark, SF_SMOKE).collect()}
+    got = {r["window_start"]: (r["n_events"], r["sum_value"])
+           for r in out.collect()}
+    assert got == want and got
+
+
+def test_facade_session_window_matches_registered_key(spark, queries):
+    """window_session must equal q_window_session (E3): same
+    session_window merge semantics, keyed by user."""
+    env = StreamExecutionEnvironment.get_execution_environment(spark)
+    out = (
+        env.from_dataframe(load(spark, SF_SMOKE, "events"))
+        .key_by("user_id")
+        .window_session("ts", "30 minutes")
+        .aggregate(n_events="count(*)",
+                   sum_value="round(sum(value), 2)")
+        .to_df()
+    )
+    want = {(r["user_id"], r["session_start"]): (r["n_events"],
+                                                 r["sum_value"])
+            for r in queries["q_window_session"](spark, SF_SMOKE).collect()}
+    got = {(r["user_id"], r["session_start"]): (r["n_events"],
+                                                r["sum_value"])
+           for r in out.collect()}
+    assert got == want and got
+
+
+def test_facade_count_window_matches_registered_key(spark, queries):
+    """count_window(50) must equal q_window_count (E4) — per-key buckets
+    of 50 in (ts, event_id) order, via a KEY-partitioned row_number."""
+    env = StreamExecutionEnvironment.get_execution_environment(spark)
+    out = (
+        env.from_dataframe(load(spark, SF_SMOKE, "events"))
+        .key_by("user_id")
+        .count_window(50)
+        .aggregate(n_events="count(*)",
+                   sum_value="round(sum(value), 2)")
+        .to_df()
+    )
+    want = {(r["user_id"], r["bucket"]): (r["n_events"], r["sum_value"])
+            for r in queries["q_window_count"](spark, SF_SMOKE).collect()}
+    got = {(r["user_id"], r["bucket"]): (r["n_events"], r["sum_value"])
+           for r in out.collect()}
+    assert got == want and got
+
+
+def test_facade_side_outputs_partition_the_input(spark):
+    """split() = OutputTag routing: the main and side outputs must
+    PARTITION the input exactly (no loss, no duplication), each side
+    honoring its predicate, first-match-wins on overlap."""
+    env = StreamExecutionEnvironment.get_execution_environment(spark)
+    ev = load(spark, SF_SMOKE, "events")
+    routed = (env.from_dataframe(ev)
+              .split({"hot": "value > 90",
+                      "purchases": "event_type = 'purchase'"}))
+    hot = routed.get_side_output("hot").to_df()
+    pur = routed.get_side_output("purchases").to_df()
+    main = routed.main().to_df()
+    n_all = ev.count()
+    assert hot.count() + pur.count() + main.count() == n_all
+    assert hot.filter("value <= 90").count() == 0
+    # first-match-wins: hot purchases landed in "hot", not "purchases"
+    assert pur.filter("value > 90").count() == 0
+    assert main.filter("value > 90 OR event_type = 'purchase'").count() == 0
+    assert hot.columns == ev.columns  # tag column does not leak
+
+
+def test_facade_coprocess_connect_two_keyed_inputs(spark):
+    """connect().key_by().process() — the CoProcessFunction analogue:
+    per-user event rows meet per-user threshold rows inside one cogroup
+    call; result must equal the equivalent join + aggregate."""
+    import pandas as pd
+
+    env = StreamExecutionEnvironment.get_execution_environment(spark)
+    ev = load(spark, SF_SMOKE, "events")
+    thresholds = ev.groupBy("user_id").agg(
+        F.expr("percentile(value, 0.9)").alias("cut"))
+
+    def co(key, events_pdf, cuts_pdf):
+        if cuts_pdf.empty:
+            return pd.DataFrame(
+                {"user_id": [], "n_above": []}).astype(
+                    {"user_id": "int64", "n_above": "int64"})
+        cut = float(cuts_pdf["cut"].iloc[0])
+        return pd.DataFrame({
+            "user_id": [int(key[0])],
+            "n_above": [int((events_pdf["value"] > cut).sum())],
+        })
+
+    got = {r.user_id: r.n_above for r in (
+        env.from_dataframe(ev).connect(env.from_dataframe(thresholds))
+        .key_by("user_id", "user_id")
+        .process(co, "user_id long, n_above long")
+        .to_df().collect())}
+    want = {r.user_id: r.n_above for r in (
+        ev.join(thresholds, "user_id")
+        .filter(F.col("value") > F.col("cut"))
+        .groupBy("user_id").agg(F.count("*").alias("n_above"))).collect()}
+    assert {u: n for u, n in got.items() if n > 0} == want and got
+
+
+def test_facade_iterate_converges_min_label_propagation(spark):
+    """iterate() — DataStream.iterate as a lineage-checkpointed driver
+    loop: min-label propagation over a 2-component graph reaches the
+    known fixpoint."""
+    env = StreamExecutionEnvironment.get_execution_environment(spark)
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (11, 12)], "src int, dst int")
+    both = edges.union(edges.select(
+        F.col("dst").alias("src"), F.col("src").alias("dst")))
+    labels = both.select(F.col("src").alias("node")).distinct() \
+        .withColumn("label", F.col("node"))
+
+    def step(lbl):
+        prop = (both.join(lbl, both.src == lbl.node)
+                .select(F.col("dst").alias("node"),
+                        F.col("label")))
+        return (lbl.select("node", "label").union(prop)
+                .groupBy("node").agg(F.min("label").alias("label")))
+
+    out = env.from_dataframe(labels).iterate(step, n_rounds=4).to_df()
+    got = {r.node: r.label for r in out.collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10}
+
+
+def test_facade_process_stateful_tws_value_state(spark):
+    """process_stateful on a BATCH input: a ValueState running count per
+    user through the real transformWithStateInPandas (RocksDB +
+    protoshim), replayed as one bounded micro-batch — converged
+    emissions must equal the batch groupBy."""
+    import pandas as pd
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor, StatefulProcessorHandle,
+    )
+
+    class Counter(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._n = handle.getValueState("n", "n long")
+
+        def handleInputRows(self, key, rows, timerValues):
+            n = self._n.get()[0] if self._n.exists() else 0
+            for pdf in rows:
+                n += len(pdf)
+            self._n.update((n,))
+            yield pd.DataFrame({"user_id": [key[0]], "n_events": [n]})
+
+        def close(self) -> None:
+            pass
+
+    env = StreamExecutionEnvironment.get_execution_environment(spark)
+    got = {r.user_id: r.n_events for r in (
+        env.from_dataframe(
+            load(spark, SF_SMOKE, "events").select("user_id", "value"))
+        .key_by("user_id")
+        .process_stateful(Counter(), "user_id long, n_events long")
+        .to_df().groupBy("user_id")
+        .agg(F.max("n_events").alias("n_events")).collect())}
+    want = {r.user_id: r.n for r in
+            load(spark, SF_SMOKE, "events").groupBy("user_id")
+            .agg(F.count("*").alias("n")).collect()}
+    assert got == want
+
+
+def _canonical_match_counter():
+    """The canonical program's keyed-state step: per-user running match
+    count in ValueState, plus a per-key timer WIRE ROUND-TRIP
+    (register → listTimers → deleteTimer — the proven surface pattern;
+    a timer left PENDING makes availableNow spin empty micro-batches
+    until it fires, and actual FIRING is pinned by
+    test_tws_event_time_timers_fire_exactly)."""
+    import pandas as pd
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor, StatefulProcessorHandle,
+    )
+
+    class MatchCounter(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._h = handle
+            self._n = handle.getValueState("n", "n long")
+
+        def handleInputRows(self, key, rows, timerValues):
+            n = self._n.get()[0] if self._n.exists() else 0
+            for pdf in rows:
+                n += len(pdf)
+            self._n.update((n,))
+            far = timerValues.getCurrentProcessingTimeInMs() + 3_600_000
+            self._h.registerTimer(far)
+            n_timers = sum(1 for _ in self._h.listTimers())
+            self._h.deleteTimer(far)
+            yield pd.DataFrame({"user_id": [key[0]], "n_matches": [n],
+                                "n_timers": [n_timers]})
+
+        def handleExpiredTimer(self, key, timerValues, expiredTimerInfo):
+            import pandas as pd
+            yield pd.DataFrame({"user_id": [], "n_matches": [],
+                                "n_timers": []})
+
+        def close(self) -> None:
+            pass
+
+    return MatchCounter()
+
+
+def _canonical_program(events, rules):
+    """SURVEY §0's canonical tutorial program, entirely in facade verbs:
+    events → side-output error channel → broadcast rule match → (a) the
+    flagship windowed aggregate, (b) per-user keyed state with timers."""
+    routed = events.split({"errors": "value < 1"})
+    matches = routed.main().connect_broadcast(
+        rules, on="event_type = rule_event_type AND value > threshold")
+    # NB: no count(distinct) here — the body must run UNCHANGED on a
+    # streaming source, where Spark rejects distinct aggregates (use
+    # approx_count_distinct in production); parity against the
+    # registered key compares the two exact columns
+    flagship = (matches
+                .key_by("event_type", "severity")
+                .window_tumbling("ts", "hour")
+                .aggregate(n_matches="count(*)",
+                           sum_value="round(sum(value), 2)"))
+    return routed.get_side_output("errors"), matches, flagship
+
+
+def test_facade_canonical_program_batch(spark, queries):
+    """The canonical program on a BATCH source: the flagship branch must
+    equal q_broadcast_rule_join restricted to the non-error rows, the
+    error side must be exactly the value<1 rows, and the keyed-state
+    branch (real TWS + timer registration) must equal the batch per-user
+    match counts."""
+    env = StreamExecutionEnvironment.get_execution_environment(spark)
+    ev = load(spark, SF_SMOKE, "events")
+    errors, matches, flagship = _canonical_program(
+        env.from_dataframe(ev), rules_df(spark))
+
+    assert errors.to_df().count() == ev.filter("value < 1").count()
+
+    # value<1 rows can never match (all thresholds >= 1), so the
+    # flagship branch equals the registered key on the FULL input
+    want = {(r["event_type"], r["severity"], r["window_start"]):
+            (r["n_matches"], r["sum_value"])
+            for r in queries["q_broadcast_rule_join"](
+                spark, SF_SMOKE).collect()}
+    got = {(r["event_type"], r["severity"], r["window_start"]):
+           (r["n_matches"], r["sum_value"])
+           for r in flagship.to_df().collect()}
+    assert got == want
+
+    counts = (matches.key_by("user_id")
+              .process_stateful(
+                  _canonical_match_counter(),
+                  "user_id long, n_matches long, n_timers long",
+                  time_mode="ProcessingTime")
+              .to_df())
+    got_n = {r.user_id: r.n_matches for r in
+             counts.groupBy("user_id")
+             .agg(F.max("n_matches").alias("n_matches")).collect()}
+    want_n = {r.user_id: r.n for r in
+              matches.to_df().groupBy("user_id")
+              .agg(F.count("*").alias("n")).collect()}
+    assert got_n == want_n and got_n
+    assert counts.filter("n_timers < 1").count() == 0  # timer surface
+
+
+def test_facade_canonical_program_streaming(spark, queries):
+    """The IDENTICAL program body on a STREAMING source (the file-stream
+    events feed): error side, flagship aggregate, and the TWS keyed-state
+    branch all converge to the batch run's results — source/sink swap
+    only, no program change."""
+    import uuid
+
+    from flink_tutorial_broadcast_spark.streaming.jobs import (
+        _require_tws_protobuf, _run_to_memory,
+    )
+    from flink_tutorial_broadcast_spark.streaming.sources import (
+        stream_events,
+    )
+    _require_tws_protobuf(spark)
+
+    env = StreamExecutionEnvironment.get_execution_environment(spark)
+    errors, matches, flagship = _canonical_program(
+        env.from_dataframe(stream_events(spark, SF_SMOKE)), rules_df(spark))
+
+    # error side: complete-mode count equals the batch predicate count
+    name = f"canon_err_{uuid.uuid4().hex[:8]}"
+    q = (errors.to_df().groupBy().count()
+         .writeStream.format("memory").queryName(name)
+         .outputMode("complete").trigger(availableNow=True).start())
+    q.awaitTermination()
+    ev = load(spark, SF_SMOKE, "events")
+    assert (spark.table(name).collect()[0]["count"]
+            == ev.filter("value < 1").count())
+
+    # flagship branch in complete mode equals the registered key
+    name2 = f"canon_flag_{uuid.uuid4().hex[:8]}"
+    q2 = (flagship.to_df()
+          .writeStream.format("memory").queryName(name2)
+          .outputMode("complete").trigger(availableNow=True).start())
+    q2.awaitTermination()
+    want = {(r["event_type"], r["severity"], r["window_start"]):
+            (r["n_matches"], r["sum_value"])
+            for r in queries["q_broadcast_rule_join"](
+                spark, SF_SMOKE).collect()}
+    got = {(r["event_type"], r["severity"], r["window_start"]):
+           (r["n_matches"], r["sum_value"])
+           for r in spark.table(name2).collect()}
+    assert got == want
+
+    # keyed-state branch: process_stateful returns a STREAMING DS here;
+    # run it and take each user's converged (max) running count
+    key_conf = "spark.sql.streaming.stateStore.providerClass"
+    rocks = ("org.apache.spark.sql.execution.streaming.state."
+             "RocksDBStateStoreProvider")
+    prev = spark.conf.get(key_conf, None)
+    try:
+        spark.conf.set(key_conf, rocks)
+        counts = _run_to_memory(
+            matches.key_by("user_id")
+            .process_stateful(
+                _canonical_match_counter(),
+                "user_id long, n_matches long, n_timers long",
+                time_mode="ProcessingTime")
+            .to_df(), "update", once=True)
+    finally:
+        if prev is None:
+            spark.conf.unset(key_conf)
+        else:
+            spark.conf.set(key_conf, prev)
+    got_n = {r.user_id: r.n_matches for r in
+             counts.groupBy("user_id")
+             .agg(F.max("n_matches").alias("n_matches")).collect()}
+    want_n = {r.user_id: r.n for r in
+              (ev.filter("value >= 1")
+               .join(F.broadcast(rules_df(spark)),
+                     F.expr("event_type = rule_event_type "
+                            "AND value > threshold"))
+               .groupBy("user_id").agg(F.count("*").alias("n"))).collect()}
+    assert got_n == want_n and got_n
