@@ -5,7 +5,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from flink_tutorial_broadcast_spark.io import load
-from tests.conftest import SF_SMOKE
+from tests.conftest import SF_CHECK, SF_SMOKE
 
 
 def _long_form(spark):
@@ -149,3 +149,39 @@ def test_ivfpq_prunes_and_agrees_with_pq_on_shared_pairs(spark, queries):
     # share of the UNPRUNED PQ rung's answers — the routing loss bound
     got = {(r["probe_id"], r["vec_id"]) for r in ivf}
     assert len(got & set(pq)) >= 5  # measured 9/25 (0.36) at SF_SMOKE
+
+
+def test_ann_recall_on_clustered_embeddings(spark, queries, tmp_path):
+    """VERDICT r5 task 4 — the ANN ladder on REALISTIC (clustered,
+    anisotropic) embeddings, not just the i.i.d.-uniform worst case:
+    tools/clustered_embeddings derives a deterministic per-label-centroid
+    fixture; on it IVF's cell routing becomes near-lossless (matches the
+    data's own cluster structure) while the PQ rungs stay bounded by the
+    16-centroid-per-subspace codebook width (BASELINE.md round-6 table:
+    widening K 16->256 lifts clustered recall ~4x, so the limit is code
+    size, not indexing). Floors pin both behaviors."""
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    from tools.clustered_embeddings import derive
+
+    sf = derive(SF_CHECK, str(tmp_path / "clustered"))
+
+    def pairs(key, probe_col):
+        return {(r[probe_col], r["vec_id"])
+                for r in queries[key](spark, sf).collect()}
+
+    exact = pairs("q_knn_bruteforce", "p_id")
+    assert len(exact) == 50
+
+    # clustered data routes cleanly: IVF (nprobe=2/8) loses (almost)
+    # nothing, the vectorized exact rung stays perfect
+    assert len(pairs("q_knn_vectorized", "p_id") & exact) == len(exact)
+    ivf_recall = len(pairs("q_knn_ivf", "p_id") & exact) / len(exact)
+    assert ivf_recall >= 0.8, ivf_recall  # measured 1.0
+
+    # PQ rungs: the 4-bit/subspace codebook floor (measured 0.10); the
+    # honest claim is "codebook-width-bound", not "clustered data fixes
+    # PQ" — see BASELINE.md round-6 K-sensitivity rows
+    pq_recall = len(pairs("q_knn_pq", "probe_id") & exact) / len(exact)
+    assert pq_recall >= 0.04, pq_recall

@@ -30,7 +30,9 @@ from flink_tutorial_broadcast_spark.session import get_spark  # noqa: E402
 
 
 def main() -> None:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    args = [a for a in sys.argv[1:] if a != "--knn-only"]
+    knn_only = "--knn-only" in sys.argv[1:]
+    sf_dir = args[0] if args else "/root/testdata/sf0.1"
     q = load_all_queries()
     spark = get_spark("ann_recall")
     spark.sparkContext.setLogLevel("ERROR")
@@ -81,6 +83,15 @@ def main() -> None:
                    / len(int_exact), 3)
         for key in ("q_knn_pq", "q_knn_ivfpq")
     }
+
+    if knn_only:
+        print(json.dumps({
+            "sf_dir": sf_dir,
+            "n_exact_pairs": len(exact),
+            "recall_at_5": recall,
+            "recall_at_5_in_code_space": in_code_space,
+        }))
+        return
 
     def dedup_pairs(key):
         return {(r["vec_a"], r["vec_b"]) for r in
