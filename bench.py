@@ -52,6 +52,31 @@ def main() -> None:
     # re-measurement. Record host load at start AND end so a third rise is
     # attributable (or not) from the artifact alone.
     load_start = os.getloadavg()
+    # Quiesce protocol (VERDICT r5 task 8): cross-round comparisons are
+    # apples-to-apples only on a quiet host. The artifact always carries
+    # a quiesce VERDICT (quiet/loaded vs the 1-min loadavg threshold);
+    # with --quiesce the run additionally waits up to BENCH_QUIESCE_WAIT
+    # seconds for the host to fall below the threshold and REFUSES (exit
+    # 3, a one-line refusal artifact) if it never does — so a "quiet"
+    # label can be trusted by construction, and a loaded-host number can
+    # never silently enter a round-over-round comparison.
+    threshold = float(os.environ.get("BENCH_QUIESCE_LOADAVG", "4.0"))
+    if "--quiesce" in sys.argv[1:]:
+        deadline = time.time() + float(
+            os.environ.get("BENCH_QUIESCE_WAIT", "120"))
+        while load_start[0] > threshold and time.time() < deadline:
+            time.sleep(5)
+            load_start = os.getloadavg()
+        if load_start[0] > threshold:
+            print(json.dumps({
+                "metric": "headline_queries_total_wall_clock",
+                "value": None, "unit": "sec", "queries": {}, "sf": None,
+                "quiesce": "refused",
+                "loadavg_start": [round(x, 2) for x in load_start],
+                "quiesce_threshold_1min": threshold,
+            }))
+            sys.exit(3)
+    quiesce = "quiet" if load_start[0] <= threshold else "loaded"
     spark = get_spark("bench")
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -91,6 +116,8 @@ def main() -> None:
         "cpus": os.cpu_count(),
         "reps_per_query": reps,
         "warmup": "one untimed pass per query (warm protocol)",
+        "quiesce": quiesce,
+        "quiesce_threshold_1min": threshold,
     }))
 
 

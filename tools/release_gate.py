@@ -1,0 +1,84 @@
+"""One-command release gate (VERDICT r5 task 9): make the
+"every sweep is stamped with the git HEAD it covered, and every key
+landing after a sweep gets a re-run" discipline mechanical.
+
+Runs, in order, against the CURRENT working tree:
+  1. the full oracle sweep at sf0.01 (tools/check.py),
+  2. the full oracle sweep at sf0.1,
+  3. pytest tests/,
+  4. the plan audit (flink_tutorial_broadcast_spark.plans.audit),
+and writes ONE JSON artifact stamped with `git rev-parse HEAD` plus a
+dirty-tree flag, so a round's verification record cites a single gate
+file per HEAD instead of prose.
+
+    python tools/release_gate.py [--out GATE.json] [--skip-sf01]
+
+Exit 0 only if every stage passed. Stages run SEQUENTIALLY — never two
+Spark sessions at once (benchmark-hygiene rule in BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _run(name: str, cmd: list[str], env: dict | None = None) -> dict:
+    t0 = time.time()
+    e = dict(os.environ)
+    if env:
+        e.update(env)
+    p = subprocess.run(cmd, cwd=REPO, env=e, capture_output=True, text=True)
+    tail = "\n".join((p.stdout + p.stderr).splitlines()[-3:])
+    print(f"[{name}] exit={p.returncode} ({time.time() - t0:.0f}s) {tail!r}",
+          file=sys.stderr)
+    return {"cmd": " ".join(cmd), "exit": p.returncode,
+            "secs": round(time.time() - t0, 1), "tail": tail}
+
+
+def main() -> int:
+    out_path = "GATE.json"
+    argv = sys.argv[1:]
+    if "--out" in argv:
+        out_path = argv[argv.index("--out") + 1]
+    head = subprocess.run(["git", "rev-parse", "HEAD"], cwd=REPO,
+                          capture_output=True, text=True).stdout.strip()
+    dirty = bool(subprocess.run(["git", "status", "--porcelain"], cwd=REPO,
+                                capture_output=True, text=True).stdout.strip())
+
+    stages = {}
+    stages["check_sf0.01"] = _run(
+        "check sf0.01", [sys.executable, "tools/check.py"],
+        {"SPARK_GRAFT_CHECK_SF": "/root/testdata/sf0.01"})
+    if "--skip-sf01" not in argv:
+        stages["check_sf0.1"] = _run(
+            "check sf0.1", [sys.executable, "tools/check.py"],
+            {"SPARK_GRAFT_CHECK_SF": "/root/testdata/sf0.1"})
+    stages["pytest"] = _run(
+        "pytest", [sys.executable, "-m", "pytest", "tests/", "-q"])
+    stages["plan_audit"] = _run(
+        "plan audit",
+        [sys.executable, "-m", "flink_tutorial_broadcast_spark.plans.audit"])
+
+    ok = all(s["exit"] == 0 for s in stages.values())
+    artifact = {
+        "head": head,
+        "dirty_tree": dirty,
+        "utc": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+        "pass": ok,
+        "stages": stages,
+    }
+    with open(os.path.join(REPO, out_path), "w") as f:
+        json.dump(artifact, f, indent=1)
+    print(json.dumps({"head": head, "dirty_tree": dirty, "pass": ok,
+                      "out": out_path}))
+    return 0 if ok else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())
