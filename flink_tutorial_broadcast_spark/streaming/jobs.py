@@ -1117,6 +1117,95 @@ def broadcast_rules_union_tws_restart(spark: SparkSession, sf_dir: str):
         _make_rule_matcher_tws)
 
 
+def state_bootstrap_stream_tws(spark: SparkSession, sf_dir: str):
+    """State-Processor-API WRITE parity (Flink builds savepoints
+    offline; Spark 4's equivalent is the `initialState` argument of
+    `transformWithStateInPandas` + the `handleInitialState` callback):
+    keyed state is built OFFLINE from a batch aggregate over the
+    settled half of the events (event_id ≤ median) and LOADED into a
+    brand-new streaming query at start; the query then folds only the
+    LIVE half (event_id > median). Its converged per-user (n, total)
+    must equal the batch aggregate over ALL events — possible only if
+    the bootstrap rows actually landed in ValueState before the first
+    input row. Returns (result_df, seed_df, live_user_ids).
+
+    Scale shape: the seed is a normal batch DataFrame (any size —
+    Spark co-partitions it with the stream on the grouping key), so
+    bootstrapping 10^9 keys is one shuffle, not a driver loop."""
+    _require_tws_protobuf(spark)
+
+    import pandas as pd
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+    from flink_tutorial_broadcast_spark.io import load
+
+    ev = load(spark, sf_dir, "events").select("event_id", "user_id", "value")
+    med = int(ev.agg(
+        F.floor(F.expr("percentile(event_id, 0.5)")).cast("long")
+        .alias("m")).collect()[0]["m"])  # bounded: ONE row
+    seed = (ev.filter(F.col("event_id") <= med)
+            .groupBy("user_id")
+            .agg(F.count("*").alias("n"),
+                 F.round(F.sum("value"), 2).alias("total")))
+    live = ev.filter(F.col("event_id") > med)
+
+    class BootstrappedAgg(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._s = handle.getValueState("agg", "n long, total double")
+
+        def handleInitialState(self, key, initialState, timerValues):
+            # one row per key from the OFFLINE seed DataFrame
+            self._s.update((int(initialState["n"]),
+                            float(initialState["total"])))
+
+        def handleInputRows(self, key, rows, timerValues):
+            n, total = (self._s.get() if self._s.exists() else (0, 0.0))
+            for pdf in rows:
+                n += len(pdf)
+                total += float(pdf["value"].sum())
+            self._s.update((n, total))
+            yield pd.DataFrame({
+                "user_id": [key[0]], "n_events": [n],
+                "total_value": [round(total, 2)],
+            })
+
+        def close(self) -> None:
+            pass
+
+    d = tempfile.mkdtemp(prefix="bootstrap_live_")
+    key_conf = "spark.sql.streaming.stateStore.providerClass"
+    rocks = ("org.apache.spark.sql.execution.streaming.state."
+             "RocksDBStateStoreProvider")
+    prev = spark.conf.get(key_conf, None)
+    try:
+        live.write.parquet(os.path.join(d, "live"))
+        sdf = (spark.readStream
+               .schema("event_id long, user_id long, value double")
+               .parquet(os.path.join(d, "live")))
+        out = sdf.groupBy("user_id").transformWithStateInPandas(
+            BootstrappedAgg(),
+            outputStructType=("user_id long, n_events long, "
+                              "total_value double"),
+            outputMode="Update",
+            timeMode="None",
+            initialState=seed.groupBy("user_id"),
+        )
+        spark.conf.set(key_conf, rocks)
+        res = _run_to_memory(out, "update").cache()
+        res.count()
+        live_users = {r["user_id"] for r in
+                      live.select("user_id").distinct().collect()}
+        return res, seed, live_users
+    finally:
+        if prev is None:
+            spark.conf.unset(key_conf)
+        else:
+            spark.conf.set(key_conf, prev)
+        shutil.rmtree(d, ignore_errors=True)
+
+
 def tws_typed_state_surface_stream(spark: SparkSession,
                                    sf_dir: str) -> DataFrame:
     """E7, full typed-state surface on the REAL
