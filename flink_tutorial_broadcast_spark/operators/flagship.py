@@ -175,6 +175,48 @@ def q_broadcast_rule_mutation(spark: SparkSession, sf_dir: str) -> DataFrame:
         "threshold", "severity")
 
 
+@query(
+    "q_facade_program",
+    oracle=f"""
+    SELECT e.event_type AS event_type,
+           rules.severity AS severity,
+           date_trunc('hour', CAST(e.ts AS TIMESTAMP)) AS window_start,
+           COUNT(*) AS n_matches,
+           ROUND(SUM(e.value), 2) AS sum_value
+    FROM events e
+    JOIN {RULES_SQL}
+      ON e.event_type = rules.rule_event_type
+     AND e.value > rules.threshold
+    WHERE e.value >= 1
+    GROUP BY 1, 2, 3
+    """,
+)
+def q_facade_program(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The canonical tutorial program's flagship branch built ENTIRELY
+    through the DataStream facade's fast (expression/codegen) path —
+    the driver-verifiable proof that the fluent migration surface emits
+    the same Catalyst plans as the operator keys: side-output routing
+    (value<1 rows to the error channel), broadcast rule match, keyed
+    tumbling-window aggregate. The identical body's streaming run and
+    its keyed-state/timer branch are pinned by the canonical-program
+    tests in tests/test_datastream.py."""
+    from flink_tutorial_broadcast_spark.datastream import (
+        StreamExecutionEnvironment,
+    )
+    env = StreamExecutionEnvironment.get_execution_environment(spark)
+    routed = (env.from_dataframe(load(spark, sf_dir, "events"))
+              .split({"errors": "value < 1"}))
+    return (routed.main()
+            .connect_broadcast(
+                rules_df(spark),
+                on="event_type = rule_event_type AND value > threshold")
+            .key_by("event_type", "severity")
+            .window_tumbling("ts", "hour")
+            .aggregate(n_matches="count(*)",
+                       sum_value="round(sum(value), 2)")
+            .to_df())
+
+
 def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> DataFrame:
     """Entry-point flagship for the driver's t1 smoke check."""
     return q_broadcast_rule_join(spark, sf_dir)

@@ -134,7 +134,7 @@ _VERIFICATION_PREFIX = (
     "q_decontaminate",                  # text_pipeline (L46)
     "q_setsim_join",                    # graph_setsim (L44)
     "q_temporal_join",                  # temporal (L45)
-    "q_udaf_grouped",                   # J3 — pandas UDAF (r1)
+    "q_facade_program",                 # DataStream facade, fast path (r6)
 )
 
 
