@@ -295,3 +295,81 @@ def q_kmeans_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_members"),
         F.sum("vec_id").alias("id_checksum"),
     )
+
+
+@query(
+    "q_power_iteration",
+    oracle="""
+    WITH x AS (
+      SELECT vec_id, i.range AS pos,
+             CAST(embedding[CAST(i.range AS INT) + 1] AS DOUBLE) AS v
+      FROM embeddings, range(64) i
+    ), stats AS (
+      SELECT pos, MIN(v) AS mn, MAX(v) AS mx FROM x GROUP BY pos
+    ), c AS (
+      SELECT x.vec_id, x.pos,
+             CAST(LEAST(FLOOR((x.v - s.mn) * 256 / (s.mx - s.mn)), 255)
+                  AS BIGINT) AS code
+      FROM x JOIN stats s USING (pos)
+    ), w1 AS (
+      SELECT c.pos, CAST(SUM(c0.code * c.code) AS BIGINT) AS w
+      FROM c JOIN (SELECT vec_id, code FROM c WHERE pos = 0) c0
+        USING (vec_id)
+      GROUP BY c.pos
+    ), u2 AS (
+      SELECT c.vec_id, CAST(SUM(c.code * w1.w) AS BIGINT) AS u
+      FROM c JOIN w1 USING (pos) GROUP BY c.vec_id
+    ), w2 AS (
+      SELECT c.pos, CAST(SUM(u2.u * c.code) AS BIGINT) AS w
+      FROM c JOIN u2 USING (vec_id) GROUP BY c.pos
+    ), mx AS (SELECT MAX(w) AS m FROM w2)
+    SELECT w2.pos, w2.w AS raw,
+           CAST(CAST(w2.w AS HUGEINT) * 1000000 // mx.m AS BIGINT) AS direction_ppm
+    FROM w2, mx
+    """,
+)
+def q_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed power iteration — the PCA/spectral primitive as two
+    exact-integer matvec rounds: over the 256-level integer code matrix
+    C (q_embed_quantize's transform), compute w = (CᵀC)² e₀ without
+    ever materializing the d×d Gram matrix. Each half-round is one
+    shuffle: u = C·w groups by vec_id, w' = Cᵀ·u groups by pos; the
+    iterate vector (64 rows) rides a broadcast join. Everything stays
+    int64 — the two unnormalized rounds are EXACT cross-engine (bound:
+    n·d·255³ ≈ 1.1e18 < 2^63 at the fixture scales; at larger n,
+    production normalizes the iterate between rounds in floats, same
+    plan shape) — so this iterative linear-algebra kernel hash-matches
+    the oracle, like q_kmeans_quantized's integer Lloyd discipline.
+    Output: the unnormalized second iterate and its direction in
+    integer ppm of the max component (the dominant right-singular
+    direction estimate of C)."""
+    x = (load(spark, sf_dir, "embeddings")
+         .select("vec_id", F.posexplode("embedding").alias("pos", "vf"))
+         .select("vec_id", "pos", F.col("vf").cast("double").alias("v")))
+    stats = x.groupBy("pos").agg(F.min("v").alias("mn"),
+                                 F.max("v").alias("mx"))
+    c = (x.join(F.broadcast(stats), "pos")
+         .select("vec_id", "pos",
+                 F.least(F.floor((F.col("v") - F.col("mn")) * 256
+                                 / (F.col("mx") - F.col("mn"))),
+                         F.lit(255)).cast("long").alias("code"))
+         .localCheckpoint())  # feeds all four matvec joins
+    c0 = (c.filter(F.col("pos") == 0)
+          .select("vec_id", F.col("code").alias("code0")))
+    w1 = (c.join(c0, "vec_id")
+          .groupBy("pos")
+          .agg(F.sum(F.col("code0") * F.col("code")).alias("w")))
+    u2 = (c.join(F.broadcast(w1), "pos")
+          .groupBy("vec_id")
+          .agg(F.sum(F.col("code") * F.col("w")).alias("u")))
+    w2 = (c.join(u2, "vec_id")
+          .groupBy("pos")
+          .agg(F.sum(F.col("u") * F.col("code")).alias("w")))
+    mx = w2.agg(F.max("w").alias("m"))
+    # w*1e6 exceeds int64 (w ~ n²·d·255³); route the scaling through an
+    # exact DECIMAL so the floor-divide stays integer-exact cross-engine
+    return (w2.crossJoin(F.broadcast(mx))
+            .select(F.col("pos").cast("long").alias("pos"),
+                    F.col("w").alias("raw"),
+                    F.expr("CAST(CAST(w AS DECIMAL(30,0)) * 1000000 "
+                           "DIV m AS BIGINT)").alias("direction_ppm")))

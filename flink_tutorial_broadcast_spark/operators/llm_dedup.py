@@ -1164,3 +1164,81 @@ def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", F.col("cell").cast("long").alias("cell"),
                 F.coalesce("__dup", F.lit(False)).alias("removed"))
     )
+
+
+_SUBSTR_W = 8  # repeated-span window, in tokens
+
+
+@query(
+    "q_dedup_substr",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ), sized AS (
+      SELECT doc_id, t, len(t) AS n_tokens
+      FROM toks WHERE len(t) >= {_SUBSTR_W}
+    ), sh AS (
+      SELECT doc_id, n_tokens, s,
+             md5(array_to_string(t[s:s+{_SUBSTR_W - 1}], ' ')) AS h
+      FROM sized,
+           LATERAL (SELECT unnest(range(1, n_tokens - {_SUBSTR_W} + 2))
+                    AS s) u
+    ), rep AS (
+      SELECT h FROM sh GROUP BY h HAVING COUNT(DISTINCT doc_id) > 1
+    ), hits AS (
+      SELECT doc_id, n_tokens, s FROM sh JOIN rep USING (h)
+    ), cov AS (
+      SELECT doc_id, n_tokens, COUNT(DISTINCT p) AS n_repeated_tokens
+      FROM hits,
+           LATERAL (SELECT unnest(range(s, s + {_SUBSTR_W})) AS p) v
+      GROUP BY 1, 2
+    )
+    SELECT doc_id, n_tokens, n_repeated_tokens,
+           n_repeated_tokens * 1000000 // n_tokens AS repeated_ppm
+    FROM cov
+    """,
+)
+def q_dedup_substr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K2, the ExactSubstr rung (Lee et al., "Deduplicating Training
+    Data Makes Language Models Better"): find every ≥w-token span that
+    occurs in MORE THAN ONE document and report, per affected doc, how
+    many of its token positions are covered by such spans (the removal
+    mask ExactSubstr would cut). The distributed shape is the
+    suffix-array-free approximation production pipelines use: one
+    tokenize scan, a rolling w-gram hash stream (n_tokens rows — no
+    quadratic anywhere), ONE shuffle on the span hash to find hashes
+    spanning >1 distinct doc, a hash-join back, and a bounded ×w
+    position explode for exact interval-union coverage. At 100 TB every
+    stage is linear in corpus tokens and partial-aggregates map-side;
+    the span-hash shuffle is the same access path q_winnow_crossdoc
+    prunes with fingerprint selection — this key keeps EVERY span, the
+    exact-coverage complement to winnowing's sampled fingerprints.
+    Integer outputs (positions, counts, ppm) keep the cross-engine
+    comparison exact."""
+    w = _SUBSTR_W
+    docs = (load(spark, sf_dir, "documents")
+            .select("doc_id", F.split("text", " ").alias("toks"))
+            .withColumn("n_tokens", F.size("toks").cast("long"))
+            .filter(F.col("n_tokens") >= w))
+    sh = (docs
+          .select("doc_id", "n_tokens", "toks",
+                  F.explode(
+                      F.expr(f"sequence(1, size(toks) - {w} + 1)"))
+                  .alias("s"))
+          .select("doc_id", "n_tokens", "s",
+                  F.md5(F.array_join(F.slice("toks", F.col("s"), w), " "))
+                  .alias("h")))
+    rep = (sh.groupBy("h")
+           .agg(F.countDistinct("doc_id").alias("nd"))
+           .filter(F.col("nd") > 1)
+           .select("h"))
+    hits = sh.join(rep, "h")
+    return (hits
+            .select("doc_id", "n_tokens",
+                    F.explode(F.expr(f"sequence(s, s + {w} - 1)"))
+                    .alias("p"))
+            .groupBy("doc_id", "n_tokens")
+            .agg(F.countDistinct("p").alias("n_repeated_tokens"))
+            .select("doc_id", "n_tokens", "n_repeated_tokens",
+                    F.expr("n_repeated_tokens * 1000000 div n_tokens")
+                    .alias("repeated_ppm")))

@@ -588,3 +588,64 @@ def test_y4m_decoder_is_a_real_parser():
     header_only = good[:good.index(b"FRAME\n")]
     with pytest.raises(ValueError):
         decode_y4m(header_only)          # zero frames
+
+
+def test_dedup_substr_matches_python_reference(spark, queries):
+    """q_dedup_substr (the ExactSubstr rung): full parity against an
+    independent pure-Python computation of cross-document repeated
+    8-gram coverage over the same fixture."""
+    import duckdb
+
+    rows = duckdb.sql(
+        "SELECT doc_id, text FROM "
+        f"read_parquet('{SF_SMOKE}/documents.parquet')").fetchall()
+    w = 8
+    spans: dict[str, set] = {}
+    toks = {}
+    for doc_id, text in rows:
+        t = text.split(" ")
+        toks[doc_id] = t
+        for s in range(len(t) - w + 1):
+            spans.setdefault(" ".join(t[s:s + w]), set()).add(doc_id)
+    want = {}
+    for doc_id, t in toks.items():
+        covered = set()
+        for s in range(len(t) - w + 1):
+            if len(spans[" ".join(t[s:s + w])]) > 1:
+                covered.update(range(s, s + w))
+        if covered:
+            n = len(t)
+            want[doc_id] = (n, len(covered),
+                            len(covered) * 1000000 // n)
+    got = {r["doc_id"]: (r["n_tokens"], r["n_repeated_tokens"],
+                         r["repeated_ppm"])
+           for r in queries["q_dedup_substr"](spark, SF_SMOKE).collect()}
+    assert got == want and got
+
+
+def test_power_iteration_matches_exact_integer_reference(spark, queries):
+    """q_power_iteration: the two unnormalized integer matvec rounds
+    (CᵀC)²e₀ recomputed exactly with arbitrary-precision Python ints
+    over the same 256-level codes — every raw component must match."""
+    import duckdb
+
+    rows = duckdb.sql(
+        "SELECT vec_id, embedding FROM "
+        f"read_parquet('{SF_SMOKE}/embeddings.parquet') ORDER BY vec_id"
+    ).fetchall()
+    import math
+    d = len(rows[0][1])
+    cols = list(zip(*[r[1] for r in rows]))
+    mn = [min(c) for c in cols]
+    mx = [max(c) for c in cols]
+    C = [[min(math.floor((float(v) - float(mn[j])) * 256
+                         / (float(mx[j]) - float(mn[j]))), 255)
+          for j, v in enumerate(r[1])] for r in rows]
+    w1 = [sum(row[0] * row[j] for row in C) for j in range(d)]
+    u2 = [sum(row[j] * w1[j] for j in range(d)) for row in C]
+    w2 = [sum(u2[i] * C[i][j] for i in range(len(C))) for j in range(d)]
+    m = max(w2)
+    want = {j: (w2[j], w2[j] * 1000000 // m) for j in range(d)}
+    got = {r["pos"]: (r["raw"], r["direction_ppm"])
+           for r in queries["q_power_iteration"](spark, SF_SMOKE).collect()}
+    assert got == want
