@@ -88,14 +88,15 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # Keys not listed keep their registration order after the prefix; no key is
 # ever removed or renamed (the inventory is monotone).
 #
-# Round 6 rotation: 12 slots swapped toward keys the driver has NEVER
+# Round 6 rotation: 15 slots swapped toward keys the driver has NEVER
 # sampled — the round-5 session-2 additions (BM25 retrieval, bigram-LM
-# gate, SemDeDup, BPE tokenize), the new per-record broadcast-rule
-# MUTATION twin (E9, round 6), and long-registered sweep-only
-# representatives (IVF, portable SimHash, bucketed range join, window
-# join, UDAF) — while keeping one-or-more representatives per A-K family
-# AND per oracle-bearing module (test_contract guards both). Rotated-out
-# keys stay registered right after the prefix.
+# gate, SemDeDup, BPE tokenize), all four round-6 keys (per-record rule
+# MUTATION, the facade fast-path program, ExactSubstr coverage, integer
+# power iteration), and long-registered sweep-only representatives
+# (IVF, portable SimHash, bucketed range join) — while keeping
+# one-or-more representatives per A-K family AND per oracle-bearing
+# module (test_contract guards both). Rotated-out keys stay registered
+# right after the prefix.
 _VERIFICATION_PREFIX = (
     "q_broadcast_rule_join",            # flagship (C1)
     "q_scan_parquet",                   # scans (A5)
@@ -122,11 +123,11 @@ _VERIFICATION_PREFIX = (
     "q_dedup_simhash_portable",         # K2 — portable SimHash dedup (r3)
     "q_range_join_bucketed",            # C7 — bucketed interval join (r4)
     "q_l_diversity",                    # governance l-diversity (r4)
-    "q_window_join",                    # C9 — window join (r1)
+    "q_dedup_substr",                   # K2 — ExactSubstr coverage (r6)
     "q_compact_small_files",            # layout compaction (r3)
     "q_pivot",                          # olap_ext (L1)
     "q_tpch_q3",                        # composite
-    "q_kmeans_quantized",               # iterative (L53)
+    "q_power_iteration",                # iterative — int matvec PCA (r6)
     "q_grouping_sets",                  # agg_ext
     "q_sessionize",                     # behavioral (L24)
     "q_mad_outliers",                   # stats_ext (L54)
