@@ -222,11 +222,20 @@ class KeyedStream:
         # optional (grouping Column, [output Columns]) from a window verb
         self._win = win
 
+    def _no_pending_window(self, verb: str) -> None:
+        if self._win is not None:
+            raise ValueError(
+                f"{verb}() cannot follow window_sliding()/window_session():"
+                " those windows are grouping specs consumed by aggregate()."
+                " Use aggregate(), or window via window_tumbling()/"
+                "count_window() (which rewrite the keyed rows themselves).")
+
     def window_tumbling(self, time_col: str, unit: str) -> "KeyedStream":
         """Tumbling event-time window as an extra grouping column
         (`unit` per date_trunc: 'hour', 'day', ...) — EventTimeWindows
         parity for fully-arrived data; the streaming twins in
         streaming/jobs.py carry the watermark semantics."""
+        self._no_pending_window("window_tumbling")
         bucket = F.date_trunc(unit, F.col(time_col)).alias("window_start")
         return KeyedStream(self.df.withColumn("window_start", bucket),
                            self.keys + ["window_start"])
@@ -260,6 +269,7 @@ class KeyedStream:
         PARTITIONED by the keys, so no single-partition global sort).
         The streaming twin with true arrival-order state lives in
         streaming/jobs.count_window_stream."""
+        self._no_pending_window("count_window")
         w = Window.partitionBy(*self.keys).orderBy(*order_cols)
         df = (self.df.withColumn("__rn", F.row_number().over(w))
               .withColumn("bucket", F.floor((F.col("__rn") - 1) / size)
@@ -292,6 +302,7 @@ class KeyedStream:
         resists relational rewrite (the same rule udf_surface.py's
         grouped-map key documents: bucket hot keys if groups are tiny).
         """
+        self._no_pending_window("process")
         return DataStream(
             self.df.groupBy(*self.keys).applyInPandas(fn, output_schema))
 
@@ -317,6 +328,7 @@ class KeyedStream:
         `time_mode`: "None" | "ProcessingTime" | "EventTime" — event
         time requires `watermark=(ts_col, delay)` so timers have a
         watermark to fire against."""
+        self._no_pending_window("process_stateful")
         from flink_tutorial_broadcast_spark.streaming.jobs import (
             _require_tws_protobuf, _run_to_memory,
         )
@@ -332,6 +344,14 @@ class KeyedStream:
             )
 
         if self.df.isStreaming:
+            # transformWithState runs only on the RocksDB provider; the
+            # caller's sink starts later, so the conf cannot be scoped
+            # to the query here — set it session-wide at plan time (the
+            # same provider every stateful job in this engine pins)
+            spark.conf.set(
+                "spark.sql.streaming.stateStore.providerClass",
+                "org.apache.spark.sql.execution.streaming.state."
+                "RocksDBStateStoreProvider")
             return DataStream(build(self.df))
 
         # batch input: replay through one bounded micro-batch stream

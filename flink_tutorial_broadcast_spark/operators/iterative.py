@@ -343,17 +343,12 @@ def q_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
     Output: the unnormalized second iterate and its direction in
     integer ppm of the max component (the dominant right-singular
     direction estimate of C)."""
-    x = (load(spark, sf_dir, "embeddings")
-         .select("vec_id", F.posexplode("embedding").alias("pos", "vf"))
-         .select("vec_id", "pos", F.col("vf").cast("double").alias("v")))
-    stats = x.groupBy("pos").agg(F.min("v").alias("mn"),
-                                 F.max("v").alias("mx"))
-    c = (x.join(F.broadcast(stats), "pos")
-         .select("vec_id", "pos",
-                 F.least(F.floor((F.col("v") - F.col("mn")) * 256
-                                 / (F.col("mx") - F.col("mn"))),
-                         F.lit(255)).cast("long").alias("code"))
-         .localCheckpoint())  # feeds all four matvec joins
+    from flink_tutorial_broadcast_spark.operators.vector_compress import (
+        int_codes,
+    )
+    # the per-fixture cached code table (shared with the PQ index) feeds
+    # all four matvec joins — no re-explode, no re-checkpoint
+    c = int_codes(spark, sf_dir)
     c0 = (c.filter(F.col("pos") == 0)
           .select("vec_id", F.col("code").alias("code0")))
     w1 = (c.join(c0, "vec_id")

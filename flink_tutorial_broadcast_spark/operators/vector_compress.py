@@ -221,17 +221,45 @@ _PQ_TOPK = 5
 _PQ_ARTIFACTS: dict[tuple, dict[str, str]] = {}
 
 
-def _pq_trained(spark: SparkSession, sf_dir: str):
-    """Return (codes, cents, pq) DataFrames — the 256-level int codes,
-    the Lloyd-refined per-subspace codebook, and the final PQ code
-    assignment — training at most once per fixture file."""
+def _purge_pq_artifacts() -> None:
+    """Remove every parked artifact dir (registered atexit below so
+    repeated sweep/bench/gate processes don't grow /tmp unboundedly)."""
+    import shutil
+
+    for e in _PQ_ARTIFACTS.values():
+        shutil.rmtree(e["dir"], ignore_errors=True)
+    _PQ_ARTIFACTS.clear()
+
+
+def _artifact_entry(sf_dir: str) -> dict:
+    """The per-fixture artifact slot: {dir, codes?, cents?, pq?} keyed by
+    (path, mtime, size); superseded entries' files are dropped."""
+    import atexit
     import os
+    import shutil
     import tempfile
 
     src = os.path.join(sf_dir, "embeddings.parquet")
     st = os.stat(src)
     key = (os.path.abspath(src), st.st_mtime_ns, st.st_size)
+    stale = [k for k in _PQ_ARTIFACTS if k[0] == key[0] and k != key]
+    for k in stale:
+        shutil.rmtree(_PQ_ARTIFACTS.pop(k)["dir"], ignore_errors=True)
     if key not in _PQ_ARTIFACTS:
+        if not _PQ_ARTIFACTS:
+            atexit.register(_purge_pq_artifacts)
+        _PQ_ARTIFACTS[key] = {"dir": tempfile.mkdtemp(prefix="pq_artifacts_")}
+    return _PQ_ARTIFACTS[key]
+
+
+def int_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 256-level min-max integer code table (q_embed_quantize's
+    transform) as a per-fixture cached parquet — the shared substrate of
+    the PQ/IVF-PQ index AND q_power_iteration's matvec rounds."""
+    import os
+
+    e = _artifact_entry(sf_dir)
+    if "codes" not in e:
         x = (load(spark, sf_dir, "embeddings")
              .select("vec_id", F.posexplode("embedding").alias("pos", "vf"))
              .select("vec_id", "pos",
@@ -242,8 +270,22 @@ def _pq_trained(spark: SparkSession, sf_dir: str):
                  .select("vec_id", "pos",
                          F.least(F.floor((F.col("v") - F.col("mn")) * 256
                                          / (F.col("mx") - F.col("mn"))),
-                                 F.lit(255)).cast("long").alias("code"))
-                 .localCheckpoint())
+                                 F.lit(255)).cast("long").alias("code")))
+        path = os.path.join(e["dir"], "codes")
+        codes.write.parquet(path)
+        e["codes"] = path
+    return spark.read.parquet(e["codes"])
+
+
+def _pq_trained(spark: SparkSession, sf_dir: str):
+    """Return (codes, cents, pq) DataFrames — the cached int codes, the
+    Lloyd-refined per-subspace codebook, and the final PQ code
+    assignment — training at most once per fixture file."""
+    import os
+
+    codes = int_codes(spark, sf_dir)
+    e = _artifact_entry(sf_dir)
+    if "pq" not in e:
         sub = codes.select(
             "vec_id",
             (F.col("pos") / _PQ_SUBDIM).cast("int").alias("m"),
@@ -276,18 +318,13 @@ def _pq_trained(spark: SparkSession, sf_dir: str):
               .agg(F.min(F.struct("d", "cid")).alias("best"))
               .select("vec_id", "m", F.col("best.cid").alias("cid")))
 
-        d = tempfile.mkdtemp(prefix="pq_artifacts_")
-        paths = {"codes": os.path.join(d, "codes"),
-                 "cents": os.path.join(d, "cents"),
-                 "pq": os.path.join(d, "pq")}
-        codes.write.parquet(paths["codes"])
-        cents.coalesce(1).write.parquet(paths["cents"])
-        pq.write.parquet(paths["pq"])
-        _PQ_ARTIFACTS[key] = paths
-    paths = _PQ_ARTIFACTS[key]
-    return (spark.read.parquet(paths["codes"]),
-            spark.read.parquet(paths["cents"]),
-            spark.read.parquet(paths["pq"]))
+        e["cents"] = os.path.join(e["dir"], "cents")
+        e["pq"] = os.path.join(e["dir"], "pq")
+        cents.coalesce(1).write.parquet(e["cents"])
+        pq.write.parquet(e["pq"])
+    return (codes,
+            spark.read.parquet(e["cents"]),
+            spark.read.parquet(e["pq"]))
 
 
 @query(

@@ -1145,10 +1145,13 @@ def state_bootstrap_stream_tws(spark: SparkSession, sf_dir: str):
     med = int(ev.agg(
         F.floor(F.expr("percentile(event_id, 0.5)")).cast("long")
         .alias("m")).collect()[0]["m"])  # bounded: ONE row
+    # seed the UNROUNDED running sum: rounding belongs at emission only
+    # (round(seed,2)+live then round again can diverge from the batch
+    # round(sum(all),2) when values are not exact 2-decimal)
     seed = (ev.filter(F.col("event_id") <= med)
             .groupBy("user_id")
             .agg(F.count("*").alias("n"),
-                 F.round(F.sum("value"), 2).alias("total")))
+                 F.sum("value").alias("total")))
     live = ev.filter(F.col("event_id") > med)
 
     class BootstrappedAgg(StatefulProcessor):

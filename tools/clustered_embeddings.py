@@ -65,8 +65,11 @@ def derive(src_sf_dir: str, dst_dir: str, spread: float = SPREAD) -> str:
         if f == "embeddings.parquet" or not f.endswith(".parquet"):
             continue
         link = os.path.join(dst_dir, f)
-        if not os.path.exists(link):
-            os.symlink(os.path.join(src_sf_dir, f), link)
+        # always repoint (lexists catches broken links too): a reused
+        # dst_dir must never silently mix tables from an older source
+        if os.path.lexists(link):
+            os.remove(link)
+        os.symlink(os.path.join(src_sf_dir, f), link)
     return dst_dir
 
 

@@ -13,6 +13,8 @@ file per HEAD instead of prose.
 
     python tools/release_gate.py [--out GATE.json] [--skip-sf01]
 
+(--skip-sf01 skips only the larger sf0.1 sweep; sf0.01 always runs.)
+
 Exit 0 only if every stage passed. Stages run SEQUENTIALLY — never two
 Spark sessions at once (benchmark-hygiene rule in BASELINE.md).
 """
@@ -45,7 +47,12 @@ def main() -> int:
     out_path = "GATE.json"
     argv = sys.argv[1:]
     if "--out" in argv:
-        out_path = argv[argv.index("--out") + 1]
+        i = argv.index("--out")
+        if i + 1 >= len(argv) or argv[i + 1].startswith("--"):
+            print("usage: release_gate.py [--out FILE] [--skip-sf01]",
+                  file=sys.stderr)
+            return 2
+        out_path = argv[i + 1]
     head = subprocess.run(["git", "rev-parse", "HEAD"], cwd=REPO,
                           capture_output=True, text=True).stdout.strip()
     dirty = bool(subprocess.run(["git", "status", "--porcelain"], cwd=REPO,
@@ -55,6 +62,8 @@ def main() -> int:
     stages["check_sf0.01"] = _run(
         "check sf0.01", [sys.executable, "tools/check.py"],
         {"SPARK_GRAFT_CHECK_SF": "/root/testdata/sf0.01"})
+    # --skip-sf01 skips the LARGER (sf0.1) sweep — the sf0.01 sweep
+    # always runs; the flag exists for quick mid-session gates
     if "--skip-sf01" not in argv:
         stages["check_sf0.1"] = _run(
             "check sf0.1", [sys.executable, "tools/check.py"],
