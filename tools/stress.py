@@ -389,6 +389,35 @@ def s_bpe_pair_count(c: Ctx) -> None:
     pairs.orderBy(F.desc("pc"), "lhs", "rhs").limit(1).collect()
 
 
+@shape("substr_spans", lambda c: c.nrows("dr_toks"))
+def s_substr_spans(c: Ctx) -> None:
+    """q_dedup_substr's full pipeline at corpus scale: rolling 8-gram
+    hash stream (linear in tokens), ONE span-hash shuffle to find spans
+    in >1 distinct doc, hash-join back, bounded x8 position explode to
+    exact coverage. dr's disjoint replica vocabularies keep cross-doc
+    repeats k-scaled (not k^2): the shape measures the operator, not
+    the fixture's duplicate blowup."""
+    w = 8
+    docs = (c.dr.select("doc_id", F.split("text", " ").alias("toks"))
+            .withColumn("n_tokens", F.size("toks").cast("long"))
+            .filter(F.col("n_tokens") >= w))
+    sh = (docs
+          .select("doc_id", "n_tokens", "toks",
+                  F.explode(F.expr(f"sequence(1, size(toks) - {w} + 1)"))
+                  .alias("s"))
+          .select("doc_id", "n_tokens", "s",
+                  F.md5(F.array_join(F.slice("toks", F.col("s"), w), " "))
+                  .alias("h")))
+    rep = (sh.groupBy("h")
+           .agg(F.countDistinct("doc_id").alias("nd"))
+           .filter(F.col("nd") > 1).select("h"))
+    (sh.join(rep, "h")
+     .select("doc_id", "n_tokens",
+             F.explode(F.expr(f"sequence(s, s + {w} - 1)")).alias("p"))
+     .groupBy("doc_id", "n_tokens")
+     .agg(F.countDistinct("p").alias("n_rep"))).count()
+
+
 @shape("semantic_route", lambda c: c.nrows("emb"))
 def s_semantic_route(c: Ctx) -> None:
     """SemDeDup's linear half at scale: route k-scaled vectors to 64
