@@ -516,3 +516,25 @@ def test_facade_canonical_program_streaming(spark, queries):
                             "AND value > threshold"))
                .groupBy("user_id").agg(F.count("*").alias("n"))).collect()}
     assert got_n == want_n and got_n
+
+
+def test_facade_pending_window_cannot_be_silently_dropped(spark):
+    """A sliding/session window is a grouping spec consumed by
+    aggregate(); any other verb after it must fail fast instead of
+    running un-windowed (review finding, round 6)."""
+    import pytest
+
+    env = StreamExecutionEnvironment.get_execution_environment(spark)
+    ks = (env.from_dataframe(load(spark, SF_SMOKE, "events"))
+          .key_by("user_id")
+          .window_sliding("ts", "1 hour", "15 minutes"))
+    with pytest.raises(ValueError, match="aggregate"):
+        ks.process(lambda k, pdf: pdf, "user_id long")
+    with pytest.raises(ValueError, match="aggregate"):
+        ks.count_window(50)
+    with pytest.raises(ValueError, match="aggregate"):
+        ks.window_tumbling("ts", "hour")
+    with pytest.raises(ValueError, match="aggregate"):
+        ks.process_stateful(object(), "user_id long")
+    # and aggregate() itself still consumes it fine
+    assert ks.aggregate(n="count(*)").to_df().count() > 0
