@@ -1209,6 +1209,123 @@ def state_bootstrap_stream_tws(spark: SparkSession, sf_dir: str):
         shutil.rmtree(d, ignore_errors=True)
 
 
+def state_schema_evolution_stream(spark: SparkSession, sf_dir: str,
+                                  encoding: str = "avro"):
+    """Flink state-MIGRATION parity (serializer evolution on restart):
+    run 1 folds the first half of the events with a ValueState of
+    `n long`; run 2 — a NEW query on the SAME RocksDB checkpoint —
+    redefines the state as `n long, total double` and folds the second
+    half. With the Avro state encoding (the supported evolution path;
+    `spark.sql.streaming.stateStore.encodingFormat=avro`) the old rows
+    reload with the added field as None, so counts CARRY ACROSS the
+    schema change and the new field accumulates from the live half
+    only. With the default UnsafeRow encoding the same restart fails
+    fast with STATE_STORE_VALUE_SCHEMA_NOT_COMPATIBLE — both behaviors
+    are pinned. Returns (run-1 emissions, run-2 emissions, split_ts)."""
+    _require_tws_protobuf(spark)
+
+    import pandas as pd
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+    from flink_tutorial_broadcast_spark.io import load
+
+    class CountV1(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._s = handle.getValueState("agg", "n long")
+
+        def handleInputRows(self, key, rows, timerValues):
+            n = self._s.get()[0] if self._s.exists() else 0
+            for pdf in rows:
+                n += len(pdf)
+            self._s.update((n,))
+            yield pd.DataFrame({"user_id": [key[0]], "n_events": [n]})
+
+        def close(self) -> None:
+            pass
+
+    class CountSumV2(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            # EVOLVED schema: one appended nullable field
+            self._s = handle.getValueState("agg", "n long, total double")
+
+        def handleInputRows(self, key, rows, timerValues):
+            if self._s.exists():
+                n, total = self._s.get()
+                total = 0.0 if total is None else total  # evolved-in rows
+            else:
+                n, total = 0, 0.0
+            for pdf in rows:
+                n += len(pdf)
+                total += float(pdf["value"].sum())
+            self._s.update((n, total))
+            yield pd.DataFrame({
+                "user_id": [key[0]], "n_events": [n],
+                "live_total": [round(total, 2)],
+            })
+
+        def close(self) -> None:
+            pass
+
+    ev = load(spark, sf_dir, "events").select("user_id", "ts", "value")
+    split_ts = ev.agg(
+        F.percentile_approx("ts", 0.5).alias("m")).collect()[0]["m"]
+
+    key_conf = "spark.sql.streaming.stateStore.providerClass"
+    rocks = ("org.apache.spark.sql.execution.streaming.state."
+             "RocksDBStateStoreProvider")
+    enc_conf = "spark.sql.streaming.stateStore.encodingFormat"
+    prev_enc = spark.conf.get(enc_conf, None)
+
+    root = tempfile.mkdtemp(prefix="evolve_")
+    src = os.path.join(root, "src")
+    os.makedirs(src)
+    ckpt = checkpoint_dir()
+    out1, out2 = os.path.join(root, "o1"), os.path.join(root, "o2")
+    src_schema = "user_id long, ts timestamp, value double"
+
+    def run_once(proc, out_schema, sink):
+        sdf = spark.readStream.schema(src_schema).parquet(src)
+        q = (sdf.groupBy("user_id")
+             .transformWithStateInPandas(
+                 proc, outputStructType=out_schema,
+                 outputMode="Update", timeMode="None")
+             .writeStream.foreachBatch(
+                 lambda bdf, bid: bdf.write.mode("append").parquet(sink))
+             .outputMode("update")
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        q.awaitTermination()
+
+    prev = spark.conf.get(key_conf, None)
+    try:
+        spark.conf.set(key_conf, rocks)
+        spark.conf.set(enc_conf, encoding)
+        ev.filter(F.col("ts") <= F.lit(split_ts)) \
+            .coalesce(1).write.mode("append").parquet(src)
+        run_once(CountV1(), "user_id long, n_events long", out1)
+        ev.filter(F.col("ts") > F.lit(split_ts)) \
+            .coalesce(1).write.mode("append").parquet(src)
+        run_once(CountSumV2(),
+                 "user_id long, n_events long, live_total double", out2)
+        r1 = spark.read.parquet(out1).cache()
+        r1.count()
+        r2 = spark.read.parquet(out2).cache()
+        r2.count()
+        return r1, r2, split_ts
+    finally:
+        if prev is None:
+            spark.conf.unset(key_conf)
+        else:
+            spark.conf.set(key_conf, prev)
+        if prev_enc is None:
+            spark.conf.unset(enc_conf)
+        else:
+            spark.conf.set(enc_conf, prev_enc)
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def tws_typed_state_surface_stream(spark: SparkSession,
                                    sf_dir: str) -> DataFrame:
     """E7, full typed-state surface on the REAL
