@@ -1209,6 +1209,111 @@ def state_bootstrap_stream_tws(spark: SparkSession, sf_dir: str):
         shutil.rmtree(d, ignore_errors=True)
 
 
+def state_repair_pipeline(spark: SparkSession, sf_dir: str):
+    """The FULL State-Processor-API story composed end to end — read →
+    transform → write: (1) a keyed count folds the settled half of the
+    events into checkpoint A; (2) that checkpoint's state is read back
+    OFFLINE via `format("statestore")` (no query running); (3) the
+    state is REPAIRED relationally — the heaviest user's row is dropped
+    (the "poisoned key" surgery real state tooling performs); (4) a NEW
+    query on a FRESH checkpoint is BOOTSTRAPPED from the repaired state
+    (`transformWithStateInPandas(initialState=...)`) and folds the live
+    half. Converged counts must equal all-events counts for every user
+    EXCEPT the repaired one, whose count restarts from the live half —
+    provable only if every stage (offline read, relational transform,
+    bootstrap write) preserved exactly the intended rows.
+
+    Scale: the offline read is one task per store shard, the repair is
+    ordinary DataFrame code, and the bootstrap co-partitions with the
+    stream key — the whole surgery is shuffle-bounded, never a driver
+    loop. Returns (result_df, repaired_user_id, split event ids)."""
+    _require_tws_protobuf(spark)
+
+    import pandas as pd
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+    from flink_tutorial_broadcast_spark.io import load
+
+    ev = load(spark, sf_dir, "events").select("event_id", "user_id", "value")
+    med = int(ev.agg(
+        F.floor(F.expr("percentile(event_id, 0.5)")).cast("long")
+        .alias("m")).collect()[0]["m"])  # bounded: ONE row
+
+    # (1) fold the settled half into checkpoint A
+    root = tempfile.mkdtemp(prefix="repair_")
+    src_a = os.path.join(root, "a")
+    os.makedirs(src_a)
+    ckpt_a = checkpoint_dir()
+    ev.filter(F.col("event_id") <= med) \
+        .coalesce(1).write.mode("append").parquet(src_a)
+    name = f"repair_{uuid.uuid4().hex[:8]}"
+    q = (spark.readStream
+         .schema("event_id long, user_id long, value double")
+         .parquet(src_a)
+         .groupBy("user_id").agg(F.count("*").alias("n"))
+         .writeStream.format("memory").queryName(name)
+         .outputMode("complete").option("checkpointLocation", ckpt_a)
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+
+    # (2) offline state read + (3) relational repair: drop the heaviest
+    # key (ties on user_id for determinism)
+    state = (spark.read.format("statestore").load(ckpt_a)
+             .select(F.col("key.user_id").alias("user_id"),
+                     F.col("value.count").alias("n")))
+    heavy = (state.orderBy(F.desc("n"), "user_id").limit(1)
+             .collect()[0]["user_id"])  # bounded: ONE row
+    repaired = state.filter(F.col("user_id") != heavy)
+
+    # (4) bootstrap a NEW query from the repaired state
+    class Carry(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._s = handle.getValueState("agg", "n long")
+
+        def handleInitialState(self, key, initialState, timerValues):
+            self._s.update((int(initialState["n"]),))
+
+        def handleInputRows(self, key, rows, timerValues):
+            n = self._s.get()[0] if self._s.exists() else 0
+            for pdf in rows:
+                n += len(pdf)
+            self._s.update((n,))
+            yield pd.DataFrame({"user_id": [key[0]], "n_events": [n]})
+
+        def close(self) -> None:
+            pass
+
+    src_b = os.path.join(root, "b")
+    key_conf = "spark.sql.streaming.stateStore.providerClass"
+    rocks = ("org.apache.spark.sql.execution.streaming.state."
+             "RocksDBStateStoreProvider")
+    prev = spark.conf.get(key_conf, None)
+    try:
+        ev.filter(F.col("event_id") > med).write.parquet(src_b)
+        sdf = (spark.readStream
+               .schema("event_id long, user_id long, value double")
+               .parquet(src_b))
+        out = sdf.groupBy("user_id").transformWithStateInPandas(
+            Carry(),
+            outputStructType="user_id long, n_events long",
+            outputMode="Update",
+            timeMode="None",
+            initialState=repaired.groupBy("user_id"),
+        )
+        spark.conf.set(key_conf, rocks)
+        res = _run_to_memory(out, "update").cache()
+        res.count()
+        return res, heavy, med
+    finally:
+        if prev is None:
+            spark.conf.unset(key_conf)
+        else:
+            spark.conf.set(key_conf, prev)
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def state_schema_evolution_stream(spark: SparkSession, sf_dir: str,
                                   encoding: str = "avro"):
     """Flink state-MIGRATION parity (serializer evolution on restart):

@@ -1565,3 +1565,34 @@ def test_state_schema_evolution_requires_avro_encoding(spark):
                        match="STATE_STORE_VALUE_SCHEMA_NOT_COMPATIBLE"):
         state_schema_evolution_stream(spark, SF_SMOKE,
                                       encoding="unsaferow")
+
+
+def test_state_repair_read_transform_bootstrap(spark):
+    """The composed State-Processor story (read a checkpoint's state
+    offline → drop the heaviest key relationally → bootstrap a NEW
+    query from the repaired state): every untouched user converges to
+    the all-events count; the repaired user restarts from the live half
+    only."""
+    from flink_tutorial_broadcast_spark.io import load
+    from flink_tutorial_broadcast_spark.streaming.jobs import (
+        state_repair_pipeline,
+    )
+
+    res, heavy, med = state_repair_pipeline(spark, SF_SMOKE)
+    got = {r["user_id"]: r["n_events"] for r in
+           res.groupBy("user_id")
+           .agg(F.max("n_events").alias("n_events")).collect()}
+    ev = load(spark, SF_SMOKE, "events")
+    want_all = {r["user_id"]: r["n"] for r in
+                ev.groupBy("user_id").agg(F.count("*").alias("n"))
+                .collect()}
+    want_live = {r["user_id"]: r["n"] for r in
+                 ev.filter(F.col("event_id") > med)
+                 .groupBy("user_id").agg(F.count("*").alias("n"))
+                 .collect()}
+    assert heavy in got and got[heavy] == want_live[heavy]
+    assert got[heavy] < want_all[heavy]  # the surgery removed history
+    for u, n in got.items():
+        if u != heavy:
+            assert n == want_all[u], u
+    assert len(got) == len(want_live)
