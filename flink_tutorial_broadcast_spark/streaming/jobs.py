@@ -1209,6 +1209,96 @@ def state_bootstrap_stream_tws(spark: SparkSession, sf_dir: str):
         shutil.rmtree(d, ignore_errors=True)
 
 
+def state_ttl_stream(spark: SparkSession, sf_dir: str,
+                     ttl_ms: int | None, sleep_s: float):
+    """Flink StateTtlConfig parity: ValueState created with
+    `ttlDurationMs` expires between two runs over the same RocksDB
+    checkpoint. Run 1 folds the first half of the events; after
+    `sleep_s` of wall-clock (processing-time TTL — timeMode must be
+    ProcessingTime), run 2 folds the second half: with a TTL shorter
+    than the sleep the run-1 registers have EXPIRED and counts restart
+    from the live half; with `ttl_ms=None` the identical flow is the
+    control — state persists and counts accumulate. Returns (run-1
+    emissions, run-2 emissions, split event id)."""
+    _require_tws_protobuf(spark)
+
+    import pandas as pd
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+    from flink_tutorial_broadcast_spark.io import load
+
+    class TtlCount(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._s = handle.getValueState("agg", "n long",
+                                           ttlDurationMs=ttl_ms)
+
+        def handleInputRows(self, key, rows, timerValues):
+            n = self._s.get()[0] if self._s.exists() else 0
+            for pdf in rows:
+                n += len(pdf)
+            self._s.update((n,))
+            yield pd.DataFrame({"user_id": [key[0]], "n_events": [n]})
+
+        def close(self) -> None:
+            pass
+
+    ev = load(spark, sf_dir, "events").select("event_id", "user_id", "value")
+    med = int(ev.agg(
+        F.floor(F.expr("percentile(event_id, 0.5)")).cast("long")
+        .alias("m")).collect()[0]["m"])  # bounded: ONE row
+
+    root = tempfile.mkdtemp(prefix="ttl_")
+    src = os.path.join(root, "src")
+    os.makedirs(src)
+    ckpt = checkpoint_dir()
+    out1, out2 = os.path.join(root, "o1"), os.path.join(root, "o2")
+
+    def run_once(sink: str) -> None:
+        sdf = (spark.readStream
+               .schema("event_id long, user_id long, value double")
+               .parquet(src))
+        q = (sdf.groupBy("user_id").transformWithStateInPandas(
+                TtlCount(),
+                outputStructType="user_id long, n_events long",
+                outputMode="Update",
+                timeMode="ProcessingTime",  # TTL clock
+             )
+             .writeStream.foreachBatch(
+                 lambda bdf, bid: bdf.write.mode("append").parquet(sink))
+             .outputMode("update")
+             .option("checkpointLocation", ckpt)
+             .trigger(once=True)  # ProcessingTime mode: availableNow spins
+             .start())
+        q.awaitTermination()
+
+    key_conf = "spark.sql.streaming.stateStore.providerClass"
+    rocks = ("org.apache.spark.sql.execution.streaming.state."
+             "RocksDBStateStoreProvider")
+    prev = spark.conf.get(key_conf, None)
+    try:
+        spark.conf.set(key_conf, rocks)
+        ev.filter(F.col("event_id") <= med) \
+            .coalesce(1).write.mode("append").parquet(src)
+        run_once(out1)
+        time.sleep(sleep_s)
+        ev.filter(F.col("event_id") > med) \
+            .coalesce(1).write.mode("append").parquet(src)
+        run_once(out2)
+        r1 = spark.read.parquet(out1).cache()
+        r1.count()
+        r2 = spark.read.parquet(out2).cache()
+        r2.count()
+        return r1, r2, med
+    finally:
+        if prev is None:
+            spark.conf.unset(key_conf)
+        else:
+            spark.conf.set(key_conf, prev)
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def state_repair_pipeline(spark: SparkSession, sf_dir: str):
     """The FULL State-Processor-API story composed end to end — read →
     transform → write: (1) a keyed count folds the settled half of the

@@ -1596,3 +1596,40 @@ def test_state_repair_read_transform_bootstrap(spark):
         if u != heavy:
             assert n == want_all[u], u
     assert len(got) == len(want_live)
+
+
+def test_state_ttl_expires_and_control_persists(spark):
+    """Flink StateTtlConfig parity: with ttl=2s and an 8s gap between
+    runs over the same checkpoint, run-2 counts RESTART from the live
+    half (the run-1 registers expired); the identical flow with no TTL
+    is the control — counts accumulate across the gap. Generous margins
+    keep the wall-clock dependence safe."""
+    from flink_tutorial_broadcast_spark.io import load
+    from flink_tutorial_broadcast_spark.streaming.jobs import (
+        state_ttl_stream,
+    )
+
+    ev = load(spark, SF_SMOKE, "events")
+
+    def converged(df):
+        return {r["user_id"]: r["n_events"] for r in
+                df.groupBy("user_id")
+                .agg(F.max("n_events").alias("n_events")).collect()}
+
+    _, r2_ttl, med = state_ttl_stream(spark, SF_SMOKE,
+                                      ttl_ms=2_000, sleep_s=8.0)
+    want_live = {r["user_id"]: r["n"] for r in
+                 ev.filter(F.col("event_id") > med)
+                 .groupBy("user_id").agg(F.count("*").alias("n"))
+                 .collect()}
+    assert converged(r2_ttl) == want_live  # expired: live-only counts
+
+    _, r2_ctl, med2 = state_ttl_stream(spark, SF_SMOKE,
+                                       ttl_ms=None, sleep_s=0.0)
+    want_all = {r["user_id"]: r["n"] for r in
+                ev.groupBy("user_id").agg(F.count("*").alias("n"))
+                .collect()}
+    live_users = set({r["user_id"] for r in
+                      ev.filter(F.col("event_id") > med2)
+                      .select("user_id").distinct().collect()})
+    assert converged(r2_ctl) == {u: want_all[u] for u in live_users}
