@@ -101,6 +101,27 @@ class DataStream:
                            for r in pdf.to_dict("records")]]
         return DataStream(self.df.mapInPandas(run, self.df.schema))
 
+    def map_async(self, fn: Callable, output_schema: str,
+                  concurrency: int = 32) -> "DataStream":
+        """Flink async I/O [FLINK-API: AsyncDataStream.orderedWait +
+        AsyncFunction]: `fn(row_dict) -> dict` is an I/O-bound call
+        (external lookup/enrichment); each Arrow batch dispatches its
+        rows through a `concurrency`-wide thread pool, so total latency
+        per batch is ~ceil(rows/concurrency)·RTT instead of rows·RTT.
+        Results keep row order within the batch (orderedWait
+        semantics). This is for EXTERNAL-SERVICE latency only — pure
+        computation belongs in expressions (codegen) or vectorized
+        pandas, never here."""
+        def run(batches: Iterator) -> Iterator:
+            from concurrent.futures import ThreadPoolExecutor
+
+            import pandas as pd
+            with ThreadPoolExecutor(max_workers=concurrency) as ex:
+                for pdf in batches:
+                    rows = pdf.to_dict("records")
+                    yield pd.DataFrame(list(ex.map(fn, rows)))
+        return DataStream(self.df.mapInPandas(run, output_schema))
+
     def flat_map(self, out_col: str, array_expr: str) -> "DataStream":
         """Explode an array-valued SQL expression — the tokenizer shape
         (`flat_map("word", "split(text, ' ')")`)."""

@@ -538,3 +538,30 @@ def test_facade_pending_window_cannot_be_silently_dropped(spark):
         ks.process_stateful(object(), "user_id long")
     # and aggregate() itself still consumes it fine
     assert ks.aggregate(n="count(*)").to_df().count() > 0
+
+
+def test_facade_async_io_is_concurrent_and_order_preserving(spark):
+    """map_async (Flink AsyncDataStream.orderedWait): a fake external
+    service with 50 ms per-call latency over 192 rows must finish far
+    under the sequential ~9.6 s (concurrency pins the speedup), return
+    exactly the right enrichments, and preserve within-batch row
+    order."""
+    import time
+
+    def slow_service(row):
+        time.sleep(0.05)
+        return {"id": row["id"], "enriched": row["id"] * 10 + 1}
+
+    env = StreamExecutionEnvironment.get_execution_environment(spark)
+    src = env.from_dataframe(
+        spark.range(192).select(F.col("id").cast("long")).coalesce(2))
+    t0 = time.time()
+    rows = (src.map_async(slow_service, "id long, enriched long",
+                          concurrency=32)
+            .to_df().collect())
+    wall = time.time() - t0
+    assert {(r.id, r.enriched) for r in rows} \
+        == {(i, i * 10 + 1) for i in range(192)}
+    # 2 partitions x 96 rows x 50ms sequential = 9.6s; 32-wide pools
+    # need ~3 waves of 50ms per partition — generous bound at 5s
+    assert wall < 5.0, wall
