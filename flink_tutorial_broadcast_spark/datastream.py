@@ -131,6 +131,31 @@ class DataStream:
     def union(self, other: "DataStream") -> "DataStream":
         return DataStream(self.df.unionByName(other.df))
 
+    def rebalance(self, n: int | None = None) -> "DataStream":
+        """Round-robin redistribution [FLINK-API: DataStream.rebalance]:
+        a full shuffle to `n` (or the session default) partitions —
+        the skew-smoothing repartition before a hot stage."""
+        return DataStream(self.df.repartition(n) if n else
+                          self.df.repartition())
+
+    def rescale(self, n: int) -> "DataStream":
+        """Local fan-in [FLINK-API: DataStream.rescale]: coalesce to
+        `n` partitions WITHOUT a shuffle — the cheap downstream-narrow
+        repartitioning (e.g., before a file sink that wants few
+        files)."""
+        return DataStream(self.df.coalesce(n))
+
+    def assign_timestamps_and_watermarks(
+            self, time_col: str, delay: str) -> "DataStream":
+        """Watermark assignment [FLINK-API:
+        assignTimestampsAndWatermarks + BoundedOutOfOrderness]: marks
+        `time_col` as event time with `delay` allowed lateness on a
+        STREAMING plan (no-op semantics on batch, where all data has
+        arrived — matching the engine's batch ≡ streaming premise)."""
+        if not self.df.isStreaming:
+            return self
+        return DataStream(self.df.withWatermark(time_col, delay))
+
     # -- keying / windows / broadcast -----------------------------------
     def key_by(self, *cols: str) -> "KeyedStream":
         return KeyedStream(self.df, list(cols))
