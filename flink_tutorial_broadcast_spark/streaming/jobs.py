@@ -1209,6 +1209,76 @@ def state_bootstrap_stream_tws(spark: SparkSession, sf_dir: str):
         shutil.rmtree(d, ignore_errors=True)
 
 
+def metrics_listener_stream(spark: SparkSession, sf_dir: str):
+    """Flink metrics-reporter parity [FLINK-API: MetricGroup /
+    JobListener]: a `StreamingQueryListener` captures every
+    micro-batch's progress (batch id, input rows, processed-rows/sec,
+    per-operator state rows) DURING a bounded keyed-aggregate run —
+    the push-based observability surface operators wire into real
+    monitoring. Returns (result_df, progress_rows) where progress_rows
+    are dicts taken from the engine's own QueryProgressEvents; the test
+    pins that the listener's numInputRows accounting matches the
+    fixture exactly (observability must not lie)."""
+    import json as _json
+
+    from pyspark.sql.streaming import StreamingQueryListener
+
+    from flink_tutorial_broadcast_spark.io import load
+
+    progress: list[dict] = []
+
+    class Capture(StreamingQueryListener):
+        def onQueryStarted(self, event) -> None:
+            pass
+
+        def onQueryProgress(self, event) -> None:
+            p = _json.loads(event.progress.json)
+            progress.append({
+                "batch_id": p.get("batchId"),
+                "num_input_rows": p.get("numInputRows"),
+                "sink": p.get("sink", {}).get("description", ""),
+                "state_rows_total": sum(
+                    op.get("numRowsTotal", 0)
+                    for op in p.get("stateOperators", [])),
+            })
+
+        def onQueryTerminated(self, event) -> None:
+            pass
+
+        def onQueryIdle(self, event) -> None:
+            pass
+
+    listener = Capture()
+    spark.streams.addListener(listener)
+    try:
+        ev = load(spark, sf_dir, "events").select("user_id", "value")
+        root = tempfile.mkdtemp(prefix="metrics_")
+        src = os.path.join(root, "src")
+        os.makedirs(src)
+        # two files, one micro-batch each -> two progress events
+        half = ev.filter(F.col("user_id") % 2 == 0)
+        other = ev.filter(F.col("user_id") % 2 == 1)
+        half.coalesce(1).write.parquet(os.path.join(src, "f0"))
+        other.coalesce(1).write.parquet(os.path.join(src, "f1"))
+        sdf = (spark.readStream.schema("user_id long, value double")
+               .option("recursiveFileLookup", "true")
+               .option("maxFilesPerTrigger", 1)
+               .parquet(src))
+        agg = sdf.groupBy("user_id").agg(F.count("*").alias("n"))
+        res = _run_to_memory(agg, "complete").cache()
+        res.count()
+        # listener callbacks are asynchronous; wait for both batches
+        deadline = time.time() + 30
+        while (sum(p["num_input_rows"] for p in progress
+                   if p["num_input_rows"]) < ev.count()
+               and time.time() < deadline):
+            time.sleep(0.2)
+        shutil.rmtree(root, ignore_errors=True)
+        return res, list(progress)
+    finally:
+        spark.streams.removeListener(listener)
+
+
 def state_ttl_stream(spark: SparkSession, sf_dir: str,
                      ttl_ms: int | None, sleep_s: float):
     """Flink StateTtlConfig parity: ValueState created with

@@ -1633,3 +1633,29 @@ def test_state_ttl_expires_and_control_persists(spark):
                       ev.filter(F.col("event_id") > med2)
                       .select("user_id").distinct().collect()})
     assert converged(r2_ctl) == {u: want_all[u] for u in live_users}
+
+
+def test_metrics_listener_accounting_matches_fixture(spark):
+    """Observability parity: the StreamingQueryListener's progress
+    events must account for EVERY input row (sum of numInputRows ==
+    fixture rows), report the memory sink, and show nonzero keyed-state
+    rows — the monitoring surface must not lie about the job it
+    watched."""
+    from flink_tutorial_broadcast_spark.io import load
+    from flink_tutorial_broadcast_spark.streaming.jobs import (
+        metrics_listener_stream,
+    )
+
+    res, progress = metrics_listener_stream(spark, SF_SMOKE)
+    n_fixture = load(spark, SF_SMOKE, "events").count()
+    assert sum(p["num_input_rows"] for p in progress
+               if p["num_input_rows"]) == n_fixture
+    data_batches = [p for p in progress if p["num_input_rows"]]
+    assert len(data_batches) >= 2  # maxFilesPerTrigger=1, two files
+    assert any("Memory" in p["sink"] for p in data_batches)
+    assert any(p["state_rows_total"] > 0 for p in data_batches)
+    # and the watched query's own result is right
+    want = {r["user_id"]: r["n"] for r in
+            load(spark, SF_SMOKE, "events")
+            .groupBy("user_id").agg(F.count("*").alias("n")).collect()}
+    assert {r["user_id"]: r["n"] for r in res.collect()} == want
