@@ -242,3 +242,110 @@ def test_winnowing_selection_matches_reference_on_random_texts(
         exp = ({min(hs[j:j + 4]) for j in range(len(hs) - 3)}
                if len(hs) >= 4 else None)
         assert got.get(i) == exp
+
+
+# --- round-6 operators: repeated-span coverage & power iteration -----
+
+_tok = st.sampled_from(["a", "b", "c"])
+_doc = st.lists(_tok, min_size=0, max_size=14)
+docs_strategy = st.lists(_doc, min_size=1, max_size=5).flatmap(
+    lambda docs: st.sampled_from([0, 1]).map(
+        # half the examples append an exact copy of doc 0 so long
+        # shared runs (the interesting case for w=8 spans) are common
+        lambda dup: docs + ([docs[0]] if dup and docs else [])))
+
+
+def _write_documents(tmpdir, docs):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    texts = [" ".join(d) for d in docs]
+    t = pa.table({
+        "doc_id": pa.array(range(len(docs)), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+        "lang": pa.array(["en"] * len(docs), pa.string()),
+        "source": pa.array(["gen"] * len(docs), pa.string()),
+        "n_chars": pa.array([len(x) for x in texts], pa.int64()),
+    })
+    pq.write_table(t, f"{tmpdir}/documents.parquet")
+    return tmpdir
+
+
+def _substr_reference(docs, w=8):
+    spans: dict[str, set] = {}
+    toks = {}
+    for i, d in enumerate(docs):
+        t = " ".join(d).split(" ")  # mirror split(text, ' ') exactly
+        toks[i] = t
+        for s in range(len(t) - w + 1):
+            spans.setdefault(" ".join(t[s:s + w]), set()).add(i)
+    out = {}
+    for i, t in toks.items():
+        cov = set()
+        for s in range(len(t) - w + 1):
+            if len(spans[" ".join(t[s:s + w])]) > 1:
+                cov.update(range(s, s + w))
+        if cov:
+            out[i] = (len(t), len(cov), len(cov) * 1000000 // len(t))
+    return out
+
+
+@settings(max_examples=8, deadline=None)
+@given(docs=docs_strategy)
+def test_dedup_substr_matches_reference_on_random_docs(
+        spark, queries, docs):
+    """q_dedup_substr on RANDOM tiny corpora (including empty texts,
+    sub-window docs, and exact-copy documents) must equal the
+    brute-force repeated-8-gram coverage reference."""
+    import tempfile
+
+    sf = _write_documents(tempfile.mkdtemp(prefix="prop_substr_"), docs)
+    got = {r["doc_id"]: (r["n_tokens"], r["n_repeated_tokens"],
+                         r["repeated_ppm"])
+           for r in queries["q_dedup_substr"](spark, sf).collect()}
+    assert got == _substr_reference(docs)
+
+
+_vec = st.lists(st.integers(-4, 4), min_size=3, max_size=3)
+vectors_strategy = st.lists(_vec, min_size=2, max_size=5)
+
+
+@settings(max_examples=8, deadline=None)
+@given(vecs=vectors_strategy)
+def test_power_iteration_exact_on_random_matrices(spark, queries, vecs):
+    """q_power_iteration on RANDOM small integer matrices: the two
+    matvec rounds must equal the arbitrary-precision Python (CᵀC)²e₀
+    over the same min-max codes (the engine's documented precondition —
+    no constant dimension — enforced via assume)."""
+    import math
+    import tempfile
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from hypothesis import assume
+
+    d = len(vecs[0])
+    cols = list(zip(*vecs))
+    assume(all(max(c) > min(c) for c in cols))  # non-constant dims
+
+    tmp = tempfile.mkdtemp(prefix="prop_power_")
+    t = pa.table({
+        "vec_id": pa.array(range(len(vecs)), pa.int64()),
+        "embedding": pa.array([[float(x) for x in v] for v in vecs],
+                              pa.list_(pa.float32())),
+        "label": pa.array([0] * len(vecs), pa.int32()),
+    })
+    pq.write_table(t, f"{tmp}/embeddings.parquet")
+
+    mn = [min(c) for c in cols]
+    mx = [max(c) for c in cols]
+    C = [[min(math.floor((v[j] - mn[j]) * 256 / (mx[j] - mn[j])), 255)
+          for j in range(d)] for v in vecs]
+    w1 = [sum(r[0] * r[j] for r in C) for j in range(d)]
+    u2 = [sum(r[j] * w1[j] for j in range(d)) for r in C]
+    w2 = [sum(u2[i] * C[i][j] for i in range(len(C))) for j in range(d)]
+    m = max(w2)
+    want = {j: (w2[j], w2[j] * 1000000 // m) for j in range(d)}
+    got = {r["pos"]: (r["raw"], r["direction_ppm"])
+           for r in queries["q_power_iteration"](spark, tmp).collect()}
+    assert got == want
