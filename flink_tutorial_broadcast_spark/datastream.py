@@ -102,24 +102,128 @@ class DataStream:
         return DataStream(self.df.mapInPandas(run, self.df.schema))
 
     def map_async(self, fn: Callable, output_schema: str,
-                  concurrency: int = 32) -> "DataStream":
-        """Flink async I/O [FLINK-API: AsyncDataStream.orderedWait +
-        AsyncFunction]: `fn(row_dict) -> dict` is an I/O-bound call
-        (external lookup/enrichment); each Arrow batch dispatches its
-        rows through a `concurrency`-wide thread pool, so total latency
-        per batch is ~ceil(rows/concurrency)·RTT instead of rows·RTT.
-        Results keep row order within the batch (orderedWait
-        semantics). This is for EXTERNAL-SERVICE latency only — pure
+                  concurrency: int = 32, timeout: float | None = None,
+                  ordered: bool = True, capacity: int | None = None,
+                  on_timeout: "Callable | None" = None) -> "DataStream":
+        """Flink async I/O [FLINK-API: AsyncDataStream.orderedWait /
+        unorderedWait(stream, asyncFn, timeout, unit, capacity) +
+        AsyncFunction.timeout()]: `fn(row_dict) -> dict` is an
+        I/O-bound call (external lookup/enrichment); each Arrow batch
+        dispatches its rows through a `concurrency`-wide thread pool,
+        so total latency per batch is ~ceil(rows/concurrency)·RTT
+        instead of rows·RTT. EXTERNAL-SERVICE latency only — pure
         computation belongs in expressions (codegen) or vectorized
-        pandas, never here."""
+        pandas, never here.
+
+        - `ordered=True` (orderedWait): results keep row order within
+          the batch. `ordered=False` (unorderedWait): results are
+          emitted in COMPLETION order — lower latency-to-first-row,
+          same multiset of rows.
+        - `timeout` (seconds, per record, measured from dispatch): on
+          expiry the record resolves through `on_timeout(row) -> dict`
+          (Flink's AsyncFunction.timeout() override) or, when
+          `on_timeout` is None, the batch FAILS with TimeoutError —
+          Flink's default. Python threads cannot be interrupted, so a
+          hung `fn` call's worker thread is abandoned (it no longer
+          occupies a capacity slot, but the OS thread lives until the
+          call returns) — exactly why a finite `timeout` should always
+          accompany an unreliable external service.
+        - `capacity` (default 2×concurrency): max in-flight requests
+          per partition; submission blocks past it (Flink's
+          backpressure semantics), bounding queue memory when the
+          service is slower than the scan."""
+        if capacity is None:
+            capacity = 2 * concurrency
+        if capacity < 1:
+            raise ValueError("capacity must be >= 1")
+
         def run(batches: Iterator) -> Iterator:
-            from concurrent.futures import ThreadPoolExecutor
+            import time
+            from concurrent.futures import (
+                FIRST_COMPLETED, ThreadPoolExecutor, TimeoutError as FTimeout,
+                wait,
+            )
 
             import pandas as pd
-            with ThreadPoolExecutor(max_workers=concurrency) as ex:
+
+            def resolve(fut, row, deadline) -> dict:
+                try:
+                    remaining = None if deadline is None else \
+                        max(0.0, deadline - time.monotonic())
+                    return fut.result(timeout=remaining)
+                except FTimeout:
+                    fut.cancel()
+                    if on_timeout is None:
+                        raise TimeoutError(
+                            f"map_async record exceeded timeout={timeout}s "
+                            f"(row={row!r}); pass on_timeout= to emit a "
+                            "substitute record instead") from None
+                    return on_timeout(row)
+
+            # not a `with` block: __exit__ JOINS worker threads, so an
+            # abandoned hung call would stall the batch end anyway —
+            # shutdown(wait=False) lets emission proceed immediately
+            ex = ThreadPoolExecutor(max_workers=concurrency)
+            try:
                 for pdf in batches:
                     rows = pdf.to_dict("records")
-                    yield pd.DataFrame(list(ex.map(fn, rows)))
+                    out: list[dict] = []
+                    if ordered:
+                        # sliding submission window of `capacity`;
+                        # resolve FIFO so emission preserves row order
+                        pending: list = []  # (future, row, deadline)
+                        for row in rows:
+                            if len(pending) == capacity:
+                                out.append(resolve(*pending.pop(0)))
+                            dl = None if timeout is None else \
+                                time.monotonic() + timeout
+                            pending.append((ex.submit(fn, row), row, dl))
+                        while pending:
+                            out.append(resolve(*pending.pop(0)))
+                    else:
+                        # unorderedWait: emit in completion order
+                        it = iter(rows)
+                        pending_map: dict = {}  # future -> (row, deadline)
+                        exhausted = False
+                        while pending_map or not exhausted:
+                            while not exhausted and len(pending_map) < capacity:
+                                row = next(it, None)
+                                if row is None:
+                                    exhausted = True
+                                    break
+                                dl = None if timeout is None else \
+                                    time.monotonic() + timeout
+                                pending_map[ex.submit(fn, row)] = (row, dl)
+                            if not pending_map:
+                                break
+                            # earliest deadline bounds the wait
+                            dls = [d for _, d in pending_map.values()
+                                   if d is not None]
+                            wto = None if not dls else \
+                                max(0.0, min(dls) - time.monotonic())
+                            done, _ = wait(pending_map, timeout=wto,
+                                           return_when=FIRST_COMPLETED)
+                            now = time.monotonic()
+                            if not done:  # deadline expired on someone
+                                expired = [f for f, (_, d)
+                                           in pending_map.items()
+                                           if d is not None and d <= now]
+                                for f in expired:
+                                    row, _ = pending_map.pop(f)
+                                    f.cancel()
+                                    if on_timeout is None:
+                                        raise TimeoutError(
+                                            "map_async record exceeded "
+                                            f"timeout={timeout}s "
+                                            f"(row={row!r})")
+                                    out.append(on_timeout(row))
+                                continue
+                            for f in done:
+                                pending_map.pop(f)
+                                out.append(f.result())
+                    yield pd.DataFrame(out)
+            finally:
+                ex.shutdown(wait=False, cancel_futures=True)
         return DataStream(self.df.mapInPandas(run, output_schema))
 
     def flat_map(self, out_col: str, array_expr: str) -> "DataStream":
@@ -182,7 +286,13 @@ class DataStream:
         name (order of `tags` wins ties), unmatched rows go to the main
         output. The filtered reads downstream share this single
         projection (N outputs without N source passes — the L113
-        side_output_stream layout, here as a facade verb)."""
+        side_output_stream layout, here as a facade verb). The routing
+        is materialized as a `__tag` column; an input already carrying
+        `__tag` would be silently clobbered, so that is an error."""
+        if "__tag" in self.df.columns:
+            raise ValueError(
+                "split() materializes its routing into a __tag column, "
+                "but the input already has one — rename it first")
         tag = F.lit(main_tag)
         for name, pred in reversed(list(tags.items())):
             tag = F.when(F.expr(pred), F.lit(name)).otherwise(tag)
@@ -292,6 +402,7 @@ class KeyedStream:
         SlidingEventTimeWindows.of(size, slide)]: Spark's F.window
         assigns each row its size/slide epoch-aligned windows — the
         q_window_sliding plan, reachable from the fluent API."""
+        self._no_pending_window("window_sliding")
         return KeyedStream(
             self.df, self.keys,
             win=(F.window(time_col, size, slide).alias("__w"),
@@ -301,6 +412,7 @@ class KeyedStream:
         """Session window with gap [FLINK-API:
         EventTimeSessionWindows.withGap]: F.session_window merges
         per-key runs up to `gap` apart — the q_window_session plan."""
+        self._no_pending_window("window_session")
         return KeyedStream(
             self.df, self.keys,
             win=(F.session_window(time_col, gap).alias("__w"),
@@ -373,7 +485,20 @@ class KeyedStream:
 
         `time_mode`: "None" | "ProcessingTime" | "EventTime" — event
         time requires `watermark=(ts_col, delay)` so timers have a
-        watermark to fire against."""
+        watermark to fire against.
+
+        SESSION-WIDE CONF SIDE EFFECT (streaming inputs only):
+        transformWithState runs only on the RocksDB state-store
+        provider, and because the caller attaches the sink LATER the
+        conf cannot be scoped to the query here — this method sets
+        `spark.sql.streaming.stateStore.providerClass` session-wide
+        and does NOT restore it (the batch path does). A later
+        unrelated query in the same session resuming a checkpoint
+        created under a different provider would fail on provider
+        mismatch. The returned DataStream carries
+        `restore_state_store_provider()` — call it once your query has
+        STARTED (the conf is captured into the query at start) to put
+        the previous session value back."""
         self._no_pending_window("process_stateful")
         from flink_tutorial_broadcast_spark.streaming.jobs import (
             _require_tws_protobuf, _run_to_memory,
@@ -393,12 +518,23 @@ class KeyedStream:
             # transformWithState runs only on the RocksDB provider; the
             # caller's sink starts later, so the conf cannot be scoped
             # to the query here — set it session-wide at plan time (the
-            # same provider every stateful job in this engine pins)
+            # same provider every stateful job in this engine pins) and
+            # hand the caller a restorer (see docstring)
+            key_conf = "spark.sql.streaming.stateStore.providerClass"
+            prev = spark.conf.get(key_conf, None)
             spark.conf.set(
-                "spark.sql.streaming.stateStore.providerClass",
+                key_conf,
                 "org.apache.spark.sql.execution.streaming.state."
                 "RocksDBStateStoreProvider")
-            return DataStream(build(self.df))
+            out = DataStream(build(self.df))
+
+            def restore() -> None:
+                if prev is None:
+                    spark.conf.unset(key_conf)
+                else:
+                    spark.conf.set(key_conf, prev)
+            out.restore_state_store_provider = restore
+            return out
 
         # batch input: replay through one bounded micro-batch stream
         tmp = tempfile.mkdtemp(prefix="ds_tws_")

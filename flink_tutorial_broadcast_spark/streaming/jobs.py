@@ -1228,11 +1228,20 @@ def metrics_listener_stream(spark: SparkSession, sf_dir: str):
     progress: list[dict] = []
 
     class Capture(StreamingQueryListener):
+        """Accounting is scoped to ONE query name (known BEFORE start,
+        so no started-before-filter race): the listener is
+        session-global, so without the filter a concurrently running
+        query would pollute the numbers."""
+
+        query_name: str | None = None
+
         def onQueryStarted(self, event) -> None:
             pass
 
         def onQueryProgress(self, event) -> None:
             p = _json.loads(event.progress.json)
+            if p.get("name") != self.query_name:
+                return
             progress.append({
                 "batch_id": p.get("batchId"),
                 "num_input_rows": p.get("numInputRows"),
@@ -1252,6 +1261,7 @@ def metrics_listener_stream(spark: SparkSession, sf_dir: str):
     spark.streams.addListener(listener)
     try:
         ev = load(spark, sf_dir, "events").select("user_id", "value")
+        total = ev.count()  # ONE job, not one per 0.2s poll
         root = tempfile.mkdtemp(prefix="metrics_")
         src = os.path.join(root, "src")
         os.makedirs(src)
@@ -1265,14 +1275,28 @@ def metrics_listener_stream(spark: SparkSession, sf_dir: str):
                .option("maxFilesPerTrigger", 1)
                .parquet(src))
         agg = sdf.groupBy("user_id").agg(F.count("*").alias("n"))
-        res = _run_to_memory(agg, "complete").cache()
+        name = f"mem_{uuid.uuid4().hex[:8]}"
+        listener.query_name = name
+        q = (agg.writeStream.format("memory").queryName(name)
+             .outputMode("complete")
+             .option("checkpointLocation", checkpoint_dir())
+             .trigger(availableNow=True).start())
+        q.awaitTermination()
+        res = spark.sql(f"SELECT * FROM {name}").cache()
         res.count()
         # listener callbacks are asynchronous; wait for both batches
         deadline = time.time() + 30
         while (sum(p["num_input_rows"] for p in progress
-                   if p["num_input_rows"]) < ev.count()
+                   if p["num_input_rows"]) < total
                and time.time() < deadline):
             time.sleep(0.2)
+        observed = sum(p["num_input_rows"] for p in progress
+                       if p["num_input_rows"])
+        if observed < total:
+            raise TimeoutError(
+                f"metrics listener observed only {observed}/{total} input "
+                "rows before the 30s deadline — progress events missing, "
+                "refusing to return incomplete accounting")
         shutil.rmtree(root, ignore_errors=True)
         return res, list(progress)
     finally:

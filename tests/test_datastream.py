@@ -596,3 +596,139 @@ def test_facade_partitioning_and_watermark_verbs(spark):
     assert wdf.isStreaming
     assert "EventTimeWatermark" in wdf._jdf.queryExecution() \
         .analyzed().toString()
+
+
+def test_facade_async_timeout_default_fails_the_batch(spark):
+    """map_async with a finite `timeout` and no on_timeout must FAIL
+    the batch when the external service hangs — Flink's
+    AsyncFunction.timeout() default [FLINK-API: AsyncDataStream
+    .orderedWait(stream, fn, timeout, unit)] — instead of stalling
+    forever on the hung call."""
+    import time
+
+    import pytest
+
+    def hung_service(row):
+        if row["id"] == 3:
+            time.sleep(8)  # far past the deadline
+        return {"id": row["id"], "enriched": row["id"] * 10}
+
+    env = StreamExecutionEnvironment.get_execution_environment(spark)
+    src = env.from_dataframe(spark.range(6).coalesce(1))
+    t0 = time.time()
+    with pytest.raises(Exception, match="exceeded timeout"):
+        (src.map_async(hung_service, "id long, enriched long",
+                       concurrency=8, timeout=0.3)
+         .to_df().collect())
+    # the failure must arrive at ~timeout, not after the 8s hang
+    assert time.time() - t0 < 6.0
+
+
+def test_facade_async_timeout_substitute_record(spark):
+    """`on_timeout` (AsyncFunction.timeout() override): hung records
+    resolve to the substitute record, healthy records to the real
+    enrichment, and ordered mode still preserves row order."""
+    import time
+
+    HUNG = {2, 5}
+
+    def flaky_service(row):
+        if row["id"] in HUNG:
+            time.sleep(5)
+        return {"id": row["id"], "enriched": row["id"] * 10}
+
+    env = StreamExecutionEnvironment.get_execution_environment(spark)
+    src = env.from_dataframe(spark.range(8).coalesce(1))
+    t0 = time.time()
+    rows = (src.map_async(
+        flaky_service, "id long, enriched long", concurrency=8,
+        timeout=0.4,
+        on_timeout=lambda row: {"id": row["id"], "enriched": -1})
+        .to_df().collect())
+    wall = time.time() - t0
+    assert [r.id for r in rows] == list(range(8))  # orderedWait
+    assert {r.id for r in rows if r.enriched == -1} == HUNG
+    assert all(r.enriched == r.id * 10 for r in rows
+               if r.id not in HUNG)
+    assert wall < 4.5, wall  # did not wait out the 5s hangs
+
+
+def test_facade_async_unordered_emits_in_completion_order(spark):
+    """unorderedWait [FLINK-API: AsyncDataStream.unorderedWait]: with
+    per-record latency DECREASING in row order and all rows in flight
+    at once, emission order is completion order (reversed), while the
+    row multiset is identical to ordered mode."""
+    import time
+
+    def inverse_latency(row):
+        time.sleep((8 - row["id"]) * 0.12)
+        return {"id": row["id"], "enriched": row["id"] * 10}
+
+    env = StreamExecutionEnvironment.get_execution_environment(spark)
+    src = env.from_dataframe(spark.range(8).coalesce(1))
+    rows = (src.map_async(inverse_latency, "id long, enriched long",
+                          concurrency=8, ordered=False, capacity=8)
+            .to_df().collect())
+    assert {(r.id, r.enriched) for r in rows} \
+        == {(i, i * 10) for i in range(8)}
+    assert [r.id for r in rows] == list(reversed(range(8)))
+
+
+def test_facade_async_capacity_is_backpressure(spark):
+    """`capacity` caps in-flight requests per partition [FLINK-API:
+    AsyncDataStream.orderedWait(..., capacity)]: 8 rows of 0.2s each
+    through capacity=2 need >=4 waves (~0.8s); through capacity=8 one
+    wave (~0.2s). Results identical either way."""
+    import time
+
+    def service(row):
+        time.sleep(0.2)
+        return {"id": row["id"], "enriched": row["id"] * 10}
+
+    env = StreamExecutionEnvironment.get_execution_environment(spark)
+    src = env.from_dataframe(spark.range(8).coalesce(1))
+
+    t0 = time.time()
+    narrow = (src.map_async(service, "id long, enriched long",
+                            concurrency=32, capacity=2)
+              .to_df().collect())
+    wall_narrow = time.time() - t0
+
+    t0 = time.time()
+    wide = (src.map_async(service, "id long, enriched long",
+                          concurrency=32, capacity=8)
+            .to_df().collect())
+    wall_wide = time.time() - t0
+
+    expect = {(i, i * 10) for i in range(8)}
+    assert {(r.id, r.enriched) for r in narrow} == expect
+    assert {(r.id, r.enriched) for r in wide} == expect
+    assert wall_narrow >= 0.75, wall_narrow   # 4 sequential waves
+    assert wall_narrow > wall_wide, (wall_narrow, wall_wide)
+
+
+def test_facade_split_refuses_tag_collision(spark):
+    """split() routes through a materialized __tag column; an input
+    already carrying __tag must be rejected, not silently clobbered."""
+    import pytest
+
+    env = StreamExecutionEnvironment.get_execution_environment(spark)
+    src = env.from_dataframe(
+        spark.range(4).withColumn("__tag", F.lit("keep")))
+    with pytest.raises(ValueError, match="__tag"):
+        src.split({"low": "id < 2"})
+
+
+def test_facade_sliding_session_windows_guard_stacking(spark):
+    """window_sliding/window_session now fail fast when a window spec
+    is already pending, like every other guarded verb (ADVICE r6)."""
+    import pytest
+
+    env = StreamExecutionEnvironment.get_execution_environment(spark)
+    ks = (env.from_dataframe(load(spark, SF_SMOKE, "events"))
+          .key_by("user_id")
+          .window_sliding("ts", "1 hour", "15 minutes"))
+    with pytest.raises(ValueError, match="aggregate"):
+        ks.window_sliding("ts", "2 hours", "30 minutes")
+    with pytest.raises(ValueError, match="aggregate"):
+        ks.window_session("ts", "30 minutes")
