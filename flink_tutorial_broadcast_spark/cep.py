@@ -1,0 +1,412 @@
+"""Flink CEP pattern API as a facade verb [FLINK-API: o.a.f.cep.CEP +
+Pattern.begin/next/followedBy/oneOrMore/times/notFollowedBy/within +
+AfterMatchSkipStrategy].
+
+A migrating user writes the SAME program shape they had::
+
+    pat = (Pattern.begin("v", "view")
+           .followed_by("c", "click")
+           .followed_by("p", "purchase")
+           .within("48 hours").no_skip())
+    matches = stream.key_by("user_id").pattern(pat)
+
+and the pattern COMPILES to the engine's oracle-backed plans (the
+sequence_ops.py machines — test-pinned equal to q_cep_times,
+q_cep_followed_by, q_cep_followed_by_all, q_cep_not_followed_by):
+
+- strict `next` chains (with `times(n)` / `one_or_more()` quantifiers)
+  → one per-key path string + regex count, all codegen, one shuffle
+  (sequence_ops.q_cep_times / q_cep_one_or_more shape);
+- relaxed `followed_by` chains under the default AFTER MATCH SKIP PAST
+  LAST EVENT → a K-stage integer automaton folded with F.aggregate
+  (sequence_ops.q_cep_followed_by shape, generalized to K stages);
+- relaxed chains under `no_skip()` (Flink's default forking NFA) with
+  `within()` → the open-anchor-set fold (q_cep_followed_by_all shape,
+  generalized: state = K-1 anchor arrays bounded by expiry);
+- `begin(a).not_followed_by(b).within(d)` → a LEFT ANTI time-band join
+  (q_cep_not_followed_by shape) returning the absent-match anchors.
+
+On a STREAMING keyed input the same Pattern compiles to the keyed-state
+NFA twin (applyInPandasWithState; update-mode running counts) — the
+machine streaming/jobs.cep_followed_by[_all]_stream pins across
+micro-batch boundaries, generalized to K stages.
+
+Combinations outside these four families raise NotImplementedError
+naming the nearest supported form — never a silently-wrong answer.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_UNIT_US = {
+    "second": 1_000_000, "seconds": 1_000_000,
+    "minute": 60_000_000, "minutes": 60_000_000,
+    "hour": 3_600_000_000, "hours": 3_600_000_000,
+    "day": 86_400_000_000, "days": 86_400_000_000,
+}
+
+
+def _duration_us(text: str) -> int:
+    n, unit = text.split()
+    if unit not in _UNIT_US:
+        raise ValueError(f"unsupported duration unit {unit!r}; "
+                         f"use one of {sorted(_UNIT_US)}")
+    return int(n) * _UNIT_US[unit]
+
+
+@dataclass
+class _Stage:
+    name: str
+    event_type: str          # the event_type literal this stage awaits
+    contiguity: str          # 'begin' | 'next' | 'followed_by' | 'not_followed_by'
+    times: int | None = None
+    one_or_more: bool = False
+
+
+@dataclass
+class Pattern:
+    """Fluent pattern builder [FLINK-API: o.a.f.cep.pattern.Pattern].
+
+    Stage predicates are event-type LITERALS (the tutorial canon —
+    `where(e -> e.type.equals("view"))`); arbitrary predicates belong
+    in a `.filter()` before `key_by()`.
+    """
+
+    stages: list[_Stage] = field(default_factory=list)
+    within_us: int | None = None
+    skip: str = "past_last"  # 'past_last' | 'no_skip'
+
+    @staticmethod
+    def begin(name: str, event_type: str) -> "Pattern":
+        return Pattern(stages=[_Stage(name, event_type, "begin")])
+
+    def _append(self, name: str, event_type: str, contiguity: str) -> "Pattern":
+        if any(s.contiguity == "not_followed_by" for s in self.stages):
+            raise ValueError("not_followed_by must be the final stage")
+        self.stages.append(_Stage(name, event_type, contiguity))
+        return self
+
+    def next(self, name: str, event_type: str) -> "Pattern":
+        """Strict contiguity [FLINK-API: Pattern#next]."""
+        return self._append(name, event_type, "next")
+
+    def followed_by(self, name: str, event_type: str) -> "Pattern":
+        """Relaxed contiguity [FLINK-API: Pattern#followedBy]."""
+        return self._append(name, event_type, "followed_by")
+
+    def not_followed_by(self, name: str, event_type: str) -> "Pattern":
+        """Absence pattern, terminal [FLINK-API: Pattern#notFollowedBy]."""
+        return self._append(name, event_type, "not_followed_by")
+
+    def times(self, n: int) -> "Pattern":
+        """Exact-count quantifier on the LAST stage [FLINK-API:
+        Pattern#times]."""
+        if not self.stages:
+            raise ValueError("times() needs a stage")
+        if n < 1:
+            raise ValueError("times(n) needs n >= 1")
+        self.stages[-1].times = n
+        return self
+
+    def one_or_more(self) -> "Pattern":
+        """Looping quantifier on the LAST stage [FLINK-API:
+        Pattern#oneOrMore]."""
+        self.stages[-1].one_or_more = True
+        return self
+
+    def within(self, duration: str) -> "Pattern":
+        """Time horizon for a full match [FLINK-API: Pattern#within] —
+        e.g. ``within("48 hours")``. Also what keeps NFA state bounded."""
+        self.within_us = _duration_us(duration)
+        return self
+
+    def no_skip(self) -> "Pattern":
+        """Flink's DEFAULT forking-NFA semantics [FLINK-API:
+        AfterMatchSkipStrategy#noSkip]: every anchor starts its own
+        pending match; one closing event may complete several. The
+        engine default here is skip-past-last (each event binds to at
+        most one match) — call this to get the forking behavior."""
+        self.skip = "no_skip"
+        return self
+
+    # -- compilation helpers ------------------------------------------
+    def _family(self) -> str:
+        cont = [s.contiguity for s in self.stages[1:]]
+        quant = any(s.times or s.one_or_more for s in self.stages)
+        if self.stages[-1].contiguity == "not_followed_by":
+            if len(self.stages) != 2 or quant:
+                raise NotImplementedError(
+                    "not_followed_by compiles as begin(a)."
+                    "not_followed_by(b).within(d) — a single anchored "
+                    "absence (the q_cep_not_followed_by shape)")
+            if self.within_us is None:
+                raise ValueError(
+                    "not_followed_by needs within(): absence over an "
+                    "unbounded future never completes")
+            return "absence"
+        if all(c == "next" for c in cont):
+            if self.skip == "no_skip":
+                raise NotImplementedError(
+                    "no_skip with strict contiguity is not compiled; "
+                    "strict chains run under skip-past-last (regex "
+                    "count) — drop no_skip() or use followed_by")
+            if self.within_us is not None:
+                raise NotImplementedError(
+                    "within() on strict chains is not compiled; strict "
+                    "contiguity already bounds state — drop within() "
+                    "or use followed_by")
+            return "strict"
+        if all(c == "followed_by" for c in cont):
+            if quant:
+                raise NotImplementedError(
+                    "times()/one_or_more() quantifiers compile only "
+                    "under strict next() contiguity (the regex path)")
+            if self.skip == "no_skip":
+                return "fork"
+            if self.within_us is not None:
+                raise NotImplementedError(
+                    "within() under skip-past-last is not compiled for "
+                    "arbitrary K (use no_skip(), whose anchor sets "
+                    "carry expiry, or drop within())")
+            return "relaxed"
+        raise NotImplementedError(
+            "mixed next/followed_by contiguity in one pattern is not "
+            "compiled — split the pattern or pick one contiguity")
+
+
+def compile_pattern(pat: Pattern, df: DataFrame, keys: list[str],
+                    time_col: str, tiebreak_col: str,
+                    event_col: str) -> DataFrame:
+    """Compile `pat` over a BATCH keyed DataFrame. Returns per-key
+    match counts (`n_matches > 0`) — or, for absence patterns, the
+    anchor event ids with no qualifying follower."""
+    fam = pat._family()
+    if fam == "absence":
+        return _absence(pat, df, keys, time_col, tiebreak_col, event_col)
+    if fam == "strict":
+        return _strict_regex(pat, df, keys, time_col, tiebreak_col,
+                             event_col)
+    if fam == "relaxed":
+        return _relaxed_machine(pat, df, keys, time_col, tiebreak_col,
+                                event_col)
+    return _fork_machine(pat, df, keys, time_col, tiebreak_col, event_col)
+
+
+def _codes(pat: Pattern):
+    """stage event_type → 1-based stage code (0 = irrelevant event)."""
+    return {s.event_type: i + 1 for i, s in enumerate(pat.stages)}
+
+
+def _strict_regex(pat, df, keys, time_col, tiebreak_col, event_col):
+    # one per-key ordered path, one regex count — q_cep_times shape
+    parts = [pat.stages[0].event_type]
+    for s in pat.stages[1:]:
+        unit = f"(>{s.event_type})"
+        if s.times:
+            parts.append(unit + "{%d}" % s.times)
+        elif s.one_or_more:
+            parts.append(unit + "+")
+        else:
+            parts.append(">" + s.event_type)
+    regex = "(" + "".join(parts) + ")"
+    paths = df.groupBy(*keys).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(
+                    F.struct(time_col, tiebreak_col, event_col))),
+                lambda x: x[event_col]),
+            ">").alias("__path"))
+    n = F.size(F.regexp_extract_all("__path", F.lit(regex), 1))
+    return (paths.select(*keys, n.cast("long").alias("n_matches"))
+            .filter(F.col("n_matches") > 0))
+
+
+def _seq(pat, time_col, tiebreak_col, event_col):
+    code = _codes(pat)
+    c = F.lit(0)
+    for etype, i in code.items():
+        c = F.when(F.col(event_col) == etype, F.lit(i)).otherwise(c)
+    return F.array_sort(F.collect_list(F.struct(
+        F.unix_micros(time_col).alias("t"),
+        F.col(tiebreak_col).alias("eid"),
+        c.alias("c"))))
+
+
+def _relaxed_machine(pat, df, keys, time_col, tiebreak_col, event_col):
+    # K-stage single-anchor automaton under SKIP PAST LAST EVENT —
+    # q_cep_followed_by generalized; acc = (matches, stage), O(1) state
+    K = len(pat.stages)
+    seq = _seq(pat, time_col, tiebreak_col, event_col)
+    init = F.struct(F.lit(0).cast("long").alias("cnt"),
+                    F.lit(0).alias("stage"))
+
+    def step(acc, x):
+        adv = x["c"] == acc["stage"] + 1
+        done = adv & (acc["stage"] == K - 1)
+        return F.struct(
+            F.when(done, acc["cnt"] + 1).otherwise(acc["cnt"])
+             .alias("cnt"),
+            F.when(done, F.lit(0))
+             .when(adv, acc["stage"] + 1)
+             .otherwise(acc["stage"]).alias("stage"))
+
+    fold = F.aggregate(seq, init, step)
+    return (df.groupBy(*keys).agg(fold["cnt"].alias("n_matches"))
+            .filter(F.col("n_matches") > 0))
+
+
+def _fork_machine(pat, df, keys, time_col, tiebreak_col, event_col):
+    # forking NFA (noSkip): state = K-1 open-anchor arrays + count —
+    # q_cep_followed_by_all generalized to K stages
+    K = len(pat.stages)
+    w = pat.within_us
+    seq = _seq(pat, time_col, tiebreak_col, event_col)
+    empty = F.array().cast("array<long>")
+    init = F.struct(F.lit(0).cast("long").alias("cnt"),
+                    *[empty.alias(f"s{i}") for i in range(1, K)])
+
+    def step(acc, x):
+        if w is None:
+            filt = {i: acc[f"s{i}"] for i in range(1, K)}
+        else:
+            filt = {i: F.filter(acc[f"s{i}"], lambda a: x["t"] - a <= w)
+                    for i in range(1, K)}
+        fields = [
+            F.when(x["c"] == K,
+                   acc["cnt"] + F.size(filt[K - 1]).cast("long"))
+            .otherwise(acc["cnt"]).alias("cnt")]
+        for i in range(1, K):
+            if i == 1:
+                grown = F.concat(filt[1], F.array(x["t"]))
+            else:
+                grown = F.concat(filt[i], filt[i - 1])
+            col = (F.when(x["c"] == i, grown)
+                   .when(x["c"] == i + 1, empty)
+                   .otherwise(filt[i]))
+            fields.append(col.alias(f"s{i}"))
+        return F.struct(*fields)
+
+    fold = F.aggregate(seq, init, step)
+    return (df.groupBy(*keys).agg(fold["cnt"].alias("n_matches"))
+            .filter(F.col("n_matches") > 0))
+
+
+def _absence(pat, df, keys, time_col, tiebreak_col, event_col):
+    # begin(a).not_followed_by(b).within(d) → LEFT ANTI time-band join;
+    # q_cep_not_followed_by shape. Returns the unanswered anchors.
+    a, b = pat.stages[0].event_type, pat.stages[1].event_type
+    w = pat.within_us
+    left = (df.filter(F.col(event_col) == a)
+            .select(*keys, F.col(tiebreak_col).alias("anchor_id"),
+                    F.unix_micros(time_col).alias("__a_us")))
+    right = (df.filter(F.col(event_col) == b)
+             .select(*[F.col(k).alias(f"__r_{k}") for k in keys],
+                     F.unix_micros(time_col).alias("__b_us")))
+    cond = (F.col("__b_us") > F.col("__a_us")) \
+        & (F.col("__b_us") <= F.col("__a_us") + F.lit(w))
+    for k in keys:
+        cond = cond & (F.col(k) == F.col(f"__r_{k}"))
+    return (left.join(right, cond, "left_anti")
+            .select(*keys, "anchor_id"))
+
+
+# -- streaming: the keyed-state NFA twins ------------------------------
+
+def relaxed_stepper(event_codes: dict[str, int], K: int):
+    """applyInPandasWithState step for the skip-past-last machine —
+    the streaming/jobs._cep_advance register (cnt, stage), generalized
+    to K stages. State survives micro-batch boundaries."""
+    def step(key, pdf_iter, state):
+        import pandas as pd
+        cnt, stage = state.get if state.exists else (0, 0)
+        rows = []
+        for pdf in pdf_iter:
+            for _, r in pdf.iterrows():
+                rows.append((r.iloc[1], r.iloc[2],
+                             event_codes.get(r.iloc[3], 0)))
+        for _, _, c in sorted(rows):
+            if c == stage + 1:
+                if stage == K - 1:
+                    cnt, stage = cnt + 1, 0
+                else:
+                    stage += 1
+        state.update((cnt, stage))
+        yield pd.DataFrame({"key": [key[0]], "n_matches": [cnt],
+                            "stage": [stage]})
+    return step
+
+
+def fork_stepper(event_codes: dict[str, int], K: int,
+                 within_us: int | None):
+    """applyInPandasWithState step for the forking NFA — the
+    streaming/jobs._cep_fork_advance anchor-set machine, generalized:
+    state = (cnt, s1..s_{K-1} anchor-µs arrays), expiry applied before
+    every transition so state stays bounded by per-key density inside
+    `within`."""
+    def step(key, pdf_iter, state):
+        import pandas as pd
+        if state.exists:
+            got = state.get
+            cnt, sets = got[0], [list(s) for s in got[1:]]
+        else:
+            cnt, sets = 0, [[] for _ in range(K - 1)]
+        rows = []
+        for pdf in pdf_iter:
+            for _, r in pdf.iterrows():
+                rows.append((int(r.iloc[1].timestamp() * 1_000_000),
+                             r.iloc[2], event_codes.get(r.iloc[3], 0)))
+        for t, _, c in sorted(rows):
+            if within_us is not None:
+                sets = [[a for a in s if t - a <= within_us]
+                        for s in sets]
+            if c == 1:
+                sets[0].append(t)
+            elif 1 < c < K:
+                sets[c - 1] = sets[c - 1] + sets[c - 2]
+                sets[c - 2] = []
+            elif c == K:
+                cnt += len(sets[K - 2])
+                sets[K - 2] = []
+        state.update((cnt, *sets))
+        yield pd.DataFrame({"key": [key[0]], "n_matches": [cnt]})
+    return step
+
+
+def compile_pattern_stream(pat: Pattern, sdf: DataFrame,
+                           keys: list[str], time_col: str,
+                           tiebreak_col: str, event_col: str) -> DataFrame:
+    """Compile `pat` over a STREAMING keyed DataFrame into the
+    keyed-state NFA (update-mode running counts; the LAST emission per
+    key equals the batch answer once the stream drains — the
+    convergence the streaming twins pin)."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    fam = pat._family()
+    if fam not in ("relaxed", "fork"):
+        raise NotImplementedError(
+            "streaming pattern() carries the relaxed followed_by "
+            "machines (skip-past-last and no_skip) — strict/absence "
+            "patterns run in batch mode")
+    if len(keys) != 1:
+        raise NotImplementedError("streaming pattern() is single-key")
+    K = len(pat.stages)
+    codes = _codes(pat)
+    # the steppers address columns positionally: key, time, tiebreak,
+    # event type — project exactly that
+    proj = sdf.select(keys[0], time_col, tiebreak_col, event_col)
+    if fam == "relaxed":
+        out_schema = "key long, n_matches long, stage long"
+        state_schema = "cnt long, stage long"
+        fn = relaxed_stepper(codes, K)
+    else:
+        out_schema = "key long, n_matches long"
+        state_schema = "cnt long, " + ", ".join(
+            f"s{i} array<long>" for i in range(1, K))
+        fn = fork_stepper(codes, K, pat.within_us)
+    return (proj.groupBy(keys[0]).applyInPandasWithState(
+        fn, outputStructType=out_schema, stateStructType=state_schema,
+        outputMode="Update", timeoutConf=GroupStateTimeout.NoTimeout)
+        .withColumnRenamed("key", keys[0]))

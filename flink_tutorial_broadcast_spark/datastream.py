@@ -451,6 +451,30 @@ class KeyedStream:
     def count(self) -> DataStream:
         return self.aggregate(n="count(*)")
 
+    def pattern(self, pat, time_col: str = "ts",
+                tiebreak_col: str = "event_id",
+                event_col: str = "event_type") -> DataStream:
+        """CEP on the keyed stream [FLINK-API: o.a.f.cep.CEP.pattern
+        (stream, pattern)]: compile a `cep.Pattern`
+        (begin/next/followedBy/times/oneOrMore/notFollowedBy/within/
+        noSkip) to this engine's oracle-backed sequence machines. On a
+        BATCH input the pattern folds in codegen (one shuffle on the
+        keys); on a STREAMING input it becomes the keyed-state NFA twin
+        (applyInPandasWithState, update-mode running counts converging
+        to the batch answer). See cep.py for the supported families —
+        uncompilable combinations raise NotImplementedError rather
+        than answering wrong."""
+        self._no_pending_window("pattern")
+        from flink_tutorial_broadcast_spark.cep import (
+            compile_pattern, compile_pattern_stream,
+        )
+        if self.df.isStreaming:
+            return DataStream(compile_pattern_stream(
+                pat, self.df, self.keys, time_col, tiebreak_col,
+                event_col))
+        return DataStream(compile_pattern(
+            pat, self.df, self.keys, time_col, tiebreak_col, event_col))
+
     def process(self, fn: Callable, output_schema: str) -> DataStream:
         """KeyedProcessFunction analogue: `fn(key_tuple, pandas_df) ->
         pandas_df` runs once per key group via applyInPandas — arbitrary

@@ -1,0 +1,195 @@
+"""The facade's pattern() verb must compile Flink CEP programs to the
+SAME answers as the oracle-backed sequence_ops keys — batch via the
+codegen folds, streaming via the keyed-state NFA twins."""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from flink_tutorial_broadcast_spark.cep import Pattern
+from flink_tutorial_broadcast_spark.datastream import (
+    StreamExecutionEnvironment,
+)
+from flink_tutorial_broadcast_spark.io import load
+from tests.conftest import SF_SMOKE
+
+
+def _env(spark):
+    return StreamExecutionEnvironment.get_execution_environment(spark)
+
+
+def test_pattern_strict_times_matches_oracle_key(spark, queries):
+    """begin(v).next(c).times(2).next(p) == q_cep_times (regex path)."""
+    pat = (Pattern.begin("v", "view")
+           .next("c", "click").times(2)
+           .next("p", "purchase"))
+    got = (_env(spark).from_dataframe(load(spark, SF_SMOKE, "events"))
+           .key_by("user_id").pattern(pat).to_df().collect())
+    want = queries["q_cep_times"](spark, SF_SMOKE).collect()
+    assert {(r.user_id, r.n_matches) for r in got} \
+        == {(r.user_id, r.n_matches) for r in want}
+    assert got  # non-vacuous
+
+
+def test_pattern_strict_one_or_more_matches_oracle_key(spark, queries):
+    """begin(v).next(c).one_or_more().next(p) == q_cep_one_or_more."""
+    pat = (Pattern.begin("v", "view")
+           .next("c", "click").one_or_more()
+           .next("p", "purchase"))
+    got = (_env(spark).from_dataframe(load(spark, SF_SMOKE, "events"))
+           .key_by("user_id").pattern(pat).to_df().collect())
+    want = queries["q_cep_one_or_more"](spark, SF_SMOKE).collect()
+    assert {(r.user_id, r.n_matches) for r in got} \
+        == {(r.user_id, r.n_matches) for r in want}
+
+
+def test_pattern_relaxed_matches_oracle_key(spark, queries):
+    """begin(v).followed_by(c).followed_by(p) under the default
+    skip-past-last == q_cep_followed_by (K-stage machine fold)."""
+    pat = (Pattern.begin("v", "view")
+           .followed_by("c", "click")
+           .followed_by("p", "purchase"))
+    got = (_env(spark).from_dataframe(load(spark, SF_SMOKE, "events"))
+           .key_by("user_id").pattern(pat).to_df().collect())
+    want = queries["q_cep_followed_by"](spark, SF_SMOKE).collect()
+    assert {(r.user_id, r.n_matches) for r in got} \
+        == {(r.user_id, r.n_matches) for r in want}
+
+
+def test_pattern_forking_within_matches_oracle_key(spark, queries):
+    """no_skip() + within(48 hours) == q_cep_followed_by_all (the
+    forking anchor-set NFA, Flink's default skip strategy)."""
+    pat = (Pattern.begin("v", "view")
+           .followed_by("c", "click")
+           .followed_by("p", "purchase")
+           .within("48 hours").no_skip())
+    got = (_env(spark).from_dataframe(load(spark, SF_SMOKE, "events"))
+           .key_by("user_id").pattern(pat).to_df().collect())
+    want = queries["q_cep_followed_by_all"](spark, SF_SMOKE).collect()
+    assert {(r.user_id, r.n_matches) for r in got} \
+        == {(r.user_id, r.n_matches) for r in want}
+
+
+def test_pattern_absence_matches_oracle_key(spark, queries):
+    """begin(v).not_followed_by(p).within(12 hours) ==
+    q_cep_not_followed_by (anti-join path, anchors returned)."""
+    pat = (Pattern.begin("v", "view")
+           .not_followed_by("p", "purchase")
+           .within("12 hours"))
+    got = (_env(spark).from_dataframe(load(spark, SF_SMOKE, "events"))
+           .key_by("user_id").pattern(pat).to_df().collect())
+    want = queries["q_cep_not_followed_by"](spark, SF_SMOKE).collect()
+    assert {(r.user_id, r.anchor_id) for r in got} \
+        == {(r.user_id, r.view_id) for r in want}
+
+
+def test_pattern_rejects_uncompilable_combinations(spark):
+    """Unsupported combinations must raise, never answer wrong."""
+    ev = load(spark, SF_SMOKE, "events")
+    ks = _env(spark).from_dataframe(ev).key_by("user_id")
+
+    mixed = (Pattern.begin("v", "view").next("c", "click")
+             .followed_by("p", "purchase"))
+    with pytest.raises(NotImplementedError, match="mixed"):
+        ks.pattern(mixed)
+
+    quant_relaxed = (Pattern.begin("v", "view")
+                     .followed_by("c", "click").times(2)
+                     .followed_by("p", "purchase"))
+    with pytest.raises(NotImplementedError, match="strict"):
+        ks.pattern(quant_relaxed)
+
+    strict_within = (Pattern.begin("v", "view").next("c", "click")
+                     .within("1 hour"))
+    with pytest.raises(NotImplementedError, match="within"):
+        ks.pattern(strict_within)
+
+    absence_unbounded = (Pattern.begin("v", "view")
+                         .not_followed_by("p", "purchase"))
+    with pytest.raises(ValueError, match="within"):
+        ks.pattern(absence_unbounded)
+
+    not_mid = Pattern.begin("v", "view").not_followed_by("p", "purchase")
+    with pytest.raises(ValueError, match="final"):
+        not_mid.followed_by("x", "click")
+
+
+def _two_file_stream(spark, cols):
+    """The streaming twins' source shape: the events fixture split at
+    the median ts into two files with strictly increasing mtimes, read
+    one file per micro-batch — partial matches must cross the
+    boundary."""
+    ev = load(spark, SF_SMOKE, "events").select(*cols)
+    split_ts = ev.agg(
+        F.percentile_approx("ts", 0.5).alias("m")).collect()[0]["m"]
+    d = tempfile.mkdtemp(prefix="cep_facade_stream_")
+    (ev.filter(F.col("ts") <= F.lit(split_ts))
+     .coalesce(1).write.parquet(os.path.join(d, "f=0")))
+    (ev.filter(F.col("ts") > F.lit(split_ts))
+     .coalesce(1).write.parquet(os.path.join(d, "f=1")))
+    stamp = int(time.time())
+    for i, part in enumerate(("f=0", "f=1")):
+        for fname in os.listdir(os.path.join(d, part)):
+            os.utime(os.path.join(d, part, fname),
+                     (stamp + 10 * i, stamp + 10 * i))
+    return (spark.readStream
+            .schema("user_id long, ts timestamp, event_id long, "
+                    "event_type string")
+            .option("maxFilesPerTrigger", "1")
+            .option("recursiveFileLookup", "true")
+            .parquet(d))
+
+
+def test_pattern_streaming_relaxed_converges_to_batch(spark, queries):
+    """pattern() on a STREAMING keyed input = the keyed-state NFA: the
+    converged (max) count per user equals the oracle-backed batch key."""
+    from flink_tutorial_broadcast_spark.streaming.jobs import (
+        _run_to_memory,
+    )
+
+    sdf = _two_file_stream(
+        spark, ["user_id", "ts", "event_id", "event_type"])
+    pat = (Pattern.begin("v", "view")
+           .followed_by("c", "click")
+           .followed_by("p", "purchase"))
+    out = (_env(spark).from_dataframe(sdf)
+           .key_by("user_id").pattern(pat).to_df())
+    assert out.isStreaming
+    rows = _run_to_memory(out, "update").collect()
+    final: dict[int, int] = {}
+    for r in rows:
+        final[r["user_id"]] = max(final.get(r["user_id"], 0),
+                                  r["n_matches"])
+    want = {r["user_id"]: r["n_matches"] for r in
+            queries["q_cep_followed_by"](spark, SF_SMOKE).collect()}
+    assert {u: n for u, n in final.items() if n > 0} == want
+
+
+def test_pattern_streaming_forking_converges_to_batch(spark, queries):
+    """Streaming no_skip()+within(): the generalized anchor-set stepper
+    converges to q_cep_followed_by_all."""
+    from flink_tutorial_broadcast_spark.streaming.jobs import (
+        _run_to_memory,
+    )
+
+    sdf = _two_file_stream(
+        spark, ["user_id", "ts", "event_id", "event_type"])
+    pat = (Pattern.begin("v", "view")
+           .followed_by("c", "click")
+           .followed_by("p", "purchase")
+           .within("48 hours").no_skip())
+    out = (_env(spark).from_dataframe(sdf)
+           .key_by("user_id").pattern(pat).to_df())
+    rows = _run_to_memory(out, "update").collect()
+    final: dict[int, int] = {}
+    for r in rows:
+        final[r["user_id"]] = max(final.get(r["user_id"], 0),
+                                  r["n_matches"])
+    want = {r["user_id"]: r["n_matches"] for r in
+            queries["q_cep_followed_by_all"](spark, SF_SMOKE).collect()}
+    assert {u: n for u, n in final.items() if n > 0} == want
