@@ -1,9 +1,13 @@
 """Full side-by-side benchmark: EVERY oracle-checked query, Spark vs
 DuckDB, at $SPARK_GRAFT_SF_DIR (default sf0.1). Warm single session for
 each engine; one timed run per query (these are stable at this scale —
-see tools/scaling.py). Prints a markdown table + summary JSON.
+see tools/scaling.py). Prints a markdown table + summary JSON, and
+writes the per-key numbers to a machine-diffable artifact
+(BENCH_FULL_r<N>.json with $BENCH_FULL_ROUND, else bench_full.json) so
+cross-round per-key regressions are diffable, not prose (VERDICT_r6
+item 6).
 
-Usage: python tools/bench_full.py [sf_dir]
+Usage: [BENCH_FULL_ROUND=7] python tools/bench_full.py [sf_dir]
 """
 
 from __future__ import annotations
@@ -65,13 +69,35 @@ def main() -> None:
               f"{ts / max(td, 1e-9):.1f}x |")
     t_spark_total = sum(r[1] for r in rows)
     t_duck_total = sum(r[2] for r in rows)
-    print(json.dumps({
+    summary = {
         "n_queries": len(rows),
         "spark_total_s": round(t_spark_total, 2),
         "duckdb_total_s": round(t_duck_total, 2),
         "ratio": round(t_spark_total / t_duck_total, 2),
         "spark_median_s": round(sorted(r[1] for r in rows)[len(rows) // 2], 3),
-    }))
+    }
+    print(json.dumps(summary))
+
+    rnd = os.environ.get("BENCH_FULL_ROUND")
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    out_path = os.path.join(
+        repo_root, f"BENCH_FULL_r{rnd}.json" if rnd else "bench_full.json")
+    artifact = {
+        "sf_dir": sf_dir,
+        "protocol": ("warm single session per engine; 1 timed rep per "
+                     "query after 1 warm rep; release_cached_blocks "
+                     "between engines"),
+        "loadavg_end": [round(x, 2) for x in os.getloadavg()],
+        "summary": summary,
+        "queries": {
+            name: {"spark_s": round(ts, 3), "duckdb_s": round(td, 3),
+                   "ratio": round(ts / max(td, 1e-9), 2)}
+            for name, ts, td in rows},
+    }
+    with open(out_path, "w") as f:
+        json.dump(artifact, f, indent=1, sort_keys=True)
+        f.write("\n")
+    print(f"wrote {out_path}")
 
 
 if __name__ == "__main__":
