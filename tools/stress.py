@@ -418,6 +418,57 @@ def s_substr_spans(c: Ctx) -> None:
      .agg(F.countDistinct("p").alias("n_rep"))).count()
 
 
+@shape("rule_mutation_scd2", lambda c: c.nrows("ev"))
+def s_rule_mutation_scd2(c: Ctx) -> None:
+    """q_broadcast_rule_mutation's scale shape (VERDICT_r6 item 7): the
+    mutable rule stream becomes validity intervals via ONE window over
+    the 10-row rule table, then a BROADCAST interval join against the
+    k-scaled fact — the fact side never shuffles and never windows.
+    Includes the operator's own 1-row median collect (it is part of the
+    key's cost)."""
+    from flink_tutorial_broadcast_spark.sources.rules import rule_waves_df
+    ev = c.ev.select(
+        "event_id", "event_type", "value",
+        (F.col("event_id") * 2 + 1).alias("seq"))
+    med = int(ev.agg(
+        F.floor(F.expr("percentile(event_id, 0.5)")).cast("long")
+        .alias("m")).collect()[0]["m"])
+    wr = Window.partitionBy("rule_id").orderBy("valid_from")
+    versions = (rule_waves_df(c.spark, med)
+                .withColumnRenamed("seq", "valid_from")
+                .withColumn("valid_to", F.lead("valid_from").over(wr)))
+    cond = ((ev.event_type == versions.rule_event_type)
+            & (versions.valid_from < ev.seq)
+            & (versions.valid_to.isNull() | (ev.seq < versions.valid_to))
+            & (ev.value > versions.threshold))
+    (ev.join(F.broadcast(versions), cond, "inner")
+     .groupBy("event_type", "severity")
+     .agg(F.count("*"), F.sum("value"))).count()
+
+
+@shape("facade_program", lambda c: c.nrows("ev"))
+def s_facade_program(c: Ctx) -> None:
+    """q_facade_program's scale shape (VERDICT_r6 item 7): the full
+    facade fast path — split() side-output routing, broadcast rule
+    connect, keyed tumbling-hour aggregate — over the k-scaled events.
+    All codegen; the only exchange is the final low-cardinality
+    aggregate."""
+    from flink_tutorial_broadcast_spark.datastream import (
+        StreamExecutionEnvironment,
+    )
+    env = StreamExecutionEnvironment.get_execution_environment(c.spark)
+    routed = env.from_dataframe(c.ev).split({"errors": "value < 1"})
+    (routed.main()
+     .connect_broadcast(
+         rules_df(c.spark),
+         on="event_type = rule_event_type AND value > threshold")
+     .key_by("event_type", "severity")
+     .window_tumbling("ts", "hour")
+     .aggregate(n_matches="count(*)",
+                sum_value="round(sum(value), 2)")
+     .to_df()).count()
+
+
 @shape("semantic_route", lambda c: c.nrows("emb"))
 def s_semantic_route(c: Ctx) -> None:
     """SemDeDup's linear half at scale: route k-scaled vectors to 64
