@@ -656,6 +656,55 @@ def q_cep_times(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_cep_facade",
+    oracle="""
+    WITH RECURSIVE codes AS (
+      SELECT user_id,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS i,
+             CASE event_type WHEN 'click' THEN 1 WHEN 'purchase' THEN 2
+                  ELSE 0 END AS c
+      FROM events
+    ), n AS (
+      SELECT user_id, COUNT(*) AS n_ev FROM codes GROUP BY user_id
+    ), run AS (
+      SELECT user_id, 0 AS i, 0 AS acc FROM n
+      UNION ALL
+      SELECT r.user_id, r.i + 1,
+             CASE WHEN c.c = r.acc % 10 + 1 THEN
+               CASE WHEN r.acc % 10 = 1 THEN r.acc + 9 ELSE r.acc + 1 END
+             ELSE r.acc END
+      FROM run r JOIN codes c ON c.user_id = r.user_id AND c.i = r.i + 1
+    )
+    SELECT r.user_id, CAST(r.acc // 10 AS BIGINT) AS n_matches
+    FROM run r JOIN n ON r.user_id = n.user_id AND r.i = n.n_ev
+    WHERE r.acc // 10 > 0
+    """,
+)
+def q_cep_facade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CEP program written through the FACADE's pattern() verb
+    [FLINK-API: CEP.pattern(stream.keyBy(...), Pattern.begin("c")
+    .followedBy("p"))] — the driver-verifiable proof that the fluent
+    migration surface compiles to the engine's sequence machines: a
+    two-stage click…purchase relaxed-contiguity pattern under skip-past-
+    last, folded in codegen by cep._relaxed_machine. The oracle replays
+    the identical 2-stage automaton as a recursive-CTE step relation
+    (stage in acc%10, +9 closes a match), so the hash match pins the
+    compiled machine itself, not just counts-by-construction. The same
+    Pattern object's streaming run is pinned by test_cep_facade.py."""
+    from flink_tutorial_broadcast_spark.cep import Pattern
+    from flink_tutorial_broadcast_spark.datastream import (
+        StreamExecutionEnvironment,
+    )
+    env = StreamExecutionEnvironment.get_execution_environment(spark)
+    pat = Pattern.begin("c", "click").followed_by("p", "purchase")
+    return (env.from_dataframe(load(spark, sf_dir, "events"))
+            .key_by("user_id")
+            .pattern(pat)
+            .to_df())
+
+
+@query(
     "q_gap_fill",
     oracle="""
     WITH bounds AS (

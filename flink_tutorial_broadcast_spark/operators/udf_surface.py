@@ -313,3 +313,41 @@ def q_batched_lookup_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.mapInPandas(
         enrich, "event_id long, event_type string, category string"
     )
+
+
+@query(
+    "q_async_enrich",
+    oracle="""
+    SELECT event_id,
+           event_id * 31 + length(event_type) AS enriched
+    FROM events WHERE event_id < 2000
+    """,
+)
+def q_async_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The facade's async-I/O surface [FLINK-API: AsyncDataStream
+    .orderedWait(stream, fn, timeout, unit, capacity)] under a
+    DETERMINISTIC fake service, so the thread-pool dispatch path itself
+    is oracle-checkable: every record goes through datastream.map_async
+    (submit → bounded in-flight window → FIFO resolve with a per-record
+    deadline), and the enrichment is a pure function of the row that
+    DuckDB recomputes relationally. What the hash match pins: no row is
+    lost, duplicated, or mis-joined by the concurrency machinery.
+    Timeout/unordered/capacity BEHAVIOR is pinned by the
+    test_facade_async_* suite; this key keeps the surface in the
+    driver-checkable inventory."""
+    from flink_tutorial_broadcast_spark.datastream import (
+        StreamExecutionEnvironment,
+    )
+
+    def service(row: dict) -> dict:
+        return {"event_id": row["event_id"],
+                "enriched": row["event_id"] * 31 + len(row["event_type"])}
+
+    env = StreamExecutionEnvironment.get_execution_environment(spark)
+    ev = (load(spark, sf_dir, "events")
+          .filter(F.col("event_id") < 2000)
+          .select("event_id", "event_type"))
+    return (env.from_dataframe(ev)
+            .map_async(service, "event_id long, enriched long",
+                       concurrency=16, timeout=30.0, capacity=64)
+            .to_df())
