@@ -1,0 +1,137 @@
+"""Hypothesis property tests for the cep.py compilers: on randomized
+event sequences, every compiled machine must equal an independently
+coded pure-Python NFA reference — evidence beyond the fixture's
+distribution (SURVEY.md §5.3 discipline applied to the round-7 CEP
+facade)."""
+
+from __future__ import annotations
+
+import datetime as dt
+import re
+
+from hypothesis import given, settings, strategies as st
+from pyspark.sql import functions as F  # noqa: F401
+
+from flink_tutorial_broadcast_spark.cep import Pattern
+from flink_tutorial_broadcast_spark.datastream import (
+    StreamExecutionEnvironment,
+)
+
+BASE = dt.datetime(2024, 1, 1)
+TYPES = ["view", "click", "purchase", "other"]
+
+# (user, minute-offset, type-index); minutes capped so `within` horizons
+# are actually exercised (48h = 2880 min > max offset only sometimes)
+seq_strategy = st.lists(
+    st.tuples(st.integers(0, 2), st.integers(0, 5000),
+              st.integers(0, 3)),
+    min_size=1, max_size=35)
+
+
+def _mk(spark, rows):
+    # event_id = list position → a unique, order-stable tiebreak
+    data = [(u, BASE + dt.timedelta(minutes=m), i, TYPES[t])
+            for i, (u, m, t) in enumerate(rows)]
+    return spark.createDataFrame(
+        data, "user_id int, ts timestamp, event_id long, event_type string")
+
+
+def _per_user_ordered(rows):
+    """events per user in (ts, event_id) order → list of (minute, type)."""
+    per = {}
+    for i, (u, m, t) in enumerate(rows):
+        per.setdefault(u, []).append((m, i, TYPES[t]))
+    return {u: [(m, ty) for m, _, ty in sorted(evs)]
+            for u, evs in per.items()}
+
+
+def _ref_relaxed(seq, stages):
+    """Skip-past-last K-stage automaton (each event binds to at most one
+    match; earliest-match greedy)."""
+    stage, cnt = 0, 0
+    for _, ty in seq:
+        if ty == stages[stage]:
+            stage += 1
+            if stage == len(stages):
+                cnt, stage = cnt + 1, 0
+    return cnt
+
+
+def _ref_fork(seq, stages, within_min):
+    """noSkip forking NFA with expiry: anchor minute-stamps per stage."""
+    K = len(stages)
+    sets = [[] for _ in range(K - 1)]
+    cnt = 0
+    for m, ty in seq:
+        if within_min is not None:
+            sets = [[a for a in s if m - a <= within_min] for s in sets]
+        if ty == stages[0]:
+            sets[0].append(m)
+        for i in range(1, K - 1):
+            if ty == stages[i]:
+                sets[i] = sets[i] + sets[i - 1]
+                sets[i - 1] = []
+        if ty == stages[K - 1] and K >= 2:
+            cnt += len(sets[K - 2])
+            sets[K - 2] = []
+    return cnt
+
+
+def _ref_strict_regex(seq, regex):
+    path = ">".join(ty for _, ty in seq)
+    return len(re.findall(regex, path))
+
+
+def _run(spark, df, pat):
+    env = StreamExecutionEnvironment.get_execution_environment(spark)
+    rows = (env.from_dataframe(df).key_by("user_id").pattern(pat)
+            .to_df().collect())
+    return {r["user_id"]: r["n_matches"] for r in rows}
+
+
+@settings(max_examples=10, deadline=None)
+@given(rows=seq_strategy)
+def test_cep_relaxed_machine_matches_python_nfa(spark, rows):
+    stages = ["view", "click", "purchase"]
+    pat = (Pattern.begin("a", "view").followed_by("b", "click")
+           .followed_by("c", "purchase"))
+    got = _run(spark, _mk(spark, rows), pat)
+    want = {u: _ref_relaxed(seq, stages)
+            for u, seq in _per_user_ordered(rows).items()}
+    assert got == {u: n for u, n in want.items() if n > 0}
+
+
+@settings(max_examples=10, deadline=None)
+@given(rows=seq_strategy)
+def test_cep_fork_machine_matches_python_nfa(spark, rows):
+    stages = ["view", "click", "purchase"]
+    pat = (Pattern.begin("a", "view").followed_by("b", "click")
+           .followed_by("c", "purchase").within("48 hours").no_skip())
+    got = _run(spark, _mk(spark, rows), pat)
+    want = {u: _ref_fork(seq, stages, 48 * 60)
+            for u, seq in _per_user_ordered(rows).items()}
+    assert got == {u: n for u, n in want.items() if n > 0}
+
+
+@settings(max_examples=10, deadline=None)
+@given(rows=seq_strategy)
+def test_cep_fork_two_stage_matches_python_nfa(spark, rows):
+    """K=2 exercises the generalized fold's boundary (single anchor
+    array, first stage IS the penultimate stage)."""
+    pat = (Pattern.begin("a", "click").followed_by("b", "purchase")
+           .within("12 hours").no_skip())
+    got = _run(spark, _mk(spark, rows), pat)
+    want = {u: _ref_fork(seq, ["click", "purchase"], 12 * 60)
+            for u, seq in _per_user_ordered(rows).items()}
+    assert got == {u: n for u, n in want.items() if n > 0}
+
+
+@settings(max_examples=10, deadline=None)
+@given(rows=seq_strategy)
+def test_cep_strict_times_matches_python_regex(spark, rows):
+    pat = (Pattern.begin("a", "view").next("b", "click").times(2)
+           .next("c", "purchase"))
+    got = _run(spark, _mk(spark, rows), pat)
+    want = {u: _ref_strict_regex(seq, r"(view(>click){2}>purchase)")
+            for u, seq in _per_user_ordered(rows).items()}
+    assert got == {u: n for u, n in want.items() if n > 0}
