@@ -20,6 +20,9 @@ q_cep_followed_by, q_cep_followed_by_all, q_cep_not_followed_by):
 - relaxed `followed_by` chains under the default AFTER MATCH SKIP PAST
   LAST EVENT → a K-stage integer automaton folded with F.aggregate
   (sequence_ops.q_cep_followed_by shape, generalized to K stages);
+  with `within()` the accumulator gains the anchor timestamp and
+  expires partials before each transition (q_cep_followed_by_within
+  shape, generalized — O(1) state either way);
 - relaxed chains under `no_skip()` (Flink's default forking NFA) with
   `within()` → the open-anchor-set fold (q_cep_followed_by_all shape,
   generalized: state = K-1 anchor arrays bounded by expiry);
@@ -167,10 +170,7 @@ class Pattern:
             if self.skip == "no_skip":
                 return "fork"
             if self.within_us is not None:
-                raise NotImplementedError(
-                    "within() under skip-past-last is not compiled for "
-                    "arbitrary K (use no_skip(), whose anchor sets "
-                    "carry expiry, or drop within())")
+                return "relaxed_within"
             return "relaxed"
         raise NotImplementedError(
             "mixed next/followed_by contiguity in one pattern is not "
@@ -192,6 +192,9 @@ def compile_pattern(pat: Pattern, df: DataFrame, keys: list[str],
     if fam == "relaxed":
         return _relaxed_machine(pat, df, keys, time_col, tiebreak_col,
                                 event_col)
+    if fam == "relaxed_within":
+        return _relaxed_within_machine(pat, df, keys, time_col,
+                                       tiebreak_col, event_col)
     return _fork_machine(pat, df, keys, time_col, tiebreak_col, event_col)
 
 
@@ -252,6 +255,39 @@ def _relaxed_machine(pat, df, keys, time_col, tiebreak_col, event_col):
             F.when(done, F.lit(0))
              .when(adv, acc["stage"] + 1)
              .otherwise(acc["stage"]).alias("stage"))
+
+    fold = F.aggregate(seq, init, step)
+    return (df.groupBy(*keys).agg(fold["cnt"].alias("n_matches"))
+            .filter(F.col("n_matches") > 0))
+
+
+def _relaxed_within_machine(pat, df, keys, time_col, tiebreak_col,
+                            event_col):
+    # K-stage single-anchor automaton under SKIP PAST LAST EVENT with a
+    # match horizon — q_cep_followed_by_within generalized: O(1) state
+    # (cnt, stage, anchor µs); an expired partial resets BEFORE the
+    # event is considered, so the expiring event can anchor a new match
+    K = len(pat.stages)
+    w = pat.within_us
+    seq = _seq(pat, time_col, tiebreak_col, event_col)
+    init = F.struct(F.lit(0).cast("long").alias("cnt"),
+                    F.lit(0).alias("stage"),
+                    F.lit(0).cast("long").alias("anchor"))
+
+    def step(acc, x):
+        stage = F.when(
+            (acc["stage"] > 0) & (x["t"] - acc["anchor"] > w),
+            F.lit(0)).otherwise(acc["stage"])
+        adv = x["c"] == stage + 1
+        done = adv & (stage == K - 1)
+        return F.struct(
+            F.when(done, acc["cnt"] + 1).otherwise(acc["cnt"])
+             .alias("cnt"),
+            F.when(done, F.lit(0))
+             .when(adv, stage + 1)
+             .otherwise(stage).alias("stage"),
+            F.when((stage == 0) & (x["c"] == 1), x["t"])
+             .otherwise(acc["anchor"]).alias("anchor"))
 
     fold = F.aggregate(seq, init, step)
     return (df.groupBy(*keys).agg(fold["cnt"].alias("n_matches"))
@@ -339,6 +375,36 @@ def relaxed_stepper(event_codes: dict[str, int], K: int):
     return step
 
 
+def relaxed_within_stepper(event_codes: dict[str, int], K: int,
+                           within_us: int):
+    """applyInPandasWithState step for the bounded single-anchor
+    machine — state (cnt, stage, anchor µs); expiry applied before each
+    event exactly like the batch fold, so state is O(1) per key and the
+    automaton survives micro-batch boundaries."""
+    def step(key, pdf_iter, state):
+        import pandas as pd
+        cnt, stage, anchor = state.get if state.exists else (0, 0, 0)
+        rows = []
+        for pdf in pdf_iter:
+            for _, r in pdf.iterrows():
+                rows.append((int(r.iloc[1].timestamp() * 1_000_000),
+                             r.iloc[2], event_codes.get(r.iloc[3], 0)))
+        for t, _, c in sorted(rows):
+            if stage > 0 and t - anchor > within_us:
+                stage = 0
+            if c == stage + 1:
+                if stage == K - 1:
+                    cnt, stage = cnt + 1, 0
+                else:
+                    if stage == 0:
+                        anchor = t
+                    stage += 1
+        state.update((cnt, stage, anchor))
+        yield pd.DataFrame({"key": [key[0]], "n_matches": [cnt],
+                            "stage": [stage]})
+    return step
+
+
 def fork_stepper(event_codes: dict[str, int], K: int,
                  within_us: int | None):
     """applyInPandasWithState step for the forking NFA — the
@@ -385,11 +451,11 @@ def compile_pattern_stream(pat: Pattern, sdf: DataFrame,
     from pyspark.sql.streaming.state import GroupStateTimeout
 
     fam = pat._family()
-    if fam not in ("relaxed", "fork"):
+    if fam not in ("relaxed", "relaxed_within", "fork"):
         raise NotImplementedError(
             "streaming pattern() carries the relaxed followed_by "
-            "machines (skip-past-last and no_skip) — strict/absence "
-            "patterns run in batch mode")
+            "machines (skip-past-last, bounded, and no_skip) — "
+            "strict/absence patterns run in batch mode")
     if len(keys) != 1:
         raise NotImplementedError("streaming pattern() is single-key")
     K = len(pat.stages)
@@ -401,6 +467,10 @@ def compile_pattern_stream(pat: Pattern, sdf: DataFrame,
         out_schema = "key long, n_matches long, stage long"
         state_schema = "cnt long, stage long"
         fn = relaxed_stepper(codes, K)
+    elif fam == "relaxed_within":
+        out_schema = "key long, n_matches long, stage long"
+        state_schema = "cnt long, stage long, anchor long"
+        fn = relaxed_within_stepper(codes, K, pat.within_us)
     else:
         out_schema = "key long, n_matches long"
         state_schema = "cnt long, " + ", ".join(

@@ -193,3 +193,47 @@ def test_pattern_streaming_forking_converges_to_batch(spark, queries):
     want = {r["user_id"]: r["n_matches"] for r in
             queries["q_cep_followed_by_all"](spark, SF_SMOKE).collect()}
     assert {u: n for u, n in final.items() if n > 0} == want
+
+
+def test_pattern_relaxed_within_matches_oracle_key(spark, queries):
+    """followed_by chain + within(48 hours) under the default
+    skip-past-last == q_cep_followed_by_within (the bounded
+    single-anchor machine, generalized in cep.py)."""
+    pat = (Pattern.begin("v", "view")
+           .followed_by("c", "click")
+           .followed_by("p", "purchase")
+           .within("48 hours"))
+    got = (_env(spark).from_dataframe(load(spark, SF_SMOKE, "events"))
+           .key_by("user_id").pattern(pat).to_df().collect())
+    want = queries["q_cep_followed_by_within"](spark, SF_SMOKE).collect()
+    assert {(r.user_id, r.n_matches) for r in got} \
+        == {(r.user_id, r.n_matches) for r in want}
+    assert got
+
+
+def test_pattern_streaming_relaxed_within_converges_to_batch(
+        spark, queries):
+    """Streaming bounded single-anchor machine: converged counts equal
+    the oracle-backed q_cep_followed_by_within, with the anchor
+    timestamp carried across the micro-batch boundary in state."""
+    from flink_tutorial_broadcast_spark.streaming.jobs import (
+        _run_to_memory,
+    )
+
+    sdf = _two_file_stream(
+        spark, ["user_id", "ts", "event_id", "event_type"])
+    pat = (Pattern.begin("v", "view")
+           .followed_by("c", "click")
+           .followed_by("p", "purchase")
+           .within("48 hours"))
+    out = (_env(spark).from_dataframe(sdf)
+           .key_by("user_id").pattern(pat).to_df())
+    rows = _run_to_memory(out, "update").collect()
+    final: dict[int, int] = {}
+    for r in rows:
+        final[r["user_id"]] = max(final.get(r["user_id"], 0),
+                                  r["n_matches"])
+    want = {r["user_id"]: r["n_matches"] for r in
+            queries["q_cep_followed_by_within"](spark, SF_SMOKE)
+            .collect()}
+    assert {u: n for u, n in final.items() if n > 0} == want

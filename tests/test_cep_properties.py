@@ -135,3 +135,31 @@ def test_cep_strict_times_matches_python_regex(spark, rows):
     want = {u: _ref_strict_regex(seq, r"(view(>click){2}>purchase)")
             for u, seq in _per_user_ordered(rows).items()}
     assert got == {u: n for u, n in want.items() if n > 0}
+
+
+def _ref_relaxed_within(seq, stages, within_min):
+    """Bounded single-anchor skip-past-last machine: expiry resets the
+    partial BEFORE the event is considered."""
+    stage, cnt, anchor = 0, 0, 0
+    for m, ty in seq:
+        if stage > 0 and m - anchor > within_min:
+            stage = 0
+        if ty == stages[stage]:
+            if stage == 0:
+                anchor = m
+            stage += 1
+            if stage == len(stages):
+                cnt, stage = cnt + 1, 0
+    return cnt
+
+
+@settings(max_examples=10, deadline=None)
+@given(rows=seq_strategy)
+def test_cep_relaxed_within_machine_matches_python_nfa(spark, rows):
+    stages = ["view", "click", "purchase"]
+    pat = (Pattern.begin("a", "view").followed_by("b", "click")
+           .followed_by("c", "purchase").within("48 hours"))
+    got = _run(spark, _mk(spark, rows), pat)
+    want = {u: _ref_relaxed_within(seq, stages, 48 * 60)
+            for u, seq in _per_user_ordered(rows).items()}
+    assert got == {u: n for u, n in want.items() if n > 0}
