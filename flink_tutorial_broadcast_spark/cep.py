@@ -349,6 +349,71 @@ def _absence(pat, df, keys, time_col, tiebreak_col, event_col):
             .select(*keys, "anchor_id"))
 
 
+def compile_pattern_matches(pat: Pattern, df: DataFrame,
+                            keys: list[str], time_col: str,
+                            tiebreak_col: str,
+                            event_col: str) -> DataFrame:
+    """Match EXTRACTION [FLINK-API: PatternStream.select(PatternSelect
+    Function) / SQL MATCH_RECOGNIZE MEASURES]: one output row per
+    completed match with its bindings — anchor event id, closing event
+    id, span — numbered per key. Compiles the relaxed followed_by
+    family (with or without `within()`), generalizing the
+    q_cep_match_measures machine to K stages: the fold accumulator
+    carries (stage, anchor bindings, completed-match array) and the
+    match array posexplodes to rows — rows = matches, never events²."""
+    fam = pat._family()
+    if fam not in ("relaxed", "relaxed_within"):
+        raise NotImplementedError(
+            "pattern_matches() extracts bindings for relaxed "
+            "followed_by chains under skip-past-last (within() "
+            "optional); use pattern() for counts of the other families")
+    if len(pat.stages) < 2:
+        raise ValueError("pattern_matches() needs at least two stages "
+                         "(a single-stage pattern is a filter)")
+    K = len(pat.stages)
+    w = pat.within_us
+    seq = _seq(pat, time_col, tiebreak_col, event_col)
+    empty = F.expr(
+        "CAST(array() AS array<struct<start_id:bigint,end_id:bigint,"
+        "span_us:bigint>>)")
+    init = F.struct(F.lit(0).alias("stage"),
+                    F.lit(0).cast("long").alias("anchor_id"),
+                    F.lit(0).cast("long").alias("anchor_t"),
+                    empty.alias("matches"))
+
+    def step(acc, x):
+        stage = acc["stage"]
+        if w is not None:
+            stage = F.when(
+                (stage > 0) & (x["t"] - acc["anchor_t"] > w),
+                F.lit(0)).otherwise(stage)
+        adv = x["c"] == stage + 1
+        done = adv & (stage == K - 1)
+        starts = (stage == 0) & (x["c"] == 1)
+        m = F.struct(acc["anchor_id"].alias("start_id"),
+                     x["eid"].alias("end_id"),
+                     (x["t"] - acc["anchor_t"]).alias("span_us"))
+        return F.struct(
+            F.when(done, F.lit(0))
+             .when(adv, stage + 1)
+             .otherwise(stage).alias("stage"),
+            F.when(starts, x["eid"]).otherwise(acc["anchor_id"])
+             .alias("anchor_id"),
+            F.when(starts, x["t"]).otherwise(acc["anchor_t"])
+             .alias("anchor_t"),
+            F.when(done, F.concat(acc["matches"], F.array(m)))
+             .otherwise(acc["matches"]).alias("matches"))
+
+    folded = df.groupBy(*keys).agg(
+        F.aggregate(seq, init, step)["matches"].alias("matches"))
+    return (folded.select(*keys, F.posexplode("matches"))
+            .select(*keys,
+                    (F.col("pos") + 1).cast("long").alias("match_no"),
+                    F.col("col.start_id").alias("start_event_id"),
+                    F.col("col.end_id").alias("end_event_id"),
+                    F.col("col.span_us").alias("span_us")))
+
+
 # -- streaming: the keyed-state NFA twins ------------------------------
 
 def relaxed_stepper(event_codes: dict[str, int], K: int):

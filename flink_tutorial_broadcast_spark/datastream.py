@@ -475,6 +475,25 @@ class KeyedStream:
         return DataStream(compile_pattern(
             pat, self.df, self.keys, time_col, tiebreak_col, event_col))
 
+    def pattern_matches(self, pat, time_col: str = "ts",
+                        tiebreak_col: str = "event_id",
+                        event_col: str = "event_type") -> DataStream:
+        """Match EXTRACTION [FLINK-API: PatternStream.select /
+        MATCH_RECOGNIZE MEASURES]: one row per completed match with its
+        bindings (per-key match number, anchoring and closing event
+        ids, span in µs) instead of pattern()'s counts. Batch inputs
+        only; relaxed followed_by chains (within() optional)."""
+        self._no_pending_window("pattern_matches")
+        from flink_tutorial_broadcast_spark.cep import (
+            compile_pattern_matches,
+        )
+        if self.df.isStreaming:
+            raise NotImplementedError(
+                "pattern_matches() extracts bindings in batch mode; on "
+                "a stream use pattern() (running counts)")
+        return DataStream(compile_pattern_matches(
+            pat, self.df, self.keys, time_col, tiebreak_col, event_col))
+
     def process(self, fn: Callable, output_schema: str) -> DataStream:
         """KeyedProcessFunction analogue: `fn(key_tuple, pandas_df) ->
         pandas_df` runs once per key group via applyInPandas — arbitrary

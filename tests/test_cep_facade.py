@@ -237,3 +237,47 @@ def test_pattern_streaming_relaxed_within_converges_to_batch(
             queries["q_cep_followed_by_within"](spark, SF_SMOKE)
             .collect()}
     assert {u: n for u, n in final.items() if n > 0} == want
+
+
+def test_pattern_matches_bindings_equal_oracle_key(spark, queries):
+    """pattern_matches() == q_cep_match_measures: the full per-match
+    bindings (match number, anchor id, closing id, span) from the
+    facade-compiled fold equal the oracle-checked key's."""
+    pat = (Pattern.begin("v", "view")
+           .followed_by("c", "click")
+           .followed_by("p", "purchase"))
+    got = (_env(spark).from_dataframe(load(spark, SF_SMOKE, "events"))
+           .key_by("user_id").pattern_matches(pat).to_df().collect())
+    want = queries["q_cep_match_measures"](spark, SF_SMOKE).collect()
+    key = lambda r: (r.user_id, r.match_no, r.start_event_id,
+                     r.end_event_id, r.span_us)
+    assert {key(r) for r in got} == {key(r) for r in want}
+    assert got
+
+
+def test_pattern_matches_within_prunes_and_counts_agree(spark, queries):
+    """With within(48 hours) the extracted matches must agree with the
+    bounded COUNT machine key on every user (bindings are the stronger
+    artifact; counts are its projection) — and at least one unbounded
+    match must have been pruned by the horizon."""
+    pat = (Pattern.begin("v", "view")
+           .followed_by("c", "click")
+           .followed_by("p", "purchase")
+           .within("48 hours"))
+    got = (_env(spark).from_dataframe(load(spark, SF_SMOKE, "events"))
+           .key_by("user_id").pattern_matches(pat).to_df().collect())
+    from collections import Counter
+    per_user = Counter(r.user_id for r in got)
+    want = {r.user_id: r.n_matches for r in
+            queries["q_cep_followed_by_within"](spark, SF_SMOKE)
+            .collect()}
+    assert dict(per_user) == want
+    assert all(r.span_us <= 48 * 3600 * 1_000_000 for r in got)
+    unbounded = (_env(spark)
+                 .from_dataframe(load(spark, SF_SMOKE, "events"))
+                 .key_by("user_id")
+                 .pattern_matches(Pattern.begin("v", "view")
+                                  .followed_by("c", "click")
+                                  .followed_by("p", "purchase"))
+                 .to_df().count())
+    assert len(got) < unbounded  # the horizon really pruned
