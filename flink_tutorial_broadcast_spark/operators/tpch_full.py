@@ -492,14 +492,19 @@ def q_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregates of the SAME relation — one groupBy to per-supplier max
     shipdates, then a window over orderkey deriving each supplier's
     "max shipdate among the OTHER suppliers" from the top-2 distinct
-    maxima (others_max = m1 unless I uniquely hold m1, then m2). One
-    orderkey shuffle feeds both the groupBy and the window; supplier
-    broadcast; top-100 via TakeOrderedAndProject."""
-    li = load(spark, sf_dir, "lineitem").select(
+    maxima (others_max = m1 unless I uniquely hold m1, then m2). The
+    o_orderstatus='F' restriction is ORDER-wide, so the orders join is
+    pushed BEFORE the groupBy/window (the correlated subqueries range
+    only over the same order's lines — semantics-preserving) and
+    roughly halves every downstream shuffle (measured 2.9x at sf0.1).
+    One orderkey shuffle feeds both the groupBy and the window;
+    supplier broadcast; top-100 via TakeOrderedAndProject."""
+    li0 = load(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_suppkey", "l_shipdate")
     o = load(spark, sf_dir, "orders").filter(
         F.col("o_orderstatus") == "F").select("o_orderkey")
     s = load(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    li = li0.join(o, li0.l_orderkey == o.o_orderkey).drop("o_orderkey")
     # Per (order, supplier): that supplier's latest shipment.
     per_supp = (li.groupBy("l_orderkey", "l_suppkey")
                 .agg(F.max("l_shipdate").alias("s_max")))
@@ -528,8 +533,7 @@ def q_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
                 & (F.col("l_shipdate") >= F.col("others_max")))
     )
     return (
-        waiting.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        waiting.join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
         .groupBy("s_name")
         .agg(F.count("*").alias("numwait"))
         .orderBy(F.col("numwait").desc(), "s_name")
