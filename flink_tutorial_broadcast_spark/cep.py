@@ -117,6 +117,8 @@ class Pattern:
     def one_or_more(self) -> "Pattern":
         """Looping quantifier on the LAST stage [FLINK-API:
         Pattern#oneOrMore]."""
+        if not self.stages:
+            raise ValueError("one_or_more() needs a stage")
         self.stages[-1].one_or_more = True
         return self
 
@@ -167,6 +169,13 @@ class Pattern:
                 raise NotImplementedError(
                     "times()/one_or_more() quantifiers compile only "
                     "under strict next() contiguity (the regex path)")
+            types = [s.event_type for s in self.stages]
+            if len(set(types)) != len(types):
+                raise NotImplementedError(
+                    "repeated event types across followed_by stages "
+                    "are not compiled (the stage machines key "
+                    "transitions by event type); use next() chains, "
+                    "which compile via the path regex")
             if self.skip == "no_skip":
                 return "fork"
             if self.within_us is not None:

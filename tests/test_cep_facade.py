@@ -281,3 +281,22 @@ def test_pattern_matches_within_prunes_and_counts_agree(spark, queries):
                                   .followed_by("p", "purchase"))
                  .to_df().count())
     assert len(got) < unbounded  # the horizon really pruned
+
+
+def test_pattern_guards_repeated_types_and_empty_quantifier(spark):
+    """A repeated event type across followed_by stages would silently
+    corrupt the stage coding — must raise; quantifiers on an empty
+    pattern must raise too."""
+    ev = load(spark, SF_SMOKE, "events")
+    ks = _env(spark).from_dataframe(ev).key_by("user_id")
+    repeated = (Pattern.begin("a", "click")
+                .followed_by("b", "click"))
+    with pytest.raises(NotImplementedError, match="repeated"):
+        ks.pattern(repeated)
+    with pytest.raises(ValueError, match="stage"):
+        Pattern(stages=[]).one_or_more()
+    with pytest.raises(ValueError, match="stage"):
+        Pattern(stages=[]).times(2)
+    # strict chains DO support repeats (regex path): view>view counts
+    strict_rep = Pattern.begin("a", "view").next("b", "view")
+    assert ks.pattern(strict_rep).to_df().count() >= 0
