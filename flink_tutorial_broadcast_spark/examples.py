@@ -178,3 +178,65 @@ def expected_after_seek(spark: SparkSession, root: str):
     return (full.withColumn("rn", w_rank)
             .filter(F.col("rn") > skip)
             .drop("p", "rn"))
+
+
+def run_round7_extensions(spark: SparkSession, root: str):
+    """The round-7 surfaces in walkthrough form, over the same demo log:
+
+      4. ASYNC enrichment of the rule matches [FLINK-API:
+         AsyncDataStream.orderedWait(fn, timeout, capacity)] — a
+         deterministic fake lookup service through `map_async` with a
+         deadline (a real migration points `fn` at its HTTP/JDBC client
+         and supplies `on_timeout`),
+      5. CEP on the keyed stream [FLINK-API: CEP.pattern] — each user's
+         view→purchase conversions via `pattern()`, the log's offsets
+         synthesized into event time,
+      6. a TRANSACTIONAL landing zone [FLINK-API:
+         TwoPhaseCommitSinkFunction] — the log streamed through the
+         two-phase-commit file sink; only manifest-committed files are
+         readable.
+
+    Returns (enriched_df, conversions_df, landed_df, sink)."""
+    from flink_tutorial_broadcast_spark.cep import Pattern
+    from flink_tutorial_broadcast_spark.streaming.two_phase_sink import (
+        TwoPhaseCommitFileSink,
+    )
+
+    eventlog.register(spark)
+    env = StreamExecutionEnvironment.get_execution_environment(spark)
+    raw = spark.read.format("ftbs_eventlog").option("path", root).load()
+    # the log carries offsets, not timestamps — synthesize event time
+    # (1 min per offset) once, on the facade's codegen path
+    src = env.from_dataframe(raw).map({
+        "event_id": "event_id", "user_id": "user_id",
+        "event_type": "event_type", "value": "value",
+        "ts": "timestamp_micros(event_id * 60000000)"})
+
+    # 4) async enrichment of the broadcast-rule matches
+    def lookup_service(row: dict) -> dict:
+        # stands in for an external call; deterministic so the test can
+        # recompute it relationally
+        return {"event_id": row["event_id"],
+                "category": "big" if row["value"] >= 100.0 else "small"}
+
+    enriched = (src.connect_broadcast(
+        rules_df(spark),
+        on="event_type = rule_event_type AND value > threshold")
+        .map_async(lookup_service, "event_id long, category string",
+                   concurrency=8, timeout=10.0))
+
+    # 5) CEP: each user's view→purchase conversions (relaxed contiguity)
+    pat = Pattern.begin("v", "view").followed_by("p", "purchase")
+    conversions = src.key_by("user_id").pattern(pat)
+
+    # 6) transactional landing: stream the log into the 2PC sink
+    sink = TwoPhaseCommitFileSink(tempfile.mkdtemp(prefix="migrate_2pc_"))
+    q = (spark.readStream.format("ftbs_eventlog").option("path", root)
+         .load()
+         .writeStream.foreachBatch(sink.foreach_batch())
+         .option("checkpointLocation",
+                 tempfile.mkdtemp(prefix="migrate_2pc_ckpt_"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    landed = sink.committed_df(spark)
+    return enriched.to_df(), conversions.to_df(), landed, sink

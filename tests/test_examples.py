@@ -57,3 +57,57 @@ def test_migration_walkthrough_end_to_end(spark):
               .option("path", root).load().count())
     assert n_full == after_seek.count() + sum(examples.SEEK.values())
     after_seek.unpersist()
+
+
+def test_round7_extensions_walkthrough(spark):
+    """docs/migrate.md steps 4-6: async enrichment matches a relational
+    recompute exactly, CEP conversions match a brute-force Python
+    automaton over the raw log, and the 2PC landing zone holds the
+    whole log with every batch committed."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from flink_tutorial_broadcast_spark import examples
+
+    root = tempfile.mkdtemp(prefix="migrate_log_r7_")
+    examples.produce_demo_log(root, n_events=120)
+    enriched, conversions, landed, sink = \
+        examples.run_round7_extensions(spark, root)
+
+    # 4) async enrichment ≡ the relational twin of the fake service
+    from flink_tutorial_broadcast_spark.sources.rules import rules_df
+    raw = (spark.read.format("ftbs_eventlog").option("path", root)
+           .load())
+    rules = rules_df(spark)
+    want = (raw.join(F.broadcast(rules),
+                     (raw.event_type == rules.rule_event_type)
+                     & (raw.value > rules.threshold))
+            .select("event_id",
+                    F.when(F.col("value") >= 100.0, "big")
+                    .otherwise("small").alias("category")))
+    assert {(r.event_id, r.category) for r in enriched.collect()} \
+        == {(r.event_id, r.category) for r in want.collect()}
+    assert enriched.count() > 0
+
+    # 5) CEP conversions ≡ brute-force automaton on the sorted log
+    per_user: dict[int, list] = {}
+    for r in raw.collect():
+        per_user.setdefault(r.user_id, []).append(
+            (r.event_id, r.event_type))
+    expect = {}
+    for u, evs in per_user.items():
+        stage = cnt = 0
+        for _, ty in sorted(evs):
+            if stage == 0 and ty == "view":
+                stage = 1
+            elif stage == 1 and ty == "purchase":
+                cnt, stage = cnt + 1, 0
+        if cnt:
+            expect[u] = cnt
+    assert {r.user_id: r.n_matches
+            for r in conversions.collect()} == expect
+
+    # 6) the landing zone is complete and fully committed
+    assert landed.count() == raw.count()
+    assert sink.staged_uncommitted() == []
