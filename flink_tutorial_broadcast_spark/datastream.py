@@ -279,6 +279,17 @@ class DataStream:
         sides, then `process()` sees each key's rows from BOTH inputs."""
         return ConnectedStreams(self, other)
 
+    def join(self, other: "DataStream") -> "JoinedStreams":
+        """Windowed two-stream join [FLINK-API: DataStream.join(other)
+        .where(kL).equalTo(kR).window(TumblingEventTimeWindows.of(...))
+        .apply(fn)]: pairs of rows sharing the key AND the tumbling
+        window. The facade chain is
+        `a.join(b).where(...).equal_to(...).window_tumbling(time, unit)`
+        — compiling to ONE equi-join on (key, window bucket), both
+        sides bucketed in codegen (the C9 q_window_join layout at row
+        grain); Flink's apply(fn) is a `.map()` on the result."""
+        return JoinedStreams(self, other)
+
     def split(self, tags: dict[str, str],
               main_tag: str = "main") -> "SideOutputs":
         """Side outputs [FLINK-API: OutputTag + ctx.output]: ONE tagged
@@ -336,6 +347,53 @@ class SideOutputs:
         name = tag.name if isinstance(tag, OutputTag) else tag
         return DataStream(
             self._df.filter(F.col("__tag") == name).drop("__tag"))
+
+
+class JoinedStreams:
+    """Builder for `DataStream.join()` [FLINK-API: JoinedStreams]."""
+
+    def __init__(self, left: DataStream, right: DataStream):
+        self._left, self._right = left, right
+        self._lk: list[str] | None = None
+        self._rk: list[str] | None = None
+
+    def where(self, *cols: str) -> "JoinedStreams":
+        self._lk = list(cols)
+        return self
+
+    def equal_to(self, *cols: str) -> "JoinedStreams":
+        self._rk = list(cols)
+        return self
+
+    def window_tumbling(self, time_col: str, unit: str,
+                        right_time_col: str | None = None) -> DataStream:
+        """Equi-join row pairs sharing the keys and the `unit` tumbling
+        bucket of their event times. Colliding right-side column names
+        (other than its keys, which equal the left's values anyway) come
+        back suffixed `_r`. Adds `window_start`."""
+        if self._lk is None or self._rk is None:
+            raise ValueError("join() needs where(...) and equal_to(...) "
+                             "before the window verb")
+        if len(self._lk) != len(self._rk):
+            raise ValueError("where()/equal_to() key counts differ")
+        rt = right_time_col or time_col
+        l = self._left.df.withColumn(
+            "window_start", F.date_trunc(unit, F.col(time_col)))
+        r = self._right.df.withColumn(
+            "__w_r", F.date_trunc(unit, F.col(rt)))
+        # right keys are join-redundant; suffix remaining collisions
+        keep = [c for c in r.columns
+                if c not in set(self._rk) and c != "__w_r"]
+        renames = {c: f"{c}_r" for c in keep if c in l.columns}
+        for old, new in renames.items():
+            r = r.withColumnRenamed(old, new)
+        rk = [f"__rk_{i}" for i in range(len(self._rk))]
+        for tmp, orig in zip(rk, self._rk):
+            r = r.withColumnRenamed(orig, tmp)
+        cond = F.col("window_start") == F.col("__w_r")
+        for lc, tmp in zip(self._lk, rk):
+            cond = cond & (F.col(lc) == F.col(tmp))
+        return DataStream(l.join(r, cond).drop("__w_r", *rk))
 
 
 class ConnectedStreams:
@@ -444,6 +502,34 @@ class KeyedStream:
         wcol, wout = self._win
         out = self.df.groupBy(*[F.col(k) for k in self.keys], wcol).agg(*exprs)
         return DataStream(out.select(*self.keys, *wout, *list(aggs)))
+
+    def reduce(self, fn: Callable,
+               order_cols: tuple[str, ...] = ("ts", "event_id"),
+               ) -> DataStream:
+        """Flink `KeyedStream.reduce(ReduceFunction)` [FLINK-API]: an
+        associative pairwise merge `fn(acc_row, row) -> row` with
+        row-in ≡ row-out shape; the batch form emits each key's FINAL
+        reduced record (the last value the incremental Flink reduce
+        would emit), folding in deterministic `order_cols` order on the
+        Arrow slow path. SQL-expressible reductions (sums, min/max,
+        max_by) belong in `aggregate()` — this exists for ported
+        ReduceFunctions whose merge logic resists relational rewrite."""
+        self._no_pending_window("reduce")
+        import functools
+
+        keys = list(self.keys)
+        order = [c for c in order_cols]
+
+        def fold(key_vals, pdf):
+            import pandas as pd
+            rows = (pdf.sort_values(order).to_dict("records")
+                    if set(order) <= set(pdf.columns)
+                    else pdf.to_dict("records"))
+            return pd.DataFrame([functools.reduce(fn, rows)])
+
+        return DataStream(
+            self.df.groupBy(*keys).applyInPandas(
+                fold, self.df.schema))
 
     def reduce_sum(self, col: str) -> DataStream:
         return self.aggregate(**{f"sum_{col}": f"sum({col})"})

@@ -732,3 +732,67 @@ def test_facade_sliding_session_windows_guard_stacking(spark):
         ks.window_sliding("ts", "2 hours", "30 minutes")
     with pytest.raises(ValueError, match="aggregate"):
         ks.window_session("ts", "30 minutes")
+
+
+def test_facade_windowed_stream_join_matches_reference(spark):
+    """join().where().equal_to().window_tumbling() [FLINK-API:
+    JoinedStreams]: click/error row pairs sharing (user_id, hour) must
+    equal a hand-written bucketed equi-join exactly."""
+    env = StreamExecutionEnvironment.get_execution_environment(spark)
+    ev = load(spark, SF_SMOKE, "events")
+    clicks = env.from_dataframe(
+        ev.filter(F.col("event_type") == "click")
+        .select("user_id", "ts", "event_id", "value"))
+    errors = env.from_dataframe(
+        ev.filter(F.col("event_type") == "error")
+        .select("user_id", "ts", "event_id", "value"))
+    got = (clicks.join(errors).where("user_id").equal_to("user_id")
+           .window_tumbling("ts", "hour").to_df())
+    # colliding right columns suffixed _r; window_start added
+    assert {"user_id", "ts", "event_id", "value", "ts_r", "event_id_r",
+            "value_r", "window_start"} <= set(got.columns)
+
+    hr = lambda c: F.date_trunc("hour", F.col(c))
+    l = (ev.filter(F.col("event_type") == "click")
+         .select("user_id", F.col("event_id").alias("l_id"),
+                 hr("ts").alias("w")))
+    r = (ev.filter(F.col("event_type") == "error")
+         .select(F.col("user_id").alias("u2"),
+                 F.col("event_id").alias("r_id"), hr("ts").alias("w2")))
+    want = l.join(r, (l.user_id == r.u2) & (l.w == r.w2))
+    assert {(x.event_id, x.event_id_r) for x in got.collect()} \
+        == {(x.l_id, x.r_id) for x in want.collect()}
+    assert got.count() > 0
+
+    import pytest
+    with pytest.raises(ValueError, match="where"):
+        clicks.join(errors).window_tumbling("ts", "hour")
+
+
+def test_facade_keyed_reduce_matches_aggregate_twins(spark):
+    """KeyedStream.reduce(fn): an arbitrary Python ReduceFunction's
+    final record per key must equal the relational twin — max-by-value
+    (keep the richer row) and additive merge both checked."""
+    env = StreamExecutionEnvironment.get_execution_environment(spark)
+    ev = load(spark, SF_SMOKE, "events").select(
+        "user_id", "ts", "event_id", "value")
+    ks = env.from_dataframe(ev).key_by("user_id")
+
+    keep_max = ks.reduce(
+        lambda a, b: b if (b["value"], -b["event_id"])
+        > (a["value"], -a["event_id"]) else a).to_df()
+    want_max = (ev.groupBy("user_id")
+                .agg(F.expr("max_by(value, struct(value, -event_id))")
+                     .alias("value")))
+    assert {(r.user_id, r.value) for r in keep_max.collect()} \
+        == {(r.user_id, r.value) for r in want_max.collect()}
+
+    def add(a, b):
+        out = dict(b)  # Flink reduce: same row shape out
+        out["value"] = a["value"] + b["value"]
+        return out
+    summed = ks.reduce(add).to_df()
+    want_sum = ev.groupBy("user_id").agg(F.sum("value").alias("s"))
+    got = {r.user_id: round(r.value, 6) for r in summed.collect()}
+    want = {r.user_id: round(r.s, 6) for r in want_sum.collect()}
+    assert got == want
