@@ -531,6 +531,40 @@ class KeyedStream:
             self.df.groupBy(*keys).applyInPandas(
                 fold, self.df.schema))
 
+    def interval_join(self, other: "KeyedStream",
+                      lower: str, upper: str,
+                      time_col: str = "ts",
+                      other_time_col: str | None = None) -> DataStream:
+        """Flink `KeyedStream.intervalJoin(other).between(lower, upper)`
+        [FLINK-API: IntervalJoin]: row pairs sharing the key where the
+        other side's event time lies in [this.ts + lower, this.ts +
+        upper] — `interval_join(errors, "-5 minutes", "5 minutes")`.
+        Compiles to one equi-join on the key with the range predicate
+        filtered post-probe (the C7 q_interval_join layout); at horizon
+        ≫ per-key density the bucketed rewrite (q_range_join_bucketed)
+        applies unchanged. Colliding right columns come back suffixed
+        `_r`."""
+        self._no_pending_window("interval_join")
+        if len(self.keys) != len(other.keys):
+            raise ValueError("interval_join key counts differ")
+        ot = other_time_col or time_col
+        l = self.df
+        r = other.df
+        keep = [c for c in r.columns if c not in set(other.keys)]
+        renames = {c: f"{c}_r" for c in keep if c in l.columns}
+        for old, new in renames.items():
+            r = r.withColumnRenamed(old, new)
+        ot = renames.get(ot, ot)
+        rk = [f"__rk_{i}" for i in range(len(other.keys))]
+        for tmp, orig in zip(rk, other.keys):
+            r = r.withColumnRenamed(orig, tmp)
+        cond = (
+            (F.col(ot) >= F.col(time_col) + F.expr(f"INTERVAL {lower}"))
+            & (F.col(ot) <= F.col(time_col) + F.expr(f"INTERVAL {upper}")))
+        for lc, tmp in zip(self.keys, rk):
+            cond = cond & (F.col(lc) == F.col(tmp))
+        return DataStream(l.join(r, cond).drop(*rk))
+
     def reduce_sum(self, col: str) -> DataStream:
         return self.aggregate(**{f"sum_{col}": f"sum({col})"})
 

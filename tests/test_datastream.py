@@ -796,3 +796,29 @@ def test_facade_keyed_reduce_matches_aggregate_twins(spark):
     got = {r.user_id: round(r.value, 6) for r in summed.collect()}
     want = {r.user_id: round(r.s, 6) for r in want_sum.collect()}
     assert got == want
+
+
+def test_facade_interval_join_matches_oracle_key(spark, queries):
+    """key_by(u).interval_join(other, "-5 minutes", "5 minutes")
+    [FLINK-API: KeyedStream.intervalJoin.between] == the oracle-backed
+    q_interval_join pairs exactly."""
+    env = StreamExecutionEnvironment.get_execution_environment(spark)
+    ev = load(spark, SF_SMOKE, "events")
+    purchases = (env.from_dataframe(
+        ev.filter(F.col("event_type") == "purchase")
+        .select("user_id", "ts", "event_id"))
+        .key_by("user_id"))
+    errors = (env.from_dataframe(
+        ev.filter(F.col("event_type") == "error")
+        .select("user_id", "ts", "event_id"))
+        .key_by("user_id"))
+    got = purchases.interval_join(
+        errors, "-5 minutes", "5 minutes").to_df()
+    assert {"user_id", "ts", "event_id", "ts_r", "event_id_r"} \
+        <= set(got.columns)
+    want = queries["q_interval_join"](spark, SF_SMOKE)
+    assert {(r.user_id, r.event_id, r.event_id_r)
+            for r in got.collect()} \
+        == {(r.user_id, r.purchase_id, r.error_id)
+            for r in want.collect()}
+    assert got.count() > 0

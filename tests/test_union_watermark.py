@@ -135,3 +135,57 @@ def test_union_watermark_max_policy_outruns_flink(spark):
     last_min = max(r["w_end"] for r in rows_min)
     released = [r for r in rows_max if r["w_end"] > last_min]
     assert released  # the extra windows are the held-back 2h tail
+
+
+def test_union_idle_source_stalls_default_watermark(spark):
+    """Flink's withIdleness has NO Spark equivalent, and the gap is
+    observable: a union input that produces NO data keeps watermark 0,
+    so the default min policy never finalizes ANY window (append mode
+    emits nothing) even though the active source delivered everything.
+    policy=max is the engine's workaround (the active source drives).
+    Documented as divergences.md row 11."""
+    ev = (load(spark, SF_SMOKE, "events")
+          .select("ts", "user_id", F.unix_micros("ts").alias("__us")))
+    d_active = tempfile.mkdtemp(prefix="uwm_active_")
+    d_idle = tempfile.mkdtemp(prefix="uwm_idle_")
+    _timed_files(ev, d_active)
+    # the idle source: one schema-bearing file with ZERO rows
+    (ev.filter(F.lit(False)).drop("__us")
+     .coalesce(1).write.parquet(os.path.join(d_idle, "f=0")))
+
+    def run(policy):
+        prev = spark.conf.get(
+            "spark.sql.streaming.multipleWatermarkPolicy", None)
+        if policy:
+            spark.conf.set(
+                "spark.sql.streaming.multipleWatermarkPolicy", policy)
+        try:
+            def src(d):
+                return (spark.readStream
+                        .schema("ts timestamp, user_id long")
+                        .option("maxFilesPerTrigger", "1")
+                        .option("recursiveFileLookup", "true")
+                        .parquet(d)
+                        .withWatermark("ts", "0 seconds"))
+            agg = (src(d_active).union(src(d_idle))
+                   .groupBy(F.window("ts", "1 hour").alias("w"))
+                   .agg(F.count("*").alias("n")))
+            name = f"uwmidle_{policy or 'd'}_{int(time.time() * 1000)}"
+            q = (agg.writeStream.format("memory").queryName(name)
+                 .outputMode("append")
+                 .option("checkpointLocation", checkpoint_dir())
+                 .trigger(availableNow=True).start())
+            q.awaitTermination()
+            return spark.sql(f"SELECT * FROM {name}").count()
+        finally:
+            if policy:
+                if prev is None:
+                    spark.conf.unset(
+                        "spark.sql.streaming.multipleWatermarkPolicy")
+                else:
+                    spark.conf.set(
+                        "spark.sql.streaming.multipleWatermarkPolicy",
+                        prev)
+
+    assert run(None) == 0      # the idle input stalls event time
+    assert run("max") > 0      # the workaround releases the windows
