@@ -155,9 +155,13 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     the edge list (≤ N² nation pairs) and rank vector (N rows) are tiny
     FOREVER regardless of fact-table size — the only big work is the one
     edge-building join pass, after which iteration cost is independent of
-    corpus scale. `localCheckpoint` truncates lineage per round (same
-    pattern as q_dup_clusters); the transition matrix is checkpointed
-    once and reused by all 5 rounds instead of re-running the 4-way join.
+    corpus scale. The transition matrix is checkpointed once (and
+    coalesced to ONE partition — ≤ N² rows forever) and reused by all 5
+    rounds instead of re-running the 4-way join; with the round count
+    fixed at 5 the rank vector checkpoints only at the END (plan depth
+    stays bounded), cutting five materialization jobs — a variable-round
+    caller should checkpoint periodically instead (the facade iterate()
+    verb keeps checkpoint_every for exactly that).
     """
     li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
     o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
@@ -172,19 +176,20 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     outw = e.groupBy("src").agg(F.sum("w").alias("tw"))
     t = (e.join(outw, "src")
          .select("src", "dst", (F.col("w") / F.col("tw")).alias("p"))
-         .localCheckpoint(eager=True))
+         .coalesce(1).localCheckpoint(eager=True))
     nodes = load(spark, sf_dir, "nation").select(
-        F.col("n_nationkey").alias("node"))
+        F.col("n_nationkey").alias("node")).coalesce(1)
     r = nodes.withColumn("r", F.lit(1.0 / 25))
-    for _ in range(5):
+    for i in range(1, 6):
         contrib = (t.join(r.withColumnRenamed("node", "src"), "src")
                    .groupBy(F.col("dst").alias("node"))
                    .agg(F.sum(F.col("p") * F.col("r")).alias("m")))
         r = (nodes.join(contrib, "node", "left")
              .select("node",
                      (F.lit(0.15 / 25)
-                      + 0.85 * F.coalesce(F.col("m"), F.lit(0.0))).alias("r"))
-             .localCheckpoint(eager=True))
+                      + 0.85 * F.coalesce(F.col("m"), F.lit(0.0))).alias("r")))
+        if i == 5:
+            r = r.coalesce(1).localCheckpoint(eager=True)
     return r.select(F.col("node").alias("nationkey"),
                     F.round("r", 6).alias("rank"))
 
