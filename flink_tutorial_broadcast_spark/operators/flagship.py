@@ -217,6 +217,78 @@ def q_facade_program(spark: SparkSession, sf_dir: str) -> DataFrame:
             .to_df())
 
 
+@query(
+    "q_stream_join_facade",
+    oracle="""
+    SELECT c.user_id AS user_id,
+           date_trunc('hour', CAST(c.ts AS TIMESTAMP)) AS window_start,
+           c.event_id AS click_id, e.event_id AS error_id
+    FROM events c JOIN events e
+      ON c.user_id = e.user_id
+     AND date_trunc('hour', CAST(c.ts AS TIMESTAMP))
+         = date_trunc('hour', CAST(e.ts AS TIMESTAMP))
+    WHERE c.event_type = 'click' AND e.event_type = 'error'
+    """,
+)
+def q_stream_join_facade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Flink windowed two-stream join written through the facade
+    [FLINK-API: a.join(b).where(kL).equalTo(kR).window(
+    TumblingEventTimeWindows.of(Time.hours(1))).apply(fn)]: click/error
+    row pairs sharing (user, hour), compiled to ONE codegen equi-join
+    on (key, bucket) — driver-verifiable proof of the JoinedStreams
+    verb (row-grain C9; the aggregated form is q_window_join)."""
+    from flink_tutorial_broadcast_spark.datastream import (
+        StreamExecutionEnvironment,
+    )
+    env = StreamExecutionEnvironment.get_execution_environment(spark)
+    ev = load(spark, sf_dir, "events")
+    clicks = env.from_dataframe(
+        ev.filter(F.col("event_type") == "click")
+        .select("user_id", "ts", "event_id"))
+    errors = env.from_dataframe(
+        ev.filter(F.col("event_type") == "error")
+        .select("user_id", "ts", "event_id"))
+    return (clicks.join(errors).where("user_id").equal_to("user_id")
+            .window_tumbling("ts", "hour")
+            .to_df()
+            .select("user_id", "window_start",
+                    F.col("event_id").alias("click_id"),
+                    F.col("event_id_r").alias("error_id")))
+
+
+@query(
+    "q_reduce_facade",
+    oracle="""
+    SELECT user_id, event_id, value FROM (
+      SELECT user_id, event_id, value,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY value DESC, event_id ASC) AS rn
+      FROM events
+    ) WHERE rn = 1
+    """,
+)
+def q_reduce_facade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flink KeyedStream.reduce(ReduceFunction) through the facade: an
+    arbitrary Python pairwise merge (keep the richer record, event_id
+    breaking value ties) folded per key in deterministic order — the
+    ported-ReduceFunction surface, driver-verified against the
+    relational max_by twin. Row-in = row-out per the Flink contract;
+    the fold runs on the Arrow grouped-map path (one key shuffle)."""
+    from flink_tutorial_broadcast_spark.datastream import (
+        StreamExecutionEnvironment,
+    )
+    env = StreamExecutionEnvironment.get_execution_environment(spark)
+    ev = load(spark, sf_dir, "events").select("user_id", "ts", "event_id", "value")
+
+    def richer(a, b):
+        return b if (b["value"], -b["event_id"]) > (a["value"], -a["event_id"]) else a
+
+    return (env.from_dataframe(ev).key_by("user_id")
+            .reduce(richer)
+            .to_df()
+            .select("user_id", "event_id", "value"))
+
+
 def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> DataFrame:
     """Entry-point flagship for the driver's t1 smoke check."""
     return q_broadcast_rule_join(spark, sf_dir)
