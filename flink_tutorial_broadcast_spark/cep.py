@@ -371,14 +371,18 @@ def compile_pattern_matches(pat: Pattern, df: DataFrame,
     carries (stage, anchor bindings, completed-match array) and the
     match array posexplodes to rows — rows = matches, never events²."""
     fam = pat._family()
-    if fam not in ("relaxed", "relaxed_within"):
+    if fam not in ("relaxed", "relaxed_within", "fork"):
         raise NotImplementedError(
             "pattern_matches() extracts bindings for relaxed "
-            "followed_by chains under skip-past-last (within() "
-            "optional); use pattern() for counts of the other families")
+            "followed_by chains — skip-past-last (within() optional) "
+            "and no_skip(); use pattern() for counts of the other "
+            "families")
     if len(pat.stages) < 2:
         raise ValueError("pattern_matches() needs at least two stages "
                          "(a single-stage pattern is a filter)")
+    if fam == "fork":
+        return _fork_matches(pat, df, keys, time_col, tiebreak_col,
+                             event_col)
     K = len(pat.stages)
     w = pat.within_us
     seq = _seq(pat, time_col, tiebreak_col, event_col)
@@ -412,6 +416,64 @@ def compile_pattern_matches(pat: Pattern, df: DataFrame,
              .alias("anchor_t"),
             F.when(done, F.concat(acc["matches"], F.array(m)))
              .otherwise(acc["matches"]).alias("matches"))
+
+    folded = df.groupBy(*keys).agg(
+        F.aggregate(seq, init, step)["matches"].alias("matches"))
+    return (folded.select(*keys, F.posexplode("matches"))
+            .select(*keys,
+                    (F.col("pos") + 1).cast("long").alias("match_no"),
+                    F.col("col.start_id").alias("start_event_id"),
+                    F.col("col.end_id").alias("end_event_id"),
+                    F.col("col.span_us").alias("span_us")))
+
+
+def _fork_matches(pat, df, keys, time_col, tiebreak_col, event_col):
+    """Match extraction for the FORKING NFA (noSkip): every open anchor
+    completed by a closing event emits its own match row, so one
+    purchase may close several overlapping matches [FLINK-API:
+    PatternStream.select under AfterMatchSkipStrategy.noSkip]. The
+    anchor arrays carry (t, id) structs; expiry prunes before each
+    transition; matches posexplode to rows — rows = matches, never
+    events²."""
+    K = len(pat.stages)
+    w = pat.within_us
+    seq = _seq(pat, time_col, tiebreak_col, event_col)
+    anchor_t = "array<struct<t:bigint,id:bigint>>"
+    empty_anchors = F.expr(f"CAST(array() AS {anchor_t})")
+    empty_matches = F.expr(
+        "CAST(array() AS array<struct<start_id:bigint,end_id:bigint,"
+        "span_us:bigint>>)")
+    init = F.struct(empty_matches.alias("matches"),
+                    *[empty_anchors.alias(f"s{i}") for i in range(1, K)])
+
+    def step(acc, x):
+        if w is None:
+            filt = {i: acc[f"s{i}"] for i in range(1, K)}
+        else:
+            filt = {i: F.filter(acc[f"s{i}"],
+                                lambda a: x["t"] - a["t"] <= w)
+                    for i in range(1, K)}
+        closed = F.transform(
+            filt[K - 1],
+            lambda a: F.struct(a["id"].alias("start_id"),
+                               x["eid"].alias("end_id"),
+                               (x["t"] - a["t"]).alias("span_us")))
+        fields = [
+            F.when(x["c"] == K, F.concat(acc["matches"], closed))
+            .otherwise(acc["matches"]).alias("matches")]
+        for i in range(1, K):
+            if i == 1:
+                grown = F.concat(
+                    filt[1],
+                    F.array(F.struct(x["t"].alias("t"),
+                                     x["eid"].alias("id"))))
+            else:
+                grown = F.concat(filt[i], filt[i - 1])
+            col = (F.when(x["c"] == i, grown)
+                   .when(x["c"] == i + 1, empty_anchors)
+                   .otherwise(filt[i]))
+            fields.append(col.alias(f"s{i}"))
+        return F.struct(*fields)
 
     folded = df.groupBy(*keys).agg(
         F.aggregate(seq, init, step)["matches"].alias("matches"))

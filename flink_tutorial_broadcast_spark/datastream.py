@@ -602,7 +602,9 @@ class KeyedStream:
         MATCH_RECOGNIZE MEASURES]: one row per completed match with its
         bindings (per-key match number, anchoring and closing event
         ids, span in µs) instead of pattern()'s counts. Batch inputs
-        only; relaxed followed_by chains (within() optional)."""
+        only; relaxed followed_by chains under skip-past-last (within()
+        optional) AND under no_skip(), where one closing event may
+        complete several overlapping matches."""
         self._no_pending_window("pattern_matches")
         from flink_tutorial_broadcast_spark.cep import (
             compile_pattern_matches,

@@ -300,3 +300,32 @@ def test_pattern_guards_repeated_types_and_empty_quantifier(spark):
     # strict chains DO support repeats (regex path): view>view counts
     strict_rep = Pattern.begin("a", "view").next("b", "view")
     assert ks.pattern(strict_rep).to_df().count() >= 0
+
+
+def test_pattern_matches_forking_bindings_and_count_consistency(
+        spark, queries):
+    """Fork-family pattern_matches(): per-user match counts must equal
+    the oracle-checked q_cep_followed_by_all, every binding's span must
+    respect the horizon, and at least one closing event must complete
+    SEVERAL overlapping matches (the noSkip signature)."""
+    from collections import Counter
+
+    pat = (Pattern.begin("v", "view")
+           .followed_by("c", "click")
+           .followed_by("p", "purchase")
+           .within("48 hours").no_skip())
+    got = (_env(spark).from_dataframe(load(spark, SF_SMOKE, "events"))
+           .key_by("user_id").pattern_matches(pat).to_df().collect())
+    want = {r.user_id: r.n_matches for r in
+            queries["q_cep_followed_by_all"](spark, SF_SMOKE).collect()}
+    assert dict(Counter(r.user_id for r in got)) == want
+    assert all(0 <= r.span_us <= 48 * 3600 * 1_000_000 for r in got)
+    shared_close = Counter((r.user_id, r.end_event_id) for r in got)
+    assert max(shared_close.values()) > 1  # one close, many matches
+    # distinct anchors within a (user, close) group — forked, not dupes
+    for (u, e), n in shared_close.items():
+        if n > 1:
+            starts = [r.start_event_id for r in got
+                      if r.user_id == u and r.end_event_id == e]
+            assert len(set(starts)) == n
+            break

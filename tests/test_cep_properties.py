@@ -163,3 +163,57 @@ def test_cep_relaxed_within_machine_matches_python_nfa(spark, rows):
     want = {u: _ref_relaxed_within(seq, stages, 48 * 60)
             for u, seq in _per_user_ordered(rows).items()}
     assert got == {u: n for u, n in want.items() if n > 0}
+
+
+def _ref_fork_matches(seq_full, stages, within_min):
+    """Forking NFA collecting bindings: anchors are (minute, event_id);
+    every surviving penultimate-stage anchor completes on the closing
+    event."""
+    K = len(stages)
+    sets = [[] for _ in range(K - 1)]
+    out = []
+    for m, eid, ty in seq_full:
+        if within_min is not None:
+            sets = [[a for a in s if m - a[0] <= within_min]
+                    for s in sets]
+        if ty == stages[0]:
+            sets[0] = sets[0] + [(m, eid)]
+        for i in range(1, K - 1):
+            if ty == stages[i]:
+                sets[i] = sets[i] + sets[i - 1]
+                sets[i - 1] = []
+        if ty == stages[K - 1]:
+            out.extend((a_eid, eid, (m - a_m) * 60)
+                       for a_m, a_eid in sets[K - 2])
+            sets[K - 2] = []
+    return out
+
+
+@settings(max_examples=10, deadline=None)
+@given(rows=seq_strategy)
+def test_cep_fork_matches_bindings_match_python_nfa(spark, rows):
+    """pattern_matches() under no_skip(): the full per-key binding
+    multiset (anchor id, closing id, span seconds) equals the Python
+    forking NFA's."""
+    pat = (Pattern.begin("a", "view").followed_by("b", "click")
+           .followed_by("c", "purchase").within("48 hours").no_skip())
+    env = StreamExecutionEnvironment.get_execution_environment(spark)
+    got_rows = (env.from_dataframe(_mk(spark, rows))
+                .key_by("user_id").pattern_matches(pat)
+                .to_df().collect())
+    got = {}
+    for r in got_rows:
+        got.setdefault(r["user_id"], []).append(
+            (r["start_event_id"], r["end_event_id"],
+             r["span_us"] // 1_000_000))
+    per = {}
+    for i, (u, m, t) in enumerate(rows):
+        per.setdefault(u, []).append((m, i, TYPES[t]))
+    want = {}
+    for u, evs in per.items():
+        res = _ref_fork_matches(sorted(evs),
+                                ["view", "click", "purchase"], 48 * 60)
+        if res:
+            want[u] = res
+    assert {u: sorted(v) for u, v in got.items()} \
+        == {u: sorted(v) for u, v in want.items()}
