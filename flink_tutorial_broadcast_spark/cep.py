@@ -14,9 +14,13 @@ and the pattern COMPILES to the engine's oracle-backed plans (the
 sequence_ops.py machines — test-pinned equal to q_cep_times,
 q_cep_followed_by, q_cep_followed_by_all, q_cep_not_followed_by):
 
-- strict `next` chains (with `times(n)` / `one_or_more()` quantifiers)
-  → one per-key path string + regex count, all codegen, one shuffle
-  (sequence_ops.q_cep_times / q_cep_one_or_more shape);
+- strict `next` chains (with `times(n)` / `one_or_more()` quantifiers,
+  including on the BEGIN stage) → one per-key path of single-char stage
+  codes + regex count, all codegen, one shuffle (sequence_ops.q_cep_times
+  / q_cep_one_or_more shape). Event types map to code chars BEFORE the
+  regex is built, so types that are substrings of each other
+  ('click' in 'doubleclick') or contain regex metacharacters can never
+  corrupt the count;
 - relaxed `followed_by` chains under the default AFTER MATCH SKIP PAST
   LAST EVENT → a K-stage integer automaton folded with F.aggregate
   (sequence_ops.q_cep_followed_by shape, generalized to K stages);
@@ -29,17 +33,38 @@ q_cep_followed_by, q_cep_followed_by_all, q_cep_not_followed_by):
 - `begin(a).not_followed_by(b).within(d)` → a LEFT ANTI time-band join
   (q_cep_not_followed_by shape) returning the absent-match anchors.
 
+All relaxed machines key transitions by STAGE INDEX (each stage carries
+its awaited type code; advancement compares the event's type code to
+`stage_codes[stage]`), so the same event type may appear in several
+stages — the login→login→alert shape the Flink CEP docs open with
+compiles rather than raising. `times(n)` on a followed_by (or begin)
+stage compiles by stage EXPANSION — Flink's default RELAXED internal
+contiguity for quantifiers [FLINK-API: Quantifier, consecutive()] makes
+times(n) exactly equivalent to n copies of the stage — while
+`one_or_more()` under relaxed contiguity stays refused (unbounded
+greedy loops need the full NFA).
+
 On a STREAMING keyed input the same Pattern compiles to the keyed-state
 NFA twin (applyInPandasWithState; update-mode running counts) — the
 machine streaming/jobs.cep_followed_by[_all]_stream pins across
-micro-batch boundaries, generalized to K stages.
+micro-batch boundaries, generalized to K stages. `pattern_matches()`
+also runs on streams: the steppers carry anchor (t, id) bindings in
+state and APPEND one row per newly-completed match, converging to the
+batch bindings.
 
-Combinations outside these four families raise NotImplementedError
-naming the nearest supported form — never a silently-wrong answer.
+Combinations outside these families raise NotImplementedError naming
+the nearest supported form — never a silently-wrong answer.
+
+Horizon boundary: `within(d)` here keeps a partial alive while
+`t - anchor <= d` (a match completing exactly at the horizon COUNTS),
+whereas Flink's NFA prunes at `t - start >= windowTime` (exactly-at-
+horizon loses). The inclusive choice is applied consistently across
+batch folds, streaming steppers, match extraction, and the absence
+anti-join — pinned as docs/divergences.md row 12.
 """
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass, field, replace
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -152,6 +177,17 @@ class Pattern:
                     "not_followed_by needs within(): absence over an "
                     "unbounded future never completes")
             return "absence"
+        if len(self.stages) == 1 and (self.stages[0].times or 0) > 1:
+            # a quantified single stage follows Flink's DEFAULT relaxed
+            # internal contiguity [FLINK-API: Quantifier] — expansion
+            # into the relaxed machines; quantifiers on explicit next()
+            # stages stay strict-internal (the consecutive() reading
+            # the q_cep_times oracle pins)
+            if self.skip == "no_skip":
+                return "fork"
+            if self.within_us is not None:
+                return "relaxed_within"
+            return "relaxed"
         if all(c == "next" for c in cont):
             if self.skip == "no_skip":
                 raise NotImplementedError(
@@ -165,17 +201,13 @@ class Pattern:
                     "or use followed_by")
             return "strict"
         if all(c == "followed_by" for c in cont):
-            if quant:
+            if any(s.one_or_more for s in self.stages):
                 raise NotImplementedError(
-                    "times()/one_or_more() quantifiers compile only "
-                    "under strict next() contiguity (the regex path)")
-            types = [s.event_type for s in self.stages]
-            if len(set(types)) != len(types):
-                raise NotImplementedError(
-                    "repeated event types across followed_by stages "
-                    "are not compiled (the stage machines key "
-                    "transitions by event type); use next() chains, "
-                    "which compile via the path regex")
+                    "one_or_more() under relaxed followed_by contiguity "
+                    "is not compiled (an unbounded greedy loop); use "
+                    "times(n) — which expands to n relaxed stages, "
+                    "Flink's default internal contiguity — or a strict "
+                    "next() chain (the regex path)")
             if self.skip == "no_skip":
                 return "fork"
             if self.within_us is not None:
@@ -184,6 +216,23 @@ class Pattern:
         raise NotImplementedError(
             "mixed next/followed_by contiguity in one pattern is not "
             "compiled — split the pattern or pick one contiguity")
+
+    def _expanded(self) -> "Pattern":
+        """Resolve times(n) on relaxed-family stages by STAGE EXPANSION:
+        Flink's default internal contiguity for quantifiers is relaxed
+        [FLINK-API: Quantifier], so followed_by(b).times(3) is exactly
+        b FOLLOWED-BY b FOLLOWED-BY b. Strict chains keep their
+        quantifiers (the regex applies them natively)."""
+        out: list[_Stage] = []
+        for s in self.stages:
+            n = s.times or 1
+            first = replace(s, times=None)
+            out.append(first)
+            for j in range(1, n):
+                out.append(_Stage(f"{s.name}#{j}", s.event_type,
+                                  "followed_by"))
+        return Pattern(stages=out, within_us=self.within_us,
+                       skip=self.skip)
 
 
 def compile_pattern(pat: Pattern, df: DataFrame, keys: list[str],
@@ -198,6 +247,7 @@ def compile_pattern(pat: Pattern, df: DataFrame, keys: list[str],
     if fam == "strict":
         return _strict_regex(pat, df, keys, time_col, tiebreak_col,
                              event_col)
+    pat = pat._expanded()
     if fam == "relaxed":
         return _relaxed_machine(pat, df, keys, time_col, tiebreak_col,
                                 event_col)
@@ -207,37 +257,72 @@ def compile_pattern(pat: Pattern, df: DataFrame, keys: list[str],
     return _fork_machine(pat, df, keys, time_col, tiebreak_col, event_col)
 
 
-def _codes(pat: Pattern):
-    """stage event_type → 1-based stage code (0 = irrelevant event)."""
-    return {s.event_type: i + 1 for i, s in enumerate(pat.stages)}
+def _type_codes(pat: Pattern) -> dict[str, int]:
+    """DISTINCT event types in stage order → 1-based type code
+    (0 = event irrelevant to the pattern). Repeated types share one
+    code — transitions are keyed by STAGE, not by type."""
+    codes: dict[str, int] = {}
+    for s in pat.stages:
+        if s.event_type not in codes:
+            codes[s.event_type] = len(codes) + 1
+    return codes
+
+
+def _stage_codes(pat: Pattern) -> list[int]:
+    """Per-stage awaited type code, index-aligned with pat.stages."""
+    codes = _type_codes(pat)
+    return [codes[s.event_type] for s in pat.stages]
 
 
 def _strict_regex(pat, df, keys, time_col, tiebreak_col, event_col):
-    # one per-key ordered path, one regex count — q_cep_times shape
-    parts = [pat.stages[0].event_type]
-    for s in pat.stages[1:]:
-        unit = f"(>{s.event_type})"
+    # one per-key ordered path of SINGLE-CHAR stage codes, one regex
+    # count — q_cep_times shape. Types are mapped to code chars before
+    # the regex exists, so user-supplied type strings can never inject
+    # metacharacters, and a type that is a substring/suffix of another
+    # ('click' vs 'doubleclick') gets a distinct char — no partial-token
+    # matches. Events outside the pattern's alphabet become '-', which
+    # correctly breaks strict contiguity.
+    tcodes = _type_codes(pat)
+    # letters only — no regex metacharacters can enter the pattern
+    alphabet = ("ABCDEFGHIJKLMNOPQRSTUVWXYZ"
+                "abcdefghijklmnopqrstuvwxyz")
+    if len(tcodes) > len(alphabet):
+        raise NotImplementedError(
+            "strict chains compile to a single-char code alphabet "
+            f"(max {len(alphabet)} distinct event types)")
+    char = {t: alphabet[c - 1] for t, c in tcodes.items()}
+
+    def unit(s):
+        c = char[s.event_type]
         if s.times:
-            parts.append(unit + "{%d}" % s.times)
-        elif s.one_or_more:
-            parts.append(unit + "+")
-        else:
-            parts.append(">" + s.event_type)
-    regex = "(" + "".join(parts) + ")"
+            return f"{c}{{{s.times}}}"
+        if s.one_or_more:
+            return c + "+"
+        return c
+
+    regex = "(" + "".join(unit(s) for s in pat.stages) + ")"
+    code_col = F.lit("-")
+    for t, c in char.items():
+        code_col = F.when(F.col(event_col) == t, F.lit(c)) \
+            .otherwise(code_col)
     paths = df.groupBy(*keys).agg(
         F.array_join(
             F.transform(
                 F.array_sort(F.collect_list(
-                    F.struct(time_col, tiebreak_col, event_col))),
-                lambda x: x[event_col]),
-            ">").alias("__path"))
+                    F.struct(time_col, tiebreak_col,
+                             code_col.alias("__code")))),
+                lambda x: x["__code"]),
+            "").alias("__path"))
     n = F.size(F.regexp_extract_all("__path", F.lit(regex), 1))
     return (paths.select(*keys, n.cast("long").alias("n_matches"))
             .filter(F.col("n_matches") > 0))
 
 
 def _seq(pat, time_col, tiebreak_col, event_col):
-    code = _codes(pat)
+    """Per-key (t, eid, tc) event array in (ts, tiebreak) order; tc is
+    the TYPE code (0 = irrelevant) — stage machines compare it against
+    their per-stage awaited code."""
+    code = _type_codes(pat)
     c = F.lit(0)
     for etype, i in code.items():
         c = F.when(F.col(event_col) == etype, F.lit(i)).otherwise(c)
@@ -247,16 +332,25 @@ def _seq(pat, time_col, tiebreak_col, event_col):
         c.alias("c"))))
 
 
+def _need(pat: Pattern):
+    """stage_codes as an array column: `F.get(arr, stage)` (0-based)
+    yields the type code the machine awaits at `stage` completed
+    stages — the stage-index transition key that makes repeated event
+    types compile."""
+    return F.array(*[F.lit(c) for c in _stage_codes(pat)])
+
+
 def _relaxed_machine(pat, df, keys, time_col, tiebreak_col, event_col):
     # K-stage single-anchor automaton under SKIP PAST LAST EVENT —
     # q_cep_followed_by generalized; acc = (matches, stage), O(1) state
     K = len(pat.stages)
     seq = _seq(pat, time_col, tiebreak_col, event_col)
+    need = _need(pat)
     init = F.struct(F.lit(0).cast("long").alias("cnt"),
                     F.lit(0).alias("stage"))
 
     def step(acc, x):
-        adv = x["c"] == acc["stage"] + 1
+        adv = x["c"] == F.get(need, acc["stage"])
         done = adv & (acc["stage"] == K - 1)
         return F.struct(
             F.when(done, acc["cnt"] + 1).otherwise(acc["cnt"])
@@ -279,6 +373,7 @@ def _relaxed_within_machine(pat, df, keys, time_col, tiebreak_col,
     K = len(pat.stages)
     w = pat.within_us
     seq = _seq(pat, time_col, tiebreak_col, event_col)
+    need = _need(pat)
     init = F.struct(F.lit(0).cast("long").alias("cnt"),
                     F.lit(0).alias("stage"),
                     F.lit(0).cast("long").alias("anchor"))
@@ -287,7 +382,7 @@ def _relaxed_within_machine(pat, df, keys, time_col, tiebreak_col,
         stage = F.when(
             (acc["stage"] > 0) & (x["t"] - acc["anchor"] > w),
             F.lit(0)).otherwise(acc["stage"])
-        adv = x["c"] == stage + 1
+        adv = x["c"] == F.get(need, stage)
         done = adv & (stage == K - 1)
         return F.struct(
             F.when(done, acc["cnt"] + 1).otherwise(acc["cnt"])
@@ -295,7 +390,7 @@ def _relaxed_within_machine(pat, df, keys, time_col, tiebreak_col,
             F.when(done, F.lit(0))
              .when(adv, stage + 1)
              .otherwise(stage).alias("stage"),
-            F.when((stage == 0) & (x["c"] == 1), x["t"])
+            F.when((stage == 0) & adv, x["t"])
              .otherwise(acc["anchor"]).alias("anchor"))
 
     fold = F.aggregate(seq, init, step)
@@ -305,9 +400,14 @@ def _relaxed_within_machine(pat, df, keys, time_col, tiebreak_col,
 
 def _fork_machine(pat, df, keys, time_col, tiebreak_col, event_col):
     # forking NFA (noSkip): state = K-1 open-anchor arrays + count —
-    # q_cep_followed_by_all generalized to K stages
+    # q_cep_followed_by_all generalized to K stages. Every field reads
+    # the PRE-event snapshot, so an event whose type matches two
+    # adjacent stages (repeated types, a→a) simultaneously drains a set
+    # upward and refills it from below — the Flink NFA's one-event-many-
+    # transitions behavior.
     K = len(pat.stages)
     w = pat.within_us
+    st = _stage_codes(pat)
     seq = _seq(pat, time_col, tiebreak_col, event_col)
     empty = F.array().cast("array<long>")
     init = F.struct(F.lit(0).cast("long").alias("cnt"),
@@ -319,18 +419,18 @@ def _fork_machine(pat, df, keys, time_col, tiebreak_col, event_col):
         else:
             filt = {i: F.filter(acc[f"s{i}"], lambda a: x["t"] - a <= w)
                     for i in range(1, K)}
+        match = {i: x["c"] == F.lit(st[i - 1]) for i in range(1, K + 1)}
         fields = [
-            F.when(x["c"] == K,
+            F.when(match[K],
                    acc["cnt"] + F.size(filt[K - 1]).cast("long"))
             .otherwise(acc["cnt"]).alias("cnt")]
         for i in range(1, K):
-            if i == 1:
-                grown = F.concat(filt[1], F.array(x["t"]))
-            else:
-                grown = F.concat(filt[i], filt[i - 1])
-            col = (F.when(x["c"] == i, grown)
-                   .when(x["c"] == i + 1, empty)
-                   .otherwise(filt[i]))
+            # stage i's set: drained if the NEXT stage matched, then
+            # grown if THIS stage matched — both against the snapshot
+            base = F.when(match[i + 1], empty).otherwise(filt[i])
+            incoming = (F.array(x["t"]) if i == 1 else filt[i - 1])
+            col = (F.when(match[i], F.concat(base, incoming))
+                   .otherwise(base))
             fields.append(col.alias(f"s{i}"))
         return F.struct(*fields)
 
@@ -380,12 +480,14 @@ def compile_pattern_matches(pat: Pattern, df: DataFrame,
     if len(pat.stages) < 2:
         raise ValueError("pattern_matches() needs at least two stages "
                          "(a single-stage pattern is a filter)")
+    pat = pat._expanded()
     if fam == "fork":
         return _fork_matches(pat, df, keys, time_col, tiebreak_col,
                              event_col)
     K = len(pat.stages)
     w = pat.within_us
     seq = _seq(pat, time_col, tiebreak_col, event_col)
+    need = _need(pat)
     empty = F.expr(
         "CAST(array() AS array<struct<start_id:bigint,end_id:bigint,"
         "span_us:bigint>>)")
@@ -400,12 +502,14 @@ def compile_pattern_matches(pat: Pattern, df: DataFrame,
             stage = F.when(
                 (stage > 0) & (x["t"] - acc["anchor_t"] > w),
                 F.lit(0)).otherwise(stage)
-        adv = x["c"] == stage + 1
+        adv = x["c"] == F.get(need, stage)
         done = adv & (stage == K - 1)
-        starts = (stage == 0) & (x["c"] == 1)
+        starts = (stage == 0) & adv
         m = F.struct(acc["anchor_id"].alias("start_id"),
                      x["eid"].alias("end_id"),
                      (x["t"] - acc["anchor_t"]).alias("span_us"))
+        # a K=1-expanded edge can't occur (>=2 stages guarded above),
+        # so `starts` and `done` never coincide
         return F.struct(
             F.when(done, F.lit(0))
              .when(adv, stage + 1)
@@ -437,6 +541,7 @@ def _fork_matches(pat, df, keys, time_col, tiebreak_col, event_col):
     events²."""
     K = len(pat.stages)
     w = pat.within_us
+    st = _stage_codes(pat)
     seq = _seq(pat, time_col, tiebreak_col, event_col)
     anchor_t = "array<struct<t:bigint,id:bigint>>"
     empty_anchors = F.expr(f"CAST(array() AS {anchor_t})")
@@ -453,25 +558,22 @@ def _fork_matches(pat, df, keys, time_col, tiebreak_col, event_col):
             filt = {i: F.filter(acc[f"s{i}"],
                                 lambda a: x["t"] - a["t"] <= w)
                     for i in range(1, K)}
+        match = {i: x["c"] == F.lit(st[i - 1]) for i in range(1, K + 1)}
         closed = F.transform(
             filt[K - 1],
             lambda a: F.struct(a["id"].alias("start_id"),
                                x["eid"].alias("end_id"),
                                (x["t"] - a["t"]).alias("span_us")))
         fields = [
-            F.when(x["c"] == K, F.concat(acc["matches"], closed))
+            F.when(match[K], F.concat(acc["matches"], closed))
             .otherwise(acc["matches"]).alias("matches")]
         for i in range(1, K):
-            if i == 1:
-                grown = F.concat(
-                    filt[1],
-                    F.array(F.struct(x["t"].alias("t"),
-                                     x["eid"].alias("id"))))
-            else:
-                grown = F.concat(filt[i], filt[i - 1])
-            col = (F.when(x["c"] == i, grown)
-                   .when(x["c"] == i + 1, empty_anchors)
-                   .otherwise(filt[i]))
+            base = F.when(match[i + 1], empty_anchors).otherwise(filt[i])
+            incoming = (F.array(F.struct(x["t"].alias("t"),
+                                         x["eid"].alias("id")))
+                        if i == 1 else filt[i - 1])
+            col = (F.when(match[i], F.concat(base, incoming))
+                   .otherwise(base))
             fields.append(col.alias(f"s{i}"))
         return F.struct(*fields)
 
@@ -487,10 +589,13 @@ def _fork_matches(pat, df, keys, time_col, tiebreak_col, event_col):
 
 # -- streaming: the keyed-state NFA twins ------------------------------
 
-def relaxed_stepper(event_codes: dict[str, int], K: int):
+def relaxed_stepper(type_codes: dict[str, int], stage_codes: list[int]):
     """applyInPandasWithState step for the skip-past-last machine —
     the streaming/jobs._cep_advance register (cnt, stage), generalized
-    to K stages. State survives micro-batch boundaries."""
+    to K stages with stage-index transitions. State survives
+    micro-batch boundaries."""
+    K = len(stage_codes)
+
     def step(key, pdf_iter, state):
         import pandas as pd
         cnt, stage = state.get if state.exists else (0, 0)
@@ -498,9 +603,9 @@ def relaxed_stepper(event_codes: dict[str, int], K: int):
         for pdf in pdf_iter:
             for _, r in pdf.iterrows():
                 rows.append((r.iloc[1], r.iloc[2],
-                             event_codes.get(r.iloc[3], 0)))
+                             type_codes.get(r.iloc[3], 0)))
         for _, _, c in sorted(rows):
-            if c == stage + 1:
+            if c == stage_codes[stage]:
                 if stage == K - 1:
                     cnt, stage = cnt + 1, 0
                 else:
@@ -511,12 +616,14 @@ def relaxed_stepper(event_codes: dict[str, int], K: int):
     return step
 
 
-def relaxed_within_stepper(event_codes: dict[str, int], K: int,
-                           within_us: int):
+def relaxed_within_stepper(type_codes: dict[str, int],
+                           stage_codes: list[int], within_us: int):
     """applyInPandasWithState step for the bounded single-anchor
     machine — state (cnt, stage, anchor µs); expiry applied before each
     event exactly like the batch fold, so state is O(1) per key and the
     automaton survives micro-batch boundaries."""
+    K = len(stage_codes)
+
     def step(key, pdf_iter, state):
         import pandas as pd
         cnt, stage, anchor = state.get if state.exists else (0, 0, 0)
@@ -524,11 +631,11 @@ def relaxed_within_stepper(event_codes: dict[str, int], K: int,
         for pdf in pdf_iter:
             for _, r in pdf.iterrows():
                 rows.append((int(r.iloc[1].timestamp() * 1_000_000),
-                             r.iloc[2], event_codes.get(r.iloc[3], 0)))
+                             r.iloc[2], type_codes.get(r.iloc[3], 0)))
         for t, _, c in sorted(rows):
             if stage > 0 and t - anchor > within_us:
                 stage = 0
-            if c == stage + 1:
+            if c == stage_codes[stage]:
                 if stage == K - 1:
                     cnt, stage = cnt + 1, 0
                 else:
@@ -541,13 +648,17 @@ def relaxed_within_stepper(event_codes: dict[str, int], K: int,
     return step
 
 
-def fork_stepper(event_codes: dict[str, int], K: int,
+def fork_stepper(type_codes: dict[str, int], stage_codes: list[int],
                  within_us: int | None):
     """applyInPandasWithState step for the forking NFA — the
     streaming/jobs._cep_fork_advance anchor-set machine, generalized:
     state = (cnt, s1..s_{K-1} anchor-µs arrays), expiry applied before
     every transition so state stays bounded by per-key density inside
-    `within`."""
+    `within`. Transitions read the PRE-event snapshot, so repeated
+    adjacent stage types drain-and-refill in one step like the batch
+    fold."""
+    K = len(stage_codes)
+
     def step(key, pdf_iter, state):
         import pandas as pd
         if state.exists:
@@ -559,22 +670,140 @@ def fork_stepper(event_codes: dict[str, int], K: int,
         for pdf in pdf_iter:
             for _, r in pdf.iterrows():
                 rows.append((int(r.iloc[1].timestamp() * 1_000_000),
-                             r.iloc[2], event_codes.get(r.iloc[3], 0)))
+                             r.iloc[2], type_codes.get(r.iloc[3], 0)))
         for t, _, c in sorted(rows):
             if within_us is not None:
                 sets = [[a for a in s if t - a <= within_us]
                         for s in sets]
-            if c == 1:
-                sets[0].append(t)
-            elif 1 < c < K:
-                sets[c - 1] = sets[c - 1] + sets[c - 2]
-                sets[c - 2] = []
-            elif c == K:
-                cnt += len(sets[K - 2])
-                sets[K - 2] = []
+            # 1-based stage s awaits stage_codes[s-1]; snapshot first
+            match = [c == stage_codes[i] for i in range(K)]
+            snap = [list(s) for s in sets]
+            if match[K - 1]:
+                cnt += len(snap[K - 2])
+            for i in range(K - 1):  # sets[i] holds stage-(i+1) anchors
+                base = [] if match[i + 1] else snap[i]
+                if match[i]:
+                    incoming = [t] if i == 0 else snap[i - 1]
+                    sets[i] = base + incoming
+                else:
+                    sets[i] = base
         state.update((cnt, *sets))
         yield pd.DataFrame({"key": [key[0]], "n_matches": [cnt]})
     return step
+
+
+def relaxed_matches_stepper(type_codes: dict[str, int],
+                            stage_codes: list[int],
+                            within_us: int | None):
+    """Streaming MATCH EXTRACTION for the single-anchor skip-past-last
+    machine [FLINK-API: PatternStream.select on the live stream]: state
+    carries (n_matches, stage, anchor_id, anchor µs); each micro-batch
+    APPENDS one row per newly-completed match with its bindings, so the
+    union of emissions converges to the batch
+    compile_pattern_matches rows — including matches whose anchor
+    arrived in an earlier micro-batch."""
+    K = len(stage_codes)
+
+    def step(key, pdf_iter, state):
+        import pandas as pd
+        cnt, stage, anchor_id, anchor_t = (
+            state.get if state.exists else (0, 0, 0, 0))
+        rows = []
+        for pdf in pdf_iter:
+            for _, r in pdf.iterrows():
+                rows.append((int(r.iloc[1].timestamp() * 1_000_000),
+                             r.iloc[2], type_codes.get(r.iloc[3], 0)))
+        out = []
+        for t, eid, c in sorted(rows):
+            if within_us is not None and stage > 0 \
+                    and t - anchor_t > within_us:
+                stage = 0
+            if c == stage_codes[stage]:
+                if stage == 0:
+                    anchor_id, anchor_t = eid, t
+                if stage == K - 1:
+                    cnt += 1
+                    out.append((cnt, anchor_id, eid, t - anchor_t))
+                    stage = 0
+                else:
+                    stage += 1
+        state.update((cnt, stage, anchor_id, anchor_t))
+        if out:
+            yield pd.DataFrame(
+                {"key": [key[0]] * len(out),
+                 "match_no": [m for m, *_ in out],
+                 "start_event_id": [s for _, s, _, _ in out],
+                 "end_event_id": [e for _, _, e, _ in out],
+                 "span_us": [sp for *_, sp in out]})
+    return step
+
+
+def fork_matches_stepper(type_codes: dict[str, int],
+                         stage_codes: list[int],
+                         within_us: int | None):
+    """Streaming match extraction for the FORKING NFA: state carries
+    per-stage (t, id) anchor pairs as parallel arrays plus the running
+    match count; every closing event APPENDS one row per surviving
+    penultimate anchor — one close, possibly many matches, across
+    micro-batch boundaries."""
+    K = len(stage_codes)
+
+    def step(key, pdf_iter, state):
+        import pandas as pd
+        if state.exists:
+            got = state.get
+            cnt = got[0]
+            sets = [list(zip(got[1 + 2 * i], got[2 + 2 * i]))
+                    for i in range(K - 1)]
+        else:
+            cnt, sets = 0, [[] for _ in range(K - 1)]
+        rows = []
+        for pdf in pdf_iter:
+            for _, r in pdf.iterrows():
+                rows.append((int(r.iloc[1].timestamp() * 1_000_000),
+                             r.iloc[2], type_codes.get(r.iloc[3], 0)))
+        out = []
+        for t, eid, c in sorted(rows):
+            if within_us is not None:
+                sets = [[a for a in s if t - a[0] <= within_us]
+                        for s in sets]
+            match = [c == stage_codes[i] for i in range(K)]
+            snap = [list(s) for s in sets]
+            if match[K - 1]:
+                for a_t, a_id in snap[K - 2]:
+                    cnt += 1
+                    out.append((cnt, a_id, eid, t - a_t))
+            for i in range(K - 1):
+                base = [] if match[i + 1] else snap[i]
+                if match[i]:
+                    incoming = [(t, eid)] if i == 0 else snap[i - 1]
+                    sets[i] = base + incoming
+                else:
+                    sets[i] = base
+        state.update((cnt,
+                      *[x for s in sets
+                        for x in ([a for a, _ in s], [b for _, b in s])]))
+        if out:
+            yield pd.DataFrame(
+                {"key": [key[0]] * len(out),
+                 "match_no": [m for m, *_ in out],
+                 "start_event_id": [s for _, s, _, _ in out],
+                 "end_event_id": [e for _, _, e, _ in out],
+                 "span_us": [sp for *_, sp in out]})
+    return step
+
+
+def _key_sql_type(sdf: DataFrame, key: str) -> str:
+    """The key column's Spark SQL type string for the output/state
+    schemas — derived, not assumed, so string/int keys stream too."""
+    from pyspark.sql.types import AtomicType
+
+    dt = sdf.schema[key].dataType
+    if not isinstance(dt, AtomicType):
+        raise NotImplementedError(
+            f"streaming pattern() needs an atomic key column; "
+            f"{key!r} is {dt.simpleString()}")
+    return dt.simpleString()
 
 
 def compile_pattern_stream(pat: Pattern, sdf: DataFrame,
@@ -594,25 +823,75 @@ def compile_pattern_stream(pat: Pattern, sdf: DataFrame,
             "strict/absence patterns run in batch mode")
     if len(keys) != 1:
         raise NotImplementedError("streaming pattern() is single-key")
+    pat = pat._expanded()
     K = len(pat.stages)
-    codes = _codes(pat)
+    tcodes = _type_codes(pat)
+    scodes = _stage_codes(pat)
     # the steppers address columns positionally: key, time, tiebreak,
     # event type — project exactly that
     proj = sdf.select(keys[0], time_col, tiebreak_col, event_col)
+    ktype = _key_sql_type(proj, keys[0])
     if fam == "relaxed":
-        out_schema = "key long, n_matches long, stage long"
+        out_schema = f"key {ktype}, n_matches long, stage long"
         state_schema = "cnt long, stage long"
-        fn = relaxed_stepper(codes, K)
+        fn = relaxed_stepper(tcodes, scodes)
     elif fam == "relaxed_within":
-        out_schema = "key long, n_matches long, stage long"
+        out_schema = f"key {ktype}, n_matches long, stage long"
         state_schema = "cnt long, stage long, anchor long"
-        fn = relaxed_within_stepper(codes, K, pat.within_us)
+        fn = relaxed_within_stepper(tcodes, scodes, pat.within_us)
     else:
-        out_schema = "key long, n_matches long"
+        out_schema = f"key {ktype}, n_matches long"
         state_schema = "cnt long, " + ", ".join(
             f"s{i} array<long>" for i in range(1, K))
-        fn = fork_stepper(codes, K, pat.within_us)
+        fn = fork_stepper(tcodes, scodes, pat.within_us)
     return (proj.groupBy(keys[0]).applyInPandasWithState(
         fn, outputStructType=out_schema, stateStructType=state_schema,
         outputMode="Update", timeoutConf=GroupStateTimeout.NoTimeout)
+        .withColumnRenamed("key", keys[0]))
+
+
+def compile_pattern_matches_stream(pat: Pattern, sdf: DataFrame,
+                                   keys: list[str], time_col: str,
+                                   tiebreak_col: str,
+                                   event_col: str) -> DataFrame:
+    """Streaming `pattern_matches()` [FLINK-API: PatternStream.select
+    on a live stream]: the keyed-state steppers carry anchor BINDINGS
+    (not just counts) and append one row per newly-completed match —
+    (key, match_no, start_event_id, end_event_id, span_us) — so a match
+    whose anchor arrived three micro-batches ago still emits exact
+    bindings. Append output mode: each match is emitted exactly once;
+    the accumulated sink equals the batch compile_pattern_matches."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    fam = pat._family()
+    if fam not in ("relaxed", "relaxed_within", "fork"):
+        raise NotImplementedError(
+            "streaming pattern_matches() carries the relaxed "
+            "followed_by machines (skip-past-last, bounded, no_skip)")
+    if len(pat.stages) < 2:
+        raise ValueError("pattern_matches() needs at least two stages "
+                         "(a single-stage pattern is a filter)")
+    if len(keys) != 1:
+        raise NotImplementedError(
+            "streaming pattern_matches() is single-key")
+    pat = pat._expanded()
+    K = len(pat.stages)
+    tcodes = _type_codes(pat)
+    scodes = _stage_codes(pat)
+    proj = sdf.select(keys[0], time_col, tiebreak_col, event_col)
+    ktype = _key_sql_type(proj, keys[0])
+    out_schema = (f"key {ktype}, match_no long, start_event_id long, "
+                  f"end_event_id long, span_us long")
+    if fam == "fork":
+        state_schema = "cnt long, " + ", ".join(
+            f"s{i}_t array<long>, s{i}_id array<long>"
+            for i in range(1, K))
+        fn = fork_matches_stepper(tcodes, scodes, pat.within_us)
+    else:
+        state_schema = ("cnt long, stage long, anchor_id long, "
+                        "anchor_t long")
+        fn = relaxed_matches_stepper(tcodes, scodes, pat.within_us)
+    return (proj.groupBy(keys[0]).applyInPandasWithState(
+        fn, outputStructType=out_schema, stateStructType=state_schema,
+        outputMode="Append", timeoutConf=GroupStateTimeout.NoTimeout)
         .withColumnRenamed("key", keys[0]))

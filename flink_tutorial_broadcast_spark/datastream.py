@@ -601,18 +601,21 @@ class KeyedStream:
         """Match EXTRACTION [FLINK-API: PatternStream.select /
         MATCH_RECOGNIZE MEASURES]: one row per completed match with its
         bindings (per-key match number, anchoring and closing event
-        ids, span in µs) instead of pattern()'s counts. Batch inputs
-        only; relaxed followed_by chains under skip-past-last (within()
-        optional) AND under no_skip(), where one closing event may
-        complete several overlapping matches."""
+        ids, span in µs) instead of pattern()'s counts. Relaxed
+        followed_by chains under skip-past-last (within() optional) AND
+        under no_skip(), where one closing event may complete several
+        overlapping matches. On a STREAMING input the keyed-state
+        steppers carry the anchor bindings in state and APPEND one row
+        per newly-completed match — the accumulated sink converges to
+        the batch bindings even when a match spans micro-batches."""
         self._no_pending_window("pattern_matches")
         from flink_tutorial_broadcast_spark.cep import (
-            compile_pattern_matches,
+            compile_pattern_matches, compile_pattern_matches_stream,
         )
         if self.df.isStreaming:
-            raise NotImplementedError(
-                "pattern_matches() extracts bindings in batch mode; on "
-                "a stream use pattern() (running counts)")
+            return DataStream(compile_pattern_matches_stream(
+                pat, self.df, self.keys, time_col, tiebreak_col,
+                event_col))
         return DataStream(compile_pattern_matches(
             pat, self.df, self.keys, time_col, tiebreak_col, event_col))
 

@@ -705,6 +705,133 @@ def q_cep_facade(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_cep_repeated_stage",
+    oracle="""
+    WITH RECURSIVE codes AS (
+      SELECT user_id,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS i,
+             CASE event_type WHEN 'click' THEN 1 WHEN 'purchase' THEN 2
+                  ELSE 0 END AS tc
+      FROM events
+    ), n AS (
+      SELECT user_id, COUNT(*) AS n_ev FROM codes GROUP BY user_id
+    ), run AS (
+      SELECT user_id, 0 AS i, 0 AS acc FROM n
+      UNION ALL
+      SELECT r.user_id, r.i + 1,
+             CASE WHEN (r.acc % 10 = 0 AND c.tc = 1)
+                    OR (r.acc % 10 = 1 AND c.tc = 1)
+                    OR (r.acc % 10 = 2 AND c.tc = 2)
+                  THEN CASE WHEN r.acc % 10 = 2
+                            THEN (r.acc // 10 + 1) * 10
+                            ELSE r.acc + 1 END
+                  ELSE r.acc END
+      FROM run r JOIN codes c ON c.user_id = r.user_id AND c.i = r.i + 1
+    )
+    SELECT r.user_id, CAST(r.acc // 10 AS BIGINT) AS n_matches
+    FROM run r JOIN n ON r.user_id = n.user_id AND r.i = n.n_ev
+    WHERE r.acc // 10 > 0
+    """,
+)
+def q_cep_repeated_stage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REPEATED event types across relaxed CEP stages — the
+    login→login→alert shape the Flink CEP docs open with [FLINK-API:
+    Pattern.begin(x).followedBy(x).followedBy(y)], here
+    click→click→purchase under skip-past-last. Round 8's stage-INDEX
+    transition rework (cep._relaxed_machine compares the event's type
+    code against `stage_codes[stage]` via F.get, not a type→stage map)
+    is what makes this compile instead of raising. The oracle replays
+    the identical 3-stage automaton as a recursive-CTE step relation
+    whose advance condition is written PER STAGE (stage 0 needs click,
+    stage 1 needs click again, stage 2 needs purchase; acc = 10×matches
+    + stage), so the hash match pins the stage-indexed machine itself.
+    Property twin: test_cep_properties.test_cep_repeated_stage_*
+    (random sequences vs a pure-Python NFA, batch and streaming)."""
+    from flink_tutorial_broadcast_spark.cep import Pattern
+    from flink_tutorial_broadcast_spark.datastream import (
+        StreamExecutionEnvironment,
+    )
+    env = StreamExecutionEnvironment.get_execution_environment(spark)
+    pat = (Pattern.begin("c1", "click")
+           .followed_by("c2", "click")
+           .followed_by("p", "purchase"))
+    return (env.from_dataframe(load(spark, sf_dir, "events"))
+            .key_by("user_id")
+            .pattern(pat)
+            .to_df())
+
+
+@query(
+    "q_cep_quantified_relaxed",
+    oracle="""
+    WITH RECURSIVE codes AS (
+      SELECT user_id,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS i,
+             CASE event_type WHEN 'view' THEN 1 WHEN 'click' THEN 2
+                  WHEN 'purchase' THEN 3 ELSE 0 END AS tc,
+             epoch_us(ts) AS t
+      FROM events
+    ), n AS (
+      SELECT user_id, COUNT(*) AS n_ev FROM codes GROUP BY user_id
+    ), run AS (
+      SELECT user_id, 0 AS i, 0 AS cnt, 0 AS stage,
+             CAST(0 AS BIGINT) AS anchor
+      FROM n
+      UNION ALL
+      SELECT r.user_id, r.i + 1,
+             CASE WHEN s.stage = 3 AND c.tc = 3 THEN r.cnt + 1
+                  ELSE r.cnt END,
+             CASE WHEN s.stage = 0 AND c.tc = 1 THEN 1
+                  WHEN s.stage = 1 AND c.tc = 2 THEN 2
+                  WHEN s.stage = 2 AND c.tc = 2 THEN 3
+                  WHEN s.stage = 3 AND c.tc = 3 THEN 0
+                  ELSE s.stage END,
+             CASE WHEN s.stage = 0 AND c.tc = 1 THEN c.t
+                  ELSE r.anchor END
+      FROM run r
+      JOIN codes c ON c.user_id = r.user_id AND c.i = r.i + 1
+      CROSS JOIN LATERAL (
+        SELECT CASE WHEN r.stage > 0
+                         AND c.t - r.anchor > 172800000000
+                    THEN 0 ELSE r.stage END AS stage) s
+    )
+    SELECT r.user_id, CAST(r.cnt AS BIGINT) AS n_matches
+    FROM run r JOIN n ON r.user_id = n.user_id AND r.i = n.n_ev
+    WHERE r.cnt > 0
+    """,
+)
+def q_cep_quantified_relaxed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """times(n) under RELAXED contiguity [FLINK-API: Pattern#times with
+    its default relaxed internal contiguity — `consecutive()` NOT
+    called]: begin(view).followedBy(click).times(2)
+    .followedBy(purchase).within(48h). Round 8 compiles this by stage
+    EXPANSION (cep.Pattern._expanded: times(2) on the click stage is
+    exactly click FOLLOWED-BY click), so it lands on the oracle-pinned
+    bounded single-anchor machine with 4 stages — no new machine, no
+    silent refusal. The oracle replays the expanded 4-stage automaton
+    (stage 1 AND 2 both await click) as a recursive-CTE step relation
+    with the 48 h anchor-expiry applied via LATERAL before each
+    transition, exactly like q_cep_followed_by_within's. Property twin:
+    test_cep_relaxed_times_equals_manual_expansion (random sequences,
+    quantified == hand-expanded)."""
+    from flink_tutorial_broadcast_spark.cep import Pattern
+    from flink_tutorial_broadcast_spark.datastream import (
+        StreamExecutionEnvironment,
+    )
+    env = StreamExecutionEnvironment.get_execution_environment(spark)
+    pat = (Pattern.begin("v", "view")
+           .followed_by("c", "click").times(2)
+           .followed_by("p", "purchase")
+           .within("48 hours"))
+    return (env.from_dataframe(load(spark, sf_dir, "events"))
+            .key_by("user_id")
+            .pattern(pat)
+            .to_df())
+
+
+@query(
     "q_gap_fill",
     oracle="""
     WITH bounds AS (

@@ -88,63 +88,68 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # Keys not listed keep their registration order after the prefix; no key is
 # ever removed or renamed (the inventory is monotone).
 #
-# Round 7 rotation: 15 slots swapped toward keys the driver has NEVER
-# sampled across r1-r6 (186 such keys remained; VERDICT_r6 item 1) —
-# graph/iterative (PageRank, triangle count), layout (Bloom-filter
-# join, Z-order), LM-pipeline gates (heavy hitters, unigram LM,
-# repetition profile), behavioral/temporal (retention, transition
-# matrix), the J1 scalar-UDF surface itself, semi-structured VARIANT
-# extraction, random-projection compression, brute-force kNN, the JSONL
-# source, and TPC-H Q12 — while keeping one-or-more representatives per
-# A-K family AND per oracle-bearing module (test_contract guards both).
-# Rotated-out keys stay registered right after the prefix and remain
-# sweep-checked (tools/check.py runs all 300 at two scales).
+# Round 8 rotation: 24 slots now hold keys the driver has NEVER sampled
+# across r1-r7 (175 remained; VERDICT_r7 item 1) — led by the four
+# round-7 keys the verdict named (q_cep_facade, q_async_enrich,
+# q_stream_join_facade, q_reduce_facade), the TWO round-8 CEP keys
+# (q_cep_repeated_stage: stage-index transitions; q_cep_quantified_
+# relaxed: times(n)-under-relaxed expansion), the rest of the verdict's
+# named spread (market_basket, rfm, gini, bm25, cep_followed_by_within,
+# weighted_sample, epoch_shuffle, gap_fill, winnow_fingerprint,
+# filter_funnel), and one never-sampled key per module with headroom
+# (join_dpp, k_anonymity, dedup_keep_best, media_resize, minmax_by,
+# linreg, tpch_q21, time_weighted_avg, dedup_embed_lsh_portable) — while keeping
+# one-or-more representatives per A-K family AND per oracle-bearing
+# module (test_contract guards both). Rotated-out keys stay registered
+# right after the prefix and remain sweep-checked (tools/check.py runs
+# all 306 at two scales).
 _VERIFICATION_PREFIX = (
     "q_broadcast_rule_join",            # flagship (C1)
+    "q_stream_join_facade",             # C9 facade stream-join (NEW r8)
+    "q_reduce_facade",                  # D1 facade reduce(fn) (NEW r8)
     "q_scan_parquet",                   # scans (A5)
     "q_join_inner", "q_star_join",      # C3, C6
-    "q_bpe_merges",                     # text_pipeline — BPE trainer (r5)
     "q_agg_basic",                      # aggregates (D1)
     "q_window_tumbling", "q_asof_join",  # E1, C8
     "q_topk_per_group",                 # analytic windows (F4)
     "q_string_funcs",                   # scalar funcs (I1)
-    "q_variant_extract",                # I7+ — VARIANT/JSON path (NEW r7)
-    "q_video_features",                 # K5 — real Y4M video decode (r5)
+    "q_variant_extract",                # I7+ — VARIANT/JSON path (r7)
     "q_pandas_udf_cosine",              # udf surface (J2)
-    "q_py_udf",                         # J1 — THE scalar-UDF key (NEW r7)
+    "q_async_enrich",                   # AsyncDataStream parity (NEW r8)
     "q_dedup_exact_fast",               # K1
-    "q_knn_vectorized", "q_knn_bruteforce",  # K3 (bruteforce NEW r7)
-    "q_lang_id",                        # K4
-    "q_heavy_hitters",                  # K4 — misra-gries gate (NEW r7)
-    "q_unigram_lm_score",               # K4 — unigram LM gate (NEW r7)
-    "q_knn_ivf", "q_knn_ivfpq",         # K3 — IVF / IVF-PQ ANN (r4)
-    "q_bigram_lm_score",                # K4 — bigram-LM quality gate (r5)
-    "q_random_projection",              # K3 — sign-RP compression (NEW r7)
-    "q_cep_followed_by_all",            # CEP forking NFA (r5)
-    "q_scan_eventlog",                  # Kafka-shape log source (r4)
-    "q_scan_jsonl",                     # JSONL source (NEW r7)
-    "q_broadcast_rule_mutation",        # E9 per-record rule mutation (r6)
-    "q_range_join_bucketed",            # C7 — bucketed interval join (r4)
-    "q_l_diversity",                    # governance l-diversity (r4)
-    "q_zorder_cluster",                 # governance Z-order (NEW r7)
+    "q_dedup_embed_lsh_portable",       # K2 — sign-LSH near-dup (NEW r8)
     "q_dedup_substr",                   # K2 — ExactSubstr coverage (r6)
-    "q_compact_small_files",            # layout compaction (r3)
-    "q_bloom_filter_join",              # layout Bloom pre-filter (NEW r7)
-    "q_pivot",                          # olap_ext (L1)
+    "q_knn_vectorized", "q_knn_ivf",    # K3 (r7 / r4)
+    "q_knn_ivfpq",                      # K3 — IVF-PQ ANN (r4)
+    "q_bm25",                           # K4 — BM25 scoring (NEW r8)
+    "q_winnow_fingerprint",             # K4 — winnowing (NEW r8)
+    "q_lang_id",                        # K4
+    "q_cep_facade",                     # CEP facade compile (NEW r8)
+    "q_cep_repeated_stage",             # CEP stage-index rework (NEW r8)
+    "q_cep_quantified_relaxed",         # CEP times-expansion (NEW r8)
+    "q_cep_followed_by_within",         # CEP bounded machine (NEW r8)
+    "q_gap_fill",                       # calendar spine (NEW r8)
+    "q_scan_eventlog",                  # Kafka-shape log source (r4)
+    "q_join_dpp",                       # dynamic partition prune (NEW r8)
+    "q_broadcast_rule_mutation",        # E9 per-record rule mutation (r6)
+    "q_k_anonymity",                    # governance k-anonymity (NEW r8)
+    "q_dedup_keep_best",                # layout keep-best dedup (NEW r8)
+    "q_media_resize",                   # K5 — PPM resize (NEW r8)
+    "q_video_features",                 # K5 — real Y4M video decode (r5)
+    "q_epoch_shuffle",                  # dataset_ops (NEW r8)
+    "q_weighted_sample",                # olap_ext (NEW r8)
     "q_tpch_q3",                        # composite
     "q_power_iteration",                # iterative — int matvec PCA (r6)
-    "q_pagerank",                       # iterative — PageRank (NEW r7)
-    "q_grouping_sets",                  # agg_ext
-    "q_sessionize",                     # behavioral (L24)
-    "q_retention",                      # behavioral cohorts (NEW r7)
-    "q_mad_outliers",                   # stats_ext (L54)
-    "q_tpch_q1", "q_tpch_q12",          # tpch_full (q12 NEW r7)
-    "q_decontaminate",                  # text_pipeline (L46)
-    "q_repetition_profile",             # text_pipeline (NEW r7)
+    "q_minmax_by",                      # agg_ext min/max_by (NEW r8)
+    "q_rfm",                            # behavioral RFM (NEW r8)
+    "q_gini",                           # behavioral Gini (NEW r8)
+    "q_linreg",                         # stats_ext regression (NEW r8)
+    "q_tpch_q1", "q_tpch_q21",          # tpch_full (q21 NEW r8)
+    "q_bpe_merges",                     # text_pipeline — BPE trainer (r5)
+    "q_filter_funnel",                  # text_pipeline funnel (NEW r8)
     "q_setsim_join",                    # graph_setsim (L44)
-    "q_triangle_count",                 # graph_setsim (NEW r7)
-    "q_temporal_join",                  # temporal (L45)
-    "q_transition_matrix",              # temporal Markov (NEW r7)
+    "q_market_basket",                  # graph_setsim pairs (NEW r8)
+    "q_time_weighted_avg",              # temporal TWA (NEW r8)
 )
 
 

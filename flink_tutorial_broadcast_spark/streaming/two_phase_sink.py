@@ -20,7 +20,13 @@ Readers (``committed_df``) resolve visibility through manifests only:
 a crash BETWEEN stage and commit leaves staged files on disk that no
 reader ever sees (no torn output), and the micro-batch replay after
 restart re-stages and commits exactly once (no duplicates) — the test
-injects a failure precisely between the phases and proves both.
+injects a failure precisely between the phases and proves both. A
+replay of an ALREADY-committed batch (crash after the manifest rename
+but before Spark's offset log caught up) is a NO-OP: the manifest is
+the idempotency marker, so the committed part-files are never
+transiently deleted out from under a concurrent reader
+(test_two_phase_sink.test_two_phase_commit_sink_post_commit_replay_is
+_noop).
 
 Contrast with the engine's default idempotent-overwrite sink
 (jobs.file_sink_exactly_once): that one is simpler (no manifest — the
@@ -57,6 +63,15 @@ class TwoPhaseCommitFileSink:
         called AFTER the stage write and BEFORE the manifest commit
         (the exact window the protocol must survive)."""
         stage_dir = os.path.join(self.stage_root, f"batch={batch_id}")
+        # POST-commit replay (crash after the manifest rename but before
+        # Spark recorded the batch in its offset log): the manifest IS
+        # the idempotency marker. Re-staging here would transiently
+        # delete part-files the committed manifest still names — a
+        # torn-read window for a concurrent committed_df() reader — so
+        # an already-committed batch is a no-op.
+        if os.path.exists(os.path.join(self.commit_root,
+                                       f"{batch_id}.json")):
+            return
         # phase 1: stage (overwrite → a retried batch re-stages cleanly)
         batch_df.write.mode("overwrite").parquet(stage_dir)
         if fail_between_phases is not None:

@@ -98,11 +98,11 @@ def test_pattern_rejects_uncompilable_combinations(spark):
     with pytest.raises(NotImplementedError, match="mixed"):
         ks.pattern(mixed)
 
-    quant_relaxed = (Pattern.begin("v", "view")
-                     .followed_by("c", "click").times(2)
-                     .followed_by("p", "purchase"))
-    with pytest.raises(NotImplementedError, match="strict"):
-        ks.pattern(quant_relaxed)
+    loop_relaxed = (Pattern.begin("v", "view")
+                    .followed_by("c", "click").one_or_more()
+                    .followed_by("p", "purchase"))
+    with pytest.raises(NotImplementedError, match="times"):
+        ks.pattern(loop_relaxed)
 
     strict_within = (Pattern.begin("v", "view").next("c", "click")
                      .within("1 hour"))
@@ -283,23 +283,120 @@ def test_pattern_matches_within_prunes_and_counts_agree(spark, queries):
     assert len(got) < unbounded  # the horizon really pruned
 
 
-def test_pattern_guards_repeated_types_and_empty_quantifier(spark):
-    """A repeated event type across followed_by stages would silently
-    corrupt the stage coding — must raise; quantifiers on an empty
-    pattern must raise too."""
+def test_pattern_repeated_types_compile_and_empty_quantifier_raises(
+        spark):
+    """Repeated event types across followed_by stages compile (the
+    machines key transitions by STAGE INDEX, not event type) — the
+    login→login→alert shape from the Flink CEP docs. A two-stage
+    click→click pattern must equal times(2) on one click stage (they
+    expand to the same machine), and quantifiers on an empty pattern
+    still raise."""
     ev = load(spark, SF_SMOKE, "events")
     ks = _env(spark).from_dataframe(ev).key_by("user_id")
     repeated = (Pattern.begin("a", "click")
                 .followed_by("b", "click"))
-    with pytest.raises(NotImplementedError, match="repeated"):
-        ks.pattern(repeated)
+    got = {(r.user_id, r.n_matches)
+           for r in ks.pattern(repeated).to_df().collect()}
+    assert got  # the fixture has users with >= 2 clicks
+    via_times = Pattern.begin("a", "click").times(2)
+    assert {(r.user_id, r.n_matches)
+            for r in ks.pattern(via_times).to_df().collect()} == got
     with pytest.raises(ValueError, match="stage"):
         Pattern(stages=[]).one_or_more()
     with pytest.raises(ValueError, match="stage"):
         Pattern(stages=[]).times(2)
-    # strict chains DO support repeats (regex path): view>view counts
+    # strict chains also support repeats (regex path): view>view counts
     strict_rep = Pattern.begin("a", "view").next("b", "view")
     assert ks.pattern(strict_rep).to_df().count() >= 0
+
+
+def test_pattern_relaxed_times_expands_to_stage_copies(spark):
+    """times(n) under relaxed contiguity == writing the stage n times
+    (Flink's default relaxed internal contiguity for quantifiers), for
+    counts AND with a within() horizon."""
+    ev = load(spark, SF_SMOKE, "events")
+    ks = _env(spark).from_dataframe(ev).key_by("user_id")
+    quant = (Pattern.begin("v", "view")
+             .followed_by("c", "click").times(2)
+             .followed_by("p", "purchase"))
+    expanded = (Pattern.begin("v", "view")
+                .followed_by("c1", "click")
+                .followed_by("c2", "click")
+                .followed_by("p", "purchase"))
+    as_set = lambda p: {(r.user_id, r.n_matches)
+                        for r in ks.pattern(p).to_df().collect()}
+    assert as_set(quant) == as_set(expanded)
+    assert as_set(quant)  # non-vacuous
+    q_w = (Pattern.begin("v", "view")
+           .followed_by("c", "click").times(2)
+           .followed_by("p", "purchase").within("48 hours"))
+    e_w = (Pattern.begin("v", "view")
+           .followed_by("c1", "click")
+           .followed_by("c2", "click")
+           .followed_by("p", "purchase").within("48 hours"))
+    assert as_set(q_w) == as_set(e_w)
+
+
+def test_pattern_strict_begin_quantifier_applies(spark):
+    """times(n)/one_or_more() on the BEGIN stage of a strict chain must
+    quantify the first token, not be silently dropped: begin(click)
+    .times(2) counts non-overlapping click pairs — strictly fewer than
+    single clicks wherever a user has an odd run, and equal to the
+    regex-on-codes reference."""
+    import re
+
+    ev = load(spark, SF_SMOKE, "events")
+    ks = _env(spark).from_dataframe(ev).key_by("user_id")
+    pat = Pattern.begin("a", "click").times(2).next("b", "purchase")
+    got = {(r.user_id, r.n_matches)
+           for r in ks.pattern(pat).to_df().collect()}
+    rows = (ev.select("user_id", "ts", "event_id", "event_type")
+            .collect())
+    per = {}
+    for r in rows:
+        per.setdefault(r.user_id, []).append(
+            (r.ts, r.event_id, r.event_type))
+    want = set()
+    for u, evs in per.items():
+        path = ">".join(t for _, _, t in sorted(evs))
+        n = len(re.findall(r"(click(>click){1}>purchase)", path))
+        if n > 0:
+            want.add((u, n))
+    assert got == want
+
+
+def test_pattern_metacharacter_and_suffix_types_are_safe(spark):
+    """Event types that are suffixes of each other ('click' inside
+    'doubleclick') or contain regex metacharacters must not corrupt
+    strict-chain counts — the per-type char coding keeps them apart."""
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        # u1: doubleclick>purchase — must NOT match click>purchase
+        (1, base, 0, "doubleclick"),
+        (1, base + dt.timedelta(minutes=1), 1, "purchase"),
+        # u2: click>purchase — the real match
+        (2, base, 2, "click"),
+        (2, base + dt.timedelta(minutes=1), 3, "purchase"),
+        # u3: metacharacter type must count literally, not as regex
+        (3, base, 4, "a.c"),
+        (3, base + dt.timedelta(minutes=1), 5, "purchase"),
+        (3, base + dt.timedelta(minutes=2), 6, "abc"),
+        (3, base + dt.timedelta(minutes=3), 7, "purchase"),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "user_id int, ts timestamp, event_id long, event_type string")
+    ks = _env(spark).from_dataframe(df).key_by("user_id")
+    got = {(r.user_id, r.n_matches) for r in
+           ks.pattern(Pattern.begin("c", "click")
+                      .next("p", "purchase")).to_df().collect()}
+    assert got == {(2, 1)}
+    got_meta = {(r.user_id, r.n_matches) for r in
+                ks.pattern(Pattern.begin("m", "a.c")
+                           .next("p", "purchase")).to_df().collect()}
+    assert got_meta == {(3, 1)}  # 'abc' must not match 'a.c'
 
 
 def test_pattern_matches_forking_bindings_and_count_consistency(
@@ -329,3 +426,95 @@ def test_pattern_matches_forking_bindings_and_count_consistency(
                       if r.user_id == u and r.end_event_id == e]
             assert len(set(starts)) == n
             break
+
+
+def test_pattern_streaming_repeated_stage_converges_to_batch(spark):
+    """Streaming stepper with REPEATED stage types: the stage-indexed
+    keyed-state machine must converge to the batch compile across the
+    micro-batch boundary (a click→click→purchase partial crossing it)."""
+    from flink_tutorial_broadcast_spark.streaming.jobs import (
+        _run_to_memory,
+    )
+
+    sdf = _two_file_stream(
+        spark, ["user_id", "ts", "event_id", "event_type"])
+    pat = (Pattern.begin("a", "click").followed_by("b", "click")
+           .followed_by("c", "purchase"))
+    out = (_env(spark).from_dataframe(sdf)
+           .key_by("user_id").pattern(pat).to_df())
+    rows = _run_to_memory(out, "update").collect()
+    final: dict[int, int] = {}
+    for r in rows:
+        final[r["user_id"]] = max(final.get(r["user_id"], 0),
+                                  r["n_matches"])
+    want = {r["user_id"]: r["n_matches"] for r in
+            (_env(spark).from_dataframe(load(spark, SF_SMOKE, "events"))
+             .key_by("user_id").pattern(pat).to_df().collect())}
+    assert {u: n for u, n in final.items() if n > 0} == want
+    assert want  # non-vacuous
+
+
+def test_pattern_matches_streaming_relaxed_converges_to_batch(spark):
+    """STREAMING pattern_matches(): the single-anchor stepper carries
+    (anchor_id, anchor_t) in state and appends one row per completed
+    match — the union over micro-batches must equal the batch bindings
+    exactly, including matches whose anchor arrived in batch 0 and
+    whose closer arrived in batch 1."""
+    from flink_tutorial_broadcast_spark.streaming.jobs import (
+        _run_to_memory,
+    )
+
+    pat = (Pattern.begin("v", "view")
+           .followed_by("c", "click")
+           .followed_by("p", "purchase").within("48 hours"))
+    sdf = _two_file_stream(
+        spark, ["user_id", "ts", "event_id", "event_type"])
+    out = (_env(spark).from_dataframe(sdf)
+           .key_by("user_id").pattern_matches(pat).to_df())
+    assert out.isStreaming
+    got = _run_to_memory(out, "append").collect()
+    want = (_env(spark).from_dataframe(load(spark, SF_SMOKE, "events"))
+            .key_by("user_id").pattern_matches(pat).to_df().collect())
+    key = lambda r: (r.user_id, r.match_no, r.start_event_id,
+                     r.end_event_id, r.span_us)
+    assert {key(r) for r in got} == {key(r) for r in want}
+    assert got
+    # the boundary really was crossed: at least one match's anchor is in
+    # file 0 (ts <= median) while its closer is in file 1
+    by_id = {r.event_id: r.ts for r in
+             load(spark, SF_SMOKE, "events").collect()}
+    import pyspark.sql.functions as F  # noqa: F811
+    split_ts = (load(spark, SF_SMOKE, "events")
+                .agg(F.percentile_approx("ts", 0.5).alias("m"))
+                .collect()[0]["m"])
+    assert any(by_id[r.start_event_id] <= split_ts
+               < by_id[r.end_event_id] for r in got)
+
+
+def test_pattern_matches_streaming_fork_converges_to_batch(spark):
+    """Streaming fork-family pattern_matches(): anchor (t, id) pairs
+    survive in state as parallel arrays; one closing event appends
+    SEVERAL rows (the noSkip signature) and the accumulated sink equals
+    the batch bindings."""
+    from collections import Counter
+
+    from flink_tutorial_broadcast_spark.streaming.jobs import (
+        _run_to_memory,
+    )
+
+    pat = (Pattern.begin("v", "view")
+           .followed_by("c", "click")
+           .followed_by("p", "purchase")
+           .within("48 hours").no_skip())
+    sdf = _two_file_stream(
+        spark, ["user_id", "ts", "event_id", "event_type"])
+    out = (_env(spark).from_dataframe(sdf)
+           .key_by("user_id").pattern_matches(pat).to_df())
+    got = _run_to_memory(out, "append").collect()
+    want = (_env(spark).from_dataframe(load(spark, SF_SMOKE, "events"))
+            .key_by("user_id").pattern_matches(pat).to_df().collect())
+    key = lambda r: (r.user_id, r.match_no, r.start_event_id,
+                     r.end_event_id, r.span_us)
+    assert {key(r) for r in got} == {key(r) for r in want}
+    shared = Counter((r.user_id, r.end_event_id) for r in got)
+    assert max(shared.values()) > 1  # one close, many matches

@@ -189,6 +189,106 @@ def _ref_fork_matches(seq_full, stages, within_min):
     return out
 
 
+def _ref_fork_snapshot(seq, stages, within_min):
+    """noSkip forking NFA, SNAPSHOT semantics: all stage transitions for
+    one event read the pre-event state, so an event never serves two
+    positions of the same run — required when adjacent stages repeat an
+    event type (a→a), and identical to _ref_fork on distinct types."""
+    K = len(stages)
+    sets = [[] for _ in range(K - 1)]
+    cnt = 0
+    for m, ty in seq:
+        if within_min is not None:
+            sets = [[a for a in s if m - a <= within_min] for s in sets]
+        match = [ty == stages[i] for i in range(K)]
+        snap = [list(s) for s in sets]
+        if match[K - 1] and K >= 2:
+            cnt += len(snap[K - 2])
+        for i in range(K - 1):
+            base = [] if match[i + 1] else snap[i]
+            if match[i]:
+                sets[i] = base + ([m] if i == 0 else snap[i - 1])
+            else:
+                sets[i] = base
+    return cnt
+
+
+@settings(max_examples=10, deadline=None)
+@given(rows=seq_strategy)
+def test_cep_fork_snapshot_reference_agrees_on_distinct_types(
+        spark, rows):
+    """The snapshot reference and the sequential reference are the same
+    machine when no event type repeats — pinning that the snapshot
+    rewrite didn't change the already-verified distinct-type family."""
+    stages = ["view", "click", "purchase"]
+    for u, seq in _per_user_ordered(rows).items():
+        assert _ref_fork_snapshot(seq, stages, 48 * 60) \
+            == _ref_fork(seq, stages, 48 * 60)
+
+
+@settings(max_examples=10, deadline=None)
+@given(rows=seq_strategy)
+def test_cep_repeated_stage_relaxed_matches_python_nfa(spark, rows):
+    """REPEATED event types across followed_by stages (the
+    login→login→alert canon: here click→click→purchase) — the
+    stage-index machine must equal the pure-Python skip-past-last NFA,
+    whose reference loop is already stage-indexed."""
+    stages = ["click", "click", "purchase"]
+    pat = (Pattern.begin("a", "click").followed_by("b", "click")
+           .followed_by("c", "purchase"))
+    got = _run(spark, _mk(spark, rows), pat)
+    want = {u: _ref_relaxed(seq, stages)
+            for u, seq in _per_user_ordered(rows).items()}
+    assert got == {u: n for u, n in want.items() if n > 0}
+
+
+@settings(max_examples=10, deadline=None)
+@given(rows=seq_strategy)
+def test_cep_repeated_stage_fork_matches_python_nfa(spark, rows):
+    """Repeated types under no_skip(): the forking machine's snapshot
+    drain-and-refill must equal the snapshot-semantics Python NFA —
+    one 'click' simultaneously closes stage-1 runs into stage 2 and
+    anchors new runs."""
+    stages = ["click", "click", "purchase"]
+    pat = (Pattern.begin("a", "click").followed_by("b", "click")
+           .followed_by("c", "purchase").within("48 hours").no_skip())
+    got = _run(spark, _mk(spark, rows), pat)
+    want = {u: _ref_fork_snapshot(seq, stages, 48 * 60)
+            for u, seq in _per_user_ordered(rows).items()}
+    assert got == {u: n for u, n in want.items() if n > 0}
+
+
+@settings(max_examples=10, deadline=None)
+@given(rows=seq_strategy)
+def test_cep_repeated_stage_within_matches_python_nfa(spark, rows):
+    """Repeated types + within() in the bounded single-anchor machine:
+    anchor expiry and stage-index transitions compose."""
+    stages = ["click", "click", "purchase"]
+    pat = (Pattern.begin("a", "click").followed_by("b", "click")
+           .followed_by("c", "purchase").within("12 hours"))
+    got = _run(spark, _mk(spark, rows), pat)
+    want = {u: _ref_relaxed_within(seq, stages, 12 * 60)
+            for u, seq in _per_user_ordered(rows).items()}
+    assert got == {u: n for u, n in want.items() if n > 0}
+
+
+@settings(max_examples=10, deadline=None)
+@given(rows=seq_strategy)
+def test_cep_relaxed_times_equals_manual_expansion(spark, rows):
+    """times(n) on a followed_by stage == writing the stage n times
+    (Flink's default relaxed internal contiguity), on every random
+    sequence — including under within()."""
+    quant = (Pattern.begin("v", "view")
+             .followed_by("c", "click").times(2)
+             .followed_by("p", "purchase").within("48 hours"))
+    manual = (Pattern.begin("v", "view")
+              .followed_by("c1", "click")
+              .followed_by("c2", "click")
+              .followed_by("p", "purchase").within("48 hours"))
+    df = _mk(spark, rows)
+    assert _run(spark, df, quant) == _run(spark, df, manual)
+
+
 @settings(max_examples=10, deadline=None)
 @given(rows=seq_strategy)
 def test_cep_fork_matches_bindings_match_python_nfa(spark, rows):

@@ -118,3 +118,29 @@ def test_two_phase_commit_sink_clean_run_and_visibility_unit(spark):
     # empty sink → None, not an exception
     empty = TwoPhaseCommitFileSink(tempfile.mkdtemp(prefix="tpc_empty_"))
     assert empty.committed_df(spark) is None
+
+
+def test_two_phase_commit_sink_post_commit_replay_is_noop(spark):
+    """A replay of an ALREADY-committed batch (crash landed after the
+    manifest rename but before Spark's offset log recorded the batch)
+    must not touch the staged files: the manifest is the idempotency
+    marker. Before round 8's fix, the replay's mode('overwrite')
+    deleted the very part-files the committed manifest named — a
+    torn-read window for a concurrent committed_df() reader."""
+    ev = (load(spark, SF_SMOKE, "events").select(*COLS).limit(50))
+    root = tempfile.mkdtemp(prefix="tpc_replay_")
+    sink = TwoPhaseCommitFileSink(root)
+    sink.write_batch(ev, 0)
+    files_before = sink.committed_files()
+    assert files_before and all(os.path.isfile(f) for f in files_before)
+    mtimes = {f: os.path.getmtime(f) for f in files_before}
+
+    # post-commit replay: same batch id arrives again
+    sink.write_batch(ev.limit(10), 0)  # even a DIFFERENT frame is ignored
+
+    assert sink.committed_files() == files_before
+    for f in files_before:
+        assert os.path.isfile(f), f
+        assert os.path.getmtime(f) == mtimes[f]  # untouched, not rewritten
+    assert sink.committed_df(spark).count() == 50
+    assert sink.staged_uncommitted() == []

@@ -4,12 +4,19 @@ threshold — the machine check VERDICT_r6 item 6 asked the prose tables
 to become.
 
 Usage:
-    python tools/bench_diff.py OLD.json NEW.json [threshold_pct=25]
+    python tools/bench_diff.py OLD.json NEW.json [threshold_pct=25] [--json]
 
 Exit 0 always (informational); keys present in only one artifact are
 listed separately. The default 25% threshold reflects the measured
 same-code cross-run envelope on this host (BASELINE.md round-7 note);
 sub-second keys routinely move ±15% with identical plans.
+
+`--json` prints ONE machine-readable JSON line instead of the table —
+the form tools/release_gate.py embeds in the gate artifact so per-key
+regression detection is automatic on this noisy host (VERDICT r7
+item 6). Tiny absolute moves are excluded from `moved` in this mode
+(|new-old| < 0.3 s — sub-second keys breathe ±15% with identical
+plans; a 0.2 s key "regressing 60%" is noise, not a plan change).
 """
 
 from __future__ import annotations
@@ -19,12 +26,14 @@ import sys
 
 
 def main() -> int:
-    if len(sys.argv) < 3:
+    argv = [a for a in sys.argv[1:] if a != "--json"]
+    as_json = "--json" in sys.argv
+    if len(argv) < 2:
         print(__doc__)
         return 2
-    old = json.load(open(sys.argv[1]))["queries"]
-    new = json.load(open(sys.argv[2]))["queries"]
-    thr = float(sys.argv[3]) / 100 if len(sys.argv) > 3 else 0.25
+    old = json.load(open(argv[0]))["queries"]
+    new = json.load(open(argv[1]))["queries"]
+    thr = float(argv[2]) / 100 if len(argv) > 2 else 0.25
 
     only_old = sorted(set(old) - set(new))
     only_new = sorted(set(new) - set(old))
@@ -37,6 +46,21 @@ def main() -> int:
         if abs(delta) >= thr:
             moved.append((delta, k, a, b))
     moved.sort(reverse=True)
+
+    if as_json:
+        tot_a = sum(v["spark_s"] for v in old.values())
+        tot_b = sum(v["spark_s"] for k, v in new.items() if k in old)
+        print(json.dumps({
+            "threshold_pct": round(thr * 100),
+            "moved": [
+                {"key": k, "old_s": round(a, 3), "new_s": round(b, 3),
+                 "delta_pct": round(delta * 100)}
+                for delta, k, a, b in moved if abs(b - a) >= 0.3],
+            "only_new": only_new, "only_old": only_old,
+            "shared_total_old_s": round(tot_a, 1),
+            "shared_total_new_s": round(tot_b, 1),
+        }))
+        return 0
 
     print(f"| key | old (s) | new (s) | delta |  (threshold ±{thr:.0%})")
     print("|---|---|---|---|")

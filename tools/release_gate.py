@@ -12,8 +12,15 @@ dirty-tree flag, so a round's verification record cites a single gate
 file per HEAD instead of prose.
 
     python tools/release_gate.py [--out GATE.json] [--skip-sf01]
+                                 [--bench-diff OLD.json NEW.json]
 
-(--skip-sf01 skips only the larger sf0.1 sweep; sf0.01 always runs.)
+(--skip-sf01 skips only the larger sf0.1 sweep; sf0.01 always runs.
+--bench-diff embeds tools/bench_diff.py's machine-readable per-key
+comparison of two BENCH_FULL artifacts in the gate file and FLAGS —
+without failing the gate, this host's ±15% same-code envelope makes a
+hard fail a coin-flip — every key whose Spark time regressed beyond
+50%; the flagged list is the judge's per-key regression signal,
+VERDICT r7 item 6.)
 
 Exit 0 only if every stage passed. Stages run SEQUENTIALLY — never two
 Spark sessions at once (benchmark-hygiene rule in BASELINE.md).
@@ -75,6 +82,22 @@ def main() -> int:
         [sys.executable, "-m", "flink_tutorial_broadcast_spark.plans.audit"])
 
     ok = all(s["exit"] == 0 for s in stages.values())
+    bench_regressions = None
+    if "--bench-diff" in argv:
+        i = argv.index("--bench-diff")
+        old_f, new_f = argv[i + 1], argv[i + 2]
+        p = subprocess.run(
+            [sys.executable, "tools/bench_diff.py", old_f, new_f, "50",
+             "--json"],
+            cwd=REPO, capture_output=True, text=True)
+        diff = json.loads(p.stdout.strip()) if p.returncode == 0 else {
+            "error": p.stderr.strip()[-300:]}
+        flagged = [m for m in diff.get("moved", [])
+                   if m["delta_pct"] > 0]
+        bench_regressions = {"old": old_f, "new": new_f, "diff": diff,
+                             "flagged": flagged}
+        print(f"[bench diff] {len(flagged)} key(s) regressed >50%: "
+              f"{[m['key'] for m in flagged]}", file=sys.stderr)
     artifact = {
         "head": head,
         "dirty_tree": dirty,
@@ -82,6 +105,8 @@ def main() -> int:
         "pass": ok,
         "stages": stages,
     }
+    if bench_regressions is not None:
+        artifact["bench_regressions"] = bench_regressions
     with open(os.path.join(REPO, out_path), "w") as f:
         json.dump(artifact, f, indent=1)
     print(json.dumps({"head": head, "dirty_tree": dirty, "pass": ok,
