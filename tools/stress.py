@@ -497,6 +497,83 @@ def s_semantic_route(c: Ctx) -> None:
      .agg(F.count("*").alias("n"))).count()
 
 
+def _hot_events(c: Ctx):
+    """The k-amplified events COLLAPSED onto 8 user keys (user_id % 8;
+    event_id stays unique) — a deliberately pathological hot-key
+    profile: k × 100k fixture events spread over just 8 per-key fold
+    buffers (k=16 → 200k events/key, k=64 → 800k events/key vs the
+    fixture's max 99). This is the adversarial input for the CEP batch
+    folds, whose per-key collect_list buffer is the round-7 verdict's
+    flagged bound: state in the fold is O(1)/horizon-bounded, but the
+    fold's INPUT array is the full per-key history (~24 B × events in
+    one aggregation buffer — extrapolating, a 10⁸-event key would hold
+    ~2.4 GB in one task, the scale where the streaming steppers'
+    per-micro-batch carried state is the prescribed path; docs/scale.md
+    §CEP)."""
+    ev = c.ev.select("user_id", "ts", "event_id", "event_type")
+    return ev.withColumn("user_id", F.col("user_id") % 8)
+
+
+@shape("cep_relaxed_hotkey", lambda c: c.nrows("ev"))
+def s_cep_relaxed_hotkey(c: Ctx) -> None:
+    """Batch CEP skip-past-last fold under hot-key amplification
+    (VERDICT_r7 item 4): k×100k/8 events per key collect into ONE
+    aggregation buffer each before the O(1)-state fold runs. Healthy
+    scaling here = time ~k with zero spill; the documented bound is
+    per-key array bytes ≈ 24 B × events-per-key in a single task."""
+    from flink_tutorial_broadcast_spark.cep import (
+        Pattern, compile_pattern,
+    )
+    pat = (Pattern.begin("v", "view").followed_by("c", "click")
+           .followed_by("p", "purchase"))
+    compile_pattern(pat, _hot_events(c), ["user_id"], "ts",
+                    "event_id", "event_type").count()
+
+
+@shape("cep_fork_hotkey", lambda c: c.nrows("ev"))
+def s_cep_fork_hotkey(c: Ctx) -> None:
+    """Forking-NFA fold (noSkip + within 48h) under the same hot-key
+    amplification: on top of the per-key input array, the accumulator
+    carries K-1 anchor arrays whose length is bounded by per-key event
+    density inside the horizon — amplification multiplies exactly that
+    density, so this shape measures the flagged worst case, not a
+    synthetic best case."""
+    from flink_tutorial_broadcast_spark.cep import (
+        Pattern, compile_pattern,
+    )
+    pat = (Pattern.begin("v", "view").followed_by("c", "click")
+           .followed_by("p", "purchase").within("48 hours").no_skip())
+    compile_pattern(pat, _hot_events(c), ["user_id"], "ts",
+                    "event_id", "event_type").count()
+
+
+@shape("two_phase_manybatch", lambda c: 64 * 1000)
+def s_two_phase_manybatch(c: Ctx) -> None:
+    """2PC sink over MANY batches (VERDICT_r7 item 4): 64 stage+commit
+    cycles of 1000 rows each, then one committed_df() resolve over all
+    64 manifests — measures manifest-count growth on both the writer
+    (one fsync'd rename per batch) and the reader (manifest scan +
+    multi-file parquet read). Linear in batches by construction; the
+    reader cost is the part that grows with sink age."""
+    import shutil
+    import tempfile
+
+    from flink_tutorial_broadcast_spark.streaming.two_phase_sink import (
+        TwoPhaseCommitFileSink,
+    )
+    root = tempfile.mkdtemp(prefix="stress_2pc_")
+    try:
+        sink = TwoPhaseCommitFileSink(root)
+        base = c.ev.select("event_id", "user_id", "value").limit(1000)
+        base = base.coalesce(1).localCheckpoint()  # one write per batch
+        for b in range(64):
+            sink.write_batch(base, b)
+        assert sink.committed_batch_ids() == list(range(64))
+        assert sink.committed_df(c.spark).count() == 64 * 1000
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def main() -> None:
     k = int(sys.argv[1]) if len(sys.argv) > 1 else 16
     wanted = (sys.argv[2].split(",") if len(sys.argv) > 2
