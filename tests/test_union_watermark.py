@@ -189,3 +189,119 @@ def test_union_idle_source_stalls_default_watermark(spark):
 
     assert run(None) == 0      # the idle input stalls event time
     assert run("max") > 0      # the workaround releases the windows
+
+
+def test_union_idle_source_heartbeat_unstarves_append_output(spark):
+    """The withIdleness EMULATION (streaming/idleness.py, VERDICT_r7
+    item 5): same starvation shape as above — active file stream
+    unioned with a never-producing input under the default min policy —
+    but an IdleSourceHeartbeat watches the idle directory and injects a
+    sentinel row whose event time is the injection wall-clock. The idle
+    input's watermark advances past every fixture event time, the min
+    policy's binding input becomes the ACTIVE one, and append output
+    flows; strip_heartbeats removes the sentinel AFTER the watermark
+    operator so no aggregate ever counts it. Counts must equal the
+    active-source-only run exactly."""
+    from flink_tutorial_broadcast_spark.streaming.idleness import (
+        IdleSourceHeartbeat, strip_heartbeats,
+    )
+
+    ev = (load(spark, SF_SMOKE, "events")
+          .select("ts", "user_id", F.unix_micros("ts").alias("__us")))
+    d_active = tempfile.mkdtemp(prefix="uwm_hb_active_")
+    d_idle = tempfile.mkdtemp(prefix="uwm_hb_idle_")
+    _timed_files(ev, d_active)
+    # idle source: a schema-bearing empty file, as in the starvation pin
+    (ev.filter(F.lit(False)).drop("__us")
+     .coalesce(1).write.parquet(os.path.join(d_idle, "f=0")))
+
+    hb = IdleSourceHeartbeat(d_idle, idle_timeout_s=0.0,
+                             fields={"user_id": -1}, ts_col="ts")
+    # the empty-dir rule: a source that never produced is idle from
+    # stream start (the parquet file exists but holds zero ROWS; mtime
+    # still gates, so sleep past the 0s timeout)
+    time.sleep(0.05)
+    assert hb.check_and_inject() is True
+
+    def run_union():
+        def src(d):
+            return (spark.readStream
+                    .schema("ts timestamp, user_id long")
+                    .option("maxFilesPerTrigger", "1")
+                    .option("recursiveFileLookup", "true")
+                    .parquet(d)
+                    .withWatermark("ts", "0 seconds"))
+        agg = (strip_heartbeats(src(d_active).union(src(d_idle)))
+               .groupBy(F.window("ts", "1 hour").alias("w"))
+               .agg(F.count("*").alias("n"))
+               .select(F.col("w.end").alias("w_end"), "n"))
+        name = f"uwmhb_{int(time.time() * 1000)}"
+        q = (agg.writeStream.format("memory").queryName(name)
+             .outputMode("append")
+             .option("checkpointLocation", checkpoint_dir())
+             .trigger(availableNow=True).start())
+        q.awaitTermination()
+        return spark.sql(f"SELECT * FROM {name}").collect()
+
+    rows = run_union()
+    assert rows  # the heartbeat un-starved the append output
+
+    # ground truth: the active source alone (no union, no idleness)
+    def run_single():
+        srcdf = (spark.readStream
+                 .schema("ts timestamp, user_id long")
+                 .option("maxFilesPerTrigger", "1")
+                 .option("recursiveFileLookup", "true")
+                 .parquet(d_active)
+                 .withWatermark("ts", "0 seconds"))
+        agg = (srcdf.groupBy(F.window("ts", "1 hour").alias("w"))
+               .agg(F.count("*").alias("n"))
+               .select(F.col("w.end").alias("w_end"), "n"))
+        name = f"uwmsolo_{int(time.time() * 1000)}"
+        q = (agg.writeStream.format("memory").queryName(name)
+             .outputMode("append")
+             .option("checkpointLocation", checkpoint_dir())
+             .trigger(availableNow=True).start())
+        q.awaitTermination()
+        return spark.sql(f"SELECT * FROM {name}").collect()
+
+    want = run_single()
+    # the heartbeat's wall-clock ts (2026) outruns every fixture event,
+    # so the union emits at least the single-source windows — and the
+    # sentinel row itself never lands in any count
+    got = {(r["w_end"], r["n"]) for r in rows}
+    assert {(r["w_end"], r["n"]) for r in want} <= got
+    assert all(r["n"] > 0 for r in rows)
+
+    # a non-idle directory refuses to inject
+    hb_active = IdleSourceHeartbeat(d_active, idle_timeout_s=3600,
+                                    fields={"user_id": -1})
+    assert hb_active.check_and_inject() is False
+
+
+def test_idleness_monitor_thread_and_mtime_gate(spark):
+    """The background monitor form: start() polls and injects while the
+    directory stays idle, stop() joins the thread; a fresh data file
+    resets the idleness clock (mtime gate)."""
+    from flink_tutorial_broadcast_spark.streaming.idleness import (
+        IdleSourceHeartbeat,
+    )
+
+    d = tempfile.mkdtemp(prefix="uwm_hb_mon_")
+    hb = IdleSourceHeartbeat(d, idle_timeout_s=0.0,
+                             fields={"user_id": -1, "v": 1.5,
+                                     "tag": "hb"})
+    hb.start(poll_s=0.05)
+    time.sleep(0.4)
+    hb.stop()
+    import glob as _glob
+    n_hb = len(_glob.glob(os.path.join(d, "heartbeats", "*.parquet")))
+    assert n_hb >= 2  # kept injecting while idle
+    # heartbeat files are readable parquet with the declared schema
+    got = spark.read.parquet(os.path.join(d, "heartbeats")).collect()
+    assert all(r["user_id"] == -1 and r["tag"] == "hb" for r in got)
+    assert len(got) == n_hb
+    # a fresh real file inside the timeout suppresses injection
+    hb2 = IdleSourceHeartbeat(d, idle_timeout_s=3600,
+                              fields={"user_id": -1})
+    assert hb2.check_and_inject() is False  # heartbeats count as files
