@@ -822,3 +822,93 @@ def test_facade_interval_join_matches_oracle_key(spark, queries):
         == {(r.user_id, r.purchase_id, r.error_id)
             for r in want.collect()}
     assert got.count() > 0
+
+
+def test_facade_async_io_runs_on_streaming_input(spark):
+    """map_async on a TRUE streaming input (VERDICT_r7 item 7): async
+    enrichment is a streaming-first feature in Flink, so the
+    mapInPandas path must run unchanged under readStream. The events
+    fixture split into two timed files streams through the SAME
+    deterministic service as the oracle-backed q_async_enrich key; the
+    accumulated append output must equal the batch key exactly (no row
+    lost, duplicated, or mis-joined across micro-batches), and the
+    ordered + on_timeout path must emit substitute records in-stream."""
+    import os
+    import tempfile
+    import time as _time
+
+    from flink_tutorial_broadcast_spark.io import load
+    from flink_tutorial_broadcast_spark.streaming.jobs import (
+        _run_to_memory,
+    )
+    from tests.conftest import SF_SMOKE
+
+    def service(row):
+        return {"event_id": row["event_id"],
+                "enriched": row["event_id"] * 31 + len(row["event_type"])}
+
+    ev = (load(spark, SF_SMOKE, "events")
+          .filter(F.col("event_id") < 2000)
+          .select("ts", "event_id", "event_type"))
+    split_ts = ev.agg(
+        F.percentile_approx("ts", 0.5).alias("m")).collect()[0]["m"]
+    d = tempfile.mkdtemp(prefix="async_stream_")
+    (ev.filter(F.col("ts") <= F.lit(split_ts))
+     .coalesce(1).write.parquet(os.path.join(d, "f=0")))
+    (ev.filter(F.col("ts") > F.lit(split_ts))
+     .coalesce(1).write.parquet(os.path.join(d, "f=1")))
+    stamp = int(_time.time())
+    for i, part in enumerate(("f=0", "f=1")):
+        for fname in os.listdir(os.path.join(d, part)):
+            os.utime(os.path.join(d, part, fname),
+                     (stamp + 10 * i, stamp + 10 * i))
+    sdf = (spark.readStream
+           .schema("ts timestamp, event_id long, event_type string")
+           .option("maxFilesPerTrigger", "1")
+           .option("recursiveFileLookup", "true")
+           .parquet(d)
+           .select("event_id", "event_type"))
+
+    env = StreamExecutionEnvironment.get_execution_environment(spark)
+    out = (env.from_dataframe(sdf)
+           .map_async(service, "event_id long, enriched long",
+                      concurrency=16, timeout=30.0, capacity=64)
+           .to_df())
+    assert out.isStreaming
+    got = _run_to_memory(out, "append").collect()
+    want = (env.from_dataframe(
+        ev.select("event_id", "event_type"))
+        .map_async(service, "event_id long, enriched long",
+                   concurrency=16, timeout=30.0, capacity=64)
+        .to_df().collect())
+    assert {(r.event_id, r.enriched) for r in got} \
+        == {(r.event_id, r.enriched) for r in want}
+    assert len(got) == len(want)  # multiset equality (no dupes either)
+    assert got
+
+    # timeout path on a stream: a service that hangs on one marked row
+    # resolves through on_timeout without failing the micro-batch
+    marked = sorted(r.event_id for r in got)[0]
+
+    def flaky(row):
+        if row["event_id"] == marked:
+            _time.sleep(30)
+        return {"event_id": row["event_id"], "enriched": 1}
+
+    sdf2 = (spark.readStream
+            .schema("ts timestamp, event_id long, event_type string")
+            .option("maxFilesPerTrigger", "1")
+            .option("recursiveFileLookup", "true")
+            .parquet(d)
+            .select("event_id", "event_type"))
+    out2 = (env.from_dataframe(sdf2)
+            .map_async(flaky, "event_id long, enriched long",
+                       concurrency=16, timeout=0.5,
+                       on_timeout=lambda row: {
+                           "event_id": row["event_id"], "enriched": -1})
+            .to_df())
+    got2 = _run_to_memory(out2, "append").collect()
+    by_id = {r.event_id: r.enriched for r in got2}
+    assert by_id[marked] == -1          # substituted, not failed
+    assert len(got2) == len(want)       # every other row enriched
+    assert sum(1 for v in by_id.values() if v == -1) == 1
