@@ -44,6 +44,14 @@ times(n) exactly equivalent to n copies of the stage — while
 `one_or_more()` under relaxed contiguity stays refused (unbounded
 greedy loops need the full NFA).
 
+MIXED contiguity compiles too (round 8): each stage also carries a
+strict-await flag, and the machines treat a non-matching event at a
+`next` await as killing the partial run (possibly re-anchoring on the
+same event) instead of skipping it — so
+`begin(a).followed_by(b).next(c)` runs on the same single-anchor /
+forking machines as pure-relaxed chains, batch and streaming. Pure
+`next` chains keep the faster regex path.
+
 On a STREAMING keyed input the same Pattern compiles to the keyed-state
 NFA twin (applyInPandasWithState; update-mode running counts) — the
 machine streaming/jobs.cep_followed_by[_all]_stream pins across
@@ -200,37 +208,40 @@ class Pattern:
                     "contiguity already bounds state — drop within() "
                     "or use followed_by")
             return "strict"
-        if all(c == "followed_by" for c in cont):
-            if any(s.one_or_more for s in self.stages):
-                raise NotImplementedError(
-                    "one_or_more() under relaxed followed_by contiguity "
-                    "is not compiled (an unbounded greedy loop); use "
-                    "times(n) — which expands to n relaxed stages, "
-                    "Flink's default internal contiguity — or a strict "
-                    "next() chain (the regex path)")
-            if self.skip == "no_skip":
-                return "fork"
-            if self.within_us is not None:
-                return "relaxed_within"
-            return "relaxed"
-        raise NotImplementedError(
-            "mixed next/followed_by contiguity in one pattern is not "
-            "compiled — split the pattern or pick one contiguity")
+        # any mix of followed_by and next stages (>=1 relaxed) compiles
+        # on the stage machines: each stage carries a strict-await flag,
+        # and a non-matching event at a strict await kills the run
+        # (possibly re-anchoring it) instead of being skipped
+        if any(s.one_or_more for s in self.stages):
+            raise NotImplementedError(
+                "one_or_more() under relaxed/mixed contiguity is not "
+                "compiled (an unbounded greedy loop); use times(n) — "
+                "which expands to n stages under Flink's default "
+                "internal contiguity — or a pure strict next() chain "
+                "(the regex path)")
+        if self.skip == "no_skip":
+            return "fork"
+        if self.within_us is not None:
+            return "relaxed_within"
+        return "relaxed"
 
     def _expanded(self) -> "Pattern":
         """Resolve times(n) on relaxed-family stages by STAGE EXPANSION:
         Flink's default internal contiguity for quantifiers is relaxed
         [FLINK-API: Quantifier], so followed_by(b).times(3) is exactly
-        b FOLLOWED-BY b FOLLOWED-BY b. Strict chains keep their
-        quantifiers (the regex applies them natively)."""
+        b FOLLOWED-BY b FOLLOWED-BY b. A quantified next() stage keeps
+        strict-internal copies — the `consecutive()` reading the
+        q_cep_times oracle pins engine-wide — and pure-strict chains
+        never reach expansion (the regex applies quantifiers natively).
+        """
         out: list[_Stage] = []
         for s in self.stages:
             n = s.times or 1
             first = replace(s, times=None)
             out.append(first)
+            inner = "next" if s.contiguity == "next" else "followed_by"
             for j in range(1, n):
-                out.append(_Stage(f"{s.name}#{j}", s.event_type,
-                                  "followed_by"))
+                out.append(_Stage(f"{s.name}#{j}", s.event_type, inner))
         return Pattern(stages=out, within_us=self.within_us,
                        skip=self.skip)
 
@@ -340,23 +351,44 @@ def _need(pat: Pattern):
     return F.array(*[F.lit(c) for c in _stage_codes(pat)])
 
 
+def _strict_flags(pat: Pattern) -> list[bool]:
+    """Per-await strict flags, index-aligned with stages: awaiting
+    stages[i] with flag True (contiguity 'next') means a non-matching
+    event KILLS the partial run — the event after the previous match
+    had to be the awaited one [FLINK-API: Pattern#next] — instead of
+    being skipped over as followed_by allows. stages[0] (begin) is
+    never strict: before the anchor there is no previous match."""
+    return [s.contiguity == "next" for s in pat.stages]
+
+
+def _strict_arr(pat: Pattern):
+    return F.array(*[F.lit(b) for b in _strict_flags(pat)])
+
+
 def _relaxed_machine(pat, df, keys, time_col, tiebreak_col, event_col):
     # K-stage single-anchor automaton under SKIP PAST LAST EVENT —
-    # q_cep_followed_by generalized; acc = (matches, stage), O(1) state
+    # q_cep_followed_by generalized; acc = (matches, stage), O(1) state.
+    # A non-matching event at a strict (next) await kills the run and
+    # may itself re-anchor a new one (mixed-contiguity support).
     K = len(pat.stages)
     seq = _seq(pat, time_col, tiebreak_col, event_col)
     need = _need(pat)
+    strict = _strict_arr(pat)
     init = F.struct(F.lit(0).cast("long").alias("cnt"),
                     F.lit(0).alias("stage"))
 
     def step(acc, x):
         adv = x["c"] == F.get(need, acc["stage"])
         done = adv & (acc["stage"] == K - 1)
+        die = (~adv) & F.get(strict, acc["stage"]) & (acc["stage"] > 0)
+        restart = die & (x["c"] == F.get(need, F.lit(0)))
         return F.struct(
             F.when(done, acc["cnt"] + 1).otherwise(acc["cnt"])
              .alias("cnt"),
             F.when(done, F.lit(0))
              .when(adv, acc["stage"] + 1)
+             .when(restart, F.lit(1))
+             .when(die, F.lit(0))
              .otherwise(acc["stage"]).alias("stage"))
 
     fold = F.aggregate(seq, init, step)
@@ -374,6 +406,7 @@ def _relaxed_within_machine(pat, df, keys, time_col, tiebreak_col,
     w = pat.within_us
     seq = _seq(pat, time_col, tiebreak_col, event_col)
     need = _need(pat)
+    strict = _strict_arr(pat)
     init = F.struct(F.lit(0).cast("long").alias("cnt"),
                     F.lit(0).alias("stage"),
                     F.lit(0).cast("long").alias("anchor"))
@@ -384,13 +417,17 @@ def _relaxed_within_machine(pat, df, keys, time_col, tiebreak_col,
             F.lit(0)).otherwise(acc["stage"])
         adv = x["c"] == F.get(need, stage)
         done = adv & (stage == K - 1)
+        die = (~adv) & F.get(strict, stage) & (stage > 0)
+        restart = die & (x["c"] == F.get(need, F.lit(0)))
         return F.struct(
             F.when(done, acc["cnt"] + 1).otherwise(acc["cnt"])
              .alias("cnt"),
             F.when(done, F.lit(0))
              .when(adv, stage + 1)
+             .when(restart, F.lit(1))
+             .when(die, F.lit(0))
              .otherwise(stage).alias("stage"),
-            F.when((stage == 0) & adv, x["t"])
+            F.when(((stage == 0) & adv) | restart, x["t"])
              .otherwise(acc["anchor"]).alias("anchor"))
 
     fold = F.aggregate(seq, init, step)
@@ -408,6 +445,7 @@ def _fork_machine(pat, df, keys, time_col, tiebreak_col, event_col):
     K = len(pat.stages)
     w = pat.within_us
     st = _stage_codes(pat)
+    strict = _strict_flags(pat)
     seq = _seq(pat, time_col, tiebreak_col, event_col)
     empty = F.array().cast("array<long>")
     init = F.struct(F.lit(0).cast("long").alias("cnt"),
@@ -426,8 +464,14 @@ def _fork_machine(pat, df, keys, time_col, tiebreak_col, event_col):
             .otherwise(acc["cnt"]).alias("cnt")]
         for i in range(1, K):
             # stage i's set: drained if the NEXT stage matched, then
-            # grown if THIS stage matched — both against the snapshot
-            base = F.when(match[i + 1], empty).otherwise(filt[i])
+            # grown if THIS stage matched — both against the snapshot.
+            # A strict (next) await drains-or-DIES: on a match the runs
+            # promote upward; on anything else their immediate-next
+            # event was wrong, so the whole set clears either way.
+            if strict[i]:  # stages[i] is the await of set s_i
+                base = empty
+            else:
+                base = F.when(match[i + 1], empty).otherwise(filt[i])
             incoming = (F.array(x["t"]) if i == 1 else filt[i - 1])
             col = (F.when(match[i], F.concat(base, incoming))
                    .otherwise(base))
@@ -488,6 +532,7 @@ def compile_pattern_matches(pat: Pattern, df: DataFrame,
     w = pat.within_us
     seq = _seq(pat, time_col, tiebreak_col, event_col)
     need = _need(pat)
+    strict = _strict_arr(pat)
     empty = F.expr(
         "CAST(array() AS array<struct<start_id:bigint,end_id:bigint,"
         "span_us:bigint>>)")
@@ -504,7 +549,9 @@ def compile_pattern_matches(pat: Pattern, df: DataFrame,
                 F.lit(0)).otherwise(stage)
         adv = x["c"] == F.get(need, stage)
         done = adv & (stage == K - 1)
-        starts = (stage == 0) & adv
+        die = (~adv) & F.get(strict, stage) & (stage > 0)
+        restart = die & (x["c"] == F.get(need, F.lit(0)))
+        starts = ((stage == 0) & adv) | restart
         m = F.struct(acc["anchor_id"].alias("start_id"),
                      x["eid"].alias("end_id"),
                      (x["t"] - acc["anchor_t"]).alias("span_us"))
@@ -513,6 +560,8 @@ def compile_pattern_matches(pat: Pattern, df: DataFrame,
         return F.struct(
             F.when(done, F.lit(0))
              .when(adv, stage + 1)
+             .when(restart, F.lit(1))
+             .when(die, F.lit(0))
              .otherwise(stage).alias("stage"),
             F.when(starts, x["eid"]).otherwise(acc["anchor_id"])
              .alias("anchor_id"),
@@ -542,6 +591,7 @@ def _fork_matches(pat, df, keys, time_col, tiebreak_col, event_col):
     K = len(pat.stages)
     w = pat.within_us
     st = _stage_codes(pat)
+    strict = _strict_flags(pat)
     seq = _seq(pat, time_col, tiebreak_col, event_col)
     anchor_t = "array<struct<t:bigint,id:bigint>>"
     empty_anchors = F.expr(f"CAST(array() AS {anchor_t})")
@@ -568,7 +618,12 @@ def _fork_matches(pat, df, keys, time_col, tiebreak_col, event_col):
             F.when(match[K], F.concat(acc["matches"], closed))
             .otherwise(acc["matches"]).alias("matches")]
         for i in range(1, K):
-            base = F.when(match[i + 1], empty_anchors).otherwise(filt[i])
+            # strict (next) awaits drain-or-die (see _fork_machine)
+            if strict[i]:
+                base = empty_anchors
+            else:
+                base = F.when(match[i + 1],
+                              empty_anchors).otherwise(filt[i])
             incoming = (F.array(F.struct(x["t"].alias("t"),
                                          x["eid"].alias("id")))
                         if i == 1 else filt[i - 1])
@@ -589,12 +644,15 @@ def _fork_matches(pat, df, keys, time_col, tiebreak_col, event_col):
 
 # -- streaming: the keyed-state NFA twins ------------------------------
 
-def relaxed_stepper(type_codes: dict[str, int], stage_codes: list[int]):
+def relaxed_stepper(type_codes: dict[str, int], stage_codes: list[int],
+                    strict: list[bool] | None = None):
     """applyInPandasWithState step for the skip-past-last machine —
     the streaming/jobs._cep_advance register (cnt, stage), generalized
-    to K stages with stage-index transitions. State survives
-    micro-batch boundaries."""
+    to K stages with stage-index transitions and per-stage strict
+    (next) awaits that kill-or-re-anchor the run on a miss. State
+    survives micro-batch boundaries."""
     K = len(stage_codes)
+    strict = strict or [False] * K
 
     def step(key, pdf_iter, state):
         import pandas as pd
@@ -610,6 +668,8 @@ def relaxed_stepper(type_codes: dict[str, int], stage_codes: list[int]):
                     cnt, stage = cnt + 1, 0
                 else:
                     stage += 1
+            elif strict[stage] and stage > 0:
+                stage = 1 if c == stage_codes[0] else 0
         state.update((cnt, stage))
         yield pd.DataFrame({"key": [key[0]], "n_matches": [cnt],
                             "stage": [stage]})
@@ -617,12 +677,15 @@ def relaxed_stepper(type_codes: dict[str, int], stage_codes: list[int]):
 
 
 def relaxed_within_stepper(type_codes: dict[str, int],
-                           stage_codes: list[int], within_us: int):
+                           stage_codes: list[int], within_us: int,
+                           strict: list[bool] | None = None):
     """applyInPandasWithState step for the bounded single-anchor
     machine — state (cnt, stage, anchor µs); expiry applied before each
     event exactly like the batch fold, so state is O(1) per key and the
-    automaton survives micro-batch boundaries."""
+    automaton survives micro-batch boundaries. Strict awaits
+    kill-or-re-anchor on a miss."""
     K = len(stage_codes)
+    strict = strict or [False] * K
 
     def step(key, pdf_iter, state):
         import pandas as pd
@@ -642,6 +705,11 @@ def relaxed_within_stepper(type_codes: dict[str, int],
                     if stage == 0:
                         anchor = t
                     stage += 1
+            elif strict[stage] and stage > 0:
+                if c == stage_codes[0]:
+                    stage, anchor = 1, t
+                else:
+                    stage = 0
         state.update((cnt, stage, anchor))
         yield pd.DataFrame({"key": [key[0]], "n_matches": [cnt],
                             "stage": [stage]})
@@ -649,7 +717,8 @@ def relaxed_within_stepper(type_codes: dict[str, int],
 
 
 def fork_stepper(type_codes: dict[str, int], stage_codes: list[int],
-                 within_us: int | None):
+                 within_us: int | None,
+                 strict: list[bool] | None = None):
     """applyInPandasWithState step for the forking NFA — the
     streaming/jobs._cep_fork_advance anchor-set machine, generalized:
     state = (cnt, s1..s_{K-1} anchor-µs arrays), expiry applied before
@@ -658,6 +727,7 @@ def fork_stepper(type_codes: dict[str, int], stage_codes: list[int],
     adjacent stage types drain-and-refill in one step like the batch
     fold."""
     K = len(stage_codes)
+    strict = strict or [False] * K
 
     def step(key, pdf_iter, state):
         import pandas as pd
@@ -681,7 +751,11 @@ def fork_stepper(type_codes: dict[str, int], stage_codes: list[int],
             if match[K - 1]:
                 cnt += len(snap[K - 2])
             for i in range(K - 1):  # sets[i] holds stage-(i+1) anchors
-                base = [] if match[i + 1] else snap[i]
+                # strict awaits drain-or-die (see _fork_machine)
+                if strict[i + 1]:
+                    base = []
+                else:
+                    base = [] if match[i + 1] else snap[i]
                 if match[i]:
                     incoming = [t] if i == 0 else snap[i - 1]
                     sets[i] = base + incoming
@@ -694,7 +768,8 @@ def fork_stepper(type_codes: dict[str, int], stage_codes: list[int],
 
 def relaxed_matches_stepper(type_codes: dict[str, int],
                             stage_codes: list[int],
-                            within_us: int | None):
+                            within_us: int | None,
+                            strict: list[bool] | None = None):
     """Streaming MATCH EXTRACTION for the single-anchor skip-past-last
     machine [FLINK-API: PatternStream.select on the live stream]: state
     carries (n_matches, stage, anchor_id, anchor µs); each micro-batch
@@ -703,6 +778,7 @@ def relaxed_matches_stepper(type_codes: dict[str, int],
     compile_pattern_matches rows — including matches whose anchor
     arrived in an earlier micro-batch."""
     K = len(stage_codes)
+    strict = strict or [False] * K
 
     def step(key, pdf_iter, state):
         import pandas as pd
@@ -727,6 +803,11 @@ def relaxed_matches_stepper(type_codes: dict[str, int],
                     stage = 0
                 else:
                     stage += 1
+            elif strict[stage] and stage > 0:
+                if c == stage_codes[0]:
+                    stage, anchor_id, anchor_t = 1, eid, t
+                else:
+                    stage = 0
         state.update((cnt, stage, anchor_id, anchor_t))
         if out:
             yield pd.DataFrame(
@@ -740,13 +821,15 @@ def relaxed_matches_stepper(type_codes: dict[str, int],
 
 def fork_matches_stepper(type_codes: dict[str, int],
                          stage_codes: list[int],
-                         within_us: int | None):
+                         within_us: int | None,
+                         strict: list[bool] | None = None):
     """Streaming match extraction for the FORKING NFA: state carries
     per-stage (t, id) anchor pairs as parallel arrays plus the running
     match count; every closing event APPENDS one row per surviving
     penultimate anchor — one close, possibly many matches, across
     micro-batch boundaries."""
     K = len(stage_codes)
+    strict = strict or [False] * K
 
     def step(key, pdf_iter, state):
         import pandas as pd
@@ -774,7 +857,10 @@ def fork_matches_stepper(type_codes: dict[str, int],
                     cnt += 1
                     out.append((cnt, a_id, eid, t - a_t))
             for i in range(K - 1):
-                base = [] if match[i + 1] else snap[i]
+                if strict[i + 1]:  # strict awaits drain-or-die
+                    base = []
+                else:
+                    base = [] if match[i + 1] else snap[i]
                 if match[i]:
                     incoming = [(t, eid)] if i == 0 else snap[i - 1]
                     sets[i] = base + incoming
@@ -827,6 +913,7 @@ def compile_pattern_stream(pat: Pattern, sdf: DataFrame,
     K = len(pat.stages)
     tcodes = _type_codes(pat)
     scodes = _stage_codes(pat)
+    sflags = _strict_flags(pat)
     # the steppers address columns positionally: key, time, tiebreak,
     # event type — project exactly that
     proj = sdf.select(keys[0], time_col, tiebreak_col, event_col)
@@ -834,16 +921,17 @@ def compile_pattern_stream(pat: Pattern, sdf: DataFrame,
     if fam == "relaxed":
         out_schema = f"key {ktype}, n_matches long, stage long"
         state_schema = "cnt long, stage long"
-        fn = relaxed_stepper(tcodes, scodes)
+        fn = relaxed_stepper(tcodes, scodes, sflags)
     elif fam == "relaxed_within":
         out_schema = f"key {ktype}, n_matches long, stage long"
         state_schema = "cnt long, stage long, anchor long"
-        fn = relaxed_within_stepper(tcodes, scodes, pat.within_us)
+        fn = relaxed_within_stepper(tcodes, scodes, pat.within_us,
+                                    sflags)
     else:
         out_schema = f"key {ktype}, n_matches long"
         state_schema = "cnt long, " + ", ".join(
             f"s{i} array<long>" for i in range(1, K))
-        fn = fork_stepper(tcodes, scodes, pat.within_us)
+        fn = fork_stepper(tcodes, scodes, pat.within_us, sflags)
     return (proj.groupBy(keys[0]).applyInPandasWithState(
         fn, outputStructType=out_schema, stateStructType=state_schema,
         outputMode="Update", timeoutConf=GroupStateTimeout.NoTimeout)
@@ -878,6 +966,7 @@ def compile_pattern_matches_stream(pat: Pattern, sdf: DataFrame,
     K = len(pat.stages)
     tcodes = _type_codes(pat)
     scodes = _stage_codes(pat)
+    sflags = _strict_flags(pat)
     proj = sdf.select(keys[0], time_col, tiebreak_col, event_col)
     ktype = _key_sql_type(proj, keys[0])
     out_schema = (f"key {ktype}, match_no long, start_event_id long, "
@@ -886,11 +975,12 @@ def compile_pattern_matches_stream(pat: Pattern, sdf: DataFrame,
         state_schema = "cnt long, " + ", ".join(
             f"s{i}_t array<long>, s{i}_id array<long>"
             for i in range(1, K))
-        fn = fork_matches_stepper(tcodes, scodes, pat.within_us)
+        fn = fork_matches_stepper(tcodes, scodes, pat.within_us, sflags)
     else:
         state_schema = ("cnt long, stage long, anchor_id long, "
                         "anchor_t long")
-        fn = relaxed_matches_stepper(tcodes, scodes, pat.within_us)
+        fn = relaxed_matches_stepper(tcodes, scodes, pat.within_us,
+                                     sflags)
     return (proj.groupBy(keys[0]).applyInPandasWithState(
         fn, outputStructType=out_schema, stateStructType=state_schema,
         outputMode="Append", timeoutConf=GroupStateTimeout.NoTimeout)

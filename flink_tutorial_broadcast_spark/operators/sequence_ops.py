@@ -832,6 +832,68 @@ def q_cep_quantified_relaxed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_cep_mixed_contiguity",
+    oracle="""
+    WITH RECURSIVE codes AS (
+      SELECT user_id,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS i,
+             CASE event_type WHEN 'view' THEN 1 WHEN 'click' THEN 2
+                  WHEN 'purchase' THEN 3 ELSE 0 END AS tc
+      FROM events
+    ), n AS (
+      SELECT user_id, COUNT(*) AS n_ev FROM codes GROUP BY user_id
+    ), run AS (
+      SELECT user_id, 0 AS i, 0 AS acc FROM n
+      UNION ALL
+      SELECT r.user_id, r.i + 1,
+             CASE WHEN r.acc % 10 = 0 THEN
+                    CASE WHEN c.tc = 1 THEN r.acc + 1 ELSE r.acc END
+                  WHEN r.acc % 10 = 1 THEN
+                    CASE WHEN c.tc = 2 THEN r.acc + 1 ELSE r.acc END
+                  ELSE
+                    CASE WHEN c.tc = 3
+                         THEN (r.acc // 10 + 1) * 10
+                         WHEN c.tc = 1
+                         THEN (r.acc // 10) * 10 + 1
+                         ELSE (r.acc // 10) * 10 END
+             END
+      FROM run r JOIN codes c ON c.user_id = r.user_id AND c.i = r.i + 1
+    )
+    SELECT r.user_id, CAST(r.acc // 10 AS BIGINT) AS n_matches
+    FROM run r JOIN n ON r.user_id = n.user_id AND r.i = n.n_ev
+    WHERE r.acc // 10 > 0
+    """,
+)
+def q_cep_mixed_contiguity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MIXED contiguity in one pattern [FLINK-API: Pattern.begin(v)
+    .followedBy(c).next(p)] — the purchase must be the IMMEDIATE next
+    event after the click, while the click may trail the view at any
+    distance. Round 8's per-stage strict-await flags compile this on
+    the same single-anchor machine as pure-relaxed chains: a
+    non-matching event at the strict await KILLS the partial run (and
+    may itself re-anchor a new one) instead of being skipped. The
+    oracle replays the identical machine as a recursive-CTE step
+    relation — at stage 2 a non-purchase event resets (re-anchoring on
+    a view), which is exactly the strict kill/re-anchor rule, so the
+    hash match pins the mixed machine itself. Property twins:
+    test_cep_mixed_contiguity_* (random sequences vs the Python NFA,
+    plain, within-bounded, and forking)."""
+    from flink_tutorial_broadcast_spark.cep import Pattern
+    from flink_tutorial_broadcast_spark.datastream import (
+        StreamExecutionEnvironment,
+    )
+    env = StreamExecutionEnvironment.get_execution_environment(spark)
+    pat = (Pattern.begin("v", "view")
+           .followed_by("c", "click")
+           .next("p", "purchase"))
+    return (env.from_dataframe(load(spark, sf_dir, "events"))
+            .key_by("user_id")
+            .pattern(pat)
+            .to_df())
+
+
+@query(
     "q_gap_fill",
     oracle="""
     WITH bounds AS (

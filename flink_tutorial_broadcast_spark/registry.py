@@ -135,7 +135,7 @@ _VERIFICATION_PREFIX = (
     "q_k_anonymity",                    # governance k-anonymity (NEW r8)
     "q_dedup_keep_best",                # layout keep-best dedup (NEW r8)
     "q_media_resize",                   # K5 — PPM resize (NEW r8)
-    "q_video_features",                 # K5 — real Y4M video decode (r5)
+    "q_cep_mixed_contiguity",           # CEP strict-await mix (NEW r8)
     "q_epoch_shuffle",                  # dataset_ops (NEW r8)
     "q_weighted_sample",                # olap_ext (NEW r8)
     "q_tpch_q3",                        # composite

@@ -93,16 +93,16 @@ def test_pattern_rejects_uncompilable_combinations(spark):
     ev = load(spark, SF_SMOKE, "events")
     ks = _env(spark).from_dataframe(ev).key_by("user_id")
 
-    mixed = (Pattern.begin("v", "view").next("c", "click")
-             .followed_by("p", "purchase"))
-    with pytest.raises(NotImplementedError, match="mixed"):
-        ks.pattern(mixed)
-
     loop_relaxed = (Pattern.begin("v", "view")
                     .followed_by("c", "click").one_or_more()
                     .followed_by("p", "purchase"))
     with pytest.raises(NotImplementedError, match="times"):
         ks.pattern(loop_relaxed)
+
+    loop_mixed = (Pattern.begin("v", "view").next("c", "click")
+                  .followed_by("p", "purchase").one_or_more())
+    with pytest.raises(NotImplementedError, match="times"):
+        ks.pattern(loop_mixed)
 
     strict_within = (Pattern.begin("v", "view").next("c", "click")
                      .within("1 hour"))
@@ -518,3 +518,29 @@ def test_pattern_matches_streaming_fork_converges_to_batch(spark):
     assert {key(r) for r in got} == {key(r) for r in want}
     shared = Counter((r.user_id, r.end_event_id) for r in got)
     assert max(shared.values()) > 1  # one close, many matches
+
+
+def test_pattern_streaming_mixed_contiguity_converges_to_batch(spark):
+    """Streaming stepper with a strict (next) await: the kill/re-anchor
+    rule must survive the micro-batch boundary and converge to the
+    batch compile (and to the oracle-backed q_cep_mixed_contiguity)."""
+    from flink_tutorial_broadcast_spark.streaming.jobs import (
+        _run_to_memory,
+    )
+
+    sdf = _two_file_stream(
+        spark, ["user_id", "ts", "event_id", "event_type"])
+    pat = (Pattern.begin("v", "view").followed_by("c", "click")
+           .next("p", "purchase"))
+    out = (_env(spark).from_dataframe(sdf)
+           .key_by("user_id").pattern(pat).to_df())
+    rows = _run_to_memory(out, "update").collect()
+    final: dict[int, int] = {}
+    for r in rows:
+        final[r["user_id"]] = max(final.get(r["user_id"], 0),
+                                  r["n_matches"])
+    want = {r["user_id"]: r["n_matches"] for r in
+            (_env(spark).from_dataframe(load(spark, SF_SMOKE, "events"))
+             .key_by("user_id").pattern(pat).to_df().collect())}
+    assert {u: n for u, n in final.items() if n > 0} == want
+    assert want

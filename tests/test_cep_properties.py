@@ -317,3 +317,118 @@ def test_cep_fork_matches_bindings_match_python_nfa(spark, rows):
             want[u] = res
     assert {u: sorted(v) for u, v in got.items()} \
         == {u: sorted(v) for u, v in want.items()}
+
+
+def _ref_mixed(seq, stages, strict, within_min=None):
+    """Single-run skip-past-last machine with PER-STAGE strict awaits:
+    a non-matching event at a strict (next) await kills the run — and
+    may itself re-anchor a new one — instead of being skipped. strict
+    is index-aligned with stages (strict[0] is never consulted: before
+    the anchor there is no previous match)."""
+    K = len(stages)
+    stage, cnt, anchor = 0, 0, 0
+    for m, ty in seq:
+        if within_min is not None and stage > 0 \
+                and m - anchor > within_min:
+            stage = 0
+        if ty == stages[stage]:
+            if stage == 0:
+                anchor = m
+            stage += 1
+            if stage == K:
+                cnt, stage = cnt + 1, 0
+        elif strict[stage] and stage > 0:
+            if ty == stages[0]:
+                stage, anchor = 1, m
+            else:
+                stage = 0
+    return cnt
+
+
+def _ref_mixed_fork(seq, stages, strict, within_min=None):
+    """Forking NFA with strict awaits, snapshot semantics: a strict-
+    await anchor set drains upward on a match and DIES on anything
+    else (its immediate-next event was wrong)."""
+    K = len(stages)
+    sets = [[] for _ in range(K - 1)]
+    cnt = 0
+    for m, ty in seq:
+        if within_min is not None:
+            sets = [[a for a in s if m - a <= within_min] for s in sets]
+        match = [ty == stages[i] for i in range(K)]
+        snap = [list(s) for s in sets]
+        if match[K - 1] and K >= 2:
+            cnt += len(snap[K - 2])
+        for i in range(K - 1):
+            if strict[i + 1]:
+                base = []
+            else:
+                base = [] if match[i + 1] else snap[i]
+            if match[i]:
+                sets[i] = base + ([m] if i == 0 else snap[i - 1])
+            else:
+                sets[i] = base
+    return cnt
+
+
+@settings(max_examples=10, deadline=None)
+@given(rows=seq_strategy)
+def test_cep_mixed_contiguity_matches_python_nfa(spark, rows):
+    """begin(view).followed_by(click).next(purchase): the purchase must
+    be the IMMEDIATE next event after the click — the stage machines'
+    strict-await kill/re-anchor must equal the Python reference on
+    random sequences."""
+    stages = ["view", "click", "purchase"]
+    strict = [False, False, True]
+    pat = (Pattern.begin("v", "view").followed_by("c", "click")
+           .next("p", "purchase"))
+    got = _run(spark, _mk(spark, rows), pat)
+    want = {u: _ref_mixed(seq, stages, strict)
+            for u, seq in _per_user_ordered(rows).items()}
+    assert got == {u: n for u, n in want.items() if n > 0}
+
+
+@settings(max_examples=10, deadline=None)
+@given(rows=seq_strategy)
+def test_cep_mixed_contiguity_within_matches_python_nfa(spark, rows):
+    """Mixed contiguity + within(): expiry and strict-await kill
+    compose in the bounded single-anchor machine."""
+    stages = ["view", "click", "purchase"]
+    strict = [False, False, True]
+    pat = (Pattern.begin("v", "view").followed_by("c", "click")
+           .next("p", "purchase").within("12 hours"))
+    got = _run(spark, _mk(spark, rows), pat)
+    want = {u: _ref_mixed(seq, stages, strict, 12 * 60)
+            for u, seq in _per_user_ordered(rows).items()}
+    assert got == {u: n for u, n in want.items() if n > 0}
+
+
+@settings(max_examples=10, deadline=None)
+@given(rows=seq_strategy)
+def test_cep_mixed_contiguity_fork_matches_python_nfa(spark, rows):
+    """Mixed contiguity under no_skip(): strict-await anchor sets
+    drain-or-die in the forking machine, snapshot semantics."""
+    stages = ["view", "click", "purchase"]
+    strict = [False, False, True]
+    pat = (Pattern.begin("v", "view").followed_by("c", "click")
+           .next("p", "purchase").within("48 hours").no_skip())
+    got = _run(spark, _mk(spark, rows), pat)
+    want = {u: _ref_mixed_fork(seq, stages, strict, 48 * 60)
+            for u, seq in _per_user_ordered(rows).items()}
+    assert got == {u: n for u, n in want.items() if n > 0}
+
+
+@settings(max_examples=10, deadline=None)
+@given(rows=seq_strategy)
+def test_cep_strict_middle_stage_matches_python_nfa(spark, rows):
+    """The strict stage in the MIDDLE: begin(view).next(click)
+    .followed_by(purchase) — the click must immediately follow the
+    anchoring view, the purchase may come whenever."""
+    stages = ["view", "click", "purchase"]
+    strict = [False, True, False]
+    pat = (Pattern.begin("v", "view").next("c", "click")
+           .followed_by("p", "purchase"))
+    got = _run(spark, _mk(spark, rows), pat)
+    want = {u: _ref_mixed(seq, stages, strict)
+            for u, seq in _per_user_ordered(rows).items()}
+    assert got == {u: n for u, n in want.items() if n > 0}
