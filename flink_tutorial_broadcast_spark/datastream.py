@@ -104,7 +104,10 @@ class DataStream:
     def map_async(self, fn: Callable, output_schema: str,
                   concurrency: int = 32, timeout: float | None = None,
                   ordered: bool = True, capacity: int | None = None,
-                  on_timeout: "Callable | None" = None) -> "DataStream":
+                  on_timeout: "Callable | None" = None,
+                  retries: int = 0, retry_delay: float = 0.0,
+                  retry_on: "Callable | None" = None,
+                  retry_on_result: "Callable | None" = None) -> "DataStream":
         """Flink async I/O [FLINK-API: AsyncDataStream.orderedWait /
         unorderedWait(stream, asyncFn, timeout, unit, capacity) +
         AsyncFunction.timeout()]: `fn(row_dict) -> dict` is an
@@ -131,11 +134,48 @@ class DataStream:
         - `capacity` (default 2×concurrency): max in-flight requests
           per partition; submission blocks past it (Flink's
           backpressure semantics), bounding queue memory when the
-          service is slower than the scan."""
+          service is slower than the scan.
+        - `retries` / `retry_delay` / `retry_on` / `retry_on_result`
+          [FLINK-API: AsyncDataStream.orderedWaitWithRetry +
+          AsyncRetryStrategies.FixedDelayRetryStrategyBuilder]: a
+          fixed-delay retry strategy run INSIDE the record's worker
+          slot. An attempt retries when it raises and `retry_on(exc)`
+          is true (default: any exception), or when it returns a value
+          `retry_on_result(result)` deems retryable (Flink's result
+          predicate — e.g. empty lookups). Exhausted exception-retries
+          re-raise the last exception (fails the batch, Flink's
+          completeExceptionally); exhausted result-retries emit the
+          last result (Flink's behavior). The per-record `timeout`
+          spans ALL attempts — it is measured from first dispatch, so
+          a retry storm cannot extend a record's deadline."""
         if capacity is None:
             capacity = 2 * concurrency
         if capacity < 1:
             raise ValueError("capacity must be >= 1")
+        if retries < 0:
+            raise ValueError("retries must be >= 0")
+        if retries:
+            inner_fn = fn
+
+            def fn(row):  # noqa: F811 — deliberate wrap
+                import time as _time
+                attempt = 0
+                while True:
+                    try:
+                        out = inner_fn(row)
+                    except Exception as e:
+                        if attempt >= retries or (
+                                retry_on is not None
+                                and not retry_on(e)):
+                            raise
+                    else:
+                        if retry_on_result is None \
+                                or not retry_on_result(out) \
+                                or attempt >= retries:
+                            return out
+                    attempt += 1
+                    if retry_delay:
+                        _time.sleep(retry_delay)
 
         def run(batches: Iterator) -> Iterator:
             import time
@@ -264,6 +304,29 @@ class DataStream:
     def key_by(self, *cols: str) -> "KeyedStream":
         return KeyedStream(self.df, list(cols))
 
+    def window_all_tumbling(self, time_col: str, unit: str) -> "KeyedStream":
+        """Non-keyed tumbling window [FLINK-API: DataStream.windowAll
+        (TumblingEventTimeWindows.of(...))]: in Flink windowAll is
+        explicitly parallelism-1 (all records to one task); here the
+        window bucket IS the grouping key, so it compiles to a normal
+        partial-agg + tiny exchange — a strict upgrade with identical
+        results. Follow with `.aggregate(...)`."""
+        return KeyedStream(self.df, []).window_tumbling(time_col, unit)
+
+    def window_all_sliding(self, time_col: str, size: str,
+                           slide: str) -> "KeyedStream":
+        """Non-keyed sliding window [FLINK-API: DataStream.windowAll
+        (SlidingEventTimeWindows.of(size, slide))] — see
+        window_all_tumbling for the parallelism note."""
+        return KeyedStream(self.df, []).window_sliding(time_col, size,
+                                                       slide)
+
+    def window_all_session(self, time_col: str, gap: str) -> "KeyedStream":
+        """Non-keyed session window [FLINK-API: DataStream.windowAll
+        (EventTimeSessionWindows.withGap(...))]: one global session
+        timeline (F.session_window with no keys)."""
+        return KeyedStream(self.df, []).window_session(time_col, gap)
+
     def connect_broadcast(self, rules: DataFrame,
                           on: str) -> "DataStream":
         """The reference's broadcast-state pattern
@@ -316,7 +379,14 @@ class DataStream:
         `step` (DataFrame → DataFrame) `n_rounds` times as a driver
         loop, truncating lineage with localCheckpoint every
         `checkpoint_every` rounds — the iterative.py pattern (plans
-        otherwise grow exponentially and re-execute prior rounds)."""
+        otherwise grow exponentially and re-execute prior rounds).
+        Flink's iterate() is a STREAMING feedback edge (records
+        re-enter the operator); Spark has no cyclic dataflow, so the
+        honest mapping is this bounded batch driver. For convergence
+        loops, drive `step` yourself and test the residual between
+        rounds (q_pagerank's shape)."""
+        if n_rounds < 0:
+            raise ValueError("iterate() needs n >= 0 rounds")
         cur = self.df
         for i in range(1, n_rounds + 1):
             cur = step(cur)

@@ -289,6 +289,34 @@ def q_reduce_facade(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("user_id", "event_id", "value"))
 
 
+@query(
+    "q_window_all_facade",
+    oracle="""
+    SELECT date_trunc('hour', ts) AS window_start,
+           COUNT(*) AS n,
+           ROUND(SUM(value), 2) AS sum_value
+    FROM events GROUP BY 1
+    """,
+)
+def q_window_all_facade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Non-keyed windowAll through the facade [FLINK-API:
+    DataStream.windowAll(TumblingEventTimeWindows.of(Time.hours(1)))
+    .aggregate(...)]: Flink runs windowAll at parallelism 1 (every
+    record to one subtask); the engine compiles the window bucket as
+    the grouping key, so the SAME program is a partial-agg + tiny
+    exchange — results identical, scan fully parallel. Round-8 facade
+    verb (datastream.DataStream.window_all_tumbling)."""
+    from flink_tutorial_broadcast_spark.datastream import (
+        StreamExecutionEnvironment,
+    )
+    env = StreamExecutionEnvironment.get_execution_environment(spark)
+    return (env.from_dataframe(load(spark, sf_dir, "events"))
+            .window_all_tumbling("ts", "hour")
+            .aggregate(n="count(*)",
+                       sum_value="round(sum(value), 2)")
+            .to_df())
+
+
 def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> DataFrame:
     """Entry-point flagship for the driver's t1 smoke check."""
     return q_broadcast_rule_join(spark, sf_dir)

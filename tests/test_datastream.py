@@ -912,3 +912,145 @@ def test_facade_async_io_runs_on_streaming_input(spark):
     assert by_id[marked] == -1          # substituted, not failed
     assert len(got2) == len(want)       # every other row enriched
     assert sum(1 for v in by_id.values() if v == -1) == 1
+
+
+def test_facade_window_all_verbs(spark):
+    """windowAll parity [FLINK-API: DataStream.windowAll]: the
+    non-keyed tumbling form equals the relational groupBy(date_trunc),
+    sliding assigns epoch-aligned windows, session merges one global
+    timeline — all with the window bucket as the ONLY grouping key
+    (Flink runs these at parallelism 1; here the scan stays parallel)."""
+    from flink_tutorial_broadcast_spark.io import load
+    from tests.conftest import SF_SMOKE
+
+    ev = load(spark, SF_SMOKE, "events")
+    env = StreamExecutionEnvironment.get_execution_environment(spark)
+    got = (env.from_dataframe(ev)
+           .window_all_tumbling("ts", "hour")
+           .aggregate(n="count(*)").to_df().collect())
+    want = (ev.groupBy(F.date_trunc("hour", "ts").alias("window_start"))
+            .agg(F.count("*").alias("n")).collect())
+    assert {(r.window_start, r.n) for r in got} \
+        == {(r.window_start, r.n) for r in want}
+    assert got
+
+    slid = (env.from_dataframe(ev)
+            .window_all_sliding("ts", "2 hours", "1 hour")
+            .aggregate(n="count(*)").to_df())
+    assert {"window_start", "n"} == set(slid.columns)
+    # every row lands in exactly 2 sliding windows of size 2h/slide 1h
+    assert sum(r.n for r in slid.collect()) == 2 * ev.count()
+
+    sess = (env.from_dataframe(ev)
+            .window_all_session("ts", "30 minutes")
+            .aggregate(n="count(*)").to_df())
+    assert sum(r.n for r in sess.collect()) == ev.count()
+
+
+def test_facade_iterate_bounded_loop(spark):
+    """iterate() [FLINK-API: DataStream.iterate/closeWith, mapped to
+    the bounded batch driver]: n applications of step compose; the
+    periodic localCheckpoint truncates lineage so the final plan does
+    not contain one Project per round; n=0 is identity; n<0 raises."""
+    import pytest as _pytest
+
+    env = StreamExecutionEnvironment.get_execution_environment(spark)
+    src = env.from_dataframe(
+        spark.range(100).select(F.col("id").cast("long"),
+                                F.lit(0).cast("long").alias("v")))
+
+    def step(df):
+        return df.withColumn("v", F.col("v") + 1)
+
+    out = src.iterate(step, 10, checkpoint_every=3).to_df()  # noqa
+    rows = out.collect()
+    assert len(rows) == 100 and all(r.v == 10 for r in rows)
+    # lineage truncated: the optimized plan hangs off a checkpoint
+    # scan, not 10 chained projections over the range source
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    assert "LogicalRDD" in plan or "ExistingRDD" in plan, plan
+
+    assert (src.iterate(step, 0).to_df().collect()
+            == src.to_df().collect())
+    with _pytest.raises(ValueError, match="n >= 0"):
+        src.iterate(step, -1)
+
+
+def test_facade_async_retry_strategies(spark):
+    """Fixed-delay retry [FLINK-API: AsyncDataStream
+    .orderedWaitWithRetry + AsyncRetryStrategies]: (a) a service that
+    fails twice per record succeeds under retries=3 with every record
+    enriched exactly once; (b) exhausted retries re-raise and fail the
+    batch; (c) retry_on filters exception types (non-retryable raises
+    immediately); (d) retry_on_result retries retryable RESULTS and
+    emits the last one when exhausted."""
+    import pytest as _pytest
+
+    env = StreamExecutionEnvironment.get_execution_environment(spark)
+    # one partition => one Python worker => the closure dict is shared
+    # across that worker's threads (attempt counting works)
+    src = env.from_dataframe(
+        spark.range(24).select(F.col("id").cast("long")).coalesce(1))
+
+    def flaky_twice():
+        attempts = {}
+
+        def svc(row):
+            k = row["id"]
+            attempts[k] = attempts.get(k, 0) + 1
+            if attempts[k] <= 2:
+                raise IOError(f"transient #{attempts[k]}")
+            return {"id": k, "enriched": k * 10 + attempts[k]}
+        return svc
+
+    rows = (src.map_async(flaky_twice(), "id long, enriched long",
+                          concurrency=8, retries=3)
+            .to_df().collect())
+    # third attempt wins for every record, exactly once each
+    assert {(r.id, r.enriched) for r in rows} \
+        == {(i, i * 10 + 3) for i in range(24)}
+
+    def always_fail(row):
+        raise IOError("down")
+
+    with _pytest.raises(Exception, match="down"):
+        (src.map_async(always_fail, "id long, enriched long",
+                       concurrency=8, retries=2)
+         .to_df().collect())
+
+    def value_error(row):
+        raise ValueError("not retryable")
+
+    with _pytest.raises(Exception, match="not retryable"):
+        (src.map_async(value_error, "id long, enriched long",
+                       concurrency=8, retries=5,
+                       retry_on=lambda e: isinstance(e, IOError))
+         .to_df().collect())
+
+    def empty_then_full():
+        attempts = {}
+
+        def svc(row):
+            k = row["id"]
+            attempts[k] = attempts.get(k, 0) + 1
+            if attempts[k] == 1:
+                return {"id": k, "enriched": -1}  # "empty" lookup
+            return {"id": k, "enriched": k}
+        return svc
+
+    rows = (src.map_async(empty_then_full(), "id long, enriched long",
+                          concurrency=8, retries=2,
+                          retry_on_result=lambda r: r["enriched"] < 0)
+            .to_df().collect())
+    assert {(r.id, r.enriched) for r in rows} \
+        == {(i, i) for i in range(24)}
+
+    def always_empty(row):
+        return {"id": row["id"], "enriched": -1}
+
+    rows = (src.map_async(always_empty, "id long, enriched long",
+                          concurrency=8, retries=2,
+                          retry_on_result=lambda r: r["enriched"] < 0)
+            .to_df().collect())
+    # exhausted result-retries EMIT the last result (Flink's behavior)
+    assert all(r.enriched == -1 for r in rows) and len(rows) == 24
