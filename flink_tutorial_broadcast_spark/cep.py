@@ -766,6 +766,83 @@ def fork_stepper(type_codes: dict[str, int], stage_codes: list[int],
     return step
 
 
+def absence_stepper(a_type: str, b_type: str, within_us: int):
+    """Streaming ABSENCE pattern [FLINK-API: Pattern.begin(a)
+    .notFollowedBy(b).within(d) on a live stream — Flink's NFA arms a
+    TIMER per pending anchor and emits on timeout]: the
+    applyInPandasWithState twin of the batch anti-join. State carries
+    the pending anchors (t µs, id); a qualifying `b` (a.t < b.t <=
+    a.t + d) answers and removes its anchors; an anchor whose deadline
+    `a.t + d` falls behind the event-time WATERMARK can never be
+    answered by on-time data, so it emits as an unanswered-anchor row
+    (append mode) — the onTimer() path, via
+    GroupStateTimeout.EventTimeTimeout with the timeout armed at the
+    earliest pending deadline. Input must be `withWatermark`'d (Spark
+    enforces this for event-time timeouts — a loud AnalysisException,
+    not a silent hang)."""
+    def step(key, pdf_iter, state):
+        import pandas as pd
+
+        def emit(rows):
+            if rows:
+                return [pd.DataFrame(
+                    {"key": [key[0]] * len(rows),
+                     "anchor_id": [i for _, i in rows]})]
+            return []
+
+        wm_ms = state.getCurrentWatermarkMs()
+        if state.hasTimedOut:
+            t_arr, id_arr = state.get
+            pending = list(zip(t_arr, id_arr))
+            due = [(t, i) for t, i in pending
+                   if (t + within_us) // 1000 <= wm_ms]
+            live = [(t, i) for t, i in pending
+                    if (t + within_us) // 1000 > wm_ms]
+            if live:
+                state.update(([t for t, _ in live],
+                              [i for _, i in live]))
+                state.setTimeoutTimestamp(
+                    max(min((t + within_us) // 1000 for t, _ in live),
+                        wm_ms + 1))
+            else:
+                state.remove()
+            yield from emit(due)
+            return
+        if state.exists:
+            t_arr, id_arr = state.get
+            pending = list(zip(t_arr, id_arr))
+        else:
+            pending = []
+        rows = []
+        for pdf in pdf_iter:
+            for _, r in pdf.iterrows():
+                ty = r.iloc[3]
+                if ty == a_type or ty == b_type:
+                    rows.append((int(r.iloc[1].timestamp() * 1_000_000),
+                                 r.iloc[2], ty))
+        for t, eid, ty in sorted(rows):
+            if ty == a_type:
+                pending.append((t, eid))
+            if ty == b_type:
+                pending = [(at, ai) for at, ai in pending
+                           if not (at < t <= at + within_us)]
+        # anchors already past the watermark horizon emit NOW (their
+        # on-time answer window is closed); the rest arm the timer
+        due = [(t, i) for t, i in pending
+               if (t + within_us) // 1000 <= wm_ms]
+        live = [(t, i) for t, i in pending
+                if (t + within_us) // 1000 > wm_ms]
+        if live:
+            state.update(([t for t, _ in live], [i for _, i in live]))
+            state.setTimeoutTimestamp(
+                max(min((t + within_us) // 1000 for t, _ in live),
+                    wm_ms + 1))
+        elif state.exists:
+            state.remove()
+        yield from emit(due)
+    return step
+
+
 def relaxed_matches_stepper(type_codes: dict[str, int],
                             stage_codes: list[int],
                             within_us: int | None,
@@ -898,17 +975,31 @@ def compile_pattern_stream(pat: Pattern, sdf: DataFrame,
     """Compile `pat` over a STREAMING keyed DataFrame into the
     keyed-state NFA (update-mode running counts; the LAST emission per
     key equals the batch answer once the stream drains — the
-    convergence the streaming twins pin)."""
+    convergence the streaming twins pin). ABSENCE patterns compile to
+    the timer-driven unanswered-anchor stepper (append mode; requires a
+    `withWatermark`'d input — Flink's notFollowedBy timers map to
+    event-time timeouts)."""
     from pyspark.sql.streaming.state import GroupStateTimeout
 
     fam = pat._family()
-    if fam not in ("relaxed", "relaxed_within", "fork"):
+    if fam not in ("relaxed", "relaxed_within", "fork", "absence"):
         raise NotImplementedError(
             "streaming pattern() carries the relaxed followed_by "
-            "machines (skip-past-last, bounded, and no_skip) — "
-            "strict/absence patterns run in batch mode")
+            "machines (skip-past-last, bounded, no_skip) and "
+            "timer-driven absence — strict chains run in batch mode")
     if len(keys) != 1:
         raise NotImplementedError("streaming pattern() is single-key")
+    if fam == "absence":
+        proj = sdf.select(keys[0], time_col, tiebreak_col, event_col)
+        ktype = _key_sql_type(proj, keys[0])
+        fn = absence_stepper(pat.stages[0].event_type,
+                             pat.stages[1].event_type, pat.within_us)
+        return (proj.groupBy(keys[0]).applyInPandasWithState(
+            fn, outputStructType=f"key {ktype}, anchor_id long",
+            stateStructType="t_arr array<long>, id_arr array<long>",
+            outputMode="Append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout)
+            .withColumnRenamed("key", keys[0]))
     pat = pat._expanded()
     K = len(pat.stages)
     tcodes = _type_codes(pat)

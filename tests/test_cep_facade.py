@@ -544,3 +544,68 @@ def test_pattern_streaming_mixed_contiguity_converges_to_batch(spark):
              .key_by("user_id").pattern(pat).to_df().collect())}
     assert {u: n for u, n in final.items() if n > 0} == want
     assert want
+
+
+def test_pattern_streaming_absence_timer_driven(spark, queries):
+    """STREAMING not_followed_by (round 8): Flink's notFollowedBy arms
+    a timer per pending anchor; the engine twin is the event-time-
+    timeout stepper. On the watermarked two-file stream, the appended
+    unanswered-anchor rows must equal the oracle-backed batch
+    q_cep_not_followed_by RESTRICTED to anchors whose deadline the
+    final watermark passed (later anchors are still pending — correct,
+    not missing), no answered anchor may leak, and at least one anchor
+    answered ACROSS the micro-batch boundary must have been suppressed
+    by carried state."""
+    from flink_tutorial_broadcast_spark.streaming.jobs import (
+        _run_to_memory,
+    )
+
+    W_US = 12 * 3600 * 1_000_000
+    ev = load(spark, SF_SMOKE, "events")
+    sdf = (_two_file_stream(
+        spark, ["user_id", "ts", "event_id", "event_type"])
+        .withWatermark("ts", "1 minute"))
+    pat = (Pattern.begin("v", "view")
+           .not_followed_by("p", "purchase")
+           .within("12 hours"))
+    out = (_env(spark).from_dataframe(sdf)
+           .key_by("user_id").pattern(pat).to_df())
+    assert out.isStreaming
+    got = {(r.user_id, r.anchor_id)
+           for r in _run_to_memory(out, "append").collect()}
+
+    batch = {(r.user_id, r.view_id) for r in
+             queries["q_cep_not_followed_by"](spark, SF_SMOKE).collect()}
+    # final watermark = global max event time - 1 min delay
+    import pyspark.sql.functions as F  # noqa: F811
+    max_us = ev.agg(F.max(F.unix_micros("ts")).alias("m")) \
+        .collect()[0]["m"]
+    wm_final_ms = max_us // 1000 - 60_000
+    views = {(r.user_id, r.event_id): r.t_us for r in
+             ev.filter(F.col("event_type") == "view")
+             .select("user_id", "event_id",
+                     F.unix_micros("ts").alias("t_us")).collect()}
+    expected = {(u, i) for (u, i) in batch
+                if (views[(u, i)] + W_US) // 1000 <= wm_final_ms}
+    assert got == expected
+    assert got  # non-vacuous
+    assert got <= batch  # no answered anchor ever leaked
+
+    # cross-boundary suppression really happened: some view in file 0
+    # is answered only by a purchase in file 1
+    split_ts = ev.agg(
+        F.percentile_approx("ts", 0.5).alias("m")).collect()[0]["m"]
+    split_us = int(split_ts.timestamp() * 1_000_000)
+    purchases = [(r.user_id, r.t_us) for r in
+                 ev.filter(F.col("event_type") == "purchase")
+                 .select("user_id",
+                         F.unix_micros("ts").alias("t_us")).collect()]
+    crossers = [
+        (u, i) for (u, i), t in views.items()
+        if t <= split_us and (u, i) not in batch
+        and any(pu == u and t < pt <= t + W_US and pt > split_us
+                for pu, pt in purchases)
+        and not any(pu == u and t < pt <= t + W_US and pt <= split_us
+                    for pu, pt in purchases)]
+    assert crossers  # the fixture exercises the boundary
+    assert not any(c in got for c in crossers)
