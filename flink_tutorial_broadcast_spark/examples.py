@@ -240,3 +240,94 @@ def run_round7_extensions(spark: SparkSession, root: str):
     q.awaitTermination()
     landed = sink.committed_df(spark)
     return enriched.to_df(), conversions.to_df(), landed, sink
+
+
+def run_round8_extensions(spark: SparkSession, root: str):
+    """The round-8 surfaces in walkthrough form, same demo log:
+
+      7. MIXED-contiguity CEP with a REPEATED stage type [FLINK-API:
+         Pattern.begin(x).followedBy(x).next(y)] — two views in any
+         gap, then a purchase as the IMMEDIATE next event; the shape
+         that needed round 8's stage-index machines and strict-await
+         flags (either feature alone refuses or mis-counts it),
+      8. async enrichment WITH RETRY [FLINK-API:
+         AsyncDataStream.orderedWaitWithRetry +
+         AsyncRetryStrategies.fixedDelayRetry] — a lookup whose first
+         answer is retryable-empty resolves on the retry attempt,
+      9. an IDLE co-stream un-starved by the withIdleness emulation —
+         the demo log's rows as a watermarked file stream unioned with
+         a never-producing input; the heartbeat advances the idle
+         watermark so hourly append windows flow.
+
+    Returns (conversions_df, enriched_df, windows_df)."""
+    from flink_tutorial_broadcast_spark.cep import Pattern
+    from flink_tutorial_broadcast_spark.streaming.idleness import (
+        IdleSourceHeartbeat, strip_heartbeats,
+    )
+    from flink_tutorial_broadcast_spark.streaming.jobs import (
+        _run_to_memory,
+    )
+
+    eventlog.register(spark)
+    env = StreamExecutionEnvironment.get_execution_environment(spark)
+    raw = spark.read.format("ftbs_eventlog").option("path", root).load()
+    src = env.from_dataframe(raw).map({
+        "event_id": "event_id", "user_id": "user_id",
+        "event_type": "event_type", "value": "value",
+        "ts": "timestamp_micros(event_id * 60000000)"})
+
+    # 7) view ... view, then purchase IMMEDIATELY (mixed + repeated)
+    pat = (Pattern.begin("v1", "view")
+           .followed_by("v2", "view")
+           .next("p", "purchase"))
+    conversions = src.key_by("user_id").pattern(pat)
+
+    # 8) retryable-empty lookups resolve on the second attempt; the
+    # category rule itself is deterministic so tests recompute it
+    # relationally (one partition => the attempt dict is worker-shared)
+    def flaky_lookup():
+        attempts: dict = {}
+
+        def svc(row: dict) -> dict:
+            k = row["event_id"]
+            attempts[k] = attempts.get(k, 0) + 1
+            if attempts[k] == 1:
+                return {"event_id": k, "category": ""}  # empty answer
+            return {"event_id": k,
+                    "category": "big" if row["value"] >= 100.0
+                    else "small"}
+        return svc
+
+    enriched = (env.from_dataframe(raw.coalesce(1))
+                .connect_broadcast(
+                    rules_df(spark),
+                    on="event_type = rule_event_type "
+                       "AND value > threshold")
+                .map_async(flaky_lookup(),
+                           "event_id long, category string",
+                           concurrency=8, retries=2,
+                           retry_on_result=lambda r: r["category"] == ""))
+
+    # 9) idle co-stream: park the log's rows as a parquet file stream,
+    # union with a never-producing directory, heartbeat un-starves
+    d_active = tempfile.mkdtemp(prefix="migrate_idle_active_")
+    d_idle = tempfile.mkdtemp(prefix="migrate_idle_idle_")
+    ev = src.to_df().select("ts", "user_id")
+    ev.coalesce(1).write.parquet(os.path.join(d_active, "f=0"))
+    ev.filter(F.lit(False)).coalesce(1).write.parquet(
+        os.path.join(d_idle, "f=0"))
+    hb = IdleSourceHeartbeat(d_idle, idle_timeout_s=0.0,
+                             fields={"user_id": -1}, ts_col="ts")
+    hb.check_and_inject()
+
+    def stream(d):
+        return (spark.readStream.schema("ts timestamp, user_id long")
+                .option("recursiveFileLookup", "true").parquet(d)
+                .withWatermark("ts", "0 seconds"))
+
+    agg = (strip_heartbeats(stream(d_active).union(stream(d_idle)))
+           .groupBy(F.window("ts", "1 hour").alias("w"))
+           .agg(F.count("*").alias("n"))
+           .select(F.col("w.end").alias("w_end"), "n"))
+    windows = _run_to_memory(agg, "append")
+    return conversions.to_df(), enriched.to_df(), windows

@@ -111,3 +111,81 @@ def test_round7_extensions_walkthrough(spark):
     # 6) the landing zone is complete and fully committed
     assert landed.count() == raw.count()
     assert sink.staged_uncommitted() == []
+
+
+def test_round8_extensions_walkthrough(spark):
+    """docs/migrate.md steps 7-9: mixed/repeated CEP conversions match
+    a brute-force Python machine over the raw log, retryable-empty
+    lookups resolve to the relational recompute (no empty category
+    survives), and the idle-unioned window counts equal the
+    single-source truth."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from flink_tutorial_broadcast_spark import examples
+
+    root = tempfile.mkdtemp(prefix="migrate_log_r8_")
+    examples.produce_demo_log(root, n_events=120)
+    conversions, enriched, windows = \
+        examples.run_round8_extensions(spark, root)
+
+    raw = (spark.read.format("ftbs_eventlog").option("path", root)
+           .load().collect())
+
+    # 7) brute-force the mixed/repeated machine: view..view then an
+    # IMMEDIATELY-following purchase (event time = offset minutes)
+    per: dict = {}
+    for r in sorted(raw, key=lambda r: r.event_id):
+        per.setdefault(r.user_id, []).append(r.event_type)
+    want = {}
+    for u, seq in per.items():
+        stage = cnt = 0
+        for ty in seq:
+            need = ["view", "view", "purchase"][stage]
+            if ty == need:
+                stage += 1
+                if stage == 3:
+                    cnt, stage = cnt + 1, 0
+            elif stage == 2:  # strict await missed: die / re-anchor
+                stage = 1 if ty == "view" else 0
+        if cnt:
+            want[u] = cnt
+    assert {(r.user_id, r.n_matches) for r in conversions.collect()} \
+        == set(want.items())
+    assert want  # non-vacuous
+
+    # 8) every retryable-empty lookup resolved on the retry
+    from flink_tutorial_broadcast_spark.sources.rules import rules_df
+    rawdf = (spark.read.format("ftbs_eventlog").option("path", root)
+             .load())
+    rules = rules_df(spark)
+    want_enriched = (
+        rawdf.join(F.broadcast(rules),
+                   (rawdf.event_type == rules.rule_event_type)
+                   & (rawdf.value > rules.threshold))
+        .select("event_id",
+                F.when(F.col("value") >= 100.0, "big")
+                .otherwise("small").alias("category")))
+    got = {(r.event_id, r.category) for r in enriched.collect()}
+    assert got == {(r.event_id, r.category)
+                   for r in want_enriched.collect()}
+    assert all(c for _, c in got)  # no empty category survived
+
+    # 9) the idle union flowed and equals the single-source window truth
+    rows = windows.collect()
+    assert rows
+    ev = spark.createDataFrame(
+        [(r.event_id, r.user_id) for r in raw], "event_id long, u long"
+    ).select(F.expr("timestamp_micros(event_id * 60000000)").alias("ts"))
+    want_w = (ev.groupBy(F.window("ts", "1 hour").alias("w"))
+              .agg(F.count("*").alias("n"))
+              .select(F.col("w.end").alias("w_end"), "n").collect())
+    got_w = {(r.w_end, r.n) for r in rows}
+    # min-policy correctness: the heartbeat un-starves the IDLE input,
+    # but the ACTIVE source's own watermark (max event ts, 0s delay)
+    # still gates — windows ending past it stay pending, exactly as a
+    # single-source run would behave
+    max_ts = max(r.ts for r in ev.collect())
+    expected = {(r.w_end, r.n) for r in want_w if r.w_end <= max_ts}
+    assert expected and expected <= got_w
