@@ -609,3 +609,80 @@ def test_pattern_streaming_absence_timer_driven(spark, queries):
                     for pu, pt in purchases)]
     assert crossers  # the fixture exercises the boundary
     assert not any(c in got for c in crossers)
+
+
+def test_pattern_streaming_absence_survives_restart(spark, queries):
+    """L119 discipline for the round-8 absence stepper: run 1 drains
+    only the first half of the events (anchors parked in keyed state,
+    timers armed), the query STOPS, and run 2 resumes the SAME
+    checkpoint over the second half — anchors answered by second-half
+    purchases must stay silent (carried state), and the union of both
+    runs' appended rows must equal the batch anti-join restricted to
+    deadlines the final watermark passed. Memory sinks refuse
+    recovery, so the output lands via foreachBatch parquet."""
+    import glob as _glob
+
+    from flink_tutorial_broadcast_spark.streaming.sources import (
+        checkpoint_dir,
+    )
+
+    W_US = 12 * 3600 * 1_000_000
+    ev = load(spark, SF_SMOKE, "events").select(
+        "user_id", "ts", "event_id", "event_type")
+    split_ts = ev.agg(
+        F.percentile_approx("ts", 0.5).alias("m")).collect()[0]["m"]
+    src_dir = tempfile.mkdtemp(prefix="cep_absence_restart_src_")
+    out_dir = tempfile.mkdtemp(prefix="cep_absence_restart_out_")
+    ckpt = checkpoint_dir()
+    (ev.filter(F.col("ts") <= F.lit(split_ts))
+     .coalesce(1).write.parquet(os.path.join(src_dir, "f=0")))
+
+    def run():
+        sdf = (spark.readStream
+               .schema("user_id long, ts timestamp, event_id long, "
+                       "event_type string")
+               .option("maxFilesPerTrigger", "1")
+               .option("recursiveFileLookup", "true")
+               .parquet(src_dir)
+               .withWatermark("ts", "1 minute"))
+        pat = (Pattern.begin("v", "view")
+               .not_followed_by("p", "purchase")
+               .within("12 hours"))
+        out = (_env(spark).from_dataframe(sdf)
+               .key_by("user_id").pattern(pat).to_df())
+
+        def body(batch_df, batch_id):
+            (batch_df.write.mode("overwrite")
+             .parquet(os.path.join(out_dir, f"batch={batch_id}")))
+
+        q = (out.writeStream.foreachBatch(body)
+             .outputMode("append")
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        q.awaitTermination()
+
+    run()  # half 1: anchors parked, some already expired+emitted
+    # half 2 arrives while the query is DOWN
+    (ev.filter(F.col("ts") > F.lit(split_ts))
+     .coalesce(1).write.parquet(os.path.join(src_dir, "f=1")))
+    run()  # resume the same checkpoint
+
+    parts = _glob.glob(os.path.join(out_dir, "batch=*"))
+    got = set()
+    for p in parts:
+        for r in spark.read.parquet(p).collect():
+            got.add((r.user_id, r.anchor_id))
+
+    batch = {(r.user_id, r.view_id) for r in
+             queries["q_cep_not_followed_by"](spark, SF_SMOKE).collect()}
+    max_us = ev.agg(F.max(F.unix_micros("ts")).alias("m")) \
+        .collect()[0]["m"]
+    wm_final_ms = max_us // 1000 - 60_000
+    views = {(r.user_id, r.event_id): r.t_us for r in
+             ev.filter(F.col("event_type") == "view")
+             .select("user_id", "event_id",
+                     F.unix_micros("ts").alias("t_us")).collect()}
+    expected = {(u, i) for (u, i) in batch
+                if (views[(u, i)] + W_US) // 1000 <= wm_final_ms}
+    assert got == expected
+    assert got and got <= batch
