@@ -686,3 +686,50 @@ def test_pattern_streaming_absence_survives_restart(spark, queries):
                 if (views[(u, i)] + W_US) // 1000 <= wm_final_ms}
     assert got == expected
     assert got and got <= batch
+
+
+def test_pattern_matches_mixed_contiguity_batch_and_stream(spark):
+    """Bindings under MIXED contiguity: per-user pattern_matches()
+    counts must equal pattern()'s counts (bindings are the stronger
+    artifact; counts are their projection), every match's closing
+    purchase must be the IMMEDIATE next event after its click (checked
+    against the raw per-user order), and the STREAMING matches stepper
+    must converge to the batch bindings across the file boundary."""
+    from collections import Counter
+
+    from flink_tutorial_broadcast_spark.streaming.jobs import (
+        _run_to_memory,
+    )
+
+    pat = (Pattern.begin("v", "view").followed_by("c", "click")
+           .next("p", "purchase"))
+    ev = load(spark, SF_SMOKE, "events")
+    got = (_env(spark).from_dataframe(ev)
+           .key_by("user_id").pattern_matches(pat).to_df().collect())
+    counts = {r.user_id: r.n_matches for r in
+              (_env(spark).from_dataframe(ev)
+               .key_by("user_id").pattern(pat).to_df().collect())}
+    assert dict(Counter(r.user_id for r in got)) == counts
+    assert got
+
+    # strictness is visible in the bindings: the closer must IMMEDIATELY
+    # follow some event (no gap allowed before the purchase) — verify on
+    # the raw sequence that the event preceding each closer is a click
+    order = {}
+    for r in sorted(ev.collect(), key=lambda r: (r.ts, r.event_id)):
+        order.setdefault(r.user_id, []).append((r.event_id, r.event_type))
+    for m in got:
+        seq = order[m.user_id]
+        idx = next(i for i, (eid, _) in enumerate(seq)
+                   if eid == m.end_event_id)
+        assert seq[idx][1] == "purchase"
+        assert idx > 0 and seq[idx - 1][1] == "click"
+
+    sdf = _two_file_stream(
+        spark, ["user_id", "ts", "event_id", "event_type"])
+    out = (_env(spark).from_dataframe(sdf)
+           .key_by("user_id").pattern_matches(pat).to_df())
+    stream_rows = _run_to_memory(out, "append").collect()
+    key = lambda r: (r.user_id, r.match_no, r.start_event_id,
+                     r.end_event_id, r.span_us)
+    assert {key(r) for r in stream_rows} == {key(r) for r in got}
