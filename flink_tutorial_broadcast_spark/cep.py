@@ -982,13 +982,37 @@ def compile_pattern_stream(pat: Pattern, sdf: DataFrame,
     from pyspark.sql.streaming.state import GroupStateTimeout
 
     fam = pat._family()
-    if fam not in ("relaxed", "relaxed_within", "fork", "absence"):
+    if fam not in ("relaxed", "relaxed_within", "fork", "absence",
+                   "strict"):
         raise NotImplementedError(
             "streaming pattern() carries the relaxed followed_by "
-            "machines (skip-past-last, bounded, no_skip) and "
-            "timer-driven absence — strict chains run in batch mode")
+            "machines (skip-past-last, bounded, no_skip), strict "
+            "chains over distinct types, and timer-driven absence")
     if len(keys) != 1:
         raise NotImplementedError("streaming pattern() is single-key")
+    if fam == "strict":
+        # The single-run stepper with all-strict awaits equals the
+        # batch regex count ONLY when no event type repeats: a distinct
+        # alphabet means the pattern string has no proper border, so
+        # the KMP failure function is <= 1 — exactly the stepper's
+        # kill-or-re-anchor rule. Repeated types need the regex's
+        # backtracking (a killed greedy run may waste events a later
+        # anchor could have used) and stay batch-side.
+        if any(s.one_or_more for s in pat.stages):
+            raise NotImplementedError(
+                "streaming strict chains do not carry one_or_more() "
+                "(unbounded backtracking); run in batch mode (the "
+                "regex path)")
+        expanded = pat._expanded()
+        types = [s.event_type for s in expanded.stages]
+        if len(set(types)) != len(types):
+            raise NotImplementedError(
+                "streaming strict chains need DISTINCT stage types "
+                "(a repeated type makes the greedy single-run machine "
+                "diverge from the NFA's backtracking); run in batch "
+                "mode (the regex path)")
+        pat = expanded
+        fam = "relaxed"  # the stepper family; strict flags do the rest
     if fam == "absence":
         proj = sdf.select(keys[0], time_col, tiebreak_col, event_col)
         ktype = _key_sql_type(proj, keys[0])

@@ -670,10 +670,11 @@ class KeyedStream:
         noSkip) to this engine's oracle-backed sequence machines. On a
         BATCH input the pattern folds in codegen (one shuffle on the
         keys); on a STREAMING input it becomes the keyed-state NFA twin
-        (applyInPandasWithState, update-mode running counts converging
-        to the batch answer). See cep.py for the supported families —
-        uncompilable combinations raise NotImplementedError rather
-        than answering wrong."""
+        (applyInPandasWithState): update-mode running counts for the
+        relaxed/mixed/strict families, timer-driven append rows for
+        absence patterns (requires a withWatermark'd input). See cep.py
+        for the supported families — uncompilable combinations raise
+        NotImplementedError rather than answering wrong."""
         self._no_pending_window("pattern")
         from flink_tutorial_broadcast_spark.cep import (
             compile_pattern, compile_pattern_stream,

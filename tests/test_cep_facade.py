@@ -733,3 +733,47 @@ def test_pattern_matches_mixed_contiguity_batch_and_stream(spark):
     key = lambda r: (r.user_id, r.match_no, r.start_event_id,
                      r.end_event_id, r.span_us)
     assert {key(r) for r in stream_rows} == {key(r) for r in got}
+
+
+def test_pattern_streaming_strict_chain_converges_to_batch(spark):
+    """STREAMING strict contiguity (round 8): for DISTINCT stage types
+    the all-strict-await stepper equals the batch regex count (a
+    distinct alphabet has no proper border, so kill-or-re-anchor IS the
+    KMP failure rule); the keyed-state run must converge to the batch
+    compile across the micro-batch boundary. Repeated types and
+    one_or_more raise (they need the regex's backtracking)."""
+    from flink_tutorial_broadcast_spark.streaming.jobs import (
+        _run_to_memory,
+    )
+
+    pat = (Pattern.begin("v", "view").next("c", "click")
+           .next("p", "purchase"))
+    sdf = _two_file_stream(
+        spark, ["user_id", "ts", "event_id", "event_type"])
+    out = (_env(spark).from_dataframe(sdf)
+           .key_by("user_id").pattern(pat).to_df())
+    assert out.isStreaming
+    rows = _run_to_memory(out, "update").collect()
+    final: dict[int, int] = {}
+    for r in rows:
+        final[r["user_id"]] = max(final.get(r["user_id"], 0),
+                                  r["n_matches"])
+    want = {r["user_id"]: r["n_matches"] for r in
+            (_env(spark).from_dataframe(load(spark, SF_SMOKE, "events"))
+             .key_by("user_id").pattern(pat).to_df().collect())}
+    assert {u: n for u, n in final.items() if n > 0} == want
+    assert want  # the fixture has immediate view>click>purchase runs
+
+    ks = (_env(spark)
+          .from_dataframe(_two_file_stream(
+              spark, ["user_id", "ts", "event_id", "event_type"]))
+          .key_by("user_id"))
+    with pytest.raises(NotImplementedError, match="DISTINCT"):
+        ks.pattern(Pattern.begin("a", "view").next("b", "view"))
+    with pytest.raises(NotImplementedError, match="DISTINCT"):
+        # times(2) expands to a repeated type — same backtracking need
+        ks.pattern(Pattern.begin("a", "view")
+                   .next("b", "click").times(2).next("c", "purchase"))
+    with pytest.raises(NotImplementedError, match="one_or_more"):
+        ks.pattern(Pattern.begin("a", "view")
+                   .next("b", "click").one_or_more())

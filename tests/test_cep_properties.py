@@ -432,3 +432,32 @@ def test_cep_strict_middle_stage_matches_python_nfa(spark, rows):
     want = {u: _ref_mixed(seq, stages, strict)
             for u, seq in _per_user_ordered(rows).items()}
     assert got == {u: n for u, n in want.items() if n > 0}
+
+
+@settings(max_examples=50, deadline=None)
+@given(rows=seq_strategy)
+def test_strict_machine_equals_regex_on_distinct_types(spark, rows):
+    """The claim behind round 8's STREAMING strict chains: for DISTINCT
+    stage types the single-run kill-or-re-anchor machine (the stepper
+    the stream runs) counts exactly what the batch regex counts — a
+    distinct alphabet means the pattern has no proper border, so the
+    KMP failure function is <= 1 and greedy consumption never wastes an
+    event a later anchor could use. Pinned machine-vs-regex on random
+    sequences, pure Python (the Spark twins are pinned by the facade
+    convergence test)."""
+    stages = ["view", "click", "purchase"]
+
+    def machine(seq):
+        stage = cnt = 0
+        for _, ty in seq:
+            if ty == stages[stage]:
+                stage += 1
+                if stage == len(stages):
+                    cnt, stage = cnt + 1, 0
+            elif stage > 0:
+                stage = 1 if ty == stages[0] else 0
+        return cnt
+
+    for _, seq in _per_user_ordered(rows).items():
+        assert machine(seq) == _ref_strict_regex(
+            seq, r"(view>click>purchase)")
