@@ -645,14 +645,19 @@ def _fork_matches(pat, df, keys, time_col, tiebreak_col, event_col):
 # -- streaming: the keyed-state NFA twins ------------------------------
 
 def relaxed_stepper(type_codes: dict[str, int], stage_codes: list[int],
-                    strict: list[bool] | None = None):
+                    strict: list[bool] | None = None,
+                    key_cols: list[str] | None = None):
     """applyInPandasWithState step for the skip-past-last machine —
     the streaming/jobs._cep_advance register (cnt, stage), generalized
     to K stages with stage-index transitions and per-stage strict
     (next) awaits that kill-or-re-anchor the run on a miss. State
-    survives micro-batch boundaries."""
+    survives micro-batch boundaries. `key_cols` names the (possibly
+    COMPOSITE) key columns — Flink's keyBy(a, b) shape; the input is
+    projected keys-first, so the payload offset is len(key_cols)."""
     K = len(stage_codes)
     strict = strict or [False] * K
+    key_cols = key_cols or ["key"]
+    nk = len(key_cols)
 
     def step(key, pdf_iter, state):
         import pandas as pd
@@ -660,8 +665,8 @@ def relaxed_stepper(type_codes: dict[str, int], stage_codes: list[int],
         rows = []
         for pdf in pdf_iter:
             for _, r in pdf.iterrows():
-                rows.append((r.iloc[1], r.iloc[2],
-                             type_codes.get(r.iloc[3], 0)))
+                rows.append((r.iloc[nk], r.iloc[nk + 1],
+                             type_codes.get(r.iloc[nk + 2], 0)))
         for _, _, c in sorted(rows):
             if c == stage_codes[stage]:
                 if stage == K - 1:
@@ -671,14 +676,16 @@ def relaxed_stepper(type_codes: dict[str, int], stage_codes: list[int],
             elif strict[stage] and stage > 0:
                 stage = 1 if c == stage_codes[0] else 0
         state.update((cnt, stage))
-        yield pd.DataFrame({"key": [key[0]], "n_matches": [cnt],
-                            "stage": [stage]})
+        yield pd.DataFrame(
+            {**{kc: [key[i]] for i, kc in enumerate(key_cols)},
+             "n_matches": [cnt], "stage": [stage]})
     return step
 
 
 def relaxed_within_stepper(type_codes: dict[str, int],
                            stage_codes: list[int], within_us: int,
-                           strict: list[bool] | None = None):
+                           strict: list[bool] | None = None,
+                           key_cols: list[str] | None = None):
     """applyInPandasWithState step for the bounded single-anchor
     machine — state (cnt, stage, anchor µs); expiry applied before each
     event exactly like the batch fold, so state is O(1) per key and the
@@ -686,6 +693,8 @@ def relaxed_within_stepper(type_codes: dict[str, int],
     kill-or-re-anchor on a miss."""
     K = len(stage_codes)
     strict = strict or [False] * K
+    key_cols = key_cols or ["key"]
+    nk = len(key_cols)
 
     def step(key, pdf_iter, state):
         import pandas as pd
@@ -693,8 +702,9 @@ def relaxed_within_stepper(type_codes: dict[str, int],
         rows = []
         for pdf in pdf_iter:
             for _, r in pdf.iterrows():
-                rows.append((int(r.iloc[1].timestamp() * 1_000_000),
-                             r.iloc[2], type_codes.get(r.iloc[3], 0)))
+                rows.append((int(r.iloc[nk].timestamp() * 1_000_000),
+                             r.iloc[nk + 1],
+                             type_codes.get(r.iloc[nk + 2], 0)))
         for t, _, c in sorted(rows):
             if stage > 0 and t - anchor > within_us:
                 stage = 0
@@ -711,14 +721,16 @@ def relaxed_within_stepper(type_codes: dict[str, int],
                 else:
                     stage = 0
         state.update((cnt, stage, anchor))
-        yield pd.DataFrame({"key": [key[0]], "n_matches": [cnt],
-                            "stage": [stage]})
+        yield pd.DataFrame(
+            {**{kc: [key[i]] for i, kc in enumerate(key_cols)},
+             "n_matches": [cnt], "stage": [stage]})
     return step
 
 
 def fork_stepper(type_codes: dict[str, int], stage_codes: list[int],
                  within_us: int | None,
-                 strict: list[bool] | None = None):
+                 strict: list[bool] | None = None,
+                 key_cols: list[str] | None = None):
     """applyInPandasWithState step for the forking NFA — the
     streaming/jobs._cep_fork_advance anchor-set machine, generalized:
     state = (cnt, s1..s_{K-1} anchor-µs arrays), expiry applied before
@@ -728,6 +740,8 @@ def fork_stepper(type_codes: dict[str, int], stage_codes: list[int],
     fold."""
     K = len(stage_codes)
     strict = strict or [False] * K
+    key_cols = key_cols or ["key"]
+    nk = len(key_cols)
 
     def step(key, pdf_iter, state):
         import pandas as pd
@@ -739,8 +753,9 @@ def fork_stepper(type_codes: dict[str, int], stage_codes: list[int],
         rows = []
         for pdf in pdf_iter:
             for _, r in pdf.iterrows():
-                rows.append((int(r.iloc[1].timestamp() * 1_000_000),
-                             r.iloc[2], type_codes.get(r.iloc[3], 0)))
+                rows.append((int(r.iloc[nk].timestamp() * 1_000_000),
+                             r.iloc[nk + 1],
+                             type_codes.get(r.iloc[nk + 2], 0)))
         for t, _, c in sorted(rows):
             if within_us is not None:
                 sets = [[a for a in s if t - a <= within_us]
@@ -762,11 +777,14 @@ def fork_stepper(type_codes: dict[str, int], stage_codes: list[int],
                 else:
                     sets[i] = base
         state.update((cnt, *sets))
-        yield pd.DataFrame({"key": [key[0]], "n_matches": [cnt]})
+        yield pd.DataFrame(
+            {**{kc: [key[i]] for i, kc in enumerate(key_cols)},
+             "n_matches": [cnt]})
     return step
 
 
-def absence_stepper(a_type: str, b_type: str, within_us: int):
+def absence_stepper(a_type: str, b_type: str, within_us: int,
+                    key_cols: list[str] | None = None):
     """Streaming ABSENCE pattern [FLINK-API: Pattern.begin(a)
     .notFollowedBy(b).within(d) on a live stream — Flink's NFA arms a
     TIMER per pending anchor and emits on timeout]: the
@@ -780,13 +798,17 @@ def absence_stepper(a_type: str, b_type: str, within_us: int):
     earliest pending deadline. Input must be `withWatermark`'d (Spark
     enforces this for event-time timeouts — a loud AnalysisException,
     not a silent hang)."""
+    key_cols = key_cols or ["key"]
+    nk = len(key_cols)
+
     def step(key, pdf_iter, state):
         import pandas as pd
 
         def emit(rows):
             if rows:
                 return [pd.DataFrame(
-                    {"key": [key[0]] * len(rows),
+                    {**{kc: [key[i]] * len(rows)
+                        for i, kc in enumerate(key_cols)},
                      "anchor_id": [i for _, i in rows]})]
             return []
 
@@ -816,10 +838,11 @@ def absence_stepper(a_type: str, b_type: str, within_us: int):
         rows = []
         for pdf in pdf_iter:
             for _, r in pdf.iterrows():
-                ty = r.iloc[3]
+                ty = r.iloc[nk + 2]
                 if ty == a_type or ty == b_type:
-                    rows.append((int(r.iloc[1].timestamp() * 1_000_000),
-                                 r.iloc[2], ty))
+                    rows.append((
+                        int(r.iloc[nk].timestamp() * 1_000_000),
+                        r.iloc[nk + 1], ty))
         for t, eid, ty in sorted(rows):
             if ty == a_type:
                 pending.append((t, eid))
@@ -846,7 +869,8 @@ def absence_stepper(a_type: str, b_type: str, within_us: int):
 def relaxed_matches_stepper(type_codes: dict[str, int],
                             stage_codes: list[int],
                             within_us: int | None,
-                            strict: list[bool] | None = None):
+                            strict: list[bool] | None = None,
+                            key_cols: list[str] | None = None):
     """Streaming MATCH EXTRACTION for the single-anchor skip-past-last
     machine [FLINK-API: PatternStream.select on the live stream]: state
     carries (n_matches, stage, anchor_id, anchor µs); each micro-batch
@@ -856,6 +880,8 @@ def relaxed_matches_stepper(type_codes: dict[str, int],
     arrived in an earlier micro-batch."""
     K = len(stage_codes)
     strict = strict or [False] * K
+    key_cols = key_cols or ["key"]
+    nk = len(key_cols)
 
     def step(key, pdf_iter, state):
         import pandas as pd
@@ -864,8 +890,9 @@ def relaxed_matches_stepper(type_codes: dict[str, int],
         rows = []
         for pdf in pdf_iter:
             for _, r in pdf.iterrows():
-                rows.append((int(r.iloc[1].timestamp() * 1_000_000),
-                             r.iloc[2], type_codes.get(r.iloc[3], 0)))
+                rows.append((int(r.iloc[nk].timestamp() * 1_000_000),
+                             r.iloc[nk + 1],
+                             type_codes.get(r.iloc[nk + 2], 0)))
         out = []
         for t, eid, c in sorted(rows):
             if within_us is not None and stage > 0 \
@@ -888,7 +915,8 @@ def relaxed_matches_stepper(type_codes: dict[str, int],
         state.update((cnt, stage, anchor_id, anchor_t))
         if out:
             yield pd.DataFrame(
-                {"key": [key[0]] * len(out),
+                {**{kc: [key[i]] * len(out)
+                    for i, kc in enumerate(key_cols)},
                  "match_no": [m for m, *_ in out],
                  "start_event_id": [s for _, s, _, _ in out],
                  "end_event_id": [e for _, _, e, _ in out],
@@ -899,7 +927,8 @@ def relaxed_matches_stepper(type_codes: dict[str, int],
 def fork_matches_stepper(type_codes: dict[str, int],
                          stage_codes: list[int],
                          within_us: int | None,
-                         strict: list[bool] | None = None):
+                         strict: list[bool] | None = None,
+                         key_cols: list[str] | None = None):
     """Streaming match extraction for the FORKING NFA: state carries
     per-stage (t, id) anchor pairs as parallel arrays plus the running
     match count; every closing event APPENDS one row per surviving
@@ -907,6 +936,8 @@ def fork_matches_stepper(type_codes: dict[str, int],
     micro-batch boundaries."""
     K = len(stage_codes)
     strict = strict or [False] * K
+    key_cols = key_cols or ["key"]
+    nk = len(key_cols)
 
     def step(key, pdf_iter, state):
         import pandas as pd
@@ -920,8 +951,9 @@ def fork_matches_stepper(type_codes: dict[str, int],
         rows = []
         for pdf in pdf_iter:
             for _, r in pdf.iterrows():
-                rows.append((int(r.iloc[1].timestamp() * 1_000_000),
-                             r.iloc[2], type_codes.get(r.iloc[3], 0)))
+                rows.append((int(r.iloc[nk].timestamp() * 1_000_000),
+                             r.iloc[nk + 1],
+                             type_codes.get(r.iloc[nk + 2], 0)))
         out = []
         for t, eid, c in sorted(rows):
             if within_us is not None:
@@ -948,7 +980,8 @@ def fork_matches_stepper(type_codes: dict[str, int],
                         for x in ([a for a, _ in s], [b for _, b in s])]))
         if out:
             yield pd.DataFrame(
-                {"key": [key[0]] * len(out),
+                {**{kc: [key[i]] * len(out)
+                    for i, kc in enumerate(key_cols)},
                  "match_no": [m for m, *_ in out],
                  "start_event_id": [s for _, s, _, _ in out],
                  "end_event_id": [e for _, _, e, _ in out],
@@ -988,8 +1021,6 @@ def compile_pattern_stream(pat: Pattern, sdf: DataFrame,
             "streaming pattern() carries the relaxed followed_by "
             "machines (skip-past-last, bounded, no_skip), strict "
             "chains over distinct types, and timer-driven absence")
-    if len(keys) != 1:
-        raise NotImplementedError("streaming pattern() is single-key")
     if fam == "strict":
         # The single-run stepper with all-strict awaits equals the
         # batch regex count ONLY when no event type repeats: a distinct
@@ -1013,44 +1044,44 @@ def compile_pattern_stream(pat: Pattern, sdf: DataFrame,
                 "mode (the regex path)")
         pat = expanded
         fam = "relaxed"  # the stepper family; strict flags do the rest
+    # COMPOSITE keys supported [FLINK-API: keyBy(a, b)]: the steppers
+    # address columns positionally (keys first, then time, tiebreak,
+    # event type) and echo every key column back by NAME
+    proj = sdf.select(*keys, time_col, tiebreak_col, event_col)
+    key_schema = ", ".join(
+        f"{k} {_key_sql_type(proj, k)}" for k in keys)
     if fam == "absence":
-        proj = sdf.select(keys[0], time_col, tiebreak_col, event_col)
-        ktype = _key_sql_type(proj, keys[0])
         fn = absence_stepper(pat.stages[0].event_type,
-                             pat.stages[1].event_type, pat.within_us)
-        return (proj.groupBy(keys[0]).applyInPandasWithState(
-            fn, outputStructType=f"key {ktype}, anchor_id long",
+                             pat.stages[1].event_type, pat.within_us,
+                             key_cols=keys)
+        return proj.groupBy(*keys).applyInPandasWithState(
+            fn, outputStructType=f"{key_schema}, anchor_id long",
             stateStructType="t_arr array<long>, id_arr array<long>",
             outputMode="Append",
             timeoutConf=GroupStateTimeout.EventTimeTimeout)
-            .withColumnRenamed("key", keys[0]))
     pat = pat._expanded()
     K = len(pat.stages)
     tcodes = _type_codes(pat)
     scodes = _stage_codes(pat)
     sflags = _strict_flags(pat)
-    # the steppers address columns positionally: key, time, tiebreak,
-    # event type — project exactly that
-    proj = sdf.select(keys[0], time_col, tiebreak_col, event_col)
-    ktype = _key_sql_type(proj, keys[0])
     if fam == "relaxed":
-        out_schema = f"key {ktype}, n_matches long, stage long"
+        out_schema = f"{key_schema}, n_matches long, stage long"
         state_schema = "cnt long, stage long"
-        fn = relaxed_stepper(tcodes, scodes, sflags)
+        fn = relaxed_stepper(tcodes, scodes, sflags, key_cols=keys)
     elif fam == "relaxed_within":
-        out_schema = f"key {ktype}, n_matches long, stage long"
+        out_schema = f"{key_schema}, n_matches long, stage long"
         state_schema = "cnt long, stage long, anchor long"
         fn = relaxed_within_stepper(tcodes, scodes, pat.within_us,
-                                    sflags)
+                                    sflags, key_cols=keys)
     else:
-        out_schema = f"key {ktype}, n_matches long"
+        out_schema = f"{key_schema}, n_matches long"
         state_schema = "cnt long, " + ", ".join(
             f"s{i} array<long>" for i in range(1, K))
-        fn = fork_stepper(tcodes, scodes, pat.within_us, sflags)
-    return (proj.groupBy(keys[0]).applyInPandasWithState(
+        fn = fork_stepper(tcodes, scodes, pat.within_us, sflags,
+                          key_cols=keys)
+    return proj.groupBy(*keys).applyInPandasWithState(
         fn, outputStructType=out_schema, stateStructType=state_schema,
         outputMode="Update", timeoutConf=GroupStateTimeout.NoTimeout)
-        .withColumnRenamed("key", keys[0]))
 
 
 def compile_pattern_matches_stream(pat: Pattern, sdf: DataFrame,
@@ -1074,29 +1105,27 @@ def compile_pattern_matches_stream(pat: Pattern, sdf: DataFrame,
     if len(pat.stages) < 2:
         raise ValueError("pattern_matches() needs at least two stages "
                          "(a single-stage pattern is a filter)")
-    if len(keys) != 1:
-        raise NotImplementedError(
-            "streaming pattern_matches() is single-key")
     pat = pat._expanded()
     K = len(pat.stages)
     tcodes = _type_codes(pat)
     scodes = _stage_codes(pat)
     sflags = _strict_flags(pat)
-    proj = sdf.select(keys[0], time_col, tiebreak_col, event_col)
-    ktype = _key_sql_type(proj, keys[0])
-    out_schema = (f"key {ktype}, match_no long, start_event_id long, "
+    proj = sdf.select(*keys, time_col, tiebreak_col, event_col)
+    key_schema = ", ".join(
+        f"{k} {_key_sql_type(proj, k)}" for k in keys)
+    out_schema = (f"{key_schema}, match_no long, start_event_id long, "
                   f"end_event_id long, span_us long")
     if fam == "fork":
         state_schema = "cnt long, " + ", ".join(
             f"s{i}_t array<long>, s{i}_id array<long>"
             for i in range(1, K))
-        fn = fork_matches_stepper(tcodes, scodes, pat.within_us, sflags)
+        fn = fork_matches_stepper(tcodes, scodes, pat.within_us,
+                                  sflags, key_cols=keys)
     else:
         state_schema = ("cnt long, stage long, anchor_id long, "
                         "anchor_t long")
         fn = relaxed_matches_stepper(tcodes, scodes, pat.within_us,
-                                     sflags)
-    return (proj.groupBy(keys[0]).applyInPandasWithState(
+                                     sflags, key_cols=keys)
+    return proj.groupBy(*keys).applyInPandasWithState(
         fn, outputStructType=out_schema, stateStructType=state_schema,
         outputMode="Append", timeoutConf=GroupStateTimeout.NoTimeout)
-        .withColumnRenamed("key", keys[0]))

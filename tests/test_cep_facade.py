@@ -777,3 +777,48 @@ def test_pattern_streaming_strict_chain_converges_to_batch(spark):
     with pytest.raises(NotImplementedError, match="one_or_more"):
         ks.pattern(Pattern.begin("a", "view")
                    .next("b", "click").one_or_more())
+
+
+def test_pattern_streaming_composite_key(spark):
+    """COMPOSITE keys on the streaming CEP paths [FLINK-API:
+    keyBy(a, b)]: key the stream by (region, user_id) where region =
+    user_id % 3 — a strict refinement of user_id, so converged counts
+    must equal the single-key batch compile with the region echoed
+    back; pattern_matches() bindings must carry BOTH key columns."""
+    from flink_tutorial_broadcast_spark.streaming.jobs import (
+        _run_to_memory,
+    )
+
+    pat = (Pattern.begin("v", "view")
+           .followed_by("c", "click")
+           .followed_by("p", "purchase"))
+    sdf = (_two_file_stream(
+        spark, ["user_id", "ts", "event_id", "event_type"])
+        .withColumn("region", F.col("user_id") % 3))
+    out = (_env(spark).from_dataframe(sdf)
+           .key_by("region", "user_id").pattern(pat).to_df())
+    rows = _run_to_memory(out, "update").collect()
+    final: dict = {}
+    for r in rows:
+        final[(r.region, r.user_id)] = max(
+            final.get((r.region, r.user_id), 0), r.n_matches)
+    want = {(r.user_id % 3, r.user_id): r.n_matches for r in
+            (_env(spark).from_dataframe(load(spark, SF_SMOKE, "events"))
+             .key_by("user_id").pattern(pat).to_df().collect())}
+    assert {k: n for k, n in final.items() if n > 0} == want
+    assert want
+
+    # bindings carry both key columns and match the single-key compile
+    sdf2 = (_two_file_stream(
+        spark, ["user_id", "ts", "event_id", "event_type"])
+        .withColumn("region", F.col("user_id") % 3))
+    m_out = (_env(spark).from_dataframe(sdf2)
+             .key_by("region", "user_id").pattern_matches(pat).to_df())
+    got = _run_to_memory(m_out, "append").collect()
+    assert all(r.region == r.user_id % 3 for r in got)
+    want_m = (_env(spark)
+              .from_dataframe(load(spark, SF_SMOKE, "events"))
+              .key_by("user_id").pattern_matches(pat).to_df().collect())
+    key = lambda r: (r.user_id, r.match_no, r.start_event_id,
+                     r.end_event_id, r.span_us)
+    assert {key(r) for r in got} == {key(r) for r in want_m}
