@@ -521,10 +521,13 @@ def compile_pattern_matches(pat: Pattern, df: DataFrame,
             "followed_by chains — skip-past-last (within() optional) "
             "and no_skip(); use pattern() for counts of the other "
             "families")
+    # expand FIRST: begin(a).times(3) is a 1-stage pattern whose
+    # expansion has 3 stages — the guard applies to the expanded form
+    pat = pat._expanded()
     if len(pat.stages) < 2:
         raise ValueError("pattern_matches() needs at least two stages "
-                         "(a single-stage pattern is a filter)")
-    pat = pat._expanded()
+                         "after quantifier expansion (a single-stage "
+                         "pattern is a filter)")
     if fam == "fork":
         return _fork_matches(pat, df, keys, time_col, tiebreak_col,
                              event_col)
@@ -813,18 +816,26 @@ def absence_stepper(a_type: str, b_type: str, within_us: int,
             return []
 
         wm_ms = state.getCurrentWatermarkMs()
+        # Deadlines compare in µs against the ms watermark (t + d <=
+        # wm*1000): flooring the deadline to ms would emit an anchor as
+        # unanswered up to 999 µs EARLY, while an on-time answer could
+        # still arrive — a false absence row on sub-ms data (div row 12
+        # pins the inclusive horizon). Timer re-arms CEIL to ms so the
+        # timer never fires before the true µs deadline has passed.
+        wm_us = wm_ms * 1000
+        ceil_ms = lambda us: -(-us // 1000)
         if state.hasTimedOut:
             t_arr, id_arr = state.get
             pending = list(zip(t_arr, id_arr))
             due = [(t, i) for t, i in pending
-                   if (t + within_us) // 1000 <= wm_ms]
+                   if t + within_us <= wm_us]
             live = [(t, i) for t, i in pending
-                    if (t + within_us) // 1000 > wm_ms]
+                    if t + within_us > wm_us]
             if live:
                 state.update(([t for t, _ in live],
                               [i for _, i in live]))
                 state.setTimeoutTimestamp(
-                    max(min((t + within_us) // 1000 for t, _ in live),
+                    max(min(ceil_ms(t + within_us) for t, _ in live),
                         wm_ms + 1))
             else:
                 state.remove()
@@ -852,13 +863,13 @@ def absence_stepper(a_type: str, b_type: str, within_us: int,
         # anchors already past the watermark horizon emit NOW (their
         # on-time answer window is closed); the rest arm the timer
         due = [(t, i) for t, i in pending
-               if (t + within_us) // 1000 <= wm_ms]
+               if t + within_us <= wm_us]
         live = [(t, i) for t, i in pending
-                if (t + within_us) // 1000 > wm_ms]
+                if t + within_us > wm_us]
         if live:
             state.update(([t for t, _ in live], [i for _, i in live]))
             state.setTimeoutTimestamp(
-                max(min((t + within_us) // 1000 for t, _ in live),
+                max(min(ceil_ms(t + within_us) for t, _ in live),
                     wm_ms + 1))
         elif state.exists:
             state.remove()
@@ -1102,10 +1113,13 @@ def compile_pattern_matches_stream(pat: Pattern, sdf: DataFrame,
         raise NotImplementedError(
             "streaming pattern_matches() carries the relaxed "
             "followed_by machines (skip-past-last, bounded, no_skip)")
+    # expand FIRST so begin(a).times(3) (1 written stage, 3 expanded)
+    # compiles here exactly as it does under pattern()
+    pat = pat._expanded()
     if len(pat.stages) < 2:
         raise ValueError("pattern_matches() needs at least two stages "
-                         "(a single-stage pattern is a filter)")
-    pat = pat._expanded()
+                         "after quantifier expansion (a single-stage "
+                         "pattern is a filter)")
     K = len(pat.stages)
     tcodes = _type_codes(pat)
     scodes = _stage_codes(pat)

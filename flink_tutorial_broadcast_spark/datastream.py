@@ -611,9 +611,11 @@ class KeyedStream:
             sort_by = keys + [c for c in order if c in pdf.columns]
             pdf = pdf.sort_values(sort_by, kind="mergesort")
             out = []
-            for _, g in pdf.groupby(keys, sort=False):
+            # dropna=False: Spark groups null keys like any other group;
+            # pandas' default would silently delete every null-keyed row.
+            for _, g in pdf.groupby(keys, sort=False, dropna=False):
                 out.append(functools.reduce(fn, g.to_dict("records")))
-            return pd.DataFrame(out)
+            return pd.DataFrame(out, columns=pdf.columns)
 
         bucket = (F.xxhash64(*[F.col(k) for k in keys])
                   % F.lit(n_buckets)).alias("__bucket")

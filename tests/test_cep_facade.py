@@ -283,6 +283,30 @@ def test_pattern_matches_within_prunes_and_counts_agree(spark, queries):
     assert len(got) < unbounded  # the horizon really pruned
 
 
+def test_pattern_matches_single_stage_quantified_expands_first(spark):
+    """begin(v).times(3) is ONE written stage whose expansion has 3 —
+    pattern_matches() must expand before the >=2-stage guard (it
+    compiles under pattern(); rejecting it here was an inconsistent
+    refusal). Its bindings must equal the explicitly-written
+    3-stage relaxed chain, and a truly single-stage pattern still
+    raises loudly."""
+    ev = load(spark, SF_SMOKE, "events")
+    ks = _env(spark).from_dataframe(ev).key_by("user_id")
+    got = {(r.user_id, r.match_no, r.start_event_id, r.end_event_id)
+           for r in ks.pattern_matches(
+               Pattern.begin("v", "view").times(3)).to_df().collect()}
+    want = {(r.user_id, r.match_no, r.start_event_id, r.end_event_id)
+            for r in ks.pattern_matches(
+                Pattern.begin("v", "view")
+                .followed_by("v2", "view")
+                .followed_by("v3", "view")).to_df().collect()}
+    assert got == want and got
+    # a truly single-stage pattern still refuses loudly (it routes to
+    # the strict-family refusal before the expanded-stage-count guard)
+    with pytest.raises((ValueError, NotImplementedError)):
+        ks.pattern_matches(Pattern.begin("v", "view")).to_df()
+
+
 def test_pattern_repeated_types_compile_and_empty_quantifier_raises(
         spark):
     """Repeated event types across followed_by stages compile (the
@@ -585,8 +609,11 @@ def test_pattern_streaming_absence_timer_driven(spark, queries):
              ev.filter(F.col("event_type") == "view")
              .select("user_id", "event_id",
                      F.unix_micros("ts").alias("t_us")).collect()}
+    # µs deadline rule (ADVICE r8): an anchor emits only when its TRUE
+    # µs deadline is at or behind the ms watermark — flooring to ms
+    # would emit up to 999 µs early
     expected = {(u, i) for (u, i) in batch
-                if (views[(u, i)] + W_US) // 1000 <= wm_final_ms}
+                if views[(u, i)] + W_US <= wm_final_ms * 1000}
     assert got == expected
     assert got  # non-vacuous
     assert got <= batch  # no answered anchor ever leaked
@@ -682,8 +709,11 @@ def test_pattern_streaming_absence_survives_restart(spark, queries):
              ev.filter(F.col("event_type") == "view")
              .select("user_id", "event_id",
                      F.unix_micros("ts").alias("t_us")).collect()}
+    # µs deadline rule (ADVICE r8): an anchor emits only when its TRUE
+    # µs deadline is at or behind the ms watermark — flooring to ms
+    # would emit up to 999 µs early
     expected = {(u, i) for (u, i) in batch
-                if (views[(u, i)] + W_US) // 1000 <= wm_final_ms}
+                if views[(u, i)] + W_US <= wm_final_ms * 1000}
     assert got == expected
     assert got and got <= batch
 
@@ -822,3 +852,75 @@ def test_pattern_streaming_composite_key(spark):
     key = lambda r: (r.user_id, r.match_no, r.start_event_id,
                      r.end_event_id, r.span_us)
     assert {key(r) for r in got} == {key(r) for r in want_m}
+
+
+class _FakeGroupState:
+    """Minimal applyInPandasWithState GroupState stand-in for
+    stepper-level unit tests (watermark, timeout, typed tuple state)."""
+
+    def __init__(self, wm_ms, timed_out=False, state=None):
+        self._wm_ms = wm_ms
+        self.hasTimedOut = timed_out
+        self._state = state
+        self.timeout_ts = None
+
+    @property
+    def exists(self):
+        return self._state is not None
+
+    @property
+    def get(self):
+        return self._state
+
+    def getCurrentWatermarkMs(self):
+        return self._wm_ms
+
+    def update(self, v):
+        self._state = v
+
+    def remove(self):
+        self._state = None
+
+    def setTimeoutTimestamp(self, ts_ms):
+        self.timeout_ts = ts_ms
+
+
+def test_absence_stepper_compares_deadlines_in_microseconds():
+    """ADVICE r8 (cep.py absence_stepper): an anchor whose true µs
+    deadline is up to 999 µs PAST the ms watermark must stay pending —
+    flooring the deadline to ms emitted it as a false absence while an
+    on-time answer (t_b in (wm, deadline]) could still arrive. The
+    inclusive horizon is divergences row 12."""
+    import datetime
+
+    import pandas as pd
+
+    from flink_tutorial_broadcast_spark.cep import absence_stepper
+
+    step = absence_stepper("a", "b", within_us=500, key_cols=["k"])
+
+    def batch(rows):  # rows: (t_us, event_id, type)
+        return [pd.DataFrame({
+            "k": [1] * len(rows),
+            "ts": [datetime.datetime.fromtimestamp(
+                t / 1_000_000, datetime.timezone.utc) for t, _, _ in rows],
+            "event_id": [i for _, i, _ in rows],
+            "event_type": [ty for _, _, ty in rows]})]
+
+    # anchor t=999_700µs, deadline 1_000_200µs; watermark 1000 ms =
+    # 1_000_000µs < deadline -> must stay LIVE (old floor said due)
+    st = _FakeGroupState(wm_ms=1000)
+    out = list(step((1,), iter(batch([(999_700, 7, "a")])), st))
+    assert out == [] and st.exists
+    # timer re-arm CEILS to ms: never fires before the true deadline
+    assert st.timeout_ts == 1001
+
+    # the on-time answer lands in the next micro-batch -> anchor gone
+    out = list(step((1,), iter(batch([(1_000_100, 8, "b")])), st))
+    assert out == [] and not st.exists
+
+    # control: once the watermark passes the µs deadline, it emits
+    st2 = _FakeGroupState(wm_ms=1001)
+    out2 = list(step((1,), iter(batch([(999_700, 7, "a")])), st2))
+    assert len(out2) == 1 and list(out2[0]["anchor_id"]) == [7]
+    assert not st2.exists

@@ -798,6 +798,36 @@ def test_facade_keyed_reduce_matches_aggregate_twins(spark):
     assert got == want
 
 
+def test_facade_keyed_reduce_keeps_null_key_groups(spark):
+    """Spark groups null keys like any other value, so reduce() must
+    too — pandas' groupby default (dropna=True) would silently delete
+    every null-keyed row, and a bucket holding ONLY null-key rows would
+    return a column-less frame that breaks the Arrow schema."""
+    env = StreamExecutionEnvironment.get_execution_environment(spark)
+    rows = [(None, 1, 10.0), (None, 2, 5.0), ("u1", 3, 7.0),
+            (None, 4, 2.0), ("u2", 5, 1.0)]
+    df = spark.createDataFrame(
+        rows, "user_id string, event_id long, value double")
+    summed = (env.from_dataframe(df).key_by("user_id")
+              .reduce(lambda a, b: {**b, "value": a["value"] + b["value"]},
+                      order_cols=("event_id",))
+              .to_df())
+    got = {r.user_id: r.value for r in summed.collect()}
+    assert got == {None: 17.0, "u1": 7.0, "u2": 1.0}
+
+    # bucket containing only null-key rows: force it by keying a frame
+    # whose every key is null
+    all_null = spark.createDataFrame(
+        [(None, 1, 3.0), (None, 2, 4.0)],
+        "user_id string, event_id long, value double")
+    only = (env.from_dataframe(all_null).key_by("user_id")
+            .reduce(lambda a, b: {**b, "value": a["value"] + b["value"]},
+                    order_cols=("event_id",))
+            .to_df().collect())
+    assert len(only) == 1 and only[0].value == 7.0 \
+        and only[0].user_id is None
+
+
 def test_facade_interval_join_matches_oracle_key(spark, queries):
     """key_by(u).interval_join(other, "-5 minutes", "5 minutes")
     [FLINK-API: KeyedStream.intervalJoin.between] == the oracle-backed

@@ -48,7 +48,7 @@ def main() -> int:
     moved.sort(reverse=True)
 
     if as_json:
-        tot_a = sum(v["spark_s"] for v in old.values())
+        tot_a = sum(v["spark_s"] for k, v in old.items() if k in new)
         tot_b = sum(v["spark_s"] for k, v in new.items() if k in old)
         print(json.dumps({
             "threshold_pct": round(thr * 100),

@@ -47,19 +47,30 @@ def main() -> None:
 
     rows = []
     for name in names:
+        # FIXED alphabetical execution order (names = sorted above),
+        # decoupled from queries() registration/rotation order, so
+        # bench_diff compares like warmth positions across rounds
+        # (the four r8 bench_diff flags were warmth-position swings on
+        # single-rep sub-second keys). Timed value = MIN of 2 reps:
+        # the min is the stable estimator under JVM/codegen warmth
+        # noise that a single rep is not.
         queries[name](spark, sf_dir).count()       # warm spark
-        t0 = time.time()
-        queries[name](spark, sf_dir).count()       # timed: reuses the
-        t_spark = time.time() - t0                 # warm pass's blocks
+        t_spark = float("inf")
+        for _ in range(2):
+            t0 = time.time()
+            queries[name](spark, sf_dir).count()   # timed: reuses the
+            t_spark = min(t_spark, time.time() - t0)  # warm blocks
         # free checkpoint/cache blocks BEFORE timing DuckDB: storage
         # accumulated across 250+ queries squeezes the same process's
         # DuckDB into spilling (measured: its motif join went 33s ->
         # 254s late in a no-release sweep)
         release_cached_blocks(spark)
         con.execute(oracles[name]).fetchall()      # warm duck
-        t0 = time.time()
-        con.execute(oracles[name]).fetchall()
-        t_duck = time.time() - t0
+        t_duck = float("inf")
+        for _ in range(2):
+            t0 = time.time()
+            con.execute(oracles[name]).fetchall()
+            t_duck = min(t_duck, time.time() - t0)
         rows.append((name, t_spark, t_duck))
 
     print(f"\n| query | spark (s) | duckdb (s) | ratio |  ({sf_dir})")
@@ -84,9 +95,11 @@ def main() -> None:
         repo_root, f"BENCH_FULL_r{rnd}.json" if rnd else "bench_full.json")
     artifact = {
         "sf_dir": sf_dir,
-        "protocol": ("warm single session per engine; 1 timed rep per "
-                     "query after 1 warm rep; release_cached_blocks "
-                     "between engines"),
+        "protocol": ("warm single session per engine; per query: 1 "
+                     "warm rep then MIN of 2 timed reps (stable under "
+                     "JVM-warmth noise); release_cached_blocks between "
+                     "engines; execution order = FIXED alphabetical by "
+                     "key, decoupled from queries() rotation order"),
         "loadavg_end": [round(x, 2) for x in os.getloadavg()],
         "summary": summary,
         "queries": {
