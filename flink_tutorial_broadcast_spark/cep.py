@@ -685,6 +685,65 @@ def relaxed_stepper(type_codes: dict[str, int], stage_codes: list[int],
     return step
 
 
+def _kmp_failure(P: list[int]) -> list[int]:
+    """KMP failure (border) function over the stage-code string:
+    fail[j] = length of the longest proper border of P[:j], indexed by
+    matched-prefix length j in 0..len(P) (fail[0] = fail[1] = 0)."""
+    K = len(P)
+    fail = [0] * (K + 1)
+    k = 0
+    for j in range(1, K):
+        while k > 0 and P[j] != P[k]:
+            k = fail[k]
+        if P[j] == P[k]:
+            k += 1
+        fail[j + 1] = k
+    return fail
+
+
+def kmp_stepper(type_codes: dict[str, int], stage_codes: list[int],
+                key_cols: list[str] | None = None):
+    """Streaming STRICT chains as a KMP failure-function automaton with
+    restart-after-match [FLINK-API: Pattern#next chains on a live
+    stream]. A strict next-chain (times(n) included — expansion yields
+    a FIXED string over the stage-code alphabet) matched left-to-right
+    non-overlapping is exactly fixed-string search, so the automaton's
+    count equals the batch regex path's for ANY stage string —
+    including bordered ones (aab, abab) where the kill-or-re-anchor
+    rule undercounts (a mismatch may re-enter mid-pattern, not just at
+    stage 0 or 1). O(K) state (one prefix length), O(1) amortized per
+    event, and events outside the pattern alphabet (code 0) break
+    contiguity by matching no position. Only one_or_more (variable-
+    length greedy) genuinely needs the regex's backtracking and stays
+    batch-side."""
+    K = len(stage_codes)
+    fail = _kmp_failure(stage_codes)
+    key_cols = key_cols or ["key"]
+    nk = len(key_cols)
+
+    def step(key, pdf_iter, state):
+        import pandas as pd
+        cnt, j = state.get if state.exists else (0, 0)
+        rows = []
+        for pdf in pdf_iter:
+            rows.extend(zip(pdf.iloc[:, nk].tolist(),
+                            pdf.iloc[:, nk + 1].tolist(),
+                            [type_codes.get(x, 0)
+                             for x in pdf.iloc[:, nk + 2].tolist()]))
+        for _, _, c in sorted(rows):
+            while j > 0 and c != stage_codes[j]:
+                j = fail[j]
+            if c == stage_codes[j]:
+                j += 1
+            if j == K:
+                cnt, j = cnt + 1, 0  # restart: non-overlapping count
+        state.update((cnt, j))
+        yield pd.DataFrame(
+            {**{kc: [key[i]] for i, kc in enumerate(key_cols)},
+             "n_matches": [cnt], "stage": [j]})
+    return step
+
+
 def relaxed_within_stepper(type_codes: dict[str, int],
                            stage_codes: list[int], within_us: int,
                            strict: list[bool] | None = None,
@@ -1033,28 +1092,31 @@ def compile_pattern_stream(pat: Pattern, sdf: DataFrame,
             "machines (skip-past-last, bounded, no_skip), strict "
             "chains over distinct types, and timer-driven absence")
     if fam == "strict":
-        # The single-run stepper with all-strict awaits equals the
-        # batch regex count ONLY when no event type repeats: a distinct
-        # alphabet means the pattern string has no proper border, so
-        # the KMP failure function is <= 1 — exactly the stepper's
-        # kill-or-re-anchor rule. Repeated types need the regex's
-        # backtracking (a killed greedy run may waste events a later
-        # anchor could have used) and stay batch-side.
+        # Fixed-string chains (next-chains; times(n) expands to one)
+        # run on the KMP failure-function automaton (r9): O(K) state,
+        # O(1)/event, equal to the batch regex's leftmost
+        # non-overlapping count for ANY stage string — repeated types
+        # (login→login→alert) included; the r8 kill-or-re-anchor
+        # stepper was the fail<=1 special case of this machine and
+        # needed a distinct alphabet. Only one_or_more (variable-length
+        # greedy) genuinely needs backtracking and stays batch-side.
         if any(s.one_or_more for s in pat.stages):
             raise NotImplementedError(
                 "streaming strict chains do not carry one_or_more() "
                 "(unbounded backtracking); run in batch mode (the "
                 "regex path)")
-        expanded = pat._expanded()
-        types = [s.event_type for s in expanded.stages]
-        if len(set(types)) != len(types):
-            raise NotImplementedError(
-                "streaming strict chains need DISTINCT stage types "
-                "(a repeated type makes the greedy single-run machine "
-                "diverge from the NFA's backtracking); run in batch "
-                "mode (the regex path)")
-        pat = expanded
-        fam = "relaxed"  # the stepper family; strict flags do the rest
+        pat = pat._expanded()
+        proj = sdf.select(*keys, time_col, tiebreak_col, event_col)
+        key_schema = ", ".join(
+            f"{k} {_key_sql_type(proj, k)}" for k in keys)
+        fn = kmp_stepper(_type_codes(pat), _stage_codes(pat),
+                         key_cols=keys)
+        return proj.groupBy(*keys).applyInPandasWithState(
+            fn,
+            outputStructType=f"{key_schema}, n_matches long, stage long",
+            stateStructType="cnt long, stage long",
+            outputMode="Update",
+            timeoutConf=GroupStateTimeout.NoTimeout)
     # COMPOSITE keys supported [FLINK-API: keyBy(a, b)]: the steppers
     # address columns positionally (keys first, then time, tiebreak,
     # event type) and echo every key column back by NAME

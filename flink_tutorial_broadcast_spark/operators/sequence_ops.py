@@ -763,6 +763,52 @@ def q_cep_repeated_stage(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_cep_strict_repeated",
+    oracle="""
+    WITH paths AS (
+      SELECT user_id,
+             string_agg(CASE event_type WHEN 'click' THEN 'c'
+                             WHEN 'purchase' THEN 'p' ELSE '-' END,
+                        '' ORDER BY ts, event_id) AS path
+      FROM events GROUP BY user_id
+    )
+    SELECT user_id,
+           CAST(len(regexp_extract_all(path, '(ccp)', 1))
+                AS BIGINT) AS n_matches
+    FROM paths
+    WHERE len(regexp_extract_all(path, '(ccp)', 1)) > 0
+    """,
+)
+def q_cep_strict_repeated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STRICT chains with REPEATED stage types — the login→login→alert
+    shape as a next() chain [FLINK-API: Pattern.begin(x).next(x)
+    .next(y)], here click→click→purchase. Batch compiles on the
+    single-char-code regex path (cep._strict_regex, metachar/substring
+    safe); the streaming twin is round 9's KMP failure-function
+    automaton (cep.kmp_stepper) whose restart-after-match count equals
+    the regex's leftmost non-overlapping count for any fixed stage
+    string — the bordered-prefix case ('cc' re-enters at length 1 on a
+    third click) is exactly what the r8 kill-or-re-anchor stepper could
+    not carry. Oracle: the same leftmost non-overlapping count via
+    DuckDB regexp_extract_all over the per-user single-char path.
+    Property twin: test_cep_properties.test_kmp_stepper_*; streaming
+    convergence: test_cep_facade.test_pattern_streaming_strict_
+    repeated_converges_to_batch."""
+    from flink_tutorial_broadcast_spark.cep import Pattern
+    from flink_tutorial_broadcast_spark.datastream import (
+        StreamExecutionEnvironment,
+    )
+    env = StreamExecutionEnvironment.get_execution_environment(spark)
+    pat = (Pattern.begin("c1", "click")
+           .next("c2", "click")
+           .next("p", "purchase"))
+    return (env.from_dataframe(load(spark, sf_dir, "events"))
+            .key_by("user_id")
+            .pattern(pat)
+            .to_df())
+
+
+@query(
     "q_cep_quantified_relaxed",
     oracle="""
     WITH RECURSIVE codes AS (

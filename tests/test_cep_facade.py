@@ -798,15 +798,46 @@ def test_pattern_streaming_strict_chain_converges_to_batch(spark):
           .from_dataframe(_two_file_stream(
               spark, ["user_id", "ts", "event_id", "event_type"]))
           .key_by("user_id"))
-    with pytest.raises(NotImplementedError, match="DISTINCT"):
-        ks.pattern(Pattern.begin("a", "view").next("b", "view"))
-    with pytest.raises(NotImplementedError, match="DISTINCT"):
-        # times(2) expands to a repeated type — same backtracking need
-        ks.pattern(Pattern.begin("a", "view")
-                   .next("b", "click").times(2).next("c", "purchase"))
+    # one_or_more still refuses (variable-length greedy genuinely
+    # needs backtracking); repeated types now run on the KMP stepper
+    # (test_pattern_streaming_strict_repeated_converges_to_batch)
     with pytest.raises(NotImplementedError, match="one_or_more"):
         ks.pattern(Pattern.begin("a", "view")
                    .next("b", "click").one_or_more())
+
+
+def test_pattern_streaming_strict_repeated_converges_to_batch(spark):
+    """STREAMING strict chains with REPEATED stage types (round 9): a
+    fixed-string next-chain is KMP territory — the failure-function
+    automaton with restart-after-match equals the batch regex's
+    leftmost non-overlapping count with O(K) state and no backtracking.
+    view→view→purchase (a bordered alphabet: 'vv' re-enters at prefix
+    length 1 on a third view) and click.times(2)→purchase must both
+    converge to their batch compiles across the micro-batch boundary."""
+    from flink_tutorial_broadcast_spark.streaming.jobs import (
+        _run_to_memory,
+    )
+
+    for pat in ((Pattern.begin("a", "view").next("b", "view")
+                 .next("c", "purchase")),
+                (Pattern.begin("a", "view").next("b", "click").times(2)
+                 .next("c", "purchase"))):
+        sdf = _two_file_stream(
+            spark, ["user_id", "ts", "event_id", "event_type"])
+        out = (_env(spark).from_dataframe(sdf)
+               .key_by("user_id").pattern(pat).to_df())
+        assert out.isStreaming
+        rows = _run_to_memory(out, "update").collect()
+        final: dict[int, int] = {}
+        for r in rows:
+            final[r["user_id"]] = max(final.get(r["user_id"], 0),
+                                      r["n_matches"])
+        want = {r["user_id"]: r["n_matches"] for r in
+                (_env(spark)
+                 .from_dataframe(load(spark, SF_SMOKE, "events"))
+                 .key_by("user_id").pattern(pat).to_df().collect())}
+        assert {u: n for u, n in final.items() if n > 0} == want
+        assert want  # non-vacuous on the fixture
 
 
 def test_pattern_streaming_composite_key(spark):

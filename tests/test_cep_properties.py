@@ -461,3 +461,91 @@ def test_strict_machine_equals_regex_on_distinct_types(spark, rows):
     for _, seq in _per_user_ordered(rows).items():
         assert machine(seq) == _ref_strict_regex(
             seq, r"(view>click>purchase)")
+
+
+class _KmpFakeState:
+    def __init__(self):
+        self._s = None
+
+    @property
+    def exists(self):
+        return self._s is not None
+
+    @property
+    def get(self):
+        return self._s
+
+    def update(self, v):
+        self._s = v
+
+
+# bordered fixed strings are the cases the r8 kill-or-re-anchor rule
+# undercounts: 'vvp' (border 'v' inside 'vv'), 'vcvc' (abab, border
+# 'vc'), 'vvc' (aab) — plus a distinct alphabet as the fail<=1 control
+KMP_PATTERNS = [
+    ["view", "view", "purchase"],
+    ["view", "click", "view", "click"],
+    ["view", "view", "click"],
+    ["view", "click", "purchase"],
+]
+
+
+@settings(max_examples=100, deadline=None)
+@given(rows=seq_strategy,
+       pat_i=st.integers(0, len(KMP_PATTERNS) - 1),
+       cuts=st.lists(st.integers(0, 34), max_size=3))
+def test_kmp_stepper_equals_regex_nonoverlapping_count(rows, pat_i,
+                                                       cuts):
+    """Round 9's streaming strict-chain machine: the KMP automaton with
+    restart-after-match, fed the same events across ARBITRARY
+    micro-batch splits, must count exactly the batch regex's leftmost
+    non-overlapping matches — including bordered patterns (aab, abab,
+    aax) where a mismatch legally re-enters mid-pattern. Pure-Python
+    pin of cep.kmp_stepper's step function itself (the Spark plumbing
+    is pinned by the facade convergence test)."""
+    import pandas as pd
+
+    from flink_tutorial_broadcast_spark.cep import (
+        _kmp_failure, kmp_stepper,
+    )
+
+    stages = KMP_PATTERNS[pat_i]
+    tcodes: dict[str, int] = {}
+    for t in stages:
+        tcodes.setdefault(t, len(tcodes) + 1)
+    scodes = [tcodes[s] for s in stages]
+    # sanity: the failure function is a border function
+    fail = _kmp_failure(scodes)
+    assert fail[0] == 0 and fail[1] == 0
+    assert all(0 <= fail[j] < j for j in range(1, len(scodes) + 1))
+
+    step = kmp_stepper(tcodes, scodes, key_cols=["user_id"])
+    char = {t: chr(ord("a") + c - 1) for t, c in tcodes.items()}
+    regex = "(" + "".join(char[s] for s in stages) + ")"
+
+    for u, seq in _per_user_ordered(rows).items():
+        # reference: leftmost non-overlapping regex count on the
+        # single-char path ('-' breaks contiguity like any non-alphabet
+        # event)
+        path = "".join(char.get(ty, "-") for _, ty in seq)
+        want = len(re.findall(regex, path))
+
+        # machine: feed in 1..4 chunks at the hypothesis-chosen cuts
+        # (micro-batch boundaries must be invisible to the count)
+        pts = sorted({c for c in cuts if c < len(seq)})
+        bounds = [0] + pts + [len(seq)]
+        st_obj = _KmpFakeState()
+        last = None
+        for lo, hi in zip(bounds, bounds[1:]):
+            chunk = seq[lo:hi]
+            if not chunk:
+                continue
+            pdf = pd.DataFrame({
+                "user_id": [u] * len(chunk),
+                "ts": [m for m, _ in chunk],
+                "event_id": list(range(lo, lo + len(chunk))),
+                "event_type": [ty for _, ty in chunk]})
+            out = list(step((u,), iter([pdf]), st_obj))
+            last = out[-1]
+        got = int(last["n_matches"].iloc[0]) if last is not None else 0
+        assert got == want, (stages, seq, got, want)
