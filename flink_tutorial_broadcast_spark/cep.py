@@ -185,6 +185,21 @@ class Pattern:
                     "not_followed_by needs within(): absence over an "
                     "unbounded future never completes")
             return "absence"
+        last = self.stages[-1]
+        if (last.one_or_more and last.times is None
+                and not any(s.one_or_more for s in self.stages[:-1])
+                and last.contiguity in ("begin", "followed_by")
+                and self.skip == "no_skip"
+                and self.within_us is not None):
+            # one_or_more() bounded by within(d) on the FINAL relaxed
+            # stage under noSkip compiles on the fork machine with one
+            # extra horizon-bounded LOOP set (r9): every in-horizon
+            # closing event adds one match per live anchor combination
+            # — Flink's greedy looping branch under default (non-
+            # combinations) internal relaxed contiguity. The unbounded
+            # form stays a loud refusal (state/output are only bounded
+            # by the within horizon).
+            return "fork_loop"
         if len(self.stages) == 1 and (self.stages[0].times or 0) > 1:
             # a quantified single stage follows Flink's DEFAULT relaxed
             # internal contiguity [FLINK-API: Quantifier] — expansion
@@ -214,11 +229,13 @@ class Pattern:
         # (possibly re-anchoring it) instead of being skipped
         if any(s.one_or_more for s in self.stages):
             raise NotImplementedError(
-                "one_or_more() under relaxed/mixed contiguity is not "
-                "compiled (an unbounded greedy loop); use times(n) — "
-                "which expands to n stages under Flink's default "
-                "internal contiguity — or a pure strict next() chain "
-                "(the regex path)")
+                "one_or_more() under relaxed/mixed contiguity compiles "
+                "ONLY in the horizon-bounded form — .one_or_more() on "
+                "the FINAL followed_by stage with .within(d).no_skip() "
+                "(the fork-loop machine); elsewhere the greedy loop is "
+                "unbounded — use times(n), which expands to n stages "
+                "under Flink's default internal contiguity, or a pure "
+                "strict next() chain (the regex path)")
         if self.skip == "no_skip":
             return "fork"
         if self.within_us is not None:
@@ -265,6 +282,9 @@ def compile_pattern(pat: Pattern, df: DataFrame, keys: list[str],
     if fam == "relaxed_within":
         return _relaxed_within_machine(pat, df, keys, time_col,
                                        tiebreak_col, event_col)
+    if fam == "fork_loop":
+        return _fork_loop_machine(pat, df, keys, time_col, tiebreak_col,
+                                  event_col)
     return _fork_machine(pat, df, keys, time_col, tiebreak_col, event_col)
 
 
@@ -476,6 +496,61 @@ def _fork_machine(pat, df, keys, time_col, tiebreak_col, event_col):
             col = (F.when(match[i], F.concat(base, incoming))
                    .otherwise(base))
             fields.append(col.alias(f"s{i}"))
+        return F.struct(*fields)
+
+    fold = F.aggregate(seq, init, step)
+    return (df.groupBy(*keys).agg(fold["cnt"].alias("n_matches"))
+            .filter(F.col("n_matches") > 0))
+
+
+def _fork_loop_machine(pat, df, keys, time_col, tiebreak_col, event_col):
+    """Bounded looping quantifier on the forking NFA [FLINK-API:
+    Pattern#oneOrMore on the final stage, under noSkip + within(d)]:
+    the fork machine plus ONE extra horizon-bounded LOOP array of
+    anchor begin-times. Semantics (Flink's greedy looping branch under
+    default internal relaxed contiguity, no allowCombinations): a run
+    takes the FIRST matching event at every stage, forks complete-or-
+    continue at each final-stage event — so every in-horizon closing
+    event adds exactly one match per anchor combination that has passed
+    the penultimate stage (fresh this event or parked in the loop set).
+    K=1 (begin(x).one_or_more()) makes every event its own anchor: a
+    close adds 1 + |live loop|. State is bounded by per-key event
+    density inside the within horizon — exactly the bound the plain
+    fork machine already carries; the unbounded form stays refused."""
+    K = len(pat.stages)
+    w = pat.within_us
+    st = _stage_codes(pat)
+    strict = _strict_flags(pat)
+    seq = _seq(pat, time_col, tiebreak_col, event_col)
+    empty = F.array().cast("array<long>")
+    init = F.struct(F.lit(0).cast("long").alias("cnt"),
+                    *[empty.alias(f"s{i}") for i in range(1, K)],
+                    empty.alias("lp"))
+
+    def step(acc, x):
+        filt = {i: F.filter(acc[f"s{i}"], lambda a: x["t"] - a <= w)
+                for i in range(1, K)}
+        lp = F.filter(acc["lp"], lambda a: x["t"] - a <= w)
+        match = {i: x["c"] == F.lit(st[i - 1]) for i in range(1, K + 1)}
+        if K >= 2:
+            closed = (F.size(filt[K - 1]) + F.size(lp)).cast("long")
+            new_lp = F.concat(lp, filt[K - 1])
+        else:
+            closed = (F.size(lp) + F.lit(1)).cast("long")
+            new_lp = F.concat(lp, F.array(x["t"]))
+        fields = [F.when(match[K], acc["cnt"] + closed)
+                  .otherwise(acc["cnt"]).alias("cnt")]
+        for i in range(1, K):
+            # identical promotion rules to _fork_machine (snapshots)
+            if strict[i]:
+                base = empty
+            else:
+                base = F.when(match[i + 1], empty).otherwise(filt[i])
+            incoming = (F.array(x["t"]) if i == 1 else filt[i - 1])
+            col = (F.when(match[i], F.concat(base, incoming))
+                   .otherwise(base))
+            fields.append(col.alias(f"s{i}"))
+        fields.append(F.when(match[K], new_lp).otherwise(lp).alias("lp"))
         return F.struct(*fields)
 
     fold = F.aggregate(seq, init, step)
@@ -845,6 +920,67 @@ def fork_stepper(type_codes: dict[str, int], stage_codes: list[int],
     return step
 
 
+def fork_loop_stepper(type_codes: dict[str, int],
+                      stage_codes: list[int], within_us: int,
+                      strict: list[bool] | None = None,
+                      key_cols: list[str] | None = None):
+    """applyInPandasWithState step for the bounded fork-loop machine —
+    fork_stepper plus one horizon-bounded LOOP array of anchor µs:
+    every in-horizon closing event adds one match per live anchor
+    combination (fresh penultimate or parked loop) and parks the fresh
+    ones. State stays bounded by per-key density inside `within`, the
+    same bound the plain fork stepper carries."""
+    K = len(stage_codes)
+    strict = strict or [False] * K
+    key_cols = key_cols or ["key"]
+    nk = len(key_cols)
+
+    def step(key, pdf_iter, state):
+        import pandas as pd
+        if state.exists:
+            got = state.get
+            cnt = got[0]
+            sets = [list(s) for s in got[1:K]]
+            lp = list(got[K])
+        else:
+            cnt, sets, lp = 0, [[] for _ in range(K - 1)], []
+        rows = []
+        for pdf in pdf_iter:
+            rows.extend(zip(
+                (pdf.iloc[:, nk].to_numpy("datetime64[ns]")
+                 .astype("int64") // 1000).tolist(),
+                pdf.iloc[:, nk + 1].tolist(),
+                [type_codes.get(x, 0)
+                 for x in pdf.iloc[:, nk + 2].tolist()]))
+        for t, _, c in sorted(rows):
+            sets = [[a for a in s if t - a <= within_us] for s in sets]
+            lp = [a for a in lp if t - a <= within_us]
+            match = [c == stage_codes[i] for i in range(K)]
+            snap = [list(s) for s in sets]
+            if match[K - 1]:
+                if K >= 2:
+                    cnt += len(snap[K - 2]) + len(lp)
+                    lp = lp + snap[K - 2]
+                else:
+                    cnt += 1 + len(lp)
+                    lp = lp + [t]
+            for i in range(K - 1):
+                if strict[i + 1]:
+                    base = []
+                else:
+                    base = [] if match[i + 1] else snap[i]
+                if match[i]:
+                    incoming = [t] if i == 0 else snap[i - 1]
+                    sets[i] = base + incoming
+                else:
+                    sets[i] = base
+        state.update((cnt, *sets, lp))
+        yield pd.DataFrame(
+            {**{kc: [key[i]] for i, kc in enumerate(key_cols)},
+             "n_matches": [cnt]})
+    return step
+
+
 def absence_stepper(a_type: str, b_type: str, within_us: int,
                     key_cols: list[str] | None = None):
     """Streaming ABSENCE pattern [FLINK-API: Pattern.begin(a)
@@ -1085,12 +1221,13 @@ def compile_pattern_stream(pat: Pattern, sdf: DataFrame,
     from pyspark.sql.streaming.state import GroupStateTimeout
 
     fam = pat._family()
-    if fam not in ("relaxed", "relaxed_within", "fork", "absence",
-                   "strict"):
+    if fam not in ("relaxed", "relaxed_within", "fork", "fork_loop",
+                   "absence", "strict"):
         raise NotImplementedError(
             "streaming pattern() carries the relaxed followed_by "
-            "machines (skip-past-last, bounded, no_skip), strict "
-            "chains over distinct types, and timer-driven absence")
+            "machines (skip-past-last, bounded, no_skip, bounded "
+            "one_or_more), strict chains (KMP), and timer-driven "
+            "absence")
     if fam == "strict":
         # Fixed-string chains (next-chains; times(n) expands to one)
         # run on the KMP failure-function automaton (r9): O(K) state,
@@ -1146,6 +1283,13 @@ def compile_pattern_stream(pat: Pattern, sdf: DataFrame,
         state_schema = "cnt long, stage long, anchor long"
         fn = relaxed_within_stepper(tcodes, scodes, pat.within_us,
                                     sflags, key_cols=keys)
+    elif fam == "fork_loop":
+        out_schema = f"{key_schema}, n_matches long"
+        state_schema = "cnt long, " + ", ".join(
+            [f"s{i} array<long>" for i in range(1, K)]
+            + ["lp array<long>"])
+        fn = fork_loop_stepper(tcodes, scodes, pat.within_us, sflags,
+                               key_cols=keys)
     else:
         out_schema = f"{key_schema}, n_matches long"
         state_schema = "cnt long, " + ", ".join(

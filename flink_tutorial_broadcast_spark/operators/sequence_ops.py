@@ -809,6 +809,62 @@ def q_cep_strict_repeated(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_cep_one_or_more_bounded",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, epoch_us(ts) AS t, event_type,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS i
+      FROM events
+    ), v AS (SELECT user_id, t, i FROM e WHERE event_type = 'view'),
+    c AS (SELECT user_id, t, i FROM e WHERE event_type = 'click'),
+    p AS (SELECT user_id, t, i FROM e WHERE event_type = 'purchase'),
+    vc AS (
+      SELECT v.user_id, v.t AS tv, MIN(c.i) AS ci
+      FROM v JOIN c ON c.user_id = v.user_id AND c.i > v.i
+                    AND c.t - v.t <= 172800000000
+      GROUP BY v.user_id, v.t, v.i
+    )
+    SELECT vc.user_id, CAST(COUNT(*) AS BIGINT) AS n_matches
+    FROM vc JOIN p ON p.user_id = vc.user_id AND p.i > vc.ci
+                  AND p.t - vc.tv <= 172800000000
+    GROUP BY vc.user_id
+    """,
+)
+def q_cep_one_or_more_bounded(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    """BOUNDED looping quantifier [FLINK-API: Pattern#oneOrMore on the
+    final stage + within(d) + AfterMatchSkipStrategy#noSkip]:
+    view → click → purchase.one_or_more() within 48 hours — the last
+    genuinely-missing CEP quantifier form (round 9). Compiles on the
+    fork machine plus one horizon-bounded LOOP set
+    (cep._fork_loop_machine): a run takes the FIRST matching event per
+    stage (Flink's default internal relaxed contiguity, no
+    allowCombinations) and forks complete-or-continue at every closing
+    purchase, so each in-horizon purchase adds one match per live
+    anchor. The oracle states the same semantics relationally: each
+    view binds to its first in-horizon later click (MIN(c.i) — event
+    order is (ts, event_id) row_number), then counts every later
+    purchase within the anchor's 48-hour horizon. Unbounded
+    one_or_more stays a loud refusal. Property twin:
+    test_cep_properties.test_cep_fork_loop_*; streaming convergence:
+    test_cep_facade.test_pattern_streaming_fork_loop_converges."""
+    from flink_tutorial_broadcast_spark.cep import Pattern
+    from flink_tutorial_broadcast_spark.datastream import (
+        StreamExecutionEnvironment,
+    )
+    env = StreamExecutionEnvironment.get_execution_environment(spark)
+    pat = (Pattern.begin("v", "view")
+           .followed_by("c", "click")
+           .followed_by("p", "purchase").one_or_more()
+           .within("48 hours").no_skip())
+    return (env.from_dataframe(load(spark, sf_dir, "events"))
+            .key_by("user_id")
+            .pattern(pat)
+            .to_df())
+
+
+@query(
     "q_cep_quantified_relaxed",
     oracle="""
     WITH RECURSIVE codes AS (

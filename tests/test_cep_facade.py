@@ -955,3 +955,42 @@ def test_absence_stepper_compares_deadlines_in_microseconds():
     out2 = list(step((1,), iter(batch([(999_700, 7, "a")])), st2))
     assert len(out2) == 1 and list(out2[0]["anchor_id"]) == [7]
     assert not st2.exists
+
+
+def test_pattern_streaming_fork_loop_converges(spark, queries):
+    """STREAMING bounded one_or_more (round 9): the fork-loop stepper
+    (fork sets + one horizon-bounded loop array in keyed state) must
+    converge across the micro-batch boundary to the oracle-backed
+    q_cep_one_or_more_bounded batch counts."""
+    from flink_tutorial_broadcast_spark.streaming.jobs import (
+        _run_to_memory,
+    )
+
+    pat = (Pattern.begin("v", "view")
+           .followed_by("c", "click")
+           .followed_by("p", "purchase").one_or_more()
+           .within("48 hours").no_skip())
+    sdf = _two_file_stream(
+        spark, ["user_id", "ts", "event_id", "event_type"])
+    out = (_env(spark).from_dataframe(sdf)
+           .key_by("user_id").pattern(pat).to_df())
+    assert out.isStreaming
+    rows = _run_to_memory(out, "update").collect()
+    final: dict[int, int] = {}
+    for r in rows:
+        final[r["user_id"]] = max(final.get(r["user_id"], 0),
+                                  r["n_matches"])
+    want = {r["user_id"]: r["n_matches"] for r in
+            queries["q_cep_one_or_more_bounded"](
+                spark, SF_SMOKE).collect()}
+    assert {u: n for u, n in final.items() if n > 0} == want
+    assert want  # non-vacuous
+
+    # unbounded looping still refuses loudly, batch and streaming
+    unbounded = (Pattern.begin("v", "view")
+                 .followed_by("p", "purchase").one_or_more().no_skip())
+    ks = (_env(spark)
+          .from_dataframe(load(spark, SF_SMOKE, "events"))
+          .key_by("user_id"))
+    with pytest.raises(NotImplementedError, match="one_or_more"):
+        ks.pattern(unbounded)

@@ -549,3 +549,70 @@ def test_kmp_stepper_equals_regex_nonoverlapping_count(rows, pat_i,
             last = out[-1]
         got = int(last["n_matches"].iloc[0]) if last is not None else 0
         assert got == want, (stages, seq, got, want)
+
+
+def _brute_fork_loop(seq, stages, within_min):
+    """INDEPENDENT reference for the bounded fork-loop machine: direct
+    match enumeration, no automaton. A run anchors at every begin
+    event, takes the FIRST matching event per middle stage (in-horizon,
+    later in sequence order), then yields one match per in-horizon
+    final-stage event after the penultimate binding. K=1: every event
+    pairs with itself and every later in-horizon event."""
+    K = len(stages)
+    n = len(seq)
+    cnt = 0
+    if K == 1:
+        xs = [m for m, ty in seq if ty == stages[0]]
+        return sum(1 for a in range(len(xs)) for b in range(a, len(xs))
+                   if xs[b] - xs[a] <= within_min)
+    for idx in range(n):
+        mv, tv = seq[idx]
+        if tv != stages[0]:
+            continue
+        pos, ok = idx, True
+        for s in stages[1:-1]:
+            nxt = next((j for j in range(pos + 1, n)
+                        if seq[j][1] == s
+                        and seq[j][0] - mv <= within_min), None)
+            if nxt is None:
+                ok = False
+                break
+            pos = nxt
+        if not ok:
+            continue
+        cnt += sum(1 for j in range(pos + 1, n)
+                   if seq[j][1] == stages[-1]
+                   and seq[j][0] - mv <= within_min)
+    return cnt
+
+
+@settings(max_examples=10, deadline=None)
+@given(rows=seq_strategy)
+def test_cep_fork_loop_machine_matches_brute_force(spark, rows):
+    """Bounded one_or_more (round 9): begin(v).followed_by(c)
+    .followed_by(p).one_or_more().within(48h).no_skip() — the fork-loop
+    fold must equal the brute-force match enumeration on random
+    sequences."""
+    pat = (Pattern.begin("a", "view").followed_by("b", "click")
+           .followed_by("c", "purchase").one_or_more()
+           .within("48 hours").no_skip())
+    got = _run(spark, _mk(spark, rows), pat)
+    want = {u: _brute_fork_loop(seq, ["view", "click", "purchase"],
+                                48 * 60)
+            for u, seq in _per_user_ordered(rows).items()}
+    assert got == {u: n for u, n in want.items() if n > 0}
+
+
+@settings(max_examples=10, deadline=None)
+@given(rows=seq_strategy)
+def test_cep_fork_loop_single_stage_matches_brute_force(spark, rows):
+    """K=1 bounded one_or_more: begin(c).one_or_more().within(12h)
+    .no_skip() — every click anchors AND extends every live earlier
+    anchor, so the count is the number of in-horizon ordered click
+    pairs (i <= j)."""
+    pat = (Pattern.begin("a", "click").one_or_more()
+           .within("12 hours").no_skip())
+    got = _run(spark, _mk(spark, rows), pat)
+    want = {u: _brute_fork_loop(seq, ["click"], 12 * 60)
+            for u, seq in _per_user_ordered(rows).items()}
+    assert got == {u: n for u, n in want.items() if n > 0}
