@@ -197,8 +197,8 @@ def _count_window_roll(size: int):
         bucket, n, s = state.get if state.exists else (0, 0, 0.0)
         rows = []
         for pdf in pdf_iter:
-            for _, r in pdf.iterrows():
-                rows.append((r["ts"], r["event_id"], r["value"]))
+            rows.extend(zip(pdf["ts"].tolist(), pdf["event_id"].tolist(),
+                            pdf["value"].tolist()))
         touched: dict[int, tuple[int, float]] = {}
         for _, _, v in sorted(rows):
             if n == size:
@@ -229,9 +229,9 @@ def _cep_advance(key, pdf_iter, state):
     cnt, stage = state.get if state.exists else (0, 0)
     rows = []
     for pdf in pdf_iter:
-        for _, r in pdf.iterrows():
-            rows.append((r["ts"], r["event_id"],
-                         _CEP_STREAM_CODE.get(r["event_type"], 0)))
+        rows.extend(zip(pdf["ts"].tolist(), pdf["event_id"].tolist(),
+                        [_CEP_STREAM_CODE.get(x, 0)
+                         for x in pdf["event_type"].tolist()]))
     for _, _, c in sorted(rows):
         if c == stage + 1:
             if stage == 2:
@@ -417,9 +417,11 @@ def _cep_fork_advance(key, pdf_iter, state):
     s1, s2 = list(s1), list(s2)
     rows = []
     for pdf in pdf_iter:
-        for _, r in pdf.iterrows():
-            rows.append((int(r["ts"].timestamp() * 1000), r["event_id"],
-                         code.get(r["event_type"], 0)))
+        rows.extend(zip(
+            (pdf["ts"].to_numpy("datetime64[ns]")
+             .astype("int64") // 1_000_000).tolist(),
+            pdf["event_id"].tolist(),
+            [code.get(x, 0) for x in pdf["event_type"].tolist()]))
     for t, _, c in sorted(rows):
         s1 = [a for a in s1 if t - a <= _CEP_FORK_W_MS]
         s2 = [a for a in s2 if t - a <= _CEP_FORK_W_MS]

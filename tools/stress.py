@@ -547,6 +547,70 @@ def s_cep_fork_hotkey(c: Ctx) -> None:
                     "event_id", "event_type").count()
 
 
+def _stepper_rows(c: Ctx, n_keys: int = 8):
+    """Hot-key amplified events as ONE in-memory pandas micro-batch per
+    key (k×100k fixture events over n_keys keys), keys-first projection
+    — the exact frame shape applyInPandasWithState hands the steppers."""
+    import pandas as pd
+    pdf = (_hot_events(c).withColumn("user_id", F.col("user_id")
+                                     % n_keys)
+           .select("user_id", "ts", "event_id", "event_type")
+           .orderBy("user_id", "ts", "event_id").toPandas())
+    return {u: g.reset_index(drop=True)
+            for u, g in pdf.groupby("user_id", sort=False)}, len(pdf)
+
+
+@shape("cep_stepper_throughput", lambda c: c.nrows("ev"))
+def s_cep_stepper_throughput(c: Ctx) -> None:
+    """STREAMING-stepper hot loop (VERDICT_r8 'what's wrong' item): the
+    keyed-state NFA steppers are the documented 100 TB CEP path (O(1)
+    or horizon-bounded state vs the batch fold's full-history buffer),
+    so their per-key events/sec is a first-class bound. Drives the
+    relaxed, fork and KMP steppers directly over k×100k/8 hot-key
+    micro-batches (the applyInPandasWithState frame shape, Spark
+    dispatch excluded — this measures the stepper itself). Round 9
+    replaced the iterrows extraction (measured 0.023 Mrows/s alone)
+    with one zip over column arrays (~140x); the residual is the
+    per-event Python NFA transition, which is the verb's price."""
+    from flink_tutorial_broadcast_spark.cep import (
+        _kmp_failure, fork_stepper, kmp_stepper, relaxed_stepper,
+    )
+
+    class _St:
+        _s = None
+
+        @property
+        def exists(self):
+            return self._s is not None
+
+        @property
+        def get(self):
+            return self._s
+
+        def update(self, v):
+            self._s = v
+
+    per_key, total = _stepper_rows(c)
+    tc = {"view": 1, "click": 2, "purchase": 3}
+    for label, fn in (
+            ("relaxed", relaxed_stepper(tc, [1, 2, 3],
+                                        key_cols=["user_id"])),
+            ("fork_48h", fork_stepper(tc, [1, 2, 3],
+                                      48 * 3600 * 1_000_000,
+                                      key_cols=["user_id"])),
+            ("kmp_strict", kmp_stepper(tc, [1, 1, 3],
+                                       key_cols=["user_id"]))):
+        t0 = time.time()
+        for u, pdf in per_key.items():
+            list(fn((u,), iter([pdf]), _St()))
+        sec = time.time() - t0
+        print(f"#   stepper {label}: {total} events in {sec:.2f}s = "
+              f"{total / sec / 1e6:.2f} M events/s "
+              f"({total / len(per_key) / sec / 1e3:.0f}k ev/s/key)",
+              file=sys.stderr)
+    assert _kmp_failure([1, 1, 3]) == [0, 0, 1, 0]
+
+
 @shape("two_phase_manybatch", lambda c: 64 * 1000)
 def s_two_phase_manybatch(c: Ctx) -> None:
     """2PC sink over MANY batches (VERDICT_r7 item 4): 64 stage+commit
