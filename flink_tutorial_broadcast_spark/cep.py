@@ -527,6 +527,102 @@ def _fork_machine(pat, df, keys, time_col, tiebreak_col, event_col):
             .filter(F.col("n_matches") > 0))
 
 
+def compile_pattern_chunked(pat: Pattern, df: DataFrame,
+                            keys: list[str], time_col: str,
+                            tiebreak_col: str, event_col: str,
+                            chunk_horizons: int = 4) -> DataFrame:
+    """The batch escape hatch for the 10⁸-event key (docs/scale.md §CEP
+    round-8 bound, implemented r9): the plain batch fold buffers the
+    FULL per-key history in one aggregation buffer (~24 B/event →
+    ~2.4 GB at 10⁸ events/key). For the FORKING (noSkip) family —
+    where a match is a function of its anchor alone and no event is
+    consumed — exact time-chunking applies: split each key's history
+    into chunks of `chunk_horizons × within` µs, give every chunk a
+    one-horizon overlap of following events (an event lands in at most
+    2 chunks), and count only matches whose ANCHOR falls in the chunk's
+    owned range. Every anchor is owned by exactly one chunk and all its
+    matches complete inside that chunk's window, so the per-chunk
+    counts sum to the unchunked fold's count exactly (pinned by
+    q_cep_chunked_fork and the equivalence test) while the buffer bound
+    drops from per-key history to per-(key, chunk) density.
+
+    Skip-past-last CANNOT be chunked exactly (match consumption chains
+    arbitrarily far beyond the horizon — a replayed chunk would
+    re-anchor on consumed events); its unbounded-history path is the
+    streaming stepper, and asking for it here raises."""
+    fam = pat._family()
+    if fam != "fork":
+        raise NotImplementedError(
+            "exact time-chunking holds only for the forking (noSkip) "
+            "family — skip-past-last consumption chains beyond any "
+            "horizon (docs/scale.md §CEP); use the streaming stepper "
+            "for unbounded-history skip-past-last keys")
+    if pat.within_us is None:
+        raise ValueError("chunked compilation needs within(): the "
+                         "horizon defines both chunk size and overlap")
+    pat = pat._expanded()
+    K = len(pat.stages)
+    w = pat.within_us
+    C = max(1, chunk_horizons) * w
+    st = _stage_codes(pat)
+    strict = _strict_flags(pat)
+
+    t_us = F.unix_micros(F.col(time_col))
+    tcode = F.lit(0)
+    for etype, i in _type_codes(pat).items():
+        tcode = F.when(F.col(event_col) == etype, F.lit(i)) \
+            .otherwise(tcode)
+    base = df.select(
+        *keys,
+        t_us.alias("__t"), F.col(tiebreak_col).alias("__eid"),
+        tcode.alias("__c"),
+        F.floor(t_us / C).cast("long").alias("__chunk"))
+    owned = base.withColumn("__own", F.lit(True))
+    # the first `within` of each chunk also serves the PREVIOUS chunk
+    # as middle/closing events (never as anchors)
+    overlap = (base.filter((F.col("__t") % C) < w)
+               .withColumn("__chunk", F.col("__chunk") - 1)
+               .withColumn("__own", F.lit(False)))
+    events = owned.unionByName(overlap)
+
+    seq = F.array_sort(F.collect_list(F.struct(
+        F.col("__t").alias("t"), F.col("__eid").alias("eid"),
+        F.col("__c").alias("c"), F.col("__own").alias("o"))))
+    empty = F.array().cast("array<long>")
+    init = F.struct(F.lit(0).cast("long").alias("cnt"),
+                    *[empty.alias(f"s{i}") for i in range(1, K)])
+
+    def step(acc, x):
+        filt = {i: F.filter(acc[f"s{i}"], lambda a: x["t"] - a <= w)
+                for i in range(1, K)}
+        match = {i: x["c"] == F.lit(st[i - 1]) for i in range(1, K + 1)}
+        fields = [
+            F.when(match[K],
+                   acc["cnt"] + F.size(filt[K - 1]).cast("long"))
+            .otherwise(acc["cnt"]).alias("cnt")]
+        for i in range(1, K):
+            if strict[i]:
+                base_col = empty
+            else:
+                base_col = F.when(match[i + 1], empty).otherwise(filt[i])
+            if i == 1:
+                # anchors enter ONLY from the chunk's owned range
+                incoming = F.when(x["o"], F.array(x["t"])) \
+                    .otherwise(empty)
+            else:
+                incoming = filt[i - 1]
+            col = (F.when(match[i], F.concat(base_col, incoming))
+                   .otherwise(base_col))
+            fields.append(col.alias(f"s{i}"))
+        return F.struct(*fields)
+
+    per_chunk = (events.groupBy(*keys, "__chunk")
+                 .agg(F.aggregate(seq, init, step)["cnt"].alias("__n")))
+    return (per_chunk.groupBy(*keys)
+            .agg(F.sum("__n").cast("long").alias("n_matches"))
+            .filter(F.col("n_matches") > 0))
+
+
 def _fork_loop_machine(pat, df, keys, time_col, tiebreak_col, event_col):
     """Bounded looping quantifier on the forking NFA [FLINK-API:
     Pattern#oneOrMore on the final stage, under noSkip + within(d)]:

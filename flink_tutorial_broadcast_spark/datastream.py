@@ -665,7 +665,9 @@ class KeyedStream:
 
     def pattern(self, pat, time_col: str = "ts",
                 tiebreak_col: str = "event_id",
-                event_col: str = "event_type") -> DataStream:
+                event_col: str = "event_type",
+                chunked: bool = False,
+                chunk_horizons: int = 4) -> DataStream:
         """CEP on the keyed stream [FLINK-API: o.a.f.cep.CEP.pattern
         (stream, pattern)]: compile a `cep.Pattern`
         (begin/next/followedBy/times/oneOrMore/notFollowedBy/within/
@@ -679,12 +681,25 @@ class KeyedStream:
         NotImplementedError rather than answering wrong."""
         self._no_pending_window("pattern")
         from flink_tutorial_broadcast_spark.cep import (
-            compile_pattern, compile_pattern_stream,
+            compile_pattern, compile_pattern_chunked,
+            compile_pattern_stream,
         )
         if self.df.isStreaming:
+            if chunked:
+                raise ValueError("chunked=True is the BATCH escape "
+                                 "hatch for huge per-key histories; "
+                                 "streaming inputs already carry "
+                                 "bounded state")
             return DataStream(compile_pattern_stream(
                 pat, self.df, self.keys, time_col, tiebreak_col,
                 event_col))
+        if chunked:
+            # exact horizon-aligned time-chunking (fork family only):
+            # caps the fold buffer at per-(key, chunk) density instead
+            # of the full per-key history — docs/scale.md §CEP
+            return DataStream(compile_pattern_chunked(
+                pat, self.df, self.keys, time_col, tiebreak_col,
+                event_col, chunk_horizons=chunk_horizons))
         return DataStream(compile_pattern(
             pat, self.df, self.keys, time_col, tiebreak_col, event_col))
 

@@ -809,6 +809,72 @@ def q_cep_strict_repeated(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_cep_chunked_fork",
+    oracle=f"""
+    WITH RECURSIVE codes AS (
+      SELECT user_id,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS i,
+             CASE event_type WHEN 'view' THEN 1 WHEN 'click' THEN 2
+                  WHEN 'purchase' THEN 3 ELSE 0 END AS c,
+             epoch_us(ts) AS t
+      FROM events
+    ), n AS (
+      SELECT user_id, COUNT(*) AS n_ev FROM codes GROUP BY user_id
+    ), run AS (
+      SELECT user_id, 0 AS i, CAST(0 AS BIGINT) AS cnt,
+             CAST([] AS BIGINT[]) AS s1, CAST([] AS BIGINT[]) AS s2
+      FROM n
+      UNION ALL
+      SELECT r.user_id, r.i + 1,
+             CASE WHEN c.c = 3 THEN r.cnt + len(f.s2f) ELSE r.cnt END,
+             CASE WHEN c.c = 1 THEN list_append(f.s1f, c.t)
+                  WHEN c.c = 2 THEN CAST([] AS BIGINT[])
+                  ELSE f.s1f END,
+             CASE WHEN c.c = 2 THEN list_concat(f.s2f, f.s1f)
+                  WHEN c.c = 3 THEN CAST([] AS BIGINT[])
+                  ELSE f.s2f END
+      FROM run r
+      JOIN codes c ON c.user_id = r.user_id AND c.i = r.i + 1
+      CROSS JOIN LATERAL (
+        SELECT list_filter(r.s1, a -> c.t - a <= {_CEP_FBW_US}) AS s1f,
+               list_filter(r.s2, a -> c.t - a <= {_CEP_FBW_US}) AS s2f) f
+    )
+    SELECT r.user_id, r.cnt AS n_matches
+    FROM run r JOIN n ON r.user_id = n.user_id AND r.i = n.n_ev
+    WHERE r.cnt > 0
+    """,
+)
+def q_cep_chunked_fork(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT time-chunked fork compile (round 9 — the batch escape
+    hatch for huge per-key histories, docs/scale.md §CEP): the same
+    view→click→purchase noSkip within-48h pattern as
+    q_cep_followed_by_all, compiled with chunked=True and
+    chunk_horizons=1 so the fixture's multi-day histories really split
+    into many 48-hour chunks with one-horizon overlaps. The ORACLE is
+    byte-identical to q_cep_followed_by_all's UNCHUNKED automaton
+    replay — the hash match is therefore the driver-checkable proof
+    that horizon-aligned chunking with anchor ownership reproduces the
+    full fold exactly, while the per-task buffer drops from the whole
+    per-key history to per-(key, chunk) density
+    (cep.compile_pattern_chunked; skip-past-last chunking stays
+    refused with the consumption-chain argument)."""
+    from flink_tutorial_broadcast_spark.cep import Pattern
+    from flink_tutorial_broadcast_spark.datastream import (
+        StreamExecutionEnvironment,
+    )
+    env = StreamExecutionEnvironment.get_execution_environment(spark)
+    pat = (Pattern.begin("v", "view")
+           .followed_by("c", "click")
+           .followed_by("p", "purchase")
+           .within("48 hours").no_skip())
+    return (env.from_dataframe(load(spark, sf_dir, "events"))
+            .key_by("user_id")
+            .pattern(pat, chunked=True, chunk_horizons=1)
+            .to_df())
+
+
+@query(
     "q_cep_one_or_more_bounded",
     oracle="""
     WITH e AS (

@@ -994,3 +994,30 @@ def test_pattern_streaming_fork_loop_converges(spark, queries):
           .key_by("user_id"))
     with pytest.raises(NotImplementedError, match="one_or_more"):
         ks.pattern(unbounded)
+
+
+def test_pattern_chunked_scope_refusals(spark):
+    """chunked=True is exact ONLY for the fork (noSkip) family:
+    skip-past-last consumption chains beyond any horizon (a replayed
+    chunk would re-anchor on consumed events), unbounded fork has no
+    chunk size, and streaming inputs already carry bounded state — all
+    three refuse loudly (docs/scale.md §CEP)."""
+    ks = (_env(spark)
+          .from_dataframe(load(spark, SF_SMOKE, "events"))
+          .key_by("user_id"))
+    skip_past = (Pattern.begin("v", "view")
+                 .followed_by("p", "purchase").within("12 hours"))
+    with pytest.raises(NotImplementedError, match="forking"):
+        ks.pattern(skip_past, chunked=True)
+    unbounded_fork = (Pattern.begin("v", "view")
+                      .followed_by("p", "purchase").no_skip())
+    with pytest.raises(ValueError, match="within"):
+        ks.pattern(unbounded_fork, chunked=True)
+    sdf = _two_file_stream(
+        spark, ["user_id", "ts", "event_id", "event_type"])
+    bounded_fork = (Pattern.begin("v", "view")
+                    .followed_by("p", "purchase")
+                    .within("12 hours").no_skip())
+    with pytest.raises(ValueError, match="BATCH"):
+        (_env(spark).from_dataframe(sdf).key_by("user_id")
+         .pattern(bounded_fork, chunked=True))

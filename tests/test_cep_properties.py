@@ -616,3 +616,29 @@ def test_cep_fork_loop_single_stage_matches_brute_force(spark, rows):
     want = {u: _brute_fork_loop(seq, ["click"], 12 * 60)
             for u, seq in _per_user_ordered(rows).items()}
     assert got == {u: n for u, n in want.items() if n > 0}
+
+
+@settings(max_examples=10, deadline=None)
+@given(rows=seq_strategy,
+       horizons=st.integers(1, 3))
+def test_cep_chunked_fork_equals_unchunked(spark, rows, horizons):
+    """Round 9 exact time-chunking: the fork compile with chunked=True
+    (horizon-aligned chunks, one-horizon overlap, anchor-owned counts)
+    must equal both the unchunked fork fold AND the independent
+    pure-Python NFA on random sequences — for several chunk sizes, so
+    matches that straddle chunk boundaries are really exercised (the
+    12-hour horizon over 0..5000-minute offsets forces many chunks at
+    horizons=1)."""
+    pat = (Pattern.begin("a", "view").followed_by("b", "click")
+           .followed_by("c", "purchase").within("12 hours").no_skip())
+    df = _mk(spark, rows)
+    env = StreamExecutionEnvironment.get_execution_environment(spark)
+    chunked = {r["user_id"]: r["n_matches"] for r in
+               (env.from_dataframe(df).key_by("user_id")
+                .pattern(pat, chunked=True, chunk_horizons=horizons)
+                .to_df().collect())}
+    plain = _run(spark, df, pat)
+    assert chunked == plain
+    want = {u: _ref_fork(seq, ["view", "click", "purchase"], 12 * 60)
+            for u, seq in _per_user_ordered(rows).items()}
+    assert chunked == {u: n for u, n in want.items() if n > 0}

@@ -547,6 +547,26 @@ def s_cep_fork_hotkey(c: Ctx) -> None:
                     "event_id", "event_type").count()
 
 
+@shape("cep_fork_chunked_hotkey", lambda c: c.nrows("ev"))
+def s_cep_fork_chunked_hotkey(c: Ctx) -> None:
+    """Exact time-chunked fork compile (round 9) under the SAME hot-key
+    profile as cep_fork_hotkey — the measured proof that the batch
+    escape hatch drops the flagged per-key buffer bound: the unchunked
+    fold buffers the full k×100k/8 per-key history in one aggregation
+    buffer, while chunked=True splits it into 48h-aligned chunks whose
+    per-(key, chunk) arrays are bounded by horizon density; counts are
+    pinned equal by q_cep_chunked_fork's oracle and the equivalence
+    property test."""
+    from flink_tutorial_broadcast_spark.cep import (
+        Pattern, compile_pattern_chunked,
+    )
+    pat = (Pattern.begin("v", "view").followed_by("c", "click")
+           .followed_by("p", "purchase").within("48 hours").no_skip())
+    compile_pattern_chunked(pat, _hot_events(c), ["user_id"], "ts",
+                            "event_id", "event_type",
+                            chunk_horizons=1).count()
+
+
 def _stepper_rows(c: Ctx, n_keys: int = 8):
     """Hot-key amplified events as ONE in-memory pandas micro-batch per
     key (k×100k fixture events over n_keys keys), keys-first projection
