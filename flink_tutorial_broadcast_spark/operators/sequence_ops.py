@@ -809,6 +809,65 @@ def q_cep_strict_repeated(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_cep_absence_emitted",
+    oracle="""
+    WITH mx AS (SELECT MAX(epoch_us(ts)) AS m FROM events),
+    v AS (SELECT user_id, event_id AS anchor_id, epoch_us(ts) AS t
+          FROM events WHERE event_type = 'view'),
+    p AS (SELECT user_id, epoch_us(ts) AS t
+          FROM events WHERE event_type = 'purchase'),
+    unanswered AS (
+      SELECT v.user_id, v.anchor_id, v.t FROM v
+      WHERE NOT EXISTS (
+        SELECT 1 FROM p WHERE p.user_id = v.user_id
+          AND p.t > v.t AND p.t <= v.t + 43200000000)
+    )
+    SELECT u.user_id, u.anchor_id
+    FROM unanswered u, mx
+    WHERE u.t + 43200000000 <= (mx.m // 1000 - 60000) * 1000
+    """,
+)
+def q_cep_absence_emitted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The timer-driven STREAMING absence stepper's exact emission set
+    as a batch key (round 9 — promoting what the convergence test
+    computes into a driver-checkable oracle row): begin(view)
+    .not_followed_by(purchase).within(12 hours) on a stream
+    watermarked by 1 minute emits precisely the unanswered anchors
+    whose µs deadline (t + 12h) is at or behind the FINAL ms watermark
+    (max event time floored to ms, minus the delay) — later anchors
+    stay pending, which is correct, not missing. The µs-vs-ms deadline
+    rule is the round-8 ADVICE fix (cep.absence_stepper compares
+    t + d <= wm_ms*1000 and CEILS timer re-arms; an anchor must never
+    emit up to 999 µs early). Spark side: the oracle-backed batch
+    anti-join (cep._absence via the facade) filtered by the same final
+    watermark computed distributively (broadcast 1-row max, no
+    collect); streaming equivalence is pinned by
+    test_pattern_streaming_absence_timer_driven."""
+    from flink_tutorial_broadcast_spark.cep import Pattern
+    from flink_tutorial_broadcast_spark.datastream import (
+        StreamExecutionEnvironment,
+    )
+    W_US = 12 * 3600 * 1_000_000
+    env = StreamExecutionEnvironment.get_execution_environment(spark)
+    ev = load(spark, sf_dir, "events")
+    pat = (Pattern.begin("v", "view")
+           .not_followed_by("p", "purchase")
+           .within("12 hours"))
+    anchors = (env.from_dataframe(ev).key_by("user_id")
+               .pattern(pat).to_df())
+    vt = (ev.filter(F.col("event_type") == "view")
+          .select("user_id", F.col("event_id").alias("anchor_id"),
+                  F.unix_micros("ts").alias("__t")))
+    mx = ev.agg(F.max(F.unix_micros("ts")).alias("__m"))
+    wm_us = (F.floor(F.col("__m") / 1000) * 1000
+             - F.lit(60_000_000)).cast("long")
+    return (anchors.join(vt, ["user_id", "anchor_id"])
+            .crossJoin(F.broadcast(mx))
+            .filter(F.col("__t") + F.lit(W_US) <= wm_us)
+            .select("user_id", "anchor_id"))
+
+
+@query(
     "q_cep_chunked_fork",
     oracle=f"""
     WITH RECURSIVE codes AS (
