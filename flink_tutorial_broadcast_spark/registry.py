@@ -88,68 +88,73 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # Keys not listed keep their registration order after the prefix; no key is
 # ever removed or renamed (the inventory is monotone).
 #
-# Round 8 rotation: 24 slots now hold keys the driver has NEVER sampled
-# across r1-r7 (175 remained; VERDICT_r7 item 1) — led by the four
-# round-7 keys the verdict named (q_cep_facade, q_async_enrich,
-# q_stream_join_facade, q_reduce_facade), the TWO round-8 CEP keys
-# (q_cep_repeated_stage: stage-index transitions; q_cep_quantified_
-# relaxed: times(n)-under-relaxed expansion), the rest of the verdict's
-# named spread (market_basket, rfm, gini, bm25, cep_followed_by_within,
-# weighted_sample, epoch_shuffle, gap_fill, winnow_fingerprint,
-# filter_funnel), and one never-sampled key per module with headroom
-# (join_dpp, k_anonymity, dedup_keep_best, media_resize, minmax_by,
-# linreg, tpch_q21, time_weighted_avg, dedup_embed_lsh_portable) — while keeping
-# one-or-more representatives per A-K family AND per oracle-bearing
-# module (test_contract guards both). Rotated-out keys stay registered
-# right after the prefix and remain sweep-checked (tools/check.py runs
-# all 306 at two scales).
+# Round 9 rotation (VERDICT_r8 item 1): 45 of the 50 slots now hold
+# keys the driver has NEVER sampled across r1-r8 (157 remained) — led
+# by q_window_all_facade (the only r8 oracle key never seen), the five
+# scalar-function core families (I3/I4/I5/I6/I8), the UDF trio
+# (q_udaf_grouped/q_udtf_split/q_cogroup), the four named loners
+# (q_dup_clusters, q_scan_custom_source, q_schema_evolution,
+# q_histogram_equidepth), the FOUR new round-9 CEP keys (KMP strict
+# repeated, bounded one_or_more, exact chunking, absence emission), and
+# one-or-more never-sampled keys from every other module. The remaining
+# 5 slots keep already-sampled reps for the modules whose oracle keys
+# are all sampled (scans, aggregates, time_windows, analytic_windows,
+# graph_setsim) — test_contract enforces the per-module coverage.
+# Rotated-out keys stay registered right after the prefix and remain
+# sweep-checked (tools/check.py runs all keys at two scales). After
+# this round <=112 keys remain never-sampled.
 _VERIFICATION_PREFIX = (
-    "q_broadcast_rule_join",            # flagship (C1)
-    "q_stream_join_facade",             # C9 facade stream-join (NEW r8)
-    "q_reduce_facade",                  # D1 facade reduce(fn) (NEW r8)
-    "q_scan_parquet",                   # scans (A5)
-    "q_join_inner", "q_star_join",      # C3, C6
-    "q_agg_basic",                      # aggregates (D1)
-    "q_window_tumbling", "q_asof_join",  # E1, C8
-    "q_topk_per_group",                 # analytic windows (F4)
-    "q_string_funcs",                   # scalar funcs (I1)
-    "q_variant_extract",                # I7+ — VARIANT/JSON path (r7)
-    "q_pandas_udf_cosine",              # udf surface (J2)
-    "q_async_enrich",                   # AsyncDataStream parity (NEW r8)
-    "q_dedup_exact_fast",               # K1
-    "q_dedup_embed_lsh_portable",       # K2 — sign-LSH near-dup (NEW r8)
-    "q_dedup_substr",                   # K2 — ExactSubstr coverage (r6)
-    "q_knn_vectorized", "q_knn_ivf",    # K3 (r7 / r4)
-    "q_knn_ivfpq",                      # K3 — IVF-PQ ANN (r4)
-    "q_bm25",                           # K4 — BM25 scoring (NEW r8)
-    "q_winnow_fingerprint",             # K4 — winnowing (NEW r8)
-    "q_lang_id",                        # K4
-    "q_cep_facade",                     # CEP facade compile (NEW r8)
-    "q_cep_repeated_stage",             # CEP stage-index rework (NEW r8)
-    "q_cep_quantified_relaxed",         # CEP times-expansion (NEW r8)
-    "q_cep_followed_by_within",         # CEP bounded machine (NEW r8)
-    "q_gap_fill",                       # calendar spine (NEW r8)
-    "q_scan_eventlog",                  # Kafka-shape log source (r4)
-    "q_join_dpp",                       # dynamic partition prune (NEW r8)
-    "q_broadcast_rule_mutation",        # E9 per-record rule mutation (r6)
-    "q_k_anonymity",                    # governance k-anonymity (NEW r8)
-    "q_dedup_keep_best",                # layout keep-best dedup (NEW r8)
-    "q_media_resize",                   # K5 — PPM resize (NEW r8)
-    "q_cep_mixed_contiguity",           # CEP strict-await mix (NEW r8)
-    "q_epoch_shuffle",                  # dataset_ops (NEW r8)
-    "q_weighted_sample",                # olap_ext (NEW r8)
-    "q_tpch_q3",                        # composite
-    "q_power_iteration",                # iterative — int matvec PCA (r6)
-    "q_minmax_by",                      # agg_ext min/max_by (NEW r8)
-    "q_rfm",                            # behavioral RFM (NEW r8)
-    "q_gini",                           # behavioral Gini (NEW r8)
-    "q_linreg",                         # stats_ext regression (NEW r8)
-    "q_tpch_q1", "q_tpch_q21",          # tpch_full (q21 NEW r8)
-    "q_bpe_merges",                     # text_pipeline — BPE trainer (r5)
-    "q_filter_funnel",                  # text_pipeline funnel (NEW r8)
-    "q_setsim_join",                    # graph_setsim (L44)
-    "q_market_basket",                  # graph_setsim pairs (NEW r8)
-    "q_time_weighted_avg",              # temporal TWA (NEW r8)
+    # -- module coverage via ALREADY-SAMPLED reps (these 5 modules have
+    #    no never-sampled oracle keys left) --
+    "q_scan_inline",                    # scans (A1; r1)
+    "q_agg_basic",                      # aggregates (D1; r8)
+    "q_window_session",                 # time_windows (E3; r6)
+    "q_rank",                           # analytic_windows (F1; r6)
+    "q_setsim_join",                    # graph_setsim (L44; r1)
+    # -- 45 FIRST-TIME keys (never driver-sampled r1-r8; VERDICT_r8
+    #    item 1 named the scalar/UDF families and the four loners) --
+    "q_window_all_facade",              # flagship windowAll (NEW r8)
+    "q_join_null_safe",                 # relational <=> join
+    "q_math_funcs", "q_case_when",      # scalar I3, I4
+    "q_array_funcs", "q_map_funcs",     # scalar I5, I6
+    "q_hash_funcs",                     # scalar I8
+    "q_udaf_grouped", "q_udtf_split",   # UDF J3, J4
+    "q_cogroup",                        # UDF cogroup twin
+    "q_knn_filtered",                   # llm_knn predicate ANN
+    "q_hard_negatives",                 # llm_knn mining
+    "q_dedup_snm",                      # llm_dedup sorted-neighborhood
+    "q_dedup_containment",              # llm_dedup containment
+    "q_quality_score",                  # llm_scoring gates
+    "q_doc_fingerprint",                # llm_scoring rolling hash
+    "q_frame_sample",                   # multimodal K5 video frames
+    "q_audio_frame_energy",             # multimodal K5 audio
+    "q_quantiles",                      # olap_ext percentiles
+    "q_lateral_join",                   # olap_ext lateral
+    "q_tpch_q5",                        # composite TPC-H Q5
+    "q_dup_clusters",                   # iterative conn-components
+    "q_histogram_equidepth",            # agg_ext equi-depth bins
+    "q_median_mode",                    # agg_ext median/mode
+    "q_attribution",                    # behavioral first/last touch
+    "q_ab_lift",                        # behavioral A/B lift
+    "q_cep_strict_repeated",            # CEP KMP strict chain (NEW r9)
+    "q_cep_one_or_more_bounded",        # CEP bounded loop (NEW r9)
+    "q_cep_chunked_fork",               # CEP exact chunking (NEW r9)
+    "q_cep_absence_emitted",            # CEP absence emission (NEW r9)
+    "q_scan_custom_source",             # connectors A4 python source
+    "q_schema_evolution",               # connectors merged schema
+    "q_partitioned_prune",              # connectors partition prune
+    "q_entropy",                        # stats_ext entropy
+    "q_psi_drift",                      # stats_ext PSI drift
+    "q_skew_stats",                     # layout_ops skew probe
+    "q_tpch_q6",                        # tpch_full Q6
+    "q_chunk_documents",                # text_pipeline chunker
+    "q_text_normalize",                 # text_pipeline normalize
+    "q_dq_checks",                      # governance data-quality
+    "q_pseudonymize",                   # governance pseudonymize
+    "q_lateness_audit",                 # temporal lateness
+    "q_dedup_vectors_bucketed",         # vector_compress dedup
+    "q_dataset_split",                  # dataset_ops split
+    "q_winsorize",                      # dataset_ops winsorize
 )
 
 
