@@ -331,3 +331,76 @@ def run_round8_extensions(spark: SparkSession, root: str):
            .select(F.col("w.end").alias("w_end"), "n"))
     windows = _run_to_memory(agg, "append")
     return conversions.to_df(), enriched.to_df(), windows
+
+
+def run_round9_extensions(spark: SparkSession, root: str):
+    """The round-9 surfaces in walkthrough form, same demo log:
+
+      10. STRICT chain with a REPEATED stage type on a LIVE stream
+          [FLINK-API: Pattern.begin(x).next(x).next(y)] — view, view
+          IMMEDIATELY, purchase IMMEDIATELY — running on the KMP
+          failure-function stepper across a two-file micro-batch
+          boundary (round 8 had to refuse repeated types on streams:
+          a bordered prefix must RE-ENTER mid-pattern on a mismatch,
+          which kill-or-re-anchor cannot do),
+      11. the BOUNDED looping quantifier [FLINK-API: oneOrMore().
+          within(d) under noSkip]: view followed by one-or-more
+          purchases within 12 hours — each in-horizon purchase adds
+          one match per live view anchor (the fork-loop machine),
+      12. the chunked batch escape hatch for huge per-key histories:
+          the same fork pattern compiled with chunked=True returns
+          IDENTICAL counts while capping the per-task buffer at
+          per-(key, chunk) horizon density instead of the full
+          history.
+
+    Returns (strict_stream_df, loops_df, chunked_df, fork_df) — the
+    last two are count-identical by construction (test-pinned)."""
+    from flink_tutorial_broadcast_spark.cep import Pattern
+    from flink_tutorial_broadcast_spark.streaming.jobs import (
+        _run_to_memory,
+    )
+
+    eventlog.register(spark)
+    env = StreamExecutionEnvironment.get_execution_environment(spark)
+    raw = spark.read.format("ftbs_eventlog").option("path", root).load()
+    src = env.from_dataframe(raw).map({
+        "event_id": "event_id", "user_id": "user_id",
+        "event_type": "event_type", "value": "value",
+        "ts": "timestamp_micros(event_id * 60000000)"})
+
+    # 10) strict view>view>purchase on a stream, split mid-log so the
+    # KMP prefix length carries across the micro-batch boundary
+    strict_pat = (Pattern.begin("v1", "view")
+                  .next("v2", "view")
+                  .next("p", "purchase"))
+    ev = src.to_df().select("user_id", "ts", "event_id", "event_type")
+    d = tempfile.mkdtemp(prefix="migrate_r9_strict_")
+    half = ev.agg(F.percentile_approx("event_id", 0.5).alias("m")) \
+        .collect()[0]["m"]
+    ev.filter(F.col("event_id") <= half).coalesce(1) \
+        .write.parquet(os.path.join(d, "f=0"))
+    ev.filter(F.col("event_id") > half).coalesce(1) \
+        .write.parquet(os.path.join(d, "f=1"))
+    sdf = (spark.readStream
+           .schema("user_id long, ts timestamp, event_id long, "
+                   "event_type string")
+           .option("maxFilesPerTrigger", "1")
+           .option("recursiveFileLookup", "true").parquet(d))
+    strict_stream = _run_to_memory(
+        env.from_dataframe(sdf).key_by("user_id")
+        .pattern(strict_pat).to_df(), "update")
+
+    # 11) bounded one_or_more on the fork machine
+    loop_pat = (Pattern.begin("v", "view")
+                .followed_by("p", "purchase").one_or_more()
+                .within("12 hours").no_skip())
+    loops = src.key_by("user_id").pattern(loop_pat)
+
+    # 12) chunked ≡ unchunked for the fork family
+    fork_pat = (Pattern.begin("v", "view")
+                .followed_by("p", "purchase")
+                .within("12 hours").no_skip())
+    chunked = src.key_by("user_id").pattern(fork_pat, chunked=True,
+                                            chunk_horizons=2)
+    fork = src.key_by("user_id").pattern(fork_pat)
+    return strict_stream, loops.to_df(), chunked.to_df(), fork.to_df()

@@ -189,3 +189,71 @@ def test_round8_extensions_walkthrough(spark):
     max_ts = max(r.ts for r in ev.collect())
     expected = {(r.w_end, r.n) for r in want_w if r.w_end <= max_ts}
     assert expected and expected <= got_w
+
+
+def test_round9_extensions_walkthrough(spark):
+    """docs/migrate.md rounds-9 rows: the streamed KMP strict chain
+    (repeated stage type, bordered prefix) converges to a brute-force
+    KMP over the raw log; bounded one_or_more counts every in-horizon
+    purchase per live view anchor; chunked=True equals the plain fork
+    compile exactly."""
+    import tempfile
+
+    from flink_tutorial_broadcast_spark import examples
+
+    root = tempfile.mkdtemp(prefix="migrate_log_r9_")
+    examples.produce_demo_log(root, n_events=120)
+    strict_stream, loops, chunked, fork = \
+        examples.run_round9_extensions(spark, root)
+
+    raw = (spark.read.format("ftbs_eventlog").option("path", root)
+           .load().collect())
+    per: dict = {}
+    for r in sorted(raw, key=lambda r: r.event_id):
+        per.setdefault(r.user_id, []).append(r.event_type)
+
+    # 10) brute-force KMP (restart-after-match) for view,view,purchase
+    P = ["view", "view", "purchase"]
+    fail = [0, 0, 1, 0]  # borders of 'vvp' prefixes
+    want = {}
+    for u, seq in per.items():
+        j = cnt = 0
+        for ty in seq:
+            while j > 0 and ty != P[j]:
+                j = fail[j]
+            if ty == P[j]:
+                j += 1
+            if j == 3:
+                cnt, j = cnt + 1, 0
+        if cnt:
+            want[u] = cnt
+    final: dict = {}
+    for r in strict_stream.collect():
+        final[r.user_id] = max(final.get(r.user_id, 0), r.n_matches)
+    assert {u: n for u, n in final.items() if n > 0} == want
+    assert want  # the demo log really contains vv-then-p runs
+
+    # 11) brute force the fork-loop count: every purchase within 12h
+    # after each view, via the first-match-per-stage rule (K=2: every
+    # in-horizon purchase after the view anchor)
+    per_t: dict = {}
+    for r in sorted(raw, key=lambda r: r.event_id):
+        per_t.setdefault(r.user_id, []).append(
+            (r.event_id * 60_000_000, r.event_type))
+    W = 12 * 3600 * 1_000_000
+    want_loops = {}
+    for u, seq in per_t.items():
+        cnt = 0
+        for i, (tv, ty) in enumerate(seq):
+            if ty != "view":
+                continue
+            cnt += sum(1 for t2, ty2 in seq[i + 1:]
+                       if ty2 == "purchase" and t2 - tv <= W)
+        if cnt:
+            want_loops[u] = cnt
+    assert {(r.user_id, r.n_matches) for r in loops.collect()} \
+        == set(want_loops.items())
+
+    # 12) chunked ≡ unchunked, exactly
+    assert {(r.user_id, r.n_matches) for r in chunked.collect()} \
+        == {(r.user_id, r.n_matches) for r in fork.collect()}
