@@ -993,36 +993,44 @@ def fork_stepper(type_codes: dict[str, int], stage_codes: list[int],
     nk = len(key_cols)
 
     def step(key, pdf_iter, state):
+        from collections import deque
+
         import pandas as pd
         if state.exists:
             got = state.get
-            cnt, sets = got[0], [list(s) for s in got[1:]]
+            cnt, sets = got[0], [deque(s) for s in got[1:]]
         else:
-            cnt, sets = 0, [[] for _ in range(K - 1)]
+            cnt, sets = 0, [deque() for _ in range(K - 1)]
         rows = []
         for pdf in pdf_iter:
             rows.extend(_batch_rows(pdf, nk, type_codes))
         for t, _, c in sorted(rows):
+            # Anchor sets are SORTED by begin time (every promotion
+            # drains a whole set, so later arrivals always carry later
+            # begins) — expiry is a prefix POP, O(1) amortized, instead
+            # of rebuilding every set on every event (r9 fold-bound fix).
             if within_us is not None:
-                sets = [[a for a in s if t - a <= within_us]
-                        for s in sets]
-            # 1-based stage s awaits stage_codes[s-1]; snapshot first
+                for s in sets:
+                    while s and t - s[0] > within_us:
+                        s.popleft()
             match = [c == stage_codes[i] for i in range(K)]
-            snap = [list(s) for s in sets]
             if match[K - 1]:
-                cnt += len(snap[K - 2])
-            for i in range(K - 1):  # sets[i] holds stage-(i+1) anchors
+                cnt += len(sets[K - 2])  # count BEFORE any update
+            # top-down in place: each old sets[i-1] has exactly ONE
+            # consumer (stage i), so the pre-event snapshot is implicit
+            for i in range(K - 2, -1, -1):
                 # strict awaits drain-or-die (see _fork_machine)
-                if strict[i + 1]:
-                    base = []
+                if strict[i + 1] or match[i + 1]:
+                    base = deque()
                 else:
-                    base = [] if match[i + 1] else snap[i]
+                    base = sets[i]
                 if match[i]:
-                    incoming = [t] if i == 0 else snap[i - 1]
-                    sets[i] = base + incoming
-                else:
-                    sets[i] = base
-        state.update((cnt, *sets))
+                    if i == 0:
+                        base.append(t)
+                    else:
+                        base.extend(sets[i - 1])
+                sets[i] = base
+        state.update((cnt, *[list(s) for s in sets]))
         yield pd.DataFrame(
             {**{kc: [key[i]] for i, kc in enumerate(key_cols)},
              "n_matches": [cnt]})
@@ -1046,39 +1054,45 @@ def fork_loop_stepper(type_codes: dict[str, int],
 
     def step(key, pdf_iter, state):
         import pandas as pd
+        from collections import deque
         if state.exists:
             got = state.get
             cnt = got[0]
-            sets = [list(s) for s in got[1:K]]
-            lp = list(got[K])
+            sets = [deque(s) for s in got[1:K]]
+            lp = deque(got[K])
         else:
-            cnt, sets, lp = 0, [[] for _ in range(K - 1)], []
+            cnt, sets, lp = 0, [deque() for _ in range(K - 1)], deque()
         rows = []
         for pdf in pdf_iter:
             rows.extend(_batch_rows(pdf, nk, type_codes))
         for t, _, c in sorted(rows):
-            sets = [[a for a in s if t - a <= within_us] for s in sets]
-            lp = [a for a in lp if t - a <= within_us]
+            # sorted-by-begin invariant (see fork_stepper): expiry is a
+            # prefix pop for the stage sets AND the loop set
+            for s in sets:
+                while s and t - s[0] > within_us:
+                    s.popleft()
+            while lp and t - lp[0] > within_us:
+                lp.popleft()
             match = [c == stage_codes[i] for i in range(K)]
-            snap = [list(s) for s in sets]
             if match[K - 1]:
                 if K >= 2:
-                    cnt += len(snap[K - 2]) + len(lp)
-                    lp = lp + snap[K - 2]
+                    cnt += len(sets[K - 2]) + len(lp)
+                    lp.extend(sets[K - 2])  # values copied pre-drain
                 else:
                     cnt += 1 + len(lp)
-                    lp = lp + [t]
-            for i in range(K - 1):
-                if strict[i + 1]:
-                    base = []
+                    lp.append(t)
+            for i in range(K - 2, -1, -1):
+                if strict[i + 1] or match[i + 1]:
+                    base = deque()
                 else:
-                    base = [] if match[i + 1] else snap[i]
+                    base = sets[i]
                 if match[i]:
-                    incoming = [t] if i == 0 else snap[i - 1]
-                    sets[i] = base + incoming
-                else:
-                    sets[i] = base
-        state.update((cnt, *sets, lp))
+                    if i == 0:
+                        base.append(t)
+                    else:
+                        base.extend(sets[i - 1])
+                sets[i] = base
+        state.update((cnt, *[list(s) for s in sets], list(lp)))
         yield pd.DataFrame(
             {**{kc: [key[i]] for i, kc in enumerate(key_cols)},
              "n_matches": [cnt]})
