@@ -710,12 +710,12 @@ def compile_pattern_matches(pat: Pattern, df: DataFrame,
     carries (stage, anchor bindings, completed-match array) and the
     match array posexplodes to rows — rows = matches, never events²."""
     fam = pat._family()
-    if fam not in ("relaxed", "relaxed_within", "fork"):
+    if fam not in ("relaxed", "relaxed_within", "fork", "fork_loop"):
         raise NotImplementedError(
             "pattern_matches() extracts bindings for relaxed "
-            "followed_by chains — skip-past-last (within() optional) "
-            "and no_skip(); use pattern() for counts of the other "
-            "families")
+            "followed_by chains — skip-past-last (within() optional), "
+            "no_skip(), and the bounded one_or_more loop; use "
+            "pattern() for counts of the other families")
     # expand FIRST: begin(a).times(3) is a 1-stage pattern whose
     # expansion has 3 stages — the guard applies to the expanded form
     pat = pat._expanded()
@@ -723,6 +723,9 @@ def compile_pattern_matches(pat: Pattern, df: DataFrame,
         raise ValueError("pattern_matches() needs at least two stages "
                          "after quantifier expansion (a single-stage "
                          "pattern is a filter)")
+    if fam == "fork_loop":
+        return _fork_loop_matches(pat, df, keys, time_col,
+                                  tiebreak_col, event_col)
     if fam == "fork":
         return _fork_matches(pat, df, keys, time_col, tiebreak_col,
                              event_col)
@@ -828,6 +831,69 @@ def _fork_matches(pat, df, keys, time_col, tiebreak_col, event_col):
             col = (F.when(match[i], F.concat(base, incoming))
                    .otherwise(base))
             fields.append(col.alias(f"s{i}"))
+        return F.struct(*fields)
+
+    folded = df.groupBy(*keys).agg(
+        F.aggregate(seq, init, step)["matches"].alias("matches"))
+    return (folded.select(*keys, F.posexplode("matches"))
+            .select(*keys,
+                    (F.col("pos") + 1).cast("long").alias("match_no"),
+                    F.col("col.start_id").alias("start_event_id"),
+                    F.col("col.end_id").alias("end_event_id"),
+                    F.col("col.span_us").alias("span_us")))
+
+
+def _fork_loop_matches(pat, df, keys, time_col, tiebreak_col,
+                       event_col):
+    """Match extraction for the BOUNDED LOOP (fork_loop family, r9):
+    _fork_matches plus the horizon-bounded loop array of (t, id) anchor
+    pairs — every in-horizon closing event emits one match row per live
+    anchor (fresh penultimate first, then parked loop — the same order
+    the streaming stepper appends, so match numbering agrees) and parks
+    the fresh ones. Rows = matches, never events²."""
+    K = len(pat.stages)
+    w = pat.within_us
+    st = _stage_codes(pat)
+    strict = _strict_flags(pat)
+    seq = _seq(pat, time_col, tiebreak_col, event_col)
+    anchor_t = "array<struct<t:bigint,id:bigint>>"
+    empty_anchors = F.expr(f"CAST(array() AS {anchor_t})")
+    empty_matches = F.expr(
+        "CAST(array() AS array<struct<start_id:bigint,end_id:bigint,"
+        "span_us:bigint>>)")
+    init = F.struct(empty_matches.alias("matches"),
+                    *[empty_anchors.alias(f"s{i}") for i in range(1, K)],
+                    empty_anchors.alias("lp"))
+
+    def step(acc, x):
+        filt = {i: F.filter(acc[f"s{i}"],
+                            lambda a: x["t"] - a["t"] <= w)
+                for i in range(1, K)}
+        lp = F.filter(acc["lp"], lambda a: x["t"] - a["t"] <= w)
+        match = {i: x["c"] == F.lit(st[i - 1]) for i in range(1, K + 1)}
+        live = F.concat(filt[K - 1], lp)
+        closed = F.transform(
+            live,
+            lambda a: F.struct(a["id"].alias("start_id"),
+                               x["eid"].alias("end_id"),
+                               (x["t"] - a["t"]).alias("span_us")))
+        new_lp = F.concat(lp, filt[K - 1])
+        fields = [
+            F.when(match[K], F.concat(acc["matches"], closed))
+            .otherwise(acc["matches"]).alias("matches")]
+        for i in range(1, K):
+            if strict[i]:
+                base = empty_anchors
+            else:
+                base = F.when(match[i + 1],
+                              empty_anchors).otherwise(filt[i])
+            incoming = (F.array(F.struct(x["t"].alias("t"),
+                                         x["eid"].alias("id")))
+                        if i == 1 else filt[i - 1])
+            col = (F.when(match[i], F.concat(base, incoming))
+                   .otherwise(base))
+            fields.append(col.alias(f"s{i}"))
+        fields.append(F.when(match[K], new_lp).otherwise(lp).alias("lp"))
         return F.struct(*fields)
 
     folded = df.groupBy(*keys).agg(
@@ -1303,6 +1369,72 @@ def fork_matches_stepper(type_codes: dict[str, int],
     return step
 
 
+def fork_loop_matches_stepper(type_codes: dict[str, int],
+                              stage_codes: list[int], within_us: int,
+                              strict: list[bool] | None = None,
+                              key_cols: list[str] | None = None):
+    """Streaming match extraction for the BOUNDED LOOP (fork_loop, r9):
+    fork_matches_stepper plus the horizon-bounded loop array of (t, id)
+    anchor pairs — each in-horizon closing event appends one match row
+    per live anchor (fresh penultimate first, then parked loop — the
+    same order the batch fold writes, so match numbering converges)
+    and parks the fresh anchors."""
+    K = len(stage_codes)
+    strict = strict or [False] * K
+    key_cols = key_cols or ["key"]
+    nk = len(key_cols)
+
+    def step(key, pdf_iter, state):
+        import pandas as pd
+        if state.exists:
+            got = state.get
+            cnt = got[0]
+            sets = [list(zip(got[1 + 2 * i], got[2 + 2 * i]))
+                    for i in range(K - 1)]
+            lp = list(zip(got[2 * K - 1], got[2 * K]))
+        else:
+            cnt, sets, lp = 0, [[] for _ in range(K - 1)], []
+        rows = []
+        for pdf in pdf_iter:
+            rows.extend(_batch_rows(pdf, nk, type_codes))
+        out = []
+        for t, eid, c in sorted(rows):
+            sets = [[a for a in s if t - a[0] <= within_us]
+                    for s in sets]
+            lp = [a for a in lp if t - a[0] <= within_us]
+            match = [c == stage_codes[i] for i in range(K)]
+            snap = [list(s) for s in sets]
+            if match[K - 1]:
+                for a_t, a_id in snap[K - 2] + lp:
+                    cnt += 1
+                    out.append((cnt, a_id, eid, t - a_t))
+                lp = lp + snap[K - 2]
+            for i in range(K - 1):
+                if strict[i + 1]:
+                    base = []
+                else:
+                    base = [] if match[i + 1] else snap[i]
+                if match[i]:
+                    incoming = [(t, eid)] if i == 0 else snap[i - 1]
+                    sets[i] = base + incoming
+                else:
+                    sets[i] = base
+        state.update((cnt,
+                      *[x for s in sets
+                        for x in ([a for a, _ in s],
+                                  [b for _, b in s])],
+                      [a for a, _ in lp], [b for _, b in lp]))
+        if out:
+            yield pd.DataFrame(
+                {**{kc: [key[i]] * len(out)
+                    for i, kc in enumerate(key_cols)},
+                 "match_no": [m for m, *_ in out],
+                 "start_event_id": [s for _, s, _, _ in out],
+                 "end_event_id": [e for _, _, e, _ in out],
+                 "span_us": [sp for *_, sp in out]})
+    return step
+
+
 def _key_sql_type(sdf: DataFrame, key: str) -> str:
     """The key column's Spark SQL type string for the output/state
     schemas — derived, not assumed, so string/int keys stream too."""
@@ -1423,10 +1555,11 @@ def compile_pattern_matches_stream(pat: Pattern, sdf: DataFrame,
     from pyspark.sql.streaming.state import GroupStateTimeout
 
     fam = pat._family()
-    if fam not in ("relaxed", "relaxed_within", "fork"):
+    if fam not in ("relaxed", "relaxed_within", "fork", "fork_loop"):
         raise NotImplementedError(
             "streaming pattern_matches() carries the relaxed "
-            "followed_by machines (skip-past-last, bounded, no_skip)")
+            "followed_by machines (skip-past-last, bounded, no_skip, "
+            "bounded one_or_more)")
     # expand FIRST so begin(a).times(3) (1 written stage, 3 expanded)
     # compiles here exactly as it does under pattern()
     pat = pat._expanded()
@@ -1443,7 +1576,14 @@ def compile_pattern_matches_stream(pat: Pattern, sdf: DataFrame,
         f"{k} {_key_sql_type(proj, k)}" for k in keys)
     out_schema = (f"{key_schema}, match_no long, start_event_id long, "
                   f"end_event_id long, span_us long")
-    if fam == "fork":
+    if fam == "fork_loop":
+        state_schema = "cnt long, " + ", ".join(
+            [f"s{i}_t array<long>, s{i}_id array<long>"
+             for i in range(1, K)]
+            + ["lp_t array<long>", "lp_id array<long>"])
+        fn = fork_loop_matches_stepper(tcodes, scodes, pat.within_us,
+                                       sflags, key_cols=keys)
+    elif fam == "fork":
         state_schema = "cnt long, " + ", ".join(
             f"s{i}_t array<long>, s{i}_id array<long>"
             for i in range(1, K))

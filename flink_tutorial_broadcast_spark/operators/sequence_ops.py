@@ -990,6 +990,63 @@ def q_cep_one_or_more_bounded(spark: SparkSession,
 
 
 @query(
+    "q_cep_loop_matches",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, event_id, epoch_us(ts) AS t, event_type,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS i
+      FROM events
+    ), v AS (SELECT user_id, event_id, t, i FROM e
+             WHERE event_type = 'view'),
+    c AS (SELECT user_id, t, i FROM e WHERE event_type = 'click'),
+    p AS (SELECT user_id, event_id, t, i FROM e
+          WHERE event_type = 'purchase'),
+    vc AS (
+      SELECT v.user_id, v.t AS tv, v.event_id AS start_event_id,
+             MIN(c.i) AS ci
+      FROM v JOIN c ON c.user_id = v.user_id AND c.i > v.i
+                    AND c.t - v.t <= 172800000000
+      GROUP BY v.user_id, v.t, v.i, v.event_id
+    )
+    SELECT vc.user_id, vc.start_event_id,
+           p.event_id AS end_event_id,
+           CAST(p.t - vc.tv AS BIGINT) AS span_us
+    FROM vc JOIN p ON p.user_id = vc.user_id AND p.i > vc.ci
+                  AND p.t - vc.tv <= 172800000000
+    """,
+)
+def q_cep_loop_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Match BINDINGS for the bounded loop (round 9 — the extraction
+    twin of q_cep_one_or_more_bounded): pattern_matches() on
+    view→click→purchase.one_or_more().within(48h).no_skip() emits one
+    row per (view anchor, in-horizon purchase after the anchor's first
+    in-horizon click) with the anchor id, closing id and span
+    (cep._fork_loop_matches: the fork extraction fold plus the
+    horizon-bounded loop array of (t, id) anchor pairs). The oracle
+    enumerates the identical match set relationally; match_no is
+    projected away here because the driver hash is order-insensitive
+    and numbering is an emission-order artifact (the streaming twin
+    pins it separately). Streaming:
+    test_pattern_matches_streaming_fork_loop."""
+    from flink_tutorial_broadcast_spark.cep import Pattern
+    from flink_tutorial_broadcast_spark.datastream import (
+        StreamExecutionEnvironment,
+    )
+    env = StreamExecutionEnvironment.get_execution_environment(spark)
+    pat = (Pattern.begin("v", "view")
+           .followed_by("c", "click")
+           .followed_by("p", "purchase").one_or_more()
+           .within("48 hours").no_skip())
+    return (env.from_dataframe(load(spark, sf_dir, "events"))
+            .key_by("user_id")
+            .pattern_matches(pat)
+            .to_df()
+            .select("user_id", "start_event_id", "end_event_id",
+                    "span_us"))
+
+
+@query(
     "q_cep_quantified_relaxed",
     oracle="""
     WITH RECURSIVE codes AS (

@@ -1021,3 +1021,40 @@ def test_pattern_chunked_scope_refusals(spark):
     with pytest.raises(ValueError, match="BATCH"):
         (_env(spark).from_dataframe(sdf).key_by("user_id")
          .pattern(bounded_fork, chunked=True))
+
+
+def test_pattern_matches_streaming_fork_loop(spark, queries):
+    """Streaming match extraction for the bounded loop (round 9): the
+    fork-loop matches stepper (per-stage (t,id) arrays + the loop
+    array in keyed state) must append exactly the batch bindings
+    across the micro-batch boundary — including matches whose anchor
+    arrived in an earlier micro-batch — and the per-user row counts
+    must equal the count key (bindings are the stronger artifact;
+    counts are their projection)."""
+    from collections import Counter
+
+    from flink_tutorial_broadcast_spark.streaming.jobs import (
+        _run_to_memory,
+    )
+
+    pat = (Pattern.begin("v", "view")
+           .followed_by("c", "click")
+           .followed_by("p", "purchase").one_or_more()
+           .within("48 hours").no_skip())
+    batch = (_env(spark).from_dataframe(load(spark, SF_SMOKE, "events"))
+             .key_by("user_id").pattern_matches(pat).to_df().collect())
+    sdf = _two_file_stream(
+        spark, ["user_id", "ts", "event_id", "event_type"])
+    out = (_env(spark).from_dataframe(sdf)
+           .key_by("user_id").pattern_matches(pat).to_df())
+    assert out.isStreaming
+    got = _run_to_memory(out, "append").collect()
+    key = lambda r: (r.user_id, r.match_no, r.start_event_id,
+                     r.end_event_id, r.span_us)
+    assert {key(r) for r in got} == {key(r) for r in batch}
+    assert got  # non-vacuous
+
+    want_counts = {r.user_id: r.n_matches for r in
+                   queries["q_cep_one_or_more_bounded"](
+                       spark, SF_SMOKE).collect()}
+    assert dict(Counter(r.user_id for r in batch)) == want_counts
