@@ -74,7 +74,7 @@ from __future__ import annotations
 
 from dataclasses import dataclass, field, replace
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 _UNIT_US = {
@@ -710,12 +710,19 @@ def compile_pattern_matches(pat: Pattern, df: DataFrame,
     carries (stage, anchor bindings, completed-match array) and the
     match array posexplodes to rows — rows = matches, never events²."""
     fam = pat._family()
-    if fam not in ("relaxed", "relaxed_within", "fork", "fork_loop"):
+    if fam not in ("relaxed", "relaxed_within", "fork", "fork_loop",
+                   "strict"):
         raise NotImplementedError(
             "pattern_matches() extracts bindings for relaxed "
             "followed_by chains — skip-past-last (within() optional), "
-            "no_skip(), and the bounded one_or_more loop; use "
-            "pattern() for counts of the other families")
+            "no_skip(), the bounded one_or_more loop, and fixed "
+            "strict chains; use pattern() for counts of the other "
+            "families")
+    if fam == "strict" and any(s.one_or_more for s in pat.stages):
+        raise NotImplementedError(
+            "strict-chain match extraction carries FIXED strings "
+            "(next chains and times(n)); one_or_more is variable-"
+            "length — use pattern() for its count (the regex path)")
     # expand FIRST: begin(a).times(3) is a 1-stage pattern whose
     # expansion has 3 stages — the guard applies to the expanded form
     pat = pat._expanded()
@@ -723,6 +730,9 @@ def compile_pattern_matches(pat: Pattern, df: DataFrame,
         raise ValueError("pattern_matches() needs at least two stages "
                          "after quantifier expansion (a single-stage "
                          "pattern is a filter)")
+    if fam == "strict":
+        return _strict_matches(pat, df, keys, time_col, tiebreak_col,
+                               event_col)
     if fam == "fork_loop":
         return _fork_loop_matches(pat, df, keys, time_col,
                                   tiebreak_col, event_col)
@@ -834,6 +844,66 @@ def _fork_matches(pat, df, keys, time_col, tiebreak_col, event_col):
         return F.struct(*fields)
 
     folded = df.groupBy(*keys).agg(
+        F.aggregate(seq, init, step)["matches"].alias("matches"))
+    return (folded.select(*keys, F.posexplode("matches"))
+            .select(*keys,
+                    (F.col("pos") + 1).cast("long").alias("match_no"),
+                    F.col("col.start_id").alias("start_event_id"),
+                    F.col("col.end_id").alias("end_event_id"),
+                    F.col("col.span_us").alias("span_us")))
+
+
+def _strict_matches(pat, df, keys, time_col, tiebreak_col, event_col):
+    """Match extraction for STRICT chains (r9): a fixed-string match
+    (next-chains; times(n) expands to one) always occupies the last K
+    CONSECUTIVE events, so candidates are a per-key lag-window scan
+    (row rn is a candidate end iff codes at rn-K+1..rn equal the stage
+    string) and the regex's leftmost non-overlapping selection is a
+    greedy fold over candidate row numbers (accept iff rn - last >= K).
+    Both stages are partitioned windows + one aggregation — no regex,
+    no Python. one_or_more (variable length) stays count-only."""
+    K = len(pat.stages)
+    st = _stage_codes(pat)
+    tcode = F.lit(0)
+    for etype, i in _type_codes(pat).items():
+        tcode = F.when(F.col(event_col) == etype, F.lit(i)) \
+            .otherwise(tcode)
+    w = Window.partitionBy(*keys).orderBy("__t", "__eid")
+    d = df.select(*keys,
+                  F.unix_micros(time_col).alias("__t"),
+                  F.col(tiebreak_col).alias("__eid"),
+                  tcode.alias("__c"))
+    cols = [F.row_number().over(w).alias("__rn"),
+            F.lag("__t", K - 1).over(w).alias("__st"),
+            F.lag("__eid", K - 1).over(w).alias("__sid")]
+    cond = F.col("__c") == F.lit(st[K - 1])
+    for dlt in range(1, K):
+        cond = cond & (F.lag("__c", dlt).over(w)
+                       == F.lit(st[K - 1 - dlt]))
+    cand = (d.select(*keys, "__t", "__eid", *cols,
+                     cond.alias("__hit"))
+            .where("__hit"))
+    seq = F.array_sort(F.collect_list(F.struct(
+        F.col("__rn").alias("rn"), F.col("__sid").alias("sid"),
+        F.col("__st").alias("stt"), F.col("__eid").alias("eid"),
+        F.col("__t").alias("t"))))
+    empty = F.expr(
+        "CAST(array() AS array<struct<start_id:bigint,end_id:bigint,"
+        "span_us:bigint>>)")
+    init = F.struct(F.lit(-K).cast("long").alias("last"),
+                    empty.alias("matches"))
+
+    def step(acc, x):
+        take = (x["rn"] - acc["last"]) >= K
+        m = F.struct(x["sid"].alias("start_id"),
+                     x["eid"].alias("end_id"),
+                     (x["t"] - x["stt"]).alias("span_us"))
+        return F.struct(
+            F.when(take, x["rn"]).otherwise(acc["last"]).alias("last"),
+            F.when(take, F.concat(acc["matches"], F.array(m)))
+            .otherwise(acc["matches"]).alias("matches"))
+
+    folded = cand.groupBy(*keys).agg(
         F.aggregate(seq, init, step)["matches"].alias("matches"))
     return (folded.select(*keys, F.posexplode("matches"))
             .select(*keys,
@@ -1369,6 +1439,58 @@ def fork_matches_stepper(type_codes: dict[str, int],
     return step
 
 
+def kmp_matches_stepper(type_codes: dict[str, int],
+                        stage_codes: list[int],
+                        key_cols: list[str] | None = None):
+    """Streaming match extraction for STRICT chains (r9): the KMP
+    stepper plus a ring buffer of the last K events' (t, id) — a
+    fixed-string match always occupies the last K consecutive events,
+    so on completion the buffer head IS the anchor. Appends one row
+    per match; restart-after-match keeps the count non-overlapping,
+    exactly the batch _strict_matches greedy fold."""
+    K = len(stage_codes)
+    fail = _kmp_failure(stage_codes)
+    key_cols = key_cols or ["key"]
+    nk = len(key_cols)
+
+    def step(key, pdf_iter, state):
+        from collections import deque
+
+        import pandas as pd
+        if state.exists:
+            got = state.get
+            cnt, j = got[0], got[1]
+            buf = deque(zip(got[2], got[3]), maxlen=K)
+        else:
+            cnt, j, buf = 0, 0, deque(maxlen=K)
+        rows = []
+        for pdf in pdf_iter:
+            rows.extend(_batch_rows(pdf, nk, type_codes))
+        out = []
+        for t, eid, c in sorted(rows):
+            buf.append((t, eid))
+            while j > 0 and c != stage_codes[j]:
+                j = fail[j]
+            if c == stage_codes[j]:
+                j += 1
+            if j == K:
+                cnt += 1
+                a_t, a_id = buf[0]
+                out.append((cnt, a_id, eid, t - a_t))
+                j = 0  # restart: non-overlapping count
+        state.update((cnt, j,
+                      [a for a, _ in buf], [b for _, b in buf]))
+        if out:
+            yield pd.DataFrame(
+                {**{kc: [key[i]] * len(out)
+                    for i, kc in enumerate(key_cols)},
+                 "match_no": [m for m, *_ in out],
+                 "start_event_id": [s for _, s, _, _ in out],
+                 "end_event_id": [e for _, _, e, _ in out],
+                 "span_us": [sp for *_, sp in out]})
+    return step
+
+
 def fork_loop_matches_stepper(type_codes: dict[str, int],
                               stage_codes: list[int], within_us: int,
                               strict: list[bool] | None = None,
@@ -1555,11 +1677,17 @@ def compile_pattern_matches_stream(pat: Pattern, sdf: DataFrame,
     from pyspark.sql.streaming.state import GroupStateTimeout
 
     fam = pat._family()
-    if fam not in ("relaxed", "relaxed_within", "fork", "fork_loop"):
+    if fam not in ("relaxed", "relaxed_within", "fork", "fork_loop",
+                   "strict"):
         raise NotImplementedError(
             "streaming pattern_matches() carries the relaxed "
             "followed_by machines (skip-past-last, bounded, no_skip, "
-            "bounded one_or_more)")
+            "bounded one_or_more) and fixed strict chains")
+    if fam == "strict" and any(s.one_or_more for s in pat.stages):
+        raise NotImplementedError(
+            "strict-chain match extraction carries FIXED strings "
+            "(next chains and times(n)); one_or_more is variable-"
+            "length — use pattern() for its count (the regex path)")
     # expand FIRST so begin(a).times(3) (1 written stage, 3 expanded)
     # compiles here exactly as it does under pattern()
     pat = pat._expanded()
@@ -1576,7 +1704,11 @@ def compile_pattern_matches_stream(pat: Pattern, sdf: DataFrame,
         f"{k} {_key_sql_type(proj, k)}" for k in keys)
     out_schema = (f"{key_schema}, match_no long, start_event_id long, "
                   f"end_event_id long, span_us long")
-    if fam == "fork_loop":
+    if fam == "strict":
+        state_schema = ("cnt long, stage long, buf_t array<long>, "
+                        "buf_id array<long>")
+        fn = kmp_matches_stepper(tcodes, scodes, key_cols=keys)
+    elif fam == "fork_loop":
         state_schema = "cnt long, " + ", ".join(
             [f"s{i}_t array<long>, s{i}_id array<long>"
              for i in range(1, K)]

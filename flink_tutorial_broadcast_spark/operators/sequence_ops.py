@@ -990,6 +990,76 @@ def q_cep_one_or_more_bounded(spark: SparkSession,
 
 
 @query(
+    "q_cep_strict_matches",
+    oracle="""
+    WITH RECURSIVE codes AS (
+      SELECT user_id, event_id, epoch_us(ts) AS t,
+             CASE event_type WHEN 'click' THEN 1
+                  WHEN 'purchase' THEN 2 ELSE 0 END AS c,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS i
+      FROM events
+    ), cand0 AS (
+      SELECT user_id, i, event_id AS end_id, t AS end_t, c,
+             lag(c, 1) OVER w AS c1, lag(c, 2) OVER w AS c2,
+             lag(event_id, 2) OVER w AS s_id, lag(t, 2) OVER w AS s_t
+      FROM codes WINDOW w AS (PARTITION BY user_id ORDER BY i)
+    ), cand AS (
+      SELECT user_id, i, s_id, end_id, end_t - s_t AS span,
+             row_number() OVER (PARTITION BY user_id ORDER BY i) AS ci
+      FROM cand0 WHERE c = 2 AND c1 = 1 AND c2 = 1
+    ), n AS (SELECT user_id, COUNT(*) AS n_c FROM cand
+             GROUP BY user_id),
+    run AS (
+      SELECT user_id, 0 AS ci, CAST(-3 AS BIGINT) AS last_i,
+             FALSE AS took, CAST(NULL AS BIGINT) AS s_id,
+             CAST(NULL AS BIGINT) AS end_id,
+             CAST(NULL AS BIGINT) AS span
+      FROM n
+      UNION ALL
+      SELECT r.user_id, r.ci + 1,
+             CASE WHEN c.i - r.last_i >= 3 THEN c.i
+                  ELSE r.last_i END,
+             c.i - r.last_i >= 3, c.s_id, c.end_id, c.span
+      FROM run r JOIN cand c ON c.user_id = r.user_id
+                            AND c.ci = r.ci + 1
+    )
+    SELECT user_id, s_id AS start_event_id, end_id AS end_event_id,
+           CAST(span AS BIGINT) AS span_us
+    FROM run WHERE took
+    """,
+)
+def q_cep_strict_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Match BINDINGS for STRICT chains (round 9 — the extraction twin
+    of q_cep_strict_repeated): pattern_matches() on the
+    click→click→purchase next() chain. A fixed-string match always
+    occupies the last K CONSECUTIVE events, so the batch compile
+    (cep._strict_matches) is a per-key lag-window candidate scan plus
+    a greedy leftmost non-overlap fold over candidate row numbers
+    (accept iff rn − last ≥ K — exactly the regex's selection rule),
+    all partitioned windows + one aggregation, no regex, no Python.
+    The oracle replays the same candidates (DuckDB lag window) and the
+    same greedy rule as a recursive CTE. match_no projected away
+    (order-insensitive hash); the streaming twin — the KMP stepper
+    plus a K-deep ring buffer whose head is the anchor on completion —
+    pins numbering in test_pattern_matches_streaming_strict."""
+    from flink_tutorial_broadcast_spark.cep import Pattern
+    from flink_tutorial_broadcast_spark.datastream import (
+        StreamExecutionEnvironment,
+    )
+    env = StreamExecutionEnvironment.get_execution_environment(spark)
+    pat = (Pattern.begin("c1", "click")
+           .next("c2", "click")
+           .next("p", "purchase"))
+    return (env.from_dataframe(load(spark, sf_dir, "events"))
+            .key_by("user_id")
+            .pattern_matches(pat)
+            .to_df()
+            .select("user_id", "start_event_id", "end_event_id",
+                    "span_us"))
+
+
+@query(
     "q_cep_loop_matches",
     oracle="""
     WITH e AS (

@@ -1058,3 +1058,43 @@ def test_pattern_matches_streaming_fork_loop(spark, queries):
                    queries["q_cep_one_or_more_bounded"](
                        spark, SF_SMOKE).collect()}
     assert dict(Counter(r.user_id for r in batch)) == want_counts
+
+
+def test_pattern_matches_streaming_strict(spark, queries):
+    """Streaming strict-chain match extraction (round 9): the KMP
+    matches stepper must append exactly the batch bindings — including
+    match_no — across the micro-batch boundary, for a repeated-type
+    chain (click→click→purchase); per-user row counts equal the
+    count key q_cep_strict_repeated."""
+    from collections import Counter
+
+    from flink_tutorial_broadcast_spark.streaming.jobs import (
+        _run_to_memory,
+    )
+
+    pat = (Pattern.begin("c1", "click").next("c2", "click")
+           .next("p", "purchase"))
+    batch = (_env(spark).from_dataframe(load(spark, SF_SMOKE, "events"))
+             .key_by("user_id").pattern_matches(pat).to_df().collect())
+    sdf = _two_file_stream(
+        spark, ["user_id", "ts", "event_id", "event_type"])
+    out = (_env(spark).from_dataframe(sdf)
+           .key_by("user_id").pattern_matches(pat).to_df())
+    assert out.isStreaming
+    got = _run_to_memory(out, "append").collect()
+    key = lambda r: (r.user_id, r.match_no, r.start_event_id,
+                     r.end_event_id, r.span_us)
+    assert {key(r) for r in got} == {key(r) for r in batch}
+    assert got  # non-vacuous
+
+    want_counts = {r.user_id: r.n_matches for r in
+                   queries["q_cep_strict_repeated"](
+                       spark, SF_SMOKE).collect()}
+    assert dict(Counter(r.user_id for r in batch)) == want_counts
+
+    # one_or_more extraction refuses loudly, batch and streaming
+    oom = (Pattern.begin("v", "view").next("c", "click").one_or_more()
+           .next("p", "purchase"))
+    with pytest.raises(NotImplementedError, match="FIXED"):
+        (_env(spark).from_dataframe(load(spark, SF_SMOKE, "events"))
+         .key_by("user_id").pattern_matches(oom))

@@ -642,3 +642,52 @@ def test_cep_chunked_fork_equals_unchunked(spark, rows, horizons):
     want = {u: _ref_fork(seq, ["view", "click", "purchase"], 12 * 60)
             for u, seq in _per_user_ordered(rows).items()}
     assert chunked == {u: n for u, n in want.items() if n > 0}
+
+
+@settings(max_examples=60, deadline=None)
+@given(rows=seq_strategy,
+       pat_i=st.integers(0, len(KMP_PATTERNS) - 1),
+       cuts=st.lists(st.integers(0, 34), max_size=3))
+def test_kmp_matches_stepper_equals_re_finditer(rows, pat_i, cuts):
+    """Strict-chain match EXTRACTION (round 9): the KMP matches stepper
+    (ring buffer of the last K events; restart-after-match), fed across
+    arbitrary micro-batch splits, must emit exactly re.finditer's
+    leftmost non-overlapping spans — start/end positions and counts —
+    on bordered patterns included. Pure-Python pin of
+    cep.kmp_matches_stepper; the Spark batch fold is pinned by the
+    oracle key and the streaming convergence test."""
+    import pandas as pd
+
+    from flink_tutorial_broadcast_spark.cep import kmp_matches_stepper
+
+    stages = KMP_PATTERNS[pat_i]
+    tcodes: dict[str, int] = {}
+    for ty in stages:
+        tcodes.setdefault(ty, len(tcodes) + 1)
+    scodes = [tcodes[s] for s in stages]
+    step = kmp_matches_stepper(tcodes, scodes, key_cols=["user_id"])
+    char = {ty: chr(ord("a") + cc - 1) for ty, cc in tcodes.items()}
+    regex = "".join(char[s] for s in stages)
+
+    for u, seq in _per_user_ordered(rows).items():
+        path = "".join(char.get(ty, "-") for _, ty in seq)
+        # reference bindings: (start event index, end event index)
+        want = {(m.start(), m.end() - 1)
+                for m in re.finditer(re.escape(regex), path)}
+        pts = sorted({cc for cc in cuts if cc < len(seq)})
+        bounds = [0] + pts + [len(seq)]
+        st_obj = _KmpFakeState()
+        got = set()
+        for lo, hi in zip(bounds, bounds[1:]):
+            chunk = seq[lo:hi]
+            if not chunk:
+                continue
+            pdf = pd.DataFrame({
+                "user_id": [u] * len(chunk),
+                "ts": [m for m, _ in chunk],
+                "event_id": list(range(lo, lo + len(chunk))),
+                "event_type": [ty for _, ty in chunk]})
+            for out in step((u,), iter([pdf]), st_obj):
+                got |= set(zip(out["start_event_id"].tolist(),
+                               out["end_event_id"].tolist()))
+        assert got == want, (stages, seq, got, want)
