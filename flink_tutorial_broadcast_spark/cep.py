@@ -72,6 +72,7 @@ anti-join — pinned as docs/divergences.md row 12.
 """
 from __future__ import annotations
 
+import bisect
 from dataclasses import dataclass, field, replace
 
 from pyspark.sql import DataFrame, Window
@@ -551,12 +552,14 @@ def compile_pattern_chunked(pat: Pattern, df: DataFrame,
     re-anchor on consumed events); its unbounded-history path is the
     streaming stepper, and asking for it here raises."""
     fam = pat._family()
-    if fam != "fork":
+    if fam not in ("fork", "fork_loop"):
         raise NotImplementedError(
             "exact time-chunking holds only for the forking (noSkip) "
-            "family — skip-past-last consumption chains beyond any "
-            "horizon (docs/scale.md §CEP); use the streaming stepper "
-            "for unbounded-history skip-past-last keys")
+            "families — fork and the bounded fork loop, where a match "
+            "is a function of its anchor alone; skip-past-last "
+            "consumption chains beyond any horizon (docs/scale.md "
+            "§CEP) — use the streaming stepper for unbounded-history "
+            "skip-past-last keys")
     if pat.within_us is None:
         raise ValueError("chunked compilation needs within(): the "
                          "horizon defines both chunk size and overlap")
@@ -589,16 +592,33 @@ def compile_pattern_chunked(pat: Pattern, df: DataFrame,
         F.col("__t").alias("t"), F.col("__eid").alias("eid"),
         F.col("__c").alias("c"), F.col("__own").alias("o"))))
     empty = F.array().cast("array<long>")
+    loop = fam == "fork_loop"
     init = F.struct(F.lit(0).cast("long").alias("cnt"),
-                    *[empty.alias(f"s{i}") for i in range(1, K)])
+                    *[empty.alias(f"s{i}") for i in range(1, K)],
+                    *([empty.alias("lp")] if loop else []))
 
     def step(acc, x):
         filt = {i: F.filter(acc[f"s{i}"], lambda a: x["t"] - a <= w)
                 for i in range(1, K)}
         match = {i: x["c"] == F.lit(st[i - 1]) for i in range(1, K + 1)}
+        if loop:
+            # loop anchors are already owned-gated at entry; a close in
+            # the overlap region legitimately extends them (its own
+            # anchor-ship belongs to the next chunk)
+            lp = F.filter(acc["lp"], lambda a: x["t"] - a <= w)
+            if K >= 2:
+                closed = (F.size(filt[K - 1]) + F.size(lp)).cast("long")
+                new_lp = F.concat(lp, filt[K - 1])
+            else:
+                closed = (F.size(lp)
+                          + F.when(x["o"], F.lit(1)).otherwise(F.lit(0))
+                          ).cast("long")
+                new_lp = F.when(x["o"], F.concat(lp, F.array(x["t"]))) \
+                    .otherwise(lp)
+        else:
+            closed = F.size(filt[K - 1]).cast("long")
         fields = [
-            F.when(match[K],
-                   acc["cnt"] + F.size(filt[K - 1]).cast("long"))
+            F.when(match[K], acc["cnt"] + closed)
             .otherwise(acc["cnt"]).alias("cnt")]
         for i in range(1, K):
             if strict[i]:
@@ -614,6 +634,9 @@ def compile_pattern_chunked(pat: Pattern, df: DataFrame,
             col = (F.when(match[i], F.concat(base_col, incoming))
                    .otherwise(base_col))
             fields.append(col.alias(f"s{i}"))
+        if loop:
+            fields.append(
+                F.when(match[K], new_lp).otherwise(lp).alias("lp"))
         return F.struct(*fields)
 
     per_chunk = (events.groupBy(*keys, "__chunk")
@@ -1014,6 +1037,33 @@ def relaxed_stepper(type_codes: dict[str, int], stage_codes: list[int],
     return step
 
 
+def _ins_sorted(s, t) -> None:
+    """Append keeping the deque sorted: the fast path is a plain
+    append (in-order input keeps anchor sets begin-time-sorted); a LATE
+    arrival older than a carried anchor takes the rare O(n) re-sort, so
+    prefix-pop expiry stays exactly the r8 filter semantics for ANY
+    input order."""
+    if not s or t >= s[-1]:
+        s.append(t)
+    else:
+        tmp = sorted([*s, t])
+        s.clear()
+        s.extend(tmp)
+
+
+def _ext_sorted(s, inc) -> None:
+    """extend() keeping the deque sorted (same rare-path contract as
+    _ins_sorted; `inc` is itself sorted)."""
+    if not inc:
+        return
+    if not s or inc[0] >= s[-1]:
+        s.extend(inc)
+    else:
+        tmp = sorted([*s, *inc])
+        s.clear()
+        s.extend(tmp)
+
+
 def _kmp_failure(P: list[int]) -> list[int]:
     """KMP failure (border) function over the stage-code string:
     fail[j] = length of the longest proper border of P[:j], indexed by
@@ -1134,17 +1184,18 @@ def fork_stepper(type_codes: dict[str, int], stage_codes: list[int],
         import pandas as pd
         if state.exists:
             got = state.get
-            cnt, sets = got[0], [deque(s) for s in got[1:]]
+            cnt, sets = got[0], [deque(sorted(s)) for s in got[1:]]
         else:
             cnt, sets = 0, [deque() for _ in range(K - 1)]
         rows = []
         for pdf in pdf_iter:
             rows.extend(_batch_rows(pdf, nk, type_codes))
         for t, _, c in sorted(rows):
-            # Anchor sets are SORTED by begin time (every promotion
-            # drains a whole set, so later arrivals always carry later
-            # begins) — expiry is a prefix POP, O(1) amortized, instead
-            # of rebuilding every set on every event (r9 fold-bound fix).
+            # Anchor sets are kept SORTED by begin time (in-order input
+            # preserves it free; late cross-batch arrivals take the
+            # rare _ins_sorted path) — expiry is a prefix POP, O(1)
+            # amortized, instead of rebuilding every set per event
+            # (r9 fold-bound fix; semantics ≡ the r8 filter exactly).
             if within_us is not None:
                 for s in sets:
                     while s and t - s[0] > within_us:
@@ -1162,9 +1213,9 @@ def fork_stepper(type_codes: dict[str, int], stage_codes: list[int],
                     base = sets[i]
                 if match[i]:
                     if i == 0:
-                        base.append(t)
+                        _ins_sorted(base, t)
                     else:
-                        base.extend(sets[i - 1])
+                        _ext_sorted(base, sets[i - 1])
                 sets[i] = base
         state.update((cnt, *[list(s) for s in sets]))
         yield pd.DataFrame(
@@ -1194,8 +1245,8 @@ def fork_loop_stepper(type_codes: dict[str, int],
         if state.exists:
             got = state.get
             cnt = got[0]
-            sets = [deque(s) for s in got[1:K]]
-            lp = deque(got[K])
+            sets = [deque(sorted(s)) for s in got[1:K]]
+            lp = deque(sorted(got[K]))
         else:
             cnt, sets, lp = 0, [deque() for _ in range(K - 1)], deque()
         rows = []
@@ -1213,10 +1264,10 @@ def fork_loop_stepper(type_codes: dict[str, int],
             if match[K - 1]:
                 if K >= 2:
                     cnt += len(sets[K - 2]) + len(lp)
-                    lp.extend(sets[K - 2])  # values copied pre-drain
+                    _ext_sorted(lp, sets[K - 2])  # copied pre-drain
                 else:
                     cnt += 1 + len(lp)
-                    lp.append(t)
+                    _ins_sorted(lp, t)
             for i in range(K - 2, -1, -1):
                 if strict[i + 1] or match[i + 1]:
                     base = deque()
@@ -1224,9 +1275,9 @@ def fork_loop_stepper(type_codes: dict[str, int],
                     base = sets[i]
                 if match[i]:
                     if i == 0:
-                        base.append(t)
+                        _ins_sorted(base, t)
                     else:
-                        base.extend(sets[i - 1])
+                        _ext_sorted(base, sets[i - 1])
                 sets[i] = base
         state.update((cnt, *[list(s) for s in sets], list(lp)))
         yield pd.DataFrame(
@@ -1273,52 +1324,59 @@ def absence_stepper(a_type: str, b_type: str, within_us: int,
         # timer never fires before the true µs deadline has passed.
         wm_us = wm_ms * 1000
         ceil_ms = lambda us: -(-us // 1000)
+
+        def split_and_park(ts, ids):
+            # pending sorted by anchor t, so due (deadline at or behind
+            # the watermark) is a PREFIX: one bisect, no scan; the
+            # earliest live deadline is ts[pos] + within_us directly
+            pos = bisect.bisect_right(ts, wm_us - within_us)
+            due = list(zip(ts[:pos], ids[:pos]))
+            if pos < len(ts):
+                state.update((ts[pos:], ids[pos:]))
+                state.setTimeoutTimestamp(
+                    max(ceil_ms(ts[pos] + within_us), wm_ms + 1))
+            elif state.exists:
+                state.remove()
+            return due
+
         if state.hasTimedOut:
             t_arr, id_arr = state.get
-            pending = list(zip(t_arr, id_arr))
-            due = [(t, i) for t, i in pending
-                   if t + within_us <= wm_us]
-            live = [(t, i) for t, i in pending
-                    if t + within_us > wm_us]
-            if live:
-                state.update(([t for t, _ in live],
-                              [i for _, i in live]))
-                state.setTimeoutTimestamp(
-                    max(min(ceil_ms(t + within_us) for t, _ in live),
-                        wm_ms + 1))
-            else:
-                state.remove()
-            yield from emit(due)
+            order = sorted(range(len(t_arr)), key=lambda k: t_arr[k])
+            yield from emit(split_and_park(
+                [t_arr[k] for k in order], [id_arr[k] for k in order]))
             return
         if state.exists:
             t_arr, id_arr = state.get
-            pending = list(zip(t_arr, id_arr))
+            order = sorted(range(len(t_arr)), key=lambda k: t_arr[k])
+            ts = [t_arr[k] for k in order]
+            ids = [id_arr[k] for k in order]
         else:
-            pending = []
+            ts, ids = [], []
         rows = []
         for pdf in pdf_iter:
             rows.extend(r for r in _batch_rows(pdf, nk, None)
                         if r[2] == a_type or r[2] == b_type)
         for t, eid, ty in sorted(rows):
             if ty == a_type:
-                pending.append((t, eid))
-            if ty == b_type:
-                pending = [(at, ai) for at, ai in pending
-                           if not (at < t <= at + within_us)]
+                if not ts or t >= ts[-1]:
+                    ts.append(t)
+                    ids.append(eid)
+                else:  # late arrival older than a carried anchor
+                    pos = bisect.bisect_left(ts, t)
+                    ts.insert(pos, t)
+                    ids.insert(pos, eid)
+            if ty == b_type and ts:
+                # answered anchors (at < t <= at + d) are a CONTIGUOUS
+                # range [t - d, t) of the sorted list: two bisects and
+                # one del instead of rebuilding the list per b event
+                lo = bisect.bisect_left(ts, t - within_us)
+                hi = bisect.bisect_left(ts, t)
+                if hi > lo:
+                    del ts[lo:hi]
+                    del ids[lo:hi]
         # anchors already past the watermark horizon emit NOW (their
         # on-time answer window is closed); the rest arm the timer
-        due = [(t, i) for t, i in pending
-               if t + within_us <= wm_us]
-        live = [(t, i) for t, i in pending
-                if t + within_us > wm_us]
-        if live:
-            state.update(([t for t, _ in live], [i for _, i in live]))
-            state.setTimeoutTimestamp(
-                max(min(ceil_ms(t + within_us) for t, _ in live),
-                    wm_ms + 1))
-        elif state.exists:
-            state.remove()
-        yield from emit(due)
+        yield from emit(split_and_park(ts, ids))
     return step
 
 

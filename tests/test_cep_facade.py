@@ -1098,3 +1098,64 @@ def test_pattern_matches_streaming_strict(spark, queries):
     with pytest.raises(NotImplementedError, match="FIXED"):
         (_env(spark).from_dataframe(load(spark, SF_SMOKE, "events"))
          .key_by("user_id").pattern_matches(oom))
+
+
+def test_fork_stepper_expires_late_out_of_order_anchors():
+    """The r9 deque prefix-pop expiry must keep exact r8-filter
+    semantics under OUT-OF-ORDER cross-batch arrival: a late anchor
+    (older than a carried one) is sorted into position, so horizon
+    expiry still drops it — an unsorted deque would hide it behind a
+    live head and overcount. Same pin for the loop set."""
+    import datetime
+
+    import pandas as pd
+
+    from flink_tutorial_broadcast_spark.cep import (
+        fork_loop_stepper, fork_stepper,
+    )
+
+    def batch(rows):  # (t_us, eid, ty)
+        return [pd.DataFrame({
+            "k": [1] * len(rows),
+            "ts": [datetime.datetime.fromtimestamp(
+                t / 1_000_000, datetime.timezone.utc)
+                for t, _, _ in rows],
+            "event_id": [i for _, i, _ in rows],
+            "event_type": [ty for _, _, ty in rows]})]
+
+    class _St:
+        _s = None
+
+        @property
+        def exists(self):
+            return self._s is not None
+
+        @property
+        def get(self):
+            return self._s
+
+        def update(self, v):
+            self._s = v
+
+    tc = {"view": 1, "purchase": 2}
+    # w=60s; batch 1: anchor t=100s; batch 2: LATE anchor t=50s then a
+    # purchase at t=130s -> only the t=100 anchor is in horizon (130-50
+    # = 80 > 60): exactly ONE match
+    w = 60_000_000
+    st = _St()
+    fn = fork_stepper(tc, [1, 2], w, key_cols=["k"])
+    s = lambda sec: sec * 1_000_000
+    list(fn((1,), iter(batch([(s(100), 1, "view")])), st))
+    out = list(fn((1,), iter(batch(
+        [(s(50), 2, "view"), (s(130), 3, "purchase")])), st))
+    assert int(out[-1]["n_matches"].iloc[0]) == 1
+
+    # fork_loop: same shape; a second purchase at t=140 extends only
+    # the live (t=100) anchor -> total 2 matches
+    st2 = _St()
+    fn2 = fork_loop_stepper(tc, [1, 2], w, key_cols=["k"])
+    list(fn2((1,), iter(batch([(s(100), 1, "view")])), st2))
+    out2 = list(fn2((1,), iter(batch(
+        [(s(50), 2, "view"), (s(130), 3, "purchase"),
+         (s(140), 4, "purchase")])), st2))
+    assert int(out2[-1]["n_matches"].iloc[0]) == 2

@@ -691,3 +691,31 @@ def test_kmp_matches_stepper_equals_re_finditer(rows, pat_i, cuts):
                 got |= set(zip(out["start_event_id"].tolist(),
                                out["end_event_id"].tolist()))
         assert got == want, (stages, seq, got, want)
+
+
+@settings(max_examples=10, deadline=None)
+@given(rows=seq_strategy,
+       horizons=st.integers(1, 3))
+def test_cep_chunked_fork_loop_equals_unchunked(spark, rows, horizons):
+    """Exact time-chunking extends to the BOUNDED LOOP family (round
+    9): a loop match is also a function of its anchor alone, so the
+    chunked compile with the owned-anchor gate plus the loop array
+    must equal both the plain fork-loop fold and the brute-force match
+    enumeration — boundary-straddling loop extensions included (a
+    close in the overlap region extends anchors owned by the previous
+    chunk)."""
+    pat = (Pattern.begin("a", "view").followed_by("b", "click")
+           .followed_by("c", "purchase").one_or_more()
+           .within("12 hours").no_skip())
+    df = _mk(spark, rows)
+    env = StreamExecutionEnvironment.get_execution_environment(spark)
+    chunked = {r["user_id"]: r["n_matches"] for r in
+               (env.from_dataframe(df).key_by("user_id")
+                .pattern(pat, chunked=True, chunk_horizons=horizons)
+                .to_df().collect())}
+    plain = _run(spark, df, pat)
+    assert chunked == plain
+    want = {u: _brute_fork_loop(seq, ["view", "click", "purchase"],
+                                12 * 60)
+            for u, seq in _per_user_ordered(rows).items()}
+    assert chunked == {u: n for u, n in want.items() if n > 0}
