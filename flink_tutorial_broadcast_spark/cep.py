@@ -121,8 +121,9 @@ class Pattern:
         return Pattern(stages=[_Stage(name, event_type, "begin")])
 
     def _append(self, name: str, event_type: str, contiguity: str) -> "Pattern":
-        if any(s.contiguity == "not_followed_by" for s in self.stages):
-            raise ValueError("not_followed_by must be the final stage")
+        # not_followed_by may appear MID-pattern (r9): it compiles as a
+        # VETO on the next await (_veto_codes validates the shape);
+        # only the FINAL-stage form is the timer/anti-join absence
         self.stages.append(_Stage(name, event_type, contiguity))
         return self
 
@@ -191,7 +192,9 @@ class Pattern:
                 and not any(s.one_or_more for s in self.stages[:-1])
                 and last.contiguity in ("begin", "followed_by")
                 and self.skip == "no_skip"
-                and self.within_us is not None):
+                and self.within_us is not None
+                and not any(s.contiguity == "not_followed_by"
+                            for s in self.stages)):
             # one_or_more() bounded by within(d) on the FINAL relaxed
             # stage under noSkip compiles on the fork machine with one
             # extra horizon-bounded LOOP set (r9): every in-horizon
@@ -300,10 +303,64 @@ def _type_codes(pat: Pattern) -> dict[str, int]:
     return codes
 
 
+def _await_stages(pat: Pattern) -> list:
+    """The stages a run actually ADVANCES through — mid-pattern
+    not_followed_by stages are stripped here and become per-await VETO
+    codes (_veto_codes) instead of awaits."""
+    return [s for s in pat.stages if s.contiguity != "not_followed_by"]
+
+
 def _stage_codes(pat: Pattern) -> list[int]:
-    """Per-stage awaited type code, index-aligned with pat.stages."""
+    """Per-AWAIT type code, index-aligned with _await_stages(pat).
+    Codes come from the FULL pattern so veto (not_followed_by) types
+    are detectable in the event stream too."""
     codes = _type_codes(pat)
-    return [codes[s.event_type] for s in pat.stages]
+    return [codes[s.event_type] for s in _await_stages(pat)]
+
+
+def _veto_codes(pat: Pattern) -> list[int]:
+    """Per-await VETO type code (-1 = none), index-aligned with
+    _await_stages(pat) [FLINK-API: Pattern#notFollowedBy mid-pattern]:
+    `begin(a).not_followed_by(b).followed_by(c)` means an intervening
+    `b` while awaiting `c` KILLS the partial run (possibly re-anchoring
+    on the same event) — the await immediately after the stripped NFB
+    stage carries its type code. Validations are loud: consecutive or
+    quantified not_followed_by, and not_followed_by before a strict
+    next() await (strict contiguity already forbids intervening
+    events), all refuse."""
+    codes = _type_codes(pat)
+    out: list[int] = []
+    pending = -1
+    for s in pat.stages:
+        if s.contiguity == "not_followed_by":
+            if pending != -1:
+                raise NotImplementedError(
+                    "consecutive not_followed_by stages are not "
+                    "compiled — merge them or interleave awaits")
+            if s.times or s.one_or_more:
+                raise NotImplementedError(
+                    "quantified not_followed_by is not compiled (a "
+                    "single intervening event already kills the run)")
+            pending = codes[s.event_type]
+            continue
+        if pending != -1 and pending == codes.get(s.event_type):
+            raise NotImplementedError(
+                "not_followed_by of the SAME type as the following "
+                "await is contradictory (the awaited event would veto "
+                "itself)")
+        if pending != -1 and s.contiguity == "next":
+            raise NotImplementedError(
+                "not_followed_by before a strict next() await is not "
+                "compiled — strict contiguity already forbids any "
+                "intervening event")
+        out.append(pending)
+        pending = -1
+    return out
+
+
+def _has_mid_nfb(pat: Pattern) -> bool:
+    return any(s.contiguity == "not_followed_by"
+               for s in pat.stages[:-1])
 
 
 def _batch_rows(pdf, nk: int, type_codes: dict[str, int] | None,
@@ -403,7 +460,7 @@ def _strict_flags(pat: Pattern) -> list[bool]:
     had to be the awaited one [FLINK-API: Pattern#next] — instead of
     being skipped over as followed_by allows. stages[0] (begin) is
     never strict: before the anchor there is no previous match."""
-    return [s.contiguity == "next" for s in pat.stages]
+    return [s.contiguity == "next" for s in _await_stages(pat)]
 
 
 def _strict_arr(pat: Pattern):
@@ -415,17 +472,22 @@ def _relaxed_machine(pat, df, keys, time_col, tiebreak_col, event_col):
     # q_cep_followed_by generalized; acc = (matches, stage), O(1) state.
     # A non-matching event at a strict (next) await kills the run and
     # may itself re-anchor a new one (mixed-contiguity support).
-    K = len(pat.stages)
+    K = len(_stage_codes(pat))
     seq = _seq(pat, time_col, tiebreak_col, event_col)
     need = _need(pat)
     strict = _strict_arr(pat)
+    veto = F.array(*[F.lit(v) for v in _veto_codes(pat)])
     init = F.struct(F.lit(0).cast("long").alias("cnt"),
                     F.lit(0).alias("stage"))
 
     def step(acc, x):
         adv = x["c"] == F.get(need, acc["stage"])
         done = adv & (acc["stage"] == K - 1)
-        die = (~adv) & F.get(strict, acc["stage"]) & (acc["stage"] > 0)
+        # a strict-await miss OR a mid-pattern not_followed_by veto
+        # kills the run (the veto event may itself re-anchor)
+        die = ((((~adv) & F.get(strict, acc["stage"]))
+                | (x["c"] == F.get(veto, acc["stage"])))
+               & (acc["stage"] > 0))
         restart = die & (x["c"] == F.get(need, F.lit(0)))
         return F.struct(
             F.when(done, acc["cnt"] + 1).otherwise(acc["cnt"])
@@ -447,11 +509,12 @@ def _relaxed_within_machine(pat, df, keys, time_col, tiebreak_col,
     # match horizon — q_cep_followed_by_within generalized: O(1) state
     # (cnt, stage, anchor µs); an expired partial resets BEFORE the
     # event is considered, so the expiring event can anchor a new match
-    K = len(pat.stages)
+    K = len(_stage_codes(pat))
     w = pat.within_us
     seq = _seq(pat, time_col, tiebreak_col, event_col)
     need = _need(pat)
     strict = _strict_arr(pat)
+    veto = F.array(*[F.lit(v) for v in _veto_codes(pat)])
     init = F.struct(F.lit(0).cast("long").alias("cnt"),
                     F.lit(0).alias("stage"),
                     F.lit(0).cast("long").alias("anchor"))
@@ -462,7 +525,9 @@ def _relaxed_within_machine(pat, df, keys, time_col, tiebreak_col,
             F.lit(0)).otherwise(acc["stage"])
         adv = x["c"] == F.get(need, stage)
         done = adv & (stage == K - 1)
-        die = (~adv) & F.get(strict, stage) & (stage > 0)
+        die = ((((~adv) & F.get(strict, stage))
+                | (x["c"] == F.get(veto, stage)))
+               & (stage > 0))
         restart = die & (x["c"] == F.get(need, F.lit(0)))
         return F.struct(
             F.when(done, acc["cnt"] + 1).otherwise(acc["cnt"])
@@ -487,10 +552,11 @@ def _fork_machine(pat, df, keys, time_col, tiebreak_col, event_col):
     # adjacent stages (repeated types, a→a) simultaneously drains a set
     # upward and refills it from below — the Flink NFA's one-event-many-
     # transitions behavior.
-    K = len(pat.stages)
+    K = len(_stage_codes(pat))
     w = pat.within_us
     st = _stage_codes(pat)
     strict = _strict_flags(pat)
+    veto = _veto_codes(pat)
     seq = _seq(pat, time_col, tiebreak_col, event_col)
     empty = F.array().cast("array<long>")
     init = F.struct(F.lit(0).cast("long").alias("cnt"),
@@ -513,10 +579,15 @@ def _fork_machine(pat, df, keys, time_col, tiebreak_col, event_col):
             # A strict (next) await drains-or-DIES: on a match the runs
             # promote upward; on anything else their immediate-next
             # event was wrong, so the whole set clears either way.
+            # A mid-pattern not_followed_by VETO for this await kills
+            # the whole set the same way.
             if strict[i]:  # stages[i] is the await of set s_i
                 base = empty
             else:
-                base = F.when(match[i + 1], empty).otherwise(filt[i])
+                drain = match[i + 1]
+                if veto[i] != -1:
+                    drain = drain | (x["c"] == F.lit(veto[i]))
+                base = F.when(drain, empty).otherwise(filt[i])
             incoming = (F.array(x["t"]) if i == 1 else filt[i - 1])
             col = (F.when(match[i], F.concat(base, incoming))
                    .otherwise(base))
@@ -563,6 +634,10 @@ def compile_pattern_chunked(pat: Pattern, df: DataFrame,
     if pat.within_us is None:
         raise ValueError("chunked compilation needs within(): the "
                          "horizon defines both chunk size and overlap")
+    if _has_mid_nfb(pat):
+        raise NotImplementedError(
+            "chunked compilation does not carry mid-pattern "
+            "not_followed_by vetoes yet — use the plain fork compile")
     pat = pat._expanded()
     K = len(pat.stages)
     w = pat.within_us
@@ -746,6 +821,11 @@ def compile_pattern_matches(pat: Pattern, df: DataFrame,
             "strict-chain match extraction carries FIXED strings "
             "(next chains and times(n)); one_or_more is variable-"
             "length — use pattern() for its count (the regex path)")
+    if _has_mid_nfb(pat):
+        raise NotImplementedError(
+            "mid-pattern not_followed_by match extraction is not "
+            "compiled — use pattern() for its count (the veto "
+            "machines)")
     # expand FIRST: begin(a).times(3) is a 1-stage pattern whose
     # expansion has 3 stages — the guard applies to the expanded form
     pat = pat._expanded()
@@ -1003,7 +1083,8 @@ def _fork_loop_matches(pat, df, keys, time_col, tiebreak_col,
 
 def relaxed_stepper(type_codes: dict[str, int], stage_codes: list[int],
                     strict: list[bool] | None = None,
-                    key_cols: list[str] | None = None):
+                    key_cols: list[str] | None = None,
+                    veto: list[int] | None = None):
     """applyInPandasWithState step for the skip-past-last machine —
     the streaming/jobs._cep_advance register (cnt, stage), generalized
     to K stages with stage-index transitions and per-stage strict
@@ -1013,6 +1094,7 @@ def relaxed_stepper(type_codes: dict[str, int], stage_codes: list[int],
     projected keys-first, so the payload offset is len(key_cols)."""
     K = len(stage_codes)
     strict = strict or [False] * K
+    veto = veto or [-1] * K
     key_cols = key_cols or ["key"]
     nk = len(key_cols)
 
@@ -1028,7 +1110,7 @@ def relaxed_stepper(type_codes: dict[str, int], stage_codes: list[int],
                     cnt, stage = cnt + 1, 0
                 else:
                     stage += 1
-            elif strict[stage] and stage > 0:
+            elif stage > 0 and (strict[stage] or c == veto[stage]):
                 stage = 1 if c == stage_codes[0] else 0
         state.update((cnt, stage))
         yield pd.DataFrame(
@@ -1123,7 +1205,8 @@ def kmp_stepper(type_codes: dict[str, int], stage_codes: list[int],
 def relaxed_within_stepper(type_codes: dict[str, int],
                            stage_codes: list[int], within_us: int,
                            strict: list[bool] | None = None,
-                           key_cols: list[str] | None = None):
+                           key_cols: list[str] | None = None,
+                           veto: list[int] | None = None):
     """applyInPandasWithState step for the bounded single-anchor
     machine — state (cnt, stage, anchor µs); expiry applied before each
     event exactly like the batch fold, so state is O(1) per key and the
@@ -1131,6 +1214,7 @@ def relaxed_within_stepper(type_codes: dict[str, int],
     kill-or-re-anchor on a miss."""
     K = len(stage_codes)
     strict = strict or [False] * K
+    veto = veto or [-1] * K
     key_cols = key_cols or ["key"]
     nk = len(key_cols)
 
@@ -1150,7 +1234,7 @@ def relaxed_within_stepper(type_codes: dict[str, int],
                     if stage == 0:
                         anchor = t
                     stage += 1
-            elif strict[stage] and stage > 0:
+            elif stage > 0 and (strict[stage] or c == veto[stage]):
                 if c == stage_codes[0]:
                     stage, anchor = 1, t
                 else:
@@ -1165,7 +1249,8 @@ def relaxed_within_stepper(type_codes: dict[str, int],
 def fork_stepper(type_codes: dict[str, int], stage_codes: list[int],
                  within_us: int | None,
                  strict: list[bool] | None = None,
-                 key_cols: list[str] | None = None):
+                 key_cols: list[str] | None = None,
+                 veto: list[int] | None = None):
     """applyInPandasWithState step for the forking NFA — the
     streaming/jobs._cep_fork_advance anchor-set machine, generalized:
     state = (cnt, s1..s_{K-1} anchor-µs arrays), expiry applied before
@@ -1175,6 +1260,7 @@ def fork_stepper(type_codes: dict[str, int], stage_codes: list[int],
     fold."""
     K = len(stage_codes)
     strict = strict or [False] * K
+    veto = veto or [-1] * K
     key_cols = key_cols or ["key"]
     nk = len(key_cols)
 
@@ -1206,8 +1292,11 @@ def fork_stepper(type_codes: dict[str, int], stage_codes: list[int],
             # top-down in place: each old sets[i-1] has exactly ONE
             # consumer (stage i), so the pre-event snapshot is implicit
             for i in range(K - 2, -1, -1):
-                # strict awaits drain-or-die (see _fork_machine)
-                if strict[i + 1] or match[i + 1]:
+                # strict awaits drain-or-die; a mid-pattern
+                # not_followed_by VETO drains the set the same way
+                # (see _fork_machine)
+                if (strict[i + 1] or match[i + 1]
+                        or c == veto[i + 1]):
                     base = deque()
                 else:
                     base = sets[i]
@@ -1690,19 +1779,22 @@ def compile_pattern_stream(pat: Pattern, sdf: DataFrame,
             outputMode="Append",
             timeoutConf=GroupStateTimeout.EventTimeTimeout)
     pat = pat._expanded()
-    K = len(pat.stages)
     tcodes = _type_codes(pat)
     scodes = _stage_codes(pat)
+    K = len(scodes)  # awaits only — mid-pattern NFB stages are vetoes
     sflags = _strict_flags(pat)
+    vcodes = _veto_codes(pat)
     if fam == "relaxed":
         out_schema = f"{key_schema}, n_matches long, stage long"
         state_schema = "cnt long, stage long"
-        fn = relaxed_stepper(tcodes, scodes, sflags, key_cols=keys)
+        fn = relaxed_stepper(tcodes, scodes, sflags, key_cols=keys,
+                             veto=vcodes)
     elif fam == "relaxed_within":
         out_schema = f"{key_schema}, n_matches long, stage long"
         state_schema = "cnt long, stage long, anchor long"
         fn = relaxed_within_stepper(tcodes, scodes, pat.within_us,
-                                    sflags, key_cols=keys)
+                                    sflags, key_cols=keys,
+                                    veto=vcodes)
     elif fam == "fork_loop":
         out_schema = f"{key_schema}, n_matches long"
         state_schema = "cnt long, " + ", ".join(
@@ -1715,7 +1807,7 @@ def compile_pattern_stream(pat: Pattern, sdf: DataFrame,
         state_schema = "cnt long, " + ", ".join(
             f"s{i} array<long>" for i in range(1, K))
         fn = fork_stepper(tcodes, scodes, pat.within_us, sflags,
-                          key_cols=keys)
+                          key_cols=keys, veto=vcodes)
     return proj.groupBy(*keys).applyInPandasWithState(
         fn, outputStructType=out_schema, stateStructType=state_schema,
         outputMode="Update", timeoutConf=GroupStateTimeout.NoTimeout)
@@ -1746,6 +1838,11 @@ def compile_pattern_matches_stream(pat: Pattern, sdf: DataFrame,
             "strict-chain match extraction carries FIXED strings "
             "(next chains and times(n)); one_or_more is variable-"
             "length — use pattern() for its count (the regex path)")
+    if _has_mid_nfb(pat):
+        raise NotImplementedError(
+            "mid-pattern not_followed_by match extraction is not "
+            "compiled — use pattern() for its count (the veto "
+            "machines)")
     # expand FIRST so begin(a).times(3) (1 written stage, 3 expanded)
     # compiles here exactly as it does under pattern()
     pat = pat._expanded()

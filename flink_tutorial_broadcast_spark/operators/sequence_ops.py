@@ -990,6 +990,62 @@ def q_cep_one_or_more_bounded(spark: SparkSession,
 
 
 @query(
+    "q_cep_not_between",
+    oracle="""
+    WITH RECURSIVE codes AS (
+      SELECT user_id,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS i,
+             CASE event_type WHEN 'view' THEN 1 WHEN 'purchase' THEN 2
+                  WHEN 'error' THEN 3 ELSE 0 END AS c
+      FROM events
+    ), n AS (
+      SELECT user_id, COUNT(*) AS n_ev FROM codes GROUP BY user_id
+    ), run AS (
+      SELECT user_id, 0 AS i, 0 AS acc FROM n
+      UNION ALL
+      SELECT r.user_id, r.i + 1,
+             CASE WHEN r.acc % 10 = 0 AND c.c = 1 THEN r.acc + 1
+                  WHEN r.acc % 10 = 1 AND c.c = 2 THEN r.acc + 9
+                  WHEN r.acc % 10 = 1 AND c.c = 3 THEN r.acc - 1
+                  ELSE r.acc END
+      FROM run r JOIN codes c ON c.user_id = r.user_id AND c.i = r.i + 1
+    )
+    SELECT r.user_id, CAST(r.acc // 10 AS BIGINT) AS n_matches
+    FROM run r JOIN n ON r.user_id = n.user_id AND r.i = n.n_ev
+    WHERE r.acc // 10 > 0
+    """,
+)
+def q_cep_not_between(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MID-pattern notFollowedBy [FLINK-API: Pattern.begin(a)
+    .notFollowedBy(b).followedBy(c) — the docs' 'a then c with NO b in
+    between'; round 9 lifts the engine's final-stage-only restriction]:
+    view → purchase with no intervening error, under skip-past-last.
+    The stripped not_followed_by stage compiles to a per-await VETO
+    type code (cep._veto_codes): an error arriving while awaiting the
+    purchase KILLS the partial run exactly like a strict-await miss
+    (possibly re-anchoring on the same event); all three relaxed-family
+    machines and their streaming steppers carry the rule. The oracle
+    replays the identical veto automaton as a recursive-CTE step
+    relation (acc = 10×matches + stage; stage-1 error subtracts the
+    stage bit), so the hash match pins the veto machine itself.
+    Property twin: test_cep_properties.test_cep_veto_*; streaming:
+    test_pattern_streaming_not_between."""
+    from flink_tutorial_broadcast_spark.cep import Pattern
+    from flink_tutorial_broadcast_spark.datastream import (
+        StreamExecutionEnvironment,
+    )
+    env = StreamExecutionEnvironment.get_execution_environment(spark)
+    pat = (Pattern.begin("v", "view")
+           .not_followed_by("e", "error")
+           .followed_by("p", "purchase"))
+    return (env.from_dataframe(load(spark, sf_dir, "events"))
+            .key_by("user_id")
+            .pattern(pat)
+            .to_df())
+
+
+@query(
     "q_cep_strict_matches",
     oracle="""
     WITH RECURSIVE codes AS (

@@ -114,9 +114,16 @@ def test_pattern_rejects_uncompilable_combinations(spark):
     with pytest.raises(ValueError, match="within"):
         ks.pattern(absence_unbounded)
 
-    not_mid = Pattern.begin("v", "view").not_followed_by("p", "purchase")
-    with pytest.raises(ValueError, match="final"):
-        not_mid.followed_by("x", "click")
+    # mid-pattern not_followed_by COMPILES as of round 9 (the veto
+    # machines — q_cep_not_between); the FINAL-stage absence form
+    # still demands within() (checked above), and a final NFB on a
+    # longer pattern stays a loud refusal
+    long_absence = (Pattern.begin("v", "view")
+                    .followed_by("c", "click")
+                    .not_followed_by("p", "purchase")
+                    .within("1 hour"))
+    with pytest.raises(NotImplementedError, match="single anchored"):
+        ks.pattern(long_absence)
 
 
 def _two_file_stream(spark, cols):
@@ -1159,3 +1166,54 @@ def test_fork_stepper_expires_late_out_of_order_anchors():
         [(s(50), 2, "view"), (s(130), 3, "purchase"),
          (s(140), 4, "purchase")])), st2))
     assert int(out2[-1]["n_matches"].iloc[0]) == 2
+
+
+def test_pattern_streaming_not_between(spark, queries):
+    """Streaming mid-pattern not_followed_by (round 9): the veto-aware
+    relaxed stepper must converge across the micro-batch boundary to
+    the oracle-backed q_cep_not_between counts — a veto (error) in a
+    LATER micro-batch must still kill a partial carried in state."""
+    from flink_tutorial_broadcast_spark.streaming.jobs import (
+        _run_to_memory,
+    )
+
+    pat = (Pattern.begin("v", "view")
+           .not_followed_by("e", "error")
+           .followed_by("p", "purchase"))
+    sdf = _two_file_stream(
+        spark, ["user_id", "ts", "event_id", "event_type"])
+    out = (_env(spark).from_dataframe(sdf)
+           .key_by("user_id").pattern(pat).to_df())
+    assert out.isStreaming
+    rows = _run_to_memory(out, "update").collect()
+    final: dict[int, int] = {}
+    for r in rows:
+        final[r["user_id"]] = max(final.get(r["user_id"], 0),
+                                  r["n_matches"])
+    want = {r["user_id"]: r["n_matches"] for r in
+            queries["q_cep_not_between"](spark, SF_SMOKE).collect()}
+    assert {u: n for u, n in final.items() if n > 0} == want
+    assert want  # non-vacuous
+
+    # loud shape refusals: consecutive NFB, NFB-before-next,
+    # self-vetoing await, quantified NFB, extraction
+    ks = (_env(spark)
+          .from_dataframe(load(spark, SF_SMOKE, "events"))
+          .key_by("user_id"))
+    with pytest.raises(NotImplementedError, match="consecutive"):
+        ks.pattern(Pattern.begin("v", "view")
+                   .not_followed_by("e", "error")
+                   .not_followed_by("c", "click")
+                   .followed_by("p", "purchase"))
+    with pytest.raises(NotImplementedError, match="strict next"):
+        ks.pattern(Pattern.begin("v", "view")
+                   .not_followed_by("e", "error")
+                   .next("p", "purchase"))
+    with pytest.raises(NotImplementedError, match="veto itself"):
+        ks.pattern(Pattern.begin("v", "view")
+                   .not_followed_by("p", "purchase")
+                   .followed_by("p2", "purchase"))
+    with pytest.raises(NotImplementedError, match="not compiled"):
+        ks.pattern_matches(Pattern.begin("v", "view")
+                           .not_followed_by("e", "error")
+                           .followed_by("p", "purchase"))

@@ -719,3 +719,65 @@ def test_cep_chunked_fork_loop_equals_unchunked(spark, rows, horizons):
                                 12 * 60)
             for u, seq in _per_user_ordered(rows).items()}
     assert chunked == {u: n for u, n in want.items() if n > 0}
+
+
+def _ref_veto_relaxed(seq, begin_ty, veto_ty, close_ty):
+    """Skip-past-last single-anchor machine with a mid-pattern
+    not_followed_by veto on the closing await."""
+    stage = cnt = 0
+    for _, ty in seq:
+        if stage == 0:
+            if ty == begin_ty:
+                stage = 1
+        else:
+            if ty == close_ty:
+                cnt, stage = cnt + 1, 0
+            elif ty == veto_ty:
+                stage = 1 if ty == begin_ty else 0
+    return cnt
+
+
+def _ref_veto_fork(seq, begin_ty, veto_ty, close_ty, within_min):
+    """noSkip forking machine with the veto drain."""
+    anchors: list[int] = []
+    cnt = 0
+    for m, ty in seq:
+        anchors = [a for a in anchors if m - a <= within_min]
+        if ty == close_ty:
+            cnt += len(anchors)
+            anchors = []
+        elif ty == veto_ty:
+            anchors = []
+        if ty == begin_ty:
+            anchors.append(m)
+    return cnt
+
+
+@settings(max_examples=10, deadline=None)
+@given(rows=seq_strategy)
+def test_cep_veto_relaxed_matches_python_nfa(spark, rows):
+    """Mid-pattern not_followed_by (round 9): begin(view)
+    .not_followed_by(other).followed_by(purchase) under skip-past-last
+    — the veto machine must equal the independent pure-Python
+    automaton on random sequences."""
+    pat = (Pattern.begin("v", "view").not_followed_by("x", "other")
+           .followed_by("p", "purchase"))
+    got = _run(spark, _mk(spark, rows), pat)
+    want = {u: _ref_veto_relaxed(seq, "view", "other", "purchase")
+            for u, seq in _per_user_ordered(rows).items()}
+    assert got == {u: n for u, n in want.items() if n > 0}
+
+
+@settings(max_examples=10, deadline=None)
+@given(rows=seq_strategy)
+def test_cep_veto_fork_matches_python_nfa(spark, rows):
+    """Mid-pattern not_followed_by on the FORKING machine: a veto
+    event drains every open anchor awaiting the close (noSkip +
+    within)."""
+    pat = (Pattern.begin("v", "view").not_followed_by("x", "other")
+           .followed_by("p", "purchase").within("12 hours").no_skip())
+    got = _run(spark, _mk(spark, rows), pat)
+    want = {u: _ref_veto_fork(seq, "view", "other", "purchase",
+                              12 * 60)
+            for u, seq in _per_user_ordered(rows).items()}
+    assert got == {u: n for u, n in want.items() if n > 0}
