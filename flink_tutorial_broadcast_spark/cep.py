@@ -177,16 +177,22 @@ class Pattern:
         cont = [s.contiguity for s in self.stages[1:]]
         quant = any(s.times or s.one_or_more for s in self.stages)
         if self.stages[-1].contiguity == "not_followed_by":
-            if len(self.stages) != 2 or quant:
+            last = self.stages[-1]
+            if last.times or last.one_or_more:
                 raise NotImplementedError(
-                    "not_followed_by compiles as begin(a)."
-                    "not_followed_by(b).within(d) — a single anchored "
-                    "absence (the q_cep_not_followed_by shape)")
+                    "quantified not_followed_by is not compiled (a "
+                    "single intervening event already kills the run)")
             if self.within_us is None:
                 raise ValueError(
                     "not_followed_by needs within(): absence over an "
                     "unbounded future never completes")
-            return "absence"
+            if len(self.stages) == 2:
+                return "absence"
+            # K-stage ANCHORED-CHAIN absence (r9): the prefix pattern
+            # completes, then NOTHING of the absent type arrives in
+            # (t_last_element, t_anchor + d] — compiles as the prefix's
+            # match extraction anti-joined against the absent type
+            return "absence_chain"
         last = self.stages[-1]
         if (last.one_or_more and last.times is None
                 and not any(s.one_or_more for s in self.stages[:-1])
@@ -276,6 +282,9 @@ def compile_pattern(pat: Pattern, df: DataFrame, keys: list[str],
     fam = pat._family()
     if fam == "absence":
         return _absence(pat, df, keys, time_col, tiebreak_col, event_col)
+    if fam == "absence_chain":
+        return _absence_chain(pat, df, keys, time_col, tiebreak_col,
+                              event_col)
     if fam == "strict":
         return _strict_regex(pat, df, keys, time_col, tiebreak_col,
                              event_col)
@@ -719,6 +728,46 @@ def compile_pattern_chunked(pat: Pattern, df: DataFrame,
     return (per_chunk.groupBy(*keys)
             .agg(F.sum("__n").cast("long").alias("n_matches"))
             .filter(F.col("n_matches") > 0))
+
+
+def _absence_chain(pat, df, keys, time_col, tiebreak_col, event_col):
+    """K-stage ANCHORED-CHAIN absence (r9) [FLINK-API: Pattern.begin(a)
+    .followedBy(c)...notFollowedBy(b).within(d) — the NFA completes the
+    prefix, waits, and emits when the horizon passes with no b]: the
+    compiled form is a COMPOSITION — the prefix pattern's match
+    extraction (skip-past-last or noSkip, exactly the machines
+    pattern_matches() already pins) LEFT-ANTI joined against the absent
+    type over the band (t_last_element, t_anchor + d]. Emits one row
+    per surviving prefix match: (keys..., anchor_id) — the
+    q_cep_not_followed_by output shape, generalized. Streaming stays
+    the 2-stage timer form (this family refuses on streams — the
+    composition needs the completed-prefix set)."""
+    b_type = pat.stages[-1].event_type
+    w = pat.within_us
+    prefix = Pattern(stages=list(pat.stages[:-1]), within_us=w,
+                     skip=pat.skip)
+    m = compile_pattern_matches(prefix, df, keys, time_col,
+                                tiebreak_col, event_col)
+    ev_t = df.select(
+        *[F.col(k).alias(f"__k_{k}") for k in keys],
+        F.col(tiebreak_col).alias("__aid"),
+        F.unix_micros(time_col).alias("__a_t"))
+    a_cond = F.col("start_event_id") == F.col("__aid")
+    for k in keys:
+        a_cond = a_cond & (F.col(k) == F.col(f"__k_{k}"))
+    anch = (m.join(ev_t, a_cond)
+            .select(*keys, F.col("start_event_id").alias("anchor_id"),
+                    F.col("__a_t").alias("__t_a"),
+                    (F.col("__a_t") + F.col("span_us"))
+                    .alias("__t_end")))
+    right = (df.filter(F.col(event_col) == b_type)
+             .select(*[F.col(k).alias(f"__r_{k}") for k in keys],
+                     F.unix_micros(time_col).alias("__b_t")))
+    cond = (F.col("__b_t") > F.col("__t_end"))         & (F.col("__b_t") <= F.col("__t_a") + F.lit(w))
+    for k in keys:
+        cond = cond & (F.col(k) == F.col(f"__r_{k}"))
+    return (anch.join(right, cond, "left_anti")
+            .select(*keys, "anchor_id"))
 
 
 def _fork_loop_machine(pat, df, keys, time_col, tiebreak_col, event_col):

@@ -990,6 +990,85 @@ def q_cep_one_or_more_bounded(spark: SparkSession,
 
 
 @query(
+    "q_cep_absence_chain",
+    oracle="""
+    WITH RECURSIVE codes AS (
+      SELECT user_id, event_id,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS i,
+             CASE event_type WHEN 'view' THEN 1 WHEN 'click' THEN 2
+                  WHEN 'purchase' THEN 3 ELSE 0 END AS c,
+             epoch_us(ts) AS t
+      FROM events
+    ), n AS (
+      SELECT user_id, COUNT(*) AS n_ev FROM codes GROUP BY user_id
+    ), run AS (
+      SELECT user_id, 0 AS i, 0 AS stage,
+             CAST(0 AS BIGINT) AS anchor_id,
+             CAST(0 AS BIGINT) AS anchor_t, FALSE AS completed,
+             CAST(NULL AS BIGINT) AS s_id, CAST(NULL AS BIGINT) AS a_t,
+             CAST(NULL AS BIGINT) AS e_t
+      FROM n
+      UNION ALL
+      SELECT r.user_id, r.i + 1,
+             CASE WHEN f.st = 0 AND c.c = 1 THEN 1
+                  WHEN f.st = 1 AND c.c = 2 THEN 0
+                  ELSE f.st END,
+             CASE WHEN f.st = 0 AND c.c = 1 THEN c.event_id
+                  ELSE r.anchor_id END,
+             CASE WHEN f.st = 0 AND c.c = 1 THEN c.t
+                  ELSE r.anchor_t END,
+             f.st = 1 AND c.c = 2,
+             CASE WHEN f.st = 1 AND c.c = 2 THEN r.anchor_id END,
+             CASE WHEN f.st = 1 AND c.c = 2 THEN r.anchor_t END,
+             CASE WHEN f.st = 1 AND c.c = 2 THEN c.t END
+      FROM run r JOIN codes c ON c.user_id = r.user_id AND c.i = r.i + 1
+      CROSS JOIN LATERAL (
+        SELECT CASE WHEN r.stage = 1
+                     AND c.t - r.anchor_t > 172800000000
+                    THEN 0 ELSE r.stage END AS st) f
+    ), pm AS (
+      SELECT user_id, s_id, a_t, e_t FROM run WHERE completed
+    ), p AS (
+      SELECT user_id, t FROM codes WHERE c = 3
+    )
+    SELECT pm.user_id, pm.s_id AS anchor_id
+    FROM pm
+    WHERE NOT EXISTS (
+      SELECT 1 FROM p WHERE p.user_id = pm.user_id
+        AND p.t > pm.e_t AND p.t <= pm.a_t + 172800000000)
+    """,
+)
+def q_cep_absence_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-stage ANCHORED-CHAIN absence (round 9 — generalizes
+    q_cep_not_followed_by beyond the 2-stage form) [FLINK-API:
+    Pattern.begin(a).followedBy(c).notFollowedBy(b).within(d) — the
+    NFA completes the prefix, waits, and emits when the horizon passes
+    with no b]: view → click (skip-past-last, bounded by the same 48h
+    horizon), then NO purchase in (t_click, t_view + 48h]. Compiles as
+    a composition: the prefix's match extraction
+    (cep.compile_pattern_matches — the machine q_cep_match_measures
+    pins) LEFT-ANTI joined against purchases over the band
+    (cep._absence_chain). The oracle replays the identical bounded
+    2-stage extraction machine as a recursive CTE and applies the same
+    NOT EXISTS band. Streaming stays the 2-stage timer form (the
+    chain family refuses on streams, loudly)."""
+    from flink_tutorial_broadcast_spark.cep import Pattern
+    from flink_tutorial_broadcast_spark.datastream import (
+        StreamExecutionEnvironment,
+    )
+    env = StreamExecutionEnvironment.get_execution_environment(spark)
+    pat = (Pattern.begin("v", "view")
+           .followed_by("c", "click")
+           .not_followed_by("p", "purchase")
+           .within("48 hours"))
+    return (env.from_dataframe(load(spark, sf_dir, "events"))
+            .key_by("user_id")
+            .pattern(pat)
+            .to_df())
+
+
+@query(
     "q_cep_not_between",
     oracle="""
     WITH RECURSIVE codes AS (

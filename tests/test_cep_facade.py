@@ -114,16 +114,15 @@ def test_pattern_rejects_uncompilable_combinations(spark):
     with pytest.raises(ValueError, match="within"):
         ks.pattern(absence_unbounded)
 
-    # mid-pattern not_followed_by COMPILES as of round 9 (the veto
-    # machines — q_cep_not_between); the FINAL-stage absence form
-    # still demands within() (checked above), and a final NFB on a
-    # longer pattern stays a loud refusal
-    long_absence = (Pattern.begin("v", "view")
-                    .followed_by("c", "click")
-                    .not_followed_by("p", "purchase")
-                    .within("1 hour"))
-    with pytest.raises(NotImplementedError, match="single anchored"):
-        ks.pattern(long_absence)
+    # mid-pattern not_followed_by and the anchored-CHAIN absence both
+    # COMPILE as of round 9 (q_cep_not_between / q_cep_absence_chain);
+    # what stays refused: quantified NFB, and the chain form on a
+    # STREAM (the composition needs the completed-prefix set — only
+    # the 2-stage timer form streams)
+    with pytest.raises(NotImplementedError, match="quantified"):
+        ks.pattern(Pattern.begin("v", "view")
+                   .not_followed_by("p", "purchase").times(2)
+                   .within("1 hour"))
 
 
 def _two_file_stream(spark, cols):

@@ -781,3 +781,42 @@ def test_cep_veto_fork_matches_python_nfa(spark, rows):
                               12 * 60)
             for u, seq in _per_user_ordered(rows).items()}
     assert got == {u: n for u, n in want.items() if n > 0}
+
+
+@settings(max_examples=10, deadline=None)
+@given(rows=seq_strategy)
+def test_cep_absence_chain_matches_brute_force(spark, rows):
+    """Anchored-chain absence (round 9): begin(view).followed_by(click)
+    .not_followed_by(purchase).within(12h) — the prefix-extraction +
+    anti-join composition must equal a brute-force replay: bounded
+    skip-past-last view→click matches with no purchase in
+    (t_click, t_view + 12h]."""
+    pat = (Pattern.begin("a", "view").followed_by("b", "click")
+           .not_followed_by("x", "purchase").within("12 hours"))
+    env = StreamExecutionEnvironment.get_execution_environment(spark)
+    got = {(r["user_id"], r["anchor_id"]) for r in
+           (env.from_dataframe(_mk(spark, rows)).key_by("user_id")
+            .pattern(pat).to_df().collect())}
+
+    w = 12 * 60
+    want = set()
+    per = {}
+    for i, (u, m, t) in enumerate(rows):
+        per.setdefault(u, []).append((m, i, TYPES[t]))
+    for u, evs in per.items():
+        seq = sorted(evs)
+        stage, a_m, a_id = 0, 0, 0
+        matches = []  # (anchor_id, a_m, e_m)
+        for m, i, ty in seq:
+            if stage == 1 and m - a_m > w:
+                stage = 0
+            if stage == 0 and ty == "view":
+                stage, a_m, a_id = 1, m, i
+            elif stage == 1 and ty == "click":
+                matches.append((a_id, a_m, m))
+                stage = 0
+        for a_id, a_m, e_m in matches:
+            if not any(ty == "purchase" and e_m < m2 <= a_m + w
+                       for m2, _, ty in seq):
+                want.add((u, a_id))
+    assert got == want
