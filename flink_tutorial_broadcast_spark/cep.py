@@ -101,15 +101,43 @@ class _Stage:
     contiguity: str          # 'begin' | 'next' | 'followed_by' | 'not_followed_by'
     times: int | None = None
     one_or_more: bool = False
+    # extra SQL conditions [FLINK-API: Pattern#where / Pattern#or]:
+    # ('and'|'or', sql) in CALL order — Flink's RichAnd/RichOrCondition
+    # nest left-associatively, so `.where(a).or_where(b).where(c)` is
+    # ((type AND a) OR b) AND c
+    conds: tuple = ()
+
+    def cond_key(self) -> tuple:
+        """Identity of this stage's full condition — stages with equal
+        keys share one condition code (repeated types/conditions share
+        a bit; transitions stay keyed by STAGE)."""
+        return (self.event_type, self.conds)
+
+    def cond_sql(self, event_col: str) -> str:
+        """The stage condition as one ANSI-SQL boolean expression over
+        the event row. Base is the event-type equality; where()/
+        or_where() fold onto it left-associatively."""
+        t = self.event_type.replace("'", "''")
+        sql = f"({event_col} = '{t}')"
+        for op, c in self.conds:
+            sql = (f"({sql} AND ({c}))" if op == "and"
+                   else f"({sql} OR ({c}))")
+        return sql
 
 
 @dataclass
 class Pattern:
     """Fluent pattern builder [FLINK-API: o.a.f.cep.pattern.Pattern].
 
-    Stage predicates are event-type LITERALS (the tutorial canon —
-    `where(e -> e.type.equals("view"))`); arbitrary predicates belong
-    in a `.filter()` before `key_by()`.
+    Stage predicates are the event-type literal (the tutorial canon —
+    `where(e -> e.type.equals("view"))`) plus optional `.where(sql)` /
+    `.or_where(sql)` refinements [FLINK-API: SimpleCondition via
+    Pattern#where, Pattern#or] — arbitrary ANSI-SQL boolean
+    expressions over the event row (both engines evaluate them, so
+    they stay oracle-checkable). Conditions may OVERLAP (one event
+    satisfying several stages' conditions): the machines key each
+    event by a condition BITMASK, exactly the stage-index transition
+    discipline that already carries repeated event types.
     """
 
     stages: list[_Stage] = field(default_factory=list)
@@ -156,6 +184,28 @@ class Pattern:
             raise ValueError("one_or_more() needs a stage")
         self.stages[-1].one_or_more = True
         return self
+
+    def where(self, sql: str) -> "Pattern":
+        """AND an SQL condition onto the LAST stage [FLINK-API:
+        Pattern#where — consecutive where() calls AND together]. The
+        expression sees the full event row (e.g. ``value >= 100``)."""
+        if not self.stages:
+            raise ValueError("where() needs a stage")
+        self.stages[-1].conds = (*self.stages[-1].conds, ("and", sql))
+        return self
+
+    def or_where(self, sql: str) -> "Pattern":
+        """OR an SQL condition onto the LAST stage [FLINK-API:
+        Pattern#or]. Left-associative with where(): the accumulated
+        condition so far is OR'd with `sql` as one parenthesized
+        alternative."""
+        if not self.stages:
+            raise ValueError("or_where() needs a stage")
+        self.stages[-1].conds = (*self.stages[-1].conds, ("or", sql))
+        return self
+
+    def _has_preds(self) -> bool:
+        return any(s.conds for s in self.stages)
 
     def within(self, duration: str) -> "Pattern":
         """Time horizon for a full match [FLINK-API: Pattern#within] —
@@ -268,7 +318,8 @@ class Pattern:
             out.append(first)
             inner = "next" if s.contiguity == "next" else "followed_by"
             for j in range(1, n):
-                out.append(_Stage(f"{s.name}#{j}", s.event_type, inner))
+                out.append(_Stage(f"{s.name}#{j}", s.event_type, inner,
+                                  conds=s.conds))
         return Pattern(stages=out, within_us=self.within_us,
                        skip=self.skip)
 
@@ -304,12 +355,45 @@ def compile_pattern(pat: Pattern, df: DataFrame, keys: list[str],
 def _type_codes(pat: Pattern) -> dict[str, int]:
     """DISTINCT event types in stage order → 1-based type code
     (0 = event irrelevant to the pattern). Repeated types share one
-    code — transitions are keyed by STAGE, not by type."""
+    code — transitions are keyed by STAGE, not by type. Used by the
+    STRICT family (regex/KMP/lag-window paths), which refuses stage
+    predicates, so type identity stays the whole condition there."""
     codes: dict[str, int] = {}
     for s in pat.stages:
         if s.event_type not in codes:
             codes[s.event_type] = len(codes) + 1
     return codes
+
+
+def _cond_codes(pat: Pattern) -> dict[tuple, int]:
+    """DISTINCT stage CONDITIONS in stage order → 1-based code. For
+    type-only patterns this is exactly _type_codes (the cond_key is
+    the type); with where()/or_where() predicates two stages share a
+    code iff their full conditions are identical."""
+    codes: dict[tuple, int] = {}
+    for s in pat.stages:
+        k = s.cond_key()
+        if k not in codes:
+            codes[k] = len(codes) + 1
+    return codes
+
+
+def _cond_mask_col(pat: Pattern, event_col: str):
+    """Per-event condition BITMASK column: bit (code-1) is set iff the
+    event satisfies condition `code`. For type-only patterns the masks
+    are ONE-HOT (an event has exactly one type), so a bit test against
+    a stage's awaited bit is identical to the old type-code equality —
+    the generalization that lets where()/or_where() predicates (which
+    may overlap) ride the same machines."""
+    codes = _cond_codes(pat)
+    sqls: dict[int, str] = {}
+    for s in pat.stages:
+        sqls.setdefault(codes[s.cond_key()], s.cond_sql(event_col))
+    m = F.lit(0).cast("long")
+    for code in sorted(sqls):
+        m = m + F.when(F.expr(sqls[code]),
+                       F.lit(1 << (code - 1))).otherwise(F.lit(0))
+    return m.cast("long")
 
 
 def _await_stages(pat: Pattern) -> list:
@@ -327,22 +411,35 @@ def _stage_codes(pat: Pattern) -> list[int]:
     return [codes[s.event_type] for s in _await_stages(pat)]
 
 
+def _stage_bits(pat: Pattern) -> list[int]:
+    """Per-AWAIT condition BIT (1 << (cond_code - 1)), index-aligned
+    with _await_stages(pat) — the value the relaxed-family machines
+    bitwiseAND against the event's condition mask. For type-only
+    patterns this is exactly the one-hot encoding of _stage_codes."""
+    codes = _cond_codes(pat)
+    return [1 << (codes[s.cond_key()] - 1) for s in _await_stages(pat)]
+
+
 def _veto_codes(pat: Pattern) -> list[int]:
-    """Per-await VETO type code (-1 = none), index-aligned with
+    """Per-await VETO condition BIT (0 = none), index-aligned with
     _await_stages(pat) [FLINK-API: Pattern#notFollowedBy mid-pattern]:
     `begin(a).not_followed_by(b).followed_by(c)` means an intervening
     `b` while awaiting `c` KILLS the partial run (possibly re-anchoring
     on the same event) — the await immediately after the stripped NFB
-    stage carries its type code. Validations are loud: consecutive or
-    quantified not_followed_by, and not_followed_by before a strict
-    next() await (strict contiguity already forbids intervening
-    events), all refuse."""
-    codes = _type_codes(pat)
+    stage carries its condition bit (`mask & veto` fires it; 0 never
+    fires). Validations are loud: consecutive or quantified
+    not_followed_by, and not_followed_by before a strict next() await
+    (strict contiguity already forbids intervening events), all
+    refuse. When an event satisfies BOTH the awaited condition and the
+    veto condition (possible only with overlapping where() predicates)
+    the ADVANCE wins — the single-anchor machines test adv first, and
+    the fork machine's refill happens after its drain."""
+    codes = _cond_codes(pat)
     out: list[int] = []
-    pending = -1
+    pending = 0
     for s in pat.stages:
         if s.contiguity == "not_followed_by":
-            if pending != -1:
+            if pending:
                 raise NotImplementedError(
                     "consecutive not_followed_by stages are not "
                     "compiled — merge them or interleave awaits")
@@ -350,20 +447,20 @@ def _veto_codes(pat: Pattern) -> list[int]:
                 raise NotImplementedError(
                     "quantified not_followed_by is not compiled (a "
                     "single intervening event already kills the run)")
-            pending = codes[s.event_type]
+            pending = 1 << (codes[s.cond_key()] - 1)
             continue
-        if pending != -1 and pending == codes.get(s.event_type):
+        if pending and pending == (1 << (codes[s.cond_key()] - 1)):
             raise NotImplementedError(
-                "not_followed_by of the SAME type as the following "
-                "await is contradictory (the awaited event would veto "
-                "itself)")
-        if pending != -1 and s.contiguity == "next":
+                "not_followed_by of the SAME condition as the "
+                "following await is contradictory (the awaited event "
+                "would veto itself)")
+        if pending and s.contiguity == "next":
             raise NotImplementedError(
                 "not_followed_by before a strict next() await is not "
                 "compiled — strict contiguity already forbids any "
                 "intervening event")
         out.append(pending)
-        pending = -1
+        pending = 0
     return out
 
 
@@ -396,6 +493,20 @@ def _batch_rows(pdf, nk: int, type_codes: dict[str, int] | None,
     return list(zip(t, ids, [type_codes.get(x, 0) for x in tys]))
 
 
+def _no_preds(pat: Pattern, what: str) -> None:
+    """The STRICT family (regex / KMP / lag-window paths) encodes each
+    event as ONE symbol, which needs conditions to partition events —
+    where()/or_where() predicates may overlap, so strict chains refuse
+    them loudly rather than miscounting."""
+    if pat._has_preds():
+        raise NotImplementedError(
+            f"{what} does not carry where()/or_where() stage "
+            "predicates — the strict paths encode each event as one "
+            "symbol and overlapping predicates would need a mask "
+            "automaton; use followed_by (the relaxed machines carry "
+            "predicates) or drop the predicates")
+
+
 def _strict_regex(pat, df, keys, time_col, tiebreak_col, event_col):
     # one per-key ordered path of SINGLE-CHAR stage codes, one regex
     # count — q_cep_times shape. Types are mapped to code chars before
@@ -404,6 +515,7 @@ def _strict_regex(pat, df, keys, time_col, tiebreak_col, event_col):
     # ('click' vs 'doubleclick') gets a distinct char — no partial-token
     # matches. Events outside the pattern's alphabet become '-', which
     # correctly breaks strict contiguity.
+    _no_preds(pat, "strict-chain pattern()")
     tcodes = _type_codes(pat)
     # letters only — no regex metacharacters can enter the pattern
     alphabet = ("ABCDEFGHIJKLMNOPQRSTUVWXYZ"
@@ -441,25 +553,29 @@ def _strict_regex(pat, df, keys, time_col, tiebreak_col, event_col):
 
 
 def _seq(pat, time_col, tiebreak_col, event_col):
-    """Per-key (t, eid, tc) event array in (ts, tiebreak) order; tc is
-    the TYPE code (0 = irrelevant) — stage machines compare it against
-    their per-stage awaited code."""
-    code = _type_codes(pat)
-    c = F.lit(0)
-    for etype, i in code.items():
-        c = F.when(F.col(event_col) == etype, F.lit(i)).otherwise(c)
+    """Per-key (t, eid, c) event array in (ts, tiebreak) order; c is
+    the condition BITMASK (0 = irrelevant; one-hot for type-only
+    patterns) — stage machines bitwiseAND it against their per-stage
+    awaited bit, which for one-hot masks is identical to the old
+    type-code equality and with where() predicates carries overlap."""
     return F.array_sort(F.collect_list(F.struct(
         F.unix_micros(time_col).alias("t"),
         F.col(tiebreak_col).alias("eid"),
-        c.alias("c"))))
+        _cond_mask_col(pat, event_col).alias("c"))))
 
 
 def _need(pat: Pattern):
-    """stage_codes as an array column: `F.get(arr, stage)` (0-based)
-    yields the type code the machine awaits at `stage` completed
+    """stage_bits as an array column: `F.get(arr, stage)` (0-based)
+    yields the condition BIT the machine awaits at `stage` completed
     stages — the stage-index transition key that makes repeated event
-    types compile."""
-    return F.array(*[F.lit(c) for c in _stage_codes(pat)])
+    types (and overlapping predicates) compile."""
+    return F.array(*[F.lit(b) for b in _stage_bits(pat)])
+
+
+def _hit(c, b):
+    """`mask & bit != 0` — the universal await test (one-hot masks
+    make it ≡ the pre-r9 type-code equality)."""
+    return c.bitwiseAND(b) != F.lit(0)
 
 
 def _strict_flags(pat: Pattern) -> list[bool]:
@@ -490,14 +606,14 @@ def _relaxed_machine(pat, df, keys, time_col, tiebreak_col, event_col):
                     F.lit(0).alias("stage"))
 
     def step(acc, x):
-        adv = x["c"] == F.get(need, acc["stage"])
+        adv = _hit(x["c"], F.get(need, acc["stage"]))
         done = adv & (acc["stage"] == K - 1)
         # a strict-await miss OR a mid-pattern not_followed_by veto
         # kills the run (the veto event may itself re-anchor)
         die = ((((~adv) & F.get(strict, acc["stage"]))
-                | (x["c"] == F.get(veto, acc["stage"])))
+                | _hit(x["c"], F.get(veto, acc["stage"])))
                & (acc["stage"] > 0))
-        restart = die & (x["c"] == F.get(need, F.lit(0)))
+        restart = die & _hit(x["c"], F.get(need, F.lit(0)))
         return F.struct(
             F.when(done, acc["cnt"] + 1).otherwise(acc["cnt"])
              .alias("cnt"),
@@ -532,12 +648,12 @@ def _relaxed_within_machine(pat, df, keys, time_col, tiebreak_col,
         stage = F.when(
             (acc["stage"] > 0) & (x["t"] - acc["anchor"] > w),
             F.lit(0)).otherwise(acc["stage"])
-        adv = x["c"] == F.get(need, stage)
+        adv = _hit(x["c"], F.get(need, stage))
         done = adv & (stage == K - 1)
         die = ((((~adv) & F.get(strict, stage))
-                | (x["c"] == F.get(veto, stage)))
+                | _hit(x["c"], F.get(veto, stage)))
                & (stage > 0))
-        restart = die & (x["c"] == F.get(need, F.lit(0)))
+        restart = die & _hit(x["c"], F.get(need, F.lit(0)))
         return F.struct(
             F.when(done, acc["cnt"] + 1).otherwise(acc["cnt"])
              .alias("cnt"),
@@ -561,9 +677,9 @@ def _fork_machine(pat, df, keys, time_col, tiebreak_col, event_col):
     # adjacent stages (repeated types, a→a) simultaneously drains a set
     # upward and refills it from below — the Flink NFA's one-event-many-
     # transitions behavior.
-    K = len(_stage_codes(pat))
+    K = len(_stage_bits(pat))
     w = pat.within_us
-    st = _stage_codes(pat)
+    st = _stage_bits(pat)
     strict = _strict_flags(pat)
     veto = _veto_codes(pat)
     seq = _seq(pat, time_col, tiebreak_col, event_col)
@@ -577,7 +693,8 @@ def _fork_machine(pat, df, keys, time_col, tiebreak_col, event_col):
         else:
             filt = {i: F.filter(acc[f"s{i}"], lambda a: x["t"] - a <= w)
                     for i in range(1, K)}
-        match = {i: x["c"] == F.lit(st[i - 1]) for i in range(1, K + 1)}
+        match = {i: _hit(x["c"], F.lit(st[i - 1]))
+                 for i in range(1, K + 1)}
         fields = [
             F.when(match[K],
                    acc["cnt"] + F.size(filt[K - 1]).cast("long"))
@@ -594,8 +711,8 @@ def _fork_machine(pat, df, keys, time_col, tiebreak_col, event_col):
                 base = empty
             else:
                 drain = match[i + 1]
-                if veto[i] != -1:
-                    drain = drain | (x["c"] == F.lit(veto[i]))
+                if veto[i]:
+                    drain = drain | _hit(x["c"], F.lit(veto[i]))
                 base = F.when(drain, empty).otherwise(filt[i])
             incoming = (F.array(x["t"]) if i == 1 else filt[i - 1])
             col = (F.when(match[i], F.concat(base, incoming))
@@ -651,18 +768,14 @@ def compile_pattern_chunked(pat: Pattern, df: DataFrame,
     K = len(pat.stages)
     w = pat.within_us
     C = max(1, chunk_horizons) * w
-    st = _stage_codes(pat)
+    st = _stage_bits(pat)
     strict = _strict_flags(pat)
 
     t_us = F.unix_micros(F.col(time_col))
-    tcode = F.lit(0)
-    for etype, i in _type_codes(pat).items():
-        tcode = F.when(F.col(event_col) == etype, F.lit(i)) \
-            .otherwise(tcode)
     base = df.select(
         *keys,
         t_us.alias("__t"), F.col(tiebreak_col).alias("__eid"),
-        tcode.alias("__c"),
+        _cond_mask_col(pat, event_col).alias("__c"),
         F.floor(t_us / C).cast("long").alias("__chunk"))
     owned = base.withColumn("__own", F.lit(True))
     # the first `within` of each chunk also serves the PREVIOUS chunk
@@ -684,7 +797,8 @@ def compile_pattern_chunked(pat: Pattern, df: DataFrame,
     def step(acc, x):
         filt = {i: F.filter(acc[f"s{i}"], lambda a: x["t"] - a <= w)
                 for i in range(1, K)}
-        match = {i: x["c"] == F.lit(st[i - 1]) for i in range(1, K + 1)}
+        match = {i: _hit(x["c"], F.lit(st[i - 1]))
+                 for i in range(1, K + 1)}
         if loop:
             # loop anchors are already owned-gated at entry; a close in
             # the overlap region legitimately extends them (its own
@@ -742,7 +856,7 @@ def _absence_chain(pat, df, keys, time_col, tiebreak_col, event_col):
     q_cep_not_followed_by output shape, generalized. Streaming stays
     the 2-stage timer form (this family refuses on streams — the
     composition needs the completed-prefix set)."""
-    b_type = pat.stages[-1].event_type
+    b_cond = pat.stages[-1].cond_sql(event_col)
     w = pat.within_us
     prefix = Pattern(stages=list(pat.stages[:-1]), within_us=w,
                      skip=pat.skip)
@@ -760,7 +874,7 @@ def _absence_chain(pat, df, keys, time_col, tiebreak_col, event_col):
                     F.col("__a_t").alias("__t_a"),
                     (F.col("__a_t") + F.col("span_us"))
                     .alias("__t_end")))
-    right = (df.filter(F.col(event_col) == b_type)
+    right = (df.filter(F.expr(b_cond))
              .select(*[F.col(k).alias(f"__r_{k}") for k in keys],
                      F.unix_micros(time_col).alias("__b_t")))
     cond = (F.col("__b_t") > F.col("__t_end"))         & (F.col("__b_t") <= F.col("__t_a") + F.lit(w))
@@ -786,7 +900,7 @@ def _fork_loop_machine(pat, df, keys, time_col, tiebreak_col, event_col):
     fork machine already carries; the unbounded form stays refused."""
     K = len(pat.stages)
     w = pat.within_us
-    st = _stage_codes(pat)
+    st = _stage_bits(pat)
     strict = _strict_flags(pat)
     seq = _seq(pat, time_col, tiebreak_col, event_col)
     empty = F.array().cast("array<long>")
@@ -798,7 +912,8 @@ def _fork_loop_machine(pat, df, keys, time_col, tiebreak_col, event_col):
         filt = {i: F.filter(acc[f"s{i}"], lambda a: x["t"] - a <= w)
                 for i in range(1, K)}
         lp = F.filter(acc["lp"], lambda a: x["t"] - a <= w)
-        match = {i: x["c"] == F.lit(st[i - 1]) for i in range(1, K + 1)}
+        match = {i: _hit(x["c"], F.lit(st[i - 1]))
+                 for i in range(1, K + 1)}
         if K >= 2:
             closed = (F.size(filt[K - 1]) + F.size(lp)).cast("long")
             new_lp = F.concat(lp, filt[K - 1])
@@ -828,12 +943,15 @@ def _fork_loop_machine(pat, df, keys, time_col, tiebreak_col, event_col):
 def _absence(pat, df, keys, time_col, tiebreak_col, event_col):
     # begin(a).not_followed_by(b).within(d) → LEFT ANTI time-band join;
     # q_cep_not_followed_by shape. Returns the unanswered anchors.
-    a, b = pat.stages[0].event_type, pat.stages[1].event_type
+    # Stage conditions (type + optional where()/or_where() predicates)
+    # filter each side independently, so overlap is naturally exact.
+    a = pat.stages[0].cond_sql(event_col)
+    b = pat.stages[1].cond_sql(event_col)
     w = pat.within_us
-    left = (df.filter(F.col(event_col) == a)
+    left = (df.filter(F.expr(a))
             .select(*keys, F.col(tiebreak_col).alias("anchor_id"),
                     F.unix_micros(time_col).alias("__a_us")))
-    right = (df.filter(F.col(event_col) == b)
+    right = (df.filter(F.expr(b))
              .select(*[F.col(k).alias(f"__r_{k}") for k in keys],
                      F.unix_micros(time_col).alias("__b_us")))
     cond = (F.col("__b_us") > F.col("__a_us")) \
@@ -910,10 +1028,10 @@ def compile_pattern_matches(pat: Pattern, df: DataFrame,
             stage = F.when(
                 (stage > 0) & (x["t"] - acc["anchor_t"] > w),
                 F.lit(0)).otherwise(stage)
-        adv = x["c"] == F.get(need, stage)
+        adv = _hit(x["c"], F.get(need, stage))
         done = adv & (stage == K - 1)
         die = (~adv) & F.get(strict, stage) & (stage > 0)
-        restart = die & (x["c"] == F.get(need, F.lit(0)))
+        restart = die & _hit(x["c"], F.get(need, F.lit(0)))
         starts = ((stage == 0) & adv) | restart
         m = F.struct(acc["anchor_id"].alias("start_id"),
                      x["eid"].alias("end_id"),
@@ -953,7 +1071,7 @@ def _fork_matches(pat, df, keys, time_col, tiebreak_col, event_col):
     events²."""
     K = len(pat.stages)
     w = pat.within_us
-    st = _stage_codes(pat)
+    st = _stage_bits(pat)
     strict = _strict_flags(pat)
     seq = _seq(pat, time_col, tiebreak_col, event_col)
     anchor_t = "array<struct<t:bigint,id:bigint>>"
@@ -971,7 +1089,8 @@ def _fork_matches(pat, df, keys, time_col, tiebreak_col, event_col):
             filt = {i: F.filter(acc[f"s{i}"],
                                 lambda a: x["t"] - a["t"] <= w)
                     for i in range(1, K)}
-        match = {i: x["c"] == F.lit(st[i - 1]) for i in range(1, K + 1)}
+        match = {i: _hit(x["c"], F.lit(st[i - 1]))
+                 for i in range(1, K + 1)}
         closed = F.transform(
             filt[K - 1],
             lambda a: F.struct(a["id"].alias("start_id"),
@@ -1014,6 +1133,7 @@ def _strict_matches(pat, df, keys, time_col, tiebreak_col, event_col):
     greedy fold over candidate row numbers (accept iff rn - last >= K).
     Both stages are partitioned windows + one aggregation — no regex,
     no Python. one_or_more (variable length) stays count-only."""
+    _no_preds(pat, "strict-chain pattern_matches()")
     K = len(pat.stages)
     st = _stage_codes(pat)
     tcode = F.lit(0)
@@ -1075,7 +1195,7 @@ def _fork_loop_matches(pat, df, keys, time_col, tiebreak_col,
     the fresh ones. Rows = matches, never events²."""
     K = len(pat.stages)
     w = pat.within_us
-    st = _stage_codes(pat)
+    st = _stage_bits(pat)
     strict = _strict_flags(pat)
     seq = _seq(pat, time_col, tiebreak_col, event_col)
     anchor_t = "array<struct<t:bigint,id:bigint>>"
@@ -1092,7 +1212,8 @@ def _fork_loop_matches(pat, df, keys, time_col, tiebreak_col,
                             lambda a: x["t"] - a["t"] <= w)
                 for i in range(1, K)}
         lp = F.filter(acc["lp"], lambda a: x["t"] - a["t"] <= w)
-        match = {i: x["c"] == F.lit(st[i - 1]) for i in range(1, K + 1)}
+        match = {i: _hit(x["c"], F.lit(st[i - 1]))
+                 for i in range(1, K + 1)}
         live = F.concat(filt[K - 1], lp)
         closed = F.transform(
             live,
@@ -1130,7 +1251,8 @@ def _fork_loop_matches(pat, df, keys, time_col, tiebreak_col,
 
 # -- streaming: the keyed-state NFA twins ------------------------------
 
-def relaxed_stepper(type_codes: dict[str, int], stage_codes: list[int],
+def relaxed_stepper(type_codes: dict[str, int] | None,
+                    stage_codes: list[int],
                     strict: list[bool] | None = None,
                     key_cols: list[str] | None = None,
                     veto: list[int] | None = None):
@@ -1140,10 +1262,17 @@ def relaxed_stepper(type_codes: dict[str, int], stage_codes: list[int],
     (next) awaits that kill-or-re-anchor the run on a miss. State
     survives micro-batch boundaries. `key_cols` names the (possibly
     COMPOSITE) key columns — Flink's keyBy(a, b) shape; the input is
-    projected keys-first, so the payload offset is len(key_cols)."""
+    projected keys-first, so the payload offset is len(key_cols).
+
+    `stage_codes`/`veto` are condition BITS tested via `mask & bit`
+    (one-hot masks make the test ≡ the old equality, so type-only
+    fixtures keep passing codes 1/2); `type_codes=None` means the
+    event column already carries the Spark-computed condition mask —
+    how where()/or_where() predicates reach the stream (the SQL
+    evaluates JVM-side, never per-row Python)."""
     K = len(stage_codes)
     strict = strict or [False] * K
-    veto = veto or [-1] * K
+    veto = veto or [0] * K
     key_cols = key_cols or ["key"]
     nk = len(key_cols)
 
@@ -1154,13 +1283,13 @@ def relaxed_stepper(type_codes: dict[str, int], stage_codes: list[int],
         for pdf in pdf_iter:
             rows.extend(_batch_rows(pdf, nk, type_codes))
         for _, _, c in sorted(rows):
-            if c == stage_codes[stage]:
+            if c & stage_codes[stage]:
                 if stage == K - 1:
                     cnt, stage = cnt + 1, 0
                 else:
                     stage += 1
-            elif stage > 0 and (strict[stage] or c == veto[stage]):
-                stage = 1 if c == stage_codes[0] else 0
+            elif stage > 0 and (strict[stage] or c & veto[stage]):
+                stage = 1 if c & stage_codes[0] else 0
         state.update((cnt, stage))
         yield pd.DataFrame(
             {**{kc: [key[i]] for i, kc in enumerate(key_cols)},
@@ -1251,7 +1380,7 @@ def kmp_stepper(type_codes: dict[str, int], stage_codes: list[int],
     return step
 
 
-def relaxed_within_stepper(type_codes: dict[str, int],
+def relaxed_within_stepper(type_codes: dict[str, int] | None,
                            stage_codes: list[int], within_us: int,
                            strict: list[bool] | None = None,
                            key_cols: list[str] | None = None,
@@ -1260,10 +1389,11 @@ def relaxed_within_stepper(type_codes: dict[str, int],
     machine — state (cnt, stage, anchor µs); expiry applied before each
     event exactly like the batch fold, so state is O(1) per key and the
     automaton survives micro-batch boundaries. Strict awaits
-    kill-or-re-anchor on a miss."""
+    kill-or-re-anchor on a miss. Bit-test await semantics (see
+    relaxed_stepper) carry where() predicate masks."""
     K = len(stage_codes)
     strict = strict or [False] * K
-    veto = veto or [-1] * K
+    veto = veto or [0] * K
     key_cols = key_cols or ["key"]
     nk = len(key_cols)
 
@@ -1276,15 +1406,15 @@ def relaxed_within_stepper(type_codes: dict[str, int],
         for t, _, c in sorted(rows):
             if stage > 0 and t - anchor > within_us:
                 stage = 0
-            if c == stage_codes[stage]:
+            if c & stage_codes[stage]:
                 if stage == K - 1:
                     cnt, stage = cnt + 1, 0
                 else:
                     if stage == 0:
                         anchor = t
                     stage += 1
-            elif stage > 0 and (strict[stage] or c == veto[stage]):
-                if c == stage_codes[0]:
+            elif stage > 0 and (strict[stage] or c & veto[stage]):
+                if c & stage_codes[0]:
                     stage, anchor = 1, t
                 else:
                     stage = 0
@@ -1295,7 +1425,8 @@ def relaxed_within_stepper(type_codes: dict[str, int],
     return step
 
 
-def fork_stepper(type_codes: dict[str, int], stage_codes: list[int],
+def fork_stepper(type_codes: dict[str, int] | None,
+                 stage_codes: list[int],
                  within_us: int | None,
                  strict: list[bool] | None = None,
                  key_cols: list[str] | None = None,
@@ -1309,7 +1440,7 @@ def fork_stepper(type_codes: dict[str, int], stage_codes: list[int],
     fold."""
     K = len(stage_codes)
     strict = strict or [False] * K
-    veto = veto or [-1] * K
+    veto = veto or [0] * K
     key_cols = key_cols or ["key"]
     nk = len(key_cols)
 
@@ -1335,7 +1466,7 @@ def fork_stepper(type_codes: dict[str, int], stage_codes: list[int],
                 for s in sets:
                     while s and t - s[0] > within_us:
                         s.popleft()
-            match = [c == stage_codes[i] for i in range(K)]
+            match = [bool(c & stage_codes[i]) for i in range(K)]
             if match[K - 1]:
                 cnt += len(sets[K - 2])  # count BEFORE any update
             # top-down in place: each old sets[i-1] has exactly ONE
@@ -1345,7 +1476,7 @@ def fork_stepper(type_codes: dict[str, int], stage_codes: list[int],
                 # not_followed_by VETO drains the set the same way
                 # (see _fork_machine)
                 if (strict[i + 1] or match[i + 1]
-                        or c == veto[i + 1]):
+                        or c & veto[i + 1]):
                     base = deque()
                 else:
                     base = sets[i]
@@ -1362,7 +1493,7 @@ def fork_stepper(type_codes: dict[str, int], stage_codes: list[int],
     return step
 
 
-def fork_loop_stepper(type_codes: dict[str, int],
+def fork_loop_stepper(type_codes: dict[str, int] | None,
                       stage_codes: list[int], within_us: int,
                       strict: list[bool] | None = None,
                       key_cols: list[str] | None = None):
@@ -1398,7 +1529,7 @@ def fork_loop_stepper(type_codes: dict[str, int],
                     s.popleft()
             while lp and t - lp[0] > within_us:
                 lp.popleft()
-            match = [c == stage_codes[i] for i in range(K)]
+            match = [bool(c & stage_codes[i]) for i in range(K)]
             if match[K - 1]:
                 if K >= 2:
                     cnt += len(sets[K - 2]) + len(lp)
@@ -1425,7 +1556,8 @@ def fork_loop_stepper(type_codes: dict[str, int],
 
 
 def absence_stepper(a_type: str, b_type: str, within_us: int,
-                    key_cols: list[str] | None = None):
+                    key_cols: list[str] | None = None,
+                    mask_mode: bool = False):
     """Streaming ABSENCE pattern [FLINK-API: Pattern.begin(a)
     .notFollowedBy(b).within(d) on a live stream — Flink's NFA arms a
     TIMER per pending anchor and emits on timeout]: the
@@ -1438,7 +1570,15 @@ def absence_stepper(a_type: str, b_type: str, within_us: int,
     GroupStateTimeout.EventTimeTimeout with the timeout armed at the
     earliest pending deadline. Input must be `withWatermark`'d (Spark
     enforces this for event-time timeouts — a loud AnalysisException,
-    not a silent hang)."""
+    not a silent hang).
+
+    `mask_mode=True` means the event column carries a Spark-computed
+    CONDITION MASK instead of the type string — bit 1 = anchor
+    condition, bit 2 = answering condition (how where()/or_where()
+    predicates reach streaming absence; an event satisfying BOTH
+    answers earlier anchors AND parks itself, matching the batch
+    anti-join's independent filters exactly — the band (t_a, t_a+d]
+    is strict at the left edge, so it never answers itself)."""
     key_cols = key_cols or ["key"]
     nk = len(key_cols)
 
@@ -1491,11 +1631,23 @@ def absence_stepper(a_type: str, b_type: str, within_us: int,
         else:
             ts, ids = [], []
         rows = []
+        if mask_mode:
+            def is_a(v):
+                return bool(v & 1)
+
+            def is_b(v):
+                return bool(v & 2)
+        else:
+            def is_a(v):
+                return v == a_type
+
+            def is_b(v):
+                return v == b_type
         for pdf in pdf_iter:
             rows.extend(r for r in _batch_rows(pdf, nk, None)
-                        if r[2] == a_type or r[2] == b_type)
+                        if is_a(r[2]) or is_b(r[2]))
         for t, eid, ty in sorted(rows):
-            if ty == a_type:
+            if is_a(ty):
                 if not ts or t >= ts[-1]:
                     ts.append(t)
                     ids.append(eid)
@@ -1503,7 +1655,7 @@ def absence_stepper(a_type: str, b_type: str, within_us: int,
                     pos = bisect.bisect_left(ts, t)
                     ts.insert(pos, t)
                     ids.insert(pos, eid)
-            if ty == b_type and ts:
+            if is_b(ty) and ts:
                 # answered anchors (at < t <= at + d) are a CONTIGUOUS
                 # range [t - d, t) of the sorted list: two bisects and
                 # one del instead of rebuilding the list per b event
@@ -1518,7 +1670,7 @@ def absence_stepper(a_type: str, b_type: str, within_us: int,
     return step
 
 
-def relaxed_matches_stepper(type_codes: dict[str, int],
+def relaxed_matches_stepper(type_codes: dict[str, int] | None,
                             stage_codes: list[int],
                             within_us: int | None,
                             strict: list[bool] | None = None,
@@ -1547,7 +1699,7 @@ def relaxed_matches_stepper(type_codes: dict[str, int],
             if within_us is not None and stage > 0 \
                     and t - anchor_t > within_us:
                 stage = 0
-            if c == stage_codes[stage]:
+            if c & stage_codes[stage]:
                 if stage == 0:
                     anchor_id, anchor_t = eid, t
                 if stage == K - 1:
@@ -1557,7 +1709,7 @@ def relaxed_matches_stepper(type_codes: dict[str, int],
                 else:
                     stage += 1
             elif strict[stage] and stage > 0:
-                if c == stage_codes[0]:
+                if c & stage_codes[0]:
                     stage, anchor_id, anchor_t = 1, eid, t
                 else:
                     stage = 0
@@ -1573,7 +1725,7 @@ def relaxed_matches_stepper(type_codes: dict[str, int],
     return step
 
 
-def fork_matches_stepper(type_codes: dict[str, int],
+def fork_matches_stepper(type_codes: dict[str, int] | None,
                          stage_codes: list[int],
                          within_us: int | None,
                          strict: list[bool] | None = None,
@@ -1605,7 +1757,7 @@ def fork_matches_stepper(type_codes: dict[str, int],
             if within_us is not None:
                 sets = [[a for a in s if t - a[0] <= within_us]
                         for s in sets]
-            match = [c == stage_codes[i] for i in range(K)]
+            match = [bool(c & stage_codes[i]) for i in range(K)]
             snap = [list(s) for s in sets]
             if match[K - 1]:
                 for a_t, a_id in snap[K - 2]:
@@ -1687,7 +1839,7 @@ def kmp_matches_stepper(type_codes: dict[str, int],
     return step
 
 
-def fork_loop_matches_stepper(type_codes: dict[str, int],
+def fork_loop_matches_stepper(type_codes: dict[str, int] | None,
                               stage_codes: list[int], within_us: int,
                               strict: list[bool] | None = None,
                               key_cols: list[str] | None = None):
@@ -1720,7 +1872,7 @@ def fork_loop_matches_stepper(type_codes: dict[str, int],
             sets = [[a for a in s if t - a[0] <= within_us]
                     for s in sets]
             lp = [a for a in lp if t - a[0] <= within_us]
-            match = [c == stage_codes[i] for i in range(K)]
+            match = [bool(c & stage_codes[i]) for i in range(K)]
             snap = [list(s) for s in sets]
             if match[K - 1]:
                 for a_t, a_id in snap[K - 2] + lp:
@@ -1800,6 +1952,7 @@ def compile_pattern_stream(pat: Pattern, sdf: DataFrame,
                 "streaming strict chains do not carry one_or_more() "
                 "(unbounded backtracking); run in batch mode (the "
                 "regex path)")
+        _no_preds(pat, "streaming strict pattern()")
         pat = pat._expanded()
         proj = sdf.select(*keys, time_col, tiebreak_col, event_col)
         key_schema = ", ".join(
@@ -1814,22 +1967,38 @@ def compile_pattern_stream(pat: Pattern, sdf: DataFrame,
             timeoutConf=GroupStateTimeout.NoTimeout)
     # COMPOSITE keys supported [FLINK-API: keyBy(a, b)]: the steppers
     # address columns positionally (keys first, then time, tiebreak,
-    # event type) and echo every key column back by NAME
-    proj = sdf.select(*keys, time_col, tiebreak_col, event_col)
+    # event CONDITION MASK — computed JVM-side by _cond_mask_col, so
+    # where()/or_where() predicates never run per-row Python) and echo
+    # every key column back by NAME
     key_schema = ", ".join(
-        f"{k} {_key_sql_type(proj, k)}" for k in keys)
+        f"{k} {_key_sql_type(sdf, k)}" for k in keys)
     if fam == "absence":
-        fn = absence_stepper(pat.stages[0].event_type,
-                             pat.stages[1].event_type, pat.within_us,
-                             key_cols=keys)
+        if pat._has_preds():
+            if pat.stages[0].cond_key() == pat.stages[1].cond_key():
+                raise NotImplementedError(
+                    "streaming absence with identical anchor and "
+                    "answer conditions is not compiled — run in "
+                    "batch mode (the anti-join handles it)")
+            proj = sdf.select(
+                *keys, time_col, tiebreak_col,
+                _cond_mask_col(pat, event_col).alias("__m"))
+            fn = absence_stepper("", "", pat.within_us,
+                                 key_cols=keys, mask_mode=True)
+        else:
+            proj = sdf.select(*keys, time_col, tiebreak_col, event_col)
+            fn = absence_stepper(pat.stages[0].event_type,
+                                 pat.stages[1].event_type,
+                                 pat.within_us, key_cols=keys)
         return proj.groupBy(*keys).applyInPandasWithState(
             fn, outputStructType=f"{key_schema}, anchor_id long",
             stateStructType="t_arr array<long>, id_arr array<long>",
             outputMode="Append",
             timeoutConf=GroupStateTimeout.EventTimeTimeout)
     pat = pat._expanded()
-    tcodes = _type_codes(pat)
-    scodes = _stage_codes(pat)
+    proj = sdf.select(*keys, time_col, tiebreak_col,
+                      _cond_mask_col(pat, event_col).alias("__m"))
+    tcodes = None  # the mask column IS the per-event condition word
+    scodes = _stage_bits(pat)
     K = len(scodes)  # awaits only — mid-pattern NFB stages are vetoes
     sflags = _strict_flags(pat)
     vcodes = _veto_codes(pat)
@@ -1900,19 +2069,30 @@ def compile_pattern_matches_stream(pat: Pattern, sdf: DataFrame,
                          "after quantifier expansion (a single-stage "
                          "pattern is a filter)")
     K = len(pat.stages)
-    tcodes = _type_codes(pat)
-    scodes = _stage_codes(pat)
     sflags = _strict_flags(pat)
-    proj = sdf.select(*keys, time_col, tiebreak_col, event_col)
     key_schema = ", ".join(
-        f"{k} {_key_sql_type(proj, k)}" for k in keys)
+        f"{k} {_key_sql_type(sdf, k)}" for k in keys)
     out_schema = (f"{key_schema}, match_no long, start_event_id long, "
                   f"end_event_id long, span_us long")
     if fam == "strict":
+        _no_preds(pat, "streaming strict pattern_matches()")
+        proj = sdf.select(*keys, time_col, tiebreak_col, event_col)
         state_schema = ("cnt long, stage long, buf_t array<long>, "
                         "buf_id array<long>")
-        fn = kmp_matches_stepper(tcodes, scodes, key_cols=keys)
-    elif fam == "fork_loop":
+        fn = kmp_matches_stepper(_type_codes(pat), _stage_codes(pat),
+                                 key_cols=keys)
+        return proj.groupBy(*keys).applyInPandasWithState(
+            fn, outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="Append",
+            timeoutConf=GroupStateTimeout.NoTimeout)
+    # relaxed family: the mask column carries the (possibly
+    # predicate-refined, possibly overlapping) stage conditions
+    proj = sdf.select(*keys, time_col, tiebreak_col,
+                      _cond_mask_col(pat, event_col).alias("__m"))
+    tcodes = None
+    scodes = _stage_bits(pat)
+    if fam == "fork_loop":
         state_schema = "cnt long, " + ", ".join(
             [f"s{i}_t array<long>, s{i}_id array<long>"
              for i in range(1, K)]

@@ -611,14 +611,16 @@ def s_cep_stepper_throughput(c: Ctx) -> None:
             self._s = v
 
     per_key, total = _stepper_rows(c)
-    tc = {"view": 1, "click": 2, "purchase": 3}
+    # relaxed/fork test `mask & bit` (r9 where() support): codes must
+    # be one-hot BITS; kmp compares by equality, any distinct values
+    tc = {"view": 1, "click": 2, "purchase": 4}
     for label, fn in (
-            ("relaxed", relaxed_stepper(tc, [1, 2, 3],
+            ("relaxed", relaxed_stepper(tc, [1, 2, 4],
                                         key_cols=["user_id"])),
-            ("fork_48h", fork_stepper(tc, [1, 2, 3],
+            ("fork_48h", fork_stepper(tc, [1, 2, 4],
                                       48 * 3600 * 1_000_000,
                                       key_cols=["user_id"])),
-            ("kmp_strict", kmp_stepper(tc, [1, 1, 3],
+            ("kmp_strict", kmp_stepper(tc, [1, 1, 4],
                                        key_cols=["user_id"]))):
         t0 = time.time()
         for u, pdf in per_key.items():
