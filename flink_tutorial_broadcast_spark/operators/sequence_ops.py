@@ -1124,6 +1124,184 @@ def q_cep_not_between(spark: SparkSession, sf_dir: str) -> DataFrame:
             .to_df())
 
 
+_CEP_W48_US = 48 * 3600 * 1_000_000
+
+
+@query(
+    "q_cep_where",
+    oracle=f"""
+    WITH RECURSIVE codes0 AS (
+      SELECT user_id, epoch_us(ts) AS t, event_id,
+             CASE WHEN event_type = 'view' AND value >= 50 THEN 1
+                  WHEN event_type = 'click' THEN 2
+                  WHEN event_type = 'purchase' AND value >= 100 THEN 3
+                  ELSE 0 END AS c
+      FROM events
+    ), codes AS (
+      SELECT user_id, t, c,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY t, event_id) AS i
+      FROM codes0 WHERE c > 0
+    ), n AS (
+      SELECT user_id, COUNT(*) AS n_ev FROM codes GROUP BY user_id
+    ), run AS (
+      SELECT user_id, 0 AS i, CAST(0 AS BIGINT) AS cnt, 0 AS stage,
+             CAST(0 AS BIGINT) AS anchor
+      FROM n
+      UNION ALL
+      SELECT r.user_id, r.i + 1,
+             CASE WHEN s.st = 2 AND c.c = 3 THEN r.cnt + 1
+                  ELSE r.cnt END,
+             CASE WHEN s.st = 0 AND c.c = 1 THEN 1
+                  WHEN s.st = 1 AND c.c = 2 THEN 2
+                  WHEN s.st = 2 AND c.c = 3 THEN 0
+                  ELSE s.st END,
+             CASE WHEN s.st = 0 AND c.c = 1 THEN c.t ELSE r.anchor END
+      FROM run r JOIN codes c ON c.user_id = r.user_id
+                             AND c.i = r.i + 1
+      CROSS JOIN LATERAL (
+        SELECT CASE WHEN r.stage > 0
+                         AND c.t - r.anchor > {_CEP_W48_US}
+                    THEN 0 ELSE r.stage END AS st) s
+    )
+    SELECT r.user_id, r.cnt AS n_matches
+    FROM run r JOIN n ON r.user_id = n.user_id AND r.i = n.n_ev
+    WHERE r.cnt > 0
+    """,
+)
+def q_cep_where(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stage PREDICATES on the bounded single-anchor machine (round 9
+    [FLINK-API: Pattern#where — SimpleCondition beyond the event-type
+    literal, the most-used Flink CEP feature]): a big view (value>=50)
+    followed by any click followed by a big purchase (value>=100)
+    within 48 h, under skip-past-last. Each stage's condition compiles
+    to one bit of a per-event condition MASK (cep._cond_mask_col) and
+    the machines test `mask & bit` — for type-only patterns the masks
+    are one-hot and the bit test IS the old type-code equality, which
+    is how every pre-existing CEP key pins this generalization. The
+    oracle replays the identical expire-then-step automaton as a
+    recursive-CTE relation with the predicates in its CASE code
+    assignment. Property twin: test_cep_properties.test_cep_where_*;
+    streaming: test_pattern_streaming_where_preds."""
+    from flink_tutorial_broadcast_spark.cep import Pattern
+    from flink_tutorial_broadcast_spark.datastream import (
+        StreamExecutionEnvironment,
+    )
+    env = StreamExecutionEnvironment.get_execution_environment(spark)
+    pat = (Pattern.begin("v", "view").where("value >= 50")
+           .followed_by("c", "click")
+           .followed_by("p", "purchase").where("value >= 100")
+           .within("48 hours"))
+    return (env.from_dataframe(load(spark, sf_dir, "events"))
+            .key_by("user_id")
+            .pattern(pat)
+            .to_df())
+
+
+@query(
+    "q_cep_where_overlap",
+    oracle=f"""
+    WITH e AS (
+      SELECT user_id, epoch_us(ts) AS t, event_id AS id,
+             event_type, value
+      FROM events
+    )
+    SELECT a.user_id, COUNT(*) AS n_matches
+    FROM e a
+    WHERE a.event_type = 'view' AND a.value >= 20
+      AND EXISTS (
+        SELECT 1 FROM e b
+        WHERE b.user_id = a.user_id
+          AND b.event_type = 'view' AND b.value >= 120
+          AND (b.t > a.t OR (b.t = a.t AND b.id > a.id))
+          AND b.t - a.t <= {_CEP_W48_US})
+    GROUP BY a.user_id
+    """,
+)
+def q_cep_where_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OVERLAPPING stage predicates on the forking NFA (round 9 — the
+    case the condition-mask design exists for): anchor = view with
+    value>=20, close = view with value>=120, so every close ALSO
+    satisfies the anchor condition (one event, two live stage bits —
+    it counts the open anchors AND re-anchors itself in one pre-event-
+    snapshot step, Flink's one-event-many-transitions NFA behavior).
+    Under noSkip each anchor forks its own run and a run takes the
+    FIRST qualifying close after it (followedBy, not followedByAny),
+    so the independent relational oracle is an EXISTS: an anchor
+    matches iff SOME close follows it within the horizon — the first
+    one; time is monotone, so a later-but-in-horizon close with the
+    first outside the horizon is impossible. Streaming twin:
+    test_pattern_streaming_where_preds (same pattern on the live
+    stream converges to these counts)."""
+    from flink_tutorial_broadcast_spark.cep import Pattern
+    from flink_tutorial_broadcast_spark.datastream import (
+        StreamExecutionEnvironment,
+    )
+    env = StreamExecutionEnvironment.get_execution_environment(spark)
+    pat = (Pattern.begin("a", "view").where("value >= 20")
+           .followed_by("b", "view").where("value >= 120")
+           .within("48 hours").no_skip())
+    return (env.from_dataframe(load(spark, sf_dir, "events"))
+            .key_by("user_id")
+            .pattern(pat)
+            .to_df())
+
+
+@query(
+    "q_cep_or_where",
+    oracle="""
+    WITH RECURSIVE codes0 AS (
+      SELECT user_id, epoch_us(ts) AS t, event_id,
+             CASE WHEN event_type IN ('error', 'signup') THEN 1
+                  WHEN event_type = 'purchase' THEN 2
+                  ELSE 0 END AS c
+      FROM events
+    ), codes AS (
+      SELECT user_id, c,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY t, event_id) AS i
+      FROM codes0 WHERE c > 0
+    ), n AS (
+      SELECT user_id, COUNT(*) AS n_ev FROM codes GROUP BY user_id
+    ), run AS (
+      SELECT user_id, 0 AS i, 0 AS acc FROM n
+      UNION ALL
+      SELECT r.user_id, r.i + 1,
+             CASE WHEN r.acc % 10 = 0 AND c.c = 1 THEN r.acc + 1
+                  WHEN r.acc % 10 = 1 AND c.c = 2
+                  THEN (r.acc // 10 + 1) * 10
+                  ELSE r.acc END
+      FROM run r JOIN codes c ON c.user_id = r.user_id
+                             AND c.i = r.i + 1
+    )
+    SELECT r.user_id, CAST(r.acc // 10 AS BIGINT) AS n_matches
+    FROM run r JOIN n ON r.user_id = n.user_id AND r.i = n.n_ev
+    WHERE r.acc // 10 > 0
+    """,
+)
+def q_cep_or_where(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Condition ALTERNATIVES [FLINK-API: Pattern#or — `.where(a)
+    .or(b)` ORs two SimpleConditions]: the anchor fires on an error OR
+    a signup (left-associative fold onto the stage's type equality),
+    then any purchase completes the match, skip-past-last. The two
+    alternatives merge into ONE condition bit (they are one stage
+    condition), so the machine is the plain 2-stage alternation
+    automaton — replayed by the oracle's recursive-CTE with the same
+    IN ('error','signup') code assignment."""
+    from flink_tutorial_broadcast_spark.cep import Pattern
+    from flink_tutorial_broadcast_spark.datastream import (
+        StreamExecutionEnvironment,
+    )
+    env = StreamExecutionEnvironment.get_execution_environment(spark)
+    pat = (Pattern.begin("a", "error")
+           .or_where("event_type = 'signup'")
+           .followed_by("p", "purchase"))
+    return (env.from_dataframe(load(spark, sf_dir, "events"))
+            .key_by("user_id")
+            .pattern(pat)
+            .to_df())
+
+
 @query(
     "q_cep_strict_matches",
     oracle="""

@@ -112,7 +112,11 @@ _VERIFICATION_PREFIX = (
     "q_rank",                           # analytic_windows (F1; r6)
     "q_setsim_join",                    # graph_setsim (L44; r1)
     # -- 45 FIRST-TIME keys (never driver-sampled r1-r8; VERDICT_r8
-    #    item 1 named the scalar/UDF families and the four loners) --
+    #    item 1 named the scalar/UDF families and the four loners;
+    #    late-r9 swap: the three where()/or_where() predicate keys
+    #    replaced q_median_mode/q_text_normalize/q_winsorize, whose
+    #    modules keep another prefix rep — those three stay registered
+    #    and sweep-checked, next rotation's first picks) --
     "q_window_all_facade",              # flagship windowAll (NEW r8)
     "q_join_null_safe",                 # relational <=> join
     "q_math_funcs", "q_case_when",      # scalar I3, I4
@@ -133,13 +137,15 @@ _VERIFICATION_PREFIX = (
     "q_tpch_q5",                        # composite TPC-H Q5
     "q_dup_clusters",                   # iterative conn-components
     "q_histogram_equidepth",            # agg_ext equi-depth bins
-    "q_median_mode",                    # agg_ext median/mode
     "q_attribution",                    # behavioral first/last touch
     "q_ab_lift",                        # behavioral A/B lift
     "q_cep_strict_repeated",            # CEP KMP strict chain (NEW r9)
     "q_cep_one_or_more_bounded",        # CEP bounded loop (NEW r9)
     "q_cep_chunked_fork",               # CEP exact chunking (NEW r9)
     "q_cep_absence_emitted",            # CEP absence emission (NEW r9)
+    "q_cep_where",                      # CEP stage predicates (NEW r9)
+    "q_cep_where_overlap",              # CEP overlapping preds (NEW r9)
+    "q_cep_or_where",                   # CEP condition OR (NEW r9)
     "q_scan_custom_source",             # connectors A4 python source
     "q_schema_evolution",               # connectors merged schema
     "q_partitioned_prune",              # connectors partition prune
@@ -148,13 +154,11 @@ _VERIFICATION_PREFIX = (
     "q_skew_stats",                     # layout_ops skew probe
     "q_tpch_q6",                        # tpch_full Q6
     "q_chunk_documents",                # text_pipeline chunker
-    "q_text_normalize",                 # text_pipeline normalize
     "q_dq_checks",                      # governance data-quality
     "q_pseudonymize",                   # governance pseudonymize
     "q_lateness_audit",                 # temporal lateness
     "q_dedup_vectors_bucketed",         # vector_compress dedup
     "q_dataset_split",                  # dataset_ops split
-    "q_winsorize",                      # dataset_ops winsorize
 )
 
 

@@ -143,9 +143,10 @@ def _two_file_stream(spark, cols):
         for fname in os.listdir(os.path.join(d, part)):
             os.utime(os.path.join(d, part, fname),
                      (stamp + 10 * i, stamp + 10 * i))
+    types = {"user_id": "long", "ts": "timestamp", "event_id": "long",
+             "event_type": "string", "value": "double"}
     return (spark.readStream
-            .schema("user_id long, ts timestamp, event_id long, "
-                    "event_type string")
+            .schema(", ".join(f"{c} {types[c]}" for c in cols))
             .option("maxFilesPerTrigger", "1")
             .option("recursiveFileLookup", "true")
             .parquet(d))
@@ -1216,3 +1217,58 @@ def test_pattern_streaming_not_between(spark, queries):
         ks.pattern_matches(Pattern.begin("v", "view")
                            .not_followed_by("e", "error")
                            .followed_by("p", "purchase"))
+
+
+def test_pattern_streaming_where_preds(spark, queries):
+    """Streaming where() predicates (round 9): the condition MASK is
+    computed JVM-side before the keyed-state steppers, so the same
+    overlapping-predicate pattern as q_cep_where_overlap (every close
+    also satisfies the anchor condition) must converge across the
+    micro-batch boundary to the oracle-backed batch counts."""
+    from flink_tutorial_broadcast_spark.streaming.jobs import (
+        _run_to_memory,
+    )
+
+    sdf = _two_file_stream(
+        spark, ["user_id", "ts", "event_id", "event_type", "value"])
+    pat = (Pattern.begin("a", "view").where("value >= 20")
+           .followed_by("b", "view").where("value >= 120")
+           .within("48 hours").no_skip())
+    out = (_env(spark).from_dataframe(sdf)
+           .key_by("user_id").pattern(pat).to_df())
+    assert out.isStreaming
+    rows = _run_to_memory(out, "update").collect()
+    final: dict[int, int] = {}
+    for r in rows:
+        final[r["user_id"]] = max(final.get(r["user_id"], 0),
+                                  r["n_matches"])
+    want = {r["user_id"]: r["n_matches"] for r in
+            queries["q_cep_where_overlap"](spark, SF_SMOKE).collect()}
+    assert {u: n for u, n in final.items() if n > 0} == want
+    assert want  # non-vacuous
+
+
+def test_pattern_streaming_where_bounded(spark, queries):
+    """Streaming bounded machine with predicates: the q_cep_where
+    pattern (big view -> any click -> big purchase within 48 h) on the
+    live stream converges to the oracle-backed batch counts."""
+    from flink_tutorial_broadcast_spark.streaming.jobs import (
+        _run_to_memory,
+    )
+
+    sdf = _two_file_stream(
+        spark, ["user_id", "ts", "event_id", "event_type", "value"])
+    pat = (Pattern.begin("v", "view").where("value >= 50")
+           .followed_by("c", "click")
+           .followed_by("p", "purchase").where("value >= 100")
+           .within("48 hours"))
+    out = (_env(spark).from_dataframe(sdf)
+           .key_by("user_id").pattern(pat).to_df())
+    rows = _run_to_memory(out, "update").collect()
+    final: dict[int, int] = {}
+    for r in rows:
+        final[r["user_id"]] = max(final.get(r["user_id"], 0),
+                                  r["n_matches"])
+    want = {r["user_id"]: r["n_matches"] for r in
+            queries["q_cep_where"](spark, SF_SMOKE).collect()}
+    assert {u: n for u, n in final.items() if n > 0} == want

@@ -820,3 +820,124 @@ def test_cep_absence_chain_matches_brute_force(spark, rows):
                        for m2, _, ty in seq):
                 want.add((u, a_id))
     assert got == want
+
+
+# -- where()/or_where() stage predicates (round 9) ---------------------
+
+# (user, minute-offset, type-index, value 0..200): values exercise the
+# predicate thresholds on both sides
+seq_val_strategy = st.lists(
+    st.tuples(st.integers(0, 2), st.integers(0, 5000),
+              st.integers(0, 3), st.integers(0, 200)),
+    min_size=1, max_size=35)
+
+
+def _mk_val(spark, rows):
+    data = [(u, BASE + dt.timedelta(minutes=m), i, TYPES[t], float(v))
+            for i, (u, m, t, v) in enumerate(rows)]
+    return spark.createDataFrame(
+        data, "user_id int, ts timestamp, event_id long, "
+              "event_type string, value double")
+
+
+def _per_user_ordered_val(rows):
+    per = {}
+    for i, (u, m, t, v) in enumerate(rows):
+        per.setdefault(u, []).append((m, i, TYPES[t], v))
+    return {u: [(m, ty, v) for m, _, ty, v in sorted(evs)]
+            for u, evs in per.items()}
+
+
+def _ref_relaxed_within_pred(seq, preds, within_min):
+    """Single-anchor expire-then-step machine over predicate stages —
+    the pure-Python twin of cep._relaxed_within_machine with masks."""
+    K = len(preds)
+    stage, cnt, anchor = 0, 0, 0
+    for m, ty, v in seq:
+        if stage > 0 and m - anchor > within_min:
+            stage = 0
+        if preds[stage](ty, v):
+            if stage == 0:
+                anchor = m
+            stage += 1
+            if stage == K:
+                cnt, stage = cnt + 1, 0
+    return cnt
+
+
+def _ref_fork_pred2(seq, p1, p2, within_min):
+    """K=2 forking NFA over OVERLAPPING predicates with the engine's
+    pre-event-snapshot discipline: a close event counts the open
+    anchors BEFORE it may itself re-anchor."""
+    s1, cnt = [], 0
+    for m, ty, v in seq:
+        s1 = [a for a in s1 if m - a <= within_min]
+        hit1, hit2 = p1(ty, v), p2(ty, v)
+        if hit2:
+            cnt += len(s1)
+        base = [] if hit2 else s1
+        s1 = base + ([m] if hit1 else [])
+    return cnt
+
+
+@settings(max_examples=10, deadline=None)
+@given(rows=seq_val_strategy)
+def test_cep_where_bounded_matches_python_nfa(spark, rows):
+    """Disjoint predicate stages on the bounded single-anchor machine
+    (q_cep_where's shape at property scale)."""
+    pat = (Pattern.begin("a", "view").where("value >= 50")
+           .followed_by("b", "click")
+           .followed_by("c", "purchase").where("value >= 100")
+           .within("48 hours"))
+    got = _run(spark, _mk_val(spark, rows), pat)
+    preds = [lambda ty, v: ty == "view" and v >= 50,
+             lambda ty, v: ty == "click",
+             lambda ty, v: ty == "purchase" and v >= 100]
+    want = {u: _ref_relaxed_within_pred(seq, preds, 48 * 60)
+            for u, seq in _per_user_ordered_val(rows).items()}
+    assert got == {u: n for u, n in want.items() if n > 0}
+
+
+@settings(max_examples=10, deadline=None)
+@given(rows=seq_val_strategy)
+def test_cep_where_overlap_fork_matches_python_nfa(spark, rows):
+    """OVERLAPPING predicates on the fork machine: a value>=120 view
+    satisfies BOTH stage conditions — two live bits in one event mask;
+    it must count the open anchors and re-anchor itself in one
+    pre-snapshot step (q_cep_where_overlap's shape)."""
+    pat = (Pattern.begin("a", "view").where("value >= 20")
+           .followed_by("b", "view").where("value >= 120")
+           .within("12 hours").no_skip())
+    got = _run(spark, _mk_val(spark, rows), pat)
+    want = {u: _ref_fork_pred2(
+                seq,
+                lambda ty, v: ty == "view" and v >= 20,
+                lambda ty, v: ty == "view" and v >= 120,
+                12 * 60)
+            for u, seq in _per_user_ordered_val(rows).items()}
+    assert got == {u: n for u, n in want.items() if n > 0}
+
+
+@settings(max_examples=10, deadline=None)
+@given(rows=seq_val_strategy)
+def test_cep_or_where_matches_python_nfa(spark, rows):
+    """or_where alternatives + a where refinement on the UNBOUNDED
+    skip-past-last machine: anchor = view OR other, close = purchase
+    with value >= 100."""
+    pat = (Pattern.begin("a", "view")
+           .or_where("event_type = 'other'")
+           .followed_by("p", "purchase").where("value >= 100"))
+    got = _run(spark, _mk_val(spark, rows), pat)
+
+    def ref(seq):
+        stage, cnt = 0, 0
+        for m, ty, v in seq:
+            if stage == 0 and ty in ("view", "other"):
+                stage = 1
+            elif stage == 1 and ty == "purchase" and v >= 100:
+                cnt, stage = cnt + 1, 0
+        return cnt
+
+    want = {u: ref(seq)
+            for u, seq in _per_user_ordered_val(rows).items()}
+    assert got == {u: n for u, n in want.items() if n > 0}
