@@ -100,7 +100,9 @@ class _Stage:
     event_type: str          # the event_type literal this stage awaits
     contiguity: str          # 'begin' | 'next' | 'followed_by' | 'not_followed_by'
     times: int | None = None
+    times_hi: int | None = None   # times(a, b) RANGE upper bound
     one_or_more: bool = False
+    optional: bool = False
     # extra SQL conditions [FLINK-API: Pattern#where / Pattern#or]:
     # ('and'|'or', sql) in CALL order — Flink's RichAnd/RichOrCondition
     # nest left-associatively, so `.where(a).or_where(b).where(c)` is
@@ -167,14 +169,44 @@ class Pattern:
         """Absence pattern, terminal [FLINK-API: Pattern#notFollowedBy]."""
         return self._append(name, event_type, "not_followed_by")
 
-    def times(self, n: int) -> "Pattern":
-        """Exact-count quantifier on the LAST stage [FLINK-API:
-        Pattern#times]."""
+    def times(self, n: int, m: int | None = None) -> "Pattern":
+        """Exact-count (times(n)) or RANGE (times(n, m)) quantifier on
+        the LAST stage [FLINK-API: Pattern#times(from, to)]. The range
+        form compiles only under no_skip() — see optional()."""
         if not self.stages:
             raise ValueError("times() needs a stage")
         if n < 1:
             raise ValueError("times(n) needs n >= 1")
+        if m is not None and m < n:
+            raise ValueError("times(n, m) needs m >= n")
         self.stages[-1].times = n
+        self.stages[-1].times_hi = m
+        return self
+
+    def optional(self) -> "Pattern":
+        """The LAST stage may be skipped [FLINK-API: Pattern#optional].
+        Compiles only under no_skip(): Flink's NFA forks a with- and a
+        without- branch per anchor and noSkip keeps both as distinct
+        matches, so the engine compiles the pattern as a UNION OF
+        VARIANTS over the already-pinned fork machines and SUMS the
+        per-variant counts (binding shapes differ, so no variant pair
+        can produce the same match). Under skip-past-last the two
+        branches compete for event consumption and a count-only
+        single-anchor machine cannot arbitrate them — that combination
+        refuses loudly."""
+        if not self.stages:
+            raise ValueError("optional() needs a stage")
+        s = self.stages[-1]
+        if s.one_or_more:
+            raise NotImplementedError(
+                "one_or_more().optional() (zeroOrMore) is not "
+                "compiled — use times(0, n) semantics via optional "
+                "copies or the bounded loop")
+        if s.contiguity == "not_followed_by":
+            raise NotImplementedError(
+                "optional() on not_followed_by is contradictory "
+                "(an absent optional stage is already absent)")
+        s.optional = True
         return self
 
     def one_or_more(self) -> "Pattern":
@@ -206,6 +238,10 @@ class Pattern:
 
     def _has_preds(self) -> bool:
         return any(s.conds for s in self.stages)
+
+    def _has_opt_range(self) -> bool:
+        return any(s.optional or s.times_hi is not None
+                   for s in self.stages)
 
     def within(self, duration: str) -> "Pattern":
         """Time horizon for a full match [FLINK-API: Pattern#within] —
@@ -324,12 +360,159 @@ class Pattern:
                        skip=self.skip)
 
 
+_MAX_VARIANTS = 32
+
+
+def _variants(pat: Pattern) -> list[Pattern]:
+    """Resolve optional() stages and times(a, b) RANGES into the list
+    of FIXED variant patterns whose noSkip match sets partition the
+    original pattern's matches [FLINK-API: Quantifier — an optional
+    stage forks a with/without branch; times(a,b) forks one branch per
+    count]. Each variant lands on the already-pinned fork machines and
+    the per-key counts SUM: two variants differ in which stages (or
+    how many copies) are bound, so their binding shapes — and hence
+    their Flink matches — are disjoint. Only meaningful under
+    no_skip(); the caller gates that."""
+    choice_lists: list[list[int]] = []
+    for s in pat.stages:
+        if s.optional and (s.times or s.times_hi):
+            raise NotImplementedError(
+                "optional() combined with times() on one stage is not "
+                "compiled — express the range with times(a, b)")
+        if (s.optional or s.times_hi is not None) \
+                and s.contiguity == "next":
+            raise NotImplementedError(
+                "optional()/times(a, b) on a strict next() stage is "
+                "not compiled (dropping a strict stage changes its "
+                "neighbors' adjacency) — use followed_by")
+        if s.optional:
+            choice_lists.append([0, 1])
+        elif s.times_hi is not None:
+            choice_lists.append(list(range(s.times, s.times_hi + 1)))
+        else:
+            choice_lists.append([s.times or 1])
+    total = 1
+    for c in choice_lists:
+        total *= len(c)
+    if total > _MAX_VARIANTS:
+        raise NotImplementedError(
+            f"optional()/times(a, b) expansion would need {total} "
+            f"variants (max {_MAX_VARIANTS}) — tighten the ranges")
+    out: list[Pattern] = []
+    combos = [[]]
+    for c in choice_lists:
+        combos = [prev + [n] for prev in combos for n in c]
+    for counts in combos:
+        stages: list[_Stage] = []
+        for s, n in zip(pat.stages, counts):
+            inner = "followed_by"
+            for j in range(n):
+                cont = s.contiguity if j == 0 else inner
+                if not stages and cont in ("followed_by", "next"):
+                    cont = "begin"
+                stages.append(_Stage(
+                    s.name if j == 0 else f"{s.name}#{j}",
+                    s.event_type, cont, conds=s.conds))
+        if stages:
+            out.append(Pattern(stages=stages, within_us=pat.within_us,
+                               skip=pat.skip))
+    return out
+
+
+def _compile_variant_union(pat: Pattern, df: DataFrame,
+                           keys: list[str], time_col: str,
+                           tiebreak_col: str,
+                           event_col: str) -> DataFrame:
+    """Batch compile for optional()/times(a, b) patterns: one fork-
+    machine fold PER VARIANT, all folds sharing ONE per-key collected
+    sequence (one shuffle, one buffer — the variant count multiplies
+    only the in-memory fold, not the scan or the shuffle), summed per
+    key. A 1-stage variant's count is simply the number of events
+    satisfying its condition (every such event is its own match)."""
+    if pat.skip != "no_skip":
+        raise NotImplementedError(
+            "optional()/times(a, b) compile only under no_skip(): "
+            "Flink's NFA keeps both quantifier branches as distinct "
+            "matches there; under skip-past-last the branches compete "
+            "for event consumption — drop the quantifier or call "
+            "no_skip()")
+    if any(s.contiguity == "not_followed_by" for s in pat.stages):
+        raise NotImplementedError(
+            "optional()/times(a, b) with not_followed_by stages is "
+            "not compiled — split the absence check out")
+    variants = _variants(pat)
+    w = pat.within_us
+    # one mask/code space for ALL variants: distinct conds of the full
+    # pattern (a variant's stage bits index into this shared space)
+    codes = _cond_codes(pat)
+    seq = _seq(pat, time_col, tiebreak_col, event_col)
+
+    def bits_of(v: Pattern) -> list[int]:
+        return [1 << (codes[s.cond_key()] - 1) for s in v.stages]
+
+    folds = []
+    for vi, v in enumerate(variants):
+        st = bits_of(v)
+        K = len(st)
+        if K == 1:
+            one = F.aggregate(
+                seq, F.lit(0).cast("long"),
+                lambda acc, x: acc + F.when(
+                    _hit(x["c"], F.lit(st[0])), F.lit(1)).otherwise(
+                        F.lit(0)).cast("long"))
+            folds.append(one.alias(f"__v{vi}"))
+            continue
+        empty = F.array().cast("array<long>")
+        init = F.struct(F.lit(0).cast("long").alias("cnt"),
+                        *[empty.alias(f"s{i}") for i in range(1, K)])
+
+        def mk_step(st, K):
+            def step(acc, x):
+                if w is None:
+                    filt = {i: acc[f"s{i}"] for i in range(1, K)}
+                else:
+                    filt = {i: F.filter(acc[f"s{i}"],
+                                        lambda a: x["t"] - a <= w)
+                            for i in range(1, K)}
+                match = {i: _hit(x["c"], F.lit(st[i - 1]))
+                         for i in range(1, K + 1)}
+                fields = [
+                    F.when(match[K],
+                           acc["cnt"] + F.size(filt[K - 1]).cast("long"))
+                    .otherwise(acc["cnt"]).alias("cnt")]
+                for i in range(1, K):
+                    base = F.when(match[i + 1], empty).otherwise(filt[i])
+                    incoming = (F.array(x["t"]) if i == 1
+                                else filt[i - 1])
+                    col = (F.when(match[i], F.concat(base, incoming))
+                           .otherwise(base))
+                    fields.append(col.alias(f"s{i}"))
+                return F.struct(*fields)
+            return step
+
+        folds.append(F.aggregate(seq, init, mk_step(st, K))["cnt"]
+                     .alias(f"__v{vi}"))
+
+    agg = df.groupBy(*keys).agg(*folds)
+    total = agg.columns[len(keys)]
+    n = F.col(total)
+    for c in agg.columns[len(keys) + 1:]:
+        n = n + F.col(c)
+    return (agg.select(*keys, n.cast("long").alias("n_matches"))
+            .filter(F.col("n_matches") > 0))
+
+
 def compile_pattern(pat: Pattern, df: DataFrame, keys: list[str],
                     time_col: str, tiebreak_col: str,
                     event_col: str) -> DataFrame:
     """Compile `pat` over a BATCH keyed DataFrame. Returns per-key
     match counts (`n_matches > 0`) — or, for absence patterns, the
     anchor event ids with no qualifying follower."""
+    if pat._has_opt_range():
+        # optional()/times(a, b): union-of-variants on the fork
+        # machines (no_skip only — gated inside)
+        return _compile_variant_union(pat, df, keys, time_col,
+                                      tiebreak_col, event_col)
     fam = pat._family()
     if fam == "absence":
         return _absence(pat, df, keys, time_col, tiebreak_col, event_col)
@@ -748,6 +931,12 @@ def compile_pattern_chunked(pat: Pattern, df: DataFrame,
     arbitrarily far beyond the horizon — a replayed chunk would
     re-anchor on consumed events); its unbounded-history path is the
     streaming stepper, and asking for it here raises."""
+    if pat._has_opt_range():
+        raise NotImplementedError(
+            "optional()/times(a, b) compile only through batch "
+            "pattern() (union-of-variants counting); chunked "
+            "compilation is not carried — use fixed times(n) or "
+            "drop the quantifier")
     fam = pat._family()
     if fam not in ("fork", "fork_loop"):
         raise NotImplementedError(
@@ -974,6 +1163,12 @@ def compile_pattern_matches(pat: Pattern, df: DataFrame,
     q_cep_match_measures machine to K stages: the fold accumulator
     carries (stage, anchor bindings, completed-match array) and the
     match array posexplodes to rows — rows = matches, never events²."""
+    if pat._has_opt_range():
+        raise NotImplementedError(
+            "optional()/times(a, b) compile only through batch "
+            "pattern() (union-of-variants counting); match extraction "
+            "and streaming are not carried — use fixed times(n) or "
+            "drop the quantifier")
     fam = pat._family()
     if fam not in ("relaxed", "relaxed_within", "fork", "fork_loop",
                    "strict"):
@@ -1930,6 +2125,11 @@ def compile_pattern_stream(pat: Pattern, sdf: DataFrame,
     event-time timeouts)."""
     from pyspark.sql.streaming.state import GroupStateTimeout
 
+    if pat._has_opt_range():
+        raise NotImplementedError(
+            "optional()/times(a, b) compile only through batch "
+            "pattern() (union-of-variants counting); streaming is "
+            "not carried — use fixed times(n) or drop the quantifier")
     fam = pat._family()
     if fam not in ("relaxed", "relaxed_within", "fork", "fork_loop",
                    "absence", "strict"):
@@ -2044,6 +2244,12 @@ def compile_pattern_matches_stream(pat: Pattern, sdf: DataFrame,
     the accumulated sink equals the batch compile_pattern_matches."""
     from pyspark.sql.streaming.state import GroupStateTimeout
 
+    if pat._has_opt_range():
+        raise NotImplementedError(
+            "optional()/times(a, b) compile only through batch "
+            "pattern() (union-of-variants counting); match extraction "
+            "and streaming are not carried — use fixed times(n) or "
+            "drop the quantifier")
     fam = pat._family()
     if fam not in ("relaxed", "relaxed_within", "fork", "fork_loop",
                    "strict"):

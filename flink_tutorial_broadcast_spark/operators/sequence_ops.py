@@ -1303,6 +1303,163 @@ def q_cep_or_where(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_cep_optional",
+    oracle=f"""
+    WITH RECURSIVE codes AS (
+      SELECT user_id,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS i,
+             CASE event_type WHEN 'view' THEN 1 WHEN 'click' THEN 2
+                  WHEN 'purchase' THEN 3 ELSE 0 END AS c,
+             epoch_us(ts) AS t
+      FROM events
+    ), n AS (
+      SELECT user_id, COUNT(*) AS n_ev FROM codes GROUP BY user_id
+    ), run3 AS (
+      SELECT user_id, 0 AS i, CAST(0 AS BIGINT) AS cnt,
+             CAST([] AS BIGINT[]) AS s1, CAST([] AS BIGINT[]) AS s2
+      FROM n
+      UNION ALL
+      SELECT r.user_id, r.i + 1,
+             CASE WHEN c.c = 3 THEN r.cnt + len(f.s2f) ELSE r.cnt END,
+             CASE WHEN c.c = 1 THEN list_append(f.s1f, c.t)
+                  WHEN c.c = 2 THEN CAST([] AS BIGINT[])
+                  ELSE f.s1f END,
+             CASE WHEN c.c = 2 THEN list_concat(f.s2f, f.s1f)
+                  WHEN c.c = 3 THEN CAST([] AS BIGINT[])
+                  ELSE f.s2f END
+      FROM run3 r
+      JOIN codes c ON c.user_id = r.user_id AND c.i = r.i + 1
+      CROSS JOIN LATERAL (
+        SELECT list_filter(r.s1, a -> c.t - a <= {_CEP_W48_US}) AS s1f,
+               list_filter(r.s2, a -> c.t - a <= {_CEP_W48_US}) AS s2f) f
+    ), run2 AS (
+      SELECT user_id, 0 AS i, CAST(0 AS BIGINT) AS cnt,
+             CAST([] AS BIGINT[]) AS s1
+      FROM n
+      UNION ALL
+      SELECT r.user_id, r.i + 1,
+             CASE WHEN c.c = 3 THEN r.cnt + len(f.s1f) ELSE r.cnt END,
+             CASE WHEN c.c = 1 THEN list_append(f.s1f, c.t)
+                  WHEN c.c = 3 THEN CAST([] AS BIGINT[])
+                  ELSE f.s1f END
+      FROM run2 r
+      JOIN codes c ON c.user_id = r.user_id AND c.i = r.i + 1
+      CROSS JOIN LATERAL (
+        SELECT list_filter(r.s1, a -> c.t - a <= {_CEP_W48_US}) AS s1f) f
+    )
+    SELECT a.user_id, a.cnt + b.cnt AS n_matches
+    FROM run3 a
+    JOIN n ON a.user_id = n.user_id AND a.i = n.n_ev
+    JOIN run2 b ON b.user_id = a.user_id AND b.i = n.n_ev
+    WHERE a.cnt + b.cnt > 0
+    """,
+)
+def q_cep_optional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`optional()` [FLINK-API: Pattern#optional — the middle stage may
+    be skipped] (round 9): view → click? → purchase within 48 h under
+    noSkip. Flink's NFA forks a with-click and a without-click branch
+    per anchor and noSkip keeps both as distinct matches, so the
+    engine compiles the pattern as a UNION OF VARIANTS — the 3-stage
+    and the 2-stage fork machines folded over ONE shared per-key
+    sequence (one shuffle; the variant count multiplies only the
+    in-memory fold) — and SUMS the counts: binding shapes differ, so
+    no match is double-counted. The oracle replays BOTH variant
+    automatons as recursive-CTE runs over the same code relation and
+    sums. Skip-past-last + optional refuses loudly (the branches
+    compete for event consumption). Property twin:
+    test_cep_optional_union_matches_python_nfa."""
+    from flink_tutorial_broadcast_spark.cep import Pattern
+    from flink_tutorial_broadcast_spark.datastream import (
+        StreamExecutionEnvironment,
+    )
+    env = StreamExecutionEnvironment.get_execution_environment(spark)
+    pat = (Pattern.begin("v", "view")
+           .followed_by("c", "click").optional()
+           .followed_by("p", "purchase")
+           .within("48 hours").no_skip())
+    return (env.from_dataframe(load(spark, sf_dir, "events"))
+            .key_by("user_id")
+            .pattern(pat)
+            .to_df())
+
+
+@query(
+    "q_cep_times_range",
+    oracle=f"""
+    WITH RECURSIVE codes AS (
+      SELECT user_id,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS i,
+             CASE event_type WHEN 'click' THEN 1
+                  WHEN 'purchase' THEN 2 ELSE 0 END AS c,
+             epoch_us(ts) AS t
+      FROM events
+    ), n AS (
+      SELECT user_id, COUNT(*) AS n_ev FROM codes GROUP BY user_id
+    ), run2 AS (
+      SELECT user_id, 0 AS i, CAST(0 AS BIGINT) AS cnt,
+             CAST([] AS BIGINT[]) AS s1
+      FROM n
+      UNION ALL
+      SELECT r.user_id, r.i + 1,
+             CASE WHEN c.c = 2 THEN r.cnt + len(f.s1f) ELSE r.cnt END,
+             CASE WHEN c.c = 1 THEN list_append(f.s1f, c.t)
+                  WHEN c.c = 2 THEN CAST([] AS BIGINT[])
+                  ELSE f.s1f END
+      FROM run2 r
+      JOIN codes c ON c.user_id = r.user_id AND c.i = r.i + 1
+      CROSS JOIN LATERAL (
+        SELECT list_filter(r.s1, a -> c.t - a <= {_CEP_W48_US}) AS s1f) f
+    ), run3 AS (
+      SELECT user_id, 0 AS i, CAST(0 AS BIGINT) AS cnt,
+             CAST([] AS BIGINT[]) AS s1, CAST([] AS BIGINT[]) AS s2
+      FROM n
+      UNION ALL
+      SELECT r.user_id, r.i + 1,
+             CASE WHEN c.c = 2 THEN r.cnt + len(f.s2f) ELSE r.cnt END,
+             CASE WHEN c.c = 1 THEN [c.t] ELSE f.s1f END,
+             CASE WHEN c.c = 1 THEN list_concat(f.s2f, f.s1f)
+                  WHEN c.c = 2 THEN CAST([] AS BIGINT[])
+                  ELSE f.s2f END
+      FROM run3 r
+      JOIN codes c ON c.user_id = r.user_id AND c.i = r.i + 1
+      CROSS JOIN LATERAL (
+        SELECT list_filter(r.s1, a -> c.t - a <= {_CEP_W48_US}) AS s1f,
+               list_filter(r.s2, a -> c.t - a <= {_CEP_W48_US}) AS s2f) f
+    )
+    SELECT a.user_id, a.cnt + b.cnt AS n_matches
+    FROM run2 a
+    JOIN n ON a.user_id = n.user_id AND a.i = n.n_ev
+    JOIN run3 b ON b.user_id = a.user_id AND b.i = n.n_ev
+    WHERE a.cnt + b.cnt > 0
+    """,
+)
+def q_cep_times_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`times(a, b)` RANGE quantifier [FLINK-API: Pattern#times(from,
+    to)] (round 9): one-or-two clicks then a purchase within 48 h
+    under noSkip — variants click→purchase and click→click→purchase,
+    compiled as the same union-of-variants as optional() (times(a,b)
+    forks one branch per count). The repeated-type K=3 variant drives
+    the one-event-two-stages snapshot path: a click simultaneously
+    promotes the open s1 anchors into s2 and re-seeds s1 with itself —
+    the oracle's run3 replays exactly that (s1 := [t], s2 := s2+s1).
+    Property twin: test_cep_times_range_union_matches_python_nfa."""
+    from flink_tutorial_broadcast_spark.cep import Pattern
+    from flink_tutorial_broadcast_spark.datastream import (
+        StreamExecutionEnvironment,
+    )
+    env = StreamExecutionEnvironment.get_execution_environment(spark)
+    pat = (Pattern.begin("c", "click").times(1, 2)
+           .followed_by("p", "purchase")
+           .within("48 hours").no_skip())
+    return (env.from_dataframe(load(spark, sf_dir, "events"))
+            .key_by("user_id")
+            .pattern(pat)
+            .to_df())
+
+
+@query(
     "q_cep_strict_matches",
     oracle="""
     WITH RECURSIVE codes AS (

@@ -113,10 +113,12 @@ _VERIFICATION_PREFIX = (
     "q_setsim_join",                    # graph_setsim (L44; r1)
     # -- 45 FIRST-TIME keys (never driver-sampled r1-r8; VERDICT_r8
     #    item 1 named the scalar/UDF families and the four loners;
-    #    late-r9 swap: the three where()/or_where() predicate keys
-    #    replaced q_median_mode/q_text_normalize/q_winsorize, whose
-    #    modules keep another prefix rep — those three stay registered
-    #    and sweep-checked, next rotation's first picks) --
+    #    late-r9 swap: the five new CEP quantifier/predicate keys
+    #    (where/where_overlap/or_where/optional/times_range) replaced
+    #    q_median_mode/q_text_normalize/q_winsorize/q_ab_lift/
+    #    q_psi_drift, whose modules keep another prefix rep — those
+    #    five stay registered and sweep-checked, next rotation's
+    #    first picks) --
     "q_window_all_facade",              # flagship windowAll (NEW r8)
     "q_join_null_safe",                 # relational <=> join
     "q_math_funcs", "q_case_when",      # scalar I3, I4
@@ -138,7 +140,6 @@ _VERIFICATION_PREFIX = (
     "q_dup_clusters",                   # iterative conn-components
     "q_histogram_equidepth",            # agg_ext equi-depth bins
     "q_attribution",                    # behavioral first/last touch
-    "q_ab_lift",                        # behavioral A/B lift
     "q_cep_strict_repeated",            # CEP KMP strict chain (NEW r9)
     "q_cep_one_or_more_bounded",        # CEP bounded loop (NEW r9)
     "q_cep_chunked_fork",               # CEP exact chunking (NEW r9)
@@ -146,11 +147,12 @@ _VERIFICATION_PREFIX = (
     "q_cep_where",                      # CEP stage predicates (NEW r9)
     "q_cep_where_overlap",              # CEP overlapping preds (NEW r9)
     "q_cep_or_where",                   # CEP condition OR (NEW r9)
+    "q_cep_optional",                   # CEP optional() union (NEW r9)
+    "q_cep_times_range",                # CEP times(a,b) union (NEW r9)
     "q_scan_custom_source",             # connectors A4 python source
     "q_schema_evolution",               # connectors merged schema
     "q_partitioned_prune",              # connectors partition prune
     "q_entropy",                        # stats_ext entropy
-    "q_psi_drift",                      # stats_ext PSI drift
     "q_skew_stats",                     # layout_ops skew probe
     "q_tpch_q6",                        # tpch_full Q6
     "q_chunk_documents",                # text_pipeline chunker

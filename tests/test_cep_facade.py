@@ -1272,3 +1272,34 @@ def test_pattern_streaming_where_bounded(spark, queries):
     want = {r["user_id"]: r["n_matches"] for r in
             queries["q_cep_where"](spark, SF_SMOKE).collect()}
     assert {u: n for u, n in final.items() if n > 0} == want
+
+
+def test_pattern_optional_refusals(spark):
+    """optional()/times(a, b) outside their compiled scope must raise,
+    never answer wrong: skip-past-last, strict stages, streaming, and
+    match extraction all refuse."""
+    ev = load(spark, SF_SMOKE, "events")
+    ks = _env(spark).from_dataframe(ev).key_by("user_id")
+
+    with pytest.raises(NotImplementedError, match="no_skip"):
+        ks.pattern(Pattern.begin("v", "view")
+                   .followed_by("c", "click").optional()
+                   .followed_by("p", "purchase"))
+    with pytest.raises(NotImplementedError, match="followed_by"):
+        ks.pattern(Pattern.begin("v", "view")
+                   .next("c", "click").optional()
+                   .next("p", "purchase").no_skip())
+    with pytest.raises(NotImplementedError, match="not carried"):
+        ks.pattern_matches(Pattern.begin("v", "view")
+                           .followed_by("c", "click").times(1, 2)
+                           .followed_by("p", "purchase").no_skip())
+    with pytest.raises(NotImplementedError, match="zeroOrMore"):
+        Pattern.begin("v", "view").one_or_more().optional()
+
+    sdf = _two_file_stream(
+        spark, ["user_id", "ts", "event_id", "event_type"])
+    with pytest.raises(NotImplementedError, match="streaming"):
+        (_env(spark).from_dataframe(sdf).key_by("user_id")
+         .pattern(Pattern.begin("v", "view")
+                  .followed_by("c", "click").optional()
+                  .followed_by("p", "purchase").no_skip()))

@@ -941,3 +941,76 @@ def test_cep_or_where_matches_python_nfa(spark, rows):
     want = {u: ref(seq)
             for u, seq in _per_user_ordered_val(rows).items()}
     assert got == {u: n for u, n in want.items() if n > 0}
+
+
+# -- optional() / times(a, b) union-of-variants (round 9) --------------
+
+def _ref_fork_snap(seq, preds, within_min):
+    """Generic noSkip fork reference with the engine's pre-event
+    snapshot discipline, predicate stages, any K >= 1."""
+    K = len(preds)
+    if K == 1:
+        return sum(1 for m, ty in seq if preds[0](ty))
+    sets = [[] for _ in range(K - 1)]
+    cnt = 0
+    for m, ty in seq:
+        if within_min is not None:
+            sets = [[a for a in s if m - a <= within_min]
+                    for s in sets]
+        hit = [p(ty) for p in preds]
+        snap = [list(s) for s in sets]
+        if hit[K - 1]:
+            cnt += len(snap[K - 2])
+        for i in range(K - 2, -1, -1):
+            base = [] if hit[i + 1] else snap[i]
+            if hit[i]:
+                base = base + ([m] if i == 0 else snap[i - 1])
+            sets[i] = base
+    return cnt
+
+
+@settings(max_examples=10, deadline=None)
+@given(rows=seq_strategy)
+def test_cep_optional_union_matches_python_nfa(spark, rows):
+    """optional() middle stage == sum of the with- and without-variant
+    fork counts (q_cep_optional's shape), including an optional BEGIN
+    whose dropped variant is a 1-stage count."""
+    v = lambda ty: ty == "view"
+    c = lambda ty: ty == "click"
+    p = lambda ty: ty == "purchase"
+    pat = (Pattern.begin("v", "view")
+           .followed_by("c", "click").optional()
+           .followed_by("p", "purchase")
+           .within("12 hours").no_skip())
+    got = _run(spark, _mk(spark, rows), pat)
+    want = {u: _ref_fork_snap(seq, [v, c, p], 12 * 60)
+            + _ref_fork_snap(seq, [v, p], 12 * 60)
+            for u, seq in _per_user_ordered(rows).items()}
+    assert got == {u: n for u, n in want.items() if n > 0}
+
+    pat2 = (Pattern.begin("v", "view").optional()
+            .followed_by("p", "purchase")
+            .within("12 hours").no_skip())
+    got2 = _run(spark, _mk(spark, rows), pat2)
+    want2 = {u: _ref_fork_snap(seq, [v, p], 12 * 60)
+             + _ref_fork_snap(seq, [p], None)
+             for u, seq in _per_user_ordered(rows).items()}
+    assert got2 == {u: n for u, n in want2.items() if n > 0}
+
+
+@settings(max_examples=10, deadline=None)
+@given(rows=seq_strategy)
+def test_cep_times_range_union_matches_python_nfa(spark, rows):
+    """times(1, 2) == sum of the times(1) and times(2) variant fork
+    counts; the 2-copy variant repeats the stage type, driving the
+    one-event-two-stages snapshot path (q_cep_times_range's shape)."""
+    c = lambda ty: ty == "click"
+    p = lambda ty: ty == "purchase"
+    pat = (Pattern.begin("c", "click").times(1, 2)
+           .followed_by("p", "purchase")
+           .within("12 hours").no_skip())
+    got = _run(spark, _mk(spark, rows), pat)
+    want = {u: _ref_fork_snap(seq, [c, p], 12 * 60)
+            + _ref_fork_snap(seq, [c, c, p], 12 * 60)
+            for u, seq in _per_user_ordered(rows).items()}
+    assert got == {u: n for u, n in want.items() if n > 0}
