@@ -165,6 +165,18 @@ class Pattern:
         """Relaxed contiguity [FLINK-API: Pattern#followedBy]."""
         return self._append(name, event_type, "followed_by")
 
+    def followed_by_any(self, name: str, event_type: str) -> "Pattern":
+        """NON-DETERMINISTIC relaxed contiguity [FLINK-API:
+        Pattern#followedByAny]: every matching event forks a new run
+        instead of only the first being taken, so the match set is ALL
+        increasing event subsequences satisfying the stage conditions.
+        Counting compiles to an O(K)-counter dynamic program (no
+        anchor sets at all without within(); an anchor-aligned
+        partial-count table bounded by horizon density with it) —
+        requires no_skip(), the strategy Flink pairs the any-variant
+        with."""
+        return self._append(name, event_type, "followed_by_any")
+
     def not_followed_by(self, name: str, event_type: str) -> "Pattern":
         """Absence pattern, terminal [FLINK-API: Pattern#notFollowedBy]."""
         return self._append(name, event_type, "not_followed_by")
@@ -261,6 +273,25 @@ class Pattern:
     # -- compilation helpers ------------------------------------------
     def _family(self) -> str:
         cont = [s.contiguity for s in self.stages[1:]]
+        if any(s.contiguity == "followed_by_any" for s in self.stages):
+            if any(c not in ("followed_by_any",) for c in cont):
+                raise NotImplementedError(
+                    "followed_by_any mixes only with itself — make "
+                    "every stage after begin followed_by_any, or use "
+                    "followed_by (the deterministic machines)")
+            if any(s.one_or_more for s in self.stages):
+                raise NotImplementedError(
+                    "one_or_more() under followed_by_any is not "
+                    "compiled (combinatorial run growth) — use "
+                    "times(n)")
+            if self.skip != "no_skip":
+                raise NotImplementedError(
+                    "followed_by_any counts ALL event combinations — "
+                    "that is Flink's noSkip enumeration; call "
+                    "no_skip() (skip-past-last would consume events "
+                    "across forked runs ambiguously)")
+            return ("any_dp_within" if self.within_us is not None
+                    else "any_dp")
         quant = any(s.times or s.one_or_more for s in self.stages)
         if self.stages[-1].contiguity == "not_followed_by":
             last = self.stages[-1]
@@ -352,7 +383,12 @@ class Pattern:
             n = s.times or 1
             first = replace(s, times=None)
             out.append(first)
-            inner = "next" if s.contiguity == "next" else "followed_by"
+            if s.contiguity == "next":
+                inner = "next"
+            elif s.contiguity == "followed_by_any":
+                inner = "followed_by_any"
+            else:
+                inner = "followed_by"
             for j in range(1, n):
                 out.append(_Stage(f"{s.name}#{j}", s.event_type, inner,
                                   conds=s.conds))
@@ -375,6 +411,11 @@ def _variants(pat: Pattern) -> list[Pattern]:
     no_skip(); the caller gates that."""
     choice_lists: list[list[int]] = []
     for s in pat.stages:
+        if s.contiguity == "followed_by_any":
+            raise NotImplementedError(
+                "optional()/times(a, b) with followed_by_any stages "
+                "is not compiled — the any-machines carry times(n) "
+                "natively")
         if s.optional and (s.times or s.times_hi):
             raise NotImplementedError(
                 "optional() combined with times() on one stage is not "
@@ -523,6 +564,12 @@ def compile_pattern(pat: Pattern, df: DataFrame, keys: list[str],
         return _strict_regex(pat, df, keys, time_col, tiebreak_col,
                              event_col)
     pat = pat._expanded()
+    if fam == "any_dp":
+        return _any_dp_machine(pat, df, keys, time_col, tiebreak_col,
+                               event_col)
+    if fam == "any_dp_within":
+        return _any_table_machine(pat, df, keys, time_col,
+                                  tiebreak_col, event_col)
     if fam == "relaxed":
         return _relaxed_machine(pat, df, keys, time_col, tiebreak_col,
                                 event_col)
@@ -1123,6 +1170,99 @@ def _fork_loop_machine(pat, df, keys, time_col, tiebreak_col, event_col):
             fields.append(col.alias(f"s{i}"))
         fields.append(F.when(match[K], new_lp).otherwise(lp).alias("lp"))
         return F.struct(*fields)
+
+    fold = F.aggregate(seq, init, step)
+    return (df.groupBy(*keys).agg(fold["cnt"].alias("n_matches"))
+            .filter(F.col("n_matches") > 0))
+
+
+def _any_dp_machine(pat, df, keys, time_col, tiebreak_col, event_col):
+    """followedByAny WITHOUT within() [FLINK-API: Pattern#followedByAny
+    under noSkip — the match set is ALL increasing event subsequences
+    satisfying the stage conditions]: counting needs NO anchor sets at
+    all — the classic subsequence-counting dynamic program. State is K
+    longs: c_i = number of partial matches whose last bound event is at
+    stage i; an event hitting stage i adds c_{i-1} (or 1 for the begin
+    stage), all reads from the pre-event snapshot so one event never
+    occupies two positions of the same subsequence. O(K) state makes
+    this the cheapest CEP machine in the engine — pure codegen fold,
+    and the streaming twin carries K longs per key, unbounded history.
+    Counts are exact up to int64 (subsequence counts are combinatorial
+    by nature; at C(n,K) overflow scale the answer itself is the
+    problem, not the machine)."""
+    K = len(_stage_bits(pat))
+    st = _stage_bits(pat)
+    seq = _seq(pat, time_col, tiebreak_col, event_col)
+    init = F.struct(*[F.lit(0).cast("long").alias(f"c{i}")
+                      for i in range(1, K + 1)])
+
+    def step(acc, x):
+        fields = []
+        for i in range(1, K + 1):
+            inc = F.lit(1).cast("long") if i == 1 else acc[f"c{i-1}"]
+            fields.append(
+                F.when(_hit(x["c"], F.lit(st[i - 1])),
+                       acc[f"c{i}"] + inc)
+                .otherwise(acc[f"c{i}"]).alias(f"c{i}"))
+        return F.struct(*fields)
+
+    fold = F.aggregate(seq, init, step)
+    return (df.groupBy(*keys).agg(fold[f"c{K}"].alias("n_matches"))
+            .filter(F.col("n_matches") > 0))
+
+
+def _any_table_machine(pat, df, keys, time_col, tiebreak_col,
+                       event_col):
+    """followedByAny WITH within(d): the subsequence-counting DP keyed
+    by ANCHOR — state is one table row per live anchor,
+    (anchor_t, n[0..K-2]) where n[j] counts this anchor's partials at
+    stage j+1 (n[0] is the anchor itself, constant 1). An event
+    hitting stage j+1 adds n[j-1] into n[j] for EVERY live anchor in
+    one anchor-aligned transform (all reads from the row's pre-event
+    snapshot); a closing event adds Σ n[K-2] over live anchors; expiry
+    is the same horizon filter the fork machine carries. State is
+    bounded by per-key anchor density inside the horizon — NOT by the
+    (combinatorial) partial count, which lives in the n counters."""
+    K = len(_stage_bits(pat))
+    st = _stage_bits(pat)
+    w = pat.within_us
+    seq = _seq(pat, time_col, tiebreak_col, event_col)
+    row_t = (f"array<struct<t:bigint,"
+             f"n:array<bigint>>>")
+    empty = F.expr(f"CAST(array() AS {row_t})")
+    zeros = F.array(F.lit(1).cast("long"),
+                    *[F.lit(0).cast("long") for _ in range(K - 2)])
+    init = F.struct(F.lit(0).cast("long").alias("cnt"),
+                    empty.alias("arr"))
+
+    def step(acc, x):
+        live = F.filter(acc["arr"], lambda s: x["t"] - s["t"] <= w)
+        hit = {i: _hit(x["c"], F.lit(st[i - 1]))
+               for i in range(1, K + 1)}
+        closed = F.when(
+            hit[K],
+            F.aggregate(live, F.lit(0).cast("long"),
+                        lambda a, s: a + F.get(s["n"], K - 2))
+        ).otherwise(F.lit(0).cast("long"))
+
+        def upd_row(s):
+            cells = [F.get(s["n"], 0)]
+            for j in range(1, K - 1):
+                cells.append(
+                    F.get(s["n"], j)
+                    + F.when(hit[j + 1], F.get(s["n"], j - 1))
+                    .otherwise(F.lit(0).cast("long")))
+            return F.struct(s["t"].alias("t"),
+                            F.array(*cells).alias("n"))
+
+        upd = F.transform(live, upd_row)
+        arr = F.when(
+            hit[1],
+            F.concat(upd, F.array(F.struct(x["t"].alias("t"),
+                                           zeros.alias("n"))))
+        ).otherwise(upd)
+        return F.struct((acc["cnt"] + closed).alias("cnt"),
+                        arr.alias("arr"))
 
     fold = F.aggregate(seq, init, step)
     return (df.groupBy(*keys).agg(fold["cnt"].alias("n_matches"))
@@ -1750,6 +1890,91 @@ def fork_loop_stepper(type_codes: dict[str, int] | None,
     return step
 
 
+def any_dp_stepper(stage_codes: list[int],
+                   key_cols: list[str] | None = None):
+    """applyInPandasWithState step for the followedByAny counting DP —
+    the cheapest stepper in the engine: state is K longs per key
+    (partial-subsequence counts per stage), O(1) per event, UNBOUNDED
+    history with constant state. Top-down counter update keeps the
+    pre-event snapshot implicit (one event never takes two positions
+    of the same subsequence)."""
+    K = len(stage_codes)
+    key_cols = key_cols or ["key"]
+    nk = len(key_cols)
+
+    def step(key, pdf_iter, state):
+        import pandas as pd
+        cs = list(state.get) if state.exists else [0] * K
+        rows = []
+        for pdf in pdf_iter:
+            rows.extend(_batch_rows(pdf, nk, None))
+        for _, _, c in sorted(rows):
+            for i in range(K - 1, -1, -1):
+                if c & stage_codes[i]:
+                    cs[i] += 1 if i == 0 else cs[i - 1]
+        state.update(tuple(cs))
+        yield pd.DataFrame(
+            {**{kc: [key[i]] for i, kc in enumerate(key_cols)},
+             "n_matches": [cs[K - 1]]})
+    return step
+
+
+def any_table_stepper(stage_codes: list[int], within_us: int,
+                      key_cols: list[str] | None = None):
+    """applyInPandasWithState step for the horizon-bounded
+    followedByAny DP — the anchor-aligned partial-count table as
+    keyed state: parallel arrays (anchor t, n_0..n_{K-2}) with the
+    same sorted-prefix-pop expiry the fork steppers use; the
+    combinatorial partial count lives in the counters, so state stays
+    bounded by anchor density inside the horizon."""
+    K = len(stage_codes)
+    key_cols = key_cols or ["key"]
+    nk = len(key_cols)
+
+    def step(key, pdf_iter, state):
+        import pandas as pd
+        if state.exists:
+            got = state.get
+            cnt, ts = got[0], list(got[1])
+            ns = [list(got[2 + j]) for j in range(K - 1)]
+            if ts != sorted(ts):  # rare cross-batch late arrival
+                order = sorted(range(len(ts)), key=lambda k: ts[k])
+                ts = [ts[k] for k in order]
+                ns = [[n[k] for k in order] for n in ns]
+        else:
+            cnt, ts = 0, []
+            ns = [[] for _ in range(K - 1)]
+        rows = []
+        for pdf in pdf_iter:
+            rows.extend(_batch_rows(pdf, nk, None))
+        for t, _, c in sorted(rows):
+            while ts and t - ts[0] > within_us:
+                ts.pop(0)
+                for n in ns:
+                    n.pop(0)
+            hits = [bool(c & b) for b in stage_codes]
+            if hits[K - 1]:
+                cnt += sum(ns[K - 2])
+            for i in range(K - 2, 0, -1):
+                if hits[i]:
+                    ni, nprev = ns[i], ns[i - 1]
+                    for a in range(len(ts)):
+                        ni[a] += nprev[a]
+            if hits[0]:
+                if ts and t < ts[-1]:
+                    pos = bisect.bisect_left(ts, t)
+                else:
+                    pos = len(ts)
+                ts.insert(pos, t)
+                for j, n in enumerate(ns):
+                    n.insert(pos, 1 if j == 0 else 0)
+        state.update((cnt, ts, *ns))
+        yield pd.DataFrame(
+            {**{kc: [key[i]] for i, kc in enumerate(key_cols)},
+             "n_matches": [cnt]})
+    return step
+
+
 def absence_stepper(a_type: str, b_type: str, within_us: int,
                     key_cols: list[str] | None = None,
                     mask_mode: bool = False):
@@ -2132,12 +2357,12 @@ def compile_pattern_stream(pat: Pattern, sdf: DataFrame,
             "not carried — use fixed times(n) or drop the quantifier")
     fam = pat._family()
     if fam not in ("relaxed", "relaxed_within", "fork", "fork_loop",
-                   "absence", "strict"):
+                   "absence", "strict", "any_dp", "any_dp_within"):
         raise NotImplementedError(
             "streaming pattern() carries the relaxed followed_by "
             "machines (skip-past-last, bounded, no_skip, bounded "
-            "one_or_more), strict chains (KMP), and timer-driven "
-            "absence")
+            "one_or_more), followed_by_any (counting DP), strict "
+            "chains (KMP), and timer-driven absence")
     if fam == "strict":
         # Fixed-string chains (next-chains; times(n) expands to one)
         # run on the KMP failure-function automaton (r9): O(K) state,
@@ -2202,7 +2427,16 @@ def compile_pattern_stream(pat: Pattern, sdf: DataFrame,
     K = len(scodes)  # awaits only — mid-pattern NFB stages are vetoes
     sflags = _strict_flags(pat)
     vcodes = _veto_codes(pat)
-    if fam == "relaxed":
+    if fam == "any_dp":
+        out_schema = f"{key_schema}, n_matches long"
+        state_schema = ", ".join(f"c{i} long" for i in range(1, K + 1))
+        fn = any_dp_stepper(scodes, key_cols=keys)
+    elif fam == "any_dp_within":
+        out_schema = f"{key_schema}, n_matches long"
+        state_schema = "cnt long, t array<long>, " + ", ".join(
+            f"n{j} array<long>" for j in range(K - 1))
+        fn = any_table_stepper(scodes, pat.within_us, key_cols=keys)
+    elif fam == "relaxed":
         out_schema = f"{key_schema}, n_matches long, stage long"
         state_schema = "cnt long, stage long"
         fn = relaxed_stepper(tcodes, scodes, sflags, key_cols=keys,

@@ -1460,6 +1460,97 @@ def q_cep_times_range(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_cep_followed_by_any",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, epoch_us(ts) AS t, event_id AS id, event_type
+      FROM events
+    )
+    SELECT a.user_id, CAST(COUNT(*) AS BIGINT) AS n_matches
+    FROM e a
+    JOIN e b ON b.user_id = a.user_id
+    JOIN e c ON c.user_id = a.user_id
+    WHERE a.event_type = 'view' AND b.event_type = 'click'
+      AND c.event_type = 'purchase'
+      AND (b.t > a.t OR (b.t = a.t AND b.id > a.id))
+      AND (c.t > b.t OR (c.t = b.t AND c.id > b.id))
+    GROUP BY a.user_id
+    """,
+)
+def q_cep_followed_by_any(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`followedByAny` [FLINK-API: Pattern#followedByAny — NON-
+    deterministic relaxed contiguity; every matching event forks a new
+    run, so the match set is ALL increasing view→click→purchase
+    subsequences] (round 9): counting needs NO anchor sets — the
+    subsequence-counting dynamic program with K longs of state
+    (cep._any_dp_machine), the cheapest machine in the engine (pure
+    codegen fold batch-side; the streaming twin carries K longs per
+    key over unbounded history). The oracle is a genuinely INDEPENDENT
+    triple self-join counting the increasing triples — no automaton
+    replay on the DuckDB side at all. Property twin enumerates
+    subsequences by brute force."""
+    from flink_tutorial_broadcast_spark.cep import Pattern
+    from flink_tutorial_broadcast_spark.datastream import (
+        StreamExecutionEnvironment,
+    )
+    env = StreamExecutionEnvironment.get_execution_environment(spark)
+    pat = (Pattern.begin("v", "view")
+           .followed_by_any("c", "click")
+           .followed_by_any("p", "purchase")
+           .no_skip())
+    return (env.from_dataframe(load(spark, sf_dir, "events"))
+            .key_by("user_id")
+            .pattern(pat)
+            .to_df())
+
+
+@query(
+    "q_cep_followed_by_any_within",
+    oracle=f"""
+    WITH e AS (
+      SELECT user_id, epoch_us(ts) AS t, event_id AS id, event_type
+      FROM events
+    )
+    SELECT a.user_id, CAST(COUNT(*) AS BIGINT) AS n_matches
+    FROM e a
+    JOIN e b ON b.user_id = a.user_id
+    JOIN e c ON c.user_id = a.user_id
+    WHERE a.event_type = 'view' AND b.event_type = 'click'
+      AND c.event_type = 'purchase'
+      AND (b.t > a.t OR (b.t = a.t AND b.id > a.id))
+      AND (c.t > b.t OR (c.t = b.t AND c.id > b.id))
+      AND b.t - a.t <= {_CEP_W48_US}
+      AND c.t - a.t <= {_CEP_W48_US}
+    GROUP BY a.user_id
+    """,
+)
+def q_cep_followed_by_any_within(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    """Horizon-bounded `followedByAny` (round 9): the same all-
+    combinations semantics under within(48h) — every bound event must
+    fall inside the anchor's horizon (the anchor row expires from the
+    table exactly when a transition arrives too late). The machine is
+    the anchor-aligned partial-count TABLE (cep._any_table_machine):
+    one row per live anchor carrying its per-stage partial counts, so
+    state is bounded by anchor density inside the horizon while the
+    combinatorial partial count lives in the counters. The oracle is
+    the independent span-filtered triple join."""
+    from flink_tutorial_broadcast_spark.cep import Pattern
+    from flink_tutorial_broadcast_spark.datastream import (
+        StreamExecutionEnvironment,
+    )
+    env = StreamExecutionEnvironment.get_execution_environment(spark)
+    pat = (Pattern.begin("v", "view")
+           .followed_by_any("c", "click")
+           .followed_by_any("p", "purchase")
+           .within("48 hours").no_skip())
+    return (env.from_dataframe(load(spark, sf_dir, "events"))
+            .key_by("user_id")
+            .pattern(pat)
+            .to_df())
+
+
+@query(
     "q_cep_strict_matches",
     oracle="""
     WITH RECURSIVE codes AS (

@@ -113,12 +113,13 @@ _VERIFICATION_PREFIX = (
     "q_setsim_join",                    # graph_setsim (L44; r1)
     # -- 45 FIRST-TIME keys (never driver-sampled r1-r8; VERDICT_r8
     #    item 1 named the scalar/UDF families and the four loners;
-    #    late-r9 swap: the five new CEP quantifier/predicate keys
-    #    (where/where_overlap/or_where/optional/times_range) replaced
-    #    q_median_mode/q_text_normalize/q_winsorize/q_ab_lift/
-    #    q_psi_drift, whose modules keep another prefix rep — those
-    #    five stay registered and sweep-checked, next rotation's
-    #    first picks) --
+    #    late-r9 swap: the seven new CEP quantifier/predicate/
+    #    contiguity keys (where, where_overlap, or_where, optional,
+    #    times_range, followed_by_any, followed_by_any_within)
+    #    replaced q_median_mode/q_text_normalize/q_winsorize/
+    #    q_ab_lift/q_psi_drift/q_hard_negatives/q_dedup_containment,
+    #    whose modules keep another prefix rep — those seven stay
+    #    registered and sweep-checked, next rotation's first picks) --
     "q_window_all_facade",              # flagship windowAll (NEW r8)
     "q_join_null_safe",                 # relational <=> join
     "q_math_funcs", "q_case_when",      # scalar I3, I4
@@ -127,9 +128,7 @@ _VERIFICATION_PREFIX = (
     "q_udaf_grouped", "q_udtf_split",   # UDF J3, J4
     "q_cogroup",                        # UDF cogroup twin
     "q_knn_filtered",                   # llm_knn predicate ANN
-    "q_hard_negatives",                 # llm_knn mining
     "q_dedup_snm",                      # llm_dedup sorted-neighborhood
-    "q_dedup_containment",              # llm_dedup containment
     "q_quality_score",                  # llm_scoring gates
     "q_doc_fingerprint",                # llm_scoring rolling hash
     "q_frame_sample",                   # multimodal K5 video frames
@@ -149,6 +148,8 @@ _VERIFICATION_PREFIX = (
     "q_cep_or_where",                   # CEP condition OR (NEW r9)
     "q_cep_optional",                   # CEP optional() union (NEW r9)
     "q_cep_times_range",                # CEP times(a,b) union (NEW r9)
+    "q_cep_followed_by_any",            # CEP any-contiguity DP (NEW r9)
+    "q_cep_followed_by_any_within",     # CEP bounded any DP (NEW r9)
     "q_scan_custom_source",             # connectors A4 python source
     "q_schema_evolution",               # connectors merged schema
     "q_partitioned_prune",              # connectors partition prune

@@ -1303,3 +1303,38 @@ def test_pattern_optional_refusals(spark):
          .pattern(Pattern.begin("v", "view")
                   .followed_by("c", "click").optional()
                   .followed_by("p", "purchase").no_skip()))
+
+
+def test_pattern_streaming_any_dp_converges(spark, queries):
+    """Streaming followedByAny (round 9): the K-longs-per-key counting
+    stepper — constant state over unbounded history — converges across
+    the micro-batch boundary to q_cep_followed_by_any; the bounded
+    table stepper to q_cep_followed_by_any_within."""
+    from flink_tutorial_broadcast_spark.streaming.jobs import (
+        _run_to_memory,
+    )
+
+    for key, pat in (
+            ("q_cep_followed_by_any",
+             Pattern.begin("v", "view")
+             .followed_by_any("c", "click")
+             .followed_by_any("p", "purchase").no_skip()),
+            ("q_cep_followed_by_any_within",
+             Pattern.begin("v", "view")
+             .followed_by_any("c", "click")
+             .followed_by_any("p", "purchase")
+             .within("48 hours").no_skip())):
+        sdf = _two_file_stream(
+            spark, ["user_id", "ts", "event_id", "event_type"])
+        out = (_env(spark).from_dataframe(sdf)
+               .key_by("user_id").pattern(pat).to_df())
+        assert out.isStreaming
+        rows = _run_to_memory(out, "update").collect()
+        final: dict[int, int] = {}
+        for r in rows:
+            final[r["user_id"]] = max(final.get(r["user_id"], 0),
+                                      r["n_matches"])
+        want = {r["user_id"]: r["n_matches"] for r in
+                queries[key](spark, SF_SMOKE).collect()}
+        assert {u: n for u, n in final.items() if n > 0} == want, key
+        assert want

@@ -1014,3 +1014,72 @@ def test_cep_times_range_union_matches_python_nfa(spark, rows):
             + _ref_fork_snap(seq, [c, c, p], 12 * 60)
             for u, seq in _per_user_ordered(rows).items()}
     assert got == {u: n for u, n in want.items() if n > 0}
+
+
+# -- followed_by_any counting DP (round 9) -----------------------------
+
+def _brute_subseq(seq, types, within_min=None):
+    """Independent brute force: enumerate ALL increasing subsequences
+    matching `types`, every bound event within the horizon of the
+    first (recursion over candidate positions — no DP, no counters)."""
+    idx = [[i for i, e in enumerate(seq) if e[1] == t] for t in types]
+    n = 0
+
+    def rec(stage, last_i, first_m):
+        nonlocal n
+        if stage == len(types):
+            n += 1
+            return
+        for i in idx[stage]:
+            if i <= last_i:
+                continue
+            m = seq[i][0]
+            if within_min is not None and stage > 0 \
+                    and m - first_m > within_min:
+                continue
+            rec(stage + 1, i, m if stage == 0 else first_m)
+
+    rec(0, -1, None)
+    return n
+
+
+@settings(max_examples=10, deadline=None)
+@given(rows=seq_strategy)
+def test_cep_any_dp_matches_brute_force(spark, rows):
+    """Unbounded followedByAny: the K-counter DP equals brute-force
+    subsequence enumeration (q_cep_followed_by_any's shape)."""
+    pat = (Pattern.begin("v", "view")
+           .followed_by_any("c", "click")
+           .followed_by_any("p", "purchase")
+           .no_skip())
+    got = _run(spark, _mk(spark, rows), pat)
+    want = {u: _brute_subseq(seq, ["view", "click", "purchase"])
+            for u, seq in _per_user_ordered(rows).items()}
+    assert got == {u: n for u, n in want.items() if n > 0}
+
+
+@settings(max_examples=10, deadline=None)
+@given(rows=seq_strategy)
+def test_cep_any_table_matches_brute_force(spark, rows):
+    """Bounded followedByAny: the anchor-aligned partial-count table
+    equals brute-force enumeration with the anchor-horizon rule
+    (q_cep_followed_by_any_within's shape), including repeated types
+    via times(2) expansion."""
+    pat = (Pattern.begin("v", "view")
+           .followed_by_any("c", "click")
+           .followed_by_any("p", "purchase")
+           .within("12 hours").no_skip())
+    got = _run(spark, _mk(spark, rows), pat)
+    want = {u: _brute_subseq(seq, ["view", "click", "purchase"],
+                             12 * 60)
+            for u, seq in _per_user_ordered(rows).items()}
+    assert got == {u: n for u, n in want.items() if n > 0}
+
+    pat2 = (Pattern.begin("v", "view")
+            .followed_by_any("c", "click").times(2)
+            .within("12 hours").no_skip())
+    got2 = _run(spark, _mk(spark, rows), pat2)
+    want2 = {u: _brute_subseq(seq, ["view", "click", "click"],
+                              12 * 60)
+             for u, seq in _per_user_ordered(rows).items()}
+    assert got2 == {u: n for u, n in want2.items() if n > 0}
