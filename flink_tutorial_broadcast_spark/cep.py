@@ -108,6 +108,12 @@ class _Stage:
     # nest left-associatively, so `.where(a).or_where(b).where(c)` is
     # ((type AND a) OR b) AND c
     conds: tuple = ()
+    # anchor-RELATIVE condition [FLINK-API: IterativeCondition —
+    # ctx.getEventsForPattern(begin)]: (col, op, anchor_col, scale,
+    # offset) meaning event.col OP anchor.anchor_col * scale + offset.
+    # Not part of the bitmask (it depends on the run's anchor, not the
+    # event alone); the single-anchor machines evaluate it in-fold.
+    rel: tuple | None = None
 
     def cond_key(self) -> tuple:
         """Identity of this stage's full condition — stages with equal
@@ -248,8 +254,41 @@ class Pattern:
         self.stages[-1].conds = (*self.stages[-1].conds, ("or", sql))
         return self
 
+    def where_rel(self, col: str, op: str, anchor_col: str,
+                  scale: float = 1.0, offset: float = 0.0) -> "Pattern":
+        """Anchor-RELATIVE condition on the LAST stage [FLINK-API:
+        IterativeCondition — `ctx.getEventsForPattern("begin")`,
+        restricted to comparisons against the run's ANCHOR event, the
+        dominant use (`price > first price`)]: the stage additionally
+        requires ``event.col OP anchor.anchor_col * scale + offset``.
+        `op` is one of > >= < <= = !=. Compiles on the single-anchor
+        skip-past-last machines (relaxed / relaxed+within), batch and
+        streaming — the fold state already carries THE anchor, so the
+        comparison is O(1); the forking families would need per-anchor
+        payloads and refuse loudly. Not allowed on the begin stage
+        (no anchor exists yet)."""
+        if not self.stages:
+            raise ValueError("where_rel() needs a stage")
+        if len(self.stages) == 1:
+            raise NotImplementedError(
+                "where_rel() on the begin stage is undefined — the "
+                "anchor IS the begin event")
+        if op not in (">", ">=", "<", "<=", "=", "!="):
+            raise ValueError(f"where_rel op {op!r} not in "
+                             "> >= < <= = !=")
+        if self.stages[-1].rel is not None:
+            raise NotImplementedError(
+                "one where_rel() per stage — fold the arithmetic into "
+                "scale/offset")
+        self.stages[-1].rel = (col, op, anchor_col,
+                               float(scale), float(offset))
+        return self
+
     def _has_preds(self) -> bool:
         return any(s.conds for s in self.stages)
+
+    def _has_rel(self) -> bool:
+        return any(s.rel is not None for s in self.stages)
 
     def _has_opt_range(self) -> bool:
         return any(s.optional or s.times_hi is not None
@@ -391,7 +430,7 @@ class Pattern:
                 inner = "followed_by"
             for j in range(1, n):
                 out.append(_Stage(f"{s.name}#{j}", s.event_type, inner,
-                                  conds=s.conds))
+                                  conds=s.conds, rel=s.rel))
         return Pattern(stages=out, within_us=self.within_us,
                        skip=self.skip)
 
@@ -552,9 +591,25 @@ def compile_pattern(pat: Pattern, df: DataFrame, keys: list[str],
     if pat._has_opt_range():
         # optional()/times(a, b): union-of-variants on the fork
         # machines (no_skip only — gated inside)
+        if pat._has_rel():
+            raise NotImplementedError(
+                "where_rel() with optional()/times(a, b) is not "
+                "compiled — the variant union runs on the forking "
+                "machines, which carry no per-anchor payloads")
         return _compile_variant_union(pat, df, keys, time_col,
                                       tiebreak_col, event_col)
     fam = pat._family()
+    if pat._has_rel():
+        if fam not in ("relaxed", "relaxed_within"):
+            raise NotImplementedError(
+                "where_rel() compiles on the single-anchor "
+                "skip-past-last machines (relaxed followed_by, with "
+                "or without within()) — the forking/any/strict/"
+                "absence families would need per-anchor payloads; "
+                "drop no_skip()/followed_by_any or the relative "
+                "condition")
+        return _relaxed_rel_machine(pat._expanded(), df, keys,
+                                    time_col, tiebreak_col, event_col)
     if fam == "absence":
         return _absence(pat, df, keys, time_col, tiebreak_col, event_col)
     if fam == "absence_chain":
@@ -984,6 +1039,10 @@ def compile_pattern_chunked(pat: Pattern, df: DataFrame,
             "pattern() (union-of-variants counting); chunked "
             "compilation is not carried — use fixed times(n) or "
             "drop the quantifier")
+    if pat._has_rel():
+        raise NotImplementedError(
+            "where_rel() is not carried by chunked compilation — "
+            "use the plain batch pattern() or the streaming stepper")
     fam = pat._family()
     if fam not in ("fork", "fork_loop"):
         raise NotImplementedError(
@@ -1176,6 +1235,89 @@ def _fork_loop_machine(pat, df, keys, time_col, tiebreak_col, event_col):
             .filter(F.col("n_matches") > 0))
 
 
+_REL_OPS = {
+    ">": lambda a, b: a > b, ">=": lambda a, b: a >= b,
+    "<": lambda a, b: a < b, "<=": lambda a, b: a <= b,
+    "=": lambda a, b: a == b, "!=": lambda a, b: a != b,
+}
+
+
+def _relaxed_rel_machine(pat, df, keys, time_col, tiebreak_col,
+                         event_col):
+    """Single-anchor skip-past-last machine WITH anchor-relative stage
+    conditions [FLINK-API: IterativeCondition restricted to anchor
+    comparisons] — the bounded/unbounded relaxed machine whose fold
+    state additionally carries the anchor event's referenced column
+    values (one double per distinct anchor column), captured when a
+    run anchors and compared per await: adv = mask-bit AND
+    (event.col OP anchor.acol * scale + offset). O(1) state like its
+    rel-free twins; null operands compare as False (three-valued SQL
+    coalesced), matching the Python reference."""
+    K = len(_stage_bits(pat))
+    w = pat.within_us
+    rels = [s.rel for s in _await_stages(pat)]
+    if rels[0] is not None:
+        raise NotImplementedError(
+            "where_rel() on the begin stage is undefined")
+    vcols = sorted({r[0] for r in rels if r}
+                   | {r[2] for r in rels if r})
+    need = _need(pat)
+    strict = _strict_arr(pat)
+    veto = F.array(*[F.lit(v) for v in _veto_codes(pat)])
+    seq = F.array_sort(F.collect_list(F.struct(
+        F.unix_micros(time_col).alias("t"),
+        F.col(tiebreak_col).alias("eid"),
+        _cond_mask_col(pat, event_col).alias("c"),
+        *[F.col(c).cast("double").alias(f"v_{c}") for c in vcols])))
+    init = F.struct(
+        F.lit(0).cast("long").alias("cnt"),
+        F.lit(0).alias("stage"),
+        F.lit(0).cast("long").alias("anchor"),
+        *[F.lit(0.0).alias(f"av_{c}") for c in vcols])
+
+    def step(acc, x):
+        if w is None:
+            stage = acc["stage"]
+        else:
+            stage = F.when(
+                (acc["stage"] > 0) & (x["t"] - acc["anchor"] > w),
+                F.lit(0)).otherwise(acc["stage"])
+        rel_cells = []
+        for r in rels:
+            if r is None:
+                rel_cells.append(F.lit(True))
+            else:
+                col, op, acol, sc, off = r
+                cmpv = _REL_OPS[op](
+                    x[f"v_{col}"],
+                    acc[f"av_{acol}"] * F.lit(sc) + F.lit(off))
+                rel_cells.append(F.coalesce(cmpv, F.lit(False)))
+        adv = (_hit(x["c"], F.get(need, stage))
+               & F.get(F.array(*rel_cells), stage))
+        done = adv & (stage == K - 1)
+        die = ((((~adv) & F.get(strict, stage))
+                | _hit(x["c"], F.get(veto, stage)))
+               & (stage > 0))
+        restart = die & _hit(x["c"], F.get(need, F.lit(0)))
+        starts = ((stage == 0) & adv) | restart
+        return F.struct(
+            F.when(done, acc["cnt"] + 1).otherwise(acc["cnt"])
+             .alias("cnt"),
+            F.when(done, F.lit(0))
+             .when(adv, stage + 1)
+             .when(restart, F.lit(1))
+             .when(die, F.lit(0))
+             .otherwise(stage).alias("stage"),
+            F.when(starts, x["t"]).otherwise(acc["anchor"])
+             .alias("anchor"),
+            *[F.when(starts, x[f"v_{c}"]).otherwise(acc[f"av_{c}"])
+              .alias(f"av_{c}") for c in vcols])
+
+    fold = F.aggregate(seq, init, step)
+    return (df.groupBy(*keys).agg(fold["cnt"].alias("n_matches"))
+            .filter(F.col("n_matches") > 0))
+
+
 def _any_dp_machine(pat, df, keys, time_col, tiebreak_col, event_col):
     """followedByAny WITHOUT within() [FLINK-API: Pattern#followedByAny
     under noSkip — the match set is ALL increasing event subsequences
@@ -1309,6 +1451,11 @@ def compile_pattern_matches(pat: Pattern, df: DataFrame,
             "pattern() (union-of-variants counting); match extraction "
             "and streaming are not carried — use fixed times(n) or "
             "drop the quantifier")
+    if pat._has_rel():
+        raise NotImplementedError(
+            "where_rel() carries counts only (pattern()) — match "
+            "extraction with anchor-relative conditions is not "
+            "compiled")
     fam = pat._family()
     if fam not in ("relaxed", "relaxed_within", "fork", "fork_loop",
                    "strict"):
@@ -1890,6 +2037,83 @@ def fork_loop_stepper(type_codes: dict[str, int] | None,
     return step
 
 
+def relaxed_rel_stepper(stage_bits: list[int], rels: list,
+                        vcols: list[str], within_us: int | None,
+                        strict: list[bool] | None = None,
+                        key_cols: list[str] | None = None,
+                        veto: list[int] | None = None):
+    """applyInPandasWithState step for the single-anchor machine WITH
+    anchor-relative conditions (where_rel): keyed state additionally
+    carries the anchor's referenced column values, captured on anchor
+    and compared per await exactly like the batch fold. Input columns:
+    keys, time, tiebreak, mask, then one double per entry of `vcols`
+    (the Spark-side projection casts). NaN operands compare False —
+    the same rule the batch fold's coalesce pins."""
+    import operator
+    ops = {">": operator.gt, ">=": operator.ge, "<": operator.lt,
+           "<=": operator.le, "=": operator.eq, "!=": operator.ne}
+    K = len(stage_bits)
+    strict = strict or [False] * K
+    veto = veto or [0] * K
+    key_cols = key_cols or ["key"]
+    nk = len(key_cols)
+    vidx = {c: i for i, c in enumerate(vcols)}
+
+    def step(key, pdf_iter, state):
+        import pandas as pd
+        if state.exists:
+            got = state.get
+            cnt, stage, anchor = got[0], got[1], got[2]
+            avs = list(got[3:])
+        else:
+            cnt, stage, anchor = 0, 0, 0
+            avs = [0.0] * len(vcols)
+        rows = []
+        for pdf in pdf_iter:
+            t = (pdf.iloc[:, nk].to_numpy("datetime64[ns]")
+                 .astype("int64") // 1000).tolist()
+            ids = pdf.iloc[:, nk + 1].tolist()
+            cs = pdf.iloc[:, nk + 2].tolist()
+            extras = [pdf.iloc[:, nk + 3 + j].astype(float).tolist()
+                      for j in range(len(vcols))]
+            rows.extend(zip(t, ids, cs, *extras))
+        for row in sorted(rows):
+            t, _, c, *vs = row
+            if within_us is not None and stage > 0 \
+                    and t - anchor > within_us:
+                stage = 0
+            ok = bool(c & stage_bits[stage])
+            r = rels[stage]
+            if ok and r is not None:
+                col, op, acol, sc, off = r
+                ev = vs[vidx[col]]
+                av = avs[vidx[acol]]
+                # a missing operand (NULL → NaN through pandas) fails
+                # the condition, matching the fold's coalesce(False)
+                if ev != ev or av != av:
+                    ok = False
+                else:
+                    ok = bool(ops[op](ev, av * sc + off))
+            if ok:
+                if stage == 0:
+                    anchor, avs = t, [float(v) for v in vs]
+                if stage == K - 1:
+                    cnt, stage = cnt + 1, 0
+                else:
+                    stage += 1
+            elif stage > 0 and (strict[stage] or c & veto[stage]):
+                if c & stage_bits[0]:
+                    stage, anchor = 1, t
+                    avs = [float(v) for v in vs]
+                else:
+                    stage = 0
+        state.update((cnt, stage, anchor, *avs))
+        yield pd.DataFrame(
+            {**{kc: [key[i]] for i, kc in enumerate(key_cols)},
+             "n_matches": [cnt], "stage": [stage]})
+    return step
+
+
 def any_dp_stepper(stage_codes: list[int],
                    key_cols: list[str] | None = None):
     """applyInPandasWithState step for the followedByAny counting DP —
@@ -2363,6 +2587,12 @@ def compile_pattern_stream(pat: Pattern, sdf: DataFrame,
             "machines (skip-past-last, bounded, no_skip, bounded "
             "one_or_more), followed_by_any (counting DP), strict "
             "chains (KMP), and timer-driven absence")
+    if pat._has_rel() and fam not in ("relaxed", "relaxed_within"):
+        raise NotImplementedError(
+            "where_rel() streams only on the single-anchor "
+            "skip-past-last machines — drop no_skip()/"
+            "followed_by_any/not_followed_by or the relative "
+            "condition")
     if fam == "strict":
         # Fixed-string chains (next-chains; times(n) expands to one)
         # run on the KMP failure-function automaton (r9): O(K) state,
@@ -2420,6 +2650,32 @@ def compile_pattern_stream(pat: Pattern, sdf: DataFrame,
             outputMode="Append",
             timeoutConf=GroupStateTimeout.EventTimeTimeout)
     pat = pat._expanded()
+    if pat._has_rel():
+        rels = [s.rel for s in _await_stages(pat)]
+        if rels[0] is not None:
+            raise NotImplementedError(
+                "where_rel() on the begin stage is undefined")
+        vcols = sorted({r[0] for r in rels if r}
+                       | {r[2] for r in rels if r})
+        proj = sdf.select(
+            *keys, time_col, tiebreak_col,
+            _cond_mask_col(pat, event_col).alias("__m"),
+            *[F.col(c).cast("double").alias(f"__v_{c}")
+              for c in vcols])
+        fn = relaxed_rel_stepper(_stage_bits(pat), rels, vcols,
+                                 pat.within_us, _strict_flags(pat),
+                                 key_cols=keys,
+                                 veto=_veto_codes(pat))
+        state_schema = ("cnt long, stage long, anchor long"
+                        + "".join(f", av{i} double"
+                                  for i in range(len(vcols))))
+        return proj.groupBy(*keys).applyInPandasWithState(
+            fn,
+            outputStructType=f"{key_schema}, n_matches long, "
+                             "stage long",
+            stateStructType=state_schema,
+            outputMode="Update",
+            timeoutConf=GroupStateTimeout.NoTimeout)
     proj = sdf.select(*keys, time_col, tiebreak_col,
                       _cond_mask_col(pat, event_col).alias("__m"))
     tcodes = None  # the mask column IS the per-event condition word
@@ -2484,6 +2740,11 @@ def compile_pattern_matches_stream(pat: Pattern, sdf: DataFrame,
             "pattern() (union-of-variants counting); match extraction "
             "and streaming are not carried — use fixed times(n) or "
             "drop the quantifier")
+    if pat._has_rel():
+        raise NotImplementedError(
+            "where_rel() carries counts only (pattern()) — match "
+            "extraction with anchor-relative conditions is not "
+            "compiled")
     fam = pat._family()
     if fam not in ("relaxed", "relaxed_within", "fork", "fork_loop",
                    "strict"):

@@ -1551,6 +1551,77 @@ def q_cep_followed_by_any_within(spark: SparkSession,
 
 
 @query(
+    "q_cep_where_rel",
+    oracle=f"""
+    WITH RECURSIVE codes0 AS (
+      SELECT user_id, epoch_us(ts) AS t, event_id, value,
+             CASE event_type WHEN 'view' THEN 1
+                  WHEN 'purchase' THEN 2 ELSE 0 END AS c
+      FROM events
+    ), codes AS (
+      SELECT user_id, t, c, value,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY t, event_id) AS i
+      FROM codes0 WHERE c > 0
+    ), n AS (
+      SELECT user_id, COUNT(*) AS n_ev FROM codes GROUP BY user_id
+    ), run AS (
+      SELECT user_id, 0 AS i, CAST(0 AS BIGINT) AS cnt, 0 AS stage,
+             CAST(0 AS BIGINT) AS anchor_t,
+             CAST(0 AS DOUBLE) AS anchor_v
+      FROM n
+      UNION ALL
+      SELECT r.user_id, r.i + 1,
+             CASE WHEN s.st = 1 AND c.c = 2 AND c.value > r.anchor_v
+                  THEN r.cnt + 1 ELSE r.cnt END,
+             CASE WHEN s.st = 0 AND c.c = 1 THEN 1
+                  WHEN s.st = 1 AND c.c = 2 AND c.value > r.anchor_v
+                  THEN 0 ELSE s.st END,
+             CASE WHEN s.st = 0 AND c.c = 1 THEN c.t
+                  ELSE r.anchor_t END,
+             CASE WHEN s.st = 0 AND c.c = 1 THEN c.value
+                  ELSE r.anchor_v END
+      FROM run r JOIN codes c ON c.user_id = r.user_id
+                             AND c.i = r.i + 1
+      CROSS JOIN LATERAL (
+        SELECT CASE WHEN r.stage > 0
+                         AND c.t - r.anchor_t > {_CEP_W48_US}
+                    THEN 0 ELSE r.stage END AS st) s
+    )
+    SELECT r.user_id, r.cnt AS n_matches
+    FROM run r JOIN n ON r.user_id = n.user_id AND r.i = n.n_ev
+    WHERE r.cnt > 0
+    """,
+)
+def q_cep_where_rel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANCHOR-RELATIVE stage condition [FLINK-API: IterativeCondition
+    — `ctx.getEventsForPattern("begin")`, restricted to comparisons
+    against the run's anchor, the canonical 'later price higher than
+    the first' CEP pattern] (round 9): a view followed within 48 h by
+    a purchase whose value EXCEEDS the anchoring view's value, under
+    skip-past-last. The single-anchor machine's O(1) state gains the
+    anchor's referenced column value (cep._relaxed_rel_machine), so
+    the per-await comparison never needs per-anchor payload arrays;
+    the oracle replays the identical automaton with (anchor_t,
+    anchor_v) carried through the recursive-CTE state. Streaming twin:
+    test_pattern_streaming_where_rel; property twin:
+    test_cep_where_rel_matches_python_nfa."""
+    from flink_tutorial_broadcast_spark.cep import Pattern
+    from flink_tutorial_broadcast_spark.datastream import (
+        StreamExecutionEnvironment,
+    )
+    env = StreamExecutionEnvironment.get_execution_environment(spark)
+    pat = (Pattern.begin("v", "view")
+           .followed_by("p", "purchase")
+           .where_rel("value", ">", "value")
+           .within("48 hours"))
+    return (env.from_dataframe(load(spark, sf_dir, "events"))
+            .key_by("user_id")
+            .pattern(pat)
+            .to_df())
+
+
+@query(
     "q_cep_strict_matches",
     oracle="""
     WITH RECURSIVE codes AS (

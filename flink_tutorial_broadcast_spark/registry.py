@@ -113,13 +113,14 @@ _VERIFICATION_PREFIX = (
     "q_setsim_join",                    # graph_setsim (L44; r1)
     # -- 45 FIRST-TIME keys (never driver-sampled r1-r8; VERDICT_r8
     #    item 1 named the scalar/UDF families and the four loners;
-    #    late-r9 swap: the seven new CEP quantifier/predicate/
-    #    contiguity keys (where, where_overlap, or_where, optional,
-    #    times_range, followed_by_any, followed_by_any_within)
-    #    replaced q_median_mode/q_text_normalize/q_winsorize/
-    #    q_ab_lift/q_psi_drift/q_hard_negatives/q_dedup_containment,
-    #    whose modules keep another prefix rep — those seven stay
-    #    registered and sweep-checked, next rotation's first picks) --
+    #    late-r9 swap: the eight new CEP verb keys (where,
+    #    where_overlap, or_where, optional, times_range,
+    #    followed_by_any, followed_by_any_within, where_rel) replaced
+    #    q_median_mode/q_text_normalize/q_winsorize/q_ab_lift/
+    #    q_psi_drift/q_hard_negatives/q_dedup_containment/
+    #    q_audio_frame_energy, whose modules keep another prefix rep
+    #    — those eight stay registered and sweep-checked, next
+    #    rotation's first picks) --
     "q_window_all_facade",              # flagship windowAll (NEW r8)
     "q_join_null_safe",                 # relational <=> join
     "q_math_funcs", "q_case_when",      # scalar I3, I4
@@ -132,7 +133,6 @@ _VERIFICATION_PREFIX = (
     "q_quality_score",                  # llm_scoring gates
     "q_doc_fingerprint",                # llm_scoring rolling hash
     "q_frame_sample",                   # multimodal K5 video frames
-    "q_audio_frame_energy",             # multimodal K5 audio
     "q_quantiles",                      # olap_ext percentiles
     "q_lateral_join",                   # olap_ext lateral
     "q_tpch_q5",                        # composite TPC-H Q5
@@ -150,6 +150,7 @@ _VERIFICATION_PREFIX = (
     "q_cep_times_range",                # CEP times(a,b) union (NEW r9)
     "q_cep_followed_by_any",            # CEP any-contiguity DP (NEW r9)
     "q_cep_followed_by_any_within",     # CEP bounded any DP (NEW r9)
+    "q_cep_where_rel",                  # CEP anchor-relative cond (NEW r9)
     "q_scan_custom_source",             # connectors A4 python source
     "q_schema_evolution",               # connectors merged schema
     "q_partitioned_prune",              # connectors partition prune

@@ -1338,3 +1338,32 @@ def test_pattern_streaming_any_dp_converges(spark, queries):
                 queries[key](spark, SF_SMOKE).collect()}
         assert {u: n for u, n in final.items() if n > 0} == want, key
         assert want
+
+
+def test_pattern_streaming_where_rel(spark, queries):
+    """Streaming where_rel (round 9): the keyed state carries the
+    anchor's referenced value across micro-batch boundaries, so the
+    q_cep_where_rel pattern on the live stream converges to the
+    oracle-backed batch counts."""
+    from flink_tutorial_broadcast_spark.streaming.jobs import (
+        _run_to_memory,
+    )
+
+    sdf = _two_file_stream(
+        spark, ["user_id", "ts", "event_id", "event_type", "value"])
+    pat = (Pattern.begin("v", "view")
+           .followed_by("p", "purchase")
+           .where_rel("value", ">", "value")
+           .within("48 hours"))
+    out = (_env(spark).from_dataframe(sdf)
+           .key_by("user_id").pattern(pat).to_df())
+    assert out.isStreaming
+    rows = _run_to_memory(out, "update").collect()
+    final: dict[int, int] = {}
+    for r in rows:
+        final[r["user_id"]] = max(final.get(r["user_id"], 0),
+                                  r["n_matches"])
+    want = {r["user_id"]: r["n_matches"] for r in
+            queries["q_cep_where_rel"](spark, SF_SMOKE).collect()}
+    assert {u: n for u, n in final.items() if n > 0} == want
+    assert want

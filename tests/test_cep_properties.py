@@ -1083,3 +1083,52 @@ def test_cep_any_table_matches_brute_force(spark, rows):
                               12 * 60)
              for u, seq in _per_user_ordered(rows).items()}
     assert got2 == {u: n for u, n in want2.items() if n > 0}
+
+
+# -- where_rel anchor-relative conditions (round 9) --------------------
+
+@settings(max_examples=10, deadline=None)
+@given(rows=seq_val_strategy)
+def test_cep_where_rel_matches_python_nfa(spark, rows):
+    """Anchor-relative conditions on the single-anchor machines: the
+    fold's carried anchor value must gate the await exactly like the
+    pure-Python reference — bounded and unbounded, with a scale
+    factor, and composed with a static where() on the anchor."""
+    pat = (Pattern.begin("v", "view").where("value >= 30")
+           .followed_by("p", "purchase")
+           .where_rel("value", ">=", "value", scale=1.5)
+           .within("12 hours"))
+    got = _run(spark, _mk_val(spark, rows), pat)
+
+    def ref(seq, w):
+        stage, cnt, at, av = 0, 0, 0, 0.0
+        for m, ty, v in seq:
+            if w is not None and stage > 0 and m - at > w:
+                stage = 0
+            if stage == 0 and ty == "view" and v >= 30:
+                stage, at, av = 1, m, v
+            elif stage == 1 and ty == "purchase" and v >= 1.5 * av:
+                cnt, stage = cnt + 1, 0
+        return cnt
+
+    want = {u: ref(seq, 12 * 60)
+            for u, seq in _per_user_ordered_val(rows).items()}
+    assert got == {u: n for u, n in want.items() if n > 0}
+
+    pat2 = (Pattern.begin("v", "view")
+            .followed_by("p", "purchase")
+            .where_rel("value", "<", "value"))
+    got2 = _run(spark, _mk_val(spark, rows), pat2)
+
+    def ref2(seq):
+        stage, cnt, av = 0, 0, 0.0
+        for m, ty, v in seq:
+            if stage == 0 and ty == "view":
+                stage, av = 1, v
+            elif stage == 1 and ty == "purchase" and v < av:
+                cnt, stage = cnt + 1, 0
+        return cnt
+
+    want2 = {u: ref2(seq)
+             for u, seq in _per_user_ordered_val(rows).items()}
+    assert got2 == {u: n for u, n in want2.items() if n > 0}
