@@ -593,7 +593,8 @@ def s_cep_stepper_throughput(c: Ctx) -> None:
     with one zip over column arrays (~140x); the residual is the
     per-event Python NFA transition, which is the verb's price."""
     from flink_tutorial_broadcast_spark.cep import (
-        _kmp_failure, fork_stepper, kmp_stepper, relaxed_stepper,
+        _kmp_failure, any_dp_stepper, any_table_stepper, fork_stepper,
+        kmp_stepper, relaxed_stepper,
     )
 
     class _St:
@@ -614,6 +615,11 @@ def s_cep_stepper_throughput(c: Ctx) -> None:
     # relaxed/fork test `mask & bit` (r9 where() support): codes must
     # be one-hot BITS; kmp compares by equality, any distinct values
     tc = {"view": 1, "click": 2, "purchase": 4}
+    # the any-steppers take the Spark-computed mask column directly
+    # (type_codes=None production shape) — pre-map the type strings
+    masked = {u: pdf.assign(
+        event_type=pdf["event_type"].map(tc).fillna(0).astype("int64"))
+        for u, pdf in per_key.items()}
     for label, fn in (
             ("relaxed", relaxed_stepper(tc, [1, 2, 4],
                                         key_cols=["user_id"])),
@@ -621,9 +627,18 @@ def s_cep_stepper_throughput(c: Ctx) -> None:
                                       48 * 3600 * 1_000_000,
                                       key_cols=["user_id"])),
             ("kmp_strict", kmp_stepper(tc, [1, 1, 4],
-                                       key_cols=["user_id"]))):
+                                       key_cols=["user_id"])),
+            # r9 followedByAny machines: the DP stepper is the O(K)-
+            # longs bound (expected fastest fold); the table stepper's
+            # per-event cost scales with live anchors in the horizon
+            ("any_dp", any_dp_stepper([1, 2, 4],
+                                      key_cols=["user_id"])),
+            ("any_table_48h", any_table_stepper(
+                [1, 2, 4], 48 * 3600 * 1_000_000,
+                key_cols=["user_id"]))):
+        src = masked if label.startswith("any_") else per_key
         t0 = time.time()
-        for u, pdf in per_key.items():
+        for u, pdf in src.items():
             list(fn((u,), iter([pdf]), _St()))
         sec = time.time() - t0
         print(f"#   stepper {label}: {total} events in {sec:.2f}s = "
