@@ -404,3 +404,67 @@ def run_round9_extensions(spark: SparkSession, root: str):
                                             chunk_horizons=2)
     fork = src.key_by("user_id").pattern(fork_pat)
     return strict_stream, loops.to_df(), chunked.to_df(), fork.to_df()
+
+
+def run_round9_verbs(spark: SparkSession, root: str):
+    """The late-round-9 CONDITION/QUANTIFIER verbs in walkthrough form,
+    same demo log:
+
+      13. stage PREDICATES [FLINK-API: Pattern#where / Pattern#or]: a
+          high-value view (where value >= 40) followed by a purchase —
+          the condition is plain ANSI-SQL over the event row,
+          evaluated JVM-side as one bit of the event's condition mask,
+      14. an OPTIONAL middle stage [FLINK-API: Pattern#optional] under
+          noSkip — compiled as the union of the with- and without-
+          variant fork machines; the walkthrough returns the two
+          variant counts too, so the sum identity is visible,
+      15. `followed_by_any` [FLINK-API: Pattern#followedByAny]: ALL
+          view→purchase combinations, counted by the K-longs
+          subsequence DP (no anchor sets at all),
+      16. an ANCHOR-RELATIVE condition [FLINK-API: IterativeCondition]
+          — a purchase worth MORE than the view that anchored its run.
+
+    Returns (where_df, opt_df, with_df, without_df, any_df, rel_df)."""
+    from flink_tutorial_broadcast_spark.cep import Pattern
+
+    eventlog.register(spark)
+    env = StreamExecutionEnvironment.get_execution_environment(spark)
+    raw = spark.read.format("ftbs_eventlog").option("path", root).load()
+    src = env.from_dataframe(raw).map({
+        "event_id": "event_id", "user_id": "user_id",
+        "event_type": "event_type", "value": "value",
+        "ts": "timestamp_micros(event_id * 60000000)"})
+    ks = src.key_by("user_id")
+
+    # 13) predicate stage — big views only anchor
+    where_pat = (Pattern.begin("v", "view").where("value >= 40")
+                 .followed_by("p", "purchase"))
+    where_df = ks.pattern(where_pat).to_df()
+
+    # 14) optional middle click: union of variants, sum identity
+    opt_pat = (Pattern.begin("v", "view")
+               .followed_by("c", "click").optional()
+               .followed_by("p", "purchase")
+               .within("12 hours").no_skip())
+    with_pat = (Pattern.begin("v", "view")
+                .followed_by("c", "click")
+                .followed_by("p", "purchase")
+                .within("12 hours").no_skip())
+    without_pat = (Pattern.begin("v", "view")
+                   .followed_by("p", "purchase")
+                   .within("12 hours").no_skip())
+    opt_df = ks.pattern(opt_pat).to_df()
+    with_df = ks.pattern(with_pat).to_df()
+    without_df = ks.pattern(without_pat).to_df()
+
+    # 15) all combinations — the subsequence-counting DP
+    any_pat = (Pattern.begin("v", "view")
+               .followed_by_any("p", "purchase").no_skip())
+    any_df = ks.pattern(any_pat).to_df()
+
+    # 16) purchase worth more than its anchoring view
+    rel_pat = (Pattern.begin("v", "view")
+               .followed_by("p", "purchase")
+               .where_rel("value", ">", "value"))
+    rel_df = ks.pattern(rel_pat).to_df()
+    return where_df, opt_df, with_df, without_df, any_df, rel_df

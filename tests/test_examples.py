@@ -257,3 +257,76 @@ def test_round9_extensions_walkthrough(spark):
     # 12) chunked ≡ unchunked, exactly
     assert {(r.user_id, r.n_matches) for r in chunked.collect()} \
         == {(r.user_id, r.n_matches) for r in fork.collect()}
+
+
+def test_round9_verbs_walkthrough(spark):
+    """docs/migrate.md late-round-9 rows: where() filters anchors,
+    optional() equals the sum of its two variants, followed_by_any
+    counts every (view, later purchase) pair, and where_rel gates on
+    the anchor's value."""
+    import tempfile
+
+    from flink_tutorial_broadcast_spark import examples
+
+    root = tempfile.mkdtemp(prefix="migrate_log_r9v_")
+    examples.produce_demo_log(root, n_events=120)
+    where_df, opt_df, with_df, without_df, any_df, rel_df = \
+        examples.run_round9_verbs(spark, root)
+
+    raw = (spark.read.format("ftbs_eventlog").option("path", root)
+           .load().collect())
+    per: dict = {}
+    for r in sorted(raw, key=lambda r: r.event_id):
+        per.setdefault(r.user_id, []).append((r.event_type, r.value))
+
+    # 13) where(): skip-past-last alternation over big views
+    want_w = {}
+    for u, seq in per.items():
+        stage = cnt = 0
+        for ty, v in seq:
+            if stage == 0 and ty == "view" and v >= 40:
+                stage = 1
+            elif stage == 1 and ty == "purchase":
+                cnt, stage = cnt + 1, 0
+        if cnt:
+            want_w[u] = cnt
+    got_w = {r.user_id: r.n_matches for r in where_df.collect()}
+    assert got_w == want_w
+
+    # 14) optional() == with-variant + without-variant, per key
+    opt = {r.user_id: r.n_matches for r in opt_df.collect()}
+    w3 = {r.user_id: r.n_matches for r in with_df.collect()}
+    w2 = {r.user_id: r.n_matches for r in without_df.collect()}
+    keys = set(w3) | set(w2)
+    assert opt == {u: w3.get(u, 0) + w2.get(u, 0) for u in keys
+                   if w3.get(u, 0) + w2.get(u, 0) > 0}
+    assert opt  # non-vacuous
+
+    # 15) followed_by_any == all (view, later purchase) pairs
+    want_a = {}
+    for u, seq in per.items():
+        views = n = 0
+        for ty, _ in seq:
+            if ty == "view":
+                views += 1
+            elif ty == "purchase":
+                n += views
+        if n:
+            want_a[u] = n
+    got_a = {r.user_id: r.n_matches for r in any_df.collect()}
+    assert got_a == want_a
+
+    # 16) where_rel: purchase must beat its anchor's value
+    want_r = {}
+    for u, seq in per.items():
+        stage = cnt = 0
+        av = 0.0
+        for ty, v in seq:
+            if stage == 0 and ty == "view":
+                stage, av = 1, v
+            elif stage == 1 and ty == "purchase" and v > av:
+                cnt, stage = cnt + 1, 0
+        if cnt:
+            want_r[u] = cnt
+    got_r = {r.user_id: r.n_matches for r in rel_df.collect()}
+    assert got_r == want_r
