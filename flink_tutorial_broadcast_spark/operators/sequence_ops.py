@@ -1622,6 +1622,57 @@ def q_cep_where_rel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_cep_where_matches",
+    oracle=f"""
+    WITH e AS (
+      SELECT user_id, epoch_us(ts) AS t, event_id AS id,
+             event_type, value
+      FROM events
+    ), a AS (
+      SELECT * FROM e WHERE event_type = 'view' AND value >= 20
+    ), b AS (
+      SELECT * FROM e WHERE event_type = 'view' AND value >= 120
+    ), pairs AS (
+      SELECT a.user_id, a.id AS start_event_id, a.t AS a_t,
+             b.t AS b_t, b.id AS end_id,
+             row_number() OVER (PARTITION BY a.user_id, a.id
+                                ORDER BY b.t, b.id) AS rn
+      FROM a JOIN b ON b.user_id = a.user_id
+        AND (b.t > a.t OR (b.t = a.t AND b.id > a.id))
+        AND b.t - a.t <= {_CEP_W48_US}
+    )
+    SELECT user_id, start_event_id, end_id AS end_event_id,
+           CAST(b_t - a_t AS BIGINT) AS span_us
+    FROM pairs WHERE rn = 1
+    """,
+)
+def q_cep_where_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Match EXTRACTION with stage predicates (round 9 — where()
+    flows through pattern_matches() because the extraction machines
+    run on the same condition-bitmask transitions as the count
+    machines): the q_cep_where_overlap pattern's BINDINGS — every
+    anchor (view value>=20) paired with the FIRST qualifying close
+    (view value>=120) after it inside the 48 h horizon, one event
+    possibly both closing runs and re-anchoring (the snapshot rule).
+    match_no is projected away so the hash stays order-insensitive
+    (the q_cep_loop_matches convention); the oracle states the
+    first-close rule independently as a ranked join."""
+    from flink_tutorial_broadcast_spark.cep import Pattern
+    from flink_tutorial_broadcast_spark.datastream import (
+        StreamExecutionEnvironment,
+    )
+    env = StreamExecutionEnvironment.get_execution_environment(spark)
+    pat = (Pattern.begin("a", "view").where("value >= 20")
+           .followed_by("b", "view").where("value >= 120")
+           .within("48 hours").no_skip())
+    return (env.from_dataframe(load(spark, sf_dir, "events"))
+            .key_by("user_id")
+            .pattern_matches(pat)
+            .to_df()
+            .drop("match_no"))
+
+
+@query(
     "q_cep_strict_matches",
     oracle="""
     WITH RECURSIVE codes AS (

@@ -1367,3 +1367,29 @@ def test_pattern_streaming_where_rel(spark, queries):
             queries["q_cep_where_rel"](spark, SF_SMOKE).collect()}
     assert {u: n for u, n in final.items() if n > 0} == want
     assert want
+
+
+def test_pattern_matches_streaming_where_preds(spark, queries):
+    """Streaming pattern_matches() with where() predicates: the mask
+    projection feeds the matches steppers too, so the appended
+    bindings (minus match_no ordering) accumulate to the oracle-backed
+    batch extraction across the micro-batch boundary."""
+    from flink_tutorial_broadcast_spark.streaming.jobs import (
+        _run_to_memory,
+    )
+
+    sdf = _two_file_stream(
+        spark, ["user_id", "ts", "event_id", "event_type", "value"])
+    pat = (Pattern.begin("a", "view").where("value >= 20")
+           .followed_by("b", "view").where("value >= 120")
+           .within("48 hours").no_skip())
+    out = (_env(spark).from_dataframe(sdf)
+           .key_by("user_id").pattern_matches(pat).to_df())
+    assert out.isStreaming
+    got = {(r.user_id, r.start_event_id, r.end_event_id, r.span_us)
+           for r in _run_to_memory(out, "append").collect()}
+    want = {(r.user_id, r.start_event_id, r.end_event_id, r.span_us)
+            for r in queries["q_cep_where_matches"](
+                spark, SF_SMOKE).collect()}
+    assert got == want
+    assert want
