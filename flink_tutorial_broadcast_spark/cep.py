@@ -660,6 +660,11 @@ def _cond_codes(pat: Pattern) -> dict[tuple, int]:
         k = s.cond_key()
         if k not in codes:
             codes[k] = len(codes) + 1
+    if len(codes) > 62:
+        # the mask is a SQL BIGINT; bit 63 is the sign bit
+        raise NotImplementedError(
+            "patterns compile to a 64-bit condition mask — at most "
+            f"62 distinct stage conditions (got {len(codes)})")
     return codes
 
 

@@ -1393,3 +1393,20 @@ def test_pattern_matches_streaming_where_preds(spark, queries):
                 spark, SF_SMOKE).collect()}
     assert got == want
     assert want
+
+
+def test_condition_mask_width_guard():
+    """The condition mask is a SQL BIGINT: >62 distinct stage
+    conditions must refuse loudly instead of shifting into the sign
+    bit."""
+    from flink_tutorial_broadcast_spark.cep import _cond_codes
+
+    pat = Pattern.begin("s0", "t0")
+    for i in range(1, 63):
+        pat = pat.followed_by(f"s{i}", f"t{i}")
+    with pytest.raises(NotImplementedError, match="62"):
+        _cond_codes(pat)
+    pat_ok = Pattern.begin("s0", "t0")
+    for i in range(1, 62):
+        pat_ok = pat_ok.followed_by(f"s{i}", f"t{i}")
+    assert len(_cond_codes(pat_ok)) == 62
