@@ -1410,3 +1410,83 @@ def test_condition_mask_width_guard():
     for i in range(1, 62):
         pat_ok = pat_ok.followed_by(f"s{i}", f"t{i}")
     assert len(_cond_codes(pat_ok)) == 62
+
+
+def test_round9_verb_steppers_survive_restart(spark, queries):
+    """L119 restart discipline for the round-9 verb steppers: the
+    where_rel stepper's anchor VALUES, the any-DP stepper's subsequence
+    counters, and the any-table stepper's anchor-aligned buffers must
+    all survive a stop + resume over the same checkpoint — run 1
+    drains half the events, the query stops, half 2 arrives while it
+    is down, and the resumed run's converged counts must equal the
+    oracle-backed batch keys over the full fixture. Memory sinks
+    refuse recovery, so output lands via foreachBatch parquet."""
+    import glob as _glob
+
+    from flink_tutorial_broadcast_spark.streaming.sources import (
+        checkpoint_dir,
+    )
+
+    cases = [
+        ("where_rel",
+         Pattern.begin("v", "view")
+         .followed_by("p", "purchase").where_rel("value", ">", "value")
+         .within("48 hours"),
+         "q_cep_where_rel"),
+        ("any_dp",
+         Pattern.begin("v", "view")
+         .followed_by_any("c", "click")
+         .followed_by_any("p", "purchase").no_skip(),
+         "q_cep_followed_by_any"),
+        ("any_table",
+         Pattern.begin("v", "view")
+         .followed_by_any("c", "click")
+         .followed_by_any("p", "purchase")
+         .within("48 hours").no_skip(),
+         "q_cep_followed_by_any_within"),
+    ]
+    ev = load(spark, SF_SMOKE, "events").select(
+        "user_id", "ts", "event_id", "event_type", "value")
+    split_ts = ev.agg(
+        F.percentile_approx("ts", 0.5).alias("m")).collect()[0]["m"]
+    for name, pat, batch_key in cases:
+        src_dir = tempfile.mkdtemp(prefix=f"cep_r9_restart_{name}_src_")
+        out_dir = tempfile.mkdtemp(prefix=f"cep_r9_restart_{name}_out_")
+        ckpt = checkpoint_dir()
+        (ev.filter(F.col("ts") <= F.lit(split_ts))
+         .coalesce(1).write.parquet(os.path.join(src_dir, "f=0")))
+
+        def run():
+            sdf = (spark.readStream
+                   .schema("user_id long, ts timestamp, event_id long, "
+                           "event_type string, value double")
+                   .option("maxFilesPerTrigger", "1")
+                   .option("recursiveFileLookup", "true")
+                   .parquet(src_dir))
+            out = (_env(spark).from_dataframe(sdf)
+                   .key_by("user_id").pattern(pat).to_df())
+
+            def body(batch_df, batch_id):
+                (batch_df.write.mode("overwrite")
+                 .parquet(os.path.join(out_dir, f"batch={batch_id}")))
+
+            q = (out.writeStream.foreachBatch(body)
+                 .outputMode("update")
+                 .option("checkpointLocation", ckpt)
+                 .trigger(availableNow=True).start())
+            q.awaitTermination()
+
+        run()  # half 1: partial counts + carried keyed state
+        (ev.filter(F.col("ts") > F.lit(split_ts))
+         .coalesce(1).write.parquet(os.path.join(src_dir, "f=1")))
+        run()  # resume the same checkpoint over half 2
+
+        final: dict[int, int] = {}
+        for p in _glob.glob(os.path.join(out_dir, "batch=*")):
+            for r in spark.read.parquet(p).collect():
+                final[r.user_id] = max(final.get(r.user_id, 0),
+                                       r.n_matches)
+        want = {r.user_id: r.n_matches for r in
+                queries[batch_key](spark, SF_SMOKE).collect()}
+        assert {u: n for u, n in final.items() if n > 0} == want, name
+        assert want, name
