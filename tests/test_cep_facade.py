@@ -1490,3 +1490,43 @@ def test_round9_verb_steppers_survive_restart(spark, queries):
                 queries[batch_key](spark, SF_SMOKE).collect()}
         assert {u: n for u, n in final.items() if n > 0} == want, name
         assert want, name
+
+
+def test_pattern_streaming_absence_with_predicates(spark):
+    """Streaming absence with where() predicates (the absence_stepper's
+    mask_mode): big-view anchors (value >= 50) with no qualifying big
+    purchase (value >= 100) within 12 h must emit exactly the batch
+    anti-join's anchors whose µs deadlines the final watermark passed —
+    the role mask is computed JVM-side (bit 1 anchor, bit 2 answer)."""
+    from flink_tutorial_broadcast_spark.streaming.jobs import (
+        _run_to_memory,
+    )
+
+    W_US = 12 * 3600 * 1_000_000
+    pat = (Pattern.begin("v", "view").where("value >= 50")
+           .not_followed_by("p", "purchase").where("value >= 100")
+           .within("12 hours"))
+    sdf = _two_file_stream(
+        spark, ["user_id", "ts", "event_id", "event_type", "value"]) \
+        .withWatermark("ts", "1 minute")
+    out = (_env(spark).from_dataframe(sdf)
+           .key_by("user_id").pattern(pat).to_df())
+    assert out.isStreaming
+    got = {(r.user_id, r.anchor_id)
+           for r in _run_to_memory(out, "append").collect()}
+
+    ev = load(spark, SF_SMOKE, "events")
+    batch = {(r.user_id, r.anchor_id) for r in
+             (_env(spark).from_dataframe(ev)
+              .key_by("user_id").pattern(pat).to_df().collect())}
+    max_us = ev.agg(F.max(F.unix_micros("ts")).alias("m")) \
+        .collect()[0]["m"]
+    wm_final_us = (max_us // 1000 - 60_000) * 1000
+    anchors = {(r.user_id, r.event_id): r.t_us for r in
+               ev.filter("event_type = 'view' AND value >= 50")
+               .select("user_id", "event_id",
+                       F.unix_micros("ts").alias("t_us")).collect()}
+    expected = {(u, i) for (u, i) in batch
+                if anchors[(u, i)] + W_US <= wm_final_us}
+    assert got == expected
+    assert got and got <= batch
