@@ -1132,3 +1132,30 @@ def test_cep_where_rel_matches_python_nfa(spark, rows):
     want2 = {u: ref2(seq)
              for u, seq in _per_user_ordered_val(rows).items()}
     assert got2 == {u: n for u, n in want2.items() if n > 0}
+
+
+@settings(max_examples=10, deadline=None)
+@given(rows=seq_val_strategy)
+def test_cep_any_dp_with_predicates_matches_brute_force(spark, rows):
+    """followed_by_any composed with where() predicates: the DP's
+    stage bits come from the same condition mask, so a value-refined
+    any-pattern must equal brute-force enumeration over the predicate
+    stages (including the overlap case: every big view is also a
+    plain view)."""
+    pat = (Pattern.begin("v", "view")
+           .followed_by_any("b", "view").where("value >= 120")
+           .no_skip())
+    got = _run(spark, _mk_val(spark, rows), pat)
+
+    def brute(seq):
+        n = views = 0
+        for _, ty, v in seq:
+            if ty == "view":
+                if v >= 120:
+                    n += views  # pairs (earlier view, this big view)
+                views += 1
+        return n
+
+    want = {u: brute(seq)
+            for u, seq in _per_user_ordered_val(rows).items()}
+    assert got == {u: c for u, c in want.items() if c > 0}
