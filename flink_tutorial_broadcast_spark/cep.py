@@ -323,6 +323,18 @@ class Pattern:
                     "one_or_more() under followed_by_any is not "
                     "compiled (combinatorial run growth) — use "
                     "times(n)")
+            if any(s.times and s.contiguity != "followed_by_any"
+                   for s in self.stages):
+                # r10 (advice fix): only the ANY stages' expansion is
+                # pinned — times(n) on the begin stage would expand
+                # with relaxed copies that the any-DP machines then
+                # treat as followedByAny, counting ALL combinations
+                # instead of first-match internal contiguity
+                raise NotImplementedError(
+                    "times() on a non-followed_by_any stage in a "
+                    "followed_by_any pattern is not compiled (the "
+                    "any-machines would count all combinations of the "
+                    "expanded copies) — quantify only the any stages")
             if self.skip != "no_skip":
                 raise NotImplementedError(
                     "followed_by_any counts ALL event combinations — "
@@ -459,12 +471,19 @@ def _variants(pat: Pattern) -> list[Pattern]:
             raise NotImplementedError(
                 "optional() combined with times() on one stage is not "
                 "compiled — express the range with times(a, b)")
-        if (s.optional or s.times_hi is not None) \
-                and s.contiguity == "next":
+        if s.contiguity == "next":
+            # r10 (advice fix): refuse strict next() ANYWHERE in an
+            # optional()/times(a, b) pattern, not just on the
+            # quantified stage itself — the variant-union fold runs on
+            # the relaxed fork machines, which carry no strict-await
+            # (drain-or-die) handling, and times(n) expansion inside
+            # _variants gives copies relaxed internal contiguity; a
+            # silently-relaxed next() stage would OVERCOUNT vs Flink
             raise NotImplementedError(
-                "optional()/times(a, b) on a strict next() stage is "
-                "not compiled (dropping a strict stage changes its "
-                "neighbors' adjacency) — use followed_by")
+                "optional()/times(a, b) patterns with a strict next() "
+                "stage are not compiled (the variant union runs on "
+                "the relaxed fork machines — a next() stage would be "
+                "silently treated as followed_by) — use followed_by")
         if s.optional:
             choice_lists.append([0, 1])
         elif s.times_hi is not None:
@@ -737,6 +756,17 @@ def _veto_codes(pat: Pattern) -> list[int]:
                 raise NotImplementedError(
                     "quantified not_followed_by is not compiled (a "
                     "single intervening event already kills the run)")
+            if s.rel is not None:
+                # r10 (advice fix): _await_stages strips NFB stages,
+                # so a where_rel() attached to one never reaches the
+                # rel machines — the veto would fire on the bitmask
+                # alone and silently kill runs the relative condition
+                # should spare
+                raise NotImplementedError(
+                    "where_rel() on a not_followed_by stage is not "
+                    "compiled — the veto test is condition-mask-only; "
+                    "express the relative bound in the absent stage's "
+                    "where() predicate if it is anchor-independent")
             pending = 1 << (codes[s.cond_key()] - 1)
             continue
         if pending and pending == (1 << (codes[s.cond_key()] - 1)):
@@ -2042,6 +2072,79 @@ def fork_loop_stepper(type_codes: dict[str, int] | None,
     return step
 
 
+def variant_union_stepper(variant_bits: list[list[int]],
+                          within_us: int | None,
+                          key_cols: list[str] | None = None):
+    """applyInPandasWithState step for streaming optional()/times(a, b)
+    (r10 — replaces the round-9 refusal): the batch union-of-variants
+    argument carries over to streams because the <=32 variants are
+    INDEPENDENT fork machines whose match sets partition the original
+    pattern's matches — so run every variant's anchor-set machine side
+    by side over ONE shared keyed state row, one event pass per
+    micro-batch, and keep a single summed count. Each variant is the
+    already-pinned fork_stepper transition (all-relaxed stages by
+    construction: _variants refuses strict next(), the union gate
+    refuses not_followed_by and where_rel, so no strict/veto handling
+    is needed). State = (cnt, then each variant's s1..s_{K-1} anchor-µs
+    arrays, flattened in variant order) — bounded by per-key density
+    inside `within` exactly like the plain fork stepper, times the
+    variant count. A 1-stage variant contributes no arrays; each of its
+    condition hits adds 1 to cnt directly (the batch K==1 special
+    case). [FLINK-API: Pattern#optional / #times(from, to) on a live
+    stream]"""
+    Ks = [len(b) for b in variant_bits]
+    n_arrays = sum(K - 1 for K in Ks)
+    key_cols = key_cols or ["key"]
+    nk = len(key_cols)
+
+    def step(key, pdf_iter, state):
+        from collections import deque
+
+        import pandas as pd
+        if state.exists:
+            got = state.get
+            cnt = got[0]
+            flat = [deque(sorted(s)) for s in got[1:]]
+        else:
+            cnt = 0
+            flat = [deque() for _ in range(n_arrays)]
+        per_v, off = [], 0
+        for K in Ks:
+            per_v.append(flat[off:off + K - 1])
+            off += K - 1
+        rows = []
+        for pdf in pdf_iter:
+            rows.extend(_batch_rows(pdf, nk, None))
+        for t, _, c in sorted(rows):
+            for vb, K, sets in zip(variant_bits, Ks, per_v):
+                if K == 1:
+                    if c & vb[0]:
+                        cnt += 1
+                    continue
+                # per-variant fork transition (see fork_stepper): the
+                # sorted-by-begin invariant makes expiry a prefix pop
+                if within_us is not None:
+                    for s in sets:
+                        while s and t - s[0] > within_us:
+                            s.popleft()
+                match = [bool(c & vb[i]) for i in range(K)]
+                if match[K - 1]:
+                    cnt += len(sets[K - 2])  # count BEFORE any update
+                for i in range(K - 2, -1, -1):
+                    base = deque() if match[i + 1] else sets[i]
+                    if match[i]:
+                        if i == 0:
+                            _ins_sorted(base, t)
+                        else:
+                            _ext_sorted(base, sets[i - 1])
+                    sets[i] = base
+        state.update((cnt, *[list(s) for v in per_v for s in v]))
+        yield pd.DataFrame(
+            {**{kc: [key[i]] for i, kc in enumerate(key_cols)},
+             "n_matches": [cnt]})
+    return step
+
+
 def relaxed_rel_stepper(stage_bits: list[int], rels: list,
                         vcols: list[str], within_us: int | None,
                         strict: list[bool] | None = None,
@@ -2612,10 +2715,47 @@ def compile_pattern_stream(pat: Pattern, sdf: DataFrame,
     from pyspark.sql.streaming.state import GroupStateTimeout
 
     if pat._has_opt_range():
-        raise NotImplementedError(
-            "optional()/times(a, b) compile only through batch "
-            "pattern() (union-of-variants counting); streaming is "
-            "not carried — use fixed times(n) or drop the quantifier")
+        # r10: streaming optional()/times(a, b) — the batch union-of-
+        # variants argument carries to streams (the variants are
+        # independent fork machines; counts sum), so run all <=32
+        # variant steppers side by side on ONE keyed state row. The
+        # batch gates apply identically: no_skip only, no
+        # not_followed_by, no where_rel, no strict next() (these all
+        # raise inside _variants or here, same messages as batch).
+        if pat._has_rel():
+            raise NotImplementedError(
+                "where_rel() with optional()/times(a, b) is not "
+                "compiled — the variant union runs on the forking "
+                "machines, which carry no per-anchor payloads")
+        if pat.skip != "no_skip":
+            raise NotImplementedError(
+                "optional()/times(a, b) compile only under no_skip(): "
+                "Flink's NFA keeps both quantifier branches as "
+                "distinct matches there; under skip-past-last the "
+                "branches compete for event consumption — drop the "
+                "quantifier or call no_skip()")
+        if any(s.contiguity == "not_followed_by" for s in pat.stages):
+            raise NotImplementedError(
+                "optional()/times(a, b) with not_followed_by stages "
+                "is not compiled — split the absence check out")
+        variants = _variants(pat)
+        codes = _cond_codes(pat)
+        bits = [[1 << (codes[s.cond_key()] - 1) for s in v.stages]
+                for v in variants]
+        proj = sdf.select(*keys, time_col, tiebreak_col,
+                          _cond_mask_col(pat, event_col).alias("__m"))
+        vkey_schema = ", ".join(
+            f"{k} {_key_sql_type(proj, k)}" for k in keys)
+        state_schema = "cnt long" + "".join(
+            f", v{vi}s{i} array<long>"
+            for vi, b in enumerate(bits) for i in range(1, len(b)))
+        fn = variant_union_stepper(bits, pat.within_us, key_cols=keys)
+        return proj.groupBy(*keys).applyInPandasWithState(
+            fn,
+            outputStructType=f"{vkey_schema}, n_matches long",
+            stateStructType=state_schema,
+            outputMode="Update",
+            timeoutConf=GroupStateTimeout.NoTimeout)
     fam = pat._family()
     if fam not in ("relaxed", "relaxed_within", "fork", "fork_loop",
                    "absence", "strict", "any_dp", "any_dp_within"):

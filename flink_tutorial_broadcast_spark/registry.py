@@ -88,81 +88,78 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # Keys not listed keep their registration order after the prefix; no key is
 # ever removed or renamed (the inventory is monotone).
 #
-# Round 9 rotation (VERDICT_r8 item 1): 45 of the 50 slots now hold
-# keys the driver has NEVER sampled across r1-r8 (157 remained) — led
-# by q_window_all_facade (the only r8 oracle key never seen), the five
-# scalar-function core families (I3/I4/I5/I6/I8), the UDF trio
-# (q_udaf_grouped/q_udtf_split/q_cogroup), the four named loners
-# (q_dup_clusters, q_scan_custom_source, q_schema_evolution,
-# q_histogram_equidepth), the FOUR new round-9 CEP keys (KMP strict
-# repeated, bounded one_or_more, exact chunking, absence emission), and
-# one-or-more never-sampled keys from every other module. The remaining
-# 5 slots keep already-sampled reps for the modules whose oracle keys
-# are all sampled (scans, aggregates, time_windows, analytic_windows,
-# graph_setsim) — test_contract enforces the per-module coverage.
-# Rotated-out keys stay registered right after the prefix and remain
-# sweep-checked (tools/check.py runs all keys at two scales). After
-# this round <=112 keys remain never-sampled.
+# Round 10 rotation (VERDICT_r9 item 1): 41 of the 50 slots hold keys
+# the driver has NEVER sampled across r1-r9 (116 oracle-backed
+# remained) — led by the six late-r9 CEP keys the r9 rotation predates
+# (q_cep_where_matches / absence_chain / not_between / strict_matches /
+# loop_matches, plus the never-sampled core q_cep_followed_by and
+# q_cep_times), the TPC-H tail (q2/q4/q7/q17/q20 from tpch_full;
+# q10 — one of the three r9 host-drift movers — and q18 from
+# composite), and the eight keys the r9 comment named as
+# next-rotation picks (q_median_mode, q_text_normalize, q_winsorize,
+# q_ab_lift, q_psi_drift, q_hard_negatives, q_dedup_containment,
+# q_audio_frame_energy). The remaining 9 slots keep already-sampled
+# reps for the modules whose oracle keys are ALL sampled (scans,
+# flagship, relational, aggregates, time_windows, analytic_windows,
+# iterative, graph_setsim, vector_compress) — test_contract enforces
+# the per-module coverage. Rotated-out keys stay registered right
+# after the prefix and remain sweep-checked (tools/check.py runs all
+# keys at two scales). After this round <=75 oracle keys remain
+# never-sampled.
 _VERIFICATION_PREFIX = (
-    # -- module coverage via ALREADY-SAMPLED reps (these 5 modules have
+    # -- module coverage via ALREADY-SAMPLED reps (these 9 modules have
     #    no never-sampled oracle keys left) --
-    "q_scan_inline",                    # scans (A1; r1)
-    "q_agg_basic",                      # aggregates (D1; r8)
-    "q_window_session",                 # time_windows (E3; r6)
-    "q_rank",                           # analytic_windows (F1; r6)
-    "q_setsim_join",                    # graph_setsim (L44; r1)
-    # -- 45 FIRST-TIME keys (never driver-sampled r1-r8; VERDICT_r8
-    #    item 1 named the scalar/UDF families and the four loners;
-    #    late-r9 swap: the eight new CEP verb keys (where,
-    #    where_overlap, or_where, optional, times_range,
-    #    followed_by_any, followed_by_any_within, where_rel) replaced
-    #    q_median_mode/q_text_normalize/q_winsorize/q_ab_lift/
-    #    q_psi_drift/q_hard_negatives/q_dedup_containment/
-    #    q_audio_frame_energy, whose modules keep another prefix rep
-    #    — those eight stay registered and sweep-checked, next
-    #    rotation's first picks) --
-    "q_window_all_facade",              # flagship windowAll (NEW r8)
-    "q_join_null_safe",                 # relational <=> join
-    "q_math_funcs", "q_case_when",      # scalar I3, I4
-    "q_array_funcs", "q_map_funcs",     # scalar I5, I6
-    "q_hash_funcs",                     # scalar I8
-    "q_udaf_grouped", "q_udtf_split",   # UDF J3, J4
-    "q_cogroup",                        # UDF cogroup twin
-    "q_knn_filtered",                   # llm_knn predicate ANN
-    "q_dedup_snm",                      # llm_dedup sorted-neighborhood
-    "q_quality_score",                  # llm_scoring gates
-    "q_doc_fingerprint",                # llm_scoring rolling hash
-    "q_frame_sample",                   # multimodal K5 video frames
-    "q_quantiles",                      # olap_ext percentiles
-    "q_lateral_join",                   # olap_ext lateral
-    "q_tpch_q5",                        # composite TPC-H Q5
-    "q_dup_clusters",                   # iterative conn-components
-    "q_histogram_equidepth",            # agg_ext equi-depth bins
-    "q_attribution",                    # behavioral first/last touch
-    "q_cep_strict_repeated",            # CEP KMP strict chain (NEW r9)
-    "q_cep_one_or_more_bounded",        # CEP bounded loop (NEW r9)
-    "q_cep_chunked_fork",               # CEP exact chunking (NEW r9)
-    "q_cep_absence_emitted",            # CEP absence emission (NEW r9)
-    "q_cep_where",                      # CEP stage predicates (NEW r9)
-    "q_cep_where_overlap",              # CEP overlapping preds (NEW r9)
-    "q_cep_or_where",                   # CEP condition OR (NEW r9)
-    "q_cep_optional",                   # CEP optional() union (NEW r9)
-    "q_cep_times_range",                # CEP times(a,b) union (NEW r9)
-    "q_cep_followed_by_any",            # CEP any-contiguity DP (NEW r9)
-    "q_cep_followed_by_any_within",     # CEP bounded any DP (NEW r9)
-    "q_cep_where_rel",                  # CEP anchor-relative cond (NEW r9)
-    "q_scan_custom_source",             # connectors A4 python source
-    "q_schema_evolution",               # connectors merged schema
-    "q_partitioned_prune",              # connectors partition prune
-    "q_entropy",                        # stats_ext entropy
-    "q_skew_stats",                     # layout_ops skew probe
-    "q_tpch_q6",                        # tpch_full Q6
-    "q_chunk_documents",                # text_pipeline chunker
-    "q_dq_checks",                      # governance data-quality
-    "q_pseudonymize",                   # governance pseudonymize
-    "q_lateness_audit",                 # temporal lateness
-    "q_dedup_vectors_bucketed",         # vector_compress dedup
-    "q_dataset_split",                  # dataset_ops split
+    "q_scan_inline",                    # scans (A1; r9)
+    "q_window_all_facade",              # flagship windowAll (r9)
+    "q_join_null_safe",                 # relational <=> join (r9)
+    "q_agg_basic",                      # aggregates (D1; r9)
+    "q_window_session",                 # time_windows (E3; r9)
+    "q_rank",                           # analytic_windows (F1; r9)
+    "q_dup_clusters",                   # iterative conn-components (r9)
+    "q_setsim_join",                    # graph_setsim (L44; r9)
+    "q_dedup_vectors_bucketed",         # vector_compress dedup (r9)
+    # -- 41 FIRST-TIME keys (never driver-sampled r1-r9) --
+    "q_cep_where_matches",              # CEP binding extraction (late r9)
+    "q_cep_absence_chain",              # CEP K-stage absence (late r9)
+    "q_cep_not_between",                # CEP mid-pattern NFB (late r9)
+    "q_cep_strict_matches",             # CEP strict bindings (late r9)
+    "q_cep_loop_matches",               # CEP loop bindings (late r9)
+    "q_cep_followed_by",                # CEP core relaxed chain (r1-era)
+    "q_cep_times",                      # CEP times(n) strict-internal
+    "q_tpch_q2",                        # tpch_full Q2 min-cost supplier
+    "q_tpch_q4",                        # tpch_full Q4 EXISTS
+    "q_tpch_q7",                        # tpch_full Q7 volume shipping
+    "q_tpch_q17",                       # tpch_full Q17 avg-qty filter
+    "q_tpch_q20",                       # tpch_full Q20 nested IN
+    "q_tpch_q10",                       # composite Q10 (r9 bench mover)
+    "q_tpch_q18",                       # composite Q18 large orders
+    "q_null_semantics",                 # scalar null algebra
+    "q_try_arith",                      # scalar try_* forms
+    "q_batched_lookup_enrich",          # udf_surface batched lookup
+    "q_hard_negatives",                 # llm_knn hard negatives
+    "q_dedup_containment",              # llm_dedup containment
+    "q_dedup_incremental",              # llm_dedup crawl rounds
+    "q_token_counts",                   # llm_scoring token counts
+    "q_inverted_index",                 # llm_scoring inverted index
+    "q_audio_frame_energy",             # multimodal PCM16 energy
+    "q_scalar_subquery",                # olap_ext scalar subquery
+    "q_exists_correlated",              # olap_ext correlated EXISTS
+    "q_median_mode",                    # agg_ext median/mode
+    "q_weighted_avg",                   # agg_ext weighted mean
+    "q_ab_lift",                        # behavioral A/B lift
+    "q_time_to_convert",                # behavioral conversion lag
+    "q_scan_orc",                       # connectors ORC scan
+    "q_nested_struct",                  # connectors nested access
+    "q_psi_drift",                      # stats_ext PSI drift
+    "q_benford",                        # stats_ext Benford digits
+    "q_join_shuffle_hash",              # layout_ops shuffle-hash hint
+    "q_text_normalize",                 # text_pipeline normalize
+    "q_split_leakage",                  # text_pipeline leakage check
+    "q_term_redact",                    # governance term redaction
+    "q_domain_mixture",                 # governance mixture weights
+    "q_open_orders",                    # temporal open-interval count
+    "q_winsorize",                      # dataset_ops winsorize
+    "q_pii_redact",                     # dataset_ops PII redaction
 )
 
 

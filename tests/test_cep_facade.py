@@ -1296,13 +1296,159 @@ def test_pattern_optional_refusals(spark):
     with pytest.raises(NotImplementedError, match="zeroOrMore"):
         Pattern.begin("v", "view").one_or_more().optional()
 
+    # r10: streaming optional()/times(a, b) now COMPILES (the variant-
+    # union stepper) — but the batch gates carry over identically:
+    # skip-past-last still refuses on a stream
     sdf = _two_file_stream(
         spark, ["user_id", "ts", "event_id", "event_type"])
-    with pytest.raises(NotImplementedError, match="streaming"):
+    with pytest.raises(NotImplementedError, match="no_skip"):
         (_env(spark).from_dataframe(sdf).key_by("user_id")
          .pattern(Pattern.begin("v", "view")
                   .followed_by("c", "click").optional()
-                  .followed_by("p", "purchase").no_skip()))
+                  .followed_by("p", "purchase")))
+
+
+def test_pattern_streaming_variant_union_converges(spark, queries):
+    """Streaming optional()/times(a, b) (round 10 — replaces the r9
+    refusal): the <=32 variant fork machines run side by side on one
+    keyed state row and their counts sum, so the live-stream counts
+    converge across the micro-batch boundary to the oracle-backed
+    batch union-of-variants keys — including the repeated-type
+    times(1,2) variant whose one-event-two-stages snapshot path the
+    batch oracle's run3 pins."""
+    from flink_tutorial_broadcast_spark.streaming.jobs import (
+        _run_to_memory,
+    )
+
+    for key, pat in (
+            ("q_cep_optional",
+             Pattern.begin("v", "view")
+             .followed_by("c", "click").optional()
+             .followed_by("p", "purchase")
+             .within("48 hours").no_skip()),
+            ("q_cep_times_range",
+             Pattern.begin("c", "click").times(1, 2)
+             .followed_by("p", "purchase")
+             .within("48 hours").no_skip())):
+        sdf = _two_file_stream(
+            spark, ["user_id", "ts", "event_id", "event_type"])
+        out = (_env(spark).from_dataframe(sdf)
+               .key_by("user_id").pattern(pat).to_df())
+        assert out.isStreaming
+        rows = _run_to_memory(out, "update").collect()
+        final: dict[int, int] = {}
+        for r in rows:
+            final[r["user_id"]] = max(final.get(r["user_id"], 0),
+                                      r["n_matches"])
+        want = {r["user_id"]: r["n_matches"] for r in
+                queries[key](spark, SF_SMOKE).collect()}
+        assert {u: n for u, n in final.items() if n > 0} == want, key
+        assert want
+
+
+def test_pattern_streaming_variant_union_survives_restart(spark,
+                                                          queries):
+    """L119 restart discipline for the r10 variant-union stepper: all
+    variants' anchor sets live in ONE state row, so a stop + resume
+    over the same checkpoint must carry every variant's partial state
+    — half the events, stop, half 2 arrives while down, resume; the
+    converged counts equal the batch q_cep_optional key."""
+    import glob as _glob
+
+    from flink_tutorial_broadcast_spark.streaming.sources import (
+        checkpoint_dir,
+    )
+
+    pat = (Pattern.begin("v", "view")
+           .followed_by("c", "click").optional()
+           .followed_by("p", "purchase")
+           .within("48 hours").no_skip())
+    ev = load(spark, SF_SMOKE, "events").select(
+        "user_id", "ts", "event_id", "event_type")
+    split_ts = ev.agg(
+        F.percentile_approx("ts", 0.5).alias("m")).collect()[0]["m"]
+    src_dir = tempfile.mkdtemp(prefix="cep_r10_restart_vu_src_")
+    out_dir = tempfile.mkdtemp(prefix="cep_r10_restart_vu_out_")
+    ckpt = checkpoint_dir()
+    (ev.filter(F.col("ts") <= F.lit(split_ts))
+     .coalesce(1).write.parquet(os.path.join(src_dir, "f=0")))
+
+    def run():
+        sdf = (spark.readStream
+               .schema("user_id long, ts timestamp, event_id long, "
+                       "event_type string")
+               .option("maxFilesPerTrigger", "1")
+               .option("recursiveFileLookup", "true")
+               .parquet(src_dir))
+        out = (_env(spark).from_dataframe(sdf)
+               .key_by("user_id").pattern(pat).to_df())
+
+        def body(batch_df, batch_id):
+            (batch_df.write.mode("overwrite")
+             .parquet(os.path.join(out_dir, f"batch={batch_id}")))
+
+        q = (out.writeStream.foreachBatch(body)
+             .outputMode("update")
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        q.awaitTermination()
+
+    run()  # half 1: partial counts + carried per-variant anchor sets
+    (ev.filter(F.col("ts") > F.lit(split_ts))
+     .coalesce(1).write.parquet(os.path.join(src_dir, "f=1")))
+    run()  # resume the same checkpoint over half 2
+
+    final: dict[int, int] = {}
+    for p in _glob.glob(os.path.join(out_dir, "batch=*")):
+        for r in spark.read.parquet(p).collect():
+            final[r.user_id] = max(final.get(r.user_id, 0),
+                                   r.n_matches)
+    want = {r.user_id: r.n_matches for r in
+            queries["q_cep_optional"](spark, SF_SMOKE).collect()}
+    assert {u: n for u, n in final.items() if n > 0} == want
+    assert want
+
+
+def test_pattern_r10_advice_refusals(spark):
+    """Round-10 advice pins: three shapes that previously compiled
+    SILENTLY with wrong semantics must now refuse loudly.
+
+    1. A strict next() stage anywhere in an optional()/times(a, b)
+       pattern (the variant-union fold has no strict-await handling —
+       the next stage would be treated as relaxed and overcount).
+    2. where_rel() on a not_followed_by stage (_await_stages strips
+       NFB stages, so the rel never reaches the veto test — runs the
+       relative condition should spare would be killed).
+    3. times() on a non-any stage in a followed_by_any pattern (the
+       any-machines treat every expanded copy as followedByAny,
+       counting all combinations instead of first-match contiguity).
+    """
+    ev = load(spark, SF_SMOKE, "events")
+    ks = _env(spark).from_dataframe(ev).key_by("user_id")
+
+    # 1 — next() on a NON-quantified stage of an optional pattern
+    with pytest.raises(NotImplementedError, match="strict next"):
+        ks.pattern(Pattern.begin("v", "view")
+                   .next("c", "click")
+                   .followed_by("p", "purchase").optional()
+                   .within("48 hours").no_skip())
+    # ... and with times(a, b) on a relaxed stage, strict elsewhere
+    with pytest.raises(NotImplementedError, match="strict next"):
+        ks.pattern(Pattern.begin("v", "view")
+                   .followed_by("c", "click").times(1, 2)
+                   .next("p", "purchase").no_skip())
+
+    # 2 — where_rel() attached to a mid-pattern not_followed_by
+    with pytest.raises(NotImplementedError, match="not_followed_by"):
+        ks.pattern(Pattern.begin("a", "view")
+                   .not_followed_by("e", "click")
+                   .where_rel("value", ">", "value")
+                   .followed_by("p", "purchase"))
+
+    # 3 — times() on the begin stage of a followed_by_any pattern
+    with pytest.raises(NotImplementedError, match="non-followed_by_any"):
+        ks.pattern(Pattern.begin("v", "view").times(2)
+                   .followed_by_any("p", "purchase").no_skip())
 
 
 def test_pattern_streaming_any_dp_converges(spark, queries):
