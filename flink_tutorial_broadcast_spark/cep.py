@@ -114,6 +114,15 @@ class _Stage:
     # Not part of the bitmask (it depends on the run's anchor, not the
     # event alone); the single-anchor machines evaluate it in-fold.
     rel: tuple | None = None
+    # loop STOP condition [FLINK-API: Pattern#until] — ANSI-SQL over
+    # the event row; an event satisfying it kills every run at this
+    # (one_or_more) stage and is itself never admitted. Carries its
+    # own bit in the condition mask (r10).
+    until_sql: str | None = None
+    # [FLINK-API: Pattern#greedy] — accepted marker; no effect on a
+    # FINAL quantified stage (Flink-documented), which is the only
+    # quantifier position the engine compiles
+    greedy: bool = False
 
     def cond_key(self) -> tuple:
         """Identity of this stage's full condition — stages with equal
@@ -150,7 +159,11 @@ class Pattern:
 
     stages: list[_Stage] = field(default_factory=list)
     within_us: int | None = None
-    skip: str = "past_last"  # 'past_last' | 'no_skip'
+    # 'past_last' | 'no_skip' | 'to_next' | 'to_first' | 'to_last'
+    # [FLINK-API: AfterMatchSkipStrategy] — to_first/to_last carry the
+    # referenced stage name in skip_ref
+    skip: str = "past_last"
+    skip_ref: str | None = None
 
     @staticmethod
     def begin(name: str, event_type: str) -> "Pattern":
@@ -160,6 +173,9 @@ class Pattern:
         # not_followed_by may appear MID-pattern (r9): it compiles as a
         # VETO on the next await (_veto_codes validates the shape);
         # only the FINAL-stage form is the timer/anti-join absence
+        if self.stages and self.stages[-1].contiguity == "not_next":
+            raise NotImplementedError(
+                "not_next() is terminal — no stages may follow it")
         self.stages.append(_Stage(name, event_type, contiguity))
         return self
 
@@ -186,6 +202,21 @@ class Pattern:
     def not_followed_by(self, name: str, event_type: str) -> "Pattern":
         """Absence pattern, terminal [FLINK-API: Pattern#notFollowedBy]."""
         return self._append(name, event_type, "not_followed_by")
+
+    def not_next(self, name: str, event_type: str) -> "Pattern":
+        """STRICT absence, terminal [FLINK-API: Pattern#notNext — the
+        event directly succeeding the previous matched event must NOT
+        match, or the partial match is discarded] (r10): the prefix
+        match survives iff the IMMEDIATELY NEXT event in the key's
+        (ts, tiebreak) sequence is absent or fails the negative
+        condition — decided by one event, so no timer machinery is
+        needed (batch compiles to a LEAD window over the sequence;
+        where() refinements on the negative stage flow into the
+        tested condition). Terminal only; streaming refuses loudly."""
+        if any(s.contiguity == "not_next" for s in self.stages):
+            raise NotImplementedError(
+                "not_next() is terminal — one per pattern, last")
+        return self._append(name, event_type, "not_next")
 
     def times(self, n: int, m: int | None = None) -> "Pattern":
         """Exact-count (times(n)) or RANGE (times(n, m)) quantifier on
@@ -215,11 +246,15 @@ class Pattern:
         if not self.stages:
             raise ValueError("optional() needs a stage")
         s = self.stages[-1]
-        if s.one_or_more:
-            raise NotImplementedError(
-                "one_or_more().optional() (zeroOrMore) is not "
-                "compiled — use times(0, n) semantics via optional "
-                "copies or the bounded loop")
+        # one_or_more().optional() == zeroOrMore [FLINK-API:
+        # Pattern#oneOrMore#optional] compiles since r10 on the
+        # bounded-loop shape (final stage + within + no_skip) as the
+        # SUM of the empty-loop matches (the prefix pattern alone —
+        # every completed prefix is its own match) and the bounded
+        # fork-loop counts: the two sets partition the zeroOrMore
+        # match set (loop length 0 vs >= 1), so counts add exactly.
+        # Out-of-shape combinations refuse inside compile (the loop
+        # family's own gates).
         if s.contiguity == "not_followed_by":
             raise NotImplementedError(
                 "optional() on not_followed_by is contradictory "
@@ -309,9 +344,148 @@ class Pattern:
         self.skip = "no_skip"
         return self
 
+    def skip_to_next(self) -> "Pattern":
+        """[FLINK-API: AfterMatchSkipStrategy#skipToNext] — after a
+        match is emitted, discard every partial match that started
+        with the SAME event: per start event only the first-completing
+        match survives. Compiled as the noSkip fork enumeration pruned
+        by the kill-interval fold (r10, batch)."""
+        self.skip = "to_next"
+        return self
+
+    def skip_to_first(self, name: str) -> "Pattern":
+        """[FLINK-API: AfterMatchSkipStrategy#skipToFirst(name)] —
+        after a match, discard every partial match that started AFTER
+        the match's start but BEFORE the first event bound to stage
+        `name`. Differs from skip_to_last(name) only when `name` is
+        quantified (times(n) binds several events). Referencing the
+        begin stage refuses (Flink throws there: nothing would ever be
+        discarded and the NFA would re-process the same prefix)."""
+        self.skip = "to_first"
+        self.skip_ref = name
+        return self
+
+    def skip_to_last(self, name: str) -> "Pattern":
+        """[FLINK-API: AfterMatchSkipStrategy#skipToLast(name)] — as
+        skip_to_first but the kill range extends to the LAST event
+        bound to stage `name`."""
+        self.skip = "to_last"
+        self.skip_ref = name
+        return self
+
+    def until(self, condition: str) -> "Pattern":
+        """Loop STOP condition [FLINK-API: Pattern#until(condition) —
+        after an event matching it appears, no more events are
+        admitted into the looping stage]: ANSI-SQL over the event row,
+        attached to the LAST stage, which must be `one_or_more()` (the
+        bounded fork-loop family — `.one_or_more().until(c).within(d)
+        .no_skip()`). Semantics (r10): an until-hit event kills every
+        run AT THE LOOP STAGE — both runs awaiting their first loop
+        element and parked loop runs — and is itself never admitted,
+        even when it also satisfies the loop condition (until wins);
+        runs at earlier stages and anchors arriving later are
+        untouched. Rides the condition bitmask with its own bit, so it
+        never costs per-row Python."""
+        if not self.stages or not self.stages[-1].one_or_more:
+            raise ValueError(
+                "until() attaches to a one_or_more() stage — call it "
+                "after .one_or_more()")
+        if self.stages[-1].until_sql is not None:
+            raise NotImplementedError(
+                "one until() per loop stage — AND the conditions into "
+                "one expression")
+        self.stages[-1].until_sql = condition
+        return self
+
+    def greedy(self) -> "Pattern":
+        """[FLINK-API: Pattern#greedy] — accepted as a NO-OP marker:
+        Flink documents greedy as having no effect when the quantified
+        pattern is the LAST stage of the pattern, and the final stage
+        is the only quantifier position the engine compiles (mid-
+        pattern loops refuse loudly elsewhere) — pinned by
+        test_cep_until_greedy: greedy on/off is count-identical.
+        Calling it on a non-quantified last stage raises."""
+        if not self.stages or not (self.stages[-1].one_or_more
+                                   or self.stages[-1].times):
+            raise ValueError(
+                "greedy() attaches to a quantified stage — call it "
+                "after .one_or_more()/.times(n)")
+        self.stages[-1].greedy = True
+        return self
+
+    def skip_past_last_event(self) -> "Pattern":
+        """[FLINK-API: AfterMatchSkipStrategy#skipPastLastEvent] —
+        Flink's EXACT NFA semantics: runs fork at every begin event;
+        after a match, partial matches that started inside [match
+        start, match end] are discarded; runs that started BEFORE the
+        match survive. This differs from the engine's default
+        `past_last` single-run machine in one corner: when an anchor
+        expires mid-run, a begin event that arrived while the stale
+        anchor was held never anchors the single-run machine, but DOES
+        fork a run in the NFA — the NFA can emit a strictly earlier
+        match (divergence pinned in
+        test_skip_past_last_event_vs_default_machine). Compiled as the
+        noSkip enumeration pruned by the [start, end] kill interval."""
+        self.skip = "past_last_event"
+        return self
+
     # -- compilation helpers ------------------------------------------
     def _family(self) -> str:
         cont = [s.contiguity for s in self.stages[1:]]
+        if self.skip in ("to_next", "to_first", "to_last",
+                         "past_last_event"):
+            # [FLINK-API: AfterMatchSkipStrategy variants] (r10):
+            # compiled as the noSkip fork ENUMERATION pruned by the
+            # strategy's kill-interval rule — scoped to pure relaxed
+            # followed_by chains (fixed times(n) allowed; the
+            # expansion is relaxed-internal so a quantified named
+            # stage binds one event per copy, giving first/last their
+            # distinct meanings)
+            if any(s.contiguity == "followed_by_any"
+                   for s in self.stages):
+                raise NotImplementedError(
+                    "skip_to_* with followed_by_any is not compiled — "
+                    "the any-enumeration is the noSkip combinatorial "
+                    "set; use no_skip()")
+            if any(s.contiguity in ("not_followed_by", "not_next")
+                   for s in self.stages):
+                raise NotImplementedError(
+                    "skip_to_* with not_followed_by/not_next is not "
+                    "compiled — split the absence check out")
+            if any(s.contiguity == "next" for s in self.stages):
+                raise NotImplementedError(
+                    "skip_to_* with strict next() stages is not "
+                    "compiled — use followed_by")
+            if any(s.one_or_more for s in self.stages):
+                raise NotImplementedError(
+                    "one_or_more() with skip_to_* is not compiled — "
+                    "use fixed times(n)")
+            if self._has_opt_range():
+                raise NotImplementedError(
+                    "optional()/times(a, b) with skip_to_* is not "
+                    "compiled — the variant union carries no_skip "
+                    "only")
+            if self._has_rel():
+                raise NotImplementedError(
+                    "where_rel() with skip_to_* is not compiled — the "
+                    "enumeration machine carries no per-anchor "
+                    "payloads")
+            if len(self.stages) < 2:
+                raise ValueError("skip_to_* needs at least two stages")
+            if self.skip in ("to_first", "to_last"):
+                names = [s.name for s in self.stages]
+                if self.skip_ref not in names:
+                    raise ValueError(
+                        f"skip_{self.skip[3:]}({self.skip_ref!r}) "
+                        f"references no stage (stages: {names})")
+                if self.skip_ref == self.stages[0].name \
+                        and self.skip == "to_first":
+                    raise ValueError(
+                        "skip_to_first of the begin stage discards "
+                        "nothing and Flink throws there — use "
+                        "no_skip() for the full enumeration")
+            return "skip_strategy"
+
         if any(s.contiguity == "followed_by_any" for s in self.stages):
             if any(c not in ("followed_by_any",) for c in cont):
                 raise NotImplementedError(
@@ -344,6 +518,27 @@ class Pattern:
             return ("any_dp_within" if self.within_us is not None
                     else "any_dp")
         quant = any(s.times or s.one_or_more for s in self.stages)
+        if self.stages[-1].contiguity == "not_next":
+            # STRICT absence [FLINK-API: Pattern#notNext] (r10): the
+            # very next event decides, so no horizon/timer is needed
+            last = self.stages[-1]
+            if last.times or last.one_or_more or last.optional:
+                raise NotImplementedError(
+                    "quantified not_next is not compiled (one "
+                    "immediately-succeeding event already decides)")
+            if len(self.stages) < 2:
+                raise ValueError("not_next() needs a prefix stage")
+            if self.skip == "no_skip":
+                raise NotImplementedError(
+                    "not_next() carries the skip-past-last prefix "
+                    "only — drop no_skip()")
+            if any(s.contiguity in ("not_followed_by",
+                                    "followed_by_any")
+                   for s in self.stages[:-1]):
+                raise NotImplementedError(
+                    "not_next() composes with plain begin/next/"
+                    "followed_by prefixes only")
+            return "absence_next"
         if self.stages[-1].contiguity == "not_followed_by":
             last = self.stages[-1]
             if last.times or last.one_or_more:
@@ -444,7 +639,7 @@ class Pattern:
                 out.append(_Stage(f"{s.name}#{j}", s.event_type, inner,
                                   conds=s.conds, rel=s.rel))
         return Pattern(stages=out, within_us=self.within_us,
-                       skip=self.skip)
+                       skip=self.skip, skip_ref=self.skip_ref)
 
 
 _MAX_VARIANTS = 32
@@ -607,6 +802,13 @@ def compile_pattern(pat: Pattern, df: DataFrame, keys: list[str],
     """Compile `pat` over a BATCH keyed DataFrame. Returns per-key
     match counts (`n_matches > 0`) — or, for absence patterns, the
     anchor event ids with no qualifying follower."""
+    last = pat.stages[-1] if pat.stages else None
+    if last is not None and last.one_or_more and last.optional:
+        # zeroOrMore (r10): SUM of the empty-loop matches (prefix
+        # alone) and the bounded fork-loop counts — the two partition
+        # the match set by loop length (0 vs >= 1)
+        return _zero_or_more(pat, df, keys, time_col, tiebreak_col,
+                             event_col)
     if pat._has_opt_range():
         # optional()/times(a, b): union-of-variants on the fork
         # machines (no_skip only — gated inside)
@@ -619,18 +821,40 @@ def compile_pattern(pat: Pattern, df: DataFrame, keys: list[str],
                                       tiebreak_col, event_col)
     fam = pat._family()
     if pat._has_rel():
+        if fam == "fork":
+            # r10: the fork family carries per-anchor payloads now —
+            # scope gated to pure relaxed chains (strict/veto shapes
+            # keep the refusal below)
+            xp = pat._expanded()
+            if any(_strict_flags(xp)) or _has_mid_nfb(xp) \
+                    or any(s.contiguity == "not_followed_by"
+                           for s in xp.stages):
+                raise NotImplementedError(
+                    "where_rel() under no_skip() compiles on pure "
+                    "relaxed followed_by chains — strict next() and "
+                    "not_followed_by with per-anchor payloads are "
+                    "not carried")
+            return _fork_rel_machine(xp, df, keys, time_col,
+                                     tiebreak_col, event_col)
         if fam not in ("relaxed", "relaxed_within"):
             raise NotImplementedError(
                 "where_rel() compiles on the single-anchor "
                 "skip-past-last machines (relaxed followed_by, with "
-                "or without within()) — the forking/any/strict/"
-                "absence families would need per-anchor payloads; "
-                "drop no_skip()/followed_by_any or the relative "
-                "condition")
+                "or without within()) and, since round 10, the "
+                "forking no_skip() family (per-anchor payloads) — "
+                "the any/strict/absence/loop families would need "
+                "run-set payloads; drop followed_by_any or the "
+                "relative condition")
         return _relaxed_rel_machine(pat._expanded(), df, keys,
                                     time_col, tiebreak_col, event_col)
+    if fam == "skip_strategy":
+        return _skip_strategy_counts(pat, df, keys, time_col,
+                                     tiebreak_col, event_col)
     if fam == "absence":
         return _absence(pat, df, keys, time_col, tiebreak_col, event_col)
+    if fam == "absence_next":
+        return _absence_next(pat, df, keys, time_col, tiebreak_col,
+                             event_col)
     if fam == "absence_chain":
         return _absence_chain(pat, df, keys, time_col, tiebreak_col,
                               event_col)
@@ -679,6 +903,13 @@ def _cond_codes(pat: Pattern) -> dict[tuple, int]:
         k = s.cond_key()
         if k not in codes:
             codes[k] = len(codes) + 1
+    for s in pat.stages:
+        # until() stop conditions carry their own bit (r10) — keyed
+        # apart from every stage condition so they never collide
+        if s.until_sql is not None:
+            k = ("__until__", s.until_sql)
+            if k not in codes:
+                codes[k] = len(codes) + 1
     if len(codes) > 62:
         # the mask is a SQL BIGINT; bit 63 is the sign bit
         raise NotImplementedError(
@@ -698,6 +929,9 @@ def _cond_mask_col(pat: Pattern, event_col: str):
     sqls: dict[int, str] = {}
     for s in pat.stages:
         sqls.setdefault(codes[s.cond_key()], s.cond_sql(event_col))
+        if s.until_sql is not None:
+            sqls.setdefault(codes[("__until__", s.until_sql)],
+                            f"({s.until_sql})")
     m = F.lit(0).cast("long")
     for code in sorted(sqls):
         m = m + F.when(F.expr(sqls[code]),
@@ -1078,6 +1312,12 @@ def compile_pattern_chunked(pat: Pattern, df: DataFrame,
         raise NotImplementedError(
             "where_rel() is not carried by chunked compilation — "
             "use the plain batch pattern() or the streaming stepper")
+    if any(s.until_sql for s in pat.stages):
+        raise NotImplementedError(
+            "until() is not carried by chunked compilation — an "
+            "until event in the overlap region would have to kill "
+            "runs across the chunk boundary; use the plain fork-loop "
+            "compile or the streaming stepper")
     fam = pat._family()
     if fam not in ("fork", "fork_loop"):
         raise NotImplementedError(
@@ -1214,6 +1454,76 @@ def _absence_chain(pat, df, keys, time_col, tiebreak_col, event_col):
             .select(*keys, "anchor_id"))
 
 
+def _absence_next(pat, df, keys, time_col, tiebreak_col, event_col):
+    """STRICT absence [FLINK-API: Pattern#notNext — the event directly
+    succeeding the previous matched event must not match] (r10): the
+    prefix pattern's match survives iff the key's IMMEDIATELY NEXT
+    event after the prefix's last element is absent or fails the
+    negative condition. One event decides, so the compile is a LEAD
+    window over the per-key sequence — no timers, no horizon — joined
+    to the prefix's matches (2-stage prefixes skip the match machinery
+    and test the anchors directly). Emits (keys..., anchor_id), the
+    absence-family output shape."""
+    b_cond = pat.stages[-1].cond_sql(event_col)
+    order = [F.unix_micros(time_col), F.col(tiebreak_col)]
+    win = Window.partitionBy(*keys).orderBy(*order)
+    ev = df.select(
+        *keys, F.col(tiebreak_col).alias("__eid"),
+        F.col(time_col).alias("__t"),
+        F.expr(pat.stages[0].cond_sql(event_col)).alias("__a"),
+        F.coalesce(F.lead(F.expr(b_cond)).over(win), F.lit(False))
+        .alias("__next_b"))
+    if len(pat.stages) == 2:
+        return (ev.filter(F.col("__a") & ~F.col("__next_b"))
+                .select(*keys, F.col("__eid").alias("anchor_id")))
+    prefix = Pattern(stages=list(pat.stages[:-1]),
+                     within_us=pat.within_us, skip=pat.skip)
+    m = compile_pattern_matches(prefix, df, keys, time_col,
+                                tiebreak_col, event_col)
+    cond = F.col("end_event_id") == F.col("__e_eid")
+    for k in keys:
+        cond = cond & (F.col(k) == F.col(f"__e_{k}"))
+    right = ev.select(
+        *[F.col(k).alias(f"__e_{k}") for k in keys],
+        F.col("__eid").alias("__e_eid"), "__next_b")
+    return (m.join(right, cond)
+            .filter(~F.col("__next_b"))
+            .select(*keys, F.col("start_event_id").alias("anchor_id")))
+
+
+def _zero_or_more(pat, df, keys, time_col, tiebreak_col, event_col):
+    """zeroOrMore — `one_or_more().optional()` on the final stage
+    [FLINK-API: Pattern#oneOrMore#optional] (r10): the match set
+    partitions by loop length — length 0 is exactly the PREFIX
+    pattern's match set (every completed prefix is its own match;
+    for a 2-stage pattern that is simply every anchor-condition
+    event), length >= 1 is exactly the bounded fork-loop's count —
+    so the per-key counts ADD. Both addends are already-pinned
+    machines; the loop side's own gates (within + no_skip, final
+    stage) and until() flow through unchanged. Batch only; streaming
+    refuses loudly in compile_pattern_stream."""
+    if pat._has_rel():
+        raise NotImplementedError(
+            "where_rel() with zeroOrMore is not compiled")
+    loop_pat = Pattern(
+        stages=[replace(s, optional=False) for s in pat.stages],
+        within_us=pat.within_us, skip=pat.skip)
+    loop = compile_pattern(loop_pat, df, keys, time_col, tiebreak_col,
+                           event_col)
+    if len(pat.stages) == 2:
+        a_cond = pat.stages[0].cond_sql(event_col)
+        prefix = (df.filter(F.expr(a_cond)).groupBy(*keys)
+                  .agg(F.count("*").cast("long").alias("n_matches")))
+    else:
+        prefix_pat = Pattern(stages=list(pat.stages[:-1]),
+                             within_us=pat.within_us, skip=pat.skip)
+        prefix = compile_pattern(prefix_pat, df, keys, time_col,
+                                 tiebreak_col, event_col)
+    u = (prefix.unionByName(loop).groupBy(*keys)
+         .agg(F.sum("n_matches").cast("long").alias("n_matches")))
+    return u.filter(F.col("n_matches") > 0)
+
+
 def _fork_loop_machine(pat, df, keys, time_col, tiebreak_col, event_col):
     """Bounded looping quantifier on the forking NFA [FLINK-API:
     Pattern#oneOrMore on the final stage, under noSkip + within(d)]:
@@ -1232,6 +1542,9 @@ def _fork_loop_machine(pat, df, keys, time_col, tiebreak_col, event_col):
     w = pat.within_us
     st = _stage_bits(pat)
     strict = _strict_flags(pat)
+    until_sql = pat.stages[-1].until_sql
+    ub = (0 if until_sql is None
+          else 1 << (_cond_codes(pat)[("__until__", until_sql)] - 1))
     seq = _seq(pat, time_col, tiebreak_col, event_col)
     empty = F.array().cast("array<long>")
     init = F.struct(F.lit(0).cast("long").alias("cnt"),
@@ -1244,13 +1557,19 @@ def _fork_loop_machine(pat, df, keys, time_col, tiebreak_col, event_col):
         lp = F.filter(acc["lp"], lambda a: x["t"] - a <= w)
         match = {i: _hit(x["c"], F.lit(st[i - 1]))
                  for i in range(1, K + 1)}
+        # until() stop condition [FLINK-API: Pattern#until] (r10): a
+        # hit kills every run AT THE LOOP STAGE — the awaiting set
+        # s_{K-1} and the parked loop — and wins over a simultaneous
+        # loop-condition match (the event is never admitted); earlier
+        # stages and later anchors are untouched
+        iu = _hit(x["c"], F.lit(ub)) if ub else F.lit(False)
         if K >= 2:
             closed = (F.size(filt[K - 1]) + F.size(lp)).cast("long")
             new_lp = F.concat(lp, filt[K - 1])
         else:
             closed = (F.size(lp) + F.lit(1)).cast("long")
             new_lp = F.concat(lp, F.array(x["t"]))
-        fields = [F.when(match[K], acc["cnt"] + closed)
+        fields = [F.when(match[K] & ~iu, acc["cnt"] + closed)
                   .otherwise(acc["cnt"]).alias("cnt")]
         for i in range(1, K):
             # identical promotion rules to _fork_machine (snapshots)
@@ -1258,11 +1577,18 @@ def _fork_loop_machine(pat, df, keys, time_col, tiebreak_col, event_col):
                 base = empty
             else:
                 base = F.when(match[i + 1], empty).otherwise(filt[i])
+            if i == K - 1 and ub:
+                base = F.when(iu, empty).otherwise(base)
             incoming = (F.array(x["t"]) if i == 1 else filt[i - 1])
-            col = (F.when(match[i], F.concat(base, incoming))
+            col = (F.when(match[i] & ~iu if i == K - 1 and ub
+                          else match[i],
+                          F.concat(base, incoming))
                    .otherwise(base))
             fields.append(col.alias(f"s{i}"))
-        fields.append(F.when(match[K], new_lp).otherwise(lp).alias("lp"))
+        lp_col = (F.when(iu, empty)
+                  .when(match[K], new_lp).otherwise(lp)) if ub else \
+            F.when(match[K], new_lp).otherwise(lp)
+        fields.append(lp_col.alias("lp"))
         return F.struct(*fields)
 
     fold = F.aggregate(seq, init, step)
@@ -1347,6 +1673,100 @@ def _relaxed_rel_machine(pat, df, keys, time_col, tiebreak_col,
              .alias("anchor"),
             *[F.when(starts, x[f"v_{c}"]).otherwise(acc[f"av_{c}"])
               .alias(f"av_{c}") for c in vcols])
+
+    fold = F.aggregate(seq, init, step)
+    return (df.groupBy(*keys).agg(fold["cnt"].alias("n_matches"))
+            .filter(F.col("n_matches") > 0))
+
+
+def _fork_rel_machine(pat, df, keys, time_col, tiebreak_col,
+                      event_col):
+    """FORKING (noSkip) machine WITH anchor-relative stage conditions
+    (r10 — lifts the round-9 refusal for the fork family) [FLINK-API:
+    IterativeCondition under AfterMatchSkipStrategy#noSkip, restricted
+    to comparisons against the run's ANCHOR]: the anchor sets carry
+    per-anchor PAYLOADS — struct(t, one double per distinct referenced
+    anchor column, captured at anchor time) — and every transition
+    becomes per-anchor: on a stage-(i+1) event, anchors of s_i
+    satisfying `event.col OP anchor.acol*scale+offset` promote (or
+    complete and are consumed, at the close), the rest STAY awaiting —
+    Flink's per-run condition evaluation, which the payload-free fork
+    machine's drain-wholly rule cannot express. State stays bounded by
+    the same within-horizon anchor density, times (1 + n_cols) longs
+    per anchor — exactly the growth the anchor set itself has. Null
+    operands compare as False (coalesced) on BOTH the promote and the
+    stay side, so a null-valued anchor stays awaiting rather than
+    vanishing. Scope: pure relaxed followed_by chains under no_skip()
+    (strict next(), mid-pattern NFB, and the loop refuse loudly)."""
+    K = len(pat.stages)
+    w = pat.within_us
+    rels = [s.rel for s in pat.stages]
+    if rels[0] is not None:
+        raise NotImplementedError(
+            "where_rel() on the begin stage is undefined")
+    acols = sorted({r[2] for r in rels if r})
+    vcols = sorted({r[0] for r in rels if r} | set(acols))
+    st = _stage_bits(pat)
+    seq = F.array_sort(F.collect_list(F.struct(
+        F.unix_micros(time_col).alias("t"),
+        F.col(tiebreak_col).alias("eid"),
+        _cond_mask_col(pat, event_col).alias("c"),
+        *[F.col(c).cast("double").alias(f"v_{c}") for c in vcols])))
+    a_fields = ",".join(["t:bigint"]
+                        + [f"av_{c}:double" for c in acols])
+    empty = F.expr(f"CAST(array() AS array<struct<{a_fields}>>)")
+    init = F.struct(F.lit(0).cast("long").alias("cnt"),
+                    *[empty.alias(f"s{i}") for i in range(1, K)])
+
+    def step(acc, x):
+        if w is None:
+            filt = {i: acc[f"s{i}"] for i in range(1, K)}
+        else:
+            filt = {i: F.filter(acc[f"s{i}"],
+                                lambda a: x["t"] - a["t"] <= w)
+                    for i in range(1, K)}
+        match = {i: _hit(x["c"], F.lit(st[i - 1]))
+                 for i in range(1, K + 1)}
+
+        def relok(i, a):
+            r = rels[i - 1]
+            if r is None:
+                return F.lit(True)
+            col, op, acol, sc, off = r
+            return F.coalesce(
+                _REL_OPS[op](x[f"v_{col}"],
+                             a[f"av_{acol}"] * F.lit(sc) + F.lit(off)),
+                F.lit(False))
+
+        closing = F.filter(filt[K - 1], lambda a: relok(K, a))
+        fields = [
+            F.when(match[K],
+                   acc["cnt"] + F.size(closing).cast("long"))
+            .otherwise(acc["cnt"]).alias("cnt")]
+        for i in range(1, K):
+            # anchors of s_i that the stage-(i+1) event takes leave
+            # (promote/complete); with a rel on stage i+1 only the
+            # qualifying ones leave — the rest keep awaiting
+            if rels[i] is None:
+                kept = F.when(match[i + 1], empty).otherwise(filt[i])
+            else:
+                kept = F.when(
+                    match[i + 1],
+                    F.filter(filt[i],
+                             lambda a: ~relok(i + 1, a))
+                ).otherwise(filt[i])
+            if i == 1:
+                incoming = F.array(F.struct(
+                    x["t"].alias("t"),
+                    *[x[f"v_{c}"].alias(f"av_{c}") for c in acols]))
+            else:
+                src = filt[i - 1]
+                incoming = (F.filter(src, lambda a: relok(i, a))
+                            if rels[i - 1] is not None else src)
+            col = (F.when(match[i], F.concat(kept, incoming))
+                   .otherwise(kept))
+            fields.append(col.alias(f"s{i}"))
+        return F.struct(*fields)
 
     fold = F.aggregate(seq, init, step)
     return (df.groupBy(*keys).agg(fold["cnt"].alias("n_matches"))
@@ -1491,15 +1911,19 @@ def compile_pattern_matches(pat: Pattern, df: DataFrame,
             "where_rel() carries counts only (pattern()) — match "
             "extraction with anchor-relative conditions is not "
             "compiled")
+    if any(s.until_sql for s in pat.stages):
+        raise NotImplementedError(
+            "until() carries counts only (pattern()) — loop-binding "
+            "extraction under a stop condition is not compiled")
     fam = pat._family()
     if fam not in ("relaxed", "relaxed_within", "fork", "fork_loop",
-                   "strict"):
+                   "strict", "skip_strategy"):
         raise NotImplementedError(
             "pattern_matches() extracts bindings for relaxed "
             "followed_by chains — skip-past-last (within() optional), "
-            "no_skip(), the bounded one_or_more loop, and fixed "
-            "strict chains; use pattern() for counts of the other "
-            "families")
+            "no_skip(), skip_to_next/skip_to_first/skip_to_last, the "
+            "bounded one_or_more loop, and fixed strict chains; use "
+            "pattern() for counts of the other families")
     if fam == "strict" and any(s.one_or_more for s in pat.stages):
         raise NotImplementedError(
             "strict-chain match extraction carries FIXED strings "
@@ -1517,6 +1941,11 @@ def compile_pattern_matches(pat: Pattern, df: DataFrame,
         raise ValueError("pattern_matches() needs at least two stages "
                          "after quantifier expansion (a single-stage "
                          "pattern is a filter)")
+    if fam == "skip_strategy":
+        # _skip_strategy_matches re-expands (a no-op here) — names
+        # survive expansion, so skip_ref still resolves
+        return _skip_strategy_matches(pat, df, keys, time_col,
+                                      tiebreak_col, event_col)
     if fam == "strict":
         return _strict_matches(pat, df, keys, time_col, tiebreak_col,
                                event_col)
@@ -1639,6 +2068,159 @@ def _fork_matches(pat, df, keys, time_col, tiebreak_col, event_col):
                     F.col("col.start_id").alias("start_event_id"),
                     F.col("col.end_id").alias("end_event_id"),
                     F.col("col.span_us").alias("span_us")))
+
+
+def _skip_strategy_matches(pat, df, keys, time_col, tiebreak_col,
+                           event_col, mode: str | None = None):
+    """AfterMatchSkipStrategy variants [FLINK-API:
+    AfterMatchSkipStrategy#skipToNext / #skipToFirst(name) /
+    #skipToLast(name)] (r10): the noSkip fork ENUMERATION (the
+    _fork_matches machine, extended to carry per-run event ROW
+    NUMBERS and the named stage's bound event) pruned by the
+    strategy's kill-interval rule, replayed as a second per-key
+    Catalyst fold over the candidate matches in completion order
+    (end rn, then anchor rn — exactly the order the enumeration
+    emits). The enumeration is Flink's followedBy run semantics: each
+    anchor binds the FIRST qualifying event per stage and completes
+    AT MOST ONCE (the close drains the penultimate set — one close
+    may complete several anchors, but an anchor never re-closes).
+    Kill semantics per emitted match m (Flink's documented discard
+    rules, on integer row numbers so ties are exact):
+
+    - to_next:          starts == m.start      (same-start runs die)
+    - past_last_event:  starts in [m.start, m.end] — Flink's EXACT
+                        skipPastLastEvent; NOT identical to the
+                        engine's default `past_last` single-run
+                        machine, which can hold a stale expired
+                        anchor past an intermediate begin event (the
+                        NFA forks there and may emit an earlier
+                        match; divergence pinned in tests)
+    - to_first:         starts in (m.start, first event bound to name)
+    - to_last:          starts in (m.start, last event bound to name)
+
+    A candidate is discarded iff its start rn falls in any interval
+    recorded by a previously-emitted match; both folds are
+    whole-stage-codegen F.aggregate over ONE per-key sorted sequence
+    (one shuffle; candidates ≪ events, so the prune fold is cheap).
+    Quantified (times(n)) named stages expand relaxed-internal, one
+    bound event per copy — first/last reference the first/last copy's
+    binding."""
+    mode = mode or pat.skip
+    pat = pat._expanded()
+    K = len(pat.stages)
+    w = pat.within_us
+    st = _stage_bits(pat)
+    jn = None
+    if mode in ("to_first", "to_last"):
+        base = [s.name.split("#")[0] for s in pat.stages]
+        idx = [i for i, b in enumerate(base) if b == pat.skip_ref]
+        jn = idx[0] if mode == "to_first" else idx[-1]
+    seq0 = _seq(pat, time_col, tiebreak_col, event_col)
+    seq = F.transform(
+        seq0,
+        lambda x, i: F.struct(x["t"].alias("t"), x["eid"].alias("eid"),
+                              x["c"].alias("c"),
+                              i.cast("long").alias("rn")))
+    anchor_t = "array<struct<t:bigint,id:bigint,rn:bigint,nrn:bigint>>"
+    match_t = ("array<struct<start_rn:bigint,start_id:bigint,"
+               "end_rn:bigint,end_id:bigint,span_us:bigint,"
+               "nrn:bigint>>")
+    empty_anchors = F.expr(f"CAST(array() AS {anchor_t})")
+    empty_matches = F.expr(f"CAST(array() AS {match_t})")
+    init = F.struct(empty_matches.alias("matches"),
+                    *[empty_anchors.alias(f"s{i}") for i in range(1, K)])
+
+    def step(acc, x):
+        if w is None:
+            filt = {i: acc[f"s{i}"] for i in range(1, K)}
+        else:
+            filt = {i: F.filter(acc[f"s{i}"],
+                                lambda a: x["t"] - a["t"] <= w)
+                    for i in range(1, K)}
+        match = {i: _hit(x["c"], F.lit(st[i - 1]))
+                 for i in range(1, K + 1)}
+        closed = F.transform(
+            filt[K - 1],
+            lambda a: F.struct(
+                a["rn"].alias("start_rn"), a["id"].alias("start_id"),
+                x["rn"].alias("end_rn"), x["eid"].alias("end_id"),
+                (x["t"] - a["t"]).alias("span_us"),
+                (x["rn"] if jn == K - 1 else a["nrn"]).alias("nrn")))
+        fields = [
+            F.when(match[K], F.concat(acc["matches"], closed))
+            .otherwise(acc["matches"]).alias("matches")]
+        for i in range(1, K):
+            base_s = F.when(match[i + 1],
+                            empty_anchors).otherwise(filt[i])
+            if i == 1:
+                incoming = F.array(F.struct(
+                    x["t"].alias("t"), x["eid"].alias("id"),
+                    x["rn"].alias("rn"),
+                    (x["rn"] if jn == 0 else F.lit(0).cast("long"))
+                    .alias("nrn")))
+            elif jn == i - 1:
+                # promotion into s_i binds 0-based stage i-1 — the
+                # named stage: stamp this event's rn on the promoted
+                # runs
+                incoming = F.transform(
+                    filt[i - 1],
+                    lambda a: F.struct(
+                        a["t"].alias("t"), a["id"].alias("id"),
+                        a["rn"].alias("rn"), x["rn"].alias("nrn")))
+            else:
+                incoming = filt[i - 1]
+            col = (F.when(match[i], F.concat(base_s, incoming))
+                   .otherwise(base_s))
+            fields.append(col.alias(f"s{i}"))
+        return F.struct(*fields)
+
+    kill_t = "array<struct<lo:bigint,hi:bigint>>"
+    pinit = F.struct(empty_matches.alias("kept"),
+                     F.expr(f"CAST(array() AS {kill_t})").alias("kill"))
+
+    def prune(acc, m):
+        killed = F.exists(
+            acc["kill"],
+            lambda r: (m["start_rn"] >= r["lo"])
+            & (m["start_rn"] <= r["hi"]))
+        if mode == "to_next":
+            lo, hi = m["start_rn"], m["start_rn"]
+        elif mode in ("past_last", "past_last_event"):
+            lo, hi = m["start_rn"], m["end_rn"]
+        else:
+            lo, hi = m["start_rn"] + 1, m["nrn"] - 1
+        rng = F.array(F.struct(lo.cast("long").alias("lo"),
+                               hi.cast("long").alias("hi")))
+        return F.struct(
+            F.when(killed, acc["kept"])
+            .otherwise(F.concat(acc["kept"], F.array(m)))
+            .alias("kept"),
+            F.when(killed, acc["kill"])
+            .otherwise(F.concat(acc["kill"], rng)).alias("kill"))
+
+    enum = F.aggregate(seq, init, step)["matches"]
+    kept = F.aggregate(enum, pinit, prune)["kept"]
+    folded = df.groupBy(*keys).agg(kept.alias("matches"))
+    return (folded.select(*keys, F.posexplode("matches"))
+            .select(*keys,
+                    (F.col("pos") + 1).cast("long").alias("match_no"),
+                    F.col("col.start_id").alias("start_event_id"),
+                    F.col("col.end_id").alias("end_event_id"),
+                    F.col("col.span_us").alias("span_us")))
+
+
+def _skip_strategy_counts(pat, df, keys, time_col, tiebreak_col,
+                          event_col):
+    """pattern() counts for the skip_to_* strategies: per-key size of
+    the pruned enumeration (n_matches > 0) — a window count over the
+    already-exploded matches would re-shuffle; counting rows per key
+    after the explode keeps it one extra light agg on match rows
+    (candidates ≪ events)."""
+    m = _skip_strategy_matches(pat, df, keys, time_col, tiebreak_col,
+                               event_col)
+    return (m.groupBy(*keys)
+            .agg(F.count("*").cast("long").alias("n_matches"))
+            .filter(F.col("n_matches") > 0))
 
 
 def _strict_matches(pat, df, keys, time_col, tiebreak_col, event_col):
@@ -2013,7 +2595,8 @@ def fork_stepper(type_codes: dict[str, int] | None,
 def fork_loop_stepper(type_codes: dict[str, int] | None,
                       stage_codes: list[int], within_us: int,
                       strict: list[bool] | None = None,
-                      key_cols: list[str] | None = None):
+                      key_cols: list[str] | None = None,
+                      until_bit: int = 0):
     """applyInPandasWithState step for the bounded fork-loop machine —
     fork_stepper plus one horizon-bounded LOOP array of anchor µs:
     every in-horizon closing event adds one match per live anchor
@@ -2047,7 +2630,11 @@ def fork_loop_stepper(type_codes: dict[str, int] | None,
             while lp and t - lp[0] > within_us:
                 lp.popleft()
             match = [bool(c & stage_codes[i]) for i in range(K)]
-            if match[K - 1]:
+            # until() (r10): kill every run at the loop stage; the
+            # event is never admitted even when it also matches the
+            # loop condition (≡ the batch fold's iu rule)
+            iu = bool(c & until_bit)
+            if match[K - 1] and not iu:
                 if K >= 2:
                     cnt += len(sets[K - 2]) + len(lp)
                     _ext_sorted(lp, sets[K - 2])  # copied pre-drain
@@ -2059,13 +2646,123 @@ def fork_loop_stepper(type_codes: dict[str, int] | None,
                     base = deque()
                 else:
                     base = sets[i]
-                if match[i]:
+                if match[i] and not (iu and i == K - 2):
                     if i == 0:
                         _ins_sorted(base, t)
                     else:
                         _ext_sorted(base, sets[i - 1])
                 sets[i] = base
+            if iu:
+                lp = deque()
+                if K >= 2:
+                    sets[K - 2] = deque()
         state.update((cnt, *[list(s) for s in sets], list(lp)))
+        yield pd.DataFrame(
+            {**{kc: [key[i]] for i, kc in enumerate(key_cols)},
+             "n_matches": [cnt]})
+    return step
+
+
+def fork_rel_stepper(stage_bits: list[int], rels: list,
+                     acols: list[str], vcols: list[str],
+                     within_us: int | None,
+                     key_cols: list[str] | None = None):
+    """applyInPandasWithState twin of _fork_rel_machine (r10): the
+    forking NFA whose anchor sets carry per-anchor payloads (anchor µs
+    + one double per referenced anchor column) so anchor-relative
+    stage conditions evaluate per run — qualifying anchors promote or
+    complete-and-consume, the rest keep awaiting. State = cnt + per
+    set: parallel (t, value...) arrays, bounded by within-horizon
+    anchor density. NaN/None operands fail every comparison (including
+    !=), matching the SQL coalesce(..., false) rule."""
+    import math
+    import operator as _op
+    OPS = {">": _op.gt, ">=": _op.ge, "<": _op.lt, "<=": _op.le,
+           "=": _op.eq, "!=": _op.ne}
+    K = len(stage_bits)
+    nA = len(acols)
+    apos = {c: j for j, c in enumerate(acols)}
+    vpos = {c: j for j, c in enumerate(vcols)}
+    key_cols = key_cols or ["key"]
+    nk = len(key_cols)
+
+    def step(key, pdf_iter, state):
+        import pandas as pd
+        if state.exists:
+            got = state.get
+            cnt = got[0]
+            sets = []
+            for i in range(K - 1):
+                t_arr = got[1 + i * (1 + nA)]
+                v_arrs = [got[2 + i * (1 + nA) + j] for j in range(nA)]
+                entries = sorted(zip(t_arr, *v_arrs))
+                sets.append([(e[0], tuple(e[1:])) for e in entries])
+        else:
+            cnt, sets = 0, [[] for _ in range(K - 1)]
+        rows = []
+        for pdf in pdf_iter:
+            t = (pdf.iloc[:, nk].to_numpy("datetime64[ns]")
+                 .astype("int64") // 1000).tolist()
+            eid = pdf.iloc[:, nk + 1].tolist()
+            c = pdf.iloc[:, nk + 2].tolist()
+            vv = [pdf.iloc[:, nk + 3 + j].astype(float).tolist()
+                  for j in range(len(vcols))]
+            rows.extend(zip(t, eid, c,
+                            *(vv or [[]] * 0)) if vcols
+                        else zip(t, eid, c))
+        for row in sorted(rows):
+            t, _, c = row[0], row[1], row[2]
+            ev = row[3:]
+
+            def relok(i, a):
+                r = rels[i - 1]
+                if r is None:
+                    return True
+                col, op, acol, sc, off = r
+                x = ev[vpos[col]]
+                av = a[1][apos[acol]]
+                if x is None or av is None or math.isnan(x) \
+                        or math.isnan(av):
+                    return False
+                return OPS[op](x, av * sc + off)
+
+            if within_us is not None:
+                for s in sets:
+                    while s and t - s[0][0] > within_us:
+                        s.pop(0)
+            match = [bool(c & stage_bits[i]) for i in range(K)]
+            old = [list(s) for s in sets]  # pre-event snapshot
+            if match[K - 1]:
+                cnt += sum(1 for a in old[K - 2] if relok(K, a))
+            for i in range(1, K):  # building set s_i (1-based stage i)
+                j = i - 1
+                # anchors taken by stage i+1 (0-based bit i) leave;
+                # with a rel only the qualifying ones — the rest STAY
+                if match[i]:
+                    kept = [a for a in old[j] if not relok(i + 1, a)]
+                else:
+                    kept = old[j]
+                incoming = []
+                if match[i - 1]:  # stage i's own bit (0-based i-1)
+                    if i == 1:
+                        incoming = [(t, tuple(
+                            ev[vpos[cn]] for cn in acols))]
+                    else:
+                        src = old[j - 1]
+                        incoming = ([a for a in src if relok(i, a)]
+                                    if rels[i - 1] is not None else src)
+                sets[j] = kept + incoming
+            # keep sorted by t (late arrivals only; in-order is free)
+            for j in range(K - 1):
+                if any(sets[j][k][0] > sets[j][k + 1][0]
+                       for k in range(len(sets[j]) - 1)):
+                    sets[j].sort()
+        flat = [cnt]
+        for s in sets:
+            flat.append([a[0] for a in s])
+            for j in range(nA):
+                flat.append([a[1][j] for a in s])
+        state.update(tuple(flat))
         yield pd.DataFrame(
             {**{kc: [key[i]] for i, kc in enumerate(key_cols)},
              "n_matches": [cnt]})
@@ -2454,6 +3151,113 @@ def absence_stepper(a_type: str, b_type: str, within_us: int,
     return step
 
 
+def chain_absence_stepper(stage_bits: list[int], b_bit: int,
+                          within_us: int,
+                          strict: list[bool] | None = None,
+                          key_cols: list[str] | None = None):
+    """Streaming K-stage ANCHORED-CHAIN absence (r10 — replaces the
+    round-9 refusal) [FLINK-API: Pattern.begin(a).followedBy(c)...
+    .notFollowedBy(b).within(d) on a live stream]: the VERDICT-r9
+    composition — the prefix pattern's match extraction machine (the
+    relaxed skip-past-last automaton relaxed_matches_stepper pins)
+    fused with the 2-stage absence timer machinery, arming the
+    deadline timer PER EXTRACTED PREFIX MATCH instead of per bare
+    anchor. One keyed state row carries the prefix registers (stage,
+    anchor_id, anchor µs) plus the pending completed-prefix set as
+    parallel arrays sorted by anchor time (a_t, a_id, e_t = the
+    prefix's last-element µs). Per event: advance the prefix machine
+    first (a completion at t parks with e_t = t); then a `b`-condition
+    hit kills every pending entry in the batch anti-join's band
+    (e_t < t AND t <= a_t + d — strict left edge, so a completion
+    event satisfying b never kills itself). An anchor whose deadline
+    a_t + d falls behind the event-time watermark emits as a surviving
+    (keys, anchor_id) row — append mode, ≡ the batch composition's
+    output restricted to watermark-passed deadlines. Same µs-deadline
+    ceil-to-ms timer discipline as absence_stepper."""
+    K = len(stage_bits)
+    strict = strict or [False] * K
+    key_cols = key_cols or ["key"]
+    nk = len(key_cols)
+
+    def step(key, pdf_iter, state):
+        import pandas as pd
+
+        def emit(rows):
+            if rows:
+                return [pd.DataFrame(
+                    {**{kc: [key[i]] * len(rows)
+                        for i, kc in enumerate(key_cols)},
+                     "anchor_id": [i for _, i in rows]})]
+            return []
+
+        wm_ms = state.getCurrentWatermarkMs()
+        wm_us = wm_ms * 1000
+        ceil_ms = lambda us: -(-us // 1000)
+
+        def split_and_park(reg, a_t, a_id, e_t):
+            # pending sorted by anchor t: due deadlines are a prefix
+            pos = bisect.bisect_right(a_t, wm_us - within_us)
+            due = list(zip(a_t[:pos], a_id[:pos]))
+            if pos < len(a_t) or reg != (0, 0, 0):
+                state.update((*reg, a_t[pos:], a_id[pos:], e_t[pos:]))
+                if pos < len(a_t):
+                    state.setTimeoutTimestamp(
+                        max(ceil_ms(a_t[pos] + within_us), wm_ms + 1))
+            elif state.exists:
+                state.remove()
+            return due
+
+        if state.exists:
+            st, aid, at, a_t, a_id, e_t = state.get
+            reg = (st, aid, at)
+            order = sorted(range(len(a_t)), key=lambda k: a_t[k])
+            a_t = [a_t[k] for k in order]
+            a_id = [a_id[k] for k in order]
+            e_t = [e_t[k] for k in order]
+        else:
+            reg, a_t, a_id, e_t = (0, 0, 0), [], [], []
+        if state.hasTimedOut:
+            yield from emit(split_and_park(reg, a_t, a_id, e_t))
+            return
+        stage, anchor_id, anchor_t = reg
+        rows = []
+        for pdf in pdf_iter:
+            rows.extend(_batch_rows(pdf, nk, None))
+        for t, eid, c in sorted(rows):
+            # 1 — prefix automaton (≡ relaxed_matches_stepper)
+            if stage > 0 and t - anchor_t > within_us:
+                stage = 0
+            if c & stage_bits[stage]:
+                if stage == 0:
+                    anchor_id, anchor_t = eid, t
+                if stage == K - 1:
+                    pos = bisect.bisect_left(a_t, anchor_t)
+                    a_t.insert(pos, anchor_t)
+                    a_id.insert(pos, anchor_id)
+                    e_t.insert(pos, t)
+                    stage = 0
+                else:
+                    stage += 1
+            elif strict[stage] and stage > 0:
+                if c & stage_bits[0]:
+                    stage, anchor_id, anchor_t = 1, eid, t
+                else:
+                    stage = 0
+            # 2 — absence veto over the pending set (band is strict at
+            # e_t, so the completion above never kills itself)
+            if c & b_bit and a_t:
+                lo = bisect.bisect_left(a_t, t - within_us)
+                keep = [i for i in range(lo, len(a_t))
+                        if not (e_t[i] < t)]
+                if len(keep) < len(a_t) - lo:
+                    a_t = a_t[:lo] + [a_t[i] for i in keep]
+                    a_id = a_id[:lo] + [a_id[i] for i in keep]
+                    e_t = e_t[:lo] + [e_t[i] for i in keep]
+        yield from emit(split_and_park(
+            (stage, anchor_id, anchor_t), a_t, a_id, e_t))
+    return step
+
+
 def relaxed_matches_stepper(type_codes: dict[str, int] | None,
                             stage_codes: list[int],
                             within_us: int | None,
@@ -2714,6 +3518,11 @@ def compile_pattern_stream(pat: Pattern, sdf: DataFrame,
     event-time timeouts)."""
     from pyspark.sql.streaming.state import GroupStateTimeout
 
+    if pat.stages and pat.stages[-1].one_or_more \
+            and pat.stages[-1].optional:
+        raise NotImplementedError(
+            "streaming zeroOrMore (one_or_more().optional()) is not "
+            "compiled — run the batch sum-of-machines compile")
     if pat._has_opt_range():
         # r10: streaming optional()/times(a, b) — the batch union-of-
         # variants argument carries to streams (the variants are
@@ -2758,18 +3567,57 @@ def compile_pattern_stream(pat: Pattern, sdf: DataFrame,
             timeoutConf=GroupStateTimeout.NoTimeout)
     fam = pat._family()
     if fam not in ("relaxed", "relaxed_within", "fork", "fork_loop",
-                   "absence", "strict", "any_dp", "any_dp_within"):
+                   "absence", "absence_chain", "strict", "any_dp",
+                   "any_dp_within"):
         raise NotImplementedError(
             "streaming pattern() carries the relaxed followed_by "
             "machines (skip-past-last, bounded, no_skip, bounded "
             "one_or_more), followed_by_any (counting DP), strict "
-            "chains (KMP), and timer-driven absence")
+            "chains (KMP), and timer-driven absence (2-stage and "
+            "anchored-chain)")
+    if pat._has_rel() and fam == "fork":
+        # r10: streaming where_rel on the forking family — the
+        # keyed-state twin of _fork_rel_machine (per-anchor payloads
+        # as parallel t/value arrays in the state row)
+        xp = pat._expanded()
+        if any(_strict_flags(xp)) or _has_mid_nfb(xp) \
+                or any(s.contiguity == "not_followed_by"
+                       for s in xp.stages):
+            raise NotImplementedError(
+                "where_rel() under no_skip() streams on pure relaxed "
+                "followed_by chains only")
+        rels = [s.rel for s in xp.stages]
+        if rels[0] is not None:
+            raise NotImplementedError(
+                "where_rel() on the begin stage is undefined")
+        acols = sorted({r[2] for r in rels if r})
+        vcols = sorted({r[0] for r in rels if r} | set(acols))
+        proj = sdf.select(
+            *keys, time_col, tiebreak_col,
+            _cond_mask_col(xp, event_col).alias("__m"),
+            *[F.col(c).cast("double").alias(f"__v_{c}")
+              for c in vcols])
+        fkey_schema = ", ".join(
+            f"{k} {_key_sql_type(proj, k)}" for k in keys)
+        K = len(xp.stages)
+        state_schema = "cnt long" + "".join(
+            f", s{i}t array<long>" + "".join(
+                f", s{i}v{j} array<double>" for j in range(len(acols)))
+            for i in range(1, K))
+        fn = fork_rel_stepper(_stage_bits(xp), rels, acols, vcols,
+                              xp.within_us, key_cols=keys)
+        return proj.groupBy(*keys).applyInPandasWithState(
+            fn,
+            outputStructType=f"{fkey_schema}, n_matches long",
+            stateStructType=state_schema,
+            outputMode="Update",
+            timeoutConf=GroupStateTimeout.NoTimeout)
     if pat._has_rel() and fam not in ("relaxed", "relaxed_within"):
         raise NotImplementedError(
             "where_rel() streams only on the single-anchor "
-            "skip-past-last machines — drop no_skip()/"
-            "followed_by_any/not_followed_by or the relative "
-            "condition")
+            "skip-past-last machines and, since round 10, the "
+            "forking no_skip() family — drop followed_by_any/"
+            "not_followed_by or the relative condition")
     if fam == "strict":
         # Fixed-string chains (next-chains; times(n) expands to one)
         # run on the KMP failure-function automaton (r9): O(K) state,
@@ -2824,6 +3672,39 @@ def compile_pattern_stream(pat: Pattern, sdf: DataFrame,
         return proj.groupBy(*keys).applyInPandasWithState(
             fn, outputStructType=f"{key_schema}, anchor_id long",
             stateStructType="t_arr array<long>, id_arr array<long>",
+            outputMode="Append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout)
+    if fam == "absence_chain":
+        # r10: streaming anchored-CHAIN absence — the batch composition
+        # (prefix match extraction anti-joined over the band) becomes
+        # ONE stepper: the relaxed skip-past-last extraction automaton
+        # fused with the 2-stage timer machinery, deadline armed per
+        # extracted prefix match (see chain_absence_stepper)
+        if pat.skip == "no_skip":
+            raise NotImplementedError(
+                "streaming anchored-chain absence carries the "
+                "skip-past-last prefix only — a noSkip prefix forks "
+                "overlapping matches whose pending deadlines would "
+                "need per-run payloads; run in batch mode (the "
+                "composition handles it)")
+        if any(s.contiguity == "not_followed_by"
+               for s in pat.stages[:-1]):
+            raise NotImplementedError(
+                "streaming anchored-chain absence with a mid-pattern "
+                "not_followed_by is not compiled — run in batch mode")
+        xpat = pat._expanded()
+        proj = sdf.select(*keys, time_col, tiebreak_col,
+                          _cond_mask_col(xpat, event_col).alias("__m"))
+        codes = _cond_codes(xpat)
+        b_bit = 1 << (codes[xpat.stages[-1].cond_key()] - 1)
+        fn = chain_absence_stepper(
+            _stage_bits(xpat), b_bit, xpat.within_us,
+            _strict_flags(xpat), key_cols=keys)
+        return proj.groupBy(*keys).applyInPandasWithState(
+            fn, outputStructType=f"{key_schema}, anchor_id long",
+            stateStructType="stage long, aid long, at long, "
+                            "a_t array<long>, a_id array<long>, "
+                            "e_t array<long>",
             outputMode="Append",
             timeoutConf=GroupStateTimeout.EventTimeTimeout)
     pat = pat._expanded()
@@ -2885,8 +3766,11 @@ def compile_pattern_stream(pat: Pattern, sdf: DataFrame,
         state_schema = "cnt long, " + ", ".join(
             [f"s{i} array<long>" for i in range(1, K)]
             + ["lp array<long>"])
+        u_sql = pat.stages[-1].until_sql
+        ub = (0 if u_sql is None
+              else 1 << (_cond_codes(pat)[("__until__", u_sql)] - 1))
         fn = fork_loop_stepper(tcodes, scodes, pat.within_us, sflags,
-                               key_cols=keys)
+                               key_cols=keys, until_bit=ub)
     else:
         out_schema = f"{key_schema}, n_matches long"
         state_schema = "cnt long, " + ", ".join(

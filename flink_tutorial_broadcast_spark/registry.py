@@ -90,12 +90,16 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 #
 # Round 10 rotation (VERDICT_r9 item 1): 41 of the 50 slots hold keys
 # the driver has NEVER sampled across r1-r9 (116 oracle-backed
-# remained) — led by the six late-r9 CEP keys the r9 rotation predates
-# (q_cep_where_matches / absence_chain / not_between / strict_matches /
-# loop_matches, plus the never-sampled core q_cep_followed_by and
-# q_cep_times), the TPC-H tail (q2/q4/q7/q17/q20 from tpch_full;
-# q10 — one of the three r9 host-drift movers — and q18 from
-# composite), and the eight keys the r9 comment named as
+# remained) — led by the five late-r9 CEP keys the r9 rotation
+# predates (q_cep_where_matches / absence_chain / not_between /
+# strict_matches / loop_matches), the FOUR new round-10
+# AfterMatchSkipStrategy keys (skip_to_next, skip_past_last,
+# skip_to_first, skip_to_last — mid-round swap for q_cep_followed_by,
+# q_cep_times, q_try_arith, q_benford, whose modules keep another
+# prefix rep; those four stay registered and sweep-checked, next
+# rotation's first picks), the TPC-H tail (q2/q4/q7/q17/q20 from
+# tpch_full; q10 — one of the three r9 host-drift movers — and q18
+# from composite), and the eight keys the r9 comment named as
 # next-rotation picks (q_median_mode, q_text_normalize, q_winsorize,
 # q_ab_lift, q_psi_drift, q_hard_negatives, q_dedup_containment,
 # q_audio_frame_energy). The remaining 9 slots keep already-sampled
@@ -124,8 +128,8 @@ _VERIFICATION_PREFIX = (
     "q_cep_not_between",                # CEP mid-pattern NFB (late r9)
     "q_cep_strict_matches",             # CEP strict bindings (late r9)
     "q_cep_loop_matches",               # CEP loop bindings (late r9)
-    "q_cep_followed_by",                # CEP core relaxed chain (r1-era)
-    "q_cep_times",                      # CEP times(n) strict-internal
+    "q_cep_skip_to_next",               # CEP skip strategy (NEW r10)
+    "q_cep_skip_past_last",             # CEP Flink-exact SPL (NEW r10)
     "q_tpch_q2",                        # tpch_full Q2 min-cost supplier
     "q_tpch_q4",                        # tpch_full Q4 EXISTS
     "q_tpch_q7",                        # tpch_full Q7 volume shipping
@@ -133,30 +137,30 @@ _VERIFICATION_PREFIX = (
     "q_tpch_q20",                       # tpch_full Q20 nested IN
     "q_tpch_q10",                       # composite Q10 (r9 bench mover)
     "q_tpch_q18",                       # composite Q18 large orders
+    "q_cep_skip_to_first",              # CEP skip-to-first (NEW r10)
     "q_null_semantics",                 # scalar null algebra
-    "q_try_arith",                      # scalar try_* forms
     "q_batched_lookup_enrich",          # udf_surface batched lookup
     "q_hard_negatives",                 # llm_knn hard negatives
     "q_dedup_containment",              # llm_dedup containment
     "q_dedup_incremental",              # llm_dedup crawl rounds
+    "q_cep_until",                      # CEP loop stop cond (NEW r10)
     "q_token_counts",                   # llm_scoring token counts
-    "q_inverted_index",                 # llm_scoring inverted index
     "q_audio_frame_energy",             # multimodal PCM16 energy
+    "q_cep_not_next",                   # CEP strict absence (NEW r10)
     "q_scalar_subquery",                # olap_ext scalar subquery
-    "q_exists_correlated",              # olap_ext correlated EXISTS
     "q_median_mode",                    # agg_ext median/mode
     "q_weighted_avg",                   # agg_ext weighted mean
+    "q_cep_zero_or_more",               # CEP zeroOrMore sum (NEW r10)
     "q_ab_lift",                        # behavioral A/B lift
-    "q_time_to_convert",                # behavioral conversion lag
     "q_scan_orc",                       # connectors ORC scan
     "q_nested_struct",                  # connectors nested access
+    "q_cep_skip_to_last",               # CEP skip-to-last (NEW r10)
     "q_psi_drift",                      # stats_ext PSI drift
-    "q_benford",                        # stats_ext Benford digits
     "q_join_shuffle_hash",              # layout_ops shuffle-hash hint
     "q_text_normalize",                 # text_pipeline normalize
     "q_split_leakage",                  # text_pipeline leakage check
+    "q_cep_where_rel_fork",             # CEP fork-family rel (NEW r10)
     "q_term_redact",                    # governance term redaction
-    "q_domain_mixture",                 # governance mixture weights
     "q_open_orders",                    # temporal open-interval count
     "q_winsorize",                      # dataset_ops winsorize
     "q_pii_redact",                     # dataset_ops PII redaction

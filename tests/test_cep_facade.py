@@ -1409,6 +1409,188 @@ def test_pattern_streaming_variant_union_survives_restart(spark,
     assert want
 
 
+def test_pattern_streaming_absence_chain(spark, queries):
+    """Streaming anchored-CHAIN absence (round 10 — replaces the r9
+    refusal): view → click → NO purchase in (t_click, t_view + 48h],
+    run live. The stepper fuses the prefix match-extraction automaton
+    with the per-match deadline timers, so the emission set must equal
+    the oracle-backed batch composition (q_cep_absence_chain)
+    restricted to anchors whose deadline the final watermark passed."""
+    from flink_tutorial_broadcast_spark.streaming.jobs import (
+        _run_to_memory,
+    )
+
+    W_US = 48 * 3600 * 1_000_000
+    pat = (Pattern.begin("v", "view")
+           .followed_by("c", "click")
+           .not_followed_by("p", "purchase")
+           .within("48 hours"))
+    sdf = _two_file_stream(
+        spark, ["user_id", "ts", "event_id", "event_type"]) \
+        .withWatermark("ts", "1 minute")
+    out = (_env(spark).from_dataframe(sdf)
+           .key_by("user_id").pattern(pat).to_df())
+    assert out.isStreaming
+    got = {(r.user_id, r.anchor_id)
+           for r in _run_to_memory(out, "append").collect()}
+
+    ev = load(spark, SF_SMOKE, "events")
+    batch = {(r.user_id, r.anchor_id) for r in
+             queries["q_cep_absence_chain"](spark, SF_SMOKE).collect()}
+    max_us = ev.agg(F.max(F.unix_micros("ts")).alias("m")) \
+        .collect()[0]["m"]
+    wm_final_us = (max_us // 1000 - 60_000) * 1000
+    anchors = {(r.user_id, r.event_id): r.t_us for r in
+               ev.filter("event_type = 'view'")
+               .select("user_id", "event_id",
+                       F.unix_micros("ts").alias("t_us")).collect()}
+    expected = {(u, i) for (u, i) in batch
+                if anchors[(u, i)] + W_US <= wm_final_us}
+    assert got == expected
+    assert got and got <= batch
+
+    # refusal edges: noSkip prefix and mid-pattern NFB stay batch-only
+    sdf2 = _two_file_stream(
+        spark, ["user_id", "ts", "event_id", "event_type"]) \
+        .withWatermark("ts", "1 minute")
+    with pytest.raises(NotImplementedError, match="skip-past-last"):
+        (_env(spark).from_dataframe(sdf2).key_by("user_id")
+         .pattern(Pattern.begin("v", "view")
+                  .followed_by("c", "click")
+                  .not_followed_by("p", "purchase")
+                  .within("48 hours").no_skip()))
+
+
+def test_pattern_streaming_absence_chain_survives_restart(spark,
+                                                          queries):
+    """L119 restart discipline for the r10 chain-absence stepper: the
+    prefix registers AND the pending completed-prefix deadlines live in
+    one state row — stop after half the events, deliver half 2 while
+    down, resume over the same checkpoint; the union of emissions must
+    equal the single-run emission set."""
+    import glob as _glob
+
+    from flink_tutorial_broadcast_spark.streaming.sources import (
+        checkpoint_dir,
+    )
+
+    W_US = 48 * 3600 * 1_000_000
+    pat = (Pattern.begin("v", "view")
+           .followed_by("c", "click")
+           .not_followed_by("p", "purchase")
+           .within("48 hours"))
+    ev = load(spark, SF_SMOKE, "events").select(
+        "user_id", "ts", "event_id", "event_type")
+    split_ts = ev.agg(
+        F.percentile_approx("ts", 0.5).alias("m")).collect()[0]["m"]
+    src_dir = tempfile.mkdtemp(prefix="cep_r10_restart_ac_src_")
+    out_dir = tempfile.mkdtemp(prefix="cep_r10_restart_ac_out_")
+    ckpt = checkpoint_dir()
+    (ev.filter(F.col("ts") <= F.lit(split_ts))
+     .coalesce(1).write.parquet(os.path.join(src_dir, "f=0")))
+
+    def run():
+        sdf = (spark.readStream
+               .schema("user_id long, ts timestamp, event_id long, "
+                       "event_type string")
+               .option("maxFilesPerTrigger", "1")
+               .option("recursiveFileLookup", "true")
+               .parquet(src_dir)
+               .withWatermark("ts", "1 minute"))
+        out = (_env(spark).from_dataframe(sdf)
+               .key_by("user_id").pattern(pat).to_df())
+
+        def body(batch_df, batch_id):
+            (batch_df.write.mode("overwrite")
+             .parquet(os.path.join(out_dir, f"batch={batch_id}")))
+
+        q = (out.writeStream.foreachBatch(body)
+             .outputMode("append")
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        q.awaitTermination()
+
+    run()
+    (ev.filter(F.col("ts") > F.lit(split_ts))
+     .coalesce(1).write.parquet(os.path.join(src_dir, "f=1")))
+    run()
+
+    got = set()
+    for p in _glob.glob(os.path.join(out_dir, "batch=*")):
+        for r in spark.read.parquet(p).collect():
+            got.add((r.user_id, r.anchor_id))
+    batch = {(r.user_id, r.anchor_id) for r in
+             queries["q_cep_absence_chain"](spark, SF_SMOKE).collect()}
+    max_us = ev.agg(F.max(F.unix_micros("ts")).alias("m")) \
+        .collect()[0]["m"]
+    wm_final_us = (max_us // 1000 - 60_000) * 1000
+    anchors = {(r.user_id, r.event_id): r.t_us for r in
+               ev.filter("event_type = 'view'")
+               .select("user_id", "event_id",
+                       F.unix_micros("ts").alias("t_us")).collect()}
+    expected = {(u, i) for (u, i) in batch
+                if anchors[(u, i)] + W_US <= wm_final_us}
+    assert got == expected
+    assert got
+
+
+def test_pattern_streaming_until_converges(spark, queries):
+    """Streaming until() (round 10): the fork-loop stepper's until-bit
+    kill — loop-stage sets cleared across micro-batch boundaries too —
+    converges to the oracle-backed batch q_cep_until counts."""
+    from flink_tutorial_broadcast_spark.streaming.jobs import (
+        _run_to_memory,
+    )
+
+    pat = (Pattern.begin("v", "view")
+           .followed_by("p", "purchase").one_or_more()
+           .until("event_type = 'error'")
+           .within("48 hours").no_skip())
+    sdf = _two_file_stream(
+        spark, ["user_id", "ts", "event_id", "event_type"])
+    out = (_env(spark).from_dataframe(sdf)
+           .key_by("user_id").pattern(pat).to_df())
+    assert out.isStreaming
+    rows = _run_to_memory(out, "update").collect()
+    final: dict[int, int] = {}
+    for r in rows:
+        final[r["user_id"]] = max(final.get(r["user_id"], 0),
+                                  r["n_matches"])
+    want = {r["user_id"]: r["n_matches"] for r in
+            queries["q_cep_until"](spark, SF_SMOKE).collect()}
+    assert {u: n for u, n in final.items() if n > 0} == want
+    assert want
+
+
+def test_pattern_streaming_fork_rel_converges(spark, queries):
+    """Streaming where_rel on the forking family (round 10): the
+    keyed state carries per-anchor payloads (anchor µs + referenced
+    values) across micro-batch boundaries, so the live-stream counts
+    converge to the oracle-backed batch q_cep_where_rel_fork."""
+    from flink_tutorial_broadcast_spark.streaming.jobs import (
+        _run_to_memory,
+    )
+
+    pat = (Pattern.begin("v", "view")
+           .followed_by("p", "purchase")
+           .where_rel("value", ">", "value")
+           .within("48 hours").no_skip())
+    sdf = _two_file_stream(
+        spark, ["user_id", "ts", "event_id", "event_type", "value"])
+    out = (_env(spark).from_dataframe(sdf)
+           .key_by("user_id").pattern(pat).to_df())
+    assert out.isStreaming
+    rows = _run_to_memory(out, "update").collect()
+    final: dict[int, int] = {}
+    for r in rows:
+        final[r["user_id"]] = max(final.get(r["user_id"], 0),
+                                  r["n_matches"])
+    want = {r["user_id"]: r["n_matches"] for r in
+            queries["q_cep_where_rel_fork"](spark, SF_SMOKE).collect()}
+    assert {u: n for u, n in final.items() if n > 0} == want
+    assert want
+
+
 def test_pattern_r10_advice_refusals(spark):
     """Round-10 advice pins: three shapes that previously compiled
     SILENTLY with wrong semantics must now refuse loudly.

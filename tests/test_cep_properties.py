@@ -1159,3 +1159,501 @@ def test_cep_any_dp_with_predicates_matches_brute_force(spark, rows):
     want = {u: brute(seq)
             for u, seq in _per_user_ordered_val(rows).items()}
     assert got == {u: c for u, c in want.items() if c > 0}
+
+
+# -- AfterMatchSkipStrategy variants (round 10) ------------------------
+
+def _per_user_with_ids(rows):
+    """events per user in (ts, event_id) order → (minute, id, type)."""
+    per = {}
+    for i, (u, m, t) in enumerate(rows):
+        per.setdefault(u, []).append((m, i, TYPES[t]))
+    return {u: sorted(evs) for u, evs in per.items()}
+
+
+def _ref_skip_strategy(evs, stages, within_min, mode, jn=None):
+    """INDEPENDENT reference for the skip-strategy machines, written
+    at a higher level than the engine's fold: (1) enumerate the noSkip
+    candidates — ONE per anchor at most, since Flink's followedBy run
+    binds the first qualifying event per stage INCLUDING the close
+    (the engine's penultimate set drains on close: one close may
+    complete several anchors, but an anchor never re-closes); every
+    element must lie within the anchor's horizon; (2) replay the
+    kill-interval pruning over candidates in (end, start) order.
+    Returns kept [(start_id, end_id)] in emission order."""
+    K = len(stages)
+    n = len(evs)
+    cands = []
+    for ai in range(n):
+        ma, _, tya = evs[ai]
+        if tya != stages[0]:
+            continue
+        chain = [ai]
+        ok = True
+        for s in range(1, K):
+            nxt = next(
+                (i for i in range(chain[-1] + 1, n)
+                 if evs[i][2] == stages[s]
+                 and (within_min is None or evs[i][0] - ma <= within_min)),
+                None)
+            if nxt is None:
+                ok = False
+                break
+            chain.append(nxt)
+        if not ok:
+            continue
+        cands.append((chain[-1], ai, tuple(chain[:-1])))
+    cands.sort()
+    kept, kills = [], []
+    for end, start, chain in cands:
+        if any(lo <= start <= hi for lo, hi in kills):
+            continue
+        kept.append((evs[start][1], evs[end][1]))
+        if mode == "to_next":
+            kills.append((start, start))
+        elif mode == "past_last_event":
+            kills.append((start, end))
+        else:
+            named = chain[jn] if jn is not None and jn < K - 1 else end
+            kills.append((start + 1, named - 1))
+    return kept
+
+
+def _run_matches(spark, df, pat):
+    env = StreamExecutionEnvironment.get_execution_environment(spark)
+    rows = (env.from_dataframe(df).key_by("user_id")
+            .pattern_matches(pat).to_df()
+            .orderBy("user_id", "match_no").collect())
+    per = {}
+    for r in rows:
+        per.setdefault(r["user_id"], []).append(
+            (r["start_event_id"], r["end_event_id"]))
+    return per
+
+
+@settings(max_examples=10, deadline=None)
+@given(rows=seq_strategy)
+def test_cep_skip_to_next_matches_brute_force(spark, rows):
+    """skip_to_next == noSkip enumeration keeping only the first-
+    completing match per start event (point kills)."""
+    pat = (Pattern.begin("v", "view").followed_by("c", "click")
+           .followed_by("p", "purchase")
+           .within("12 hours").skip_to_next())
+    got = _run_matches(spark, _mk(spark, rows), pat)
+    want = {u: _ref_skip_strategy(evs, ["view", "click", "purchase"],
+                                  720, "to_next")
+            for u, evs in _per_user_with_ids(rows).items()}
+    assert got == {u: m for u, m in want.items() if m}
+
+
+@settings(max_examples=10, deadline=None)
+@given(rows=seq_strategy)
+def test_cep_skip_past_last_event_matches_brute_force(spark, rows):
+    """skip_past_last_event == noSkip enumeration pruned by the
+    [start, end] kill interval — Flink's exact NFA discard rule."""
+    pat = (Pattern.begin("v", "view").followed_by("c", "click")
+           .followed_by("p", "purchase")
+           .within("12 hours").skip_past_last_event())
+    got = _run_matches(spark, _mk(spark, rows), pat)
+    want = {u: _ref_skip_strategy(evs, ["view", "click", "purchase"],
+                                  720, "past_last_event")
+            for u, evs in _per_user_with_ids(rows).items()}
+    assert got == {u: m for u, m in want.items() if m}
+
+
+@settings(max_examples=10, deadline=None)
+@given(rows=seq_strategy)
+def test_cep_skip_to_first_last_match_brute_force(spark, rows):
+    """skip_to_first/skip_to_last on a times(2) stage: the quantified
+    name binds one event per expanded copy, so first/last reference
+    the first/second click's position — the kill ranges differ and
+    both must equal the brute-force replay."""
+    stages = ["view", "click", "click", "purchase"]
+    per = _per_user_with_ids(rows)
+    for mode, jn in (("to_first", 1), ("to_last", 2)):
+        pat = (Pattern.begin("v", "view")
+               .followed_by("c", "click").times(2)
+               .followed_by("p", "purchase")
+               .within("12 hours"))
+        pat = (pat.skip_to_first("c") if mode == "to_first"
+               else pat.skip_to_last("c"))
+        got = _run_matches(spark, _mk(spark, rows), pat)
+        want = {u: _ref_skip_strategy(evs, stages, 720, mode, jn)
+                for u, evs in per.items()}
+        assert got == {u: m for u, m in want.items() if m}, mode
+
+
+def test_skip_past_last_event_vs_default_machine(spark):
+    """The documented divergence between the engine's default
+    `past_last` single-run machine and Flink's exact skipPastLastEvent
+    (the skip_past_last_event verb): when an anchor expires mid-run, a
+    begin event that arrived during the stale anchor's tenure never
+    anchors the single-run machine — but it DOES fork an NFA run,
+    which can complete. v@0 (expires), v@500 (shadowed), c@900,
+    p@1000, within 12h: the single-run machine emits NOTHING (at c@900
+    the stale anchor resets and the click cannot re-anchor); the NFA
+    emits (v@500, p@1000)."""
+    rows = [(0, 0, 0), (0, 500, 0), (0, 900, 1), (0, 1000, 2)]
+    df = _mk(spark, rows)
+    base = (Pattern.begin("v", "view").followed_by("c", "click")
+            .followed_by("p", "purchase").within("12 hours"))
+    assert _run_matches(spark, df, base) == {}
+    nfa = (Pattern.begin("v", "view").followed_by("c", "click")
+           .followed_by("p", "purchase").within("12 hours")
+           .skip_past_last_event())
+    assert _run_matches(spark, df, nfa) == {0: [(1, 3)]}
+
+
+def test_skip_strategy_refusals(spark):
+    """skip_to_* scope edges refuse loudly: strict next() stages,
+    one_or_more, followed_by_any, not_followed_by, unknown stage name,
+    skip_to_first of the begin stage, and streaming."""
+    import pytest
+
+    pats = [
+        (NotImplementedError, "strict next",
+         lambda: Pattern.begin("v", "view").next("c", "click")
+         .skip_to_next()._family()),
+        (NotImplementedError, "one_or_more",
+         lambda: Pattern.begin("v", "view")
+         .followed_by("c", "click").one_or_more()
+         .within("1 hours").skip_to_next()._family()),
+        (NotImplementedError, "followed_by_any",
+         lambda: Pattern.begin("v", "view")
+         .followed_by_any("c", "click").skip_to_next()._family()),
+        (NotImplementedError, "not_followed_by",
+         lambda: Pattern.begin("v", "view")
+         .not_followed_by("c", "click").within("1 hours")
+         .skip_to_next()._family()),
+        (ValueError, "references no stage",
+         lambda: Pattern.begin("v", "view")
+         .followed_by("c", "click").skip_to_last("zz")._family()),
+        (ValueError, "begin stage",
+         lambda: Pattern.begin("v", "view")
+         .followed_by("c", "click").skip_to_first("v")._family()),
+    ]
+    for exc, msg, fn in pats:
+        with pytest.raises(exc, match=msg):
+            fn()
+
+
+# -- until() / greedy() on the bounded loop (round 10) -----------------
+
+def _ref_fork_loop_until(seq, stages, within_min, until_ty):
+    """Independent reference for the bounded fork-loop WITH an until()
+    stop condition: the _ref_fork machine plus one parked-loop list;
+    an until-type event clears the loop-stage sets (awaiting-first and
+    parked) and is never admitted, even if it also matches the loop
+    type."""
+    K = len(stages)
+    sets = [[] for _ in range(K - 1)]
+    lp = []
+    cnt = 0
+    for m, ty in seq:
+        if within_min is not None:
+            sets = [[a for a in s if m - a <= within_min] for s in sets]
+            lp = [a for a in lp if m - a <= within_min]
+        iu = ty == until_ty
+        if ty == stages[K - 1] and not iu:
+            if K >= 2:
+                cnt += len(sets[K - 2]) + len(lp)
+                lp = lp + sets[K - 2]
+            else:
+                cnt += 1 + len(lp)
+                lp = lp + [m]
+        if K >= 2:
+            if ty == stages[0] and not (iu and K == 2):
+                sets[0] = ([] if (K >= 3 and ty == stages[1])
+                           else sets[0]) + [m]
+            for i in range(1, K - 1):
+                if ty == stages[i]:
+                    nxt = sets[i] + sets[i - 1]
+                    sets[i - 1] = []
+                    if not (iu and i == K - 2):
+                        sets[i] = nxt
+                    else:
+                        sets[i] = []
+        if iu:
+            lp = []
+            if K >= 2:
+                sets[K - 2] = []
+    return cnt
+
+
+@settings(max_examples=10, deadline=None)
+@given(rows=seq_strategy)
+def test_cep_until_matches_brute_force(spark, rows):
+    """one_or_more().until(stop) on the bounded loop: the engine's
+    until-bit kill must equal an independently-coded loop machine with
+    the same stop semantics — K=2 (anchor set IS the loop-awaiting
+    set) and K=3 both."""
+    pat2 = (Pattern.begin("v", "view")
+            .followed_by("p", "purchase").one_or_more()
+            .until("event_type = 'click'")
+            .within("12 hours").no_skip())
+    got2 = _run(spark, _mk(spark, rows), pat2)
+    want2 = {u: _ref_fork_loop_until(seq, ["view", "purchase"], 720,
+                                     "click")
+             for u, seq in _per_user_ordered(rows).items()}
+    assert got2 == {u: n for u, n in want2.items() if n > 0}
+
+    pat3 = (Pattern.begin("v", "view")
+            .followed_by("c", "click")
+            .followed_by("p", "purchase").one_or_more()
+            .until("event_type = 'other'")
+            .within("12 hours").no_skip())
+    got3 = _run(spark, _mk(spark, rows), pat3)
+    want3 = {u: _ref_fork_loop_until(
+        seq, ["view", "click", "purchase"], 720, "other")
+        for u, seq in _per_user_ordered(rows).items()}
+    assert got3 == {u: n for u, n in want3.items() if n > 0}
+
+
+@settings(max_examples=10, deadline=None)
+@given(rows=seq_strategy)
+def test_cep_greedy_is_noop_on_final_loop(spark, rows):
+    """greedy() [FLINK-API: Pattern#greedy — documented as having no
+    effect on the LAST stage of a pattern]: counts with and without
+    the marker must be identical on the bounded loop."""
+    base = (Pattern.begin("v", "view")
+            .followed_by("p", "purchase").one_or_more()
+            .within("12 hours").no_skip())
+    g = (Pattern.begin("v", "view")
+         .followed_by("p", "purchase").one_or_more().greedy()
+         .within("12 hours").no_skip())
+    df = _mk(spark, rows)
+    assert _run(spark, df, base) == _run(spark, df, g)
+
+
+def test_until_greedy_refusals(spark):
+    """until()/greedy() attachment rules refuse loudly."""
+    import pytest
+
+    with pytest.raises(ValueError, match="one_or_more"):
+        Pattern.begin("v", "view").followed_by("p", "purchase") \
+            .until("event_type = 'error'")
+    with pytest.raises(NotImplementedError, match="one until"):
+        (Pattern.begin("v", "view")
+         .followed_by("p", "purchase").one_or_more()
+         .until("a = 1").until("b = 2"))
+    with pytest.raises(ValueError, match="quantified"):
+        Pattern.begin("v", "view").followed_by("p", "purchase").greedy()
+    # until carries counts only: extraction and chunked refuse
+    from flink_tutorial_broadcast_spark.cep import (
+        compile_pattern_chunked, compile_pattern_matches,
+    )
+    df = _mk(spark, [(0, 0, 0), (0, 1, 2)])
+    upat = (Pattern.begin("v", "view")
+            .followed_by("p", "purchase").one_or_more()
+            .until("event_type = 'error'")
+            .within("12 hours").no_skip())
+    with pytest.raises(NotImplementedError, match="counts only"):
+        compile_pattern_matches(upat, df, ["user_id"], "ts",
+                                "event_id", "event_type")
+    with pytest.raises(NotImplementedError, match="chunked"):
+        compile_pattern_chunked(upat, df, ["user_id"], "ts",
+                                "event_id", "event_type")
+
+
+# -- where_rel on the forking family (round 10) ------------------------
+
+def _ref_fork_rel(seq, stages, within_min, rels):
+    """Independent reference for the fork machine with per-anchor
+    payloads: rels[i] (0-based stage) is a python predicate
+    (event_value, anchor_value) -> bool or None; qualifying anchors
+    promote/complete and are consumed, the rest stay awaiting."""
+    K = len(stages)
+    sets = [[] for _ in range(K - 1)]  # entries (minute, anchor_value)
+    cnt = 0
+    for m, ty, v in seq:
+        if within_min is not None:
+            sets = [[a for a in s if m - a[0] <= within_min]
+                    for s in sets]
+        match = [ty == stages[i] for i in range(K)]
+
+        def ok(i, a):  # 1-based stage i
+            r = rels[i - 1]
+            return True if r is None else r(v, a[1])
+
+        old = [list(s) for s in sets]
+        if match[K - 1]:
+            cnt += sum(1 for a in old[K - 2] if ok(K, a))
+        for i in range(1, K):
+            j = i - 1
+            kept = ([a for a in old[j] if not ok(i + 1, a)]
+                    if match[i] else old[j])
+            incoming = []
+            if match[i - 1]:
+                if i == 1:
+                    incoming = [(m, v)]
+                else:
+                    src = old[j - 1]
+                    incoming = ([a for a in src if ok(i, a)]
+                                if rels[i - 1] is not None else src)
+            sets[j] = kept + incoming
+    return cnt
+
+
+@settings(max_examples=10, deadline=None)
+@given(rows=seq_val_strategy)
+def test_cep_fork_rel_matches_brute_force(spark, rows):
+    """where_rel on the fork family: K=2 (close consumes qualifying
+    anchors only) and K=3 (rel on the MIDDLE stage — partial
+    promotion, non-qualifying anchors keep awaiting) must equal the
+    independently-coded per-anchor machine."""
+    pat2 = (Pattern.begin("v", "view")
+            .followed_by("p", "purchase")
+            .where_rel("value", ">", "value")
+            .within("12 hours").no_skip())
+    got2 = _run(spark, _mk_val(spark, rows), pat2)
+    want2 = {u: _ref_fork_rel(seq, ["view", "purchase"], 720,
+                              [None, lambda e, a: e > a])
+             for u, seq in _per_user_ordered_val(rows).items()}
+    assert got2 == {u: n for u, n in want2.items() if n > 0}
+
+    pat3 = (Pattern.begin("v", "view")
+            .followed_by("c", "click")
+            .where_rel("value", ">=", "value", scale=0.5)
+            .followed_by("p", "purchase")
+            .within("12 hours").no_skip())
+    got3 = _run(spark, _mk_val(spark, rows), pat3)
+    want3 = {u: _ref_fork_rel(
+        seq, ["view", "click", "purchase"], 720,
+        [None, lambda e, a: e >= a * 0.5, None])
+        for u, seq in _per_user_ordered_val(rows).items()}
+    assert got3 == {u: n for u, n in want3.items() if n > 0}
+
+
+# -- not_next strict absence (round 10) --------------------------------
+
+def _ref_not_next(evs, stages, within_min, neg_ty):
+    """Independent reference for notNext: run the skip-past-last
+    prefix automaton (greedy chain per _ref_skip_strategy's model for
+    the DEFAULT machine — single run, expiry resets); each completed
+    prefix survives iff the next event in sequence is absent or not
+    neg_ty. For K=2 prefixes every anchor-type event is its own
+    prefix match."""
+    K = len(stages)
+    out = []
+    if K == 1:
+        ends = [i for i, (_, _, ty) in enumerate(evs)
+                if ty == stages[0]]
+        starts = ends
+    else:
+        # single-run skip-past-last machine over the prefix
+        ends, starts = [], []
+        stage, a_i, a_m = 0, 0, 0
+        for i, (m, _, ty) in enumerate(evs):
+            if stage > 0 and within_min is not None \
+                    and m - a_m > within_min:
+                stage = 0
+            if ty == stages[stage]:
+                if stage == 0:
+                    a_i, a_m = i, m
+                stage += 1
+                if stage == K:
+                    starts.append(a_i)
+                    ends.append(i)
+                    stage = 0
+    for s, e in zip(starts, ends):
+        if e + 1 >= len(evs) or evs[e + 1][2] != neg_ty:
+            out.append((evs[s][1], ))
+    return sorted(out)
+
+
+@settings(max_examples=10, deadline=None)
+@given(rows=seq_strategy)
+def test_cep_not_next_matches_brute_force(spark, rows):
+    """notNext survivors == the prefix machine's matches minus those
+    whose immediately-next event matches the negative type — K=2
+    (anchors directly) and K=3 (through the prefix match extraction)."""
+    from flink_tutorial_broadcast_spark.cep import compile_pattern
+
+    per = _per_user_with_ids(rows)
+
+    pat2 = Pattern.begin("v", "view").not_next("p", "purchase")
+    got2 = {}
+    for r in compile_pattern(pat2, _mk(spark, rows), ["user_id"],
+                             "ts", "event_id", "event_type").collect():
+        got2.setdefault(r["user_id"], []).append((r["anchor_id"],))
+    want2 = {u: _ref_not_next(evs, ["view"], None, "purchase")
+             for u, evs in per.items()}
+    assert {u: sorted(v) for u, v in got2.items()} == \
+        {u: m for u, m in want2.items() if m}
+
+    pat3 = (Pattern.begin("v", "view").followed_by("c", "click")
+            .not_next("p", "purchase").within("12 hours"))
+    got3 = {}
+    for r in compile_pattern(pat3, _mk(spark, rows), ["user_id"],
+                             "ts", "event_id", "event_type").collect():
+        got3.setdefault(r["user_id"], []).append((r["anchor_id"],))
+    want3 = {u: _ref_not_next(evs, ["view", "click"], 720, "purchase")
+             for u, evs in per.items()}
+    assert {u: sorted(v) for u, v in got3.items()} == \
+        {u: m for u, m in want3.items() if m}
+
+
+def test_not_next_refusals(spark):
+    """not_next attachment/scope rules refuse loudly."""
+    import pytest
+
+    with pytest.raises(NotImplementedError, match="terminal"):
+        Pattern.begin("v", "view").not_next("p", "purchase") \
+            .followed_by("x", "click")
+    with pytest.raises(NotImplementedError, match="skip-past-last"):
+        (Pattern.begin("v", "view").not_next("p", "purchase")
+         .no_skip()._family())
+    with pytest.raises(NotImplementedError, match="quantified"):
+        (Pattern.begin("v", "view").not_next("p", "purchase")
+         .times(2)._family())
+
+
+# -- zeroOrMore (round 10) ---------------------------------------------
+
+@settings(max_examples=10, deadline=None)
+@given(rows=seq_strategy)
+def test_cep_zero_or_more_matches_brute_force(spark, rows):
+    """zeroOrMore == one empty-loop match per completed prefix PLUS
+    the bounded fork-loop counts — checked against an independent
+    composition (anchor count + the loop reference), K=2 and K=3."""
+    pat2 = (Pattern.begin("v", "view")
+            .followed_by("p", "purchase").one_or_more().optional()
+            .within("12 hours").no_skip())
+    got2 = _run(spark, _mk(spark, rows), pat2)
+    want2 = {}
+    for u, seq in _per_user_ordered(rows).items():
+        empty = sum(1 for _, ty in seq if ty == "view")
+        loop = _ref_fork_loop_until(seq, ["view", "purchase"], 720,
+                                    "__never__")
+        want2[u] = empty + loop
+    assert got2 == {u: n for u, n in want2.items() if n > 0}
+
+    pat3 = (Pattern.begin("v", "view")
+            .followed_by("c", "click")
+            .followed_by("p", "purchase").one_or_more().optional()
+            .within("12 hours").no_skip())
+    got3 = _run(spark, _mk(spark, rows), pat3)
+    want3 = {}
+    for u, seq in _per_user_ordered(rows).items():
+        empty = _ref_fork(seq, ["view", "click"], 720)
+        loop = _ref_fork_loop_until(
+            seq, ["view", "click", "purchase"], 720, "__never__")
+        want3[u] = empty + loop
+    assert got3 == {u: n for u, n in want3.items() if n > 0}
+
+
+def test_zero_or_more_streaming_refuses(spark):
+    import pytest
+
+    from flink_tutorial_broadcast_spark.cep import compile_pattern_stream
+
+    pat = (Pattern.begin("v", "view")
+           .followed_by("p", "purchase").one_or_more().optional()
+           .within("12 hours").no_skip())
+    sdf = (spark.readStream.format("rate").load()
+           .selectExpr("CAST(value AS LONG) AS user_id",
+                       "timestamp AS ts", "value AS event_id",
+                       "'view' AS event_type"))
+    with pytest.raises(NotImplementedError, match="zeroOrMore"):
+        compile_pattern_stream(pat, sdf, ["user_id"], "ts",
+                               "event_id", "event_type")
