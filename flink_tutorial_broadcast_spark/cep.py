@@ -2769,6 +2769,105 @@ def fork_rel_stepper(stage_bits: list[int], rels: list,
     return step
 
 
+def skip_strategy_stepper(stage_bits: list[int], mode: str,
+                          jn: int | None, within_us: int | None,
+                          key_cols: list[str] | None = None):
+    """applyInPandasWithState twin of _skip_strategy_matches (r10):
+    streaming AfterMatchSkipStrategy counts. The noSkip enumeration's
+    candidates complete in (end event, anchor) order — exactly the
+    batch prune's processing order — and a live stream delivers
+    closing events in that order, so the kill-interval prune runs
+    INLINE: state = a per-key event counter (the rn position space),
+    the fork-matches anchor sets extended with (rn, named-stage rn)
+    payloads, the emitted count, and the live kill intervals. Interval
+    GC: an interval can only ever kill a candidate whose start rn is a
+    live anchor's rn, so intervals with hi below the minimum live
+    anchor rn are dropped each step — with within() the anchor sets
+    expire, so the interval list is bounded by the same horizon
+    density as the anchor state itself."""
+    K = len(stage_bits)
+    key_cols = key_cols or ["key"]
+    nk = len(key_cols)
+
+    def step(key, pdf_iter, state):
+        import pandas as pd
+        if state.exists:
+            got = state.get
+            cnt, rn_next = got[0], got[1]
+            lo, hi = list(got[2]), list(got[3])
+            sets = []
+            for i in range(K - 1):
+                t_a = got[4 + i * 4]
+                id_a = got[5 + i * 4]
+                rn_a = got[6 + i * 4]
+                nrn_a = got[7 + i * 4]
+                sets.append(sorted(zip(t_a, id_a, rn_a, nrn_a)))
+        else:
+            cnt, rn_next = 0, 0
+            lo, hi = [], []
+            sets = [[] for _ in range(K - 1)]
+        rows = []
+        for pdf in pdf_iter:
+            rows.extend(_batch_rows(pdf, nk, None))
+        for t, eid, c in sorted(rows):
+            rn = rn_next
+            rn_next += 1
+            if within_us is not None:
+                sets = [[a for a in s if t - a[0] <= within_us]
+                        for s in sets]
+            match = [bool(c & stage_bits[i]) for i in range(K)]
+            old = [list(s) for s in sets]
+            if match[K - 1]:
+                # candidates complete now, in anchor (rn) order
+                for a in sorted(old[K - 2], key=lambda a: a[2]):
+                    s_rn = a[2]
+                    if any(l <= s_rn <= h for l, h in zip(lo, hi)):
+                        continue
+                    cnt += 1
+                    if mode == "to_next":
+                        lo.append(s_rn)
+                        hi.append(s_rn)
+                    elif mode in ("past_last", "past_last_event"):
+                        lo.append(s_rn)
+                        hi.append(rn)
+                    else:
+                        named = a[3] if jn is not None and jn < K - 1 \
+                            else rn
+                        lo.append(s_rn + 1)
+                        hi.append(named - 1)
+            for i in range(1, K):  # building set s_i
+                j = i - 1
+                kept = [] if match[i] else old[j]
+                incoming = []
+                if match[i - 1]:
+                    if i == 1:
+                        incoming = [(t, eid, rn,
+                                     rn if jn == 0 else 0)]
+                    elif jn == i - 1:
+                        incoming = [(a[0], a[1], a[2], rn)
+                                    for a in old[j - 1]]
+                    else:
+                        incoming = old[j - 1]
+                sets[j] = kept + incoming
+            # interval GC — nothing left alive can start below m
+            live = [a[2] for s in sets for a in s]
+            if lo:
+                m = min(live) if live else rn_next
+                keep = [k2 for k2 in range(len(lo)) if hi[k2] >= m]
+                if len(keep) < len(lo):
+                    lo = [lo[k2] for k2 in keep]
+                    hi = [hi[k2] for k2 in keep]
+        flat = [cnt, rn_next, lo, hi]
+        for s in sets:
+            flat.extend(([a[0] for a in s], [a[1] for a in s],
+                         [a[2] for a in s], [a[3] for a in s]))
+        state.update(tuple(flat))
+        yield pd.DataFrame(
+            {**{kc: [key[i]] for i, kc in enumerate(key_cols)},
+             "n_matches": [cnt]})
+    return step
+
+
 def variant_union_stepper(variant_bits: list[list[int]],
                           within_us: int | None,
                           key_cols: list[str] | None = None):
@@ -3566,6 +3665,34 @@ def compile_pattern_stream(pat: Pattern, sdf: DataFrame,
             outputMode="Update",
             timeoutConf=GroupStateTimeout.NoTimeout)
     fam = pat._family()
+    if fam == "skip_strategy":
+        # r10: streaming AfterMatchSkipStrategy counts — the closing
+        # events arrive in exactly the batch prune's candidate order,
+        # so the kill-interval prune runs inline in the stepper
+        xp = pat._expanded()
+        jn = None
+        if pat.skip in ("to_first", "to_last"):
+            base = [s.name.split("#")[0] for s in xp.stages]
+            idx = [i for i, b in enumerate(base) if b == pat.skip_ref]
+            jn = idx[0] if pat.skip == "to_first" else idx[-1]
+        proj = sdf.select(*keys, time_col, tiebreak_col,
+                          _cond_mask_col(xp, event_col).alias("__m"))
+        skey_schema = ", ".join(
+            f"{k} {_key_sql_type(proj, k)}" for k in keys)
+        K = len(xp.stages)
+        state_schema = ("cnt long, rn long, klo array<long>, "
+                        "khi array<long>" + "".join(
+                            f", s{i}t array<long>, s{i}i array<long>"
+                            f", s{i}r array<long>, s{i}n array<long>"
+                            for i in range(1, K)))
+        fn = skip_strategy_stepper(_stage_bits(xp), pat.skip, jn,
+                                   xp.within_us, key_cols=keys)
+        return proj.groupBy(*keys).applyInPandasWithState(
+            fn,
+            outputStructType=f"{skey_schema}, n_matches long",
+            stateStructType=state_schema,
+            outputMode="Update",
+            timeoutConf=GroupStateTimeout.NoTimeout)
     if fam not in ("relaxed", "relaxed_within", "fork", "fork_loop",
                    "absence", "absence_chain", "strict", "any_dp",
                    "any_dp_within"):
@@ -3573,8 +3700,8 @@ def compile_pattern_stream(pat: Pattern, sdf: DataFrame,
             "streaming pattern() carries the relaxed followed_by "
             "machines (skip-past-last, bounded, no_skip, bounded "
             "one_or_more), followed_by_any (counting DP), strict "
-            "chains (KMP), and timer-driven absence (2-stage and "
-            "anchored-chain)")
+            "chains (KMP), timer-driven absence (2-stage and "
+            "anchored-chain), and the skip_to_* strategies")
     if pat._has_rel() and fam == "fork":
         # r10: streaming where_rel on the forking family — the
         # keyed-state twin of _fork_rel_machine (per-anchor payloads

@@ -1591,6 +1591,114 @@ def test_pattern_streaming_fork_rel_converges(spark, queries):
     assert want
 
 
+def test_pattern_streaming_skip_strategies_converge(spark):
+    """Streaming AfterMatchSkipStrategy (round 10): closing events
+    arrive in exactly the batch prune's candidate order, so the
+    inline kill-interval stepper's counts must converge across the
+    micro-batch boundary to the batch compile's per-key counts — all
+    four strategies, including the quantified-name first/last pair."""
+    from flink_tutorial_broadcast_spark.cep import compile_pattern
+    from flink_tutorial_broadcast_spark.streaming.jobs import (
+        _run_to_memory,
+    )
+
+    def mk_pat(which):
+        if which in ("to_first", "to_last"):
+            p = (Pattern.begin("v", "view")
+                 .followed_by("c", "click").times(2)
+                 .followed_by("p", "purchase").within("48 hours"))
+            return (p.skip_to_first("c") if which == "to_first"
+                    else p.skip_to_last("c"))
+        p = (Pattern.begin("v", "view")
+             .followed_by("c", "click")
+             .followed_by("p", "purchase").within("48 hours"))
+        return (p.skip_to_next() if which == "to_next"
+                else p.skip_past_last_event())
+
+    ev = load(spark, SF_SMOKE, "events")
+    for which in ("to_next", "past_last_event", "to_first", "to_last"):
+        pat = mk_pat(which)
+        want = {r["user_id"]: r["n_matches"] for r in
+                compile_pattern(pat, ev, ["user_id"], "ts",
+                                "event_id", "event_type").collect()}
+        sdf = _two_file_stream(
+            spark, ["user_id", "ts", "event_id", "event_type"])
+        out = (_env(spark).from_dataframe(sdf)
+               .key_by("user_id").pattern(mk_pat(which)).to_df())
+        assert out.isStreaming
+        rows = _run_to_memory(out, "update").collect()
+        final: dict[int, int] = {}
+        for r in rows:
+            final[r["user_id"]] = max(final.get(r["user_id"], 0),
+                                      r["n_matches"])
+        assert {u: n for u, n in final.items() if n > 0} == want, which
+        assert want, which
+
+
+def test_pattern_streaming_skip_strategy_survives_restart(spark):
+    """L119 restart discipline for the r10 skip-strategy stepper: the
+    event-position counter, anchor payloads, AND live kill intervals
+    share one state row — stop + resume over the same checkpoint must
+    preserve all three (a lost counter would shift every future kill
+    interval; a lost interval would resurrect pruned starts)."""
+    import glob as _glob
+
+    from flink_tutorial_broadcast_spark.cep import compile_pattern
+    from flink_tutorial_broadcast_spark.streaming.sources import (
+        checkpoint_dir,
+    )
+
+    pat = (Pattern.begin("v", "view")
+           .followed_by("c", "click")
+           .followed_by("p", "purchase")
+           .within("48 hours").skip_past_last_event())
+    ev = load(spark, SF_SMOKE, "events").select(
+        "user_id", "ts", "event_id", "event_type")
+    split_ts = ev.agg(
+        F.percentile_approx("ts", 0.5).alias("m")).collect()[0]["m"]
+    src_dir = tempfile.mkdtemp(prefix="cep_r10_restart_ss_src_")
+    out_dir = tempfile.mkdtemp(prefix="cep_r10_restart_ss_out_")
+    ckpt = checkpoint_dir()
+    (ev.filter(F.col("ts") <= F.lit(split_ts))
+     .coalesce(1).write.parquet(os.path.join(src_dir, "f=0")))
+
+    def run():
+        sdf = (spark.readStream
+               .schema("user_id long, ts timestamp, event_id long, "
+                       "event_type string")
+               .option("maxFilesPerTrigger", "1")
+               .option("recursiveFileLookup", "true")
+               .parquet(src_dir))
+        out = (_env(spark).from_dataframe(sdf)
+               .key_by("user_id").pattern(pat).to_df())
+
+        def body(batch_df, batch_id):
+            (batch_df.write.mode("overwrite")
+             .parquet(os.path.join(out_dir, f"batch={batch_id}")))
+
+        q = (out.writeStream.foreachBatch(body)
+             .outputMode("update")
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        q.awaitTermination()
+
+    run()
+    (ev.filter(F.col("ts") > F.lit(split_ts))
+     .coalesce(1).write.parquet(os.path.join(src_dir, "f=1")))
+    run()
+
+    final: dict[int, int] = {}
+    for p in _glob.glob(os.path.join(out_dir, "batch=*")):
+        for r in spark.read.parquet(p).collect():
+            final[r.user_id] = max(final.get(r.user_id, 0),
+                                   r.n_matches)
+    want = {r["user_id"]: r["n_matches"] for r in
+            compile_pattern(pat, ev, ["user_id"], "ts", "event_id",
+                            "event_type").collect()}
+    assert {u: n for u, n in final.items() if n > 0} == want
+    assert want
+
+
 def test_pattern_r10_advice_refusals(spark):
     """Round-10 advice pins: three shapes that previously compiled
     SILENTLY with wrong semantics must now refuse loudly.
