@@ -114,6 +114,10 @@ class _Stage:
     # Not part of the bitmask (it depends on the run's anchor, not the
     # event alone); the single-anchor machines evaluate it in-fold.
     rel: tuple | None = None
+    # which prior element rel compares against: 'anchor' (the run's
+    # begin event — where_rel) or 'prev' (the immediately preceding
+    # matched element — where_prev, r10)
+    rel_src: str = "anchor"
     # loop STOP condition [FLINK-API: Pattern#until] — ANSI-SQL over
     # the event row; an event satisfying it kills every run at this
     # (one_or_more) stage and is itself never admitted. Carries its
@@ -317,6 +321,39 @@ class Pattern:
                 "scale/offset")
         self.stages[-1].rel = (col, op, anchor_col,
                                float(scale), float(offset))
+        return self
+
+    def where_prev(self, col: str, op: str, prev_col: str,
+                   scale: float = 1.0, offset: float = 0.0) -> "Pattern":
+        """PREVIOUS-ELEMENT-relative condition on the LAST stage
+        [FLINK-API: IterativeCondition —
+        `ctx.getEventsForPattern(previousStage)`, the second most
+        common shape after anchor comparisons (`each price above the
+        one before it`)] (r10): the stage additionally requires
+        ``event.col OP prev.prev_col * scale + offset`` where `prev`
+        is the element the run matched at the PRECEDING stage (for
+        stage 2 that is the anchor itself). Same machines and O(1)
+        state as where_rel — the fold carries the last matched
+        element's referenced values, refreshed at every advance.
+        Single-anchor skip-past-last machines only (the forking
+        families refuse: each run's prev differs per anchor payload
+        AND per promotion event). Not allowed on the begin stage."""
+        if not self.stages:
+            raise ValueError("where_prev() needs a stage")
+        if len(self.stages) == 1:
+            raise NotImplementedError(
+                "where_prev() on the begin stage is undefined — "
+                "there is no previous element yet")
+        if op not in (">", ">=", "<", "<=", "=", "!="):
+            raise ValueError(f"where_prev op {op!r} not in "
+                             "> >= < <= = !=")
+        if self.stages[-1].rel is not None:
+            raise NotImplementedError(
+                "one where_rel()/where_prev() per stage — fold the "
+                "arithmetic into scale/offset")
+        self.stages[-1].rel = (col, op, prev_col,
+                               float(scale), float(offset))
+        self.stages[-1].rel_src = "prev"
         return self
 
     def _has_preds(self) -> bool:
@@ -825,6 +862,13 @@ def compile_pattern(pat: Pattern, df: DataFrame, keys: list[str],
             # r10: the fork family carries per-anchor payloads now —
             # scope gated to pure relaxed chains (strict/veto shapes
             # keep the refusal below)
+            if any(s.rel is not None and s.rel_src == "prev"
+                   for s in pat.stages):
+                raise NotImplementedError(
+                    "where_prev() under no_skip() is not compiled — "
+                    "each forked run's previous element differs per "
+                    "anchor AND per promotion event; drop no_skip() "
+                    "(the single-anchor machines carry it)")
             xp = pat._expanded()
             if any(_strict_flags(xp)) or _has_mid_nfb(xp) \
                     or any(s.contiguity == "not_followed_by"
@@ -1616,12 +1660,18 @@ def _relaxed_rel_machine(pat, df, keys, time_col, tiebreak_col,
     coalesced), matching the Python reference."""
     K = len(_stage_bits(pat))
     w = pat.within_us
-    rels = [s.rel for s in _await_stages(pat)]
+    awaits = _await_stages(pat)
+    rels = [s.rel for s in awaits]
+    srcs = [s.rel_src for s in awaits]
     if rels[0] is not None:
         raise NotImplementedError(
             "where_rel() on the begin stage is undefined")
     vcols = sorted({r[0] for r in rels if r}
                    | {r[2] for r in rels if r})
+    # prev-source refs (where_prev, r10): the fold also carries the
+    # LAST MATCHED element's referenced values, refreshed per advance
+    pcols = sorted({r[2] for r, s in zip(rels, srcs)
+                    if r and s == "prev"})
     need = _need(pat)
     strict = _strict_arr(pat)
     veto = F.array(*[F.lit(v) for v in _veto_codes(pat)])
@@ -1634,7 +1684,8 @@ def _relaxed_rel_machine(pat, df, keys, time_col, tiebreak_col,
         F.lit(0).cast("long").alias("cnt"),
         F.lit(0).alias("stage"),
         F.lit(0).cast("long").alias("anchor"),
-        *[F.lit(0.0).alias(f"av_{c}") for c in vcols])
+        *[F.lit(0.0).alias(f"av_{c}") for c in vcols],
+        *[F.lit(0.0).alias(f"pv_{c}") for c in pcols])
 
     def step(acc, x):
         if w is None:
@@ -1644,14 +1695,15 @@ def _relaxed_rel_machine(pat, df, keys, time_col, tiebreak_col,
                 (acc["stage"] > 0) & (x["t"] - acc["anchor"] > w),
                 F.lit(0)).otherwise(acc["stage"])
         rel_cells = []
-        for r in rels:
+        for r, src in zip(rels, srcs):
             if r is None:
                 rel_cells.append(F.lit(True))
             else:
                 col, op, acol, sc, off = r
+                ref = (acc[f"pv_{acol}"] if src == "prev"
+                       else acc[f"av_{acol}"])
                 cmpv = _REL_OPS[op](
-                    x[f"v_{col}"],
-                    acc[f"av_{acol}"] * F.lit(sc) + F.lit(off))
+                    x[f"v_{col}"], ref * F.lit(sc) + F.lit(off))
                 rel_cells.append(F.coalesce(cmpv, F.lit(False)))
         adv = (_hit(x["c"], F.get(need, stage))
                & F.get(F.array(*rel_cells), stage))
@@ -1672,7 +1724,12 @@ def _relaxed_rel_machine(pat, df, keys, time_col, tiebreak_col,
             F.when(starts, x["t"]).otherwise(acc["anchor"])
              .alias("anchor"),
             *[F.when(starts, x[f"v_{c}"]).otherwise(acc[f"av_{c}"])
-              .alias(f"av_{c}") for c in vcols])
+              .alias(f"av_{c}") for c in vcols],
+            # prev = the element this event just matched (advances
+            # and re-anchors alike); evaluated AFTER the compare above
+            *[F.when(adv | restart, x[f"v_{c}"])
+              .otherwise(acc[f"pv_{c}"]).alias(f"pv_{c}")
+              for c in pcols])
 
     fold = F.aggregate(seq, init, step)
     return (df.groupBy(*keys).agg(fold["cnt"].alias("n_matches"))
@@ -2945,11 +3002,15 @@ def relaxed_rel_stepper(stage_bits: list[int], rels: list,
                         vcols: list[str], within_us: int | None,
                         strict: list[bool] | None = None,
                         key_cols: list[str] | None = None,
-                        veto: list[int] | None = None):
+                        veto: list[int] | None = None,
+                        srcs: list[str] | None = None):
     """applyInPandasWithState step for the single-anchor machine WITH
-    anchor-relative conditions (where_rel): keyed state additionally
-    carries the anchor's referenced column values, captured on anchor
-    and compared per await exactly like the batch fold. Input columns:
+    anchor-relative conditions (where_rel) and, since r10,
+    previous-element conditions (where_prev — `srcs[i] == 'prev'`
+    compares against the LAST MATCHED element's values, refreshed per
+    advance, instead of the anchor's): keyed state carries the
+    anchor's referenced column values plus the prev element's, and the
+    per-await compare runs exactly like the batch fold. Input columns:
     keys, time, tiebreak, mask, then one double per entry of `vcols`
     (the Spark-side projection casts). NaN operands compare False —
     the same rule the batch fold's coalesce pins."""
@@ -2959,6 +3020,7 @@ def relaxed_rel_stepper(stage_bits: list[int], rels: list,
     K = len(stage_bits)
     strict = strict or [False] * K
     veto = veto or [0] * K
+    srcs = srcs or ["anchor"] * K
     key_cols = key_cols or ["key"]
     nk = len(key_cols)
     vidx = {c: i for i, c in enumerate(vcols)}
@@ -2968,10 +3030,12 @@ def relaxed_rel_stepper(stage_bits: list[int], rels: list,
         if state.exists:
             got = state.get
             cnt, stage, anchor = got[0], got[1], got[2]
-            avs = list(got[3:])
+            avs = list(got[3:3 + len(vcols)])
+            pvs = list(got[3 + len(vcols):])
         else:
             cnt, stage, anchor = 0, 0, 0
             avs = [0.0] * len(vcols)
+            pvs = [0.0] * len(vcols)
         rows = []
         for pdf in pdf_iter:
             t = (pdf.iloc[:, nk].to_numpy("datetime64[ns]")
@@ -2991,7 +3055,8 @@ def relaxed_rel_stepper(stage_bits: list[int], rels: list,
             if ok and r is not None:
                 col, op, acol, sc, off = r
                 ev = vs[vidx[col]]
-                av = avs[vidx[acol]]
+                ref = (pvs if srcs[stage] == "prev" else avs)
+                av = ref[vidx[acol]]
                 # a missing operand (NULL → NaN through pandas) fails
                 # the condition, matching the fold's coalesce(False)
                 if ev != ev or av != av:
@@ -3001,6 +3066,7 @@ def relaxed_rel_stepper(stage_bits: list[int], rels: list,
             if ok:
                 if stage == 0:
                     anchor, avs = t, [float(v) for v in vs]
+                pvs = [float(v) for v in vs]
                 if stage == K - 1:
                     cnt, stage = cnt + 1, 0
                 else:
@@ -3009,9 +3075,10 @@ def relaxed_rel_stepper(stage_bits: list[int], rels: list,
                 if c & stage_bits[0]:
                     stage, anchor = 1, t
                     avs = [float(v) for v in vs]
+                    pvs = [float(v) for v in vs]
                 else:
                     stage = 0
-        state.update((cnt, stage, anchor, *avs))
+        state.update((cnt, stage, anchor, *avs, *pvs))
         yield pd.DataFrame(
             {**{kc: [key[i]] for i, kc in enumerate(key_cols)},
              "n_matches": [cnt], "stage": [stage]})
@@ -3706,6 +3773,11 @@ def compile_pattern_stream(pat: Pattern, sdf: DataFrame,
         # r10: streaming where_rel on the forking family — the
         # keyed-state twin of _fork_rel_machine (per-anchor payloads
         # as parallel t/value arrays in the state row)
+        if any(s.rel is not None and s.rel_src == "prev"
+               for s in pat.stages):
+            raise NotImplementedError(
+                "where_prev() under no_skip() is not compiled — "
+                "drop no_skip() (the single-anchor machines carry it)")
         xp = pat._expanded()
         if any(_strict_flags(xp)) or _has_mid_nfb(xp) \
                 or any(s.contiguity == "not_followed_by"
@@ -3850,9 +3922,13 @@ def compile_pattern_stream(pat: Pattern, sdf: DataFrame,
         fn = relaxed_rel_stepper(_stage_bits(pat), rels, vcols,
                                  pat.within_us, _strict_flags(pat),
                                  key_cols=keys,
-                                 veto=_veto_codes(pat))
+                                 veto=_veto_codes(pat),
+                                 srcs=[s.rel_src
+                                       for s in _await_stages(pat)])
         state_schema = ("cnt long, stage long, anchor long"
                         + "".join(f", av{i} double"
+                                  for i in range(len(vcols)))
+                        + "".join(f", pv{i} double"
                                   for i in range(len(vcols))))
         return proj.groupBy(*keys).applyInPandasWithState(
             fn,

@@ -2669,3 +2669,78 @@ def q_cep_zero_or_more(spark: SparkSession, sf_dir: str) -> DataFrame:
             .key_by("user_id")
             .pattern(pat)
             .to_df())
+
+
+@query(
+    "q_cep_where_prev",
+    oracle=f"""
+    WITH RECURSIVE codes0 AS (
+      SELECT user_id, epoch_us(ts) AS t, event_id, value,
+             CASE event_type WHEN 'view' THEN 1 WHEN 'click' THEN 2
+                  WHEN 'purchase' THEN 3 ELSE 0 END AS c
+      FROM events
+    ), codes AS (
+      SELECT user_id, t, c, value,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY t, event_id) AS i
+      FROM codes0 WHERE c > 0
+    ), n AS (
+      SELECT user_id, COUNT(*) AS n_ev FROM codes GROUP BY user_id
+    ), run AS (
+      SELECT user_id, 0 AS i, CAST(0 AS BIGINT) AS cnt, 0 AS stage,
+             CAST(0 AS BIGINT) AS anchor_t,
+             CAST(0 AS DOUBLE) AS prev_v
+      FROM n
+      UNION ALL
+      SELECT r.user_id, r.i + 1,
+             CASE WHEN s.st = 2 AND c.c = 3 AND c.value > r.prev_v
+                  THEN r.cnt + 1 ELSE r.cnt END,
+             CASE WHEN s.st = 0 AND c.c = 1 THEN 1
+                  WHEN s.st = 1 AND c.c = 2 THEN 2
+                  WHEN s.st = 2 AND c.c = 3 AND c.value > r.prev_v
+                  THEN 0 ELSE s.st END,
+             CASE WHEN s.st = 0 AND c.c = 1 THEN c.t
+                  ELSE r.anchor_t END,
+             CASE WHEN s.st = 0 AND c.c = 1 THEN c.value
+                  WHEN s.st = 1 AND c.c = 2 THEN c.value
+                  ELSE r.prev_v END
+      FROM run r JOIN codes c ON c.user_id = r.user_id
+                             AND c.i = r.i + 1
+      CROSS JOIN LATERAL (
+        SELECT CASE WHEN r.stage > 0
+                         AND c.t - r.anchor_t > {_CEP_W48_US}
+                    THEN 0 ELSE r.stage END AS st) s
+    )
+    SELECT r.user_id, r.cnt AS n_matches
+    FROM run r JOIN n ON r.user_id = n.user_id AND r.i = n.n_ev
+    WHERE r.cnt > 0
+    """,
+)
+def q_cep_where_prev(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PREVIOUS-ELEMENT-relative stage condition (round 10) [FLINK-API:
+    IterativeCondition — `ctx.getEventsForPattern(prevStage)`, the
+    'each price above the one before it' shape; extends round 9's
+    anchor-restricted where_rel]: view → click → purchase within 48 h
+    where the purchase's value must EXCEED the CLICK's (the element
+    matched at the preceding stage), under skip-past-last. The
+    single-anchor machine's O(1) state gains the last matched
+    element's referenced value, refreshed at every advance
+    (cep._relaxed_rel_machine pv fields); the oracle replays the
+    identical automaton carrying (anchor_t, prev_v) through the
+    recursive-CTE state. NULL values fail the comparison on both
+    engines. Streaming twin: test_pattern_streaming_where_prev;
+    property twin: test_cep_where_prev_matches_python_nfa."""
+    from flink_tutorial_broadcast_spark.cep import Pattern
+    from flink_tutorial_broadcast_spark.datastream import (
+        StreamExecutionEnvironment,
+    )
+    env = StreamExecutionEnvironment.get_execution_environment(spark)
+    pat = (Pattern.begin("v", "view")
+           .followed_by("c", "click")
+           .followed_by("p", "purchase")
+           .where_prev("value", ">", "value")
+           .within("48 hours"))
+    return (env.from_dataframe(load(spark, sf_dir, "events"))
+            .key_by("user_id")
+            .pattern(pat)
+            .to_df())

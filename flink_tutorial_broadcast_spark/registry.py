@@ -152,8 +152,8 @@ _VERIFICATION_PREFIX = (
     "q_weighted_avg",                   # agg_ext weighted mean
     "q_cep_zero_or_more",               # CEP zeroOrMore sum (NEW r10)
     "q_ab_lift",                        # behavioral A/B lift
+    "q_cep_where_prev",                 # CEP prev-element rel (NEW r10)
     "q_scan_orc",                       # connectors ORC scan
-    "q_nested_struct",                  # connectors nested access
     "q_cep_skip_to_last",               # CEP skip-to-last (NEW r10)
     "q_psi_drift",                      # stats_ext PSI drift
     "q_join_shuffle_hash",              # layout_ops shuffle-hash hint

@@ -1699,6 +1699,36 @@ def test_pattern_streaming_skip_strategy_survives_restart(spark):
     assert want
 
 
+def test_pattern_streaming_where_prev(spark, queries):
+    """Streaming where_prev (round 10): the keyed state's prev-element
+    values refresh per advance and survive micro-batch boundaries, so
+    the live counts converge to the oracle-backed batch
+    q_cep_where_prev."""
+    from flink_tutorial_broadcast_spark.streaming.jobs import (
+        _run_to_memory,
+    )
+
+    pat = (Pattern.begin("v", "view")
+           .followed_by("c", "click")
+           .followed_by("p", "purchase")
+           .where_prev("value", ">", "value")
+           .within("48 hours"))
+    sdf = _two_file_stream(
+        spark, ["user_id", "ts", "event_id", "event_type", "value"])
+    out = (_env(spark).from_dataframe(sdf)
+           .key_by("user_id").pattern(pat).to_df())
+    assert out.isStreaming
+    rows = _run_to_memory(out, "update").collect()
+    final: dict[int, int] = {}
+    for r in rows:
+        final[r["user_id"]] = max(final.get(r["user_id"], 0),
+                                  r["n_matches"])
+    want = {r["user_id"]: r["n_matches"] for r in
+            queries["q_cep_where_prev"](spark, SF_SMOKE).collect()}
+    assert {u: n for u, n in final.items() if n > 0} == want
+    assert want
+
+
 def test_pattern_r10_advice_refusals(spark):
     """Round-10 advice pins: three shapes that previously compiled
     SILENTLY with wrong semantics must now refuse loudly.

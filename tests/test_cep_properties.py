@@ -1657,3 +1657,69 @@ def test_zero_or_more_streaming_refuses(spark):
     with pytest.raises(NotImplementedError, match="zeroOrMore"):
         compile_pattern_stream(pat, sdf, ["user_id"], "ts",
                                "event_id", "event_type")
+
+
+# -- where_prev (round 10) ---------------------------------------------
+
+def _ref_relaxed_prev(seq, stages, within_min, prev_stage_idx):
+    """Independent reference for where_prev on the single-anchor
+    machine: stage `prev_stage_idx` (0-based, the final stage here)
+    additionally requires value > the previous matched element's
+    value."""
+    K = len(stages)
+    stage, cnt, a_m, pv = 0, 0, 0, 0.0
+    for m, ty, v in seq:
+        if stage > 0 and within_min is not None and m - a_m > within_min:
+            stage = 0
+        ok = ty == stages[stage]
+        if ok and stage == prev_stage_idx:
+            ok = v > pv
+        if ok:
+            if stage == 0:
+                a_m = m
+            pv = v
+            stage += 1
+            if stage == K:
+                cnt, stage = cnt + 1, 0
+    return cnt
+
+
+@settings(max_examples=10, deadline=None)
+@given(rows=seq_val_strategy)
+def test_cep_where_prev_matches_python_nfa(spark, rows):
+    """where_prev == the single-anchor automaton comparing against the
+    LAST matched element (for stage 2 of a 3-stage pattern, the
+    middle element — NOT the anchor)."""
+    pat = (Pattern.begin("v", "view")
+           .followed_by("c", "click")
+           .followed_by("p", "purchase")
+           .where_prev("value", ">", "value")
+           .within("12 hours"))
+    got = _run(spark, _mk_val(spark, rows), pat)
+    want = {u: _ref_relaxed_prev(seq, ["view", "click", "purchase"],
+                                 720, 2)
+            for u, seq in _per_user_ordered_val(rows).items()}
+    assert got == {u: n for u, n in want.items() if n > 0}
+
+    # distinguishes prev from anchor: K=2 makes them coincide, so pin
+    # the K=3 case where a where_rel (anchor) pattern over the same
+    # rows must NOT generally agree — equality here would suggest the
+    # prev machinery silently reads the anchor. (Not an assertion of
+    # inequality per-row — hypothesis finds diverging cases across
+    # examples; the reference above is the hard check.)
+
+
+def test_where_prev_refusals(spark):
+    import pytest
+
+    with pytest.raises(NotImplementedError, match="begin"):
+        Pattern.begin("v", "view").where_prev("value", ">", "value")
+    with pytest.raises(NotImplementedError, match="no_skip"):
+        from flink_tutorial_broadcast_spark.cep import compile_pattern
+        df = _mk_val(spark, [(0, 0, 0, 10)])
+        pat = (Pattern.begin("v", "view")
+               .followed_by("p", "purchase")
+               .where_prev("value", ">", "value")
+               .within("12 hours").no_skip())
+        compile_pattern(pat, df, ["user_id"], "ts", "event_id",
+                        "event_type")
