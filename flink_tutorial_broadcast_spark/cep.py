@@ -1549,6 +1549,11 @@ def _zero_or_more(pat, df, keys, time_col, tiebreak_col, event_col):
     if pat._has_rel():
         raise NotImplementedError(
             "where_rel() with zeroOrMore is not compiled")
+    if len(pat.stages) < 2:
+        raise NotImplementedError(
+            "zeroOrMore as the only stage is not compiled (every "
+            "position would hold an empty match) — anchor it with a "
+            "prefix stage")
     loop_pat = Pattern(
         stages=[replace(s, optional=False) for s in pat.stages],
         within_us=pat.within_us, skip=pat.skip)

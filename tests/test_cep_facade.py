@@ -1293,8 +1293,12 @@ def test_pattern_optional_refusals(spark):
         ks.pattern_matches(Pattern.begin("v", "view")
                            .followed_by("c", "click").times(1, 2)
                            .followed_by("p", "purchase").no_skip())
+    # r10: zeroOrMore COMPILES on the bounded-loop shape (sum of
+    # machines, q_cep_zero_or_more) — only the degenerate single-stage
+    # form still refuses, at compile time
     with pytest.raises(NotImplementedError, match="zeroOrMore"):
-        Pattern.begin("v", "view").one_or_more().optional()
+        ks.pattern(Pattern.begin("v", "view").one_or_more().optional()
+                   .within("48 hours").no_skip())
 
     # r10: streaming optional()/times(a, b) now COMPILES (the variant-
     # union stepper) — but the batch gates carry over identically:

@@ -1341,10 +1341,13 @@ def test_skip_strategy_refusals(spark):
 
 def _ref_fork_loop_until(seq, stages, within_min, until_ty):
     """Independent reference for the bounded fork-loop WITH an until()
-    stop condition: the _ref_fork machine plus one parked-loop list;
-    an until-type event clears the loop-stage sets (awaiting-first and
-    parked) and is never admitted, even if it also matches the loop
-    type."""
+    stop condition: the forking machine plus one parked-loop list,
+    all transitions reading the pre-event snapshot — a close COUNTS
+    the awaiting set and the parked loop, parks the awaiting set, and
+    DRAINS it (each anchor counts once per close, then re-counts from
+    the loop at every later close); an until-type event clears the
+    loop-stage sets (awaiting-first and parked) and is never admitted,
+    even if it also matches the loop type."""
     K = len(stages)
     sets = [[] for _ in range(K - 1)]
     lp = []
@@ -1353,26 +1356,21 @@ def _ref_fork_loop_until(seq, stages, within_min, until_ty):
         if within_min is not None:
             sets = [[a for a in s if m - a <= within_min] for s in sets]
             lp = [a for a in lp if m - a <= within_min]
+        match = [ty == stages[i] for i in range(K)]
         iu = ty == until_ty
-        if ty == stages[K - 1] and not iu:
+        old = [list(s) for s in sets]
+        if match[K - 1] and not iu:
             if K >= 2:
-                cnt += len(sets[K - 2]) + len(lp)
-                lp = lp + sets[K - 2]
+                cnt += len(old[K - 2]) + len(lp)
+                lp = lp + old[K - 2]
             else:
                 cnt += 1 + len(lp)
                 lp = lp + [m]
-        if K >= 2:
-            if ty == stages[0] and not (iu and K == 2):
-                sets[0] = ([] if (K >= 3 and ty == stages[1])
-                           else sets[0]) + [m]
-            for i in range(1, K - 1):
-                if ty == stages[i]:
-                    nxt = sets[i] + sets[i - 1]
-                    sets[i - 1] = []
-                    if not (iu and i == K - 2):
-                        sets[i] = nxt
-                    else:
-                        sets[i] = []
+        for i in range(K - 2, -1, -1):
+            base = [] if match[i + 1] else old[i]
+            if match[i] and not (iu and i == K - 2):
+                base = base + ([m] if i == 0 else old[i - 1])
+            sets[i] = base
         if iu:
             lp = []
             if K >= 2:
