@@ -92,11 +92,13 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # the driver has NEVER sampled across r1-r9 (116 oracle-backed
 # remained) — led by the five late-r9 CEP keys the r9 rotation
 # predates (q_cep_where_matches / absence_chain / not_between /
-# strict_matches / loop_matches), the FOUR new round-10
-# AfterMatchSkipStrategy keys (skip_to_next, skip_past_last,
-# skip_to_first, skip_to_last — mid-round swap for q_cep_followed_by,
-# q_cep_times, q_try_arith, q_benford, whose modules keep another
-# prefix rep; those four stay registered and sweep-checked, next
+# strict_matches / loop_matches), the NINE new round-10 CEP keys
+# (skip_to_next, skip_past_last, skip_to_first, skip_to_last, until,
+# where_rel_fork, not_next, zero_or_more, where_prev — mid-round
+# swaps for q_cep_followed_by, q_cep_times, q_try_arith, q_benford,
+# q_inverted_index, q_domain_mixture, q_exists_correlated,
+# q_time_to_convert, q_nested_struct, whose modules keep another
+# prefix rep; those nine stay registered and sweep-checked, next
 # rotation's first picks), the TPC-H tail (q2/q4/q7/q17/q20 from
 # tpch_full; q10 — one of the three r9 host-drift movers — and q18
 # from composite), and the eight keys the r9 comment named as
