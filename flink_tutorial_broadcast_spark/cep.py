@@ -41,8 +41,23 @@ compiles rather than raising. `times(n)` on a followed_by (or begin)
 stage compiles by stage EXPANSION — Flink's default RELAXED internal
 contiguity for quantifiers [FLINK-API: Quantifier, consecutive()] makes
 times(n) exactly equivalent to n copies of the stage — while
-`one_or_more()` under relaxed contiguity stays refused (unbounded
-greedy loops need the full NFA).
+UNBOUNDED `one_or_more()` under relaxed contiguity stays refused; the
+horizon-bounded form (`.one_or_more().within(d).no_skip()`, round 9)
+compiles on the fork-loop machine, and round 10 adds `until(cond)`
+stop conditions, `greedy()` (a Flink-documented final-stage no-op),
+and zeroOrMore (`one_or_more().optional()` as the exact prefix +
+loop sum).
+
+Round 10 completes the verb surface: `AfterMatchSkipStrategy`
+variants (`skip_to_next` / `skip_past_last_event` /
+`skip_to_first(name)` / `skip_to_last(name)` — the noSkip enumeration
+pruned by each strategy's kill-interval rule, batch + streaming
+counts), `not_next()` strict absence (one LEAD window),
+`where_rel()` on the forking family (per-anchor payloads), and
+`where_prev()` previous-element conditions. The engine's default
+`past_last` remains the single-run machine; `skip_past_last_event()`
+is the Flink-exact NFA form (divergence pinned, docs/divergences.md
+row 15).
 
 MIXED contiguity compiles too (round 8): each stage also carries a
 strict-await flag, and the machines treat a non-matching event at a
