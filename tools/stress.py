@@ -645,6 +645,44 @@ def s_cep_stepper_throughput(c: Ctx) -> None:
               f"{total / sec / 1e6:.2f} M events/s "
               f"({total / len(per_key) / sec / 1e3:.0f}k ev/s/key)",
               file=sys.stderr)
+    # r10 steppers: masked input (production mask shape); fork_rel
+    # additionally carries one value column after the type position
+    from flink_tutorial_broadcast_spark.cep import (
+        fork_rel_stepper, skip_strategy_stepper, variant_union_stepper,
+    )
+    W = 48 * 3600 * 1_000_000
+    for label, fn in (
+            ("variant_union_2v", variant_union_stepper(
+                [[1, 2, 4], [1, 4]], W, key_cols=["user_id"])),
+            ("skip_past_last_event", skip_strategy_stepper(
+                [1, 2, 4], "past_last_event", None, W,
+                key_cols=["user_id"])),
+            ("skip_to_last_K4", skip_strategy_stepper(
+                [1, 2, 2, 4], "to_last", 2, W,
+                key_cols=["user_id"]))):
+        t0 = time.time()
+        for u, pdf in masked.items():
+            list(fn((u,), iter([pdf]), _St()))
+        sec = time.time() - t0
+        print(f"#   stepper {label}: {total} events in {sec:.2f}s = "
+              f"{total / sec / 1e6:.2f} M events/s "
+              f"({total / len(per_key) / sec / 1e3:.0f}k ev/s/key)",
+              file=sys.stderr)
+    rel_masked = {u: pdf.assign(
+        value=(pdf["event_id"] % 199).astype("float64"))
+        for u, pdf in masked.items()}
+    fn = fork_rel_stepper([1, 4], [None, ("value", ">", "value",
+                                          1.0, 0.0)],
+                          ["value"], ["value"], W,
+                          key_cols=["user_id"])
+    t0 = time.time()
+    for u, pdf in rel_masked.items():
+        list(fn((u,), iter([pdf]), _St()))
+    sec = time.time() - t0
+    print(f"#   stepper fork_rel_48h: {total} events in {sec:.2f}s = "
+          f"{total / sec / 1e6:.2f} M events/s "
+          f"({total / len(per_key) / sec / 1e3:.0f}k ev/s/key)",
+          file=sys.stderr)
     assert _kmp_failure([1, 1, 3]) == [0, 0, 1, 0]
 
 
