@@ -1639,6 +1639,79 @@ def test_pattern_streaming_skip_strategies_converge(spark):
         assert want, which
 
 
+def test_round10_rel_until_steppers_survive_restart(spark, queries):
+    """L119 restart discipline for the remaining r10 steppers: the
+    fork-rel stepper's per-anchor payload arrays and the fork-loop
+    stepper's until-kill state must survive stop + resume over one
+    checkpoint — half the events, stop, half 2 arrives while down,
+    resume; converged counts equal the oracle-backed batch keys."""
+    import glob as _glob
+
+    from flink_tutorial_broadcast_spark.streaming.sources import (
+        checkpoint_dir,
+    )
+
+    cases = [
+        ("fork_rel",
+         Pattern.begin("v", "view")
+         .followed_by("p", "purchase")
+         .where_rel("value", ">", "value")
+         .within("48 hours").no_skip(),
+         "q_cep_where_rel_fork"),
+        ("until",
+         Pattern.begin("v", "view")
+         .followed_by("p", "purchase").one_or_more()
+         .until("event_type = 'error'")
+         .within("48 hours").no_skip(),
+         "q_cep_until"),
+    ]
+    ev = load(spark, SF_SMOKE, "events").select(
+        "user_id", "ts", "event_id", "event_type", "value")
+    split_ts = ev.agg(
+        F.percentile_approx("ts", 0.5).alias("m")).collect()[0]["m"]
+    for name, pat, batch_key in cases:
+        src_dir = tempfile.mkdtemp(prefix=f"cep_r10_restart_{name}_s_")
+        out_dir = tempfile.mkdtemp(prefix=f"cep_r10_restart_{name}_o_")
+        ckpt = checkpoint_dir()
+        (ev.filter(F.col("ts") <= F.lit(split_ts))
+         .coalesce(1).write.parquet(os.path.join(src_dir, "f=0")))
+
+        def run():
+            sdf = (spark.readStream
+                   .schema("user_id long, ts timestamp, event_id long, "
+                           "event_type string, value double")
+                   .option("maxFilesPerTrigger", "1")
+                   .option("recursiveFileLookup", "true")
+                   .parquet(src_dir))
+            out = (_env(spark).from_dataframe(sdf)
+                   .key_by("user_id").pattern(pat).to_df())
+
+            def body(batch_df, batch_id):
+                (batch_df.write.mode("overwrite")
+                 .parquet(os.path.join(out_dir, f"batch={batch_id}")))
+
+            q = (out.writeStream.foreachBatch(body)
+                 .outputMode("update")
+                 .option("checkpointLocation", ckpt)
+                 .trigger(availableNow=True).start())
+            q.awaitTermination()
+
+        run()
+        (ev.filter(F.col("ts") > F.lit(split_ts))
+         .coalesce(1).write.parquet(os.path.join(src_dir, "f=1")))
+        run()
+
+        final: dict[int, int] = {}
+        for p in _glob.glob(os.path.join(out_dir, "batch=*")):
+            for r in spark.read.parquet(p).collect():
+                final[r.user_id] = max(final.get(r.user_id, 0),
+                                       r.n_matches)
+        want = {r.user_id: r.n_matches for r in
+                queries[batch_key](spark, SF_SMOKE).collect()}
+        assert {u: n for u, n in final.items() if n > 0} == want, name
+        assert want, name
+
+
 def test_pattern_streaming_skip_strategy_survives_restart(spark):
     """L119 restart discipline for the r10 skip-strategy stepper: the
     event-position counter, anchor payloads, AND live kill intervals
