@@ -688,8 +688,13 @@ class Pattern:
             else:
                 inner = "followed_by"
             for j in range(1, n):
+                # r11 (advice fix): copies must keep rel_src too — a
+                # where_prev() on a quantified stage ("each price above
+                # the one before") previously evaluated copies 2..n
+                # against the ANCHOR's value (the rel_src default)
                 out.append(_Stage(f"{s.name}#{j}", s.event_type, inner,
-                                  conds=s.conds, rel=s.rel))
+                                  conds=s.conds, rel=s.rel,
+                                  rel_src=s.rel_src))
         return Pattern(stages=out, within_us=self.within_us,
                        skip=self.skip, skip_ref=self.skip_ref)
 
@@ -709,6 +714,17 @@ def _variants(pat: Pattern) -> list[Pattern]:
     no_skip(); the caller gates that."""
     choice_lists: list[list[int]] = []
     for s in pat.stages:
+        if s.one_or_more:
+            # r11 (advice fix): the variant rebuild below carries only
+            # (optional, times) choices — a one_or_more loop stage
+            # would silently become a single-event stage, dropping
+            # every loop of length >= 2 (zeroOrMore routes earlier via
+            # the last-stage gate; this catches one_or_more WITHOUT
+            # optional mixed with an optional()/times(a, b) stage)
+            raise NotImplementedError(
+                "optional()/times(a, b) combined with a one_or_more() "
+                "stage is not compiled — the variant union carries "
+                "fixed stage counts only; drop one of the quantifiers")
         if s.contiguity == "followed_by_any":
             raise NotImplementedError(
                 "optional()/times(a, b) with followed_by_any stages "
@@ -1532,7 +1548,15 @@ def _absence_next(pat, df, keys, time_col, tiebreak_col, event_col):
         F.expr(pat.stages[0].cond_sql(event_col)).alias("__a"),
         F.coalesce(F.lead(F.expr(b_cond)).over(win), F.lit(False))
         .alias("__next_b"))
-    if len(pat.stages) == 2:
+    s0 = pat.stages[0]
+    if len(pat.stages) == 2 and not (
+            (s0.times or 0) > 1 or s0.times_hi is not None
+            or s0.one_or_more or s0.optional):
+        # r11 (advice fix): the direct-anchor shortcut is valid only
+        # for an UNQUANTIFIED begin — begin(v).times(2).not_next(b)
+        # needs the 2-view prefix runs, so it routes through
+        # compile_pattern_matches below (which expands quantifiers
+        # first; optional()/one_or_more prefixes refuse loudly there)
         return (ev.filter(F.col("__a") & ~F.col("__next_b"))
                 .select(*keys, F.col("__eid").alias("anchor_id")))
     prefix = Pattern(stages=list(pat.stages[:-1]),
@@ -1569,8 +1593,21 @@ def _zero_or_more(pat, df, keys, time_col, tiebreak_col, event_col):
             "zeroOrMore as the only stage is not compiled (every "
             "position would hold an empty match) — anchor it with a "
             "prefix stage")
+    if any(s.optional or s.times_hi is not None
+           for s in pat.stages[:-1]):
+        # r11 (advice fix): clearing optional over ALL stages made a
+        # mid-pattern optional() required on the loop addend while the
+        # prefix addend kept it optional — undercounting loop-length
+        # >= 1 matches that skip the optional stage. The loop side
+        # (fork-loop machine) carries no variant union, so refuse.
+        raise NotImplementedError(
+            "zeroOrMore with a non-final optional()/times(a, b) stage "
+            "is not compiled (the loop addend runs on the fork-loop "
+            "machine, which carries fixed stages) — drop the "
+            "mid-pattern quantifier or split the pattern")
     loop_pat = Pattern(
-        stages=[replace(s, optional=False) for s in pat.stages],
+        stages=(list(pat.stages[:-1])
+                + [replace(pat.stages[-1], optional=False)]),
         within_us=pat.within_us, skip=pat.skip)
     loop = compile_pattern(loop_pat, df, keys, time_col, tiebreak_col,
                            event_col)

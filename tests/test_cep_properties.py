@@ -1721,3 +1721,171 @@ def test_where_prev_refusals(spark):
                .within("12 hours").no_skip())
         compile_pattern(pat, df, ["user_id"], "ts", "event_id",
                         "event_type")
+
+
+# -- round-11 advice fixes ----------------------------------------------
+
+def _ref_relaxed_prev_multi(seq, stages, within_min, rel_stages):
+    """Independent reference for where_prev on a QUANTIFIED stage:
+    after times(n) expansion every copy compares against the element
+    matched immediately before it (the canonical "each price above the
+    one before" shape) — NOT against the anchor."""
+    K = len(stages)
+    stage, cnt, a_m, pv = 0, 0, 0, 0.0
+    for m, ty, v in seq:
+        if stage > 0 and within_min is not None and m - a_m > within_min:
+            stage = 0
+        ok = ty == stages[stage]
+        if ok and stage in rel_stages:
+            ok = v > pv
+        if ok:
+            if stage == 0:
+                a_m = m
+            pv = v
+            stage += 1
+            if stage == K:
+                cnt, stage = cnt + 1, 0
+    return cnt
+
+
+@settings(max_examples=10, deadline=None)
+@given(rows=seq_val_strategy)
+def test_cep_where_prev_times_matches_python_nfa(spark, rows):
+    """r11 advice fix: where_prev on a times(2) stage must evaluate
+    EVERY expanded copy against the previous matched element — before
+    the fix, copies 2..n silently compared against the ANCHOR's value
+    (rel_src was dropped by _expanded)."""
+    pat = (Pattern.begin("v", "view")
+           .followed_by("c", "click").times(2)
+           .where_prev("value", ">", "value")
+           .within("12 hours"))
+    got = _run(spark, _mk_val(spark, rows), pat)
+    want = {u: _ref_relaxed_prev_multi(
+                seq, ["view", "click", "click"], 720, {1, 2})
+            for u, seq in _per_user_ordered_val(rows).items()}
+    assert got == {u: n for u, n in want.items() if n > 0}
+
+
+def test_cep_where_prev_times_streaming_converges(spark, tmp_path):
+    """The streaming relaxed-rel stepper shares _expanded(), so the
+    rel_src fix must hold there too: converged per-key count == batch,
+    with a partial match crossing the micro-batch boundary."""
+    # types: 0=view 1=click. Group 1 (minutes 0-2) matches under the
+    # OLD anchor-compare bug (15 > view's 10) but NOT under prev
+    # semantics (15 < click's 20); the within() horizon then expires
+    # the stuck run, and group 2 (minutes 800-802, across the
+    # micro-batch boundary) is a genuine prev-ascending chain.
+    rows = [(0, 0, 0, 10), (0, 1, 1, 20), (0, 2, 1, 15),
+            (0, 800, 0, 3), (0, 801, 1, 4), (0, 802, 1, 11)]
+    pat = (Pattern.begin("v", "view")
+           .followed_by("c", "click").times(2)
+           .where_prev("value", ">", "value")
+           .within("12 hours"))
+    df = _mk_val(spark, rows)
+    batch = _run(spark, df, pat)
+    assert batch == {0: 1}
+
+    import os
+    import time
+
+    from flink_tutorial_broadcast_spark.cep import compile_pattern_stream
+    from flink_tutorial_broadcast_spark.streaming.jobs import (
+        _run_to_memory,
+    )
+    d = str(tmp_path / "prev_times_stream")
+    half = BASE + dt.timedelta(minutes=400)
+    df.filter(F.col("ts") <= F.lit(half)).coalesce(1) \
+        .write.parquet(os.path.join(d, "f=0"))
+    df.filter(F.col("ts") > F.lit(half)).coalesce(1) \
+        .write.parquet(os.path.join(d, "f=1"))
+    stamp = int(time.time())
+    for i, part in enumerate(("f=0", "f=1")):
+        for fname in os.listdir(os.path.join(d, part)):
+            os.utime(os.path.join(d, part, fname),
+                     (stamp + 10 * i, stamp + 10 * i))
+    sdf = (spark.readStream
+           .schema("user_id int, ts timestamp, event_id long, "
+                   "event_type string, value double")
+           .option("maxFilesPerTrigger", "1")
+           .option("recursiveFileLookup", "true").parquet(d))
+    out = compile_pattern_stream(pat, sdf, ["user_id"], "ts",
+                                 "event_id", "event_type")
+    last: dict[int, int] = {}
+    for r in _run_to_memory(out, "update").collect():
+        last[r["user_id"]] = max(last.get(r["user_id"], 0),
+                                 r["n_matches"])
+    assert {u: n for u, n in last.items() if n > 0} == batch
+    assert batch  # the fixture must actually produce matches
+
+
+def _ref_not_next_multi(evs, stages, within_min, neg_ty):
+    """_ref_not_next generalized to an arbitrary expanded prefix —
+    reused here for the quantified-prefix pin."""
+    return _ref_not_next(evs, stages, within_min, neg_ty)
+
+
+@settings(max_examples=10, deadline=None)
+@given(rows=seq_strategy)
+def test_cep_not_next_quantified_prefix(spark, rows):
+    """r11 advice fix: begin(v).times(2).not_next(p) must run the
+    TWO-view prefix machine — the old len==2 fast path silently tested
+    single views."""
+    from flink_tutorial_broadcast_spark.cep import compile_pattern
+
+    pat = (Pattern.begin("v", "view").times(2)
+           .not_next("p", "purchase"))
+    got = {}
+    for r in compile_pattern(pat, _mk(spark, rows), ["user_id"],
+                             "ts", "event_id", "event_type").collect():
+        got.setdefault(r["user_id"], []).append((r["anchor_id"],))
+    want = {u: _ref_not_next_multi(evs, ["view", "view"], None,
+                                   "purchase")
+            for u, evs in _per_user_with_ids(rows).items()}
+    assert {u: sorted(v) for u, v in got.items()} == \
+        {u: m for u, m in want.items() if m}
+
+
+def test_zero_or_more_mid_optional_refuses(spark):
+    """r11 advice fix: zeroOrMore with a NON-final optional() stage
+    undercounted (the loop addend silently required the optional
+    stage) — now a loud refusal."""
+    import pytest
+
+    from flink_tutorial_broadcast_spark.cep import compile_pattern
+
+    df = _mk(spark, [(0, 0, 0)])
+    pat = (Pattern.begin("v", "view")
+           .followed_by("c", "click").optional()
+           .followed_by("p", "purchase").one_or_more().optional()
+           .within("12 hours").no_skip())
+    with pytest.raises(NotImplementedError, match="non-final"):
+        compile_pattern(pat, df, ["user_id"], "ts", "event_id",
+                        "event_type")
+
+
+def test_variant_union_one_or_more_refuses(spark):
+    """r11 advice fix: an optional() stage mixed with a final bounded
+    one_or_more() (WITHOUT .optional()) routed to the variant union,
+    which silently dropped the loop flag (loops >= 2 uncounted) — now
+    a loud refusal, batch and streaming alike."""
+    import pytest
+
+    from flink_tutorial_broadcast_spark.cep import (
+        compile_pattern, compile_pattern_stream,
+    )
+
+    pat = (Pattern.begin("v", "view")
+           .followed_by("c", "click").optional()
+           .followed_by("p", "purchase").one_or_more()
+           .within("12 hours").no_skip())
+    df = _mk(spark, [(0, 0, 0)])
+    with pytest.raises(NotImplementedError, match="one_or_more"):
+        compile_pattern(pat, df, ["user_id"], "ts", "event_id",
+                        "event_type")
+    sdf = (spark.readStream.format("rate").load()
+           .selectExpr("CAST(value AS LONG) AS user_id",
+                       "timestamp AS ts", "value AS event_id",
+                       "'view' AS event_type"))
+    with pytest.raises(NotImplementedError, match="one_or_more"):
+        compile_pattern_stream(pat, sdf, ["user_id"], "ts",
+                               "event_id", "event_type")
