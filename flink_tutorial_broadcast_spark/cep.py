@@ -133,6 +133,14 @@ class _Stage:
     # begin event — where_rel) or 'prev' (the immediately preceding
     # matched element — where_prev, r10)
     rel_src: str = "anchor"
+    # run-AGGREGATE condition [FLINK-API: general IterativeCondition —
+    # ctx.getEventsForPattern over ALL stages, the "sum of prices so
+    # far < X" shape from the Flink docs] (r11): (fn, col, op, rhs)
+    # meaning AGG(col over the run's matched events INCLUDING this
+    # candidate) OP rhs. fn in sum/count/min/max/avg. Like rel, not
+    # part of the bitmask (depends on run state); the single-anchor
+    # machines carry O(1) aggregate registers in the fold.
+    agg: tuple | None = None
     # loop STOP condition [FLINK-API: Pattern#until] — ANSI-SQL over
     # the event row; an event satisfying it kills every run at this
     # (one_or_more) stage and is itself never admitted. Carries its
@@ -350,9 +358,11 @@ class Pattern:
         stage 2 that is the anchor itself). Same machines and O(1)
         state as where_rel — the fold carries the last matched
         element's referenced values, refreshed at every advance.
-        Single-anchor skip-past-last machines only (the forking
-        families refuse: each run's prev differs per anchor payload
-        AND per promotion event). Not allowed on the begin stage."""
+        Single-anchor skip-past-last machines AND (since r11) the
+        forking no_skip() family, where each anchor payload carries a
+        pv field refreshed at promotion — the promotion event is the
+        new prev for every run it promotes. Not allowed on the begin
+        stage."""
         if not self.stages:
             raise ValueError("where_prev() needs a stage")
         if len(self.stages) == 1:
@@ -371,11 +381,51 @@ class Pattern:
         self.stages[-1].rel_src = "prev"
         return self
 
+    def where_agg(self, fn: str, col: str, op: str,
+                  rhs: float) -> "Pattern":
+        """RUN-AGGREGATE condition on the LAST stage [FLINK-API: the
+        general IterativeCondition — `ctx.getEventsForPattern(...)`
+        over ALL prior stages, the Flink-docs canonical "sum of prices
+        of previously accepted events plus this one < 5.0"] (r11): the
+        stage additionally requires ``FN(col) OP rhs`` where FN
+        aggregates over every event the run has matched so far PLUS
+        the candidate itself. fn in sum/count/min/max/avg. O(1) fold
+        state: one aggregate register per (fn, col), reset when a run
+        anchors, combined at every advance — the same shape as
+        where_prev's pv fields. Single-anchor skip-past-last machines
+        only (the forking families would need per-anchor aggregate
+        payloads — refused loudly at compile). A NULL operand anywhere
+        (candidate or an already-matched event's col) POISONS the
+        aggregate: the condition evaluates false, the rule where_rel
+        pins. Not allowed on the begin stage (aggregate over the
+        candidate alone — use where())."""
+        if not self.stages:
+            raise ValueError("where_agg() needs a stage")
+        if len(self.stages) == 1:
+            raise NotImplementedError(
+                "where_agg() on the begin stage aggregates over the "
+                "candidate alone — use where()")
+        if fn not in ("sum", "count", "min", "max", "avg"):
+            raise ValueError(f"where_agg fn {fn!r} not in "
+                             "sum count min max avg")
+        if op not in (">", ">=", "<", "<=", "=", "!="):
+            raise ValueError(f"where_agg op {op!r} not in "
+                             "> >= < <= = !=")
+        if self.stages[-1].agg is not None:
+            raise NotImplementedError(
+                "one where_agg() per stage — combine thresholds into "
+                "one condition or split the stage")
+        self.stages[-1].agg = (fn, col, op, float(rhs))
+        return self
+
     def _has_preds(self) -> bool:
         return any(s.conds for s in self.stages)
 
     def _has_rel(self) -> bool:
         return any(s.rel is not None for s in self.stages)
+
+    def _has_agg(self) -> bool:
+        return any(s.agg is not None for s in self.stages)
 
     def _has_opt_range(self) -> bool:
         return any(s.optional or s.times_hi is not None
@@ -517,11 +567,11 @@ class Pattern:
                     "optional()/times(a, b) with skip_to_* is not "
                     "compiled — the variant union carries no_skip "
                     "only")
-            if self._has_rel():
+            if self._has_rel() or self._has_agg():
                 raise NotImplementedError(
-                    "where_rel() with skip_to_* is not compiled — the "
-                    "enumeration machine carries no per-anchor "
-                    "payloads")
+                    "where_rel()/where_agg() with skip_to_* is not "
+                    "compiled — the enumeration machine carries no "
+                    "per-anchor payloads")
             if len(self.stages) < 2:
                 raise ValueError("skip_to_* needs at least two stages")
             if self.skip in ("to_first", "to_last"):
@@ -694,7 +744,7 @@ class Pattern:
                 # against the ANCHOR's value (the rel_src default)
                 out.append(_Stage(f"{s.name}#{j}", s.event_type, inner,
                                   conds=s.conds, rel=s.rel,
-                                  rel_src=s.rel_src))
+                                  rel_src=s.rel_src, agg=s.agg))
         return Pattern(stages=out, within_us=self.within_us,
                        skip=self.skip, skip_ref=self.skip_ref)
 
@@ -880,26 +930,29 @@ def compile_pattern(pat: Pattern, df: DataFrame, keys: list[str],
     if pat._has_opt_range():
         # optional()/times(a, b): union-of-variants on the fork
         # machines (no_skip only — gated inside)
-        if pat._has_rel():
+        if pat._has_rel() or pat._has_agg():
             raise NotImplementedError(
-                "where_rel() with optional()/times(a, b) is not "
-                "compiled — the variant union runs on the forking "
-                "machines, which carry no per-anchor payloads")
+                "where_rel()/where_agg() with optional()/times(a, b) "
+                "is not compiled — the variant union runs on the "
+                "forking machines, which carry no per-anchor payloads")
         return _compile_variant_union(pat, df, keys, time_col,
                                       tiebreak_col, event_col)
     fam = pat._family()
-    if pat._has_rel():
+    if pat._has_rel() or pat._has_agg():
+        if pat._has_agg() and fam not in ("relaxed", "relaxed_within"):
+            raise NotImplementedError(
+                "where_agg() compiles on the single-anchor "
+                "skip-past-last machines only (relaxed followed_by, "
+                "with or without within()) — the forking/any/strict/"
+                "absence/loop families would need per-run aggregate "
+                "payloads; drop no_skip()/followed_by_any or the "
+                "aggregate condition")
         if fam == "fork":
             # r10: the fork family carries per-anchor payloads now —
             # scope gated to pure relaxed chains (strict/veto shapes
-            # keep the refusal below)
-            if any(s.rel is not None and s.rel_src == "prev"
-                   for s in pat.stages):
-                raise NotImplementedError(
-                    "where_prev() under no_skip() is not compiled — "
-                    "each forked run's previous element differs per "
-                    "anchor AND per promotion event; drop no_skip() "
-                    "(the single-anchor machines carry it)")
+            # keep the refusal below). r11: where_prev rides the same
+            # payloads (the promotion event IS the new prev for every
+            # run it promotes), so the L178 refusal is lifted.
             xp = pat._expanded()
             if any(_strict_flags(xp)) or _has_mid_nfb(xp) \
                     or any(s.contiguity == "not_followed_by"
@@ -1383,10 +1436,11 @@ def compile_pattern_chunked(pat: Pattern, df: DataFrame,
             "pattern() (union-of-variants counting); chunked "
             "compilation is not carried — use fixed times(n) or "
             "drop the quantifier")
-    if pat._has_rel():
+    if pat._has_rel() or pat._has_agg():
         raise NotImplementedError(
-            "where_rel() is not carried by chunked compilation — "
-            "use the plain batch pattern() or the streaming stepper")
+            "where_rel()/where_agg() is not carried by chunked "
+            "compilation — use the plain batch pattern() or the "
+            "streaming stepper")
     if any(s.until_sql for s in pat.stages):
         raise NotImplementedError(
             "until() is not carried by chunked compilation — an "
@@ -1585,9 +1639,9 @@ def _zero_or_more(pat, df, keys, time_col, tiebreak_col, event_col):
     machines; the loop side's own gates (within + no_skip, final
     stage) and until() flow through unchanged. Batch only; streaming
     refuses loudly in compile_pattern_stream."""
-    if pat._has_rel():
+    if pat._has_rel() or pat._has_agg():
         raise NotImplementedError(
-            "where_rel() with zeroOrMore is not compiled")
+            "where_rel()/where_agg() with zeroOrMore is not compiled")
     if len(pat.stages) < 2:
         raise NotImplementedError(
             "zeroOrMore as the only stage is not compiled (every "
@@ -1712,23 +1766,42 @@ def _relaxed_rel_machine(pat, df, keys, time_col, tiebreak_col,
     state additionally carries the anchor event's referenced column
     values (one double per distinct anchor column), captured when a
     run anchors and compared per await: adv = mask-bit AND
-    (event.col OP anchor.acol * scale + offset). O(1) state like its
-    rel-free twins; null operands compare as False (three-valued SQL
-    coalesced), matching the Python reference."""
+    (event.col OP anchor.acol * scale + offset). Since r11 it also
+    carries RUN-AGGREGATE registers (where_agg — the general
+    IterativeCondition "sum of values so far" shape): one sum/min/max
+    double per referenced column, reset at anchoring, combined per
+    advance, candidate included in the tested value. O(1) state like
+    its rel-free twins; null operands compare as False (three-valued
+    SQL coalesced), matching the Python reference."""
     K = len(_stage_bits(pat))
     w = pat.within_us
     awaits = _await_stages(pat)
     rels = [s.rel for s in awaits]
     srcs = [s.rel_src for s in awaits]
+    aggs = [s.agg for s in awaits]
     if rels[0] is not None:
         raise NotImplementedError(
             "where_rel() on the begin stage is undefined")
+    if aggs[0] is not None:
+        raise NotImplementedError(
+            "where_agg() on the begin stage is undefined")
     vcols = sorted({r[0] for r in rels if r}
-                   | {r[2] for r in rels if r})
+                   | {r[2] for r in rels if r}
+                   | {a[1] for a in aggs if a})
     # prev-source refs (where_prev, r10): the fold also carries the
     # LAST MATCHED element's referenced values, refreshed per advance
     pcols = sorted({r[2] for r, s in zip(rels, srcs)
                     if r and s == "prev"})
+    # run-aggregate registers (where_agg, r11): one per (register
+    # kind, column) — sum (also serves avg), min, max; count is a
+    # pure function of the stage index. Reset at anchoring, combined
+    # at every advance; a NULL contribution poisons the register
+    # (NULL-propagating combine), so later aggregate tests fail —
+    # the where_rel null rule applied to aggregates.
+    sum_cols = sorted({a[1] for a in aggs
+                       if a and a[0] in ("sum", "avg")})
+    min_cols = sorted({a[1] for a in aggs if a and a[0] == "min"})
+    max_cols = sorted({a[1] for a in aggs if a and a[0] == "max"})
     need = _need(pat)
     strict = _strict_arr(pat)
     veto = F.array(*[F.lit(v) for v in _veto_codes(pat)])
@@ -1742,7 +1815,10 @@ def _relaxed_rel_machine(pat, df, keys, time_col, tiebreak_col,
         F.lit(0).alias("stage"),
         F.lit(0).cast("long").alias("anchor"),
         *[F.lit(0.0).alias(f"av_{c}") for c in vcols],
-        *[F.lit(0.0).alias(f"pv_{c}") for c in pcols])
+        *[F.lit(0.0).alias(f"pv_{c}") for c in pcols],
+        *[F.lit(0.0).alias(f"rs_{c}") for c in sum_cols],
+        *[F.lit(0.0).alias(f"rmin_{c}") for c in min_cols],
+        *[F.lit(0.0).alias(f"rmax_{c}") for c in max_cols])
 
     def step(acc, x):
         if w is None:
@@ -1762,8 +1838,38 @@ def _relaxed_rel_machine(pat, df, keys, time_col, tiebreak_col,
                 cmpv = _REL_OPS[op](
                     x[f"v_{col}"], ref * F.lit(sc) + F.lit(off))
                 rel_cells.append(F.coalesce(cmpv, F.lit(False)))
+        agg_cells = []
+        for a in aggs:
+            if a is None:
+                agg_cells.append(F.lit(True))
+            else:
+                fn, col, op, rhs = a
+                xv = x[f"v_{col}"]
+                # candidate INCLUDED: at await index i the run has
+                # matched i events, so the aggregate spans i + 1
+                if fn == "count":
+                    val = (stage + 1).cast("double")
+                elif fn == "sum":
+                    val = acc[f"rs_{col}"] + xv
+                elif fn == "avg":
+                    val = ((acc[f"rs_{col}"] + xv)
+                           / (stage + 1).cast("double"))
+                elif fn == "min":
+                    val = (F.when(xv.isNull()
+                                  | acc[f"rmin_{col}"].isNull(),
+                                  F.lit(None).cast("double"))
+                           .otherwise(F.least(acc[f"rmin_{col}"], xv)))
+                else:
+                    val = (F.when(xv.isNull()
+                                  | acc[f"rmax_{col}"].isNull(),
+                                  F.lit(None).cast("double"))
+                           .otherwise(F.greatest(acc[f"rmax_{col}"],
+                                                 xv)))
+                agg_cells.append(F.coalesce(
+                    _REL_OPS[op](val, F.lit(rhs)), F.lit(False)))
         adv = (_hit(x["c"], F.get(need, stage))
-               & F.get(F.array(*rel_cells), stage))
+               & F.get(F.array(*rel_cells), stage)
+               & F.get(F.array(*agg_cells), stage))
         done = adv & (stage == K - 1)
         die = ((((~adv) & F.get(strict, stage))
                 | _hit(x["c"], F.get(veto, stage)))
@@ -1786,7 +1892,27 @@ def _relaxed_rel_machine(pat, df, keys, time_col, tiebreak_col,
             # and re-anchors alike); evaluated AFTER the compare above
             *[F.when(adv | restart, x[f"v_{c}"])
               .otherwise(acc[f"pv_{c}"]).alias(f"pv_{c}")
-              for c in pcols])
+              for c in pcols],
+            # aggregate registers: reset at anchoring, NULL-poisoning
+            # combine at every later advance
+            *[F.when(starts, x[f"v_{c}"])
+              .when(adv, acc[f"rs_{c}"] + x[f"v_{c}"])
+              .otherwise(acc[f"rs_{c}"]).alias(f"rs_{c}")
+              for c in sum_cols],
+            *[F.when(starts, x[f"v_{c}"])
+              .when(adv, F.when(
+                  x[f"v_{c}"].isNull() | acc[f"rmin_{c}"].isNull(),
+                  F.lit(None).cast("double"))
+                  .otherwise(F.least(acc[f"rmin_{c}"], x[f"v_{c}"])))
+              .otherwise(acc[f"rmin_{c}"]).alias(f"rmin_{c}")
+              for c in min_cols],
+            *[F.when(starts, x[f"v_{c}"])
+              .when(adv, F.when(
+                  x[f"v_{c}"].isNull() | acc[f"rmax_{c}"].isNull(),
+                  F.lit(None).cast("double"))
+                  .otherwise(F.greatest(acc[f"rmax_{c}"], x[f"v_{c}"])))
+              .otherwise(acc[f"rmax_{c}"]).alias(f"rmax_{c}")
+              for c in max_cols])
 
     fold = F.aggregate(seq, init, step)
     return (df.groupBy(*keys).agg(fold["cnt"].alias("n_matches"))
@@ -1815,11 +1941,20 @@ def _fork_rel_machine(pat, df, keys, time_col, tiebreak_col,
     K = len(pat.stages)
     w = pat.within_us
     rels = [s.rel for s in pat.stages]
+    srcs = [s.rel_src for s in pat.stages]
     if rels[0] is not None:
         raise NotImplementedError(
             "where_rel() on the begin stage is undefined")
-    acols = sorted({r[2] for r in rels if r})
-    vcols = sorted({r[0] for r in rels if r} | set(acols))
+    acols = sorted({r[2] for r, sc in zip(rels, srcs)
+                    if r and sc == "anchor"})
+    # prev-source refs (where_prev on the fork family, r11 — lifts
+    # the L178 refusal): each anchor payload also carries the value
+    # of the element the RUN matched last, refreshed at promotion
+    # (the promotion event IS the new prev for every run it promotes)
+    pcols = sorted({r[2] for r, sc in zip(rels, srcs)
+                    if r and sc == "prev"})
+    vcols = sorted({r[0] for r in rels if r} | set(acols)
+                   | set(pcols))
     st = _stage_bits(pat)
     seq = F.array_sort(F.collect_list(F.struct(
         F.unix_micros(time_col).alias("t"),
@@ -1827,7 +1962,8 @@ def _fork_rel_machine(pat, df, keys, time_col, tiebreak_col,
         _cond_mask_col(pat, event_col).alias("c"),
         *[F.col(c).cast("double").alias(f"v_{c}") for c in vcols])))
     a_fields = ",".join(["t:bigint"]
-                        + [f"av_{c}:double" for c in acols])
+                        + [f"av_{c}:double" for c in acols]
+                        + [f"pv_{c}:double" for c in pcols])
     empty = F.expr(f"CAST(array() AS array<struct<{a_fields}>>)")
     init = F.struct(F.lit(0).cast("long").alias("cnt"),
                     *[empty.alias(f"s{i}") for i in range(1, K)])
@@ -1847,9 +1983,11 @@ def _fork_rel_machine(pat, df, keys, time_col, tiebreak_col,
             if r is None:
                 return F.lit(True)
             col, op, acol, sc, off = r
+            ref = (a[f"pv_{acol}"] if srcs[i - 1] == "prev"
+                   else a[f"av_{acol}"])
             return F.coalesce(
                 _REL_OPS[op](x[f"v_{col}"],
-                             a[f"av_{acol}"] * F.lit(sc) + F.lit(off)),
+                             ref * F.lit(sc) + F.lit(off)),
                 F.lit(False))
 
         closing = F.filter(filt[K - 1], lambda a: relok(K, a))
@@ -1872,11 +2010,24 @@ def _fork_rel_machine(pat, df, keys, time_col, tiebreak_col,
             if i == 1:
                 incoming = F.array(F.struct(
                     x["t"].alias("t"),
-                    *[x[f"v_{c}"].alias(f"av_{c}") for c in acols]))
+                    *[x[f"v_{c}"].alias(f"av_{c}") for c in acols],
+                    # at stage 2 the prev IS the anchor itself
+                    *[x[f"v_{c}"].alias(f"pv_{c}") for c in pcols]))
             else:
                 src = filt[i - 1]
                 incoming = (F.filter(src, lambda a: relok(i, a))
                             if rels[i - 1] is not None else src)
+                if pcols:
+                    # the promotion event becomes every promoted
+                    # run's prev — anchor payload fields stay
+                    incoming = F.transform(
+                        incoming,
+                        lambda a: F.struct(
+                            a["t"].alias("t"),
+                            *[a[f"av_{c}"].alias(f"av_{c}")
+                              for c in acols],
+                            *[x[f"v_{c}"].alias(f"pv_{c}")
+                              for c in pcols]))
             col = (F.when(match[i], F.concat(kept, incoming))
                    .otherwise(kept))
             fields.append(col.alias(f"s{i}"))
@@ -2020,10 +2171,10 @@ def compile_pattern_matches(pat: Pattern, df: DataFrame,
             "pattern() (union-of-variants counting); match extraction "
             "and streaming are not carried — use fixed times(n) or "
             "drop the quantifier")
-    if pat._has_rel():
+    if pat._has_rel() or pat._has_agg():
         raise NotImplementedError(
-            "where_rel() carries counts only (pattern()) — match "
-            "extraction with anchor-relative conditions is not "
+            "where_rel()/where_agg() carries counts only (pattern()) "
+            "— match extraction with run-dependent conditions is not "
             "compiled")
     if any(s.until_sql for s in pat.stages):
         raise NotImplementedError(
@@ -2780,22 +2931,31 @@ def fork_loop_stepper(type_codes: dict[str, int] | None,
 def fork_rel_stepper(stage_bits: list[int], rels: list,
                      acols: list[str], vcols: list[str],
                      within_us: int | None,
-                     key_cols: list[str] | None = None):
+                     key_cols: list[str] | None = None,
+                     srcs: list[str] | None = None,
+                     pcols: list[str] | None = None):
     """applyInPandasWithState twin of _fork_rel_machine (r10): the
     forking NFA whose anchor sets carry per-anchor payloads (anchor µs
     + one double per referenced anchor column) so anchor-relative
     stage conditions evaluate per run — qualifying anchors promote or
-    complete-and-consume, the rest keep awaiting. State = cnt + per
-    set: parallel (t, value...) arrays, bounded by within-horizon
-    anchor density. NaN/None operands fail every comparison (including
-    !=), matching the SQL coalesce(..., false) rule."""
+    complete-and-consume, the rest keep awaiting. Since r11 the
+    payloads also carry PREV slots (where_prev on the fork family):
+    refreshed at every promotion — the promotion event is the new
+    prev for every run it promotes. State = cnt + per set: parallel
+    (t, value..., prev...) arrays, bounded by within-horizon anchor
+    density. NaN/None operands fail every comparison (including !=),
+    matching the SQL coalesce(..., false) rule."""
     import math
     import operator as _op
     OPS = {">": _op.gt, ">=": _op.ge, "<": _op.lt, "<=": _op.le,
            "=": _op.eq, "!=": _op.ne}
     K = len(stage_bits)
+    srcs = srcs or ["anchor"] * K
+    pcols = pcols or []
     nA = len(acols)
+    nP = len(pcols)
     apos = {c: j for j, c in enumerate(acols)}
+    ppos = {c: j for j, c in enumerate(pcols)}
     vpos = {c: j for j, c in enumerate(vcols)}
     key_cols = key_cols or ["key"]
     nk = len(key_cols)
@@ -2806,11 +2966,14 @@ def fork_rel_stepper(stage_bits: list[int], rels: list,
             got = state.get
             cnt = got[0]
             sets = []
+            w_ = 1 + nA + nP
             for i in range(K - 1):
-                t_arr = got[1 + i * (1 + nA)]
-                v_arrs = [got[2 + i * (1 + nA) + j] for j in range(nA)]
-                entries = sorted(zip(t_arr, *v_arrs))
-                sets.append([(e[0], tuple(e[1:])) for e in entries])
+                t_arr = got[1 + i * w_]
+                v_arrs = [got[2 + i * w_ + j] for j in range(nA)]
+                p_arrs = [got[2 + nA + i * w_ + j] for j in range(nP)]
+                entries = sorted(zip(t_arr, *v_arrs, *p_arrs))
+                sets.append([(e[0], tuple(e[1:1 + nA]),
+                              tuple(e[1 + nA:])) for e in entries])
         else:
             cnt, sets = 0, [[] for _ in range(K - 1)]
         rows = []
@@ -2834,7 +2997,8 @@ def fork_rel_stepper(stage_bits: list[int], rels: list,
                     return True
                 col, op, acol, sc, off = r
                 x = ev[vpos[col]]
-                av = a[1][apos[acol]]
+                av = (a[2][ppos[acol]] if srcs[i - 1] == "prev"
+                      else a[1][apos[acol]])
                 if x is None or av is None or math.isnan(x) \
                         or math.isnan(av):
                     return False
@@ -2859,12 +3023,21 @@ def fork_rel_stepper(stage_bits: list[int], rels: list,
                 incoming = []
                 if match[i - 1]:  # stage i's own bit (0-based i-1)
                     if i == 1:
-                        incoming = [(t, tuple(
-                            ev[vpos[cn]] for cn in acols))]
+                        # at stage 2 the prev IS the anchor itself
+                        incoming = [(t,
+                                     tuple(ev[vpos[cn]]
+                                           for cn in acols),
+                                     tuple(ev[vpos[cn]]
+                                           for cn in pcols))]
                     else:
                         src = old[j - 1]
                         incoming = ([a for a in src if relok(i, a)]
                                     if rels[i - 1] is not None else src)
+                        if pcols:
+                            # promotion refreshes every run's prev
+                            newp = tuple(ev[vpos[cn]] for cn in pcols)
+                            incoming = [(a[0], a[1], newp)
+                                        for a in incoming]
                 sets[j] = kept + incoming
             # keep sorted by t (late arrivals only; in-order is free)
             for j in range(K - 1):
@@ -2876,6 +3049,8 @@ def fork_rel_stepper(stage_bits: list[int], rels: list,
             flat.append([a[0] for a in s])
             for j in range(nA):
                 flat.append([a[1][j] for a in s])
+            for j in range(nP):
+                flat.append([a[2][j] for a in s])
         state.update(tuple(flat))
         yield pd.DataFrame(
             {**{kc: [key[i]] for i, kc in enumerate(key_cols)},
@@ -3060,7 +3235,8 @@ def relaxed_rel_stepper(stage_bits: list[int], rels: list,
                         strict: list[bool] | None = None,
                         key_cols: list[str] | None = None,
                         veto: list[int] | None = None,
-                        srcs: list[str] | None = None):
+                        srcs: list[str] | None = None,
+                        aggs: list | None = None):
     """applyInPandasWithState step for the single-anchor machine WITH
     anchor-relative conditions (where_rel) and, since r10,
     previous-element conditions (where_prev — `srcs[i] == 'prev'`
@@ -3078,9 +3254,30 @@ def relaxed_rel_stepper(stage_bits: list[int], rels: list,
     strict = strict or [False] * K
     veto = veto or [0] * K
     srcs = srcs or ["anchor"] * K
+    aggs = aggs or [None] * K
     key_cols = key_cols or ["key"]
     nk = len(key_cols)
     vidx = {c: i for i, c in enumerate(vcols)}
+    # aggregate registers (where_agg, r11): one float slot per
+    # (kind, column) — sum (serves avg too), min, max; reset at
+    # anchoring, NULL(NaN)-poisoning combine per advance
+    sum_cols = sorted({a[1] for a in aggs if a and a[0] in ("sum",
+                                                            "avg")})
+    min_cols = sorted({a[1] for a in aggs if a and a[0] == "min"})
+    max_cols = sorted({a[1] for a in aggs if a and a[0] == "max"})
+    ridx = {}
+    for c in sum_cols:
+        ridx[("sum", c)] = len(ridx)
+    for c in min_cols:
+        ridx[("min", c)] = len(ridx)
+    for c in max_cols:
+        ridx[("max", c)] = len(ridx)
+    nreg = len(ridx)
+
+    def _reset_regs(vs):
+        return ([vs[vidx[c]] for c in sum_cols]
+                + [vs[vidx[c]] for c in min_cols]
+                + [vs[vidx[c]] for c in max_cols])
 
     def step(key, pdf_iter, state):
         import pandas as pd
@@ -3088,11 +3285,13 @@ def relaxed_rel_stepper(stage_bits: list[int], rels: list,
             got = state.get
             cnt, stage, anchor = got[0], got[1], got[2]
             avs = list(got[3:3 + len(vcols)])
-            pvs = list(got[3 + len(vcols):])
+            pvs = list(got[3 + len(vcols):3 + 2 * len(vcols)])
+            regs = list(got[3 + 2 * len(vcols):])
         else:
             cnt, stage, anchor = 0, 0, 0
             avs = [0.0] * len(vcols)
             pvs = [0.0] * len(vcols)
+            regs = [0.0] * nreg
         rows = []
         for pdf in pdf_iter:
             t = (pdf.iloc[:, nk].to_numpy("datetime64[ns]")
@@ -3120,10 +3319,50 @@ def relaxed_rel_stepper(stage_bits: list[int], rels: list,
                     ok = False
                 else:
                     ok = bool(ops[op](ev, av * sc + off))
+            a = aggs[stage]
+            if ok and a is not None:
+                fn_, col, op, rhs = a
+                ev = float(vs[vidx[col]])
+                if fn_ == "count":
+                    val = float(stage + 1)
+                elif fn_ == "sum":
+                    val = regs[ridx[("sum", col)]] + ev
+                elif fn_ == "avg":
+                    val = (regs[ridx[("sum", col)]] + ev) / (stage + 1)
+                elif fn_ == "min":
+                    rv = regs[ridx[("min", col)]]
+                    val = float("nan") if (rv != rv or ev != ev) \
+                        else min(rv, ev)
+                else:
+                    rv = regs[ridx[("max", col)]]
+                    val = float("nan") if (rv != rv or ev != ev) \
+                        else max(rv, ev)
+                # NaN (a poisoned register or operand) fails ANY op —
+                # including !=, which Python would evaluate True
+                ok = False if val != val else bool(ops[op](val, rhs))
             if ok:
+                fv = [float(v) for v in vs]
                 if stage == 0:
-                    anchor, avs = t, [float(v) for v in vs]
-                pvs = [float(v) for v in vs]
+                    anchor, avs = t, fv
+                    regs = _reset_regs(fv)
+                else:
+                    regs = ([regs[ridx[("sum", c)]] + fv[vidx[c]]
+                             for c in sum_cols]
+                            + [float("nan")
+                               if (regs[ridx[("min", c)]]
+                                   != regs[ridx[("min", c)]]
+                                   or fv[vidx[c]] != fv[vidx[c]])
+                               else min(regs[ridx[("min", c)]],
+                                        fv[vidx[c]])
+                               for c in min_cols]
+                            + [float("nan")
+                               if (regs[ridx[("max", c)]]
+                                   != regs[ridx[("max", c)]]
+                                   or fv[vidx[c]] != fv[vidx[c]])
+                               else max(regs[ridx[("max", c)]],
+                                        fv[vidx[c]])
+                               for c in max_cols])
+                pvs = fv
                 if stage == K - 1:
                     cnt, stage = cnt + 1, 0
                 else:
@@ -3133,9 +3372,10 @@ def relaxed_rel_stepper(stage_bits: list[int], rels: list,
                     stage, anchor = 1, t
                     avs = [float(v) for v in vs]
                     pvs = [float(v) for v in vs]
+                    regs = _reset_regs(avs)
                 else:
                     stage = 0
-        state.update((cnt, stage, anchor, *avs, *pvs))
+        state.update((cnt, stage, anchor, *avs, *pvs, *regs))
         yield pd.DataFrame(
             {**{kc: [key[i]] for i, kc in enumerate(key_cols)},
              "n_matches": [cnt], "stage": [stage]})
@@ -3754,11 +3994,11 @@ def compile_pattern_stream(pat: Pattern, sdf: DataFrame,
         # batch gates apply identically: no_skip only, no
         # not_followed_by, no where_rel, no strict next() (these all
         # raise inside _variants or here, same messages as batch).
-        if pat._has_rel():
+        if pat._has_rel() or pat._has_agg():
             raise NotImplementedError(
-                "where_rel() with optional()/times(a, b) is not "
-                "compiled — the variant union runs on the forking "
-                "machines, which carry no per-anchor payloads")
+                "where_rel()/where_agg() with optional()/times(a, b) "
+                "is not compiled — the variant union runs on the "
+                "forking machines, which carry no per-anchor payloads")
         if pat.skip != "no_skip":
             raise NotImplementedError(
                 "optional()/times(a, b) compile only under no_skip(): "
@@ -3826,15 +4066,17 @@ def compile_pattern_stream(pat: Pattern, sdf: DataFrame,
             "one_or_more), followed_by_any (counting DP), strict "
             "chains (KMP), timer-driven absence (2-stage and "
             "anchored-chain), and the skip_to_* strategies")
+    if pat._has_agg() and fam not in ("relaxed", "relaxed_within"):
+        raise NotImplementedError(
+            "where_agg() streams only on the single-anchor "
+            "skip-past-last machines — the forking/any/strict/"
+            "absence families would need per-run aggregate payloads; "
+            "drop no_skip()/followed_by_any or the aggregate "
+            "condition")
     if pat._has_rel() and fam == "fork":
         # r10: streaming where_rel on the forking family — the
         # keyed-state twin of _fork_rel_machine (per-anchor payloads
         # as parallel t/value arrays in the state row)
-        if any(s.rel is not None and s.rel_src == "prev"
-               for s in pat.stages):
-            raise NotImplementedError(
-                "where_prev() under no_skip() is not compiled — "
-                "drop no_skip() (the single-anchor machines carry it)")
         xp = pat._expanded()
         if any(_strict_flags(xp)) or _has_mid_nfb(xp) \
                 or any(s.contiguity == "not_followed_by"
@@ -3843,11 +4085,16 @@ def compile_pattern_stream(pat: Pattern, sdf: DataFrame,
                 "where_rel() under no_skip() streams on pure relaxed "
                 "followed_by chains only")
         rels = [s.rel for s in xp.stages]
+        fsrcs = [s.rel_src for s in xp.stages]
         if rels[0] is not None:
             raise NotImplementedError(
                 "where_rel() on the begin stage is undefined")
-        acols = sorted({r[2] for r in rels if r})
-        vcols = sorted({r[0] for r in rels if r} | set(acols))
+        acols = sorted({r[2] for r, sc in zip(rels, fsrcs)
+                        if r and sc == "anchor"})
+        pcols = sorted({r[2] for r, sc in zip(rels, fsrcs)
+                        if r and sc == "prev"})
+        vcols = sorted({r[0] for r in rels if r} | set(acols)
+                       | set(pcols))
         proj = sdf.select(
             *keys, time_col, tiebreak_col,
             _cond_mask_col(xp, event_col).alias("__m"),
@@ -3859,9 +4106,12 @@ def compile_pattern_stream(pat: Pattern, sdf: DataFrame,
         state_schema = "cnt long" + "".join(
             f", s{i}t array<long>" + "".join(
                 f", s{i}v{j} array<double>" for j in range(len(acols)))
+            + "".join(
+                f", s{i}p{j} array<double>" for j in range(len(pcols)))
             for i in range(1, K))
         fn = fork_rel_stepper(_stage_bits(xp), rels, acols, vcols,
-                              xp.within_us, key_cols=keys)
+                              xp.within_us, key_cols=keys,
+                              srcs=fsrcs, pcols=pcols)
         return proj.groupBy(*keys).applyInPandasWithState(
             fn,
             outputStructType=f"{fkey_schema}, n_matches long",
@@ -3964,13 +4214,23 @@ def compile_pattern_stream(pat: Pattern, sdf: DataFrame,
             outputMode="Append",
             timeoutConf=GroupStateTimeout.EventTimeTimeout)
     pat = pat._expanded()
-    if pat._has_rel():
-        rels = [s.rel for s in _await_stages(pat)]
+    if pat._has_rel() or pat._has_agg():
+        awaits = _await_stages(pat)
+        rels = [s.rel for s in awaits]
+        aggs = [s.agg for s in awaits]
         if rels[0] is not None:
             raise NotImplementedError(
                 "where_rel() on the begin stage is undefined")
+        if aggs[0] is not None:
+            raise NotImplementedError(
+                "where_agg() on the begin stage is undefined")
         vcols = sorted({r[0] for r in rels if r}
-                       | {r[2] for r in rels if r})
+                       | {r[2] for r in rels if r}
+                       | {a[1] for a in aggs if a})
+        nreg = (len({a[1] for a in aggs
+                     if a and a[0] in ("sum", "avg")})
+                + len({a[1] for a in aggs if a and a[0] == "min"})
+                + len({a[1] for a in aggs if a and a[0] == "max"}))
         proj = sdf.select(
             *keys, time_col, tiebreak_col,
             _cond_mask_col(pat, event_col).alias("__m"),
@@ -3980,13 +4240,15 @@ def compile_pattern_stream(pat: Pattern, sdf: DataFrame,
                                  pat.within_us, _strict_flags(pat),
                                  key_cols=keys,
                                  veto=_veto_codes(pat),
-                                 srcs=[s.rel_src
-                                       for s in _await_stages(pat)])
+                                 srcs=[s.rel_src for s in awaits],
+                                 aggs=aggs)
         state_schema = ("cnt long, stage long, anchor long"
                         + "".join(f", av{i} double"
                                   for i in range(len(vcols)))
                         + "".join(f", pv{i} double"
-                                  for i in range(len(vcols))))
+                                  for i in range(len(vcols)))
+                        + "".join(f", rg{i} double"
+                                  for i in range(nreg)))
         return proj.groupBy(*keys).applyInPandasWithState(
             fn,
             outputStructType=f"{key_schema}, n_matches long, "
@@ -4061,10 +4323,10 @@ def compile_pattern_matches_stream(pat: Pattern, sdf: DataFrame,
             "pattern() (union-of-variants counting); match extraction "
             "and streaming are not carried — use fixed times(n) or "
             "drop the quantifier")
-    if pat._has_rel():
+    if pat._has_rel() or pat._has_agg():
         raise NotImplementedError(
-            "where_rel() carries counts only (pattern()) — match "
-            "extraction with anchor-relative conditions is not "
+            "where_rel()/where_agg() carries counts only (pattern()) "
+            "— match extraction with run-dependent conditions is not "
             "compiled")
     fam = pat._family()
     if fam not in ("relaxed", "relaxed_within", "fork", "fork_loop",

@@ -2744,3 +2744,151 @@ def q_cep_where_prev(spark: SparkSession, sf_dir: str) -> DataFrame:
             .key_by("user_id")
             .pattern(pat)
             .to_df())
+
+
+@query(
+    "q_cep_where_agg",
+    oracle=f"""
+    WITH RECURSIVE codes0 AS (
+      SELECT user_id, epoch_us(ts) AS t, event_id, value,
+             CASE event_type WHEN 'view' THEN 1 WHEN 'click' THEN 2
+                  WHEN 'purchase' THEN 3 ELSE 0 END AS c
+      FROM events
+    ), codes AS (
+      SELECT user_id, t, c, value,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY t, event_id) AS i
+      FROM codes0 WHERE c > 0
+    ), n AS (
+      SELECT user_id, COUNT(*) AS n_ev FROM codes GROUP BY user_id
+    ), run AS (
+      SELECT user_id, 0 AS i, CAST(0 AS BIGINT) AS cnt, 0 AS stage,
+             CAST(0 AS BIGINT) AS anchor_t,
+             CAST(0 AS DOUBLE) AS run_sum
+      FROM n
+      UNION ALL
+      SELECT r.user_id, r.i + 1,
+             CASE WHEN s.st = 2 AND c.c = 3
+                       AND r.run_sum + c.value < 150
+                  THEN r.cnt + 1 ELSE r.cnt END,
+             CASE WHEN s.st = 0 AND c.c = 1 THEN 1
+                  WHEN s.st = 1 AND c.c = 2 THEN 2
+                  WHEN s.st = 2 AND c.c = 3
+                       AND r.run_sum + c.value < 150
+                  THEN 0 ELSE s.st END,
+             CASE WHEN s.st = 0 AND c.c = 1 THEN c.t
+                  ELSE r.anchor_t END,
+             CASE WHEN s.st = 0 AND c.c = 1 THEN c.value
+                  WHEN s.st = 1 AND c.c = 2
+                  THEN r.run_sum + c.value
+                  ELSE r.run_sum END
+      FROM run r JOIN codes c ON c.user_id = r.user_id
+                             AND c.i = r.i + 1
+      CROSS JOIN LATERAL (
+        SELECT CASE WHEN r.stage > 0
+                         AND c.t - r.anchor_t > {_CEP_W48_US}
+                    THEN 0 ELSE r.stage END AS st) s
+    )
+    SELECT r.user_id, r.cnt AS n_matches
+    FROM run r JOIN n ON r.user_id = n.user_id AND r.i = n.n_ev
+    WHERE r.cnt > 0
+    """,
+)
+def q_cep_where_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RUN-AGGREGATE stage condition (round 11) [FLINK-API: the
+    general IterativeCondition — `ctx.getEventsForPattern(...)` over
+    every prior stage, the Flink-docs canonical "sum of the prices of
+    all previously accepted events plus the current one < threshold"]:
+    view -> click -> purchase within 48 h where SUM(value) over the
+    run's three elements (purchase included) must stay BELOW 150,
+    under skip-past-last. Closes the last condition-family gap the
+    round-10 verdict named (where_rel covered anchor comparisons,
+    where_prev the previous element; this is the aggregate-of-run
+    form). The single-anchor machine's O(1) state gains per-(fn, col)
+    aggregate REGISTERS — sum here — reset at anchoring and combined
+    per advance (cep._relaxed_rel_machine rs fields); a purchase that
+    fails the sum test leaves the run waiting at the purchase stage
+    (a later cheaper purchase can still close it), exactly like any
+    failed stage condition. The oracle replays the identical automaton
+    carrying (anchor_t, run_sum) through recursive-CTE state. NULL
+    contributions poison the aggregate on both engines. Streaming
+    twin: test_pattern_streaming_where_agg; property twins:
+    test_cep_where_agg_sum_matches_python_nfa (final stage) and
+    test_cep_where_agg_max_mid_stage_matches_python_nfa (mid stage,
+    max)."""
+    from flink_tutorial_broadcast_spark.cep import Pattern
+    from flink_tutorial_broadcast_spark.datastream import (
+        StreamExecutionEnvironment,
+    )
+    env = StreamExecutionEnvironment.get_execution_environment(spark)
+    pat = (Pattern.begin("v", "view")
+           .followed_by("c", "click")
+           .followed_by("p", "purchase")
+           .where_agg("sum", "value", "<", 150)
+           .within("48 hours"))
+    return (env.from_dataframe(load(spark, sf_dir, "events"))
+            .key_by("user_id")
+            .pattern(pat)
+            .to_df())
+
+
+@query(
+    "q_cep_where_prev_fork",
+    oracle=f"""
+    WITH e AS (
+      SELECT user_id, value, epoch_us(ts) AS t, event_type,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS i
+      FROM events
+    ), runs AS (
+      SELECT v.user_id, v.i AS vi, v.t AS vt,
+             (SELECT MIN(c.i) FROM e c
+              WHERE c.user_id = v.user_id
+                AND c.event_type = 'click'
+                AND c.i > v.i
+                AND c.t - v.t <= {_CEP_W48_US}) AS ci
+      FROM e v WHERE v.event_type = 'view'
+    )
+    SELECT r.user_id, CAST(COUNT(*) AS BIGINT) AS n_matches
+    FROM runs r JOIN e c ON c.user_id = r.user_id AND c.i = r.ci
+    WHERE EXISTS (
+      SELECT 1 FROM e p
+      WHERE p.user_id = r.user_id AND p.event_type = 'purchase'
+        AND p.i > r.ci AND p.t - r.vt <= {_CEP_W48_US}
+        AND p.value > c.value)
+    GROUP BY r.user_id
+    """,
+)
+def q_cep_where_prev_fork(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """where_prev() on the FORKING (noSkip) family (round 11 — lifts
+    the L178 refusal the round-10 verdict ranked item 4) [FLINK-API:
+    IterativeCondition under AfterMatchSkipStrategy#noSkip comparing
+    against the PREVIOUS matched element]: every view anchors a run;
+    the first in-horizon click promotes ALL awaiting anchors (relaxed
+    drain — Flink's followedBy binds the first qualifying event per
+    stage) and becomes each promoted run's PREV — a pv slot in the
+    per-anchor payload, refreshed at promotion (the L175 payload
+    machinery, one more field); a purchase completes exactly the runs
+    whose prev-click value it exceeds and CONSUMES them. Because each
+    run binds ONE click (the first after its anchor) and consumption
+    fires at the first qualifying purchase, the count collapses to an
+    INDEPENDENT relational statement — bind c(v) = first click after
+    each view (within horizon), then EXISTS a later in-horizon
+    purchase with value > c(v).value — no automaton replay. Property
+    twin: test_cep_fork_prev_matches_brute_force (K=3 distinguishes
+    prev from anchor; K=2 pinned equal to where_rel); streaming
+    convergence: test_pattern_streaming_fork_prev."""
+    from flink_tutorial_broadcast_spark.cep import Pattern
+    from flink_tutorial_broadcast_spark.datastream import (
+        StreamExecutionEnvironment,
+    )
+    env = StreamExecutionEnvironment.get_execution_environment(spark)
+    pat = (Pattern.begin("v", "view")
+           .followed_by("c", "click")
+           .followed_by("p", "purchase")
+           .where_prev("value", ">", "value")
+           .within("48 hours").no_skip())
+    return (env.from_dataframe(load(spark, sf_dir, "events"))
+            .key_by("user_id")
+            .pattern(pat)
+            .to_df())

@@ -101,8 +101,14 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # the five FOUNDATIONAL CEP keys (followed_by/within/not_followed_by/
 # one_or_more/times — registered r4, swapped out of every rotation
 # since). Three single-key modules drain (llm_knn, composite,
-# temporal). After this round 46 oracle keys remain never-sampled —
-# r12 can take ~36 more (same per-module cap), r13 finishes.
+# temporal). Mid-round swaps: new r11 verb keys enter as they land
+# (q_cep_where_agg for q_tpch_q19, q_cep_where_prev_fork for
+# q_vocab_coverage — tpch_full keeps q8/q13/q22, llm_scoring keeps
+# q_lang_stats/q_token_counts_regex;
+# displaced keys are next-rotation picks). After this round 48 of the
+# pre-r11 oracle keys remain never-sampled (37 first-time pre-r11 keys
+# + 2 new r11 keys sampled) — r12 can take ~36 more (same per-module
+# cap), r13 finishes.
 _VERIFICATION_PREFIX = (
     # -- module coverage via ALREADY-SAMPLED reps (these 11 modules
     #    have no never-sampled oracle keys left) --
@@ -123,10 +129,10 @@ _VERIFICATION_PREFIX = (
     "q_tpch_q8",                        # tpch_full 8-table (warmth tail)
     "q_dedup_embed",                    # llm_dedup embedding dedup
     "q_token_counts_regex",             # llm_scoring BPE-ish tokens
-    "q_vocab_coverage",                 # llm_scoring vocab coverage
+    "q_cep_where_prev_fork",            # CEP fork-family prev (NEW r11)
     "q_tpch_q13",                       # tpch_full cust distribution
     "q_tpch_q22",                       # tpch_full global sales opp
-    "q_tpch_q19",                       # tpch_full discounted revenue
+    "q_cep_where_agg",                  # CEP run-aggregate (NEW r11)
     "q_cep_followed_by",                # CEP foundation (r4 key!)
     "q_cep_within",                     # CEP horizon (r4 key!)
     "q_cep_not_followed_by",            # CEP absence (r4 key!)

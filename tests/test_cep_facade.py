@@ -2073,3 +2073,187 @@ def test_pattern_streaming_absence_with_predicates(spark):
                 if anchors[(u, i)] + W_US <= wm_final_us}
     assert got == expected
     assert got and got <= batch
+
+
+def test_pattern_streaming_where_agg(spark, queries):
+    """Streaming where_agg (round 11): the keyed state's aggregate
+    registers reset at anchoring, combine per advance, and survive
+    micro-batch boundaries, so the live counts converge to the
+    oracle-backed batch q_cep_where_agg."""
+    from flink_tutorial_broadcast_spark.streaming.jobs import (
+        _run_to_memory,
+    )
+
+    pat = (Pattern.begin("v", "view")
+           .followed_by("c", "click")
+           .followed_by("p", "purchase")
+           .where_agg("sum", "value", "<", 150)
+           .within("48 hours"))
+    sdf = _two_file_stream(
+        spark, ["user_id", "ts", "event_id", "event_type", "value"])
+    out = (_env(spark).from_dataframe(sdf)
+           .key_by("user_id").pattern(pat).to_df())
+    assert out.isStreaming
+    rows = _run_to_memory(out, "update").collect()
+    final: dict[int, int] = {}
+    for r in rows:
+        final[r["user_id"]] = max(final.get(r["user_id"], 0),
+                                  r["n_matches"])
+    want = {r["user_id"]: r["n_matches"] for r in
+            queries["q_cep_where_agg"](spark, SF_SMOKE).collect()}
+    assert {u: n for u, n in final.items() if n > 0} == want
+    assert want
+
+
+def test_pattern_streaming_where_agg_survives_restart(spark, queries):
+    """L119 restart discipline for the r11 aggregate registers: the
+    relaxed-rel stepper's rg slots (run sum here) must survive stop +
+    resume over one checkpoint — half the events, stop, half 2
+    arrives while down, resume; converged counts equal the
+    oracle-backed batch q_cep_where_agg."""
+    import glob as _glob
+
+    from flink_tutorial_broadcast_spark.streaming.sources import (
+        checkpoint_dir,
+    )
+
+    pat = (Pattern.begin("v", "view")
+           .followed_by("c", "click")
+           .followed_by("p", "purchase")
+           .where_agg("sum", "value", "<", 150)
+           .within("48 hours"))
+    ev = load(spark, SF_SMOKE, "events").select(
+        "user_id", "ts", "event_id", "event_type", "value")
+    split_ts = ev.agg(
+        F.percentile_approx("ts", 0.5).alias("m")).collect()[0]["m"]
+    src_dir = tempfile.mkdtemp(prefix="cep_r11_restart_agg_s_")
+    out_dir = tempfile.mkdtemp(prefix="cep_r11_restart_agg_o_")
+    ckpt = checkpoint_dir()
+    (ev.filter(F.col("ts") <= F.lit(split_ts))
+     .coalesce(1).write.parquet(os.path.join(src_dir, "f=0")))
+
+    def run():
+        sdf = (spark.readStream
+               .schema("user_id long, ts timestamp, event_id long, "
+                       "event_type string, value double")
+               .option("maxFilesPerTrigger", "1")
+               .option("recursiveFileLookup", "true")
+               .parquet(src_dir))
+        out = (_env(spark).from_dataframe(sdf)
+               .key_by("user_id").pattern(pat).to_df())
+
+        def body(batch_df, batch_id):
+            (batch_df.write.mode("overwrite")
+             .parquet(os.path.join(out_dir, f"batch={batch_id}")))
+
+        q = (out.writeStream.foreachBatch(body)
+             .outputMode("update")
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        q.awaitTermination()
+
+    run()
+    (ev.filter(F.col("ts") > F.lit(split_ts))
+     .coalesce(1).write.parquet(os.path.join(src_dir, "f=1")))
+    run()
+
+    final: dict[int, int] = {}
+    for p in _glob.glob(os.path.join(out_dir, "batch=*")):
+        for r in spark.read.parquet(p).collect():
+            final[r.user_id] = max(final.get(r.user_id, 0),
+                                   r.n_matches)
+    want = {r.user_id: r.n_matches for r in
+            queries["q_cep_where_agg"](spark, SF_SMOKE).collect()}
+    assert {u: n for u, n in final.items() if n > 0} == want
+    assert want
+
+
+def test_pattern_streaming_fork_prev(spark, queries):
+    """Streaming where_prev on the fork family (round 11): the
+    per-anchor payload's prev slots refresh at promotion and survive
+    micro-batch boundaries; converged counts equal the oracle-backed
+    batch q_cep_where_prev_fork."""
+    from flink_tutorial_broadcast_spark.streaming.jobs import (
+        _run_to_memory,
+    )
+
+    pat = (Pattern.begin("v", "view")
+           .followed_by("c", "click")
+           .followed_by("p", "purchase")
+           .where_prev("value", ">", "value")
+           .within("48 hours").no_skip())
+    sdf = _two_file_stream(
+        spark, ["user_id", "ts", "event_id", "event_type", "value"])
+    out = (_env(spark).from_dataframe(sdf)
+           .key_by("user_id").pattern(pat).to_df())
+    assert out.isStreaming
+    rows = _run_to_memory(out, "update").collect()
+    final: dict[int, int] = {}
+    for r in rows:
+        final[r["user_id"]] = max(final.get(r["user_id"], 0),
+                                  r["n_matches"])
+    want = {r["user_id"]: r["n_matches"] for r in
+            queries["q_cep_where_prev_fork"](spark, SF_SMOKE).collect()}
+    assert {u: n for u, n in final.items() if n > 0} == want
+    assert want
+
+
+def test_pattern_streaming_fork_prev_survives_restart(spark, queries):
+    """L119 restart discipline for the r11 prev payload slots: stop +
+    resume over one checkpoint with half the events arriving while the
+    query is down — parked runs must keep their bound prev values."""
+    import glob as _glob
+
+    from flink_tutorial_broadcast_spark.streaming.sources import (
+        checkpoint_dir,
+    )
+
+    pat = (Pattern.begin("v", "view")
+           .followed_by("c", "click")
+           .followed_by("p", "purchase")
+           .where_prev("value", ">", "value")
+           .within("48 hours").no_skip())
+    ev = load(spark, SF_SMOKE, "events").select(
+        "user_id", "ts", "event_id", "event_type", "value")
+    split_ts = ev.agg(
+        F.percentile_approx("ts", 0.5).alias("m")).collect()[0]["m"]
+    src_dir = tempfile.mkdtemp(prefix="cep_r11_restart_fp_s_")
+    out_dir = tempfile.mkdtemp(prefix="cep_r11_restart_fp_o_")
+    ckpt = checkpoint_dir()
+    (ev.filter(F.col("ts") <= F.lit(split_ts))
+     .coalesce(1).write.parquet(os.path.join(src_dir, "f=0")))
+
+    def run():
+        sdf = (spark.readStream
+               .schema("user_id long, ts timestamp, event_id long, "
+                       "event_type string, value double")
+               .option("maxFilesPerTrigger", "1")
+               .option("recursiveFileLookup", "true")
+               .parquet(src_dir))
+        out = (_env(spark).from_dataframe(sdf)
+               .key_by("user_id").pattern(pat).to_df())
+
+        def body(batch_df, batch_id):
+            (batch_df.write.mode("overwrite")
+             .parquet(os.path.join(out_dir, f"batch={batch_id}")))
+
+        q = (out.writeStream.foreachBatch(body)
+             .outputMode("update")
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        q.awaitTermination()
+
+    run()
+    (ev.filter(F.col("ts") > F.lit(split_ts))
+     .coalesce(1).write.parquet(os.path.join(src_dir, "f=1")))
+    run()
+
+    final: dict[int, int] = {}
+    for p in _glob.glob(os.path.join(out_dir, "batch=*")):
+        for r in spark.read.parquet(p).collect():
+            final[r.user_id] = max(final.get(r.user_id, 0),
+                                   r.n_matches)
+    want = {r.user_id: r.n_matches for r in
+            queries["q_cep_where_prev_fork"](spark, SF_SMOKE).collect()}
+    assert {u: n for u, n in final.items() if n > 0} == want
+    assert want

@@ -1889,3 +1889,177 @@ def test_variant_union_one_or_more_refuses(spark):
     with pytest.raises(NotImplementedError, match="one_or_more"):
         compile_pattern_stream(pat, sdf, ["user_id"], "ts",
                                "event_id", "event_type")
+
+
+# -- where_agg run-aggregate conditions (round 11) ----------------------
+
+def _ref_relaxed_agg(seq, stages, within_min, agg_stage, fn, threshold):
+    """Independent reference for where_agg on the single-anchor
+    machine: stage `agg_stage` additionally requires FN(value over the
+    run's matched events INCLUDING the candidate) OP threshold —
+    coded imperatively (running list, recompute per test), NOT as
+    registers, so a register-update bug in the engine can't be
+    mirrored here."""
+    import statistics
+    K = len(stages)
+    stage, cnt, a_m = 0, 0, 0
+    run_vals: list[float] = []
+    for m, ty, v in seq:
+        if stage > 0 and within_min is not None and m - a_m > within_min:
+            stage = 0
+        ok = ty == stages[stage]
+        if ok and stage == agg_stage:
+            vals = run_vals + [v]
+            agg = {"sum": sum, "min": min, "max": max,
+                   "count": len,
+                   "avg": statistics.fmean}[fn](vals)
+            ok = agg < threshold
+        if ok:
+            if stage == 0:
+                a_m, run_vals = m, []
+            run_vals.append(v)
+            stage += 1
+            if stage == K:
+                cnt, stage = cnt + 1, 0
+    return cnt
+
+
+@settings(max_examples=10, deadline=None)
+@given(rows=seq_val_strategy)
+def test_cep_where_agg_sum_matches_python_nfa(spark, rows):
+    """where_agg('sum', ...) == an imperative automaton recomputing the
+    run aggregate from the matched-events list each test (the engine
+    carries O(1) registers — the reference deliberately does not)."""
+    pat = (Pattern.begin("v", "view")
+           .followed_by("c", "click")
+           .followed_by("p", "purchase")
+           .where_agg("sum", "value", "<", 300)
+           .within("12 hours"))
+    got = _run(spark, _mk_val(spark, rows), pat)
+    want = {u: _ref_relaxed_agg(seq, ["view", "click", "purchase"],
+                                720, 2, "sum", 300)
+            for u, seq in _per_user_ordered_val(rows).items()}
+    assert got == {u: n for u, n in want.items() if n > 0}
+
+
+@settings(max_examples=10, deadline=None)
+@given(rows=seq_val_strategy)
+def test_cep_where_agg_max_mid_stage_matches_python_nfa(spark, rows):
+    """where_agg('max', ...) attached to a MID stage (not the final
+    one): the aggregate test runs where the verb was attached, and
+    later stages admit unconditionally."""
+    pat = (Pattern.begin("v", "view")
+           .followed_by("c", "click")
+           .where_agg("max", "value", "<", 150)
+           .followed_by("p", "purchase")
+           .within("12 hours"))
+    got = _run(spark, _mk_val(spark, rows), pat)
+    want = {u: _ref_relaxed_agg(seq, ["view", "click", "purchase"],
+                                720, 1, "max", 150)
+            for u, seq in _per_user_ordered_val(rows).items()}
+    assert got == {u: n for u, n in want.items() if n > 0}
+
+
+def test_where_agg_refusals(spark):
+    """where_agg scope rules refuse loudly: begin stage, bad fn/op,
+    doubled verb, forking family, variant union, match extraction."""
+    import pytest
+
+    from flink_tutorial_broadcast_spark.cep import (
+        compile_pattern, compile_pattern_matches,
+    )
+
+    with pytest.raises(NotImplementedError, match="begin"):
+        Pattern.begin("v", "view").where_agg("sum", "value", "<", 5)
+    with pytest.raises(ValueError, match="fn"):
+        (Pattern.begin("v", "view").followed_by("p", "purchase")
+         .where_agg("median", "value", "<", 5))
+    with pytest.raises(ValueError, match="op"):
+        (Pattern.begin("v", "view").followed_by("p", "purchase")
+         .where_agg("sum", "value", "~", 5))
+    with pytest.raises(NotImplementedError, match="one where_agg"):
+        (Pattern.begin("v", "view").followed_by("p", "purchase")
+         .where_agg("sum", "value", "<", 5)
+         .where_agg("max", "value", "<", 9))
+
+    df = _mk_val(spark, [(0, 0, 0, 10)])
+    pat_fork = (Pattern.begin("v", "view")
+                .followed_by("p", "purchase")
+                .where_agg("sum", "value", "<", 5)
+                .within("12 hours").no_skip())
+    with pytest.raises(NotImplementedError, match="single-anchor"):
+        compile_pattern(pat_fork, df, ["user_id"], "ts", "event_id",
+                        "event_type")
+    pat_opt = (Pattern.begin("v", "view")
+               .followed_by("c", "click").optional()
+               .followed_by("p", "purchase")
+               .where_agg("sum", "value", "<", 5)
+               .within("12 hours").no_skip())
+    with pytest.raises(NotImplementedError, match="variant union"):
+        compile_pattern(pat_opt, df, ["user_id"], "ts", "event_id",
+                        "event_type")
+    pat_m = (Pattern.begin("v", "view")
+             .followed_by("p", "purchase")
+             .where_agg("sum", "value", "<", 5)
+             .within("12 hours"))
+    with pytest.raises(NotImplementedError, match="counts only"):
+        compile_pattern_matches(pat_m, df, ["user_id"], "ts",
+                                "event_id", "event_type")
+
+
+# -- where_prev on the forking family (round 11) ------------------------
+
+def _ref_fork_prev(seq, stages, within_min):
+    """Independent reference for where_prev under no_skip(): forking
+    NFA whose anchor entries carry (anchor_minute, prev_value); a
+    promotion event refreshes prev for every run it promotes; the
+    final stage requires v > prev and consumes qualifying runs."""
+    K = len(stages)
+    sets = [[] for _ in range(K - 1)]  # (anchor_m, prev_v)
+    cnt = 0
+    for m, ty, v in seq:
+        if within_min is not None:
+            sets = [[a for a in s if m - a[0] <= within_min]
+                    for s in sets]
+        old = [list(s) for s in sets]
+        if ty == stages[K - 1]:
+            cnt += sum(1 for a in old[K - 2] if v > a[1])
+            sets[K - 2] = [a for a in old[K - 2] if not (v > a[1])]
+        for i in range(1, K - 1):
+            if ty == stages[i]:
+                sets[i] = sets[i] + [(a[0], v) for a in old[i - 1]]
+                sets[i - 1] = []
+        if ty == stages[0]:
+            sets[0] = sets[0] + [(m, v)]
+    return cnt
+
+
+@settings(max_examples=10, deadline=None)
+@given(rows=seq_val_strategy)
+def test_cep_fork_prev_matches_brute_force(spark, rows):
+    """r11 (lifts the L178 refusal): where_prev under no_skip() == a
+    forking automaton whose per-anchor payload carries the prev value,
+    refreshed at promotion. K=3 (view->click->purchase) distinguishes
+    prev (the click) from the anchor (the view); K=2 must coincide
+    with where_rel's fork count (prev IS the anchor there)."""
+    pat3 = (Pattern.begin("v", "view")
+            .followed_by("c", "click")
+            .followed_by("p", "purchase")
+            .where_prev("value", ">", "value")
+            .within("12 hours").no_skip())
+    got3 = _run(spark, _mk_val(spark, rows), pat3)
+    want3 = {u: _ref_fork_prev(seq, ["view", "click", "purchase"], 720)
+             for u, seq in _per_user_ordered_val(rows).items()}
+    assert got3 == {u: n for u, n in want3.items() if n > 0}
+
+    pat2p = (Pattern.begin("v", "view")
+             .followed_by("p", "purchase")
+             .where_prev("value", ">", "value")
+             .within("12 hours").no_skip())
+    pat2r = (Pattern.begin("v", "view")
+             .followed_by("p", "purchase")
+             .where_rel("value", ">", "value")
+             .within("12 hours").no_skip())
+    got2p = _run(spark, _mk_val(spark, rows), pat2p)
+    got2r = _run(spark, _mk_val(spark, rows), pat2r)
+    assert got2p == got2r
