@@ -1637,8 +1637,9 @@ def _zero_or_more(pat, df, keys, time_col, tiebreak_col, event_col):
     event), length >= 1 is exactly the bounded fork-loop's count —
     so the per-key counts ADD. Both addends are already-pinned
     machines; the loop side's own gates (within + no_skip, final
-    stage) and until() flow through unchanged. Batch only; streaming
-    refuses loudly in compile_pattern_stream."""
+    stage) and until() flow through unchanged. Streaming compiles too
+    since r11 — zero_or_more_stepper runs both addends side by side
+    in one keyed state row (the partition argument is order-free)."""
     if pat._has_rel() or pat._has_agg():
         raise NotImplementedError(
             "where_rel()/where_agg() with zeroOrMore is not compiled")
@@ -2928,6 +2929,108 @@ def fork_loop_stepper(type_codes: dict[str, int] | None,
     return step
 
 
+def zero_or_more_stepper(stage_bits: list[int], within_us: int,
+                         strict: list[bool] | None = None,
+                         key_cols: list[str] | None = None,
+                         until_bit: int = 0):
+    """applyInPandasWithState step for streaming zeroOrMore (r11 —
+    replaces the r10 refusal): the batch sum-of-machines argument
+    carries to streams because the two addends are INDEPENDENT
+    machines over the same event sequence — so ONE keyed state row
+    runs BOTH side by side and one counter accumulates their summed
+    increments. Loop-length >= 1 matches step the fork-loop machinery
+    (anchor sets + parked loop, until-kill included); loop-length 0
+    matches step the PREFIX machinery — the (K-1)-stage fork machine,
+    or a plain per-event counter when the prefix is the begin stage
+    alone. State = the fork-loop stepper's row plus the prefix fork
+    sets, all horizon-bounded by the same within density."""
+    from collections import deque
+    K = len(stage_bits)
+    strict = strict or [False] * K
+    key_cols = key_cols or ["key"]
+    nk = len(key_cols)
+
+    def step(key, pdf_iter, state):
+        import pandas as pd
+        if state.exists:
+            got = state.get
+            cnt = got[0]
+            sets = [deque(sorted(s)) for s in got[1:K]]
+            lp = deque(sorted(got[K]))
+            psets = [deque(sorted(s)) for s in got[K + 1:]]
+        else:
+            cnt = 0
+            sets = [deque() for _ in range(K - 1)]
+            lp = deque()
+            psets = [deque() for _ in range(max(K - 2, 0))]
+        rows = []
+        for pdf in pdf_iter:
+            rows.extend(_batch_rows(pdf, nk, None))
+        for t, _, c in sorted(rows):
+            for s in sets:
+                while s and t - s[0] > within_us:
+                    s.popleft()
+            while lp and t - lp[0] > within_us:
+                lp.popleft()
+            for s in psets:
+                while s and t - s[0] > within_us:
+                    s.popleft()
+            match = [bool(c & stage_bits[i]) for i in range(K)]
+            iu = bool(c & until_bit)
+            # -- loop addend: the fork-loop transition (≡
+            #    fork_loop_stepper) --
+            if match[K - 1] and not iu:
+                if K >= 2:
+                    cnt += len(sets[K - 2]) + len(lp)
+                    _ext_sorted(lp, sets[K - 2])
+                else:
+                    cnt += 1 + len(lp)
+                    _ins_sorted(lp, t)
+            for i in range(K - 2, -1, -1):
+                if strict[i + 1] or match[i + 1]:
+                    base = deque()
+                else:
+                    base = sets[i]
+                if match[i] and not (iu and i == K - 2):
+                    if i == 0:
+                        _ins_sorted(base, t)
+                    else:
+                        _ext_sorted(base, sets[i - 1])
+                sets[i] = base
+            if iu:
+                lp = deque()
+                if K >= 2:
+                    sets[K - 2] = deque()
+            # -- prefix addend: the (K-1)-stage fork transition (≡
+            #    fork_stepper), or the plain anchor counter --
+            if K == 2:
+                if match[0]:
+                    cnt += 1
+            else:
+                # the prefix machine's close stage is the FULL
+                # pattern's penultimate stage (index K-2); its
+                # penultimate set is psets[K-3] (valid for all K >= 3)
+                if match[K - 2]:
+                    cnt += len(psets[K - 3])
+                for i in range(K - 3, -1, -1):
+                    if strict[i + 1] or match[i + 1]:
+                        base = deque()
+                    else:
+                        base = psets[i]
+                    if match[i]:
+                        if i == 0:
+                            _ins_sorted(base, t)
+                        else:
+                            _ext_sorted(base, psets[i - 1])
+                    psets[i] = base
+        state.update((cnt, *[list(s) for s in sets], list(lp),
+                      *[list(s) for s in psets]))
+        yield pd.DataFrame(
+            {**{kc: [key[i]] for i, kc in enumerate(key_cols)},
+             "n_matches": [cnt]})
+    return step
+
+
 def fork_rel_stepper(stage_bits: list[int], rels: list,
                      acols: list[str], vcols: list[str],
                      within_us: int | None,
@@ -3983,9 +4086,60 @@ def compile_pattern_stream(pat: Pattern, sdf: DataFrame,
 
     if pat.stages and pat.stages[-1].one_or_more \
             and pat.stages[-1].optional:
-        raise NotImplementedError(
-            "streaming zeroOrMore (one_or_more().optional()) is not "
-            "compiled — run the batch sum-of-machines compile")
+        # streaming zeroOrMore (r11 — replaces the r10 refusal): both
+        # addends already had steppers (prefix fork + fork loop); the
+        # batch match-set partition argument (loop length 0 vs >= 1)
+        # is order-free, so one state row runs them side by side and
+        # sums — see zero_or_more_stepper. Batch gates mirrored.
+        if pat._has_rel() or pat._has_agg():
+            raise NotImplementedError(
+                "where_rel()/where_agg() with zeroOrMore is not "
+                "compiled")
+        if len(pat.stages) < 2:
+            raise NotImplementedError(
+                "zeroOrMore as the only stage is not compiled (every "
+                "position would hold an empty match) — anchor it "
+                "with a prefix stage")
+        if any(s.optional or s.times_hi is not None
+               for s in pat.stages[:-1]):
+            raise NotImplementedError(
+                "zeroOrMore with a non-final optional()/times(a, b) "
+                "stage is not compiled (the loop addend runs on the "
+                "fork-loop machine, which carries fixed stages) — "
+                "drop the mid-pattern quantifier or split the pattern")
+        loop_pat = Pattern(
+            stages=(list(pat.stages[:-1])
+                    + [replace(pat.stages[-1], optional=False)]),
+            within_us=pat.within_us, skip=pat.skip)
+        if loop_pat._family() != "fork_loop":
+            raise NotImplementedError(
+                "streaming zeroOrMore carries the bounded fork-loop "
+                "shape only — final relaxed one_or_more().optional() "
+                "under within(d) + no_skip()")
+        xp = loop_pat._expanded()
+        proj = sdf.select(*keys, time_col, tiebreak_col,
+                          _cond_mask_col(xp, event_col).alias("__m"))
+        zkey_schema = ", ".join(
+            f"{k} {_key_sql_type(proj, k)}" for k in keys)
+        Kz = len(xp.stages)
+        u_sql = xp.stages[-1].until_sql
+        ub = (0 if u_sql is None
+              else 1 << (_cond_codes(xp)[("__until__", u_sql)] - 1))
+        fn = zero_or_more_stepper(_stage_bits(xp), xp.within_us,
+                                  _strict_flags(xp), key_cols=keys,
+                                  until_bit=ub)
+        state_schema = ("cnt long, "
+                        + ", ".join([f"s{i} array<long>"
+                                     for i in range(1, Kz)]
+                                    + ["lp array<long>"]
+                                    + [f"p{i} array<long>"
+                                       for i in range(1, Kz - 1)]))
+        return proj.groupBy(*keys).applyInPandasWithState(
+            fn,
+            outputStructType=f"{zkey_schema}, n_matches long",
+            stateStructType=state_schema,
+            outputMode="Update",
+            timeoutConf=GroupStateTimeout.NoTimeout)
     if pat._has_opt_range():
         # r10: streaming optional()/times(a, b) — the batch union-of-
         # variants argument carries to streams (the variants are

@@ -2257,3 +2257,115 @@ def test_pattern_streaming_fork_prev_survives_restart(spark, queries):
             queries["q_cep_where_prev_fork"](spark, SF_SMOKE).collect()}
     assert {u: n for u, n in final.items() if n > 0} == want
     assert want
+
+
+def test_pattern_streaming_zero_or_more_converges(spark, queries):
+    """Streaming zeroOrMore (round 11 — replaces the r10 refusal): one
+    keyed-state row runs the prefix and fork-loop addends side by
+    side; converged counts equal the oracle-backed batch
+    q_cep_zero_or_more (2-stage shape) AND the batch compile for a
+    K=3 shape (the prefix fork machinery path)."""
+    from flink_tutorial_broadcast_spark.cep import (
+        compile_pattern, compile_pattern_stream,
+    )
+    from flink_tutorial_broadcast_spark.streaming.jobs import (
+        _run_to_memory,
+    )
+
+    # 2-stage: the oracle-backed registered key
+    pat2 = (Pattern.begin("v", "view")
+            .followed_by("p", "purchase").one_or_more().optional()
+            .within("48 hours").no_skip())
+    sdf = _two_file_stream(
+        spark, ["user_id", "ts", "event_id", "event_type"])
+    out = (_env(spark).from_dataframe(sdf)
+           .key_by("user_id").pattern(pat2).to_df())
+    assert out.isStreaming
+    final: dict[int, int] = {}
+    for r in _run_to_memory(out, "update").collect():
+        final[r["user_id"]] = max(final.get(r["user_id"], 0),
+                                  r["n_matches"])
+    want = {r["user_id"]: r["n_matches"] for r in
+            queries["q_cep_zero_or_more"](spark, SF_SMOKE).collect()}
+    assert {u: n for u, n in final.items() if n > 0} == want
+    assert want
+
+    # K=3: view -> click -> purchase* (prefix = 2-stage fork machine)
+    pat3 = (Pattern.begin("v", "view")
+            .followed_by("c", "click")
+            .followed_by("p", "purchase").one_or_more().optional()
+            .within("48 hours").no_skip())
+    ev = load(spark, SF_SMOKE, "events")
+    batch3 = {r["user_id"]: r["n_matches"] for r in
+              compile_pattern(pat3, ev, ["user_id"], "ts",
+                              "event_id", "event_type").collect()}
+    sdf3 = _two_file_stream(
+        spark, ["user_id", "ts", "event_id", "event_type"])
+    out3 = compile_pattern_stream(pat3, sdf3, ["user_id"], "ts",
+                                  "event_id", "event_type")
+    final3: dict[int, int] = {}
+    for r in _run_to_memory(out3, "update").collect():
+        final3[r["user_id"]] = max(final3.get(r["user_id"], 0),
+                                   r["n_matches"])
+    assert {u: n for u, n in final3.items() if n > 0} == batch3
+    assert batch3
+
+
+def test_pattern_streaming_zero_or_more_survives_restart(spark,
+                                                         queries):
+    """L119 restart discipline for the r11 zeroOrMore stepper: both
+    addends' sets (loop anchor sets + parked loop + prefix sets) must
+    carry across stop + resume over one checkpoint."""
+    import glob as _glob
+
+    from flink_tutorial_broadcast_spark.streaming.sources import (
+        checkpoint_dir,
+    )
+
+    pat = (Pattern.begin("v", "view")
+           .followed_by("p", "purchase").one_or_more().optional()
+           .within("48 hours").no_skip())
+    ev = load(spark, SF_SMOKE, "events").select(
+        "user_id", "ts", "event_id", "event_type")
+    split_ts = ev.agg(
+        F.percentile_approx("ts", 0.5).alias("m")).collect()[0]["m"]
+    src_dir = tempfile.mkdtemp(prefix="cep_r11_restart_zom_s_")
+    out_dir = tempfile.mkdtemp(prefix="cep_r11_restart_zom_o_")
+    ckpt = checkpoint_dir()
+    (ev.filter(F.col("ts") <= F.lit(split_ts))
+     .coalesce(1).write.parquet(os.path.join(src_dir, "f=0")))
+
+    def run():
+        sdf = (spark.readStream
+               .schema("user_id long, ts timestamp, event_id long, "
+                       "event_type string")
+               .option("maxFilesPerTrigger", "1")
+               .option("recursiveFileLookup", "true")
+               .parquet(src_dir))
+        out = (_env(spark).from_dataframe(sdf)
+               .key_by("user_id").pattern(pat).to_df())
+
+        def body(batch_df, batch_id):
+            (batch_df.write.mode("overwrite")
+             .parquet(os.path.join(out_dir, f"batch={batch_id}")))
+
+        q = (out.writeStream.foreachBatch(body)
+             .outputMode("update")
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        q.awaitTermination()
+
+    run()
+    (ev.filter(F.col("ts") > F.lit(split_ts))
+     .coalesce(1).write.parquet(os.path.join(src_dir, "f=1")))
+    run()
+
+    final: dict[int, int] = {}
+    for p in _glob.glob(os.path.join(out_dir, "batch=*")):
+        for r in spark.read.parquet(p).collect():
+            final[r.user_id] = max(final.get(r.user_id, 0),
+                                   r.n_matches)
+    want = {r.user_id: r.n_matches for r in
+            queries["q_cep_zero_or_more"](spark, SF_SMOKE).collect()}
+    assert {u: n for u, n in final.items() if n > 0} == want
+    assert want

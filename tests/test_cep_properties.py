@@ -1640,20 +1640,38 @@ def test_cep_zero_or_more_matches_brute_force(spark, rows):
     assert got3 == {u: n for u, n in want3.items() if n > 0}
 
 
-def test_zero_or_more_streaming_refuses(spark):
+def test_zero_or_more_streaming_gate_edges(spark):
+    """r11 replaced the blanket streaming-zeroOrMore refusal with the
+    side-by-side stepper; the remaining refusal edges (mid-pattern
+    optional, rel conditions, non-fork_loop shapes) still raise."""
     import pytest
 
     from flink_tutorial_broadcast_spark.cep import compile_pattern_stream
 
-    pat = (Pattern.begin("v", "view")
-           .followed_by("p", "purchase").one_or_more().optional()
-           .within("12 hours").no_skip())
     sdf = (spark.readStream.format("rate").load()
            .selectExpr("CAST(value AS LONG) AS user_id",
                        "timestamp AS ts", "value AS event_id",
-                       "'view' AS event_type"))
+                       "'view' AS event_type",
+                       "CAST(value AS DOUBLE) AS value"))
+    pat_mid = (Pattern.begin("v", "view")
+               .followed_by("c", "click").optional()
+               .followed_by("p", "purchase").one_or_more().optional()
+               .within("12 hours").no_skip())
+    with pytest.raises(NotImplementedError, match="non-final"):
+        compile_pattern_stream(pat_mid, sdf, ["user_id"], "ts",
+                               "event_id", "event_type")
+    pat_rel = (Pattern.begin("v", "view")
+               .followed_by("p", "purchase").one_or_more()
+               .where_rel("value", ">", "value").optional()
+               .within("12 hours").no_skip())
     with pytest.raises(NotImplementedError, match="zeroOrMore"):
-        compile_pattern_stream(pat, sdf, ["user_id"], "ts",
+        compile_pattern_stream(pat_rel, sdf, ["user_id"], "ts",
+                               "event_id", "event_type")
+    pat_noskip = (Pattern.begin("v", "view")
+                  .followed_by("p", "purchase").one_or_more()
+                  .optional().within("12 hours"))
+    with pytest.raises(NotImplementedError, match="fork-loop"):
+        compile_pattern_stream(pat_noskip, sdf, ["user_id"], "ts",
                                "event_id", "event_type")
 
 
