@@ -3163,7 +3163,8 @@ def fork_rel_stepper(stage_bits: list[int], rels: list,
 
 def skip_strategy_stepper(stage_bits: list[int], mode: str,
                           jn: int | None, within_us: int | None,
-                          key_cols: list[str] | None = None):
+                          key_cols: list[str] | None = None,
+                          bindings: bool = False):
     """applyInPandasWithState twin of _skip_strategy_matches (r10):
     streaming AfterMatchSkipStrategy counts. The noSkip enumeration's
     candidates complete in (end event, anchor) order — exactly the
@@ -3176,7 +3177,13 @@ def skip_strategy_stepper(stage_bits: list[int], mode: str,
     live anchor's rn, so intervals with hi below the minimum live
     anchor rn are dropped each step — with within() the anchor sets
     expire, so the interval list is bounded by the same horizon
-    density as the anchor state itself."""
+    density as the anchor state itself. With ``bindings=True`` (r11 —
+    replaces the divergences-row-15 refusal) the stepper APPENDS one
+    row per surviving candidate instead of emitting running counts:
+    (match_no, start_event_id, end_event_id, span_us), match_no being
+    the per-key completion index — byte-identical to the batch
+    _skip_strategy_matches output because survivals happen in exactly
+    the batch prune's candidate order."""
     K = len(stage_bits)
     key_cols = key_cols or ["key"]
     nk = len(key_cols)
@@ -3201,6 +3208,7 @@ def skip_strategy_stepper(stage_bits: list[int], mode: str,
         rows = []
         for pdf in pdf_iter:
             rows.extend(_batch_rows(pdf, nk, None))
+        out = []
         for t, eid, c in sorted(rows):
             rn = rn_next
             rn_next += 1
@@ -3216,6 +3224,8 @@ def skip_strategy_stepper(stage_bits: list[int], mode: str,
                     if any(l <= s_rn <= h for l, h in zip(lo, hi)):
                         continue
                     cnt += 1
+                    if bindings:
+                        out.append((cnt, a[1], eid, t - a[0]))
                     if mode == "to_next":
                         lo.append(s_rn)
                         hi.append(s_rn)
@@ -3254,9 +3264,18 @@ def skip_strategy_stepper(stage_bits: list[int], mode: str,
             flat.extend(([a[0] for a in s], [a[1] for a in s],
                          [a[2] for a in s], [a[3] for a in s]))
         state.update(tuple(flat))
-        yield pd.DataFrame(
-            {**{kc: [key[i]] for i, kc in enumerate(key_cols)},
-             "n_matches": [cnt]})
+        if bindings:
+            yield pd.DataFrame(
+                {**{kc: [key[i]] * len(out)
+                    for i, kc in enumerate(key_cols)},
+                 "match_no": [m for m, *_ in out],
+                 "start_event_id": [s for _, s, *_ in out],
+                 "end_event_id": [e for _, _, e, _ in out],
+                 "span_us": [sp for *_, sp in out]})
+        else:
+            yield pd.DataFrame(
+                {**{kc: [key[i]] for i, kc in enumerate(key_cols)},
+                 "n_matches": [cnt]})
     return step
 
 
@@ -4483,12 +4502,46 @@ def compile_pattern_matches_stream(pat: Pattern, sdf: DataFrame,
             "— match extraction with run-dependent conditions is not "
             "compiled")
     fam = pat._family()
+    if fam == "skip_strategy":
+        # r11 (replaces divergences row 15's remaining refusal): the
+        # counts stepper already runs the kill-interval prune inline
+        # and survivals happen in exactly the batch prune's candidate
+        # order — so bindings emission is the same stepper in append
+        # mode, one row per surviving candidate
+        xp = pat._expanded()
+        jn = None
+        if pat.skip in ("to_first", "to_last"):
+            base = [s.name.split("#")[0] for s in xp.stages]
+            idx = [i for i, b in enumerate(base) if b == pat.skip_ref]
+            jn = idx[0] if pat.skip == "to_first" else idx[-1]
+        proj = sdf.select(*keys, time_col, tiebreak_col,
+                          _cond_mask_col(xp, event_col).alias("__m"))
+        skey_schema = ", ".join(
+            f"{k} {_key_sql_type(proj, k)}" for k in keys)
+        Ks = len(xp.stages)
+        state_schema = ("cnt long, rn long, klo array<long>, "
+                        "khi array<long>" + "".join(
+                            f", s{i}t array<long>, s{i}i array<long>"
+                            f", s{i}r array<long>, s{i}n array<long>"
+                            for i in range(1, Ks)))
+        fn = skip_strategy_stepper(_stage_bits(xp), pat.skip, jn,
+                                   xp.within_us, key_cols=keys,
+                                   bindings=True)
+        return proj.groupBy(*keys).applyInPandasWithState(
+            fn,
+            outputStructType=f"{skey_schema}, match_no long, "
+                             "start_event_id long, end_event_id long, "
+                             "span_us long",
+            stateStructType=state_schema,
+            outputMode="Append",
+            timeoutConf=GroupStateTimeout.NoTimeout)
     if fam not in ("relaxed", "relaxed_within", "fork", "fork_loop",
                    "strict"):
         raise NotImplementedError(
             "streaming pattern_matches() carries the relaxed "
             "followed_by machines (skip-past-last, bounded, no_skip, "
-            "bounded one_or_more) and fixed strict chains")
+            "bounded one_or_more), fixed strict chains, and the "
+            "skip_to_* strategies")
     if fam == "strict" and any(s.one_or_more for s in pat.stages):
         raise NotImplementedError(
             "strict-chain match extraction carries FIXED strings "

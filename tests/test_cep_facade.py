@@ -2369,3 +2369,115 @@ def test_pattern_streaming_zero_or_more_survives_restart(spark,
             queries["q_cep_zero_or_more"](spark, SF_SMOKE).collect()}
     assert {u: n for u, n in final.items() if n > 0} == want
     assert want
+
+
+def test_pattern_streaming_skip_strategy_bindings(spark):
+    """Streaming skip-strategy BINDINGS (round 11 — replaces
+    divergences row 15's remaining refusal): the counts stepper's
+    survivals happen in exactly the batch prune's candidate order, so
+    append-mode emission of (match_no, start, end, span) must equal
+    the batch _skip_strategy_matches rows EXACTLY — match_no included
+    — for all four strategies."""
+    from flink_tutorial_broadcast_spark.cep import (
+        compile_pattern_matches, compile_pattern_matches_stream,
+    )
+    from flink_tutorial_broadcast_spark.streaming.jobs import (
+        _run_to_memory,
+    )
+
+    def mk_pat(which):
+        if which in ("to_first", "to_last"):
+            p = (Pattern.begin("v", "view")
+                 .followed_by("c", "click").times(2)
+                 .followed_by("p", "purchase").within("48 hours"))
+            return (p.skip_to_first("c") if which == "to_first"
+                    else p.skip_to_last("c"))
+        p = (Pattern.begin("v", "view")
+             .followed_by("c", "click")
+             .followed_by("p", "purchase").within("48 hours"))
+        return (p.skip_to_next() if which == "to_next"
+                else p.skip_past_last_event())
+
+    ev = load(spark, SF_SMOKE, "events")
+    for which in ("to_next", "past_last_event", "to_first", "to_last"):
+        want = {(r["user_id"], r["match_no"], r["start_event_id"],
+                 r["end_event_id"], r["span_us"]) for r in
+                compile_pattern_matches(
+                    mk_pat(which), ev, ["user_id"], "ts",
+                    "event_id", "event_type").collect()}
+        sdf = _two_file_stream(
+            spark, ["user_id", "ts", "event_id", "event_type"])
+        out = compile_pattern_matches_stream(
+            mk_pat(which), sdf, ["user_id"], "ts", "event_id",
+            "event_type")
+        assert out.isStreaming
+        got = {(r["user_id"], r["match_no"], r["start_event_id"],
+                r["end_event_id"], r["span_us"]) for r in
+               _run_to_memory(out, "append").collect()}
+        assert got == want, which
+        assert want, which
+
+
+def test_pattern_streaming_skip_bindings_survive_restart(spark):
+    """L119 restart discipline for the r11 bindings mode: kill
+    intervals and anchor payloads carry across stop + resume; the
+    union of both runs' appended rows equals the batch bindings."""
+    import glob as _glob
+
+    from flink_tutorial_broadcast_spark.cep import (
+        compile_pattern_matches, compile_pattern_matches_stream,
+    )
+    from flink_tutorial_broadcast_spark.streaming.sources import (
+        checkpoint_dir,
+    )
+
+    pat = (Pattern.begin("v", "view")
+           .followed_by("c", "click")
+           .followed_by("p", "purchase").within("48 hours")
+           .skip_past_last_event())
+    ev = load(spark, SF_SMOKE, "events").select(
+        "user_id", "ts", "event_id", "event_type")
+    split_ts = ev.agg(
+        F.percentile_approx("ts", 0.5).alias("m")).collect()[0]["m"]
+    src_dir = tempfile.mkdtemp(prefix="cep_r11_restart_skb_s_")
+    out_dir = tempfile.mkdtemp(prefix="cep_r11_restart_skb_o_")
+    ckpt = checkpoint_dir()
+    (ev.filter(F.col("ts") <= F.lit(split_ts))
+     .coalesce(1).write.parquet(os.path.join(src_dir, "f=0")))
+
+    def run():
+        sdf = (spark.readStream
+               .schema("user_id long, ts timestamp, event_id long, "
+                       "event_type string")
+               .option("maxFilesPerTrigger", "1")
+               .option("recursiveFileLookup", "true")
+               .parquet(src_dir))
+        out = compile_pattern_matches_stream(
+            pat, sdf, ["user_id"], "ts", "event_id", "event_type")
+
+        def body(batch_df, batch_id):
+            (batch_df.write.mode("overwrite")
+             .parquet(os.path.join(out_dir, f"batch={batch_id}")))
+
+        q = (out.writeStream.foreachBatch(body)
+             .outputMode("append")
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        q.awaitTermination()
+
+    run()
+    (ev.filter(F.col("ts") > F.lit(split_ts))
+     .coalesce(1).write.parquet(os.path.join(src_dir, "f=1")))
+    run()
+
+    got = set()
+    for p in _glob.glob(os.path.join(out_dir, "batch=*")):
+        for r in spark.read.parquet(p).collect():
+            got.add((r.user_id, r.match_no, r.start_event_id,
+                     r.end_event_id, r.span_us))
+    want = {(r["user_id"], r["match_no"], r["start_event_id"],
+             r["end_event_id"], r["span_us"]) for r in
+            compile_pattern_matches(pat, ev, ["user_id"], "ts",
+                                    "event_id", "event_type").collect()}
+    assert got == want
+    assert want
