@@ -196,6 +196,78 @@ class Pattern:
     def begin(name: str, event_type: str) -> "Pattern":
         return Pattern(stages=[_Stage(name, event_type, "begin")])
 
+    # -- pattern GROUPS [FLINK-API: GroupPattern — Pattern.begin(
+    #    Pattern) / #followedBy(Pattern) / #next(Pattern)] (r11) ----
+    #
+    # A group is a SUB-PATTERN used as one composite stage; the only
+    # group quantifier Flink users reach for in practice is fixed
+    # times(n), which expands to n concatenated copies of the group's
+    # stages under the quantifier's default relaxed internal
+    # contiguity (the L149 stage-expansion argument applied one level
+    # up) — so groups compile EAGERLY to ordinary stage lists and
+    # every existing machine (incl. streaming) carries them with no
+    # new state class. Unbounded group quantifiers (optional()/
+    # one_or_more()/times(a, b) on a group) refuse loudly.
+
+    @staticmethod
+    def _group_block(sub: "Pattern", contiguity: str) -> list[_Stage]:
+        if not isinstance(sub, Pattern) or not sub.stages:
+            raise ValueError("group verbs take a non-empty Pattern")
+        if sub.within_us is not None or sub.skip != "past_last":
+            raise NotImplementedError(
+                "within()/skip strategies live on the OUTER pattern — "
+                "strip them from the group sub-pattern")
+        if any(s.contiguity in ("not_followed_by", "not_next")
+               for s in sub.stages):
+            raise NotImplementedError(
+                "absence stages inside a group are not compiled — "
+                "attach not_followed_by()/not_next() to the outer "
+                "pattern")
+        if any(s.optional or s.one_or_more or s.times_hi is not None
+               for s in sub.stages):
+            raise NotImplementedError(
+                "optional()/one_or_more()/times(a, b) inside a group "
+                "are not compiled — fixed times(n) on inner stages "
+                "expands; variable-length inner stages would make the "
+                "group's copy boundaries ambiguous")
+        block = [replace(s) for s in sub.stages]
+        block[0] = replace(block[0], contiguity=contiguity)
+        return block
+
+    @staticmethod
+    def begin_group(sub: "Pattern") -> "Pattern":
+        """Start a pattern with a GROUP [FLINK-API:
+        Pattern.begin(Pattern)] — quantify it with .times(n)."""
+        block = Pattern._group_block(sub, "begin")
+        p = Pattern(stages=block)
+        p._grp = (0, len(block))
+        return p
+
+    def followed_by_group(self, sub: "Pattern") -> "Pattern":
+        """Relaxed-contiguity GROUP [FLINK-API:
+        Pattern#followedBy(Pattern)]."""
+        if self.stages and self.stages[-1].contiguity == "not_next":
+            raise NotImplementedError(
+                "not_next() is terminal — no stages may follow it")
+        block = self._group_block(sub, "followed_by")
+        lo = len(self.stages)
+        self.stages.extend(block)
+        self._grp = (lo, len(self.stages))
+        return self
+
+    def next_group(self, sub: "Pattern") -> "Pattern":
+        """Strict-contiguity GROUP [FLINK-API: Pattern#next(Pattern)]:
+        the group's FIRST stage is strict against the previous match;
+        inner stages keep their own contiguity."""
+        if self.stages and self.stages[-1].contiguity == "not_next":
+            raise NotImplementedError(
+                "not_next() is terminal — no stages may follow it")
+        block = self._group_block(sub, "next")
+        lo = len(self.stages)
+        self.stages.extend(block)
+        self._grp = (lo, len(self.stages))
+        return self
+
     def _append(self, name: str, event_type: str, contiguity: str) -> "Pattern":
         # not_followed_by may appear MID-pattern (r9): it compiles as a
         # VETO on the next await (_veto_codes validates the shape);
@@ -203,6 +275,7 @@ class Pattern:
         if self.stages and self.stages[-1].contiguity == "not_next":
             raise NotImplementedError(
                 "not_next() is terminal — no stages may follow it")
+        self._grp = None  # a new stage closes any pending group
         self.stages.append(_Stage(name, event_type, contiguity))
         return self
 
@@ -255,6 +328,26 @@ class Pattern:
             raise ValueError("times(n) needs n >= 1")
         if m is not None and m < n:
             raise ValueError("times(n, m) needs m >= n")
+        grp = getattr(self, "_grp", None)
+        if grp is not None and grp[1] == len(self.stages):
+            # GROUP quantifier (r11): expand to n concatenated copies
+            # of the group's stages — relaxed contiguity between
+            # copies [FLINK-API: GroupPattern under the quantifier's
+            # default internal contiguity]; only fixed times(n)
+            if m is not None:
+                raise NotImplementedError(
+                    "times(a, b) on a GROUP is not compiled — the "
+                    "variant union carries per-stage ranges only; "
+                    "use fixed times(n)")
+            lo, hi = grp
+            block = self.stages[lo:hi]
+            for j in range(1, n):
+                copy = [replace(s, name=f"{s.name}#g{j}")
+                        for s in block]
+                copy[0] = replace(copy[0], contiguity="followed_by")
+                self.stages.extend(copy)
+            self._grp = None
+            return self
         self.stages[-1].times = n
         self.stages[-1].times_hi = m
         return self
@@ -272,6 +365,12 @@ class Pattern:
         refuses loudly."""
         if not self.stages:
             raise ValueError("optional() needs a stage")
+        if getattr(self, "_grp", None) is not None \
+                and self._grp[1] == len(self.stages):
+            raise NotImplementedError(
+                "optional() on a GROUP is not compiled (an unbounded "
+                "group quantifier) — use fixed times(n) on the group "
+                "or optional() on a single stage")
         s = self.stages[-1]
         # one_or_more().optional() == zeroOrMore [FLINK-API:
         # Pattern#oneOrMore#optional] compiles since r10 on the
@@ -294,6 +393,11 @@ class Pattern:
         Pattern#oneOrMore]."""
         if not self.stages:
             raise ValueError("one_or_more() needs a stage")
+        if getattr(self, "_grp", None) is not None \
+                and self._grp[1] == len(self.stages):
+            raise NotImplementedError(
+                "one_or_more() on a GROUP is not compiled (unbounded "
+                "group state) — use fixed times(n) on the group")
         self.stages[-1].one_or_more = True
         return self
 

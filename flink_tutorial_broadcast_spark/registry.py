@@ -103,11 +103,13 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # since). Three single-key modules drain (llm_knn, composite,
 # temporal). Mid-round swaps: new r11 verb keys enter as they land
 # (q_cep_where_agg for q_tpch_q19, q_cep_where_prev_fork for
-# q_vocab_coverage — tpch_full keeps q8/q13/q22, llm_scoring keeps
-# q_lang_stats/q_token_counts_regex;
-# displaced keys are next-rotation picks). After this round 48 of the
-# pre-r11 oracle keys remain never-sampled (37 first-time pre-r11 keys
-# + 2 new r11 keys sampled) — r12 can take ~36 more (same per-module
+# q_vocab_coverage, q_cep_group_times for q_unpivot — tpch_full
+# keeps q8/q13/q22, llm_scoring keeps q_lang_stats/
+# q_token_counts_regex, olap_ext keeps q_sample_deterministic/
+# q_exists_correlated;
+# displaced keys are next-rotation picks). After this round 49 of the
+# pre-r11 oracle keys remain never-sampled (36 first-time pre-r11 keys
+# + 3 new r11 keys sampled) — r12 can take ~36 more (same per-module
 # cap), r13 finishes.
 _VERIFICATION_PREFIX = (
     # -- module coverage via ALREADY-SAMPLED reps (these 11 modules
@@ -145,7 +147,7 @@ _VERIFICATION_PREFIX = (
     "q_regexp_extract_all",             # scalar_funcs regex extract
     "q_sample_deterministic",           # olap_ext seed-free sampling
     "q_exists_correlated",              # olap_ext correlated EXISTS
-    "q_unpivot",                        # olap_ext unpivot/stack
+    "q_cep_group_times",                # CEP GroupPattern (NEW r11)
     "q_string_agg",                     # agg_ext listagg
     "q_histogram",                      # agg_ext equi-width bins
     "q_percentile_disc",                # agg_ext discrete percentile

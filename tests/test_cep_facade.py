@@ -2481,3 +2481,29 @@ def test_pattern_streaming_skip_bindings_survive_restart(spark):
                                     "event_id", "event_type").collect()}
     assert got == want
     assert want
+
+
+def test_pattern_streaming_group_times(spark, queries):
+    """Groups compile eagerly, so streaming carries them with no new
+    stepper: converged counts equal the oracle-backed batch
+    q_cep_group_times."""
+    from flink_tutorial_broadcast_spark.streaming.jobs import (
+        _run_to_memory,
+    )
+
+    sub = Pattern.begin("v", "view").followed_by("c", "click")
+    pat = (Pattern.begin_group(sub).times(2)
+           .followed_by("p", "purchase").within("48 hours"))
+    sdf = _two_file_stream(
+        spark, ["user_id", "ts", "event_id", "event_type"])
+    out = (_env(spark).from_dataframe(sdf)
+           .key_by("user_id").pattern(pat).to_df())
+    assert out.isStreaming
+    final: dict[int, int] = {}
+    for r in _run_to_memory(out, "update").collect():
+        final[r["user_id"]] = max(final.get(r["user_id"], 0),
+                                  r["n_matches"])
+    want = {r["user_id"]: r["n_matches"] for r in
+            queries["q_cep_group_times"](spark, SF_SMOKE).collect()}
+    assert {u: n for u, n in final.items() if n > 0} == want
+    assert want

@@ -2081,3 +2081,73 @@ def test_cep_fork_prev_matches_brute_force(spark, rows):
     got2p = _run(spark, _mk_val(spark, rows), pat2p)
     got2r = _run(spark, _mk_val(spark, rows), pat2r)
     assert got2p == got2r
+
+
+# -- pattern GROUPS (round 11) ------------------------------------------
+
+@settings(max_examples=10, deadline=None)
+@given(rows=seq_strategy)
+def test_cep_group_times_matches_python_nfa(spark, rows):
+    """GroupPattern times(n) == n concatenated copies under relaxed
+    contiguity: pinned against BOTH the pure-Python automaton over the
+    expanded stage list and the explicitly-written flat pattern, under
+    skip-past-last+within AND the forking no_skip family."""
+    from flink_tutorial_broadcast_spark.cep import Pattern as P
+
+    sub = P.begin("v", "view").followed_by("c", "click")
+    pat = (P.begin_group(sub).times(2)
+           .followed_by("p", "purchase").within("12 hours"))
+    got = _run(spark, _mk(spark, rows), pat)
+    stages = ["view", "click", "view", "click", "purchase"]
+    want = {u: _ref_relaxed_within(seq, stages, 720)
+            for u, seq in _per_user_ordered(rows).items()}
+    assert got == {u: n for u, n in want.items() if n > 0}
+
+    sub2 = P.begin("v", "view").followed_by("c", "click")
+    patf = (P.begin_group(sub2).times(2)
+            .followed_by("p", "purchase").within("12 hours").no_skip())
+    gotf = _run(spark, _mk(spark, rows), patf)
+    flat = (P.begin("a", "view").followed_by("b", "click")
+            .followed_by("a2", "view").followed_by("b2", "click")
+            .followed_by("p", "purchase").within("12 hours").no_skip())
+    wantf = _run(spark, _mk(spark, rows), flat)
+    assert gotf == wantf
+
+
+def test_group_refusals():
+    """Group construction edges refuse loudly: unbounded group
+    quantifiers, ranges, absence/quantifiers inside the sub-pattern,
+    within()/skip on the sub-pattern, groups after not_next."""
+    import pytest
+
+    from flink_tutorial_broadcast_spark.cep import Pattern as P
+
+    sub = P.begin("v", "view").followed_by("c", "click")
+
+    with pytest.raises(NotImplementedError, match="optional"):
+        P.begin_group(P.begin("v", "view")
+                      .followed_by("c", "click")).optional()
+    with pytest.raises(NotImplementedError, match="one_or_more"):
+        P.begin_group(P.begin("v", "view")
+                      .followed_by("c", "click")).one_or_more()
+    with pytest.raises(NotImplementedError, match="fixed times"):
+        P.begin_group(P.begin("v", "view")
+                      .followed_by("c", "click")).times(1, 3)
+    with pytest.raises(NotImplementedError, match="absence"):
+        P.begin_group(P.begin("v", "view")
+                      .not_followed_by("p", "purchase"))
+    with pytest.raises(NotImplementedError, match="OUTER"):
+        P.begin_group(P.begin("v", "view")
+                      .followed_by("c", "click").within("1 hours"))
+    with pytest.raises(NotImplementedError, match="ambiguous|group"):
+        P.begin_group(P.begin("v", "view")
+                      .followed_by("c", "click").one_or_more())
+    with pytest.raises(NotImplementedError, match="terminal"):
+        (P.begin("v", "view").not_next("p", "purchase")
+         .followed_by_group(sub))
+    # a later stage verb CLOSES the group: times(n) then applies to
+    # that stage alone, not the group
+    p = (P.begin_group(P.begin("v", "view").followed_by("c", "click"))
+         .followed_by("p", "purchase").times(2))
+    assert [s.event_type for s in p._expanded().stages] == \
+        ["view", "click", "purchase", "purchase"]
