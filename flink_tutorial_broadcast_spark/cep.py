@@ -497,8 +497,12 @@ class Pattern:
         state: one aggregate register per (fn, col), reset when a run
         anchors, combined at every advance — the same shape as
         where_prev's pv fields. Single-anchor skip-past-last machines
-        only (the forking families would need per-anchor aggregate
-        payloads — refused loudly at compile). A NULL operand anywhere
+        carry it on fixed stages; since late r11 the BOUNDED LOOP
+        carries it on the one_or_more stage itself — there the scope
+        narrows to the LOOP's accepted events + candidate (Flink's
+        `ctx.getEventsForPattern(selfStage)`, the docs' canonical
+        example) with per-run registers in the parked set; the other
+        forking shapes refuse loudly. A NULL operand anywhere
         (candidate or an already-matched event's col) POISONS the
         aggregate: the condition evaluates false, the rule where_rel
         pins. Not allowed on the begin stage (aggregate over the
@@ -1043,14 +1047,32 @@ def compile_pattern(pat: Pattern, df: DataFrame, keys: list[str],
                                       tiebreak_col, event_col)
     fam = pat._family()
     if pat._has_rel() or pat._has_agg():
+        if pat._has_agg() and fam == "fork_loop":
+            # r11: the Flink-docs canonical loop condition — where_agg
+            # on the final one_or_more stage, per-run registers in the
+            # parked set (aggregate scope = the LOOP's own events)
+            if pat._has_rel() or any(
+                    s.agg is not None for s in pat.stages[:-1]):
+                raise NotImplementedError(
+                    "loop patterns carry where_agg() on the LOOP "
+                    "stage only (aggregate over the loop's accepted "
+                    "events) — where_rel()/prefix-stage aggregates "
+                    "would need per-run whole-run payloads")
+            if len(pat.stages) < 2:
+                raise NotImplementedError(
+                    "where_agg() on a 1-stage loop is not compiled — "
+                    "anchor it with a prefix stage")
+            return _fork_loop_agg_machine(pat._expanded(), df, keys,
+                                          time_col, tiebreak_col,
+                                          event_col)
         if pat._has_agg() and fam not in ("relaxed", "relaxed_within"):
             raise NotImplementedError(
                 "where_agg() compiles on the single-anchor "
-                "skip-past-last machines only (relaxed followed_by, "
-                "with or without within()) — the forking/any/strict/"
-                "absence/loop families would need per-run aggregate "
-                "payloads; drop no_skip()/followed_by_any or the "
-                "aggregate condition")
+                "skip-past-last machines (relaxed followed_by, with "
+                "or without within()) and, for the loop, the bounded "
+                "fork-loop shape (one_or_more + within + no_skip, "
+                "aggregate on the loop stage) — the other families "
+                "would need per-run aggregate payloads")
         if fam == "fork":
             # r10: the fork family carries per-anchor payloads now —
             # scope gated to pure relaxed chains (strict/veto shapes
@@ -1861,6 +1883,121 @@ _REL_OPS = {
     "<": lambda a, b: a < b, "<=": lambda a, b: a <= b,
     "=": lambda a, b: a == b, "!=": lambda a, b: a != b,
 }
+
+
+def _fork_loop_agg_machine(pat, df, keys, time_col, tiebreak_col,
+                           event_col):
+    """Bounded loop WITH a run-aggregate loop condition (r11)
+    [FLINK-API: the Flink-docs canonical IterativeCondition —
+    `middle.oneOrMore().where(sum of prices of accepted events plus
+    the current one < threshold)`]: where_agg on a one_or_more stage
+    aggregates over THE LOOP STAGE'S accepted events plus the
+    candidate (`ctx.getEventsForPattern(selfStage)` — per-stage scope,
+    unlike the whole-run scope on fixed stages). The fork-loop machine
+    with the parked set carrying per-run registers struct(t, r1, n):
+    a loop candidate is tested per run — qualifying runs emit a match
+    AND absorb it (register combined, Flink's emit-and-continue fork);
+    non-qualifying runs (fresh anchors in s_{K-1} included) simply
+    keep awaiting a later candidate (relaxed internal contiguity).
+    Registers never see NULLs: admission requires the condition, and
+    a NULL candidate fails it (coalesced), so no poisoning machinery
+    is needed. until() kills both sets exactly as the plain loop."""
+    K = len(pat.stages)
+    w = pat.within_us
+    fn_, acol, op, rhs = pat.stages[-1].agg
+    st = _stage_bits(pat)
+    strict = _strict_flags(pat)
+    until_sql = pat.stages[-1].until_sql
+    ub = (0 if until_sql is None
+          else 1 << (_cond_codes(pat)[("__until__", until_sql)] - 1))
+    seq = F.array_sort(F.collect_list(F.struct(
+        F.unix_micros(time_col).alias("t"),
+        F.col(tiebreak_col).alias("eid"),
+        _cond_mask_col(pat, event_col).alias("c"),
+        F.col(acol).cast("double").alias("v"))))
+    empty = F.array().cast("array<long>")
+    empty_lp = F.expr(
+        "CAST(array() AS array<struct<t:bigint,r1:double,n:bigint>>)")
+    init = F.struct(F.lit(0).cast("long").alias("cnt"),
+                    *[empty.alias(f"s{i}") for i in range(1, K)],
+                    empty_lp.alias("lp"))
+
+    def _cmp(val):
+        return F.coalesce(_REL_OPS[op](val, F.lit(rhs)), F.lit(False))
+
+    def step(acc, x):
+        filt = {i: F.filter(acc[f"s{i}"], lambda a: x["t"] - a <= w)
+                for i in range(1, K)}
+        lp = F.filter(acc["lp"], lambda a: x["t"] - a["t"] <= w)
+        match = {i: _hit(x["c"], F.lit(st[i - 1]))
+                 for i in range(1, K + 1)}
+        iu = _hit(x["c"], F.lit(ub)) if ub else F.lit(False)
+        xv = x["v"]
+
+        def parked_val(a):
+            if fn_ == "sum":
+                return a["r1"] + xv
+            if fn_ == "avg":
+                return (a["r1"] + xv) / (a["n"] + 1).cast("double")
+            if fn_ == "count":
+                return (a["n"] + 1).cast("double")
+            if fn_ == "min":
+                return F.least(a["r1"], xv)
+            return F.greatest(a["r1"], xv)
+
+        # a FRESH anchor's candidate aggregate spans {x} alone
+        fresh_ok = _cmp(F.lit(1.0).cast("double") if fn_ == "count"
+                        else xv)
+        qual_lp = F.filter(lp, lambda a: _cmp(parked_val(a)))
+        stay_lp = F.filter(lp, lambda a: ~_cmp(parked_val(a)))
+        qual_fresh = (F.filter(filt[K - 1], lambda a: fresh_ok)
+                      if K >= 2 else None)
+        closed = ((F.size(qual_fresh) + F.size(qual_lp)).cast("long")
+                  if K >= 2 else None)
+        absorbed = F.transform(
+            qual_lp,
+            lambda a: F.struct(
+                a["t"].alias("t"),
+                (a["r1"] + xv if fn_ in ("sum", "avg")
+                 else F.least(a["r1"], xv) if fn_ == "min"
+                 else F.greatest(a["r1"], xv) if fn_ == "max"
+                 else a["r1"]).alias("r1"),
+                (a["n"] + 1).alias("n")))
+        parked_new = F.transform(
+            qual_fresh,
+            lambda a: F.struct(a.alias("t"), xv.alias("r1"),
+                               F.lit(1).cast("bigint").alias("n")))
+        new_lp = F.concat(stay_lp, absorbed, parked_new)
+        fields = [F.when(match[K] & ~iu, acc["cnt"] + closed)
+                  .otherwise(acc["cnt"]).alias("cnt")]
+        for i in range(1, K):
+            if strict[i]:
+                base = empty
+            elif i == K - 1:
+                # the loop bit takes only QUALIFYING fresh anchors;
+                # the rest keep awaiting (unlike the drain-wholly
+                # plain loop, where every fresh anchor qualifies)
+                base = F.when(iu, empty).otherwise(
+                    F.when(match[K],
+                           F.filter(filt[i], lambda a: ~fresh_ok))
+                    .otherwise(filt[i]))
+            else:
+                base = F.when(match[i + 1], empty).otherwise(filt[i])
+            incoming = (F.array(x["t"]) if i == 1 else filt[i - 1])
+            col = (F.when(match[i] & ~iu if i == K - 1 and ub
+                          else match[i],
+                          F.concat(base, incoming))
+                   .otherwise(base))
+            fields.append(col.alias(f"s{i}"))
+        lp_col = F.when(match[K] & ~iu, new_lp).otherwise(lp)
+        if ub:
+            lp_col = F.when(iu, empty_lp).otherwise(lp_col)
+        fields.append(lp_col.alias("lp"))
+        return F.struct(*fields)
+
+    fold = F.aggregate(seq, init, step)
+    return (df.groupBy(*keys).agg(fold["cnt"].alias("n_matches"))
+            .filter(F.col("n_matches") > 0))
 
 
 def _relaxed_rel_machine(pat, df, keys, time_col, tiebreak_col,
@@ -3027,6 +3164,117 @@ def fork_loop_stepper(type_codes: dict[str, int] | None,
                 if K >= 2:
                     sets[K - 2] = deque()
         state.update((cnt, *[list(s) for s in sets], list(lp)))
+        yield pd.DataFrame(
+            {**{kc: [key[i]] for i, kc in enumerate(key_cols)},
+             "n_matches": [cnt]})
+    return step
+
+
+def fork_loop_agg_stepper(stage_bits: list[int], agg: tuple,
+                          acol_idx: int, within_us: int,
+                          strict: list[bool] | None = None,
+                          key_cols: list[str] | None = None,
+                          until_bit: int = 0):
+    """applyInPandasWithState twin of _fork_loop_agg_machine (r11):
+    the bounded loop whose parked runs carry (anchor µs, register,
+    loop length) so the run-aggregate loop condition evaluates per
+    run — qualifying runs emit a match AND absorb the event,
+    non-qualifying runs (fresh anchors included) keep awaiting.
+    Registers never see NULLs (admission requires the condition and a
+    NaN candidate fails it)."""
+    import math
+    import operator as _op
+    OPS = {">": _op.gt, ">=": _op.ge, "<": _op.lt, "<=": _op.le,
+           "=": _op.eq, "!=": _op.ne}
+    fn_, _c, op, rhs = agg
+    K = len(stage_bits)
+    strict = strict or [False] * K
+    key_cols = key_cols or ["key"]
+    nk = len(key_cols)
+
+    def _ok(val):
+        return (not (val is None or (isinstance(val, float)
+                                     and math.isnan(val)))
+                and OPS[op](val, rhs))
+
+    def step(key, pdf_iter, state):
+        import pandas as pd
+        if state.exists:
+            got = state.get
+            cnt = got[0]
+            sets = [sorted(s) for s in got[1:K]]
+            lp = sorted(zip(got[K], got[K + 1], got[K + 2]))
+        else:
+            cnt, sets, lp = 0, [[] for _ in range(K - 1)], []
+        rows = []
+        for pdf in pdf_iter:
+            t = (pdf.iloc[:, nk].to_numpy("datetime64[ns]")
+                 .astype("int64") // 1000).tolist()
+            eid = pdf.iloc[:, nk + 1].tolist()
+            c = pdf.iloc[:, nk + 2].tolist()
+            v = pdf.iloc[:, nk + 3].astype(float).tolist()
+            rows.extend(zip(t, eid, c, v))
+        for t, _, c, xv in sorted(rows):
+            sets = [[a for a in s if t - a <= within_us]
+                    for s in sets]
+            lp = [a for a in lp if t - a[0] <= within_us]
+            match = [bool(c & stage_bits[i]) for i in range(K)]
+            iu = bool(c & until_bit)
+            old = [list(s) for s in sets]
+            if match[K - 1] and not iu:
+                xnan = xv != xv
+
+                def pval(a):
+                    if fn_ == "sum":
+                        return a[1] + xv
+                    if fn_ == "avg":
+                        return (a[1] + xv) / (a[2] + 1)
+                    if fn_ == "count":
+                        return float(a[2] + 1)
+                    if fn_ == "min":
+                        return min(a[1], xv)
+                    return max(a[1], xv)
+
+                fresh_ok = (not xnan) and _ok(
+                    1.0 if fn_ == "count" else xv)
+                qual = [a for a in lp
+                        if not xnan and _ok(pval(a))]
+                stay = [a for a in lp
+                        if xnan or not _ok(pval(a))]
+                cnt += len(qual)
+                absorbed = [(a[0],
+                             (a[1] + xv if fn_ in ("sum", "avg")
+                              else min(a[1], xv) if fn_ == "min"
+                              else max(a[1], xv) if fn_ == "max"
+                              else a[1]),
+                             a[2] + 1) for a in qual]
+                if fresh_ok:
+                    cnt += len(old[K - 2])
+                    parked = [(a, xv, 1) for a in old[K - 2]]
+                    sets[K - 2] = []
+                else:
+                    parked = []
+                lp = sorted(stay + absorbed + parked)
+            # prefix promotions over the pre-event snapshot
+            for i in range(K - 2, -1, -1):
+                if i == K - 2:
+                    base = sets[i]  # fresh-anchor keep/drain handled
+                elif strict[i + 1] or match[i + 1]:
+                    base = []
+                else:
+                    base = old[i]
+                if match[i] and not (iu and i == K - 2):
+                    if i == 0:
+                        base = sorted(base + [t])
+                    else:
+                        base = sorted(base + old[i - 1])
+                sets[i] = base
+            if iu:
+                lp = []
+                sets[K - 2] = []
+        state.update((cnt, *sets,
+                      [a[0] for a in lp], [a[1] for a in lp],
+                      [a[2] for a in lp]))
         yield pd.DataFrame(
             {**{kc: [key[i]] for i, kc in enumerate(key_cols)},
              "n_matches": [cnt]})
@@ -4343,13 +4591,50 @@ def compile_pattern_stream(pat: Pattern, sdf: DataFrame,
             "one_or_more), followed_by_any (counting DP), strict "
             "chains (KMP), timer-driven absence (2-stage and "
             "anchored-chain), and the skip_to_* strategies")
+    if pat._has_agg() and fam == "fork_loop":
+        # r11: streaming twin of _fork_loop_agg_machine — parked runs
+        # carry (t, register, loop length) in parallel arrays
+        if pat._has_rel() or any(
+                s.agg is not None for s in pat.stages[:-1]):
+            raise NotImplementedError(
+                "loop patterns carry where_agg() on the LOOP stage "
+                "only (aggregate over the loop's accepted events)")
+        if len(pat.stages) < 2:
+            raise NotImplementedError(
+                "where_agg() on a 1-stage loop is not compiled — "
+                "anchor it with a prefix stage")
+        xp = pat._expanded()
+        agg = xp.stages[-1].agg
+        proj = sdf.select(*keys, time_col, tiebreak_col,
+                          _cond_mask_col(xp, event_col).alias("__m"),
+                          F.col(agg[1]).cast("double").alias("__v"))
+        lkey_schema = ", ".join(
+            f"{k} {_key_sql_type(proj, k)}" for k in keys)
+        Kl = len(xp.stages)
+        u_sql = xp.stages[-1].until_sql
+        ub = (0 if u_sql is None
+              else 1 << (_cond_codes(xp)[("__until__", u_sql)] - 1))
+        fn = fork_loop_agg_stepper(_stage_bits(xp), agg, 0,
+                                   xp.within_us, _strict_flags(xp),
+                                   key_cols=keys, until_bit=ub)
+        state_schema = ("cnt long, "
+                        + ", ".join([f"s{i} array<long>"
+                                     for i in range(1, Kl)]
+                                    + ["lp_t array<long>",
+                                       "lp_r array<double>",
+                                       "lp_n array<long>"]))
+        return proj.groupBy(*keys).applyInPandasWithState(
+            fn,
+            outputStructType=f"{lkey_schema}, n_matches long",
+            stateStructType=state_schema,
+            outputMode="Update",
+            timeoutConf=GroupStateTimeout.NoTimeout)
     if pat._has_agg() and fam not in ("relaxed", "relaxed_within"):
         raise NotImplementedError(
             "where_agg() streams only on the single-anchor "
-            "skip-past-last machines — the forking/any/strict/"
-            "absence families would need per-run aggregate payloads; "
-            "drop no_skip()/followed_by_any or the aggregate "
-            "condition")
+            "skip-past-last machines and, for the loop, the bounded "
+            "fork-loop shape — the other families would need per-run "
+            "aggregate payloads")
     if pat._has_rel() and fam == "fork":
         # r10: streaming where_rel on the forking family — the
         # keyed-state twin of _fork_rel_machine (per-anchor payloads

@@ -2967,3 +2967,74 @@ def q_cep_group_times(spark: SparkSession, sf_dir: str) -> DataFrame:
             .key_by("user_id")
             .pattern(pat)
             .to_df())
+
+
+@query(
+    "q_cep_loop_agg",
+    oracle=f"""
+    WITH RECURSIVE codes0 AS (
+      SELECT user_id, epoch_us(ts) AS t, event_id, value,
+             CASE event_type WHEN 'view' THEN 1
+                  WHEN 'purchase' THEN 2 ELSE 0 END AS c
+      FROM events
+    ), codes AS (
+      SELECT user_id, t, c, value,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY t, event_id) AS i
+      FROM codes0 WHERE c > 0
+    ), run AS (
+      SELECT a.user_id, a.i AS ai, a.t AS at, a.i AS i,
+             CAST(0 AS BIGINT) AS cnt, CAST(0 AS DOUBLE) AS r
+      FROM codes a WHERE a.c = 1
+      UNION ALL
+      SELECT r.user_id, r.ai, r.at, r.i + 1,
+             CASE WHEN c.c = 2 AND r.r + c.value < 200
+                  THEN r.cnt + 1 ELSE r.cnt END,
+             CASE WHEN c.c = 2 AND r.r + c.value < 200
+                  THEN r.r + c.value ELSE r.r END
+      FROM run r JOIN codes c ON c.user_id = r.user_id
+                             AND c.i = r.i + 1
+      WHERE c.t - r.at <= {_CEP_W48_US}
+    ), per_anchor AS (
+      SELECT user_id, ai, MAX(cnt) AS mx
+      FROM run GROUP BY user_id, ai
+    )
+    SELECT user_id, CAST(SUM(mx) AS BIGINT) AS n_matches
+    FROM per_anchor GROUP BY user_id HAVING SUM(mx) > 0
+    """,
+)
+def q_cep_loop_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Run-aggregate condition on the BOUNDED LOOP (round 11) — the
+    Flink documentation's canonical IterativeCondition example
+    [FLINK-API: `middle.oneOrMore().where((value, ctx) -> sum of the
+    prices of previously accepted events plus the current one <
+    threshold)`]: view -> purchase+ within 48 h under noSkip, where
+    the running SUM of the loop's accepted purchase values plus the
+    candidate must stay below 200. Aggregate scope is the LOOP stage's
+    own events (`ctx.getEventsForPattern(selfStage)`) — unlike the
+    whole-run scope where_agg carries on fixed stages. The fork-loop
+    machine's parked set gains per-run registers struct(t, r1, n):
+    each qualifying loop element emits one match AND is absorbed
+    (Flink's emit-and-continue fork); non-qualifying candidates leave
+    the run awaiting (relaxed internal contiguity) — so a too-big
+    purchase never ends the run, a later small one still counts.
+    Registers never see NULLs (admission requires the condition).
+    The oracle replays PER ANCHOR (one recursive branch per view,
+    early-stopped at the horizon; per-anchor replays are independent
+    under noSkip, so MAX(cnt) per anchor sums exactly). Property
+    twins: test_cep_loop_agg_sum_matches_brute_force (K=2) and
+    test_cep_loop_agg_count_k3_matches_brute_force; streaming twin:
+    test_pattern_streaming_loop_agg."""
+    from flink_tutorial_broadcast_spark.cep import Pattern
+    from flink_tutorial_broadcast_spark.datastream import (
+        StreamExecutionEnvironment,
+    )
+    env = StreamExecutionEnvironment.get_execution_environment(spark)
+    pat = (Pattern.begin("v", "view")
+           .followed_by("p", "purchase").one_or_more()
+           .where_agg("sum", "value", "<", 200)
+           .within("48 hours").no_skip())
+    return (env.from_dataframe(load(spark, sf_dir, "events"))
+            .key_by("user_id")
+            .pattern(pat)
+            .to_df())

@@ -103,13 +103,14 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # since). Three single-key modules drain (llm_knn, composite,
 # temporal). Mid-round swaps: new r11 verb keys enter as they land
 # (q_cep_where_agg for q_tpch_q19, q_cep_where_prev_fork for
-# q_vocab_coverage, q_cep_group_times for q_unpivot — tpch_full
-# keeps q8/q13/q22, llm_scoring keeps q_lang_stats/
-# q_token_counts_regex, olap_ext keeps q_sample_deterministic/
-# q_exists_correlated;
-# displaced keys are next-rotation picks). After this round 49 of the
-# pre-r11 oracle keys remain never-sampled (36 first-time pre-r11 keys
-# + 3 new r11 keys sampled) — r12 can take ~36 more (same per-module
+# q_vocab_coverage, q_cep_group_times for q_unpivot, q_cep_loop_agg
+# for q_histogram — tpch_full keeps q8/q13/q22, llm_scoring keeps
+# q_lang_stats/q_token_counts_regex, olap_ext keeps
+# q_sample_deterministic/q_exists_correlated, agg_ext keeps
+# q_string_agg/q_percentile_disc;
+# displaced keys are next-rotation picks). After this round 50 of the
+# pre-r11 oracle keys remain never-sampled (35 first-time pre-r11 keys
+# + 4 new r11 keys sampled) — r12 can take ~36 more (same per-module
 # cap), r13 finishes.
 _VERIFICATION_PREFIX = (
     # -- module coverage via ALREADY-SAMPLED reps (these 11 modules
@@ -149,7 +150,7 @@ _VERIFICATION_PREFIX = (
     "q_exists_correlated",              # olap_ext correlated EXISTS
     "q_cep_group_times",                # CEP GroupPattern (NEW r11)
     "q_string_agg",                     # agg_ext listagg
-    "q_histogram",                      # agg_ext equi-width bins
+    "q_cep_loop_agg",                   # CEP loop iter-cond (NEW r11)
     "q_percentile_disc",                # agg_ext discrete percentile
     "q_time_to_convert",                # behavioral funnel latency
     "q_cume_dist",                      # behavioral cumulative dist

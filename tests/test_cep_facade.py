@@ -2507,3 +2507,89 @@ def test_pattern_streaming_group_times(spark, queries):
             queries["q_cep_group_times"](spark, SF_SMOKE).collect()}
     assert {u: n for u, n in final.items() if n > 0} == want
     assert want
+
+
+def test_pattern_streaming_loop_agg(spark, queries):
+    """Streaming loop-aggregate condition (round 11): parked runs'
+    registers survive micro-batch boundaries; converged counts equal
+    the oracle-backed batch q_cep_loop_agg."""
+    from flink_tutorial_broadcast_spark.streaming.jobs import (
+        _run_to_memory,
+    )
+
+    pat = (Pattern.begin("v", "view")
+           .followed_by("p", "purchase").one_or_more()
+           .where_agg("sum", "value", "<", 200)
+           .within("48 hours").no_skip())
+    sdf = _two_file_stream(
+        spark, ["user_id", "ts", "event_id", "event_type", "value"])
+    out = (_env(spark).from_dataframe(sdf)
+           .key_by("user_id").pattern(pat).to_df())
+    assert out.isStreaming
+    final: dict[int, int] = {}
+    for r in _run_to_memory(out, "update").collect():
+        final[r["user_id"]] = max(final.get(r["user_id"], 0),
+                                  r["n_matches"])
+    want = {r["user_id"]: r["n_matches"] for r in
+            queries["q_cep_loop_agg"](spark, SF_SMOKE).collect()}
+    assert {u: n for u, n in final.items() if n > 0} == want
+    assert want
+
+
+def test_pattern_streaming_loop_agg_survives_restart(spark, queries):
+    """L119 restart discipline for the r11 loop-agg stepper: parked
+    (t, register, loop length) triples carry across stop + resume."""
+    import glob as _glob
+
+    from flink_tutorial_broadcast_spark.streaming.sources import (
+        checkpoint_dir,
+    )
+
+    pat = (Pattern.begin("v", "view")
+           .followed_by("p", "purchase").one_or_more()
+           .where_agg("sum", "value", "<", 200)
+           .within("48 hours").no_skip())
+    ev = load(spark, SF_SMOKE, "events").select(
+        "user_id", "ts", "event_id", "event_type", "value")
+    split_ts = ev.agg(
+        F.percentile_approx("ts", 0.5).alias("m")).collect()[0]["m"]
+    src_dir = tempfile.mkdtemp(prefix="cep_r11_restart_la_s_")
+    out_dir = tempfile.mkdtemp(prefix="cep_r11_restart_la_o_")
+    ckpt = checkpoint_dir()
+    (ev.filter(F.col("ts") <= F.lit(split_ts))
+     .coalesce(1).write.parquet(os.path.join(src_dir, "f=0")))
+
+    def run():
+        sdf = (spark.readStream
+               .schema("user_id long, ts timestamp, event_id long, "
+                       "event_type string, value double")
+               .option("maxFilesPerTrigger", "1")
+               .option("recursiveFileLookup", "true")
+               .parquet(src_dir))
+        out = (_env(spark).from_dataframe(sdf)
+               .key_by("user_id").pattern(pat).to_df())
+
+        def body(batch_df, batch_id):
+            (batch_df.write.mode("overwrite")
+             .parquet(os.path.join(out_dir, f"batch={batch_id}")))
+
+        q = (out.writeStream.foreachBatch(body)
+             .outputMode("update")
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        q.awaitTermination()
+
+    run()
+    (ev.filter(F.col("ts") > F.lit(split_ts))
+     .coalesce(1).write.parquet(os.path.join(src_dir, "f=1")))
+    run()
+
+    final: dict[int, int] = {}
+    for p in _glob.glob(os.path.join(out_dir, "batch=*")):
+        for r in spark.read.parquet(p).collect():
+            final[r.user_id] = max(final.get(r.user_id, 0),
+                                   r.n_matches)
+    want = {r.user_id: r.n_matches for r in
+            queries["q_cep_loop_agg"](spark, SF_SMOKE).collect()}
+    assert {u: n for u, n in final.items() if n > 0} == want
+    assert want

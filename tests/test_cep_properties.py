@@ -2151,3 +2151,126 @@ def test_group_refusals():
          .followed_by("p", "purchase").times(2))
     assert [s.event_type for s in p._expanded().stages] == \
         ["view", "click", "purchase", "purchase"]
+
+
+# -- where_agg on the bounded loop (round 11) ----------------------------
+
+def _ref_fork_loop_agg(seq, stages, within_min, fn, thr):
+    """Independent reference for where_agg on the final one_or_more
+    stage: parked runs carry (anchor_m, register, loop_len); a loop
+    candidate qualifying per run emits a match AND is absorbed;
+    non-qualifying runs (fresh anchors included) keep awaiting.
+    Aggregate scope = the loop's accepted events + candidate; the
+    condition here is AGG < thr."""
+    K = len(stages)
+    sets = [[] for _ in range(K - 1)]
+    lp = []  # (anchor_m, register, n)
+    cnt = 0
+    for m, ty, v in seq:
+        sets = [[a for a in s if m - a <= within_min] for s in sets]
+        lp = [a for a in lp if m - a[0] <= within_min]
+        old = [list(s) for s in sets]
+        if ty == stages[K - 1]:
+            new_lp = []
+            for am, r, n in lp:
+                val = {"sum": r + v, "min": min(r, v),
+                       "max": max(r, v), "count": n + 1,
+                       "avg": (r + v) / (n + 1)}[fn]
+                if val < thr:
+                    cnt += 1
+                    nr = {"sum": r + v, "min": min(r, v),
+                          "max": max(r, v), "count": r,
+                          "avg": r + v}[fn]
+                    new_lp.append((am, nr, n + 1))
+                else:
+                    new_lp.append((am, r, n))
+            fresh_val = 1 if fn == "count" else v
+            if fresh_val < thr:
+                cnt += len(old[K - 2])
+                new_lp += [(a, v, 1) for a in old[K - 2]]
+                sets[K - 2] = []
+            lp = new_lp
+        for i in range(K - 2, 0, -1):
+            if ty == stages[i]:
+                sets[i] = sets[i] + old[i - 1]
+                sets[i - 1] = []
+        if ty == stages[0]:
+            sets[0] = sets[0] + [m]
+    return cnt
+
+
+@settings(max_examples=10, deadline=None)
+@given(rows=seq_val_strategy)
+def test_cep_loop_agg_sum_matches_brute_force(spark, rows):
+    """where_agg('sum') on the loop — the Flink-docs canonical
+    IterativeCondition example — matches an independent forking
+    reference carrying per-run registers."""
+    pat = (Pattern.begin("v", "view")
+           .followed_by("p", "purchase").one_or_more()
+           .where_agg("sum", "value", "<", 300)
+           .within("12 hours").no_skip())
+    got = _run(spark, _mk_val(spark, rows), pat)
+    want = {u: _ref_fork_loop_agg(seq, ["view", "purchase"], 720,
+                                  "sum", 300)
+            for u, seq in _per_user_ordered_val(rows).items()}
+    assert got == {u: n for u, n in want.items() if n > 0}
+
+
+@settings(max_examples=10, deadline=None)
+@given(rows=seq_val_strategy)
+def test_cep_loop_agg_count_k3_matches_brute_force(spark, rows):
+    """where_agg('count') caps the loop length (each run emits at most
+    thr-1 matches), on a K=3 pattern so the prefix promotion path is
+    exercised too."""
+    pat = (Pattern.begin("v", "view")
+           .followed_by("c", "click")
+           .followed_by("p", "purchase").one_or_more()
+           .where_agg("count", "value", "<", 3)
+           .within("12 hours").no_skip())
+    got = _run(spark, _mk_val(spark, rows), pat)
+    want = {u: _ref_fork_loop_agg(seq, ["view", "click", "purchase"],
+                                  720, "count", 3)
+            for u, seq in _per_user_ordered_val(rows).items()}
+    assert got == {u: n for u, n in want.items() if n > 0}
+
+
+def test_loop_agg_refusals(spark):
+    import pytest
+
+    from flink_tutorial_broadcast_spark.cep import (
+        compile_pattern, compile_pattern_stream,
+    )
+
+    df = _mk_val(spark, [(0, 0, 0, 10)])
+    # rel + loop agg
+    with pytest.raises(NotImplementedError, match="LOOP stage"):
+        compile_pattern(
+            Pattern.begin("v", "view")
+            .followed_by("c", "click")
+            .where_rel("value", ">", "value")
+            .followed_by("p", "purchase").one_or_more()
+            .where_agg("sum", "value", "<", 5)
+            .within("12 hours").no_skip(),
+            df, ["user_id"], "ts", "event_id", "event_type")
+    # unbounded loop agg (no within) -> the one_or_more family refusal
+    with pytest.raises(NotImplementedError):
+        compile_pattern(
+            Pattern.begin("v", "view")
+            .followed_by("p", "purchase").one_or_more()
+            .where_agg("sum", "value", "<", 5).no_skip(),
+            df, ["user_id"], "ts", "event_id", "event_type")
+    # streaming mirrors the loop-stage-only gate
+    sdf = (spark.readStream.format("rate").load()
+           .selectExpr("CAST(value AS LONG) AS user_id",
+                       "timestamp AS ts", "value AS event_id",
+                       "'view' AS event_type",
+                       "CAST(value AS DOUBLE) AS value"))
+    with pytest.raises(NotImplementedError, match="LOOP stage"):
+        compile_pattern_stream(
+            Pattern.begin("v", "view")
+            .followed_by("c", "click")
+            .where_rel("value", ">", "value")
+            .followed_by("p", "purchase").one_or_more()
+            .where_agg("sum", "value", "<", 5)
+            .within("12 hours").no_skip(),
+            sdf, ["user_id"], "ts", "event_id", "event_type")
