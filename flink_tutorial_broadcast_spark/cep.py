@@ -59,6 +59,18 @@ counts), `not_next()` strict absence (one LEAD window),
 is the Flink-exact NFA form (divergence pinned, docs/divergences.md
 row 15).
 
+Round 11 closes the general-IterativeCondition family and the last
+constructibility gaps: `where_agg(fn, col, op, rhs)` run-aggregate
+conditions (whole-run scope on fixed stages via O(1) fold registers;
+LOOP-stage scope on `one_or_more()` via per-run registers in the
+parked set — the Flink docs' canonical example), `where_prev()` on
+the forking family (per-anchor prev payloads refreshed at promotion),
+pattern GROUPS (`begin_group`/`followed_by_group`/`next_group` +
+eager `.times(n)` expansion — GroupPattern), STREAMING zeroOrMore
+(both addends' machines side by side in one state row), and
+STREAMING skip-strategy match BINDINGS (the counts stepper in append
+mode, byte-identical to the batch rows).
+
 MIXED contiguity compiles too (round 8): each stage also carries a
 strict-await flag, and the machines treat a non-matching event at a
 `next` await as killing the partial run (possibly re-anchoring on the
