@@ -364,6 +364,43 @@ class Pattern:
         self.stages[-1].times_hi = m
         return self
 
+    def times_or_more(self, n: int) -> "Pattern":
+        """AT LEAST n occurrences of the LAST stage [FLINK-API:
+        Pattern#timesOrMore(n)] (r11): expands EAGERLY to n-1 fixed
+        copies plus a final `one_or_more()` copy under the
+        quantifier's default relaxed internal contiguity (the L149
+        stage-expansion argument) — so the bounded fork-loop machine
+        carries it, with the loop family's own gates (within +
+        no_skip, final stage) applying at compile. where()/where_rel
+        refinements called BEFORE this verb replicate onto every
+        copy; verbs called AFTER (until(), greedy()) attach to the
+        loop copy, which is where Flink applies them too."""
+        if not self.stages:
+            raise ValueError("times_or_more() needs a stage")
+        if n < 1:
+            raise ValueError("times_or_more(n) needs n >= 1")
+        s = self.stages[-1]
+        if s.times or s.times_hi or s.one_or_more or s.optional:
+            raise NotImplementedError(
+                "times_or_more() on an already-quantified stage is "
+                "not compiled — one quantifier per stage")
+        if s.contiguity == "next":
+            raise NotImplementedError(
+                "times_or_more() keeps the quantifier's default "
+                "relaxed internal contiguity — strict next() copies "
+                "would need consecutive(), which is not compiled; "
+                "use followed_by")
+        if s.contiguity in ("not_followed_by", "not_next"):
+            raise NotImplementedError(
+                "times_or_more() on an absence stage is not compiled")
+        if n == 1:
+            return self.one_or_more()
+        for j in range(1, n):
+            self.stages.append(replace(
+                s, name=f"{s.name}#t{j}", contiguity="followed_by",
+                one_or_more=(j == n - 1)))
+        return self
+
     def optional(self) -> "Pattern":
         """The LAST stage may be skipped [FLINK-API: Pattern#optional].
         Compiles only under no_skip(): Flink's NFA forks a with- and a

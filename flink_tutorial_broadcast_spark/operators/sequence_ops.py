@@ -3038,3 +3038,58 @@ def q_cep_loop_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             .key_by("user_id")
             .pattern(pat)
             .to_df())
+
+
+@query(
+    "q_cep_times_or_more",
+    oracle=f"""
+    WITH e AS (
+      SELECT user_id, epoch_us(ts) AS t, event_type,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS i
+      FROM events
+    ), runs AS (
+      SELECT v.user_id, v.t AS vt,
+             (SELECT MIN(p.i) FROM e p
+              WHERE p.user_id = v.user_id
+                AND p.event_type = 'purchase'
+                AND p.i > v.i
+                AND p.t - v.t <= {_CEP_W48_US}) AS p1
+      FROM e v WHERE v.event_type = 'view'
+    )
+    SELECT r.user_id, CAST(COUNT(*) AS BIGINT) AS n_matches
+    FROM runs r JOIN e p ON p.user_id = r.user_id
+                        AND p.event_type = 'purchase'
+                        AND p.i > r.p1
+                        AND p.t - r.vt <= {_CEP_W48_US}
+    GROUP BY r.user_id
+    """,
+)
+def q_cep_times_or_more(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """timesOrMore — AT LEAST n occurrences (round 11) [FLINK-API:
+    Pattern#timesOrMore(n)]: view -> purchase{{2,}} within 48 h under
+    noSkip. Expands eagerly to (n-1 fixed copies + a final
+    one_or_more copy) under relaxed internal contiguity, landing on
+    the pinned bounded fork-loop machine. The count collapses to an
+    INDEPENDENT relational statement: each view binds its FIRST
+    in-horizon purchase (the fixed copy — Flink's followedBy takes
+    the first qualifying event), and every LATER in-horizon purchase
+    emits exactly one match for that view (it closes the fixed part
+    or continues the loop — the fork-loop's one-match-per-close-per-
+    live-run rule) — so matches(view) = COUNT(purchases after the
+    first one). No automaton replay. Property twin:
+    test_cep_times_or_more_equals_explicit_composition (n=2 explicit
+    composition; n=1 ≡ one_or_more); streaming rides the same eager
+    expansion (the fork-loop stepper)."""
+    from flink_tutorial_broadcast_spark.cep import Pattern
+    from flink_tutorial_broadcast_spark.datastream import (
+        StreamExecutionEnvironment,
+    )
+    env = StreamExecutionEnvironment.get_execution_environment(spark)
+    pat = (Pattern.begin("v", "view")
+           .followed_by("p", "purchase").times_or_more(2)
+           .within("48 hours").no_skip())
+    return (env.from_dataframe(load(spark, sf_dir, "events"))
+            .key_by("user_id")
+            .pattern(pat)
+            .to_df())

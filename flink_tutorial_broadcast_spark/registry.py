@@ -107,10 +107,11 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # for q_histogram — tpch_full keeps q8/q13/q22, llm_scoring keeps
 # q_lang_stats/q_token_counts_regex, olap_ext keeps
 # q_sample_deterministic/q_exists_correlated, agg_ext keeps
-# q_string_agg/q_percentile_disc;
-# displaced keys are next-rotation picks). After this round 50 of the
-# pre-r11 oracle keys remain never-sampled (35 first-time pre-r11 keys
-# + 4 new r11 keys sampled) — r12 can take ~36 more (same per-module
+# q_string_agg/q_percentile_disc, q_cep_times_or_more for
+# q_stickiness — behavioral keeps q_time_to_convert/q_cume_dist;
+# displaced keys are next-rotation picks). After this round 51 of the
+# pre-r11 oracle keys remain never-sampled (34 first-time pre-r11 keys
+# + 5 new r11 keys sampled) — r12 can take ~36 more (same per-module
 # cap), r13 finishes.
 _VERIFICATION_PREFIX = (
     # -- module coverage via ALREADY-SAMPLED reps (these 11 modules
@@ -154,7 +155,7 @@ _VERIFICATION_PREFIX = (
     "q_percentile_disc",                # agg_ext discrete percentile
     "q_time_to_convert",                # behavioral funnel latency
     "q_cume_dist",                      # behavioral cumulative dist
-    "q_stickiness",                     # behavioral DAU/MAU
+    "q_cep_times_or_more",              # CEP timesOrMore (NEW r11)
     "q_nested_struct",                  # connectors struct flatten
     "q_from_csv",                       # connectors from_csv parse
     "q_nth_value",                      # stats_ext nth_value frame

@@ -2593,3 +2593,29 @@ def test_pattern_streaming_loop_agg_survives_restart(spark, queries):
             queries["q_cep_loop_agg"](spark, SF_SMOKE).collect()}
     assert {u: n for u, n in final.items() if n > 0} == want
     assert want
+
+
+def test_pattern_streaming_times_or_more(spark, queries):
+    """timesOrMore rides the eager expansion onto the fork-loop
+    stepper: converged counts equal the oracle-backed batch
+    q_cep_times_or_more."""
+    from flink_tutorial_broadcast_spark.streaming.jobs import (
+        _run_to_memory,
+    )
+
+    pat = (Pattern.begin("v", "view")
+           .followed_by("p", "purchase").times_or_more(2)
+           .within("48 hours").no_skip())
+    sdf = _two_file_stream(
+        spark, ["user_id", "ts", "event_id", "event_type"])
+    out = (_env(spark).from_dataframe(sdf)
+           .key_by("user_id").pattern(pat).to_df())
+    assert out.isStreaming
+    final: dict[int, int] = {}
+    for r in _run_to_memory(out, "update").collect():
+        final[r["user_id"]] = max(final.get(r["user_id"], 0),
+                                  r["n_matches"])
+    want = {r["user_id"]: r["n_matches"] for r in
+            queries["q_cep_times_or_more"](spark, SF_SMOKE).collect()}
+    assert {u: n for u, n in final.items() if n > 0} == want
+    assert want

@@ -2274,3 +2274,48 @@ def test_loop_agg_refusals(spark):
             .where_agg("sum", "value", "<", 5)
             .within("12 hours").no_skip(),
             sdf, ["user_id"], "ts", "event_id", "event_type")
+
+
+# -- timesOrMore (round 11) ----------------------------------------------
+
+@settings(max_examples=10, deadline=None)
+@given(rows=seq_strategy)
+def test_cep_times_or_more_equals_explicit_composition(spark, rows):
+    """timesOrMore(n) == the explicitly-written (n-1 fixed copies +
+    one_or_more) pattern — the eager expansion is definitional, so
+    the pin is engine-vs-engine on the already-brute-force-pinned
+    fork-loop machine, plus an n=1 identity with plain one_or_more."""
+    pat = (Pattern.begin("v", "view")
+           .followed_by("p", "purchase").times_or_more(2)
+           .within("12 hours").no_skip())
+    explicit = (Pattern.begin("v", "view")
+                .followed_by("p", "purchase")
+                .followed_by("p2", "purchase").one_or_more()
+                .within("12 hours").no_skip())
+    got = _run(spark, _mk(spark, rows), pat)
+    want = _run(spark, _mk(spark, rows), explicit)
+    assert got == want
+
+    one = (Pattern.begin("v", "view")
+           .followed_by("p", "purchase").times_or_more(1)
+           .within("12 hours").no_skip())
+    plain = (Pattern.begin("v", "view")
+             .followed_by("p", "purchase").one_or_more()
+             .within("12 hours").no_skip())
+    assert _run(spark, _mk(spark, rows), one) == \
+        _run(spark, _mk(spark, rows), plain)
+
+
+def test_times_or_more_refusals():
+    import pytest
+
+    from flink_tutorial_broadcast_spark.cep import Pattern as P
+
+    with pytest.raises(NotImplementedError, match="quantified"):
+        (P.begin("v", "view").followed_by("p", "purchase")
+         .times(2).times_or_more(2))
+    with pytest.raises(NotImplementedError, match="consecutive"):
+        (P.begin("v", "view").next("p", "purchase").times_or_more(2))
+    with pytest.raises(ValueError, match="n >= 1"):
+        (P.begin("v", "view").followed_by("p", "purchase")
+         .times_or_more(0))
