@@ -2444,6 +2444,109 @@ def _absence(pat, df, keys, time_col, tiebreak_col, event_col):
             .select(*keys, "anchor_id"))
 
 
+def compile_pattern_timeouts(pat: Pattern, df: DataFrame,
+                             keys: list[str], time_col: str,
+                             tiebreak_col: str,
+                             event_col: str) -> DataFrame:
+    """TIMED-OUT PARTIAL MATCHES [FLINK-API: PatternStream.select(
+    OutputTag, PatternTimeoutFunction, PatternSelectFunction) — the
+    timeout side output: a partial match that cannot complete inside
+    within(d) is emitted with its bindings instead of vanishing]
+    (r11): one row per timed-out run of the SINGLE-ANCHOR
+    skip-past-last machine — (keys..., anchor_id, stages_matched,
+    timeout_at_us = anchor_t + d). Only window EXPIRY produces a
+    timeout; a run killed by a strict next() mismatch or a mid-pattern
+    not_followed_by veto is DISCARDED silently, exactly Flink's NFA
+    (timeouts fire on window expiry alone). A run still live at
+    end-of-input times out too (bounded input — the watermark passes
+    every deadline). Requires within(); the forking (no_skip) family
+    refuses (per-run timeout extraction would need the payload sets —
+    use pattern() for counts); rel/agg conditions refuse (counts
+    only)."""
+    if pat.within_us is None:
+        raise ValueError(
+            "pattern_timeouts() needs within(): without a horizon no "
+            "partial match ever times out")
+    if pat.skip == "no_skip":
+        raise NotImplementedError(
+            "pattern_timeouts() carries the single-anchor "
+            "skip-past-last machine only — forking runs would need "
+            "per-run timeout payloads; drop no_skip()")
+    if pat._has_rel() or pat._has_agg():
+        raise NotImplementedError(
+            "where_rel()/where_agg() carries counts only (pattern()) "
+            "— timeout extraction with run-dependent conditions is "
+            "not compiled")
+    if pat._has_opt_range() or any(s.one_or_more for s in pat.stages):
+        raise NotImplementedError(
+            "pattern_timeouts() carries fixed relaxed/mixed chains "
+            "(times(n) expands) — quantifier branches have no single "
+            "partial binding to time out")
+    if pat.stages and pat.stages[-1].contiguity in (
+            "not_followed_by", "not_next"):
+        raise NotImplementedError(
+            "absence patterns ARE the timeout output — use pattern() "
+            "(the anchor rows are the timed-out anchors)")
+    pat = pat._expanded()
+    K = len(_stage_bits(pat))
+    if K < 2:
+        raise ValueError("pattern_timeouts() needs at least two "
+                         "stages after quantifier expansion")
+    w = pat.within_us
+    need = _need(pat)
+    strict = _strict_arr(pat)
+    veto = F.array(*[F.lit(v) for v in _veto_codes(pat)])
+    seq = _seq(pat, time_col, tiebreak_col, event_col)
+    empty = F.expr(
+        "CAST(array() AS array<struct<aid:bigint,st:int,"
+        "tout:bigint>>)")
+    init = F.struct(F.lit(0).alias("stage"),
+                    F.lit(0).cast("long").alias("aid"),
+                    F.lit(0).cast("long").alias("at"),
+                    empty.alias("touts"))
+
+    def step(acc, x):
+        expired = (acc["stage"] > 0) & (x["t"] - acc["at"] > w)
+        touts = F.when(expired, F.concat(acc["touts"], F.array(
+            F.struct(acc["aid"].alias("aid"),
+                     acc["stage"].alias("st"),
+                     (acc["at"] + w).alias("tout")))))             .otherwise(acc["touts"])
+        stage = F.when(expired, F.lit(0)).otherwise(acc["stage"])
+        adv = _hit(x["c"], F.get(need, stage))
+        done = adv & (stage == K - 1)
+        die = ((((~adv) & F.get(strict, stage))
+                | _hit(x["c"], F.get(veto, stage)))
+               & (stage > 0))
+        restart = die & _hit(x["c"], F.get(need, F.lit(0)))
+        starts = ((stage == 0) & adv) | restart
+        return F.struct(
+            F.when(done, F.lit(0))
+             .when(adv, stage + 1)
+             .when(restart, F.lit(1))
+             .when(die, F.lit(0))
+             .otherwise(stage).alias("stage"),
+            F.when(starts, x["eid"]).otherwise(acc["aid"])
+             .alias("aid"),
+            F.when(starts, x["t"]).otherwise(acc["at"]).alias("at"),
+            touts.alias("touts"))
+
+    fold = F.aggregate(seq, init, step)
+    folded = df.groupBy(*keys).agg(fold.alias("f"))
+    # a run still live at end-of-input times out at anchor + d
+    allt = F.when(
+        F.col("f.stage") > 0,
+        F.concat(F.col("f.touts"), F.array(F.struct(
+            F.col("f.aid").alias("aid"),
+            F.col("f.stage").alias("st"),
+            (F.col("f.at") + F.lit(w)).alias("tout"))))
+    ).otherwise(F.col("f.touts"))
+    return (folded.select(*keys, F.explode(allt).alias("x"))
+            .select(*keys,
+                    F.col("x.aid").alias("anchor_id"),
+                    F.col("x.st").cast("long").alias("stages_matched"),
+                    F.col("x.tout").alias("timeout_at_us")))
+
+
 def compile_pattern_matches(pat: Pattern, df: DataFrame,
                             keys: list[str], time_col: str,
                             tiebreak_col: str,
@@ -3327,6 +3430,96 @@ def fork_loop_agg_stepper(stage_bits: list[int], agg: tuple,
         yield pd.DataFrame(
             {**{kc: [key[i]] for i, kc in enumerate(key_cols)},
              "n_matches": [cnt]})
+    return step
+
+
+def timeout_stepper(stage_bits: list[int], within_us: int,
+                    strict: list[bool] | None = None,
+                    key_cols: list[str] | None = None,
+                    veto: list[int] | None = None):
+    """Streaming TIMED-OUT-PARTIAL side output (r11) [FLINK-API:
+    PatternStream timeout OutputTag — Flink's NFA prunes a partial
+    when the watermark passes anchor + within and hands it to the
+    PatternTimeoutFunction]: the single-run skip-past-last machine in
+    append mode. A timeout emits (anchor_id, stages_matched,
+    timeout_at_us) when EITHER a later event arrives past the horizon
+    (the batch fold's expiry branch) OR the event-time watermark
+    passes the live run's deadline (timer path, µs-ceil-to-ms like
+    the absence stepper). Strict/veto kills are silent discards, not
+    timeouts — exactly the batch compile. Input must be
+    withWatermark'd."""
+    K = len(stage_bits)
+    strict = strict or [False] * K
+    veto = veto or [0] * K
+    key_cols = key_cols or ["key"]
+    nk = len(key_cols)
+
+    def step(key, pdf_iter, state):
+        import pandas as pd
+
+        def emit(rows):
+            return pd.DataFrame(
+                {**{kc: [key[i]] * len(rows)
+                    for i, kc in enumerate(key_cols)},
+                 "anchor_id": [a for a, _, _ in rows],
+                 "stages_matched": [s for _, s, _ in rows],
+                 "timeout_at_us": [d for _, _, d in rows]})
+
+        wm_ms = state.getCurrentWatermarkMs()
+        wm_us = wm_ms * 1000
+        ceil_ms = lambda us: -(-us // 1000)
+        out = []
+        if state.hasTimedOut:
+            stage, aid, at = state.get
+            if stage > 0 and at + within_us <= wm_us:
+                out.append((aid, stage, at + within_us))
+                state.remove()
+            elif stage > 0:
+                state.update((stage, aid, at))
+                state.setTimeoutTimestamp(
+                    max(ceil_ms(at + within_us), wm_ms + 1))
+            else:
+                state.remove()
+            yield emit(out)
+            return
+        if state.exists:
+            stage, aid, at = state.get
+        else:
+            stage, aid, at = 0, 0, 0
+        rows = []
+        for pdf in pdf_iter:
+            rows.extend(_batch_rows(pdf, nk, None))
+        for t, eid, c in sorted(rows):
+            if stage > 0 and t - at > within_us:
+                out.append((aid, stage, at + within_us))
+                stage = 0
+            ok = bool(c & stage_bits[stage])
+            if ok:
+                if stage == 0:
+                    aid, at = eid, t
+                if stage == K - 1:
+                    stage = 0  # completed — no timeout
+                else:
+                    stage += 1
+            elif stage > 0 and (strict[stage] or c & veto[stage]):
+                # silent discard (possibly re-anchoring) — NOT a
+                # timeout, matching Flink's NFA and the batch fold
+                if c & stage_bits[0]:
+                    stage, aid, at = 1, eid, t
+                else:
+                    stage = 0
+        # the watermark may already be past a live run's deadline —
+        # emit now instead of waiting for a timer round
+        if stage > 0 and at + within_us <= wm_us:
+            out.append((aid, stage, at + within_us))
+            stage = 0
+        if stage > 0:
+            state.update((stage, aid, at))
+            state.setTimeoutTimestamp(
+                max(ceil_ms(at + within_us), wm_ms + 1))
+        elif state.exists:
+            state.remove()
+        yield emit(out)
     return step
 
 
@@ -4913,6 +5106,57 @@ def compile_pattern_stream(pat: Pattern, sdf: DataFrame,
     return proj.groupBy(*keys).applyInPandasWithState(
         fn, outputStructType=out_schema, stateStructType=state_schema,
         outputMode="Update", timeoutConf=GroupStateTimeout.NoTimeout)
+
+
+def compile_pattern_timeouts_stream(pat: Pattern, sdf: DataFrame,
+                                    keys: list[str], time_col: str,
+                                    tiebreak_col: str,
+                                    event_col: str) -> DataFrame:
+    """Streaming twin of compile_pattern_timeouts — append-mode
+    timed-out-partial rows, emitted on event-observed expiry or
+    watermark-passed deadlines (timer). Gates mirror batch."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    if pat.within_us is None:
+        raise ValueError(
+            "pattern_timeouts() needs within(): without a horizon no "
+            "partial match ever times out")
+    if pat.skip == "no_skip":
+        raise NotImplementedError(
+            "pattern_timeouts() carries the single-anchor "
+            "skip-past-last machine only — drop no_skip()")
+    if pat._has_rel() or pat._has_agg():
+        raise NotImplementedError(
+            "where_rel()/where_agg() carries counts only (pattern()) "
+            "— timeout extraction with run-dependent conditions is "
+            "not compiled")
+    if pat._has_opt_range() or any(s.one_or_more for s in pat.stages):
+        raise NotImplementedError(
+            "pattern_timeouts() carries fixed relaxed/mixed chains "
+            "(times(n) expands) — quantifier branches have no single "
+            "partial binding to time out")
+    if pat.stages and pat.stages[-1].contiguity in (
+            "not_followed_by", "not_next"):
+        raise NotImplementedError(
+            "absence patterns ARE the timeout output — use pattern()")
+    xp = pat._expanded()
+    if len(xp.stages) < 2:
+        raise ValueError("pattern_timeouts() needs at least two "
+                         "stages after quantifier expansion")
+    proj = sdf.select(*keys, time_col, tiebreak_col,
+                      _cond_mask_col(xp, event_col).alias("__m"))
+    key_schema = ", ".join(
+        f"{k} {_key_sql_type(proj, k)}" for k in keys)
+    fn = timeout_stepper(_stage_bits(xp), xp.within_us,
+                         _strict_flags(xp), key_cols=keys,
+                         veto=_veto_codes(xp))
+    return proj.groupBy(*keys).applyInPandasWithState(
+        fn,
+        outputStructType=f"{key_schema}, anchor_id long, "
+                         "stages_matched long, timeout_at_us long",
+        stateStructType="stage long, aid long, at long",
+        outputMode="Append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout)
 
 
 def compile_pattern_matches_stream(pat: Pattern, sdf: DataFrame,

@@ -727,6 +727,31 @@ class KeyedStream:
         return DataStream(compile_pattern_matches(
             pat, self.df, self.keys, time_col, tiebreak_col, event_col))
 
+    def pattern_timeouts(self, pat, time_col: str = "ts",
+                         tiebreak_col: str = "event_id",
+                         event_col: str = "event_type") -> DataStream:
+        """TIMED-OUT partial matches [FLINK-API: PatternStream.select(
+        OutputTag, PatternTimeoutFunction, PatternSelectFunction) —
+        the timeout side output] (r11): one row per partial match the
+        within(d) horizon expired — (keys..., anchor_id,
+        stages_matched, timeout_at_us). Batch emits every timed-out
+        run (end-of-input partials included); a STREAMING input emits
+        on event-observed expiry or watermark-passed deadlines
+        (event-time timers — input must be withWatermark'd). Strict
+        next() mismatches and mid-pattern not_followed_by vetoes
+        discard silently, exactly Flink's NFA; only window expiry
+        times out."""
+        self._no_pending_window("pattern_timeouts")
+        from flink_tutorial_broadcast_spark.cep import (
+            compile_pattern_timeouts, compile_pattern_timeouts_stream,
+        )
+        if self.df.isStreaming:
+            return DataStream(compile_pattern_timeouts_stream(
+                pat, self.df, self.keys, time_col, tiebreak_col,
+                event_col))
+        return DataStream(compile_pattern_timeouts(
+            pat, self.df, self.keys, time_col, tiebreak_col, event_col))
+
     def process(self, fn: Callable, output_schema: str) -> DataStream:
         """KeyedProcessFunction analogue: `fn(key_tuple, pandas_df) ->
         pandas_df` runs once per key group via applyInPandas — arbitrary

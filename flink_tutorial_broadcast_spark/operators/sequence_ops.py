@@ -3093,3 +3093,89 @@ def q_cep_times_or_more(spark: SparkSession, sf_dir: str) -> DataFrame:
             .key_by("user_id")
             .pattern(pat)
             .to_df())
+
+
+@query(
+    "q_cep_timeouts",
+    oracle=f"""
+    WITH RECURSIVE codes0 AS (
+      SELECT user_id, epoch_us(ts) AS t, event_id,
+             CASE event_type WHEN 'view' THEN 1 WHEN 'click' THEN 2
+                  WHEN 'purchase' THEN 3 ELSE 0 END AS c
+      FROM events
+    ), codes AS (
+      SELECT user_id, t, event_id, c,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY t, event_id) AS i
+      FROM codes0 WHERE c > 0
+    ), n AS (
+      SELECT user_id, COUNT(*) AS n_ev FROM codes GROUP BY user_id
+    ), run AS (
+      SELECT user_id, 0 AS i, 0 AS stage,
+             CAST(0 AS BIGINT) AS aid, CAST(0 AS BIGINT) AS at,
+             CAST(NULL AS BIGINT) AS to_aid, 0 AS to_st,
+             CAST(NULL AS BIGINT) AS to_t
+      FROM n
+      UNION ALL
+      SELECT r.user_id, r.i + 1,
+             CASE WHEN s.st = 0 AND c.c = 1 THEN 1
+                  WHEN s.st = 1 AND c.c = 2 THEN 2
+                  WHEN s.st = 2 AND c.c = 3 THEN 0
+                  ELSE s.st END,
+             CASE WHEN s.st = 0 AND c.c = 1 THEN c.event_id
+                  ELSE r.aid END,
+             CASE WHEN s.st = 0 AND c.c = 1 THEN c.t ELSE r.at END,
+             CASE WHEN s.expired THEN r.aid ELSE NULL END,
+             CASE WHEN s.expired THEN r.stage ELSE 0 END,
+             CASE WHEN s.expired THEN r.at + {_CEP_W48_US}
+                  ELSE NULL END
+      FROM run r JOIN codes c ON c.user_id = r.user_id
+                             AND c.i = r.i + 1
+      CROSS JOIN LATERAL (
+        SELECT (r.stage > 0 AND c.t - r.at > {_CEP_W48_US})
+                 AS expired,
+               CASE WHEN r.stage > 0 AND c.t - r.at > {_CEP_W48_US}
+                    THEN 0 ELSE r.stage END AS st) s
+    )
+    SELECT user_id, to_aid AS anchor_id,
+           CAST(to_st AS BIGINT) AS stages_matched,
+           to_t AS timeout_at_us
+    FROM run WHERE to_aid IS NOT NULL
+    UNION ALL
+    SELECT r.user_id, r.aid, CAST(r.stage AS BIGINT),
+           r.at + {_CEP_W48_US}
+    FROM run r JOIN n ON r.user_id = n.user_id AND r.i = n.n_ev
+    WHERE r.stage > 0
+    """,
+)
+def q_cep_timeouts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIMED-OUT PARTIAL MATCHES (round 11) [FLINK-API:
+    PatternStream.select(OutputTag, PatternTimeoutFunction,
+    PatternSelectFunction) — the timeout side output every real CEP
+    deployment wires up]: view -> click -> purchase within 48 h under
+    skip-past-last; each run the horizon expires emits (anchor_id,
+    stages_matched, timeout_at_us = anchor_t + d) instead of
+    vanishing — funnel-abandonment analysis for free. Only window
+    EXPIRY times out (strict kills / vetoes discard silently, exactly
+    Flink's NFA); a run still live at end-of-input times out too
+    (bounded input — the watermark passes every deadline). The fold
+    carries (stage, anchor id, anchor t) plus the emitted-timeouts
+    array; the oracle replays the identical automaton emitting rows
+    through recursive-CTE state. Property twin:
+    test_cep_timeouts_match_python_machine (relaxed K=3 AND mixed
+    contiguity — the strict-kill-is-not-a-timeout pin); streaming
+    twin: test_pattern_streaming_timeouts (event-observed expiry +
+    watermark timers)."""
+    from flink_tutorial_broadcast_spark.cep import Pattern
+    from flink_tutorial_broadcast_spark.datastream import (
+        StreamExecutionEnvironment,
+    )
+    env = StreamExecutionEnvironment.get_execution_environment(spark)
+    pat = (Pattern.begin("v", "view")
+           .followed_by("c", "click")
+           .followed_by("p", "purchase")
+           .within("48 hours"))
+    return (env.from_dataframe(load(spark, sf_dir, "events"))
+            .key_by("user_id")
+            .pattern_timeouts(pat)
+            .to_df())

@@ -108,11 +108,13 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # q_lang_stats/q_token_counts_regex, olap_ext keeps
 # q_sample_deterministic/q_exists_correlated, agg_ext keeps
 # q_string_agg/q_percentile_disc, q_cep_times_or_more for
-# q_stickiness — behavioral keeps q_time_to_convert/q_cume_dist;
-# displaced keys are next-rotation picks). After this round 51 of the
-# pre-r11 oracle keys remain never-sampled (34 first-time pre-r11 keys
-# + 5 new r11 keys sampled) — r12 can take ~36 more (same per-module
-# cap), r13 finishes.
+# q_stickiness — behavioral keeps q_time_to_convert/q_cume_dist,
+# q_cep_timeouts for q_snapshot_diff — dataset_ops keeps
+# q_windowed_distinct;
+# displaced keys are next-rotation picks). After this round 52 of the
+# pre-r11 oracle keys remain never-sampled (33 first-time pre-r11 keys
+# + 6 new r11 keys sampled) — r12 can take ~36 more (same per-module
+# cap), r13/r14 finish.
 _VERIFICATION_PREFIX = (
     # -- module coverage via ALREADY-SAMPLED reps (these 11 modules
     #    have no never-sampled oracle keys left) --
@@ -165,7 +167,7 @@ _VERIFICATION_PREFIX = (
     "q_zipf_fit",                       # text_pipeline Zipf slope
     "q_domain_mixture",                 # governance domain mixture
     "q_group_sample_cap",               # governance per-group cap
-    "q_snapshot_diff",                  # dataset_ops snapshot diff
+    "q_cep_timeouts",                   # CEP timeout output (NEW r11)
     "q_windowed_distinct",              # dataset_ops windowed distinct
 )
 

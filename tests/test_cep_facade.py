@@ -2619,3 +2619,116 @@ def test_pattern_streaming_times_or_more(spark, queries):
             queries["q_cep_times_or_more"](spark, SF_SMOKE).collect()}
     assert {u: n for u, n in final.items() if n > 0} == want
     assert want
+
+
+def test_pattern_streaming_timeouts(spark, queries):
+    """Streaming timeout side output (round 11): emissions = the batch
+    q_cep_timeouts rows whose expiry a later same-key event OBSERVED
+    (emitted inline, like the batch fold) plus end-of-input partials
+    whose deadline the final watermark passed (timer path); nothing
+    else may leak."""
+    from flink_tutorial_broadcast_spark.streaming.jobs import (
+        _run_to_memory,
+    )
+
+    ev = load(spark, SF_SMOKE, "events")
+    sdf = (_two_file_stream(
+        spark, ["user_id", "ts", "event_id", "event_type"])
+        .withWatermark("ts", "1 minute"))
+    pat = (Pattern.begin("v", "view")
+           .followed_by("c", "click")
+           .followed_by("p", "purchase")
+           .within("48 hours"))
+    out = (_env(spark).from_dataframe(sdf)
+           .key_by("user_id").pattern_timeouts(pat).to_df())
+    assert out.isStreaming
+    got = {(r.user_id, r.anchor_id, r.stages_matched, r.timeout_at_us)
+           for r in _run_to_memory(out, "append").collect()}
+
+    batch = {(r.user_id, r.anchor_id, r.stages_matched,
+              r.timeout_at_us)
+             for r in queries["q_cep_timeouts"](spark,
+                                                SF_SMOKE).collect()}
+    max_us = ev.agg(F.max(F.unix_micros("ts")).alias("m")) \
+        .collect()[0]["m"]
+    wm_final_us = (max_us // 1000 - 60_000) * 1000
+    max_t_user = {r.user_id: r.m for r in
+                  ev.groupBy("user_id")
+                  .agg(F.max(F.unix_micros("ts")).alias("m"))
+                  .collect()}
+    expected = {(u, a, s, tout) for (u, a, s, tout) in batch
+                if max_t_user[u] > tout or tout <= wm_final_us}
+    assert got == expected
+    assert got and got <= batch
+
+
+def test_pattern_streaming_timeouts_survive_restart(spark, queries):
+    """L119 restart discipline for the r11 timeout stepper: the live
+    run (stage, anchor id, anchor t) carries across stop + resume;
+    the union of appended rows equals the convergence criterion."""
+    import glob as _glob
+
+    from flink_tutorial_broadcast_spark.streaming.sources import (
+        checkpoint_dir,
+    )
+
+    pat = (Pattern.begin("v", "view")
+           .followed_by("c", "click")
+           .followed_by("p", "purchase")
+           .within("48 hours"))
+    ev = load(spark, SF_SMOKE, "events").select(
+        "user_id", "ts", "event_id", "event_type")
+    split_ts = ev.agg(
+        F.percentile_approx("ts", 0.5).alias("m")).collect()[0]["m"]
+    src_dir = tempfile.mkdtemp(prefix="cep_r11_restart_to_s_")
+    out_dir = tempfile.mkdtemp(prefix="cep_r11_restart_to_o_")
+    ckpt = checkpoint_dir()
+    (ev.filter(F.col("ts") <= F.lit(split_ts))
+     .coalesce(1).write.parquet(os.path.join(src_dir, "f=0")))
+
+    def run():
+        sdf = (spark.readStream
+               .schema("user_id long, ts timestamp, event_id long, "
+                       "event_type string")
+               .option("maxFilesPerTrigger", "1")
+               .option("recursiveFileLookup", "true")
+               .parquet(src_dir)
+               .withWatermark("ts", "1 minute"))
+        out = (_env(spark).from_dataframe(sdf)
+               .key_by("user_id").pattern_timeouts(pat).to_df())
+
+        def body(batch_df, batch_id):
+            (batch_df.write.mode("overwrite")
+             .parquet(os.path.join(out_dir, f"batch={batch_id}")))
+
+        q = (out.writeStream.foreachBatch(body)
+             .outputMode("append")
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        q.awaitTermination()
+
+    run()
+    (ev.filter(F.col("ts") > F.lit(split_ts))
+     .coalesce(1).write.parquet(os.path.join(src_dir, "f=1")))
+    run()
+
+    got = set()
+    for p in _glob.glob(os.path.join(out_dir, "batch=*")):
+        for r in spark.read.parquet(p).collect():
+            got.add((r.user_id, r.anchor_id, r.stages_matched,
+                     r.timeout_at_us))
+    batch = {(r.user_id, r.anchor_id, r.stages_matched,
+              r.timeout_at_us)
+             for r in queries["q_cep_timeouts"](spark,
+                                                SF_SMOKE).collect()}
+    max_us = ev.agg(F.max(F.unix_micros("ts")).alias("m")) \
+        .collect()[0]["m"]
+    wm_final_us = (max_us // 1000 - 60_000) * 1000
+    max_t_user = {r.user_id: r.m for r in
+                  ev.groupBy("user_id")
+                  .agg(F.max(F.unix_micros("ts")).alias("m"))
+                  .collect()}
+    expected = {(u, a, s, tout) for (u, a, s, tout) in batch
+                if max_t_user[u] > tout or tout <= wm_final_us}
+    assert got == expected
+    assert got and got <= batch

@@ -1726,19 +1726,14 @@ def test_cep_where_prev_matches_python_nfa(spark, rows):
 
 
 def test_where_prev_refusals(spark):
+    """r11 NOTE: the r10 no_skip refusal is LIFTED — where_prev now
+    compiles on the forking family (per-anchor prev payloads; see
+    test_cep_fork_prev_matches_brute_force). Remaining edge: the
+    begin stage has no previous element."""
     import pytest
 
     with pytest.raises(NotImplementedError, match="begin"):
         Pattern.begin("v", "view").where_prev("value", ">", "value")
-    with pytest.raises(NotImplementedError, match="no_skip"):
-        from flink_tutorial_broadcast_spark.cep import compile_pattern
-        df = _mk_val(spark, [(0, 0, 0, 10)])
-        pat = (Pattern.begin("v", "view")
-               .followed_by("p", "purchase")
-               .where_prev("value", ">", "value")
-               .within("12 hours").no_skip())
-        compile_pattern(pat, df, ["user_id"], "ts", "event_id",
-                        "event_type")
 
 
 # -- round-11 advice fixes ----------------------------------------------
@@ -2319,3 +2314,106 @@ def test_times_or_more_refusals():
     with pytest.raises(ValueError, match="n >= 1"):
         (P.begin("v", "view").followed_by("p", "purchase")
          .times_or_more(0))
+
+
+# -- timed-out partial matches (round 11) ---------------------------------
+
+def _ref_timeouts(evs, stages, within_min, strict_flags=None):
+    """Independent reference for the timeout side output: single-run
+    skip-past-last machine; expiry (or end-of-input) emits the partial
+    (anchor_id, stages_matched, deadline_minute); strict kills discard
+    silently. evs: (minute, event_id, type)."""
+    K = len(stages)
+    stage, aid, am = 0, 0, 0
+    outs = []
+    for m, i, ty in evs:
+        if stage > 0 and m - am > within_min:
+            outs.append((aid, stage, am + within_min))
+            stage = 0
+        ok = ty == stages[stage]
+        if ok:
+            if stage == 0:
+                aid, am = i, m
+            stage = 0 if stage == K - 1 else stage + 1
+        elif stage > 0 and strict_flags and strict_flags[stage]:
+            if ty == stages[0]:
+                stage, aid, am = 1, i, m
+            else:
+                stage = 0
+    if stage > 0:
+        outs.append((aid, stage, am + within_min))
+    return sorted(outs)
+
+
+@settings(max_examples=10, deadline=None)
+@given(rows=seq_strategy)
+def test_cep_timeouts_match_python_machine(spark, rows):
+    """pattern_timeouts() == the single-run machine's expiry/-end
+    emissions — and a strict next() kill is a silent DISCARD, never a
+    timeout (the mixed-contiguity case pins that)."""
+    from flink_tutorial_broadcast_spark.cep import (
+        compile_pattern_timeouts,
+    )
+
+    per = _per_user_with_ids(rows)
+
+    pat = (Pattern.begin("v", "view").followed_by("c", "click")
+           .followed_by("p", "purchase").within("12 hours"))
+    got = {}
+    for r in compile_pattern_timeouts(
+            pat, _mk(spark, rows), ["user_id"], "ts", "event_id",
+            "event_type").collect():
+        got.setdefault(r["user_id"], []).append(
+            (r["anchor_id"], r["stages_matched"],
+             (r["timeout_at_us"]
+              - int(BASE.timestamp() * 1_000_000)) // 60_000_000))
+    want = {u: _ref_timeouts(evs, ["view", "click", "purchase"], 720)
+            for u, evs in per.items()}
+    assert {u: sorted(v) for u, v in got.items()} == \
+        {u: o for u, o in want.items() if o}
+
+    pat2 = (Pattern.begin("v", "view").next("c", "click")
+            .followed_by("p", "purchase").within("12 hours"))
+    got2 = {}
+    for r in compile_pattern_timeouts(
+            pat2, _mk(spark, rows), ["user_id"], "ts", "event_id",
+            "event_type").collect():
+        got2.setdefault(r["user_id"], []).append(
+            (r["anchor_id"], r["stages_matched"],
+             (r["timeout_at_us"]
+              - int(BASE.timestamp() * 1_000_000)) // 60_000_000))
+    want2 = {u: _ref_timeouts(evs, ["view", "click", "purchase"], 720,
+                              strict_flags=[False, True, False])
+             for u, evs in per.items()}
+    assert {u: sorted(v) for u, v in got2.items()} == \
+        {u: o for u, o in want2.items() if o}
+
+
+def test_pattern_timeouts_refusals(spark):
+    import pytest
+
+    from flink_tutorial_broadcast_spark.cep import (
+        compile_pattern_timeouts,
+    )
+
+    df = _mk(spark, [(0, 0, 0)])
+    with pytest.raises(ValueError, match="within"):
+        compile_pattern_timeouts(
+            Pattern.begin("v", "view").followed_by("p", "purchase"),
+            df, ["user_id"], "ts", "event_id", "event_type")
+    with pytest.raises(NotImplementedError, match="no_skip"):
+        compile_pattern_timeouts(
+            Pattern.begin("v", "view").followed_by("p", "purchase")
+            .within("12 hours").no_skip(),
+            df, ["user_id"], "ts", "event_id", "event_type")
+    with pytest.raises(NotImplementedError, match="quantifier"):
+        compile_pattern_timeouts(
+            Pattern.begin("v", "view")
+            .followed_by("p", "purchase").one_or_more()
+            .within("12 hours"),
+            df, ["user_id"], "ts", "event_id", "event_type")
+    with pytest.raises(NotImplementedError, match="absence"):
+        compile_pattern_timeouts(
+            Pattern.begin("v", "view")
+            .not_followed_by("p", "purchase").within("12 hours"),
+            df, ["user_id"], "ts", "event_id", "event_type")
