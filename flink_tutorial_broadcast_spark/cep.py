@@ -3350,14 +3350,19 @@ def fork_loop_agg_stepper(stage_bits: list[int], agg: tuple,
                 and OPS[op](val, rhs))
 
     def step(key, pdf_iter, state):
+        import heapq
+        from collections import deque
+
         import pandas as pd
         if state.exists:
             got = state.get
             cnt = got[0]
-            sets = [sorted(s) for s in got[1:K]]
-            lp = sorted(zip(got[K], got[K + 1], got[K + 2]))
+            sets = [deque(sorted(s)) for s in got[1:K]]
+            lp = deque(sorted(zip(got[K], got[K + 1], got[K + 2])))
         else:
-            cnt, sets, lp = 0, [[] for _ in range(K - 1)], []
+            cnt = 0
+            sets = [deque() for _ in range(K - 1)]
+            lp = deque()
         rows = []
         for pdf in pdf_iter:
             t = (pdf.iloc[:, nk].to_numpy("datetime64[ns]")
@@ -3367,64 +3372,75 @@ def fork_loop_agg_stepper(stage_bits: list[int], agg: tuple,
             v = pdf.iloc[:, nk + 3].astype(float).tolist()
             rows.extend(zip(t, eid, c, v))
         for t, _, c, xv in sorted(rows):
-            sets = [[a for a in s if t - a <= within_us]
-                    for s in sets]
-            lp = [a for a in lp if t - a[0] <= within_us]
+            # sorted-by-anchor-t invariant (see fork_stepper): expiry
+            # is a prefix POP for the stage sets AND the parked loop —
+            # O(1) amortized, never a full-list rebuild per event
+            for s in sets:
+                while s and t - s[0] > within_us:
+                    s.popleft()
+            while lp and t - lp[0][0] > within_us:
+                lp.popleft()
             match = [bool(c & stage_bits[i]) for i in range(K)]
             iu = bool(c & until_bit)
-            old = [list(s) for s in sets]
             if match[K - 1] and not iu:
                 xnan = xv != xv
-
-                def pval(a):
-                    if fn_ == "sum":
-                        return a[1] + xv
-                    if fn_ == "avg":
-                        return (a[1] + xv) / (a[2] + 1)
-                    if fn_ == "count":
-                        return float(a[2] + 1)
-                    if fn_ == "min":
-                        return min(a[1], xv)
-                    return max(a[1], xv)
-
                 fresh_ok = (not xnan) and _ok(
                     1.0 if fn_ == "count" else xv)
-                qual = [a for a in lp
-                        if not xnan and _ok(pval(a))]
-                stay = [a for a in lp
-                        if xnan or not _ok(pval(a))]
-                cnt += len(qual)
-                absorbed = [(a[0],
-                             (a[1] + xv if fn_ in ("sum", "avg")
-                              else min(a[1], xv) if fn_ == "min"
-                              else max(a[1], xv) if fn_ == "max"
-                              else a[1]),
-                             a[2] + 1) for a in qual]
+                # one pass over the parked runs: test, absorb or keep
+                # (stay and absorbed each preserve anchor-t order, so
+                # one ordered merge rebuilds the deque on CLOSE events
+                # only — non-close events never touch the loop set)
+                stay, absorbed = [], []
+                if fn_ == "sum" or fn_ == "avg":
+                    for a in lp:
+                        val = ((a[1] + xv) / (a[2] + 1)
+                               if fn_ == "avg" else a[1] + xv)
+                        if not xnan and _ok(val):
+                            absorbed.append((a[0], a[1] + xv,
+                                             a[2] + 1))
+                        else:
+                            stay.append(a)
+                elif fn_ == "count":
+                    for a in lp:
+                        if not xnan and _ok(float(a[2] + 1)):
+                            absorbed.append((a[0], a[1], a[2] + 1))
+                        else:
+                            stay.append(a)
+                else:
+                    mn = fn_ == "min"
+                    for a in lp:
+                        val = min(a[1], xv) if mn else max(a[1], xv)
+                        if not xnan and _ok(val):
+                            absorbed.append((a[0], val, a[2] + 1))
+                        else:
+                            stay.append(a)
+                cnt += len(absorbed)
                 if fresh_ok:
-                    cnt += len(old[K - 2])
-                    parked = [(a, xv, 1) for a in old[K - 2]]
-                    sets[K - 2] = []
+                    cnt += len(sets[K - 2])
+                    parked = [(a, xv, 1) for a in sets[K - 2]]
+                    sets[K - 2] = deque()
                 else:
                     parked = []
-                lp = sorted(stay + absorbed + parked)
+                lp = deque(heapq.merge(stay, absorbed, parked))
+            old = [list(s) for s in sets]
             # prefix promotions over the pre-event snapshot
             for i in range(K - 2, -1, -1):
                 if i == K - 2:
                     base = sets[i]  # fresh-anchor keep/drain handled
                 elif strict[i + 1] or match[i + 1]:
-                    base = []
+                    base = deque()
                 else:
-                    base = old[i]
+                    base = sets[i]
                 if match[i] and not (iu and i == K - 2):
                     if i == 0:
-                        base = sorted(base + [t])
+                        _ins_sorted(base, t)
                     else:
-                        base = sorted(base + old[i - 1])
+                        _ext_sorted(base, deque(old[i - 1]))
                 sets[i] = base
             if iu:
-                lp = []
-                sets[K - 2] = []
-        state.update((cnt, *sets,
+                lp = deque()
+                sets[K - 2] = deque()
+        state.update((cnt, *[list(s) for s in sets],
                       [a[0] for a in lp], [a[1] for a in lp],
                       [a[2] for a in lp]))
         yield pd.DataFrame(

@@ -599,6 +599,7 @@ def s_cep_stepper_throughput(c: Ctx) -> None:
 
     class _St:
         _s = None
+        hasTimedOut = False
 
         @property
         def exists(self):
@@ -610,6 +611,15 @@ def s_cep_stepper_throughput(c: Ctx) -> None:
 
         def update(self, v):
             self._s = v
+
+        def remove(self):
+            self._s = None
+
+        def getCurrentWatermarkMs(self):
+            return 0
+
+        def setTimeoutTimestamp(self, ms):
+            pass
 
     per_key, total = _stepper_rows(c)
     # relaxed/fork test `mask & bit` (r9 where() support): codes must
@@ -683,6 +693,43 @@ def s_cep_stepper_throughput(c: Ctx) -> None:
           f"{total / sec / 1e6:.2f} M events/s "
           f"({total / len(per_key) / sec / 1e3:.0f}k ev/s/key)",
           file=sys.stderr)
+    # r11 steppers over the same masked hot-key frames
+    from flink_tutorial_broadcast_spark.cep import (
+        fork_loop_agg_stepper, timeout_stepper, zero_or_more_stepper,
+    )
+    for label, fn, src_map in (
+            ("zero_or_more", zero_or_more_stepper(
+                [1, 4], W, key_cols=["user_id"]), masked),
+            # worst case: an always-true threshold makes EVERY close
+            # absorb EVERY parked run (maximal per-run register work)
+            ("loop_agg_sum_worst", fork_loop_agg_stepper(
+                [1, 4], ("sum", "value", "<", 1e12), 0, W,
+                key_cols=["user_id"]), None),
+            # realistic: runs absorb ~3 events then keep failing the
+            # test (stay path — no register churn, just the compare)
+            ("loop_agg_sum_sel", fork_loop_agg_stepper(
+                [1, 4], ("sum", "value", "<", 300.0), 0, W,
+                key_cols=["user_id"]), None),
+            ("timeouts", timeout_stepper(
+                [1, 2, 4], W, key_cols=["user_id"]), masked),
+            ("skip_bindings", skip_strategy_stepper(
+                [1, 2, 4], "past_last_event", None, W,
+                key_cols=["user_id"], bindings=True), masked),
+            ("fork_prev_48h", fork_rel_stepper(
+                [1, 2, 4],
+                [None, None, ("value", ">", "value", 1.0, 0.0)],
+                [], ["value"], W, key_cols=["user_id"],
+                srcs=["anchor", "anchor", "prev"],
+                pcols=["value"]), None)):
+        src = src_map if src_map is not None else rel_masked
+        t0 = time.time()
+        for u, pdf in src.items():
+            list(fn((u,), iter([pdf]), _St()))
+        sec = time.time() - t0
+        print(f"#   stepper {label}: {total} events in {sec:.2f}s = "
+              f"{total / sec / 1e6:.2f} M events/s "
+              f"({total / len(per_key) / sec / 1e3:.0f}k ev/s/key)",
+              file=sys.stderr)
     assert _kmp_failure([1, 1, 3]) == [0, 0, 1, 0]
 
 
