@@ -2417,3 +2417,42 @@ def test_pattern_timeouts_refusals(spark):
             Pattern.begin("v", "view")
             .not_followed_by("p", "purchase").within("12 hours"),
             df, ["user_id"], "ts", "event_id", "event_type")
+
+
+@settings(max_examples=10, deadline=None)
+@given(rows=seq_val_strategy)
+def test_cep_where_rel_and_agg_combined(spark, rows):
+    """where_rel and where_agg COMBINE on one pattern (different
+    stages): the single-anchor machine evaluates the rel cell and the
+    agg cell independently per await — pinned against an imperative
+    reference carrying both the anchor value and the running sum."""
+    pat = (Pattern.begin("v", "view")
+           .followed_by("c", "click")
+           .where_rel("value", ">", "value")
+           .followed_by("p", "purchase")
+           .where_agg("sum", "value", "<", 300)
+           .within("12 hours"))
+    got = _run(spark, _mk_val(spark, rows), pat)
+
+    def ref(seq):
+        stage, cnt, a_m, a_v, run = 0, 0, 0, 0.0, []
+        for m, ty, v in seq:
+            if stage > 0 and m - a_m > 720:
+                stage = 0
+            ok = ty == ["view", "click", "purchase"][stage]
+            if ok and stage == 1:
+                ok = v > a_v
+            if ok and stage == 2:
+                ok = sum(run) + v < 300
+            if ok:
+                if stage == 0:
+                    a_m, a_v, run = m, v, []
+                run.append(v)
+                stage += 1
+                if stage == 3:
+                    cnt, stage = cnt + 1, 0
+        return cnt
+
+    want = {u: ref(seq)
+            for u, seq in _per_user_ordered_val(rows).items()}
+    assert got == {u: n for u, n in want.items() if n > 0}
