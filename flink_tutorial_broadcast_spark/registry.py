@@ -88,35 +88,33 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # Keys not listed keep their registration order after the prefix; no key is
 # ever removed or renamed (the inventory is monotone).
 #
-# Round 11 rotation (VERDICT_r10 item 1): 85 oracle-backed keys had
-# never been driver-sampled across r1-r10 (the r10 comment's "<=75"
-# was a miscount — fixed per the verdict). 39 of the 50 slots hold
-# first-time keys — the structural MAXIMUM, because 11 modules
-# (scans, flagship, relational, aggregates, time_windows,
-# analytic_windows, iterative, graph_setsim, vector_compress,
-# udf_surface, multimodal) are fully sampled and test_contract's
-# per-module rule forces one already-sampled rep each. Led by the
-# two SURVEY A-K planned keys with no driver row (q_dedup_exact K1,
-# q_lang_stats K4) and q_tpch_q8 (the warmth-tail bench mover), plus
-# the five FOUNDATIONAL CEP keys (followed_by/within/not_followed_by/
-# one_or_more/times — registered r4, swapped out of every rotation
-# since). Three single-key modules drain (llm_knn, composite,
-# temporal). Mid-round swaps: new r11 verb keys enter as they land
-# (q_cep_where_agg for q_tpch_q19, q_cep_where_prev_fork for
-# q_vocab_coverage, q_cep_group_times for q_unpivot, q_cep_loop_agg
-# for q_histogram — tpch_full keeps q8/q13/q22, llm_scoring keeps
-# q_lang_stats/q_token_counts_regex, olap_ext keeps
-# q_sample_deterministic/q_exists_correlated, agg_ext keeps
-# q_string_agg/q_percentile_disc, q_cep_times_or_more for
-# q_stickiness — behavioral keeps q_time_to_convert/q_cume_dist,
-# q_cep_timeouts for q_snapshot_diff — dataset_ops keeps
-# q_windowed_distinct;
-# displaced keys are next-rotation picks). After this round 52 of the
-# pre-r11 oracle keys remain never-sampled (33 first-time pre-r11 keys
-# + 6 new r11 keys sampled) — r12 can take ~36 more (same per-module
-# cap), r13/r14 finish.
+# Round 12 rotation (VERDICT_r11 item 1): after r11, 52 oracle-backed
+# keys had never been driver-sampled across r1-r11 (union of the
+# CORRECTNESS_r* artifacts vs this registry). 36 of the 50 slots hold
+# first-time keys — the structural MAXIMUM this round, because 14
+# modules are now fully sampled (the 11 from r11 — scans, flagship,
+# relational, aggregates, time_windows, analytic_windows, iterative,
+# graph_setsim, vector_compress, udf_surface, multimodal — PLUS
+# llm_knn, composite and temporal, drained by the r11 rotation) and
+# test_contract's per-module rule forces one already-sampled rep each.
+# The verdict's "size r12 at 39" predates those three drains; 36 is
+# the cap. Deferred to r13 (16 keys, finishing the registry):
+#   agg_ext: q_incremental_agg q_bit_aggs q_collect_set q_pareto_abc
+#   behavioral: q_cumulative_distinct q_growth_mom q_revenue_bridge
+#               q_cycle_time
+#   olap_ext: q_corr_stats q_edit_distance q_allocate_proration
+#             q_quartile_banding
+#   dataset_ops: q_class_upsample q_domain_token_cap
+#   llm_scoring: q_inverted_index q_lm_quality_bucket
+# Mid-round swaps: new r12 verb keys enter as they land, displacing
+# first-time picks whose module keeps >=1 rep (displaced keys join the
+# r13 list above): q_cep_consecutive for q_profile (agg_ext keeps
+# q_histogram/q_count_if_bool), q_cep_allow_combinations for
+# q_audience_overlap (behavioral keeps q_stickiness/
+# q_last_ignore_nulls), q_cep_group_loop for q_sql_pipe_syntax
+# (olap_ext keeps q_unpivot/q_stratified_sample).
 _VERIFICATION_PREFIX = (
-    # -- module coverage via ALREADY-SAMPLED reps (these 11 modules
+    # -- module coverage via ALREADY-SAMPLED reps (these 14 modules
     #    have no never-sampled oracle keys left) --
     "q_scan_inline",                    # scans (A1; r10)
     "q_window_all_facade",              # flagship windowAll (r10)
@@ -129,46 +127,46 @@ _VERIFICATION_PREFIX = (
     "q_dedup_vectors_bucketed",         # vector_compress dedup (r10)
     "q_pandas_udf_cosine",              # udf_surface pandas UDF (r8)
     "q_audio_frame_energy",             # multimodal PCM16 energy (r10)
-    # -- 39 FIRST-TIME keys (never driver-sampled r1-r10) --
-    "q_dedup_exact",                    # llm_dedup K1 (headline key!)
-    "q_lang_stats",                     # llm_scoring K4
-    "q_tpch_q8",                        # tpch_full 8-table (warmth tail)
-    "q_dedup_embed",                    # llm_dedup embedding dedup
-    "q_token_counts_regex",             # llm_scoring BPE-ish tokens
-    "q_cep_where_prev_fork",            # CEP fork-family prev (NEW r11)
-    "q_tpch_q13",                       # tpch_full cust distribution
-    "q_tpch_q22",                       # tpch_full global sales opp
-    "q_cep_where_agg",                  # CEP run-aggregate (NEW r11)
-    "q_cep_followed_by",                # CEP foundation (r4 key!)
-    "q_cep_within",                     # CEP horizon (r4 key!)
-    "q_cep_not_followed_by",            # CEP absence (r4 key!)
-    "q_cep_one_or_more",                # CEP loop (r4 key!)
-    "q_cep_times",                      # CEP quantifier (r4 key!)
-    "q_embed_norm_stats",               # llm_knn (drains the module)
-    "q_tpch_q14",                       # composite (drains the module)
-    "q_resample_interp",                # temporal (drains the module)
-    "q_try_arith",                      # scalar_funcs try-arithmetic
-    "q_regexp_extract_all",             # scalar_funcs regex extract
-    "q_sample_deterministic",           # olap_ext seed-free sampling
-    "q_exists_correlated",              # olap_ext correlated EXISTS
-    "q_cep_group_times",                # CEP GroupPattern (NEW r11)
-    "q_string_agg",                     # agg_ext listagg
-    "q_cep_loop_agg",                   # CEP loop iter-cond (NEW r11)
-    "q_percentile_disc",                # agg_ext discrete percentile
-    "q_time_to_convert",                # behavioral funnel latency
-    "q_cume_dist",                      # behavioral cumulative dist
-    "q_cep_times_or_more",              # CEP timesOrMore (NEW r11)
-    "q_nested_struct",                  # connectors struct flatten
-    "q_from_csv",                       # connectors from_csv parse
-    "q_nth_value",                      # stats_ext nth_value frame
-    "q_benford",                        # stats_ext Benford digits
-    "q_agg_pushdown_join",              # layout_ops agg-below-join
-    "q_readability",                    # text_pipeline readability
-    "q_zipf_fit",                       # text_pipeline Zipf slope
-    "q_domain_mixture",                 # governance domain mixture
-    "q_group_sample_cap",               # governance per-group cap
-    "q_cep_timeouts",                   # CEP timeout output (NEW r11)
-    "q_windowed_distinct",              # dataset_ops windowed distinct
+    "q_embed_norm_stats",               # llm_knn (drained r11)
+    "q_tpch_q14",                       # composite (drained r11)
+    "q_resample_interp",                # temporal (drained r11)
+    # -- 36 FIRST-TIME keys (never driver-sampled r1-r11) --
+    "q_tpch_q15",                       # tpch_full top supplier (view)
+    "q_tpch_q19",                       # tpch_full disjunct predicates
+    "q_tpch_q11",                       # tpch_full important stock
+    "q_tpch_q16",                       # tpch_full supplier count
+    "q_anomaly_zscore",                 # sequence_ops z-score outliers
+    "q_length_band_filter",             # sequence_ops run-length bands
+    "q_local_maxima",                   # sequence_ops peak detection
+    "q_activity_streaks",               # sequence_ops streak islands
+    "q_scan_zstd",                      # connectors zstd parquet scan
+    "q_scan_csv_malformed",             # connectors permissive CSV
+    "q_mixture_temperature",            # governance temperature resample
+    "q_observed_gate",                  # governance observed-only gate
+    "q_dim_encode",                     # layout_ops dictionary encode
+    "q_distinct",                       # llm_dedup D3 distinct docs
+    "q_xml_extract",                    # scalar_funcs xpath extract
+    "q_array_setops",                   # scalar_funcs array set ops
+    "q_embed_centroid",                 # stats_ext per-class centroid
+    "q_embed_quantile_norm",            # stats_ext quantile normalize
+    "q_autocorr",                       # stats_ext lag autocorrelation
+    "q_text_pipeline_e2e",              # text_pipeline full chain
+    "q_ngram_novelty",                  # text_pipeline novelty score
+    "q_histogram",                      # agg_ext equi-width histogram
+    "q_count_if_bool",                  # agg_ext count_if/bool_and/or
+    "q_profile",                        # agg_ext column profiler
+    "q_stickiness",                     # behavioral DAU/MAU stickiness
+    "q_last_ignore_nulls",              # behavioral last ignore-nulls
+    "q_audience_overlap",               # behavioral cohort overlap
+    "q_unpivot",                        # olap_ext wide->long unpivot
+    "q_stratified_sample",              # olap_ext per-stratum sample
+    "q_sql_pipe_syntax",                # olap_ext SQL pipe syntax
+    "q_snapshot_diff",                  # dataset_ops snapshot compare
+    "q_negative_sampling",              # dataset_ops negative pairs
+    "q_mixture_pipeline",               # dataset_ops mixture e2e
+    "q_vocab_coverage",                 # llm_scoring OOV coverage
+    "q_ngram_counts",                   # llm_scoring n-gram counts
+    "q_lang_confusion",                 # llm_scoring lang-ID confusion
 )
 
 
