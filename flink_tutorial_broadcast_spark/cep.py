@@ -379,6 +379,15 @@ class Pattern:
             raise ValueError("times_or_more() needs a stage")
         if n < 1:
             raise ValueError("times_or_more(n) needs n >= 1")
+        grp = getattr(self, "_grp", None)
+        if grp is not None and grp[1] == len(self.stages):
+            # without this guard the verb would silently quantify only
+            # the group's LAST inner stage — (v c){2,} as v c c+
+            # (ADVICE r11); group loops compile via one_or_more()
+            raise NotImplementedError(
+                "times_or_more() on a GROUP is not compiled — use "
+                "fixed times(n) on the group, or times(n-1) followed "
+                "by one_or_more() on a second group copy")
         s = self.stages[-1]
         if s.times or s.times_hi or s.one_or_more or s.optional:
             raise NotImplementedError(
@@ -1948,9 +1957,13 @@ def _fork_loop_agg_machine(pat, df, keys, time_col, tiebreak_col,
     AND absorb it (register combined, Flink's emit-and-continue fork);
     non-qualifying runs (fresh anchors in s_{K-1} included) simply
     keep awaiting a later candidate (relaxed internal contiguity).
-    Registers never see NULLs: admission requires the condition, and
-    a NULL candidate fails it (coalesced), so no poisoning machinery
-    is needed. until() kills both sets exactly as the plain loop."""
+    Registers never see NULLs: a NULL-valued loop candidate fails the
+    condition for EVERY fn — sum/avg via the coalesced comparison,
+    min/max/count via an explicit non-NULL gate (F.least/F.greatest
+    skip NULLs and count is value-independent, so the coalesce alone
+    would absorb NULL candidates there; the gate matches the
+    streaming stepper's NaN rule — ADVICE r11). until() kills both
+    sets exactly as the plain loop."""
     K = len(pat.stages)
     w = pat.within_us
     fn_, acol, op, rhs = pat.stages[-1].agg
@@ -1994,11 +2007,13 @@ def _fork_loop_agg_machine(pat, df, keys, time_col, tiebreak_col,
                 return F.least(a["r1"], xv)
             return F.greatest(a["r1"], xv)
 
-        # a FRESH anchor's candidate aggregate spans {x} alone
-        fresh_ok = _cmp(F.lit(1.0).cast("double") if fn_ == "count"
-                        else xv)
-        qual_lp = F.filter(lp, lambda a: _cmp(parked_val(a)))
-        stay_lp = F.filter(lp, lambda a: ~_cmp(parked_val(a)))
+        # a FRESH anchor's candidate aggregate spans {x} alone; a
+        # NULL candidate value never qualifies (any fn — see docstring)
+        xok = xv.isNotNull()
+        fresh_ok = xok & _cmp(F.lit(1.0).cast("double")
+                              if fn_ == "count" else xv)
+        qual_lp = F.filter(lp, lambda a: xok & _cmp(parked_val(a)))
+        stay_lp = F.filter(lp, lambda a: ~(xok & _cmp(parked_val(a))))
         qual_fresh = (F.filter(filt[K - 1], lambda a: fresh_ok)
                       if K >= 2 else None)
         closed = ((F.size(qual_fresh) + F.size(qual_lp)).cast("long")
@@ -3323,7 +3338,7 @@ def fork_loop_stepper(type_codes: dict[str, int] | None,
 
 
 def fork_loop_agg_stepper(stage_bits: list[int], agg: tuple,
-                          acol_idx: int, within_us: int,
+                          within_us: int,
                           strict: list[bool] | None = None,
                           key_cols: list[str] | None = None,
                           until_bit: int = 0):
@@ -4872,7 +4887,7 @@ def compile_pattern_stream(pat: Pattern, sdf: DataFrame,
         u_sql = xp.stages[-1].until_sql
         ub = (0 if u_sql is None
               else 1 << (_cond_codes(xp)[("__until__", u_sql)] - 1))
-        fn = fork_loop_agg_stepper(_stage_bits(xp), agg, 0,
+        fn = fork_loop_agg_stepper(_stage_bits(xp), agg,
                                    xp.within_us, _strict_flags(xp),
                                    key_cols=keys, until_bit=ub)
         state_schema = ("cnt long, "

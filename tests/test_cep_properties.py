@@ -2128,6 +2128,11 @@ def test_group_refusals():
     with pytest.raises(NotImplementedError, match="fixed times"):
         P.begin_group(P.begin("v", "view")
                       .followed_by("c", "click")).times(1, 3)
+    # without the guard this silently compiled (v c){2,} as v c c+
+    # — quantifying only the group's LAST inner stage (ADVICE r11)
+    with pytest.raises(NotImplementedError, match="times_or_more"):
+        P.begin_group(P.begin("v", "view")
+                      .followed_by("c", "click")).times_or_more(2)
     with pytest.raises(NotImplementedError, match="absence"):
         P.begin_group(P.begin("v", "view")
                       .not_followed_by("p", "purchase"))
@@ -2156,7 +2161,9 @@ def _ref_fork_loop_agg(seq, stages, within_min, fn, thr):
     candidate qualifying per run emits a match AND is absorbed;
     non-qualifying runs (fresh anchors included) keep awaiting.
     Aggregate scope = the loop's accepted events + candidate; the
-    condition here is AGG < thr."""
+    condition here is AGG < thr. A None-valued candidate fails the
+    condition for EVERY fn (count included) — the engine's NULL rule
+    (ADVICE r11), so registers never see NULLs."""
     K = len(stages)
     sets = [[] for _ in range(K - 1)]
     lp = []  # (anchor_m, register, n)
@@ -2165,7 +2172,9 @@ def _ref_fork_loop_agg(seq, stages, within_min, fn, thr):
         sets = [[a for a in s if m - a <= within_min] for s in sets]
         lp = [a for a in lp if m - a[0] <= within_min]
         old = [list(s) for s in sets]
-        if ty == stages[K - 1]:
+        if ty == stages[K - 1] and v is None:
+            pass  # NULL candidate: no emit, no absorb, all runs stay
+        elif ty == stages[K - 1]:
             new_lp = []
             for am, r, n in lp:
                 val = {"sum": r + v, "min": min(r, v),
@@ -2269,6 +2278,97 @@ def test_loop_agg_refusals(spark):
             .where_agg("sum", "value", "<", 5)
             .within("12 hours").no_skip(),
             sdf, ["user_id"], "ts", "event_id", "event_type")
+
+
+# -- NULL-bearing loop where_agg convergence (round 12, ADVICE r11) ------
+
+# like seq_val_strategy but ~1 in 3 events carries a NULL value — the
+# data shape where the r11 batch machine absorbed/counted NULL loop
+# candidates for min/max/count while the stepper rejected them
+seq_nullval_strategy = st.lists(
+    st.tuples(st.integers(0, 2), st.integers(0, 5000),
+              st.integers(0, 3),
+              st.one_of(st.none(), st.integers(0, 200))),
+    min_size=1, max_size=35)
+
+
+def _mk_nullval(spark, rows):
+    data = [(u, BASE + dt.timedelta(minutes=m), i, TYPES[t],
+             None if v is None else float(v))
+            for i, (u, m, t, v) in enumerate(rows)]
+    return spark.createDataFrame(
+        data, "user_id int, ts timestamp, event_id long, "
+              "event_type string, value double")
+
+
+_LOOP_AGG_NULL_CASES = [("sum", 300), ("count", 3), ("min", 100),
+                        ("max", 150), ("avg", 120)]
+
+
+@settings(max_examples=10, deadline=None)
+@given(rows=seq_nullval_strategy,
+       case=st.sampled_from(_LOOP_AGG_NULL_CASES))
+def test_cep_loop_agg_null_candidates_fail_every_fn(spark, rows, case):
+    """A NULL-valued loop candidate never qualifies, for EVERY fn —
+    sum/avg get that from the coalesced comparison, min/max/count from
+    the explicit gate (F.least/F.greatest skip NULLs and count is
+    value-independent, so without the gate the batch machine absorbed
+    NULL candidates the stepper rejects — ADVICE r11)."""
+    fn, thr = case
+    pat = (Pattern.begin("v", "view")
+           .followed_by("p", "purchase").one_or_more()
+           .where_agg(fn, "value", "<", thr)
+           .within("12 hours").no_skip())
+    got = _run(spark, _mk_nullval(spark, rows), pat)
+    want = {u: _ref_fork_loop_agg(seq, ["view", "purchase"], 720,
+                                  fn, thr)
+            for u, seq in _per_user_ordered_val(rows).items()}
+    assert got == {u: n for u, n in want.items() if n > 0}
+
+
+@settings(max_examples=25, deadline=None)
+@given(rows=seq_nullval_strategy,
+       case=st.sampled_from(_LOOP_AGG_NULL_CASES),
+       cuts=st.lists(st.integers(0, 34), max_size=3))
+def test_loop_agg_stepper_null_convergence(rows, case, cuts):
+    """fork_loop_agg_stepper on NULL-bearing values (NaN after the
+    pandas projection), fed across arbitrary micro-batch splits,
+    equals the same pure-Python reference the batch machine is pinned
+    to — closing the batch/stream NULL divergence loop."""
+    import math
+
+    import pandas as pd
+
+    from flink_tutorial_broadcast_spark.cep import fork_loop_agg_stepper
+
+    fn, thr = case
+    step = fork_loop_agg_stepper([1, 2], (fn, "value", "<", thr),
+                                 720 * 60 * 1_000_000,
+                                 key_cols=["user_id"])
+    bit = {"view": 1, "purchase": 2}
+    for u, seq in _per_user_ordered_val(rows).items():
+        want = _ref_fork_loop_agg(seq, ["view", "purchase"], 720,
+                                  fn, thr)
+        pts = sorted({c for c in cuts if c < len(seq)})
+        bounds = [0] + pts + [len(seq)]
+        st_obj = _KmpFakeState()
+        last = None
+        for lo, hi in zip(bounds, bounds[1:]):
+            chunk = seq[lo:hi]
+            if not chunk:
+                continue
+            pdf = pd.DataFrame({
+                "user_id": [u] * len(chunk),
+                "ts": [BASE + dt.timedelta(minutes=m)
+                       for m, _, _ in chunk],
+                "event_id": list(range(lo, lo + len(chunk))),
+                "c": [bit.get(ty, 0) for _, ty, _ in chunk],
+                "value": [math.nan if v is None else float(v)
+                          for _, _, v in chunk]})
+            out = list(step((u,), iter([pdf]), st_obj))
+            last = out[-1]
+        got = int(last["n_matches"].iloc[0]) if last is not None else 0
+        assert got == want, (fn, thr, seq, got, want)
 
 
 # -- timesOrMore (round 11) ----------------------------------------------

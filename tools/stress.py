@@ -703,12 +703,12 @@ def s_cep_stepper_throughput(c: Ctx) -> None:
             # worst case: an always-true threshold makes EVERY close
             # absorb EVERY parked run (maximal per-run register work)
             ("loop_agg_sum_worst", fork_loop_agg_stepper(
-                [1, 4], ("sum", "value", "<", 1e12), 0, W,
+                [1, 4], ("sum", "value", "<", 1e12), W,
                 key_cols=["user_id"]), None),
             # realistic: runs absorb ~3 events then keep failing the
             # test (stay path — no register churn, just the compare)
             ("loop_agg_sum_sel", fork_loop_agg_stepper(
-                [1, 4], ("sum", "value", "<", 300.0), 0, W,
+                [1, 4], ("sum", "value", "<", 300.0), W,
                 key_cols=["user_id"]), None),
             ("timeouts", timeout_stepper(
                 [1, 2, 4], W, key_cols=["user_id"]), masked),
