@@ -162,6 +162,13 @@ class _Stage:
     # FINAL quantified stage (Flink-documented), which is the only
     # quantifier position the engine compiles
     greedy: bool = False
+    # STRICT internal contiguity on the loop [FLINK-API:
+    # Quantifier#consecutive] (r12): any event NOT matching the loop
+    # condition kills every PARKED run (a run that has accepted >= 1
+    # loop event); fresh anchors awaiting their first loop event keep
+    # relaxed entry (the Flink-docs example — D between C and A1 does
+    # not break, D between A3 and A4 does)
+    consec: bool = False
 
     def cond_key(self) -> tuple:
         """Identity of this stage's full condition — stages with equal
@@ -408,6 +415,7 @@ class Pattern:
             self.stages.append(replace(
                 s, name=f"{s.name}#t{j}", contiguity="followed_by",
                 one_or_more=(j == n - 1)))
+        self._tom = True  # consecutive() after the expansion refuses
         return self
 
     def optional(self) -> "Pattern":
@@ -443,6 +451,11 @@ class Pattern:
             raise NotImplementedError(
                 "optional() on not_followed_by is contradictory "
                 "(an absent optional stage is already absent)")
+        if s.consec:
+            raise NotImplementedError(
+                "optional() on a consecutive() loop is not compiled "
+                "(zeroOrMore's empty variant has no internal "
+                "contiguity to restrict) — drop consecutive()")
         s.optional = True
         return self
 
@@ -457,6 +470,48 @@ class Pattern:
                 "one_or_more() on a GROUP is not compiled (unbounded "
                 "group state) — use fixed times(n) on the group")
         self.stages[-1].one_or_more = True
+        return self
+
+    def consecutive(self) -> "Pattern":
+        """STRICT internal contiguity on the looping stage [FLINK-API:
+        Quantifier#consecutive — works with oneOrMore()/times(); any
+        non-matching event in between breaks the loop] (r12): a parked
+        run (>= 1 accepted loop event) is KILLED by any event that
+        does not satisfy the loop stage's condition; entry into the
+        loop stays relaxed (Flink's documented example — a non-match
+        between the prefix and the first loop event does not break).
+        Compiles on the bounded fork-loop machine (final one_or_more
+        + within + no_skip — the loop family's own gates) and its
+        streaming stepper; the strict-internal times(n) form is the
+        already-compiled next()-chain (KMP) path, so it refuses here
+        naming it."""
+        if not self.stages:
+            raise ValueError("consecutive() needs a stage")
+        s = self.stages[-1]
+        if s.times or s.times_hi:
+            raise NotImplementedError(
+                "consecutive() on times(n) is not compiled here — a "
+                "strict-internal fixed count IS the strict chain: "
+                "write the stage n times with next() (the KMP/regex "
+                "path carries it)")
+        if not s.one_or_more:
+            raise NotImplementedError(
+                "consecutive() modifies a looping quantifier — call "
+                "one_or_more() first")
+        if s.optional:
+            raise NotImplementedError(
+                "consecutive() with zeroOrMore (one_or_more + "
+                "optional) is not compiled — the empty-loop variant "
+                "has no internal contiguity to restrict; drop "
+                "optional()")
+        if getattr(self, "_tom", False):
+            raise NotImplementedError(
+                "consecutive() after times_or_more() is not compiled "
+                "— the eager expansion's fixed copies keep relaxed "
+                "contiguity, so strict-internal would apply to the "
+                "final loop copy only; write the strict form as a "
+                "next() chain plus one_or_more().consecutive()")
+        s.consec = True
         return self
 
     def where(self, sql: str) -> "Pattern":
@@ -1120,6 +1175,13 @@ def compile_pattern(pat: Pattern, df: DataFrame, keys: list[str],
                 raise NotImplementedError(
                     "where_agg() on a 1-stage loop is not compiled — "
                     "anchor it with a prefix stage")
+            if pat.stages[-1].consec:
+                raise NotImplementedError(
+                    "consecutive() with where_agg() on the loop is "
+                    "not compiled — the strict-internal kill rule is "
+                    "carried by the plain loop (drop where_agg) and "
+                    "the run-aggregate by the relaxed loop (drop "
+                    "consecutive)")
             return _fork_loop_agg_machine(pat._expanded(), df, keys,
                                           time_col, tiebreak_col,
                                           event_col)
@@ -1716,8 +1778,13 @@ def compile_pattern_chunked(pat: Pattern, df: DataFrame,
                    .otherwise(base_col))
             fields.append(col.alias(f"s{i}"))
         if loop:
+            # consecutive() (r12): exact under chunking too — a parked
+            # run's lifetime is within [anchor, anchor + w], fully
+            # inside its owning chunk's replayed window, so every kill
+            # event the unchunked machine sees is replayed here
+            keep = empty if pat.stages[-1].consec else lp
             fields.append(
-                F.when(match[K], new_lp).otherwise(lp).alias("lp"))
+                F.when(match[K], new_lp).otherwise(keep).alias("lp"))
         return F.struct(*fields)
 
     per_chunk = (events.groupBy(*keys, "__chunk")
@@ -1877,9 +1944,17 @@ def _fork_loop_machine(pat, df, keys, time_col, tiebreak_col, event_col):
     K=1 (begin(x).one_or_more()) makes every event its own anchor: a
     close adds 1 + |live loop|. State is bounded by per-key event
     density inside the within horizon — exactly the bound the plain
-    fork machine already carries; the unbounded form stays refused."""
+    fork machine already carries; the unbounded form stays refused.
+
+    consecutive() (r12) [FLINK-API: Quantifier#consecutive] rides the
+    same fold with ONE extra kill rule: an event not matching the loop
+    condition clears the PARKED set (every parked run's accepted block
+    is a contiguous-in-input suffix, since matching events extend all
+    runs and non-matching events kill all runs); fresh anchors in
+    s_{K-1} keep relaxed entry, exactly the Flink-docs example."""
     K = len(pat.stages)
     w = pat.within_us
+    consec = pat.stages[-1].consec
     st = _stage_bits(pat)
     strict = _strict_flags(pat)
     until_sql = pat.stages[-1].until_sql
@@ -1925,9 +2000,10 @@ def _fork_loop_machine(pat, df, keys, time_col, tiebreak_col, event_col):
                           F.concat(base, incoming))
                    .otherwise(base))
             fields.append(col.alias(f"s{i}"))
+        keep = empty if consec else lp  # non-match kills parked runs
         lp_col = (F.when(iu, empty)
-                  .when(match[K], new_lp).otherwise(lp)) if ub else \
-            F.when(match[K], new_lp).otherwise(lp)
+                  .when(match[K], new_lp).otherwise(keep)) if ub else \
+            F.when(match[K], new_lp).otherwise(keep)
         fields.append(lp_col.alias("lp"))
         return F.struct(*fields)
 
@@ -2589,6 +2665,11 @@ def compile_pattern_matches(pat: Pattern, df: DataFrame,
         raise NotImplementedError(
             "until() carries counts only (pattern()) — loop-binding "
             "extraction under a stop condition is not compiled")
+    if any(s.consec for s in pat.stages):
+        raise NotImplementedError(
+            "consecutive() carries counts only (pattern()) — "
+            "loop-binding extraction under the strict-internal kill "
+            "rule is not compiled")
     fam = pat._family()
     if fam not in ("relaxed", "relaxed_within", "fork", "fork_loop",
                    "strict", "skip_strategy"):
@@ -3270,13 +3351,15 @@ def fork_loop_stepper(type_codes: dict[str, int] | None,
                       stage_codes: list[int], within_us: int,
                       strict: list[bool] | None = None,
                       key_cols: list[str] | None = None,
-                      until_bit: int = 0):
+                      until_bit: int = 0, consec: bool = False):
     """applyInPandasWithState step for the bounded fork-loop machine —
     fork_stepper plus one horizon-bounded LOOP array of anchor µs:
     every in-horizon closing event adds one match per live anchor
     combination (fresh penultimate or parked loop) and parks the fresh
     ones. State stays bounded by per-key density inside `within`, the
-    same bound the plain fork stepper carries."""
+    same bound the plain fork stepper carries. `consec` (r12) is the
+    strict-internal kill rule [FLINK-API: Quantifier#consecutive]: an
+    event not matching the loop condition clears the parked set."""
     K = len(stage_codes)
     strict = strict or [False] * K
     key_cols = key_cols or ["key"]
@@ -3315,6 +3398,9 @@ def fork_loop_stepper(type_codes: dict[str, int] | None,
                 else:
                     cnt += 1 + len(lp)
                     _ins_sorted(lp, t)
+            elif consec:
+                lp = deque()  # non-match kills parked runs (until
+                # events fall through to the iu clear below)
             for i in range(K - 2, -1, -1):
                 if strict[i + 1] or match[i + 1]:
                     base = deque()
@@ -4906,6 +4992,12 @@ def compile_pattern_stream(pat: Pattern, sdf: DataFrame,
             raise NotImplementedError(
                 "where_agg() on a 1-stage loop is not compiled — "
                 "anchor it with a prefix stage")
+        if pat.stages[-1].consec:
+            raise NotImplementedError(
+                "consecutive() with where_agg() on the loop is not "
+                "compiled — the strict-internal kill rule is carried "
+                "by the plain loop (drop where_agg) and the "
+                "run-aggregate by the relaxed loop (drop consecutive)")
         xp = pat._expanded()
         agg = xp.stages[-1].agg
         proj = sdf.select(*keys, time_col, tiebreak_col,
@@ -5157,7 +5249,8 @@ def compile_pattern_stream(pat: Pattern, sdf: DataFrame,
         ub = (0 if u_sql is None
               else 1 << (_cond_codes(pat)[("__until__", u_sql)] - 1))
         fn = fork_loop_stepper(tcodes, scodes, pat.within_us, sflags,
-                               key_cols=keys, until_bit=ub)
+                               key_cols=keys, until_bit=ub,
+                               consec=pat.stages[-1].consec)
     else:
         out_schema = f"{key_schema}, n_matches long"
         state_schema = "cnt long, " + ", ".join(
@@ -5244,6 +5337,11 @@ def compile_pattern_matches_stream(pat: Pattern, sdf: DataFrame,
             "where_rel()/where_agg() carries counts only (pattern()) "
             "— match extraction with run-dependent conditions is not "
             "compiled")
+    if any(s.consec for s in pat.stages):
+        raise NotImplementedError(
+            "consecutive() carries counts only (pattern()) — "
+            "loop-binding extraction under the strict-internal kill "
+            "rule is not compiled")
     fam = pat._family()
     if fam == "skip_strategy":
         # r11 (replaces divergences row 15's remaining refusal): the

@@ -3096,6 +3096,69 @@ def q_cep_times_or_more(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_cep_consecutive",
+    oracle=f"""
+    WITH e AS (
+      SELECT user_id, epoch_us(ts) AS t, event_type,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS i
+      FROM events
+    ), marked AS (
+      SELECT user_id, t, event_type, i,
+             MAX(CASE WHEN event_type <> 'purchase' THEN i END)
+               OVER (PARTITION BY user_id ORDER BY i
+                     ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND 1 PRECEDING) AS lastnp,
+             MIN(CASE WHEN event_type = 'purchase' THEN i END)
+               OVER (PARTITION BY user_id ORDER BY i
+                     ROWS BETWEEN 1 FOLLOWING
+                              AND UNBOUNDED FOLLOWING) AS fp
+      FROM e
+    )
+    SELECT v.user_id, CAST(COUNT(*) AS BIGINT) AS n_matches
+    FROM marked v JOIN marked p
+      ON p.user_id = v.user_id AND p.event_type = 'purchase'
+     AND p.i > v.i AND p.t - v.t <= {_CEP_W48_US}
+     AND COALESCE(p.lastnp, 0) < v.fp
+    WHERE v.event_type = 'view'
+    GROUP BY v.user_id
+    """,
+)
+def q_cep_consecutive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STRICT internal contiguity on the loop (round 12) [FLINK-API:
+    Quantifier#consecutive — `middle.oneOrMore().consecutive()`; "any
+    non-matching element breaks the match"]: view -> purchase+
+    consecutive within 48 h under noSkip. A parked run (>= 1 accepted
+    purchase) is KILLED by any non-purchase event — click, signup,
+    error, or another view (which simultaneously anchors a new run);
+    entry into the loop stays relaxed, exactly the Flink-docs example
+    where a non-match between the prefix and the FIRST loop event does
+    not break. The fork-loop machine carries it with one extra kill
+    rule (a non-matching event clears the parked set — every parked
+    block is a contiguous-in-input suffix, since matching events
+    extend all runs and non-matching events kill all runs). The
+    oracle collapses the kill rule to window functions: view v is
+    counted at purchase p iff p is in-horizon AND the last
+    NON-purchase event before p precedes the FIRST purchase after v
+    (no break between v's loop entry and p) — no automaton replay.
+    Property twins: test_cep_consecutive_loop_matches_python_nfa
+    (K=2 + K=3 + chunked equivalence); streaming twin:
+    test_pattern_streaming_consecutive (+ restart pin)."""
+    from flink_tutorial_broadcast_spark.cep import Pattern
+    from flink_tutorial_broadcast_spark.datastream import (
+        StreamExecutionEnvironment,
+    )
+    env = StreamExecutionEnvironment.get_execution_environment(spark)
+    pat = (Pattern.begin("v", "view")
+           .followed_by("p", "purchase").one_or_more().consecutive()
+           .within("48 hours").no_skip())
+    return (env.from_dataframe(load(spark, sf_dir, "events"))
+            .key_by("user_id")
+            .pattern(pat)
+            .to_df())
+
+
+@query(
     "q_cep_timeouts",
     oracle=f"""
     WITH RECURSIVE codes0 AS (

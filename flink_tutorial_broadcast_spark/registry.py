@@ -98,8 +98,10 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # llm_knn, composite and temporal, drained by the r11 rotation) and
 # test_contract's per-module rule forces one already-sampled rep each.
 # The verdict's "size r12 at 39" predates those three drains; 36 is
-# the cap. Deferred to r13 (16 keys, finishing the registry):
+# the cap. Deferred to r13 (17 keys after the q_cep_consecutive swap,
+# finishing the registry):
 #   agg_ext: q_incremental_agg q_bit_aggs q_collect_set q_pareto_abc
+#            q_profile (displaced by q_cep_consecutive)
 #   behavioral: q_cumulative_distinct q_growth_mom q_revenue_bridge
 #               q_cycle_time
 #   olap_ext: q_corr_stats q_edit_distance q_allocate_proration
@@ -154,7 +156,7 @@ _VERIFICATION_PREFIX = (
     "q_ngram_novelty",                  # text_pipeline novelty score
     "q_histogram",                      # agg_ext equi-width histogram
     "q_count_if_bool",                  # agg_ext count_if/bool_and/or
-    "q_profile",                        # agg_ext column profiler
+    "q_cep_consecutive",                # CEP strict-internal loop (NEW r12)
     "q_stickiness",                     # behavioral DAU/MAU stickiness
     "q_last_ignore_nulls",              # behavioral last ignore-nulls
     "q_audience_overlap",               # behavioral cohort overlap

@@ -2621,6 +2621,93 @@ def test_pattern_streaming_times_or_more(spark, queries):
     assert want
 
 
+def test_pattern_streaming_consecutive(spark, queries):
+    """Streaming consecutive() (round 12): the fork-loop stepper's
+    kill rule fires across micro-batch boundaries; converged counts
+    equal the oracle-backed batch q_cep_consecutive."""
+    from flink_tutorial_broadcast_spark.streaming.jobs import (
+        _run_to_memory,
+    )
+
+    pat = (Pattern.begin("v", "view")
+           .followed_by("p", "purchase").one_or_more().consecutive()
+           .within("48 hours").no_skip())
+    sdf = _two_file_stream(
+        spark, ["user_id", "ts", "event_id", "event_type"])
+    out = (_env(spark).from_dataframe(sdf)
+           .key_by("user_id").pattern(pat).to_df())
+    assert out.isStreaming
+    final: dict[int, int] = {}
+    for r in _run_to_memory(out, "update").collect():
+        final[r["user_id"]] = max(final.get(r["user_id"], 0),
+                                  r["n_matches"])
+    want = {r["user_id"]: r["n_matches"] for r in
+            queries["q_cep_consecutive"](spark, SF_SMOKE).collect()}
+    assert {u: n for u, n in final.items() if n > 0} == want
+    assert want
+
+
+def test_pattern_streaming_consecutive_survives_restart(spark,
+                                                        queries):
+    """L119 restart discipline for the r12 consecutive() loop: the
+    parked set (and its kill-rule emptiness) carries across stop +
+    resume — a kill event in the second half must not resurrect runs
+    parked before the checkpoint."""
+    import glob as _glob
+
+    from flink_tutorial_broadcast_spark.streaming.sources import (
+        checkpoint_dir,
+    )
+
+    pat = (Pattern.begin("v", "view")
+           .followed_by("p", "purchase").one_or_more().consecutive()
+           .within("48 hours").no_skip())
+    ev = load(spark, SF_SMOKE, "events").select(
+        "user_id", "ts", "event_id", "event_type")
+    split_ts = ev.agg(
+        F.percentile_approx("ts", 0.5).alias("m")).collect()[0]["m"]
+    src_dir = tempfile.mkdtemp(prefix="cep_r12_restart_cs_s_")
+    out_dir = tempfile.mkdtemp(prefix="cep_r12_restart_cs_o_")
+    ckpt = checkpoint_dir()
+    (ev.filter(F.col("ts") <= F.lit(split_ts))
+     .coalesce(1).write.parquet(os.path.join(src_dir, "f=0")))
+
+    def run():
+        sdf = (spark.readStream
+               .schema("user_id long, ts timestamp, event_id long, "
+                       "event_type string")
+               .option("maxFilesPerTrigger", "1")
+               .option("recursiveFileLookup", "true")
+               .parquet(src_dir))
+        out = (_env(spark).from_dataframe(sdf)
+               .key_by("user_id").pattern(pat).to_df())
+
+        def body(batch_df, batch_id):
+            (batch_df.write.mode("overwrite")
+             .parquet(os.path.join(out_dir, f"batch={batch_id}")))
+
+        q = (out.writeStream.foreachBatch(body)
+             .outputMode("update")
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        q.awaitTermination()
+
+    run()
+    (ev.filter(F.col("ts") > F.lit(split_ts))
+     .coalesce(1).write.parquet(os.path.join(src_dir, "f=1")))
+    run()
+
+    final: dict[int, int] = {}
+    for p in _glob.glob(os.path.join(out_dir, "batch=*")):
+        for r in spark.read.parquet(p).collect():
+            final[r.user_id] = max(final.get(r.user_id, 0),
+                                   r.n_matches)
+    want = {r.user_id: r.n_matches for r in
+            queries["q_cep_consecutive"](spark, SF_SMOKE).collect()}
+    assert {u: n for u, n in final.items() if n > 0} == want
+    assert want
+
+
 def test_pattern_streaming_timeouts(spark, queries):
     """Streaming timeout side output (round 11): emissions = the batch
     q_cep_timeouts rows whose expiry a later same-key event OBSERVED

@@ -2556,3 +2556,135 @@ def test_cep_where_rel_and_agg_combined(spark, rows):
     want = {u: ref(seq)
             for u, seq in _per_user_ordered_val(rows).items()}
     assert got == {u: n for u, n in want.items() if n > 0}
+
+
+# -- consecutive() strict internal contiguity on the loop (round 12) -----
+
+def _ref_fork_loop_consec(seq, stages, within_min):
+    """Independent reference for one_or_more().consecutive() [FLINK-API
+    Quantifier#consecutive]: the forking loop where any event NOT
+    matching the loop type kills every PARKED run; fresh anchors
+    awaiting their first loop event keep relaxed entry (the Flink-docs
+    example — a non-match between prefix and first loop event does not
+    break)."""
+    K = len(stages)
+    sets = [[] for _ in range(K - 1)]
+    lp = []
+    cnt = 0
+    for m, ty in seq:
+        sets = [[a for a in s if m - a <= within_min] for s in sets]
+        lp = [a for a in lp if m - a <= within_min]
+        if ty == stages[K - 1]:
+            cnt += len(sets[K - 2]) + len(lp)
+            lp = lp + sets[K - 2]
+            sets[K - 2] = []
+        else:
+            lp = []  # the strict-internal kill rule
+        if ty == stages[0]:
+            sets[0].append(m)
+        for i in range(1, K - 1):
+            if ty == stages[i]:
+                sets[i] = sets[i] + sets[i - 1]
+                sets[i - 1] = []
+    return cnt
+
+
+@settings(max_examples=10, deadline=None)
+@given(rows=seq_strategy)
+def test_cep_consecutive_loop_matches_python_nfa(spark, rows):
+    """one_or_more().consecutive() (K=2) == the forking loop reference
+    with the kill rule — clicks/other views between purchases break
+    parked runs, non-matches before the first purchase do not."""
+    pat = (Pattern.begin("v", "view")
+           .followed_by("p", "purchase").one_or_more().consecutive()
+           .within("12 hours").no_skip())
+    got = _run(spark, _mk(spark, rows), pat)
+    want = {u: _ref_fork_loop_consec(seq, ["view", "purchase"], 720)
+            for u, seq in _per_user_ordered(rows).items()}
+    assert got == {u: n for u, n in want.items() if n > 0}
+
+
+@settings(max_examples=10, deadline=None)
+@given(rows=seq_strategy)
+def test_cep_consecutive_loop_k3_matches_python_nfa(spark, rows):
+    """K=3 exercises the prefix-promotion path together with the kill
+    rule (a mid-pattern click is a promotion AND a parked-run kill)."""
+    pat = (Pattern.begin("v", "view").followed_by("c", "click")
+           .followed_by("p", "purchase").one_or_more().consecutive()
+           .within("12 hours").no_skip())
+    got = _run(spark, _mk(spark, rows), pat)
+    want = {u: _ref_fork_loop_consec(
+        seq, ["view", "click", "purchase"], 720)
+        for u, seq in _per_user_ordered(rows).items()}
+    assert got == {u: n for u, n in want.items() if n > 0}
+
+
+@settings(max_examples=10, deadline=None)
+@given(rows=seq_strategy, horizons=st.integers(1, 3))
+def test_cep_consecutive_chunked_equals_unchunked(spark, rows,
+                                                  horizons):
+    """Exact time-chunking carries consecutive(): a parked run's
+    lifetime is inside [anchor, anchor + w], fully within its owning
+    chunk's replayed window, so every kill event is replayed."""
+    pat = (Pattern.begin("v", "view")
+           .followed_by("p", "purchase").one_or_more().consecutive()
+           .within("12 hours").no_skip())
+    df = _mk(spark, rows)
+    env = StreamExecutionEnvironment.get_execution_environment(spark)
+    chunked = {r["user_id"]: r["n_matches"] for r in
+               (env.from_dataframe(df).key_by("user_id")
+                .pattern(pat, chunked=True, chunk_horizons=horizons)
+                .to_df().collect())}
+    assert chunked == _run(spark, df, pat)
+
+
+def test_consecutive_refusals(spark):
+    """consecutive() gates refuse loudly: not on times(n) (that IS the
+    strict next() chain), needs one_or_more first, no zeroOrMore in
+    either verb order, not after times_or_more, not with where_agg on
+    the loop (batch and streaming compiles), counts only (no match
+    extraction)."""
+    import pytest
+
+    from flink_tutorial_broadcast_spark.cep import (
+        compile_pattern, compile_pattern_matches,
+        compile_pattern_stream,
+    )
+
+    with pytest.raises(NotImplementedError, match="next"):
+        (Pattern.begin("v", "view").followed_by("p", "purchase")
+         .times(3).consecutive())
+    with pytest.raises(NotImplementedError, match="one_or_more"):
+        Pattern.begin("v", "view").followed_by("p", "purchase") \
+            .consecutive()
+    with pytest.raises(NotImplementedError, match="zeroOrMore"):
+        (Pattern.begin("v", "view").followed_by("p", "purchase")
+         .one_or_more().optional().consecutive())
+    with pytest.raises(NotImplementedError, match="consecutive"):
+        (Pattern.begin("v", "view").followed_by("p", "purchase")
+         .one_or_more().consecutive().optional())
+    with pytest.raises(NotImplementedError, match="times_or_more"):
+        (Pattern.begin("v", "view").followed_by("p", "purchase")
+         .times_or_more(2).consecutive())
+    df = _mk(spark, [(0, 0, 0)])
+    pat_agg = (Pattern.begin("v", "view")
+               .followed_by("p", "purchase").one_or_more()
+               .consecutive().where_agg("sum", "value", "<", 5)
+               .within("12 hours").no_skip())
+    with pytest.raises(NotImplementedError, match="where_agg"):
+        compile_pattern(pat_agg, df.withColumn("value", df.event_id),
+                        ["user_id"], "ts", "event_id", "event_type")
+    sdf = (spark.readStream.format("rate").load()
+           .selectExpr("CAST(value AS LONG) AS user_id",
+                       "timestamp AS ts", "value AS event_id",
+                       "'view' AS event_type",
+                       "CAST(value AS DOUBLE) AS value"))
+    with pytest.raises(NotImplementedError, match="where_agg"):
+        compile_pattern_stream(pat_agg, sdf, ["user_id"], "ts",
+                               "event_id", "event_type")
+    pat = (Pattern.begin("v", "view")
+           .followed_by("p", "purchase").one_or_more().consecutive()
+           .within("12 hours").no_skip())
+    with pytest.raises(NotImplementedError, match="counts only"):
+        compile_pattern_matches(pat, df, ["user_id"], "ts",
+                                "event_id", "event_type")
