@@ -169,6 +169,15 @@ class _Stage:
     # relaxed entry (the Flink-docs example — D between C and A1 does
     # not break, D between A3 and A4 does)
     consec: bool = False
+    # NON-DETERMINISTIC relaxed internal contiguity on the loop
+    # [FLINK-API: Quantifier#allowCombinations] (r12): the loop may
+    # SKIP matching events — a match is the prefix plus any nonempty
+    # SUBSEQUENCE of in-horizon loop events. Counting rides a per-run
+    # subsequence register (close emits c+1, updates c <- 2c+1); the
+    # match COUNT is exponential in horizon density by definition
+    # (Flink enumerates the same 2^m matches), exact while it fits
+    # the BIGINT fold register
+    combos: bool = False
 
     def cond_key(self) -> tuple:
         """Identity of this stage's full condition — stages with equal
@@ -456,6 +465,10 @@ class Pattern:
                 "optional() on a consecutive() loop is not compiled "
                 "(zeroOrMore's empty variant has no internal "
                 "contiguity to restrict) — drop consecutive()")
+        if s.combos:
+            raise NotImplementedError(
+                "optional() on an allow_combinations() loop is not "
+                "compiled — drop allow_combinations()")
         s.optional = True
         return self
 
@@ -504,6 +517,10 @@ class Pattern:
                 "optional) is not compiled — the empty-loop variant "
                 "has no internal contiguity to restrict; drop "
                 "optional()")
+        if s.combos:
+            raise NotImplementedError(
+                "consecutive() contradicts allow_combinations() — "
+                "strict internal contiguity admits no skipping")
         if getattr(self, "_tom", False):
             raise NotImplementedError(
                 "consecutive() after times_or_more() is not compiled "
@@ -512,6 +529,50 @@ class Pattern:
                 "final loop copy only; write the strict form as a "
                 "next() chain plus one_or_more().consecutive()")
         s.consec = True
+        return self
+
+    def allow_combinations(self) -> "Pattern":
+        """NON-DETERMINISTIC relaxed internal contiguity on the
+        looping stage [FLINK-API: Quantifier#allowCombinations —
+        "ignoring succeeding matching events"]: the loop may SKIP
+        matching events, so a match is the prefix plus ANY nonempty
+        subsequence of in-horizon loop events (Flink's doc example —
+        a b+ with combinations over b1 b2 b3 yields all 7 subsets).
+        COUNTING needs no enumeration (r12): each parked run carries a
+        subsequence register c; a close emits c+1 new matches (the
+        subsequences ending at that event) and doubles c <- 2c+1 —
+        the followed_by_any counting-DP idea carried into the parked
+        loop set. The count is exponential in horizon density by the
+        verb's definition (2^m - 1 per anchor; Flink ENUMERATES those
+        same matches, which explodes far earlier) — exact while the
+        BIGINT register holds, i.e. < 2^62 subsequences per run."""
+        if not self.stages:
+            raise ValueError("allow_combinations() needs a stage")
+        s = self.stages[-1]
+        if s.times or s.times_hi:
+            raise NotImplementedError(
+                "allow_combinations() on times(n) is not compiled — "
+                "use followed_by_any stages (the any-DP machines "
+                "carry fixed-count combinations natively)")
+        if not s.one_or_more:
+            raise NotImplementedError(
+                "allow_combinations() modifies a looping quantifier "
+                "— call one_or_more() first")
+        if s.optional:
+            raise NotImplementedError(
+                "allow_combinations() with zeroOrMore is not "
+                "compiled — drop optional()")
+        if s.consec:
+            raise NotImplementedError(
+                "allow_combinations() contradicts consecutive() — "
+                "strict internal contiguity admits no skipping")
+        if getattr(self, "_tom", False):
+            raise NotImplementedError(
+                "allow_combinations() after times_or_more() is not "
+                "compiled — the eager expansion's fixed copies keep "
+                "deterministic relaxed contiguity; quantify a single "
+                "stage")
+        s.combos = True
         return self
 
     def where(self, sql: str) -> "Pattern":
@@ -1182,6 +1243,12 @@ def compile_pattern(pat: Pattern, df: DataFrame, keys: list[str],
                     "carried by the plain loop (drop where_agg) and "
                     "the run-aggregate by the relaxed loop (drop "
                     "consecutive)")
+            if pat.stages[-1].combos:
+                raise NotImplementedError(
+                    "allow_combinations() with where_agg() on the "
+                    "loop is not compiled — per-SUBSEQUENCE aggregate "
+                    "registers would be the enumeration itself; drop "
+                    "one of the modifiers")
             return _fork_loop_agg_machine(pat._expanded(), df, keys,
                                           time_col, tiebreak_col,
                                           event_col)
@@ -1249,6 +1316,14 @@ def compile_pattern(pat: Pattern, df: DataFrame, keys: list[str],
         return _relaxed_within_machine(pat, df, keys, time_col,
                                        tiebreak_col, event_col)
     if fam == "fork_loop":
+        if pat.stages[-1].combos:
+            if len(pat.stages) < 2:
+                raise NotImplementedError(
+                    "allow_combinations() on a 1-stage loop is not "
+                    "compiled (every event would be both anchor and "
+                    "loop element) — anchor it with a prefix stage")
+            return _fork_loop_combos_machine(pat, df, keys, time_col,
+                                             tiebreak_col, event_col)
         return _fork_loop_machine(pat, df, keys, time_col, tiebreak_col,
                                   event_col)
     return _fork_machine(pat, df, keys, time_col, tiebreak_col, event_col)
@@ -1693,6 +1768,11 @@ def compile_pattern_chunked(pat: Pattern, df: DataFrame,
             "until event in the overlap region would have to kill "
             "runs across the chunk boundary; use the plain fork-loop "
             "compile or the streaming stepper")
+    if any(s.combos for s in pat.stages):
+        raise NotImplementedError(
+            "allow_combinations() is not carried by chunked "
+            "compilation — use the plain fork-loop compile or the "
+            "streaming stepper")
     fam = pat._family()
     if fam not in ("fork", "fork_loop"):
         raise NotImplementedError(
@@ -2004,6 +2084,85 @@ def _fork_loop_machine(pat, df, keys, time_col, tiebreak_col, event_col):
         lp_col = (F.when(iu, empty)
                   .when(match[K], new_lp).otherwise(keep)) if ub else \
             F.when(match[K], new_lp).otherwise(keep)
+        fields.append(lp_col.alias("lp"))
+        return F.struct(*fields)
+
+    fold = F.aggregate(seq, init, step)
+    return (df.groupBy(*keys).agg(fold["cnt"].alias("n_matches"))
+            .filter(F.col("n_matches") > 0))
+
+
+def _fork_loop_combos_machine(pat, df, keys, time_col, tiebreak_col,
+                              event_col):
+    """Bounded loop under NON-DETERMINISTIC relaxed internal
+    contiguity (r12) [FLINK-API: Quantifier#allowCombinations]: a
+    match is the prefix plus any nonempty SUBSEQUENCE of in-horizon
+    loop events, so per anchor with m loop events there are 2^m - 1
+    matches. Counting rides the fork-loop fold with the parked set
+    carrying struct(t, c) where c = subsequences over the run's loop
+    events so far: a close emits c + 1 per parked run (the
+    subsequences ending at this event) plus one per fresh anchor (the
+    singleton), then doubles registers c <- 2c + 1 and parks fresh
+    anchors at c = 1 — the followed_by_any counting-DP argument
+    carried into the loop set; no enumeration. The count is
+    exponential in horizon density by the verb's DEFINITION (Flink
+    enumerates those same 2^m matches); the BIGINT fold register is
+    exact below 2^62 subsequences per run (the fixture's worst
+    in-horizon density is m=7 — see the q_cep_allow_combinations
+    docstring) and ANSI arithmetic faults loudly past it rather than
+    wrapping. until() kills both sets exactly as the plain loop."""
+    K = len(pat.stages)
+    w = pat.within_us
+    st = _stage_bits(pat)
+    strict = _strict_flags(pat)
+    until_sql = pat.stages[-1].until_sql
+    ub = (0 if until_sql is None
+          else 1 << (_cond_codes(pat)[("__until__", until_sql)] - 1))
+    seq = _seq(pat, time_col, tiebreak_col, event_col)
+    empty = F.array().cast("array<long>")
+    empty_lp = F.expr(
+        "CAST(array() AS array<struct<t:bigint,c:bigint>>)")
+    init = F.struct(F.lit(0).cast("long").alias("cnt"),
+                    *[empty.alias(f"s{i}") for i in range(1, K)],
+                    empty_lp.alias("lp"))
+
+    def step(acc, x):
+        filt = {i: F.filter(acc[f"s{i}"], lambda a: x["t"] - a <= w)
+                for i in range(1, K)}
+        lp = F.filter(acc["lp"], lambda a: x["t"] - a["t"] <= w)
+        match = {i: _hit(x["c"], F.lit(st[i - 1]))
+                 for i in range(1, K + 1)}
+        iu = _hit(x["c"], F.lit(ub)) if ub else F.lit(False)
+        emitted = (F.aggregate(lp, F.lit(0).cast("long"),
+                               lambda s, a: s + a["c"] + 1)
+                   + F.size(filt[K - 1]).cast("long"))
+        doubled = F.transform(
+            lp, lambda a: F.struct(a["t"].alias("t"),
+                                   (a["c"] * 2 + 1).alias("c")))
+        parked_new = F.transform(
+            filt[K - 1],
+            lambda a: F.struct(a.alias("t"),
+                               F.lit(1).cast("bigint").alias("c")))
+        new_lp = F.concat(doubled, parked_new)
+        fields = [F.when(match[K] & ~iu, acc["cnt"] + emitted)
+                  .otherwise(acc["cnt"]).alias("cnt")]
+        for i in range(1, K):
+            # identical promotion rules to _fork_loop_machine
+            if strict[i]:
+                base = empty
+            else:
+                base = F.when(match[i + 1], empty).otherwise(filt[i])
+            if i == K - 1 and ub:
+                base = F.when(iu, empty).otherwise(base)
+            incoming = (F.array(x["t"]) if i == 1 else filt[i - 1])
+            col = (F.when(match[i] & ~iu if i == K - 1 and ub
+                          else match[i],
+                          F.concat(base, incoming))
+                   .otherwise(base))
+            fields.append(col.alias(f"s{i}"))
+        lp_col = (F.when(iu, empty_lp)
+                  .when(match[K], new_lp).otherwise(lp)) if ub else \
+            F.when(match[K], new_lp).otherwise(lp)
         fields.append(lp_col.alias("lp"))
         return F.struct(*fields)
 
@@ -2665,11 +2824,11 @@ def compile_pattern_matches(pat: Pattern, df: DataFrame,
         raise NotImplementedError(
             "until() carries counts only (pattern()) — loop-binding "
             "extraction under a stop condition is not compiled")
-    if any(s.consec for s in pat.stages):
+    if any(s.consec or s.combos for s in pat.stages):
         raise NotImplementedError(
-            "consecutive() carries counts only (pattern()) — "
-            "loop-binding extraction under the strict-internal kill "
-            "rule is not compiled")
+            "consecutive()/allow_combinations() carries counts only "
+            "(pattern()) — loop-binding extraction under the "
+            "modified internal contiguity is not compiled")
     fam = pat._family()
     if fam not in ("relaxed", "relaxed_within", "fork", "fork_loop",
                    "strict", "skip_strategy"):
@@ -3417,6 +3576,74 @@ def fork_loop_stepper(type_codes: dict[str, int] | None,
                 if K >= 2:
                     sets[K - 2] = deque()
         state.update((cnt, *[list(s) for s in sets], list(lp)))
+        yield pd.DataFrame(
+            {**{kc: [key[i]] for i, kc in enumerate(key_cols)},
+             "n_matches": [cnt]})
+    return step
+
+
+def fork_loop_combos_stepper(stage_bits: list[int], within_us: int,
+                             strict: list[bool] | None = None,
+                             key_cols: list[str] | None = None,
+                             until_bit: int = 0):
+    """applyInPandasWithState twin of _fork_loop_combos_machine (r12)
+    [FLINK-API: Quantifier#allowCombinations]: parked runs carry
+    (anchor µs, subsequence register); a close emits c+1 per parked
+    run plus one per fresh anchor, doubles registers (c <- 2c+1) and
+    parks fresh anchors at c=1. Same counting-DP as the batch fold;
+    exact below 2^62 subsequences per run (Python ints never wrap —
+    the state column faults loudly on overflow instead)."""
+    K = len(stage_bits)
+    strict = strict or [False] * K
+    key_cols = key_cols or ["key"]
+    nk = len(key_cols)
+
+    def step(key, pdf_iter, state):
+        import heapq
+        from collections import deque
+
+        import pandas as pd
+        if state.exists:
+            got = state.get
+            cnt = got[0]
+            sets = [deque(sorted(s)) for s in got[1:K]]
+            lp = deque(sorted(zip(got[K], got[K + 1])))
+        else:
+            cnt, sets, lp = 0, [deque() for _ in range(K - 1)], deque()
+        rows = []
+        for pdf in pdf_iter:
+            rows.extend(_batch_rows(pdf, nk, None))
+        for t, _, c in sorted(rows):
+            for s in sets:
+                while s and t - s[0] > within_us:
+                    s.popleft()
+            while lp and t - lp[0][0] > within_us:
+                lp.popleft()
+            match = [bool(c & stage_bits[i]) for i in range(K)]
+            iu = bool(c & until_bit)
+            if match[K - 1] and not iu:
+                cnt += sum(a[1] for a in lp) + len(lp) \
+                    + len(sets[K - 2])
+                doubled = [(a[0], 2 * a[1] + 1) for a in lp]
+                parked = [(a, 1) for a in sets[K - 2]]
+                sets[K - 2] = deque()
+                lp = deque(heapq.merge(doubled, parked))
+            for i in range(K - 2, -1, -1):
+                if strict[i + 1] or match[i + 1]:
+                    base = deque()
+                else:
+                    base = sets[i]
+                if match[i] and not (iu and i == K - 2):
+                    if i == 0:
+                        _ins_sorted(base, t)
+                    else:
+                        _ext_sorted(base, sets[i - 1])
+                sets[i] = base
+            if iu:
+                lp = deque()
+                sets[K - 2] = deque()
+        state.update((cnt, *[list(s) for s in sets],
+                      [a[0] for a in lp], [a[1] for a in lp]))
         yield pd.DataFrame(
             {**{kc: [key[i]] for i, kc in enumerate(key_cols)},
              "n_matches": [cnt]})
@@ -4998,6 +5225,12 @@ def compile_pattern_stream(pat: Pattern, sdf: DataFrame,
                 "compiled — the strict-internal kill rule is carried "
                 "by the plain loop (drop where_agg) and the "
                 "run-aggregate by the relaxed loop (drop consecutive)")
+        if pat.stages[-1].combos:
+            raise NotImplementedError(
+                "allow_combinations() with where_agg() on the loop "
+                "is not compiled — per-SUBSEQUENCE aggregate "
+                "registers would be the enumeration itself; drop one "
+                "of the modifiers")
         xp = pat._expanded()
         agg = xp.stages[-1].agg
         proj = sdf.select(*keys, time_col, tiebreak_col,
@@ -5240,6 +5473,20 @@ def compile_pattern_stream(pat: Pattern, sdf: DataFrame,
         fn = relaxed_within_stepper(tcodes, scodes, pat.within_us,
                                     sflags, key_cols=keys,
                                     veto=vcodes)
+    elif fam == "fork_loop" and pat.stages[-1].combos:
+        if len(pat.stages) < 2:
+            raise NotImplementedError(
+                "allow_combinations() on a 1-stage loop is not "
+                "compiled — anchor it with a prefix stage")
+        out_schema = f"{key_schema}, n_matches long"
+        state_schema = "cnt long, " + ", ".join(
+            [f"s{i} array<long>" for i in range(1, K)]
+            + ["lp_t array<long>", "lp_c array<long>"])
+        u_sql = pat.stages[-1].until_sql
+        ub = (0 if u_sql is None
+              else 1 << (_cond_codes(pat)[("__until__", u_sql)] - 1))
+        fn = fork_loop_combos_stepper(scodes, pat.within_us, sflags,
+                                      key_cols=keys, until_bit=ub)
     elif fam == "fork_loop":
         out_schema = f"{key_schema}, n_matches long"
         state_schema = "cnt long, " + ", ".join(
@@ -5337,11 +5584,11 @@ def compile_pattern_matches_stream(pat: Pattern, sdf: DataFrame,
             "where_rel()/where_agg() carries counts only (pattern()) "
             "— match extraction with run-dependent conditions is not "
             "compiled")
-    if any(s.consec for s in pat.stages):
+    if any(s.consec or s.combos for s in pat.stages):
         raise NotImplementedError(
-            "consecutive() carries counts only (pattern()) — "
-            "loop-binding extraction under the strict-internal kill "
-            "rule is not compiled")
+            "consecutive()/allow_combinations() carries counts only "
+            "(pattern()) — loop-binding extraction under the "
+            "modified internal contiguity is not compiled")
     fam = pat._family()
     if fam == "skip_strategy":
         # r11 (replaces divergences row 15's remaining refusal): the

@@ -3159,6 +3159,68 @@ def q_cep_consecutive(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_cep_allow_combinations",
+    oracle=f"""
+    WITH e AS (
+      SELECT user_id, epoch_us(ts) AS t, event_type,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS i,
+             SUM(CASE WHEN event_type = 'purchase'
+                      THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND CURRENT ROW) AS pc
+      FROM events
+    )
+    SELECT v.user_id,
+           CAST(SUM(CAST(1 AS BIGINT) << (p.pc - v.pc - 1))
+                AS BIGINT) AS n_matches
+    FROM e v JOIN e p
+      ON p.user_id = v.user_id AND p.event_type = 'purchase'
+     AND p.i > v.i AND p.t - v.t <= {_CEP_W48_US}
+    WHERE v.event_type = 'view'
+    GROUP BY v.user_id
+    """,
+)
+def q_cep_allow_combinations(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    """NON-DETERMINISTIC relaxed internal contiguity on the loop
+    (round 12) [FLINK-API: Quantifier#allowCombinations — the loop
+    may skip matching events, so a match is the prefix plus ANY
+    nonempty subsequence of in-horizon loop events]: view ->
+    purchase+ allowCombinations within 48 h under noSkip. COUNTING
+    needs no enumeration: the fork-loop machine's parked runs carry a
+    subsequence register c — a close emits c+1 new matches (the
+    subsequences ending at that event) and doubles c <- 2c+1, the
+    followed_by_any counting-DP argument carried into the loop set
+    (per anchor with m loop events: 2^m - 1 matches, which is what
+    Flink would ENUMERATE). The count is exponential in horizon
+    density by the verb's definition — exact below 2^62 subsequences
+    per run; the fixture's worst in-horizon density is m=7 (sf0.1),
+    so the BIGINT registers hold with 55 bits of headroom, and ANSI
+    arithmetic faults loudly past the bound rather than wrapping.
+    The oracle is an INDEPENDENT self-join subsequence count: view v
+    contributes 2^(purchases strictly between v and p) matches at
+    every in-horizon purchase p, via a running purchase counter and a
+    bit shift — no automaton replay. Property twins:
+    test_cep_allow_combinations_matches_subset_enumeration (literal
+    itertools subset enumeration) and the K=3 promotion variant;
+    streaming twin: test_pattern_streaming_allow_combinations."""
+    from flink_tutorial_broadcast_spark.cep import Pattern
+    from flink_tutorial_broadcast_spark.datastream import (
+        StreamExecutionEnvironment,
+    )
+    env = StreamExecutionEnvironment.get_execution_environment(spark)
+    pat = (Pattern.begin("v", "view")
+           .followed_by("p", "purchase").one_or_more()
+           .allow_combinations().within("48 hours").no_skip())
+    return (env.from_dataframe(load(spark, sf_dir, "events"))
+            .key_by("user_id")
+            .pattern(pat)
+            .to_df())
+
+
+@query(
     "q_cep_timeouts",
     oracle=f"""
     WITH RECURSIVE codes0 AS (

@@ -98,12 +98,14 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # llm_knn, composite and temporal, drained by the r11 rotation) and
 # test_contract's per-module rule forces one already-sampled rep each.
 # The verdict's "size r12 at 39" predates those three drains; 36 is
-# the cap. Deferred to r13 (17 keys after the q_cep_consecutive swap,
+# the cap. Deferred to r13 (18 keys after the r12 verb swaps,
 # finishing the registry):
 #   agg_ext: q_incremental_agg q_bit_aggs q_collect_set q_pareto_abc
 #            q_profile (displaced by q_cep_consecutive)
 #   behavioral: q_cumulative_distinct q_growth_mom q_revenue_bridge
 #               q_cycle_time
+#               q_audience_overlap (displaced by
+#               q_cep_allow_combinations)
 #   olap_ext: q_corr_stats q_edit_distance q_allocate_proration
 #             q_quartile_banding
 #   dataset_ops: q_class_upsample q_domain_token_cap
@@ -159,7 +161,7 @@ _VERIFICATION_PREFIX = (
     "q_cep_consecutive",                # CEP strict-internal loop (NEW r12)
     "q_stickiness",                     # behavioral DAU/MAU stickiness
     "q_last_ignore_nulls",              # behavioral last ignore-nulls
-    "q_audience_overlap",               # behavioral cohort overlap
+    "q_cep_allow_combinations",         # CEP combos loop (NEW r12)
     "q_unpivot",                        # olap_ext wide->long unpivot
     "q_stratified_sample",              # olap_ext per-stratum sample
     "q_sql_pipe_syntax",                # olap_ext SQL pipe syntax

@@ -2688,3 +2688,154 @@ def test_consecutive_refusals(spark):
     with pytest.raises(NotImplementedError, match="counts only"):
         compile_pattern_matches(pat, df, ["user_id"], "ts",
                                 "event_id", "event_type")
+
+# -- allow_combinations() non-deterministic loop contiguity (round 12) ---
+
+def _ref_combos_enum(seq, stages, within_min):
+    """LITERAL subset-enumeration reference for one_or_more()
+    .allow_combinations() [FLINK-API Quantifier#allowCombinations]:
+    replay the fork prefix to find each anchor's completion position
+    (every anchor completes at most once — the drain rule), then
+    ENUMERATE the nonempty subsets of loop-type events after the
+    completion inside [anchor, anchor+w] with itertools.combinations
+    — exponential but fine at hypothesis scale, and independent of
+    the engine's counting-DP doubling shortcut."""
+    from itertools import combinations
+    K = len(stages)
+    sets = [[] for _ in range(max(K - 2, 0))]
+    completions = []  # (anchor_minute, completion_position)
+    for pos, (m, ty) in enumerate(seq):
+        sets = [[a for a in s if m - a <= within_min] for s in sets]
+        if ty == stages[0]:
+            if K == 2:
+                completions.append((m, pos))
+            else:
+                sets[0].append(m)
+        for i in range(1, K - 1):
+            if ty == stages[i]:
+                if i == K - 2:
+                    completions.extend((a, pos) for a in sets[i - 1])
+                else:
+                    sets[i] = sets[i] + sets[i - 1]
+                sets[i - 1] = []
+    cnt = 0
+    for am, cpos in completions:
+        loops = [p for p in range(cpos + 1, len(seq))
+                 if seq[p][1] == stages[K - 1]
+                 and seq[p][0] - am <= within_min]
+        for r in range(1, len(loops) + 1):
+            cnt += sum(1 for _ in combinations(loops, r))
+    return cnt
+
+
+@settings(max_examples=10, deadline=None)
+@given(rows=seq_strategy)
+def test_cep_allow_combinations_matches_subset_enumeration(spark,
+                                                           rows):
+    """one_or_more().allow_combinations() (K=2) == the literal subset
+    enumeration: per anchor, every nonempty subset of in-horizon
+    purchases is one match."""
+    pat = (Pattern.begin("v", "view")
+           .followed_by("p", "purchase").one_or_more()
+           .allow_combinations().within("12 hours").no_skip())
+    got = _run(spark, _mk(spark, rows), pat)
+    want = {u: _ref_combos_enum(seq, ["view", "purchase"], 720)
+            for u, seq in _per_user_ordered(rows).items()}
+    assert got == {u: n for u, n in want.items() if n > 0}
+
+
+@settings(max_examples=10, deadline=None)
+@given(rows=seq_strategy)
+def test_cep_allow_combinations_k3_matches_subset_enumeration(
+        spark, rows):
+    """K=3 exercises prefix promotion + drain together with the
+    subsequence registers."""
+    pat = (Pattern.begin("v", "view").followed_by("c", "click")
+           .followed_by("p", "purchase").one_or_more()
+           .allow_combinations().within("12 hours").no_skip())
+    got = _run(spark, _mk(spark, rows), pat)
+    want = {u: _ref_combos_enum(
+        seq, ["view", "click", "purchase"], 720)
+        for u, seq in _per_user_ordered(rows).items()}
+    assert got == {u: n for u, n in want.items() if n > 0}
+
+
+def test_cep_allow_combinations_until_kills(spark):
+    """until() composes with allow_combinations(): the stop event
+    kills the parked subsequence registers and the awaiting set."""
+    rows = [(0, 0, 0), (0, 1, 2), (0, 2, 3), (0, 3, 2)]
+    # u0: view p1 other p2 with until on 'other': p1 emits {p1};
+    # 'other' kills; p2 finds nothing -> total 1 (without until: 3)
+    pat = (Pattern.begin("v", "view")
+           .followed_by("p", "purchase").one_or_more()
+           .allow_combinations().until("event_type = 'other'")
+           .within("12 hours").no_skip())
+    assert _run(spark, _mk(spark, rows), pat) == {0: 1}
+    pat2 = (Pattern.begin("v", "view")
+            .followed_by("p", "purchase").one_or_more()
+            .allow_combinations().within("12 hours").no_skip())
+    assert _run(spark, _mk(spark, rows), pat2) == {0: 3}
+
+
+def test_allow_combinations_refusals(spark):
+    """allow_combinations() gates: needs one_or_more, not with
+    times(n), zeroOrMore, consecutive (both orders), times_or_more,
+    where_agg (batch + stream), 1-stage loops, chunked compile, and
+    match extraction."""
+    import pytest
+
+    from flink_tutorial_broadcast_spark.cep import (
+        compile_pattern, compile_pattern_chunked,
+        compile_pattern_matches, compile_pattern_stream,
+    )
+
+    with pytest.raises(NotImplementedError, match="one_or_more"):
+        Pattern.begin("v", "view").followed_by("p", "purchase") \
+            .allow_combinations()
+    with pytest.raises(NotImplementedError, match="any-DP"):
+        (Pattern.begin("v", "view").followed_by("p", "purchase")
+         .times(3).allow_combinations())
+    with pytest.raises(NotImplementedError, match="consecutive"):
+        (Pattern.begin("v", "view").followed_by("p", "purchase")
+         .one_or_more().consecutive().allow_combinations())
+    with pytest.raises(NotImplementedError, match="consecutive"):
+        (Pattern.begin("v", "view").followed_by("p", "purchase")
+         .one_or_more().allow_combinations().consecutive())
+    with pytest.raises(NotImplementedError, match="zeroOrMore|drop"):
+        (Pattern.begin("v", "view").followed_by("p", "purchase")
+         .one_or_more().allow_combinations().optional())
+    with pytest.raises(NotImplementedError, match="times_or_more"):
+        (Pattern.begin("v", "view").followed_by("p", "purchase")
+         .times_or_more(2).allow_combinations())
+    df = _mk(spark, [(0, 0, 0)])
+    pat1 = (Pattern.begin("p", "purchase").one_or_more()
+            .allow_combinations().within("12 hours").no_skip())
+    with pytest.raises(NotImplementedError, match="1-stage"):
+        compile_pattern(pat1, df, ["user_id"], "ts", "event_id",
+                        "event_type")
+    pat = (Pattern.begin("v", "view")
+           .followed_by("p", "purchase").one_or_more()
+           .allow_combinations().within("12 hours").no_skip())
+    with pytest.raises(NotImplementedError, match="chunked"):
+        compile_pattern_chunked(pat, df, ["user_id"], "ts",
+                                "event_id", "event_type")
+    with pytest.raises(NotImplementedError, match="counts only"):
+        compile_pattern_matches(pat, df, ["user_id"], "ts",
+                                "event_id", "event_type")
+    pat_agg = (Pattern.begin("v", "view")
+               .followed_by("p", "purchase").one_or_more()
+               .allow_combinations()
+               .where_agg("sum", "value", "<", 5)
+               .within("12 hours").no_skip())
+    with pytest.raises(NotImplementedError, match="enumeration"):
+        compile_pattern(pat_agg,
+                        df.withColumn("value", df.event_id),
+                        ["user_id"], "ts", "event_id", "event_type")
+    sdf = (spark.readStream.format("rate").load()
+           .selectExpr("CAST(value AS LONG) AS user_id",
+                       "timestamp AS ts", "value AS event_id",
+                       "'view' AS event_type",
+                       "CAST(value AS DOUBLE) AS value"))
+    with pytest.raises(NotImplementedError, match="enumeration"):
+        compile_pattern_stream(pat_agg, sdf, ["user_id"], "ts",
+                               "event_id", "event_type")
