@@ -474,14 +474,40 @@ class Pattern:
 
     def one_or_more(self) -> "Pattern":
         """Looping quantifier on the LAST stage [FLINK-API:
-        Pattern#oneOrMore]."""
+        Pattern#oneOrMore] — or, when a GROUP is pending, on the
+        GROUP as a unit (r12, lifting the r11 refusal) [FLINK-API:
+        GroupPattern#oneOrMore]: the group is a FIXED-LENGTH stage
+        unit, so the forking machine carries the loop as a BACK-EDGE —
+        completing the group's last stage emits one match per live run
+        and returns those runs to awaiting the group's first stage.
+        Compiles under within(d) + no_skip() (the loop family's own
+        gates, checked in _family); needs a prefix stage to anchor
+        (begin_group loops refuse); strict contiguity into/inside the
+        looping group and inner times(n) refuse loudly."""
         if not self.stages:
             raise ValueError("one_or_more() needs a stage")
-        if getattr(self, "_grp", None) is not None \
-                and self._grp[1] == len(self.stages):
-            raise NotImplementedError(
-                "one_or_more() on a GROUP is not compiled (unbounded "
-                "group state) — use fixed times(n) on the group")
+        grp = getattr(self, "_grp", None)
+        if grp is not None and grp[1] == len(self.stages):
+            lo, hi = grp
+            if lo == 0:
+                raise NotImplementedError(
+                    "one_or_more() on a begin group is not compiled "
+                    "(every event could be both anchor and loop "
+                    "element) — anchor it with a prefix stage and "
+                    "followed_by_group()")
+            block = self.stages[lo:hi]
+            if any(s.times or s.times_hi for s in block):
+                raise NotImplementedError(
+                    "times(n) inside a looping group is not compiled "
+                    "— write the repetition out as extra stages")
+            if any(s.contiguity == "next" for s in block):
+                raise NotImplementedError(
+                    "strict next() contiguity into or inside a "
+                    "looping group is not compiled — use "
+                    "followed_by_group() with followed_by stages")
+            self._gloop = (lo, hi)
+            self._grp = None
+            return self
         self.stages[-1].one_or_more = True
         return self
 
@@ -901,6 +927,43 @@ class Pattern:
                     "across forked runs ambiguously)")
             return ("any_dp_within" if self.within_us is not None
                     else "any_dp")
+        gloop = getattr(self, "_gloop", None)
+        if gloop is not None:
+            # GROUP one_or_more (r12): the fixed-length unit loops as
+            # a BACK-EDGE on the forking machine — the loop family's
+            # own gates apply
+            if gloop[1] != len(self.stages):
+                raise NotImplementedError(
+                    "one_or_more() on a group compiles only as the "
+                    "pattern TAIL — no stages may follow the looping "
+                    "group")
+            if self.skip != "no_skip":
+                raise NotImplementedError(
+                    "one_or_more() on a group compiles under "
+                    "no_skip() — the forking family; drop the skip "
+                    "strategy")
+            if self.within_us is None:
+                raise NotImplementedError(
+                    "one_or_more() on a group needs within(d): the "
+                    "horizon bounds the loop state")
+            if any(s.contiguity in ("not_followed_by", "not_next",
+                                    "followed_by_any", "next")
+                   for s in self.stages):
+                raise NotImplementedError(
+                    "one_or_more() on a group composes with plain "
+                    "begin/followed_by prefixes only")
+            if any(s.times or s.times_hi or s.one_or_more
+                   or s.optional for s in self.stages):
+                raise NotImplementedError(
+                    "quantified stages alongside a looping group are "
+                    "not compiled — write the repetition out")
+            if self._has_rel() or self._has_agg() \
+                    or any(s.until_sql for s in self.stages):
+                raise NotImplementedError(
+                    "where_rel()/where_agg()/until() with a looping "
+                    "group is not compiled — counts carry stage "
+                    "where() conditions only")
+            return "fork_group_loop"
         quant = any(s.times or s.one_or_more for s in self.stages)
         if self.stages[-1].contiguity == "not_next":
             # STRICT absence [FLINK-API: Pattern#notNext] (r10): the
@@ -1027,8 +1090,14 @@ class Pattern:
                 out.append(_Stage(f"{s.name}#{j}", s.event_type, inner,
                                   conds=s.conds, rel=s.rel,
                                   rel_src=s.rel_src, agg=s.agg))
-        return Pattern(stages=out, within_us=self.within_us,
-                       skip=self.skip, skip_ref=self.skip_ref)
+        xp = Pattern(stages=out, within_us=self.within_us,
+                     skip=self.skip, skip_ref=self.skip_ref)
+        if getattr(self, "_gloop", None) is not None:
+            # expansion is the identity for group loops (quantified
+            # stages alongside a looping group refuse in _family), so
+            # the (lo, hi) span stays valid
+            xp._gloop = self._gloop
+        return xp
 
 
 _MAX_VARIANTS = 32
@@ -1288,6 +1357,11 @@ def compile_pattern(pat: Pattern, df: DataFrame, keys: list[str],
                 "relative condition")
         return _relaxed_rel_machine(pat._expanded(), df, keys,
                                     time_col, tiebreak_col, event_col)
+    if fam == "fork_group_loop":
+        lo, hi = pat._gloop
+        return _fork_group_loop_machine(pat, hi - lo, df, keys,
+                                        time_col, tiebreak_col,
+                                        event_col)
     if fam == "skip_strategy":
         return _skip_strategy_counts(pat, df, keys, time_col,
                                      tiebreak_col, event_col)
@@ -2085,6 +2159,57 @@ def _fork_loop_machine(pat, df, keys, time_col, tiebreak_col, event_col):
                   .when(match[K], new_lp).otherwise(keep)) if ub else \
             F.when(match[K], new_lp).otherwise(keep)
         fields.append(lp_col.alias("lp"))
+        return F.struct(*fields)
+
+    fold = F.aggregate(seq, init, step)
+    return (df.groupBy(*keys).agg(fold["cnt"].alias("n_matches"))
+            .filter(F.col("n_matches") > 0))
+
+
+def _fork_group_loop_machine(pat, gl, df, keys, time_col,
+                             tiebreak_col, event_col):
+    """GROUP one_or_more (r12) [FLINK-API: GroupPattern#oneOrMore —
+    `followedBy(Pattern).oneOrMore()`; the r11 L183 refusal lifted for
+    the relaxed fixed-length case]: the group is a fixed-length unit
+    of `gl` awaits, so the forking machine carries the loop as a
+    BACK-EDGE — an event completing the group's LAST stage emits one
+    match per live run in s_{K-1} (Flink's stop-or-continue fork:
+    every completed repetition is a match) and returns those runs to
+    s_{K-gl}, awaiting the group's first stage again. The snapshot
+    discipline keeps one-event-one-transition per run: back-edge
+    returnees are not in the pre-event snapshot of s_{K-gl}, so the
+    closing event is never consumed twice by one run. Per-anchor
+    trajectories are INDEPENDENT under noSkip (sets promote whole,
+    each anchor's walk is the greedy first-match alternation) — the
+    oracle replays exactly that per anchor. State = K-1
+    horizon-bounded anchor arrays, the plain fork bound."""
+    K = len(pat.stages)
+    w = pat.within_us
+    st = _stage_bits(pat)
+    seq = _seq(pat, time_col, tiebreak_col, event_col)
+    empty = F.array().cast("array<long>")
+    init = F.struct(F.lit(0).cast("long").alias("cnt"),
+                    *[empty.alias(f"s{i}") for i in range(1, K)])
+
+    def step(acc, x):
+        filt = {i: F.filter(acc[f"s{i}"], lambda a: x["t"] - a <= w)
+                for i in range(1, K)}
+        match = {i: _hit(x["c"], F.lit(st[i - 1]))
+                 for i in range(1, K + 1)}
+        fields = [
+            F.when(match[K],
+                   acc["cnt"] + F.size(filt[K - 1]).cast("long"))
+            .otherwise(acc["cnt"]).alias("cnt")]
+        for i in range(1, K):
+            base = F.when(match[i + 1], empty).otherwise(filt[i])
+            incoming = (F.array(x["t"]) if i == 1 else filt[i - 1])
+            col = (F.when(match[i], F.concat(base, incoming))
+                   .otherwise(base))
+            if i == K - gl:
+                # the back-edge: closers return to awaiting G1
+                col = F.when(match[K], F.concat(col, filt[K - 1])) \
+                    .otherwise(col)
+            fields.append(col.alias(f"s{i}"))
         return F.struct(*fields)
 
     fold = F.aggregate(seq, init, step)
@@ -3576,6 +3701,62 @@ def fork_loop_stepper(type_codes: dict[str, int] | None,
                 if K >= 2:
                     sets[K - 2] = deque()
         state.update((cnt, *[list(s) for s in sets], list(lp)))
+        yield pd.DataFrame(
+            {**{kc: [key[i]] for i, kc in enumerate(key_cols)},
+             "n_matches": [cnt]})
+    return step
+
+
+def fork_group_loop_stepper(stage_bits: list[int], gl: int,
+                            within_us: int,
+                            key_cols: list[str] | None = None):
+    """applyInPandasWithState twin of _fork_group_loop_machine (r12)
+    [FLINK-API: GroupPattern#oneOrMore]: the fork stepper plus the
+    BACK-EDGE — an event completing the group's last stage emits one
+    match per run in the final await set and returns those runs
+    (pre-promotion snapshot) to the awaiting-G1 set."""
+    K = len(stage_bits)
+    key_cols = key_cols or ["key"]
+    nk = len(key_cols)
+
+    def step(key, pdf_iter, state):
+        from collections import deque
+
+        import pandas as pd
+        if state.exists:
+            got = state.get
+            cnt = got[0]
+            sets = [deque(sorted(s)) for s in got[1:K]]
+        else:
+            cnt, sets = 0, [deque() for _ in range(K - 1)]
+        rows = []
+        for pdf in pdf_iter:
+            rows.extend(_batch_rows(pdf, nk, None))
+        for t, _, c in sorted(rows):
+            for s in sets:
+                while s and t - s[0] > within_us:
+                    s.popleft()
+            match = [bool(c & stage_bits[i]) for i in range(K)]
+            closers = None
+            if match[K - 1]:
+                cnt += len(sets[K - 2])
+                closers = deque(sets[K - 2])  # pre-promotion snapshot
+            for i in range(K - 2, -1, -1):
+                if match[i + 1]:
+                    base = deque()
+                else:
+                    base = sets[i]
+                if match[i]:
+                    if i == 0:
+                        _ins_sorted(base, t)
+                    else:
+                        _ext_sorted(base, sets[i - 1])
+                sets[i] = base
+            if closers:
+                # back-edge AFTER promotions, exactly the batch
+                # field's concat-after-drain/incoming order
+                _ext_sorted(sets[K - gl - 1], closers)
+        state.update((cnt, *[list(s) for s in sets]))
         yield pd.DataFrame(
             {**{kc: [key[i]] for i, kc in enumerate(key_cols)},
              "n_matches": [cnt]})
@@ -5199,14 +5380,15 @@ def compile_pattern_stream(pat: Pattern, sdf: DataFrame,
             outputMode="Update",
             timeoutConf=GroupStateTimeout.NoTimeout)
     if fam not in ("relaxed", "relaxed_within", "fork", "fork_loop",
-                   "absence", "absence_chain", "strict", "any_dp",
-                   "any_dp_within"):
+                   "fork_group_loop", "absence", "absence_chain",
+                   "strict", "any_dp", "any_dp_within"):
         raise NotImplementedError(
             "streaming pattern() carries the relaxed followed_by "
             "machines (skip-past-last, bounded, no_skip, bounded "
-            "one_or_more), followed_by_any (counting DP), strict "
-            "chains (KMP), timer-driven absence (2-stage and "
-            "anchored-chain), and the skip_to_* strategies")
+            "one_or_more incl. looping groups), followed_by_any "
+            "(counting DP), strict chains (KMP), timer-driven absence "
+            "(2-stage and anchored-chain), and the skip_to_* "
+            "strategies")
     if pat._has_agg() and fam == "fork_loop":
         # r11: streaming twin of _fork_loop_agg_machine — parked runs
         # carry (t, register, loop length) in parallel arrays
@@ -5473,6 +5655,13 @@ def compile_pattern_stream(pat: Pattern, sdf: DataFrame,
         fn = relaxed_within_stepper(tcodes, scodes, pat.within_us,
                                     sflags, key_cols=keys,
                                     veto=vcodes)
+    elif fam == "fork_group_loop":
+        out_schema = f"{key_schema}, n_matches long"
+        state_schema = "cnt long, " + ", ".join(
+            f"s{i} array<long>" for i in range(1, K))
+        glo, ghi = pat._gloop
+        fn = fork_group_loop_stepper(scodes, ghi - glo,
+                                     pat.within_us, key_cols=keys)
     elif fam == "fork_loop" and pat.stages[-1].combos:
         if len(pat.stages) < 2:
             raise NotImplementedError(

@@ -98,7 +98,7 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # llm_knn, composite and temporal, drained by the r11 rotation) and
 # test_contract's per-module rule forces one already-sampled rep each.
 # The verdict's "size r12 at 39" predates those three drains; 36 is
-# the cap. Deferred to r13 (18 keys after the r12 verb swaps,
+# the cap. Deferred to r13 (19 keys after the r12 verb swaps,
 # finishing the registry):
 #   agg_ext: q_incremental_agg q_bit_aggs q_collect_set q_pareto_abc
 #            q_profile (displaced by q_cep_consecutive)
@@ -108,6 +108,7 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 #               q_cep_allow_combinations)
 #   olap_ext: q_corr_stats q_edit_distance q_allocate_proration
 #             q_quartile_banding
+#             q_sql_pipe_syntax (displaced by q_cep_group_loop)
 #   dataset_ops: q_class_upsample q_domain_token_cap
 #   llm_scoring: q_inverted_index q_lm_quality_bucket
 # Mid-round swaps: new r12 verb keys enter as they land, displacing
@@ -164,7 +165,7 @@ _VERIFICATION_PREFIX = (
     "q_cep_allow_combinations",         # CEP combos loop (NEW r12)
     "q_unpivot",                        # olap_ext wide->long unpivot
     "q_stratified_sample",              # olap_ext per-stratum sample
-    "q_sql_pipe_syntax",                # olap_ext SQL pipe syntax
+    "q_cep_group_loop",                 # CEP group one_or_more (NEW r12)
     "q_snapshot_diff",                  # dataset_ops snapshot compare
     "q_negative_sampling",              # dataset_ops negative pairs
     "q_mixture_pipeline",               # dataset_ops mixture e2e

@@ -2735,6 +2735,32 @@ def test_pattern_streaming_allow_combinations(spark, queries):
     assert want
 
 
+def test_pattern_streaming_group_loop(spark, queries):
+    """Streaming GROUP one_or_more (round 12): the fork stepper's
+    back-edge survives micro-batch boundaries; converged counts equal
+    the oracle-backed batch q_cep_group_loop."""
+    from flink_tutorial_broadcast_spark.streaming.jobs import (
+        _run_to_memory,
+    )
+
+    sub = Pattern.begin("c", "click").followed_by("p", "purchase")
+    pat = (Pattern.begin("v", "view").followed_by_group(sub)
+           .one_or_more().within("48 hours").no_skip())
+    sdf = _two_file_stream(
+        spark, ["user_id", "ts", "event_id", "event_type"])
+    out = (_env(spark).from_dataframe(sdf)
+           .key_by("user_id").pattern(pat).to_df())
+    assert out.isStreaming
+    final: dict[int, int] = {}
+    for r in _run_to_memory(out, "update").collect():
+        final[r["user_id"]] = max(final.get(r["user_id"], 0),
+                                  r["n_matches"])
+    want = {r["user_id"]: r["n_matches"] for r in
+            queries["q_cep_group_loop"](spark, SF_SMOKE).collect()}
+    assert {u: n for u, n in final.items() if n > 0} == want
+    assert want
+
+
 def test_pattern_streaming_timeouts(spark, queries):
     """Streaming timeout side output (round 11): emissions = the batch
     q_cep_timeouts rows whose expiry a later same-key event OBSERVED

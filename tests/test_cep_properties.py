@@ -2839,3 +2839,119 @@ def test_allow_combinations_refusals(spark):
     with pytest.raises(NotImplementedError, match="enumeration"):
         compile_pattern_stream(pat_agg, sdf, ["user_id"], "ts",
                                "event_id", "event_type")
+
+
+# -- one_or_more() on a GroupPattern (round 12) --------------------------
+
+def _ref_group_loop(seq, prefix, group, within_min):
+    """INDEPENDENT per-anchor greedy replay for a looping group
+    [FLINK-API GroupPattern#oneOrMore]: under noSkip the fork sets
+    promote whole, so each anchor's trajectory is the greedy
+    first-match walk — prefix stages once, then the group cycled;
+    every completed repetition inside the horizon is one match."""
+    cnt = 0
+    for idx, (m0, ty0) in enumerate(seq):
+        if ty0 != prefix[0]:
+            continue
+        rest = prefix[1:]
+        pi = 0
+        in_group = not rest
+        gi = 0
+        for m, ty in seq[idx + 1:]:
+            if m - m0 > within_min:
+                break
+            if not in_group:
+                if ty == rest[pi]:
+                    pi += 1
+                    if pi == len(rest):
+                        in_group = True
+            elif ty == group[gi]:
+                gi += 1
+                if gi == len(group):
+                    cnt += 1
+                    gi = 0
+    return cnt
+
+
+@settings(max_examples=10, deadline=None)
+@given(rows=seq_strategy)
+def test_cep_group_loop_matches_python_nfa(spark, rows):
+    """followed_by_group(click -> purchase).one_or_more() == the
+    per-anchor greedy alternation reference."""
+    sub = Pattern.begin("c", "click").followed_by("p", "purchase")
+    pat = (Pattern.begin("v", "view").followed_by_group(sub)
+           .one_or_more().within("12 hours").no_skip())
+    got = _run(spark, _mk(spark, rows), pat)
+    want = {u: _ref_group_loop(seq, ["view"], ["click", "purchase"],
+                               720)
+            for u, seq in _per_user_ordered(rows).items()}
+    assert got == {u: n for u, n in want.items() if n > 0}
+
+
+@settings(max_examples=10, deadline=None)
+@given(rows=seq_strategy)
+def test_cep_group_loop_two_prefix_matches_python_nfa(spark, rows):
+    """A 2-stage prefix before the looping group exercises the prefix
+    promotions and the back-edge target offset (K - gl > 1)."""
+    sub = Pattern.begin("c", "click").followed_by("p", "purchase")
+    pat = (Pattern.begin("v", "view").followed_by("o", "other")
+           .followed_by_group(sub)
+           .one_or_more().within("12 hours").no_skip())
+    got = _run(spark, _mk(spark, rows), pat)
+    want = {u: _ref_group_loop(seq, ["view", "other"],
+                               ["click", "purchase"], 720)
+            for u, seq in _per_user_ordered(rows).items()}
+    assert got == {u: n for u, n in want.items() if n > 0}
+
+
+def test_group_loop_refusals(spark):
+    """Group-loop gates refuse loudly: begin groups (no prefix
+    anchor), inner times(n), strict contiguity into/inside the group,
+    non-tail loops, skip strategies, missing within()."""
+    import pytest
+
+    from flink_tutorial_broadcast_spark.cep import (
+        Pattern as P, compile_pattern,
+    )
+
+    sub = P.begin("c", "click").followed_by("p", "purchase")
+    with pytest.raises(NotImplementedError, match="begin group"):
+        P.begin_group(sub).one_or_more()
+    with pytest.raises(NotImplementedError, match="repetition"):
+        (P.begin("v", "view")
+         .followed_by_group(P.begin("c", "click").times(2)
+                            .followed_by("p", "purchase"))
+         .one_or_more())
+    with pytest.raises(NotImplementedError, match="strict|next"):
+        (P.begin("v", "view")
+         .next_group(P.begin("c", "click")
+                     .followed_by("p", "purchase"))
+         .one_or_more())
+    with pytest.raises(NotImplementedError, match="strict|next"):
+        (P.begin("v", "view")
+         .followed_by_group(P.begin("c", "click")
+                            .next("p", "purchase"))
+         .one_or_more())
+    df = _mk(spark, [(0, 0, 0)])
+    tail = (P.begin("v", "view")
+            .followed_by_group(P.begin("c", "click")
+                               .followed_by("p", "purchase"))
+            .one_or_more().followed_by("z", "other")
+            .within("12 hours").no_skip())
+    with pytest.raises(NotImplementedError, match="TAIL"):
+        compile_pattern(tail, df, ["user_id"], "ts", "event_id",
+                        "event_type")
+    noskip = (P.begin("v", "view")
+              .followed_by_group(P.begin("c", "click")
+                                 .followed_by("p", "purchase"))
+              .one_or_more().within("12 hours"))
+    with pytest.raises(NotImplementedError, match="no_skip"):
+        compile_pattern(noskip, df, ["user_id"], "ts", "event_id",
+                        "event_type")
+    nowithin = (P.begin("v", "view")
+                .followed_by_group(P.begin("c", "click")
+                                   .followed_by("p", "purchase"))
+                .one_or_more().no_skip())
+    with pytest.raises(NotImplementedError, match="within"):
+        compile_pattern(nowithin, df, ["user_id"], "ts", "event_id",
+                        "event_type")
