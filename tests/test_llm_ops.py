@@ -649,3 +649,29 @@ def test_power_iteration_matches_exact_integer_reference(spark, queries):
     got = {r["pos"]: (r["raw"], r["direction_ppm"])
            for r in queries["q_power_iteration"](spark, SF_SMOKE).collect()}
     assert got == want
+
+
+def test_rows_only_keys_witness_bounds_in_engine(spark, queries):
+    """Round 12 (VERDICT_r11 item 6): every rows-only key emits a
+    bound-asserting column computed IN-ENGINE — the sketch keys
+    against the exact aggregate in the same scan, the LSH family as
+    (recall_vs_exact, recall_ok) vs the banded exact pair set, the
+    fingerprint keys as their documented structural bound — so the
+    driver's rows-only pass witnesses the tolerance, not just the row
+    count. All bound columns must be TRUE on the fixture."""
+    checks = {
+        "q_approx_distinct": "within_5pct_of_exact",
+        "q_hll_sketch": "within_5pct_of_exact",
+        "q_approx_quantiles": "within_1pct_of_exact",
+        "q_dedup_minhash": "recall_ok",
+        "q_dedup_embed_lsh": "recall_ok",
+        "q_dedup_minhash_ml": "recall_ok",
+        "q_dedup_embed_lsh_ml": "recall_ok",
+        "q_simhash": "fp_nondegenerate",
+        "q_dedup_simhash": "within_hamming_bound",
+    }
+    for k, col in checks.items():
+        df = queries[k](spark, SF_CHECK)
+        assert col in df.columns, k
+        bad = df.filter(~F.col(col) | F.col(col).isNull()).count()
+        assert bad == 0, (k, col, bad)
