@@ -361,12 +361,14 @@ class Pattern:
             # GROUP quantifier (r11): expand to n concatenated copies
             # of the group's stages — relaxed contiguity between
             # copies [FLINK-API: GroupPattern under the quantifier's
-            # default internal contiguity]; only fixed times(n)
+            # default internal contiguity]. times(a, b) RANGES (r12,
+            # lifting the r11 refusal): one fixed variant per copy
+            # count, summed by the variant-union fold (disjoint
+            # binding shapes, the stage-range argument verbatim)
             if m is not None:
-                raise NotImplementedError(
-                    "times(a, b) on a GROUP is not compiled — the "
-                    "variant union carries per-stage ranges only; "
-                    "use fixed times(n)")
+                self._gvar = (grp[0], grp[1], n, m)
+                self._grp = None
+                return self
             lo, hi = grp
             block = self.stages[lo:hi]
             for j in range(1, n):
@@ -440,12 +442,27 @@ class Pattern:
         refuses loudly."""
         if not self.stages:
             raise ValueError("optional() needs a stage")
-        if getattr(self, "_grp", None) is not None \
-                and self._grp[1] == len(self.stages):
-            raise NotImplementedError(
-                "optional() on a GROUP is not compiled (an unbounded "
-                "group quantifier) — use fixed times(n) on the group "
-                "or optional() on a single stage")
+        grp = getattr(self, "_grp", None)
+        if grp is not None and grp[1] == len(self.stages):
+            # GROUP optional (r12, lifting the r11 refusal): the
+            # with/without variants are fixed patterns with disjoint
+            # binding shapes — the variant-union fold sums them
+            if grp[0] == 0:
+                raise NotImplementedError(
+                    "optional() on a begin group is not compiled "
+                    "(the without-variant is the empty pattern) — "
+                    "anchor it with a prefix stage")
+            self._gvar = (grp[0], grp[1], 0, 1)
+            self._grp = None
+            return self
+        gl = getattr(self, "_gloop", None)
+        if gl is not None and gl[1] == len(self.stages):
+            # GROUP zeroOrMore (r12): one_or_more().optional() on the
+            # group — prefix-only matches (0 repetitions) + the
+            # back-edge loop counts (>= 1) partition the match set
+            self._gzom = gl
+            self._gloop = None
+            return self
         s = self.stages[-1]
         # one_or_more().optional() == zeroOrMore [FLINK-API:
         # Pattern#oneOrMore#optional] compiles since r10 on the
@@ -842,6 +859,91 @@ class Pattern:
     # -- compilation helpers ------------------------------------------
     def _family(self) -> str:
         cont = [s.contiguity for s in self.stages[1:]]
+        if (getattr(self, "_gvar", None) is not None
+                or getattr(self, "_gzom", None) is not None
+                or getattr(self, "_gloop", None) is not None) \
+                and self.skip in ("to_next", "to_first", "to_last",
+                                  "past_last_event"):
+            # group-quantifier markers are pattern-level, invisible to
+            # the per-stage skip gates below — refuse before the skip
+            # branch misclassifies the pattern
+            raise NotImplementedError(
+                "a quantified group compiles under no_skip() — drop "
+                "the skip strategy")
+        gvar = getattr(self, "_gvar", None)
+        gzom = getattr(self, "_gzom", None)
+        if gvar is not None or gzom is not None:
+            span = gvar[:2] if gvar is not None else gzom
+            kind = ("optional()/times(a, b)" if gvar is not None
+                    else "zeroOrMore")
+            if span[1] != len(self.stages):
+                raise NotImplementedError(
+                    f"{kind} on a group compiles only as the pattern "
+                    "TAIL — no stages may follow the quantified group")
+            if self.skip != "no_skip":
+                raise NotImplementedError(
+                    f"{kind} on a group compiles under no_skip() — "
+                    "the variant/loop branches are distinct noSkip "
+                    "matches")
+            if gzom is not None and self.within_us is None:
+                raise NotImplementedError(
+                    "zeroOrMore on a group needs within(d): the loop "
+                    "addend's horizon bounds its state")
+            if any(s.contiguity in ("not_followed_by", "not_next",
+                                    "followed_by_any", "next")
+                   for s in self.stages):
+                raise NotImplementedError(
+                    f"{kind} on a group composes with plain "
+                    "begin/followed_by prefixes only")
+            if any(s.times or s.times_hi or s.one_or_more
+                   or s.optional for s in self.stages):
+                raise NotImplementedError(
+                    "quantified stages alongside a quantified group "
+                    "are not compiled — write the repetition out")
+            if self._has_rel() or self._has_agg() \
+                    or any(s.until_sql for s in self.stages):
+                raise NotImplementedError(
+                    f"where_rel()/where_agg()/until() with {kind} on "
+                    "a group is not compiled")
+            return "group_variants" if gvar is not None else \
+                "group_zom"
+        gloop = getattr(self, "_gloop", None)
+        if gloop is not None:
+            # GROUP one_or_more (r12): the fixed-length unit loops as
+            # a BACK-EDGE on the forking machine — the loop family's
+            # own gates apply
+            if gloop[1] != len(self.stages):
+                raise NotImplementedError(
+                    "one_or_more() on a group compiles only as the "
+                    "pattern TAIL — no stages may follow the looping "
+                    "group")
+            if self.skip != "no_skip":
+                raise NotImplementedError(
+                    "one_or_more() on a group compiles under "
+                    "no_skip() — the forking family; drop the skip "
+                    "strategy")
+            if self.within_us is None:
+                raise NotImplementedError(
+                    "one_or_more() on a group needs within(d): the "
+                    "horizon bounds the loop state")
+            if any(s.contiguity in ("not_followed_by", "not_next",
+                                    "followed_by_any", "next")
+                   for s in self.stages):
+                raise NotImplementedError(
+                    "one_or_more() on a group composes with plain "
+                    "begin/followed_by prefixes only")
+            if any(s.times or s.times_hi or s.one_or_more
+                   or s.optional for s in self.stages):
+                raise NotImplementedError(
+                    "quantified stages alongside a looping group are "
+                    "not compiled — write the repetition out")
+            if self._has_rel() or self._has_agg() \
+                    or any(s.until_sql for s in self.stages):
+                raise NotImplementedError(
+                    "where_rel()/where_agg()/until() with a looping "
+                    "group is not compiled — counts carry stage "
+                    "where() conditions only")
+            return "fork_group_loop"
         if self.skip in ("to_next", "to_first", "to_last",
                          "past_last_event"):
             # [FLINK-API: AfterMatchSkipStrategy variants] (r10):
@@ -927,43 +1029,6 @@ class Pattern:
                     "across forked runs ambiguously)")
             return ("any_dp_within" if self.within_us is not None
                     else "any_dp")
-        gloop = getattr(self, "_gloop", None)
-        if gloop is not None:
-            # GROUP one_or_more (r12): the fixed-length unit loops as
-            # a BACK-EDGE on the forking machine — the loop family's
-            # own gates apply
-            if gloop[1] != len(self.stages):
-                raise NotImplementedError(
-                    "one_or_more() on a group compiles only as the "
-                    "pattern TAIL — no stages may follow the looping "
-                    "group")
-            if self.skip != "no_skip":
-                raise NotImplementedError(
-                    "one_or_more() on a group compiles under "
-                    "no_skip() — the forking family; drop the skip "
-                    "strategy")
-            if self.within_us is None:
-                raise NotImplementedError(
-                    "one_or_more() on a group needs within(d): the "
-                    "horizon bounds the loop state")
-            if any(s.contiguity in ("not_followed_by", "not_next",
-                                    "followed_by_any", "next")
-                   for s in self.stages):
-                raise NotImplementedError(
-                    "one_or_more() on a group composes with plain "
-                    "begin/followed_by prefixes only")
-            if any(s.times or s.times_hi or s.one_or_more
-                   or s.optional for s in self.stages):
-                raise NotImplementedError(
-                    "quantified stages alongside a looping group are "
-                    "not compiled — write the repetition out")
-            if self._has_rel() or self._has_agg() \
-                    or any(s.until_sql for s in self.stages):
-                raise NotImplementedError(
-                    "where_rel()/where_agg()/until() with a looping "
-                    "group is not compiled — counts carry stage "
-                    "where() conditions only")
-            return "fork_group_loop"
         quant = any(s.times or s.one_or_more for s in self.stages)
         if self.stages[-1].contiguity == "not_next":
             # STRICT absence [FLINK-API: Pattern#notNext] (r10): the
@@ -1204,6 +1269,22 @@ def _compile_variant_union(pat: Pattern, df: DataFrame,
             "optional()/times(a, b) with not_followed_by stages is "
             "not compiled — split the absence check out")
     variants = _variants(pat)
+    return _variant_union_fold(pat, variants, df, keys, time_col,
+                               tiebreak_col, event_col)
+
+
+def _variant_union_fold(pat: Pattern, variants: list[Pattern],
+                        df: DataFrame, keys: list[str], time_col: str,
+                        tiebreak_col: str,
+                        event_col: str) -> DataFrame:
+    """Shared variant-union fold: one per-key collected sequence, one
+    relaxed-fork fold per FIXED variant pattern (1-stage variants
+    count matching events directly), counts summed per key. Callers
+    guarantee the variants' match sets are disjoint (distinct binding
+    shapes) and that every variant stage's cond_key appears in `pat`
+    (the shared mask space). Used by stage optional()/times(a, b)
+    (via _variants) and, since r12, GROUP optional()/times(a, b)
+    (variants = k concatenated group copies)."""
     w = pat.within_us
     # one mask/code space for ALL variants: distinct conds of the full
     # pattern (a variant's stage bits index into this shared space)
@@ -1362,6 +1443,57 @@ def compile_pattern(pat: Pattern, df: DataFrame, keys: list[str],
         return _fork_group_loop_machine(pat, hi - lo, df, keys,
                                         time_col, tiebreak_col,
                                         event_col)
+    if fam == "group_variants":
+        # GROUP optional()/times(a, b) (r12): one fixed variant per
+        # copy count k in [a, b] (k=0 = the prefix alone), relaxed
+        # between copies — binding shapes are disjoint, so the shared
+        # variant-union fold sums exactly
+        lo, hi, a, b = pat._gvar
+        if b - a + 1 > _MAX_VARIANTS:
+            raise NotImplementedError(
+                f"times({a}, {b}) on a group would need {b - a + 1} "
+                f"variants (max {_MAX_VARIANTS}) — tighten the range")
+        block = pat.stages[lo:hi]
+        variants = []
+        for k in range(a, b + 1):
+            stages = [replace(s) for s in pat.stages[:lo]]
+            for j in range(k):
+                copy = [replace(s, name=s.name if j == 0
+                                else f"{s.name}#gv{j}")
+                        for s in block]
+                copy[0] = replace(copy[0], contiguity="followed_by")
+                stages.extend(copy)
+            if stages:
+                variants.append(Pattern(stages=stages,
+                                        within_us=pat.within_us,
+                                        skip=pat.skip))
+        return _variant_union_fold(pat, variants, df, keys, time_col,
+                                   tiebreak_col, event_col)
+    if fam == "group_zom":
+        # GROUP zeroOrMore (r12): prefix-only matches (0 repetitions)
+        # + the back-edge loop counts (>= 1 repetitions) partition the
+        # match set by repetition count — counts add exactly, the
+        # zeroOrMore argument verbatim
+        lo, hi = pat._gzom
+        loop_pat = Pattern(stages=[replace(s) for s in pat.stages],
+                           within_us=pat.within_us, skip=pat.skip)
+        loop_pat._gloop = (lo, hi)
+        loop = compile_pattern(loop_pat, df, keys, time_col,
+                               tiebreak_col, event_col)
+        if lo == 1:
+            a_cond = pat.stages[0].cond_sql(event_col)
+            prefix = (df.filter(F.expr(a_cond)).groupBy(*keys)
+                      .agg(F.count("*").cast("long")
+                           .alias("n_matches")))
+        else:
+            prefix_pat = Pattern(
+                stages=[replace(s) for s in pat.stages[:lo]],
+                within_us=pat.within_us, skip=pat.skip)
+            prefix = compile_pattern(prefix_pat, df, keys, time_col,
+                                     tiebreak_col, event_col)
+        u = (prefix.unionByName(loop).groupBy(*keys)
+             .agg(F.sum("n_matches").cast("long").alias("n_matches")))
+        return u.filter(F.col("n_matches") > 0)
     if fam == "skip_strategy":
         return _skip_strategy_counts(pat, df, keys, time_col,
                                      tiebreak_col, event_col)

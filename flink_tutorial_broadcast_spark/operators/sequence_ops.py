@@ -3290,6 +3290,140 @@ def q_cep_group_loop(spark: SparkSession, sf_dir: str) -> DataFrame:
             .to_df())
 
 
+_GROUP_REPS_CTE = f"""
+    WITH RECURSIVE codes0 AS (
+      SELECT user_id, epoch_us(ts) AS t, event_id,
+             CASE event_type WHEN 'view' THEN 1 WHEN 'click' THEN 2
+                  WHEN 'purchase' THEN 3 ELSE 0 END AS c
+      FROM events
+    ), codes AS (
+      SELECT user_id, t, c,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY t, event_id) AS i
+      FROM codes0 WHERE c > 0
+    ), run AS (
+      SELECT a.user_id, a.i AS ai, a.t AS at, a.i AS i,
+             CAST(0 AS BIGINT) AS cnt, 0 AS st
+      FROM codes a WHERE a.c = 1
+      UNION ALL
+      SELECT r.user_id, r.ai, r.at, r.i + 1,
+             CASE WHEN r.st = 1 AND c.c = 3
+                  THEN r.cnt + 1 ELSE r.cnt END,
+             CASE WHEN r.st = 0 AND c.c = 2 THEN 1
+                  WHEN r.st = 1 AND c.c = 3 THEN 0
+                  ELSE r.st END
+      FROM run r JOIN codes c ON c.user_id = r.user_id
+                             AND c.i = r.i + 1
+      WHERE c.t - r.at <= {_CEP_W48_US}
+    ), per_anchor AS (
+      SELECT user_id, ai, MAX(cnt) AS r
+      FROM run GROUP BY user_id, ai
+    )
+"""
+
+
+@query(
+    "q_cep_group_optional",
+    oracle=_GROUP_REPS_CTE + """
+    SELECT user_id,
+           CAST(SUM(1 + LEAST(r, 1)) AS BIGINT) AS n_matches
+    FROM per_anchor GROUP BY user_id
+    """,
+)
+def q_cep_group_optional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP optional (round 12) [FLINK-API: GroupPattern#optional —
+    `followedBy(Pattern).optional()`; part of the r11 'unbounded group
+    quantifiers' refusal, lifted]: view -> (click purchase)? within
+    48 h under noSkip. Two fixed variants — the prefix alone (the
+    without branch; every view is its own match) and the prefix plus
+    one group instance — have disjoint binding shapes, so the shared
+    variant-union fold (ONE collected sequence, one relaxed-fork fold
+    per variant) sums them exactly. The oracle rides the SAME
+    per-anchor greedy-alternation replay as q_cep_group_loop: the
+    with-variant's greedy chain completes iff the alternation reaches
+    one repetition, so n = SUM(1 + LEAST(reps, 1)) per user. Property
+    twin: test_cep_group_optional_matches_python_nfa; refusal edges in
+    test_group_variant_refusals."""
+    from flink_tutorial_broadcast_spark.cep import Pattern
+    from flink_tutorial_broadcast_spark.datastream import (
+        StreamExecutionEnvironment,
+    )
+    env = StreamExecutionEnvironment.get_execution_environment(spark)
+    sub = Pattern.begin("c", "click").followed_by("p", "purchase")
+    pat = (Pattern.begin("v", "view").followed_by_group(sub)
+           .optional().within("48 hours").no_skip())
+    return (env.from_dataframe(load(spark, sf_dir, "events"))
+            .key_by("user_id")
+            .pattern(pat)
+            .to_df())
+
+
+@query(
+    "q_cep_group_times_range",
+    oracle=_GROUP_REPS_CTE + """
+    SELECT user_id, CAST(SUM(LEAST(r, 2)) AS BIGINT) AS n_matches
+    FROM per_anchor GROUP BY user_id
+    HAVING SUM(LEAST(r, 2)) > 0
+    """,
+)
+def q_cep_group_times_range(spark: SparkSession,
+                            sf_dir: str) -> DataFrame:
+    """GROUP times(a, b) RANGE (round 12) [FLINK-API:
+    GroupPattern#times(from, to); the r11 refusal lifted]: view ->
+    (click purchase){1,2} within 48 h under noSkip. One fixed variant
+    per copy count (relaxed between copies), summed by the shared
+    variant-union fold — the stage-range disjointness argument
+    verbatim (variants differ in how many group copies are bound).
+    Oracle: the k-copy variant's greedy chain completes iff the
+    per-anchor alternation reaches k repetitions, so the variant sum
+    telescopes to SUM(LEAST(reps, 2)) per user — the same recursive
+    CTE as q_cep_group_loop with a capped sum. Property twin:
+    test_cep_group_times_range_matches_python_nfa."""
+    from flink_tutorial_broadcast_spark.cep import Pattern
+    from flink_tutorial_broadcast_spark.datastream import (
+        StreamExecutionEnvironment,
+    )
+    env = StreamExecutionEnvironment.get_execution_environment(spark)
+    sub = Pattern.begin("c", "click").followed_by("p", "purchase")
+    pat = (Pattern.begin("v", "view").followed_by_group(sub)
+           .times(1, 2).within("48 hours").no_skip())
+    return (env.from_dataframe(load(spark, sf_dir, "events"))
+            .key_by("user_id")
+            .pattern(pat)
+            .to_df())
+
+
+@query(
+    "q_cep_group_zom",
+    oracle=_GROUP_REPS_CTE + """
+    SELECT user_id, CAST(SUM(1 + r) AS BIGINT) AS n_matches
+    FROM per_anchor GROUP BY user_id
+    """,
+)
+def q_cep_group_zom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP zeroOrMore (round 12) [FLINK-API:
+    GroupPattern#oneOrMore#optional]: view -> (click purchase)* within
+    48 h under noSkip. The match set partitions by repetition count —
+    0 repetitions is the prefix pattern alone (every view), >= 1 is
+    exactly the back-edge group-loop count — so the per-key counts
+    ADD (the zeroOrMore argument verbatim, carried to group units).
+    Oracle: SUM(1 + reps) per user over the same per-anchor
+    alternation replay. Property twin:
+    test_cep_group_zom_matches_python_nfa."""
+    from flink_tutorial_broadcast_spark.cep import Pattern
+    from flink_tutorial_broadcast_spark.datastream import (
+        StreamExecutionEnvironment,
+    )
+    env = StreamExecutionEnvironment.get_execution_environment(spark)
+    sub = Pattern.begin("c", "click").followed_by("p", "purchase")
+    pat = (Pattern.begin("v", "view").followed_by_group(sub)
+           .one_or_more().optional().within("48 hours").no_skip())
+    return (env.from_dataframe(load(spark, sf_dir, "events"))
+            .key_by("user_id")
+            .pattern(pat)
+            .to_df())
+
+
 @query(
     "q_cep_timeouts",
     oracle=f"""

@@ -98,8 +98,11 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # llm_knn, composite and temporal, drained by the r11 rotation) and
 # test_contract's per-module rule forces one already-sampled rep each.
 # The verdict's "size r12 at 39" predates those three drains; 36 is
-# the cap. Deferred to r13 (19 keys after the r12 verb swaps,
+# the cap. Deferred to r13 (22 keys after the r12 verb swaps,
 # finishing the registry):
+#   scalar_funcs: q_array_setops (displaced by q_cep_group_optional)
+#   stats_ext: q_autocorr (displaced by q_cep_group_times_range)
+#   text_pipeline: q_ngram_novelty (displaced by q_cep_group_zom)
 #   agg_ext: q_incremental_agg q_bit_aggs q_collect_set q_pareto_abc
 #            q_profile (displaced by q_cep_consecutive)
 #   behavioral: q_cumulative_distinct q_growth_mom q_revenue_bridge
@@ -151,12 +154,12 @@ _VERIFICATION_PREFIX = (
     "q_dim_encode",                     # layout_ops dictionary encode
     "q_distinct",                       # llm_dedup D3 distinct docs
     "q_xml_extract",                    # scalar_funcs xpath extract
-    "q_array_setops",                   # scalar_funcs array set ops
+    "q_cep_group_optional",             # CEP group optional (NEW r12)
     "q_embed_centroid",                 # stats_ext per-class centroid
     "q_embed_quantile_norm",            # stats_ext quantile normalize
-    "q_autocorr",                       # stats_ext lag autocorrelation
+    "q_cep_group_times_range",          # CEP group times(a,b) (NEW r12)
     "q_text_pipeline_e2e",              # text_pipeline full chain
-    "q_ngram_novelty",                  # text_pipeline novelty score
+    "q_cep_group_zom",                  # CEP group zeroOrMore (NEW r12)
     "q_histogram",                      # agg_ext equi-width histogram
     "q_count_if_bool",                  # agg_ext count_if/bool_and/or
     "q_cep_consecutive",                # CEP strict-internal loop (NEW r12)

@@ -2125,9 +2125,11 @@ def test_group_refusals():
     with pytest.raises(NotImplementedError, match="one_or_more"):
         P.begin_group(P.begin("v", "view")
                       .followed_by("c", "click")).one_or_more()
-    with pytest.raises(NotImplementedError, match="fixed times"):
-        P.begin_group(P.begin("v", "view")
-                      .followed_by("c", "click")).times(1, 3)
+    # r12: times(a, b) on a group is LIFTED — it marks the pattern for
+    # the variant-union fold instead of refusing
+    p_rng = P.begin_group(P.begin("v", "view")
+                          .followed_by("c", "click")).times(1, 3)
+    assert p_rng._gvar == (0, 2, 1, 3)
     # without the guard this silently compiled (v c){2,} as v c c+
     # — quantifying only the group's LAST inner stage (ADVICE r11)
     with pytest.raises(NotImplementedError, match="times_or_more"):
@@ -2955,3 +2957,138 @@ def test_group_loop_refusals(spark):
     with pytest.raises(NotImplementedError, match="within"):
         compile_pattern(nowithin, df, ["user_id"], "ts", "event_id",
                         "event_type")
+
+
+# -- GROUP optional()/times(a,b)/zeroOrMore (round 12) -------------------
+
+@settings(max_examples=10, deadline=None)
+@given(rows=seq_strategy)
+def test_cep_group_optional_matches_python_nfa(spark, rows):
+    """followed_by_group(c p).optional() == (#prefix matches) + (the
+    greedy alternation reaching >= 1 repetition) per anchor — two
+    independent references summed."""
+    sub = Pattern.begin("c", "click").followed_by("p", "purchase")
+    pat = (Pattern.begin("v", "view").followed_by_group(sub)
+           .optional().within("12 hours").no_skip())
+    got = _run(spark, _mk(spark, rows), pat)
+
+    def ref(seq):
+        views = sum(1 for _, ty in seq if ty == "view")
+        withs = _ref_group_loop_capped(seq, ["view"],
+                                       ["click", "purchase"], 720, 1)
+        return views + withs
+
+    want = {u: ref(seq) for u, seq in _per_user_ordered(rows).items()}
+    assert got == {u: n for u, n in want.items() if n > 0}
+
+
+def _ref_group_loop_capped(seq, prefix, group, within_min, cap):
+    """Per-anchor greedy alternation, each anchor contributing
+    min(reps, cap) — the k-copy variant's greedy chain completes iff
+    the alternation reaches k repetitions, so the variant-union sum
+    telescopes to this."""
+    total = 0
+    for idx, (m0, ty0) in enumerate(seq):
+        if ty0 != prefix[0]:
+            continue
+        rest = prefix[1:]
+        pi = 0
+        in_group = not rest
+        gi = reps = 0
+        for m, ty in seq[idx + 1:]:
+            if m - m0 > within_min:
+                break
+            if not in_group:
+                if ty == rest[pi]:
+                    pi += 1
+                    if pi == len(rest):
+                        in_group = True
+            elif ty == group[gi]:
+                gi += 1
+                if gi == len(group):
+                    reps += 1
+                    gi = 0
+        total += min(reps, cap)
+    return total
+
+
+@settings(max_examples=10, deadline=None)
+@given(rows=seq_strategy)
+def test_cep_group_times_range_matches_python_nfa(spark, rows):
+    """times(1, 2) on a group == sum over anchors of min(greedy
+    repetitions, 2)."""
+    sub = Pattern.begin("c", "click").followed_by("p", "purchase")
+    pat = (Pattern.begin("v", "view").followed_by_group(sub)
+           .times(1, 2).within("12 hours").no_skip())
+    got = _run(spark, _mk(spark, rows), pat)
+    want = {u: _ref_group_loop_capped(seq, ["view"],
+                                      ["click", "purchase"], 720, 2)
+            for u, seq in _per_user_ordered(rows).items()}
+    assert got == {u: n for u, n in want.items() if n > 0}
+
+
+@settings(max_examples=10, deadline=None)
+@given(rows=seq_strategy)
+def test_cep_group_zom_matches_python_nfa(spark, rows):
+    """zeroOrMore on a group == (#prefix matches) + the full group-loop
+    count (the repetition-count partition)."""
+    sub = Pattern.begin("c", "click").followed_by("p", "purchase")
+    pat = (Pattern.begin("v", "view").followed_by_group(sub)
+           .one_or_more().optional().within("12 hours").no_skip())
+    got = _run(spark, _mk(spark, rows), pat)
+
+    def ref(seq):
+        views = sum(1 for _, ty in seq if ty == "view")
+        loops = _ref_group_loop(seq, ["view"], ["click", "purchase"],
+                                720)
+        return views + loops
+
+    want = {u: ref(seq) for u, seq in _per_user_ordered(rows).items()}
+    assert got == {u: n for u, n in want.items() if n > 0}
+
+
+def test_group_variant_refusals(spark):
+    """Quantified-group gates: optional on begin groups, non-tail
+    quantified groups, skip strategies, zeroOrMore without within,
+    stage quantifiers alongside, and streaming (counts are batch-only
+    for group variants)."""
+    import pytest
+
+    from flink_tutorial_broadcast_spark.cep import (
+        Pattern as P, compile_pattern, compile_pattern_stream,
+    )
+
+    sub = P.begin("c", "click").followed_by("p", "purchase")
+    with pytest.raises(NotImplementedError, match="begin group"):
+        P.begin_group(sub).optional()
+    df = _mk(spark, [(0, 0, 0)])
+    tail = (P.begin("v", "view").followed_by_group(sub).optional()
+            .followed_by("z", "other").within("12 hours").no_skip())
+    with pytest.raises(NotImplementedError, match="TAIL"):
+        compile_pattern(tail, df, ["user_id"], "ts", "event_id",
+                        "event_type")
+    skp = (P.begin("v", "view").followed_by_group(sub).times(1, 2)
+           .within("12 hours").skip_to_next())
+    with pytest.raises(NotImplementedError, match="no_skip"):
+        compile_pattern(skp, df, ["user_id"], "ts", "event_id",
+                        "event_type")
+    nowithin = (P.begin("v", "view").followed_by_group(sub)
+                .one_or_more().optional().no_skip())
+    with pytest.raises(NotImplementedError, match="within"):
+        compile_pattern(nowithin, df, ["user_id"], "ts", "event_id",
+                        "event_type")
+    extra_q = (P.begin("v", "view").times(2)
+               .followed_by_group(sub).optional()
+               .within("12 hours").no_skip())
+    with pytest.raises(NotImplementedError, match="repetition|quantified"):
+        compile_pattern(extra_q, df, ["user_id"], "ts", "event_id",
+                        "event_type")
+    sdf = (spark.readStream.format("rate").load()
+           .selectExpr("CAST(value AS LONG) AS user_id",
+                       "timestamp AS ts", "value AS event_id",
+                       "'view' AS event_type"))
+    stream_pat = (P.begin("v", "view").followed_by_group(sub)
+                  .optional().within("12 hours").no_skip())
+    with pytest.raises(NotImplementedError):
+        compile_pattern_stream(stream_pat, sdf, ["user_id"], "ts",
+                               "event_id", "event_type")
