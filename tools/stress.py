@@ -695,7 +695,9 @@ def s_cep_stepper_throughput(c: Ctx) -> None:
           file=sys.stderr)
     # r11 steppers over the same masked hot-key frames
     from flink_tutorial_broadcast_spark.cep import (
-        fork_loop_agg_stepper, timeout_stepper, zero_or_more_stepper,
+        fork_group_loop_stepper, fork_loop_agg_stepper,
+        fork_loop_combos_stepper, timeout_stepper,
+        zero_or_more_stepper,
     )
     for label, fn, src_map in (
             ("zero_or_more", zero_or_more_stepper(
@@ -712,6 +714,18 @@ def s_cep_stepper_throughput(c: Ctx) -> None:
                 key_cols=["user_id"]), None),
             ("timeouts", timeout_stepper(
                 [1, 2, 4], W, key_cols=["user_id"]), masked),
+            # r12: the group-loop back-edge (view -> (click purchase)+)
+            # and the allowCombinations subsequence-register loop. The
+            # combos horizon is 1 h, NOT 48 h: registers double per
+            # close (2^m subsequences is the verb's definition), so a
+            # 48 h hot-key horizon would put thousand-bit Python ints
+            # in the hot loop — the 1 h row measures the stepper, not
+            # big-int arithmetic
+            ("group_loop", fork_group_loop_stepper(
+                [1, 2, 4], 2, W, key_cols=["user_id"]), masked),
+            ("loop_combos_1h", fork_loop_combos_stepper(
+                [1, 4], 3600 * 1_000_000, key_cols=["user_id"]),
+             masked),
             ("skip_bindings", skip_strategy_stepper(
                 [1, 2, 4], "past_last_event", None, W,
                 key_cols=["user_id"], bindings=True), masked),
