@@ -618,12 +618,31 @@ class Pattern:
         s.combos = True
         return self
 
+    def _refuse_pending_gvar(self, verb: str) -> None:
+        # ADVICE r12: where() after the LAZY group times(a, b) /
+        # optional() marker would AND onto the group's last INNER
+        # stage and replicate into every variant copy at compile,
+        # while the EAGER times(n) expansion leaves where() on the
+        # final copy only — so times(2) and times(2, 2) would diverge
+        # when followed by where(). Refuse loudly (mirroring the
+        # until()/extra-quantifier gates): refine the stage BEFORE
+        # quantifying the group, which lands the condition in every
+        # copy under both expansion orders.
+        if getattr(self, "_gvar", None) is not None:
+            raise NotImplementedError(
+                f"{verb} after optional()/times(a, b) on a group is "
+                "ambiguous (eager times(n) refines the final copy "
+                "only; the lazy range marker would replicate into "
+                "every copy) — call it on the stage BEFORE "
+                "quantifying the group")
+
     def where(self, sql: str) -> "Pattern":
         """AND an SQL condition onto the LAST stage [FLINK-API:
         Pattern#where — consecutive where() calls AND together]. The
         expression sees the full event row (e.g. ``value >= 100``)."""
         if not self.stages:
             raise ValueError("where() needs a stage")
+        self._refuse_pending_gvar("where()")
         self.stages[-1].conds = (*self.stages[-1].conds, ("and", sql))
         return self
 
@@ -634,6 +653,7 @@ class Pattern:
         alternative."""
         if not self.stages:
             raise ValueError("or_where() needs a stage")
+        self._refuse_pending_gvar("or_where()")
         self.stages[-1].conds = (*self.stages[-1].conds, ("or", sql))
         return self
 
@@ -1247,6 +1267,36 @@ def _variants(pat: Pattern) -> list[Pattern]:
     return out
 
 
+def _gvar_variants(pat: Pattern) -> list[Pattern]:
+    """Resolve a GROUP optional()/times(a, b) marker (`_gvar`) into
+    its fixed variant patterns: one per copy count k in [a, b] (k=0 =
+    the prefix alone), relaxed contiguity between copies — binding
+    shapes are disjoint, so the variant-union fold (batch) and the
+    variant-union stepper (streaming, r13) both sum exactly. Shared
+    by compile_pattern's group_variants branch and
+    compile_pattern_stream."""
+    lo, hi, a, b = pat._gvar
+    if b - a + 1 > _MAX_VARIANTS:
+        raise NotImplementedError(
+            f"times({a}, {b}) on a group would need {b - a + 1} "
+            f"variants (max {_MAX_VARIANTS}) — tighten the range")
+    block = pat.stages[lo:hi]
+    variants = []
+    for k in range(a, b + 1):
+        stages = [replace(s) for s in pat.stages[:lo]]
+        for j in range(k):
+            copy = [replace(s, name=s.name if j == 0
+                            else f"{s.name}#gv{j}")
+                    for s in block]
+            copy[0] = replace(copy[0], contiguity="followed_by")
+            stages.extend(copy)
+        if stages:
+            variants.append(Pattern(stages=stages,
+                                    within_us=pat.within_us,
+                                    skip=pat.skip))
+    return variants
+
+
 def _compile_variant_union(pat: Pattern, df: DataFrame,
                            keys: list[str], time_col: str,
                            tiebreak_col: str,
@@ -1448,27 +1498,8 @@ def compile_pattern(pat: Pattern, df: DataFrame, keys: list[str],
         # copy count k in [a, b] (k=0 = the prefix alone), relaxed
         # between copies — binding shapes are disjoint, so the shared
         # variant-union fold sums exactly
-        lo, hi, a, b = pat._gvar
-        if b - a + 1 > _MAX_VARIANTS:
-            raise NotImplementedError(
-                f"times({a}, {b}) on a group would need {b - a + 1} "
-                f"variants (max {_MAX_VARIANTS}) — tighten the range")
-        block = pat.stages[lo:hi]
-        variants = []
-        for k in range(a, b + 1):
-            stages = [replace(s) for s in pat.stages[:lo]]
-            for j in range(k):
-                copy = [replace(s, name=s.name if j == 0
-                                else f"{s.name}#gv{j}")
-                        for s in block]
-                copy[0] = replace(copy[0], contiguity="followed_by")
-                stages.extend(copy)
-            if stages:
-                variants.append(Pattern(stages=stages,
-                                        within_us=pat.within_us,
-                                        skip=pat.skip))
-        return _variant_union_fold(pat, variants, df, keys, time_col,
-                                   tiebreak_col, event_col)
+        return _variant_union_fold(pat, _gvar_variants(pat), df, keys,
+                                   time_col, tiebreak_col, event_col)
     if fam == "group_zom":
         # GROUP zeroOrMore (r12): prefix-only matches (0 repetitions)
         # + the back-edge loop counts (>= 1 repetitions) partition the
@@ -3895,6 +3926,87 @@ def fork_group_loop_stepper(stage_bits: list[int], gl: int,
     return step
 
 
+def group_zom_stepper(stage_bits: list[int], gl: int, within_us: int,
+                      key_cols: list[str] | None = None):
+    """applyInPandasWithState step for streaming GROUP zeroOrMore
+    (r13 — replaces the r12 batch-only refusal) [FLINK-API:
+    GroupPattern#oneOrMore#optional]: the batch sum-of-machines
+    argument (prefix-only matches = 0 repetitions, back-edge group
+    loop = >= 1 repetitions, counts partition by repetition count and
+    add exactly) is order-free, so ONE keyed state row runs BOTH
+    addends side by side — the fork_group_loop transition plus the
+    prefix fork transition over the first K-gl stages (a plain
+    per-event counter when the prefix is the begin stage alone).
+    State = the group-loop stepper's row plus the prefix fork sets,
+    all bounded by within-horizon anchor density."""
+    K = len(stage_bits)
+    lo = K - gl          # prefix length; >= 1 (begin-group loops refuse)
+    key_cols = key_cols or ["key"]
+    nk = len(key_cols)
+
+    def step(key, pdf_iter, state):
+        from collections import deque
+
+        import pandas as pd
+        if state.exists:
+            got = state.get
+            cnt = got[0]
+            sets = [deque(sorted(s)) for s in got[1:K]]
+            psets = [deque(sorted(s)) for s in got[K:]]
+        else:
+            cnt = 0
+            sets = [deque() for _ in range(K - 1)]
+            psets = [deque() for _ in range(max(lo - 1, 0))]
+        rows = []
+        for pdf in pdf_iter:
+            rows.extend(_batch_rows(pdf, nk, None))
+        for t, _, c in sorted(rows):
+            for s in sets:
+                while s and t - s[0] > within_us:
+                    s.popleft()
+            for s in psets:
+                while s and t - s[0] > within_us:
+                    s.popleft()
+            match = [bool(c & stage_bits[i]) for i in range(K)]
+            # -- loop addend: the fork_group_loop transition --
+            closers = None
+            if match[K - 1]:
+                cnt += len(sets[K - 2])
+                closers = deque(sets[K - 2])  # pre-promotion snapshot
+            for i in range(K - 2, -1, -1):
+                base = deque() if match[i + 1] else sets[i]
+                if match[i]:
+                    if i == 0:
+                        _ins_sorted(base, t)
+                    else:
+                        _ext_sorted(base, sets[i - 1])
+                sets[i] = base
+            if closers:
+                _ext_sorted(sets[K - gl - 1], closers)
+            # -- prefix addend: the lo-stage fork transition, or the
+            #    plain anchor counter when the prefix is begin alone --
+            if lo == 1:
+                if match[0]:
+                    cnt += 1
+            else:
+                if match[lo - 1]:
+                    cnt += len(psets[lo - 2])
+                for i in range(lo - 2, -1, -1):
+                    base = deque() if match[i + 1] else psets[i]
+                    if match[i]:
+                        if i == 0:
+                            _ins_sorted(base, t)
+                        else:
+                            _ext_sorted(base, psets[i - 1])
+                    psets[i] = base
+        state.update((cnt, *[list(s) for s in sets],
+                      *[list(s) for s in psets]))
+        yield pd.DataFrame(
+            {**{kc: [key[i]] for i, kc in enumerate(key_cols)},
+             "n_matches": [cnt]})
+    return step
+
+
 def fork_loop_combos_stepper(stage_bits: list[int], within_us: int,
                              strict: list[bool] | None = None,
                              key_cols: list[str] | None = None,
@@ -5479,6 +5591,57 @@ def compile_pattern_stream(pat: Pattern, sdf: DataFrame,
         return proj.groupBy(*keys).applyInPandasWithState(
             fn,
             outputStructType=f"{vkey_schema}, n_matches long",
+            stateStructType=state_schema,
+            outputMode="Update",
+            timeoutConf=GroupStateTimeout.NoTimeout)
+    if getattr(pat, "_gvar", None) is not None:
+        # streaming GROUP optional()/times(a, b) (r13 — replaces the
+        # r12 batch-only refusal): the batch variant-union argument is
+        # ORDER-FREE (fixed variants with disjoint binding shapes sum
+        # per key), so the stage-level variant_union_stepper carries
+        # the group variants verbatim — only variant CONSTRUCTION
+        # differs, and that is the shared _gvar_variants helper.
+        pat._family()   # the shared group gates (tail/no_skip/...)
+        variants = _gvar_variants(pat)
+        codes = _cond_codes(pat)
+        bits = [[1 << (codes[s.cond_key()] - 1) for s in v.stages]
+                for v in variants]
+        proj = sdf.select(*keys, time_col, tiebreak_col,
+                          _cond_mask_col(pat, event_col).alias("__m"))
+        gkey_schema = ", ".join(
+            f"{k} {_key_sql_type(proj, k)}" for k in keys)
+        state_schema = "cnt long" + "".join(
+            f", v{vi}s{i} array<long>"
+            for vi, b in enumerate(bits) for i in range(1, len(b)))
+        fn = variant_union_stepper(bits, pat.within_us, key_cols=keys)
+        return proj.groupBy(*keys).applyInPandasWithState(
+            fn,
+            outputStructType=f"{gkey_schema}, n_matches long",
+            stateStructType=state_schema,
+            outputMode="Update",
+            timeoutConf=GroupStateTimeout.NoTimeout)
+    if getattr(pat, "_gzom", None) is not None:
+        # streaming GROUP zeroOrMore (r13): prefix-only + back-edge
+        # loop addends run side by side in one state row — see
+        # group_zom_stepper for the sum-of-machines argument.
+        pat._family()   # the shared group gates (within required)
+        lo, hi = pat._gzom
+        bits = _stage_bits(pat)
+        K = len(bits)
+        proj = sdf.select(*keys, time_col, tiebreak_col,
+                          _cond_mask_col(pat, event_col).alias("__m"))
+        zkey_schema = ", ".join(
+            f"{k} {_key_sql_type(proj, k)}" for k in keys)
+        state_schema = ("cnt long"
+                        + "".join(f", s{i} array<long>"
+                                  for i in range(1, K))
+                        + "".join(f", p{i} array<long>"
+                                  for i in range(1, lo)))
+        fn = group_zom_stepper(bits, hi - lo, pat.within_us,
+                               key_cols=keys)
+        return proj.groupBy(*keys).applyInPandasWithState(
+            fn,
+            outputStructType=f"{zkey_schema}, n_matches long",
             stateStructType=state_schema,
             outputMode="Update",
             timeoutConf=GroupStateTimeout.NoTimeout)

@@ -2761,6 +2761,148 @@ def test_pattern_streaming_group_loop(spark, queries):
     assert want
 
 
+def test_pattern_streaming_group_optional(spark, queries):
+    """Streaming GROUP optional (round 13 — replaces the r12
+    batch-only refusal): the variant-union stepper carries the group
+    variants (prefix alone + prefix-plus-one-copy) side by side;
+    converged counts equal the oracle-backed batch
+    q_cep_group_optional."""
+    from flink_tutorial_broadcast_spark.streaming.jobs import (
+        _run_to_memory,
+    )
+
+    sub = Pattern.begin("c", "click").followed_by("p", "purchase")
+    pat = (Pattern.begin("v", "view").followed_by_group(sub)
+           .optional().within("48 hours").no_skip())
+    sdf = _two_file_stream(
+        spark, ["user_id", "ts", "event_id", "event_type"])
+    out = (_env(spark).from_dataframe(sdf)
+           .key_by("user_id").pattern(pat).to_df())
+    assert out.isStreaming
+    final: dict[int, int] = {}
+    for r in _run_to_memory(out, "update").collect():
+        final[r["user_id"]] = max(final.get(r["user_id"], 0),
+                                  r["n_matches"])
+    want = {r["user_id"]: r["n_matches"] for r in
+            queries["q_cep_group_optional"](spark,
+                                            SF_SMOKE).collect()}
+    assert {u: n for u, n in final.items() if n > 0} == want
+    assert want
+
+
+def test_pattern_streaming_group_times_range(spark, queries):
+    """Streaming GROUP times(1, 2) (round 13): one variant per copy
+    count on the shared stepper state row; converged counts equal the
+    oracle-backed batch q_cep_group_times_range."""
+    from flink_tutorial_broadcast_spark.streaming.jobs import (
+        _run_to_memory,
+    )
+
+    sub = Pattern.begin("c", "click").followed_by("p", "purchase")
+    pat = (Pattern.begin("v", "view").followed_by_group(sub)
+           .times(1, 2).within("48 hours").no_skip())
+    sdf = _two_file_stream(
+        spark, ["user_id", "ts", "event_id", "event_type"])
+    out = (_env(spark).from_dataframe(sdf)
+           .key_by("user_id").pattern(pat).to_df())
+    assert out.isStreaming
+    final: dict[int, int] = {}
+    for r in _run_to_memory(out, "update").collect():
+        final[r["user_id"]] = max(final.get(r["user_id"], 0),
+                                  r["n_matches"])
+    want = {r["user_id"]: r["n_matches"] for r in
+            queries["q_cep_group_times_range"](spark,
+                                               SF_SMOKE).collect()}
+    assert {u: n for u, n in final.items() if n > 0} == want
+    assert want
+
+
+def test_pattern_streaming_group_zom(spark, queries):
+    """Streaming GROUP zeroOrMore (round 13): the prefix addend and
+    the back-edge group loop run side by side in one state row;
+    converged counts equal the oracle-backed batch q_cep_group_zom."""
+    from flink_tutorial_broadcast_spark.streaming.jobs import (
+        _run_to_memory,
+    )
+
+    sub = Pattern.begin("c", "click").followed_by("p", "purchase")
+    pat = (Pattern.begin("v", "view").followed_by_group(sub)
+           .one_or_more().optional().within("48 hours").no_skip())
+    sdf = _two_file_stream(
+        spark, ["user_id", "ts", "event_id", "event_type"])
+    out = (_env(spark).from_dataframe(sdf)
+           .key_by("user_id").pattern(pat).to_df())
+    assert out.isStreaming
+    final: dict[int, int] = {}
+    for r in _run_to_memory(out, "update").collect():
+        final[r["user_id"]] = max(final.get(r["user_id"], 0),
+                                  r["n_matches"])
+    want = {r["user_id"]: r["n_matches"] for r in
+            queries["q_cep_group_zom"](spark, SF_SMOKE).collect()}
+    assert {u: n for u, n in final.items() if n > 0} == want
+    assert want
+
+
+def test_pattern_streaming_group_zom_survives_restart(spark, queries):
+    """Restart discipline for the r13 group-variant steppers: the
+    side-by-side state row (loop fork sets + prefix fork sets +
+    summed count) carries across stop + resume with half-2 arriving
+    while the query is down; the final per-key counts equal batch."""
+    import glob as _glob
+
+    from flink_tutorial_broadcast_spark.streaming.sources import (
+        checkpoint_dir,
+    )
+
+    sub = Pattern.begin("c", "click").followed_by("p", "purchase")
+    pat = (Pattern.begin("v", "view").followed_by_group(sub)
+           .one_or_more().optional().within("48 hours").no_skip())
+    ev = load(spark, SF_SMOKE, "events").select(
+        "user_id", "ts", "event_id", "event_type")
+    split_ts = ev.agg(
+        F.percentile_approx("ts", 0.5).alias("m")).collect()[0]["m"]
+    src_dir = tempfile.mkdtemp(prefix="cep_r13_restart_gz_s_")
+    out_dir = tempfile.mkdtemp(prefix="cep_r13_restart_gz_o_")
+    ckpt = checkpoint_dir()
+    (ev.filter(F.col("ts") <= F.lit(split_ts))
+     .coalesce(1).write.parquet(os.path.join(src_dir, "f=0")))
+
+    def run():
+        sdf = (spark.readStream
+               .schema("user_id long, ts timestamp, event_id long, "
+                       "event_type string")
+               .option("maxFilesPerTrigger", "1")
+               .option("recursiveFileLookup", "true")
+               .parquet(src_dir))
+        out = (_env(spark).from_dataframe(sdf)
+               .key_by("user_id").pattern(pat).to_df())
+
+        def body(batch_df, batch_id):
+            (batch_df.write.mode("overwrite")
+             .parquet(os.path.join(out_dir, f"batch={batch_id}")))
+
+        q = (out.writeStream.foreachBatch(body)
+             .outputMode("update")
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        q.awaitTermination()
+
+    run()
+    (ev.filter(F.col("ts") > F.lit(split_ts))
+     .coalesce(1).write.parquet(os.path.join(src_dir, "f=1")))
+    run()
+
+    final: dict[int, int] = {}
+    for p in _glob.glob(os.path.join(out_dir, "batch=*")):
+        for r in spark.read.parquet(p).collect():
+            final[r.user_id] = max(final.get(r.user_id, 0),
+                                   r.n_matches)
+    want = {r.user_id: r.n_matches for r in
+            queries["q_cep_group_zom"](spark, SF_SMOKE).collect()}
+    assert {u: n for u, n in final.items() if n > 0} == want
+    assert want
+
+
 def test_pattern_streaming_timeouts(spark, queries):
     """Streaming timeout side output (round 11): emissions = the batch
     q_cep_timeouts rows whose expiry a later same-key event OBSERVED

@@ -2130,6 +2130,18 @@ def test_group_refusals():
     p_rng = P.begin_group(P.begin("v", "view")
                           .followed_by("c", "click")).times(1, 3)
     assert p_rng._gvar == (0, 2, 1, 3)
+    # ADVICE r12: where() while the lazy range marker is pending would
+    # replicate into every variant copy, diverging from eager times(n)
+    # (final copy only) — both refinement verbs refuse loudly
+    with pytest.raises(NotImplementedError, match="BEFORE"):
+        P.begin_group(P.begin("v", "view")
+                      .followed_by("c", "click")).times(1, 3) \
+         .where("value >= 10")
+    with pytest.raises(NotImplementedError, match="BEFORE"):
+        P.begin("s", "search") \
+         .followed_by_group(P.begin("v", "view")
+                            .followed_by("c", "click")).optional() \
+         .or_where("value >= 10")
     # without the guard this silently compiled (v c){2,} as v c c+
     # — quantifying only the group's LAST inner stage (ADVICE r11)
     with pytest.raises(NotImplementedError, match="times_or_more"):
@@ -3083,12 +3095,25 @@ def test_group_variant_refusals(spark):
     with pytest.raises(NotImplementedError, match="repetition|quantified"):
         compile_pattern(extra_q, df, ["user_id"], "ts", "event_id",
                         "event_type")
+    # r13 LIFTED the blanket streaming refusal (group variants ride
+    # the variant-union stepper; zom gets its side-by-side stepper) —
+    # the BATCH gates still refuse identically on streams:
     sdf = (spark.readStream.format("rate").load()
            .selectExpr("CAST(value AS LONG) AS user_id",
                        "timestamp AS ts", "value AS event_id",
                        "'view' AS event_type"))
     stream_pat = (P.begin("v", "view").followed_by_group(sub)
                   .optional().within("12 hours").no_skip())
-    with pytest.raises(NotImplementedError):
-        compile_pattern_stream(stream_pat, sdf, ["user_id"], "ts",
+    out = compile_pattern_stream(stream_pat, sdf, ["user_id"], "ts",
+                                 "event_id", "event_type")
+    assert out.isStreaming
+    stream_skp = (P.begin("v", "view").followed_by_group(sub)
+                  .optional().within("12 hours"))
+    with pytest.raises(NotImplementedError, match="no_skip"):
+        compile_pattern_stream(stream_skp, sdf, ["user_id"], "ts",
                                "event_id", "event_type")
+    stream_nowithin = (P.begin("v", "view").followed_by_group(sub)
+                       .one_or_more().optional().no_skip())
+    with pytest.raises(NotImplementedError, match="within"):
+        compile_pattern_stream(stream_nowithin, sdf, ["user_id"],
+                               "ts", "event_id", "event_type")

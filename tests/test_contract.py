@@ -63,7 +63,18 @@ def test_verification_prefix_spans_every_family_with_oracles():
     keys = list(q)
     assert len(_VERIFICATION_PREFIX) == 50
     assert keys[:50] == list(_VERIFICATION_PREFIX)
-    assert all(k in ORACLE for k in _VERIFICATION_PREFIX)
+    # r13: the 8 never-sampled rows-only sketch/LSH keys take prefix
+    # slots so the registry finishes — admitted exactly because each
+    # carries an in-engine tolerance witness column (r12, e523ab4);
+    # the driver's weaker rows-only row still sees the bound. Every
+    # other prefix key must be oracle-backed.
+    witnessed_rows_only = {
+        "q_approx_quantiles", "q_dedup_minhash", "q_simhash",
+        "q_dedup_simhash", "q_dedup_embed_lsh", "q_dedup_minhash_ml",
+        "q_dedup_embed_lsh_ml", "q_hll_sketch",
+    }
+    assert all(k in ORACLE or k in witnessed_rows_only
+               for k in _VERIFICATION_PREFIX)
     # module → keys map from source registration
     prefix = set(_VERIFICATION_PREFIX)
     missing = []
