@@ -258,6 +258,22 @@ class Pattern:
                 "are not compiled — fixed times(n) on inner stages "
                 "expands; variable-length inner stages would make the "
                 "group's copy boundaries ambiguous")
+        if (getattr(sub, "_gvar", None) is not None
+                or getattr(sub, "_gloop", None) is not None
+                or getattr(sub, "_gzom", None) is not None):
+            # r13: the lazy group-quantifier markers are PATTERN-level
+            # attrs — copying sub.stages alone would silently compile
+            # (b c)+ inside an outer group as plain (b c), the same
+            # silent-miscompile class the r11 times_or_more guard
+            # closed. Nested FIXED times(n) groups expand eagerly and
+            # splice fine; variable-length inner groups refuse.
+            raise NotImplementedError(
+                "a variable-length quantified group (optional()/"
+                "times(a, b)/one_or_more()/zeroOrMore) inside another "
+                "group is not compiled — the inner group's length "
+                "would make the outer copy boundaries ambiguous; "
+                "nested FIXED times(n) groups expand eagerly and are "
+                "supported")
         block = [replace(s) for s in sub.stages]
         block[0] = replace(block[0], contiguity=contiguity)
         return block
@@ -2380,6 +2396,12 @@ def _fork_group_loop_machine(pat, gl, df, keys, time_col,
             .filter(F.col("n_matches") > 0))
 
 
+# past this, 2c+1 crosses 2^62 — the exact-count bound the combos
+# register documents; both the batch fold and the stepper fault with
+# a message naming the key and its density instead of a bare overflow
+_COMBOS_REG_LIMIT = 1 << 61
+
+
 def _fork_loop_combos_machine(pat, df, keys, time_col, tiebreak_col,
                               event_col):
     """Bounded loop under NON-DETERMINISTIC relaxed internal
@@ -2424,9 +2446,29 @@ def _fork_loop_combos_machine(pat, df, keys, time_col, tiebreak_col,
         emitted = (F.aggregate(lp, F.lit(0).cast("long"),
                                lambda s, a: s + a["c"] + 1)
                    + F.size(filt[K - 1]).cast("long"))
+        # r13 (VERDICT_r12 item 6): the 2^62 edge faults with a NAMED
+        # message — the register c = 2^m - 1 where m is this run's
+        # in-horizon loop density, so the guard reports the offending
+        # key and density instead of a bare ANSI overflow from deep
+        # inside the fold
+        key_str = F.concat_ws(
+            "/", *[F.col(k).cast("string") for k in keys])
         doubled = F.transform(
-            lp, lambda a: F.struct(a["t"].alias("t"),
-                                   (a["c"] * 2 + 1).alias("c")))
+            lp, lambda a: F.struct(
+                a["t"].alias("t"),
+                F.when(a["c"] < F.lit(_COMBOS_REG_LIMIT),
+                       a["c"] * 2 + 1)
+                .otherwise(F.raise_error(F.concat(
+                    F.lit("allow_combinations(): subsequence "
+                          "register for key "),
+                    key_str,
+                    F.lit(" reached c="), a["c"].cast("string"),
+                    F.lit(" = 2^m - 1 (m = the run's in-horizon "
+                          "loop-event density) — doubling would "
+                          "cross the exact BIGINT bound 2^62; "
+                          "shrink within() or drop "
+                          "allow_combinations()")))
+                 .cast("bigint")).alias("c")))
         parked_new = F.transform(
             filt[K - 1],
             lambda a: F.struct(a.alias("t"),
@@ -3108,16 +3150,22 @@ def compile_pattern_matches(pat: Pattern, df: DataFrame,
             "where_rel()/where_agg() carries counts only (pattern()) "
             "— match extraction with run-dependent conditions is not "
             "compiled")
-    if any(s.until_sql for s in pat.stages):
+    if any(s.combos for s in pat.stages):
         raise NotImplementedError(
-            "until() carries counts only (pattern()) — loop-binding "
-            "extraction under a stop condition is not compiled")
-    if any(s.consec or s.combos for s in pat.stages):
-        raise NotImplementedError(
-            "consecutive()/allow_combinations() carries counts only "
-            "(pattern()) — loop-binding extraction under the "
-            "modified internal contiguity is not compiled")
+            "allow_combinations() carries counts only (pattern()) — "
+            "binding extraction would enumerate the 2^m subsequences "
+            "the counting register exists to avoid")
     fam = pat._family()
+    if any(s.until_sql or s.consec for s in pat.stages) \
+            and fam != "fork_loop":
+        # r13 (VERDICT_r12 item 5): until()/consecutive() bindings
+        # compile on the bounded fork-loop shape — the single
+        # deterministic run per anchor makes the extraction the count
+        # fold with (t, id) payloads; other families keep counts only
+        raise NotImplementedError(
+            "until()/consecutive() binding extraction compiles on "
+            "the bounded fork-loop shape only (final one_or_more + "
+            "within + no_skip) — use pattern() for counts elsewhere")
     if fam not in ("relaxed", "relaxed_within", "fork", "fork_loop",
                    "strict", "skip_strategy"):
         raise NotImplementedError(
@@ -3493,9 +3541,24 @@ def _fork_loop_matches(pat, df, keys, time_col, tiebreak_col,
     pairs — every in-horizon closing event emits one match row per live
     anchor (fresh penultimate first, then parked loop — the same order
     the streaming stepper appends, so match numbering agrees) and parks
-    the fresh ones. Rows = matches, never events²."""
+    the fresh ones. Rows = matches, never events².
+
+    r13 (VERDICT_r12 item 5): until() and consecutive() bindings ride
+    the same fold with the COUNT machine's kill rules verbatim — an
+    until-hit event emits nothing, clears the loop-stage await set and
+    the parked loop, and is never admitted even when it also matches
+    the loop condition; under consecutive() any non-loop-matching
+    event clears the parked set (relaxed entry preserved). The match
+    SET is therefore exactly the count fold's increments with (t, id)
+    payloads attached — the deterministic-single-run-per-anchor
+    argument that makes extraction possible where allowCombinations'
+    counting register forbids it."""
     K = len(pat.stages)
     w = pat.within_us
+    consec = pat.stages[-1].consec
+    until_sql = pat.stages[-1].until_sql
+    ub = (0 if until_sql is None
+          else 1 << (_cond_codes(pat)[("__until__", until_sql)] - 1))
     st = _stage_bits(pat)
     strict = _strict_flags(pat)
     seq = _seq(pat, time_col, tiebreak_col, event_col)
@@ -3515,6 +3578,7 @@ def _fork_loop_matches(pat, df, keys, time_col, tiebreak_col,
         lp = F.filter(acc["lp"], lambda a: x["t"] - a["t"] <= w)
         match = {i: _hit(x["c"], F.lit(st[i - 1]))
                  for i in range(1, K + 1)}
+        iu = _hit(x["c"], F.lit(ub)) if ub else F.lit(False)
         live = F.concat(filt[K - 1], lp)
         closed = F.transform(
             live,
@@ -3523,21 +3587,30 @@ def _fork_loop_matches(pat, df, keys, time_col, tiebreak_col,
                                (x["t"] - a["t"]).alias("span_us")))
         new_lp = F.concat(lp, filt[K - 1])
         fields = [
-            F.when(match[K], F.concat(acc["matches"], closed))
+            F.when(match[K] & ~iu, F.concat(acc["matches"], closed))
             .otherwise(acc["matches"]).alias("matches")]
         for i in range(1, K):
+            # identical promotion/kill rules to _fork_loop_machine
             if strict[i]:
                 base = empty_anchors
             else:
                 base = F.when(match[i + 1],
                               empty_anchors).otherwise(filt[i])
+            if i == K - 1 and ub:
+                base = F.when(iu, empty_anchors).otherwise(base)
             incoming = (F.array(F.struct(x["t"].alias("t"),
                                          x["eid"].alias("id")))
                         if i == 1 else filt[i - 1])
-            col = (F.when(match[i], F.concat(base, incoming))
+            col = (F.when(match[i] & ~iu if i == K - 1 and ub
+                          else match[i],
+                          F.concat(base, incoming))
                    .otherwise(base))
             fields.append(col.alias(f"s{i}"))
-        fields.append(F.when(match[K], new_lp).otherwise(lp).alias("lp"))
+        keep = empty_anchors if consec else lp
+        lp_col = (F.when(iu, empty_anchors)
+                  .when(match[K], new_lp).otherwise(keep)) if ub else \
+            F.when(match[K], new_lp).otherwise(keep)
+        fields.append(lp_col.alias("lp"))
         return F.struct(*fields)
 
     folded = df.groupBy(*keys).agg(
@@ -4049,6 +4122,20 @@ def fork_loop_combos_stepper(stage_bits: list[int], within_us: int,
             if match[K - 1] and not iu:
                 cnt += sum(a[1] for a in lp) + len(lp) \
                     + len(sets[K - 2])
+                for a in lp:
+                    # r13: named density fault (≡ the batch fold's
+                    # _COMBOS_REG_LIMIT guard) — Python ints never
+                    # wrap, so without this the fault would surface
+                    # as an opaque state-column overflow instead
+                    if a[1] >= _COMBOS_REG_LIMIT:
+                        raise ValueError(
+                            "allow_combinations(): subsequence "
+                            f"register for key {key} reached "
+                            f"c={a[1]} = 2^m - 1 (m = the run's "
+                            "in-horizon loop-event density) — "
+                            "doubling would cross the exact BIGINT "
+                            "bound 2^62; shrink within() or drop "
+                            "allow_combinations()")
                 doubled = [(a[0], 2 * a[1] + 1) for a in lp]
                 parked = [(a, 1) for a in sets[K - 2]]
                 sets[K - 2] = deque()
@@ -5408,13 +5495,19 @@ def kmp_matches_stepper(type_codes: dict[str, int],
 def fork_loop_matches_stepper(type_codes: dict[str, int] | None,
                               stage_codes: list[int], within_us: int,
                               strict: list[bool] | None = None,
-                              key_cols: list[str] | None = None):
+                              key_cols: list[str] | None = None,
+                              until_bit: int = 0,
+                              consec: bool = False):
     """Streaming match extraction for the BOUNDED LOOP (fork_loop, r9):
     fork_matches_stepper plus the horizon-bounded loop array of (t, id)
     anchor pairs — each in-horizon closing event appends one match row
     per live anchor (fresh penultimate first, then parked loop — the
     same order the batch fold writes, so match numbering converges)
-    and parks the fresh anchors."""
+    and parks the fresh anchors. r13: `until_bit`/`consec` carry the
+    count stepper's kill rules verbatim (fork_loop_stepper) so
+    until()/consecutive() bindings stream too — previously an until()
+    pattern reaching this stepper silently dropped the stop
+    condition."""
     K = len(stage_codes)
     strict = strict or [False] * K
     key_cols = key_cols or ["key"]
@@ -5439,22 +5532,29 @@ def fork_loop_matches_stepper(type_codes: dict[str, int] | None,
                     for s in sets]
             lp = [a for a in lp if t - a[0] <= within_us]
             match = [bool(c & stage_codes[i]) for i in range(K)]
+            iu = bool(c & until_bit)
             snap = [list(s) for s in sets]
-            if match[K - 1]:
+            if match[K - 1] and not iu:
                 for a_t, a_id in snap[K - 2] + lp:
                     cnt += 1
                     out.append((cnt, a_id, eid, t - a_t))
                 lp = lp + snap[K - 2]
+            elif consec:
+                lp = []  # non-match kills parked runs (until events
+                # fall through to the iu clear below)
             for i in range(K - 1):
                 if strict[i + 1]:
                     base = []
                 else:
                     base = [] if match[i + 1] else snap[i]
-                if match[i]:
+                if match[i] and not (iu and i == K - 2):
                     incoming = [(t, eid)] if i == 0 else snap[i - 1]
                     sets[i] = base + incoming
                 else:
                     sets[i] = base
+            if iu:
+                lp = []
+                sets[K - 2] = []
         state.update((cnt,
                       *[x for s in sets
                         for x in ([a for a, _ in s],
@@ -6068,12 +6168,21 @@ def compile_pattern_matches_stream(pat: Pattern, sdf: DataFrame,
             "where_rel()/where_agg() carries counts only (pattern()) "
             "— match extraction with run-dependent conditions is not "
             "compiled")
-    if any(s.consec or s.combos for s in pat.stages):
+    if any(s.combos for s in pat.stages):
         raise NotImplementedError(
-            "consecutive()/allow_combinations() carries counts only "
-            "(pattern()) — loop-binding extraction under the "
-            "modified internal contiguity is not compiled")
+            "allow_combinations() carries counts only (pattern()) — "
+            "binding extraction would enumerate the 2^m subsequences "
+            "the counting register exists to avoid")
     fam = pat._family()
+    if any(s.until_sql or s.consec for s in pat.stages) \
+            and fam != "fork_loop":
+        # r13: mirrors the batch gate — kills ride the fork-loop
+        # stepper only (previously an until() pattern reaching the
+        # fork_loop stepper silently dropped the stop condition)
+        raise NotImplementedError(
+            "until()/consecutive() binding extraction compiles on "
+            "the bounded fork-loop shape only (final one_or_more + "
+            "within + no_skip) — use pattern() for counts elsewhere")
     if fam == "skip_strategy":
         # r11 (replaces divergences row 15's remaining refusal): the
         # counts stepper already runs the kill-interval prune inline
@@ -6160,8 +6269,13 @@ def compile_pattern_matches_stream(pat: Pattern, sdf: DataFrame,
             [f"s{i}_t array<long>, s{i}_id array<long>"
              for i in range(1, K)]
             + ["lp_t array<long>", "lp_id array<long>"])
+        u_sql = pat.stages[-1].until_sql
+        ub = (0 if u_sql is None
+              else 1 << (_cond_codes(pat)[("__until__", u_sql)] - 1))
         fn = fork_loop_matches_stepper(tcodes, scodes, pat.within_us,
-                                       sflags, key_cols=keys)
+                                       sflags, key_cols=keys,
+                                       until_bit=ub,
+                                       consec=pat.stages[-1].consec)
     elif fam == "fork":
         state_schema = "cnt long, " + ", ".join(
             f"s{i}_t array<long>, s{i}_id array<long>"

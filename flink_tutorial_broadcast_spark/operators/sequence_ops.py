@@ -2523,6 +2523,62 @@ def q_cep_until(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_cep_until_matches",
+    oracle=f"""
+    WITH e AS (
+      SELECT user_id, event_id, epoch_us(ts) AS t, event_type,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS i
+      FROM events
+    ), v AS (SELECT user_id, event_id, t, i FROM e
+             WHERE event_type = 'view'),
+    p AS (SELECT user_id, event_id, t, i FROM e
+          WHERE event_type = 'purchase')
+    SELECT v.user_id, v.event_id AS start_event_id,
+           p.event_id AS end_event_id,
+           CAST(p.t - v.t AS BIGINT) AS span_us
+    FROM v JOIN p ON p.user_id = v.user_id AND p.i > v.i
+                 AND p.t - v.t <= {_CEP_W48_US}
+    WHERE NOT EXISTS (
+      SELECT 1 FROM e x
+      WHERE x.user_id = v.user_id AND x.event_type = 'error'
+        AND x.i > v.i AND x.i < p.i)
+    """,
+)
+def q_cep_until_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Match BINDINGS under a loop STOP condition (round 13 —
+    VERDICT_r12 item 5, lifting the r10 'until carries counts only'
+    refusal) [FLINK-API: PatternStream.select on
+    oneOrMore().until(...)]: pattern_matches() on the q_cep_until
+    shape emits one (anchor id, closing id, span) row per surviving
+    (view, purchase) pair — the extraction fold carries the COUNT
+    machine's kill rule verbatim (an until-hit clears the loop-stage
+    await set and the parked loop and is itself never admitted), so
+    the binding set is exactly the count oracle's NOT-EXISTS band
+    emitted as rows. The single deterministic run per anchor is what
+    makes extraction possible here while allowCombinations stays
+    counts-only (enumeration is the thing its register avoids).
+    match_no is projected away (emission-order artifact; the
+    streaming twin pins it). Streaming:
+    test_pattern_matches_streaming_until."""
+    from flink_tutorial_broadcast_spark.cep import Pattern
+    from flink_tutorial_broadcast_spark.datastream import (
+        StreamExecutionEnvironment,
+    )
+    env = StreamExecutionEnvironment.get_execution_environment(spark)
+    pat = (Pattern.begin("v", "view")
+           .followed_by("p", "purchase").one_or_more()
+           .until("event_type = 'error'")
+           .within("48 hours").no_skip())
+    return (env.from_dataframe(load(spark, sf_dir, "events"))
+            .key_by("user_id")
+            .pattern_matches(pat)
+            .to_df()
+            .select("user_id", "start_event_id", "end_event_id",
+                    "span_us"))
+
+
+@query(
     "q_cep_where_rel_fork",
     oracle=f"""
     WITH e AS (
@@ -3159,6 +3215,67 @@ def q_cep_consecutive(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_cep_consecutive_matches",
+    oracle=f"""
+    WITH e AS (
+      SELECT user_id, event_id, epoch_us(ts) AS t, event_type,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS i
+      FROM events
+    ), marked AS (
+      SELECT user_id, event_id, t, event_type, i,
+             MAX(CASE WHEN event_type <> 'purchase' THEN i END)
+               OVER (PARTITION BY user_id ORDER BY i
+                     ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND 1 PRECEDING) AS lastnp,
+             MIN(CASE WHEN event_type = 'purchase' THEN i END)
+               OVER (PARTITION BY user_id ORDER BY i
+                     ROWS BETWEEN 1 FOLLOWING
+                              AND UNBOUNDED FOLLOWING) AS fp
+      FROM e
+    )
+    SELECT v.user_id, v.event_id AS start_event_id,
+           p.event_id AS end_event_id,
+           CAST(p.t - v.t AS BIGINT) AS span_us
+    FROM marked v JOIN marked p
+      ON p.user_id = v.user_id AND p.event_type = 'purchase'
+     AND p.i > v.i AND p.t - v.t <= {_CEP_W48_US}
+     AND COALESCE(p.lastnp, 0) < v.fp
+    WHERE v.event_type = 'view'
+    """,
+)
+def q_cep_consecutive_matches(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    """Match BINDINGS under STRICT internal loop contiguity (round 13
+    — VERDICT_r12 item 5, lifting the r12 'consecutive carries counts
+    only' refusal) [FLINK-API: PatternStream.select on
+    oneOrMore().consecutive()]: pattern_matches() on the
+    q_cep_consecutive shape emits one (anchor id, closing id, span)
+    row per surviving (view, purchase) pair — the extraction fold
+    carries the consec kill rule verbatim (a non-loop-matching event
+    clears the parked set; entry stays relaxed), so the binding set is
+    the count oracle's window-function predicate emitted as rows: v
+    binds at p iff p is in-horizon AND the last NON-purchase before p
+    precedes the FIRST purchase after v. match_no is projected away
+    (emission-order artifact; the streaming twin pins it). Streaming:
+    test_pattern_matches_streaming_consecutive."""
+    from flink_tutorial_broadcast_spark.cep import Pattern
+    from flink_tutorial_broadcast_spark.datastream import (
+        StreamExecutionEnvironment,
+    )
+    env = StreamExecutionEnvironment.get_execution_environment(spark)
+    pat = (Pattern.begin("v", "view")
+           .followed_by("p", "purchase").one_or_more().consecutive()
+           .within("48 hours").no_skip())
+    return (env.from_dataframe(load(spark, sf_dir, "events"))
+            .key_by("user_id")
+            .pattern_matches(pat)
+            .to_df()
+            .select("user_id", "start_event_id", "end_event_id",
+                    "span_us"))
+
+
+@query(
     "q_cep_allow_combinations",
     oracle=f"""
     WITH e AS (
@@ -3418,6 +3535,90 @@ def q_cep_group_zom(spark: SparkSession, sf_dir: str) -> DataFrame:
     sub = Pattern.begin("c", "click").followed_by("p", "purchase")
     pat = (Pattern.begin("v", "view").followed_by_group(sub)
            .one_or_more().optional().within("48 hours").no_skip())
+    return (env.from_dataframe(load(spark, sf_dir, "events"))
+            .key_by("user_id")
+            .pattern(pat)
+            .to_df())
+
+
+_CEP_W14D_US = 14 * 24 * 3600 * 1_000_000
+
+
+@query(
+    "q_cep_group_nested",
+    oracle=f"""
+    WITH RECURSIVE codes0 AS (
+      SELECT user_id, epoch_us(ts) AS t, event_id,
+             CASE event_type WHEN 'view' THEN 1 WHEN 'click' THEN 2
+                  WHEN 'purchase' THEN 3 ELSE 0 END AS c
+      FROM events
+    ), codes AS (
+      SELECT user_id, t, c,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY t, event_id) AS i
+      FROM codes0 WHERE c > 0
+    ), n AS (
+      SELECT user_id, COUNT(*) AS n_ev FROM codes GROUP BY user_id
+    ), run AS (
+      SELECT user_id, 0 AS i, CAST(0 AS BIGINT) AS cnt, 0 AS stage,
+             CAST(0 AS BIGINT) AS anchor_t
+      FROM n
+      UNION ALL
+      SELECT r.user_id, r.i + 1,
+             CASE WHEN s.st = 8 AND c.c = 3 THEN r.cnt + 1
+                  ELSE r.cnt END,
+             CASE WHEN s.st = 0 AND c.c = 1 THEN 1
+                  WHEN s.st = 1 AND c.c = 2 THEN 2
+                  WHEN s.st = 2 AND c.c = 3 THEN 3
+                  WHEN s.st = 3 AND c.c = 2 THEN 4
+                  WHEN s.st = 4 AND c.c = 3 THEN 5
+                  WHEN s.st = 5 AND c.c = 2 THEN 6
+                  WHEN s.st = 6 AND c.c = 3 THEN 7
+                  WHEN s.st = 7 AND c.c = 2 THEN 8
+                  WHEN s.st = 8 AND c.c = 3 THEN 0
+                  ELSE s.st END,
+             CASE WHEN s.st = 0 AND c.c = 1 THEN c.t
+                  ELSE r.anchor_t END
+      FROM run r JOIN codes c ON c.user_id = r.user_id
+                             AND c.i = r.i + 1
+      CROSS JOIN LATERAL (
+        SELECT CASE WHEN r.stage > 0
+                         AND c.t - r.anchor_t > {_CEP_W14D_US}
+                    THEN 0 ELSE r.stage END AS st) s
+    )
+    SELECT r.user_id, r.cnt AS n_matches
+    FROM run r JOIN n ON r.user_id = n.user_id AND r.i = n.n_ev
+    WHERE r.cnt > 0
+    """,
+)
+def q_cep_group_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NESTED pattern groups (round 13) [FLINK-API: GroupPattern
+    composes recursively — Pattern.begin(Pattern.begin(...)...) with
+    quantifiers at each level; VERDICT_r12 missing item 2]: view ->
+    ((click purchase){{2}}){{2}} within 14 days under skip-past-last.
+    One level of nesting with FIXED times(n) at both levels is
+    stage-splicing applied recursively — the inner group's times(2)
+    expands eagerly inside the sub-pattern, and the outer group verb
+    splices the already-flat block, so the result is an ordinary
+    9-stage relaxed chain on the pinned single-anchor machine (batch
+    and streaming alike, no new state class). Variable-length inner
+    groups (optional/one_or_more/times(a, b)/zeroOrMore inside an
+    outer group) REFUSE loudly since r13 — the pending pattern-level
+    marker would otherwise be silently dropped, compiling (b c)+ as
+    (b c) (the same silent-miscompile class the r11 times_or_more
+    guard closed). The oracle replays the 9-state automaton through
+    recursive-CTE state. Property twins:
+    test_cep_group_nested_matches_flat and
+    test_nested_group_refusals."""
+    from flink_tutorial_broadcast_spark.cep import Pattern
+    from flink_tutorial_broadcast_spark.datastream import (
+        StreamExecutionEnvironment,
+    )
+    env = StreamExecutionEnvironment.get_execution_environment(spark)
+    inner = Pattern.begin("c", "click").followed_by("p", "purchase")
+    sub = Pattern.begin_group(inner).times(2)
+    pat = (Pattern.begin("v", "view").followed_by_group(sub).times(2)
+           .within("14 days"))
     return (env.from_dataframe(load(spark, sf_dir, "events"))
             .key_by("user_id")
             .pattern(pat)

@@ -1067,6 +1067,73 @@ def test_pattern_matches_streaming_fork_loop(spark, queries):
     assert dict(Counter(r.user_id for r in batch)) == want_counts
 
 
+def test_pattern_matches_streaming_until(spark, queries):
+    """Streaming match extraction under until() (round 13 — the kill
+    rules now ride the matches stepper; previously an until() pattern
+    reaching it silently dropped the stop condition): appended
+    bindings equal batch exactly (incl. match_no), and the per-user
+    row counts equal the oracle-backed count key q_cep_until."""
+    from collections import Counter
+
+    from flink_tutorial_broadcast_spark.streaming.jobs import (
+        _run_to_memory,
+    )
+
+    pat = (Pattern.begin("v", "view")
+           .followed_by("p", "purchase").one_or_more()
+           .until("event_type = 'error'")
+           .within("48 hours").no_skip())
+    batch = (_env(spark).from_dataframe(load(spark, SF_SMOKE, "events"))
+             .key_by("user_id").pattern_matches(pat).to_df().collect())
+    sdf = _two_file_stream(
+        spark, ["user_id", "ts", "event_id", "event_type"])
+    out = (_env(spark).from_dataframe(sdf)
+           .key_by("user_id").pattern_matches(pat).to_df())
+    assert out.isStreaming
+    got = _run_to_memory(out, "append").collect()
+    key = lambda r: (r.user_id, r.match_no, r.start_event_id,
+                     r.end_event_id, r.span_us)
+    assert {key(r) for r in got} == {key(r) for r in batch}
+    assert got  # non-vacuous
+
+    want_counts = {r.user_id: r.n_matches for r in
+                   queries["q_cep_until"](spark, SF_SMOKE).collect()}
+    assert dict(Counter(r.user_id for r in batch)) == want_counts
+
+
+def test_pattern_matches_streaming_consecutive(spark, queries):
+    """Streaming match extraction under consecutive() (round 13): the
+    parked-set kill rule rides the matches stepper; appended bindings
+    equal batch exactly, and per-user row counts equal the
+    oracle-backed count key q_cep_consecutive."""
+    from collections import Counter
+
+    from flink_tutorial_broadcast_spark.streaming.jobs import (
+        _run_to_memory,
+    )
+
+    pat = (Pattern.begin("v", "view")
+           .followed_by("p", "purchase").one_or_more().consecutive()
+           .within("48 hours").no_skip())
+    batch = (_env(spark).from_dataframe(load(spark, SF_SMOKE, "events"))
+             .key_by("user_id").pattern_matches(pat).to_df().collect())
+    sdf = _two_file_stream(
+        spark, ["user_id", "ts", "event_id", "event_type"])
+    out = (_env(spark).from_dataframe(sdf)
+           .key_by("user_id").pattern_matches(pat).to_df())
+    assert out.isStreaming
+    got = _run_to_memory(out, "append").collect()
+    key = lambda r: (r.user_id, r.match_no, r.start_event_id,
+                     r.end_event_id, r.span_us)
+    assert {key(r) for r in got} == {key(r) for r in batch}
+    assert got  # non-vacuous
+
+    want_counts = {r.user_id: r.n_matches for r in
+                   queries["q_cep_consecutive"](spark,
+                                                SF_SMOKE).collect()}
+    assert dict(Counter(r.user_id for r in batch)) == want_counts
+
+
 def test_pattern_matches_streaming_strict(spark, queries):
     """Streaming strict-chain match extraction (round 9): the KMP
     matches stepper must append exactly the batch bindings — including

@@ -1436,7 +1436,9 @@ def test_until_greedy_refusals(spark):
          .until("a = 1").until("b = 2"))
     with pytest.raises(ValueError, match="quantified"):
         Pattern.begin("v", "view").followed_by("p", "purchase").greedy()
-    # until carries counts only: extraction and chunked refuse
+    # r13 LIFTED the until() extraction refusal on the fork-loop
+    # shape (bindings ride the count fold's kill rules); chunked
+    # still refuses
     from flink_tutorial_broadcast_spark.cep import (
         compile_pattern_chunked, compile_pattern_matches,
     )
@@ -1445,9 +1447,11 @@ def test_until_greedy_refusals(spark):
             .followed_by("p", "purchase").one_or_more()
             .until("event_type = 'error'")
             .within("12 hours").no_skip())
-    with pytest.raises(NotImplementedError, match="counts only"):
-        compile_pattern_matches(upat, df, ["user_id"], "ts",
-                                "event_id", "event_type")
+    assert compile_pattern_matches(
+        upat, df, ["user_id"], "ts", "event_id",
+        "event_type").columns == ["user_id", "match_no",
+                                  "start_event_id", "end_event_id",
+                                  "span_us"]
     with pytest.raises(NotImplementedError, match="chunked"):
         compile_pattern_chunked(upat, df, ["user_id"], "ts",
                                 "event_id", "event_type")
@@ -2167,6 +2171,75 @@ def test_group_refusals():
         ["view", "click", "purchase", "purchase"]
 
 
+# -- nested groups (round 13) --------------------------------------------
+
+@settings(max_examples=10, deadline=None)
+@given(rows=seq_strategy)
+def test_cep_group_nested_matches_flat(spark, rows):
+    """One level of group nesting with fixed times(n) at both levels
+    splices recursively to an ordinary relaxed chain — the nested
+    construction must count identically to the hand-flattened
+    pattern on the same keyed input."""
+    from flink_tutorial_broadcast_spark.cep import (
+        Pattern as P, compile_pattern,
+    )
+
+    inner = P.begin("c", "click").followed_by("p", "purchase")
+    sub = P.begin_group(inner).times(2)
+    nested = (P.begin("v", "view").followed_by_group(sub).times(2)
+              .within("12 hours"))
+    flat = P.begin("v", "view")
+    for j in range(4):
+        flat = (flat.followed_by(f"c{j}", "click")
+                .followed_by(f"p{j}", "purchase"))
+    flat = flat.within("12 hours")
+    assert [s.event_type for s in nested._expanded().stages] == \
+        [s.event_type for s in flat._expanded().stages]
+    df = _mk(spark, rows)
+    got = {(r.user_id, r.n_matches) for r in
+           compile_pattern(nested, df, ["user_id"], "ts", "event_id",
+                           "event_type").collect()}
+    want = {(r.user_id, r.n_matches) for r in
+            compile_pattern(flat, df, ["user_id"], "ts", "event_id",
+                            "event_type").collect()}
+    assert got == want
+
+
+def test_nested_group_refusals():
+    """r13: a sub-pattern carrying a PENDING variable-length group
+    quantifier (_gvar/_gloop/_gzom) refuses inside an outer group verb
+    — the pattern-level marker would otherwise be dropped silently,
+    compiling (b c)+ as (b c)."""
+    import pytest
+
+    from flink_tutorial_broadcast_spark.cep import Pattern as P
+
+    def inner():
+        return P.begin("b", "click").followed_by("c", "purchase")
+
+    loop_sub = (P.begin("a", "view").followed_by_group(inner())
+                .one_or_more())
+    with pytest.raises(NotImplementedError, match="variable-length"):
+        P.begin("s", "view").followed_by_group(loop_sub)
+    opt_sub = (P.begin("a", "view").followed_by_group(inner())
+               .optional())
+    with pytest.raises(NotImplementedError, match="variable-length"):
+        P.begin_group(opt_sub)
+    rng_sub = (P.begin("a", "view").followed_by_group(inner())
+               .times(1, 2))
+    with pytest.raises(NotImplementedError, match="variable-length"):
+        P.begin("s", "view").next_group(rng_sub)
+    zom_sub = (P.begin("a", "view").followed_by_group(inner())
+               .one_or_more().optional())
+    with pytest.raises(NotImplementedError, match="variable-length"):
+        P.begin("s", "view").followed_by_group(zom_sub)
+    # FIXED nested times(n) still splices: ((click purchase){2}){2}
+    sub = P.begin_group(inner()).times(2)
+    nested = P.begin("v", "view").followed_by_group(sub).times(2)
+    assert [s.event_type for s in nested.stages] == \
+        ["view"] + ["click", "purchase"] * 4
+
+
 # -- where_agg on the bounded loop (round 11) ----------------------------
 
 def _ref_fork_loop_agg(seq, stages, within_min, fn, thr):
@@ -2696,12 +2769,16 @@ def test_consecutive_refusals(spark):
     with pytest.raises(NotImplementedError, match="where_agg"):
         compile_pattern_stream(pat_agg, sdf, ["user_id"], "ts",
                                "event_id", "event_type")
+    # r13 LIFTED the consecutive() extraction refusal on the
+    # fork-loop shape (bindings ride the count fold's kill rules)
     pat = (Pattern.begin("v", "view")
            .followed_by("p", "purchase").one_or_more().consecutive()
            .within("12 hours").no_skip())
-    with pytest.raises(NotImplementedError, match="counts only"):
-        compile_pattern_matches(pat, df, ["user_id"], "ts",
-                                "event_id", "event_type")
+    assert compile_pattern_matches(
+        pat, df, ["user_id"], "ts", "event_id",
+        "event_type").columns == ["user_id", "match_no",
+                                  "start_event_id", "end_event_id",
+                                  "span_us"]
 
 # -- allow_combinations() non-deterministic loop contiguity (round 12) ---
 
@@ -2772,6 +2849,25 @@ def test_cep_allow_combinations_k3_matches_subset_enumeration(
         seq, ["view", "click", "purchase"], 720)
         for u, seq in _per_user_ordered(rows).items()}
     assert got == {u: n for u, n in want.items() if n > 0}
+
+
+def test_cep_allow_combinations_density_fault_named(spark):
+    """r13 (VERDICT_r12 item 6): past 2^62 subsequences per run the
+    register guard faults with a message naming the offending KEY and
+    its density — not a bare ANSI overflow. 63 in-horizon purchases
+    after one view push the register past the doubling limit."""
+    import pytest
+
+    rows = [(0, 0, 0)] + [(0, 1 + m, 2) for m in range(63)]
+    pat = (Pattern.begin("v", "view")
+           .followed_by("p", "purchase").one_or_more()
+           .allow_combinations().within("12 hours").no_skip())
+    with pytest.raises(Exception, match="register for key 0"):
+        _run(spark, _mk(spark, rows), pat)
+    # 40 purchases stay comfortably exact: 2^40 - 1 per the closed
+    # form SUM over closes of (2^(j-1) - 1) + j ... = 2^n - 1
+    rows_ok = [(0, 0, 0)] + [(0, 1 + m, 2) for m in range(40)]
+    assert _run(spark, _mk(spark, rows_ok), pat) == {0: 2 ** 40 - 1}
 
 
 def test_cep_allow_combinations_until_kills(spark):
