@@ -579,17 +579,15 @@ def late_data_dlq_stream(spark: SparkSession, sf_dir: str,
     return mk(on_time or []), mk(late or [])
 
 
-def keyed_state_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """E7/E8 arbitrary keyed state via ``applyInPandasWithState``: a
-    per-user running (count, sum, max) state tuple updated each micro-batch
-    — the ``KeyedProcessFunction`` + ``ValueState`` analogue.
-
-    Spark 4's ``transformWithStateInPandas`` (typed ValueState/MapState/
-    ListState + timers — the closer Flink analogue) is implemented in
-    ``keyed_state_stream_tws`` but requires google.protobuf, which this
-    container lacks; ``applyInPandasWithState`` is the engine's portable
-    path and carries identical semantics for this state shape.
-    """
+def keyed_state_totals(ev: DataFrame) -> DataFrame:
+    """The E7/E8 keyed-state dataflow, SOURCE-AGNOSTIC (r13): takes
+    any unbounded DataFrame with (user_id, value) — the file-source
+    stream, the Kafka-shaped ftbs_eventlog, or a real Kafka reader in
+    production — and returns the per-user running (count, sum, max)
+    update stream. docs/kafka.md's swap claim ('nothing in any job's
+    dataflow changes when the source swaps') is pinned by running
+    THIS function over the eventlog mock with offset-resume
+    (test_keyed_state_job_through_eventlog_resumes)."""
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
@@ -608,16 +606,30 @@ def keyed_state_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_value": [round(total, 2)], "max_value": [vmax],
         })
 
-    ev = stream_events(spark, sf_dir).select("user_id", "value")
-    out = ev.groupBy("user_id").applyInPandasWithState(
-        update,
-        outputStructType=(
-            "user_id long, n_events long, total_value double, "
-            "max_value double"),
-        stateStructType="n long, total double, vmax double",
-        outputMode="Update",
-        timeoutConf=GroupStateTimeout.NoTimeout,
-    )
+    return ev.select("user_id", "value").groupBy("user_id") \
+        .applyInPandasWithState(
+            update,
+            outputStructType=(
+                "user_id long, n_events long, total_value double, "
+                "max_value double"),
+            stateStructType="n long, total double, vmax double",
+            outputMode="Update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+
+
+def keyed_state_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E7/E8 arbitrary keyed state via ``applyInPandasWithState``: a
+    per-user running (count, sum, max) state tuple updated each micro-batch
+    — the ``KeyedProcessFunction`` + ``ValueState`` analogue.
+
+    Spark 4's ``transformWithStateInPandas`` (typed ValueState/MapState/
+    ListState + timers — the closer Flink analogue) is implemented in
+    ``keyed_state_stream_tws`` but requires google.protobuf, which this
+    container lacks; ``applyInPandasWithState`` is the engine's portable
+    path and carries identical semantics for this state shape.
+    """
+    out = keyed_state_totals(stream_events(spark, sf_dir))
     return _run_to_memory(out, "update")
 
 
