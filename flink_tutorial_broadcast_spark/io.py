@@ -106,16 +106,29 @@ _EVENTS_TS_IS_NANOS: dict[str, tuple[float, int, bool]] = {}
 
 
 def _events_ts_is_nanos(path: str) -> bool:
-    """True when events.ts is parquet timestamp[ns] (older fixture gens)."""
-    st = os.stat(path)
+    """True when events.ts is parquet timestamp[ns] (older fixture gens).
+
+    `path` may be a single parquet file (the driver fixtures) or a
+    DIRECTORY of part-files (multi-file layouts, e.g. the locally
+    generated sf1 — r13): for a directory the first part-file's footer
+    speaks for the table, since one table is written with one schema.
+    """
+    footer = path
+    if os.path.isdir(path):
+        parts = sorted(f for f in os.listdir(path)
+                       if f.endswith(".parquet"))
+        if not parts:
+            raise FileNotFoundError(f"no parquet part-files in {path}")
+        footer = os.path.join(path, parts[0])
+    st = os.stat(footer)
     stamp = (st.st_mtime, st.st_size)
-    hit = _EVENTS_TS_IS_NANOS.get(path)
+    hit = _EVENTS_TS_IS_NANOS.get(footer)
     if hit is None or hit[:2] != stamp:
         import pyarrow.parquet as pq
 
-        unit = pq.read_schema(path).field("ts").type.unit
-        _EVENTS_TS_IS_NANOS[path] = (*stamp, unit == "ns")
-    return _EVENTS_TS_IS_NANOS[path][2]
+        unit = pq.read_schema(footer).field("ts").type.unit
+        _EVENTS_TS_IS_NANOS[footer] = (*stamp, unit == "ns")
+    return _EVENTS_TS_IS_NANOS[footer][2]
 
 
 def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
