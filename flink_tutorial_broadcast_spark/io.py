@@ -151,6 +151,33 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     return spark.read.schema(SCHEMAS[table]).parquet(path)
 
 
+def local_rows_df(spark: SparkSession, rows, schema) -> DataFrame:
+    """Inline rows (tiny dims, offset tables, fixtures) as a DataFrame
+    via pandas + Arrow instead of ``spark.createDataFrame(list)``.
+
+    The list path plans a Python-RDD scan (``applySchemaToPythonRDD``):
+    EVERY evaluation of the query launches a Python worker round-trip to
+    unpickle a handful of rows — measured +0.6-0.7 s per run on
+    q_broadcast_rule_join at sf0.1 (r13, guide §4.1: keep the JVM↔Python
+    boundary off the query path). The pandas+Arrow path ships the rows
+    as Arrow batches the JVM reads directly; no Python worker at eval.
+
+    ``schema`` may be a StructType or a DDL string; only flat scalar
+    schemas are expected (all engine inline sources are). Empty row
+    lists fall back to the list path (cold path, plans a LocalTableScan
+    of zero rows either way).
+    """
+    import pandas as pd
+
+    if not rows:
+        return spark.createDataFrame(rows, schema)
+    if isinstance(schema, str):
+        from pyspark.sql.types import _parse_datatype_string
+        schema = _parse_datatype_string(schema)
+    pdf = pd.DataFrame(list(rows), columns=[f.name for f in schema.fields])
+    return spark.createDataFrame(pdf, schema)
+
+
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {t: load(spark, sf_dir, t) for t in TABLES}
 

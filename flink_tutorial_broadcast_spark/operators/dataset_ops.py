@@ -27,7 +27,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from flink_tutorial_broadcast_spark.io import load
+from flink_tutorial_broadcast_spark.io import load, local_rows_df
 from flink_tutorial_broadcast_spark.registry import query
 
 
@@ -527,8 +527,8 @@ def _md5_prefix_positions_multi(
         for r in rows:
             offsets.append((r["b"], acc))
             acc += r["count"]
-        off_df = spark.createDataFrame(
-            offsets, schema=f"{b} string, __off_{i} long")
+        off_df = local_rows_df(
+            spark, offsets, f"{b} string, __off_{i} long")
         w = Window.partitionBy(b).orderBy(key, "doc_id")
         out = (
             out.join(F.broadcast(off_df), b)

@@ -20,7 +20,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 from pyspark.sql.window import Window
 
-from flink_tutorial_broadcast_spark.io import load
+from flink_tutorial_broadcast_spark.io import load, local_rows_df
 from flink_tutorial_broadcast_spark.registry import query
 from flink_tutorial_broadcast_spark.operators.llm_knn import (
     _cosine, _dot,
@@ -550,8 +550,8 @@ def q_dedup_snm(spark: SparkSession, sf_dir: str) -> DataFrame:
         for j in range(i + 1, min(i + 1 + wid, len(edge_rows)))
         if edge_rows[j]["b"] != a["b"]
     ]
-    cross_df = spark.createDataFrame(
-        cross, schema="key_a long, name_a string, key_b long, name_b string"
+    cross_df = local_rows_df(
+        spark, cross, "key_a long, name_a string, key_b long, name_b string"
     ).select(
         "key_a", "key_b",
         F.levenshtein("name_a", "name_b").alias("dist"),

@@ -16,7 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from flink_tutorial_broadcast_spark.io import load
+from flink_tutorial_broadcast_spark.io import load, local_rows_df
 from flink_tutorial_broadcast_spark.registry import query
 from flink_tutorial_broadcast_spark.operators.llm_dedup import (
     _NEAR_DUP_LIMIT,
@@ -84,17 +84,25 @@ def q_token_counts_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """K4 tf-idf, fully relational: tf = per-doc term count, idf =
-    ln(N/df). Two token-keyed shuffles; the df side is corpus-vocabulary
-    sized (≪ corpus) so Spark broadcasts it under AQE at real scale."""
+    ln(N/df), derived from ONE tokenize pass (r13, guide §2.4):
+    df(token) = COUNT(*) over tf's (doc_id, token) rows ≡ the
+    countDistinct the naive form runs over raw tokens, so the second
+    scan+explode and its two-phase distinct shuffle are gone — Catalyst
+    reuses tf's exchange for both join inputs (ReusedExchange in the
+    plan). N enters as a broadcast 1-row aggregate instead of a
+    driver-side count() action, keeping the whole query one job. The df
+    side is corpus-vocabulary sized (≪ corpus) so Spark broadcasts it
+    under AQE at real scale."""
     d = load(spark, sf_dir, "documents")
-    n_docs = d.count()  # scalar dimension, not data motion
+    n_docs = d.groupBy().count().withColumnRenamed("count", "__n_docs")
     toks = d.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
     tf = toks.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
-    df = toks.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
+    df = tf.groupBy("token").agg(F.count("*").alias("df"))
     return (
         tf.join(df, "token")
+        .crossJoin(F.broadcast(n_docs))
         .select("doc_id", "token", "tf", "df",
-                F.round(F.col("tf") * F.log(F.lit(float(n_docs))
+                F.round(F.col("tf") * F.log(F.col("__n_docs").cast("double")
                                             / F.col("df")), 6).alias("tfidf"))
     )
 
@@ -202,7 +210,8 @@ def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     the lexicon, argmax marker hits per doc (ties broken by lang code).
     Docs with zero marker hits classify as 'unknown'."""
     d = load(spark, sf_dir, "documents")
-    markers = spark.createDataFrame(_LANG_MARKERS, "m_lang string, m_token string")
+    markers = local_rows_df(
+        spark, _LANG_MARKERS, "m_lang string, m_token string")
     toks = d.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
     scores = (
         toks.join(F.broadcast(markers), toks.token == markers.m_token)
@@ -850,8 +859,8 @@ def q_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate and a per-gold window; output is |langs|² rows, driver-safe
     at any scale."""
     d = load(spark, sf_dir, "documents")
-    markers = spark.createDataFrame(
-        _LANG_MARKERS, "m_lang string, m_token string")
+    markers = local_rows_df(
+        spark, _LANG_MARKERS, "m_lang string, m_token string")
     toks = d.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
     scores = (
         toks.join(F.broadcast(markers), toks.token == markers.m_token)
@@ -1032,8 +1041,8 @@ def q_retrieve_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     order-insensitive integer sum — cross-engine exact, no float-sum
     ordering hazard — and the top-10 cut (score DESC, doc_id) is
     deterministic. Global top-k plans as TakeOrderedAndProject."""
-    qterms = spark.createDataFrame(
-        [(t,) for t in _RETRIEVE_TERMS], "token string")
+    qterms = local_rows_df(
+        spark, [(t,) for t in _RETRIEVE_TERMS], "token string")
     toks = (
         load(spark, sf_dir, "documents")
         .select("doc_id", F.explode(F.split("text", " ")).alias("token"))

@@ -16,7 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from flink_tutorial_broadcast_spark.io import load
+from flink_tutorial_broadcast_spark.io import load, local_rows_df
 from flink_tutorial_broadcast_spark.registry import query
 
 # --- B. projection / filter ------------------------------------------------
@@ -359,8 +359,8 @@ def q_window_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_cross_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C10 cross join: tiny×tiny cartesian (BroadcastNestedLoopJoin)."""
     r = load(spark, sf_dir, "region").select("r_name")
-    sev = spark.createDataFrame(
-        [("low",), ("medium",), ("high",)], "severity string")
+    sev = local_rows_df(
+        spark, [("low",), ("medium",), ("high",)], "severity string")
     return r.crossJoin(F.broadcast(sev))
 
 

@@ -14,7 +14,7 @@ from pyspark.sql.types import (
     DoubleType, IntegerType, StringType, StructField, StructType,
 )
 
-from flink_tutorial_broadcast_spark.io import load
+from flink_tutorial_broadcast_spark.io import load, local_rows_df
 from flink_tutorial_broadcast_spark.registry import query
 
 # A1 — the in-memory collection source (fromElements analogue).
@@ -43,7 +43,7 @@ _SENSORS_SQL = (
 )
 def q_scan_inline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A1: inline collection source + map + filter (fromElements→map→filter)."""
-    df = spark.createDataFrame(_SENSORS, _SENSORS_SCHEMA)
+    df = local_rows_df(spark, _SENSORS, _SENSORS_SCHEMA)
     return (
         df.filter(F.col("reading") > 16.0)
         .select(

@@ -13,7 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from flink_tutorial_broadcast_spark.io import load
+from flink_tutorial_broadcast_spark.io import load, local_rows_df
 from flink_tutorial_broadcast_spark.registry import query
 
 
@@ -827,8 +827,8 @@ def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     engines, so the learned rules are deterministic and hash-comparable.
     """
     rules, _ = _bpe_train(spark, sf_dir)
-    return spark.createDataFrame(
-        rules,
+    return local_rows_df(
+        spark, rules,
         "step INT, lhs STRING, rhs STRING, merged STRING, pair_count LONG",
     )
 

@@ -15,7 +15,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from flink_tutorial_broadcast_spark.io import load
+from flink_tutorial_broadcast_spark.io import load, local_rows_df
 from flink_tutorial_broadcast_spark.registry import query
 
 
@@ -225,8 +225,8 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     version histories: pd.merge_asof inside applyInPandas.
     """
     ev = load(spark, sf_dir, "events")
-    rv = spark.createDataFrame(
-        [(t, v, th) for t, v, th in RULE_VERSIONS],
+    rv = local_rows_df(
+        spark, [(t, v, th) for t, v, th in RULE_VERSIONS],
         "rule_event_type string, valid_from string, threshold double",
     ).withColumn("valid_from", F.to_timestamp("valid_from"))
     j = ev.join(
@@ -277,8 +277,8 @@ def q_asof_merge_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     ev = load(spark, sf_dir, "events").select(
         "event_id", "event_type", "ts", "value")
-    rv = spark.createDataFrame(
-        [(t, v, th) for t, v, th in RULE_VERSIONS],
+    rv = local_rows_df(
+        spark, [(t, v, th) for t, v, th in RULE_VERSIONS],
         "rule_event_type string, valid_from string, threshold double",
     ).withColumn("valid_from", F.to_timestamp("valid_from"))
 

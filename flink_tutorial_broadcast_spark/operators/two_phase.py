@@ -32,6 +32,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from flink_tutorial_broadcast_spark.io import local_rows_df
+
 
 def global_order(
     df: DataFrame,
@@ -143,7 +145,7 @@ def global_order_multi(
             for k in acc_s)
         off_schema = f"{bcols[i]} int, __off{i} long" + (
             f", {off_cols}" if off_cols else "")
-        off_df = df.sparkSession.createDataFrame(offsets, off_schema)
+        off_df = local_rows_df(df.sparkSession, offsets, off_schema)
         # rank on the ORIGINAL (exact) sort expression; only the bucket
         # id goes through the double cast (monotone, bucket-consistent)
         w = Window.partitionBy(bcols[i]).orderBy(sv.asc(), *tiebreaks)

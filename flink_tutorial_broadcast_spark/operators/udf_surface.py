@@ -69,13 +69,25 @@ def q_pandas_udf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     def cos_probe(embs: pd.Series) -> pd.Series:
         mat = np.stack(embs.to_numpy()).astype("float64")  # (batch, 64)
         probe = np.asarray(_PROBE)
-        dots = mat @ probe
-        norms = np.linalg.norm(mat, axis=1) * np.linalg.norm(probe)
+        # sequential left-fold sums (np.cumsum last element) — the same
+        # order as DuckDB's list_cosine_similarity single-pass loop, so
+        # the doubles match bit-for-bit regardless of Arrow batch shape
+        # (a BLAS matvec's blocked reduction order varies with it)
+        dots = np.cumsum(mat * probe, axis=1)[:, -1]
+        norms = (np.sqrt(np.cumsum(mat * mat, axis=1)[:, -1])
+                 * np.sqrt(np.cumsum(probe * probe)[-1]))
         return pd.Series(dots / norms)
 
     e = load(spark, sf_dir, "embeddings")
+    # sign-preserving round: Spark's Round goes through BigDecimal, which
+    # has no signed zero, so ROUND(-4e-5, 4) returns +0.0 while DuckDB
+    # keeps -0.0 — the inherited sf0.001 hash mismatch (vec_id 248's
+    # cosine is -4.39e-5 on BOTH engines; only the rounded zero's sign
+    # diverged). signum(x) * round(|x|) restores IEEE signed zero.
+    cos = cos_probe("embedding")
     return e.select(
-        "vec_id", F.round(cos_probe("embedding"), 4).alias("cos_sim"))
+        "vec_id",
+        (F.signum(cos) * F.round(F.abs(cos), 4)).alias("cos_sim"))
 
 
 @query(

@@ -37,6 +37,27 @@ ENGINE_CONF: dict[str, str] = {
     "spark.sql.legacy.parquet.nanosAsLong": "true",
     "spark.sql.parquet.inferTimestampNTZ.enabled": "false",
     "spark.sql.autoBroadcastJoinThreshold": str(32 * 1024 * 1024),
+    # Parallelism floors for small inputs (r13, guide §2.2/§6.1). Both
+    # knobs are SIZE-adaptive, not cluster constants:
+    # - scan splits: maxSplitBytes = min(maxPartitionBytes,
+    #   max(openCostInBytes, bytes/defaultParallelism)). The 4 MB default
+    #   open-cost packs every sub-128 MB fixture into 1-3 splits, so all
+    #   map-side work (explode fan-out, md5 hashing, broadcast-join
+    #   probes) ran on 1-3 of the 32 cores. At real scale
+    #   bytes/parallelism >> openCost and the floor is inert; it only
+    #   bites when the input is smaller than cores x 128 KB — exactly
+    #   when the extra splits are free parallelism. Measured at sf0.1:
+    #   q_tpch_q9 0.95->0.70 s, q_broadcast_rule_join 0.75->0.62 s.
+    # - post-shuffle AQE coalescing: parallelismFirst targets
+    #   defaultParallelism but never below minPartitionSize (default
+    #   1 MB), which coalesced CPU-heavy fan-out stages (PPJoin candidate
+    #   generation) to 4 partitions. 128 KB keeps small-but-expensive
+    #   stages wide; large stages are unaffected (their partitions are
+    #   >> 1 MB anyway). Measured: q_setsim_join 7.4->4.5 s at sf0.1.
+    "spark.sql.files.openCostInBytes":
+        os.environ.get("SPARK_GRAFT_OPEN_COST", str(128 * 1024)),
+    "spark.sql.adaptive.coalescePartitions.minPartitionSize":
+        os.environ.get("SPARK_GRAFT_MIN_PARTITION_SIZE", "128k"),
     "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
 }
 

@@ -22,6 +22,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.types import DoubleType, StringType, StructField, StructType
 
+from flink_tutorial_broadcast_spark.io import local_rows_df
+
 # (event_type, threshold, severity): an event "fires" a rule when its value
 # exceeds the threshold for its type. Mirrors the tutorial's type→rule map.
 RULES: list[tuple[str, float, str]] = [
@@ -48,7 +50,7 @@ RULES_SQL = (
 
 def rules_df(spark: SparkSession) -> DataFrame:
     """The rule dimension as an inline DataFrame (A1 collection source)."""
-    return spark.createDataFrame(RULES, RULES_SCHEMA)
+    return local_rows_df(spark, RULES, RULES_SCHEMA)
 
 
 # --- Mutable-rule-stream constants (the processBroadcastElement story) ---
@@ -82,9 +84,9 @@ def rule_waves_df(spark: SparkSession, med: int) -> DataFrame:
         (2 * (med + i), "rule-" + t, t, th, sev)
         for i, (t, th, sev) in enumerate(RULES_V2)
     ]
-    return spark.createDataFrame(
-        rows, "seq long, rule_id string, rule_event_type string, "
-              "threshold double, severity string")
+    return local_rows_df(
+        spark, rows, "seq long, rule_id string, rule_event_type string, "
+                     "threshold double, severity string")
 
 
 def rule_waves_sql(med_cte: str = "med") -> str:
