@@ -1264,6 +1264,11 @@ def q_dedup_substr(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("doc_id", F.split("text", " ").alias("toks"))
             .withColumn("n_tokens", F.size("toks").cast("long"))
             .filter(F.col("n_tokens") >= w))
+    # the rolling w-gram stream feeds BOTH the repeated-hash aggregate
+    # and the join probe; lazily checkpoint it so the tokenize + md5
+    # pass runs once instead of once per consumer (r13, same deliberate
+    # space-for-recompute trade as q_setsim_join's shingle checkpoint —
+    # at cluster scale the equivalent is a short-lived staged write)
     sh = (docs
           .select("doc_id", "n_tokens", "toks",
                   F.explode(
@@ -1271,18 +1276,35 @@ def q_dedup_substr(spark: SparkSession, sf_dir: str) -> DataFrame:
                   .alias("s"))
           .select("doc_id", "n_tokens", "s",
                   F.md5(F.array_join(F.slice("toks", F.col("s"), w), " "))
-                  .alias("h")))
+                  .alias("h"))
+          .localCheckpoint(eager=False))
+    # "spans seen in >1 distinct doc" needs no countDistinct (which
+    # plans a second keys=(h, doc_id) exchange): min(doc_id) ≠
+    # max(doc_id) over the h-group is the same predicate, and min/max
+    # partial-aggregate map-side into ONE h-keyed exchange (guide §2.3)
     rep = (sh.groupBy("h")
-           .agg(F.countDistinct("doc_id").alias("nd"))
-           .filter(F.col("nd") > 1)
+           .agg(F.min("doc_id").alias("__lo"), F.max("doc_id").alias("__hi"))
+           .filter(F.col("__lo") != F.col("__hi"))
            .select("h"))
-    hits = sh.join(rep, "h")
-    return (hits
-            .select("doc_id", "n_tokens",
-                    F.explode(F.expr(f"sequence(s, s + {w} - 1)"))
-                    .alias("p"))
-            .groupBy("doc_id", "n_tokens")
-            .agg(F.countDistinct("p").alias("n_repeated_tokens"))
-            .select("doc_id", "n_tokens", "n_repeated_tokens",
-                    F.expr("n_repeated_tokens * 1000000 div n_tokens")
-                    .alias("repeated_ppm")))
+    hits = sh.join(rep, "h").select("doc_id", "n_tokens", "s")
+    # exact interval-union coverage WITHOUT the ×w position explode +
+    # positions countDistinct (two more exchanges): spans of one doc,
+    # ordered by start, each contribute end − max(start − 1, furthest
+    # end of any earlier span), clamped at 0 — the classic union sweep.
+    # (doc_id, s) is unique in hits (one hash per position, rep is
+    # distinct on h), so the order is total and the window exact; the
+    # partition is a single document's spans, bounded by doc length.
+    wd = (Window.partitionBy("doc_id").orderBy("s")
+          .rowsBetween(Window.unboundedPreceding, -1))
+    cov = (hits
+           .withColumn("prev_end", F.max(F.col("s") + w - 1).over(wd))
+           .withColumn("add", F.greatest(
+               (F.col("s") + w - 1)
+               - F.greatest(F.col("s") - 1,
+                            F.coalesce("prev_end", F.lit(0))),
+               F.lit(0)))
+           .groupBy("doc_id", "n_tokens")
+           .agg(F.sum("add").alias("n_repeated_tokens")))
+    return cov.select("doc_id", "n_tokens", "n_repeated_tokens",
+                      F.expr("n_repeated_tokens * 1000000 div n_tokens")
+                      .alias("repeated_ppm"))

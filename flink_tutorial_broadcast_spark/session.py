@@ -51,13 +51,15 @@ ENGINE_CONF: dict[str, str] = {
     # - post-shuffle AQE coalescing: parallelismFirst targets
     #   defaultParallelism but never below minPartitionSize (default
     #   1 MB), which coalesced CPU-heavy fan-out stages (PPJoin candidate
-    #   generation) to 4 partitions. 128 KB keeps small-but-expensive
-    #   stages wide; large stages are unaffected (their partitions are
-    #   >> 1 MB anyway). Measured: q_setsim_join 7.4->4.5 s at sf0.1.
+    #   generation) to 4 partitions. 256 KB keeps small-but-expensive
+    #   stages wide without drowning iterative many-stage queries in
+    #   micro-tasks (sweep at sf0.1: q_setsim_join 7.8->4.9 s,
+    #   q_dedup_simhash_portable best at 256k, q_pagerank ~flat); large
+    #   stages are unaffected (their partitions are >> 1 MB anyway).
     "spark.sql.files.openCostInBytes":
         os.environ.get("SPARK_GRAFT_OPEN_COST", str(128 * 1024)),
     "spark.sql.adaptive.coalescePartitions.minPartitionSize":
-        os.environ.get("SPARK_GRAFT_MIN_PARTITION_SIZE", "128k"),
+        os.environ.get("SPARK_GRAFT_MIN_PARTITION_SIZE", "256k"),
     "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
 }
 

@@ -101,6 +101,37 @@ def test_pandas_udf_cosine_preserves_negative_zero(spark, queries):
         "round dropped the negative-zero sign"
 
 
+def test_dedup_substr_interval_union_equals_position_count(spark, queries):
+    """The window interval-union sweep must count exactly the positions
+    the ×w explode + countDistinct it replaced would count."""
+    from flink_tutorial_broadcast_spark.operators.llm_dedup import _SUBSTR_W
+    w = _SUBSTR_W
+    docs = (load(spark, SF_SMOKE, "documents")
+            .select("doc_id", F.split("text", " ").alias("toks"))
+            .withColumn("n_tokens", F.size("toks").cast("long"))
+            .filter(F.col("n_tokens") >= w))
+    sh = (docs
+          .select("doc_id", "n_tokens",
+                  F.explode(F.expr(f"sequence(1, size(toks) - {w} + 1)"))
+                  .alias("s"),
+                  F.md5(F.array_join(F.slice("toks", F.col("s"), w), " "))
+                  .alias("h")))
+    rep = (sh.groupBy("h")
+           .agg(F.countDistinct("doc_id").alias("nd"))
+           .filter(F.col("nd") > 1).select("h"))
+    naive = {(r["doc_id"], r["n_tokens"]): r["n_repeated_tokens"]
+             for r in sh.join(rep, "h")
+             .select("doc_id", "n_tokens",
+                     F.explode(F.expr(f"sequence(s, s + {w} - 1)"))
+                     .alias("p"))
+             .groupBy("doc_id", "n_tokens")
+             .agg(F.countDistinct("p").alias("n_repeated_tokens"))
+             .collect()}
+    got = queries["q_dedup_substr"](spark, SF_SMOKE).collect()
+    assert {(r["doc_id"], r["n_tokens"]): r["n_repeated_tokens"]
+            for r in got} == naive
+
+
 def test_small_scan_splits_beyond_open_cost_floor(spark):
     """With the 128 KB openCostInBytes floor a ~600 KB fixture must scan
     as >1 split (the 4 MB default packed every fixture into 1-3 splits,
