@@ -84,15 +84,19 @@ def q_token_counts_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """K4 tf-idf, fully relational: tf = per-doc term count, idf =
-    ln(N/df), derived from ONE tokenize pass (r13, guide §2.4):
-    df(token) = COUNT(*) over tf's (doc_id, token) rows ≡ the
-    countDistinct the naive form runs over raw tokens, so the second
-    scan+explode and its two-phase distinct shuffle are gone — Catalyst
-    reuses tf's exchange for both join inputs (ReusedExchange in the
-    plan). N enters as a broadcast 1-row aggregate instead of a
-    driver-side count() action, keeping the whole query one job. The df
-    side is corpus-vocabulary sized (≪ corpus) so Spark broadcasts it
-    under AQE at real scale."""
+    ln(N/df) with df(token) = COUNT(*) over tf's (doc_id, token) rows ≡
+    countDistinct(doc_id) over raw tokens. N enters as a broadcast
+    1-row aggregate instead of a driver-side count() action (r13), so
+    building the query schedules no extra job and the plan is
+    self-contained. Plan note (r13, measured): Catalyst prunes the
+    unused tf value from the df branch, so its exchange stays a
+    distinct-shaped one that cannot reuse tf's count-bearing exchange —
+    the tokenize runs once per branch; a lazy localCheckpoint of tf
+    that would physically share it measured SLOWER at sf0.1
+    (materialization > the second small scan), and at cluster scale the
+    equivalent staged write is the documented alternative. The df side
+    is corpus-vocabulary sized (≪ corpus) so Spark broadcasts it under
+    AQE at real scale."""
     d = load(spark, sf_dir, "documents")
     n_docs = d.groupBy().count().withColumnRenamed("count", "__n_docs")
     toks = d.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
