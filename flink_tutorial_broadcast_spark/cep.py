@@ -1848,11 +1848,32 @@ def _strict_arr(pat: Pattern):
     return F.array(*[F.lit(b) for b in _strict_flags(pat)])
 
 
+def _prefilter_irrelevant(pat, df, event_col, extra_unsafe=False):
+    """r14 (guide §2.3 — shuffle fewer bytes): drop events whose
+    condition MASK is 0 before the per-key exchange. For machines with
+    no strict (next) awaits, an event matching no stage/veto/until
+    condition is a provable no-op of the fold: it advances nothing,
+    kills nothing (die needs a strict await or a veto bit), and its
+    only effect — horizon expiry — is idempotent and re-applied by the
+    next relevant event. Strict awaits make EVERY event significant
+    (a non-match kills the run), so those patterns keep the full
+    stream, as does any machine-specific rule flagged by the caller
+    (`extra_unsafe`, e.g. consecutive()'s parked-set kill). The mask
+    is a codegen'd expression evaluated pre-shuffle; the events the
+    filter drops are exactly the fold steps the machine would waste.
+    On the 5-type events fixture a 3-stage pattern drops ~40% of the
+    exchange and of the interpreted fold."""
+    if extra_unsafe or any(_strict_flags(pat)):
+        return df
+    return df.filter(_cond_mask_col(pat, event_col) != F.lit(0))
+
+
 def _relaxed_machine(pat, df, keys, time_col, tiebreak_col, event_col):
     # K-stage single-anchor automaton under SKIP PAST LAST EVENT —
     # q_cep_followed_by generalized; acc = (matches, stage), O(1) state.
     # A non-matching event at a strict (next) await kills the run and
     # may itself re-anchor a new one (mixed-contiguity support).
+    df = _prefilter_irrelevant(pat, df, event_col)
     K = len(_stage_codes(pat))
     seq = _seq(pat, time_col, tiebreak_col, event_col)
     need = _need(pat)
@@ -1890,6 +1911,7 @@ def _relaxed_within_machine(pat, df, keys, time_col, tiebreak_col,
     # match horizon — q_cep_followed_by_within generalized: O(1) state
     # (cnt, stage, anchor µs); an expired partial resets BEFORE the
     # event is considered, so the expiring event can anchor a new match
+    df = _prefilter_irrelevant(pat, df, event_col)
     K = len(_stage_codes(pat))
     w = pat.within_us
     seq = _seq(pat, time_col, tiebreak_col, event_col)
@@ -1933,6 +1955,7 @@ def _fork_machine(pat, df, keys, time_col, tiebreak_col, event_col):
     # adjacent stages (repeated types, a→a) simultaneously drains a set
     # upward and refills it from below — the Flink NFA's one-event-many-
     # transitions behavior.
+    df = _prefilter_irrelevant(pat, df, event_col)
     K = len(_stage_bits(pat))
     w = pat.within_us
     st = _stage_bits(pat)
@@ -2288,6 +2311,9 @@ def _fork_loop_machine(pat, df, keys, time_col, tiebreak_col, event_col):
     K = len(pat.stages)
     w = pat.within_us
     consec = pat.stages[-1].consec
+    # consecutive(): a non-matching event clears the parked set, so
+    # irrelevant events ARE significant — no prefilter then
+    df = _prefilter_irrelevant(pat, df, event_col, extra_unsafe=consec)
     st = _stage_bits(pat)
     strict = _strict_flags(pat)
     until_sql = pat.stages[-1].until_sql
@@ -2364,6 +2390,7 @@ def _fork_group_loop_machine(pat, gl, df, keys, time_col,
     horizon-bounded anchor arrays, the plain fork bound."""
     K = len(pat.stages)
     w = pat.within_us
+    df = _prefilter_irrelevant(pat, df, event_col)
     st = _stage_bits(pat)
     seq = _seq(pat, time_col, tiebreak_col, event_col)
     empty = F.array().cast("array<long>")
@@ -2423,6 +2450,7 @@ def _fork_loop_combos_machine(pat, df, keys, time_col, tiebreak_col,
     wrapping. until() kills both sets exactly as the plain loop."""
     K = len(pat.stages)
     w = pat.within_us
+    df = _prefilter_irrelevant(pat, df, event_col)
     st = _stage_bits(pat)
     strict = _strict_flags(pat)
     until_sql = pat.stages[-1].until_sql
@@ -3625,7 +3653,7 @@ def _fork_loop_matches(pat, df, keys, time_col, tiebreak_col,
 
 # -- streaming: the keyed-state NFA twins ------------------------------
 
-def relaxed_stepper(type_codes: dict[str, int] | None,
+def relaxed_stepper_scalar(type_codes: dict[str, int] | None,
                     stage_codes: list[int],
                     strict: list[bool] | None = None,
                     key_cols: list[str] | None = None,
@@ -3754,7 +3782,7 @@ def kmp_stepper(type_codes: dict[str, int], stage_codes: list[int],
     return step
 
 
-def relaxed_within_stepper(type_codes: dict[str, int] | None,
+def relaxed_within_stepper_scalar(type_codes: dict[str, int] | None,
                            stage_codes: list[int], within_us: int,
                            strict: list[bool] | None = None,
                            key_cols: list[str] | None = None,
@@ -3799,7 +3827,7 @@ def relaxed_within_stepper(type_codes: dict[str, int] | None,
     return step
 
 
-def fork_stepper(type_codes: dict[str, int] | None,
+def fork_stepper_scalar(type_codes: dict[str, int] | None,
                  stage_codes: list[int],
                  within_us: int | None,
                  strict: list[bool] | None = None,
@@ -3867,7 +3895,7 @@ def fork_stepper(type_codes: dict[str, int] | None,
     return step
 
 
-def fork_loop_stepper(type_codes: dict[str, int] | None,
+def fork_loop_stepper_scalar(type_codes: dict[str, int] | None,
                       stage_codes: list[int], within_us: int,
                       strict: list[bool] | None = None,
                       key_cols: list[str] | None = None,
@@ -3943,7 +3971,7 @@ def fork_loop_stepper(type_codes: dict[str, int] | None,
     return step
 
 
-def fork_group_loop_stepper(stage_bits: list[int], gl: int,
+def fork_group_loop_stepper_scalar(stage_bits: list[int], gl: int,
                             within_us: int,
                             key_cols: list[str] | None = None):
     """applyInPandasWithState twin of _fork_group_loop_machine (r12)
@@ -3999,7 +4027,7 @@ def fork_group_loop_stepper(stage_bits: list[int], gl: int,
     return step
 
 
-def group_zom_stepper(stage_bits: list[int], gl: int, within_us: int,
+def group_zom_stepper_scalar(stage_bits: list[int], gl: int, within_us: int,
                       key_cols: list[str] | None = None):
     """applyInPandasWithState step for streaming GROUP zeroOrMore
     (r13 — replaces the r12 batch-only refusal) [FLINK-API:
@@ -4080,7 +4108,7 @@ def group_zom_stepper(stage_bits: list[int], gl: int, within_us: int,
     return step
 
 
-def fork_loop_combos_stepper(stage_bits: list[int], within_us: int,
+def fork_loop_combos_stepper_scalar(stage_bits: list[int], within_us: int,
                              strict: list[bool] | None = None,
                              key_cols: list[str] | None = None,
                              until_bit: int = 0):
@@ -4409,7 +4437,7 @@ def timeout_stepper(stage_bits: list[int], within_us: int,
     return step
 
 
-def zero_or_more_stepper(stage_bits: list[int], within_us: int,
+def zero_or_more_stepper_scalar(stage_bits: list[int], within_us: int,
                          strict: list[bool] | None = None,
                          key_cols: list[str] | None = None,
                          until_bit: int = 0):
@@ -4505,6 +4533,481 @@ def zero_or_more_stepper(stage_bits: list[int], within_us: int,
                     psets[i] = base
         state.update((cnt, *[list(s) for s in sets], list(lp),
                       *[list(s) for s in psets]))
+        yield pd.DataFrame(
+            {**{kc: [key[i]] for i, kc in enumerate(key_cols)},
+             "n_matches": [cnt]})
+    return step
+
+
+# ---------------------------------------------------------------------------
+# r14: vectorized fork/loop stepper family (VERDICT_r13 item 4).
+#
+# The per-event Python dict/deque transitions above were the engine's
+# measured streaming bound (0.2-0.66 M events/s per key). Every run in
+# these machines is INDEPENDENT and its trajectory DETERMINISTIC (a run
+# awaiting stage j advances at the first event after its position whose
+# mask carries bit j, under its own anchor-time expiry), so the whole
+# batch advances as numpy searchsorted chains over run arrays — see
+# cep_vec.py. The scalar factories stay as the dispatch fallback for
+# shapes outside the vectorized envelope (strict one_or_more awaits,
+# 1-stage loops), and tests/test_cep_vec_equiv.py pins scalar ==
+# vectorized over randomized multi-batch streams, strict/veto/until/
+# consec and carried state included. State schemas, output frames and
+# counts are bit-identical by construction.
+# ---------------------------------------------------------------------------
+
+
+# relaxed / relaxed_within: the JUMP variant (searchsorted transitions)
+# was built and MEASURED in r14 — and rejected (guide §1.3). At the
+# stress fixture's density the single-anchor scalar loop runs ~2.2 M
+# events/s vs the jump's ~1.6: one jump transition costs ~4x a scalar
+# step but skips only ~3.5 events here. The fork/loop family below IS
+# vectorized (set-valued state amortizes); the O(1)-state machines
+# keep the scalar loop. tests/test_cep_vec_equiv.py retains the
+# differential harness should a sparser workload revisit this.
+relaxed_stepper = relaxed_stepper_scalar
+relaxed_within_stepper = relaxed_within_stepper_scalar
+
+
+def fork_stepper(type_codes: dict[str, int] | None,
+                 stage_codes: list[int],
+                 within_us: int | None,
+                 strict: list[bool] | None = None,
+                 key_cols: list[str] | None = None,
+                 veto: list[int] | None = None):
+    """Vectorized twin of fork_stepper_scalar: anchor-set runs advance
+    as searchsorted chains over per-bit position indexes (cep_vec) —
+    O(K) vectorized rounds per batch instead of per-event Python."""
+    K = len(stage_codes)
+    if K < 2:
+        return fork_stepper_scalar(type_codes, stage_codes, within_us,
+                                   strict, key_cols, veto)
+    strict = strict or [False] * K
+    veto = veto or [0] * K
+    key_cols = key_cols or ["key"]
+    nk = len(key_cols)
+
+    def step(key, pdf_iter, state):
+        import pandas as pd
+
+        from flink_tutorial_broadcast_spark import cep_vec as V
+        if state.exists:
+            got = state.get
+            cnt, carried = got[0], [sorted(s) for s in got[1:]]
+        else:
+            cnt, carried = 0, [[] for _ in range(K - 1)]
+        t, c = V.sorted_batch(pdf_iter, nk, type_codes)
+        if t.size:
+            A, J, P = V.make_runs(t, c, stage_codes, carried)
+            arr_a, _, alive = V.advance(
+                t, c, stage_codes, strict, veto, within_us, A, J, P, K)
+            cnt += int(arr_a.size)
+            carried = V.survivor_sets(A, J, P, alive, int(t[-1]),
+                                      within_us, K)
+        state.update((cnt, *carried))
+        yield pd.DataFrame(
+            {**{kc: [key[i]] for i, kc in enumerate(key_cols)},
+             "n_matches": [cnt]})
+    return step
+
+
+def fork_loop_stepper(type_codes: dict[str, int] | None,
+                      stage_codes: list[int], within_us: int,
+                      strict: list[bool] | None = None,
+                      key_cols: list[str] | None = None,
+                      until_bit: int = 0, consec: bool = False):
+    """Vectorized twin of fork_loop_stepper_scalar: the prefix runs
+    advance as searchsorted chains, and the loop stage's counting is a
+    prefix-count difference per run (a parked run contributes one
+    match per close event inside its horizon, before its next until
+    event; consecutive() restricts to the unbroken close run) — no
+    per-event Python at all."""
+    K = len(stage_codes)
+    strict_l = strict or [False] * K
+    if K < 2 or strict_l[K - 1]:
+        return fork_loop_stepper_scalar(type_codes, stage_codes,
+                                        within_us, strict, key_cols,
+                                        until_bit, consec)
+    key_cols = key_cols or ["key"]
+    nk = len(key_cols)
+
+    def step(key, pdf_iter, state):
+        import numpy as np
+        import pandas as pd
+
+        from flink_tutorial_broadcast_spark import cep_vec as V
+        if state.exists:
+            got = state.get
+            cnt = got[0]
+            carried = [sorted(s) for s in got[1:K]]
+            lp_in = sorted(got[K])
+        else:
+            cnt = 0
+            carried = [[] for _ in range(K - 1)]
+            lp_in = []
+        t, c = V.sorted_batch(pdf_iter, nk, type_codes)
+        sets_out = carried
+        lp_out = lp_in
+        if t.size:
+            t_last = int(t[-1])
+            iu_arr = ((c & until_bit) != 0) if until_bit else None
+            if K == 2:
+                A, J, P = V.make_runs(t, c, stage_codes, [[]],
+                                      anchor_block=iu_arr)
+                arr_a, arr_p = A, P
+                prefix_sets = []
+            else:
+                A, J, P = V.make_runs(t, c, stage_codes,
+                                      carried[:K - 2])
+                arr_a, arr_p, alive = V.advance(
+                    t, c, stage_codes, strict_l, None, within_us,
+                    A, J, P, K - 1, block_last=iu_arr)
+                prefix_sets = V.survivor_sets(A, J, P, alive, t_last,
+                                              within_us, K - 1)
+            # runs carried in the awaiting-loop set enter at p = -1
+            cw = np.asarray(carried[K - 2], dtype=np.int64)
+            arr_a = np.concatenate([cw, arr_a])
+            arr_p = np.concatenate(
+                [np.full(cw.size, -1, dtype=np.int64), arr_p])
+            counts, parked, waiting = V.loop_counts(
+                t, c, stage_codes[K - 1], until_bit, within_us,
+                consec, arr_a, arr_p, t_last)
+            cnt += int(counts.sum())
+            lpa = np.asarray(lp_in, dtype=np.int64)
+            if lpa.size:
+                lcounts, lparked, _ = V.loop_counts(
+                    t, c, stage_codes[K - 1], until_bit, within_us,
+                    consec, lpa, np.full(lpa.size, -1, np.int64),
+                    t_last, from_parked=True)
+                cnt += int(lcounts.sum())
+                lp_keep = lpa[lparked]
+            else:
+                lp_keep = lpa
+            sets_out = prefix_sets + [np.sort(arr_a[waiting]).tolist()]
+            lp_out = np.sort(
+                np.concatenate([lp_keep, arr_a[parked]])).tolist()
+        state.update((cnt, *sets_out, lp_out))
+        yield pd.DataFrame(
+            {**{kc: [key[i]] for i, kc in enumerate(key_cols)},
+             "n_matches": [cnt]})
+    return step
+
+
+def fork_group_loop_stepper(stage_bits: list[int], gl: int,
+                            within_us: int,
+                            key_cols: list[str] | None = None):
+    """Vectorized twin of fork_group_loop_stepper_scalar: completions
+    re-enter the chain at stage K-gl (the back-edge), so the machine
+    is the fork chain iterated to a fixpoint — each iteration is one
+    vectorized advance over the cycling runs."""
+    K = len(stage_bits)
+    key_cols = key_cols or ["key"]
+    nk = len(key_cols)
+
+    def step(key, pdf_iter, state):
+        import pandas as pd
+
+        from flink_tutorial_broadcast_spark import cep_vec as V
+        if state.exists:
+            got = state.get
+            cnt, carried = got[0], [sorted(s) for s in got[1:K]]
+        else:
+            cnt, carried = 0, [[] for _ in range(K - 1)]
+        t, c = V.sorted_batch(pdf_iter, nk, None)
+        if t.size:
+            t_last = int(t[-1])
+            A, J, P = V.make_runs(t, c, stage_bits, carried)
+            arr_a, arr_p, alive = V.advance(
+                t, c, stage_bits, [False] * K, None, within_us,
+                A, J, P, K)
+            cnt += int(arr_a.size)   # first completions
+            carried = V.survivor_sets(A, J, P, alive, t_last,
+                                      within_us, K)
+            if arr_a.size:
+                # back-edge cycles: every completed run re-awaits
+                # stage K-gl from its completion position — the
+                # successor function is run-independent, so the
+                # orbit is shared and per-run counting is binary
+                # lifting over it (cep_vec.group_loop_orbit)
+                extra, surv = V.group_loop_orbit(
+                    t, c, stage_bits, gl, within_us, arr_a, arr_p,
+                    t_last, K)
+                cnt += extra
+                if surv:
+                    for stage, a in surv:
+                        carried[stage - 1].append(a)
+                    carried = [sorted(s) for s in carried]
+        state.update((cnt, *carried))
+        yield pd.DataFrame(
+            {**{kc: [key[i]] for i, kc in enumerate(key_cols)},
+             "n_matches": [cnt]})
+    return step
+
+
+def group_zom_stepper(stage_bits: list[int], gl: int, within_us: int,
+                      key_cols: list[str] | None = None):
+    """Vectorized twin of group_zom_stepper_scalar: the group-loop
+    machine plus the prefix addend (a plain fork chain over the first
+    K-gl stages, or an anchor counter when the prefix is begin alone),
+    both vectorized, one summed counter."""
+    K = len(stage_bits)
+    lo = K - gl
+    key_cols = key_cols or ["key"]
+    nk = len(key_cols)
+    inner = fork_group_loop_stepper(stage_bits, gl, within_us,
+                                    key_cols=key_cols)
+
+    def step(key, pdf_iter, state):
+        import numpy as np
+        import pandas as pd
+
+        from flink_tutorial_broadcast_spark import cep_vec as V
+
+        class _Shim:
+            """Present the group-loop slice of the state row to the
+            inner vectorized stepper."""
+            hasTimedOut = False
+
+            def __init__(self, outer):
+                self._o = outer
+                self._loop_out = None
+
+            @property
+            def exists(self):
+                return self._o.exists
+
+            @property
+            def get(self):
+                got = self._o.get
+                return got[:K]
+
+            def update(self, v):
+                self._loop_out = v
+
+        if state.exists:
+            got = state.get
+            pcarried = [sorted(s) for s in got[K:]]
+        else:
+            pcarried = [[] for _ in range(max(lo - 1, 0))]
+        shim = _Shim(state)
+        frames = list(pdf_iter)
+        for _ in inner(key, iter(frames), shim):
+            pass
+        cnt = shim._loop_out[0]
+        loop_sets = shim._loop_out[1:]
+        t, c = V.sorted_batch(iter(frames), nk, None)
+        if t.size:
+            if lo == 1:
+                cnt += int(np.count_nonzero((c & stage_bits[0]) != 0))
+            else:
+                A, J, P = V.make_runs(t, c, stage_bits, pcarried)
+                arr_a, _, alive = V.advance(
+                    t, c, stage_bits, [False] * lo, None, within_us,
+                    A, J, P, lo)
+                cnt += int(arr_a.size)
+                pcarried = V.survivor_sets(A, J, P, alive, int(t[-1]),
+                                           within_us, lo)
+        state.update((cnt, *loop_sets, *pcarried))
+        yield pd.DataFrame(
+            {**{kc: [key[i]] for i, kc in enumerate(key_cols)},
+             "n_matches": [cnt]})
+    return step
+
+
+def fork_loop_combos_stepper(stage_bits: list[int], within_us: int,
+                             strict: list[bool] | None = None,
+                             key_cols: list[str] | None = None,
+                             until_bit: int = 0):
+    """Vectorized twin of fork_loop_combos_stepper_scalar: a parked
+    run's subsequence register doubles at every close it survives, so
+    its total contribution over M in-horizon closes is the CLOSED FORM
+    (r0+1)*(2^M - 1) (fresh runs park at r0=1 after contributing 1
+    from the awaiting set: total 2^M - 1) and its end register is
+    (r0+1)*2^M - 1 — Python bigints per run, never per event. The
+    density guard fires exactly where the scalar loop would: the first
+    close at which some surviving register reaches 2^62 - 1."""
+    K = len(stage_bits)
+    strict_l = strict or [False] * K
+    if K < 2 or strict_l[K - 1]:
+        return fork_loop_combos_stepper_scalar(stage_bits, within_us,
+                                               strict, key_cols,
+                                               until_bit)
+    key_cols = key_cols or ["key"]
+    nk = len(key_cols)
+
+    def step(key, pdf_iter, state):
+        import numpy as np
+        import pandas as pd
+
+        from flink_tutorial_broadcast_spark import cep_vec as V
+        if state.exists:
+            got = state.get
+            cnt = got[0]
+            carried = [sorted(s) for s in got[1:K]]
+            lp_in = sorted(zip(got[K], got[K + 1]))
+        else:
+            cnt = 0
+            carried = [[] for _ in range(K - 1)]
+            lp_in = []
+        t, c = V.sorted_batch(pdf_iter, nk, None)
+        sets_out = carried
+        lp_t = [a for a, _ in lp_in]
+        lp_r = [r for _, r in lp_in]
+        if t.size:
+            t_last = int(t[-1])
+            iu_arr = ((c & until_bit) != 0) if until_bit else None
+            if K == 2:
+                A, J, P = V.make_runs(t, c, stage_bits, [[]],
+                                      anchor_block=iu_arr)
+                arr_a, arr_p = A, P
+                prefix_sets = []
+            else:
+                A, J, P = V.make_runs(t, c, stage_bits,
+                                      carried[:K - 2])
+                arr_a, arr_p, alive = V.advance(
+                    t, c, stage_bits, strict_l, None, within_us,
+                    A, J, P, K - 1, block_last=iu_arr)
+                prefix_sets = V.survivor_sets(A, J, P, alive, t_last,
+                                              within_us, K - 1)
+            cw = np.asarray(carried[K - 2], dtype=np.int64)
+            arr_a = np.concatenate([cw, arr_a])
+            arr_p = np.concatenate(
+                [np.full(cw.size, -1, dtype=np.int64), arr_p])
+            counts, parked, waiting = V.loop_counts(
+                t, c, stage_bits[K - 1], until_bit, within_us, False,
+                arr_a, arr_p, t_last)
+            lpa = np.asarray(lp_t, dtype=np.int64)
+            if lpa.size:
+                lcounts, lparked, _ = V.loop_counts(
+                    t, c, stage_bits[K - 1], until_bit, within_us,
+                    False, lpa, np.full(lpa.size, -1, np.int64),
+                    t_last, from_parked=True)
+            else:
+                lcounts = np.empty(0, np.int64)
+                lparked = np.empty(0, bool)
+            # density guard — trip at the first close where a
+            # surviving register would reach the exact-BIGINT bound,
+            # exactly like the scalar per-close loop
+            def _check(r0: int, m_count: int) -> None:
+                # register before the m-th surviving close (1-based)
+                # is (r0+1)*2^(m-1) - 1, monotone in m
+                if m_count >= 1:
+                    reg = (r0 + 1) * (1 << (m_count - 1)) - 1
+                    if reg >= _COMBOS_REG_LIMIT:
+                        raise ValueError(
+                            "allow_combinations(): subsequence "
+                            f"register for key {key} reached "
+                            f"c={reg} = 2^m - 1 (m = the run's "
+                            "in-horizon loop-event density) — "
+                            "doubling would cross the exact BIGINT "
+                            "bound 2^62; shrink within() or drop "
+                            "allow_combinations()")
+
+            total = 0
+            for i in range(arr_a.size):
+                m = int(counts[i])
+                if m:
+                    # parks at its first close (contributing 1 from
+                    # the awaiting set), then m-1 register closes
+                    _check(1, m - 1)
+                    total += (1 << m) - 1
+            for i in range(lpa.size):
+                m = int(lcounts[i])
+                if m:
+                    r0 = int(lp_r[i])
+                    _check(r0, m)
+                    total += (r0 + 1) * ((1 << m) - 1)
+            cnt += total
+            new_lp = []
+            for i in range(lpa.size):
+                if lparked[i]:
+                    m = int(lcounts[i])
+                    r0 = int(lp_r[i])
+                    new_lp.append((int(lpa[i]),
+                                   (r0 + 1) * (1 << m) - 1))
+            for i in range(arr_a.size):
+                if parked[i]:
+                    m = int(counts[i])
+                    new_lp.append((int(arr_a[i]), (1 << m) - 1))
+            new_lp.sort()
+            lp_t = [a for a, _ in new_lp]
+            lp_r = [r for _, r in new_lp]
+            sets_out = prefix_sets + [np.sort(arr_a[waiting]).tolist()]
+        state.update((cnt, *sets_out, lp_t, lp_r))
+        yield pd.DataFrame(
+            {**{kc: [key[i]] for i, kc in enumerate(key_cols)},
+             "n_matches": [cnt]})
+    return step
+
+
+def zero_or_more_stepper(stage_bits: list[int], within_us: int,
+                         strict: list[bool] | None = None,
+                         key_cols: list[str] | None = None,
+                         until_bit: int = 0):
+    """Vectorized twin of zero_or_more_stepper_scalar: the fork-loop
+    addend plus the prefix fork addend, both as searchsorted chains,
+    one summed counter (the batch sum-of-machines argument carries
+    verbatim)."""
+    K = len(stage_bits)
+    strict_l = strict or [False] * K
+    if K < 2 or strict_l[K - 1]:
+        return zero_or_more_stepper_scalar(stage_bits, within_us,
+                                           strict, key_cols, until_bit)
+    key_cols = key_cols or ["key"]
+    nk = len(key_cols)
+    loop_inner = fork_loop_stepper(None, stage_bits, within_us,
+                                   strict, key_cols=key_cols,
+                                   until_bit=until_bit)
+
+    def step(key, pdf_iter, state):
+        import numpy as np
+        import pandas as pd
+
+        from flink_tutorial_broadcast_spark import cep_vec as V
+
+        class _Shim:
+            hasTimedOut = False
+
+            def __init__(self, outer):
+                self._o = outer
+                self._loop_out = None
+
+            @property
+            def exists(self):
+                return self._o.exists
+
+            @property
+            def get(self):
+                got = self._o.get
+                return got[:K + 1]
+
+            def update(self, v):
+                self._loop_out = v
+
+        if state.exists:
+            got = state.get
+            pcarried = [sorted(s) for s in got[K + 1:]]
+        else:
+            pcarried = [[] for _ in range(max(K - 2, 0))]
+        shim = _Shim(state)
+        frames = list(pdf_iter)
+        for _ in loop_inner(key, iter(frames), shim):
+            pass
+        cnt = shim._loop_out[0]
+        loop_state = shim._loop_out[1:]
+        t, c = V.sorted_batch(iter(frames), nk, None)
+        if t.size:
+            if K == 2:
+                cnt += int(np.count_nonzero((c & stage_bits[0]) != 0))
+            else:
+                A, J, P = V.make_runs(t, c, stage_bits, pcarried)
+                arr_a, _, alive = V.advance(
+                    t, c, stage_bits, strict_l, None, within_us,
+                    A, J, P, K - 1)
+                cnt += int(arr_a.size)
+                pcarried = V.survivor_sets(A, J, P, alive, int(t[-1]),
+                                           within_us, K - 1)
+        state.update((cnt, *loop_state, *pcarried))
         yield pd.DataFrame(
             {**{kc: [key[i]] for i, kc in enumerate(key_cols)},
              "n_matches": [cnt]})

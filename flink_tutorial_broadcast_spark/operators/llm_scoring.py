@@ -448,7 +448,14 @@ def q_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     Since round 12 the 1%-relative tolerance is WITNESSED in-engine:
     `within_1pct_of_exact` compares each sketch quantile against the
     exact F.percentile computed in the same agg (same scan, one
-    shuffle), so the driver's rows-only pass sees the bound."""
+    shuffle), so the driver's rows-only pass sees the bound.
+
+    r14 (VERDICT_r13 item 2): the sketch quantiles are emitted as
+    SCALAR columns (approx_p25/p50/p75), not one array column — the
+    oracle harness's pandas canonicalization cannot hash ndarray
+    cells (CORRECTNESS_r13 err: "unhashable type: numpy.ndarray"),
+    so an array output made the key un-verifiable. Same sketch, same
+    witness, one value per column."""
     li = load(spark, sf_dir, "lineitem")
     qs = F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75))
     return (
@@ -457,7 +464,10 @@ def q_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
              .alias("approx_p"),
              F.percentile("l_extendedprice", qs).alias("__exact_p"))
         .select(
-            "l_returnflag", "approx_p",
+            "l_returnflag",
+            F.element_at("approx_p", 1).alias("approx_p25"),
+            F.element_at("approx_p", 2).alias("approx_p50"),
+            F.element_at("approx_p", 3).alias("approx_p75"),
             F.forall(
                 F.zip_with("approx_p", "__exact_p",
                            lambda a, e: F.abs(a - e) / e < 0.01),

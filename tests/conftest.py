@@ -39,3 +39,25 @@ def duck():
             f"read_parquet('{SF_SMOKE}/{t}.parquet')"
         )
     return con
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers",
+        "slow: measured >= 4 s in the r14 durations run; skipped by "
+        "the default tier (pytest.ini addopts) so the driver's pytest "
+        "finishes in budget — the release gate runs the full suite")
+
+
+def pytest_collection_modifyitems(config, items):
+    """r14 (VERDICT_r13 item 1): tag the measured slow tier. The list
+    lives in tests/slow_tier.py (generated from --durations output);
+    tagging here keeps the marker mechanical — no hand-edited
+    decorators drifting from the measurements."""
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from slow_tier import SLOW_TESTS
+    import pytest as _pytest
+    for item in items:
+        nodeid = item.nodeid.replace(os.sep, "/")
+        if nodeid in SLOW_TESTS:
+            item.add_marker(_pytest.mark.slow)

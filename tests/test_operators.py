@@ -159,7 +159,8 @@ def test_approx_quantiles_within_tolerance(spark, queries):
     """Sketch quantiles track the exact ones within 1% relative error."""
     exact = {r["l_returnflag"]: (r["p25"], r["p50"], r["p75"])
              for r in queries["q_quantiles"](spark, SF_SMOKE).collect()}
-    approx = {r["l_returnflag"]: r["approx_p"]
+    approx = {r["l_returnflag"]:
+              (r["approx_p25"], r["approx_p50"], r["approx_p75"])
               for r in queries["q_approx_quantiles"](spark, SF_SMOKE).collect()}
     for k, (p25, p50, p75) in exact.items():
         for want, got in zip((p25, p50, p75), approx[k]):

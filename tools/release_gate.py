@@ -76,7 +76,12 @@ def main() -> int:
             "check sf0.1", [sys.executable, "tools/check.py"],
             {"SPARK_GRAFT_CHECK_SF": "/root/testdata/sf0.1"})
     stages["pytest"] = _run(
-        "pytest", [sys.executable, "-m", "pytest", "tests/", "-q"])
+        # -m "" overrides pytest.ini's fast-tier default: the GATE
+        # runs the FULL suite including the measured `slow` tier
+        # (r14, VERDICT_r13 item 1 — the driver's default run stays
+        # under budget, the gate keeps total coverage)
+        "pytest", [sys.executable, "-m", "pytest", "tests/", "-q",
+                   "-m", ""])
     stages["plan_audit"] = _run(
         "plan audit",
         [sys.executable, "-m", "flink_tutorial_broadcast_spark.plans.audit"])
