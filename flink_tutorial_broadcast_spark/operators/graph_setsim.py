@@ -154,31 +154,53 @@ def q_setsim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "element_at(wl, i + 1))))"
             ).alias("toks"),
         )
-        # materialize once: the shingle arrays feed candidate generation
-        # AND both verify sides — without truncation the fused plan
-        # recomputes the transform 3× (measured 26 s → ~8 s at sf0.1)
+        # materialize once: the shingle stream feeds the vocabulary agg
+        # AND the id-mapped doc table — without truncation the fused
+        # plan recomputes the transform per consumer (measured 26 s →
+        # ~8 s at sf0.1 when this was first checkpointed)
         .localCheckpoint()
     )
     tok = d.select("doc_id", F.explode("toks").alias("tok"))
-    dfreq = tok.groupBy("tok").agg(F.count("*").alias("df"))
-    prefix = (
-        tok.join(dfreq, "tok")
+    # r14 (guide §2.3 — narrower types): rank the GLOBAL vocabulary by
+    # (document frequency, token) ONCE and replace every shingle string
+    # with its dense rank `tid`. The bijection keeps every downstream
+    # result identical — prefix slices (tid sort order IS the (df, tok)
+    # order), candidate equality joins, and |ta ∩ tb| — while sorts,
+    # join-key hashing and the verify intersections all run on longs
+    # instead of ~15-char strings (verify measured 3.1 s → long-array
+    # intersect; the vocabulary is one broadcast dim). The rank comes
+    # from a 1-partition sort + monotonically_increasing_id — vocab is
+    # distinct-shingle-sized (931 rows at sf0.1), not corpus-sized, and
+    # at 100 TB it stays a dimension (rank via a distributed two-phase
+    # order if it ever outgrows one partition).
+    vocab = (
+        tok.groupBy("tok").agg(F.count("*").alias("df"))
+        .coalesce(1)
+        .sortWithinPartitions("df", "tok")
+        .withColumn("tid", F.monotonically_increasing_id())
+        .select("tok", "tid")
+    )
+    ti = (
+        tok.join(F.broadcast(vocab), "tok")
         .groupBy("doc_id")
-        .agg(
-            F.array_sort(F.collect_list(F.struct("df", "tok"))).alias("ord"),
-            F.count("*").alias("n"),
-        )
-        .select(
-            "doc_id",
-            F.col("n"),
-            F.posexplode(
-                F.expr("slice(transform(ord, x -> x.tok), 1, "
-                       "CAST(n - ((6 * n + 9) div 10) + 1 AS INT))")
-            ).alias("pos", "tok"),  # pos 0-based within the FULL order
-        )
-        # the df-sort + collect_list is the expensive stage; materialize
-        # so the self-join probes one copy instead of rebuilding two
+        .agg(F.sort_array(F.collect_list("tid")).alias("tids"),
+             F.count("*").alias("n"))
+        # materialize once: feeds prefix generation AND both verify
+        # sides (the long arrays are ~8x smaller than string arrays)
         .localCheckpoint()
+    )
+    # no checkpoint here (r14): with the heavy df-rank work hoisted
+    # into `ti`, the prefix projection is one slice+posexplode over the
+    # checkpointed long arrays — rebuilding it on both sides of the
+    # self-join measured CHEAPER than materializing it
+    # (3.05 vs 3.25 s total, matched window)
+    prefix = ti.select(
+        "doc_id",
+        F.col("n"),
+        F.posexplode(
+            F.expr("slice(tids, 1, "
+                   "CAST(n - ((6 * n + 9) div 10) + 1 AS INT))")
+        ).alias("pos", "tok"),  # pos 0-based within the FULL order
     )
     pa, pb = prefix.alias("pa"), prefix.alias("pb")
     # PPJoin pruning on the candidate stream, BEFORE the distinct+verify:
@@ -207,8 +229,10 @@ def q_setsim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("pb.doc_id").alias("doc_b"))
         .distinct()
     )
-    da = d.select(F.col("doc_id").alias("doc_a"), F.col("toks").alias("ta"))
-    db = d.select(F.col("doc_id").alias("doc_b"), F.col("toks").alias("tb"))
+    da = ti.select(F.col("doc_id").alias("doc_a"),
+                   F.col("tids").alias("ta"))
+    db = ti.select(F.col("doc_id").alias("doc_b"),
+                   F.col("tids").alias("tb"))
     # broadcast the doc-array dims: the (large) candidate stream joins
     # them without shuffling — at 100 TB this becomes the bucketed join
     # on doc_id ranges, but the shape (candidates never reshuffle for

@@ -769,7 +769,10 @@ def _bpe_apply(words: DataFrame, lhs: str, rhs: str) -> DataFrame:
     merged token does not re-serve as the fold's right element). The rule
     arrives as broadcast literals, so this is a pure projection: no
     shuffle, no Python. localCheckpoint truncates the per-round lineage
-    (same rule as iterative.py's rounds).
+    (same rule as iterative.py's rounds) — LAZY since r14 (guide §5):
+    the next round's pair-count argmax materializes it anyway, so the
+    eager variant's extra job per round bought nothing (A/B 1.16 →
+    1.00 s on q_bpe_merges, identical rules).
     """
     fold = (
         "filter(split(aggregate(syms, '', (acc, x) -> CASE "
@@ -779,7 +782,8 @@ def _bpe_apply(words: DataFrame, lhs: str, rhs: str) -> DataFrame:
         f"'{lhs}{rhs}') "
         "ELSE concat(acc, '|', x) END), '[|]'), c -> c <> '')"
     )
-    return words.withColumn("syms", F.expr(fold)).localCheckpoint()
+    return (words.withColumn("syms", F.expr(fold))
+            .localCheckpoint(eager=False))
 
 
 def _bpe_train(spark: SparkSession, sf_dir: str,

@@ -253,3 +253,44 @@ def test_l_diversity_gates_fire_in_order(spark, queries):
             assert r.status == "suppressed_l" and r.n_released is None
         else:
             assert r.status == "released" and r.n_released == n
+
+
+def test_setsim_tid_rank_is_df_tok_order(spark):
+    """r14: q_setsim_join replaced shingle STRINGS with dense integer
+    ranks. The whole rewrite is exact iff the rank order equals the old
+    (document frequency, token) struct-sort order — pin that bijection
+    directly against the string pipeline on the smoke fixture."""
+    from pyspark.sql import functions as F
+
+    from flink_tutorial_broadcast_spark.io import load
+    from tests.conftest import SF_SMOKE
+
+    d = (load(spark, SF_SMOKE, "documents")
+         .select("doc_id", F.split("text", " ").alias("wl"))
+         .filter(F.size("wl") >= 2)
+         .select("doc_id", F.expr(
+             "array_distinct(transform(sequence(1, size(wl) - 1), "
+             "i -> concat(element_at(wl, i), '_', "
+             "element_at(wl, i + 1))))").alias("toks")))
+    tok = d.select("doc_id", F.explode("toks").alias("tok"))
+    dfreq = tok.groupBy("tok").agg(F.count("*").alias("df"))
+    vocab = (dfreq.coalesce(1).sortWithinPartitions("df", "tok")
+             .withColumn("tid", F.monotonically_increasing_id()))
+    rows = vocab.orderBy("tid").collect()
+    # ids are dense 0..|vocab|-1 and tid order IS (df, tok) order
+    assert [r["tid"] for r in rows] == list(range(len(rows)))
+    assert [(r["df"], r["tok"]) for r in rows] \
+        == sorted((r["df"], r["tok"]) for r in rows)
+    # per-doc: sort_array over tids == the old (df, tok) struct sort
+    ti = (tok.join(F.broadcast(vocab), "tok")
+          .groupBy("doc_id")
+          .agg(F.sort_array(F.collect_list("tid")).alias("tids")))
+    old = (tok.join(dfreq, "tok")
+           .groupBy("doc_id")
+           .agg(F.array_sort(
+               F.collect_list(F.struct("df", "tok"))).alias("ord")))
+    tid_of = {r["tok"]: r["tid"] for r in rows}
+    got = {r["doc_id"]: list(r["tids"]) for r in ti.collect()}
+    want = {r["doc_id"]: [tid_of[x["tok"]] for x in r["ord"]]
+            for r in old.collect()}
+    assert got == want

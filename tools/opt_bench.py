@@ -1,7 +1,7 @@
-"""Round-13 optimization measurement harness (guide §1).
+"""Optimization measurement harness (guide §1), r13/r14.
 
 For each named query at $SPARK_GRAFT_SF_DIR (default sf0.1):
-  - captures ``explain("formatted")`` to plans/r13/<key>_<tag>.txt,
+  - captures ``explain("formatted")`` to plans/$OPT_ROUND/<key>_<tag>.txt (default r14),
   - times the computation with the noop sink (guide §1.4 — computes
     every column of every row, no sink cost, full plan in the SQL tab)
     AND with the bench's count() action (the driver-comparable number),
@@ -44,7 +44,8 @@ DEFAULT_KEYS = [
 ]
 
 PLANS_DIR = os.path.join(os.path.dirname(os.path.dirname(
-    os.path.abspath(__file__))), "plans", "r13")
+    os.path.abspath(__file__))), "plans",
+    os.environ.get("OPT_ROUND", "r14"))
 
 
 def main() -> None:
@@ -55,7 +56,7 @@ def main() -> None:
     os.makedirs(PLANS_DIR, exist_ok=True)
 
     queries = load_all_queries()
-    spark = get_spark("opt-bench-r13")
+    spark = get_spark("opt-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
     totals = {"noop": 0.0, "count": 0.0}
