@@ -4887,12 +4887,18 @@ def fork_loop_combos_stepper(stage_bits: list[int], within_us: int,
                 lparked = np.empty(0, bool)
             # density guard — trip at the first close where a
             # surviving register would reach the exact-BIGINT bound,
-            # exactly like the scalar per-close loop
+            # exactly like the scalar per-close loop: the register
+            # before the m-th surviving close (1-based) is
+            # (r0+1)*2^(m-1) - 1, monotone in m, so the reported c is
+            # the value at the SMALLEST tripping m (the scalar loop's
+            # first raise), found in <= ~62 doublings
             def _check(r0: int, m_count: int) -> None:
-                # register before the m-th surviving close (1-based)
-                # is (r0+1)*2^(m-1) - 1, monotone in m
-                if m_count >= 1:
-                    reg = (r0 + 1) * (1 << (m_count - 1)) - 1
+                if m_count < 1 or \
+                        (r0 + 1) * (1 << (m_count - 1)) - 1 \
+                        < _COMBOS_REG_LIMIT:
+                    return
+                reg = r0
+                for _ in range(m_count):
                     if reg >= _COMBOS_REG_LIMIT:
                         raise ValueError(
                             "allow_combinations(): subsequence "
@@ -4902,6 +4908,7 @@ def fork_loop_combos_stepper(stage_bits: list[int], within_us: int,
                             "doubling would cross the exact BIGINT "
                             "bound 2^62; shrink within() or drop "
                             "allow_combinations()")
+                    reg = 2 * reg + 1
 
             total = 0
             for i in range(arr_a.size):

@@ -675,3 +675,21 @@ def test_rows_only_keys_witness_bounds_in_engine(spark, queries):
         assert col in df.columns, k
         bad = df.filter(~F.col(col) | F.col(col).isNull()).count()
         assert bad == 0, (k, col, bad)
+
+
+def test_knn_bruteforce_probe_collect_stays_bounded(spark):
+    """r14 (VERDICT_r13 item 5): q_knn_bruteforce's construction-time
+    probe fetch is a BOUNDED dim collect (the pandas analogue of
+    F.broadcast). Pin the bound so it cannot silently grow into a
+    driver-side data pull: the collect is gated by vec_id < _N_PROBES
+    and _N_PROBES stays a small constant."""
+    from flink_tutorial_broadcast_spark.operators import llm_knn
+
+    assert llm_knn._N_PROBES <= 16, llm_knn._N_PROBES
+    from pyspark.sql import functions as F
+
+    from flink_tutorial_broadcast_spark.io import load
+    from tests.conftest import SF_SMOKE
+    n = (load(spark, SF_SMOKE, "embeddings")
+         .filter(F.col("vec_id") < llm_knn._N_PROBES).count())
+    assert n <= llm_knn._N_PROBES

@@ -716,15 +716,20 @@ def s_cep_stepper_throughput(c: Ctx) -> None:
                 [1, 2, 4], W, key_cols=["user_id"]), masked),
             # r12: the group-loop back-edge (view -> (click purchase)+)
             # and the allowCombinations subsequence-register loop. The
-            # combos horizon is 1 h, NOT 48 h: registers double per
-            # close (2^m subsequences is the verb's definition), so a
-            # 48 h hot-key horizon would put thousand-bit Python ints
-            # in the hot loop — the 1 h row measures the stepper, not
-            # big-int arithmetic
+            # combos horizon is 5 MINUTES, not 48 h: registers double
+            # per close (2^m subsequences is the verb's definition) and
+            # the r13 density-fault guard (correctly) refuses any run
+            # whose in-horizon close count crosses 62 doublings — at
+            # k=16 amplification pushes the old 1 h horizon to
+            # hundreds of closes per anchor, so that row now measures
+            # the guard, not the stepper (amplified copies share
+            # timestamps — even 5 min packs 64 closes); 60 s keeps the
+            # measured max at 48 closes, inside the exact BIGINT
+            # envelope on BOTH implementations
             ("group_loop", fork_group_loop_stepper(
                 [1, 2, 4], 2, W, key_cols=["user_id"]), masked),
-            ("loop_combos_1h", fork_loop_combos_stepper(
-                [1, 4], 3600 * 1_000_000, key_cols=["user_id"]),
+            ("loop_combos_60s", fork_loop_combos_stepper(
+                [1, 4], 60 * 1_000_000, key_cols=["user_id"]),
              masked),
             ("skip_bindings", skip_strategy_stepper(
                 [1, 2, 4], "past_last_event", None, W,
