@@ -128,10 +128,17 @@ def audit_one(name: str, df: DataFrame) -> list[str]:
                 "nation" in plan or "region" in plan):
             flags.append("SortMergeJoin where broadcast expected")
     # codegen stages print as "*(n) Operator" in plan strings; EmptyRelation
-    # means AQE proved the result empty at runtime — nothing left to codegen
+    # means AQE proved the result empty at runtime — nothing left to codegen.
+    # LocalTableScan (r13's Arrow local-rows results — q_scan_inline,
+    # q_bpe_merges' learned rules) is a materialized inline relation:
+    # the plan IS the data, so zero codegen is the correct shape, not a
+    # missing span (these two were the only keys flagged once r13's
+    # local_rows sweep landed; GATE_r13 was never stamped, so the stale
+    # rule first fired in the r14 gate).
     if "*(" not in plan and "WholeStageCodegen" not in plan \
             and "EvalPython" not in plan and "InPandas" not in plan \
             and "EmptyRelation" not in plan \
+            and "LocalTableScan" not in plan \
             and name not in ALLOW["scan_only"]:
         flags.append("no codegen span")
     return flags
